@@ -1,0 +1,233 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model._
+
+/** Binds a [[SchemaDef]] to concrete DataFrames (the analog of the reference's
+  * schema catalog + JDBC connection singleton, api_helpers.rb:7-16).
+  *
+  * Snowflake dimensions are pre-joined here, once, at registration (SURVEY §2.B
+  * B3) — the planner only ever sees star equi-joins against a single dim frame.
+  */
+final class CubeCatalog(
+    val spark: SparkSession,
+    val schema: SchemaDef,
+    tables: Map[String, DataFrame]) {
+
+  def table(name: String): DataFrame =
+    tables.getOrElse(name, GraftException.notFound(s"table not found: $name"))
+
+  def cube(name: String): CubeDef =
+    schema.cube(name).getOrElse(GraftException.notFound(s"cube not found: $name"))
+
+  def fact(cube: CubeDef): DataFrame = table(cube.factTable)
+}
+
+object CubeCatalog {
+  // One catalog per (session, data dir) — dims stay registered across queries,
+  // the analog of the reference's schema/member cache (api_helpers.rb:10-16).
+  private val cache = TrieMap.empty[(SparkSession, String), CubeCatalog]
+
+  def forDir(spark: SparkSession, sfDir: String): CubeCatalog =
+    cache.getOrElseUpdate((spark, sfDir), TpchCatalog.build(spark, sfDir))
+
+  /** Drop cached catalogs — the `/flush` analog (ref api.rb:52-70). */
+  def flush(): Unit = cache.clear()
+}
+
+/** The driver-testdata star schema (TESTDATA.md) expressed as cubes.
+  * Mirrors the *shape* of the reference fixtures: foodmart.xml's Sales cube ↔
+  * `sales` over lineitem; webshop.xml's simple star ↔ `orders`; a degenerate-
+  * dimension cube (foodmart.xml:414-433 Store) ↔ `events`.
+  */
+object TpchCatalog {
+
+  def build(spark: SparkSession, sfDir: String): CubeCatalog = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects
+    // (µs is its native unit): read nanos as long, convert to µs timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def load(name: String): DataFrame =
+      spark.read.parquet(s"$sfDir/$name.parquet")
+
+    val region = load("region")
+    val nation = load("nation")
+    val customer = load("customer")
+    val supplier = load("supplier")
+    val part = load("part")
+    val orders = load("orders")
+    val lineitem = load("lineitem")
+    val events = {
+      val raw = load("events")
+      import org.apache.spark.sql.types.LongType
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      else raw
+    }
+    val documents = load("documents")
+    val embeddings = load("embeddings")
+
+    // Snowflake pre-joins (ref <Join> foodmart.xml:71-75): geography chains
+    // collapse to one dim frame each. Dims are small ⇒ broadcast at query time.
+    val geo = nation.join(region, nation("n_regionkey") === region("r_regionkey"))
+    val suppGeo = supplier.join(geo, supplier("s_nationkey") === geo("n_nationkey"))
+    val custGeo = customer.join(geo, customer("c_nationkey") === geo("n_nationkey"))
+
+    val tables = Map(
+      "region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+      "embeddings" -> embeddings, "supp_geo" -> suppGeo, "cust_geo" -> custGeo)
+
+    new CubeCatalog(spark, schemaDef, tables)
+  }
+
+  private def geoHierarchy(leaf: Seq[LevelDef]): HierarchyDef = HierarchyDef(
+    "Geography",
+    Seq(
+      LevelDef("Region", "r_regionkey", "region", nameExpr = Some("r_name")),
+      LevelDef("Nation", "n_nationkey", "nation", nameExpr = Some("n_name"))
+    ) ++ leaf)
+
+  val salesCube: CubeDef = CubeDef(
+    name = "sales",
+    factTable = "lineitem",
+    dimensions = Seq(
+      DimensionDef("Geography", Seq(geoHierarchy(Seq(
+        LevelDef("Supplier", "s_suppkey", "supplier", nameExpr = Some("s_name"),
+          properties = Seq(PropertyDef("Account Balance", "s_acctbal", "supplier_acctbal")))))),
+        join = Some(JoinSpec("supp_geo", "l_suppkey", "s_suppkey"))),
+      DimensionDef("Part", Seq(
+        HierarchyDef("Brands", Seq(
+          LevelDef("Brand", "p_brand", "brand"),
+          LevelDef("Part", "p_partkey", "part", nameExpr = Some("p_name"),
+            properties = Seq(
+              PropertyDef("Size", "p_size", "part_size"),
+              PropertyDef("Retail Price", "p_retailprice", "part_retailprice"),
+              PropertyDef("Type", "p_type", "part_type_prop"))))),
+        HierarchyDef("Types", Seq(
+          LevelDef("Type", "p_type", "part_type"),
+          LevelDef("Part", "p_partkey", "part", nameExpr = Some("p_name"))))),
+        join = Some(JoinSpec("part", "l_partkey", "p_partkey"))),
+      // Degenerate time dimension: levels are exprs over the fact row itself
+      // (ref TimeDimension foodmart.xml:49-68; degenerate cube :414-433).
+      DimensionDef("ShipDate", Seq(
+        HierarchyDef("Monthly", Seq(
+          LevelDef("Year", "year(l_shipdate)", "ship_year"),
+          LevelDef("Quarter", "quarter(l_shipdate)", "ship_quarter"),
+          LevelDef("Month", "month(l_shipdate)", "ship_month"))),
+        HierarchyDef("Weekly", Seq(
+          LevelDef("Year", "year(l_shipdate)", "ship_year"),
+          LevelDef("Week", "weekofyear(l_shipdate)", "ship_week")))),
+        isTime = true),
+      DimensionDef("ReturnFlag", Seq(HierarchyDef("ReturnFlag",
+        Seq(LevelDef("ReturnFlag", "l_returnflag", "return_flag"))))),
+      DimensionDef("LineStatus", Seq(HierarchyDef("LineStatus",
+        Seq(LevelDef("LineStatus", "l_linestatus", "line_status"))))),
+      // A *large* dimension (fact-sized): must NOT broadcast — shuffle join,
+      // co-partitioned on the key. Exercises the non-broadcast star-join path.
+      DimensionDef("Order", Seq(
+        HierarchyDef("Priority", Seq(
+          LevelDef("Priority", "o_orderpriority", "order_priority"))),
+        HierarchyDef("Status", Seq(
+          LevelDef("Status", "o_orderstatus", "order_status")))),
+        join = Some(JoinSpec("orders", "l_orderkey", "o_orderkey",
+          broadcastable = false)))),
+    measures = Seq(
+      MeasureDef("Quantity", "sum_qty", Agg.Sum, "l_quantity"),
+      MeasureDef("Gross", "gross", Agg.Sum, "l_extendedprice"),
+      MeasureDef("Revenue", "revenue", Agg.Sum,
+        "l_extendedprice * (1.0 - l_discount)"),
+      MeasureDef("Discount Amount", "disc_amt", Agg.Sum,
+        "l_extendedprice * l_discount"),
+      MeasureDef("Charge", "charge", Agg.Sum,
+        "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"),
+      MeasureDef("Line Count", "cnt", Agg.CountAll, "1"),
+      MeasureDef("Order Count", "order_cnt", Agg.DistinctCount, "l_orderkey"),
+      MeasureDef("Approx Part Count", "part_cnt_approx",
+        Agg.ApproxDistinctCount, "l_partkey"),
+      MeasureDef("Avg Discount", "avg_disc", Agg.Avg, "l_discount"),
+      MeasureDef("Min Price", "min_price", Agg.Min, "l_extendedprice"),
+      MeasureDef("Max Price", "max_price", Agg.Max, "l_extendedprice"),
+      // Expression measure (ref CASE-WHEN MeasureExpression foodmart.xml:305-344)
+      MeasureDef("Promo Revenue", "promo_rev", Agg.Sum,
+        "CASE WHEN l_discount > 0.05 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")),
+    calcMembers = Seq(
+      CalcMemberDef("net", "gross - disc_amt"),
+      CalcMemberDef("disc_rate", "disc_amt / gross"),
+      // references the lag measure below (ref Profit Growth foodmart.xml:359-366)
+      CalcMemberDef("revenue_growth",
+        "CASE WHEN prev_revenue = 0.0 OR prev_revenue IS NULL THEN NULL ELSE (revenue - prev_revenue) / prev_revenue END")),
+    lagMeasures = Seq(
+      LagMeasureDef("prev_revenue", "revenue", "ShipDate")),
+    namedSets = Seq(
+      NamedSetDef("Top Brands", "Part", "Brand", 5, "revenue"),
+      NamedSetDef("Top Suppliers", "Geography", "Supplier", 3, "revenue")),
+    defaultMeasure = Some("revenue"))
+
+  val ordersCube: CubeDef = CubeDef(
+    name = "orders",
+    factTable = "orders",
+    dimensions = Seq(
+      DimensionDef("Geography", Seq(geoHierarchy(Seq(
+        LevelDef("Customer", "c_custkey", "customer", nameExpr = Some("c_name"),
+          properties = Seq(
+            PropertyDef("Segment", "c_mktsegment", "customer_segment"),
+            PropertyDef("Account Balance", "c_acctbal", "customer_acctbal")))))),
+        join = Some(JoinSpec("cust_geo", "o_custkey", "c_custkey"))),
+      DimensionDef("Segment", Seq(HierarchyDef("Segment",
+        Seq(LevelDef("Segment", "c_mktsegment", "segment")))),
+        join = Some(JoinSpec("cust_geo", "o_custkey", "c_custkey"))),
+      DimensionDef("OrderDate", Seq(
+        HierarchyDef("Monthly", Seq(
+          LevelDef("Year", "year(o_orderdate)", "order_year"),
+          LevelDef("Quarter", "quarter(o_orderdate)", "order_quarter"),
+          LevelDef("Month", "month(o_orderdate)", "order_month")))),
+        isTime = true),
+      DimensionDef("Priority", Seq(HierarchyDef("Priority",
+        Seq(LevelDef("Priority", "o_orderpriority", "order_priority"))))),
+      DimensionDef("Status", Seq(HierarchyDef("Status",
+        Seq(LevelDef("Status", "o_orderstatus", "order_status")))))),
+    measures = Seq(
+      MeasureDef("Total Sales", "total_sales", Agg.Sum, "o_totalprice"),
+      MeasureDef("Order Count", "order_count", Agg.CountAll, "1"),
+      MeasureDef("Customer Count", "customer_count", Agg.DistinctCount,
+        "o_custkey"),
+      MeasureDef("Avg Order Value", "avg_order", Agg.Avg, "o_totalprice"),
+      MeasureDef("Max Order Value", "max_order", Agg.Max, "o_totalprice")),
+    defaultMeasure = Some("total_sales"))
+
+  val eventsCube: CubeDef = CubeDef(
+    name = "events",
+    factTable = "events",
+    dimensions = Seq(
+      DimensionDef("EventType", Seq(HierarchyDef("EventType",
+        Seq(LevelDef("EventType", "event_type", "event_type"))))),
+      DimensionDef("EventDate", Seq(
+        HierarchyDef("Daily", Seq(
+          LevelDef("Year", "year(ts)", "event_year"),
+          LevelDef("Day", "CAST(ts AS DATE)", "event_day")))),
+        isTime = true),
+      DimensionDef("User", Seq(HierarchyDef("User",
+        Seq(LevelDef("User", "user_id", "user")))))),
+    measures = Seq(
+      MeasureDef("Value", "value_sum", Agg.Sum, "value"),
+      MeasureDef("Events", "event_count", Agg.CountAll, "1"),
+      MeasureDef("Users", "user_count", Agg.DistinctCount, "user_id"),
+      MeasureDef("Avg Value", "avg_value", Agg.Avg, "value")))
+
+  // Drill-across virtual cube over the conformed Geography dimension
+  // (ref Warehouse and Sales foodmart.xml:758-790).
+  val commerceVirtual: VirtualCubeDef = VirtualCubeDef(
+    name = "commerce",
+    cubeMeasures = Seq(
+      "sales" -> Seq("revenue", "sum_qty"),
+      "orders" -> Seq("total_sales", "order_count")),
+    calcMembers = Seq(
+      CalcMemberDef("rev_per_order", "revenue / order_count")))
+
+  val schemaDef: SchemaDef = SchemaDef("graft",
+    Seq(salesCube, ordersCube, eventsCube), Seq(commerceVirtual))
+}

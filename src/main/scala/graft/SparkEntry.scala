@@ -1,13 +1,387 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.planner._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 through the
+  * cube planner ([[graft.planner.Planner]]); `oracleSql` holds the equivalent
+  * DuckDB SQL over the same parquet tables. Sum/Avg measures route through
+  * DECIMAL(27,6) on BOTH sides so aggregation order can't perturb low bits
+  * (see MeasureDef.exact) — results hash-match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def cq(q: CubeQuery): (SparkSession, String) => DataFrame =
+    (s, dir) => Planner.plan(CubeCatalog.forDir(s, dir), q)
+
+  private def L(dim: String, level: String, hier: String = null) =
+    LevelRef(dim, Option(level), Option(hier))
+  private def drill(dim: String, level: String = null, hier: String = null) =
+    LevelDrill(LevelRef(dim, Option(level), Option(hier)))
+
+  // ---- shared SQL fragments (DuckDB dialect; mirror the planner exactly) ----
+  private def sumd(e: String, a: String) =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(27,6))) AS DOUBLE) AS $a"
+  private def avgd(e: String, a: String) =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(27,6))) AS DOUBLE) / COUNT($e) AS $a"
+  private val REV = "l_extendedprice * (1.0 - l_discount)"
+  private val SUPP_GEO_JOIN =
+    """FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey""".stripMargin
+  private val CUST_GEO_JOIN =
+    """FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  /** Flagship query on sf=0.001 (SURVEY §7.2 minimum slice): two-dimension
+    * star drilldown with broadcast dims. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_star_drilldown")(spark, "/root/testdata/sf0.001")
+
+  // =================================================================== cube
+  // queries: one per operator of SURVEY.md §2 (A*/B*/C* tags inline)
+
+  val cubeQueries: ListMap[String, CubeQuery] = ListMap(
+    // A1+B4: measure selection, hash aggregation (TPC-H Q1 analog)
+    "q01_returnflag_agg" -> CubeQuery("sales",
+      Seq(drill("ReturnFlag"), drill("LineStatus")),
+      Seq("sum_qty", "gross", "revenue", "charge", "cnt", "avg_disc")),
+    // A2+A3+B2+B3: multi-dim drilldown over snowflake-pre-joined star
+    "q02_star_drilldown" -> CubeQuery("sales",
+      Seq(drill("Geography", "Region"), drill("Part", "Brand", "Brands")),
+      Seq("revenue", "sum_qty")),
+    // A3: three-way crossjoin of drilldowns
+    "q03_crossjoin_3d" -> CubeQuery("sales",
+      Seq(drill("Geography", "Region"), drill("ReturnFlag"),
+        drill("ShipDate", "Year", "Monthly")),
+      Seq("revenue", "cnt")),
+    // A4: member cut (slicer) + drilldown on another dim
+    "q04_cut_member" -> CubeQuery("sales",
+      Seq(drill("Geography", "Nation")), Seq("revenue"),
+      cuts = Seq(MemberCut(L("Geography", "Region"), 2))),
+    // A5: set cut
+    "q05_cut_set" -> CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly")), Seq("revenue", "cnt"),
+      cuts = Seq(SetCut(L("ReturnFlag", "ReturnFlag"), Seq("A", "R")))),
+    // A6: range cut on a time level
+    "q06_cut_range" -> CubeQuery("sales",
+      Seq(drill("Part", "Brand", "Brands")), Seq("revenue"),
+      cuts = Seq(RangeCut(L("ShipDate", "Year", "Monthly"), 1996, 1998))),
+    // A8: descendants fusion — cut Region, drill deeper Supplier level
+    "q07_descendants" -> CubeQuery("sales",
+      Seq(drill("Geography", "Supplier")), Seq("revenue", "cnt"),
+      cuts = Seq(MemberCut(L("Geography", "Region"), 3))),
+    // A10: HAVING on aggregated measures
+    "q08_having" -> CubeQuery("sales",
+      Seq(drill("Part", "Brand", "Brands")), Seq("revenue", "cnt"),
+      filters = Seq(MeasureFilter("revenue", ">", 1.0e7))),
+    // A11+A12: order by measure desc, top-k
+    "q09_order_topk" -> CubeQuery("sales",
+      Seq(drill("Part", "Brand", "Brands")), Seq("revenue"),
+      order = Some(OrderSpec(OrderByMeasure("revenue"), desc = true)),
+      limit = Some(10)),
+    // A12: offset pagination over hierarchical default order
+    "q10_offset_limit" -> CubeQuery("sales",
+      Seq(drill("Geography", "Supplier")), Seq("revenue"),
+      offset = 3, limit = Some(4)),
+    // C1 dense axes: member-domain cross product, null cells kept
+    "q11_dense_axes" -> CubeQuery("events",
+      Seq(drill("EventDate", "Day", "Daily"), drill("EventType")),
+      Seq("value_sum", "event_count"), nonempty = false),
+    // C6 sparse: dense output minus all-null-measure rows
+    "q12_sparse" -> CubeQuery("events",
+      Seq(drill("EventDate", "Day", "Daily"), drill("EventType")),
+      Seq("value_sum", "event_count"), nonempty = false, sparse = true),
+    // B5: exact distinct count (non-additive)
+    "q13_distinct_count" -> CubeQuery("sales",
+      Seq(drill("Geography", "Region")), Seq("order_cnt", "cnt")),
+    // B6: CASE-WHEN expression measure
+    "q14_expr_measure" -> CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly")), Seq("promo_rev", "revenue")),
+    // B7: post-aggregation calculated members
+    "q15_calc_member" -> CubeQuery("sales",
+      Seq(drill("Geography", "Region")), Seq("net", "disc_rate", "gross")),
+    // B8: PREVMEMBER lag + growth ratio over the time axis
+    "q16_time_lag" -> CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "prev_revenue", "revenue_growth")),
+    // B9+A15: named-set TopCount as drilldown
+    "q17_namedset_drill" -> CubeQuery("sales",
+      Seq(NamedSetDrill("Top Brands")), Seq("revenue")),
+    // A7: named-set cut = semi-join filter
+    "q18_namedset_cut" -> CubeQuery("sales",
+      Seq(drill("Geography", "Region")), Seq("revenue", "cnt"),
+      cuts = Seq(NamedSetCut("Top Brands"))),
+    // B10: virtual cube drill-across over conformed Geography
+    "q19_virtual_cube" -> CubeQuery("commerce",
+      Seq(drill("Geography", "Region")),
+      Seq("revenue", "total_sales", "rev_per_order")),
+    // B15: grand total (all-member, no drilldown)
+    "q20_grand_total" -> CubeQuery("sales", Nil,
+      Seq("revenue", "sum_qty", "cnt", "order_cnt")),
+    // C3: parents=true prepends the ancestor chain columns
+    "q21_parents" -> CubeQuery("sales",
+      Seq(drill("Geography", "Supplier")), Seq("revenue"), parents = true),
+    // B14+C4: member properties carried through aggregation
+    "q22_properties" -> CubeQuery("sales",
+      Seq(drill("Part", "Part", "Brands")), Seq("revenue"),
+      properties = Seq(PropertyRef(L("Part", "Part", "Brands"), "Size"),
+        PropertyRef(L("Part", "Part", "Brands"), "Retail Price"))),
+    // A11: order by member property
+    "q23_order_by_property" -> CubeQuery("sales",
+      Seq(drill("Part", "Part", "Brands")), Seq("revenue"),
+      properties = Seq(PropertyRef(L("Part", "Part", "Brands"), "Retail Price")),
+      order = Some(OrderSpec(OrderByLevel(L("Part", "Part", "Brands"),
+        "Retail Price"), desc = true)),
+      limit = Some(20)),
+    // A11: order by member caption
+    "q24_order_by_caption" -> CubeQuery("sales",
+      Seq(drill("Geography", "Nation")), Seq("cnt"),
+      order = Some(OrderSpec(OrderByLevel(L("Geography", "Nation"), "caption")))),
+    // A16: slicer tuple composition — several residual cuts ANDed
+    "q25_slicer_tuple" -> CubeQuery("sales",
+      Seq(drill("Part", "Brand", "Brands")), Seq("revenue"),
+      cuts = Seq(MemberCut(L("Geography", "Region"), 1),
+        MemberCut(L("ReturnFlag", "ReturnFlag"), "R"),
+        RangeCut(L("ShipDate", "Year", "Monthly"), 1996, 1997))),
+    // A14: DISTINCT axis wrap (no-op on grouped output)
+    "q26_distinct" -> CubeQuery("sales",
+      Seq(drill("ReturnFlag")), Seq("cnt"), distinct = true),
+    // second cube over its own star (webshop analog)
+    "q27_orders_cube" -> CubeQuery("orders",
+      Seq(drill("Segment"), drill("OrderDate", "Year", "Monthly")),
+      Seq("total_sales", "order_count", "customer_count", "avg_order",
+        "max_order")),
+    // B2 non-broadcast star join: fact-sized "Order" dimension shuffle-joins
+    "q28_big_dim_join" -> CubeQuery("sales",
+      Seq(drill("Order", "Priority", "Priority")), Seq("revenue", "cnt")),
+    // Min/Max aggregators
+    "q29_minmax" -> CubeQuery("sales",
+      Seq(drill("ReturnFlag")), Seq("min_price", "max_price", "avg_disc")),
+    // events cube daily rollup incl. per-group distinct users
+    "q30_events_daily" -> CubeQuery("events",
+      Seq(drill("EventDate", "Day", "Daily"), drill("EventType")),
+      Seq("value_sum", "event_count", "user_count")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    cubeQueries.map { case (n, q) => n -> cq(q) }
+
+  // ============================================================ oracle SQL
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_returnflag_agg" ->
+      s"""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+         |${sumd("l_quantity", "sum_qty")}, ${sumd("l_extendedprice", "gross")},
+         |${sumd(REV, "revenue")},
+         |${sumd("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "charge")},
+         |COUNT(1) AS cnt, ${avgd("l_discount", "avg_disc")}
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_star_drilldown" ->
+      s"""SELECT r_regionkey AS region, r_name AS region_label,
+         |p_brand AS brand, ${sumd(REV, "revenue")}, ${sumd("l_quantity", "sum_qty")}
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "q03_crossjoin_3d" ->
+      s"""SELECT r_regionkey AS region, r_name AS region_label,
+         |l_returnflag AS return_flag,
+         |CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |${sumd(REV, "revenue")}, COUNT(1) AS cnt
+         |$SUPP_GEO_JOIN
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 3, 4""".stripMargin,
+    "q04_cut_member" ->
+      s"""SELECT n_nationkey AS nation, n_name AS nation_label,
+         |${sumd(REV, "revenue")}
+         |$SUPP_GEO_JOIN
+         |WHERE r_regionkey = 2 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q05_cut_set" ->
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |${sumd(REV, "revenue")}, COUNT(1) AS cnt
+         |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_cut_range" ->
+      s"""SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_descendants" ->
+      s"""SELECT s_suppkey AS supplier, s_name AS supplier_label,
+         |${sumd(REV, "revenue")}, COUNT(1) AS cnt
+         |$SUPP_GEO_JOIN
+         |WHERE r_regionkey = 3 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q08_having" ->
+      s"""SELECT p_brand AS brand, ${sumd(REV, "revenue")}, COUNT(1) AS cnt
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 HAVING CAST(SUM(CAST(($REV) AS DECIMAL(27,6))) AS DOUBLE) > 10000000.0
+         |ORDER BY 1""".stripMargin,
+    "q09_order_topk" ->
+      s"""SELECT brand, revenue FROM (
+         |SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+         |ORDER BY revenue DESC, brand ASC LIMIT 10""".stripMargin,
+    "q10_offset_limit" ->
+      s"""SELECT s_suppkey AS supplier, s_name AS supplier_label,
+         |${sumd(REV, "revenue")}
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1, 2 ORDER BY 1 LIMIT 4 OFFSET 3""".stripMargin,
+    "q11_dense_axes" ->
+      """WITH agg AS (
+        |  SELECT CAST(ts AS DATE) AS event_day, event_type,
+        |    CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
+        |    COUNT(1) AS event_count
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.event_day, t.event_type, a.value_sum, a.event_count
+        |FROM (SELECT DISTINCT CAST(ts AS DATE) AS event_day FROM events) d
+        |CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |LEFT JOIN agg a USING (event_day, event_type)
+        |ORDER BY 1, 2""".stripMargin,
+    "q12_sparse" ->
+      """WITH agg AS (
+        |  SELECT CAST(ts AS DATE) AS event_day, event_type,
+        |    CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
+        |    COUNT(1) AS event_count
+        |  FROM events GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT d.event_day, t.event_type, a.value_sum, a.event_count
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS event_day FROM events) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |  LEFT JOIN agg a USING (event_day, event_type))
+        |SELECT * FROM dense
+        |WHERE value_sum IS NOT NULL OR event_count IS NOT NULL
+        |ORDER BY 1, 2""".stripMargin,
+    "q13_distinct_count" ->
+      s"""SELECT r_regionkey AS region, r_name AS region_label,
+         |COUNT(DISTINCT l_orderkey) AS order_cnt, COUNT(1) AS cnt
+         |$SUPP_GEO_JOIN
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q14_expr_measure" ->
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |${sumd("CASE WHEN l_discount > 0.05 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", "promo_rev")},
+         |${sumd(REV, "revenue")}
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_calc_member" ->
+      s"""WITH agg AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd("l_extendedprice", "gross")},
+         |    ${sumd("l_extendedprice * l_discount", "disc_amt")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2)
+         |SELECT region, region_label, gross - disc_amt AS net,
+         |disc_amt / gross AS disc_rate, gross
+         |FROM agg ORDER BY region""".stripMargin,
+    "q16_time_lag" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2),
+         |lagd AS (
+         |  SELECT ship_year, ship_month, revenue,
+         |    lag(revenue) OVER (ORDER BY ship_year, ship_month) AS prev_revenue
+         |  FROM agg)
+         |SELECT ship_year, ship_month, revenue, prev_revenue,
+         |CASE WHEN prev_revenue = 0.0 OR prev_revenue IS NULL THEN NULL
+         |ELSE (revenue - prev_revenue) / prev_revenue END AS revenue_growth
+         |FROM lagd ORDER BY ship_year, ship_month""".stripMargin,
+    "q17_namedset_drill" ->
+      s"""WITH b AS (
+         |  SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         |top AS (SELECT brand FROM b ORDER BY revenue DESC, brand ASC LIMIT 5)
+         |SELECT b.brand, b.revenue FROM b JOIN top USING (brand)
+         |ORDER BY brand""".stripMargin,
+    "q18_namedset_cut" ->
+      s"""WITH b AS (
+         |  SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         |top AS (SELECT brand FROM b ORDER BY revenue DESC, brand ASC LIMIT 5)
+         |SELECT r_regionkey AS region, r_name AS region_label,
+         |${sumd(REV, "revenue")}, COUNT(1) AS cnt
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand IN (SELECT brand FROM top)
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q19_virtual_cube" ->
+      s"""WITH s AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2),
+         |o AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd("o_totalprice", "total_sales")}, COUNT(1) AS order_count
+         |  $CUST_GEO_JOIN
+         |  GROUP BY 1, 2)
+         |SELECT region, region_label, revenue, total_sales,
+         |revenue / order_count AS rev_per_order
+         |FROM s FULL JOIN o USING (region, region_label)
+         |ORDER BY region""".stripMargin,
+    "q20_grand_total" ->
+      s"""SELECT ${sumd(REV, "revenue")}, ${sumd("l_quantity", "sum_qty")},
+         |COUNT(1) AS cnt, COUNT(DISTINCT l_orderkey) AS order_cnt
+         |FROM lineitem""".stripMargin,
+    "q21_parents" ->
+      s"""SELECT r_regionkey AS region, r_name AS region_label,
+         |n_nationkey AS nation, n_name AS nation_label,
+         |s_suppkey AS supplier, s_name AS supplier_label,
+         |${sumd(REV, "revenue")}
+         |$SUPP_GEO_JOIN
+         |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 3, 5""".stripMargin,
+    "q22_properties" ->
+      s"""SELECT p_partkey AS part, p_name AS part_label,
+         |MIN(p_size) AS part_size, MIN(p_retailprice) AS part_retailprice,
+         |${sumd(REV, "revenue")}
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q23_order_by_property" ->
+      s"""SELECT part, part_label, part_retailprice, revenue FROM (
+         |SELECT p_partkey AS part, p_name AS part_label,
+         |MIN(p_retailprice) AS part_retailprice, ${sumd(REV, "revenue")}
+         |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2)
+         |ORDER BY part_retailprice DESC, part ASC LIMIT 20""".stripMargin,
+    "q24_order_by_caption" ->
+      s"""SELECT n_nationkey AS nation, n_name AS nation_label, COUNT(1) AS cnt
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY nation_label ASC, nation ASC""".stripMargin,
+    "q25_slicer_tuple" ->
+      s"""SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE r_regionkey = 1 AND l_returnflag = 'R'
+         |AND year(l_shipdate) BETWEEN 1996 AND 1997
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_distinct" ->
+      """SELECT l_returnflag AS return_flag, COUNT(1) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_orders_cube" ->
+      s"""SELECT c_mktsegment AS segment,
+         |CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         |${sumd("o_totalprice", "total_sales")}, COUNT(1) AS order_count,
+         |COUNT(DISTINCT o_custkey) AS customer_count,
+         |${avgd("o_totalprice", "avg_order")}, MAX(o_totalprice) AS max_order
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q28_big_dim_join" ->
+      s"""SELECT o_orderpriority AS order_priority, ${sumd(REV, "revenue")},
+         |COUNT(1) AS cnt
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_minmax" ->
+      s"""SELECT l_returnflag AS return_flag, MIN(l_extendedprice) AS min_price,
+         |MAX(l_extendedprice) AS max_price, ${avgd("l_discount", "avg_disc")}
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS event_day, event_type,
+        |CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
+        |COUNT(1) AS event_count, COUNT(DISTINCT user_id) AS user_count
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

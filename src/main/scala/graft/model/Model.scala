@@ -1,0 +1,151 @@
+package graft.model
+
+/** Cube data model — the Spark-native analog of the Mondrian XML catalog the
+  * reference loads (reference: spec/fixtures/foodmart.xml, webshop.xml;
+  * abstractions per SURVEY.md §1.1).
+  *
+  * Design notes (Spark-first, not a port):
+  *  - A dimension binds to a *registered table name* resolved by [[graft.CubeCatalog]];
+  *    snowflake dimensions (reference foodmart.xml:71-75 `<Join>`) are pre-joined
+  *    into ONE dimension DataFrame at registration time, so query planning only
+  *    ever sees star equi-joins.
+  *  - Level key/name/ordinal are Spark SQL *expression strings* over the joined
+  *    frame (reference `column`/`nameColumn`/`ordinalColumn` and the
+  *    KeyExpression/NameExpression SQL variants, foodmart.xml:186-262) — this
+  *    also gives us degenerate time dimensions (`year(l_shipdate)`) for free.
+  *  - Measures aggregate a Spark SQL scalar expression (covers plain columns and
+  *    the reference's `MeasureExpression` CASE-WHEN measures, foodmart.xml:305-344).
+  */
+
+/** Extra attribute column attached to a level (ref foodmart.xml:23-30). */
+final case class PropertyDef(name: String, expr: String, alias: String)
+
+/** One level of a hierarchy.
+  *
+  * @param name     user-facing level name ("Year", "Nation")
+  * @param keyExpr  Spark SQL expr producing the member key (ref `column`)
+  * @param alias    stable output column name for the key
+  * @param nameExpr caption expr if different from key (ref `nameColumn`);
+  *                 emitted as `<alias>_label`
+  * @param ordExpr  sort expr if member order differs from key order (ref
+  *                 `ordinalColumn`); emitted only when needed for ORDER/lag
+  */
+final case class LevelDef(
+    name: String,
+    keyExpr: String,
+    alias: String,
+    nameExpr: Option[String] = None,
+    ordExpr: Option[String] = None,
+    properties: Seq[PropertyDef] = Nil) {
+  def labelAlias: String = alias + "_label"
+  def ordAlias: String = alias + "_ord"
+}
+
+/** Ordered levels, root first (ref foodmart.xml:17-68; hasAll semantics B15). */
+final case class HierarchyDef(
+    name: String,
+    levels: Seq[LevelDef],
+    hasAll: Boolean = true,
+    allMemberName: Option[String] = None) {
+  def level(n: String): Option[LevelDef] = levels.find(_.name == n)
+  def depthOf(l: LevelDef): Int = levels.indexWhere(_.name == l.name)
+}
+
+/** How a dimension's table attaches to the fact (ref DimensionUsage
+  * foreignKey ↔ hierarchy primaryKey, webshop.xml:45-48).
+  *
+  * @param broadcastable small dim → broadcast hash join; large dims (e.g. an
+  *                      orders "dimension" of a lineitem fact) shuffle-join.
+  */
+final case class JoinSpec(table: String, foreignKey: String, primaryKey: String,
+    broadcastable: Boolean = true)
+
+/** A dimension: degenerate (join = None → level exprs evaluate over the fact
+  * row itself, ref foodmart.xml:414-433) or joined to a dim table. */
+final case class DimensionDef(
+    name: String,
+    hierarchies: Seq[HierarchyDef],
+    join: Option[JoinSpec] = None,
+    isTime: Boolean = false) {
+  def defaultHierarchy: HierarchyDef = hierarchies.head
+  def hierarchy(n: Option[String]): Option[HierarchyDef] = n match {
+    case Some(h) => hierarchies.find(_.name == h)
+    case None => Some(defaultHierarchy)
+  }
+}
+
+sealed trait Agg
+object Agg {
+  case object Sum extends Agg
+  case object Count extends Agg          // count of non-null expr
+  case object CountAll extends Agg       // count(*)
+  case object Min extends Agg
+  case object Max extends Agg
+  case object Avg extends Agg
+  case object DistinctCount extends Agg  // ref foodmart.xml:303-304 (non-additive)
+  case object ApproxDistinctCount extends Agg // documented fast path at scale
+}
+
+/** A measure: aggregator over a scalar Spark SQL expression (ref
+  * foodmart.xml:295-344).
+  *
+  * @param exact for Sum/Avg: route the double through DECIMAL(27,6) so partial
+  *              aggregation order cannot perturb low bits — sums become exact
+  *              and reproducible across engines (oracle parity) and across
+  *              cluster sizes (100 TB determinism).
+  */
+final case class MeasureDef(name: String, alias: String, agg: Agg, expr: String,
+    exact: Boolean = true)
+
+/** Post-aggregation calculated member: formula over measure/calc aliases
+  * (ref foodmart.xml:345-350 Profit = Store Sales - Store Cost). */
+final case class CalcMemberDef(alias: String, formula: String)
+
+/** PREVMEMBER-style lag measure (ref foodmart.xml:351-366): lag of `base`
+  * over the time hierarchy's member order, partitioned by all other axis
+  * columns. `coalesceToBase` mirrors COALESCEEMPTY((m, PREVMEMBER), m). */
+final case class LagMeasureDef(alias: String, base: String, timeDim: String,
+    coalesceToBase: Boolean = false)
+
+/** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
+final case class NamedSetDef(name: String, dim: String, level: String, k: Int,
+    byMeasure: String)
+
+final case class CubeDef(
+    name: String,
+    factTable: String,
+    dimensions: Seq[DimensionDef],
+    measures: Seq[MeasureDef],
+    calcMembers: Seq[CalcMemberDef] = Nil,
+    lagMeasures: Seq[LagMeasureDef] = Nil,
+    namedSets: Seq[NamedSetDef] = Nil,
+    defaultMeasure: Option[String] = None) {
+  def dimension(n: String): Option[DimensionDef] = dimensions.find(_.name == n)
+  def measure(n: String): Option[MeasureDef] =
+    measures.find(m => m.name == n || m.alias == n)
+  def namedSet(n: String): Option[NamedSetDef] = namedSets.find(_.name == n)
+}
+
+/** Virtual cube: measures drawn from several cubes over conformed dimensions,
+  * merged by drill-across full-outer join (ref foodmart.xml:758-790). Level
+  * aliases of the conformed dimensions must agree across member cubes. */
+final case class VirtualCubeDef(
+    name: String,
+    cubeMeasures: Seq[(String, Seq[String])], // (cubeName, measure aliases)
+    calcMembers: Seq[CalcMemberDef] = Nil)
+
+final case class SchemaDef(name: String, cubes: Seq[CubeDef],
+    virtualCubes: Seq[VirtualCubeDef] = Nil) {
+  def cube(n: String): Option[CubeDef] = cubes.find(_.name == n)
+  def virtualCube(n: String): Option[VirtualCubeDef] =
+    virtualCubes.find(_.name == n)
+}
+
+/** Planner/validation error → HTTP 400 analog (ref error contract,
+  * spec/api_spec.rb:117-169). */
+final class GraftException(val status: Int, msg: String)
+    extends RuntimeException(msg)
+object GraftException {
+  def badRequest(msg: String): Nothing = throw new GraftException(400, msg)
+  def notFound(msg: String): Nothing = throw new GraftException(404, msg)
+}

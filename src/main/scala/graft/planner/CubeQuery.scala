@@ -1,0 +1,56 @@
+package graft.planner
+
+/** Query IR — the Spark-native analog of the reference's REST→MDX parameter
+  * set (reference lib/mondrian_rest/query_helper.rb; operator inventory
+  * SURVEY.md §2.A). A [[CubeQuery]] is what the REST layer produces and what
+  * [[Planner]] turns into one declarative DataFrame plan.
+  */
+
+/** `Dim`, `Dim.Level`, or `Dim.Hierarchy.Level` (ref query_helper.rb:99-135). */
+final case class LevelRef(dim: String, level: Option[String] = None,
+    hierarchy: Option[String] = None)
+
+/** Cut expressions (ref query_helper.rb:45-93; grammar §2.A A4-A7). Values are
+  * member keys, typed as the level key's natural Scala type. */
+sealed trait Cut
+final case class MemberCut(level: LevelRef, key: Any) extends Cut
+final case class SetCut(level: LevelRef, keys: Seq[Any]) extends Cut
+final case class RangeCut(level: LevelRef, lo: Any, hi: Any) extends Cut
+final case class NamedSetCut(set: String) extends Cut
+
+/** Axis drilldowns (ref A2/A15). */
+sealed trait Drill
+final case class LevelDrill(level: LevelRef) extends Drill
+final case class NamedSetDrill(set: String) extends Drill
+
+/** Post-aggregation measure predicate, ANDed (HAVING; ref A10,
+  * query_helper.rb:4-7 ops `> < >= <= = <>`). */
+final case class MeasureFilter(measure: String, op: String, value: Double)
+
+/** Axis ordering (ref A11): by a measure alias, or by a drilled level's
+  * key/caption/ordinal/property. */
+sealed trait OrderTarget
+final case class OrderByMeasure(measure: String) extends OrderTarget
+final case class OrderByLevel(level: LevelRef, what: String = "key")
+    extends OrderTarget // what ∈ key | caption | ordinal | <property name>
+final case class OrderSpec(target: OrderTarget, desc: Boolean = false)
+
+/** Requested member property column (ref C4, api_helpers.rb:96-132). */
+final case class PropertyRef(level: LevelRef, property: String)
+
+final case class CubeQuery(
+    cube: String,
+    drilldowns: Seq[Drill],
+    measures: Seq[String],
+    cuts: Seq[Cut] = Nil,
+    filters: Seq[MeasureFilter] = Nil,        // HAVING, applied before order
+    order: Option[OrderSpec] = None,
+    offset: Long = 0,
+    limit: Option[Long] = None,
+    nonempty: Boolean = true,   // groupBy output is naturally nonempty; dense
+    // mode (the reference's default JSON shape) densifies via member-domain
+    // cross product + left join (SURVEY §2.4 C1)
+    distinct: Boolean = false,
+    parents: Boolean = false,                  // C3: prepend ancestor columns
+    properties: Seq[PropertyRef] = Nil,
+    sparse: Boolean = false)                   // C6: drop all-null measure rows

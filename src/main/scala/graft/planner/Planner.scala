@@ -1,0 +1,460 @@
+package graft.planner
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.CubeCatalog
+import graft.model._
+
+/** CubeQuery → DataFrame. The analog of the reference's
+  * query_helper.rb build_query (REST params → MDX) + Mondrian's MDX→SQL step,
+  * collapsed into one declarative plan:
+  *
+  *   fact ⋈ broadcast(dims) → cut filters → groupBy(levels) → agg(measures)
+  *        → lag windows → calc members → HAVING → [densify] → ORDER → SUBSET
+  *
+  * Everything stays in the DataFrame API so Catalyst does predicate pushdown,
+  * column pruning, partial aggregation and join selection (SURVEY §4.2). The
+  * fixed FILTER→ORDER→SUBSET sequence mirrors query_helper.rb:278-296.
+  */
+object Planner {
+
+  final case class ResolvedLevel(dim: DimensionDef, hier: HierarchyDef,
+      level: LevelDef, depth: Int)
+
+  def resolve(cube: CubeDef, ref: LevelRef): ResolvedLevel = {
+    val dim = cube.dimension(ref.dim).getOrElse(
+      GraftException.badRequest(s"dimension '${ref.dim}' not found in cube '${cube.name}'"))
+    val hier = dim.hierarchy(ref.hierarchy).getOrElse(
+      GraftException.badRequest(s"hierarchy '${ref.hierarchy.getOrElse("")}' not found in dimension '${ref.dim}'"))
+    val level = ref.level match {
+      case Some(l) => hier.level(l).getOrElse(
+        GraftException.badRequest(s"level '$l' not found in ${ref.dim}.${hier.name}"))
+      case None => hier.levels.head // default drilldown level (ref A2)
+    }
+    ResolvedLevel(dim, hier, level, hier.depthOf(level))
+  }
+
+  def plan(cat: CubeCatalog, q: CubeQuery): DataFrame =
+    cat.schema.virtualCube(q.cube) match {
+      case Some(vc) => planVirtual(cat, vc, q)
+      case None => planCube(cat, cat.cube(q.cube), q)
+    }
+
+  // ---------------------------------------------------------------- planCube
+
+  def planCube(cat: CubeCatalog, cube: CubeDef, q: CubeQuery): DataFrame = {
+    // A15: a named-set drilldown is its level's drilldown + a set-membership cut
+    val (drillRefs, nsDrillCuts) = q.drilldowns.foldLeft(
+        (Vector.empty[LevelRef], Vector.empty[Cut])) {
+      case ((ds, cs), LevelDrill(ref)) => (ds :+ ref, cs)
+      case ((ds, cs), NamedSetDrill(name)) =>
+        val ns = cube.namedSet(name).getOrElse(
+          GraftException.badRequest(s"named set '$name' not found"))
+        (ds :+ LevelRef(ns.dim, Some(ns.level)), cs :+ NamedSetCut(name))
+    }
+    val drills = drillRefs.map(resolve(cube, _))
+    val cuts = q.cuts ++ nsDrillCuts
+
+    // A9 ascendant guard: drilling a level strictly above a cut on the same
+    // hierarchy is a client error (ref api_spec.rb:154-157).
+    for (c <- cuts) levelOfCut(cube, c).foreach { cl =>
+      drills.find(d => d.dim.name == cl.dim.name && d.hier.name == cl.hier.name
+          && d.depth < cl.depth).foreach { d =>
+        GraftException.badRequest(
+          s"drilldown on '${d.level.name}' is above the cut level '${cl.level.name}' of ${cl.dim.name}")
+      }
+    }
+
+    val measureNames =
+      if (q.measures.nonEmpty) q.measures
+      else cube.defaultMeasure.toSeq
+    val need = resolveMeasures(cube, measureNames ++
+      q.order.toSeq.collect { case OrderSpec(OrderByMeasure(m), _) => m } ++
+      q.filters.map(_.measure))
+
+    // ------------------------------------------------- join + filter + group
+    val joined = joinNeededDims(cat, cube,
+      drills.map(_.dim) ++ cuts.flatMap(levelOfCut(cube, _)).map(_.dim) ++
+        q.properties.map(p => resolve(cube, p.level).dim) ++
+        need.lags.map(l => cube.dimension(l.timeDim).get))
+
+    val filtered = cuts.foldLeft(joined)((df, c) => applyCut(cat, cube, df, c))
+
+    val groupLevels = groupLevelList(cube, drills, q.parents)
+    val groupCols: Seq[Column] = groupLevels.flatMap(levelCols)
+    val groupAliases: Seq[String] = groupLevels.flatMap(levelAliases)
+
+    val propCols = q.properties.map { p =>
+      val rl = resolve(cube, p.level)
+      if (!drills.exists(d => d.dim.name == rl.dim.name && d.level.name == rl.level.name))
+        GraftException.badRequest(
+          s"property '${p.property}' requires a drilldown on ${rl.dim.name}.${rl.level.name}")
+      val prop = rl.level.properties.find(_.name == p.property).getOrElse(
+        GraftException.badRequest(s"property '${p.property}' not found on level '${rl.level.name}'"))
+      // properties are functionally dependent on the level key; min() is a
+      // deterministic way to carry them through the aggregation (ref C4)
+      min(expr(prop.expr)).as(prop.alias)
+    }
+
+    val aggCols = need.bases.map(aggColumn) ++ propCols
+    val aggDf =
+      if (aggCols.isEmpty) GraftException.badRequest("no measures requested")
+      else filtered.groupBy(groupCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+
+    // ------------------------------------------------- lag + calc + having
+    val withLags = need.lags.foldLeft(aggDf) { (df, lm) =>
+      applyLag(cube, df, lm, drills, groupLevels)
+    }
+    val withCalcs = need.calcs.foldLeft(withLags) { (df, cm) =>
+      df.withColumn(cm.alias, expr(cm.formula))
+    }
+    val havingDf = q.filters.foldLeft(withCalcs) { (df, f) =>
+      val a = aliasOfMeasure(cube, f.measure)
+      df.filter(comparison(col(a), f.op, f.value))
+    }
+
+    // ------------------------------------------------- densify (dense axes)
+    val denseDf =
+      if (q.nonempty) havingDf
+      else densify(cat, cube, havingDf, drills, groupLevels, cuts)
+
+    val sparseDf =
+      if (q.sparse) { // C6 — implemented for real (dead param in the reference)
+        val ms = measureNames.map(aliasOfMeasure(cube, _))
+        denseDf.filter(ms.map(col(_).isNotNull).reduce(_ || _))
+      } else denseDf
+
+    // ------------------------------------------------- order, subset, select
+    val outputCols: Seq[String] =
+      groupLevels.flatMap(outputAliases) ++
+        q.properties.map(p => propAlias(cube, p)) ++
+        measureNames.map(aliasOfMeasure(cube, _))
+    finishAxis(cat, cube, sparseDf, q, drills, groupLevels, outputCols)
+  }
+
+  // ------------------------------------------------------------ virtual cube
+
+  /** Drill-across (ref B10): aggregate each member cube on the same conformed
+    * drilldowns, full-outer join on the axis columns, derive cross-cube calc
+    * members. USING-column outer join coalesces the axis keys. */
+  def planVirtual(cat: CubeCatalog, vc: VirtualCubeDef, q: CubeQuery): DataFrame = {
+    val requested =
+      if (q.measures.nonEmpty) q.measures
+      else vc.cubeMeasures.flatMap(_._2)
+    val calcNeeded = vc.calcMembers.filter(c => requested.contains(c.alias))
+    val baseNeeded = (requested.filterNot(calcNeeded.map(_.alias).contains) ++
+      calcNeeded.flatMap(c => vc.cubeMeasures.flatMap(_._2)
+        .filter(a => referencesAlias(c.formula, a)))).distinct
+
+    val parts = vc.cubeMeasures.flatMap { case (cubeName, ms) =>
+      val sub = ms.filter(baseNeeded.contains)
+      if (sub.isEmpty) None
+      else {
+        val cube = cat.cube(cubeName)
+        // conformed-dimension check: every drill dim must exist in this cube
+        q.drilldowns.foreach {
+          case LevelDrill(ref) if cube.dimension(ref.dim).isEmpty =>
+            GraftException.badRequest(
+              s"dimension '${ref.dim}' is not conformed across virtual cube '${vc.name}'")
+          case _ => ()
+        }
+        val cuts = q.cuts.filter {
+          case NamedSetCut(_) => false
+          case c => levelRefOfCut(c).exists(r => cube.dimension(r.dim).nonEmpty)
+        }
+        Some(planCube(cat, cube, CubeQuery(cubeName, q.drilldowns, sub, cuts)))
+      }
+    }
+    if (parts.isEmpty) GraftException.badRequest("no measures requested")
+
+    val cube0 = cat.cube(vc.cubeMeasures.head._1)
+    val drills = q.drilldowns.collect { case LevelDrill(r) => resolve(cube0, r) }
+    val groupLevels = groupLevelList(cube0, drills, q.parents)
+    val axisCols = groupLevels.flatMap(outputAliases)
+    val merged = parts.reduce { (l, r) =>
+      if (axisCols.isEmpty) l.crossJoin(r)
+      else l.join(r, axisCols, "full_outer")
+    }
+    val withCalcs = calcNeeded.foldLeft(merged) { (df, cm) =>
+      df.withColumn(cm.alias, expr(cm.formula))
+    }
+    val havingDf = q.filters.foldLeft(withCalcs) { (df, f) =>
+      df.filter(comparison(col(f.measure), f.op, f.value))
+    }
+    finishAxis(cat, cube0, havingDf, q, drills, groupLevels,
+      axisCols ++ requested)
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private final case class NeededMeasures(bases: Seq[MeasureDef],
+      lags: Seq[LagMeasureDef], calcs: Seq[CalcMemberDef])
+
+  /** Expand requested measure aliases to (base, lag, calc) closure. Calc
+    * formulas may reference base, lag, and earlier calc aliases. */
+  private def resolveMeasures(cube: CubeDef, names: Seq[String]): NeededMeasures = {
+    var bases = Set.empty[String]; var lags = Set.empty[String]
+    var calcs = Set.empty[String]
+    def visit(n: String): Unit =
+      cube.measure(n) match {
+        case Some(m) => bases += m.alias
+        case None =>
+          cube.lagMeasures.find(_.alias == n) match {
+            case Some(lm) => if (!lags(n)) { lags += n; visit(lm.base) }
+            case None =>
+              cube.calcMembers.find(_.alias == n) match {
+                case Some(cm) =>
+                  if (!calcs(n)) {
+                    calcs += n
+                    val deps = (cube.measures.map(_.alias) ++
+                      cube.lagMeasures.map(_.alias) ++
+                      cube.calcMembers.map(_.alias))
+                      .filter(a => a != n && referencesAlias(cm.formula, a))
+                    deps.foreach(visit)
+                  }
+                case None =>
+                  GraftException.badRequest(s"measure '$n' not found in cube '${cube.name}'")
+              }
+          }
+      }
+    names.foreach(visit)
+    NeededMeasures(
+      cube.measures.filter(m => bases(m.alias)),
+      cube.lagMeasures.filter(l => lags(l.alias)),
+      cube.calcMembers.filter(c => calcs(c.alias))) // declaration order
+  }
+
+  private def referencesAlias(formula: String, alias: String): Boolean =
+    ("\\b" + java.util.regex.Pattern.quote(alias) + "\\b").r
+      .findFirstIn(formula).isDefined
+
+  def aliasOfMeasure(cube: CubeDef, name: String): String =
+    cube.measure(name).map(_.alias)
+      .orElse(cube.lagMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.calcMembers.find(_.alias == name).map(_.alias))
+      .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
+
+  /** Aggregation column for a measure. `exact` Sum/Avg route the value through
+    * DECIMAL(27,6) → exact, order-independent sums: identical results across
+    * partial-aggregation orders (local[32] vs 1000 executors) and vs the
+    * DuckDB oracle. */
+  private def aggColumn(m: MeasureDef): Column = {
+    def exactSum = sum(expr(s"CAST((${m.expr}) AS DECIMAL(27,6))")).cast("double")
+    val c = m.agg match {
+      case Agg.Sum if m.exact => exactSum
+      case Agg.Sum => sum(expr(m.expr))
+      case Agg.Avg if m.exact => exactSum / count(expr(m.expr))
+      case Agg.Avg => avg(expr(m.expr))
+      case Agg.Count => count(expr(m.expr))
+      case Agg.CountAll => count(lit(1))
+      case Agg.Min => min(expr(m.expr))
+      case Agg.Max => max(expr(m.expr))
+      case Agg.DistinctCount => countDistinct(expr(m.expr))
+      case Agg.ApproxDistinctCount => approx_count_distinct(expr(m.expr))
+    }
+    c.as(m.alias)
+  }
+
+  /** Star joins for the dimensions this query actually touches, deduped by
+    * (table, fk): small dims broadcast, fact-sized dims shuffle-join (ref B2). */
+  private def joinNeededDims(cat: CubeCatalog, cube: CubeDef,
+      dims: Seq[DimensionDef]): DataFrame = {
+    val fact = cat.fact(cube)
+    val joins = dims.flatMap(_.join).distinct
+    joins.foldLeft(fact) { (df, js) =>
+      val dimDf = cat.table(js.table)
+      val right = if (js.broadcastable) broadcast(dimDf) else dimDf
+      df.join(right, df(js.foreignKey) === dimDf(js.primaryKey), "inner")
+    }
+  }
+
+  private def levelRefOfCut(c: Cut): Option[LevelRef] = c match {
+    case MemberCut(l, _) => Some(l)
+    case SetCut(l, _) => Some(l)
+    case RangeCut(l, _, _) => Some(l)
+    case NamedSetCut(_) => None
+  }
+
+  private def levelOfCut(cube: CubeDef, c: Cut): Option[ResolvedLevel] =
+    c match {
+      case NamedSetCut(name) =>
+        val ns = cube.namedSet(name).getOrElse(
+          GraftException.badRequest(s"named set '$name' not found"))
+        Some(resolve(cube, LevelRef(ns.dim, Some(ns.level))))
+      case other => levelRefOfCut(other).map(resolve(cube, _))
+    }
+
+  /** Cuts become plain filters before groupBy (ref §4.1 rewrite 1): member =,
+    * set IN, range BETWEEN on the ordinal; named set = broadcast semi-join.
+    * Catalyst pushes the predicates into the scans. */
+  private def applyCut(cat: CubeCatalog, cube: CubeDef, df: DataFrame,
+      c: Cut): DataFrame = c match {
+    case MemberCut(l, key) =>
+      df.filter(expr(resolve(cube, l).level.keyExpr) === lit(key))
+    case SetCut(l, keys) =>
+      df.filter(expr(resolve(cube, l).level.keyExpr).isin(keys: _*))
+    case RangeCut(l, lo, hi) =>
+      val lvl = resolve(cube, l).level
+      val e = expr(lvl.ordExpr.getOrElse(lvl.keyExpr))
+      df.filter(e.between(lit(lo), lit(hi)))
+    case NamedSetCut(name) =>
+      val ns = cube.namedSet(name).getOrElse(
+        GraftException.badRequest(s"named set '$name' not found"))
+      val lvl = resolve(cube, LevelRef(ns.dim, Some(ns.level))).level
+      val keys = namedSetKeys(cat, cube, ns)
+      df.join(broadcast(keys), expr(lvl.keyExpr) === keys(lvl.alias), "left_semi")
+  }
+
+  /** TopCount named set (ref B9, foodmart.xml:405-410): k member keys by
+    * measure, descending — TakeOrderedAndProject, no full sort. */
+  def namedSetKeys(cat: CubeCatalog, cube: CubeDef, ns: NamedSetDef): DataFrame = {
+    val q = CubeQuery(cube.name,
+      Seq(LevelDrill(LevelRef(ns.dim, Some(ns.level)))), Seq(ns.byMeasure),
+      order = Some(OrderSpec(OrderByMeasure(ns.byMeasure), desc = true)),
+      limit = Some(ns.k))
+    val lvl = resolve(cube, LevelRef(ns.dim, Some(ns.level))).level
+    planCube(cat, cube, q).select(lvl.alias)
+  }
+
+  /** Levels emitted per drilldown: just the level, or the full ancestor chain
+    * when `parents=true` (ref C3 — ancestors are sibling columns of the same
+    * dim row, no extra join). Deduped by alias, drill order preserved. */
+  private def groupLevelList(cube: CubeDef, drills: Seq[ResolvedLevel],
+      parents: Boolean): Seq[ResolvedLevel] = {
+    val ls = drills.flatMap { rl =>
+      if (parents)
+        rl.hier.levels.take(rl.depth + 1).zipWithIndex
+          .map { case (l, i) => ResolvedLevel(rl.dim, rl.hier, l, i) }
+      else Seq(rl)
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    ls.filter(l => seen.add(l.level.alias))
+  }
+
+  private def levelCols(rl: ResolvedLevel): Seq[Column] = {
+    val l = rl.level
+    Seq(expr(l.keyExpr).as(l.alias)) ++
+      l.nameExpr.map(e => expr(e).as(l.labelAlias)) ++
+      l.ordExpr.map(e => expr(e).as(l.ordAlias))
+  }
+
+  private def levelAliases(rl: ResolvedLevel): Seq[String] = {
+    val l = rl.level
+    Seq(l.alias) ++ l.nameExpr.map(_ => l.labelAlias) ++
+      l.ordExpr.map(_ => l.ordAlias)
+  }
+
+  /** Output (user-visible) aliases: key + label; internal ordinal cols are
+    * dropped after sorting. */
+  private def outputAliases(rl: ResolvedLevel): Seq[String] = {
+    val l = rl.level
+    Seq(l.alias) ++ l.nameExpr.map(_ => l.labelAlias)
+  }
+
+  private def propAlias(cube: CubeDef, p: PropertyRef): String = {
+    val rl = resolve(cube, p.level)
+    rl.level.properties.find(_.name == p.property).map(_.alias)
+      .getOrElse(GraftException.badRequest(s"property '${p.property}' not found"))
+  }
+
+  /** PREVMEMBER lag (ref B8): lag(base) over the time hierarchy's drilled
+    * levels root→leaf, partitioned by every non-time axis column. NOTE
+    * (SURVEY §7.4 dragon 2): computed over the aggregated axis — months
+    * absent from the axis are skipped; densify first for domain-exact lag. */
+  private def applyLag(cube: CubeDef, df: DataFrame, lm: LagMeasureDef,
+      drills: Seq[ResolvedLevel], groupLevels: Seq[ResolvedLevel]): DataFrame = {
+    val timeDrills = drills.filter(_.dim.name == lm.timeDim).sortBy(_.depth)
+    if (timeDrills.isEmpty)
+      GraftException.badRequest(
+        s"lag measure '${lm.alias}' requires a drilldown on its time dimension '${lm.timeDim}'")
+    val ordCols = timeDrills.map { rl =>
+      col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
+    }
+    val partCols = groupLevels.filterNot(_.dim.name == lm.timeDim)
+      .flatMap(levelAliases).map(col)
+    val w = Window.partitionBy(partCols: _*).orderBy(ordCols.map(_.asc): _*)
+    val lagged = lag(col(lm.base), 1).over(w)
+    df.withColumn(lm.alias,
+      if (lm.coalesceToBase) coalesce(lagged, col(lm.base)) else lagged)
+  }
+
+  /** Dense axes (ref C1 default JSON shape): cross product of the member
+    * domains (restricted by same-dimension cuts) left-joined with the
+    * aggregated cells. Domains come from the dim tables — small by
+    * construction; the cross product is the documented cardinality hazard
+    * (§7.4 dragon 1) and stays opt-in. */
+  private def densify(cat: CubeCatalog, cube: CubeDef, aggDf: DataFrame,
+      drills: Seq[ResolvedLevel], groupLevels: Seq[ResolvedLevel],
+      cuts: Seq[Cut]): DataFrame = {
+    if (drills.isEmpty) return aggDf
+    val domains = drills.map { rl =>
+      val src = rl.dim.join match {
+        case Some(js) => cat.table(js.table)
+        case None => cat.fact(cube)
+      }
+      val dimCuts = cuts.filter(c =>
+        levelOfCut(cube, c).exists(_.dim.name == rl.dim.name))
+      val cutSrc = dimCuts.foldLeft(src)((d, c) => applyCut(cat, cube, d, c))
+      cutSrc.select(levelCols(rl): _*).distinct()
+    }
+    val domain = domains.reduce(_.crossJoin(_))
+    val joinCols = drills.flatMap(levelAliases)
+    domain.join(aggDf.select(joinCols.map(col) ++
+        aggDf.columns.filterNot(joinCols.contains).map(col): _*),
+      joinCols, "left")
+  }
+
+  private def comparison(c: Column, op: String, v: Double): Column = op match {
+    case ">" => c > v
+    case "<" => c < v
+    case ">=" => c >= v
+    case "<=" => c <= v
+    case "=" | "==" => c === v
+    case "<>" | "!=" => c =!= v
+    case other => GraftException.badRequest(s"unknown filter operator '$other'")
+  }
+
+  /** ORDER → SUBSET → final projection, in the reference's fixed sequence
+    * (query_helper.rb:278-296). A deterministic total order is always
+    * established (explicit order first, then the hierarchical member order of
+    * every axis column) so SUBSET pagination is stable (§7.4 dragon 5). */
+  private def finishAxis(cat: CubeCatalog, cube: CubeDef, df: DataFrame,
+      q: CubeQuery, drills: Seq[ResolvedLevel],
+      groupLevels: Seq[ResolvedLevel], outputCols: Seq[String]): DataFrame = {
+    val defaultSort: Seq[Column] = groupLevels.map { rl =>
+      col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias)).asc
+    }
+    val explicit: Seq[Column] = q.order.toSeq.map { os =>
+      val c = os.target match {
+        case OrderByMeasure(m) =>
+          // virtual-cube measures live in member cubes; fall back to the raw
+          // alias when the anchor cube doesn't know the name
+          col(scala.util.Try(aliasOfMeasure(cube, m)).getOrElse(m))
+        case OrderByLevel(ref, what) =>
+          val rl = resolve(cube, ref)
+          what match {
+            case "key" => col(rl.level.alias)
+            case "caption" => col(rl.level.nameExpr
+              .fold(rl.level.alias)(_ => rl.level.labelAlias))
+            case "ordinal" => col(rl.level.ordExpr
+              .fold(rl.level.alias)(_ => rl.level.ordAlias))
+            case prop => col(rl.level.properties.find(_.name == prop)
+              .map(_.alias).getOrElse(GraftException.badRequest(
+                s"cannot order by unknown property '$prop'")))
+          }
+      }
+      if (os.desc) c.desc else c.asc
+    }
+    val distinctDf = if (q.distinct) df.dropDuplicates(outputCols) else df
+    val sorted = distinctDf.orderBy((explicit ++ defaultSort): _*)
+    val page = (q.offset, q.limit) match {
+      case (0, None) => sorted
+      case (0, Some(n)) => sorted.limit(n.toInt)
+      case (off, Some(n)) => sorted.offset(off.toInt).limit(n.toInt)
+      case (off, None) => sorted.offset(off.toInt)
+    }
+    page.select(outputCols.map(col): _*)
+  }
+}
