@@ -170,8 +170,45 @@ object SparkEntry {
       Seq(drill("EventDate", "Day", "Daily"), drill("EventType")),
       Seq("value_sum", "event_count", "user_count")))
 
+  // ============================================== LLM-pipeline operators
+  // (dedup / similarity / text analysis / multimodal / sessionization —
+  // north-star extensions, first-class alongside the cube operators)
+
+  private def tbl(name: String)(f: DataFrame => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => f(CubeCatalog.forDir(s, dir).table(name))
+
+  val opsQueries: ListMap[String, (SparkSession, String) => DataFrame] =
+    ListMap(
+      "t01_token_stats" -> tbl("documents")(ops.TextOps.tokenStats),
+      "t02_quality" -> tbl("documents")(ops.TextOps.qualityScore),
+      "t03_langid" -> tbl("documents")(ops.TextOps.languageId),
+      "t04_fingerprint" -> tbl("documents")(ops.TextOps.fingerprint),
+      "d01_exact_dedup" -> tbl("documents")(ops.TextOps.exactDedupStats),
+      "d02_minhash_lsh" -> tbl("documents")(
+        ops.Dedup.minhashLshPairs(_, 3, 32, 4, 0.0)),
+      "d03_simhash" -> tbl("documents")(ops.Dedup.simhashPairs(_, 16)),
+      "d04_ngram_jaccard" -> tbl("documents")(
+        ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
+      "d05_embedding_neardup" -> tbl("embeddings")(
+        ops.Dedup.embeddingNearDupPairs(_, "label", 0.8)),
+      "s01_knn_brute" -> tbl("embeddings")(
+        ops.Similarity.knnBrute(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      "s02_knn_lsh" -> tbl("embeddings")(
+        ops.Similarity.knnLsh(_, Seq(0L, 1L, 2L, 3L, 4L), 5, bits = 8)),
+      "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
+      "m01_multimodal_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachFakeMedia(
+            CubeCatalog.forDir(s, dir).table("documents")))
+          .toDF().orderBy("doc_id")),
+      "m02_frame_sample" -> tbl("documents")(d =>
+        ops.Multimodal.frameSample(ops.Multimodal.attachFakeMedia(d), 2)),
+      "m03_resize_plan" -> tbl("documents")(d =>
+        ops.Multimodal.resizePlan(ops.Multimodal.attachFakeMedia(d), 256)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cubeQueries.map { case (n, q) => n -> cq(q) }
+    cubeQueries.map { case (n, q) => n -> cq(q) } ++ opsQueries
 
   // ============================================================ oracle SQL
 
@@ -383,5 +420,119 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS event_day, event_type,
         |CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
         |COUNT(1) AS event_count, COUNT(DISTINCT user_id) AS user_count
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ------------------------- LLM-pipeline operators (DuckDB equivalents;
+    // d02/d03/s02/m01 are LSH/UDF paths → rows-only check, no portable SQL)
+    "t01_token_stats" ->
+      """SELECT source, COUNT(1) AS docs,
+        |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(1) AS avg_tokens,
+        |CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t02_quality" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) / len(string_split(text, ' ')) AS stop_ratio,
+        |  (length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')) AS mean_token_len
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, mean_token_len,
+        |(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+        | * (0.25 + 0.75 * uniq_ratio)
+        | * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "t03_langid" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is', 'with', 'that'))) AS INTEGER) AS s_en,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'les', 'et', 'est', 'une', 'dans'))) AS INTEGER) AS s_fr,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'mit'))) AS INTEGER) AS s_de,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las', 'y', 'es', 'una', 'con'))) AS INTEGER) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |CASE
+        | WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+        | WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        | WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+        | WHEN s_es > 0 THEN 'es'
+        | ELSE 'und' END AS pred_lang,
+        |s_en, s_fr, s_de, s_es
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
+        |MIN(doc_id) OVER (PARTITION BY substr(md5(text), 1, 16)) AS canonical_id,
+        |doc_id <> MIN(doc_id) OVER (PARTITION BY substr(md5(text), 1, 16)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d01_exact_dedup" ->
+      """SELECT COUNT(1) AS docs, COUNT(DISTINCT md5(text)) AS distinct_docs,
+        |COUNT(1) - COUNT(DISTINCT md5(text)) AS dups_removed
+        |FROM documents""".stripMargin,
+    "d04_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, lang,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
+        |FROM pairs WHERE inter / (na + nb - inter) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d05_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |list_dot_product(a.v, b.v) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) >= 0.8
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "s01_knn_brute" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, n.v) AS sim
+        |  FROM e q JOIN e n ON q.vec_id <> n.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM sims)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e01_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |lagd AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id) AS prev_us FROM ev),
+        |flagged AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagd),
+        |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM flagged)
+        |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+        |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(1) AS n_events,
+        |CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "m02_frame_sample" ->
+      """SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames,
+        |CAST(unnest(range(0, doc_id % 10 + 1, 2)) AS INTEGER) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "m03_resize_plan" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id % 5) * 48 AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |least(1.0, 256 / greatest(width, height)) AS scale,
+        |CAST(FLOOR(width * least(1.0, 256 / greatest(width, height))) AS INTEGER) AS out_width,
+        |CAST(FLOOR(height * least(1.0, 256 / greatest(width, height))) AS INTEGER) AS out_height
+        |FROM m ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash64.simhash64
+
+/** Near-duplicate detection at corpus scale. Three families, all shuffle-lean:
+  *
+  *  - MinHash + LSH banding: shingle → minhash signature (per-row map) →
+  *    band keys → shuffle on band key → candidate pairs within buckets only.
+  *    The only quadratic work happens inside a bucket, and bucket sizes are
+  *    bounded by genuine similarity, not corpus size.
+  *  - SimHash (custom Catalyst expression) + 16-bit chunk blocking: pairs
+  *    agreeing on ≥1 of 4 chunks are candidates (covers Hamming ≤ 3 exactly,
+  *    by pigeonhole).
+  *  - Exact blocked n-gram Jaccard: the verification oracle for both, and a
+  *    standalone dedup for small blocks.
+  */
+object Dedup {
+
+  /** Distinct k-word shingles of `text` (single-space tokenization). */
+  def shingles(textCol: String, k: Int): Column = expr(
+    s"""CASE WHEN size(split($textCol, ' ')) < $k THEN array()
+       |ELSE array_distinct(transform(
+       |  sequence(1, size(split($textCol, ' ')) - ${k - 1}),
+       |  i -> concat_ws(' ', slice(split($textCol, ' '), i, $k)))) END"""
+      .stripMargin)
+
+  /** MinHash signature: H independent permutations approximated by seeded
+    * xxhash64; signature element h = min over shingles. Pure expressions —
+    * one codegen'd pass per row. */
+  def minhashSignature(shCol: String, numHashes: Int): Column = {
+    val mins = (0 until numHashes).map(i =>
+      s"array_min(transform($shCol, s -> xxhash64(s, $i)))")
+    expr(s"array(${mins.mkString(", ")})")
+  }
+
+  /** LSH candidate pairs from banded minhash signatures, with estimated
+    * (signature-agreement) and true Jaccard; `threshold` filters on true.
+    * bands*rows must equal the signature length. */
+  def minhashLshPairs(docs: DataFrame, shingleK: Int, bands: Int, rows: Int,
+      threshold: Double): DataFrame = {
+    val h = bands * rows
+    val sh = docs
+      .select(col("doc_id"), shingles("text", shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature("sh", h))
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"sig[${b * rows + r}]")
+      struct(lit(b).as("band"), expr(s"xxhash64(${slice.mkString(", ")})")
+        .as("bh"))
+    }
+    val banded = sh.select(col("doc_id"), col("sh"), col("sig"),
+      explode(array(bandCols: _*)).as("bk"))
+    val left = banded.select(col("bk").as("bk"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("bk").as("bk2"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"), col("sig").as("sig_b"))
+    left.join(right, left("bk") === right("bk2") &&
+        left("doc_a") < right("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"),
+        col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard", expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / $h"))
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard",
+        expr("inter / (size(sh_a) + size(sh_b) - inter)"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: fingerprint via the native SimHash64 expression,
+    * block on 4×16-bit chunks (pigeonhole-complete for Hamming ≤ 3), verify
+    * with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      simhash64(split(col("text"), " ")).as("sh"))
+    val chunks = fp.select(col("doc_id"), col("sh"),
+      explode(expr(
+        """array(
+          |  struct(0 AS c, CAST(sh & 65535 AS BIGINT) AS v),
+          |  struct(1 AS c, CAST(shiftright(sh, 16) & 65535 AS BIGINT) AS v),
+          |  struct(2 AS c, CAST(shiftright(sh, 32) & 65535 AS BIGINT) AS v),
+          |  struct(3 AS c, CAST(shiftright(sh, 48) & 65535 AS BIGINT) AS v))"""
+          .stripMargin)).as("ck"))
+    val l = chunks.select(col("ck").as("ck"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val r = chunks.select(col("ck").as("ck2"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    l.join(r, l("ck") === r("ck2") && l("doc_a") < r("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard within a blocking key (quadratic inside a block
+    * only — at scale, block on a cheap partition key or LSH bucket first). */
+  def ngramJaccardPairs(docs: DataFrame, k: Int, blockCol: String,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
+      shingles("text", k).as("sh"))
+    val a = sh.select(col("block").as("block_a"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = sh.select(col("block").as("block_b"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, col("block_a") === col("block_b") && col("doc_a") < col("doc_b"))
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard",
+        expr("inter / (size(sh_a) + size(sh_b) - inter)"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding cosine near-dup pairs within a blocking key. Embeddings are
+    * L2-normalized, so cosine = dot product (sequential double fold — matches
+    * the DuckDB oracle bit-for-bit). */
+  def embeddingNearDupPairs(emb: DataFrame, blockCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col(blockCol).as("block"),
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+    val a = e.select(col("block").as("block_a"), col("vec_id").as("vec_a"),
+      col("v").as("v_a"))
+    val b = e.select(col("block").as("block_b"), col("vec_id").as("vec_b"),
+      col("v").as("v_b"))
+    a.join(b, col("block_a") === col("block_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with a typed metadata struct, processed batch-wise with mapPartitions
+  * (the Scala analog of arrow-batched Python UDFs).
+  *
+  * The actual media decode is STUBBED (no codec libraries in this
+  * environment): `decodeStub` derives deterministic fake features from the
+  * bytes. Everything around it — schema, encoders, partition-wise batching,
+  * metadata propagation — is the real plumbing a codec would plug into:
+  * replace the body of `decodeStub` with the real decoder and nothing else
+  * changes.
+  */
+object Multimodal {
+
+  case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
+  case class MediaRow(doc_id: Long, media: Array[Byte], meta: MediaMeta)
+  case class DecodedRow(doc_id: Long, format: String, width: Int, height: Int,
+      n_frames: Int, n_bytes: Int, features: Array[Double])
+
+  /** Attach a deterministic fake media payload + metadata to each document
+    * (stands in for reading a real binary column from parquet). */
+  def attachFakeMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("media"),
+      struct(
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
+        (lit(64) + (col("doc_id") % 5) * 48).cast("int").as("height"),
+        (col("doc_id") % 10 + 1).cast("int").as("nFrames")).as("meta"))
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic:
+    * features are byte-derived moments. Real implementation would decode
+    * `media` (e.g. via javax.imageio / ffmpeg bindings) per partition. */
+  private def decodeStub(r: MediaRow): DecodedRow = {
+    val bytes = r.media
+    var s0 = 0.0; var s1 = 0.0; var mx = Double.MinValue
+    var i = 0
+    while (i < bytes.length) {
+      val v = (bytes(i) & 0xff).toDouble
+      s0 += v; s1 += v * v; if (v > mx) mx = v
+      i += 1
+    }
+    val n = math.max(bytes.length, 1)
+    DecodedRow(r.doc_id, r.meta.format, r.meta.width, r.meta.height,
+      r.meta.nFrames, bytes.length,
+      Array(s0 / n, math.sqrt(math.max(s1 / n - (s0 / n) * (s0 / n), 0.0)),
+        mx, n.toDouble))
+  }
+
+  /** Partition-batched decode: binary column → typed features. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(decodeStub))
+  }
+
+  /** Deterministic frame sampling: every `stride`-th frame index, exploded to
+    * one row per sampled frame (video path; frame decode itself stubbed). */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("doc_id"), col("meta.nFrames").as("n_frames"),
+        explode(expr(s"sequence(0, meta.nFrames - 1, $stride)"))
+          .as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Metadata-only resize plan (the real pixel op is the stubbed part). */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame =
+    media.select(col("doc_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+      .orderBy("doc_id")
+}

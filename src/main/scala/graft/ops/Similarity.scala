@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - Brute-force top-k: broadcast the (small) query set against the corpus,
+  *    one codegen'd dot product per (query, row), per-query top-k via window
+  *    rank. Exact baseline; scales linearly in corpus × queries.
+  *  - LSH (random hyperplane) buckets: 16-bit sign signature per vector →
+  *    candidates share a bucket → top-k within bucket. The scale path: the
+  *    corpus shuffles once on bucket id, queries probe only their bucket.
+  */
+object Similarity {
+
+  /** Sequential double-fold dot product (bit-reproducible across engines). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: String): Column =
+    expr(s"CAST($c AS ARRAY<DOUBLE>)")
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id ∈ queryIds).
+    * Embeddings are L2-normalized ⇒ cosine = dot. */
+  def knnBrute(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      asDouble("embedding").as("v_n"))
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), asDouble("embedding").as("v_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("v_q"), col("v_n")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `bits` planes of dimension `dim`,
+    * seeded Gaussian (java.util.Random's algorithm is specified, so the
+    * planes are identical on every JVM). */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-signature bucket id (0 until 2^bits) for a double-array column. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    val bitCols = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) >= 0d, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _).as("bucket")
+  }
+
+  /** ANN via hyperplane-LSH bucketing: exact search restricted to the query's
+    * bucket. Trades recall for a corpus-shuffle-once, probe-one-bucket plan. */
+  def knnLsh(emb: DataFrame, queryIds: Seq[Long], k: Int, bits: Int = 12,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, bits)
+    val bucketed = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val corpus = bucketed.select(col("bucket").as("bucket_n"),
+      col("vec_id").as("neighbor_id"), col("v").as("v_n"))
+    val queries = bucketed.where(col("vec_id").isin(queryIds: _*))
+      .select(col("bucket").as("bucket_q"), col("vec_id").as("query_id"),
+        col("v").as("v_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queries),
+        col("bucket_q") === col("bucket_n") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("v_q"), col("v_n")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for large-scale training-data pipelines (north-star
+  * extensions beyond the reference's surface; BASELINE.json). All operators
+  * are pure Catalyst expressions — no UDFs — so they stay inside whole-stage
+  * codegen and scale linearly with the corpus: per-row maps + one hash
+  * aggregation, no shuffles beyond the final groupBy.
+  */
+object TextOps {
+
+  /** Whitespace tokens; the corpus is single-space separated. */
+  def tokens(textCol: String): Column = split(col(textCol), " ")
+
+  /** Per-source token statistics (token counting). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(tokens("text")).cast("long")).as("tokens"),
+        (sum(size(tokens("text")).cast("long")).cast("double") /
+          count(lit(1))).as("avg_tokens"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy("source")
+
+  /** A BPE-ish sub-word proxy: alnum runs + standalone punctuation marks.
+    * Deterministic regex segmentation, counted per document. */
+  def bpeishTokenCount(textCol: String): Column =
+    size(filter(split(col(textCol), "[^A-Za-z0-9]+"), x => length(x) > 0)) +
+      size(filter(split(col(textCol), "[A-Za-z0-9\\s]+"), x => length(x) > 0))
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Quality scoring: token count, type-token ratio, stopword ratio, mean
+    * token length, and a composite score. Formulae are plain SQL exprs so the
+    * DuckDB oracle reproduces them bit-for-bit. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(tokens("text")))
+      .withColumn("uniq_ratio",
+        expr("size(array_distinct(split(text, ' '))) / size(split(text, ' '))"))
+      .withColumn("stop_ratio", expr(
+        s"size(filter(split(text, ' '), t -> t IN (${inList(stopwords)}))) / size(split(text, ' '))"))
+      .withColumn("mean_token_len",
+        expr("(length(text) - size(split(text, ' ')) + 1) / size(split(text, ' '))"))
+      .withColumn("quality_score", expr(
+        """(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+          | * (0.25 + 0.75 * uniq_ratio)
+          | * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END)""".stripMargin))
+      .select("doc_id", "n_tokens", "uniq_ratio", "stop_ratio",
+        "mean_token_len", "quality_score")
+      .orderBy("doc_id")
+
+  // language-ID marker lists (function words; n-gram-free heuristic)
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "with", "that"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "mit"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "con"))
+
+  /** Language identification by function-word voting: count marker tokens per
+    * language, argmax with fixed tie order, 'und' when nothing matches.
+    * (On this synthetic corpus the vocabulary is shared across the `lang`
+    * labels, so predictions are mostly 'en'/'und' — the operator is the
+    * deliverable, the labels aren't learnable.) */
+  def languageId(docs: DataFrame): DataFrame = {
+    val scored = langMarkers.foldLeft(docs) { case (df, (lang, ws)) =>
+      df.withColumn(s"s_$lang", expr(
+        s"size(filter(split(text, ' '), t -> t IN (${inList(ws)})))"))
+    }
+    scored
+      .withColumn("pred_lang", expr(
+        """CASE
+          | WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+          | WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+          | WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+          | WHEN s_es > 0 THEN 'es'
+          | ELSE 'und' END""".stripMargin))
+      .select("doc_id", "lang", "pred_lang", "s_en", "s_fr", "s_de", "s_es")
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: 64-bit content fingerprint (hex) + canonical
+    * doc per fingerprint group (min doc_id) + duplicate flag. The window-min
+    * is per-fingerprint, i.e. shuffles on the fingerprint — skew-free. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp")
+    docs
+      .withColumn("fp", expr("substr(md5(text), 1, 16)"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .select("doc_id", "fp", "canonical_id", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup summary (hash-groupBy over full text digest). */
+  def exactDedupStats(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("docs"),
+      countDistinct(md5(col("text"))).as("distinct_docs"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("dups_removed"))
+}
