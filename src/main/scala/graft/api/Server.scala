@@ -1,0 +1,162 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.SparkSession
+import graft.CubeCatalog
+import graft.model.{CubeDef, GraftException}
+import graft.planner.{LevelRef, Planner, QueryParser}
+import graft.result._
+
+/** REST surface — the analog of the reference's Grape API (§2.D, api.rb).
+  * Built on the JDK's HttpServer (zero extra dependencies); the engine below
+  * is the Spark planner, so this layer only parses params, dispatches, and
+  * serializes.
+  *
+  * Routes (reference parity):
+  *   GET /cubes                                    all cube metadata
+  *   GET /cubes/:cube                              one cube
+  *   GET /cubes/:cube/aggregate[.csv|.jsonrecords] the aggregation query
+  *   GET /cubes/:cube/dimensions/:dim              dimension + levels
+  *   GET /cubes/:cube/dimensions/:dim/levels/:lvl/members[?caption&member_properties[]]
+  *   GET /cubes/:cube/dimensions/:dim/levels/:lvl/members/:key
+  *   GET /flush                                    drop catalog caches
+  */
+final class Server(spark: SparkSession, sfDir: String, port: Int) {
+
+  private val http = HttpServer.create(new InetSocketAddress(port), 0)
+  @volatile private var catalog: CubeCatalog = CubeCatalog.forDir(spark, sfDir)
+
+  def start(): Unit = {
+    http.createContext("/", handle _)
+    http.setExecutor(null) // serial — Spark driver side is not the bottleneck
+    http.start()
+  }
+
+  def stop(): Unit = http.stop(0)
+  def boundPort: Int = http.getAddress.getPort
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      route(path.split("/").toList.filter(_.nonEmpty), params) match {
+        case (status, contentType, body) =>
+          respond(ex, status, contentType, body)
+      }
+    } catch {
+      case e: GraftException =>
+        respond(ex, e.status, "application/json",
+          Json.write(ListMap("error" -> e.getMessage)))
+      case e: Throwable =>
+        respond(ex, 500, "application/json",
+          Json.write(ListMap("error" -> String.valueOf(e.getMessage))))
+    }
+  }
+
+  private def cube(name: String): CubeDef =
+    Planner.anchorCube(catalog,
+      if (catalog.schema.cube(name).nonEmpty ||
+        catalog.schema.virtualCube(name).nonEmpty) name
+      else GraftException.notFound(s"cube not found: $name"))
+
+  private def route(segs: List[String], params: Map[String, Seq[String]])
+      : (Int, String, String) = segs match {
+    case Nil =>
+      (200, "application/json", Json.write(ListMap(
+        "status" -> "ok", "engine" -> "graft", "schema" -> catalog.schema.name)))
+    case List("cubes") =>
+      (200, "application/json", Json.write(Metadata.schemaDict(catalog)))
+    case List("cubes", c) =>
+      catalog.schema.virtualCube(c) match {
+        case Some(vc) =>
+          (200, "application/json", Json.write(Metadata.virtualCubeDict(vc)))
+        case None =>
+          (200, "application/json", Json.write(Metadata.cubeDict(cube(c))))
+      }
+    case List("cubes", c, agg) if agg.startsWith("aggregate") =>
+      aggregate(c, agg, params)
+    case List("cubes", c, "dimensions", d) =>
+      val dim = cube(c).dimension(d).getOrElse(
+        GraftException.notFound(s"dimension not found: $d"))
+      (200, "application/json", Json.write(Metadata.dimensionDict(dim)))
+    case List("cubes", c, "dimensions", d, "levels", l, "members") =>
+      val withProps = params.contains("member_properties[]") ||
+        params.get("caption").isDefined
+      val members = Metadata.levelMembers(catalog, cube(c),
+        LevelRef(d, Some(l)), withProps = withProps)
+      (200, "application/json", Json.write(ListMap("members" -> members)))
+    case List("cubes", c, "dimensions", d, "levels", l, "members", k) =>
+      Metadata.memberByKey(catalog, cube(c), LevelRef(d, Some(l)),
+        QueryParser.typedKey(URLDecoder.decode(k, "UTF-8"))) match {
+        case Some(m) => (200, "application/json", Json.write(m))
+        case None => GraftException.notFound(s"member not found: $k")
+      }
+    case List("flush") =>
+      CubeCatalog.flush()
+      catalog = CubeCatalog.forDir(spark, sfDir)
+      (200, "application/json", Json.write(ListMap("status" -> "flushed")))
+    case _ => GraftException.notFound(s"no route for /${segs.mkString("/")}")
+  }
+
+  /** GET /cubes/:cube/aggregate[.ext] — all §2.A params. */
+  private def aggregate(cubeName: String, endpoint: String,
+      params: Map[String, Seq[String]]): (Int, String, String) = {
+    val c = cube(cubeName)
+    val q = QueryParser.fromParams(c, params).copy(cube = cubeName)
+    endpoint match {
+      case "aggregate" =>
+        (200, "application/json", AxesResult.json(catalog, q))
+      case "aggregate.csv" =>
+        (200, "text/csv", Formatters.csv(Formatters.tidy(catalog, q)))
+      case "aggregate.jsonrecords" =>
+        val asArrays = params.get("format").exists(_.headOption.contains("array"))
+        (200, "application/json",
+          Formatters.jsonRecords(Formatters.tidy(catalog, q), asArrays))
+      case other => GraftException.notFound(s"unknown format: $other")
+    }
+  }
+
+  private def parseQuery(raw: String): Map[String, Seq[String]] =
+    raw.split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+          URLDecoder.decode(v, StandardCharsets.UTF_8))
+        case Array(k) => Some(URLDecoder.decode(k, StandardCharsets.UTF_8) -> "")
+        case _ => None
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def respond(ex: HttpExchange, status: Int, contentType: String,
+      body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType + "; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+}
+
+/** `runMain graft.api.ServerMain [sfDir] [port]` — serve the engine. */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = args.lift(1).map(_.toInt).getOrElse(4567)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = new Server(spark, sfDir, port)
+    server.start()
+    println(s"[graft] serving $sfDir on http://localhost:${server.boundPort}")
+    Thread.currentThread().join()
+  }
+}

@@ -43,9 +43,11 @@ object Planner {
 
   // ---------------------------------------------------------------- planCube
 
-  def planCube(cat: CubeCatalog, cube: CubeDef, q: CubeQuery): DataFrame = {
-    // A15: a named-set drilldown is its level's drilldown + a set-membership cut
-    val (drillRefs, nsDrillCuts) = q.drilldowns.foldLeft(
+  /** A15: a named-set drilldown expands to its level's drilldown + a
+    * set-membership cut. Returns (resolved drill levels, extra cuts). */
+  def expandDrills(cube: CubeDef, drilldowns: Seq[Drill])
+      : (Seq[ResolvedLevel], Seq[Cut]) = {
+    val (drillRefs, nsDrillCuts) = drilldowns.foldLeft(
         (Vector.empty[LevelRef], Vector.empty[Cut])) {
       case ((ds, cs), LevelDrill(ref)) => (ds :+ ref, cs)
       case ((ds, cs), NamedSetDrill(name)) =>
@@ -53,7 +55,26 @@ object Planner {
           GraftException.badRequest(s"named set '$name' not found"))
         (ds :+ LevelRef(ns.dim, Some(ns.level)), cs :+ NamedSetCut(name))
     }
-    val drills = drillRefs.map(resolve(cube, _))
+    (drillRefs.map(resolve(cube, _)), nsDrillCuts)
+  }
+
+  /** The axis columns of a query's result, in output order (with ancestor
+    * levels when parents=true) — used by the result formatters. */
+  def axisLevels(cube: CubeDef, q: CubeQuery): Seq[ResolvedLevel] = {
+    val (drills, _) = expandDrills(cube, q.drilldowns)
+    groupLevelList(cube, drills, q.parents)
+  }
+
+  /** Anchor cube for layout purposes (virtual cubes anchor on their first
+    * member cube — conformed dims make the axis identical). */
+  def anchorCube(cat: CubeCatalog, cubeName: String): CubeDef =
+    cat.schema.virtualCube(cubeName) match {
+      case Some(vc) => cat.cube(vc.cubeMeasures.head._1)
+      case None => cat.cube(cubeName)
+    }
+
+  def planCube(cat: CubeCatalog, cube: CubeDef, q: CubeQuery): DataFrame = {
+    val (drills, nsDrillCuts) = expandDrills(cube, q.drilldowns)
     val cuts = q.cuts ++ nsDrillCuts
 
     // A9 ascendant guard: drilling a level strictly above a cut on the same
@@ -348,12 +369,12 @@ object Planner {
 
   /** Output (user-visible) aliases: key + label; internal ordinal cols are
     * dropped after sorting. */
-  private def outputAliases(rl: ResolvedLevel): Seq[String] = {
+  def outputAliases(rl: ResolvedLevel): Seq[String] = {
     val l = rl.level
     Seq(l.alias) ++ l.nameExpr.map(_ => l.labelAlias)
   }
 
-  private def propAlias(cube: CubeDef, p: PropertyRef): String = {
+  def propAlias(cube: CubeDef, p: PropertyRef): String = {
     val rl = resolve(cube, p.level)
     rl.level.properties.find(_.name == p.property).map(_.alias)
       .getOrElse(GraftException.badRequest(s"property '${p.property}' not found"))

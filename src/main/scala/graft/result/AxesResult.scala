@@ -1,0 +1,106 @@
+package graft.result
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+import org.apache.spark.sql.Row
+import graft.CubeCatalog
+import graft.model._
+import graft.planner._
+
+/** The aggregation JSON document — analog of the reference's Result#to_h
+  * (mondrian_ext.rb:228-287):
+  *
+  *   axes[0]        = measures axis
+  *   axes[1..n]     = one axis per drilldown (tuples transposed), members
+  *                    deduped by key in hierarchical order
+  *   cell_keys[i]   = member-key tuple of result row i
+  *   values[i]      = per-measure cell values of row i (row-major in drill
+  *                    order; dense mode enumerates empty combinations with
+  *                    null cells, exactly like the reference's default)
+  *
+  * Member dicts follow Member#to_h (mondrian_ext.rb:168-188); `parents=true`
+  * adds the ancestor chain (C3) from the sibling ancestor columns.
+  */
+object AxesResult {
+
+  def build(cat: CubeCatalog, q: CubeQuery): ListMap[String, Any] = {
+    val cube = Planner.anchorCube(cat, q.cube)
+    val df = Planner.plan(cat, q)
+    val rows = df.collect().toSeq
+    val colIdx = df.columns.zipWithIndex.toMap
+    val (drills, _) = Planner.expandDrills(cube, q.drilldowns)
+    val measures = Formatters.measureDisplay(cat, cube, q)
+
+    def memberDict(rl: Planner.ResolvedLevel, r: Row,
+        withAncestors: Boolean): ListMap[String, Any] = {
+      val key = r.get(colIdx(rl.level.alias))
+      val caption = rl.level.nameExpr
+        .map(_ => r.get(colIdx(rl.level.labelAlias))).getOrElse(key)
+      val props: Seq[(String, Any)] = q.properties
+        .filter { p =>
+          val prl = Planner.resolve(cube, p.level)
+          prl.dim.name == rl.dim.name && prl.level.name == rl.level.name
+        }
+        .map(p => p.property -> r.get(colIdx(Planner.propAlias(cube, p))))
+      val ancestors: Seq[Any] =
+        if (withAncestors && q.parents)
+          rl.hier.levels.take(rl.depth).reverse.map { al =>
+            val arl = Planner.ResolvedLevel(rl.dim, rl.hier, al,
+              rl.hier.depthOf(al))
+            memberDict(arl, r, withAncestors = false)
+          }
+        else Nil
+      val base = ListMap[String, Any](
+        "name" -> String.valueOf(caption),
+        "full_name" -> s"[${rl.dim.name}].[$key]",
+        "all_member?" -> false,
+        "drillable?" -> (rl.depth < rl.hier.levels.length - 1),
+        "depth" -> rl.depth,
+        "caption" -> caption,
+        "key" -> key,
+        "level_name" -> rl.level.name) ++
+        (if (props.nonEmpty) ListMap("properties" -> ListMap(props: _*))
+         else ListMap.empty[String, Any])
+      if (ancestors.nonEmpty) base + ("ancestors" -> ancestors) else base
+    }
+
+    def dimensionInfo(rl: Planner.ResolvedLevel): ListMap[String, Any] =
+      ListMap(
+        "name" -> rl.dim.name, "caption" -> rl.dim.name,
+        "type" -> (if (rl.dim.isTime) "time" else "standard"),
+        "level" -> rl.level.name, "level_depth" -> rl.depth,
+        "hierarchy" -> rl.hier.name)
+
+    val measureAxis: ListMap[String, Any] = ListMap("members" ->
+      measures.map { case (name, alias) =>
+        ListMap(
+          "name" -> name, "caption" -> name,
+          "full_name" -> s"[Measures].[$name]",
+          "all_member?" -> false, "drillable?" -> false,
+          "annotations" -> ListMap.empty[String, Any],
+          "aggregator" -> cube.measures.find(_.alias == alias)
+            .map(_.agg.toString.toLowerCase).orNull)
+      })
+
+    val memberAxes = drills.map { rl =>
+      val seen = mutable.LinkedHashMap.empty[Any, ListMap[String, Any]]
+      rows.foreach { r =>
+        val key = r.get(colIdx(rl.level.alias))
+        if (!seen.contains(key))
+          seen += key -> memberDict(rl, r, withAncestors = true)
+      }
+      dimensionInfo(rl) + ("members" -> seen.values.toSeq)
+    }
+
+    val cellKeys = rows.map(r => drills.map(rl => r.get(colIdx(rl.level.alias))))
+    val values = rows.map(r => measures.map { case (_, a) => r.get(colIdx(a)) })
+
+    ListMap(
+      "axes" -> (Seq(measureAxis) ++ memberAxes),
+      "axis_dimensions" -> drills.map(dimensionInfo),
+      "cell_keys" -> cellKeys,
+      "values" -> values)
+  }
+
+  def json(cat: CubeCatalog, q: CubeQuery): String = Json.write(build(cat, q))
+}

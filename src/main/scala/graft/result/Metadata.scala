@@ -1,0 +1,147 @@
+package graft.result
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.CubeCatalog
+import graft.model._
+import graft.planner.{LevelRef, Planner}
+
+/** Metadata introspection — the analog of the reference's schema serializers
+  * (C9, mondrian_ext.rb:35-146) and the member-enumeration endpoints
+  * (§2.D). Structure answers come straight from the registry; member lists
+  * are distinct() queries over the dimension frame, cached by Spark's
+  * plan cache + the catalog's table reuse.
+  */
+object Metadata {
+
+  def aggName(a: Agg): String = a match {
+    case Agg.Sum => "sum"
+    case Agg.Count | Agg.CountAll => "count"
+    case Agg.Min => "min"
+    case Agg.Max => "max"
+    case Agg.Avg => "avg"
+    case Agg.DistinctCount => "distinct-count"
+    case Agg.ApproxDistinctCount => "approx-distinct-count"
+  }
+
+  def levelDict(l: LevelDef): ListMap[String, Any] = ListMap(
+    "name" -> l.name,
+    "caption" -> l.name,
+    "full_name" -> s"[${l.name}]",
+    "properties" -> l.properties.map(_.name))
+
+  def hierarchyDict(h: HierarchyDef): ListMap[String, Any] = ListMap(
+    "name" -> h.name,
+    "has_all" -> h.hasAll,
+    "all_member_name" -> h.allMemberName.orNull,
+    "levels" -> h.levels.map(levelDict))
+
+  def dimensionDict(d: DimensionDef): ListMap[String, Any] = ListMap(
+    "name" -> d.name,
+    "caption" -> d.name,
+    "type" -> (if (d.isTime) "time" else "standard"),
+    "hierarchies" -> d.hierarchies.map(hierarchyDict))
+
+  def measureDict(m: MeasureDef): ListMap[String, Any] = ListMap(
+    "name" -> m.name,
+    "caption" -> m.name,
+    "alias" -> m.alias,
+    "aggregator" -> aggName(m.agg),
+    "annotations" -> ListMap.empty[String, Any])
+
+  def namedSetDict(ns: NamedSetDef): ListMap[String, Any] = ListMap(
+    "name" -> ns.name,
+    "dimension" -> ns.dim,
+    "level" -> ns.level,
+    "annotations" -> ListMap("top_k" -> ns.k, "by_measure" -> ns.byMeasure))
+
+  def cubeDict(c: CubeDef): ListMap[String, Any] = ListMap(
+    "name" -> c.name,
+    "dimensions" -> c.dimensions.map(dimensionDict),
+    "measures" -> c.measures.map(measureDict),
+    "calculated_members" -> (c.calcMembers.map(_.alias) ++
+      c.lagMeasures.map(_.alias)),
+    "named_sets" -> c.namedSets.map(namedSetDict),
+    "default_measure" -> c.defaultMeasure.orNull)
+
+  def virtualCubeDict(v: VirtualCubeDef): ListMap[String, Any] = ListMap(
+    "name" -> v.name,
+    "cube_measures" -> ListMap(v.cubeMeasures.map {
+      case (c, ms) => c -> ms
+    }: _*),
+    "calculated_members" -> v.calcMembers.map(_.alias))
+
+  def schemaDict(cat: CubeCatalog): ListMap[String, Any] = ListMap(
+    "name" -> cat.schema.name,
+    "cubes" -> (cat.schema.cubes.map(cubeDict) ++
+      cat.schema.virtualCubes.map(virtualCubeDict)))
+
+  /** Distinct members of a level, ordered by ordinal/key, with key, caption
+    * and (optionally) property columns (ref api.rb:174-205). */
+  def levelMembersDf(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
+      withProps: Boolean = false): DataFrame = {
+    val rl = Planner.resolve(cube, ref)
+    val src = rl.dim.join match {
+      case Some(js) => cat.table(js.table)
+      case None => cat.fact(cube)
+    }
+    val l = rl.level
+    val cols =
+      Seq(expr(l.keyExpr).as("key"),
+        expr(l.nameExpr.getOrElse(l.keyExpr)).as("caption")) ++
+        (if (withProps) l.properties.map(p => expr(p.expr).as(p.name))
+         else Nil)
+    src.select((cols :+ expr(l.ordExpr.getOrElse(l.keyExpr)).as("__ord")): _*)
+      .distinct().orderBy(col("__ord")).drop("__ord")
+  }
+
+  def levelMembers(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
+      withProps: Boolean = false): Seq[ListMap[String, Any]] = {
+    val rl = Planner.resolve(cube, ref)
+    val df = levelMembersDf(cat, cube, ref, withProps)
+    val names = df.columns
+    df.collect().toSeq.map { r =>
+      val base = ListMap[String, Any](
+        "name" -> String.valueOf(r.get(1)),
+        "full_name" -> s"[${rl.dim.name}].[${r.get(0)}]",
+        "caption" -> r.get(1),
+        "key" -> r.get(0),
+        "level_name" -> rl.level.name,
+        "depth" -> rl.depth)
+      if (withProps && names.length > 2)
+        base + ("properties" -> ListMap(
+          names.drop(2).zipWithIndex.map { case (n, i) =>
+            n -> r.get(i + 2)
+          }.toSeq: _*))
+      else base
+    }
+  }
+
+  /** Member lookup by key (ref api.rb:207-230 — there a linear scan; here a
+    * filter on the member frame) + ancestor chain from the same dim row. */
+  def memberByKey(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
+      key: Any): Option[ListMap[String, Any]] = {
+    val rl = Planner.resolve(cube, ref)
+    val src = rl.dim.join match {
+      case Some(js) => cat.table(js.table)
+      case None => cat.fact(cube)
+    }
+    val chain = rl.hier.levels.take(rl.depth + 1)
+    val cols = chain.flatMap(l => Seq(expr(l.keyExpr).as(s"${l.alias}__k"),
+      expr(l.nameExpr.getOrElse(l.keyExpr)).as(s"${l.alias}__c")))
+    val rows = src.select(cols: _*)
+      .where(col(s"${rl.level.alias}__k") === lit(key)).limit(1).collect()
+    rows.headOption.map { r =>
+      val n = chain.length
+      def dict(i: Int): ListMap[String, Any] = ListMap(
+        "name" -> String.valueOf(r.get(2 * i + 1)),
+        "full_name" -> s"[${rl.dim.name}].[${r.get(2 * i)}]",
+        "caption" -> r.get(2 * i + 1),
+        "key" -> r.get(2 * i),
+        "level_name" -> chain(i).name,
+        "depth" -> i)
+      dict(n - 1) + ("ancestors" -> (0 until n - 1).reverse.map(dict))
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+import SparkTestSession.{catalog => cat, spark}
+
+/** LLM-pipeline operator tests: dedup invariants, ANN recall vs brute force,
+  * sessionization gap properties, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val docs = cat.table("documents")
+  private lazy val emb = cat.table("embeddings")
+
+  /** Documents with an exact duplicate injected — near-dup detectors must
+    * find the planted pair. */
+  private lazy val docsWithDup = {
+    val clone = docs.where(col("doc_id") === 7L)
+      .withColumn("doc_id", lit(100007L))
+    docs.unionByName(clone)
+  }
+
+  test("minhash LSH finds a planted exact duplicate with jaccard 1.0") {
+    val pairs = Dedup.minhashLshPairs(docsWithDup, 3, 32, 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.exists { case (a, b, j) => a == 7L && b == 100007L && j == 1.0 })
+  }
+
+  test("minhash estimate approximates true jaccard") {
+    val rows = Dedup.minhashLshPairs(docs, 3, 32, 4, 0.0).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.35,
+        s"est ${r.getDouble(2)} vs true ${r.getDouble(3)}")
+    }
+  }
+
+  test("simhash of identical docs has hamming 0; planted pair found") {
+    val pairs = Dedup.simhashPairs(docsWithDup, 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 7L && r.getLong(1) == 100007L &&
+      r.getInt(2) == 0))
+  }
+
+  test("ngram jaccard pairs are symmetric-free and thresholded") {
+    val rows = Dedup.ngramJaccardPairs(docs, 3, "lang", 0.1).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.1 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("knn brute: self excluded, scores sorted, k respected") {
+    val rows = Similarity.knnBrute(emb, Seq(0L, 1L), 5).collect()
+    assert(rows.length == 10)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { g =>
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))))
+      assert(g.forall(r => r.getLong(2) != r.getLong(0)))
+    }
+  }
+
+  test("knn LSH neighbors are a subset of the bucket with exact sims") {
+    val brute = Similarity.knnBrute(emb, Seq(0L, 1L, 2L, 3L, 4L), 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.knnLsh(emb, Seq(0L, 1L, 2L, 3L, 4L), 5, bits = 8)
+      .collect()
+    // every LSH hit's similarity agrees exactly with the brute-force number
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { s =>
+        assert(s == r.getDouble(3))
+      }
+    }
+  }
+
+  test("sessionize: no intra-session gap exceeds the threshold") {
+    val events = cat.table("events")
+    val sess = Sessionize.sessions(events, 30).collect()
+    assert(sess.nonEmpty)
+    // session boundaries: consecutive sessions of one user are > gap apart
+    sess.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) - a.getLong(3) > 30L * 60L * 1000000L)
+        case _ => ()
+      }
+    }
+    // events are conserved
+    assert(sess.map(_.getLong(4)).sum == events.count())
+  }
+
+  test("multimodal decode keeps schema + row count, deterministic features") {
+    val media = Multimodal.attachFakeMedia(docs)
+    val decoded = Multimodal.decodeFeatures(spark, media)
+    assert(decoded.columns.toSeq == Seq("doc_id", "format", "width", "height",
+      "n_frames", "n_bytes", "features"))
+    val rows = decoded.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.n_bytes == 16)) // md5 payload stub
+    val again = Multimodal.decodeFeatures(spark, media).collect()
+    assert(rows.map(_.features.toSeq).toSet == again.map(_.features.toSeq).toSet)
+  }
+
+  test("frame sampling strides over metadata frame counts") {
+    val fs = Multimodal.frameSample(Multimodal.attachFakeMedia(docs), 2)
+      .collect()
+    fs.groupBy(_.getLong(0)).foreach { case (id, g) =>
+      val n = (id % 10 + 1).toInt
+      assert(g.length == (n + 1) / 2)
+    }
+  }
+
+  test("text quality + langid are deterministic and complete") {
+    val q = TextOps.qualityScore(docs).collect()
+    assert(q.length == docs.count())
+    assert(q.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+    val l = TextOps.languageId(docs).collect()
+    assert(l.length == docs.count())
+    val preds = l.map(_.getString(2)).toSet
+    assert(preds.subsetOf(Set("en", "fr", "de", "es", "und")))
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.GraftException
+import graft.planner._
+import SparkTestSession.{catalog => cat, spark}
+
+/** Plan-level + exact-value tests — the analog of the reference's
+  * query_builder_spec (plan assertions) and api_spec exact values. */
+class PlannerSpec extends AnyFunSuite {
+
+  private def drill(d: String, l: String = null, h: String = null) =
+    LevelDrill(LevelRef(d, Option(l), Option(h)))
+
+  test("grand total matches the DuckDB oracle exactly (B15)") {
+    val row = Planner.plan(cat, CubeQuery("sales", Nil,
+      Seq("revenue", "sum_qty", "cnt", "order_cnt"))).collect()(0)
+    assert(row.getDouble(0) == 301270840.1572) // bit-exact via DECIMAL(27,6)
+    assert(row.getDouble(1) == 152257.0)
+    assert(row.getLong(2) == 6000L)
+    assert(row.getLong(3) == 1473L)
+  }
+
+  test("drilldown output columns: key, label, measures in order (A2)") {
+    val df = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Region"), drill("Part", "Brand", "Brands")),
+      Seq("revenue", "sum_qty")))
+    assert(df.columns.toSeq ==
+      Seq("region", "region_label", "brand", "revenue", "sum_qty"))
+  }
+
+  test("additivity: region revenues sum to the grand total") {
+    val total = Planner.plan(cat, CubeQuery("sales", Nil, Seq("revenue")))
+      .collect()(0).getDouble(0)
+    val parts = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Region")), Seq("revenue")))
+      .collect().map(_.getDouble(2)).sum
+    assert(math.abs(parts - total) < 1e-4)
+  }
+
+  test("cut replaces drilldown at the same level (A4 fusion)") {
+    val df = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Region")), Seq("revenue"),
+      cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 2))))
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getInt(0) == 2)
+  }
+
+  test("descendants: cut at Region + drill Supplier = filter + deep group (A8)") {
+    val viaCut = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Supplier")), Seq("revenue"),
+      cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 3))))
+      .collect().map(r => (r.get(0), r.getDouble(2))).toMap
+    val all = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Supplier")), Seq("revenue"), parents = true))
+      .collect().filter(_.getInt(0) == 3)
+      .map(r => (r.get(4), r.getDouble(6))).toMap
+    assert(viaCut == all && viaCut.nonEmpty)
+  }
+
+  test("drilling above the cut level is a 400 (A9 ascendant guard)") {
+    val e = intercept[GraftException] {
+      Planner.plan(cat, CubeQuery("sales",
+        Seq(drill("Geography", "Region")), Seq("revenue"),
+        cuts = Seq(MemberCut(LevelRef("Geography", Some("Nation")), 5))))
+    }
+    assert(e.status == 400)
+  }
+
+  test("nonempty result is a subset of dense; dense = domain cross product (C1)") {
+    val dense = Planner.plan(cat, CubeQuery("events",
+      Seq(drill("EventDate", "Day", "Daily"), drill("EventType")),
+      Seq("value_sum"), nonempty = false)).collect()
+    val sparse = Planner.plan(cat, CubeQuery("events",
+      Seq(drill("EventDate", "Day", "Daily"), drill("EventType")),
+      Seq("value_sum"), nonempty = true)).collect()
+    assert(dense.length == 30 * 5) // |days| × |event types| at sf0.001
+    assert(sparse.length <= dense.length)
+    val denseKeys = dense.map(r => (r.get(0), r.get(1))).toSet
+    val sparseKeys = sparse.map(r => (r.get(0), r.get(1))).toSet
+    assert(sparseKeys.subsetOf(denseKeys))
+    // sparse filter drops exactly the all-null rows
+    assert(dense.count(r => !r.isNullAt(2)) == sparse.length)
+  }
+
+  test("HAVING keeps only qualifying groups, applied before ORDER (A10)") {
+    val rows = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Part", "Brand", "Brands")), Seq("revenue"),
+      filters = Seq(MeasureFilter("revenue", ">", 1.0e7)))).collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 1.0e7))
+  }
+
+  test("offset/limit paginate a stable total order (A12)") {
+    val all = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Supplier")), Seq("revenue"))).collect()
+    val page = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Supplier")), Seq("revenue"),
+      offset = 3, limit = Some(4))).collect()
+    assert(page.toSeq == all.slice(3, 7).toSeq)
+  }
+
+  test("named-set drill = top-k by measure, then grouped (A15/B9)") {
+    val top = Planner.plan(cat, CubeQuery("sales",
+      Seq(NamedSetDrill("Top Brands")), Seq("revenue"))).collect()
+    assert(top.length == 5)
+    val all = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Part", "Brand", "Brands")), Seq("revenue")))
+      .collect().sortBy(-_.getDouble(1)).take(5)
+      .map(_.getString(0)).toSet
+    assert(top.map(_.getString(0)).toSet == all)
+  }
+
+  test("virtual cube full-outer joins conformed axes (B10)") {
+    val df = Planner.plan(cat, CubeQuery("commerce",
+      Seq(drill("Geography", "Region")),
+      Seq("revenue", "total_sales", "rev_per_order")))
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(df.columns.toSeq == Seq("region", "region_label", "revenue",
+      "total_sales", "rev_per_order"))
+  }
+
+  test("lag measure requires its time dimension drilled (B8)") {
+    val e = intercept[GraftException] {
+      Planner.plan(cat, CubeQuery("sales",
+        Seq(drill("Geography", "Region")), Seq("prev_revenue")))
+    }
+    assert(e.status == 400)
+  }
+
+  test("lag values shift by one time bucket (B8)") {
+    val rows = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly")),
+      Seq("revenue", "prev_revenue"))).collect()
+    assert(rows(0).isNullAt(2))
+    (1 until rows.length).foreach { i =>
+      assert(rows(i).getDouble(2) == rows(i - 1).getDouble(1))
+    }
+  }
+
+  test("distinct-count is exact per group (B5)") {
+    val viaCube = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("ReturnFlag")), Seq("order_cnt"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = cat.table("lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_orderkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaCube == direct)
+  }
+}
