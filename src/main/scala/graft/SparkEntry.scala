@@ -205,7 +205,13 @@ object SparkEntry {
       "m02_frame_sample" -> tbl("documents")(d =>
         ops.Multimodal.frameSample(ops.Multimodal.attachFakeMedia(d), 2)),
       "m03_resize_plan" -> tbl("documents")(d =>
-        ops.Multimodal.resizePlan(ops.Multimodal.attachFakeMedia(d), 256)))
+        ops.Multimodal.resizePlan(ops.Multimodal.attachFakeMedia(d), 256)),
+      // B11: parent-child hierarchy — closure-table transitive rollup
+      "q31_parent_child" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        ops.ParentChild.customerOrgRollup(c.table("customer"),
+          c.table("orders"))
+      }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cubeQueries.map { case (n, q) => n -> cq(q) } ++ opsQueries
@@ -525,6 +531,18 @@ object SparkEntry {
       """SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames,
         |CAST(unnest(range(0, doc_id % 10 + 1, 2)) AS INTEGER) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "q31_parent_child" ->
+      """WITH RECURSIVE closure AS (
+        |  SELECT c_custkey AS ancestor, c_custkey AS descendant FROM customer
+        |  UNION ALL
+        |  SELECT cl.ancestor, c.c_custkey
+        |  FROM closure cl JOIN customer c
+        |  ON c.c_custkey // 2 = cl.descendant AND c.c_custkey > 0)
+        |SELECT cl.ancestor AS customer,
+        |CAST(SUM(CAST((o_totalprice) AS DECIMAL(27,6))) AS DOUBLE) AS subtree_sales,
+        |COUNT(1) AS subtree_orders
+        |FROM orders JOIN closure cl ON o_custkey = cl.descendant
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m03_resize_plan" ->
       """WITH m AS (SELECT doc_id,
         |  CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,

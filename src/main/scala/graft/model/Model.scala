@@ -29,6 +29,11 @@ final case class PropertyDef(name: String, expr: String, alias: String)
   *                 emitted as `<alias>_label`
   * @param ordExpr  sort expr if member order differs from key order (ref
   *                 `ordinalColumn`); emitted only when needed for ORDER/lag
+  * @param hideIf   ragged-hierarchy member hiding (ref B12 `hideMemberIf`,
+  *                 foodmart.xml:565-604): "IfBlankName" hides members with
+  *                 null/empty caption, "IfParentsName" hides members whose
+  *                 caption equals their parent's. Affects member listing
+  *                 only; aggregation is untouched (reference semantics).
   */
 final case class LevelDef(
     name: String,
@@ -36,7 +41,8 @@ final case class LevelDef(
     alias: String,
     nameExpr: Option[String] = None,
     ordExpr: Option[String] = None,
-    properties: Seq[PropertyDef] = Nil) {
+    properties: Seq[PropertyDef] = Nil,
+    hideIf: Option[String] = None) {
   def labelAlias: String = alias + "_label"
   def ordAlias: String = alias + "_ord"
 }

@@ -87,12 +87,23 @@ object Metadata {
       case None => cat.fact(cube)
     }
     val l = rl.level
+    // ragged hierarchies (B12): hide members per hideMemberIf before listing
+    val visible = l.hideIf match {
+      case Some("IfBlankName") =>
+        val cap = expr(l.nameExpr.getOrElse(l.keyExpr))
+        src.where(cap.isNotNull && cap.cast("string") =!= "")
+      case Some("IfParentsName") if rl.depth > 0 =>
+        val parent = rl.hier.levels(rl.depth - 1)
+        src.where(expr(l.nameExpr.getOrElse(l.keyExpr)).cast("string") =!=
+          expr(parent.nameExpr.getOrElse(parent.keyExpr)).cast("string"))
+      case _ => src
+    }
     val cols =
       Seq(expr(l.keyExpr).as("key"),
         expr(l.nameExpr.getOrElse(l.keyExpr)).as("caption")) ++
         (if (withProps) l.properties.map(p => expr(p.expr).as(p.name))
          else Nil)
-    src.select((cols :+ expr(l.ordExpr.getOrElse(l.keyExpr)).as("__ord")): _*)
+    visible.select((cols :+ expr(l.ordExpr.getOrElse(l.keyExpr)).as("__ord")): _*)
       .distinct().orderBy(col("__ord")).drop("__ord")
   }
 

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.ops.Sessionize
+import SparkTestSession.{catalog => cat, spark}
+
+/** Structured Streaming specs: bounded parquet source driven synchronously
+  * through a memory sink; stateful sessionization cross-checked against the
+  * batch gaps-and-islands implementation. */
+class StreamingSpec extends AnyFunSuite {
+
+  // Stage the events table as a µs-timestamp parquet dir (the raw testdata
+  // carries ns timestamps, which the streaming reader can't take directly).
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-events").toString
+    cat.table("events").coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed rollup over a stream matches the batch computation") {
+    val stream = Streaming.readEventsStream(spark, eventsDir)
+    val name = Streaming.runToMemory(spark,
+      Streaming.windowedRollup(stream, "1 day", "1 hour"), "rollup_test")
+    val streamed = spark.table(name)
+      .select("window_start", "event_type", "event_count", "value_sum")
+      .collect().map(r => (r.get(0), r.get(1)) -> (r.get(2), r.get(3))).toMap
+    val batch = cat.table("events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(expr("CAST((value) AS DECIMAL(27,6))")).cast("double")
+          .as("value_sum"))
+      .select(col("window.start"), col("event_type"), col("event_count"),
+        col("value_sum"))
+      .collect().map(r => (r.get(0), r.get(1)) -> (r.get(2), r.get(3))).toMap
+    // append mode emits only watermark-finalized windows ⇒ subset, and every
+    // emitted window agrees exactly with the batch aggregate
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) => assert(batch(k) == v) }
+  }
+
+  test("stateful sessionization emits exactly the batch-closed sessions") {
+    import spark.implicits._
+    val stream = Streaming.readEventsStream(spark, eventsDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streaming.Event]
+    val name = Streaming.runToMemory(spark,
+      Streaming.sessionize(spark, stream, 30).toDF(), "sessions_test")
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = Sessionize.sessions(cat.table("events"), 30).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // every streamed (closed) session matches a batch session exactly
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, (endUs, n)) =>
+      assert(batch.contains(k), s"session $k missing from batch")
+      assert(batch(k) == ((endUs, n)), s"session $k differs")
+    }
+    // the only batch sessions the stream may not have closed yet are each
+    // user's final session (no later event advances the watermark past it)
+    val unclosed = batch.keySet -- streamed.keySet
+    val lastPerUser = batch.groupBy(_._1._1).values
+      .map(_.keySet.maxBy(_._2)).toSet
+    assert(unclosed.subsetOf(lastPerUser))
+  }
+}
