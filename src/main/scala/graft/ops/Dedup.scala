@@ -26,14 +26,24 @@ object Dedup {
        |  i -> concat_ws(' ', slice(split($textCol, ' '), i, $k)))) END"""
       .stripMargin)
 
+  /** Distinct k-word shingles hashed to 64-bit longs. Intersection/union
+    * SIZES are invariant under the (injective modulo ~2^-64 collisions)
+    * hash, so Jaccard over hashed shingles equals Jaccard over strings —
+    * while pairwise set ops run on longs instead of short strings (the hot
+    * path of blocked O(n²) verification). */
+  def hashedShingles(textCol: String, k: Int): Column = expr(
+    s"""CASE WHEN size(split($textCol, ' ')) < $k THEN array()
+       |ELSE array_distinct(transform(
+       |  sequence(1, size(split($textCol, ' ')) - ${k - 1}),
+       |  i -> xxhash64(concat_ws(' ', slice(split($textCol, ' '), i, $k))))) END"""
+      .stripMargin)
+
   /** MinHash signature: H independent permutations approximated by seeded
-    * xxhash64; signature element h = min over shingles. Pure expressions —
-    * one codegen'd pass per row. */
-  def minhashSignature(shCol: String, numHashes: Int): Column = {
-    val mins = (0 until numHashes).map(i =>
-      s"array_min(transform($shCol, s -> xxhash64(s, $i)))")
-    expr(s"array(${mins.mkString(", ")})")
-  }
+    * xxhash64; signature element j = min over shingles of hash_j. One
+    * imperative pass via the native [[graft.functions.MinHashSig]]
+    * expression. */
+  def minhashSignature(shCol: String, numHashes: Int): Column =
+    graft.functions.MinHashSig.minhashSig(col(shCol), numHashes)
 
   /** LSH candidate pairs from banded minhash signatures, with estimated
     * (signature-agreement) and true Jaccard; `threshold` filters on true.
@@ -42,25 +52,28 @@ object Dedup {
       threshold: Double): DataFrame = {
     val h = bands * rows
     val sh = docs
-      .select(col("doc_id"), shingles("text", shingleK).as("sh"))
+      .select(col("doc_id"), hashedShingles("text", shingleK).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature("sh", h))
+    // Candidate generation on SKINNY rows (doc_id + band key only) — the
+    // signature/shingle arrays don't ride through the self-join shuffle.
+    // Arrays re-attach per side after pair dedup.
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => s"sig[${b * rows + r}]")
       struct(lit(b).as("band"), expr(s"xxhash64(${slice.mkString(", ")})")
         .as("bh"))
     }
-    val banded = sh.select(col("doc_id"), col("sh"), col("sig"),
+    val banded = sh.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bk"))
-    val left = banded.select(col("bk").as("bk"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val right = banded.select(col("bk").as("bk2"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"), col("sig").as("sig_b"))
-    left.join(right, left("bk") === right("bk2") &&
-        left("doc_a") < right("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"),
-        col("sig_a"), col("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = banded.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
+        col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard", expr(
         s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / $h"))
       .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
@@ -99,19 +112,37 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard within a blocking key (quadratic inside a block
-    * only — at scale, block on a cheap partition key or LSH bucket first). */
+    * only — at scale, block on a cheap partition key or LSH bucket first).
+    * Two result-preserving prunes keep the O(block²) verification cheap:
+    * shingle sets are hashed to longs, and pairs are dropped before the
+    * intersect when their sizes alone bound Jaccard below the threshold
+    * (J(A,B) ≤ min/max ⇒ |A| and |B| must be within a factor 1/t). */
   def ngramJaccardPairs(docs: DataFrame, k: Int, blockCol: String,
       threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    // Inverted-index set-similarity join: instead of materializing O(block²)
+    // pairwise array intersections, explode to (shingle → doc) postings,
+    // equi-join on the shingle, and COUNT matches per pair — |A∩B| falls out
+    // of the groupBy. Pairs sharing no shingle never exist (their Jaccard is
+    // 0 < threshold), so results are identical to the quadratic form while
+    // work scales with Σ df(shingle)² — the genuine overlap — not block².
+    // The size-ratio bound (J ≤ min/max) prunes pairs pre-aggregation.
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
-      shingles("text", k).as("sh"))
-    val a = sh.select(col("block").as("block_a"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"))
-    val b = sh.select(col("block").as("block_b"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"))
-    a.join(b, col("block_a") === col("block_b") && col("doc_a") < col("doc_b"))
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-      .withColumn("jaccard",
-        expr("inter / (size(sh_a) + size(sh_b) - inter)"))
+      hashedShingles("text", k).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val posting = sh.select(col("block"), col("doc_id"), col("n"),
+      explode(col("sh")).as("s"))
+    val a = posting.select(col("block").as("block_a"),
+      col("doc_id").as("doc_a"), col("n").as("na"), col("s").as("s_a"))
+    val b = posting.select(col("block").as("block_b"),
+      col("doc_id").as("doc_b"), col("n").as("nb"), col("s").as("s_b"))
+    a.join(b, col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
+        col("doc_a") < col("doc_b") &&
+        col("na") >= col("nb") * threshold &&
+        col("nb") >= col("na") * threshold)
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", expr("inter / (na + nb - inter)"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

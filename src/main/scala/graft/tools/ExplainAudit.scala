@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Plan auditor: prints the physical plan of selected queries and greps for
+  * the properties that matter at 100 TB — broadcast joins on dim tables,
+  * pushed parquet filters, whole-stage codegen coverage, absence of
+  * cartesian products. Usage: runMain graft.tools.ExplainAudit [sfDir] [q...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q02_star_drilldown", "q04_cut_member", "q06_cut_range",
+        "q13_distinct_count", "q17_namedset_drill", "q19_virtual_cube",
+        "q28_big_dim_join", "s01_knn_brute", "d02_minhash_lsh")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // AQE applies CollapseCodegenStages at stage materialization, which
+      // hides WholeStageCodegen from the printed plan; disable it here (and
+      // only here) so codegen coverage is statically visible.
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.count() // finalize AQE so the plan below is the executed one
+      val plan = df.queryExecution.executedPlan.toString()
+      val formatted = org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+      val full = df.queryExecution.explainString(formatted)
+      def has(s: String) = plan.contains(s)
+      val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+      val smj = "SortMergeJoin".r.findAllIn(plan).length
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(full)
+        .filterNot(_.contains("[]")).length
+      // codegen'd operators print as `*(id) Op` in toString / `* Op` in
+      // formatted mode
+      val codegen = math.max("\\*\\(\\d+\\) \\w".r.findAllIn(plan).length,
+        "\\* \\w".r.findAllIn(full).length)
+      println(s"== $n: broadcastJoins=$broadcasts sortMergeJoins=$smj " +
+        s"nonEmptyPushedFilters=$pushed codegenSpans=$codegen " +
+        s"cartesian=${has("CartesianProduct")} bnlj=${has("BroadcastNestedLoopJoin")}")
+      if (args.length > 1) println(full)
+    }
+    spark.stop()
+  }
+}
