@@ -22,6 +22,21 @@ final class CubeCatalog(
     schema.cube(name).getOrElse(GraftException.notFound(s"cube not found: $name"))
 
   def fact(cube: CubeDef): DataFrame = table(cube.factTable)
+
+  // B17: registered aggregate tables (materialized rollups) the planner may
+  // route to; cached so repeated queries reuse the materialization.
+  private val rollupReg =
+    new java.util.concurrent.CopyOnWriteArrayList[graft.planner.Rollups.Rollup]
+
+  def addRollup(r: graft.planner.Rollups.Rollup, cache: Boolean = true): Unit = {
+    rollupReg.add(if (cache) r.copy(df = r.df.cache()) else r)
+    ()
+  }
+
+  def rollups: Seq[graft.planner.Rollups.Rollup] = {
+    import scala.jdk.CollectionConverters._
+    rollupReg.asScala.toSeq
+  }
 }
 
 object CubeCatalog {

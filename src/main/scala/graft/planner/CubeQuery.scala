@@ -53,4 +53,5 @@ final case class CubeQuery(
     distinct: Boolean = false,
     parents: Boolean = false,                  // C3: prepend ancestor columns
     properties: Seq[PropertyRef] = Nil,
+    captions: Seq[PropertyRef] = Nil,          // C4: property replaces caption
     sparse: Boolean = false)                   // C6: drop all-null measure rows

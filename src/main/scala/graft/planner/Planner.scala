@@ -106,6 +106,15 @@ object Planner {
     val groupCols: Seq[Column] = groupLevels.flatMap(levelCols)
     val groupAliases: Seq[String] = groupLevels.flatMap(levelAliases)
 
+    // B17 aggregate-table routing: answer from a materialized rollup when
+    // every axis/cut level and measure is covered (properties need the dim
+    // row, so they disqualify). Decided here, above Catalyst — the fact scan
+    // disappears from the plan entirely.
+    val routedRollup =
+      if (q.properties.nonEmpty || q.captions.nonEmpty) None
+      else Rollups.route(cat.rollups, cube, groupLevels, cuts, need.bases,
+        dense = !q.nonempty)
+
     val propCols = q.properties.map { p =>
       val rl = resolve(cube, p.level)
       if (!drills.exists(d => d.dim.name == rl.dim.name && d.level.name == rl.level.name))
@@ -116,13 +125,31 @@ object Planner {
       // properties are functionally dependent on the level key; min() is a
       // deterministic way to carry them through the aggregation (ref C4)
       min(expr(prop.expr)).as(prop.alias)
+    } ++ q.captions.map { p => // C4 caption override: property value becomes
+      // the member caption downstream (Formatters/AxesResult)
+      val rl = resolve(cube, p.level)
+      if (!drills.exists(d => d.dim.name == rl.dim.name && d.level.name == rl.level.name))
+        GraftException.badRequest(
+          s"caption '${p.property}' requires a drilldown on ${rl.dim.name}.${rl.level.name}")
+      val prop = rl.level.properties.find(_.name == p.property).getOrElse(
+        GraftException.badRequest(s"caption property '${p.property}' not found on level '${rl.level.name}'"))
+      min(expr(prop.expr)).as(captionOverrideAlias(rl))
     }
 
-    val aggCols = need.bases.map(aggColumn) ++ propCols
-    val aggDf =
-      if (aggCols.isEmpty) GraftException.badRequest("no measures requested")
-      else filtered.groupBy(groupCols: _*)
-        .agg(aggCols.head, aggCols.tail: _*)
+    if (need.bases.isEmpty && propCols.isEmpty)
+      GraftException.badRequest("no measures requested")
+    val aggDf = routedRollup match {
+      case Some(r) if need.bases.nonEmpty =>
+        val rFiltered = cuts.foldLeft(r.df)((df, c) =>
+          applyCutOnAliases(cat, cube, df, c))
+        val reAgg = need.bases.map(Rollups.reAggColumn)
+        rFiltered.groupBy(groupAliases.map(col): _*)
+          .agg(reAgg.head, reAgg.tail: _*)
+      case _ =>
+        val aggCols = need.bases.map(aggColumn) ++ propCols
+        filtered.groupBy(groupCols: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+    }
 
     // ------------------------------------------------- lag + calc + having
     val withLags = need.lags.foldLeft(aggDf) { (df, lm) =>
@@ -151,6 +178,7 @@ object Planner {
     val outputCols: Seq[String] =
       groupLevels.flatMap(outputAliases) ++
         q.properties.map(p => propAlias(cube, p)) ++
+        q.captions.map(p => captionOverrideAlias(resolve(cube, p.level))) ++
         measureNames.map(aliasOfMeasure(cube, _))
     finishAxis(cat, cube, sparseDf, q, drills, groupLevels, outputCols)
   }
@@ -291,6 +319,34 @@ object Planner {
     }
   }
 
+  /** Cut application over a rollup frame, where levels exist as alias
+    * COLUMNS rather than expressions over the fact (B17 routed path). */
+  private def applyCutOnAliases(cat: CubeCatalog, cube: CubeDef, df: DataFrame,
+      c: Cut): DataFrame = c match {
+    case MemberCut(l, key) =>
+      df.filter(col(resolve(cube, l).level.alias) === lit(key))
+    case SetCut(l, keys) =>
+      df.filter(col(resolve(cube, l).level.alias).isin(keys: _*))
+    case RangeCut(l, lo, hi) =>
+      val lvl = resolve(cube, l).level
+      df.filter(col(lvl.ordExpr.fold(lvl.alias)(_ => lvl.ordAlias))
+        .between(lit(lo), lit(hi)))
+    case NamedSetCut(name) =>
+      val ns = cube.namedSet(name).getOrElse(
+        GraftException.badRequest(s"named set '$name' not found"))
+      val lvl = resolve(cube, LevelRef(ns.dim, Some(ns.level))).level
+      val keys = namedSetKeys(cat, cube, ns)
+        .select(col(lvl.alias).as("__ns_key"))
+      df.join(broadcast(keys), col(lvl.alias) === col("__ns_key"), "left_semi")
+  }
+
+  // public handles for Rollups (B17)
+  def levelColsOf(rl: ResolvedLevel): Seq[Column] = levelCols(rl)
+  def levelAliasesOf(rl: ResolvedLevel): Seq[String] = levelAliases(rl)
+  def joinForLevels(cat: CubeCatalog, cube: CubeDef,
+      rls: Seq[ResolvedLevel]): DataFrame =
+    joinNeededDims(cat, cube, rls.map(_.dim))
+
   private def levelRefOfCut(c: Cut): Option[LevelRef] = c match {
     case MemberCut(l, _) => Some(l)
     case SetCut(l, _) => Some(l)
@@ -373,6 +429,9 @@ object Planner {
     val l = rl.level
     Seq(l.alias) ++ l.nameExpr.map(_ => l.labelAlias)
   }
+
+  def captionOverrideAlias(rl: ResolvedLevel): String =
+    rl.level.alias + "__caption"
 
   def propAlias(cube: CubeDef, p: PropertyRef): String = {
     val rl = resolve(cube, p.level)

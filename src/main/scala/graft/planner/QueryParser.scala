@@ -201,6 +201,7 @@ object QueryParser {
       distinct = flag("distinct", default = false),
       parents = flag("parents", default = false),
       properties = all("properties[]").map(parseProperty(cube, _)),
+      captions = all("caption[]").map(parseProperty(cube, _)),
       sparse = flag("sparse", default = false))
   }
 }

@@ -1,0 +1,105 @@
+package graft.planner
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.CubeCatalog
+import graft.model._
+
+/** Aggregate-table routing (ref B17: `AggName` mappings, foodmart.xml:128-160).
+  *
+  * A [[Rollup]] is a materialized partial aggregation of a cube at a fixed
+  * level set. The router sits ABOVE Catalyst (like the reference's Mondrian
+  * routing sits above the RDBMS): a query is answered from the smallest
+  * eligible rollup when
+  *
+  *   - every drilled/cut level of the query is present in the rollup, and
+  *   - every needed base measure is re-aggregable from partials
+  *     (sum/count/min/max re-aggregate; avg derives from sum+count;
+  *     exact distinct-count is non-additive and always routes to the fact —
+  *     the reference's agg tables have the same carve-out).
+  *
+  * At 100 TB this is the difference between scanning the fact and scanning a
+  * table 10^4× smaller; correctness never depends on it (rollups are an
+  * optimization the planner may ignore).
+  */
+object Rollups {
+
+  /** Materialized rollup: `df` holds one row per combination of `levels`
+    * (level aliases incl. label/ord columns) with partial-aggregate columns
+    * named by convention: `__sum_<alias>`, `__cnt_<alias>` (non-null count
+    * for avg), `__min_<alias>`, `__max_<alias>`, `__rows`. */
+  final case class Rollup(cube: String, levels: Set[String], df: DataFrame)
+
+  def supportedAgg(a: Agg): Boolean = a match {
+    case Agg.Sum | Agg.Avg | Agg.Count | Agg.CountAll | Agg.Min | Agg.Max => true
+    case Agg.DistinctCount | Agg.ApproxDistinctCount => false
+  }
+
+  /** Build a rollup of `cube` at the given levels (all hierarchy levels down
+    * to each named one, so descendants cuts stay eligible). Persist/cache or
+    * write the result yourself — registration is via CubeCatalog.addRollup. */
+  def build(cat: CubeCatalog, cube: CubeDef, levelRefs: Seq[LevelRef])
+      : Rollup = {
+    val rls = levelRefs.map(Planner.resolve(cube, _))
+    val joined = Planner.joinForLevels(cat, cube, rls)
+    val groupCols = rls.flatMap(Planner.levelColsOf).distinct
+    val aggCols: Seq[Column] = cube.measures.filter(m => supportedAgg(m.agg))
+      .flatMap { m =>
+        val e = expr(m.expr)
+        val dec = expr(s"CAST((${m.expr}) AS DECIMAL(27,6))")
+        m.agg match {
+          case Agg.Sum | Agg.Avg => Seq(
+            sum(if (m.exact) dec else e).as(s"__sum_${m.alias}"),
+            count(e).as(s"__cnt_${m.alias}"))
+          case Agg.Count => Seq(count(e).as(s"__cnt_${m.alias}"))
+          case Agg.CountAll => Seq(count(lit(1)).as(s"__cnt_${m.alias}"))
+          case Agg.Min => Seq(min(e).as(s"__min_${m.alias}"))
+          case Agg.Max => Seq(max(e).as(s"__max_${m.alias}"))
+          case _ => Nil
+        }
+      } :+ count(lit(1)).as("__rows")
+    val df = joined.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    Rollup(cube.name, rls.flatMap(Planner.levelAliasesOf).toSet, df)
+  }
+
+  /** Pick the smallest eligible rollup for (cube, query), if any. */
+  def route(rollups: Seq[Rollup], cube: CubeDef, drills: Seq[Planner.ResolvedLevel],
+      cuts: Seq[Cut], bases: Seq[MeasureDef], dense: Boolean): Option[Rollup] = {
+    if (dense) return None // dense mode enumerates domains from dim tables
+    val neededLevels: Set[String] =
+      (drills.flatMap(Planner.levelAliasesOf) ++ cuts.flatMap {
+        case MemberCut(l, _) => levelAliases(cube, l)
+        case SetCut(l, _) => levelAliases(cube, l)
+        case RangeCut(l, _, _) => levelAliases(cube, l)
+        case NamedSetCut(name) =>
+          val ns = cube.namedSet(name).getOrElse(
+            GraftException.badRequest(s"named set '$name' not found"))
+          levelAliases(cube, LevelRef(ns.dim, Some(ns.level)))
+      }).toSet
+    if (!bases.forall(m => supportedAgg(m.agg))) return None
+    rollups.filter(r => r.cube == cube.name && neededLevels.subsetOf(r.levels))
+      .sortBy(_.levels.size).headOption
+  }
+
+  private def levelAliases(cube: CubeDef, ref: LevelRef): Seq[String] =
+    Planner.levelAliasesOf(Planner.resolve(cube, ref))
+
+  /** Re-aggregation column for measure `m` over rollup partials. */
+  def reAggColumn(m: MeasureDef): Column = {
+    val c = m.agg match {
+      case Agg.Sum if m.exact => sum(col(s"__sum_${m.alias}")).cast("double")
+      case Agg.Sum => sum(col(s"__sum_${m.alias}"))
+      case Agg.Avg if m.exact =>
+        sum(col(s"__sum_${m.alias}")).cast("double") /
+          sum(col(s"__cnt_${m.alias}"))
+      case Agg.Avg =>
+        sum(col(s"__sum_${m.alias}")) / sum(col(s"__cnt_${m.alias}"))
+      case Agg.Count | Agg.CountAll => sum(col(s"__cnt_${m.alias}"))
+      case Agg.Min => min(col(s"__min_${m.alias}"))
+      case Agg.Max => max(col(s"__max_${m.alias}"))
+      case other => GraftException.badRequest(
+        s"measure '${m.alias}' ($other) cannot be answered from a rollup")
+    }
+    c.as(m.alias)
+  }
+}

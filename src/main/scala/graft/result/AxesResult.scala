@@ -34,8 +34,14 @@ object AxesResult {
     def memberDict(rl: Planner.ResolvedLevel, r: Row,
         withAncestors: Boolean): ListMap[String, Any] = {
       val key = r.get(colIdx(rl.level.alias))
-      val caption = rl.level.nameExpr
-        .map(_ => r.get(colIdx(rl.level.labelAlias))).getOrElse(key)
+      val captionOverridden = q.captions.exists { c =>
+        val crl = Planner.resolve(cube, c.level)
+        crl.dim.name == rl.dim.name && crl.level.name == rl.level.name
+      }
+      val caption =
+        if (captionOverridden) r.get(colIdx(Planner.captionOverrideAlias(rl)))
+        else rl.level.nameExpr
+          .map(_ => r.get(colIdx(rl.level.labelAlias))).getOrElse(key)
       val props: Seq[(String, Any)] = q.properties
         .filter { p =>
           val prl = Planner.resolve(cube, p.level)

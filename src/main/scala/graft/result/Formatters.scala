@@ -37,8 +37,16 @@ object Formatters {
     val outRows = rows.map { r =>
       val axisVals = levels.flatMap { rl =>
         val key = r.get(colIdx(rl.level.alias))
-        val cap = rl.level.nameExpr
-          .map(_ => r.get(colIdx(rl.level.labelAlias))).getOrElse(key)
+        // caption[] substitutes a property for the caption (ref C4)
+        val overridden = q.captions.exists { c =>
+          val crl = Planner.resolve(cube, c.level)
+          crl.dim.name == rl.dim.name && crl.level.name == rl.level.name
+        }
+        val cap =
+          if (overridden)
+            r.get(colIdx(Planner.captionOverrideAlias(rl)))
+          else rl.level.nameExpr
+            .map(_ => r.get(colIdx(rl.level.labelAlias))).getOrElse(key)
         Seq(key, cap)
       }
       val propVals = q.properties.map(p =>

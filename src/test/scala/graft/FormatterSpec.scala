@@ -85,6 +85,23 @@ class FormatterSpec extends AnyFunSuite {
     assert(anc.head.asInstanceOf[Map[String, Any]]("level_name") == "Region")
   }
 
+  test("caption[] substitutes a property for the member caption (C4)") {
+    val q = CubeQuery("sales",
+      Seq(drill("Part", "Part", "Brands")), Seq("revenue"),
+      captions = Seq(PropertyRef(L_part, "Type")), limit = Some(5))
+    val t = Formatters.tidy(cat, q)
+    // caption column now carries p_type values (UPPERCASE), not p_name
+    val caps = t.rows.map(_(1).toString)
+    assert(caps.forall(_.matches("[A-Z ]+")), s"captions were $caps")
+    val doc = AxesResult.build(cat, q)
+    val m0 = doc("axes").asInstanceOf[Seq[Any]](1)
+      .asInstanceOf[Map[String, Any]]("members").asInstanceOf[Seq[Any]].head
+      .asInstanceOf[Map[String, Any]]
+    assert(m0("caption") == caps.head)
+  }
+
+  private val L_part = LevelRef("Part", Some("Part"), Some("Brands"))
+
   test("Json writer escaping and special values") {
     assert(Json.write(Map("a" -> "x\"y\n", "b" -> None, "c" -> 1.5)) ==
       """{"a":"x\"y\n","b":null,"c":1.5}""")

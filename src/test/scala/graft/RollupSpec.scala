@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import graft.planner._
+import SparkTestSession.spark
+
+/** Aggregate-table routing (B17): results from a routed rollup must equal
+  * the fact-path results exactly; non-additive measures must bypass. */
+class RollupSpec extends AnyFunSuite {
+
+  // isolated catalog so rollup registration doesn't leak into other suites
+  private lazy val cat: CubeCatalog =
+    TpchCatalog.build(spark, SparkTestSession.sf)
+  private lazy val cube = cat.cube("sales")
+
+  private def drill(d: String, l: String = null, h: String = null) =
+    LevelDrill(LevelRef(d, Option(l), Option(h)))
+
+  private lazy val registered: Unit = {
+    val r = Rollups.build(cat, cube, Seq(
+      LevelRef("Geography", Some("Region")),
+      LevelRef("Geography", Some("Nation")),
+      LevelRef("Part", Some("Brand"), Some("Brands")),
+      LevelRef("ShipDate", Some("Year"), Some("Monthly"))))
+    cat.addRollup(r)
+  }
+
+  private def planOf(q: CubeQuery) = { registered; Planner.plan(cat, q) }
+
+  test("routed query reads the cached rollup, not the fact") {
+    val df = planOf(CubeQuery("sales",
+      Seq(drill("Geography", "Region"), drill("Part", "Brand", "Brands")),
+      Seq("revenue", "sum_qty", "cnt")))
+    // the cached rollup materialization short-circuits the fact lineage
+    assert(df.queryExecution.executedPlan.toString()
+      .contains("InMemoryTableScan"))
+  }
+
+  test("routed results equal fact-path results bit-for-bit") {
+    val q = CubeQuery("sales",
+      Seq(drill("Geography", "Region"), drill("Part", "Brand", "Brands")),
+      Seq("revenue", "sum_qty", "cnt", "avg_disc", "min_price", "max_price",
+        "net"),
+      cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 2),
+        RangeCut(LevelRef("ShipDate", Some("Year"), Some("Monthly")),
+          1996, 1998)))
+    val routed = planOf(q).collect().map(_.toSeq)
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf) // no rollups
+    val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
+    assert(routed.toSeq == direct.toSeq)
+  }
+
+  test("distinct-count bypasses the rollup (non-additive, B5 carve-out)") {
+    val df = planOf(CubeQuery("sales", Seq(drill("Geography", "Region")),
+      Seq("order_cnt")))
+    assert(!df.queryExecution.executedPlan.toString()
+      .contains("InMemoryTableScan"))
+  }
+
+  test("uncovered level bypasses the rollup") {
+    val df = planOf(CubeQuery("sales", Seq(drill("Geography", "Supplier")),
+      Seq("revenue")))
+    assert(!df.queryExecution.executedPlan.toString()
+      .contains("InMemoryTableScan"))
+  }
+
+  test("named-set cut routes when its level is covered") {
+    val q = CubeQuery("sales", Seq(drill("Geography", "Region")),
+      Seq("revenue"), cuts = Seq(NamedSetCut("Top Brands")))
+    val routedDf = planOf(q)
+    // the outer aggregation reads the rollup; only the named-set subquery
+    // may touch the fact
+    val routed = routedDf.collect().map(_.toSeq)
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
+    assert(routed.toSeq == direct.toSeq)
+  }
+}
