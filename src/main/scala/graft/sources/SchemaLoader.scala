@@ -1,0 +1,191 @@
+package graft.sources
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import graft.CubeCatalog
+import graft.model._
+import graft.result.Json
+
+/** Declarative catalog loading — the analog of the reference's Mondrian XML
+  * schema file (spec/fixtures/foodmart.xml) re-expressed as JSON over Spark
+  * DataFrame sources. A catalog document declares:
+  *
+  *   tables:  named sources, any DataFrameReader format (parquet/csv/json/
+  *            orc/jdbc) + options, or a derived pre-join of two tables
+  *            (snowflake collapse, ref B3)
+  *   cubes:   dimensions/hierarchies/levels/measures/calcMembers/lagMeasures/
+  *            namedSets as in [[graft.model]]
+  *
+  * Column references are validated against the bound DataFrame schemas at
+  * load time (the reference fails at catalog load too) so a typo surfaces as
+  * a 400 before any query runs.
+  */
+object SchemaLoader {
+
+  def loadFile(spark: SparkSession, path: String): CubeCatalog =
+    load(spark, new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  def load(spark: SparkSession, jsonText: String): CubeCatalog = {
+    val root = Json.parse(jsonText).asInstanceOf[Map[String, Any]]
+    val tables = loadTables(spark,
+      root.getOrElse("tables", Seq.empty).asInstanceOf[Seq[Any]])
+    val cubes = root.getOrElse("cubes", Seq.empty).asInstanceOf[Seq[Any]]
+      .map(c => cubeDef(c.asInstanceOf[Map[String, Any]]))
+    val virtual = root.getOrElse("virtualCubes", Seq.empty)
+      .asInstanceOf[Seq[Any]].map(v => virtualDef(v.asInstanceOf[Map[String, Any]]))
+    val schema = SchemaDef(
+      root.getOrElse("name", "schema").toString, cubes, virtual)
+    validate(schema, tables)
+    new CubeCatalog(spark, schema, tables)
+  }
+
+  // ------------------------------------------------------------- tables
+
+  private def loadTables(spark: SparkSession,
+      specs: Seq[Any]): Map[String, DataFrame] = {
+    var out = ListMap.empty[String, DataFrame]
+    specs.foreach { t =>
+      val m = t.asInstanceOf[Map[String, Any]]
+      val name = m("name").toString
+      val df = m.get("join") match {
+        case Some(j) => // derived snowflake pre-join of two registered tables
+          val jm = j.asInstanceOf[Map[String, Any]]
+          val left = out(jm("left").toString)
+          val right = out(jm("right").toString)
+          left.join(right,
+            left(jm("leftKey").toString) === right(jm("rightKey").toString))
+        case None =>
+          val format = m.getOrElse("format", "parquet").toString
+          val options = m.getOrElse("options", ListMap.empty[String, Any])
+            .asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> String.valueOf(v) }
+          val reader = spark.read.format(format).options(options)
+          m.get("path") match {
+            case Some(p) => reader.load(p.toString)
+            case None => reader.load() // e.g. jdbc with dbtable option
+          }
+      }
+      out += name -> df
+    }
+    out
+  }
+
+  // -------------------------------------------------------------- cubes
+
+  private def strSeq(m: Map[String, Any], k: String): Seq[Map[String, Any]] =
+    m.getOrElse(k, Seq.empty).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+  private def opt(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).filter(_ != null).map(_.toString)
+
+  private def levelDef(m: Map[String, Any]): LevelDef = LevelDef(
+    name = m("name").toString,
+    keyExpr = m("key").toString,
+    alias = m("alias").toString,
+    nameExpr = opt(m, "caption"),
+    ordExpr = opt(m, "ordinal"),
+    properties = strSeq(m, "properties").map(p => PropertyDef(
+      p("name").toString, p("expr").toString, p("alias").toString)),
+    hideIf = opt(m, "hideMemberIf"))
+
+  private def dimensionDef(m: Map[String, Any]): DimensionDef = DimensionDef(
+    name = m("name").toString,
+    hierarchies = strSeq(m, "hierarchies").map(h => HierarchyDef(
+      h("name").toString,
+      strSeq(h, "levels").map(levelDef),
+      hasAll = h.getOrElse("hasAll", true).asInstanceOf[Boolean],
+      allMemberName = opt(h, "allMemberName"))),
+    join = m.get("join").map { j =>
+      val jm = j.asInstanceOf[Map[String, Any]]
+      JoinSpec(jm("table").toString, jm("foreignKey").toString,
+        jm("primaryKey").toString,
+        broadcastable = jm.getOrElse("broadcastable", true)
+          .asInstanceOf[Boolean])
+    },
+    isTime = m.getOrElse("type", "standard") == "time")
+
+  private def aggOf(s: String): Agg = s match {
+    case "sum" => Agg.Sum
+    case "count" => Agg.Count
+    case "count-all" | "count(*)" => Agg.CountAll
+    case "min" => Agg.Min
+    case "max" => Agg.Max
+    case "avg" => Agg.Avg
+    case "distinct-count" => Agg.DistinctCount
+    case "approx-distinct-count" => Agg.ApproxDistinctCount
+    case other => GraftException.badRequest(s"unknown aggregator '$other'")
+  }
+
+  private def cubeDef(m: Map[String, Any]): CubeDef = CubeDef(
+    name = m("name").toString,
+    factTable = m("factTable").toString,
+    dimensions = strSeq(m, "dimensions").map(dimensionDef),
+    measures = strSeq(m, "measures").map(mm => MeasureDef(
+      mm("name").toString, mm("alias").toString,
+      aggOf(mm("aggregator").toString), mm("expr").toString,
+      exact = mm.getOrElse("exact", true).asInstanceOf[Boolean])),
+    calcMembers = strSeq(m, "calculatedMembers").map(cm =>
+      CalcMemberDef(cm("alias").toString, cm("formula").toString)),
+    lagMeasures = strSeq(m, "lagMeasures").map(lm => LagMeasureDef(
+      lm("alias").toString, lm("base").toString, lm("timeDimension").toString,
+      coalesceToBase = lm.getOrElse("coalesceToBase", false)
+        .asInstanceOf[Boolean])),
+    namedSets = strSeq(m, "namedSets").map(ns => NamedSetDef(
+      ns("name").toString, ns("dimension").toString, ns("level").toString,
+      ns("topK").asInstanceOf[Long].toInt, ns("byMeasure").toString)),
+    defaultMeasure = opt(m, "defaultMeasure"))
+
+  private def virtualDef(m: Map[String, Any]): VirtualCubeDef = VirtualCubeDef(
+    name = m("name").toString,
+    cubeMeasures = m("cubeMeasures").asInstanceOf[Map[String, Any]].toSeq
+      .map { case (c, ms) =>
+        c -> ms.asInstanceOf[Seq[Any]].map(_.toString)
+      },
+    calcMembers = strSeq(m, "calculatedMembers").map(cm =>
+      CalcMemberDef(cm("alias").toString, cm("formula").toString)))
+
+  // ---------------------------------------------------------- validation
+
+  /** Every level/measure/property expression must analyze against its bound
+    * table's schema (load-time 400, ref §4.1 validation-as-optimization). */
+  private def validate(schema: SchemaDef,
+      tables: Map[String, DataFrame]): Unit =
+    schema.cubes.foreach { cube =>
+      val fact = tables.getOrElse(cube.factTable, GraftException.badRequest(
+        s"cube '${cube.name}': fact table '${cube.factTable}' not registered"))
+      cube.dimensions.foreach { d =>
+        val frame = d.join match {
+          case Some(js) =>
+            val t = tables.getOrElse(js.table, GraftException.badRequest(
+              s"dimension '${d.name}': table '${js.table}' not registered"))
+            if (!fact.columns.contains(js.foreignKey))
+              GraftException.badRequest(
+                s"dimension '${d.name}': foreign key '${js.foreignKey}' not in fact")
+            if (!t.columns.contains(js.primaryKey))
+              GraftException.badRequest(
+                s"dimension '${d.name}': primary key '${js.primaryKey}' not in '${js.table}'")
+            t
+          case None => fact
+        }
+        d.hierarchies.flatMap(_.levels).foreach { l =>
+          (Seq(l.keyExpr) ++ l.nameExpr ++ l.ordExpr ++
+            l.properties.map(_.expr)).foreach { e =>
+            try frame.select(expr(e)).queryExecution.analyzed
+            catch {
+              case ex: Exception => GraftException.badRequest(
+                s"level '${l.name}': bad expression '$e': ${ex.getMessage}")
+            }
+          }
+        }
+      }
+      cube.measures.foreach { mm =>
+        try fact.select(expr(mm.expr)).queryExecution.analyzed
+        catch {
+          case ex: Exception => GraftException.badRequest(
+            s"measure '${mm.name}': bad expression '${mm.expr}': ${ex.getMessage}")
+        }
+      }
+    }
+}

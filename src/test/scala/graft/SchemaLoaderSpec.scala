@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.GraftException
+import graft.planner._
+import graft.sources.{SchemaLoader, Sinks}
+import graft.result.Json
+import SparkTestSession.{spark, sf}
+
+/** Declarative JSON catalog loading (the XML-catalog analog) over mixed
+  * source formats, with load-time validation. */
+class SchemaLoaderSpec extends AnyFunSuite {
+
+  private def drill(d: String, l: String = null) =
+    LevelDrill(LevelRef(d, Option(l)))
+
+  private lazy val csvDir: String = {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/region"
+    Sinks.csvSingle(SparkTestSession.catalog.table("region"), dir)
+    dir
+  }
+
+  private def catalogJson(regionSource: String): String =
+    s"""{
+       |  "name": "mini",
+       |  "tables": [
+       |    $regionSource,
+       |    {"name": "nation", "path": "$sf/nation.parquet"},
+       |    {"name": "orders", "path": "$sf/orders.parquet"},
+       |    {"name": "customer", "path": "$sf/customer.parquet"},
+       |    {"name": "geo", "join": {"left": "nation", "right": "region",
+       |      "leftKey": "n_regionkey", "rightKey": "r_regionkey"}},
+       |    {"name": "cust_geo", "join": {"left": "customer", "right": "geo",
+       |      "leftKey": "c_nationkey", "rightKey": "n_nationkey"}}
+       |  ],
+       |  "cubes": [{
+       |    "name": "orders",
+       |    "factTable": "orders",
+       |    "dimensions": [
+       |      {"name": "Geography", "join": {"table": "cust_geo",
+       |        "foreignKey": "o_custkey", "primaryKey": "c_custkey"},
+       |       "hierarchies": [{"name": "Geo", "levels": [
+       |         {"name": "Region", "key": "r_regionkey", "alias": "region",
+       |          "caption": "r_name"},
+       |         {"name": "Nation", "key": "n_nationkey", "alias": "nation",
+       |          "caption": "n_name"}]}]},
+       |      {"name": "OrderDate", "type": "time", "hierarchies": [
+       |        {"name": "Monthly", "levels": [
+       |          {"name": "Year", "key": "year(o_orderdate)",
+       |           "alias": "order_year"}]}]}
+       |    ],
+       |    "measures": [
+       |      {"name": "Total Sales", "alias": "total_sales",
+       |       "aggregator": "sum", "expr": "o_totalprice"},
+       |      {"name": "Orders", "alias": "order_count",
+       |       "aggregator": "count-all", "expr": "1"}
+       |    ],
+       |    "calculatedMembers": [
+       |      {"alias": "avg_sale", "formula": "total_sales / order_count"}]
+       |  }]
+       |}""".stripMargin
+
+  private val parquetRegion = s"""{"name": "region", "path": "$sf/region.parquet"}"""
+
+  test("JSON catalog over parquet answers queries identically to the code catalog") {
+    val cat = SchemaLoader.load(spark, catalogJson(parquetRegion))
+    val got = Planner.plan(cat, CubeQuery("orders",
+      Seq(drill("Geography", "Region")),
+      Seq("total_sales", "order_count", "avg_sale"))).collect()
+    val want = Planner.plan(SparkTestSession.catalog, CubeQuery("orders",
+      Seq(drill("Geography", "Region")),
+      Seq("total_sales", "order_count"))).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getInt(0) == w.getInt(0))
+      assert(g.getDouble(2) == w.getDouble(2)) // identical decimal-exact sums
+      assert(g.getDouble(4) == g.getDouble(2) / g.getLong(3))
+    }
+  }
+
+  test("CSV source joins into the same star (B1 multi-format sources)") {
+    val csvRegion =
+      s"""{"name": "region", "format": "csv", "path": "$csvDir",
+         |"options": {"header": "true", "inferSchema": "true"}}""".stripMargin
+    val cat = SchemaLoader.load(spark, catalogJson(csvRegion))
+    val rows = Planner.plan(cat, CubeQuery("orders",
+      Seq(drill("Geography", "Region")), Seq("order_count"))).collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      SparkTestSession.catalog.table("orders").count())
+  }
+
+  test("load-time validation rejects bad expressions and missing keys (400)") {
+    val badMeasure = catalogJson(parquetRegion)
+      .replace("\"expr\": \"o_totalprice\"", "\"expr\": \"no_such_column\"")
+    assert(intercept[GraftException](
+      SchemaLoader.load(spark, badMeasure)).status == 400)
+    val badFk = catalogJson(parquetRegion)
+      .replace("\"foreignKey\": \"o_custkey\"", "\"foreignKey\": \"nope\"")
+    assert(intercept[GraftException](
+      SchemaLoader.load(spark, badFk)).status == 400)
+  }
+
+  test("Json.parse round-trips the writer") {
+    val doc = scala.collection.immutable.ListMap(
+      "a" -> Seq(1L, 2.5, "x\n", null, true),
+      "b" -> scala.collection.immutable.ListMap("c" -> "d"))
+    assert(Json.parse(Json.write(doc)) == doc)
+  }
+}
