@@ -42,10 +42,24 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
   private def handle(ex: HttpExchange): Unit = {
     try {
       val path = ex.getRequestURI.getPath.stripSuffix("/")
-      val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      route(path.split("/").toList.filter(_.nonEmpty), params) match {
-        case (status, contentType, body) =>
-          respond(ex, status, contentType, body)
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      // POST aggregate accepts form-encoded params in the body and gives
+      // identical results to GET (ref api_spec.rb:274-282)
+      val isForm = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .exists(_.startsWith("application/x-www-form-urlencoded"))
+      val params =
+        parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
+          (if (isForm) parseQuery(body) else Map.empty)
+      val segs = path.split("/").toList.filter(_.nonEmpty)
+      val result = segs match {
+        case ("mdx" | "mdx.csv" | "mdx.jsonrecords") :: Nil
+          if ex.getRequestMethod == "POST" => mdx(segs.head, body, params)
+        case _ => route(segs, params)
+      }
+      result match {
+        case (status, contentType, resBody) =>
+          respond(ex, status, contentType, resBody)
       }
     } catch {
       case e: GraftException =>
@@ -100,6 +114,32 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
       catalog = CubeCatalog.forDir(spark, sfDir)
       (200, "application/json", Json.write(ListMap("status" -> "flushed")))
     case _ => GraftException.notFound(s"no route for /${segs.mkString("/")}")
+  }
+
+  /** POST /mdx[.ext] — raw-MDX passthrough for the subset dialect the
+    * reference's own builder emits (ref api.rb:21-50, SURVEY §3.2). The cube
+    * is recovered from the FROM clause. */
+  private def mdx(endpoint: String, body: String,
+      params: Map[String, Seq[String]]): (Int, String, String) = {
+    val fromRe = """(?is)\bFROM\s+(\[[^\]]+\]|\S+)""".r
+    val cubeName = fromRe.findFirstMatchIn(body)
+      .map(m => m.group(1).stripPrefix("[").stripSuffix("]"))
+      .getOrElse(GraftException.badRequest("MDX has no FROM clause"))
+    val c = cube(cubeName)
+    var q = QueryParser.fromParams(c, params) // parents/properties/caption
+    val mdxQ = graft.planner.MdxParser.parse(c, body)
+    q = mdxQ.copy(parents = q.parents, properties = q.properties,
+      captions = q.captions, sparse = q.sparse)
+    endpoint match {
+      case "mdx" => (200, "application/json", AxesResult.json(catalog, q))
+      case "mdx.csv" =>
+        (200, "text/csv", Formatters.csv(Formatters.tidy(catalog, q)))
+      case "mdx.jsonrecords" =>
+        val asArrays = params.get("format").exists(_.headOption.contains("array"))
+        (200, "application/json",
+          Formatters.jsonRecords(Formatters.tidy(catalog, q), asArrays))
+      case other => GraftException.notFound(s"unknown format: $other")
+    }
   }
 
   /** GET /cubes/:cube/aggregate[.ext] — all §2.A params. */

@@ -17,6 +17,9 @@ final case class MemberCut(level: LevelRef, key: Any) extends Cut
 final case class SetCut(level: LevelRef, keys: Seq[Any]) extends Cut
 final case class RangeCut(level: LevelRef, lo: Any, hi: Any) extends Cut
 final case class NamedSetCut(set: String) extends Cut
+/** Ad-hoc TopCount restriction (MDX `TOPCOUNT(set, k, measure)` without a
+  * schema named set): keep the k best members of the level by the measure. */
+final case class TopKCut(level: LevelRef, k: Int, byMeasure: String) extends Cut
 
 /** Axis drilldowns (ref A2/A15). */
 sealed trait Drill

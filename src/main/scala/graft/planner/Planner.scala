@@ -338,6 +338,12 @@ object Planner {
       val keys = namedSetKeys(cat, cube, ns)
         .select(col(lvl.alias).as("__ns_key"))
       df.join(broadcast(keys), col(lvl.alias) === col("__ns_key"), "left_semi")
+    case TopKCut(l, k, byMeasure) =>
+      val rl = resolve(cube, l)
+      val keys = topKKeys(cat, cube, rl, k, byMeasure)
+        .select(col(rl.level.alias).as("__ns_key"))
+      df.join(broadcast(keys), col(rl.level.alias) === col("__ns_key"),
+        "left_semi")
   }
 
   // public handles for Rollups (B17)
@@ -351,6 +357,7 @@ object Planner {
     case MemberCut(l, _) => Some(l)
     case SetCut(l, _) => Some(l)
     case RangeCut(l, _, _) => Some(l)
+    case TopKCut(l, _, _) => Some(l)
     case NamedSetCut(_) => None
   }
 
@@ -382,17 +389,27 @@ object Planner {
       val lvl = resolve(cube, LevelRef(ns.dim, Some(ns.level))).level
       val keys = namedSetKeys(cat, cube, ns)
       df.join(broadcast(keys), expr(lvl.keyExpr) === keys(lvl.alias), "left_semi")
+    case TopKCut(l, k, byMeasure) =>
+      val rl = resolve(cube, l)
+      val keys = topKKeys(cat, cube, rl, k, byMeasure)
+      df.join(broadcast(keys), expr(rl.level.keyExpr) === keys(rl.level.alias),
+        "left_semi")
   }
 
   /** TopCount named set (ref B9, foodmart.xml:405-410): k member keys by
     * measure, descending — TakeOrderedAndProject, no full sort. */
-  def namedSetKeys(cat: CubeCatalog, cube: CubeDef, ns: NamedSetDef): DataFrame = {
+  def namedSetKeys(cat: CubeCatalog, cube: CubeDef, ns: NamedSetDef): DataFrame =
+    topKKeys(cat, cube, resolve(cube, LevelRef(ns.dim, Some(ns.level))),
+      ns.k, ns.byMeasure)
+
+  private def topKKeys(cat: CubeCatalog, cube: CubeDef, rl: ResolvedLevel,
+      k: Int, byMeasure: String): DataFrame = {
     val q = CubeQuery(cube.name,
-      Seq(LevelDrill(LevelRef(ns.dim, Some(ns.level)))), Seq(ns.byMeasure),
-      order = Some(OrderSpec(OrderByMeasure(ns.byMeasure), desc = true)),
-      limit = Some(ns.k))
-    val lvl = resolve(cube, LevelRef(ns.dim, Some(ns.level))).level
-    planCube(cat, cube, q).select(lvl.alias)
+      Seq(LevelDrill(LevelRef(rl.dim.name, Some(rl.level.name),
+        Some(rl.hier.name)))), Seq(byMeasure),
+      order = Some(OrderSpec(OrderByMeasure(byMeasure), desc = true)),
+      limit = Some(k))
+    planCube(cat, cube, q).select(rl.level.alias)
   }
 
   /** Levels emitted per drilldown: just the level, or the full ancestor chain

@@ -1,0 +1,102 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Server
+import graft.result.Json
+import SparkTestSession.spark
+
+/** End-to-end HTTP tests against the live server (the analog of the
+  * reference's Rack::Test api_spec). */
+class ApiSpec extends AnyFunSuite {
+
+  private lazy val server: Server = {
+    val s = new Server(spark, SparkTestSession.sf, 0) // ephemeral port
+    s.start()
+    s
+  }
+  private lazy val base = s"http://localhost:${server.boundPort}"
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + path)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: String,
+      contentType: String = "text/plain"): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("GET /cubes lists the schema") {
+    val (code, body) = get("/cubes")
+    assert(code == 200)
+    val doc = Json.parse(body).asInstanceOf[Map[String, Any]]
+    val names = doc("cubes").asInstanceOf[Seq[Map[String, Any]]].map(_("name"))
+    assert(names.toSet == Set("sales", "orders", "events", "commerce"))
+  }
+
+  test("GET aggregate returns axes/cell_keys/values with dense default") {
+    val (code, body) = get("/cubes/sales/aggregate?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue")
+    assert(code == 200)
+    val doc = Json.parse(body).asInstanceOf[Map[String, Any]]
+    assert(doc("values").asInstanceOf[Seq[Any]].length == 5)
+    assert(doc("axes").asInstanceOf[Seq[Any]].length == 2)
+  }
+
+  test("POST aggregate (form body) equals GET (reference parity)") {
+    val qs = "drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue&measures%5B%5D=cnt"
+    val (_, viaGet) = get(s"/cubes/sales/aggregate?$qs")
+    val (code, viaPost) = post("/cubes/sales/aggregate", qs,
+      "application/x-www-form-urlencoded")
+    assert(code == 200)
+    assert(viaGet == viaPost)
+  }
+
+  test("POST /mdx matches the equivalent REST aggregate") {
+    val (_, viaRest) = get(
+      "/cubes/sales/aggregate?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue&nonempty=true")
+    val (code, viaMdx) = post("/mdx",
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM [sales]""".stripMargin)
+    assert(code == 200)
+    assert(Json.parse(viaMdx).asInstanceOf[Map[String, Any]]("values") ==
+      Json.parse(viaRest).asInstanceOf[Map[String, Any]]("values"))
+  }
+
+  test("CSV and jsonrecords formats stream tidy output") {
+    val (_, csv) = get(
+      "/cubes/sales/aggregate.csv?drilldown%5B%5D=ReturnFlag&measures%5B%5D=sum_qty")
+    assert(csv.startsWith("ID ReturnFlag,ReturnFlag,Quantity"))
+    assert(csv.trim.split("\r\n").length == 4) // header + 3 flags
+    val (_, jr) = get(
+      "/cubes/sales/aggregate.jsonrecords?drilldown%5B%5D=ReturnFlag&measures%5B%5D=sum_qty&format=array")
+    val doc = Json.parse(jr).asInstanceOf[Map[String, Any]]
+    assert(doc("variables") == Seq("ID ReturnFlag", "ReturnFlag", "Quantity"))
+  }
+
+  test("error contract over HTTP: 400 planner errors, 404 unknown routes") {
+    assert(get("/cubes/sales/aggregate?drilldown%5B%5D=Nope&measures%5B%5D=revenue")._1 == 400)
+    assert(get("/cubes/nope")._1 == 404)
+    assert(get("/no/such/route")._1 == 404)
+    assert(post("/mdx", "garbage")._1 == 400)
+  }
+
+  test("level members and member-by-key endpoints") {
+    val (_, members) = get("/cubes/sales/dimensions/Geography/levels/Region/members")
+    val keys = Json.parse(members).asInstanceOf[Map[String, Any]]("members")
+      .asInstanceOf[Seq[Map[String, Any]]].map(_("key"))
+    assert(keys == Seq(0L, 1L, 2L, 3L, 4L))
+    val (code, m) = get("/cubes/sales/dimensions/Geography/levels/Nation/members/3")
+    assert(code == 200)
+    assert(Json.parse(m).asInstanceOf[Map[String, Any]]("ancestors")
+      .asInstanceOf[Seq[Map[String, Any]]].head("caption") == "EUROPE")
+  }
+}
