@@ -135,7 +135,12 @@ object TpchCatalog {
           LevelDef("Month", "month(l_shipdate)", "ship_month"))),
         HierarchyDef("Weekly", Seq(
           LevelDef("Year", "year(l_shipdate)", "ship_year"),
-          LevelDef("Week", "weekofyear(l_shipdate)", "ship_week")))),
+          LevelDef("Week", "weekofyear(l_shipdate)", "ship_week"))),
+        // B13 name/ordinal expression split: keyed+labeled by month NAME,
+        // member order driven by a separate ordinal expression
+        HierarchyDef("MonthNames", Seq(
+          LevelDef("MonthName", "date_format(l_shipdate, 'MMMM')",
+            "month_name", ordExpr = Some("month(l_shipdate)"))))),
         isTime = true),
       DimensionDef("ReturnFlag", Seq(HierarchyDef("ReturnFlag",
         Seq(LevelDef("ReturnFlag", "l_returnflag", "return_flag"))))),

@@ -168,7 +168,16 @@ object SparkEntry {
     // events cube daily rollup incl. per-group distinct users
     "q30_events_daily" -> CubeQuery("events",
       Seq(drill("EventDate", "Day", "Daily"), drill("EventType")),
-      Seq("value_sum", "event_count", "user_count")))
+      Seq("value_sum", "event_count", "user_count")),
+    // B13: name/ordinal expression split — members sorted by a separate
+    // ordinal expression, not their caption
+    "q32_month_ordinal" -> CubeQuery("sales",
+      Seq(drill("ShipDate", "MonthName", "MonthNames")), Seq("revenue")),
+    // B16: second (Weekly) hierarchy over the same time dimension
+    "q33_weekly_hierarchy" -> CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Weekly"),
+        drill("ShipDate", "Week", "Weekly")),
+      Seq("revenue", "cnt")))
 
   // ============================================== LLM-pipeline operators
   // (dedup / similarity / text analysis / multimodal / sessionization —
@@ -531,6 +540,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames,
         |CAST(unnest(range(0, doc_id % 10 + 1, 2)) AS INTEGER) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "q32_month_ordinal" ->
+      s"""SELECT monthname(l_shipdate) AS month_name, ${sumd(REV, "revenue")}
+         |FROM lineitem GROUP BY monthname(l_shipdate), month(l_shipdate)
+         |ORDER BY month(l_shipdate)""".stripMargin,
+    "q33_weekly_hierarchy" ->
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |CAST(weekofyear(l_shipdate) AS INTEGER) AS ship_week,
+         |${sumd(REV, "revenue")}, COUNT(1) AS cnt
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q31_parent_child" ->
       """WITH RECURSIVE closure AS (
         |  SELECT c_custkey AS ancestor, c_custkey AS descendant FROM customer

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.model.GraftException
+
+/** SparkSessionExtensions entry point: registers graft's native Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT simhash64(...)")`
+  * works next to the Column API. Activate with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * or `spark.sql.extensions=graft.functions.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.simhashDesc)
+    e.injectFunction(GraftExtensions.minhashDesc)
+  }
+}
+
+object GraftExtensions {
+
+  private type Desc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private[functions] val simhashDesc: Desc = (
+    FunctionIdentifier("simhash64"),
+    info("simhash64", "simhash64(tokens) - 64-bit SimHash of array<string>"),
+    (args: Seq[Expression]) => args match {
+      case Seq(child) => SimHash64(child)
+      case _ => GraftException.badRequest("simhash64 takes 1 argument")
+    })
+
+  private[functions] val minhashDesc: Desc = (
+    FunctionIdentifier("minhash_sig"),
+    info("minhash_sig",
+      "minhash_sig(hashes, numHashes) - one-permutation MinHash signature"),
+    (args: Seq[Expression]) => args match {
+      case Seq(child, k) =>
+        MinHashSig(child, k.eval().asInstanceOf[Number].intValue())
+      case _ => GraftException.badRequest(
+        "minhash_sig takes (array<bigint>, numHashes)")
+    })
+
+  /** Register on an already-built session (no extensions hook needed). */
+  def register(spark: SparkSession): Unit =
+    Seq(simhashDesc, minhashDesc).foreach { case (id, ei, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, ei, builder)
+    }
+}

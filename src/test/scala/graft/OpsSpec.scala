@@ -110,6 +110,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("custom expressions register as SQL functions (SparkSessionExtensions)") {
+    graft.functions.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(split(text, ' ')) AS sh FROM docs_v ORDER BY doc_id LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaCol = docs
+      .select(col("doc_id"), graft.functions.SimHash64.simhash64(
+        split(col("text"), " ")).as("sh"))
+      .orderBy("doc_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.sameElements(viaCol))
+    val sig = spark.sql(
+      "SELECT minhash_sig(transform(split(text, ' '), t -> xxhash64(t)), 16) AS s FROM docs_v LIMIT 1")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 16)
+  }
+
   test("text quality + langid are deterministic and complete") {
     val q = TextOps.qualityScore(docs).collect()
     assert(q.length == docs.count())
