@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.planner._
+import SparkTestSession.{catalog => cat}
+
+/** Property-based invariants over randomized cube queries (SURVEY §5: an
+  * upgrade over the reference's example-based tests). Deterministic seeded
+  * sampling (the scalatest⇄scalacheck bridge isn't in the offline cache),
+  * real execution per sample. */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var found = 0
+    var i = 0
+    while (found < n && i < n * 10) {
+      g.apply(params, Seed(42L + i)).foreach { a => body(a); found += 1 }
+      i += 1
+    }
+    assert(found == n, s"could only generate $found/$n samples")
+  }
+
+  private val levelGen: Gen[LevelRef] = Gen.oneOf(
+    LevelRef("Geography", Some("Region")),
+    LevelRef("Geography", Some("Nation")),
+    LevelRef("Part", Some("Brand"), Some("Brands")),
+    LevelRef("ReturnFlag", Some("ReturnFlag")),
+    LevelRef("LineStatus", Some("LineStatus")),
+    LevelRef("ShipDate", Some("Year"), Some("Monthly")))
+
+  private val drillsGen: Gen[Seq[LevelRef]] = for {
+    n <- Gen.choose(1, 3)
+    ls <- Gen.pick(n, Seq(
+      LevelRef("Geography", Some("Nation")),
+      LevelRef("Part", Some("Brand"), Some("Brands")),
+      LevelRef("ReturnFlag", Some("ReturnFlag")),
+      LevelRef("LineStatus", Some("LineStatus")),
+      LevelRef("ShipDate", Some("Year"), Some("Monthly"))))
+  } yield ls.toSeq
+
+  private val cutGen: Gen[Cut] = Gen.oneOf(
+    Gen.oneOf(0, 1, 2, 3, 4).map(k =>
+      MemberCut(LevelRef("Geography", Some("Region")), k)),
+    Gen.someOf(Seq("A", "N", "R")).suchThat(_.nonEmpty).map(ks =>
+      SetCut(LevelRef("ReturnFlag", Some("ReturnFlag")), ks.toSeq)),
+    Gen.choose(1995, 1999).map(y =>
+      RangeCut(LevelRef("ShipDate", Some("Year"), Some("Monthly")), y, y + 2)))
+
+  private val grandTotal: Double =
+    Planner.plan(cat, CubeQuery("sales", Nil, Seq("revenue")))
+      .collect()(0).getDouble(0)
+
+  test("additivity: any drilldown's revenues sum to the grand total") {
+    forAll(drillsGen) { drills =>
+      val df = Planner.plan(cat, CubeQuery("sales",
+        drills.map(LevelDrill(_)), Seq("revenue")))
+      val cols = df.columns.length
+      val total = df.collect().map(_.getDouble(cols - 1)).sum
+      assert(math.abs(total - grandTotal) < 1e-4,
+        s"drills=$drills total=$total grand=$grandTotal")
+    }
+  }
+
+  test("a cut never increases any group's value, and filters the axis") {
+    forAll(Gen.zip(drillsGen, cutGen)) { case (drills, cut) =>
+      val base = CubeQuery("sales", drills.map(LevelDrill(_)), Seq("revenue"))
+      val free = Planner.plan(cat, base).collect()
+      val cutQ = try Some(Planner.plan(cat, base.copy(cuts = Seq(cut)))
+        .collect())
+      catch { case e: graft.model.GraftException => None } // ascendant guard
+      cutQ.foreach { cutRows =>
+        val freeMap = free.map(r =>
+          r.toSeq.dropRight(1) -> r.getDouble(r.length - 1)).toMap
+        assert(cutRows.length <= free.length)
+        cutRows.foreach { r =>
+          val key = r.toSeq.dropRight(1)
+          val v = r.getDouble(r.length - 1)
+          freeMap.get(key).foreach(fv => assert(v <= fv + 1e-6,
+            s"cut=$cut key=$key cutVal=$v freeVal=$fv"))
+        }
+      }
+    }
+  }
+
+  test("nonempty is always a key-subset of dense with identical cells") {
+    forAll(drillsGen) { drills =>
+      val q = CubeQuery("sales", drills.map(LevelDrill(_)), Seq("revenue"))
+      val sparse = Planner.plan(cat, q.copy(nonempty = true)).collect()
+      val dense = Planner.plan(cat, q.copy(nonempty = false)).collect()
+      assert(sparse.length <= dense.length)
+      val denseMap = dense.map(r =>
+        r.toSeq.dropRight(1) -> r.get(r.length - 1)).toMap
+      sparse.foreach { r =>
+        assert(denseMap(r.toSeq.dropRight(1)) == r.get(r.length - 1))
+      }
+    }
+  }
+
+  test("HAVING output rows all satisfy the predicate and appear in the base") {
+    forAll(Gen.zip(drillsGen, Gen.choose(1.0e5, 5.0e7))) {
+      case (drills, threshold) =>
+        val base = CubeQuery("sales", drills.map(LevelDrill(_)), Seq("revenue"))
+        val all = Planner.plan(cat, base).collect()
+          .map(r => r.toSeq.dropRight(1) -> r.getDouble(r.length - 1)).toMap
+        val kept = Planner.plan(cat, base.copy(
+          filters = Seq(MeasureFilter("revenue", ">", threshold)))).collect()
+        kept.foreach { r =>
+          val v = r.getDouble(r.length - 1)
+          assert(v > threshold)
+          assert(all(r.toSeq.dropRight(1)) == v)
+        }
+        assert(kept.length == all.values.count(_ > threshold))
+    }
+  }
+
+  test("pagination partitions the ordered axis") {
+    forAll(Gen.zip(levelGen, Gen.choose(0, 6), Gen.choose(1, 5))) {
+      case (level, offset, limit) =>
+        val base = CubeQuery("sales", Seq(LevelDrill(level)), Seq("revenue"))
+        val all = Planner.plan(cat, base).collect().map(_.toSeq)
+        val page = Planner.plan(cat, base.copy(offset = offset,
+          limit = Some(limit))).collect().map(_.toSeq)
+        assert(page.toSeq == all.slice(offset, offset + limit).toSeq)
+    }
+  }
+}
