@@ -93,6 +93,13 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
       }
     case List("cubes", c, agg) if agg.startsWith("aggregate") =>
       aggregate(c, agg, params)
+    case List("cubes", c, "members") =>
+      val fullName = params.get("full_name").flatMap(_.headOption)
+        .getOrElse(GraftException.badRequest("full_name param required"))
+      Metadata.memberByFullName(catalog, cube(c), fullName) match {
+        case Some(m) => (200, "application/json", Json.write(m))
+        case None => GraftException.notFound(s"member not found: $fullName")
+      }
     case List("cubes", c, "dimensions", d) =>
       val dim = cube(c).dimension(d).getOrElse(
         GraftException.notFound(s"dimension not found: $d"))

@@ -145,6 +145,14 @@ object Metadata {
       .where(col(s"${rl.level.alias}__k") === lit(key)).limit(1).collect()
     rows.headOption.map { r =>
       val n = chain.length
+      // num_children (ref C2 CHILDREN_CARDINALITY): distinct next-level keys
+      // under this member; 0 at the leaf level
+      val numChildren: Long = rl.hier.levels.lift(rl.depth + 1) match {
+        case Some(childLevel) =>
+          src.where(expr(rl.level.keyExpr) === lit(key))
+            .select(expr(childLevel.keyExpr)).distinct().count()
+        case None => 0L
+      }
       def dict(i: Int): ListMap[String, Any] = ListMap(
         "name" -> String.valueOf(r.get(2 * i + 1)),
         "full_name" -> s"[${rl.dim.name}].[${r.get(2 * i)}]",
@@ -152,7 +160,25 @@ object Metadata {
         "key" -> r.get(2 * i),
         "level_name" -> chain(i).name,
         "depth" -> i)
-      dict(n - 1) + ("ancestors" -> (0 until n - 1).reverse.map(dict))
+      dict(n - 1) +
+        ("num_children" -> numChildren) +
+        ("ancestors" -> (0 until n - 1).reverse.map(dict))
+    }
+  }
+
+  /** Member lookup by MDX-ish full name `[Dim].[Level].[key]` or
+    * `[Dim].[Hier].[Level].[key]` (ref GET /cubes/:cube/members?full_name=,
+    * api.rb:93-113). */
+  def memberByFullName(cat: CubeCatalog, cube: CubeDef,
+      fullName: String): Option[ListMap[String, Any]] = {
+    val segs = graft.planner.QueryParser.segments(fullName)
+    segs match {
+      case Seq(d, l, k) => memberByKey(cat, cube,
+        LevelRef(d, Some(l)), graft.planner.QueryParser.typedKey(k))
+      case Seq(d, h, l, k) => memberByKey(cat, cube,
+        LevelRef(d, Some(l), Some(h)), graft.planner.QueryParser.typedKey(k))
+      case _ => GraftException.badRequest(
+        s"full_name '$fullName' must be [Dim].[Level].[key]")
     }
   }
 }

@@ -89,6 +89,26 @@ class ApiSpec extends AnyFunSuite {
     assert(post("/mdx", "garbage")._1 == 400)
   }
 
+  test("member lookup by full_name with num_children (C2/§2.D)") {
+    val (code, body) = get(
+      "/cubes/sales/members?full_name=%5BGeography%5D.%5BRegion%5D.%5B3%5D")
+    assert(code == 200)
+    val m = Json.parse(body).asInstanceOf[Map[String, Any]]
+    assert(m("caption") == "EUROPE" && m("level_name") == "Region")
+    assert(m("num_children").asInstanceOf[Long] > 0L) // nations under EUROPE
+    assert(get("/cubes/sales/members")._1 == 400)
+    assert(get("/cubes/sales/members?full_name=%5BGeography%5D.%5BRegion%5D.%5B99%5D")._1 == 404)
+  }
+
+  test("nest utility groups driver-side collections (C7)") {
+    val items = Seq(("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z"))
+    val tree = result.Nest.nest[(String, Int, String)](items,
+      Seq(t => t._1, t => t._2), xs => xs.map(_._3))
+      .asInstanceOf[Map[Any, Any]]
+    assert(tree("a").asInstanceOf[Map[Any, Any]](2) == Seq("y"))
+    assert(tree("b").asInstanceOf[Map[Any, Any]](1) == Seq("z"))
+  }
+
   test("level members and member-by-key endpoints") {
     val (_, members) = get("/cubes/sales/dimensions/Geography/levels/Region/members")
     val keys = Json.parse(members).asInstanceOf[Map[String, Any]]("members")
