@@ -17,27 +17,38 @@ import org.apache.spark.sql.functions._
 object ParentChild {
 
   /** Transitive closure incl. self-pairs: (ancestor, descendant, depth).
-    * `edges` must have columns (idCol, parentCol); roots have null parent. */
+    * `edges` must have columns (idCol, parentCol); roots have null parent.
+    *
+    * Computed by PATH DOUBLING: each round joins the ≤d-step relation with
+    * itself, covering ≤2d steps — ⌈log₂ depth⌉ shuffles instead of one per
+    * tree level (a depth-60 chain closes in 6 rounds). In a forest every
+    * (ancestor, descendant) pair has exactly one path, so distinct() is
+    * exact dedup, not an approximation. */
   def closure(edges: DataFrame, idCol: String, parentCol: String,
-      maxDepth: Int = 32): DataFrame = {
-    val child2parent = edges.select(col(idCol).as("c"), col(parentCol).as("p"))
-      .where(col(parentCol).isNotNull)
-    var acc = edges.select(col(idCol).as("ancestor"),
+      maxDepth: Int = 64): DataFrame = {
+    val self = edges.select(col(idCol).as("ancestor"),
       col(idCol).as("descendant"), lit(0).as("depth"))
-    var frontier = child2parent.select(col("p").as("ancestor"),
-      col("c").as("descendant"), lit(1).as("depth"))
-    var d = 1
-    while (d <= maxDepth && !frontier.isEmpty) {
-      acc = acc.unionByName(frontier)
-      val next = frontier.as("f")
-        .join(child2parent.as("cp"), col("f.ancestor") === col("cp.c"))
-        .select(col("cp.p").as("ancestor"),
-          col("f.descendant").as("descendant"),
-          (col("f.depth") + 1).as("depth"))
-      frontier = next.localCheckpoint() // truncate the growing lineage
-      d += 1
+    var rel = edges.where(col(parentCol).isNotNull)
+      .select(col(parentCol).as("ancestor"), col(idCol).as("descendant"),
+        lit(1).as("depth"))
+      .localCheckpoint()
+    var covered = 1L
+    var count = rel.count()
+    var growing = true
+    while (growing && covered < maxDepth) {
+      val next = rel.as("x").join(rel.as("y"),
+          col("x.ancestor") === col("y.descendant"))
+        .select(col("y.ancestor").as("ancestor"),
+          col("x.descendant").as("descendant"),
+          (col("x.depth") + col("y.depth")).as("depth"))
+      val doubled = rel.unionByName(next).distinct().localCheckpoint()
+      val newCount = doubled.count()
+      growing = newCount > count
+      rel = doubled
+      count = newCount
+      covered *= 2
     }
-    acc
+    self.unionByName(rel)
   }
 
   /** Transitive rollup: aggregate fact rows into every ancestor of their
