@@ -23,10 +23,17 @@ object SparkEntry {
     LevelDrill(LevelRef(dim, Option(level), Option(hier)))
 
   // ---- shared SQL fragments (DuckDB dialect; mirror the planner exactly) ----
+  // NOTE the VARCHAR hop: Spark's double→decimal cast goes through the
+  // shortest round-trip string (BigDecimal.valueOf), while DuckDB's direct
+  // cast uses the exact binary expansion — they can disagree in the last
+  // decimal place. Routing DuckDB through VARCHAR makes both sides quantize
+  // identically.
+  private def dec(e: String) =
+    s"CAST(CAST(($e) AS VARCHAR) AS DECIMAL(27,6))"
   private def sumd(e: String, a: String) =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(27,6))) AS DOUBLE) AS $a"
+    s"CAST(SUM(${dec(e)}) AS DOUBLE) AS $a"
   private def avgd(e: String, a: String) =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(27,6))) AS DOUBLE) / COUNT($e) AS $a"
+    s"CAST(SUM(${dec(e)}) AS DOUBLE) / COUNT($e) AS $a"
   private val REV = "l_extendedprice * (1.0 - l_discount)"
   private val SUPP_GEO_JOIN =
     """FROM lineitem
@@ -220,7 +227,10 @@ object SparkEntry {
         val c = CubeCatalog.forDir(s, dir)
         ops.ParentChild.customerOrgRollup(c.table("customer"),
           c.table("orders"))
-      }))
+      }),
+      "d06_dedup_keep_first" -> tbl("documents")(ops.TextOps.dedupKeepFirst),
+      "t05_top_words" -> tbl("documents")(ops.TextOps.topWordsPerLang(_, 5)),
+      "s03_label_centroids" -> tbl("embeddings")(ops.Similarity.labelCentroids))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cubeQueries.map { case (n, q) => n -> cq(q) } ++ opsQueries
@@ -286,7 +296,7 @@ object SparkEntry {
     "q11_dense_axes" ->
       """WITH agg AS (
         |  SELECT CAST(ts AS DATE) AS event_day, event_type,
-        |    CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
+        |    CAST(SUM(CAST(CAST((value) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
         |    COUNT(1) AS event_count
         |  FROM events GROUP BY 1, 2)
         |SELECT d.event_day, t.event_type, a.value_sum, a.event_count
@@ -297,7 +307,7 @@ object SparkEntry {
     "q12_sparse" ->
       """WITH agg AS (
         |  SELECT CAST(ts AS DATE) AS event_day, event_type,
-        |    CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
+        |    CAST(SUM(CAST(CAST((value) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
         |    COUNT(1) AS event_count
         |  FROM events GROUP BY 1, 2),
         |dense AS (
@@ -433,7 +443,7 @@ object SparkEntry {
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_events_daily" ->
       """SELECT CAST(ts AS DATE) AS event_day, event_type,
-        |CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
+        |CAST(SUM(CAST(CAST((value) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum,
         |COUNT(1) AS event_count, COUNT(DISTINCT user_id) AS user_count
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // ------------------------- LLM-pipeline operators (DuckDB equivalents;
@@ -534,8 +544,32 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
         |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(1) AS n_events,
-        |CAST(SUM(CAST((value) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
+        |CAST(SUM(CAST(CAST((value) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d06_dedup_keep_first" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+    "t05_top_words" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnts AS (SELECT lang, token, COUNT(1) AS cnt FROM tok GROUP BY 1, 2),
+        |ranked AS (SELECT lang, token, cnt,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank
+        |  FROM cnts)
+        |SELECT lang, rank, token, cnt FROM ranked WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    "s03_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
+        |    CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos
+        |  FROM embeddings)
+        |SELECT label, pos,
+        |CAST(SUM(CAST(CAST(val AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(1) AS centroid,
+        |COUNT(1) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m02_frame_sample" ->
       """SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames,
         |CAST(unnest(range(0, doc_id % 10 + 1, 2)) AS INTEGER) AS frame_idx
@@ -557,7 +591,7 @@ object SparkEntry {
         |  FROM closure cl JOIN customer c
         |  ON c.c_custkey // 2 = cl.descendant AND c.c_custkey > 0)
         |SELECT cl.ancestor AS customer,
-        |CAST(SUM(CAST((o_totalprice) AS DECIMAL(27,6))) AS DOUBLE) AS subtree_sales,
+        |CAST(SUM(CAST(CAST((o_totalprice) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS subtree_sales,
         |COUNT(1) AS subtree_orders
         |FROM orders JOIN closure cl ON o_custkey = cl.descendant
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -39,6 +39,21 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label centroids, element-wise (posexplode → per-position exact
+    * decimal mean): the building block for IVF-style coarse quantization and
+    * class prototypes. Long format (label, pos, centroid) — no array
+    * reassembly shuffle. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "val")))
+      .select(col("label"), (col("pos0") + 1).as("pos"),
+        col("val").cast("double").as("val"))
+      .groupBy("label", "pos")
+      .agg(
+        (sum(expr("CAST(val AS DECIMAL(27,12))")).cast("double") /
+          count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
   /** Deterministic random hyperplanes: `bits` planes of dimension `dim`,
     * seeded Gaussian (java.util.Random's algorithm is specified, so the
     * planes are identical on every JVM). */

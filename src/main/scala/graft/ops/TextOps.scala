@@ -105,4 +105,29 @@ object TextOps {
       count(lit(1)).as("docs"),
       countDistinct(md5(col("text"))).as("distinct_docs"),
       (count(lit(1)) - countDistinct(md5(col("text")))).as("dups_removed"))
+
+  /** Exact dedup, keep-first policy: retain the lowest doc_id per digest
+    * group (one shuffle on the digest; the survivor set is what a training
+    * pipeline feeds downstream). */
+  def dedupKeepFirst(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    docs.withColumn("__canon", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("__canon"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Top-k tokens per language by frequency (explode → count → window
+    * rank): the vocabulary profile of a corpus slice. */
+  def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token").asc)
+    docs.select(col("lang"), explode(tokens("text")).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("lang", "rank", "token", "cnt")
+      .orderBy("lang", "rank")
+  }
 }

@@ -41,6 +41,25 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, v) => assert(batch(k) == v) }
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import org.apache.spark.sql.functions._
+    // replay every event twice (two identical file sets) — at-least-once
+    // delivery simulation
+    val dupDir = Files.createTempDirectory("graft-dup").toString
+    val ev = cat.table("events")
+    ev.coalesce(1).write.mode("append").parquet(dupDir)
+    ev.coalesce(1).write.mode("append").parquet(dupDir)
+    val stream = Streaming.readEventsStream(spark, dupDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(lit(1).as("one"))
+      .agg(count(lit(1)).as("n"))
+    val name = Streaming.runToMemory(spark, stream, "dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    val n = spark.table(name).orderBy(col("n").desc).collect()(0).getLong(1)
+    assert(n == ev.count()) // duplicates dropped, originals kept
+  }
+
   test("stateful sessionization emits exactly the batch-closed sessions") {
     import spark.implicits._
     val stream = Streaming.readEventsStream(spark, eventsDir)
