@@ -30,12 +30,14 @@ object Dedup {
     * SIZES are invariant under the (injective modulo ~2^-64 collisions)
     * hash, so Jaccard over hashed shingles equals Jaccard over strings —
     * while pairwise set ops run on longs instead of short strings (the hot
-    * path of blocked O(n²) verification). */
+    * path of blocked O(n²) verification). The token array is bound once in a
+    * lambda scope so `split` evaluates once per row, not once per mention. */
   def hashedShingles(textCol: String, k: Int): Column = expr(
-    s"""CASE WHEN size(split($textCol, ' ')) < $k THEN array()
-       |ELSE array_distinct(transform(
-       |  sequence(1, size(split($textCol, ' ')) - ${k - 1}),
-       |  i -> xxhash64(concat_ws(' ', slice(split($textCol, ' '), i, $k))))) END"""
+    s"""transform(array(split($textCol, ' ')), ws ->
+       |  CASE WHEN size(ws) < $k THEN array()
+       |  ELSE array_distinct(transform(
+       |    sequence(1, size(ws) - ${k - 1}),
+       |    i -> xxhash64(concat_ws(' ', slice(ws, i, $k))))) END)[0]"""
       .stripMargin)
 
   /** MinHash signature: H independent permutations approximated by seeded
