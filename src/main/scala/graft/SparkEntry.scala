@@ -228,6 +228,7 @@ object SparkEntry {
         ops.ParentChild.customerOrgRollup(c.table("customer"),
           c.table("orders"))
       }),
+      "e02_json_extract" -> tbl("events")(ops.EventOps.jsonFieldStats(_, "k")),
       "d06_dedup_keep_first" -> tbl("documents")(ops.TextOps.dedupKeepFirst),
       "t05_top_words" -> tbl("documents")(ops.TextOps.topWordsPerLang(_, 5)),
       "s03_label_centroids" -> tbl("embeddings")(ops.Similarity.labelCentroids))
@@ -546,6 +547,13 @@ object SparkEntry {
         |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(1) AS n_events,
         |CAST(SUM(CAST(CAST((value) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e02_json_extract" ->
+      """SELECT event_type,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+        |COUNT(json_extract_string(props, '$.k')) AS k_cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "d06_dedup_keep_first" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))

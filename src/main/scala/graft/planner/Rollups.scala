@@ -85,6 +85,18 @@ object Rollups {
   private def levelAliases(cube: CubeDef, ref: LevelRef): Seq[String] =
     Planner.levelAliasesOf(Planner.resolve(cube, ref))
 
+  /** Persist a rollup as parquet (the durable form of the reference's agg
+    * table). Level columns become the physical sort order so re-aggregation
+    * scans are clustered. */
+  def save(r: Rollup, path: String): Unit =
+    r.df.sortWithinPartitions(r.levels.toSeq.sorted.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted rollup (no cache: parquet IS the materialization). */
+  def load(spark: org.apache.spark.sql.SparkSession, cube: String,
+      levels: Set[String], path: String): Rollup =
+    Rollup(cube, levels, spark.read.parquet(path))
+
   /** Re-aggregation column for measure `m` over rollup partials. */
   def reAggColumn(m: MeasureDef): Column = {
     val c = m.agg match {

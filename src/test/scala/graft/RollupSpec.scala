@@ -65,6 +65,28 @@ class RollupSpec extends AnyFunSuite {
       .contains("InMemoryTableScan"))
   }
 
+  test("persisted rollup round-trips and answers routed queries (B17)") {
+    val r = Rollups.build(cat, cube, Seq(
+      LevelRef("ReturnFlag", Some("ReturnFlag")),
+      LevelRef("LineStatus", Some("LineStatus"))))
+    val path = java.nio.file.Files.createTempDirectory("graft-rollup")
+      .toString + "/rf"
+    Rollups.save(r, path)
+    val loaded = Rollups.load(spark, "sales", r.levels, path)
+    val freshCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    freshCat.addRollup(loaded, cache = false)
+    val q = CubeQuery("sales",
+      Seq(drill("ReturnFlag"), drill("LineStatus")),
+      Seq("revenue", "sum_qty", "avg_disc"))
+    val routed = Planner.plan(freshCat, q)
+    // the routed plan reads the rollup partials, not the fact
+    val scans = routed.queryExecution.optimizedPlan.toString()
+    assert(scans.contains("__sum_revenue") && !scans.contains("l_extendedprice"))
+    val direct = Planner.plan(TpchCatalog.build(spark, SparkTestSession.sf), q)
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      direct.collect().map(_.toSeq).toSeq)
+  }
+
   test("named-set cut routes when its level is covered") {
     val q = CubeQuery("sales", Seq(drill("Geography", "Region")),
       Seq("revenue"), cuts = Seq(NamedSetCut("Top Brands")))
