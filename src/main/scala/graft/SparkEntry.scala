@@ -212,6 +212,9 @@ object SparkEntry {
         ops.Similarity.knnBrute(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
       "s02_knn_lsh" -> tbl("embeddings")(
         ops.Similarity.knnLsh(_, Seq(0L, 1L, 2L, 3L, 4L), 5, bits = 8)),
+      "s04_knn_ivf" -> tbl("embeddings")(
+        ops.Similarity.knnIvf(_, Seq(0L, 1L, 2L, 3L, 4L), 5, nlist = 8,
+          nprobe = 3)),
       "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
       "m01_multimodal_decode" -> ((s: SparkSession, dir: String) =>
         ops.Multimodal.decodeFeatures(s,

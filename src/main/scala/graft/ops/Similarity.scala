@@ -54,6 +54,79 @@ object Similarity {
         count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** Deterministic Lloyd k-means over the embedding column. Initialization
+    * assigns row i to cluster (vec_id mod k) — deterministic, no RNG state —
+    * then `iters` rounds of (per-cluster mean → nearest-centroid
+    * reassignment). Centroids are tiny (k × dim) and come back to the driver
+    * each round; assignment stays fully distributed. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    def centroidsOf(assigned: DataFrame): Array[Array[Double]] = {
+      val rows = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val dim = rows.map(_.getInt(1)).max + 1
+      val cs = Array.fill(k)(new Array[Double](dim))
+      rows.foreach(r => cs(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cs
+    }
+    var cs = centroidsOf(v.withColumn("cluster",
+      (col("vec_id") % k).cast("int")))
+    (1 until iters).foreach { _ =>
+      cs = centroidsOf(v.withColumn("cluster", nearestCluster(col("v"), cs)))
+    }
+    cs
+  }
+
+  /** argmin_j ‖v − c_j‖² = argmax_j (v·c_j − ‖c_j‖²/2) as a Column. */
+  def nearestCluster(v: Column, cs: Array[Array[Double]]): Column = {
+    val scored = cs.zipWithIndex.map { case (c, j) =>
+      val bias = c.map(x => x * x).sum / 2.0
+      struct((dot(v, array(c.map(lit): _*)) - bias).as("score"),
+        lit(j).as("j"))
+    }
+    // array_max over (score, j) structs picks the best score, ties → max j
+    array_max(array(scored: _*)).getField("j")
+  }
+
+  /** IVF-style ANN: k-means coarse quantizer over the corpus (one assignment
+    * shuffle), queries probe their `nprobe` nearest cells only. Higher
+    * recall than sign-LSH at equal probe cost because cells follow the data
+    * distribution. */
+  def knnIvf(emb: DataFrame, queryIds: Seq[Long], k: Int, nlist: Int,
+      nprobe: Int, iters: Int = 3): DataFrame = {
+    val cs = kmeansCentroids(emb, nlist, iters)
+    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    val corpus = v.withColumn("cell", nearestCluster(col("v"), cs))
+      .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
+        col("v").as("v_n"))
+    // per query: the nprobe best cells by the same score
+    val scored = cs.zipWithIndex.map { case (c, j) =>
+      val bias = c.map(x => x * x).sum / 2.0
+      struct((dot(col("v_q"), array(c.map(lit): _*)) - bias).as("score"),
+        lit(j).as("j"))
+    }
+    val queries = v.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"))
+      .withColumn("probes", slice(reverse(array_sort(array(scored: _*))),
+        1, nprobe))
+      .select(col("query_id"), col("v_q"),
+        explode(col("probes").getField("j")).as("cell_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queries),
+        col("cell_q") === col("cell_n") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("v_q"), col("v_n")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic random hyperplanes: `bits` planes of dimension `dim`,
     * seeded Gaussian (java.util.Random's algorithm is specified, so the
     * planes are identical on every JVM). */

@@ -72,6 +72,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn IVF recall beats random bucketing and sims are exact") {
+    val qids = (0L until 10L).toSeq
+    val k = 5
+    val brute = Similarity.knnBrute(emb, qids, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.knnIvf(emb, qids, k, nlist = 8, nprobe = 3).collect()
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivfPairs).size.toDouble / brute.size
+    info(f"IVF recall@$k = $recall%.2f (nlist=8, nprobe=3)")
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    // sims are true dot products (verified against brute where overlapping)
+    val bruteSims = Similarity.knnBrute(emb, qids, 400).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      bruteSims.get((r.getLong(0), r.getLong(2)))
+        .foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
   test("sessionize: no intra-session gap exceeds the threshold") {
     val events = cat.table("events")
     val sess = Sessionize.sessions(events, 30).collect()

@@ -138,6 +138,16 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("member cuts on fact columns push down to the parquet scan") {
+    val df = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("LineStatus")), Seq("revenue"),
+      cuts = Seq(MemberCut(LevelRef("ReturnFlag", Some("ReturnFlag")), "R"))))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      "cut should reach PushedFilters")
+  }
+
   test("distinct-count is exact per group (B5)") {
     val viaCube = Planner.plan(cat, CubeQuery("sales",
       Seq(drill("ReturnFlag")), Seq("order_cnt"))).collect()
