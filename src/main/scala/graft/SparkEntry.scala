@@ -232,6 +232,7 @@ object SparkEntry {
           c.table("orders"))
       }),
       "e02_json_extract" -> tbl("events")(ops.EventOps.jsonFieldStats(_, "k")),
+      "t06_bpeish_tokens" -> tbl("documents")(ops.TextOps.bpeishTokenStats),
       "d06_dedup_keep_first" -> tbl("documents")(ops.TextOps.dedupKeepFirst),
       "t05_top_words" -> tbl("documents")(ops.TextOps.topWordsPerLang(_, 5)),
       "s03_label_centroids" -> tbl("embeddings")(ops.Similarity.labelCentroids))
@@ -550,6 +551,13 @@ object SparkEntry {
         |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(1) AS n_events,
         |CAST(SUM(CAST(CAST((value) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t06_bpeish_tokens" ->
+      """SELECT source, COUNT(1) AS docs,
+        |CAST(SUM(
+        |  len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> len(x) > 0)) +
+        |  len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9\s]+'), x -> len(x) > 0))
+        |) AS BIGINT) AS bpeish_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "e02_json_extract" ->
       """SELECT event_type,
         |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

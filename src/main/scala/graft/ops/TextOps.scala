@@ -32,6 +32,14 @@ object TextOps {
     size(filter(split(col(textCol), "[^A-Za-z0-9]+"), x => length(x) > 0)) +
       size(filter(split(col(textCol), "[A-Za-z0-9\\s]+"), x => length(x) > 0))
 
+  /** Per-source BPE-ish token totals (the tokenizer-budget estimate a
+    * training pipeline runs over the whole corpus). */
+  def bpeishTokenStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(bpeishTokenCount("text").cast("long")).as("bpeish_tokens"))
+      .orderBy("source")
+
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 

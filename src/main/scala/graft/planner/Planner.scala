@@ -166,7 +166,7 @@ object Planner {
     // ------------------------------------------------- densify (dense axes)
     val denseDf =
       if (q.nonempty) havingDf
-      else densify(cat, cube, havingDf, drills, groupLevels, cuts)
+      else densify(cat, cube, havingDf, drills, groupLevels, cuts, q.parents)
 
     val sparseDf =
       if (q.sparse) { // C6 — implemented for real (dead param in the reference)
@@ -484,9 +484,18 @@ object Planner {
     * (§7.4 dragon 1) and stays opt-in. */
   private def densify(cat: CubeCatalog, cube: CubeDef, aggDf: DataFrame,
       drills: Seq[ResolvedLevel], groupLevels: Seq[ResolvedLevel],
-      cuts: Seq[Cut]): DataFrame = {
+      cuts: Seq[Cut], parents: Boolean): DataFrame = {
     if (drills.isEmpty) return aggDf
-    val domains = drills.map { rl =>
+    // one domain per drilled level — or, with parents=true, one per drilled
+    // DIMENSION carrying the full ancestor chain (ancestor columns live on
+    // the same dim row), so filler rows get complete member paths, not nulls
+    val domainUnits: Seq[Seq[ResolvedLevel]] =
+      if (parents)
+        drills.map(_.dim.name).distinct
+          .map(dn => groupLevels.filter(_.dim.name == dn))
+      else drills.map(Seq(_))
+    val domains = domainUnits.map { unit =>
+      val rl = unit.head
       val src = rl.dim.join match {
         case Some(js) => cat.table(js.table)
         case None => cat.fact(cube)
@@ -494,10 +503,11 @@ object Planner {
       val dimCuts = cuts.filter(c =>
         levelOfCut(cube, c).exists(_.dim.name == rl.dim.name))
       val cutSrc = dimCuts.foldLeft(src)((d, c) => applyCut(cat, cube, d, c))
-      cutSrc.select(levelCols(rl): _*).distinct()
+      cutSrc.select(unit.flatMap(levelCols): _*).distinct()
     }
     val domain = domains.reduce(_.crossJoin(_))
-    val joinCols = drills.flatMap(levelAliases)
+    val joinCols =
+      (if (parents) groupLevels else drills).flatMap(levelAliases)
     domain.join(aggDf.select(joinCols.map(col) ++
         aggDf.columns.filterNot(joinCols.contains).map(col): _*),
       joinCols, "left")

@@ -54,6 +54,23 @@ class FormatterSpec extends AnyFunSuite {
     assert(sparse.rows.length < dense.rows.length)
   }
 
+  test("dense + parents fills ancestor paths on empty combos (C1+C3)") {
+    val rows = planner.Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Supplier"), drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue"), nonempty = false, parents = true)).collect()
+    // ancestors (region/nation) present on EVERY row, including null cells
+    assert(rows.exists(r => r.isNullAt(r.length - 1)))
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(2), "ancestor keys must be filled")
+    }
+    // domain = suppliers × distinct (year, quarter, month) chains
+    val nSupp = cat.table("supplier").count()
+    val nChains = cat.table("lineitem")
+      .selectExpr("year(l_shipdate)", "quarter(l_shipdate)", "month(l_shipdate)")
+      .distinct().count()
+    assert(rows.length == nSupp * nChains)
+  }
+
   test("jsonrecords object and array forms (C8)") {
     val t = Formatters.Tidy(Seq("k", "v"), Seq(Seq("a", 1), Seq("b", null)))
     assert(Formatters.jsonRecords(t, asArrays = false) ==
