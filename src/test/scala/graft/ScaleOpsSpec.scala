@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.ScaleOps
+import SparkTestSession.{catalog => cat, spark}
+
+/** Physical-layout techniques: bucketed co-located joins (no exchange) and
+  * salted joins/aggregations (identical results, skew split). */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  test("same-bucketed tables join without a shuffle") {
+    ScaleOps.writeBucketed(cat.table("lineitem"), "li_b",
+      Seq("l_orderkey"), 8)
+    ScaleOps.writeBucketed(cat.table("orders")
+      .withColumnRenamed("o_orderkey", "l_orderkey"), "ord_b",
+      Seq("l_orderkey"), 8)
+    val joined = ScaleOps.bucketedJoin(spark, "li_b", "ord_b",
+      Seq("l_orderkey"))
+    joined.count() // finalize AQE
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n${plan.take(800)}")
+    assert(joined.count() == cat.table("lineitem").count())
+  }
+
+  test("salted join equals the plain join exactly") {
+    val li = cat.table("lineitem").select("l_orderkey", "l_extendedprice")
+    val ord = cat.table("orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(ord, "l_orderkey")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = ScaleOps.saltedJoin(li, ord, "l_orderkey", 4)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted aggregation equals the plain aggregation exactly") {
+    val li = cat.table("lineitem")
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum(expr("CAST(l_quantity AS DECIMAL(27,6))")).cast("double")
+        .as("q"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val salted = ScaleOps.saltedAggregate(li, Seq("l_returnflag"), 8, Seq(
+      sum(expr("CAST(l_quantity AS DECIMAL(27,6))")).as("qp") ->
+        sum(col("qp")).cast("double").as("q"),
+      count(lit(1)).as("np") -> sum(col("np")).as("n")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(salted == plain)
+  }
+}
