@@ -111,9 +111,16 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
         LevelRef(d, Some(l)), withProps = withProps)
       (200, "application/json", Json.write(ListMap("members" -> members)))
     case List("cubes", c, "dimensions", d, "levels", l, "members", k) =>
-      Metadata.memberByKey(catalog, cube(c), LevelRef(d, Some(l)),
-        QueryParser.typedKey(URLDecoder.decode(k, "UTF-8"))) match {
-        case Some(m) => (200, "application/json", Json.write(m))
+      val ref = LevelRef(d, Some(l))
+      val key = QueryParser.typedKey(URLDecoder.decode(k, "UTF-8"))
+      Metadata.memberByKey(catalog, cube(c), ref, key) match {
+        case Some(m) =>
+          val withChildren =
+            if (params.get("children").exists(_.headOption.contains("true")))
+              m + ("children" -> Metadata.memberChildren(catalog, cube(c),
+                ref, key))
+            else m
+          (200, "application/json", Json.write(withChildren))
         case None => GraftException.notFound(s"member not found: $k")
       }
     case List("flush") =>

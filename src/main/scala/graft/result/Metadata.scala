@@ -166,6 +166,35 @@ object Metadata {
     }
   }
 
+  /** Children of a member: next-level members beneath it, in ordinal order
+    * (ref C2 `children`, mondrian_ext.rb get_children). Empty at the leaf. */
+  def memberChildren(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
+      key: Any): Seq[ListMap[String, Any]] = {
+    val rl = Planner.resolve(cube, ref)
+    rl.hier.levels.lift(rl.depth + 1) match {
+      case None => Nil
+      case Some(child) =>
+        val src = rl.dim.join match {
+          case Some(js) => cat.table(js.table)
+          case None => cat.fact(cube)
+        }
+        src.where(expr(rl.level.keyExpr) === lit(key))
+          .select(expr(child.keyExpr).as("key"),
+            expr(child.nameExpr.getOrElse(child.keyExpr)).as("caption"),
+            expr(child.ordExpr.getOrElse(child.keyExpr)).as("__ord"))
+          .distinct().orderBy(col("__ord")).drop("__ord")
+          .collect().toSeq.map { r =>
+            ListMap[String, Any](
+              "name" -> String.valueOf(r.get(1)),
+              "full_name" -> s"[${rl.dim.name}].[${r.get(0)}]",
+              "caption" -> r.get(1),
+              "key" -> r.get(0),
+              "level_name" -> child.name,
+              "depth" -> (rl.depth + 1))
+          }
+    }
+  }
+
   /** Member lookup by MDX-ish full name `[Dim].[Level].[key]` or
     * `[Dim].[Hier].[Level].[key]` (ref GET /cubes/:cube/members?full_name=,
     * api.rb:93-113). */

@@ -100,6 +100,15 @@ class ApiSpec extends AnyFunSuite {
     assert(get("/cubes/sales/members?full_name=%5BGeography%5D.%5BRegion%5D.%5B99%5D")._1 == 404)
   }
 
+  test("member children listing (C2)") {
+    val (code, body) = get(
+      "/cubes/sales/dimensions/Geography/levels/Region/members/3?children=true")
+    assert(code == 200)
+    val m = Json.parse(body).asInstanceOf[Map[String, Any]]
+    val kids = m("children").asInstanceOf[Seq[Map[String, Any]]]
+    assert(kids.nonEmpty && kids.forall(_("level_name") == "Nation"))
+  }
+
   test("nest utility groups driver-side collections (C7)") {
     val items = Seq(("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z"))
     val tree = result.Nest.nest[(String, Int, String)](items,
