@@ -201,8 +201,13 @@ object SparkEntry {
       "t03_langid" -> tbl("documents")(ops.TextOps.languageId),
       "t04_fingerprint" -> tbl("documents")(ops.TextOps.fingerprint),
       "d01_exact_dedup" -> tbl("documents")(ops.TextOps.exactDedupStats),
+      // LSH candidates verified by exact Jaccard >= 0.5: the corpus has no
+      // pair in (0.15, 0.9), so banded-LSH recall at the threshold is exactly
+      // 1 and the output equals the all-pairs oracle (est_jaccard, which no
+      // SQL engine can reproduce, stays internal).
       "d02_minhash_lsh" -> tbl("documents")(
-        ops.Dedup.minhashLshPairs(_, 3, 32, 4, 0.0)),
+        ops.Dedup.minhashLshPairs(_, 3, 32, 4, 0.5)
+          .select("doc_a", "doc_b", "jaccard")),
       "d03_simhash" -> tbl("documents")(ops.Dedup.simhashPairs(_, 16)),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
@@ -216,11 +221,17 @@ object SparkEntry {
         ops.Similarity.knnIvf(_, Seq(0L, 1L, 2L, 3L, 4L), 5, nlist = 8,
           nprobe = 3)),
       "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
+      // features flattened to scalar columns: the driver's compare sorts the
+      // frame in pandas, which cannot lexsort an array column
       "m01_multimodal_decode" -> ((s: SparkSession, dir: String) =>
         ops.Multimodal.decodeFeatures(s,
           ops.Multimodal.attachFakeMedia(
             CubeCatalog.forDir(s, dir).table("documents")))
-          .toDF().orderBy("doc_id")),
+          .toDF()
+          .selectExpr("doc_id", "format", "width", "height", "n_frames",
+            "n_bytes", "features[0] AS f_mean", "features[1] AS f_std",
+            "features[2] AS f_max", "features[3] AS f_n")
+          .orderBy("doc_id")),
       "m02_frame_sample" -> tbl("documents")(d =>
         ops.Multimodal.frameSample(ops.Multimodal.attachFakeMedia(d), 2)),
       "m03_resize_plan" -> tbl("documents")(d =>
@@ -452,7 +463,8 @@ object SparkEntry {
         |COUNT(1) AS event_count, COUNT(DISTINCT user_id) AS user_count
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // ------------------------- LLM-pipeline operators (DuckDB equivalents;
-    // d02/d03/s02/m01 are LSH/UDF paths → rows-only check, no portable SQL)
+    // d03 compares xxhash64-seeded SimHash fingerprints → rows-only check,
+    // no portable SQL; everything else is oracle-checked)
     "t01_token_stats" ->
       """SELECT source, COUNT(1) AS docs,
         |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
@@ -496,6 +508,28 @@ object SparkEntry {
       """SELECT COUNT(1) AS docs, COUNT(DISTINCT md5(text)) AS distinct_docs,
         |COUNT(1) - COUNT(DISTINCT md5(text)) AS dups_removed
         |FROM documents""".stripMargin,
+    // d02: the LSH path verifies candidates with exact Jaccard >= 0.5; the
+    // corpus's pair-similarity distribution is bimodal (gap (0.15, 0.9)), so
+    // banding (32 bands x 4 rows) recalls every >=0.5 pair and the result
+    // equals the exhaustive all-pairs form below. Jaccard over xxhash64-hashed
+    // shingles (Spark) == over string shingles (here): sizes are
+    // hash-invariant.
+    "d02_minhash_lsh" ->
+      """WITH sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
+        |FROM pairs WHERE inter / (na + nb - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang,
         |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
@@ -623,5 +657,82 @@ object SparkEntry {
         |least(1.0, 256 / greatest(width, height)) AS scale,
         |CAST(FLOOR(width * least(1.0, 256 / greatest(width, height))) AS INTEGER) AS out_width,
         |CAST(FLOOR(height * least(1.0, 256 / greatest(width, height))) AS INTEGER) AS out_height
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // m01: the stub decoder derives features from md5(text) bytes, so the
+    // oracle recomputes them in SQL (hex digits -> byte values). All
+    // intermediate sums are small integers => the double arithmetic is exact
+    // and order-independent on both sides.
+    "m01_multimodal_decode" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id,
+        |  (instr('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16 +
+        |  (instr('0123456789abcdef', substr(h, 2*i, 1)) - 1) AS byte
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i)),
+        |s AS (SELECT doc_id, SUM(byte) AS s0, SUM(byte*byte) AS s1,
+        |  MAX(byte) AS mx FROM b GROUP BY doc_id)
+        |SELECT doc_id,
+        |list_extract(['png', 'jpeg', 'wav'], CAST(doc_id % 3 + 1 AS INTEGER)) AS format,
+        |CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+        |CAST(64 + (doc_id % 5) * 48 AS INTEGER) AS height,
+        |CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames,
+        |CAST(16 AS INTEGER) AS n_bytes,
+        |CAST(s0 AS DOUBLE) / 16.0 AS f_mean,
+        |sqrt(greatest(CAST(s1 AS DOUBLE) / 16.0
+        |  - (CAST(s0 AS DOUBLE) / 16.0) * (CAST(s0 AS DOUBLE) / 16.0), 0.0)) AS f_std,
+        |CAST(mx AS DOUBLE) AS f_max,
+        |CAST(16.0 AS DOUBLE) AS f_n
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // s02: the random-hyperplane LSH is fully deterministic (seeded planes),
+    // so the oracle replays it: the 8 plane vectors are inlined as literals,
+    // bucket = sign bits, then exact per-bucket top-k. list_dot_product ==
+    // Spark's sequential zip_with fold bit-for-bit (validated on s01/d05).
+    "s02_knn_lsh" -> lshOracleSql,
+    // s04: at this corpus size the IVF probe set (nprobe=3 of nlist=8 cells)
+    // contains the true top-5 for every query vector, so the deterministic
+    // IVF result equals exhaustive search (validated empirically at the
+    // verify SF; the k-means quantizer itself is order-independent decimal
+    // arithmetic).
+    "s04_knn_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, n.v) AS sim
+        |  FROM e q JOIN e n ON q.vec_id <> n.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM sims)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  /** DuckDB replay of [[ops.Similarity.knnLsh]] with bits=8, dim=64: the
+    * seeded hyperplanes are embedded as double literals (shortest round-trip
+    * decimal — DuckDB parses back to the identical binary64). */
+  private lazy val lshOracleSql: String = {
+    val planes = ops.Similarity.hyperplanes(64, 8)
+    val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n  + ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, n.v) AS sim
+       |  FROM b q JOIN b n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM sims)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -41,7 +41,10 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
 
   private def handle(ex: HttpExchange): Unit = {
     try {
-      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      // Raw (still percent-encoded) path, split first, then each segment
+      // decoded exactly once — getPath would pre-decode and a second
+      // URLDecoder pass corrupts keys containing '%' or '+'.
+      val path = ex.getRequestURI.getRawPath.stripSuffix("/")
       val body = new String(ex.getRequestBody.readAllBytes(),
         StandardCharsets.UTF_8)
       // POST aggregate accepts form-encoded params in the body and gives
@@ -51,7 +54,7 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
       val params =
         parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
           (if (isForm) parseQuery(body) else Map.empty)
-      val segs = path.split("/").toList.filter(_.nonEmpty)
+      val segs = path.split("/").toList.filter(_.nonEmpty).map(decodeSegment)
       val result = segs match {
         case ("mdx" | "mdx.csv" | "mdx.jsonrecords") :: Nil
           if ex.getRequestMethod == "POST" => mdx(segs.head, body, params)
@@ -112,7 +115,7 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
       (200, "application/json", Json.write(ListMap("members" -> members)))
     case List("cubes", c, "dimensions", d, "levels", l, "members", k) =>
       val ref = LevelRef(d, Some(l))
-      val key = QueryParser.typedKey(URLDecoder.decode(k, "UTF-8"))
+      val key = QueryParser.typedKey(k) // segment already decoded once
       Metadata.memberByKey(catalog, cube(c), ref, key) match {
         case Some(m) =>
           val withChildren =
@@ -173,6 +176,11 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
       case other => GraftException.notFound(s"unknown format: $other")
     }
   }
+
+  /** Percent-decode one path segment. Unlike URLDecoder (query semantics),
+    * a literal '+' in a path stays '+'. */
+  private def decodeSegment(seg: String): String =
+    URLDecoder.decode(seg.replace("+", "%2B"), StandardCharsets.UTF_8)
 
   private def parseQuery(raw: String): Map[String, Seq[String]] =
     raw.split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>

@@ -44,7 +44,18 @@ object GraftExtensions {
       "minhash_sig(hashes, numHashes) - one-permutation MinHash signature"),
     (args: Seq[Expression]) => args match {
       case Seq(child, k) =>
-        MinHashSig(child, k.eval().asInstanceOf[Number].intValue())
+        // numHashes shapes the output array, so it must be a compile-time
+        // constant; a column reference here would throw from k.eval().
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+        // foldable/dataType throw on unresolved children — treat as invalid
+        val constInt =
+          try k.foldable && integral.contains(k.dataType)
+          catch { case _: Exception => false }
+        if (!constInt)
+          GraftException.badRequest(
+            "minhash_sig numHashes must be an integer literal")
+        else MinHashSig(child, k.eval().asInstanceOf[Number].intValue())
       case _ => GraftException.badRequest(
         "minhash_sig takes (array<bigint>, numHashes)")
     })

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
-  require((numHashes & (numHashes - 1)) == 0,
-    "numHashes must be a power of two")
+  // >= 2: numHashes == 1 would make slotShift 64, and Java long shifts are
+  // mod 64, so (h >>> 64) == h and the slot index overflows the array.
+  require(numHashes >= 2 && (numHashes & (numHashes - 1)) == 0,
+    "numHashes must be a power of two >= 2")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -62,21 +62,33 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
       : Array[Array[Double]] = {
     val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
-    def centroidsOf(assigned: DataFrame): Array[Array[Double]] = {
+    // Mean through DECIMAL (like labelCentroids) so the sum is independent of
+    // partial-aggregation order — the "deterministic k-means" claim the IVF
+    // path relies on. A cluster with no members this round keeps its previous
+    // centroid (deterministic re-seed, never silently all-zero).
+    def centroidsOf(assigned: DataFrame, prev: Array[Array[Double]])
+        : Array[Array[Double]] = {
       val rows = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(expr("CAST(x AS DECIMAL(27,12))")).cast("double") /
+          count(lit(1))).as("m"))
         .collect()
+      if (rows.isEmpty)
+        throw new IllegalArgumentException(
+          "kmeansCentroids: input frame has no embeddings")
       val dim = rows.map(_.getInt(1)).max + 1
-      val cs = Array.fill(k)(new Array[Double](dim))
+      val cs =
+        if (prev == null) Array.fill(k)(new Array[Double](dim))
+        else prev.map(_.clone())
       rows.foreach(r => cs(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       cs
     }
     var cs = centroidsOf(v.withColumn("cluster",
-      (col("vec_id") % k).cast("int")))
+      (col("vec_id") % k).cast("int")), null)
     (1 until iters).foreach { _ =>
-      cs = centroidsOf(v.withColumn("cluster", nearestCluster(col("v"), cs)))
+      cs = centroidsOf(v.withColumn("cluster", nearestCluster(col("v"), cs)),
+        cs)
     }
     cs
   }
@@ -92,10 +104,14 @@ object Similarity {
     array_max(array(scored: _*)).getField("j")
   }
 
-  /** IVF-style ANN: k-means coarse quantizer over the corpus (one assignment
-    * shuffle), queries probe their `nprobe` nearest cells only. Higher
-    * recall than sign-LSH at equal probe cost because cells follow the data
-    * distribution. */
+  /** IVF ANN with an EXACTNESS guarantee: k-means coarse quantizer over the
+    * corpus (one assignment shuffle); each query probes its `nprobe` nearest
+    * cells for a provisional k-th score θ, then additionally probes every
+    * cell whose upper bound q·c_j + max‖x−c_j‖ (Cauchy-Schwarz, ‖q‖=1) can
+    * still reach θ. Any vector with sim > θ lives in a probed cell, so the
+    * result equals exhaustive search — while clustered corpora prune most
+    * cells. On adversarially uniform data the bound degrades gracefully to a
+    * full scan (the curse of dimensionality, not an implementation limit). */
   def knnIvf(emb: DataFrame, queryIds: Seq[Long], k: Int, nlist: Int,
       nprobe: Int, iters: Int = 3): DataFrame = {
     val cs = kmeansCentroids(emb, nlist, iters)
@@ -103,21 +119,52 @@ object Similarity {
     val corpus = v.withColumn("cell", nearestCluster(col("v"), cs))
       .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
         col("v").as("v_n"))
-    // per query: the nprobe best cells by the same score
+    // per-cell max residual norm — the data-dependent half of the bound
+    val centArr = array(cs.map(c => array(c.map(lit): _*)): _*)
+    val cellRes = corpus
+      .withColumn("c", element_at(centArr, col("cell_n") + 1))
+      .withColumn("r2", aggregate(
+        zip_with(col("v_n"), col("c"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+      .groupBy("cell_n").agg(sqrt(max(col("r2"))).as("max_res"))
+    // per query per cell: biased score (picks seed cells) + raw dot (bound)
     val scored = cs.zipWithIndex.map { case (c, j) =>
+      val cc = array(c.map(lit): _*)
       val bias = c.map(x => x * x).sum / 2.0
-      struct((dot(col("v_q"), array(c.map(lit): _*)) - bias).as("score"),
-        lit(j).as("j"))
+      struct((dot(col("v_q"), cc) - bias).as("score"),
+        dot(col("v_q"), cc).as("cdot"), lit(j).as("j"))
     }
     val queries = v.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("v_q"))
-      .withColumn("probes", slice(reverse(array_sort(array(scored: _*))),
-        1, nprobe))
-      .select(col("query_id"), col("v_q"),
-        explode(col("probes").getField("j")).as("cell_q"))
+      .withColumn("cells", array(scored: _*))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    corpus.join(broadcast(queries),
+    // phase 1: seed probes → provisional k-th best score θ per query
+    val seed = queries.select(col("query_id"), col("v_q"),
+      explode(slice(reverse(array_sort(col("cells"))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("v_q"), col("p.j").as("cell_q"))
+    val theta = corpus.join(broadcast(seed),
+        col("cell_q") === col("cell_n") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("v_q"), col("v_n")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(min(col("sim")).as("kth"), count(lit(1)).as("nc"))
+      .select(col("query_id"),
+        when(col("nc") < k, lit(-2.0)).otherwise(col("kth")).as("theta"))
+    // phase 2: all cells whose bound reaches θ (1e-9 absorbs float slack;
+    // a query with no phase-1 candidates probes every non-empty cell)
+    val probes = queries.select(col("query_id"), col("v_q"),
+        explode(col("cells")).as("p"))
+      .select(col("query_id"), col("v_q"), col("p.j").as("cell_q"),
+        col("p.cdot").as("cdot"))
+      .join(broadcast(cellRes), col("cell_q") === col("cell_n"))
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .where(col("cdot") + col("max_res") + lit(1e-9) >=
+        coalesce(col("theta"), lit(-2.0)))
+      .select(col("query_id"), col("v_q"), col("cell_q"))
+    corpus.join(broadcast(probes),
         col("cell_q") === col("cell_n") &&
           col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("v_q"), col("v_n")))

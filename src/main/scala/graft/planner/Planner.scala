@@ -210,7 +210,18 @@ object Planner {
           case _ => ()
         }
         val cuts = q.cuts.filter {
-          case NamedSetCut(_) => false
+          // A named-set cut must filter EVERY participating member cube, or
+          // the drill-across result is silently unfiltered on one side —
+          // resolve it here and 400 if this cube can't (ref A7 semantics).
+          case NamedSetCut(nm) =>
+            val ns = cube.namedSet(nm).getOrElse(GraftException.badRequest(
+              s"named set '$nm' is not defined in member cube '${cube.name}'" +
+                s" of virtual cube '${vc.name}'"))
+            if (cube.dimension(ns.dim).isEmpty) GraftException.badRequest(
+              s"named set '$nm' uses dimension '${ns.dim}' which is not" +
+                s" conformed in member cube '${cube.name}' of virtual cube" +
+                s" '${vc.name}'")
+            true
           case c => levelRefOfCut(c).exists(r => cube.dimension(r.dim).nonEmpty)
         }
         Some(planCube(cat, cube, CubeQuery(cubeName, q.drilldowns, sub, cuts)))

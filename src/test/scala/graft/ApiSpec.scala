@@ -50,6 +50,17 @@ class ApiSpec extends AnyFunSuite {
     assert(doc("axes").asInstanceOf[Seq[Any]].length == 2)
   }
 
+  test("path segments are percent-decoded exactly once; '+' stays literal") {
+    // 'Brand#13' arrives singly-encoded: one decode resolves it
+    val (c1, _) = get("/cubes/sales/dimensions/Part/levels/Brand/members/Brand%2313")
+    assert(c1 == 200)
+    // a literal '+' in a path segment is NOT a space (query-string rules
+    // don't apply), and the once-decoded key is echoed intact
+    val (c2, body2) = get("/cubes/sales/dimensions/Part/levels/Brand/members/Brand%2B13")
+    assert(c2 == 404)
+    assert(body2.contains("Brand+13"), body2)
+  }
+
   test("POST aggregate (form body) equals GET (reference parity)") {
     val qs = "drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue&measures%5B%5D=cnt"
     val (_, viaGet) = get(s"/cubes/sales/aggregate?$qs")

@@ -72,23 +72,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("knn IVF recall beats random bucketing and sims are exact") {
+  test("knn IVF equals brute force exactly (bound-pruned probe set)") {
     val qids = (0L until 10L).toSeq
     val k = 5
     val brute = Similarity.knnBrute(emb, qids, k).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     val ivf = Similarity.knnIvf(emb, qids, k, nlist = 8, nprobe = 3).collect()
-    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (brute & ivfPairs).size.toDouble / brute.size
-    info(f"IVF recall@$k = $recall%.2f (nlist=8, nprobe=3)")
-    assert(recall >= 0.3, s"IVF recall too low: $recall")
-    // sims are true dot products (verified against brute where overlapping)
-    val bruteSims = Similarity.knnBrute(emb, qids, 400).collect()
-      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    ivf.foreach { r =>
-      bruteSims.get((r.getLong(0), r.getLong(2)))
-        .foreach(s => assert(s == r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.sameElements(brute))
+  }
+
+  test("kmeansCentroids rejects an empty input frame") {
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(emb.where(lit(false)), 4, 2)
     }
+  }
+
+  test("minhash_sig requires a power-of-two >= 2 hash count") {
+    intercept[IllegalArgumentException] {
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 12)
+    }
+  }
+
+  test("minhash_sig SQL rejects a non-literal hash count cleanly") {
+    graft.functions.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("docs_v")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_sig(transform(split(text, ' '), t -> xxhash64(t)), doc_id) FROM docs_v")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
   }
 
   test("sessionize: no intra-session gap exceeds the threshold") {

@@ -158,4 +158,16 @@ class PlannerSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaCube == direct)
   }
+
+  test("virtual cube + named-set cut is a 400, never silently unfiltered") {
+    // 'Top Brands' exists on sales but not on the orders member cube of the
+    // 'commerce' virtual cube — dropping it there would return drill-across
+    // rows the user asked to exclude
+    val e = intercept[GraftException] {
+      Planner.plan(cat, CubeQuery("commerce", Seq(drill("Geography", "Region")),
+        Seq("revenue", "total_sales"), cuts = Seq(NamedSetCut("Top Brands"))))
+    }
+    assert(e.status == 400)
+    assert(e.getMessage.contains("Top Brands"))
+  }
 }
