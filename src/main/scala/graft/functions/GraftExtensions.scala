@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.simhashDesc)
     e.injectFunction(GraftExtensions.minhashDesc)
+    e.injectFunction(GraftExtensions.dotDesc)
   }
 }
 
@@ -60,9 +61,19 @@ object GraftExtensions {
         "minhash_sig takes (array<bigint>, numHashes)")
     })
 
+  private[functions] val dotDesc: Desc = (
+    FunctionIdentifier("dot_product"),
+    info("dot_product",
+      "dot_product(a, b) - sequential-fold dot product of two array<double>"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => DotProduct(a, b)
+      case _ => GraftException.badRequest(
+        "dot_product takes (array<double>, array<double>)")
+    })
+
   /** Register on an already-built session (no extensions hook needed). */
   def register(spark: SparkSession): Unit =
-    Seq(simhashDesc, minhashDesc).foreach { case (id, ei, builder) =>
+    Seq(simhashDesc, minhashDesc, dotDesc).foreach { case (id, ei, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, ei, builder)
     }
 }

@@ -30,15 +30,12 @@ object Dedup {
     * SIZES are invariant under the (injective modulo ~2^-64 collisions)
     * hash, so Jaccard over hashed shingles equals Jaccard over strings —
     * while pairwise set ops run on longs instead of short strings (the hot
-    * path of blocked O(n²) verification). The token array is bound once in a
-    * lambda scope so `split` evaluates once per row, not once per mention. */
-  def hashedShingles(textCol: String, k: Int): Column = expr(
-    s"""transform(array(split($textCol, ' ')), ws ->
-       |  CASE WHEN size(ws) < $k THEN array()
-       |  ELSE array_distinct(transform(
-       |    sequence(1, size(ws) - ${k - 1}),
-       |    i -> xxhash64(concat_ws(' ', slice(ws, i, $k))))) END)[0]"""
-      .stripMargin)
+    * path of blocked O(n²) verification). Native one-pass expression
+    * ([[graft.functions.ShingleHashes]]); the declarative
+    * split/transform/xxhash64 chain it replaces is interpreted and was the
+    * dominant cost of both LSH and exact-Jaccard dedup. */
+  def hashedShingles(textCol: String, k: Int): Column =
+    graft.functions.ShingleHashes.shingleHashes(col(textCol), k)
 
   /** MinHash signature: H independent permutations approximated by seeded
     * xxhash64; signature element j = min over shingles of hash_j. One
@@ -53,10 +50,14 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, shingleK: Int, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
     val h = bands * rows
+    // persisted: shingling + signing is the expensive per-row map and this
+    // frame feeds banding plus BOTH sides of the candidate re-attach join —
+    // without the persist it is recomputed three times
     val sh = docs
       .select(col("doc_id"), hashedShingles("text", shingleK).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature("sh", h))
+      .persist()
     // Candidate generation on SKINNY rows (doc_id + band key only) — the
     // signature/shingle arrays don't ride through the self-join shuffle.
     // Arrays re-attach per side after pair dedup.
@@ -129,9 +130,11 @@ object Dedup {
     // 0 < threshold), so results are identical to the quadratic form while
     // work scales with Σ df(shingle)² — the genuine overlap — not block².
     // The size-ratio bound (J ≤ min/max) prunes pairs pre-aggregation.
+    // persisted: both posting sides of the self-join re-derive the shingles
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
       hashedShingles("text", k).as("sh"))
       .withColumn("n", size(col("sh")))
+      .persist()
     val posting = sh.select(col("block"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
     val a = posting.select(col("block").as("block_a"),

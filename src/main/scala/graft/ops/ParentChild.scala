@@ -19,36 +19,43 @@ object ParentChild {
   /** Transitive closure incl. self-pairs: (ancestor, descendant, depth).
     * `edges` must have columns (idCol, parentCol); roots have null parent.
     *
-    * Computed by PATH DOUBLING: each round joins the ≤d-step relation with
-    * itself, covering ≤2d steps — ⌈log₂ depth⌉ shuffles instead of one per
-    * tree level (a depth-60 chain closes in 6 rounds). In a forest every
-    * (ancestor, descendant) pair has exactly one path, so distinct() is
-    * exact dedup, not an approximation. */
+    * Computed by DEDUP-FREE PATH DOUBLING: a pair of depth e ∈ (d, 2d]
+    * decomposes UNIQUELY as (descendant → up exactly d steps) ∘ (≤d more
+    * steps), so joining the depth-exactly-d frontier against the full ≤d
+    * relation generates each new pair exactly once — ⌈log₂ depth⌉ join
+    * shuffles (a depth-60 chain closes in 6 rounds) and, unlike the naive
+    * rel∪(rel⋈rel) form, NO distinct() shuffle per round. */
   def closure(edges: DataFrame, idCol: String, parentCol: String,
       maxDepth: Int = 64): DataFrame = {
     val self = edges.select(col(idCol).as("ancestor"),
       col(idCol).as("descendant"), lit(0).as("depth"))
-    var rel = edges.where(col(parentCol).isNotNull)
+    var full = edges.where(col(parentCol).isNotNull)
       .select(col(parentCol).as("ancestor"), col(idCol).as("descendant"),
         lit(1).as("depth"))
       .localCheckpoint()
-    var covered = 1L
-    var count = rel.count()
-    var growing = true
-    while (growing && covered < maxDepth) {
-      val next = rel.as("x").join(rel.as("y"),
+    var frontier = full // pairs at exactly depth d
+    var d = 1L
+    var growing = frontier.count() > 0
+    while (growing && d < maxDepth) {
+      // frontier(d) ⋈ full(≤d) → all pairs of depth d+1 .. 2d, each once.
+      // The RDD round-trip mints fresh attribute ids: frontier/full/next
+      // otherwise share lineage, which trips Union constraint rewriting
+      // (it's free — the checkpoint already materialized the rows).
+      val cp = frontier.as("x").join(full.as("y"),
           col("x.ancestor") === col("y.descendant"))
         .select(col("y.ancestor").as("ancestor"),
           col("x.descendant").as("descendant"),
           (col("x.depth") + col("y.depth")).as("depth"))
-      val doubled = rel.unionByName(next).distinct().localCheckpoint()
-      val newCount = doubled.count()
-      growing = newCount > count
-      rel = doubled
-      count = newCount
-      covered *= 2
+        .localCheckpoint()
+      val next = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      if (cp.isEmpty) growing = false
+      else {
+        full = full.unionByName(next) // disjoint depth ranges — no dedup
+        frontier = next.where(col("depth") === d * 2)
+        d *= 2
+      }
     }
-    self.unionByName(rel)
+    self.unionByName(full)
   }
 
   /** Transitive rollup: aggregate fact rows into every ancestor of their

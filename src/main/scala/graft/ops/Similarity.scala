@@ -15,9 +15,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential double-fold dot product (bit-reproducible across engines). */
+  /** Sequential double-fold dot product (bit-reproducible across engines).
+    * Native codegen'd expression — same fold order as
+    * `aggregate(zip_with(...))` and DuckDB's list_dot_product, minus the
+    * interpreted higher-order-function overhead. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   private def asDouble(c: String): Column =
     expr(s"CAST($c AS ARRAY<DOUBLE>)")
@@ -116,9 +119,13 @@ object Similarity {
       nprobe: Int, iters: Int = 3): DataFrame = {
     val cs = kmeansCentroids(emb, nlist, iters)
     val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    // persisted: the assignment (nlist dot products per row) feeds the
+    // residual bound, the θ pass, and the final probe join; a production
+    // deployment would materialize this as the IVF index outright
     val corpus = v.withColumn("cell", nearestCluster(col("v"), cs))
       .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
         col("v").as("v_n"))
+      .persist()
     // per-cell max residual norm — the data-dependent half of the bound
     val centArr = array(cs.map(c => array(c.map(lit): _*)): _*)
     val cellRes = corpus

@@ -82,6 +82,36 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.sameElements(brute))
   }
 
+  test("native shingle_hashes equals the declarative xxhash64 chain") {
+    val k = 3
+    val declarative = expr(
+      s"""transform(array(split(text, ' ')), ws ->
+         |  CASE WHEN size(ws) < $k THEN array()
+         |  ELSE array_distinct(transform(
+         |    sequence(1, size(ws) - ${k - 1}),
+         |    i -> xxhash64(concat_ws(' ', slice(ws, i, $k))))) END)[0]"""
+        .stripMargin)
+    val rows = docs.select(
+      Dedup.hashedShingles("text", k).as("native"),
+      declarative.as("decl")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet)
+    }
+  }
+
+  test("codegen dot_product is bit-identical to the HOF fold") {
+    val v = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val both = v.as("a").join(v.as("b"),
+        col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 50)
+      .select(
+        Similarity.dot(col("a.v"), col("b.v")).as("native"),
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, " +
+          "(acc, x) -> acc + x)").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("kmeansCentroids rejects an empty input frame") {
     intercept[IllegalArgumentException] {
       Similarity.kmeansCentroids(emb.where(lit(false)), 4, 2)
