@@ -37,6 +37,17 @@ final class CubeCatalog(
     import scala.jdk.CollectionConverters._
     rollupReg.asScala.toSeq
   }
+
+  // A7/B9 member-key cache: resolved named-set / TopCount keys, computed once
+  // per catalog (the reference's member-cache analog — /flush drops the whole
+  // catalog, cache included). Keyed by (cube, dim, hierarchy, level, k,
+  // measure); values are the k member keys, driver-side.
+  private val topKCache = TrieMap.empty[(String, String, String, String, Int,
+    String), Seq[Any]]
+
+  def cachedTopKKeys(key: (String, String, String, String, Int, String))(
+      compute: => Seq[Any]): Seq[Any] =
+    topKCache.getOrElseUpdate(key, compute)
 }
 
 object CubeCatalog {

@@ -208,7 +208,10 @@ object SparkEntry {
       "d02_minhash_lsh" -> tbl("documents")(
         ops.Dedup.minhashLshPairs(_, 3, 32, 4, 0.5)
           .select("doc_a", "doc_b", "jaccard")),
-      "d03_simhash" -> tbl("documents")(ops.Dedup.simhashPairs(_, 16)),
+      // hamming <= 3 on a 64-bit fingerprint: the standard near-dup cutoff,
+      // and the regime where 4x16-bit chunk blocking is pigeonhole-COMPLETE
+      // (no missed pairs) rather than approximate
+      "d03_simhash" -> tbl("documents")(ops.Dedup.simhashPairs(_, 3)),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
       "d05_embedding_neardup" -> tbl("embeddings")(

@@ -345,16 +345,13 @@ object Planner {
     case NamedSetCut(name) =>
       val ns = cube.namedSet(name).getOrElse(
         GraftException.badRequest(s"named set '$name' not found"))
-      val lvl = resolve(cube, LevelRef(ns.dim, Some(ns.level))).level
-      val keys = namedSetKeys(cat, cube, ns)
-        .select(col(lvl.alias).as("__ns_key"))
-      df.join(broadcast(keys), col(lvl.alias) === col("__ns_key"), "left_semi")
+      val rl = resolve(cube, LevelRef(ns.dim, Some(ns.level)))
+      df.filter(col(rl.level.alias)
+        .isin(topKKeyValues(cat, cube, rl, ns.k, ns.byMeasure): _*))
     case TopKCut(l, k, byMeasure) =>
       val rl = resolve(cube, l)
-      val keys = topKKeys(cat, cube, rl, k, byMeasure)
-        .select(col(rl.level.alias).as("__ns_key"))
-      df.join(broadcast(keys), col(rl.level.alias) === col("__ns_key"),
-        "left_semi")
+      df.filter(col(rl.level.alias)
+        .isin(topKKeyValues(cat, cube, rl, k, byMeasure): _*))
   }
 
   // public handles for Rollups (B17)
@@ -382,8 +379,8 @@ object Planner {
     }
 
   /** Cuts become plain filters before groupBy (ref §4.1 rewrite 1): member =,
-    * set IN, range BETWEEN on the ordinal; named set = broadcast semi-join.
-    * Catalyst pushes the predicates into the scans. */
+    * set IN, range BETWEEN on the ordinal; named set / TopCount = IN over the
+    * cached member keys. Catalyst pushes all of them into the scans. */
   private def applyCut(cat: CubeCatalog, cube: CubeDef, df: DataFrame,
       c: Cut): DataFrame = c match {
     case MemberCut(l, key) =>
@@ -397,14 +394,13 @@ object Planner {
     case NamedSetCut(name) =>
       val ns = cube.namedSet(name).getOrElse(
         GraftException.badRequest(s"named set '$name' not found"))
-      val lvl = resolve(cube, LevelRef(ns.dim, Some(ns.level))).level
-      val keys = namedSetKeys(cat, cube, ns)
-      df.join(broadcast(keys), expr(lvl.keyExpr) === keys(lvl.alias), "left_semi")
+      val rl = resolve(cube, LevelRef(ns.dim, Some(ns.level)))
+      df.filter(expr(rl.level.keyExpr)
+        .isin(topKKeyValues(cat, cube, rl, ns.k, ns.byMeasure): _*))
     case TopKCut(l, k, byMeasure) =>
       val rl = resolve(cube, l)
-      val keys = topKKeys(cat, cube, rl, k, byMeasure)
-      df.join(broadcast(keys), expr(rl.level.keyExpr) === keys(rl.level.alias),
-        "left_semi")
+      df.filter(expr(rl.level.keyExpr)
+        .isin(topKKeyValues(cat, cube, rl, k, byMeasure): _*))
   }
 
   /** TopCount named set (ref B9, foodmart.xml:405-410): k member keys by
@@ -412,6 +408,19 @@ object Planner {
   def namedSetKeys(cat: CubeCatalog, cube: CubeDef, ns: NamedSetDef): DataFrame =
     topKKeys(cat, cube, resolve(cube, LevelRef(ns.dim, Some(ns.level))),
       ns.k, ns.byMeasure)
+
+  /** The k member keys of a TopCount set, collected once per catalog and
+    * memoized (the reference resolves named sets against its member cache
+    * the same way; /flush rebuilds the catalog and drops this too). Cuts
+    * then become IN-list predicates that push into the fact scan — at scale
+    * that removes a second fact pass that the semi-join form would need
+    * every query. */
+  private def topKKeyValues(cat: CubeCatalog, cube: CubeDef, rl: ResolvedLevel,
+      k: Int, byMeasure: String): Seq[Any] =
+    cat.cachedTopKKeys((cube.name, rl.dim.name, rl.hier.name, rl.level.name,
+      k, byMeasure)) {
+      topKKeys(cat, cube, rl, k, byMeasure).collect().toSeq.map(_.get(0))
+    }
 
   private def topKKeys(cat: CubeCatalog, cube: CubeDef, rl: ResolvedLevel,
       k: Int, byMeasure: String): DataFrame = {
