@@ -64,7 +64,15 @@ object Similarity {
     * each round; assignment stays fully distributed. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
       : Array[Array[Double]] = {
-    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    // persisted for the loop below (each iteration re-reads it; every round
+    // fully materializes via collect, so the unpersist at the end is safe)
+    val v = emb.select(col("vec_id"), asDouble("embedding").as("v")).persist()
+    try kmeansLoop(v, k, iters)
+    finally { v.unpersist(false); () }
+  }
+
+  private def kmeansLoop(v: DataFrame, k: Int, iters: Int)
+      : Array[Array[Double]] = {
     // Mean through DECIMAL (like labelCentroids) so the sum is independent of
     // partial-aggregation order — the "deterministic k-means" claim the IVF
     // path relies on. A cluster with no members this round keeps its previous

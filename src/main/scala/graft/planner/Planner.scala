@@ -312,7 +312,13 @@ object Planner {
       case Agg.Min => min(expr(m.expr))
       case Agg.Max => max(expr(m.expr))
       case Agg.DistinctCount => countDistinct(expr(m.expr))
-      case Agg.ApproxDistinctCount => approx_count_distinct(expr(m.expr))
+      // Datasketches HLL, not approx_count_distinct: the sketch's register-
+      // wise-max union is lossless and partitioning-independent, so the same
+      // measure answered from a rollup's stored sketches (Rollups B17) or
+      // straight off the fact gives the SAME estimate — the property that
+      // makes distinct-count rollup-able at 100 TB.
+      case Agg.ApproxDistinctCount =>
+        hll_sketch_estimate(hll_sketch_agg(expr(m.expr)))
     }
     c.as(m.alias)
   }

@@ -32,7 +32,10 @@ object Rollups {
 
   def supportedAgg(a: Agg): Boolean = a match {
     case Agg.Sum | Agg.Avg | Agg.Count | Agg.CountAll | Agg.Min | Agg.Max => true
-    case Agg.DistinctCount | Agg.ApproxDistinctCount => false
+    // approx distinct re-aggregates via its stored HLL sketch (lossless
+    // register-wise-max union); EXACT distinct stays non-additive → fact scan
+    case Agg.ApproxDistinctCount => true
+    case Agg.DistinctCount => false
   }
 
   /** Build a rollup of `cube` at the given levels (all hierarchy levels down
@@ -55,6 +58,10 @@ object Rollups {
           case Agg.CountAll => Seq(count(lit(1)).as(s"__cnt_${m.alias}"))
           case Agg.Min => Seq(min(e).as(s"__min_${m.alias}"))
           case Agg.Max => Seq(max(e).as(s"__max_${m.alias}"))
+          // B17 carve-out, lifted: store the HLL sketch itself (binary) so
+          // distinct-count re-aggregates by union instead of hitting the fact
+          case Agg.ApproxDistinctCount =>
+            Seq(hll_sketch_agg(e).as(s"__hll_${m.alias}"))
           case _ => Nil
         }
       } :+ count(lit(1)).as("__rows")
@@ -110,6 +117,8 @@ object Rollups {
       case Agg.Count | Agg.CountAll => sum(col(s"__cnt_${m.alias}"))
       case Agg.Min => min(col(s"__min_${m.alias}"))
       case Agg.Max => max(col(s"__max_${m.alias}"))
+      case Agg.ApproxDistinctCount =>
+        hll_sketch_estimate(hll_union_agg(col(s"__hll_${m.alias}")))
       case other => GraftException.badRequest(
         s"measure '${m.alias}' ($other) cannot be answered from a rollup")
     }

@@ -83,6 +83,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("native shingle_hashes equals the declarative xxhash64 chain") {
+    import spark.implicits._
     val k = 3
     val declarative = expr(
       s"""transform(array(split(text, ' ')), ws ->
@@ -91,11 +92,17 @@ class OpsSpec extends AnyFunSuite {
          |    sequence(1, size(ws) - ${k - 1}),
          |    i -> xxhash64(concat_ws(' ', slice(ws, i, $k))))) END)[0]"""
         .stripMargin)
-    val rows = docs.select(
-      Dedup.hashedShingles("text", k).as("native"),
-      declarative.as("decl")).collect()
-    rows.foreach { r =>
-      assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet)
+    val edge = Seq("", "one", "two words", "exactly three words",
+      "double  space  tokens", " leading and trailing ", "a b a b a b",
+      "ünïcode ärgs héré wörk tøø", "tab\tis not a separator here")
+      .toDF("text")
+    Seq(docs, edge).foreach { src =>
+      val rows = src.select(
+        Dedup.hashedShingles("text", k).as("native"),
+        declarative.as("decl")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet)
+      }
     }
   }
 

@@ -58,6 +58,20 @@ class RollupSpec extends AnyFunSuite {
       .contains("InMemoryTableScan"))
   }
 
+  test("approx distinct ROUTES via its HLL sketch and matches the fact path") {
+    val q = CubeQuery("sales", Seq(drill("Geography", "Region")),
+      Seq("part_cnt_approx", "cnt"))
+    val df = planOf(q)
+    // unlike exact distinct, the sketch union re-aggregates from the rollup
+    assert(df.queryExecution.executedPlan.toString()
+      .contains("InMemoryTableScan"))
+    val routed = df.collect().map(_.toSeq)
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf) // no rollups
+    val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
+    // lossless register-wise-max union ⇒ identical estimates, not just close
+    assert(routed.toSeq == direct.toSeq)
+  }
+
   test("uncovered level bypasses the rollup") {
     val df = planOf(CubeQuery("sales", Seq(drill("Geography", "Supplier")),
       Seq("revenue")))
