@@ -25,6 +25,17 @@ object Similarity {
   private def asDouble(c: String): Column =
     expr(s"CAST($c AS ARRAY<DOUBLE>)")
 
+  /** Per-query top-k of a scored candidate frame, via the GroupedTopK custom
+    * plan: bounded heaps per input partition, ≤ k·|queries| rows shuffled, no
+    * per-group sort. (sim desc, neighbor_id asc) is a total order, so the
+    * winners and ranks are deterministic — identical to the row_number()
+    * window spelling this replaces. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.GroupedTopK.topK(
+        scored.select("query_id", "neighbor_id", "sim"),
+        Seq(col("query_id")), Seq(col("sim").desc, col("neighbor_id").asc), k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+
   /** Exact top-k cosine neighbors for each query vector (vec_id ∈ queryIds).
     * Embeddings are L2-normalized ⇒ cosine = dot. */
   def knnBrute(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
@@ -32,14 +43,10 @@ object Similarity {
       asDouble("embedding").as("v_n"))
     val queries = emb.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), asDouble("embedding").as("v_q"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("v_q"), col("v_n")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
-      .orderBy("query_id", "rank")
+    topKPerQuery(scored, k).orderBy("query_id", "rank")
   }
 
   /** Per-label centroids, element-wise (posexplode → per-position exact
@@ -152,18 +159,15 @@ object Similarity {
     val queries = v.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("v_q"))
       .withColumn("cells", array(scored: _*))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
     // phase 1: seed probes → provisional k-th best score θ per query
     val seed = queries.select(col("query_id"), col("v_q"),
       explode(slice(reverse(array_sort(col("cells"))), 1, nprobe)).as("p"))
       .select(col("query_id"), col("v_q"), col("p.j").as("cell_q"))
-    val theta = corpus.join(broadcast(seed),
+    val seedScored = corpus.join(broadcast(seed),
         col("cell_q") === col("cell_n") &&
           col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("v_q"), col("v_n")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    val theta = topKPerQuery(seedScored, k)
       .groupBy("query_id")
       .agg(min(col("sim")).as("kth"), count(lit(1)).as("nc"))
       .select(col("query_id"),
@@ -179,14 +183,11 @@ object Similarity {
       .where(col("cdot") + col("max_res") + lit(1e-9) >=
         coalesce(col("theta"), lit(-2.0)))
       .select(col("query_id"), col("v_q"), col("cell_q"))
-    corpus.join(broadcast(probes),
+    val finalScored = corpus.join(broadcast(probes),
         col("cell_q") === col("cell_n") &&
           col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("v_q"), col("v_n")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
-      .orderBy("query_id", "rank")
+    topKPerQuery(finalScored, k).orderBy("query_id", "rank")
   }
 
   /** Deterministic random hyperplanes: `bits` planes of dimension `dim`,
@@ -218,15 +219,10 @@ object Similarity {
     val queries = bucketed.where(col("vec_id").isin(queryIds: _*))
       .select(col("bucket").as("bucket_q"), col("vec_id").as("query_id"),
         col("v").as("v_q"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    corpus.join(broadcast(queries),
+    val scored = corpus.join(broadcast(queries),
         col("bucket_q") === col("bucket_n") &&
           col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("v_q"), col("v_n")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
-      .orderBy("query_id", "rank")
+    topKPerQuery(scored, k).orderBy("query_id", "rank")
   }
 }

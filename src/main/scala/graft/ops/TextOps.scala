@@ -128,13 +128,14 @@ object TextOps {
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("lang")
-      .orderBy(col("cnt").desc, col("token").asc)
-    docs.select(col("lang"), explode(tokens("text")).as("token"))
+    // GroupedTopK (custom plan): bounded heaps instead of a full per-group
+    // sort; the (cnt desc, token asc) order is total, so ranks are
+    // deterministic — identical to the row_number() spelling
+    val counts = docs.select(col("lang"), explode(tokens("text")).as("token"))
       .groupBy("lang", "token")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    graft.plans.GroupedTopK.topK(counts, Seq(col("lang")),
+        Seq(col("cnt").desc, col("token").asc), k)
       .select("lang", "rank", "token", "cnt")
       .orderBy("lang", "rank")
   }

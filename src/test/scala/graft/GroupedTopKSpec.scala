@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.GroupedTopK
+import SparkTestSession.{catalog => cat, spark}
+
+/** Custom whole-operator plan (LogicalPlan + Strategy + SparkPlan): per-group
+  * top-k must equal the window row_number() spelling exactly, on every
+  * deterministic ordering, and must plan as the two-phase heap operator. */
+class GroupedTopKSpec extends AnyFunSuite {
+
+  private lazy val li = cat.table("lineitem")
+
+  private def windowed(k: Int) = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  private def viaOperator(k: Int) =
+    GroupedTopK.topK(
+      li.select("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice"),
+      Seq(col("l_returnflag")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc), k)
+
+  test("grouped top-k equals the row_number window form exactly") {
+    Seq(1, 5, 40).foreach { k =>
+      val exp = windowed(k).collect().map(_.toSeq).toSet
+      val got = viaOperator(k).collect().map(_.toSeq).toSet
+      assert(got == exp, s"k=$k")
+    }
+  }
+
+  test("plans as partial + final heap exec around one exchange, no sort") {
+    val df = viaOperator(5)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("GroupedTopK \\[".r.findAllIn(plan).length == 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("WindowExec"))
+    assert(!plan.contains("SortExec") && !plan.contains("Sort "), plan)
+  }
+
+  test("groups smaller than k emit all rows, ranked densely from 1") {
+    val rows = viaOperator(100000).where(col("l_returnflag") === "R")
+      .collect()
+    val total = li.where(col("l_returnflag") === "R").count()
+    assert(rows.length == total)
+    val ranks = rows.map(_.getInt(4)).sorted
+    assert(ranks.head == 1 && ranks.last == total)
+    assert(ranks.distinct.length == ranks.length)
+  }
+}
