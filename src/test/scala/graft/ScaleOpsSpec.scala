@@ -53,4 +53,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       .toMap
     assert(salted == plain)
   }
+
+  test("time-partitioned sink writes prune on read (PartitionFilters)") {
+    // the 100 TB fact layout: partition by the cut column (SURVEY §4.3) so a
+    // year cut never touches the other years' files
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val li = cat.table("lineitem")
+      .withColumn("ship_year", expr("year(l_shipdate)"))
+    graft.sources.Sinks.write(li, dir, partitionBy = Seq("ship_year"))
+    val back = spark.read.parquet(dir).where(col("ship_year") === 1996)
+    val plan = back.queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*1996".r.findFirstIn(plan).nonEmpty,
+      plan)
+    assert(back.count() ==
+      li.where(expr("year(l_shipdate) = 1996")).count())
+  }
 }
