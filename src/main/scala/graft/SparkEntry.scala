@@ -249,7 +249,30 @@ object SparkEntry {
       "t06_bpeish_tokens" -> tbl("documents")(ops.TextOps.bpeishTokenStats),
       "d06_dedup_keep_first" -> tbl("documents")(ops.TextOps.dedupKeepFirst),
       "t05_top_words" -> tbl("documents")(ops.TextOps.topWordsPerLang(_, 5)),
-      "s03_label_centroids" -> tbl("embeddings")(ops.Similarity.labelCentroids))
+      "s03_label_centroids" -> tbl("embeddings")(ops.Similarity.labelCentroids),
+      // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
+      "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |TOPCOUNT([Part].[Brands].[Brand].Members, 5, [Measures].[Revenue]) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
+      // B17 in the hash gate: answered from a registered aggregate table
+      // (fresh catalog so the routing never leaks into the other queries);
+      // decimal partials re-aggregate exactly, so the rollup path must
+      // hash-match the same SQL as a fact scan would
+      "q35_rollup_routed" -> ((s: SparkSession, dir: String) => {
+        val c = TpchCatalog.build(s, dir)
+        c.addRollup(Rollups.build(c, c.cube("sales"), Seq(
+          LevelRef("Geography", Some("Region")),
+          LevelRef("Part", Some("Brand"), Some("Brands")),
+          LevelRef("ShipDate", Some("Year"), Some("Monthly")))))
+        Planner.plan(c, CubeQuery("sales",
+          Seq(drill("Geography", "Region"), drill("Part", "Brand", "Brands")),
+          Seq("revenue", "cnt"),
+          cuts = Seq(RangeCut(L("ShipDate", "Year", "Monthly"), 1996, 1997))))
+      }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cubeQueries.map { case (n, q) => n -> cq(q) } ++ opsQueries
@@ -685,6 +708,20 @@ object SparkEntry {
         |CAST(mx AS DOUBLE) AS f_max,
         |CAST(16.0 AS DOUBLE) AS f_n
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q34_mdx_topcount" ->
+      s"""WITH b AS (
+         |  SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         |top AS (SELECT brand FROM b ORDER BY revenue DESC, brand ASC LIMIT 5)
+         |SELECT b.brand, b.revenue FROM b JOIN top USING (brand)
+         |ORDER BY brand""".stripMargin,
+    "q35_rollup_routed" ->
+      s"""SELECT r_regionkey AS region, r_name AS region_label,
+         |p_brand AS brand, ${sumd(REV, "revenue")}, COUNT(1) AS cnt
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+         |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     // s02: the random-hyperplane LSH is fully deterministic (seeded planes),
     // so the oracle replays it: the 8 plane vectors are inlined as literals,
     // bucket = sign bits, then exact per-bucket top-k. list_dot_product ==
