@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.simhashDesc)
     e.injectFunction(GraftExtensions.minhashDesc)
     e.injectFunction(GraftExtensions.dotDesc)
+    e.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
 
@@ -71,9 +73,16 @@ object GraftExtensions {
         "dot_product takes (array<double>, array<double>)")
     })
 
-  /** Register on an already-built session (no extensions hook needed). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (no extensions hook needed):
+    * SQL functions, the GroupedTopK strategy, and the row_number()-filter →
+    * GroupedTopK rewrite. */
+  def register(spark: SparkSession): Unit = {
     Seq(simhashDesc, minhashDesc, dotDesc).foreach { case (id, ei, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, ei, builder)
     }
+    org.apache.spark.sql.graftshim.SparkShim.addStrategy(spark,
+      graft.plans.GroupedTopKStrategy)
+    org.apache.spark.sql.graftshim.SparkShim.addOptimization(spark,
+      graft.plans.TopKRewrite)
+  }
 }

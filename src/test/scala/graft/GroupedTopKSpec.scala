@@ -47,6 +47,34 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(!plan.contains("SortExec") && !plan.contains("Sort "), plan)
   }
 
+  test("TopKRewrite turns the row_number window spelling into GroupedTopK") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = windowed(5)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("GroupedTopK \\[".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("Window"), plan)
+    // identical rows to the unrewritten execution (set compare vs operator)
+    assert(df.collect().map(_.toSeq).toSet ==
+      viaOperator(5).collect().map(_.toSeq).toSet)
+  }
+
+  test("TopKRewrite keeps residual predicates and rn = 1 semantics") {
+    graft.functions.GraftExtensions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val df = li.select("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("l_extendedprice") > 0)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("GroupedTopK \\[".r.findAllIn(plan).length == 2, plan)
+    val rows = df.collect()
+    assert(rows.length == li.select("l_returnflag").distinct().count())
+    assert(rows.forall(_.getInt(4) == 1))
+  }
+
   test("groups smaller than k emit all rows, ranked densely from 1") {
     val rows = viaOperator(100000).where(col("l_returnflag") === "R")
       .collect()
