@@ -69,6 +69,67 @@ object Rollups {
     Rollup(cube.name, rls.flatMap(Planner.levelAliasesOf).toSet, df)
   }
 
+  /** Build SEVERAL rollups from ONE fact scan via GROUPING SETS: each level
+    * set becomes a grouping set, grouping_id() splits the single shuffled
+    * aggregation's output back into per-rollup frames. At 100 TB the fact
+    * scan dominates agg-table maintenance, so materializing the whole rollup
+    * lattice in one pass (instead of one scan per rollup) is the difference
+    * between N nightly scans and one. Results are identical to N
+    * [[build]] calls — Spark expands grouping sets into the same partial
+    * aggregates. Level sets must be given as resolvable LevelRefs; the
+    * returned rollups are in input order. */
+  def buildMany(cat: CubeCatalog, cube: CubeDef,
+      levelSets: Seq[Seq[LevelRef]]): Seq[Rollup] = {
+    val rlSets = levelSets.map(_.map(Planner.resolve(cube, _)))
+    val allRls = rlSets.flatten.distinctBy(_.level.alias)
+    val joined = Planner.joinForLevels(cat, cube, allRls)
+    val allCols = allRls.flatMap(Planner.levelColsOf).distinct
+    // project level expressions once so grouping sets reference plain columns
+    val projected = joined.select(col("*") +: allCols: _*)
+    val aliasSets = rlSets.map(_.flatMap(Planner.levelAliasesOf).distinct)
+    val setsSql = aliasSets
+      .map(_.map(a => s"`$a`").mkString("(", ", ", ")"))
+      .mkString("GROUPING SETS (", ", ", ")")
+    val allAliases = allRls.flatMap(Planner.levelAliasesOf).distinct
+    // DataFrame API has no grouping-sets handle → SQL over a temp view
+    val view = s"__graft_rollup_src_${System.identityHashCode(projected)}"
+    projected.createOrReplaceTempView(view)
+    val aggSql = cube.measures.filter(m => supportedAgg(m.agg)).flatMap { m =>
+      val e = s"(${m.expr})"
+      val dec = s"CAST($e AS DECIMAL(27,6))"
+      m.agg match {
+        case Agg.Sum | Agg.Avg => Seq(
+          s"SUM(${if (m.exact) dec else e}) AS `__sum_${m.alias}`",
+          s"COUNT($e) AS `__cnt_${m.alias}`")
+        case Agg.Count => Seq(s"COUNT($e) AS `__cnt_${m.alias}`")
+        case Agg.CountAll => Seq(s"COUNT(1) AS `__cnt_${m.alias}`")
+        case Agg.Min => Seq(s"MIN($e) AS `__min_${m.alias}`")
+        case Agg.Max => Seq(s"MAX($e) AS `__max_${m.alias}`")
+        case Agg.ApproxDistinctCount =>
+          Seq(s"hll_sketch_agg($e) AS `__hll_${m.alias}`")
+        case _ => Nil
+      }
+    } :+ "COUNT(1) AS `__rows`"
+    val sql =
+      s"""SELECT ${allAliases.map(a => s"`$a`").mkString(", ")},
+         |grouping_id(${allAliases.map(a => s"`$a`").mkString(", ")}) AS __gid,
+         |${aggSql.mkString(",\n")}
+         |FROM $view
+         |GROUP BY $setsSql""".stripMargin
+    val lattice = cat.spark.sql(sql)
+    aliasSets.zip(rlSets).map { case (aliases, rls) =>
+      // gid bit = 1 ⇔ column NOT in the grouping set
+      val gid = allAliases.zipWithIndex
+        .filterNot { case (a, _) => aliases.contains(a) }
+        .map { case (_, i) => 1L << (allAliases.length - 1 - i) }.sum
+      Rollup(cube.name, rls.flatMap(Planner.levelAliasesOf).toSet,
+        lattice.where(col("__gid") === gid)
+          .select(aliases.map(col) ++
+            lattice.columns.filter(_.startsWith("__"))
+              .filterNot(_ == "__gid").map(col): _*))
+    }
+  }
+
   /** Pick the smallest eligible rollup for (cube, query), if any. */
   def route(rollups: Seq[Rollup], cube: CubeDef, drills: Seq[Planner.ResolvedLevel],
       cuts: Seq[Cut], bases: Seq[MeasureDef], dense: Boolean): Option[Rollup] = {

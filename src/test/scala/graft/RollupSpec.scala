@@ -58,6 +58,31 @@ class RollupSpec extends AnyFunSuite {
       .contains("InMemoryTableScan"))
   }
 
+  test("buildMany materializes the rollup lattice in one scan, identically") {
+    val c2 = TpchCatalog.build(spark, SparkTestSession.sf)
+    val sets = Seq(
+      Seq(LevelRef("Geography", Some("Region"))),
+      Seq(LevelRef("Geography", Some("Region")),
+        LevelRef("Part", Some("Brand"), Some("Brands"))),
+      Seq(LevelRef("ShipDate", Some("Year"), Some("Monthly"))))
+    val many = Rollups.buildMany(c2, c2.cube("sales"), sets)
+    val singles = sets.map(s => Rollups.build(c2, c2.cube("sales"), s))
+    many.zip(singles).foreach { case (m, s) =>
+      assert(m.levels == s.levels)
+      // compare on estimate for sketch columns, raw values elsewhere
+      def comparable(df: org.apache.spark.sql.DataFrame) = {
+        val cols = df.columns.map { c =>
+          if (c.startsWith("__hll_"))
+            org.apache.spark.sql.functions
+              .expr(s"hll_sketch_estimate(`$c`)").as(c)
+          else org.apache.spark.sql.functions.col(c)
+        }
+        df.select(cols.toSeq: _*).collect().map(_.toSeq).toSet
+      }
+      assert(comparable(m.df) == comparable(s.df), s.levels)
+    }
+  }
+
   test("approx distinct ROUTES via its HLL sketch and matches the fact path") {
     val q = CubeQuery("sales", Seq(drill("Geography", "Region")),
       Seq("part_cnt_approx", "cnt"))
