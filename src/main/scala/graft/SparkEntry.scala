@@ -250,6 +250,7 @@ object SparkEntry {
       "d06_dedup_keep_first" -> tbl("documents")(ops.TextOps.dedupKeepFirst),
       "t05_top_words" -> tbl("documents")(ops.TextOps.topWordsPerLang(_, 5)),
       "s03_label_centroids" -> tbl("embeddings")(ops.Similarity.labelCentroids),
+      "t07_hash_split" -> tbl("documents")(ops.TextOps.hashSplit(_, 80, 10)),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -708,6 +709,23 @@ object SparkEntry {
         |CAST(mx AS DOUBLE) AS f_max,
         |CAST(16.0 AS DOUBLE) AS f_n
         |FROM s ORDER BY doc_id""".stripMargin,
+    // t07: first 16 bits of md5 via the hex-digit instr trick; integer
+    // arithmetic → exact on both engines
+    "t07_hash_split" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h
+        |  FROM documents),
+        |b AS (SELECT doc_id, source,
+        |  CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100
+        |    AS INTEGER) AS bucket
+        |  FROM h)
+        |SELECT doc_id, source, bucket,
+        |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+        |ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q34_mdx_topcount" ->
       s"""WITH b AS (
          |  SELECT p_brand AS brand, ${sumd(REV, "revenue")}

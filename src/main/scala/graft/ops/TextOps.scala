@@ -125,6 +125,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/valid/test split by content hash: bucket =
+    * first 16 bits of md5(doc_id:text) mod 100, so the assignment is stable
+    * under reshuffling, re-partitioning, and re-runs — the property a
+    * training pipeline needs so examples never migrate across splits between
+    * snapshots. Pure column arithmetic (no RNG, no UDF), embarrassingly
+    * parallel at any scale. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, validPct: Int = 10)
+      : DataFrame = {
+    require(trainPct + validPct < 100, "train+valid must leave room for test")
+    docs
+      .withColumn("bucket", expr(
+        "CAST(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 4), 16, 10) AS INT) % 100 AS INT)"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+      .select("doc_id", "source", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {

@@ -203,6 +203,14 @@ class OpsSpec extends AnyFunSuite {
     assert(sig.length == 16)
   }
 
+  test("hash split is total, deterministic, and repartition-invariant") {
+    val s1 = TextOps.hashSplit(docs, 80, 10).collect()
+    assert(s1.length == docs.count())
+    assert(s1.map(_.getString(3)).toSet.subsetOf(Set("train", "valid", "test")))
+    val s2 = TextOps.hashSplit(docs.repartition(13), 80, 10).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+  }
+
   test("text quality + langid are deterministic and complete") {
     val q = TextOps.qualityScore(docs).collect()
     assert(q.length == docs.count())
