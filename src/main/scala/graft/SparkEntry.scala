@@ -251,6 +251,10 @@ object SparkEntry {
       "t05_top_words" -> tbl("documents")(ops.TextOps.topWordsPerLang(_, 5)),
       "s03_label_centroids" -> tbl("embeddings")(ops.Similarity.labelCentroids),
       "t07_hash_split" -> tbl("documents")(ops.TextOps.hashSplit(_, 80, 10)),
+      // the composed corpus pipeline: quality gate → exact dedup → split →
+      // per-(split, lang) token budget, one declarative plan
+      "t08_pipeline_e2e" -> tbl("documents")(
+        ops.TextOps.pipelineSummary(_, 0.5)),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -709,6 +713,35 @@ object SparkEntry {
         |CAST(mx AS DOUBLE) AS f_max,
         |CAST(16.0 AS DOUBLE) AS f_n
         |FROM s ORDER BY doc_id""".stripMargin,
+    // t08: the composed pipeline — each CTE is a stage whose standalone
+    // query (t02, d06, t07) already hash-matches
+    "t08_pipeline_e2e" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio,
+        |  (length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')) AS mean_token_len
+        |  FROM documents),
+        |scored AS (SELECT doc_id,
+        |  (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+        |   * (0.25 + 0.75 * uniq_ratio)
+        |   * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) AS quality_score
+        |  FROM q),
+        |kept AS (SELECT d.* FROM documents d JOIN scored USING (doc_id)
+        |  WHERE quality_score >= 0.5),
+        |dedup AS (SELECT * FROM kept
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+        |assigned AS (SELECT lang, text,
+        |  CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100
+        |    AS INTEGER) AS bucket
+        |  FROM (SELECT lang, text,
+        |    md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h FROM dedup))
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+        |ELSE 'test' END AS split, lang, COUNT(1) AS docs,
+        |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // t07: first 16 bits of md5 via the hex-digit instr trick; integer
     // arithmetic → exact on both engines
     "t07_hash_split" ->

@@ -131,18 +131,42 @@ object TextOps {
     * training pipeline needs so examples never migrate across splits between
     * snapshots. Pure column arithmetic (no RNG, no UDF), embarrassingly
     * parallel at any scale. */
-  def hashSplit(docs: DataFrame, trainPct: Int = 80, validPct: Int = 10)
+  /** Appends (bucket, split) to any frame with doc_id + text. */
+  def hashSplitAssign(df: DataFrame, trainPct: Int = 80, validPct: Int = 10)
       : DataFrame = {
     require(trainPct + validPct < 100, "train+valid must leave room for test")
-    docs
+    df
       .withColumn("bucket", expr(
         "CAST(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 4), 16, 10) AS INT) % 100 AS INT)"))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + validPct, "valid")
           .otherwise("test"))
+  }
+
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, validPct: Int = 10)
+      : DataFrame =
+    hashSplitAssign(docs, trainPct, validPct)
       .select("doc_id", "source", "bucket", "split")
       .orderBy("doc_id")
+
+  /** The composed corpus pipeline — the shape a pre-training data build
+    * actually runs: quality gate → exact dedup (keep first) → deterministic
+    * split → per-(split, lang) doc and token budget. Every stage is one of
+    * the operators above; the whole thing stays one declarative plan (two
+    * window/agg shuffles), no driver loops. */
+  def pipelineSummary(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val kept = docs.join(q, "doc_id")
+      .where(col("quality_score") >= minQuality)
+    val w = Window.partitionBy(md5(col("text")))
+    val deduped = kept.withColumn("__canon", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("__canon"))
+    hashSplitAssign(deduped)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " "))).cast("bigint").as("tokens"))
+      .orderBy("split", "lang")
   }
 
   /** Top-k tokens per language by frequency (explode → count → window
