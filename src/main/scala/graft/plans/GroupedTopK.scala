@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.IntegerType
   * `order` must be a total order within each group (e.g. a unique id as the
   * final tiebreak) for the k winners and their ranks to be deterministic —
   * the same requirement row_number() has.
+  *
+  * Memory model: one k-row heap per DISTINCT group per partition, held in a
+  * hash map (no spill). That's the right trade when groups ≪ rows (top-k
+  * per query vector / language / flag — k·groups rows total); for
+  * near-unique grouping keys prefer the sort-based window form, whose
+  * external sort spills.
   */
 final case class GroupedTopK(
     groupExprs: Seq[Expression],
@@ -43,6 +49,8 @@ final case class GroupedTopK(
       nullable = false)())
   extends UnaryNode {
   require(k >= 1, "k must be >= 1")
+  require(groupExprs.nonEmpty,
+    "GroupedTopK needs group keys; global top-k is orderBy().limit(k)")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rank is minted here, not read from the child
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
