@@ -246,6 +246,19 @@ object SparkEntry {
           c.table("orders"))
       }),
       "e02_json_extract" -> tbl("events")(ops.EventOps.jsonFieldStats(_, "k")),
+      // as-of join: each event picks up the user's most recent prior order
+      // (union + carry-forward — one sort, no range-join blowup)
+      "e03_asof_join" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        val ev = c.table("events")
+          .selectExpr("user_id", "event_id", "CAST(ts AS DATE) AS t")
+        val st = c.table("orders")
+          .selectExpr("o_custkey AS user_id", "CAST(o_orderdate AS DATE) AS t",
+            "o_orderkey AS ord", "o_totalprice AS value")
+        ops.EventOps.asofJoin(ev, st)
+          .selectExpr("event_id", "user_id", "t AS event_day",
+            "asof_ord AS last_order_key", "asof_value AS last_order_price")
+      }),
       "t06_bpeish_tokens" -> tbl("documents")(ops.TextOps.bpeishTokenStats),
       "d06_dedup_keep_first" -> tbl("documents")(ops.TextOps.dedupKeepFirst),
       "t05_top_words" -> tbl("documents")(ops.TextOps.topWordsPerLang(_, 5)),
@@ -713,6 +726,17 @@ object SparkEntry {
         |CAST(mx AS DOUBLE) AS f_max,
         |CAST(16.0 AS DOUBLE) AS f_n
         |FROM s ORDER BY doc_id""".stripMargin,
+    // e03: DuckDB replays the as-of via a correlated latest-prior lookup
+    // with the same (date desc, orderkey desc) tiebreak
+    "e03_asof_join" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_day,
+        |(SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = e.user_id
+        |  AND o.o_orderdate <= CAST(e.ts AS DATE)
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order_key,
+        |(SELECT o.o_totalprice FROM orders o WHERE o.o_custkey = e.user_id
+        |  AND o.o_orderdate <= CAST(e.ts AS DATE)
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order_price
+        |FROM events e ORDER BY e.event_id""".stripMargin,
     // t08: the composed pipeline — each CTE is a stage whose standalone
     // query (t02, d06, t07) already hash-matches
     "t08_pipeline_e2e" ->

@@ -203,6 +203,25 @@ class OpsSpec extends AnyFunSuite {
     assert(sig.length == 16)
   }
 
+  test("asof join equals the naive latest-prior range join") {
+    val ev = cat.table("events")
+      .selectExpr("user_id", "event_id", "CAST(ts AS DATE) AS t")
+    val st = cat.table("orders")
+      .selectExpr("o_custkey AS user_id", "CAST(o_orderdate AS DATE) AS t",
+        "o_orderkey AS ord", "o_totalprice AS value")
+    val fast = EventOps.asofJoin(ev, st).collect().map(_.toSeq)
+    // naive: inequality join + per-event argmax over (t, ord)
+    val naive = ev.as("e").join(st.as("s"),
+        col("e.user_id") === col("s.user_id") && col("s.t") <= col("e.t"),
+        "left")
+      .groupBy(col("e.event_id"), col("e.user_id"), col("e.t"))
+      .agg(max(struct(col("s.t"), col("s.ord"), col("s.value"))).as("best"))
+      .selectExpr("event_id", "user_id", "t", "best.ord AS asof_ord",
+        "best.value AS asof_value")
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(fast.toSeq == naive.toSeq)
+  }
+
   test("hash split is total, deterministic, and repartition-invariant") {
     val s1 = TextOps.hashSplit(docs, 80, 10).collect()
     assert(s1.length == docs.count())
