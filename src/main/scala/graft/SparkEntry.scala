@@ -268,6 +268,9 @@ object SparkEntry {
       // per-(split, lang) token budget, one declarative plan
       "t08_pipeline_e2e" -> tbl("documents")(
         ops.TextOps.pipelineSummary(_, 0.5)),
+      // exact per-source quotas by content-hash order (GroupedTopK heaps)
+      "t09_sample_quota" -> tbl("documents")(
+        ops.TextOps.sampleQuota(_, "source", 10)),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -726,6 +729,14 @@ object SparkEntry {
         |CAST(mx AS DOUBLE) AS f_max,
         |CAST(16.0 AS DOUBLE) AS f_n
         |FROM s ORDER BY doc_id""".stripMargin,
+    "t09_sample_quota" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h
+        |  FROM documents)
+        |SELECT doc_id, source, h,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |  AS INTEGER) AS rank
+        |FROM h QUALIFY rank <= 10 ORDER BY source, rank""".stripMargin,
     // e03: DuckDB replays the as-of via a correlated latest-prior lookup
     // with the same (date desc, orderkey desc) tiebreak
     "e03_asof_join" ->

@@ -150,6 +150,20 @@ object TextOps {
       .select("doc_id", "source", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Deterministic sampling with EXACT per-group quotas: keep the n docs
+    * per `groupCol` that sort first by content hash — an unbiased,
+    * reshuffle-stable sample with hard size guarantees (rand()-based
+    * sampling gives neither). Runs on the GroupedTopK heap operator:
+    * map-side bounded heaps, ≤ n rows per group shuffled. */
+  def sampleQuota(docs: DataFrame, groupCol: String, n: Int): DataFrame =
+    graft.plans.GroupedTopK.topK(
+        docs.select(col("doc_id"), col(groupCol),
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+            .as("h")),
+        Seq(col(groupCol)), Seq(col("h").asc, col("doc_id").asc), n)
+      .select(col("doc_id"), col(groupCol), col("h"), col("rank"))
+      .orderBy(groupCol, "rank")
+
   /** The composed corpus pipeline — the shape a pre-training data build
     * actually runs: quality gate → exact dedup (keep first) → deterministic
     * split → per-(split, lang) doc and token budget. Every stage is one of
