@@ -24,11 +24,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: build the catalog (parquet footers, dim pre-joins) + touch the
-    // fact once end-to-end
+    // warmup: run every query once so catalog build, parquet footers, and
+    // whole-stage-codegen/classloader compilation happen off the clock —
+    // measured numbers then reflect steady-state throughput (what a warm
+    // cluster sustains), not first-use JIT. The cache is cleared afterwards
+    // so measured runs still pay their real data-side costs.
     try {
       CubeCatalog.forDir(spark, sfDir)
-      SparkEntry.queries("q20_grand_total")(spark, sfDir).count()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
