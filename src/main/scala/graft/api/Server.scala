@@ -56,7 +56,7 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
           (if (isForm) parseQuery(body) else Map.empty)
       val segs = path.split("/").toList.filter(_.nonEmpty).map(decodeSegment)
       val result = segs match {
-        case ("mdx" | "mdx.csv" | "mdx.jsonrecords") :: Nil
+        case ("mdx" | "mdx.csv" | "mdx.jsonrecords" | "mdx.xls") :: Nil
           if ex.getRequestMethod == "POST" => mdx(segs.head, body, params)
         case _ => route(segs, params)
       }
@@ -155,6 +155,9 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
         val asArrays = params.get("format").exists(_.headOption.contains("array"))
         (200, "application/json",
           Formatters.jsonRecords(Formatters.tidy(catalog, q), asArrays))
+      case "mdx.xls" =>
+        (200, "application/vnd.ms-excel",
+          Formatters.xmlSpreadsheet(Formatters.tidy(catalog, q)))
       case other => GraftException.notFound(s"unknown format: $other")
     }
   }
@@ -173,6 +176,9 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
         val asArrays = params.get("format").exists(_.headOption.contains("array"))
         (200, "application/json",
           Formatters.jsonRecords(Formatters.tidy(catalog, q), asArrays))
+      case "aggregate.xls" =>
+        (200, "application/vnd.ms-excel",
+          Formatters.xmlSpreadsheet(Formatters.tidy(catalog, q)))
       case other => GraftException.notFound(s"unknown format: $other")
     }
   }

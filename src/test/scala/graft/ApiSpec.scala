@@ -61,6 +61,16 @@ class ApiSpec extends AnyFunSuite {
     assert(body2.contains("Brand+13"), body2)
   }
 
+  test("aggregate.xls serves a SpreadsheetML workbook") {
+    val (code, body) = get(
+      "/cubes/sales/aggregate.xls?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue")
+    assert(code == 200)
+    assert(body.startsWith("<?xml"))
+    assert(body.contains("urn:schemas-microsoft-com:office:spreadsheet"))
+    assert("<Row>".r.findAllIn(body).length == 6) // header + 5 regions
+    assert(body.contains("""<Data ss:Type="Number">"""))
+  }
+
   test("POST aggregate (form body) equals GET (reference parity)") {
     val qs = "drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue&measures%5B%5D=cnt"
     val (_, viaGet) = get(s"/cubes/sales/aggregate?$qs")
