@@ -48,6 +48,17 @@ final class CubeCatalog(
   def cachedTopKKeys(key: (String, String, String, String, Int, String))(
       compute: => Seq[Any]): Seq[Any] =
     topKCache.getOrElseUpdate(key, compute)
+
+  // C9 member-frame cache: the distinct() member list of a level, persisted
+  // on the executors (NOT collected — a 100 TB dimension stays distributed;
+  // the reference caches driver-side member lists, its documented hazard).
+  // Dropped with the catalog on /flush like everything else.
+  private val memberFrameCache =
+    TrieMap.empty[(String, String, Boolean), DataFrame]
+
+  def cachedMemberFrame(key: (String, String, Boolean))(
+      compute: => DataFrame): DataFrame =
+    memberFrameCache.getOrElseUpdate(key, compute.persist())
 }
 
 object CubeCatalog {

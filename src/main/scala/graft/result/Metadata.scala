@@ -82,6 +82,14 @@ object Metadata {
   def levelMembersDf(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
       withProps: Boolean = false): DataFrame = {
     val rl = Planner.resolve(cube, ref)
+    cat.cachedMemberFrame((cube.name,
+      s"${rl.dim.name}.${rl.hier.name}.${rl.level.name}", withProps)) {
+      levelMembersDfUncached(cat, cube, rl, withProps)
+    }
+  }
+
+  private def levelMembersDfUncached(cat: CubeCatalog, cube: CubeDef,
+      rl: Planner.ResolvedLevel, withProps: Boolean): DataFrame = {
     val src = rl.dim.join match {
       case Some(js) => cat.table(js.table)
       case None => cat.fact(cube)
