@@ -222,6 +222,28 @@ class OpsSpec extends AnyFunSuite {
     assert(fast.toSeq == naive.toSeq)
   }
 
+  test("asof join with no matching states yields null state columns") {
+    val ev = cat.table("events")
+      .selectExpr("user_id", "event_id", "CAST(ts AS DATE) AS t")
+    val st = cat.table("orders")
+      .selectExpr("o_custkey AS user_id", "CAST(o_orderdate AS DATE) AS t",
+        "o_orderkey AS ord", "o_totalprice AS value")
+      .where(lit(false))
+    val out = EventOps.asofJoin(ev, st).collect()
+    assert(out.length == ev.count())
+    assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("sample quota: exactly min(n, group size) rows per group") {
+    val out = TextOps.sampleQuota(docs, "source", 7).collect()
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    sizes.foreach { case (src, n) =>
+      assert(got.getOrElse(src, 0) == math.min(7L, n), src)
+    }
+  }
+
   test("hash split is total, deterministic, and repartition-invariant") {
     val s1 = TextOps.hashSplit(docs, 80, 10).collect()
     assert(s1.length == docs.count())
