@@ -90,6 +90,24 @@ class SchemaLoaderSpec extends AnyFunSuite {
       SparkTestSession.catalog.table("orders").count())
   }
 
+  test("ORC and JSON sources join into the same star (B1)") {
+    val region = SparkTestSession.catalog.table("region")
+    val orcDir = Files.createTempDirectory("graft-orc").toString + "/region"
+    region.write.mode("overwrite").orc(orcDir)
+    val jsonDir = Files.createTempDirectory("graft-json").toString + "/region"
+    region.write.mode("overwrite").json(jsonDir)
+    Seq(
+      s"""{"name": "region", "format": "orc", "path": "$orcDir"}""",
+      s"""{"name": "region", "format": "json", "path": "$jsonDir",
+         |"options": {"inferSchema": "true"}}""".stripMargin).foreach { src =>
+      val cat = SchemaLoader.load(spark, catalogJson(src))
+      val rows = Planner.plan(cat, CubeQuery("orders",
+        Seq(drill("Geography", "Region")), Seq("order_count"))).collect()
+      assert(rows.map(_.getLong(2)).sum ==
+        SparkTestSession.catalog.table("orders").count(), src)
+    }
+  }
+
   test("load-time validation rejects bad expressions and missing keys (400)") {
     val badMeasure = catalogJson(parquetRegion)
       .replace("\"expr\": \"o_totalprice\"", "\"expr\": \"no_such_column\"")
