@@ -61,6 +61,16 @@ class ApiSpec extends AnyFunSuite {
     assert(body2.contains("Brand+13"), body2)
   }
 
+  test("GET /flush drops caches and queries keep answering (ref api.rb:52)") {
+    val q = "/cubes/sales/aggregate?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue"
+    val (_, before) = get(q)
+    val (code, body) = get("/flush")
+    assert(code == 200 && body.contains("flushed"))
+    val (c2, after) = get(q)
+    assert(c2 == 200)
+    assert(after == before) // rebuilt catalog answers identically
+  }
+
   test("aggregate.xls serves a SpreadsheetML workbook") {
     val (code, body) = get(
       "/cubes/sales/aggregate.xls?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue")
