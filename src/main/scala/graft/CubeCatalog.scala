@@ -238,7 +238,9 @@ object TpchCatalog {
       MeasureDef("Customer Count", "customer_count", Agg.DistinctCount,
         "o_custkey"),
       MeasureDef("Avg Order Value", "avg_order", Agg.Avg, "o_totalprice"),
-      MeasureDef("Max Order Value", "max_order", Agg.Max, "o_totalprice")),
+      MeasureDef("Max Order Value", "max_order", Agg.Max, "o_totalprice"),
+      MeasureDef("Median Order Value", "median_order", Agg.Median,
+        "o_totalprice")),
     defaultMeasure = Some("total_sales"))
 
   val eventsCube: CubeDef = CubeDef(

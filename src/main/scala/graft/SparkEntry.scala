@@ -184,7 +184,10 @@ object SparkEntry {
     "q33_weekly_hierarchy" -> CubeQuery("sales",
       Seq(drill("ShipDate", "Year", "Weekly"),
         drill("ShipDate", "Week", "Weekly")),
-      Seq("revenue", "cnt")))
+      Seq("revenue", "cnt")),
+    // exact median aggregator (non-additive like distinct-count)
+    "q36_median" -> CubeQuery("orders",
+      Seq(drill("Segment")), Seq("median_order", "order_count")))
 
   // ============================================== LLM-pipeline operators
   // (dedup / similarity / text analysis / multimodal / sessionization —
@@ -742,6 +745,14 @@ object SparkEntry {
         |CAST(mx AS DOUBLE) AS f_max,
         |CAST(16.0 AS DOUBLE) AS f_n
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q36: Spark's exact interpolated percentile == DuckDB quantile_cont
+    // bit-for-bit (same (1-f)*a + f*b definition over exact order stats)
+    "q36_median" ->
+      """SELECT c_mktsegment AS segment,
+        |quantile_cont(o_totalprice, 0.5) AS median_order,
+        |COUNT(1) AS order_count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t09_sample_quota" ->
       """WITH h AS (SELECT doc_id, source,
         |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h

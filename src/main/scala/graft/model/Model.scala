@@ -90,6 +90,7 @@ object Agg {
   case object Avg extends Agg
   case object DistinctCount extends Agg  // ref foodmart.xml:303-304 (non-additive)
   case object ApproxDistinctCount extends Agg // documented fast path at scale
+  case object Median extends Agg // exact interpolated p50 (non-additive)
 }
 
 /** A measure: aggregator over a scalar Spark SQL expression (ref

@@ -319,6 +319,10 @@ object Planner {
       // makes distinct-count rollup-able at 100 TB.
       case Agg.ApproxDistinctCount =>
         hll_sketch_estimate(hll_sketch_agg(expr(m.expr)))
+      // exact continuous-interpolation percentile — bit-identical to
+      // DuckDB's quantile_cont (validated empirically); non-additive, so
+      // rollup routing bypasses it like exact distinct-count
+      case Agg.Median => expr(s"percentile(${m.expr}, 0.5)")
     }
     c.as(m.alias)
   }

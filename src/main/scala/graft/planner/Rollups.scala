@@ -35,7 +35,7 @@ object Rollups {
     // approx distinct re-aggregates via its stored HLL sketch (lossless
     // register-wise-max union); EXACT distinct stays non-additive → fact scan
     case Agg.ApproxDistinctCount => true
-    case Agg.DistinctCount => false
+    case Agg.DistinctCount | Agg.Median => false
   }
 
   /** Build a rollup of `cube` at the given levels (all hierarchy levels down

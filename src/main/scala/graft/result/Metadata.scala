@@ -23,6 +23,7 @@ object Metadata {
     case Agg.Avg => "avg"
     case Agg.DistinctCount => "distinct-count"
     case Agg.ApproxDistinctCount => "approx-distinct-count"
+    case Agg.Median => "median"
   }
 
   def levelDict(l: LevelDef): ListMap[String, Any] = ListMap(

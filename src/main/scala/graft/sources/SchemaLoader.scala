@@ -115,6 +115,7 @@ object SchemaLoader {
     case "avg" => Agg.Avg
     case "distinct-count" => Agg.DistinctCount
     case "approx-distinct-count" => Agg.ApproxDistinctCount
+    case "median" => Agg.Median
     case other => GraftException.badRequest(s"unknown aggregator '$other'")
   }
 
