@@ -330,8 +330,9 @@ object Planner {
   /** Star joins for the dimensions this query actually touches, deduped by
     * (table, fk): small dims broadcast, fact-sized dims shuffle-join (ref B2). */
   private def joinNeededDims(cat: CubeCatalog, cube: CubeDef,
-      dims: Seq[DimensionDef]): DataFrame = {
-    val fact = cat.fact(cube)
+      dims: Seq[DimensionDef], factOverride: Option[DataFrame] = None)
+      : DataFrame = {
+    val fact = factOverride.getOrElse(cat.fact(cube))
     val joins = dims.flatMap(_.join).distinct
     joins.foldLeft(fact) { (df, js) =>
       val dimDf = cat.table(js.table)
@@ -370,6 +371,9 @@ object Planner {
   def joinForLevels(cat: CubeCatalog, cube: CubeDef,
       rls: Seq[ResolvedLevel]): DataFrame =
     joinNeededDims(cat, cube, rls.map(_.dim))
+  def joinForLevelsOver(cat: CubeCatalog, cube: CubeDef,
+      rls: Seq[ResolvedLevel], fact: DataFrame): DataFrame =
+    joinNeededDims(cat, cube, rls.map(_.dim), Some(fact))
 
   private def levelRefOfCut(c: Cut): Option[LevelRef] = c match {
     case MemberCut(l, _) => Some(l)

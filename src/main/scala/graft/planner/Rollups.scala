@@ -42,9 +42,14 @@ object Rollups {
     * to each named one, so descendants cuts stay eligible). Persist/cache or
     * write the result yourself — registration is via CubeCatalog.addRollup. */
   def build(cat: CubeCatalog, cube: CubeDef, levelRefs: Seq[LevelRef])
-      : Rollup = {
+      : Rollup =
+    buildOver(cat, cube, levelRefs, cat.fact(cube))
+
+  /** [[build]] over an explicit fact slice — the delta path of [[refresh]]. */
+  def buildOver(cat: CubeCatalog, cube: CubeDef, levelRefs: Seq[LevelRef],
+      fact: org.apache.spark.sql.DataFrame): Rollup = {
     val rls = levelRefs.map(Planner.resolve(cube, _))
-    val joined = Planner.joinForLevels(cat, cube, rls)
+    val joined = Planner.joinForLevelsOver(cat, cube, rls, fact)
     val groupCols = rls.flatMap(Planner.levelColsOf).distinct
     val aggCols: Seq[Column] = cube.measures.filter(m => supportedAgg(m.agg))
       .flatMap { m =>
@@ -152,6 +157,47 @@ object Rollups {
 
   private def levelAliases(cube: CubeDef, ref: LevelRef): Seq[String] =
     Planner.levelAliasesOf(Planner.resolve(cube, ref))
+
+  /** Merge two rollups over the same level set by re-aggregating the
+    * partial columns: sums/counts add, min/max fold, HLL sketches union —
+    * every partial is associative, so (build(A) merge build(B)) ==
+    * build(A ∪ B) exactly, decimal sums and sketch estimates included. */
+  def merge(a: Rollup, b: Rollup): Rollup = {
+    require(a.cube == b.cube && a.levels == b.levels,
+      s"rollup shapes differ: ${a.levels} vs ${b.levels}")
+    val levelCols = a.df.columns.filterNot(_.startsWith("__")).toSeq
+    val aggCols = a.df.columns.filter(_.startsWith("__")).toSeq.map {
+      case c if c.startsWith("__sum_") => sum(col(c)).as(c)
+      case c if c.startsWith("__cnt_") => sum(col(c)).as(c)
+      case c if c == "__rows" => sum(col(c)).as(c)
+      case c if c.startsWith("__min_") => min(col(c)).as(c)
+      case c if c.startsWith("__max_") => max(col(c)).as(c)
+      case c if c.startsWith("__hll_") => hll_union_agg(col(c)).as(c)
+      case c => GraftException.badRequest(s"unknown partial column '$c'")
+    }
+    Rollup(a.cube, a.levels,
+      a.df.unionByName(b.df)
+        .groupBy(levelCols.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*))
+  }
+
+  /** INCREMENTAL agg-table maintenance: aggregate ONLY the appended fact
+    * slice and merge its partials into the stored rollup — at 100 TB this
+    * is the difference between a nightly delta scan and re-reading the
+    * whole history. `deltaFact` must contain exactly the new fact rows
+    * (dims come from the catalog as usual). */
+  def refresh(cat: CubeCatalog, cube: CubeDef, levelRefs: Seq[LevelRef],
+      path: String, deltaFact: org.apache.spark.sql.DataFrame): Rollup = {
+    val delta = buildOver(cat, cube, levelRefs, deltaFact)
+    val existing = load(cat.spark, cube.name, delta.levels, path)
+    val merged = merge(existing, delta)
+    // materialize before overwriting the parquet the plan reads from
+    val rows = merged.df.collect()
+    val fresh = cat.spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), merged.df.schema)
+    save(Rollup(merged.cube, merged.levels, fresh), path)
+    load(cat.spark, cube.name, delta.levels, path)
+  }
 
   /** Persist a rollup as parquet (the durable form of the reference's agg
     * table). Level columns become the physical sort order so re-aggregation

@@ -69,18 +69,35 @@ class RollupSpec extends AnyFunSuite {
     val singles = sets.map(s => Rollups.build(c2, c2.cube("sales"), s))
     many.zip(singles).foreach { case (m, s) =>
       assert(m.levels == s.levels)
-      // compare on estimate for sketch columns, raw values elsewhere
-      def comparable(df: org.apache.spark.sql.DataFrame) = {
-        val cols = df.columns.map { c =>
-          if (c.startsWith("__hll_"))
-            org.apache.spark.sql.functions
-              .expr(s"hll_sketch_estimate(`$c`)").as(c)
-          else org.apache.spark.sql.functions.col(c)
-        }
-        df.select(cols.toSeq: _*).collect().map(_.toSeq).toSet
-      }
       assert(comparable(m.df) == comparable(s.df), s.levels)
     }
+  }
+
+  // rollup frames compared with sketch columns reduced to their estimates
+  private def comparable(df: org.apache.spark.sql.DataFrame) = {
+    val cols = df.columns.map { c =>
+      if (c.startsWith("__hll_"))
+        org.apache.spark.sql.functions.expr(s"hll_sketch_estimate(`$c`)").as(c)
+      else org.apache.spark.sql.functions.col(c)
+    }
+    df.select(cols.toSeq: _*).collect().map(_.toSeq).toSet
+  }
+
+  test("incremental refresh equals a full rebuild (partials merge exactly)") {
+    import org.apache.spark.sql.functions.col
+    val c2 = TpchCatalog.build(spark, SparkTestSession.sf)
+    val cube = c2.cube("sales")
+    val levels = Seq(LevelRef("Geography", Some("Region")),
+      LevelRef("ShipDate", Some("Year"), Some("Monthly")))
+    val fact = c2.fact(cube)
+    val half1 = fact.where(col("l_orderkey") % 2 === 0)
+    val half2 = fact.where(col("l_orderkey") % 2 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-roll").toString
+    Rollups.save(Rollups.buildOver(c2, cube, levels, half1), path)
+    val refreshed = Rollups.refresh(c2, cube, levels, path, half2)
+    val full = Rollups.build(c2, cube, levels)
+    assert(refreshed.levels == full.levels)
+    assert(comparable(refreshed.df) == comparable(full.df))
   }
 
   test("approx distinct ROUTES via its HLL sketch and matches the fact path") {
