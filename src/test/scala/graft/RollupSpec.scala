@@ -83,6 +83,48 @@ class RollupSpec extends AnyFunSuite {
     df.select(cols.toSeq: _*).collect().map(_.toSeq).toSet
   }
 
+  test("property: routed answers equal the fact path on random queries") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wide = TpchCatalog.build(spark, SparkTestSession.sf)
+    wide.addRollup(Rollups.build(wide, wide.cube("sales"), Seq(
+      LevelRef("Geography", Some("Nation")),
+      LevelRef("Part", Some("Brand"), Some("Brands")),
+      LevelRef("ReturnFlag", Some("ReturnFlag")),
+      LevelRef("LineStatus", Some("LineStatus")),
+      LevelRef("ShipDate", Some("Year"), Some("Monthly")))))
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val levels = Seq(
+      LevelRef("Geography", Some("Nation")),
+      LevelRef("Part", Some("Brand"), Some("Brands")),
+      LevelRef("ReturnFlag", Some("ReturnFlag")),
+      LevelRef("LineStatus", Some("LineStatus")),
+      LevelRef("ShipDate", Some("Year"), Some("Monthly")))
+    val qGen = for {
+      n <- Gen.choose(1, 3)
+      ls <- Gen.pick(n, levels)
+      cut <- Gen.option(Gen.oneOf(
+        SetCut(LevelRef("ReturnFlag", Some("ReturnFlag")), Seq("A", "R")),
+        RangeCut(LevelRef("ShipDate", Some("Year"), Some("Monthly")),
+          1996, 1998),
+        MemberCut(LevelRef("Geography", Some("Region")), 2)))
+    } yield CubeQuery("sales", ls.toSeq.map(LevelDrill(_)),
+      Seq("revenue", "cnt", "min_price", "avg_disc"), cuts = cut.toSeq)
+    var i = 0
+    var done = 0
+    val params = Gen.Parameters.default
+    while (done < 10 && i < 60) {
+      qGen.apply(params, Seed(1234L + i)).foreach { q =>
+        val routed = Planner.plan(wide, q).collect().map(_.toSeq)
+        val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
+        assert(routed.toSeq == direct.toSeq, q)
+        done += 1
+      }
+      i += 1
+    }
+    assert(done == 10)
+  }
+
   test("incremental refresh equals a full rebuild (partials merge exactly)") {
     import org.apache.spark.sql.functions.col
     val c2 = TpchCatalog.build(spark, SparkTestSession.sf)
