@@ -274,6 +274,8 @@ object SparkEntry {
       // exact per-source quotas by content-hash order (GroupedTopK heaps)
       "t09_sample_quota" -> tbl("documents")(
         ops.TextOps.sampleQuota(_, "source", 10)),
+      // Gopher/C4-style repetition quality signals
+      "t10_repetition" -> tbl("documents")(ops.TextOps.repetitionStats),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -745,6 +747,27 @@ object SparkEntry {
         |CAST(mx AS DOUBLE) AS f_max,
         |CAST(16.0 AS DOUBLE) AS f_n
         |FROM s ORDER BY doc_id""".stripMargin,
+    "t10_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(1) AS c FROM tok GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+        |  FROM tc GROUP BY 1),
+        |bg0 AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+        |  ELSE list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+1], ' ')) END AS bgs
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(bgs) AS bg FROM bg0),
+        |bc AS (SELECT doc_id, bg, COUNT(1) AS c FROM bg GROUP BY 1, 2),
+        |b AS (SELECT doc_id,
+        |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+        |  1.0 - CAST(COUNT(1) AS DOUBLE) / SUM(c) AS dup_bigram_frac
+        |  FROM bc GROUP BY 1)
+        |SELECT t.doc_id, t.top_token_frac, b.top_bigram_frac,
+        |b.dup_bigram_frac
+        |FROM t LEFT JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q36: Spark's exact interpolated percentile == DuckDB quantile_cont
     // bit-for-bit (same (1-f)*a + f*b definition over exact order stats)
     "q36_median" ->

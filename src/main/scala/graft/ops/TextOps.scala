@@ -150,6 +150,32 @@ object TextOps {
       .select("doc_id", "source", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Repetition signals (the Gopher/C4-style quality rules): fraction of
+    * tokens taken by the most frequent token, fraction of bigrams taken by
+    * the most frequent bigram, and the duplicate-bigram fraction
+    * (1 − distinct/total). High values flag boilerplate and degenerate
+    * repetition. Explode → count → per-doc aggregate: fully distributed,
+    * no per-doc arrays held in memory. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_token_frac"))
+    val bigrams = docs.select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(split(text, ' ')) < 2 THEN array()
+            |ELSE transform(sequence(1, size(split(text, ' ')) - 1),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i, 2))) END"""
+            .stripMargin)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_frac"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("c")))
+          .as("dup_bigram_frac"))
+    toks.join(bigrams, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic sampling with EXACT per-group quotas: keep the n docs
     * per `groupCol` that sort first by content hash — an unbiased,
     * reshuffle-stable sample with hard size guarantees (rand()-based
