@@ -23,6 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
 
     // warmup: run every query once so catalog build, parquet footers, and
     // whole-stage-codegen/classloader compilation happen off the clock —

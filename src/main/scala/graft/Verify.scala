@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graft extensions active during the gate: SQL functions, the GroupedTopK
+    // strategy, and the TopKRewrite rule — the rewrite must never change a
+    // result, and running the whole oracle gate with it on proves that
+    graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
