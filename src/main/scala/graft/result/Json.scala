@@ -41,7 +41,7 @@ object Json {
     case arr: Array[_] => w(arr.toSeq, sb)
     case d: java.sql.Date => str(d.toString, sb)
     case t: java.sql.Timestamp => str(t.toString, sb)
-    case bd: BigDecimal => sb.append(bd.toString)
+    // (scala.BigDecimal extends java.lang.Number — covered above)
     case other => str(String.valueOf(other), sb)
   }
 
