@@ -59,6 +59,19 @@ final class CubeCatalog(
   def cachedMemberFrame(key: (String, String, Boolean))(
       compute: => DataFrame): DataFrame =
     memberFrameCache.getOrElseUpdate(key, compute.persist())
+
+  /** Release executor-side state this catalog pinned (persisted member
+    * frames, cached rollups). Without this, /flush would only drop the
+    * TrieMap while Spark's CacheManager kept the InMemoryRelations
+    * registered — canonically-equal plans from the rebuilt catalog would
+    * silently reuse stale cached data. */
+  def close(): Unit = {
+    memberFrameCache.values.foreach(_.unpersist(blocking = false))
+    memberFrameCache.clear()
+    rollups.foreach(_.df.unpersist(blocking = false))
+    rollupReg.clear()
+    topKCache.clear()
+  }
 }
 
 object CubeCatalog {
@@ -69,8 +82,14 @@ object CubeCatalog {
   def forDir(spark: SparkSession, sfDir: String): CubeCatalog =
     cache.getOrElseUpdate((spark, sfDir), TpchCatalog.build(spark, sfDir))
 
-  /** Drop cached catalogs — the `/flush` analog (ref api.rb:52-70). */
-  def flush(): Unit = cache.clear()
+  /** Drop cached catalogs — the `/flush` analog (ref api.rb:52-70).
+    * Unpersists every frame each catalog pinned before forgetting it, so a
+    * rebuilt catalog re-reads the source data instead of hitting stale
+    * executor cache blocks. */
+  def flush(): Unit = {
+    cache.values.foreach(_.close())
+    cache.clear()
+  }
 }
 
 /** The driver-testdata star schema (TESTDATA.md) expressed as cubes.

@@ -23,6 +23,7 @@ import graft.result._
   *   GET /cubes/:cube/dimensions/:dim              dimension + levels
   *   GET /cubes/:cube/dimensions/:dim/levels/:lvl/members[?caption&member_properties[]]
   *   GET /cubes/:cube/dimensions/:dim/levels/:lvl/members/:key
+  *   GET /cubes/:cube/dimensions/:dim/hierarchies/:h/levels/:lvl/members[/:key]
   *   GET /flush                                    drop catalog caches
   */
 final class Server(spark: SparkSession, sfDir: String, port: Int) {
@@ -30,13 +31,23 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   @volatile private var catalog: CubeCatalog = CubeCatalog.forDir(spark, sfDir)
 
+  // Concurrent request handling: the Spark driver schedules jobs from many
+  // threads fine, and metadata endpoints shouldn't queue behind a long
+  // aggregate. Each request works against a catalog SNAPSHOT taken at
+  // dispatch, so /flush swapping the field mid-request can't mix two
+  // catalog generations inside one response.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+
   def start(): Unit = {
     http.createContext("/", handle _)
-    http.setExecutor(null) // serial — Spark driver side is not the bottleneck
+    http.setExecutor(pool)
     http.start()
   }
 
-  def stop(): Unit = http.stop(0)
+  def stop(): Unit = {
+    http.stop(0)
+    pool.shutdown()
+  }
   def boundPort: Int = http.getAddress.getPort
 
   private def handle(ex: HttpExchange): Unit = {
@@ -55,10 +66,11 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
         parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
           (if (isForm) parseQuery(body) else Map.empty)
       val segs = path.split("/").toList.filter(_.nonEmpty).map(decodeSegment)
+      val cat = catalog // per-request snapshot (see pool note)
       val result = segs match {
         case ("mdx" | "mdx.csv" | "mdx.jsonrecords" | "mdx.xls") :: Nil
-          if ex.getRequestMethod == "POST" => mdx(segs.head, body, params)
-        case _ => route(segs, params)
+          if ex.getRequestMethod == "POST" => mdx(cat, segs.head, body, params)
+        case _ => route(cat, segs, params)
       }
       result match {
         case (status, contentType, resBody) =>
@@ -74,58 +86,53 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
     }
   }
 
-  private def cube(name: String): CubeDef =
-    Planner.anchorCube(catalog,
-      if (catalog.schema.cube(name).nonEmpty ||
-        catalog.schema.virtualCube(name).nonEmpty) name
+  private def cube(cat: CubeCatalog, name: String): CubeDef =
+    Planner.anchorCube(cat,
+      if (cat.schema.cube(name).nonEmpty ||
+        cat.schema.virtualCube(name).nonEmpty) name
       else GraftException.notFound(s"cube not found: $name"))
 
-  private def route(segs: List[String], params: Map[String, Seq[String]])
-      : (Int, String, String) = segs match {
+  private def route(cat: CubeCatalog, segs: List[String],
+      params: Map[String, Seq[String]]): (Int, String, String) = segs match {
     case Nil =>
       (200, "application/json", Json.write(ListMap(
-        "status" -> "ok", "engine" -> "graft", "schema" -> catalog.schema.name)))
+        "status" -> "ok", "engine" -> "graft", "schema" -> cat.schema.name)))
     case List("cubes") =>
-      (200, "application/json", Json.write(Metadata.schemaDict(catalog)))
+      (200, "application/json", Json.write(Metadata.schemaDict(cat)))
     case List("cubes", c) =>
-      catalog.schema.virtualCube(c) match {
+      cat.schema.virtualCube(c) match {
         case Some(vc) =>
           (200, "application/json", Json.write(Metadata.virtualCubeDict(vc)))
         case None =>
-          (200, "application/json", Json.write(Metadata.cubeDict(cube(c))))
+          (200, "application/json", Json.write(Metadata.cubeDict(cube(cat, c))))
       }
     case List("cubes", c, agg) if agg.startsWith("aggregate") =>
-      aggregate(c, agg, params)
+      aggregate(cat, c, agg, params)
     case List("cubes", c, "members") =>
       val fullName = params.get("full_name").flatMap(_.headOption)
         .getOrElse(GraftException.badRequest("full_name param required"))
-      Metadata.memberByFullName(catalog, cube(c), fullName) match {
+      Metadata.memberByFullName(cat, cube(cat, c), fullName) match {
         case Some(m) => (200, "application/json", Json.write(m))
         case None => GraftException.notFound(s"member not found: $fullName")
       }
     case List("cubes", c, "dimensions", d) =>
-      val dim = cube(c).dimension(d).getOrElse(
+      val dim = cube(cat, c).dimension(d).getOrElse(
         GraftException.notFound(s"dimension not found: $d"))
       (200, "application/json", Json.write(Metadata.dimensionDict(dim)))
+    // Level members: default-hierarchy form and the hierarchy-qualified form
+    // (ref api.rb:173-191 nests hierarchies/:h/levels/:l/members) — the
+    // qualified form is the only way to reach levels of a non-default
+    // hierarchy (e.g. ShipDate.Weekly.Week) over REST.
     case List("cubes", c, "dimensions", d, "levels", l, "members") =>
-      val withProps = params.contains("member_properties[]") ||
-        params.get("caption").isDefined
-      val members = Metadata.levelMembers(catalog, cube(c),
-        LevelRef(d, Some(l)), withProps = withProps)
-      (200, "application/json", Json.write(ListMap("members" -> members)))
+      levelMembers(cat, c, LevelRef(d, Some(l)), params)
+    case List("cubes", c, "dimensions", d, "hierarchies", h, "levels", l,
+        "members") =>
+      levelMembers(cat, c, LevelRef(d, Some(l), Some(h)), params)
     case List("cubes", c, "dimensions", d, "levels", l, "members", k) =>
-      val ref = LevelRef(d, Some(l))
-      val key = QueryParser.typedKey(k) // segment already decoded once
-      Metadata.memberByKey(catalog, cube(c), ref, key) match {
-        case Some(m) =>
-          val withChildren =
-            if (params.get("children").exists(_.headOption.contains("true")))
-              m + ("children" -> Metadata.memberChildren(catalog, cube(c),
-                ref, key))
-            else m
-          (200, "application/json", Json.write(withChildren))
-        case None => GraftException.notFound(s"member not found: $k")
-      }
+      memberByKey(cat, c, LevelRef(d, Some(l)), k, params)
+    case List("cubes", c, "dimensions", d, "hierarchies", h, "levels", l,
+        "members", k) =>
+      memberByKey(cat, c, LevelRef(d, Some(l), Some(h)), k, params)
     case List("flush") =>
       CubeCatalog.flush()
       catalog = CubeCatalog.forDir(spark, sfDir)
@@ -133,52 +140,76 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
     case _ => GraftException.notFound(s"no route for /${segs.mkString("/")}")
   }
 
+  private def levelMembers(cat: CubeCatalog, c: String, ref: LevelRef,
+      params: Map[String, Seq[String]]): (Int, String, String) = {
+    val withProps = params.contains("member_properties[]") ||
+      params.get("caption").isDefined
+    val members = Metadata.levelMembers(cat, cube(cat, c), ref,
+      withProps = withProps)
+    (200, "application/json", Json.write(ListMap("members" -> members)))
+  }
+
+  private def memberByKey(cat: CubeCatalog, c: String, ref: LevelRef,
+      k: String, params: Map[String, Seq[String]]): (Int, String, String) = {
+    val key = QueryParser.typedKey(k) // segment already decoded once
+    Metadata.memberByKey(cat, cube(cat, c), ref, key) match {
+      case Some(m) =>
+        val withChildren =
+          if (params.get("children").exists(_.headOption.contains("true")))
+            m + ("children" -> Metadata.memberChildren(cat, cube(cat, c),
+              ref, key))
+          else m
+        (200, "application/json", Json.write(withChildren))
+      case None => GraftException.notFound(s"member not found: $k")
+    }
+  }
+
   /** POST /mdx[.ext] — raw-MDX passthrough for the subset dialect the
     * reference's own builder emits (ref api.rb:21-50, SURVEY §3.2). The cube
     * is recovered from the FROM clause. */
-  private def mdx(endpoint: String, body: String,
+  private def mdx(cat: CubeCatalog, endpoint: String, body: String,
       params: Map[String, Seq[String]]): (Int, String, String) = {
     val fromRe = """(?is)\bFROM\s+(\[[^\]]+\]|\S+)""".r
     val cubeName = fromRe.findFirstMatchIn(body)
       .map(m => m.group(1).stripPrefix("[").stripSuffix("]"))
       .getOrElse(GraftException.badRequest("MDX has no FROM clause"))
-    val c = cube(cubeName)
+    val c = cube(cat, cubeName)
     var q = QueryParser.fromParams(c, params) // parents/properties/caption
     val mdxQ = graft.planner.MdxParser.parse(c, body)
     q = mdxQ.copy(parents = q.parents, properties = q.properties,
       captions = q.captions, sparse = q.sparse)
     endpoint match {
-      case "mdx" => (200, "application/json", AxesResult.json(catalog, q))
+      case "mdx" => (200, "application/json", AxesResult.json(cat, q))
       case "mdx.csv" =>
-        (200, "text/csv", Formatters.csv(Formatters.tidy(catalog, q)))
+        (200, "text/csv", Formatters.csv(Formatters.tidy(cat, q)))
       case "mdx.jsonrecords" =>
         val asArrays = params.get("format").exists(_.headOption.contains("array"))
         (200, "application/json",
-          Formatters.jsonRecords(Formatters.tidy(catalog, q), asArrays))
+          Formatters.jsonRecords(Formatters.tidy(cat, q), asArrays))
       case "mdx.xls" =>
         (200, "application/vnd.ms-excel",
-          Formatters.xmlSpreadsheet(Formatters.tidy(catalog, q)))
+          Formatters.xmlSpreadsheet(Formatters.tidy(cat, q)))
       case other => GraftException.notFound(s"unknown format: $other")
     }
   }
 
   /** GET /cubes/:cube/aggregate[.ext] — all §2.A params. */
-  private def aggregate(cubeName: String, endpoint: String,
+  private def aggregate(cat: CubeCatalog, cubeName: String, endpoint: String,
       params: Map[String, Seq[String]]): (Int, String, String) = {
-    val c = cube(cubeName)
+    val c = cube(cat, cubeName)
     val q = QueryParser.fromParams(c, params).copy(cube = cubeName)
     endpoint match {
       case "aggregate" =>
-        (200, "application/json", AxesResult.json(catalog, q))
+        (200, "application/json", AxesResult.json(cat, q))
       case "aggregate.csv" =>
-        (200, "text/csv", Formatters.csv(Formatters.tidy(catalog, q)))
+        (200, "text/csv", Formatters.csv(Formatters.tidy(cat, q)))
       case "aggregate.jsonrecords" =>
         val asArrays = params.get("format").exists(_.headOption.contains("array"))
         (200, "application/json",
-          Formatters.jsonRecords(Formatters.tidy(catalog, q), asArrays))
+          Formatters.jsonRecords(Formatters.tidy(cat, q), asArrays))
       case "aggregate.xls" =>
         (200, "application/vnd.ms-excel",
-          Formatters.xmlSpreadsheet(Formatters.tidy(catalog, q)))
+          Formatters.xmlSpreadsheet(Formatters.tidy(cat, q)))
       case other => GraftException.notFound(s"unknown format: $other")
     }
   }

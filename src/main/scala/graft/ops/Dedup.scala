@@ -10,9 +10,10 @@ import graft.functions.SimHash64.simhash64
   *    band keys → shuffle on band key → candidate pairs within buckets only.
   *    The only quadratic work happens inside a bucket, and bucket sizes are
   *    bounded by genuine similarity, not corpus size.
-  *  - SimHash (custom Catalyst expression) + 16-bit chunk blocking: pairs
-  *    agreeing on ≥1 of 4 chunks are candidates (covers Hamming ≤ 3 exactly,
-  *    by pigeonhole).
+  *  - SimHash (custom Catalyst expression) + combo-block keys: the 64 bits
+  *    split into maxHamming+2 blocks, candidates agree on some 2-block
+  *    combination (covers Hamming ≤ maxHamming exactly, by pigeonhole,
+  *    with ~26-bit buckets instead of 16-bit ones).
   *  - Exact blocked n-gram Jaccard: the verification oracle for both, and a
   *    standalone dedup for small blocks.
   */
@@ -50,14 +51,16 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, shingleK: Int, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
     val h = bands * rows
-    // persisted: shingling + signing is the expensive per-row map and this
-    // frame feeds banding plus BOTH sides of the candidate re-attach join —
-    // without the persist it is recomputed three times
+    // Materialized once: shingling + signing is the expensive per-row map and
+    // this frame feeds banding plus BOTH sides of the candidate re-attach
+    // join. localCheckpoint (not persist) so the blocks are released by the
+    // ContextCleaner when the result frame is dropped — persist() would pin
+    // them in the CacheManager forever in a long-running server.
     val sh = docs
       .select(col("doc_id"), hashedShingles("text", shingleK).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature("sh", h))
-      .persist()
+      .localCheckpoint()
     // Candidate generation on SKINNY rows (doc_id + band key only) — the
     // signature/shingle arrays don't ride through the self-join shuffle.
     // Arrays re-attach per side after pair dedup.
@@ -87,66 +90,120 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Block keys for fingerprints within Hamming distance `d`: the 64 bits
+    * split into m = d + 2 near-equal blocks; ≤ d differing bits can touch at
+    * most d blocks, so every qualifying pair agrees EXACTLY on some
+    * (m − d) = 2 blocks (pigeonhole — complete, no false negatives). One key
+    * per 2-block combination, xxhash64'd to a single long (a hash collision
+    * only adds a false candidate, which verification removes).
+    *
+    * Versus the classic d+1-block scheme (4×16-bit chunks for d=3): keys
+    * carry ~2·64/m ≈ 26 bits instead of 16, so random-fingerprint bucket
+    * sizes are ~n/2^26 not ~n/2^16 — candidate generation stays ~linear in
+    * the corpus until tens of billions of docs, at the cost of C(m,2) = 10
+    * (for d=3) exploded rows per doc instead of 4. */
+  private[graft] def simhashBlockKeys(fpCol: String, maxHamming: Int): Column = {
+    val m = maxHamming + 2
+    val bounds = (0 to m).map(i => i * 64 / m) // block i = bits [b(i), b(i+1))
+    def block(i: Int): String = {
+      val off = bounds(i); val w = bounds(i + 1) - off
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      s"(shiftright($fpCol, $off) & ${mask}L)"
+    }
+    val combos = for {
+      i <- 0 until m; j <- i + 1 until m
+    } yield expr(s"xxhash64(${i * m + j}, ${block(i)}, ${block(j)})")
+    array(combos: _*)
+  }
+
   /** SimHash near-dup pairs: fingerprint via the native SimHash64 expression,
-    * block on 4×16-bit chunks (pigeonhole-complete for Hamming ≤ 3), verify
-    * with bit_count(xor). */
+    * candidates from [[simhashBlockKeys]] combo blocks, verified with
+    * bit_count(xor). Candidate pairs travel SKINNY (two longs) through the
+    * self-join shuffle and dedup; fingerprints re-attach afterwards. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // localCheckpoint: feeds key explosion + both re-attach sides; blocks are
+    // GC-released with the result (see minhashLshPairs note)
     val fp = docs.select(col("doc_id"),
       simhash64(split(col("text"), " ")).as("sh"))
-    val chunks = fp.select(col("doc_id"), col("sh"),
-      explode(expr(
-        """array(
-          |  struct(0 AS c, CAST(sh & 65535 AS BIGINT) AS v),
-          |  struct(1 AS c, CAST(shiftright(sh, 16) & 65535 AS BIGINT) AS v),
-          |  struct(2 AS c, CAST(shiftright(sh, 32) & 65535 AS BIGINT) AS v),
-          |  struct(3 AS c, CAST(shiftright(sh, 48) & 65535 AS BIGINT) AS v))"""
-          .stripMargin)).as("ck"))
-    val l = chunks.select(col("ck").as("ck"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"))
-    val r = chunks.select(col("ck").as("ck2"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"))
-    l.join(r, l("ck") === r("ck2") && l("doc_a") < r("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
-      .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint()
+    val keyed = fp.select(col("doc_id"),
+      explode(simhashBlockKeys("sh", maxHamming)).as("bk"))
+    val cand = keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
+        col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard within a blocking key (quadratic inside a block
-    * only — at scale, block on a cheap partition key or LSH bucket first).
-    * Two result-preserving prunes keep the O(block²) verification cheap:
-    * shingle sets are hashed to longs, and pairs are dropped before the
-    * intersect when their sizes alone bound Jaccard below the threshold
-    * (J(A,B) ≤ min/max ⇒ |A| and |B| must be within a factor 1/t). */
+  /** Prefix-filtered postings for [[ngramJaccardPairs]]. Shingles are put in
+    * a canonical corpus-wide order — per-block document frequency ascending,
+    * value ascending (rarest first) — and each doc keeps only its first
+    * |sh| − ⌈t·|sh|⌉ + 1 shingles as join postings. Any pair with
+    * J(A,B) ≥ t has |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets with overlap ≥ α
+    * under a shared total order must intersect within their (size − α + 1)
+    * prefixes — so no qualifying pair is lost, while the most frequent
+    * (stopword-like) shingles, whose df² posting blowup dominates the join at
+    * corpus scale, are exactly the ones dropped. */
+  private[graft] def prefixPostings(sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val posting = sh.select(col("block"), col("doc_id"), col("n"),
+      explode(col("sh")).as("s"))
+    val dfreq = posting.groupBy("block", "s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("block", "doc_id").orderBy(col("df"), col("s"))
+    posting.join(dfreq, Seq("block", "s"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("block", "doc_id", "n", "s")
+  }
+
+  /** Exact n-gram Jaccard similarity join (result identical to all-pairs
+    * verification, never all-pairs work). Three result-preserving prunes:
+    *
+    *  1. Size-ratio: J(A,B) ≤ min/max ⇒ |A|,|B| within a factor 1/t.
+    *  2. PREFIX FILTER (Chaudhuri/Xiao SSJoin): order shingles canonically by
+    *     (global document frequency asc, value asc) — rarest first — and keep
+    *     only each doc's first |sh| − ⌈t·|sh|⌉ + 1 shingles as postings.
+    *     J(A,B) ≥ t forces |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so two qualifying docs
+    *     MUST share a prefix shingle; dropping the ⌈t·|sh|⌉ − 1 most frequent
+    *     shingles per doc loses no pair while removing exactly the hot
+    *     (stopword-like) postings whose df² join blowup dominates at corpus
+    *     scale.
+    *  3. Candidate pairs travel skinny (two longs) through the join/distinct;
+    *     full shingle arrays re-attach only for the exact intersect.
+    */
   def ngramJaccardPairs(docs: DataFrame, k: Int, blockCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0, "threshold must be positive")
-    // Inverted-index set-similarity join: instead of materializing O(block²)
-    // pairwise array intersections, explode to (shingle → doc) postings,
-    // equi-join on the shingle, and COUNT matches per pair — |A∩B| falls out
-    // of the groupBy. Pairs sharing no shingle never exist (their Jaccard is
-    // 0 < threshold), so results are identical to the quadratic form while
-    // work scales with Σ df(shingle)² — the genuine overlap — not block².
-    // The size-ratio bound (J ≤ min/max) prunes pairs pre-aggregation.
-    // persisted: both posting sides of the self-join re-derive the shingles
+    // localCheckpoint: feeds postings + both re-attach sides; GC-released
+    // with the result frame (see minhashLshPairs note)
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
       hashedShingles("text", k).as("sh"))
       .withColumn("n", size(col("sh")))
-      .persist()
-    val posting = sh.select(col("block"), col("doc_id"), col("n"),
-      explode(col("sh")).as("s"))
-    val a = posting.select(col("block").as("block_a"),
+      .localCheckpoint()
+    val prefix = prefixPostings(sh, threshold)
+    val a = prefix.select(col("block").as("block_a"),
       col("doc_id").as("doc_a"), col("n").as("na"), col("s").as("s_a"))
-    val b = posting.select(col("block").as("block_b"),
+    val b = prefix.select(col("block").as("block_b"),
       col("doc_id").as("doc_b"), col("n").as("nb"), col("s").as("s_b"))
-    a.join(b, col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
+    val cand = a.join(b,
+        col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
         col("doc_a") < col("doc_b") &&
         col("na") >= col("nb") * threshold &&
         col("nb") >= col("na") * threshold)
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
       .withColumn("jaccard", expr("inter / (na + nb - inter)"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *   fact ⋈ closure(descendant = fk) → groupBy(ancestor) → agg
   *
   * At 100 TB the closure is dimension-sized (|nodes| × avg-depth rows), built
-  * once and broadcast — the fact table is never traversed recursively.
+  * once and broadcast (or shuffle-joined when the tree itself is huge) — the
+  * fact table is never traversed recursively.
   */
 object ParentChild {
 
@@ -59,10 +60,18 @@ object ParentChild {
   }
 
   /** Transitive rollup: aggregate fact rows into every ancestor of their
-    * attachment node. `aggs` are (groupBy-ready) aggregation columns. */
+    * attachment node. `aggs` are (groupBy-ready) aggregation columns.
+    *
+    * `broadcastClosure` mirrors `JoinSpec.broadcastable`: the closure is
+    * |nodes| × avg-depth rows, so a typical dimension broadcasts, but a
+    * 100M-member tree at depth ~20 is billions of rows — pass false there
+    * and the join shuffles on the attachment key instead (same semantics,
+    * co-partitioned fact ⋈ closure). */
   def rollup(fact: DataFrame, closureDf: DataFrame, factFk: String,
-      aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
-    fact.join(broadcast(closureDf), fact(factFk) === closureDf("descendant"))
+      aggs: Seq[org.apache.spark.sql.Column],
+      broadcastClosure: Boolean = true): DataFrame =
+    fact.join(if (broadcastClosure) broadcast(closureDf) else closureDf,
+        fact(factFk) === closureDf("descendant"))
       .groupBy(col("ancestor"))
       .agg(aggs.head, aggs.tail: _*)
 

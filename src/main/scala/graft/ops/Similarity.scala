@@ -134,13 +134,15 @@ object Similarity {
       nprobe: Int, iters: Int = 3): DataFrame = {
     val cs = kmeansCentroids(emb, nlist, iters)
     val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
-    // persisted: the assignment (nlist dot products per row) feeds the
-    // residual bound, the θ pass, and the final probe join; a production
-    // deployment would materialize this as the IVF index outright
+    // Materialized once: the assignment (nlist dot products per row) feeds
+    // the residual bound, the θ pass, and the final probe join; a production
+    // deployment would materialize this as the IVF index outright.
+    // localCheckpoint (not persist) so the ContextCleaner releases the blocks
+    // with the result — persist() would pin them in the CacheManager forever.
     val corpus = v.withColumn("cell", nearestCluster(col("v"), cs))
       .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
         col("v").as("v_n"))
-      .persist()
+      .localCheckpoint()
     // per-cell max residual norm — the data-dependent half of the bound
     val centArr = array(cs.map(c => array(c.map(lit): _*)): _*)
     val cellRes = corpus

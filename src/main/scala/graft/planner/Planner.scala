@@ -539,6 +539,18 @@ object Planner {
       val cutSrc = dimCuts.foldLeft(src)((d, c) => applyCut(cat, cube, d, c))
       cutSrc.select(unit.flatMap(levelCols): _*).distinct()
     }
+    // Guardrail for §7.4 dragon 1: the cross product of member domains is
+    // the one place a small request can demand an astronomically large
+    // result. Counting the (tiny, dim-sized) domains first costs one short
+    // job each and turns a driver-OOM into a 400.
+    val maxCells = cat.spark.conf
+      .getOption("spark.graft.dense.maxCells").map(_.toLong)
+      .getOrElse(1000000L)
+    val cells = domains.map(d => BigInt(d.count())).product
+    if (cells > maxCells)
+      GraftException.badRequest(
+        s"dense axes would enumerate $cells cells (limit $maxCells; " +
+          "raise spark.graft.dense.maxCells or request sparse=true)")
     val domain = domains.reduce(_.crossJoin(_))
     val joinCols =
       (if (parents) groupLevels else drills).flatMap(levelAliases)

@@ -191,11 +191,18 @@ object Rollups {
     val delta = buildOver(cat, cube, levelRefs, deltaFact)
     val existing = load(cat.spark, cube.name, delta.levels, path)
     val merged = merge(existing, delta)
-    // materialize before overwriting the parquet the plan reads from
-    val rows = merged.df.collect()
-    val fresh = cat.spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), merged.df.schema)
-    save(Rollup(merged.cube, merged.levels, fresh), path)
+    // Break the read-own-input cycle DISTRIBUTED: write the merged rollup to
+    // a sibling temp directory (the plan still reads the old files), then
+    // swap with a filesystem rename. No driver-side materialization, so a
+    // fine-grained rollup far larger than driver memory refreshes safely.
+    val tmp = path + "__refresh_tmp"
+    save(Rollup(merged.cube, merged.levels, merged.df), tmp)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val fs = target.getFileSystem(cat.spark.sparkContext.hadoopConfiguration)
+    fs.delete(target, true)
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(s"rollup refresh: rename $tmp -> $path failed")
     load(cat.spark, cube.name, delta.levels, path)
   }
 

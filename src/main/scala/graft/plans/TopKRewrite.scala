@@ -53,9 +53,20 @@ object TopKRewrite extends Rule[LogicalPlan] {
         case Some((k, residual)) if k >= 1 =>
           // Spark's InferWindowGroupLimit may already have slid a (sort-based)
           // WindowGroupLimit under the Window for this same filter; the heap
-          // operator subsumes it, so unwrap rather than double-limit
+          // operator subsumes it, so unwrap rather than double-limit. Only
+          // unwrap a limit that provably belongs to THIS window — same
+          // partition/order specs and a row_number rank — anything else keeps
+          // its semantics.
           val inner = child match {
-            case wgl: WindowGroupLimit if wgl.limit >= k => wgl.child
+            case wgl: WindowGroupLimit if wgl.limit >= k &&
+                wgl.rankLikeFunction.isInstanceOf[RowNumber] &&
+                wgl.partitionSpec.length == partitionSpec.length &&
+                wgl.partitionSpec.zip(partitionSpec)
+                  .forall { case (x, y) => x.semanticEquals(y) } &&
+                wgl.orderSpec.length == orderSpec.length &&
+                wgl.orderSpec.zip(orderSpec)
+                  .forall { case (x, y) => x.semanticEquals(y) } =>
+              wgl.child
             case other => other
           }
           val topk = GroupedTopK(partitionSpec, orderSpec, k, inner)

@@ -139,29 +139,41 @@ object Metadata {
   }
 
   /** Member lookup by key (ref api.rb:207-230 — there a linear scan; here a
-    * filter on the member frame) + ancestor chain from the same dim row. */
+    * filter on a CACHED per-level detail frame) + ancestor chain from the
+    * same dim row. The detail frame carries the full ancestor chain plus a
+    * precomputed num_children (ref C2 CHILDREN_CARDINALITY), so a lookup is
+    * ONE Spark job over a persisted frame — not a row fetch plus a separate
+    * distinct-count job per request. */
   def memberByKey(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
       key: Any): Option[ListMap[String, Any]] = {
     val rl = Planner.resolve(cube, ref)
-    val src = rl.dim.join match {
-      case Some(js) => cat.table(js.table)
-      case None => cat.fact(cube)
-    }
     val chain = rl.hier.levels.take(rl.depth + 1)
-    val cols = chain.flatMap(l => Seq(expr(l.keyExpr).as(s"${l.alias}__k"),
-      expr(l.nameExpr.getOrElse(l.keyExpr)).as(s"${l.alias}__c")))
-    val rows = src.select(cols: _*)
-      .where(col(s"${rl.level.alias}__k") === lit(key)).limit(1).collect()
+    val detail = cat.cachedMemberFrame((cube.name,
+      s"${rl.dim.name}.${rl.hier.name}.${rl.level.name}.__detail", false)) {
+      val src = rl.dim.join match {
+        case Some(js) => cat.table(js.table)
+        case None => cat.fact(cube)
+      }
+      val cols = chain.flatMap(l => Seq(expr(l.keyExpr).as(s"${l.alias}__k"),
+        expr(l.nameExpr.getOrElse(l.keyExpr)).as(s"${l.alias}__c")))
+      rl.hier.levels.lift(rl.depth + 1) match {
+        case Some(childLevel) =>
+          src.groupBy(cols: _*)
+            .agg(countDistinct(expr(childLevel.keyExpr))
+              .as("__num_children"))
+        case None =>
+          src.select(cols: _*).distinct()
+            .withColumn("__num_children", lit(0L))
+      }
+    }
+    // plain collect (not limit(1)): the filter leaves at most a handful of
+    // rows, and executeTake's incremental partition scans would cost 1-3 jobs
+    // depending on which shuffle partition holds the key — this is always one
+    val rows = detail
+      .where(col(s"${rl.level.alias}__k") === lit(key)).collect()
     rows.headOption.map { r =>
       val n = chain.length
-      // num_children (ref C2 CHILDREN_CARDINALITY): distinct next-level keys
-      // under this member; 0 at the leaf level
-      val numChildren: Long = rl.hier.levels.lift(rl.depth + 1) match {
-        case Some(childLevel) =>
-          src.where(expr(rl.level.keyExpr) === lit(key))
-            .select(expr(childLevel.keyExpr)).distinct().count()
-        case None => 0L
-      }
+      val numChildren: Long = r.getAs[Long]("__num_children")
       def dict(i: Int): ListMap[String, Any] = ListMap(
         "name" -> String.valueOf(r.get(2 * i + 1)),
         "full_name" -> s"[${rl.dim.name}].[${r.get(2 * i)}]",

@@ -140,6 +140,88 @@ class ApiSpec extends AnyFunSuite {
     assert(kids.nonEmpty && kids.forall(_("level_name") == "Nation"))
   }
 
+  test("hierarchy-qualified level-members route (ref api.rb:174-205)") {
+    // levels living only in a non-default hierarchy are reachable ONLY via
+    // the hierarchies/:h segment — this was round 2's one parity hole
+    val (code, body) = get(
+      "/cubes/sales/dimensions/ShipDate/hierarchies/Weekly/levels/Week/members")
+    assert(code == 200)
+    val weeks = Json.parse(body).asInstanceOf[Map[String, Any]]("members")
+      .asInstanceOf[Seq[Map[String, Any]]].map(_("key").asInstanceOf[Long])
+    assert(weeks.nonEmpty && weeks.forall(w => w >= 1 && w <= 53))
+    // the unqualified form resolves the DEFAULT hierarchy, so Week is a 400
+    assert(get("/cubes/sales/dimensions/ShipDate/levels/Week/members")._1 == 400)
+    // member-by-key variant, with the ancestor chain from the same hierarchy
+    val (c2, m) = get(
+      "/cubes/sales/dimensions/ShipDate/hierarchies/Weekly/levels/Week/members/9")
+    assert(c2 == 200)
+    val member = Json.parse(m).asInstanceOf[Map[String, Any]]
+    assert(member("level_name") == "Week" && member("key") == 9L)
+    assert(member("ancestors").asInstanceOf[Seq[Map[String, Any]]]
+      .head("level_name") == "Year")
+    // a second cube-private hierarchy (Part.Types) works the same way
+    val (c3, types) = get(
+      "/cubes/sales/dimensions/Part/hierarchies/Types/levels/Type/members")
+    assert(c3 == 200)
+    assert(Json.parse(types).asInstanceOf[Map[String, Any]]("members")
+      .asInstanceOf[Seq[Map[String, Any]]].nonEmpty)
+  }
+
+  test("member-by-key answers in ONE Spark job once the detail frame is warm") {
+    val path = "/cubes/sales/dimensions/Geography/levels/Nation/members/3"
+    assert(get(path)._1 == 200) // warm: builds + persists the detail frame
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (code, body) = get(path)
+      assert(code == 200)
+      assert(Json.parse(body).asInstanceOf[Map[String, Any]]("num_children")
+        .asInstanceOf[Long] > 0L)
+      Thread.sleep(1500) // listener bus is async
+      assert(jobs.get() <= 1, s"expected one job per lookup, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("concurrent requests are served in parallel without cross-talk") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val paths = Seq(
+      "/cubes/sales/aggregate?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue",
+      "/cubes/sales/aggregate?drilldown%5B%5D=ReturnFlag&measures%5B%5D=sum_qty",
+      "/cubes/orders/aggregate?drilldown%5B%5D=Priority&measures%5B%5D=total_sales",
+      "/cubes/events/aggregate?drilldown%5B%5D=EventType&measures%5B%5D=value_sum")
+    val serial = paths.map(p => get(p)._2)
+    val results = Await.result(
+      Future.sequence(Seq.fill(3)(paths).flatten.map(p => Future(get(p)))),
+      120.seconds)
+    assert(results.forall(_._1 == 200))
+    // every concurrent response matches its serial twin byte-for-byte
+    results.map(_._2).grouped(paths.length).foreach { batch =>
+      assert(batch == serial)
+    }
+  }
+
+  test("flush releases executor cache pinned by the catalog") {
+    val cat = CubeCatalog.forDir(spark, SparkTestSession.sf)
+    val probe = cat.cachedMemberFrame(("sales", "__flush_probe", false)) {
+      spark.range(5).toDF("id")
+    }
+    probe.count()
+    assert(probe.storageLevel.useMemory) // pinned while the catalog lives
+    val (code, _) = get("/flush")
+    assert(code == 200)
+    assert(probe.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "flush must unpersist member frames, not just drop the TrieMap")
+  }
+
   test("nest utility groups driver-side collections (C7)") {
     val items = Seq(("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z"))
     val tree = result.Nest.nest[(String, Int, String)](items,

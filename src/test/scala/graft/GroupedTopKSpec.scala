@@ -75,6 +75,41 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(4) == 1))
   }
 
+  test("TopKRewrite only unwraps a WindowGroupLimit owned by the window") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
+      Descending, Expression, LessThanOrEqual, Literal, RowNumber, SortOrder,
+      WindowExpression, WindowSpecDefinition, SpecifiedWindowFrame, RowFrame,
+      UnboundedPreceding, CurrentRow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+      LogicalPlan, Window => LWindow, WindowGroupLimit}
+    import graft.plans.TopKRewrite
+    val base = li.select("l_returnflag", "l_orderkey", "l_extendedprice")
+      .queryExecution.analyzed
+    val rf = base.output.find(_.name == "l_returnflag").get
+    val price = base.output.find(_.name == "l_extendedprice").get
+    val ok = base.output.find(_.name == "l_orderkey").get
+    val part: Seq[Expression] = Seq(rf)
+    val order = Seq(SortOrder(price, Descending), SortOrder(ok, Ascending))
+    val spec = WindowSpecDefinition(part, order,
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    val rn = Alias(WindowExpression(RowNumber(), spec), "rn")()
+    def filtered(child: LogicalPlan): LogicalPlan =
+      LFilter(LessThanOrEqual(rn.toAttribute, Literal(5)),
+        LWindow(Seq(rn), part, order, child))
+    // a WGL InferWindowGroupLimit slid under THIS window: subsumed, unwrapped
+    val own = WindowGroupLimit(part, order, RowNumber(), 5, base)
+    val r1 = TopKRewrite(filtered(own))
+    assert(r1.collectFirst { case w: WindowGroupLimit => w }.isEmpty, r1)
+    assert(r1.collectFirst { case t: GroupedTopK => t }.nonEmpty, r1)
+    // a WGL with a DIFFERENT order spec: not ours — dropping it would change
+    // results, so it must survive beneath the heap operator
+    val foreign = WindowGroupLimit(part, Seq(SortOrder(ok, Descending)),
+      RowNumber(), 5, base)
+    val r2 = TopKRewrite(filtered(foreign))
+    assert(r2.collectFirst { case w: WindowGroupLimit => w }.nonEmpty, r2)
+    assert(r2.collectFirst { case t: GroupedTopK => t }.nonEmpty, r2)
+  }
+
   test("groups smaller than k emit all rows, ranked densely from 1") {
     val rows = viaOperator(100000).where(col("l_returnflag") === "R")
       .collect()

@@ -38,6 +38,35 @@ class HierarchySpec extends AnyFunSuite {
     }
   }
 
+  test("non-broadcast closure rollup matches broadcast path, plan shuffles") {
+    val customer = cat.table("customer")
+    val orders = cat.table("orders")
+    val closure = ParentChild.closure(
+      customer.select(col("c_custkey").as("id"),
+        when(col("c_custkey") === 0L, lit(null))
+          .otherwise(col("c_custkey") / 2).cast("long").as("parent")),
+      "id", "parent")
+    val aggs = Seq(count(lit(1)).as("n_orders"))
+    // forced-large simulation: with auto-broadcast off, only the explicit
+    // hint may broadcast — exactly the 100M-member-tree scenario where the
+    // closure exceeds any broadcast threshold
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaBroadcast = ParentChild.rollup(orders, closure, "o_custkey", aggs)
+        .collect().map(_.toSeq).toSet
+      val viaShuffle = ParentChild.rollup(orders, closure, "o_custkey", aggs,
+        broadcastClosure = false)
+      assert(viaShuffle.collect().map(_.toSeq).toSet == viaBroadcast)
+      val shufflePlan = viaShuffle.queryExecution.executedPlan.toString()
+      assert(!shufflePlan.contains("BroadcastHashJoin"), shufflePlan)
+      // and the hinted path still broadcasts (JoinSpec.broadcastable analog)
+      val hintedPlan = ParentChild.rollup(orders, closure, "o_custkey", aggs)
+        .queryExecution.executedPlan.toString()
+      assert(hintedPlan.contains("BroadcastHashJoin"), hintedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("ragged hierarchy hides IfBlankName / IfParentsName members (B12)") {
     import spark.implicits._
     val places = Seq(

@@ -40,6 +40,98 @@ class OpsSpec extends AnyFunSuite {
       r.getInt(2) == 0))
   }
 
+  test("simhash combo blocks are pigeonhole-complete for Hamming <= 3") {
+    import spark.implicits._
+    // flip d random bits (every d in 0..3, deterministic seed) — the pair
+    // MUST share at least one 2-block combination key
+    val rnd = new scala.util.Random(42)
+    val pairs = (0 until 200).map { i =>
+      val x = rnd.nextLong()
+      val d = i % 4
+      val flips = rnd.shuffle((0 until 64).toList).take(d)
+      (x, flips.foldLeft(x)((v, b) => v ^ (1L << b)))
+    }
+    val keyed = pairs.toDF("fa", "fb")
+      .withColumn("ka", Dedup.simhashBlockKeys("fa", 3))
+      .withColumn("kb", Dedup.simhashBlockKeys("fb", 3))
+      .select(expr("arrays_overlap(ka, kb)").as("hit"))
+      .collect()
+    assert(keyed.forall(_.getBoolean(0)), "a Hamming<=3 pair missed all blocks")
+  }
+
+  test("simhash candidate generation stays ~linear as the corpus doubles") {
+    import spark.implicits._
+    // deterministic pseudo-random fingerprints: no true near-dups, so every
+    // candidate is a block-key collision. The retired 4x16-bit chunk scheme
+    // would yield ~C(n,2)*4/2^16 candidates (~1950 at n=8000); the combo-block
+    // keys carry ~26 bits, keeping collisions near zero — and the absolute
+    // count, not just the growth rate, is what survives a 100 TB corpus.
+    def candidates(n: Int): Long = {
+      val fp = spark.range(n).selectExpr("id AS doc_id", "xxhash64(id) AS sh")
+      val keyed = fp.select(col("doc_id"),
+        explode(Dedup.simhashBlockKeys("sh", 3)).as("bk"))
+      keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
+        .join(keyed.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
+          col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().count()
+    }
+    val c1 = candidates(4000)
+    val c2 = candidates(8000)
+    assert(c2 < 100, s"quadratic blowup: $c2 candidates from 8000 random docs")
+    assert(c2 <= 4 * c1 + 50, s"superlinear growth: $c1 -> $c2")
+  }
+
+  test("prefix-filtered jaccard equals brute force on a stopword-heavy corpus") {
+    import spark.implicits._
+    // every doc shares a hot boilerplate phrase (stopword-like shingles);
+    // some docs are genuine near-dups of each other
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (0L until 40L).map { i =>
+      val tail =
+        if (i % 10 == 3) s"unique payload ${i - 1} alpha beta gamma delta"
+        else s"unique payload $i alpha beta gamma delta"
+      (i, "en", s"$boiler $tail")
+    }.toDF("doc_id", "lang", "text")
+    val fast = Dedup.ngramJaccardPairs(corpus, 3, "lang", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: all pairs within the block, exact jaccard
+    val sh = corpus.select(col("doc_id"),
+      Dedup.hashedShingles("text", 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", expr("size(array_intersect(a.sh, b.sh))"))
+      .withColumn("j",
+        expr("inter / (size(a.sh) + size(b.sh) - inter)"))
+      .where(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute)
+    assert(fast.nonEmpty) // the planted near-dups were found
+  }
+
+  test("prefix filter shrinks postings; hottest shingles are the ones dropped") {
+    import spark.implicits._
+    val boiler = Seq.fill(6)("lorem ipsum dolor sit amet").mkString(" ")
+    val corpus = (0L until 30L).map(i =>
+      (i, "en", s"$boiler tail $i ${i * 7} ${i * 13}")).toDF("doc_id", "lang", "text")
+    val sh = corpus.select(col("doc_id"), col("lang").as("block"),
+      Dedup.hashedShingles("text", 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val full = sh.select(col("block"), col("doc_id"), col("n"),
+      explode(col("sh")).as("s"))
+    val pref = Dedup.prefixPostings(sh, 0.8)
+    assert(pref.count() < (full.count() * 0.5).toLong,
+      "prefix filter should drop most postings at t=0.8")
+    // the postings that survive are the RARE ones: max df among kept postings
+    // is no greater than min df among any doc's dropped postings
+    val dfreq = full.groupBy("block", "s").agg(count(lit(1)).as("df"))
+    val keptMax = pref.join(dfreq, Seq("block", "s"))
+      .agg(max("df")).collect()(0).getLong(0)
+    val hotDf = dfreq.agg(max("df")).collect()(0).getLong(0)
+    assert(hotDf == 30L) // boilerplate shingles appear in every doc
+    assert(keptMax < hotDf, "hot shingles must not survive the prefix")
+  }
+
   test("ngram jaccard pairs are symmetric-free and thresholded") {
     val rows = Dedup.ngramJaccardPairs(docs, 3, "lang", 0.1).collect()
     rows.foreach { r =>

@@ -83,6 +83,24 @@ class PlannerSpec extends AnyFunSuite {
     assert(dense.count(r => !r.isNullAt(2)) == sparse.length)
   }
 
+  test("dense axes beyond the cell cap are a 400, not a driver OOM (C1 guard)") {
+    spark.conf.set("spark.graft.dense.maxCells", "10")
+    try {
+      val e = intercept[GraftException] {
+        Planner.plan(cat, CubeQuery("events",
+          Seq(drill("EventDate", "Day", "Daily"), drill("EventType")),
+          Seq("value_sum"), nonempty = false)).collect() // 150 cells > 10
+      }
+      assert(e.status == 400)
+      assert(e.getMessage.contains("maxCells"), e.getMessage)
+      // sparse (nonempty) queries never enumerate the domain — unaffected
+      val sparse = Planner.plan(cat, CubeQuery("events",
+        Seq(drill("EventDate", "Day", "Daily"), drill("EventType")),
+        Seq("value_sum"), nonempty = true)).collect()
+      assert(sparse.nonEmpty)
+    } finally spark.conf.unset("spark.graft.dense.maxCells")
+  }
+
   test("HAVING keeps only qualifying groups, applied before ORDER (A10)") {
     val rows = Planner.plan(cat, CubeQuery("sales",
       Seq(drill("Part", "Brand", "Brands")), Seq("revenue"),
