@@ -284,6 +284,43 @@ object SparkEntry {
             |TOPCOUNT([Part].[Brands].[Brand].Members, 5, [Measures].[Revenue]) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // WITH MEMBER: query-scoped calculated measure over declared measures
+      "q37_mdx_with_member" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[margin] AS
+            |  '[Measures].[Gross] - [Measures].[Discount Amount]'
+            |SELECT {[Measures].[Revenue], [Measures].[margin]} ON COLUMNS,
+            |[Geography].[Region].Members ON ROWS
+            |FROM sales""".stripMargin))
+      }),
+      // FILTER (HAVING) + ORDER axis functions
+      "q38_mdx_filter_order" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |ORDER(FILTER([Part].[Brands].[Brand].Members,
+            |  [Measures].[Revenue] > 10000000),
+            |  [Measures].[Revenue], DESC) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
+      // member.Children navigation
+      "q39_mdx_children" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |[Geography].[Region].[2].Children ON ROWS
+            |FROM sales""".stripMargin))
+      }),
+      // BOTTOMCOUNT (ascending top-k cut)
+      "q40_mdx_bottomcount" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |BOTTOMCOUNT([ShipDate].[Monthly].[Year].Members, 2,
+            |  [Measures].[Revenue]) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // B17 in the hash gate: answered from a registered aggregate table
       // (an isolated catalog so the routing never leaks into the other
       // queries, memoized because agg tables are built once — nightly, not
@@ -848,6 +885,37 @@ object SparkEntry {
          |top AS (SELECT brand FROM b ORDER BY revenue DESC, brand ASC LIMIT 5)
          |SELECT b.brand, b.revenue FROM b JOIN top USING (brand)
          |ORDER BY brand""".stripMargin,
+    "q37_mdx_with_member" ->
+      s"""WITH agg AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd(REV, "revenue")},
+         |    ${sumd("l_extendedprice", "gross")},
+         |    ${sumd("l_extendedprice * l_discount", "disc_amt")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2)
+         |SELECT region, region_label, revenue, gross - disc_amt AS margin
+         |FROM agg ORDER BY 1""".stripMargin,
+    "q38_mdx_filter_order" ->
+      s"""SELECT brand, revenue FROM (
+         |SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+         |WHERE revenue > 10000000.0
+         |ORDER BY revenue DESC, brand ASC""".stripMargin,
+    "q39_mdx_children" ->
+      s"""SELECT n_nationkey AS nation, n_name AS nation_label,
+         |${sumd(REV, "revenue")}
+         |$SUPP_GEO_JOIN
+         |WHERE r_regionkey = 2
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q40_mdx_bottomcount" ->
+      s"""WITH y AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1),
+         |bot AS (SELECT ship_year FROM y
+         |  ORDER BY revenue ASC, ship_year ASC LIMIT 2)
+         |SELECT y.ship_year, y.revenue FROM y JOIN bot USING (ship_year)
+         |ORDER BY ship_year""".stripMargin,
     "q35_rollup_routed" ->
       s"""SELECT r_regionkey AS region, r_name AS region_label,
          |p_brand AS brand, ${sumd(REV, "revenue")}, COUNT(1) AS cnt

@@ -78,11 +78,13 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
       }
     } catch {
       case e: GraftException =>
-        respond(ex, e.status, "application/json",
+        val (st, ct, b) = text(e.status, "application/json",
           Json.write(ListMap("error" -> e.getMessage)))
+        respond(ex, st, ct, b)
       case e: Throwable =>
-        respond(ex, 500, "application/json",
+        val (st, ct, b) = text(500, "application/json",
           Json.write(ListMap("error" -> String.valueOf(e.getMessage))))
+        respond(ex, st, ct, b)
     }
   }
 
@@ -93,18 +95,18 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
       else GraftException.notFound(s"cube not found: $name"))
 
   private def route(cat: CubeCatalog, segs: List[String],
-      params: Map[String, Seq[String]]): (Int, String, String) = segs match {
+      params: Map[String, Seq[String]]): Resp = segs match {
     case Nil =>
-      (200, "application/json", Json.write(ListMap(
+      text(200, "application/json", Json.write(ListMap(
         "status" -> "ok", "engine" -> "graft", "schema" -> cat.schema.name)))
     case List("cubes") =>
-      (200, "application/json", Json.write(Metadata.schemaDict(cat)))
+      text(200, "application/json", Json.write(Metadata.schemaDict(cat)))
     case List("cubes", c) =>
       cat.schema.virtualCube(c) match {
         case Some(vc) =>
-          (200, "application/json", Json.write(Metadata.virtualCubeDict(vc)))
+          text(200, "application/json", Json.write(Metadata.virtualCubeDict(vc)))
         case None =>
-          (200, "application/json", Json.write(Metadata.cubeDict(cube(cat, c))))
+          text(200, "application/json", Json.write(Metadata.cubeDict(cube(cat, c))))
       }
     case List("cubes", c, agg) if agg.startsWith("aggregate") =>
       aggregate(cat, c, agg, params)
@@ -112,13 +114,13 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
       val fullName = params.get("full_name").flatMap(_.headOption)
         .getOrElse(GraftException.badRequest("full_name param required"))
       Metadata.memberByFullName(cat, cube(cat, c), fullName) match {
-        case Some(m) => (200, "application/json", Json.write(m))
+        case Some(m) => text(200, "application/json", Json.write(m))
         case None => GraftException.notFound(s"member not found: $fullName")
       }
     case List("cubes", c, "dimensions", d) =>
       val dim = cube(cat, c).dimension(d).getOrElse(
         GraftException.notFound(s"dimension not found: $d"))
-      (200, "application/json", Json.write(Metadata.dimensionDict(dim)))
+      text(200, "application/json", Json.write(Metadata.dimensionDict(dim)))
     // Level members: default-hierarchy form and the hierarchy-qualified form
     // (ref api.rb:173-191 nests hierarchies/:h/levels/:l/members) — the
     // qualified form is the only way to reach levels of a non-default
@@ -136,21 +138,29 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
     case List("flush") =>
       CubeCatalog.flush()
       catalog = CubeCatalog.forDir(spark, sfDir)
-      (200, "application/json", Json.write(ListMap("status" -> "flushed")))
+      text(200, "application/json", Json.write(ListMap("status" -> "flushed")))
     case _ => GraftException.notFound(s"no route for /${segs.mkString("/")}")
   }
 
+  /** (status, content type, body). Text bodies go through [[text]] so the
+    * charset lands in the content type; `.xls` is the one binary format. */
+  private type Resp = (Int, String, Array[Byte])
+
+  private def text(status: Int, contentType: String, body: String): Resp =
+    (status, contentType + "; charset=utf-8",
+      body.getBytes(StandardCharsets.UTF_8))
+
   private def levelMembers(cat: CubeCatalog, c: String, ref: LevelRef,
-      params: Map[String, Seq[String]]): (Int, String, String) = {
+      params: Map[String, Seq[String]]): Resp = {
     val withProps = params.contains("member_properties[]") ||
       params.get("caption").isDefined
     val members = Metadata.levelMembers(cat, cube(cat, c), ref,
       withProps = withProps)
-    (200, "application/json", Json.write(ListMap("members" -> members)))
+    text(200, "application/json", Json.write(ListMap("members" -> members)))
   }
 
   private def memberByKey(cat: CubeCatalog, c: String, ref: LevelRef,
-      k: String, params: Map[String, Seq[String]]): (Int, String, String) = {
+      k: String, params: Map[String, Seq[String]]): Resp = {
     val key = QueryParser.typedKey(k) // segment already decoded once
     Metadata.memberByKey(cat, cube(cat, c), ref, key) match {
       case Some(m) =>
@@ -159,7 +169,7 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
             m + ("children" -> Metadata.memberChildren(cat, cube(cat, c),
               ref, key))
           else m
-        (200, "application/json", Json.write(withChildren))
+        text(200, "application/json", Json.write(withChildren))
       case None => GraftException.notFound(s"member not found: $k")
     }
   }
@@ -168,7 +178,7 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
     * reference's own builder emits (ref api.rb:21-50, SURVEY §3.2). The cube
     * is recovered from the FROM clause. */
   private def mdx(cat: CubeCatalog, endpoint: String, body: String,
-      params: Map[String, Seq[String]]): (Int, String, String) = {
+      params: Map[String, Seq[String]]): Resp = {
     val fromRe = """(?is)\bFROM\s+(\[[^\]]+\]|\S+)""".r
     val cubeName = fromRe.findFirstMatchIn(body)
       .map(m => m.group(1).stripPrefix("[").stripSuffix("]"))
@@ -179,37 +189,37 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
     q = mdxQ.copy(parents = q.parents, properties = q.properties,
       captions = q.captions, sparse = q.sparse)
     endpoint match {
-      case "mdx" => (200, "application/json", AxesResult.json(cat, q))
+      case "mdx" => text(200, "application/json", AxesResult.json(cat, q))
       case "mdx.csv" =>
-        (200, "text/csv", Formatters.csv(Formatters.tidy(cat, q)))
+        text(200, "text/csv", Formatters.csv(Formatters.tidy(cat, q)))
       case "mdx.jsonrecords" =>
         val asArrays = params.get("format").exists(_.headOption.contains("array"))
-        (200, "application/json",
+        text(200, "application/json",
           Formatters.jsonRecords(Formatters.tidy(cat, q), asArrays))
       case "mdx.xls" =>
         (200, "application/vnd.ms-excel",
-          Formatters.xmlSpreadsheet(Formatters.tidy(cat, q)))
+          Biff.xls(Formatters.tidy(cat, q)))
       case other => GraftException.notFound(s"unknown format: $other")
     }
   }
 
   /** GET /cubes/:cube/aggregate[.ext] — all §2.A params. */
   private def aggregate(cat: CubeCatalog, cubeName: String, endpoint: String,
-      params: Map[String, Seq[String]]): (Int, String, String) = {
+      params: Map[String, Seq[String]]): Resp = {
     val c = cube(cat, cubeName)
     val q = QueryParser.fromParams(c, params).copy(cube = cubeName)
     endpoint match {
       case "aggregate" =>
-        (200, "application/json", AxesResult.json(cat, q))
+        text(200, "application/json", AxesResult.json(cat, q))
       case "aggregate.csv" =>
-        (200, "text/csv", Formatters.csv(Formatters.tidy(cat, q)))
+        text(200, "text/csv", Formatters.csv(Formatters.tidy(cat, q)))
       case "aggregate.jsonrecords" =>
         val asArrays = params.get("format").exists(_.headOption.contains("array"))
-        (200, "application/json",
+        text(200, "application/json",
           Formatters.jsonRecords(Formatters.tidy(cat, q), asArrays))
       case "aggregate.xls" =>
         (200, "application/vnd.ms-excel",
-          Formatters.xmlSpreadsheet(Formatters.tidy(cat, q)))
+          Biff.xls(Formatters.tidy(cat, q)))
       case other => GraftException.notFound(s"unknown format: $other")
     }
   }
@@ -230,12 +240,11 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
   private def respond(ex: HttpExchange, status: Int, contentType: String,
-      body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", contentType + "; charset=utf-8")
-    ex.sendResponseHeaders(status, bytes.length)
+      body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, body.length)
     val os = ex.getResponseBody
-    os.write(bytes)
+    os.write(body)
     os.close()
   }
 }

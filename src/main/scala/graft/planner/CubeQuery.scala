@@ -17,9 +17,11 @@ final case class MemberCut(level: LevelRef, key: Any) extends Cut
 final case class SetCut(level: LevelRef, keys: Seq[Any]) extends Cut
 final case class RangeCut(level: LevelRef, lo: Any, hi: Any) extends Cut
 final case class NamedSetCut(set: String) extends Cut
-/** Ad-hoc TopCount restriction (MDX `TOPCOUNT(set, k, measure)` without a
-  * schema named set): keep the k best members of the level by the measure. */
-final case class TopKCut(level: LevelRef, k: Int, byMeasure: String) extends Cut
+/** Ad-hoc TopCount/BottomCount restriction (MDX `TOPCOUNT(set, k, measure)`
+  * without a schema named set): keep the k best members of the level by the
+  * measure — `asc = true` is BOTTOMCOUNT (k worst). */
+final case class TopKCut(level: LevelRef, k: Int, byMeasure: String,
+    asc: Boolean = false) extends Cut
 
 /** Axis drilldowns (ref A2/A15). */
 sealed trait Drill
@@ -57,4 +59,7 @@ final case class CubeQuery(
     parents: Boolean = false,                  // C3: prepend ancestor columns
     properties: Seq[PropertyRef] = Nil,
     captions: Seq[PropertyRef] = Nil,          // C4: property replaces caption
-    sparse: Boolean = false)                   // C6: drop all-null measure rows
+    sparse: Boolean = false,                   // C6: drop all-null measure rows
+    // Query-scoped calculated measures (MDX `WITH MEMBER [Measures].[X] AS
+    // '<formula>'`): merged with the cube's schema calc members at plan time.
+    adhocCalcs: Seq[graft.model.CalcMemberDef] = Nil)

@@ -3,50 +3,152 @@ package graft.planner
 import graft.model._
 
 /** MDX-subset parser for the raw-MDX endpoint (ref POST /mdx, api.rb:21-50).
-  * The reference's own REST layer only ever EMITS a constrained MDX dialect
-  * (query_helper.rb), and its /mdx test corpus uses TOPCOUNT + Crossjoin —
-  * this parser accepts exactly that dialect and compiles it onto the same
-  * CubeQuery IR the REST params use (full MDX is explicitly out of scope,
-  * SURVEY §3.2):
+  * Covers the dialect the reference's own REST layer EMITS (query_helper.rb,
+  * /mdx test corpus: TOPCOUNT + Crossjoin) plus the constructs Mondrian
+  * users commonly POST by hand; everything compiles onto the same CubeQuery
+  * IR the REST params use:
   *
+  *   [WITH (MEMBER [Measures].[X] AS '<arith over measures>')+]
   *   SELECT {[Measures].[M], ...} ON COLUMNS,
-  *          [NON EMPTY] <set> ON ROWS
+  *          [NON EMPTY] <axis> ON ROWS
   *   FROM [Cube]
   *   [WHERE (<member> [* <member>]...)]
   *
+  *   <axis> ::= <set>
+  *           | FILTER(<axis>, [Measures].[M] <op> <number>)   — HAVING
+  *           | ORDER(<axis>, [Measures].[M] [, ASC|DESC|BASC|BDESC])
+  *           | HEAD(<axis>, n)                                 — limit
+  *           | HIERARCHIZE(<axis>)                             — default order
   *   <set> ::= [Dim].[Level].Members | [Dim].[Hier].[Level].Members
   *           | [Named Set]
   *           | {<member>, ...}
+  *           | <member> : <member>                             — range
+  *           | <member>.Children
   *           | CROSSJOIN(<set>, <set>) | <set> * <set>
   *           | TOPCOUNT(<set>, k, [Measures].[M])
+  *           | BOTTOMCOUNT(<set>, k, [Measures].[M])
   *           | DESCENDANTS(<member>, [Dim].[Level])
   */
 object MdxParser {
 
   def parse(cube: CubeDef, mdx: String): CubeQuery = {
     val text = mdx.trim
-    val re = ("""(?is)^\s*SELECT\s+(.*?)\s+ON\s+COLUMNS\s*,\s*(.*?)\s+ON\s+ROWS""" +
-      """\s+FROM\s+(\S+)\s*(?:WHERE\s+(.*?))?\s*$""").r
+    val re = ("""(?is)^\s*(?:WITH\s+(.*?)\s+)?SELECT\s+(.*?)\s+ON\s+COLUMNS""" +
+      """\s*,\s*(.*?)\s+ON\s+ROWS\s+FROM\s+(\S+)\s*(?:WHERE\s+(.*?))?\s*$""").r
     text match {
-      case re(colAxis, rowAxisRaw, cubeName, slicer) =>
+      case re(withClause, colAxis, rowAxisRaw, cubeName, slicer) =>
         val fromCube = stripBrackets(cubeName.trim)
         if (fromCube != cube.name)
           GraftException.badRequest(
             s"MDX FROM cube '$fromCube' does not match '${cube.name}'")
-        val measures = parseMeasureAxis(cube, colAxis.trim)
+        val adhoc = Option(withClause).map(parseWithMembers(cube, _))
+          .getOrElse(Nil)
+        // adhoc aliases resolve on an augmented view of the cube so the
+        // measure axis (and nested FILTER/ORDER) can reference them
+        val augmented = cube.copy(calcMembers = cube.calcMembers ++ adhoc)
+        val measures = parseMeasureAxis(augmented, colAxis.trim)
         val (nonEmpty, rowAxis) = {
           val t = rowAxisRaw.trim
           if (t.toUpperCase.startsWith("NON EMPTY"))
             (true, t.substring("NON EMPTY".length).trim)
           else (false, t)
         }
-        val (drills, cuts) = parseSet(cube, rowAxis)
+        val axis = parseAxis(augmented, rowAxis)
         val slicerCuts = Option(slicer).map(_.trim).filter(_.nonEmpty)
-          .map(parseSlicer(cube, _)).getOrElse(Nil)
-        CubeQuery(cube.name, drills, measures, cuts = cuts ++ slicerCuts,
-          nonempty = nonEmpty)
+          .map(parseSlicer(augmented, _)).getOrElse(Nil)
+        // FILTER() removes tuples from the axis (Mondrian semantics) — the
+        // dense default must not densify the dropped members back as nulls
+        CubeQuery(cube.name, axis.drills, measures,
+          cuts = axis.cuts ++ slicerCuts, filters = axis.filters,
+          order = axis.order, limit = axis.limit,
+          nonempty = nonEmpty || axis.filters.nonEmpty,
+          adhocCalcs = adhoc)
       case _ => GraftException.badRequest(
-        "cannot parse MDX (supported: SELECT <measures> ON COLUMNS, <set> ON ROWS FROM <cube> [WHERE <tuple>])")
+        "cannot parse MDX (supported: [WITH MEMBER...] SELECT <measures> ON COLUMNS, <set> ON ROWS FROM <cube> [WHERE <tuple>])")
+    }
+  }
+
+  /** `MEMBER [Measures].[X] AS '<formula>'` list. Formulas are arithmetic
+    * over `[Measures].[...]` references, translated to result-column aliases
+    * (the same expression language schema calc members use — B7). */
+  private def parseWithMembers(cube: CubeDef, s: String): Seq[CalcMemberDef] = {
+    val memberRe =
+      """(?is)MEMBER\s+(\[Measures\]\.)?\[?([^\]\s]+)\]?\s+AS\s+'([^']*)'""".r
+    val found = memberRe.findAllMatchIn(s).toSeq
+    if (found.isEmpty)
+      GraftException.badRequest(s"cannot parse WITH clause '$s'")
+    found.map { m =>
+      val alias = m.group(2)
+      val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
+      val formula = measureRef.replaceAllIn(m.group(3),
+        mm => resolveMeasure(cube, mm.group(1)))
+      CalcMemberDef(alias, formula)
+    }
+  }
+
+  /** Parsed row axis: a set plus its axis-level wrappers. */
+  final case class Axis(drills: Seq[Drill], cuts: Seq[Cut],
+      filters: Seq[MeasureFilter] = Nil, order: Option[OrderSpec] = None,
+      limit: Option[Long] = None)
+
+  /** Axis-level functions wrap the whole set: FILTER → HAVING, ORDER →
+    * result order, HEAD → limit, HIERARCHIZE → the default hierarchical
+    * order (a no-op — exactly what finishAxis already emits). */
+  def parseAxis(cube: CubeDef, s: String): Axis = {
+    val t = s.trim
+    val upper = t.toUpperCase
+    def args(fn: String): Vector[String] =
+      splitTop(t.substring(fn.length, t.length - 1), ',')
+    if (upper.startsWith("FILTER(") && t.endsWith(")")) {
+      val as = args("FILTER(")
+      if (as.length != 2)
+        GraftException.badRequest(s"FILTER takes (set, condition): '$s'")
+      val inner = parseAxis(cube, as(0))
+      inner.copy(filters = inner.filters :+ parseCondition(cube, as(1)))
+    } else if (upper.startsWith("ORDER(") && t.endsWith(")")) {
+      val as = args("ORDER(")
+      if (as.length < 2 || as.length > 3)
+        GraftException.badRequest(s"ORDER takes (set, measure[, dir]): '$s'")
+      val inner = parseAxis(cube, as(0))
+      val m = QueryParser.segments(as(1)) match {
+        case Seq("Measures", name) => resolveMeasure(cube, name)
+        case Seq(name) => resolveMeasure(cube, name)
+        case _ => GraftException.badRequest(s"bad ORDER measure '${as(1)}'")
+      }
+      val desc = as.lift(2).map(_.trim.toUpperCase) match {
+        case Some("DESC") | Some("BDESC") => true
+        case Some("ASC") | Some("BASC") | None => false
+        case Some(other) =>
+          GraftException.badRequest(s"bad ORDER direction '$other'")
+      }
+      inner.copy(order = Some(OrderSpec(OrderByMeasure(m), desc)))
+    } else if (upper.startsWith("HEAD(") && t.endsWith(")")) {
+      val as = args("HEAD(")
+      if (as.length != 2)
+        GraftException.badRequest(s"HEAD takes (set, count): '$s'")
+      val inner = parseAxis(cube, as(0))
+      inner.copy(limit = Some(as(1).trim.toLong))
+    } else if (upper.startsWith("HIERARCHIZE(") && t.endsWith(")")) {
+      parseAxis(cube, t.substring("HIERARCHIZE(".length, t.length - 1))
+    } else {
+      val (drills, cuts) = parseSet(cube, t)
+      Axis(drills, cuts)
+    }
+  }
+
+  /** `[Measures].[M] <op> <number>` with ops > < >= <= = <> (ref A10). */
+  private def parseCondition(cube: CubeDef, s: String): MeasureFilter = {
+    val condRe =
+      """(?s)^\s*(.*?)\s*(>=|<=|<>|>|<|=)\s*(-?\d+(?:\.\d+)?)\s*$""".r
+    s match {
+      case condRe(m, op, v) =>
+        val name = QueryParser.segments(m) match {
+          case Seq("Measures", x) => resolveMeasure(cube, x)
+          case Seq(x) => resolveMeasure(cube, x)
+          case _ => GraftException.badRequest(s"bad FILTER measure '$m'")
+        }
+        MeasureFilter(name, op, v.toDouble)
+      case _ => GraftException.badRequest(s"cannot parse FILTER condition '$s'")
     }
   }
 
@@ -91,23 +193,47 @@ object MdxParser {
       val parts = splitTop(t, '*')
       val parsed = parts.map(parseSet(cube, _))
       (parsed.flatMap(_._1), parsed.flatMap(_._2))
-    } else if (upper.startsWith("TOPCOUNT(") && t.endsWith(")")) {
-      val args = splitTop(t.substring("TOPCOUNT(".length, t.length - 1), ',')
+    } else if ((upper.startsWith("TOPCOUNT(") ||
+        upper.startsWith("BOTTOMCOUNT(")) && t.endsWith(")")) {
+      val fn = if (upper.startsWith("TOPCOUNT(")) "TOPCOUNT(" else "BOTTOMCOUNT("
+      val args = splitTop(t.substring(fn.length, t.length - 1), ',')
       if (args.length != 3)
-        GraftException.badRequest(s"TOPCOUNT takes (set, k, measure): '$s'")
+        GraftException.badRequest(s"${fn.dropRight(1)} takes (set, k, measure): '$s'")
       val (drills, cuts) = parseSet(cube, args(0))
       val level = drills match {
         case Seq(LevelDrill(ref)) => ref
         case _ => GraftException.badRequest(
-          s"TOPCOUNT set must be a single level enumeration: '$s'")
+          s"${fn.dropRight(1)} set must be a single level enumeration: '$s'")
       }
       val k = args(1).trim.toInt
       val m = QueryParser.segments(args(2)) match {
         case Seq("Measures", name) => resolveMeasure(cube, name)
         case Seq(name) => resolveMeasure(cube, name)
-        case _ => GraftException.badRequest(s"bad TOPCOUNT measure '${args(2)}'")
+        case _ => GraftException.badRequest(s"bad ${fn.dropRight(1)} measure '${args(2)}'")
       }
-      (drills, cuts :+ TopKCut(level, k, m))
+      (drills, cuts :+ TopKCut(level, k, m, asc = fn == "BOTTOMCOUNT("))
+    } else if (splitTop(t, ':').length == 2) {
+      // member range [D].[L].[a] : [D].[L].[b] → drill the level + range cut
+      val cut = QueryParser.parseCut(cube, s"($t)")
+      cut match {
+        case RangeCut(level, _, _) => (Seq(LevelDrill(level)), Seq(cut))
+        case other => GraftException.badRequest(s"bad member range '$t'")
+      }
+    } else if (upper.endsWith(".CHILDREN")) {
+      // member.Children → drill the NEXT level, cut on the member
+      val memberPath = t.substring(0, t.length - ".Children".length)
+      val cut = QueryParser.parseCut(cube, memberPath)
+      cut match {
+        case MemberCut(ref, _) =>
+          val rl = Planner.resolve(cube, ref)
+          val child = rl.hier.levels.lift(rl.depth + 1).getOrElse(
+            GraftException.badRequest(
+              s"'$memberPath' is a leaf member — no children"))
+          (Seq(LevelDrill(LevelRef(rl.dim.name, Some(child.name),
+            Some(rl.hier.name)))), Seq(cut))
+        case other =>
+          GraftException.badRequest(s"bad member for .Children: '$memberPath'")
+      }
     } else if (upper.startsWith("DESCENDANTS(") && t.endsWith(")")) {
       val args = splitTop(t.substring("DESCENDANTS(".length, t.length - 1), ',')
       if (args.length != 2)

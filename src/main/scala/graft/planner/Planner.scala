@@ -37,8 +37,34 @@ object Planner {
 
   def plan(cat: CubeCatalog, q: CubeQuery): DataFrame =
     cat.schema.virtualCube(q.cube) match {
-      case Some(vc) => planVirtual(cat, vc, q)
-      case None => planCube(cat, cat.cube(q.cube), q)
+      case Some(vc) => planVirtual(cat, withAdhoc(vc, q), q)
+      case None => planCube(cat, withAdhoc(cat.cube(q.cube), q), q)
+    }
+
+  /** Merge query-scoped calc members (MDX WITH MEMBER) into the cube's
+    * schema-declared ones; shadowing a declared measure is a client error. */
+  private def withAdhoc(cube: CubeDef, q: CubeQuery): CubeDef =
+    if (q.adhocCalcs.isEmpty) cube
+    else {
+      q.adhocCalcs.foreach { c =>
+        if (cube.measure(c.alias).nonEmpty ||
+            cube.calcMembers.exists(_.alias == c.alias) ||
+            cube.lagMeasures.exists(_.alias == c.alias))
+          GraftException.badRequest(
+            s"WITH MEMBER '${c.alias}' shadows a declared measure")
+      }
+      cube.copy(calcMembers = cube.calcMembers ++ q.adhocCalcs)
+    }
+
+  private def withAdhoc(vc: VirtualCubeDef, q: CubeQuery): VirtualCubeDef =
+    if (q.adhocCalcs.isEmpty) vc
+    else {
+      q.adhocCalcs.foreach { c =>
+        if (vc.calcMembers.exists(_.alias == c.alias))
+          GraftException.badRequest(
+            s"WITH MEMBER '${c.alias}' shadows a declared measure")
+      }
+      vc.copy(calcMembers = vc.calcMembers ++ q.adhocCalcs)
     }
 
   // ---------------------------------------------------------------- planCube
@@ -359,7 +385,7 @@ object Planner {
       val rl = resolve(cube, LevelRef(ns.dim, Some(ns.level)))
       df.filter(col(rl.level.alias)
         .isin(topKKeyValues(cat, cube, rl, ns.k, ns.byMeasure): _*))
-    case TopKCut(l, k, byMeasure) =>
+    case TopKCut(l, k, byMeasure, _) =>
       val rl = resolve(cube, l)
       df.filter(col(rl.level.alias)
         .isin(topKKeyValues(cat, cube, rl, k, byMeasure): _*))
@@ -379,7 +405,7 @@ object Planner {
     case MemberCut(l, _) => Some(l)
     case SetCut(l, _) => Some(l)
     case RangeCut(l, _, _) => Some(l)
-    case TopKCut(l, _, _) => Some(l)
+    case TopKCut(l, _, _, _) => Some(l)
     case NamedSetCut(_) => None
   }
 
@@ -411,10 +437,10 @@ object Planner {
       val rl = resolve(cube, LevelRef(ns.dim, Some(ns.level)))
       df.filter(expr(rl.level.keyExpr)
         .isin(topKKeyValues(cat, cube, rl, ns.k, ns.byMeasure): _*))
-    case TopKCut(l, k, byMeasure) =>
+    case TopKCut(l, k, byMeasure, asc) =>
       val rl = resolve(cube, l)
       df.filter(expr(rl.level.keyExpr)
-        .isin(topKKeyValues(cat, cube, rl, k, byMeasure): _*))
+        .isin(topKKeyValues(cat, cube, rl, k, byMeasure, asc): _*))
   }
 
   /** TopCount named set (ref B9, foodmart.xml:405-410): k member keys by
@@ -430,18 +456,18 @@ object Planner {
     * that removes a second fact pass that the semi-join form would need
     * every query. */
   private def topKKeyValues(cat: CubeCatalog, cube: CubeDef, rl: ResolvedLevel,
-      k: Int, byMeasure: String): Seq[Any] =
+      k: Int, byMeasure: String, asc: Boolean = false): Seq[Any] =
     cat.cachedTopKKeys((cube.name, rl.dim.name, rl.hier.name, rl.level.name,
-      k, byMeasure)) {
-      topKKeys(cat, cube, rl, k, byMeasure).collect().toSeq.map(_.get(0))
+      if (asc) -k else k, byMeasure)) { // sign encodes direction in the key
+      topKKeys(cat, cube, rl, k, byMeasure, asc).collect().toSeq.map(_.get(0))
     }
 
   private def topKKeys(cat: CubeCatalog, cube: CubeDef, rl: ResolvedLevel,
-      k: Int, byMeasure: String): DataFrame = {
+      k: Int, byMeasure: String, asc: Boolean = false): DataFrame = {
     val q = CubeQuery(cube.name,
       Seq(LevelDrill(LevelRef(rl.dim.name, Some(rl.level.name),
         Some(rl.hier.name)))), Seq(byMeasure),
-      order = Some(OrderSpec(OrderByMeasure(byMeasure), desc = true)),
+      order = Some(OrderSpec(OrderByMeasure(byMeasure), desc = !asc)),
       limit = Some(k))
     planCube(cat, cube, q).select(rl.level.alias)
   }

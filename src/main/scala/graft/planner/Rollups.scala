@@ -148,7 +148,7 @@ object Rollups {
           val ns = cube.namedSet(name).getOrElse(
             GraftException.badRequest(s"named set '$name' not found"))
           levelAliases(cube, LevelRef(ns.dim, Some(ns.level)))
-        case TopKCut(l, _, _) => levelAliases(cube, l)
+        case TopKCut(l, _, _, _) => levelAliases(cube, l)
       }).toSet
     if (!bases.forall(m => supportedAgg(m.agg))) return None
     rollups.filter(r => r.cube == cube.name && neededLevels.subsetOf(r.levels))

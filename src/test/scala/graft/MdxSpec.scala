@@ -67,6 +67,92 @@ class MdxSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet == Set("A", "R"))
   }
 
+  test("WITH MEMBER defines a query-scoped calc measure (B7 ad hoc)") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[margin] AS
+        |  '[Measures].[Gross] - [Measures].[Discount Amount]'
+        |SELECT {[Measures].[margin]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.adhocCalcs.map(c => (c.alias, c.formula)) ==
+      Seq(("margin", "gross - disc_amt")))
+    val rows = Planner.plan(cat, q).collect()
+    // margin == the schema-declared 'net' calc member, by construction
+    val net = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Geography", Some("Region")))), Seq("net")))
+      .collect()
+    assert(rows.map(_.getDouble(2)).toSeq == net.map(_.getDouble(2)).toSeq)
+    // shadowing a declared measure is a 400
+    val shadow = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[net] AS '[Measures].[Gross]'
+        |SELECT {[Measures].[net]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS FROM sales""".stripMargin)
+    assert(intercept[GraftException](Planner.plan(cat, shadow)).status == 400)
+  }
+
+  test("FILTER compiles to HAVING, ORDER to the result order") {
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |ORDER(FILTER([Part].[Brands].[Brand].Members,
+        |  [Measures].[Revenue] > 10000000), [Measures].[Revenue], DESC) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.filters == Seq(MeasureFilter("revenue", ">", 1.0e7)))
+    assert(q.order == Some(OrderSpec(OrderByMeasure("revenue"), desc = true)))
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.forall(_ > 1.0e7))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+  }
+
+  test("HEAD limits, HIERARCHIZE is the default order (no-op)") {
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |HEAD(HIERARCHIZE([Geography].[Region].Members), 3) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.limit == Some(3L))
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2)) // hierarchical order
+  }
+
+  test("member range and .Children navigate the hierarchy") {
+    val range = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |[ShipDate].[Monthly].[Year].[1995] : [ShipDate].[Monthly].[Year].[1997] ON ROWS
+        |FROM sales""".stripMargin)
+    assert(range.cuts == Seq(RangeCut(
+      LevelRef("ShipDate", Some("Year"), Some("Monthly")), 1995L, 1997L)))
+    val years = Planner.plan(cat, range).collect().map(_.getInt(0))
+    assert(years.forall(y => y >= 1995 && y <= 1997) && years.nonEmpty)
+    val kids = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |[Geography].[Region].[2].Children ON ROWS
+        |FROM sales""".stripMargin)
+    assert(kids.drilldowns == Seq(LevelDrill(
+      LevelRef("Geography", Some("Nation"), Some("Geography")))))
+    assert(kids.cuts == Seq(MemberCut(LevelRef("Geography", Some("Region")), 2L)))
+    // leaf members have no children
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |[Geography].[Supplier].[1].Children ON ROWS FROM sales""".stripMargin))
+      .status == 400)
+  }
+
+  test("BOTTOMCOUNT keeps the k worst members by the measure") {
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |BOTTOMCOUNT([Part].[Brands].[Brand].Members, 3, [Measures].[Revenue]) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.cuts == Seq(TopKCut(LevelRef("Part", Some("Brand"), Some("Brands")),
+      3, "revenue", asc = true)))
+    val bottom = Planner.plan(cat, q).collect().map(_.getString(0)).toSet
+    val all = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands")))),
+      Seq("revenue"))).collect()
+    val expected = all.sortBy(_.getDouble(1)).take(3).map(_.getString(0)).toSet
+    assert(bottom == expected)
+  }
+
   test("error contract: bad MDX, wrong cube, unknown measure") {
     assert(intercept[GraftException](
       MdxParser.parse(salesCube, "DRILLTHROUGH garbage")).status == 400)
