@@ -142,25 +142,37 @@ object Dedup {
   }
 
   /** Prefix-filtered postings for [[ngramJaccardPairs]]. Shingles are put in
-    * a canonical corpus-wide order — per-block document frequency ascending,
-    * value ascending (rarest first) — and each doc keeps only its first
-    * |sh| − ⌈t·|sh|⌉ + 1 shingles as join postings. Any pair with
+    * a canonical corpus-wide order — document frequency ascending (exact for
+    * the global top-`hotK` shingles, everything rarer ties at 0), value
+    * ascending — and each doc keeps only its first |sh| − ⌈t·|sh|⌉ + 1
+    * shingles as join postings. Any pair with
     * J(A,B) ≥ t has |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets with overlap ≥ α
     * under a shared total order must intersect within their (size − α + 1)
     * prefixes — so no qualifying pair is lost, while the most frequent
     * (stopword-like) shingles, whose df² posting blowup dominates the join at
     * corpus scale, are exactly the ones dropped. */
-  private[graft] def prefixPostings(sh: DataFrame,
-      threshold: Double): DataFrame = {
+  private[graft] def prefixPostings(sh: DataFrame, threshold: Double,
+      hotK: Int = 1 << 16): DataFrame = {
     val posting = sh.select(col("block"), col("doc_id"), col("n"),
       explode(col("sh")).as("s"))
-    val dfreq = posting.groupBy("block", "s").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("block", "doc_id").orderBy(col("df"), col("s"))
-    posting.join(dfreq, Seq("block", "s"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("block", "doc_id", "n", "s")
+    // The canonical order only needs EXACT ranks for the frequent shingles —
+    // every shingle outside the global top-hotK ties at df = 0 and orders by
+    // value, which is still one shared total order (a pure function of s),
+    // so the prefix lemma and the result are unchanged. That keeps the df
+    // side bounded (hotK rows ≈ 1 MB — broadcastable at ANY corpus size):
+    // the posting stream takes a broadcast join instead of a posting-scale
+    // shuffle, and the only full shuffles left are the df partial-agg and
+    // the per-doc regroup.
+    val hot = posting.groupBy("block", "s").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s").asc).limit(hotK)
+    posting.join(broadcast(hot), Seq("block", "s"), "left")
+      .groupBy(col("block"), col("doc_id"), col("n"))
+      .agg(slice(array_sort(collect_list(struct(
+        coalesce(col("df"), lit(0L)).as("df"), col("s")))), lit(1),
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int")).as("pre"))
+      .select(col("block"), col("doc_id"), col("n"),
+        explode(col("pre")).as("p"))
+      .select(col("block"), col("doc_id"), col("n"), col("p.s").as("s"))
   }
 
   /** Exact n-gram Jaccard similarity join (result identical to all-pairs
@@ -186,8 +198,11 @@ object Dedup {
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
       hashedShingles("text", k).as("sh"))
       .withColumn("n", size(col("sh")))
-      .localCheckpoint()
-    val prefix = prefixPostings(sh, threshold)
+      .localCheckpoint(eager = false)
+    // materialized: the prefix subtree (df agg + broadcast join + per-doc
+    // regroup) feeds BOTH sides of the candidate self-join — without this it
+    // is evaluated twice
+    val prefix = prefixPostings(sh, threshold).localCheckpoint(eager = false)
     val a = prefix.select(col("block").as("block_a"),
       col("doc_id").as("doc_a"), col("n").as("na"), col("s").as("s_a"))
     val b = prefix.select(col("block").as("block_b"),
