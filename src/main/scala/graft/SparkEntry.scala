@@ -215,6 +215,13 @@ object SparkEntry {
       // and the regime where 4x16-bit chunk blocking is pigeonhole-COMPLETE
       // (no missed pairs) rather than approximate
       "d03_simhash" -> tbl("documents")(ops.Dedup.simhashPairs(_, 3)),
+      // connected components over the near-dup pair graph: transitive
+      // closure of a~b into clusters, labeled by the min doc id
+      "d07_dup_clusters" -> tbl("documents")(d =>
+        ops.Dedup.duplicateClusters(d, "doc_id",
+          ops.Dedup.minhashLshPairs(d, 3, 32, 4, 0.5)
+            .select("doc_a", "doc_b"))
+          .orderBy("doc_id")),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
       "d05_embedding_neardup" -> tbl("embeddings")(
@@ -632,6 +639,30 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
         |FROM pairs WHERE inter / (na + nb - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // clusters = min reachable doc id over the (symmetric) near-dup pair
+    // graph; DuckDB's recursive CTE is the closed-form of the same
+    // label-propagation fixpoint the Spark side iterates
+    "d07_dup_clusters" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a)
+        |SELECT node AS doc_id, MIN(r) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang,
         |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []

@@ -225,6 +225,61 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate-cluster resolution: connected components over an undirected
+    * near-dup pair graph, labeling every node with the MINIMUM doc id of its
+    * component. This is the step a dedup pipeline runs after pair
+    * generation — transitive near-dups (a~b, b~c) collapse into one cluster
+    * even when a~c was never emitted as a pair, and "keep one per cluster"
+    * falls out as `doc_id = cluster_id`.
+    *
+    * Min-label propagation PLUS pointer jumping per round (relabel through
+    * the label's own label): propagation alone needs O(diameter) rounds — a
+    * shingled-duplicate CHAIN (each edit one hop from the next) can be long —
+    * jumping halves the remaining depth each round, so convergence is
+    * O(log diameter) label-table self-joins, all on skinny (node, label)
+    * rows. The pair graph itself is only read once per round; no
+    * component-sized state ever concentrates on one executor. */
+  def duplicateClusters(nodes: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint(eager = false)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 32) {
+      // 1-hop min propagation over the edges
+      val prop = sym.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      // materialized: feeds both sides of the jumping self-join
+      val hopped = labels.unionByName(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      // pointer jumping: follow the label to ITS label (label(x) <= x is an
+      // invariant, so the joined label can only be smaller)
+      val next = hopped.as("a")
+        .join(hopped.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.label") =!= col("o.label")).count()
+      // fresh attribute ids: next/labels share lineage across rounds, which
+      // trips Union constraint rewriting (see ParentChild.closure)
+      labels = next.sparkSession.createDataFrame(next.rdd, next.schema)
+      rounds += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** One representative doc per duplicate cluster (the min-id member). */
+  def keepClusterRepresentative(docs: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame =
+    docs.join(clusters.where(col(idCol) === col("cluster_id"))
+      .select(col("cluster_id")), docs(idCol) === col("cluster_id"))
+      .drop("cluster_id")
+
   /** Embedding cosine near-dup pairs within a blocking key. Embeddings are
     * L2-normalized, so cosine = dot product (sequential double fold — matches
     * the DuckDB oracle bit-for-bit). */

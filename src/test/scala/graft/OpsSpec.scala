@@ -132,6 +132,28 @@ class OpsSpec extends AnyFunSuite {
     assert(keptMax < hotDf, "hot shingles must not survive the prefix")
   }
 
+  test("duplicate clusters: transitive closure, log-round convergence") {
+    import spark.implicits._
+    val nodes = (0L until 80L).toDF("doc_id")
+    // a 64-node CHAIN (0-1, 1-2, ..., 62-63) — diameter 63, the worst case
+    // for plain propagation — plus one triangle-free pair and singletons
+    val pairs = ((0L until 63L).map(i => (i, i + 1)) :+ (70L, 72L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 64L).foreach(i => assert(clusters(i) == 0L, s"node $i"))
+    assert(clusters(70L) == 70L && clusters(72L) == 70L)
+    ((64L until 70L) ++ Seq(71L) ++ (73L until 80L)).foreach(i =>
+      assert(clusters(i) == i, s"singleton $i"))
+    // representative filter keeps exactly one doc per cluster
+    val docs = nodes.withColumn("payload", col("doc_id") * 2)
+    val kept = Dedup.keepClusterRepresentative(docs, "doc_id",
+      Dedup.duplicateClusters(nodes, "doc_id", pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (Set(0L, 70L) ++ (64L until 70L) ++ Seq(71L) ++
+      (73L until 80L)))
+  }
+
   test("ngram jaccard pairs are symmetric-free and thresholded") {
     val rows = Dedup.ngramJaccardPairs(docs, 3, "lang", 0.1).collect()
     rows.foreach { r =>
