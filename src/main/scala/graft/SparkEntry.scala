@@ -283,6 +283,15 @@ object SparkEntry {
         ops.TextOps.sampleQuota(_, "source", 10)),
       // Gopher/C4-style repetition quality signals
       "t10_repetition" -> tbl("documents")(ops.TextOps.repetitionStats),
+      // benchmark decontamination: corpus docs sharing a 5-gram with the
+      // src0 "eval set" (broadcast bench grams, one corpus-side shuffle)
+      "t11_decontaminate" -> tbl("documents")(d =>
+        ops.TextOps.decontaminate(
+          d.where(d("source") =!= "src0"),
+          d.where(d("source") === "src0"), 5)),
+      // ordered view→click→purchase funnel over the step-1 cohort
+      "e04_funnel" -> tbl("events")(
+        ops.EventOps.funnel(_, Seq("view", "click", "purchase"))),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -836,6 +845,44 @@ object SparkEntry {
         |SELECT t.doc_id, t.top_token_frac, b.top_bigram_frac,
         |b.dup_bigram_frac
         |FROM t LEFT JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // t11: string 5-gram intersection against the src0 set; counts are
+    // invariant under the Spark side's injective xxhash64 shingle hashing
+    "t11_decontaminate" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |  CASE WHEN len(string_split(text, ' ')) < 5 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 3),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) END AS sh
+        |  FROM documents),
+        |bench AS (SELECT list_distinct(flatten(list(sh))) AS bg
+        |  FROM sh WHERE source = 'src0')
+        |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_grams,
+        |CAST(len(list_intersect(s.sh, b.bg)) AS BIGINT) AS hit_grams,
+        |len(list_intersect(s.sh, b.bg)) > 0 AS contaminated
+        |FROM sh s, bench b WHERE s.source <> 'src0'
+        |ORDER BY s.doc_id""".stripMargin,
+    // e04: each step is the min event time at-or-after the previous step's
+    // time, per user — the same filtered-min cascade the Spark plan runs
+    "e04_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, MIN(ev.ts_us) AS t2_us FROM ev
+        |  JOIN s1 ON ev.user_id = s1.user_id
+        |  WHERE ev.event_type = 'click' AND ev.ts_us >= s1.t1_us
+        |  GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, MIN(ev.ts_us) AS t3_us FROM ev
+        |  JOIN s2 ON ev.user_id = s2.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.ts_us >= s2.t2_us
+        |  GROUP BY ev.user_id)
+        |SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+        |CAST(1 + (CASE WHEN s2.t2_us IS NULL THEN 0 ELSE 1 END)
+        |  + (CASE WHEN s3.t3_us IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+        |  AS steps_completed
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     // q36: Spark's exact interpolated percentile == DuckDB quantile_cont
     // bit-for-bit (same (1-f)*a + f*b definition over exact order stats)
     "q36_median" ->

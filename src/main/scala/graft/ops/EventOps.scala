@@ -48,6 +48,47 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** ORDERED FUNNEL: for each user, the first time they completed step 1,
+    * then step 2 at-or-after that, then step 3 at-or-after THAT, etc. —
+    * the sequential-conversion analysis behind product funnels. Rows are
+    * the step-1 cohort; later step times are null once the user drops out
+    * (monotone by construction: t_{i+1} only exists given t_i).
+    *
+    * Each step is a filtered min-aggregate keyed on user_id joined to the
+    * previous step's frontier — all shuffles share the user_id key, so the
+    * exchange is reused across steps; no windows over full event history,
+    * no per-user event arrays. Timestamps surface as epoch MICROS longs
+    * (raw timestamps diverge between engines on the nanos parquet). */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val stepTimes = steps.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
+        val t = s"t${i + 1}_us"
+        val evs = base.where(col("event_type") === step)
+        val reached = acc.lastOption match {
+          case None =>
+            evs.groupBy("user_id").agg(min(col("ts_us")).as(t))
+          case Some(prev) =>
+            val pt = s"t$i" + "_us"
+            evs.join(prev.select(col("user_id"), col(pt)), Seq("user_id"))
+              .where(col("ts_us") >= col(pt))
+              .groupBy("user_id").agg(min(col("ts_us")).as(t))
+        }
+        acc :+ reached
+      }
+    val joined = stepTimes.tail.foldLeft(stepTimes.head) { (l, r) =>
+      l.join(r, Seq("user_id"), "left")
+    }
+    joined
+      .withColumn("steps_completed",
+        steps.indices.map(i =>
+          when(col(s"t${i + 1}_us").isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+      .orderBy("user_id")
+  }
+
   /** Per-event-type stats over a JSON-extracted numeric field. */
   def jsonFieldStats(events: DataFrame, field: String): DataFrame = {
     val k = get_json_object(col("props"), s"$$.$field").cast("long")

@@ -209,6 +209,33 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** Benchmark DECONTAMINATION: flag every corpus document that shares at
+    * least one k-word shingle with a benchmark/eval set (the GPT-3-style
+    * n-gram overlap check a training pipeline runs before a corpus ships).
+    *
+    * Scale shape: eval benchmarks are tiny relative to a 100 TB corpus, so
+    * the benchmark's distinct hashed shingles BROADCAST (8 bytes each) and
+    * the corpus side is one explode → broadcast semi-join → per-doc count —
+    * a single shuffle on doc_id, no corpus-vs-corpus comparison anywhere.
+    * Shingles ride as xxhash64 longs (`Dedup.hashedShingles`, codegen-free
+    * one-pass expression); intersection counts are invariant under the
+    * injective hash, so the string-shingle DuckDB oracle matches exactly. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, k: Int = 5)
+      : DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.hashedShingles("text", k)).as("g")).distinct()
+    val sh = corpus.select(col("doc_id"),
+      Dedup.hashedShingles("text", k).as("sh"))
+    val hits = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+    sh.select(col("doc_id"), size(col("sh")).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("hit_grams", coalesce(col("hit_grams"), lit(0L)))
+      .withColumn("contaminated", col("hit_grams") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {

@@ -154,6 +154,46 @@ class OpsSpec extends AnyFunSuite {
       (73L until 80L)))
   }
 
+  test("decontaminate flags exactly the docs sharing a 5-gram with bench") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g"),     // shares "a b c d e" + 2 more with bench
+      (2L, "z y x w v u"),       // disjoint
+      (3L, "q r s"),             // < 5 tokens → no grams
+      (4L, "x a b c d e")        // shares "a b c d e" only
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(corpus, bench, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == ((3, 3L, true)))
+    assert(got(2L) == ((2, 0L, false)))
+    assert(got(3L) == ((0, 0L, false)))
+    assert(got(4L) == ((2, 1L, true)))
+  }
+
+  test("funnel: ordered steps, dropout nulls, step-1 cohort only") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      // user 2: click before first view must not count; no purchase
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "click", 5L),
+      // user 3 never views → outside the cohort
+      (3L, "purchase", 1L),
+      // user 4: click precedes the view → stuck at step 1
+      (4L, "click", 5L), (4L, "view", 10L)
+    ).toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = EventOps.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == ((Some(1L), Some(2L), Some(3L), 3)))
+    assert(got(2L) == ((Some(2L), Some(5L), None, 2)))
+    assert(got(4L) == ((Some(10L), None, None, 1)))
+  }
+
   test("ngram jaccard pairs are symmetric-free and thresholded") {
     val rows = Dedup.ngramJaccardPairs(docs, 3, "lang", 0.1).collect()
     rows.foreach { r =>
