@@ -233,6 +233,9 @@ object SparkEntry {
       "s04_knn_ivf" -> tbl("embeddings")(
         ops.Similarity.knnIvf(_, Seq(0L, 1L, 2L, 3L, 4L), 5, nlist = 8,
           nprobe = 3)),
+      // int8 scalar quantization + integer-dot shortlist + exact re-rank
+      "s05_knn_quantized" -> tbl("embeddings")(
+        ops.Similarity.quantizedKnn(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
       "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
       // features flattened to scalar columns: the driver's compare sorts the
       // frame in pandas, which cannot lexsort an array column
@@ -710,6 +713,37 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
         |  FROM sims)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // s05: replay the two-phase quantized search — int8 codes as
+    // integer-valued doubles (floor half-up matches Spark), integer-dot
+    // shortlist of 20, exact-dot re-rank of the shortlist only
+    "s05_knn_quantized" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |coded AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |codes AS (SELECT vec_id, v,
+        |  CASE WHEN maxabs = 0.0 THEN list_transform(v, x -> 0.0)
+        |  ELSE list_transform(v, x -> floor(x * 127.0 / maxabs + 0.5))
+        |  END AS codes FROM coded),
+        |qd AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_dot_product(q.codes, n.codes) AS qdot, q.v AS v_q, n.v AS v_n
+        |  FROM codes q JOIN codes n ON q.vec_id <> n.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+        |short AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY qdot DESC, neighbor_id ASC) AS srank FROM qd),
+        |rescored AS (
+        |  SELECT query_id, neighbor_id, list_dot_product(v_q, v_n) AS sim
+        |  FROM short WHERE srank <= 20),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM rescored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e01_sessionize" ->

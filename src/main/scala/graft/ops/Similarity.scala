@@ -49,6 +49,49 @@ object Similarity {
     topKPerQuery(scored, k).orderBy("query_id", "rank")
   }
 
+  /** INT8-quantized kNN with exact re-rank — the embedding-compression path
+    * a 100 TB ANN index actually runs: per-vector symmetric scalar
+    * quantization (scale = max|x|/127) shrinks the corpus 4-8× so the scan
+    * is memory-bandwidth-bound on codes, a cheap integer-dot shortlist of
+    * `shortlist` candidates per query rides the GroupedTopK heaps, and only
+    * the shortlist is re-ranked with the exact double dot. Codes are
+    * integer-VALUED doubles: the int dot (≤ 127²·dim) is exactly
+    * representable, so the codegen'd [[dot]] expression and DuckDB's
+    * list_dot_product agree bit-for-bit and the whole two-phase search
+    * replays as SQL. `floor(x·127/max|x| + 0.5)` rounds half-up in both
+    * engines (Spark's round() would HALF_EVEN on doubles). At production
+    * scale the `codes` column is materialized once as the index; here it is
+    * computed inline. */
+  def quantizedKnn(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int = 20): DataFrame = {
+    val coded = emb
+      .select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("codes",
+        when(col("maxabs") === 0.0d,
+          transform(col("v"), _ => lit(0.0d)))
+          .otherwise(transform(col("v"), x =>
+            floor(x * lit(127.0d) / col("maxabs") + lit(0.5d))
+              .cast("double"))))
+      .select(col("vec_id"), col("v"), col("codes"))
+    val corpus = coded.select(col("vec_id").as("neighbor_id"),
+      col("v").as("v_n"), col("codes").as("c_n"))
+    val queries = coded.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("codes").as("c_q"))
+    val qscored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", dot(col("c_q"), col("c_n")))
+    // (qdot desc, neighbor_id asc) is total → deterministic shortlist;
+    // ≤ shortlist·|queries| rows (with their vectors) leave the heaps
+    val short = graft.plans.GroupedTopK.topK(
+      qscored.select("query_id", "neighbor_id", "qdot", "v_q", "v_n"),
+      Seq(col("query_id")), Seq(col("qdot").desc, col("neighbor_id").asc),
+      shortlist)
+    val rescored = short.withColumn("sim", dot(col("v_q"), col("v_n")))
+    topKPerQuery(rescored, k).orderBy("query_id", "rank")
+  }
+
   /** Per-label centroids, element-wise (posexplode → per-position exact
     * decimal mean): the building block for IVF-style coarse quantization and
     * class prototypes. Long format (label, pos, centroid) — no array

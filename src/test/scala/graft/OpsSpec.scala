@@ -236,6 +236,26 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.sameElements(brute))
   }
 
+  test("quantized knn: exact with a full shortlist, high recall at 4k") {
+    val qids = (0L until 10L).toSeq
+    val k = 5
+    val brute = Similarity.knnBrute(emb, qids, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // shortlist = whole corpus → re-rank covers everything → exact
+    val full = Similarity.quantizedKnn(emb, qids, k,
+        shortlist = emb.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sameElements(brute))
+    // default 4k shortlist: every returned sim is the TRUE sim (re-rank is
+    // exact) and recall vs brute is high (int8 error is ~1/254 per coord)
+    val q = Similarity.quantizedKnn(emb, qids, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    val bruteSet = brute.map(r => (r._1, r._3)).toSet
+    val overlap = q.count { case (key, _) => bruteSet(key) }
+    assert(overlap >= (0.9 * brute.length).toInt,
+      s"recall $overlap/${brute.length}")
+  }
+
   test("native shingle_hashes equals the declarative xxhash64 chain") {
     import spark.implicits._
     val k = 3
