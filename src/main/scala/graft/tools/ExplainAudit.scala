@@ -16,7 +16,9 @@ object ExplainAudit {
       else Seq("q02_star_drilldown", "q04_cut_member", "q06_cut_range",
         "q13_distinct_count", "q17_namedset_drill", "q19_virtual_cube",
         "q28_big_dim_join", "s01_knn_brute", "d02_minhash_lsh",
-        "s04_knn_ivf", "t05_top_words", "q35_rollup_routed")
+        "s04_knn_ivf", "t05_top_words", "q35_rollup_routed",
+        "t11_decontaminate", "t12_rarity", "s05_knn_quantized",
+        "e04_funnel")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -25,6 +25,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() == cat.table("lineitem").count())
   }
 
+  test("decontamination plan broadcasts bench grams, never cartesians") {
+    val docs = cat.table("documents")
+    val df = ops.TextOps.decontaminate(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"), 5)
+    df.count() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram join must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("salted join equals the plain join exactly") {
     val li = cat.table("lineitem").select("l_orderkey", "l_extendedprice")
     val ord = cat.table("orders")
