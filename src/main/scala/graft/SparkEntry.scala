@@ -343,6 +343,16 @@ object SparkEntry {
             |  [Measures].[Revenue]) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // set algebra (EXCEPT → NOT-IN exclusion cut) + SUBSET paging
+      "q41_mdx_set_algebra" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |SUBSET(EXCEPT([Geography].[Nation].Members,
+            |  {[Geography].[Nation].[3], [Geography].[Nation].[7]}),
+            |  5, 10) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // B17 in the hash gate: answered from a registered aggregate table
       // (an isolated catalog so the routing never leaks into the other
       // queries, memoized because agg tables are built once — nightly, not
@@ -1045,6 +1055,12 @@ object SparkEntry {
          |  ORDER BY revenue ASC, ship_year ASC LIMIT 2)
          |SELECT y.ship_year, y.revenue FROM y JOIN bot USING (ship_year)
          |ORDER BY ship_year""".stripMargin,
+    "q41_mdx_set_algebra" ->
+      s"""SELECT n_nationkey AS nation, n_name AS nation_label,
+         |${sumd(REV, "revenue")}
+         |$SUPP_GEO_JOIN
+         |WHERE n_nationkey NOT IN (3, 7)
+         |GROUP BY 1, 2 ORDER BY 1 LIMIT 10 OFFSET 5""".stripMargin,
     "q35_rollup_routed" ->
       s"""SELECT r_regionkey AS region, r_name AS region_label,
          |p_brand AS brand, ${sumd(REV, "revenue")}, COUNT(1) AS cnt

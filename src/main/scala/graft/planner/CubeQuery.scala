@@ -22,6 +22,9 @@ final case class NamedSetCut(set: String) extends Cut
   * measure — `asc = true` is BOTTOMCOUNT (k worst). */
 final case class TopKCut(level: LevelRef, k: Int, byMeasure: String,
     asc: Boolean = false) extends Cut
+/** Negated member-set cut (MDX `EXCEPT([L].Members, {…})`): every member of
+  * the level EXCEPT these keys — a NOT IN that still pushes into the scan. */
+final case class ExcludeCut(level: LevelRef, keys: Seq[Any]) extends Cut
 
 /** Axis drilldowns (ref A2/A15). */
 sealed trait Drill

@@ -18,6 +18,7 @@ import graft.model._
   *           | FILTER(<axis>, [Measures].[M] <op> <number>)   — HAVING
   *           | ORDER(<axis>, [Measures].[M] [, ASC|DESC|BASC|BDESC])
   *           | HEAD(<axis>, n)                                 — limit
+  *           | SUBSET(<axis>, start[, count])                  — offset/limit
   *           | HIERARCHIZE(<axis>)                             — default order
   *   <set> ::= [Dim].[Level].Members | [Dim].[Hier].[Level].Members
   *           | [Named Set]
@@ -25,6 +26,7 @@ import graft.model._
   *           | <member> : <member>                             — range
   *           | <member>.Children
   *           | CROSSJOIN(<set>, <set>) | <set> * <set>
+  *           | UNION | EXCEPT | INTERSECT (<set>, <set>)       — same level
   *           | TOPCOUNT(<set>, k, [Measures].[M])
   *           | BOTTOMCOUNT(<set>, k, [Measures].[M])
   *           | DESCENDANTS(<member>, [Dim].[Level])
@@ -60,7 +62,7 @@ object MdxParser {
         // dense default must not densify the dropped members back as nulls
         CubeQuery(cube.name, axis.drills, measures,
           cuts = axis.cuts ++ slicerCuts, filters = axis.filters,
-          order = axis.order, limit = axis.limit,
+          order = axis.order, limit = axis.limit, offset = axis.offset,
           nonempty = nonEmpty || axis.filters.nonEmpty,
           adhocCalcs = adhoc)
       case _ => GraftException.badRequest(
@@ -89,7 +91,7 @@ object MdxParser {
   /** Parsed row axis: a set plus its axis-level wrappers. */
   final case class Axis(drills: Seq[Drill], cuts: Seq[Cut],
       filters: Seq[MeasureFilter] = Nil, order: Option[OrderSpec] = None,
-      limit: Option[Long] = None)
+      limit: Option[Long] = None, offset: Long = 0)
 
   /** Axis-level functions wrap the whole set: FILTER → HAVING, ORDER →
     * result order, HEAD → limit, HIERARCHIZE → the default hierarchical
@@ -128,6 +130,14 @@ object MdxParser {
         GraftException.badRequest(s"HEAD takes (set, count): '$s'")
       val inner = parseAxis(cube, as(0))
       inner.copy(limit = Some(as(1).trim.toLong))
+    } else if (upper.startsWith("SUBSET(") && t.endsWith(")")) {
+      // SUBSET(set, start[, count]) — offset/limit over the axis order
+      val as = args("SUBSET(")
+      if (as.length < 2 || as.length > 3)
+        GraftException.badRequest(s"SUBSET takes (set, start[, count]): '$s'")
+      val inner = parseAxis(cube, as(0))
+      inner.copy(offset = as(1).trim.toLong,
+        limit = as.lift(2).map(_.trim.toLong).orElse(inner.limit))
     } else if (upper.startsWith("HIERARCHIZE(") && t.endsWith(")")) {
       parseAxis(cube, t.substring("HIERARCHIZE(".length, t.length - 1))
     } else {
@@ -178,11 +188,82 @@ object MdxParser {
       .orElse(cube.lagMeasures.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
+  /** One side of a set-algebra expression, normalized to a single level plus
+    * a key-set view: All (`.Members`), Incl (enumerated keys, order kept),
+    * or Excl (everything but these keys). */
+  private sealed trait KeySet
+  private case object All extends KeySet
+  private final case class Incl(keys: Seq[Any]) extends KeySet
+  private final case class Excl(keys: Seq[Any]) extends KeySet
+
+  private def asKeySet(cube: CubeDef, s: String): (LevelRef, KeySet) = {
+    val (drills, cuts) = parseSet(cube, s)
+    (drills, cuts) match {
+      case (Seq(LevelDrill(ref)), Nil) => (ref, All)
+      case (Seq(LevelDrill(ref)), Seq(MemberCut(_, k))) => (ref, Incl(Seq(k)))
+      case (Seq(LevelDrill(ref)), Seq(SetCut(_, ks))) => (ref, Incl(ks))
+      case (Seq(LevelDrill(ref)), Seq(ExcludeCut(_, ks))) => (ref, Excl(ks))
+      case _ => GraftException.badRequest(
+        s"set algebra needs enumerable single-level sets: '$s'")
+    }
+  }
+
+  /** UNION / EXCEPT / INTERSECT over same-level member sets, folded to one
+    * include/exclude key set (closed algebra — results nest). */
+  private def setAlgebra(cube: CubeDef, fn: String, l: String, r: String)
+      : (Seq[Drill], Seq[Cut]) = {
+    val (lref, ls) = asKeySet(cube, l)
+    val (rref, rs) = asKeySet(cube, r)
+    val rl = Planner.resolve(cube, lref)
+    val rr = Planner.resolve(cube, rref)
+    if ((rl.dim.name, rl.hier.name, rl.level.name) !=
+        (rr.dim.name, rr.hier.name, rr.level.name))
+      GraftException.badRequest(
+        s"$fn arguments must enumerate the same level " +
+          s"(${rl.level.name} vs ${rr.level.name})")
+    def dd(ks: Seq[Any]) = ks.distinct
+    val merged: KeySet = (fn, ls, rs) match {
+      case ("UNION", All, _) | ("UNION", _, All) => All
+      case ("UNION", Incl(a), Incl(b)) => Incl(dd(a ++ b))
+      case ("UNION", Excl(a), Incl(b)) => Excl(a.filterNot(b.contains))
+      case ("UNION", Incl(a), Excl(b)) => Excl(b.filterNot(a.contains))
+      case ("UNION", Excl(a), Excl(b)) => Excl(a.filter(b.contains))
+      case ("INTERSECT", All, x) => x
+      case ("INTERSECT", x, All) => x
+      case ("INTERSECT", Incl(a), Incl(b)) => Incl(a.filter(b.contains))
+      case ("INTERSECT", Excl(a), Incl(b)) => Incl(b.filterNot(a.contains))
+      case ("INTERSECT", Incl(a), Excl(b)) => Incl(a.filterNot(b.contains))
+      case ("INTERSECT", Excl(a), Excl(b)) => Excl(dd(a ++ b))
+      case ("EXCEPT", _, All) => Incl(Nil)
+      case ("EXCEPT", All, Incl(b)) => Excl(b)
+      case ("EXCEPT", Incl(a), Incl(b)) => Incl(a.filterNot(b.contains))
+      case ("EXCEPT", Excl(a), Incl(b)) => Excl(dd(a ++ b))
+      case ("EXCEPT", All, Excl(b)) => Incl(b)
+      case ("EXCEPT", Incl(a), Excl(b)) => Incl(a.filter(b.contains))
+      case ("EXCEPT", Excl(a), Excl(b)) => Incl(b.filterNot(a.contains))
+      case _ => GraftException.badRequest(s"unsupported $fn combination")
+    }
+    val cut: Option[Cut] = merged match {
+      case All => None
+      case Incl(ks) => Some(SetCut(lref, ks))
+      case Excl(ks) if ks.isEmpty => None
+      case Excl(ks) => Some(ExcludeCut(lref, ks))
+    }
+    (Seq(LevelDrill(lref)), cut.toSeq)
+  }
+
   /** Row-axis set → (drilldowns, cuts). */
   def parseSet(cube: CubeDef, s: String): (Seq[Drill], Seq[Cut]) = {
     val t = s.trim
     val upper = t.toUpperCase
-    if (upper.startsWith("CROSSJOIN(") && t.endsWith(")")) {
+    if (Seq("UNION(", "EXCEPT(", "INTERSECT(").exists(upper.startsWith)
+        && t.endsWith(")")) {
+      val fn = upper.takeWhile(_ != '(')
+      val args = splitTop(t.substring(fn.length + 1, t.length - 1), ',')
+      if (args.length != 2)
+        GraftException.badRequest(s"$fn takes exactly 2 sets: '$s'")
+      setAlgebra(cube, fn, args(0), args(1))
+    } else if (upper.startsWith("CROSSJOIN(") && t.endsWith(")")) {
       val args = splitTop(t.substring("CROSSJOIN(".length, t.length - 1), ',')
       if (args.length != 2)
         GraftException.badRequest(s"CROSSJOIN takes 2 sets: '$s'")

@@ -389,6 +389,8 @@ object Planner {
       val rl = resolve(cube, l)
       df.filter(col(rl.level.alias)
         .isin(topKKeyValues(cat, cube, rl, k, byMeasure): _*))
+    case ExcludeCut(l, keys) =>
+      df.filter(!col(resolve(cube, l).level.alias).isin(keys: _*))
   }
 
   // public handles for Rollups (B17)
@@ -406,6 +408,7 @@ object Planner {
     case SetCut(l, _) => Some(l)
     case RangeCut(l, _, _) => Some(l)
     case TopKCut(l, _, _, _) => Some(l)
+    case ExcludeCut(l, _) => Some(l)
     case NamedSetCut(_) => None
   }
 
@@ -441,6 +444,8 @@ object Planner {
       val rl = resolve(cube, l)
       df.filter(expr(rl.level.keyExpr)
         .isin(topKKeyValues(cat, cube, rl, k, byMeasure, asc): _*))
+    case ExcludeCut(l, keys) =>
+      df.filter(!expr(resolve(cube, l).level.keyExpr).isin(keys: _*))
   }
 
   /** TopCount named set (ref B9, foodmart.xml:405-410): k member keys by

@@ -149,6 +149,7 @@ object Rollups {
             GraftException.badRequest(s"named set '$name' not found"))
           levelAliases(cube, LevelRef(ns.dim, Some(ns.level)))
         case TopKCut(l, _, _, _) => levelAliases(cube, l)
+        case ExcludeCut(l, _) => levelAliases(cube, l)
       }).toSet
     if (!bases.forall(m => supportedAgg(m.agg))) return None
     rollups.filter(r => r.cube == cube.name && neededLevels.subsetOf(r.levels))

@@ -153,6 +153,35 @@ class MdxSpec extends AnyFunSuite {
     assert(bottom == expected)
   }
 
+  test("UNION/EXCEPT/INTERSECT fold enumerations; SUBSET pages") {
+    def rows(set: String): Seq[Any] = Planner.plan(cat, MdxParser.parse(
+      salesCube,
+      s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+         |$set ON ROWS FROM sales""".stripMargin))
+      .collect().toSeq.map(_.get(0))
+    // union dedups and spans both branches
+    assert(rows("UNION({[Geography].[Region].[0], [Geography].[Region].[1]}," +
+      " {[Geography].[Region].[1], [Geography].[Region].[3]})") ==
+      Seq(0, 1, 3))
+    // intersect keeps the common member
+    assert(rows("INTERSECT({[Geography].[Region].[0], [Geography].[Region].[1]}," +
+      " {[Geography].[Region].[1], [Geography].[Region].[3]})") == Seq(1))
+    // except of .Members is a NOT IN exclusion cut
+    assert(rows("EXCEPT([Geography].[Region].Members," +
+      " {[Geography].[Region].[2]})") == Seq(0, 1, 3, 4))
+    // nested algebra: (All − {2}) ∩ {1,2,3} = {1,3}
+    assert(rows("INTERSECT(EXCEPT([Geography].[Region].Members," +
+      " {[Geography].[Region].[2]})," +
+      " {[Geography].[Region].[1], [Geography].[Region].[2], [Geography].[Region].[3]})") ==
+      Seq(1, 3))
+    // SUBSET(set, start, count) pages the default order
+    assert(rows("SUBSET([Geography].[Region].Members, 1, 2)") == Seq(1, 2))
+    // mixed-level arguments are a 400
+    assert(intercept[GraftException](rows(
+      "UNION([Geography].[Region].Members, [Geography].[Nation].Members)"))
+      .status == 400)
+  }
+
   test("error contract: bad MDX, wrong cube, unknown measure") {
     assert(intercept[GraftException](
       MdxParser.parse(salesCube, "DRILLTHROUGH garbage")).status == 400)
