@@ -245,7 +245,13 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .localCheckpoint(eager = false)
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
+    // Only nodes that appear in a pair iterate: a near-dup graph touches a
+    // small fraction of the corpus, and the untouched rest are singleton
+    // clusters by definition — they must not ride every round's shuffle.
+    // (sym is symmetric, so src alone covers every endpoint.)
+    val touched = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = false)
+    var labels = touched.select(col("node"), col("node").as("label"))
       .localCheckpoint(eager = false)
     var changed = 1L
     var rounds = 0
@@ -270,7 +276,11 @@ object Dedup {
       labels = next.sparkSession.createDataFrame(next.rdd, next.schema)
       rounds += 1
     }
-    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+    val singletons = nodes.select(col(idCol).as("node"))
+      .join(touched, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    labels.unionByName(singletons)
+      .select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 
   /** One representative doc per duplicate cluster (the min-id member). */
