@@ -298,6 +298,13 @@ object SparkEntry {
       // corpus-frequency rarity scores (CCNet-style filter, log-free so
       // every arithmetic step is bit-reproducible across engines)
       "t12_rarity" -> tbl("documents")(ops.TextOps.unigramRarity),
+      // per-doc repeated-span profile (exact-substring dedup signal)
+      "d08_dup_spans" -> tbl("documents")(ops.Dedup.dupSpanStats(_, 10)),
+      // log-free BM25 keyword search, top-20
+      "t13_bm25" -> tbl("documents")(
+        ops.TextOps.bm25TopK(_, Seq("spark", "hash", "join"), 20)),
+      // daily cohort retention over the events stream
+      "e05_retention" -> tbl("events")(ops.EventOps.retentionCohorts),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -944,6 +951,71 @@ object SparkEntry {
         |CAST(a.sum_c AS DOUBLE) / tt.n_total / a.n_tokens AS mean_tok_freq,
         |CAST(a.min_c AS DOUBLE) / tt.n_total AS min_tok_freq
         |FROM agg a, total tt ORDER BY a.doc_id""".stripMargin,
+    // d08: string 10-word spans here vs xxhash64-hashed spans in Spark —
+    // occurrence counts are invariant under the injective hash
+    "d08_dup_spans" ->
+      """WITH sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 10 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 8),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+9], ' '))) END AS sh
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(1) >= 2),
+        |hits AS (SELECT doc_id, COUNT(1) AS shared_grams FROM g
+        |  JOIN dup USING (g) GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_grams,
+        |CAST(COALESCE(h.shared_grams, 0) AS BIGINT) AS shared_grams,
+        |CAST(COALESCE(h.shared_grams, 0) AS DOUBLE)
+        |  / greatest(CAST(len(s.sh) AS INTEGER), 1) AS dup_span_frac
+        |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    // t13: log-free BM25; every constant is CAST(... AS DOUBLE) because
+    // DuckDB parses bare decimal literals as DECIMAL, which would switch
+    // the arithmetic off the IEEE-double path Spark computes on
+    "t13_bm25" -> {
+      val terms = Seq("spark", "hash", "join")
+      val tfs = terms.map(t =>
+        s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS INTEGER) AS tf_$t")
+        .mkString(",\n")
+      val dfs = terms.map(t =>
+        s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+        .mkString(",\n")
+      val score = terms.map(t =>
+        s"""(((n_docs - df_$t + CAST(0.5 AS DOUBLE)) / (df_$t + CAST(0.5 AS DOUBLE)))
+           | * ((tf_$t * CAST(2.2 AS DOUBLE)) / (tf_$t + CAST(1.2 AS DOUBLE)
+           |   * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))))"""
+          .stripMargin)
+        .reduce((a, b) => s"($a\n + $b)")
+      s"""WITH base AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS dl,
+         |$tfs
+         |  FROM documents),
+         |stats AS (SELECT COUNT(1) AS n_docs,
+         |  CAST(SUM(dl) AS DOUBLE) / COUNT(1) AS avgdl,
+         |$dfs
+         |  FROM base)
+         |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+         |$score AS score
+         |FROM base, stats
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    // e05: epoch-anchored day indices (no engine week/calendar semantics)
+    "e05_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |  CAST(datediff('day', DATE '1996-01-01', CAST(ts AS DATE)) AS INTEGER) AS d
+        |  FROM events),
+        |first AS (SELECT user_id, MIN(d) AS cohort_day FROM act
+        |  GROUP BY user_id),
+        |sizes AS (SELECT cohort_day, COUNT(1) AS cohort_size FROM first
+        |  GROUP BY cohort_day),
+        |r AS (SELECT f.cohort_day, a.d - f.cohort_day AS day_offset,
+        |  COUNT(1) AS active_users
+        |  FROM act a JOIN first f ON a.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT r.cohort_day, r.day_offset, r.active_users, s.cohort_size,
+        |CAST(r.active_users AS DOUBLE) / s.cohort_size AS retention
+        |FROM r JOIN sizes s ON r.cohort_day = s.cohort_day
+        |ORDER BY r.cohort_day, r.day_offset""".stripMargin,
     // q36: Spark's exact interpolated percentile == DuckDB quantile_cont
     // bit-for-bit (same (1-f)*a + f*b definition over exact order stats)
     "q36_median" ->

@@ -290,6 +290,35 @@ object Dedup {
       .select(col("cluster_id")), docs(idCol) === col("cluster_id"))
       .drop("cluster_id")
 
+  /** REPEATED-SPAN profile — the per-document signal behind exact-substring
+    * dedup (the MassiveText/RefinedWeb "remove repeated passages" pass):
+    * for every document, how many of its distinct k-word spans also occur in
+    * at least one other document. Documents dominated by corpus-repeated
+    * spans (boilerplate, templated text, near-copies) surface with a high
+    * `dup_span_frac` and get dropped or trimmed downstream.
+    *
+    * Scale shape: spans ride as xxhash64 longs (8 bytes, one-pass native
+    * expression); work is one shuffle keyed on the span hash (counts combine
+    * map-side, so hot boilerplate spans don't skew) plus one shuffle back on
+    * doc_id — work ∝ total tokens, never pairwise. Span occurrence counts
+    * are invariant under the injective hash, so the string-span DuckDB
+    * oracle matches exactly. */
+  def dupSpanStats(docs: DataFrame, k: Int = 10): DataFrame = {
+    val sh = docs.select(col("doc_id"), hashedShingles("text", k).as("sh"))
+    val g = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // spans are distinct per doc, so count(1) counts distinct documents
+    val dup = g.groupBy("g").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("g")
+    val hits = g.join(dup, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+    sh.select(col("doc_id"), size(col("sh")).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("shared_grams", coalesce(col("shared_grams"), lit(0L)))
+      .withColumn("dup_span_frac",
+        col("shared_grams").cast("double") / greatest(col("n_grams"), lit(1)))
+      .orderBy("doc_id")
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key. Embeddings are
     * L2-normalized, so cosine = dot product (sequential double fold — matches
     * the DuckDB oracle bit-for-bit). */

@@ -89,6 +89,37 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** COHORT RETENTION — the event-analytics companion to [[funnel]]: group
+    * users by the day of their first activity (the cohort) and count how
+    * many are still active at each day offset. Days are epoch-anchored
+    * integer indices (datediff from a fixed date) so no engine-specific
+    * week/calendar semantics enter the result.
+    *
+    * Scale shape: activity distinct-ifies on (user, day) — one shuffle that
+    * the per-user min reuses as a sub-key aggregation; the (cohort, offset)
+    * rollup then counts pre-distinct rows (no count-distinct re-shuffle);
+    * the cohort-size join is agg-output-sized (AQE broadcasts it). Work ∝
+    * events, memory ∝ active (user, day) pairs per partition. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1996-01-01").cast("date"))
+          .as("d"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    val sizes = first.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_size"),
+        (col("active_users").cast("double") / col("cohort_size"))
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Per-event-type stats over a JSON-extracted numeric field. */
   def jsonFieldStats(events: DataFrame, field: String): DataFrame = {
     val k = get_json_object(col("props"), s"$$.$field").cast("long")

@@ -266,6 +266,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 keyword search — score every document against a bag of query
+    * terms and return the top-k. The classic ranking function, kept
+    * LOG-FREE so every arithmetic step is bit-reproducible across engines
+    * (ln() is not bit-specified; see unigramRarity): the idf factor is the
+    * Robertson-Sparck-Jones ratio (N − df + 0.5)/(df + 0.5) without the
+    * log — a monotone transform, so top-k membership per term is unchanged
+    * and the composite stays a deterministic IEEE expression.
+    *
+    * Scale shape: corpus statistics (N, avgdl, per-term df) are ONE
+    * partial-aggregated pass collapsing to a single broadcast row; scoring
+    * is a map-only pass (tf via codegen'd filter/size — queries are a
+    * handful of terms, so per-row cost is bounded); top-k is
+    * TakeOrderedAndProject (no full sort, no shuffle of non-winners).
+    * Constants (2.2, 1.2, 0.25, 0.75) are written as decimal literals on
+    * both engines so they parse to identical doubles. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9]+")),
+      "query terms must be non-empty alphanumeric words")
+    val tfCols = terms.map { t =>
+      expr(s"size(filter(split(text, ' '), x -> x = '$t'))").as(s"tf_$t")
+    }
+    val base = docs.select(
+      col("doc_id") +: size(tokens("text")).as("dl") +: tfCols: _*)
+    val statAggs =
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    // per-term BM25 with k1 = 1.2, b = 0.75; summed left-to-right
+    val score = terms.map { t =>
+      ((col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))) *
+        ((col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+    }.reduce(_ + _)
+    scored
+      .select(col("doc_id") +: col("dl") +: terms.map(t => col(s"tf_$t"))
+        :+ score.as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {
