@@ -167,9 +167,15 @@ object Dedup {
       .orderBy(col("df").desc, col("s").asc).limit(hotK)
     posting.join(broadcast(hot), Seq("block", "s"), "left")
       .groupBy(col("block"), col("doc_id"), col("n"))
+      // ⌈t·n⌉ integer-safely: double products can land an ulp ABOVE an exact
+      // integer (10 × 0.7 = 7.000000000000001 → ceil 8), which would shorten
+      // the prefix below what the lemma requires and lose zero-slack pairs.
+      // round(…, 9) snaps such ulps back; an under-ceil only LENGTHENS the
+      // prefix (extra postings, never a lost pair).
       .agg(slice(array_sort(collect_list(struct(
         coalesce(col("df"), lit(0L)).as("df"), col("s")))), lit(1),
-        (col("n") - ceil(col("n") * threshold) + 1).cast("int")).as("pre"))
+        (col("n") - ceil(round(col("n") * threshold, 9)) + 1).cast("int"))
+        .as("pre"))
       .select(col("block"), col("doc_id"), col("n"),
         explode(col("pre")).as("p"))
       .select(col("block"), col("doc_id"), col("n"), col("p.s").as("s"))
@@ -210,8 +216,10 @@ object Dedup {
     val cand = a.join(b,
         col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
         col("doc_a") < col("doc_b") &&
-        col("na") >= col("nb") * threshold &&
-        col("nb") >= col("na") * threshold)
+        // round(…, 9) for the same ulp hazard as the prefix length: a
+        // zero-slack pair (|A| = t·|B| exactly) must survive the size prune
+        col("na") >= round(col("nb") * threshold, 9) &&
+        col("nb") >= round(col("na") * threshold, 9))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),

@@ -74,15 +74,18 @@ object MdxParser {
     * over `[Measures].[...]` references, translated to result-column aliases
     * (the same expression language schema calc members use — B7). */
   private def parseWithMembers(cube: CubeDef, s: String): Seq[CalcMemberDef] = {
+    // Bracketed aliases take ANY non-']' chars (spaces included — standard
+    // MDX names like [Profit Margin]); only the bare unbracketed form is
+    // restricted to non-space tokens.
     val memberRe =
-      """(?is)MEMBER\s+(\[Measures\]\.)?\[?([^\]\s]+)\]?\s+AS\s+'([^']*)'""".r
+      """(?is)MEMBER\s+(\[Measures\]\.)?(?:\[([^\]]+)\]|([^\]\s]+))\s+AS\s+'([^']*)'""".r
     val found = memberRe.findAllMatchIn(s).toSeq
     if (found.isEmpty)
       GraftException.badRequest(s"cannot parse WITH clause '$s'")
     found.map { m =>
-      val alias = m.group(2)
+      val alias = Option(m.group(2)).getOrElse(m.group(3))
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
-      val formula = measureRef.replaceAllIn(m.group(3),
+      val formula = measureRef.replaceAllIn(m.group(4),
         mm => resolveMeasure(cube, mm.group(1)))
       CalcMemberDef(alias, formula)
     }

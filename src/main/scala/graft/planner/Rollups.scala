@@ -200,10 +200,23 @@ object Rollups {
     save(Rollup(merged.cube, merged.levels, merged.df), tmp)
     val target = new org.apache.hadoop.fs.Path(path)
     val staged = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path + "__refresh_old")
     val fs = target.getFileSystem(cat.spark.sparkContext.hadoopConfiguration)
-    fs.delete(target, true)
-    if (!fs.rename(staged, target))
-      throw new java.io.IOException(s"rollup refresh: rename $tmp -> $path failed")
+    // Crash-safe swap: never a moment with NO rollup on disk. Rename the
+    // current rollup aside, rename the staged one into place, then drop the
+    // aside copy — a crash at any point leaves either the old or the new
+    // rollup at a recoverable path (delete-then-rename had a window where
+    // both a crash and a concurrent reader saw nothing).
+    fs.delete(old, true) // clear any leftover from a previous crashed swap
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(
+        s"rollup refresh: rename $path -> ${old.toString} failed")
+    if (!fs.rename(staged, target)) {
+      fs.rename(old, target) // restore; best-effort — staged copy remains
+      throw new java.io.IOException(
+        s"rollup refresh: rename $tmp -> $path failed")
+    }
+    fs.delete(old, true)
     load(cat.spark, cube.name, delta.levels, path)
   }
 

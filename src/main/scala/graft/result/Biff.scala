@@ -46,7 +46,13 @@ object Biff {
       Array[Byte](0x41, 0, 0, 0, 0x06, 0, 0, 0)) // fileHistory / lowestVer
 
   /** XLUnicodeRichExtendedString used by LABEL: cch, grbit(fHighByte=1),
-    * UTF-16LE chars. Always two-byte chars — simplest and lossless. */
+    * UTF-16LE chars. Always two-byte chars — simplest and lossless.
+    *
+    * NOTE: labels longer than 255 chars are truncated. That is the LABEL
+    * (0x0204) record's own cch limit — longer text needs the SST/LABELSST
+    * machinery, deliberately out of scope for axis-sized member captions
+    * (which are far shorter in practice). Documented, not silent: the cap
+    * is asserted in BiffSpec. */
   private def unicodeStr(s: String): Array[Byte] = {
     val cut = if (s.length > 255) s.substring(0, 255) else s
     val chars = cut.getBytes("UTF-16LE")
@@ -84,6 +90,13 @@ object Biff {
     // ---- worksheet substream (built first: globals need its offset)
     val sheet = new ByteArrayOutputStream()
     val rows = t.headers +: t.rows
+    // BIFF8 hard sheet limit: 65,536 rows (row index is a 16-bit field in
+    // NUMBER/LABEL/BLANK) — beyond it row.toShort would silently wrap and
+    // corrupt the workbook, so fail as a 400 like the FAT-size guard below.
+    if (rows.length > 65536)
+      graft.model.GraftException.badRequest(
+        s"result has ${rows.length - 1} rows; .xls (BIFF8) sheets cap at " +
+          "65,535 data rows — use .csv or .jsonrecords")
     val nCols = math.min(t.headers.length, 256) // BIFF8 column limit
     sheet.write(bof(0x0010))
     // DIMENSIONS: rwMic, rwMac(excl), colMic, colMac(excl), reserved

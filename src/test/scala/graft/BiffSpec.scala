@@ -143,4 +143,18 @@ class BiffSpec extends AnyFunSuite {
     assert(nums.size == 2 * 4000) // id + v per data row
     assert(labels.size == 4000 + 3) // one label per row + 3 headers
   }
+
+  test("rows beyond the BIFF8 65,536-row sheet limit fail as a 400") {
+    // row index is 16-bit in NUMBER/LABEL/BLANK; silently wrapping would
+    // corrupt the workbook, so the writer must refuse instead
+    val rows = (0 until 65536).map(i => Seq(i.toLong))
+    val e = intercept[graft.model.GraftException](
+      Biff.xls(Formatters.Tidy(Seq("id"), rows)))
+    assert(e.status == 400)
+    assert(e.getMessage.contains("65,535"))
+    // exactly at the cap (65,535 data rows + header) still writes
+    val ok = Biff.xls(Formatters.Tidy(Seq("id"),
+      (0 until 65535).map(i => Seq(i.toLong))))
+    checkGrammar(stream(ok, "Workbook"))
+  }
 }

@@ -90,6 +90,18 @@ class MdxSpec extends AnyFunSuite {
     assert(intercept[GraftException](Planner.plan(cat, shadow)).status == 400)
   }
 
+  test("WITH MEMBER alias may contain spaces (standard MDX names)") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[Profit Margin] AS
+        |  '[Measures].[Gross] - [Measures].[Discount Amount]'
+        |SELECT {[Measures].[Profit Margin]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.adhocCalcs.map(c => (c.alias, c.formula)) ==
+      Seq(("Profit Margin", "gross - disc_amt")))
+    assert(Planner.plan(cat, q).columns.contains("Profit Margin"))
+  }
+
   test("FILTER compiles to HAVING, ORDER to the result order") {
     val q = MdxParser.parse(salesCube,
       """SELECT {[Measures].[Revenue]} ON COLUMNS,

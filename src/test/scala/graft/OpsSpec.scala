@@ -109,6 +109,34 @@ class OpsSpec extends AnyFunSuite {
     assert(fast.nonEmpty) // the planted near-dups were found
   }
 
+  test("zero-slack pair (|A| = t·|B| exactly) survives prefix + size prune") {
+    import spark.implicits._
+    // B = 12 distinct words → 10 shingles; A = B's first 9 words → 7
+    // shingles, all shared. J = 7/10 = 0.7 exactly. Regression for the
+    // double-arithmetic ulp: ceil(10 × 0.7) evaluated as
+    // ceil(7.000000000000001) = 8, shortening the prefix below the lemma's
+    // bound, and the size prune compared na ≥ nb·t against the same
+    // too-high product — both dropped exactly this zero-slack pair.
+    val words = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima").split(" ")
+    val docs = Seq(
+      (1L, "en", words.take(9).mkString(" ")),
+      (2L, "en", words.mkString(" "))).toDF("doc_id", "lang", "text")
+    val rows = Dedup.ngramJaccardPairs(docs, 3, "lang", 0.7).collect()
+    assert(rows.length == 1, "the J = t pair must be found")
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
+    assert(rows(0).getDouble(2) == 0.7)
+  }
+
+  test("prefix length is integer-safe: n=10, t=0.7 keeps 4 postings") {
+    import spark.implicits._
+    val sh = Seq((0L, "b", (1L to 10L).toArray)).toDF("doc_id", "block", "sh")
+      .withColumn("n", size(col("sh")))
+    val kept = Dedup.prefixPostings(sh, 0.7).count()
+    assert(kept == 4L,
+      s"prefix must keep n − ⌈t·n⌉ + 1 = 10 − 7 + 1 postings, got $kept")
+  }
+
   test("prefix filter shrinks postings; hottest shingles are the ones dropped") {
     import spark.implicits._
     val boiler = Seq.fill(6)("lorem ipsum dolor sit amet").mkString(" ")

@@ -140,6 +140,11 @@ class RollupSpec extends AnyFunSuite {
     val full = Rollups.build(c2, cube, levels)
     assert(refreshed.levels == full.levels)
     assert(comparable(refreshed.df) == comparable(full.df))
+    // the crash-safe swap must leave no staging/aside leftovers behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "__refresh_tmp")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + "__refresh_old")))
   }
 
   test("approx distinct ROUTES via its HLL sketch and matches the fact path") {
