@@ -305,6 +305,10 @@ object SparkEntry {
         ops.TextOps.bm25TopK(_, Seq("spark", "hash", "join"), 20)),
       // daily cohort retention over the events stream
       "e05_retention" -> tbl("events")(ops.EventOps.retentionCohorts),
+      // bigram-LM mean surprisal (CCNet-style perplexity quality filter)
+      "t14_lm_score" -> tbl("documents")(ops.TextOps.bigramLmScore),
+      // conversion latency by acquisition cohort (first view → first purchase)
+      "e06_time_to_convert" -> tbl("events")(ops.EventOps.timeToConvert(_)),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -1000,6 +1004,44 @@ object SparkEntry {
          |FROM base, stats
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+    // t14: ln() on identical integer-ratio inputs; each surprisal captured
+    // as DECIMAL(38,18) via the VARCHAR hop (Spark's double→decimal cast
+    // quantizes via the shortest round-trip string), decimal SUM is
+    // aggregation-order-independent, round(…,6) absorbs sub-micro residue
+    "t14_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+        |  unnest(w[2:len(w)]) AS w2 FROM toks),
+        |c2 AS (SELECT w1, w2, COUNT(1) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(1) AS c1 FROM bg GROUP BY w1),
+        |sc AS (SELECT bg.doc_id,
+        |  CAST(CAST(-ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,18)) AS s
+        |  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |  JOIN c1 ON bg.w1 = c1.w1)
+        |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6) AS lm_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // e06: first-touch → conversion latency; exact integer micros until the
+    // final division (same epoch-anchored day convention as e05)
+    "e06_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |f AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t_from_us,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) AS t_to_us
+        |  FROM ev GROUP BY user_id),
+        |c AS (SELECT CAST(datediff('day', DATE '1996-01-01',
+        |    CAST(make_timestamp(t_from_us) AS DATE)) AS INTEGER) AS cohort_day,
+        |  t_to_us - t_from_us AS delta_us
+        |  FROM f WHERE t_from_us IS NOT NULL AND t_to_us IS NOT NULL
+        |    AND t_to_us >= t_from_us)
+        |SELECT cohort_day, CAST(COUNT(1) AS BIGINT) AS converted,
+        |  CAST(SUM(delta_us) AS DOUBLE) / COUNT(1) / 1000000.0 AS avg_secs,
+        |  CAST(MIN(delta_us) AS DOUBLE) / 1000000.0 AS min_secs,
+        |  CAST(MAX(delta_us) AS DOUBLE) / 1000000.0 AS max_secs
+        |FROM c GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
     // e05: epoch-anchored day indices (no engine week/calendar semantics)
     "e05_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,

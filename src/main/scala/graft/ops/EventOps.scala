@@ -120,6 +120,50 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Conversion LATENCY by acquisition cohort: for each user whose first
+    * `from` event precedes (or equals) their first `to` event, the time
+    * from first touch to conversion, rolled up by first-touch day — the
+    * "how long does conversion take, and is it drifting" report that sits
+    * next to funnel counts ([[funnel]]) in any growth pipeline.
+    *
+    * Cohort days are epoch-anchored integer indices (same convention as
+    * [[retentionCohorts]] — no engine calendar semantics); latencies ride
+    * as exact integer micros until the final division, so every mean is an
+    * integer-sum ratio, bit-reproducible in any aggregation order.
+    *
+    * Scale shape: one user_id-keyed aggregation over filtered events (the
+    * two min-aggregates fuse into one hash agg), then a cohort-day rollup
+    * of user-sized rows. Work ∝ events, no joins, no windows. */
+  def timeToConvert(events: DataFrame, from: String = "view",
+      to: String = "purchase"): DataFrame = {
+    val firsts = events
+      .where(col("event_type").isin(from, to))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === from, unix_micros(col("ts"))))
+          .as("t_from_us"),
+        min(when(col("event_type") === to, unix_micros(col("ts"))))
+          .as("t_to_us"))
+      .where(col("t_from_us").isNotNull && col("t_to_us").isNotNull &&
+        col("t_to_us") >= col("t_from_us"))
+    firsts
+      .select(
+        datediff(timestamp_micros(col("t_from_us")).cast("date"),
+          lit("1996-01-01").cast("date")).as("cohort_day"),
+        (col("t_to_us") - col("t_from_us")).as("delta_us"))
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("converted"),
+        sum(col("delta_us")).as("sum_us"),
+        min(col("delta_us")).as("min_us"),
+        max(col("delta_us")).as("max_us"))
+      .select(col("cohort_day"), col("converted"),
+        (col("sum_us").cast("double") / col("converted") / lit(1000000.0))
+          .as("avg_secs"),
+        (col("min_us").cast("double") / lit(1000000.0)).as("min_secs"),
+        (col("max_us").cast("double") / lit(1000000.0)).as("max_secs"))
+      .orderBy("cohort_day")
+  }
+
   /** Per-event-type stats over a JSON-extracted numeric field. */
   def jsonFieldStats(events: DataFrame, field: String): DataFrame = {
     val k = get_json_object(col("props"), s"$$.$field").cast("long")

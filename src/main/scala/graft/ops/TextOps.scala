@@ -308,6 +308,49 @@ object TextOps {
       .limit(k)
   }
 
+  /** Bigram language-model quality score — the CCNet/Gopher-style
+    * perplexity filter a training pipeline runs to rank documents by
+    * fluency under a reference LM. The model is the corpus's own MLE
+    * bigram model (p(w₂|w₁) = c(w₁w₂)/c(w₁·), every numerator ≥ 1 by
+    * construction, so no smoothing is needed to score the training corpus
+    * itself); the score is the mean surprisal −(1/n)·Σ ln p — i.e.
+    * log-perplexity; LOWER = more predictable/boilerplate, HIGHER = more
+    * novel/noisy.
+    *
+    * Cross-engine exactness: ln() is evaluated on identical IEEE inputs
+    * (exact integer-count ratios) and empirically bit-matches across
+    * JVM/libm, but nothing in this plan depends on that being universal —
+    * each surprisal is captured as DECIMAL(38,18) (one canonical
+    * shortest-string quantization; the oracle takes the VARCHAR hop), the
+    * per-doc sum is decimal = aggregation-ORDER-independent, and the final
+    * round(…, 6) absorbs anything below micro-precision.
+    *
+    * Scale shape: bigram extraction is a map-only pass; the model (c2, c1)
+    * is two hash aggregations; scoring re-joins the bigram stream to its
+    * own counts — work ∝ corpus tokens throughout, no collect, no
+    * all-pairs anything. At 100 TB the c2 table is large but
+    * hash-partitioned on (w1,w2); the scoring join shuffles on the same
+    * keys Catalyst already aggregated on. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), tokens("text").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(eager = false) // feeds model build AND scoring join
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("surprisal",
+        -log(col("c2").cast("double") / col("c1").cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surprisal").cast("decimal(38,18)")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams"), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {

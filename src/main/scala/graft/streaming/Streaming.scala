@@ -93,6 +93,29 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming EXACT DEDUP — the continuous twin of the batch keep-first
+    * pipeline ([[graft.ops.TextOps.dedupKeepFirst]]): drop every document
+    * whose content digest has already been admitted. Same md5 content key
+    * as the batch op, so a corpus ingested incrementally admits exactly
+    * the first arrival per digest.
+    *
+    * State = one (digest) row per DISTINCT document in the state store,
+    * hash-partitioned — at 100 TB that is the deduped-corpus cardinality
+    * spread across executors, the minimum any exact streaming dedup can
+    * hold. When the source carries an event-time column, pass it with a
+    * watermark delay and dedup state is EVICTED once the watermark passes
+    * (duplicates only matter within the horizon) — the bounded-state form
+    * an always-on ingest pipeline runs. */
+  def dedupDocsStream(docs: DataFrame, tsCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    val keyed = docs.withColumn("digest", md5(col("text")))
+    tsCol match {
+      case Some(ts) => keyed.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark("digest")
+      case None => keyed.dropDuplicates("digest")
+    }
+  }
+
   /** Drive a streaming query over a bounded source synchronously (memory
     * sink) — the local-smoke harness from the Spark guide. Returns the sink
     * table name. */

@@ -182,6 +182,51 @@ class OpsSpec extends AnyFunSuite {
       (73L until 80L)))
   }
 
+  test("bigram LM score: deterministic corpus scores 0, noise scores higher") {
+    import spark.implicits._
+    // docs 1-3: every context deterministic (p = 1 everywhere) → score 0;
+    // doc 4 breaks contexts (a→x among a→b elsewhere) → positive surprisal
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"),
+      (4L, "a x c d")).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._1 == 3L) // n_bigrams = tokens − 1
+    // p(b|a) = 3/4 for docs 1-3 (one 'a x' defection), rest deterministic
+    val expect1 = BigDecimal(-math.log(3.0 / 4) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 == expect1 && got(2L)._2 == expect1)
+    // doc 4: p(x|a) = 1/4, p(c|x) = 1 → mean surprisal higher than docs 1-3
+    assert(got(4L)._2 > got(1L)._2)
+    got.values.foreach { case (_, s) => assert(s >= 0.0) }
+  }
+
+  test("time-to-convert: first view → first purchase, cohort rollup") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view@10s day0, purchase@70s → 60s
+      (1L, 10000000L, "view"), (1L, 70000000L, "purchase"),
+      // user 2: purchase BEFORE any view → excluded
+      (2L, 5000000L, "purchase"), (2L, 9000000L, "view"),
+      // user 3: view only → excluded
+      (3L, 1000000L, "view"),
+      // user 4: view day1, purchase 30s later (second view ignored)
+      (4L, 86400000000L + 1000000L, "view"),
+      (4L, 86400000000L + 2000000L, "view"),
+      (4L, 86400000000L + 31000000L, "purchase"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us") +
+        lit(820454400000000L))) // 1996-01-01 epoch µs anchor
+    val got = EventOps.timeToConvert(ev).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      0 -> ((1L, 60.0, 60.0, 60.0)),
+      1 -> ((1L, 30.0, 30.0, 30.0))))
+  }
+
   test("decontaminate flags exactly the docs sharing a 5-gram with bench") {
     import spark.implicits._
     val corpus = Seq(

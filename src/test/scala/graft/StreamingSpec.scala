@@ -60,6 +60,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == ev.count()) // duplicates dropped, originals kept
   }
 
+  test("streaming document dedup admits exactly one doc per content digest") {
+    // replay the corpus twice (at-least-once ingest) — the streaming twin
+    // must admit each distinct content exactly once, matching the batch
+    // keep-first pipeline's digest set
+    val dir = Files.createTempDirectory("graft-docs").toString
+    val docs = cat.table("documents")
+    docs.coalesce(1).write.mode("append").parquet(dir)
+    docs.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val name = Streaming.runToMemory(spark,
+      Streaming.dedupDocsStream(stream), "docs_dedup_test")
+    val admitted = spark.table(name).select("digest").collect()
+      .map(_.getString(0))
+    assert(admitted.length == admitted.distinct.length, "no digest twice")
+    val batchDigests = docs.select(md5(col("text")).as("d")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(admitted.toSet == batchDigests)
+  }
+
   test("stateful sessionization emits exactly the batch-closed sessions") {
     import spark.implicits._
     val stream = Streaming.readEventsStream(spark, eventsDir)
