@@ -236,6 +236,9 @@ object SparkEntry {
       // int8 scalar quantization + integer-dot shortlist + exact re-rank
       "s05_knn_quantized" -> tbl("embeddings")(
         ops.Similarity.quantizedKnn(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      // deterministic k-means topic assignment (the curation clustering step)
+      "s06_kmeans_assign" -> tbl("embeddings")(
+        ops.Similarity.kmeansAssign(_, 8, 3)),
       "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
       // features flattened to scalar columns: the driver's compare sorts the
       // frame in pandas, which cannot lexsort an array column
@@ -770,6 +773,53 @@ object SparkEntry {
         |  FROM rescored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // s06: the full iterative k-means UNROLLED in SQL — decimal-mean
+    // centroids (VARCHAR hop), sequential list_dot_product scores, ties to
+    // the larger cluster id (Spark's lexicographic struct max). Empty
+    // clusters inherit the previous round's centroid (COALESCE chain),
+    // mirroring kmeansLoop's keep-previous rule.
+    "s06_kmeans_assign" -> {
+      val k = 8
+      val iters = 3
+      def cent(r: Int, from: String): String = {
+        val base =
+          s"""x$r AS (SELECT c, unnest(emb) AS x,
+             |  generate_subscripts(emb, 1) AS pos FROM $from),
+             |m$r AS (SELECT c, pos,
+             |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE)
+             |    / COUNT(1) AS m
+             |  FROM x$r GROUP BY c, pos),
+             |newc$r AS (SELECT c, list(m ORDER BY pos) AS cent
+             |  FROM m$r GROUP BY c)""".stripMargin
+        val carry =
+          if (r == 1) s"cent$r AS (SELECT c, cent FROM newc$r)"
+          else
+            s"""cent$r AS (SELECT p.c, COALESCE(n.cent, p.cent) AS cent
+               |  FROM cent${r - 1} p LEFT JOIN newc$r n USING (c))""".stripMargin
+        s"$base,\n$carry"
+      }
+      def assign(name: String, centTbl: String): String =
+        s"""s_$name AS (SELECT v.vec_id, v.emb, ct.c,
+           |  list_dot_product(v.emb, ct.cent)
+           |    - list_dot_product(ct.cent, ct.cent) / 2.0 AS score
+           |  FROM v CROSS JOIN $centTbl ct),
+           |$name AS (SELECT vec_id, emb, c FROM (
+           |  SELECT vec_id, emb, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |    ORDER BY score DESC, c DESC) AS rn FROM s_$name)
+           |  WHERE rn = 1)""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        val c = cent(r, s"a${r - 1}")
+        if (r < iters) s"$c,\n${assign(s"a$r", s"cent$r")}" else c
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |a0 AS (SELECT vec_id, emb, CAST(vec_id % $k AS INTEGER) AS c
+         |  FROM v),
+         |$rounds,
+         |${assign("afinal", s"cent$iters")}
+         |SELECT vec_id, c AS cluster FROM afinal ORDER BY vec_id""".stripMargin
+    },
     "e01_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
         |  FROM events),

@@ -112,6 +112,24 @@ object Similarity {
     * then `iters` rounds of (per-cluster mean → nearest-centroid
     * reassignment). Centroids are tiny (k × dim) and come back to the driver
     * each round; assignment stays fully distributed. */
+  /** Topic-clustering ASSIGNMENT — deterministic k-means surfaced as a
+    * first-class corpus operator (the "cluster the embedding space, then
+    * sample/filter per topic" step of a curation pipeline; same coarse
+    * quantizer [[knnIvf]] uses as its index). Output is one (vec_id,
+    * cluster) row per vector; every arithmetic step is the decimal-mean /
+    * sequential-dot recipe, so the full iterative procedure replays
+    * bit-exactly in the SQL oracle (unrolled, [[graft.SparkEntry]] s06).
+    *
+    * Scale shape: centroids are k×dim (driver-sized by construction); each
+    * round is one partial-aggregated shuffle of the corpus; the final
+    * assignment is a map-only pass. Nothing corpus-sized ever concentrates. */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val cs = kmeansCentroids(emb, k, iters)
+    emb.select(col("vec_id"), asDouble("embedding").as("v"))
+      .select(col("vec_id"), nearestCluster(col("v"), cs).as("cluster"))
+      .orderBy("vec_id")
+  }
+
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
       : Array[Array[Double]] = {
     // persisted for the loop below (each iteration re-reads it; every round

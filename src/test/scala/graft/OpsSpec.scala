@@ -275,6 +275,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans assignment: total, deterministic, clusters actually used") {
+    val a = Similarity.kmeansAssign(emb, 8, 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(a.length == emb.count()) // every vector assigned exactly once
+    assert(a.map(_._1).distinct.length == a.length)
+    val used = a.map(_._2).distinct
+    assert(used.forall(c => c >= 0 && c < 8))
+    assert(used.length > 1, "clustering must separate the corpus")
+    // deterministic: an independent run reproduces the assignment exactly
+    val b = Similarity.kmeansAssign(emb, 8, 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(a.sameElements(b))
+  }
+
   test("knn brute: self excluded, scores sorted, k respected") {
     val rows = Similarity.knnBrute(emb, Seq(0L, 1L), 5).collect()
     assert(rows.length == 10)
