@@ -64,11 +64,7 @@ object Dedup {
     // Candidate generation on SKINNY rows (doc_id + band key only) — the
     // signature/shingle arrays don't ride through the self-join shuffle.
     // Arrays re-attach per side after pair dedup.
-    val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => s"sig[${b * rows + r}]")
-      struct(lit(b).as("band"), expr(s"xxhash64(${slice.mkString(", ")})")
-        .as("bh"))
-    }
+    val bandCols = bandKeys(bands, rows)
     val banded = sh.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bk"))
     val cand = banded.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
@@ -88,6 +84,81 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** One (band, bh) struct per band: bh = xxhash64 of the band's signature
+    * slice. Shared by the batch self-join and the incremental index. */
+  private def bandKeys(bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"sig[${b * rows + r}]")
+      struct(lit(b).as("band"), expr(s"xxhash64(${slice.mkString(", ")})")
+        .as("bh"))
+    }
+
+  /** A persisted-form LSH dedup index: flat band postings (doc_id, band, bh)
+    * plus the signature/shingle side table (doc_id, sh, sig) — both plain
+    * frames, so a pipeline stores them as parquet between ingests. */
+  final case class LshIndex(postings: DataFrame, signatures: DataFrame)
+
+  /** Build the LSH index for a corpus slice (no pair generation). */
+  def lshIndex(docs: DataFrame, shingleK: Int, bands: Int, rows: Int)
+      : LshIndex = {
+    val sh = docs
+      .select(col("doc_id"), hashedShingles("text", shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature("sh", bands * rows))
+      .localCheckpoint(eager = false)
+    val postings = sh
+      .select(col("doc_id"), explode(array(bandKeys(bands, rows): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    LshIndex(postings, sh)
+  }
+
+  /** INCREMENTAL near-dup detection — the nightly-delta form of
+    * [[minhashLshPairs]]: new documents are checked against the stored
+    * index AND each other without ever re-scanning the indexed corpus'
+    * text (only its postings/signatures, which a pipeline keeps as
+    * parquet). Returns exactly the pairs batch LSH over (corpus ∪ delta)
+    * would emit that involve a delta doc, plus the grown index. Delta
+    * doc_ids must be new (dedup the delta against the index's ids first
+    * if re-ingestion is possible).
+    *
+    * Scale shape: the delta side is small by construction; its postings
+    * hash-join the stored postings on (band, bh) — work ∝ matching
+    * buckets, never ∝ corpus. Candidates travel skinny, arrays re-attach
+    * after pair dedup, exactly like the batch path. */
+  def lshDeltaPairs(index: LshIndex, delta: DataFrame, shingleK: Int,
+      bands: Int, rows: Int, threshold: Double): (DataFrame, LshIndex) = {
+    val h = bands * rows
+    val d = lshIndex(delta, shingleK, bands, rows)
+    val cross = d.postings.select(col("band"), col("bh"),
+        col("doc_id").as("d_id"))
+      .join(index.postings.select(col("band"), col("bh"),
+        col("doc_id").as("e_id")), Seq("band", "bh"))
+      .select(least(col("d_id"), col("e_id")).as("doc_a"),
+        greatest(col("d_id"), col("e_id")).as("doc_b"))
+    val within = d.postings.select(col("band"), col("bh"),
+        col("doc_id").as("doc_a"))
+      .join(d.postings.select(col("band"), col("bh"),
+        col("doc_id").as("doc_b")), Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val cand = cross.unionByName(within).distinct()
+    val sigs = index.signatures.unionByName(d.signatures)
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / $h"))
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard",
+        expr("inter / (size(sh_a) + size(sh_b) - inter)"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .orderBy("doc_a", "doc_b")
+    (pairs, LshIndex(index.postings.unionByName(d.postings), sigs))
   }
 
   /** Block keys for fingerprints within Hamming distance `d`: the 64 bits

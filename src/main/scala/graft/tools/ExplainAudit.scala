@@ -18,7 +18,8 @@ object ExplainAudit {
         "q28_big_dim_join", "s01_knn_brute", "d02_minhash_lsh",
         "s04_knn_ivf", "t05_top_words", "q35_rollup_routed",
         "t11_decontaminate", "t12_rarity", "s05_knn_quantized",
-        "e04_funnel")
+        "e04_funnel", "t14_lm_score", "e06_time_to_convert",
+        "s06_kmeans_assign")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -109,6 +109,30 @@ class OpsSpec extends AnyFunSuite {
     assert(fast.nonEmpty) // the planted near-dups were found
   }
 
+  test("incremental LSH delta equals batch over the union") {
+    // old corpus = ids < 350, delta = the rest; the delta run against the
+    // stored index must produce exactly the batch pairs that touch a delta
+    // doc, and the grown index must equal a from-scratch build
+    val all = docs
+    val old = all.where(col("doc_id") < 350)
+    val delta = all.where(col("doc_id") >= 350)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(3))
+    val batchAll = Dedup.minhashLshPairs(all, 3, 32, 4, 0.5).collect()
+      .map(key).toSet
+    val batchOld = Dedup.minhashLshPairs(old, 3, 32, 4, 0.5).collect()
+      .map(key).toSet
+    val (dp, grown) = Dedup.lshDeltaPairs(
+      Dedup.lshIndex(old, 3, 32, 4), delta, 3, 32, 4, 0.5)
+    val deltaPairs = dp.collect().map(key).toSet
+    deltaPairs.foreach { case (a, b, _) =>
+      assert(a >= 350 || b >= 350, "every delta pair touches a delta doc")
+    }
+    assert(batchOld ++ deltaPairs == batchAll)
+    assert(grown.postings.count() ==
+      Dedup.lshIndex(all, 3, 32, 4).postings.count())
+  }
+
   test("zero-slack pair (|A| = t·|B| exactly) survives prefix + size prune") {
     import spark.implicits._
     // B = 12 distinct words → 10 shingles; A = B's first 9 words → 7
