@@ -81,4 +81,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(back.count() ==
       li.where(expr("year(l_shipdate) = 1996")).count())
   }
+
+  test("corpus export round-trips clean; tampering is detected per slice") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-exp").toString +
+      "/corpus"
+    val docs = cat.table("documents")
+    val manifest = graft.sources.Sinks.exportCorpus(docs, dir, "lang")
+    assert(manifest.columns.toSeq ==
+      Seq("lang", "docs", "tokens", "checksum"))
+    assert(manifest.agg(sum(col("docs"))).collect()(0).getLong(0) ==
+      docs.count())
+    // clean export: validator returns no drifted slices
+    assert(graft.sources.Sinks.validateExport(spark, dir, "lang").isEmpty)
+    // drop one partition directory wholesale → exactly that slice reported
+    val langs = manifest.select("lang").collect().map(_.getString(0))
+    val victim = langs.head
+    val vdir = java.nio.file.Paths.get(dir, s"lang=$victim")
+    java.nio.file.Files.walk(vdir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val drift = graft.sources.Sinks.validateExport(spark, dir, "lang")
+      .collect()
+    assert(drift.map(_.getString(0)).toSeq == Seq(victim))
+    assert(drift(0).isNullAt(2)) // actual_docs null: the slice is GONE
+  }
 }
