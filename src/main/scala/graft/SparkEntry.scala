@@ -211,6 +211,9 @@ object SparkEntry {
       "d02_minhash_lsh" -> tbl("documents")(
         ops.Dedup.minhashLshPairs(_, 3, 32, 4, 0.5)
           .select("doc_a", "doc_b", "jaccard")),
+      // dedup provenance: near-dup pair counts per unordered source pair
+      "d09_dup_sources" -> tbl("documents")(
+        ops.Dedup.dupSourceMatrix(_, 3, 32, 4, 0.5)),
       // hamming <= 3 on a 64-bit fingerprint: the standard near-dup cutoff,
       // and the regime where 4x16-bit chunk blocking is pigeonhole-COMPLETE
       // (no missed pairs) rather than approximate
@@ -678,6 +681,33 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
         |FROM pairs WHERE inter / (na + nb - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d09: the d02 all-pairs oracle + source labels + a per-source-pair
+    // rollup (decimal-summed mean Jaccard via the VARCHAR hop)
+    "d09_dup_sources" ->
+      """WITH sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+        |jp AS (SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
+        |  FROM pairs WHERE inter / (na + nb - inter) >= 0.5),
+        |lab AS (SELECT
+        |  LEAST(da.source, db.source) AS src_lo,
+        |  GREATEST(da.source, db.source) AS src_hi, jp.jaccard
+        |  FROM jp JOIN documents da ON jp.doc_a = da.doc_id
+        |  JOIN documents db ON jp.doc_b = db.doc_id)
+        |SELECT src_lo, src_hi, CAST(COUNT(1) AS BIGINT) AS pairs,
+        |  CAST(SUM(CAST(CAST(jaccard AS VARCHAR) AS DECIMAL(27,12)))
+        |    AS DOUBLE) / COUNT(1) AS avg_jaccard
+        |FROM lab GROUP BY src_lo, src_hi
+        |ORDER BY src_lo, src_hi""".stripMargin,
     // clusters = min reachable doc id over the (symmetric) near-dup pair
     // graph; DuckDB's recursive CTE is the closed-form of the same
     // label-propagation fixpoint the Spark side iterates

@@ -86,6 +86,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup PROVENANCE: which sources duplicate each other — near-dup pair
+    * counts and mean Jaccard per unordered source pair (mirror/scraper
+    * overlap shows up as a hot off-diagonal cell; boilerplate within one
+    * source as a hot diagonal). Pair generation is the banded-LSH path
+    * ([[minhashLshPairs]] — recall 1.0 at this corpus's similarity gap, see
+    * the d02 oracle note); the rollup is two source-label joins on skinny
+    * pair rows plus one source-pair-cardinality aggregation. Mean Jaccard
+    * goes through a decimal sum, so it is aggregation-order-independent. */
+  def dupSourceMatrix(docs: DataFrame, shingleK: Int, bands: Int, rows: Int,
+      threshold: Double): DataFrame =
+    minhashLshPairs(docs, shingleK, bands, rows, threshold)
+      .join(docs.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"), col("jaccard"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("pairs"),
+        (sum(col("jaccard").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("avg_jaccard"))
+      .orderBy("src_lo", "src_hi")
+
   /** One (band, bh) struct per band: bh = xxhash64 of the band's signature
     * slice. Shared by the batch self-join and the incremental index. */
   private def bandKeys(bands: Int, rows: Int): Seq[Column] =
