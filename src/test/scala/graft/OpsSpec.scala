@@ -251,6 +251,20 @@ class OpsSpec extends AnyFunSuite {
       1 -> ((1L, 30.0, 30.0, 30.0))))
   }
 
+  test("lm score is invariant under whole-corpus duplication") {
+    import spark.implicits._
+    // duplicating every document doubles c(w1,w2) AND c(w1·) — every MLE
+    // ratio, hence every score, must be bit-identical
+    val base = docs.limit(50).select("doc_id", "text")
+    val doubled = base.unionByName(
+      base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val a = TextOps.bigramLmScore(base).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextOps.bigramLmScore(doubled).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a.keySet.forall(k => a(k) == b(k)))
+  }
+
   test("decontaminate flags exactly the docs sharing a 5-gram with bench") {
     import spark.implicits._
     val corpus = Seq(
