@@ -93,6 +93,87 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // unified as-of input: events carry event_id, states carry (ord, value)
+  final case class AsofIn(user_id: Long, ts: java.sql.Timestamp, is_state: Int,
+      event_id: Option[Long], ord: Option[Long], value: Option[Double])
+  final case class AsofOut(event_id: Long, user_id: Long, t_us: Long,
+      asof_ord: Option[Long], asof_value: Option[Double])
+  // reorder buffer: events awaiting the watermark + states (compacted)
+  final case class AsofBuf(events: Seq[(Long, Long)],
+      states: Seq[(Long, Long, Double)])
+
+  /** Streaming AS-OF JOIN — the continuous twin of
+    * [[graft.ops.EventOps.asofJoin]]: each event is enriched with the
+    * user's most recent state at-or-before its event time, correctly under
+    * out-of-order arrival. Events wait in a per-user REORDER BUFFER until
+    * the watermark passes their timestamp (after which no earlier state
+    * can still arrive — the same guarantee batch sorting gives), then emit
+    * matched against the max-(t, ord) state ≤ their time, the batch
+    * window's carry-forward rule exactly.
+    *
+    * State per user stays BOUNDED: emitted events leave the buffer, and
+    * states older than the watermark compact to the single latest one
+    * (any future event is newer than the watermark, so older states can
+    * never win again). At scale this is the standard streaming-enrichment
+    * shape: state ∝ in-flight (watermark-window) data, not history.
+    *
+    * CAVEAT (inherent to multi-input event time, policy = min): the global
+    * watermark is the MINIMUM across both inputs, so a state stream that
+    * stops advancing (e.g. a bounded reference feed) pins the watermark
+    * and no event ever closes. Keep the state stream live (heartbeats) or
+    * join static reference data as a batch broadcast instead. */
+  def asofJoinStream(spark: SparkSession, events: DataFrame,
+      states: DataFrame, delay: String): Dataset[AsofOut] = {
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def update(userId: Long, rows: Iterator[AsofIn],
+        st: GroupState[AsofBuf]): Iterator[AsofOut] = {
+      val buf = st.getOption.getOrElse(AsofBuf(Nil, Nil))
+      var evs = buf.events
+      var sts = buf.states
+      if (!st.hasTimedOut) rows.foreach { r =>
+        val us = micros(r.ts)
+        if (r.is_state == 1) sts :+= ((us, r.ord.get, r.value.get))
+        else evs :+= ((us, r.event_id.get))
+      }
+      val wmMs = st.getCurrentWatermarkMs()
+      val (ready, pending) = evs.partition(_._1 / 1000 <= wmMs)
+      val sorted = sts.sortBy(s => (s._1, s._2))
+      val out = ready.sortBy(identity).map { case (t, id) =>
+        val m = sorted.takeWhile(_._1 <= t).lastOption // max (t, ord) ≤ t
+        AsofOut(id, userId, t, m.map(_._2), m.map(_._3))
+      }
+      // compact: states at-or-before the watermark collapse to the latest
+      val (old, fresh) = sorted.partition(_._1 / 1000 <= wmMs)
+      val keep = old.lastOption.toSeq ++ fresh
+      if (pending.isEmpty && keep.isEmpty) st.remove()
+      else {
+        st.update(AsofBuf(pending, keep))
+        if (pending.nonEmpty) // flush when the watermark passes the oldest
+          st.setTimeoutTimestamp(pending.map(_._1).min / 1000 + 1)
+      }
+      out.iterator
+    }
+
+    val ev = events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), lit(0).as("is_state"),
+        col("event_id").cast("long").as("event_id"),
+        lit(null).cast("long").as("ord"),
+        lit(null).cast("double").as("value"))
+    val stDf = states.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), lit(1).as("is_state"),
+        lit(null).cast("long").as("event_id"),
+        col("ord").cast("long").as("ord"),
+        col("value").cast("double").as("value"))
+    ev.unionByName(stDf).as[AsofIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming EXACT DEDUP — the continuous twin of the batch keep-first
     * pipeline ([[graft.ops.TextOps.dedupKeepFirst]]): drop every document
     * whose content digest has already been admitted. Same md5 content key

@@ -60,6 +60,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == ev.count()) // duplicates dropped, originals kept
   }
 
+  test("streaming as-of join matches batch for every watermark-closed event") {
+    import org.apache.spark.sql.functions._
+    // states = purchase events (same time range as the event stream — a
+    // state feed that LAGS the events would pin the min-policy watermark
+    // and nothing would ever close; see the asofJoinStream caveat);
+    // views/clicks enrich with the user's most recent purchase
+    val evStream = Streaming.readEventsStream(spark, eventsDir)
+      .where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val stStream = Streaming.readEventsStream(spark, eventsDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("ord"),
+        col("value"))
+    val name = Streaming.runToMemory(spark,
+      Streaming.asofJoinStream(spark, evStream, stStream, "1 minute").toDF(),
+      "asof_test")
+    val streamed = spark.table(name).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4))))).toMap
+    // batch truth on identical µs inputs
+    val evB = cat.table("events").where(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val stB = cat.table("events").where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id").as("ord"), col("value"))
+    val batch = graft.ops.EventOps.asofJoin(evB, stB).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (id, v) =>
+      assert(batch.contains(id), s"event $id not in batch")
+      assert(batch(id) == v, s"event $id differs: ${batch(id)} vs $v")
+    }
+    // only events the final watermark never passed may be unemitted
+    val delayUs = 60L * 1000000L
+    val horizon = math.min(
+      evB.agg(max(col("t"))).collect()(0).getLong(0),
+      stB.agg(max(col("t"))).collect()(0).getLong(0)) - delayUs
+    val unemitted = batch.keySet -- streamed.keySet
+    val lateOk = batch.filter { case (_, (_, t, _, _)) =>
+      t / 1000 > horizon / 1000 }.keySet
+    assert(unemitted.subsetOf(lateOk),
+      s"${(unemitted -- lateOk).size} closed events missing")
+  }
+
   test("streaming document dedup admits exactly one doc per content digest") {
     // replay the corpus twice (at-least-once ingest) — the streaming twin
     // must admit each distinct content exactly once, matching the batch
