@@ -217,7 +217,10 @@ object SparkEntry {
       // hamming <= 3 on a 64-bit fingerprint: the standard near-dup cutoff,
       // and the regime where 4x16-bit chunk blocking is pigeonhole-COMPLETE
       // (no missed pairs) rather than approximate
-      "d03_simhash" -> tbl("documents")(ops.Dedup.simhashPairs(_, 3)),
+      // portable-fingerprint variant so the gate carries a FULL oracle
+      // (the xxhash64 native-expression path stays spec-covered in OpsSpec)
+      "d03_simhash" -> tbl("documents")(
+        ops.Dedup.simhashPortablePairs(_, 3)),
       // connected components over the near-dup pair graph: transitive
       // closure of a~b into clusters, labeled by the min doc id
       "d07_dup_clusters" -> tbl("documents")(d =>
@@ -614,8 +617,38 @@ object SparkEntry {
         |COUNT(1) AS event_count, COUNT(DISTINCT user_id) AS user_count
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // ------------------------- LLM-pipeline operators (DuckDB equivalents;
-    // d03 compares xxhash64-seeded SimHash fingerprints → rows-only check,
-    // no portable SQL; everything else is oracle-checked)
+    // every query is oracle-checked — d03 rides md5-derived portable
+    // fingerprints, replayed bit-exactly below)
+    // d03: per-token 64 bits = two md5 hex words (nibble-decoded — the m01
+    // recipe), strict-majority bit votes, all-pairs Hamming ≤ 3 (the oracle
+    // needs no blocking; Spark's pigeonhole candidates are verified exact)
+    "d03_simhash" -> {
+      def word(c: Int): String = (0 until 8).map(i =>
+        s"(CAST(instr('0123456789abcdef', substr(m, ${c + i}, 1)) - 1 " +
+          s"AS BIGINT) * ${1L << (4 * (7 - i))})")
+        .mkString("(", " + ", ")")
+      val votes = (0 until 32).flatMap(b => Seq(
+        s"SUM((hi >> $b) & 1) AS h$b", s"SUM((lo >> $b) & 1) AS l$b"))
+        .mkString(",\n  ")
+      def fp(prefix: String): String = (0 until 32).map(b =>
+        s"(CASE WHEN $prefix$b * 2 > n THEN CAST(${1L << b} AS BIGINT) " +
+          "ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5(t) AS m FROM tok),
+         |w AS (SELECT doc_id, ${word(1)} AS hi, ${word(9)} AS lo FROM h),
+         |v AS (SELECT doc_id, COUNT(1) AS n,
+         |  $votes
+         |  FROM w GROUP BY doc_id),
+         |fp AS (SELECT doc_id, ${fp("h")} AS fhi, ${fp("l")} AS flo FROM v),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.fhi, b.fhi))
+         |    + bit_count(xor(a.flo, b.flo)) AS INTEGER) AS hamming
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "t01_token_stats" ->
       """SELECT source, COUNT(1) AS docs,
         |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,

@@ -196,6 +196,59 @@ object Dedup {
     * sizes are ~n/2^26 not ~n/2^16 — candidate generation stays ~linear in
     * the corpus until tens of billions of docs, at the cost of C(m,2) = 10
     * (for d=3) exploded rows per doc instead of 4. */
+  /** PORTABLE SimHash near-dup pairs — identical semantics to
+    * [[simhashPairs]] but with per-token 64-bit fingerprint material drawn
+    * from md5 (the only 64-bit-strength token hash both Spark and the
+    * DuckDB oracle compute bit-identically), so the gate query carries a
+    * FULL oracle instead of a rows-only check. The 64 bits ride as two
+    * 32-bit halves in separate longs — no engine needs wrapping 64-bit
+    * arithmetic; Hamming distance is the sum of the halves' bit_counts.
+    * Majority vote is strict (2·ones > n; ties → 0), mirrored in SQL.
+    *
+    * The xxhash64-based [[simhashPairs]] (native one-pass
+    * [[graft.functions.SimHash64]]) remains the production fast path —
+    * md5 per token costs more but is still map-side linear; candidate
+    * generation reuses the same pigeonhole combo blocking on the
+    * recombined word, so the scale shape is unchanged. */
+  def simhashPortablePairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("m", md5(col("tok")))
+      .withColumn("hi", expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)"))
+    val voteCols = (0 until 32).flatMap(b => Seq(
+      sum(shiftright(col("hi"), b).bitwiseAND(lit(1L))).as(s"h$b"),
+      sum(shiftright(col("lo"), b).bitwiseAND(lit(1L))).as(s"l$b")))
+    val votes = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), voteCols: _*)
+    def fpOf(prefix: String): Column = (0 until 32).map(b =>
+      when(col(s"$prefix$b") * 2 > col("n"), lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val fp = votes
+      .select(col("doc_id"), fpOf("h").as("hi"), fpOf("l").as("lo"))
+      .localCheckpoint()
+    // combined word only for Spark-side block keys (<< wraps bitwise here;
+    // the oracle never needs it — it verifies all-pairs on the halves)
+    val keyed = fp
+      .withColumn("sh", shiftleft(col("hi"), 32).bitwiseOR(col("lo")))
+      .select(col("doc_id"), explode(simhashBlockKeys("sh", maxHamming))
+        .as("bk"))
+    val cand = keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
+        col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"),
+        col("lo").as("lo_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"),
+        col("lo").as("lo_b")), "doc_b")
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   private[graft] def simhashBlockKeys(fpCol: String, maxHamming: Int): Column = {
     val m = maxHamming + 2
     val bounds = (0 to m).map(i => i * 64 / m) // block i = bits [b(i), b(i+1))
