@@ -316,6 +316,9 @@ object SparkEntry {
       "e05_retention" -> tbl("events")(ops.EventOps.retentionCohorts),
       // bigram-LM mean surprisal (CCNet-style perplexity quality filter)
       "t14_lm_score" -> tbl("documents")(ops.TextOps.bigramLmScore),
+      // context-window chunking: 64-token windows advancing 48 (25% overlap)
+      "t15_chunk_windows" -> tbl("documents")(
+        ops.TextOps.chunkWindows(_, 64, 48)),
       // conversion latency by acquisition cohort (first view → first purchase)
       "e06_time_to_convert" -> tbl("events")(ops.EventOps.timeToConvert(_)),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
@@ -1136,6 +1139,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
         |  round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6) AS lm_score
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t15: DuckDB list slices are 1-based INCLUSIVE (w[a:b] = b−a+1 items),
+    // mirroring Spark's slice(w, start, LENGTH); range() is exclusive → +1
+    "t15_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, w,
+        |  unnest(range(0, greatest(0, CAST(ceil((n - 64)
+        |    / CAST(48 AS DOUBLE)) AS INTEGER)) + 1)) AS i
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk_text,
+        |  CAST(len(w[i*48+1 : i*48+64]) AS INTEGER) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // e06: first-touch → conversion latency; exact integer micros until the
     // final division (same epoch-anchored day convention as e05)
     "e06_time_to_convert" ->

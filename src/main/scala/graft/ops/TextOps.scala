@@ -351,6 +351,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Context-window CHUNKING — split every document into `window`-token
+    * chunks advancing by `stride` tokens (stride < window ⇒ overlap), the
+    * "pack the corpus into training context windows" step of an LLM data
+    * pipeline. The final chunk may be short; every token lands in ≥ 1
+    * chunk. Pure Catalyst (sequence/transform/slice/array_join) — a
+    * map-only, explode-bounded pass; no shuffle until the caller's sink. */
+  def chunkWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    docs.select(col("doc_id"), tokens("text").as("w"))
+      .withColumn("n", size(col("w")))
+      // chunks 0..ceil((n−window)/stride) — exact: small-int operands make
+      // the double division correctly rounded, so no ulp hazard here
+      .withColumn("chunk", explode(expr(
+        s"transform(sequence(0, greatest(0, cast(ceil((n - $window) / " +
+          s"cast($stride as double)) as int))), " +
+          s"i -> struct(i as idx, " +
+          s"array_join(slice(w, i * $stride + 1, $window), ' ') as text))")))
+      .select(col("doc_id"), col("chunk.idx").as("chunk_idx"),
+        col("chunk.text").as("chunk_text"))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {

@@ -251,6 +251,30 @@ class OpsSpec extends AnyFunSuite {
       1 -> ((1L, 30.0, 30.0, 30.0))))
   }
 
+  test("chunk windows: coverage, overlap, short-tail semantics") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks, W=4 S=3
+      (2L, "a b c"),                                  // shorter than window
+      (3L, (1 to 4).map(i => s"x$i").mkString(" ")))  // exactly one window
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(corpus, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    // doc 1: chunks at offsets 0,3,6 — ceil((10-4)/3)=2 → idx 0..2
+    assert(got((1L, 0)) == (("w1 w2 w3 w4", 4)))
+    assert(got((1L, 1)) == (("w4 w5 w6 w7", 4)))
+    assert(got((1L, 2)) == (("w7 w8 w9 w10", 4)))
+    // doc 2: single short chunk; doc 3: single exact window
+    assert(got((2L, 0)) == (("a b c", 3)))
+    assert(got((3L, 0)) == (("x1 x2 x3 x4", 4)))
+    assert(got.size == 5)
+    // every token of doc 1 appears in some chunk (full coverage)
+    val covered = got.collect { case ((1L, _), (t, _)) => t.split(" ") }
+      .flatten.toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("lm score is invariant under whole-corpus duplication") {
     import spark.implicits._
     // duplicating every document doubles c(w1,w2) AND c(w1·) — every MLE
