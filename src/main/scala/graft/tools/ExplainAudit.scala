@@ -19,7 +19,8 @@ object ExplainAudit {
         "s04_knn_ivf", "t05_top_words", "q35_rollup_routed",
         "t11_decontaminate", "t12_rarity", "s05_knn_quantized",
         "e04_funnel", "t14_lm_score", "e06_time_to_convert",
-        "s06_kmeans_assign")
+        "s06_kmeans_assign", "d09_dup_sources", "t15_chunk_windows",
+        "d03_simhash")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -275,6 +275,14 @@ class OpsSpec extends AnyFunSuite {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("chunk windows with stride == window partition the corpus exactly") {
+    val total = docs
+      .select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    val chunked = TextOps.chunkWindows(docs, 64, 64)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(chunked == total, "disjoint windows must cover every token once")
+  }
+
   test("lm score is invariant under whole-corpus duplication") {
     import spark.implicits._
     // duplicating every document doubles c(w1,w2) AND c(w1·) — every MLE
