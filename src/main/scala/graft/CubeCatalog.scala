@@ -89,6 +89,7 @@ object CubeCatalog {
   def flush(): Unit = {
     cache.values.foreach(_.close())
     cache.clear()
+    graft.ops.IndexCache.invalidate()
   }
 }
 

@@ -75,13 +75,25 @@ object ParentChild {
       .groupBy(col("ancestor"))
       .agg(aggs.head, aggs.tail: _*)
 
-  /** The demo org-tree over customers: parent(c) = c / 2 (integer), root = 0
-    * (keys are 0-based) — deterministic, so the DuckDB oracle can rebuild it
-    * with a recursive CTE. Subtree sales per ancestor customer. */
-  def customerOrgRollup(customer: DataFrame, orders: DataFrame): DataFrame = {
+  /** Closure of the demo org-tree over customers: parent(c) = c / 2
+    * (integer), root = 0 (keys are 0-based) — deterministic, so the DuckDB
+    * oracle can rebuild it with a recursive CTE. Materialized
+    * (localCheckpoint) because this is the registration-time artifact the
+    * reference's `<Closure>` table corresponds to (foodmart.xml:529-547) —
+    * cache it via [[IndexCache]] and every rollup afterwards is a plain
+    * join + groupBy. */
+  def customerClosure(customer: DataFrame): DataFrame = {
     val edges = customer.select(col("c_custkey").as("id"),
       when(col("c_custkey") > 0, expr("c_custkey DIV 2")).as("parent"))
-    val cl = closure(edges, "id", "parent")
+    closure(edges, "id", "parent").localCheckpoint()
+  }
+
+  /** Subtree sales per ancestor customer over the demo org-tree.
+    * `closureDf` lets the caller pass the cached registration-time closure;
+    * absent, it is built inline. */
+  def customerOrgRollup(customer: DataFrame, orders: DataFrame,
+      closureDf: Option[DataFrame] = None): DataFrame = {
+    val cl = closureDf.getOrElse(customerClosure(customer))
     rollup(orders, cl, "o_custkey", Seq(
       sum(expr("CAST((o_totalprice) AS DECIMAL(27,6))")).cast("double")
         .as("subtree_sales"),

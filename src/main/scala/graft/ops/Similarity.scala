@@ -123,12 +123,15 @@ object Similarity {
     * Scale shape: centroids are k×dim (driver-sized by construction); each
     * round is one partial-aggregated shuffle of the corpus; the final
     * assignment is a map-only pass. Nothing corpus-sized ever concentrates. */
-  def kmeansAssign(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    val cs = kmeansCentroids(emb, k, iters)
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int = 3): DataFrame =
+    kmeansAssignWith(emb, kmeansCentroids(emb, k, iters))
+
+  /** Assignment against prebuilt centroids (the map-only probe half —
+    * centroids are a registration-time artifact, see [[graft.ops.IndexCache]]). */
+  def kmeansAssignWith(emb: DataFrame, cs: Array[Array[Double]]): DataFrame =
     emb.select(col("vec_id"), asDouble("embedding").as("v"))
       .select(col("vec_id"), nearestCluster(col("v"), cs).as("cluster"))
       .orderBy("vec_id")
-  }
 
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
       : Array[Array[Double]] = {
@@ -183,6 +186,43 @@ object Similarity {
     array_max(array(scored: _*)).getField("j")
   }
 
+  /** The materialized IVF index: centroids (driver-sized, k×dim), the
+    * cell-assigned corpus, and per-cell max residual norms (the
+    * data-dependent half of the probe bound). A production deployment builds
+    * this once per corpus registration/ingest and persists it (the corpus
+    * frame maps 1:1 to a parquet layout partitioned by `cell_n`); queries
+    * pay only the probe cost. [[graft.ops.IndexCache]] gives the library the
+    * same build-once lifecycle in-process. */
+  final case class IvfIndex(cs: Array[Array[Double]], corpus: DataFrame,
+      cellRes: DataFrame)
+
+  /** Build the IVF index: k-means coarse quantizer, one assignment shuffle,
+    * one tiny per-cell residual aggregate. */
+  def ivfIndex(emb: DataFrame, nlist: Int, iters: Int = 3): IvfIndex = {
+    val cs = kmeansCentroids(emb, nlist, iters)
+    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    // Materialized once: the assignment (nlist dot products per row) feeds
+    // the residual bound, the θ pass, and the final probe join.
+    // localCheckpoint (not persist) so the ContextCleaner releases the blocks
+    // when the index is dropped — persist() would pin them in the
+    // CacheManager forever.
+    val corpus = v.withColumn("cell", nearestCluster(col("v"), cs))
+      .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
+        col("v").as("v_n"))
+      .localCheckpoint()
+    // per-cell max residual norm — nlist rows, checkpointed so probes don't
+    // re-aggregate the corpus
+    val centArr = array(cs.map(c => array(c.map(lit): _*)): _*)
+    val cellRes = corpus
+      .withColumn("c", element_at(centArr, col("cell_n") + 1))
+      .withColumn("r2", aggregate(
+        zip_with(col("v_n"), col("c"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+      .groupBy("cell_n").agg(sqrt(max(col("r2"))).as("max_res"))
+      .localCheckpoint()
+    IvfIndex(cs, corpus, cellRes)
+  }
+
   /** IVF ANN with an EXACTNESS guarantee: k-means coarse quantizer over the
     * corpus (one assignment shuffle); each query probes its `nprobe` nearest
     * cells for a provisional k-th score θ, then additionally probes every
@@ -192,26 +232,14 @@ object Similarity {
     * cells. On adversarially uniform data the bound degrades gracefully to a
     * full scan (the curse of dimensionality, not an implementation limit). */
   def knnIvf(emb: DataFrame, queryIds: Seq[Long], k: Int, nlist: Int,
-      nprobe: Int, iters: Int = 3): DataFrame = {
-    val cs = kmeansCentroids(emb, nlist, iters)
-    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
-    // Materialized once: the assignment (nlist dot products per row) feeds
-    // the residual bound, the θ pass, and the final probe join; a production
-    // deployment would materialize this as the IVF index outright.
-    // localCheckpoint (not persist) so the ContextCleaner releases the blocks
-    // with the result — persist() would pin them in the CacheManager forever.
-    val corpus = v.withColumn("cell", nearestCluster(col("v"), cs))
-      .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
-        col("v").as("v_n"))
-      .localCheckpoint()
-    // per-cell max residual norm — the data-dependent half of the bound
-    val centArr = array(cs.map(c => array(c.map(lit): _*)): _*)
-    val cellRes = corpus
-      .withColumn("c", element_at(centArr, col("cell_n") + 1))
-      .withColumn("r2", aggregate(
-        zip_with(col("v_n"), col("c"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x))
-      .groupBy("cell_n").agg(sqrt(max(col("r2"))).as("max_res"))
+      nprobe: Int, iters: Int = 3): DataFrame =
+    knnIvfProbe(ivfIndex(emb, nlist, iters), queryIds, k, nprobe)
+
+  /** The per-query half of [[knnIvf]]: probe a prebuilt [[IvfIndex]].
+    * Queries are looked up in the index itself (vec_id ∈ queryIds). */
+  def knnIvfProbe(idx: IvfIndex, queryIds: Seq[Long], k: Int,
+      nprobe: Int): DataFrame = {
+    val IvfIndex(cs, corpus, cellRes) = idx
     // per query per cell: biased score (picks seed cells) + raw dot (bound)
     val scored = cs.zipWithIndex.map { case (c, j) =>
       val cc = array(c.map(lit): _*)
@@ -219,8 +247,8 @@ object Similarity {
       struct((dot(col("v_q"), cc) - bias).as("score"),
         dot(col("v_q"), cc).as("cdot"), lit(j).as("j"))
     }
-    val queries = v.where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("v_q"))
+    val queries = corpus.where(col("neighbor_id").isin(queryIds: _*))
+      .select(col("neighbor_id").as("query_id"), col("v_n").as("v_q"))
       .withColumn("cells", array(scored: _*))
     // phase 1: seed probes → provisional k-th best score θ per query
     val seed = queries.select(col("query_id"), col("v_q"),
