@@ -341,6 +341,18 @@ object SparkEntry {
         ops.TextOps.chunkWindows(_, 64, 48)),
       // conversion latency by acquisition cohort (first view → first purchase)
       "e06_time_to_convert" -> tbl("events")(ops.EventOps.timeToConvert(_)),
+      // 7-day calendar-RANGE rolling revenue per event type
+      "e07_rolling_daily" -> tbl("events")(ops.EventOps.rollingDaily(_, 7)),
+      // full-corpus embedding near-dup: 2 hyperplane-LSH tables × 6 bits as
+      // the blocking key (the scale composition d05's blocked primitive
+      // defers to)
+      "d10_embedding_neardup_lsh" -> tbl("embeddings")(
+        ops.Dedup.embeddingNearDupLshPairs(_, 0.4)),
+      // concat-then-chunk sequence packing (distributed prefix sum)
+      "t16_seq_pack" -> tbl("documents")(ops.TextOps.packOffsets(_, 512)),
+      // bigram collocations by lift (log-free PMI), top-20
+      "t17_collocations" -> tbl("documents")(
+        ops.TextOps.collocations(_, 20, 5)),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -1191,6 +1203,59 @@ object SparkEntry {
         |  CAST(MIN(delta_us) AS DOUBLE) / 1000000.0 AS min_secs,
         |  CAST(MAX(delta_us) AS DOUBLE) / 1000000.0 AS max_secs
         |FROM c GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    // e07: rolling sums ride as DECIMAL through the window (accumulation
+    // order can differ between engines; decimal addition is exact) and cast
+    // to DOUBLE only at the end
+    "e07_rolling_daily" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(27,6))) AS rev_d,
+        |  COUNT(1) AS n_d
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |  CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_d) OVER w AS DOUBLE) AS rolling_revenue,
+        |  CAST(SUM(rev_d) OVER w AS DOUBLE) / CAST(SUM(n_d) OVER w AS DOUBLE)
+        |    AS rolling_avg_value,
+        |  CAST(SUM(n_d) OVER w AS BIGINT) AS rolling_events
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "d10_embedding_neardup_lsh" -> embLshOracleSql,
+    // t16: the oracle's single global window IS the semantics; the Spark
+    // plan computes the same prefix sum bucket-distributed
+    "t16_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, n_tok, tok_offset,
+        |  tok_offset // 512 AS seq_id,
+        |  tok_offset % 512 AS seq_offset,
+        |  (tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1 AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin,
+    // t17: lift's multiplication association order mirrors the Spark column
+    // expression exactly (integer-valued doubles, same IEEE rounding)
+    "t17_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS wd FROM toks),
+        |uc AS (SELECT wd, COUNT(1) AS c FROM uni GROUP BY wd),
+        |bi AS (SELECT w[g] AS w1, w[g + 1] AS w2 FROM
+        |  (SELECT w, unnest(generate_series(1, len(w) - 1)) AS g FROM toks)),
+        |bc AS (SELECT w1, w2, COUNT(1) AS c_xy FROM bi GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT COUNT(1) FROM uni) AS n_total,
+        |  (SELECT COUNT(1) FROM bi) AS m_total)
+        |SELECT w1, w2, c_xy,
+        |  (CAST(c_xy AS DOUBLE) * n_total * n_total) /
+        |    (CAST(m_total AS DOUBLE) * u1.c * u2.c) AS lift
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.wd JOIN uc u2 ON bc.w2 = u2.wd
+        |CROSS JOIN tot
+        |WHERE c_xy >= 5
+        |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     // e05: epoch-anchored day indices (no engine week/calendar semantics)
     "e05_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
@@ -1361,6 +1426,33 @@ object SparkEntry {
   /** DuckDB replay of [[ops.Similarity.knnLsh]] with bits=8, dim=64: the
     * seeded hyperplanes are embedded as double literals (shortest round-trip
     * decimal — DuckDB parses back to the identical binary64). */
+  // d10: the deterministic hyperplanes are expanded to literal lists, so the
+  // oracle replays bucket assignment (sign of the same sequential-fold dot),
+  // the 2-table candidate union, and the exact cosine verification
+  private lazy val embLshOracleSql: String = {
+    val (bits, tables, threshold) = (6, 2, 0.4)
+    val tableSelects = (0 until tables).map { t =>
+      val planes = ops.Similarity.hyperplanes(64, bits, seed = 42L + t)
+      val bucket = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 " +
+          s"THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n  + ")
+      s"SELECT vec_id, $t AS t, $bucket AS b FROM e"
+    }
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |k AS (${tableSelects.mkString("\nUNION ALL\n")}),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM k a JOIN k b ON a.t = b.t AND a.b = b.b
+       |    AND a.vec_id < b.vec_id),
+       |p AS (SELECT vec_a, vec_b, list_dot_product(ea.v, eb.v) AS cos
+       |  FROM cand JOIN e ea ON vec_a = ea.vec_id
+       |  JOIN e eb ON vec_b = eb.vec_id)
+       |SELECT vec_a, vec_b, cos FROM p WHERE cos >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   private lazy val lshOracleSql: String = {
     val planes = ops.Similarity.hyperplanes(64, 8)
     val bucketExpr = planes.zipWithIndex.map { case (p, j) =>

@@ -474,6 +474,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** FULL-CORPUS embedding near-dup — the scale composition the blocked
+    * primitive [[embeddingNearDupPairs]] defers to: hyperplane-LSH buckets
+    * are the blocking key, so no label/caller block is needed and the only
+    * quadratic work is within a bucket (~n/2^bits vectors on random data).
+    * `tables` independent hash tables OR-amplify recall (a qualifying pair
+    * is found if it collides in ANY table) the way MinHash banding does for
+    * Jaccard — more tables buy recall linearly in map-side work, never
+    * pairwise work.
+    *
+    * Scale shape: bucket keys ride SKINNY (vec_id, table, bucket) through
+    * the candidate self-join; vectors re-attach only for surviving pairs
+    * after dedup. At corpus scale, size `bits` ≈ log₂(n / targetBucket) so
+    * bucket population stays bounded as the corpus grows. Deterministic
+    * planes (seeded per table) make the whole operator replayable in SQL —
+    * this query carries a full DuckDB oracle. */
+  def embeddingNearDupLshPairs(emb: DataFrame, threshold: Double,
+      bits: Int = 6, tables: Int = 2, dim: Int = 64): DataFrame = {
+    // localCheckpoint: feeds bucket explosion + both re-attach sides
+    val e = emb.select(col("vec_id"),
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .localCheckpoint(eager = false)
+    val bucketCols = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(dim, bits, seed = 42L + t)
+      struct(lit(t).as("t"), Similarity.lshBucket(col("v"), planes).as("b"))
+    }
+    val keyed = e.select(col("vec_id"),
+      explode(array(bucketCols: _*)).as("bk"))
+    val cand = keyed.select(col("bk").as("bk_a"), col("vec_id").as("vec_a"))
+      .join(keyed.select(col("bk").as("bk_b"), col("vec_id").as("vec_b")),
+        col("bk_a") === col("bk_b") && col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("v_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("v_b")), "vec_b")
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key. Embeddings are
     * L2-normalized, so cosine = dot product (sequential double fold — matches
     * the DuckDB oracle bit-for-bit). */

@@ -164,6 +164,39 @@ object EventOps {
       .orderBy("cohort_day")
   }
 
+  /** ROLLING time-window aggregates over the daily series: per event type,
+    * each day's revenue plus the trailing `days`-day rolling sum/mean — the
+    * moving-average smoothing every metrics dashboard runs. Calendar-aware:
+    * the frame is a RANGE over epoch-day indices (gap days genuinely absent
+    * from the window), not a row count.
+    *
+    * Scale shape: the raw-event aggregation shuffles once on (type, day);
+    * the window then runs PARTITIONED BY event type over day-count-sized
+    * rows — never a global single-partition window. Sums ride as
+    * DECIMAL(27,6) until the end, so window accumulation order (segment
+    * trees in some engines, sequential in others) cannot move a float bit. */
+  def rollingDaily(events: DataFrame, days: Int = 7): DataFrame = {
+    val daily = events
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        expr("CAST(value AS DECIMAL(27,6))").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).as("rev_d"), count(lit(1)).as("n_d"))
+      .withColumn("day_i",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("event_type").orderBy(col("day_i"))
+      .rangeBetween(-(days - 1), 0)
+    daily
+      .withColumn("roll_rev", sum(col("rev_d")).over(w))
+      .withColumn("roll_n", sum(col("n_d")).over(w))
+      .select(col("event_type"), col("day"),
+        col("rev_d").cast("double").as("revenue"),
+        col("roll_rev").cast("double").as("rolling_revenue"),
+        (col("roll_rev").cast("double") / col("roll_n").cast("double"))
+          .as("rolling_avg_value"),
+        col("roll_n").as("rolling_events"))
+      .orderBy("event_type", "day")
+  }
+
   /** Per-event-type stats over a JSON-extracted numeric field. */
   def jsonFieldStats(events: DataFrame, field: String): DataFrame = {
     val k = get_json_object(col("props"), s"$$.$field").cast("long")

@@ -375,6 +375,84 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** GPT-style sequence-PACKING layout: concatenate the corpus in doc_id
+    * order and split it into fixed `seqLen`-token training sequences. Each
+    * document gets its global token offset, owning sequence id, in-sequence
+    * offset, and the number of sequences it spans (a doc straddling a
+    * boundary contributes to several — the standard concat-then-chunk
+    * packing, no padding waste).
+    *
+    * The global running sum is computed as a DISTRIBUTED PREFIX SUM — never
+    * a single-partition global window: phase 1 aggregates per-range-bucket
+    * token subtotals (bucket = doc_id DIV `bucketWidth`, order-preserving);
+    * phase 2 turns the n/width bucket totals into cumulative bucket offsets
+    * (the only unpartitioned window, bounded by construction — width ≈ √n
+    * keeps both phases at √n rows, and a third level extends the recursion
+    * if ever needed); phase 3 is a bucket-partitioned within-bucket window
+    * plus a broadcast join of the bucket offsets. */
+  def packOffsets(docs: DataFrame, seqLen: Int,
+      bucketWidth: Int = 1024): DataFrame = {
+    require(seqLen > 0 && bucketWidth > 0, "need positive seqLen/bucketWidth")
+    val t = docs.select(col("doc_id"),
+        size(tokens("text")).cast("bigint").as("n_tok"))
+      .withColumn("bucket", expr(s"doc_id DIV $bucketWidth"))
+    val bucketOffsets = t.groupBy("bucket").agg(sum("n_tok").as("bt"))
+      .withColumn("boff", coalesce(sum("bt").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boff")
+    t.withColumn("woff", coalesce(sum("n_tok").over(
+        Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(bucketOffsets), "bucket")
+      .withColumn("tok_offset", col("boff") + col("woff"))
+      .withColumn("seq_id", expr(s"tok_offset DIV $seqLen"))
+      .withColumn("seq_offset", expr(s"tok_offset % $seqLen"))
+      // n_tok ≥ 1 (split of a non-empty string), so the last-token index
+      // tok_offset + n_tok − 1 is well-defined
+      .withColumn("n_seqs",
+        expr(s"(tok_offset + n_tok - 1) DIV $seqLen") - col("seq_id") + 1)
+      .select("doc_id", "n_tok", "tok_offset", "seq_id", "seq_offset",
+        "n_seqs")
+      .orderBy("doc_id")
+  }
+
+  /** Bigram collocation mining: top-k adjacent-token pairs by LIFT —
+    * p(w1,w2) / (p(w1)·p(w2)), the log-free PMI analog (exact integer
+    * counts into one fixed-shape double expression, so Spark and the SQL
+    * oracle agree bit-for-bit; taking log would only monotonically rescale
+    * the ranking). Work: one map-side explode of n−1 bigrams per doc, two
+    * hash aggregations (bigram + unigram counts), two shuffle joins keyed
+    * on the words, one broadcast of the 1×1 totals frame, global top-k via
+    * TakeOrderedAndProject. Nothing pairwise, nothing corpus-sized on the
+    * driver. */
+  def collocations(docs: DataFrame, k: Int = 20,
+      minCount: Long = 5): DataFrame = {
+    val toks = docs.select(tokens("text").as("w"))
+    val uni = toks.select(explode(col("w")).as("wd"))
+    val uc = uni.groupBy("wd").agg(count(lit(1)).as("c"))
+    // zip_with of the two shifted slices: empty for 1-token docs (slice
+    // length size−1 = 0), no CASE guard needed
+    val bi = toks.select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val totals = uni.agg(count(lit(1)).as("n_total"))
+      .crossJoin(bi.agg(count(lit(1)).as("m_total")))
+    bc.join(uc.select(col("wd").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("wd").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .where(col("c_xy") >= minCount)
+      // lift = (c_xy/M) / ((c1/N)(c2/N)) rearranged multiplication-first;
+      // identical association order in the oracle SQL
+      .withColumn("lift",
+        (col("c_xy").cast("double") * col("n_total") * col("n_total")) /
+          (col("m_total").cast("double") * col("c1") * col("c2")))
+      .select("w1", "w2", "c_xy", "lift")
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {

@@ -607,4 +607,79 @@ class OpsSpec extends AnyFunSuite {
     val preds = l.map(_.getString(2)).toSet
     assert(preds.subsetOf(Set("en", "fr", "de", "es", "und")))
   }
+
+  test("seq packing: offsets are the exact prefix sum at any bucket width") {
+    // the distributed two-phase prefix sum must equal the sequential one —
+    // and be invariant to the bucket width that distributes it
+    val rows = TextOps.packOffsets(docs, 512, bucketWidth = 7).collect()
+    var run = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == run, s"doc ${r.getLong(0)} offset")
+      assert(r.getLong(3) == run / 512 && r.getLong(4) == run % 512)
+      val last = run + r.getLong(1) - 1
+      assert(r.getLong(5) == last / 512 - run / 512 + 1, "spanned seqs")
+      run += r.getLong(1)
+    }
+    val wide = TextOps.packOffsets(docs, 512, bucketWidth = 100000).collect()
+    assert(rows.map(_.toSeq).toSeq == wide.map(_.toSeq).toSeq)
+  }
+
+  test("collocations: pairs are adjacent in the corpus, counted exactly") {
+    val out = TextOps.collocations(docs, 20, 5).collect()
+    assert(out.length == 20)
+    // recount every returned bigram by brute force over the collected corpus
+    val texts = docs.select("text").collect().map(_.getString(0))
+    val bigramCounts = texts.flatMap(t => t.split(" ").sliding(2))
+      .collect { case Array(a, b) => (a, b) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(bigramCounts.getOrElse(key, 0L) == r.getLong(2), key)
+      assert(r.getLong(2) >= 5)
+    }
+    // lift ranking is descending
+    val lifts = out.map(_.getDouble(3))
+    assert(lifts.sameElements(lifts.sortBy(-_)))
+  }
+
+  test("embedding LSH near-dup: subset of all-pairs with correct cosine " +
+      "and only bucket-colliding pairs missed") {
+    val lsh = Dedup.embeddingNearDupLshPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force ground truth (no blocking)
+    val e = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .as("a")
+      .join(emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+        .as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.dot(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // every LSH pair is a true pair with the identical cosine
+    lsh.foreach { case (k, c) =>
+      assert(e.contains(k) && e(k) == c, k)
+    }
+    // a planted exact duplicate (same vector => same buckets in every
+    // table) is always recalled
+    val clone = emb.where(col("vec_id") === 3L)
+      .withColumn("vec_id", lit(100003L))
+    val withDup = Dedup.embeddingNearDupLshPairs(emb.unionByName(clone), 0.9)
+      .collect()
+    assert(withDup.exists(r => r.getLong(0) == 3L && r.getLong(1) == 100003L))
+  }
+
+  test("rolling daily window equals a brute-force trailing-7-day sum") {
+    val ev = cat.table("events")
+    val out = EventOps.rollingDaily(ev, 7).collect()
+    val daily = out.map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+      (r.getDouble(2), r.getLong(5))).toMap
+    out.foreach { r =>
+      val (typ, day) = (r.getString(0), r.getDate(1).toLocalDate)
+      val window = (0 until 7).map(d => daily.get((typ, day.minusDays(d))))
+        .flatten
+      val expRev = window.map(x => BigDecimal(x._1)).sum.toDouble
+      assert(math.abs(r.getDouble(3) - expRev) < 1e-6, s"$typ $day roll_rev")
+    }
+  }
 }
