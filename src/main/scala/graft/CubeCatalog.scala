@@ -221,9 +221,14 @@ object TpchCatalog {
       CalcMemberDef("disc_rate", "disc_amt / gross"),
       // references the lag measure below (ref Profit Growth foodmart.xml:359-366)
       CalcMemberDef("revenue_growth",
-        "CASE WHEN prev_revenue = 0.0 OR prev_revenue IS NULL THEN NULL ELSE (revenue - prev_revenue) / prev_revenue END")),
+        "CASE WHEN prev_revenue = 0.0 OR prev_revenue IS NULL THEN NULL ELSE (revenue - prev_revenue) / prev_revenue END"),
+      // year-over-year growth via the PARALLELPERIOD lag (periods = 12)
+      CalcMemberDef("yoy_growth",
+        "CASE WHEN yoy_prev_revenue = 0.0 OR yoy_prev_revenue IS NULL THEN NULL ELSE (revenue - yoy_prev_revenue) / yoy_prev_revenue END")),
     lagMeasures = Seq(
-      LagMeasureDef("prev_revenue", "revenue", "ShipDate")),
+      LagMeasureDef("prev_revenue", "revenue", "ShipDate"),
+      // ParallelPeriod(Year, 1) at Month grain: same month, previous year
+      LagMeasureDef("yoy_prev_revenue", "revenue", "ShipDate", periods = 12)),
     namedSets = Seq(
       NamedSetDef("Top Brands", "Part", "Brand", 5, "revenue"),
       NamedSetDef("Top Suppliers", "Geography", "Supplier", 3, "revenue")),

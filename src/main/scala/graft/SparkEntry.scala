@@ -187,7 +187,13 @@ object SparkEntry {
       Seq("revenue", "cnt")),
     // exact median aggregator (non-additive like distinct-count)
     "q36_median" -> CubeQuery("orders",
-      Seq(drill("Segment")), Seq("median_order", "order_count")))
+      Seq(drill("Segment")), Seq("median_order", "order_count")),
+    // B8 extension: PARALLELPERIOD lag (12 months = same month prior year)
+    // + year-over-year growth calc member
+    "q42_parallel_period" -> CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "yoy_prev_revenue", "yoy_growth")))
 
   // ============================================== LLM-pipeline operators
   // (dedup / similarity / text analysis / multimodal / sessionization —
@@ -556,6 +562,25 @@ object SparkEntry {
          |SELECT ship_year, ship_month, revenue, prev_revenue,
          |CASE WHEN prev_revenue = 0.0 OR prev_revenue IS NULL THEN NULL
          |ELSE (revenue - prev_revenue) / prev_revenue END AS revenue_growth
+         |FROM lagd ORDER BY ship_year, ship_month""".stripMargin,
+    // q42: PARALLELPERIOD = lag 12 over the month axis (same semantics as
+    // the planner: lag over aggregated-axis member order)
+    "q42_parallel_period" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2),
+         |lagd AS (
+         |  SELECT ship_year, ship_month, revenue,
+         |    lag(revenue, 12) OVER (ORDER BY ship_year, ship_month)
+         |      AS yoy_prev_revenue
+         |  FROM agg)
+         |SELECT ship_year, ship_month, revenue, yoy_prev_revenue,
+         |CASE WHEN yoy_prev_revenue = 0.0 OR yoy_prev_revenue IS NULL
+         |THEN NULL
+         |ELSE (revenue - yoy_prev_revenue) / yoy_prev_revenue END
+         |  AS yoy_growth
          |FROM lagd ORDER BY ship_year, ship_month""".stripMargin,
     "q17_namedset_drill" ->
       s"""WITH b AS (

@@ -110,9 +110,11 @@ final case class CalcMemberDef(alias: String, formula: String)
 
 /** PREVMEMBER-style lag measure (ref foodmart.xml:351-366): lag of `base`
   * over the time hierarchy's member order, partitioned by all other axis
-  * columns. `coalesceToBase` mirrors COALESCEEMPTY((m, PREVMEMBER), m). */
+  * columns. `coalesceToBase` mirrors COALESCEEMPTY((m, PREVMEMBER), m).
+  * `periods` generalizes to PARALLELPERIOD: 12 at Month grain = the same
+  * member one Year earlier (MDX ParallelPeriod([Time].[Year], 1)). */
 final case class LagMeasureDef(alias: String, base: String, timeDim: String,
-    coalesceToBase: Boolean = false)
+    coalesceToBase: Boolean = false, periods: Int = 1)
 
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,

@@ -537,7 +537,7 @@ object Planner {
     val partCols = groupLevels.filterNot(_.dim.name == lm.timeDim)
       .flatMap(levelAliases).map(col)
     val w = Window.partitionBy(partCols: _*).orderBy(ordCols.map(_.asc): _*)
-    val lagged = lag(col(lm.base), 1).over(w)
+    val lagged = lag(col(lm.base), lm.periods).over(w)
     df.withColumn(lm.alias,
       if (lm.coalesceToBase) coalesce(lagged, col(lm.base)) else lagged)
   }

@@ -156,6 +156,18 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("PARALLELPERIOD lag shifts by 12 month buckets (B8 extension)") {
+    val rows = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "yoy_prev_revenue"))).collect()
+    (0 until math.min(12, rows.length)).foreach(i => assert(rows(i).isNullAt(3)))
+    (12 until rows.length).foreach { i =>
+      assert(rows(i).getDouble(3) == rows(i - 12).getDouble(2),
+        s"row $i: yoy_prev != revenue 12 back")
+    }
+  }
+
   test("member cuts on fact columns push down to the parquet scan") {
     val df = Planner.plan(cat, CubeQuery("sales",
       Seq(drill("LineStatus")), Seq("revenue"),
