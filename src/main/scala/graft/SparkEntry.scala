@@ -359,6 +359,11 @@ object SparkEntry {
       // bigram collocations by lift (log-free PMI), top-20
       "t17_collocations" -> tbl("documents")(
         ops.TextOps.collocations(_, 20, 5)),
+      // deterministic data mixing: per-source sampling weights, content-hash
+      // uniform draw (src3 dropped entirely, src1 quartered, src2 halved)
+      "t18_weighted_sample" -> tbl("documents")(
+        ops.TextOps.weightedSample(_,
+          Map("src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.0))),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -1281,6 +1286,23 @@ object SparkEntry {
         |CROSS JOIN tot
         |WHERE c_xy >= 5
         |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    // t18: u = first 8 md5 hex digits as an integer (Horner form — the same
+    // instr-digit recipe as t07); the keep test compares exact integers
+    // against weight·2³² in double (u < 2³² ⇒ exactly representable)
+    "t18_weighted_sample" -> {
+      val digits = (1 to 8).map(i =>
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)")
+      val horner = digits.reduce((a, b) => s"($a * 16 + $b)")
+      s"""WITH h AS (SELECT doc_id, source,
+         |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h
+         |  FROM documents),
+         |u AS (SELECT doc_id, source, CAST($horner AS BIGINT) AS u FROM h),
+         |w AS (SELECT doc_id, source, u,
+         |  CASE WHEN source = 'src1' THEN 0.25 WHEN source = 'src2' THEN 0.5
+         |  WHEN source = 'src3' THEN 0.0 ELSE 1.0 END AS kw FROM u)
+         |SELECT doc_id, source, u FROM w WHERE u < kw * 4294967296.0
+         |ORDER BY doc_id""".stripMargin
+    },
     // e05: epoch-anchored day indices (no engine week/calendar semantics)
     "e05_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,

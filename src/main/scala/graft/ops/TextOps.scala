@@ -150,6 +150,33 @@ object TextOps {
       .select("doc_id", "source", "bucket", "split")
       .orderBy("doc_id")
 
+  /** DATA MIXING by per-source sampling weights — the "upsample Wikipedia,
+    * downsample Common Crawl" step of assembling a training mix. Each doc
+    * draws a DETERMINISTIC uniform from its content hash (md5 → first 8 hex
+    * digits → u ∈ [0, 2³²)) and is kept iff u < weight(source)·2³² — so the
+    * kept set is reproducible across runs, engines, and repartitioning (no
+    * RNG state, no per-partition seeds), and the realized rate converges to
+    * the weight per source. Weights > 1 are clamped at keep-all (integer
+    * repetition belongs to the epoch scheduler, not the filter).
+    *
+    * Map-only: one codegen'd hash + broadcast-sized weight lookup per row —
+    * the exact shape that runs at 100 TB (no shuffle at all until the
+    * caller's sink). */
+  def weightedSample(docs: DataFrame,
+      weights: Map[String, Double]): DataFrame = {
+    val wCol = weights.foldLeft(lit(1.0)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(math.min(w, 1.0))).otherwise(acc)
+    }
+    docs
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', text)), " +
+          "1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("keep_w", wCol)
+      .where(col("u") < col("keep_w") * lit(4294967296.0))
+      .select("doc_id", "source", "u")
+      .orderBy("doc_id")
+  }
+
   /** Repetition signals (the Gopher/C4-style quality rules): fraction of
     * tokens taken by the most frequent token, fraction of bigrams taken by
     * the most frequent bigram, and the duplicate-bigram fraction

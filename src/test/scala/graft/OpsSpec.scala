@@ -669,6 +669,25 @@ class OpsSpec extends AnyFunSuite {
     assert(withDup.exists(r => r.getLong(0) == 3L && r.getLong(1) == 100003L))
   }
 
+  test("weighted sampling: deterministic, weight-0 drops all, rates track") {
+    val w = Map("src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.0)
+    val kept = TextOps.weightedSample(docs, w).collect()
+    assert(!kept.exists(_.getString(1) == "src3"), "weight 0 must drop all")
+    val bySrc = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // realized rate within a loose binomial band (25 docs/source at sf0.001)
+    Seq("src1" -> 0.25, "src2" -> 0.5).foreach { case (src, p) =>
+      val rate = bySrc.getOrElse(src, 0).toDouble / totals(src)
+      assert(math.abs(rate - p) < 0.35, s"$src rate $rate vs $p")
+    }
+    // unweighted sources keep everything
+    assert(bySrc("src4").toLong == totals("src4"))
+    // repartition-invariant (content-hash draw, no RNG state)
+    val again = TextOps.weightedSample(docs.repartition(13), w).collect()
+    assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("rolling daily window equals a brute-force trailing-7-day sum") {
     val ev = cat.table("events")
     val out = EventOps.rollingDaily(ev, 7).collect()
