@@ -20,7 +20,9 @@ object ExplainAudit {
         "t11_decontaminate", "t12_rarity", "s05_knn_quantized",
         "e04_funnel", "t14_lm_score", "e06_time_to_convert",
         "s06_kmeans_assign", "d09_dup_sources", "t15_chunk_windows",
-        "d03_simhash")
+        "d03_simhash", "d10_embedding_neardup_lsh", "t16_seq_pack",
+        "t17_collocations", "t18_weighted_sample", "e07_rolling_daily",
+        "q42_parallel_period")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -90,6 +90,21 @@ class MdxSpec extends AnyFunSuite {
     assert(intercept[GraftException](Planner.plan(cat, shadow)).status == 400)
   }
 
+  test("MDX references a PARALLELPERIOD lag measure by alias (B8 ext)") {
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue], [Measures].[yoy_prev_revenue],
+        |  [Measures].[yoy_growth]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.length > 12)
+    (12 until rows.length).foreach { i =>
+      assert(rows(i).getDouble(3) == rows(i - 12).getDouble(2),
+        s"row $i: MDX yoy lag mismatch")
+    }
+  }
+
   test("WITH MEMBER alias may contain spaces (standard MDX names)") {
     val q = MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[Profit Margin] AS
