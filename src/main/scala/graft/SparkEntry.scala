@@ -364,6 +364,13 @@ object SparkEntry {
       "t18_weighted_sample" -> tbl("documents")(
         ops.TextOps.weightedSample(_,
           Map("src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.0))),
+      // fuzzy decontamination: corpus docs near-duplicating the src0 "eval
+      // set" via cross-set LSH banding (oracle = all-pairs cross Jaccard —
+      // banded recall is 1.0 at this corpus's similarity gap, see d02)
+      "d11_fuzzy_decontam" -> tbl("documents")(d =>
+        ops.Dedup.fuzzyDecontaminate(
+          d.where(d("source") =!= "src0"),
+          d.where(d("source") === "src0"), 3, 32, 4, 0.5)),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -1286,6 +1293,25 @@ object SparkEntry {
         |CROSS JOIN tot
         |WHERE c_xy >= 5
         |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    // d11: all-pairs cross-set Jaccard (recall-1.0 argument as d02); the
+    // division's integer operands make max_jaccard bit-identical
+    "d11_fuzzy_decontam" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |p AS (SELECT c.doc_id, b.doc_id AS b_id,
+        |    len(list_intersect(c.sh, b.sh)) AS inter,
+        |    len(c.sh) AS na, len(b.sh) AS nb
+        |  FROM sh c JOIN sh b ON c.source <> 'src0' AND b.source = 'src0'
+        |  WHERE len(c.sh) > 0 AND len(b.sh) > 0),
+        |j AS (SELECT doc_id, inter / (na + nb - inter) AS jaccard FROM p
+        |  WHERE inter / (na + nb - inter) >= 0.5)
+        |SELECT doc_id, COUNT(1) AS n_bench_matches,
+        |MAX(jaccard) AS max_jaccard
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t18: u = first 8 md5 hex digits as an integer (Horner form — the same
     // instr-digit recipe as t07); the keep test compares exact integers
     // against weight·2³² in double (u < 2³² ⇒ exactly representable)

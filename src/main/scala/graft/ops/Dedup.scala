@@ -184,6 +184,43 @@ object Dedup {
     (pairs, LshIndex(index.postings.unionByName(d.postings), sigs))
   }
 
+  /** FUZZY decontamination — the near-duplicate upgrade of the exact-n-gram
+    * pass ([[graft.ops.TextOps.decontaminate]]): corpus documents whose
+    * shingle-Jaccard similarity to ANY benchmark document reaches
+    * `threshold` (the GPT-3-style "remove train docs fuzzily matching eval
+    * data" step). Candidates come from a CROSS-set LSH band join — corpus
+    * postings ⋈ bench postings on (band, bh) — so work is ∝ colliding
+    * buckets, never |corpus|×|bench|; the bench side is tiny by construction
+    * and its postings broadcast at any corpus scale. Verification re-attaches
+    * hashed shingles for surviving candidates only (same skinny-pair
+    * discipline as [[minhashLshPairs]]).
+    *
+    * Output: one row per contaminated corpus doc — how many bench docs it
+    * fuzzily matches and the worst (max) Jaccard. */
+  def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame, shingleK: Int,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
+    val ci = lshIndex(corpus, shingleK, bands, rows)
+    val bi = lshIndex(bench, shingleK, bands, rows)
+    val cand = ci.postings
+      .select(col("band"), col("bh"), col("doc_id").as("c_id"))
+      .join(broadcast(bi.postings.select(col("band"), col("bh"),
+        col("doc_id").as("b_id"))), Seq("band", "bh"))
+      .select("c_id", "b_id").distinct()
+    cand
+      .join(ci.signatures.select(col("doc_id").as("c_id"),
+        col("sh").as("sh_c")), "c_id")
+      .join(broadcast(bi.signatures.select(col("doc_id").as("b_id"),
+        col("sh").as("sh_b"))), "b_id")
+      .withColumn("inter", expr("size(array_intersect(sh_c, sh_b))"))
+      .withColumn("jaccard",
+        expr("inter / (size(sh_c) + size(sh_b) - inter)"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("c_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** Block keys for fingerprints within Hamming distance `d`: the 64 bits
     * split into m = d + 2 near-equal blocks; ≤ d differing bits can touch at
     * most d blocks, so every qualifying pair agrees EXACTLY on some

@@ -688,6 +688,21 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("fuzzy decontamination flags a corpus clone of a bench doc") {
+    // clone a src0 (bench) doc into the corpus under a new id — the corpus
+    // side must be flagged with max_jaccard 1.0
+    val bench = docs.where(col("source") === "src0")
+    val firstBench = bench.orderBy("doc_id").limit(1)
+      .withColumn("doc_id", lit(200001L)).withColumn("source", lit("srcX"))
+    val corpus = docs.where(col("source") =!= "src0")
+      .unionByName(firstBench)
+    val out = Dedup.fuzzyDecontaminate(corpus, bench, 3, 32, 4, 0.5)
+      .collect()
+    val hit = out.find(_.getLong(0) == 200001L)
+    assert(hit.nonEmpty, "planted clone not flagged")
+    assert(hit.get.getDouble(2) == 1.0)
+  }
+
   test("rolling daily window equals a brute-force trailing-7-day sum") {
     val ev = cat.table("events")
     val out = EventOps.rollingDaily(ev, 7).collect()
