@@ -371,6 +371,9 @@ object SparkEntry {
         ops.Dedup.fuzzyDecontaminate(
           d.where(d("source") =!= "src0"),
           d.where(d("source") === "src0"), 3, 32, 4, 0.5)),
+      // tokenizer vocabulary induction: first 6 BPE merges, replayed
+      // bit-exactly by an unrolled per-round SQL oracle
+      "t19_bpe_merges" -> tbl("documents")(ops.TextOps.bpeMerges(_, 6)),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -1312,6 +1315,7 @@ object SparkEntry {
         |SELECT doc_id, COUNT(1) AS n_bench_matches,
         |MAX(jaccard) AS max_jaccard
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t19_bpe_merges" -> bpeOracleSql,
     // t18: u = first 8 md5 hex digits as an integer (Horner form — the same
     // instr-digit recipe as t07); the keep test compares exact integers
     // against weight·2³² in double (u < 2³² ⇒ exactly representable)
@@ -1499,6 +1503,37 @@ object SparkEntry {
   /** DuckDB replay of [[ops.Similarity.knnLsh]] with bits=8, dim=64: the
     * seeded hyperplanes are embedded as double literals (shortest round-trip
     * decimal — DuckDB parses back to the identical binary64). */
+  // t19: the iterative BPE procedure unrolled — per round: pair counts over
+  // the flanked symbol strings, a LIMIT-1 argmax (cnt desc, pair asc — the
+  // same total order the Spark driver argmax uses), and a replace() whose
+  // left-to-right non-overlapping semantics match Spark's exactly
+  private lazy val bpeOracleSql: String = {
+    val rounds = 6
+    val base =
+      """words AS (SELECT w, COUNT(1) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |w0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, n
+        |  FROM words)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (SELECT sy[g] AS a, sy[g + 1] AS b, SUM(n) AS cnt FROM (
+         |  SELECT regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS sy, n,
+         |    unnest(generate_series(1,
+         |      len(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) - 1)) AS g
+         |  FROM $prev) GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$r AS (SELECT replace($prev.s, '(' || b$r.a || ')(' || b$r.b || ')',
+         |  '(' || b$r.a || b$r.b || ')') AS s, n FROM $prev, b$r)""".stripMargin
+    }
+    val selects = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS round, a AS lhs, b AS rhs, " +
+        s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${(base +: perRound).mkString(",\n")}\n$selects\nORDER BY round"
+  }
+
   // d10: the deterministic hyperplanes are expanded to literal lists, so the
   // oracle replays bucket assignment (sign of the same sequential-fold dot),
   // the 2-table candidate union, and the exact cosine verification

@@ -480,6 +480,62 @@ object TextOps {
       .limit(k)
   }
 
+  /** BPE MERGE INDUCTION — learn the first `rounds` byte-pair-encoding
+    * merges of a tokenizer vocabulary from the corpus. Each round counts
+    * adjacent symbol pairs across the word-type table (weighted by word
+    * frequency), picks the most frequent pair (ties: lexicographic — a
+    * total order, so the whole procedure is deterministic), and applies the
+    * merge everywhere. Words are held as flanked symbol strings
+    * `(t)(a)(b)(l)(e)` so a merge is ONE non-overlapping left-to-right
+    * `replace` — exactly BPE's greedy application order, and exactly what
+    * the SQL oracle replays with its own `replace` (unrolled per round,
+    * like the s06 k-means oracle).
+    *
+    * Scale shape: state is the word-TYPE table (vocabulary-sized, not
+    * corpus-sized) built by one shuffle over the corpus; each round is one
+    * explode + hash-agg over it plus a driver-side argmax of ONE row (the
+    * merge table is driver-sized by construction — same justification as
+    * the k-means centroid collect). Real tokenizer training runs thousands
+    * of rounds over exactly this state shape. */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs.select(explode(tokens("text")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("s", expr(
+        "concat_ws('', transform(filter(split(w, ''), c -> c <> ''), " +
+          "c -> concat('(', c, ')')))"))
+      .select("s", "n")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = cur
+        .withColumn("sy", expr("regexp_extract_all(s, '\\\\(([^)]*)\\\\)', 1)"))
+        .select(col("n"), explode(expr(
+          "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1), " +
+            "(a, b) -> struct(a AS a, b AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, a + b, cnt))
+        cur = cur.withColumn("s",
+            replace(col("s"), lit(s"($a)($b)"), lit(s"(${a + b})")))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {

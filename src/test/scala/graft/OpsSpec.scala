@@ -688,6 +688,16 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("BPE merges follow frequency order on a hand-computed corpus") {
+    import spark.implicits._
+    val tiny = Seq((0L, "ab ab ab"), (1L, "abc")).toDF("doc_id", "text")
+    val m = TextOps.bpeMerges(tiny, 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // (a,b) appears 4x (3 in 'ab', 1 in 'abc'); after merging, (ab,c) once
+    assert(m.toSeq == Seq((1, "a", "b", "ab", 4L), (2, "ab", "c", "abc", 1L)))
+  }
+
   test("fuzzy decontamination flags a corpus clone of a bench doc") {
     // clone a src0 (bench) doc into the corpus under a new id — the corpus
     // side must be flagged with max_jaccard 1.0
