@@ -374,6 +374,15 @@ object SparkEntry {
       // tokenizer vocabulary induction: first 6 BPE merges, replayed
       // bit-exactly by an unrolled per-round SQL oracle
       "t19_bpe_merges" -> tbl("documents")(ops.TextOps.bpeMerges(_, 6)),
+      // tokenize the corpus with the learned merges (memoized — a trained
+      // tokenizer is a ship-once artifact, like the IVF index)
+      "t20_bpe_tokenize" -> ((s: SparkSession, dir: String) => {
+        val d = CubeCatalog.forDir(s, dir).table("documents")
+        val merges = ops.IndexCache.memo(s, s"bpe:$dir:6") {
+          ops.TextOps.bpeMergeTable(d, 6)
+        }
+        ops.TextOps.applyBpe(d, merges)
+      }),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -1316,6 +1325,7 @@ object SparkEntry {
         |MAX(jaccard) AS max_jaccard
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t19_bpe_merges" -> bpeOracleSql,
+    "t20_bpe_tokenize" -> bpeTokenizeOracleSql,
     // t18: u = first 8 md5 hex digits as an integer (Horner form — the same
     // instr-digit recipe as t07); the keep test compares exact integers
     // against weight·2³² in double (u < 2³² ⇒ exactly representable)
@@ -1507,15 +1517,18 @@ object SparkEntry {
   // the flanked symbol strings, a LIMIT-1 argmax (cnt desc, pair asc — the
   // same total order the Spark driver argmax uses), and a replace() whose
   // left-to-right non-overlapping semantics match Spark's exactly
-  private lazy val bpeOracleSql: String = {
-    val rounds = 6
+  private val bpeRounds = 6
+
+  /** The shared unrolled-BPE CTE chain: words → w0 and per-round
+    * (pair counts p_r, argmax b_r, merged word table w_r). */
+  private lazy val bpeCtes: String = {
     val base =
       """words AS (SELECT w, COUNT(1) AS n FROM
         |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  GROUP BY w),
         |w0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, n
         |  FROM words)""".stripMargin
-    val perRound = (1 to rounds).map { r =>
+    val perRound = (1 to bpeRounds).map { r =>
       val prev = s"w${r - 1}"
       s"""p$r AS (SELECT sy[g] AS a, sy[g + 1] AS b, SUM(n) AS cnt FROM (
          |  SELECT regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS sy, n,
@@ -1527,11 +1540,35 @@ object SparkEntry {
          |w$r AS (SELECT replace($prev.s, '(' || b$r.a || ')(' || b$r.b || ')',
          |  '(' || b$r.a || b$r.b || ')') AS s, n FROM $prev, b$r)""".stripMargin
     }
-    val selects = (1 to rounds).map { r =>
+    (base +: perRound).mkString(",\n")
+  }
+
+  private lazy val bpeOracleSql: String = {
+    val selects = (1 to bpeRounds).map { r =>
       s"SELECT CAST($r AS INTEGER) AS round, a AS lhs, b AS rhs, " +
         s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$r"
     }.mkString("\nUNION ALL ")
-    s"WITH ${(base +: perRound).mkString(",\n")}\n$selects\nORDER BY round"
+    s"WITH $bpeCtes\n$selects\nORDER BY round"
+  }
+
+  // t20: re-derive the merges (b1..bN) and apply them in training order as
+  // nested replace() calls — left-to-right non-overlapping in both engines
+  private lazy val bpeTokenizeOracleSql: String = {
+    val nested = (1 to bpeRounds).foldLeft("tok.s") { (acc, r) =>
+      s"replace($acc, '(' || b$r.a || ')(' || b$r.b || ')', " +
+        s"'(' || b$r.a || b$r.b || ')')"
+    }
+    val bs = (1 to bpeRounds).map(r => s"b$r").mkString(", ")
+    s"""WITH $bpeCtes,
+       |tok AS (SELECT doc_id, regexp_replace(w, '(.)', '(\\1)', 'g') AS s
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)),
+       |ap AS (SELECT doc_id, $nested AS s FROM tok, $bs)
+       |SELECT doc_id,
+       |CAST(SUM(len(regexp_extract_all(s, '\\(([^)]*)\\)', 1))) AS BIGINT)
+       |  AS n_bpe_tokens,
+       |COUNT(1) AS n_words
+       |FROM ap GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // d10: the deterministic hyperplanes are expanded to literal lists, so the

@@ -500,6 +500,17 @@ object TextOps {
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeMergeTable(docs, rounds)
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** The learned merge table itself — (round, lhs, rhs, merged, count).
+    * Driver-sized by construction (one row per round); a LEARNED artifact a
+    * pipeline trains once and ships with the tokenizer, so callers memoize
+    * it via [[graft.ops.IndexCache]]. */
+  def bpeMergeTable(docs: DataFrame,
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
     var cur = docs.select(explode(tokens("text")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .withColumn("s", expr(
@@ -532,8 +543,30 @@ object TextOps {
       }
     }
     merges.result()
-      .toDF("round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy("round")
+  }
+
+  /** TOKENIZE the corpus with a learned BPE merge table ([[bpeMergeTable]]):
+    * apply the merges in training order to every word (the same flanked-
+    * string replace as induction — greedy, non-overlapping) and emit the
+    * per-document BPE token count, the "how many tokens is this corpus
+    * under MY tokenizer" pass that budgets every training run. Map-only
+    * over the corpus plus one doc_id regroup; the merge table rides as
+    * literals (broadcast-free). */
+  def applyBpe(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    val flanked = docs.select(col("doc_id"), explode(tokens("text")).as("w"))
+      .withColumn("s", expr(
+        "concat_ws('', transform(filter(split(w, ''), c -> c <> ''), " +
+          "c -> concat('(', c, ')')))"))
+    val applied = merges.foldLeft(flanked) { case (df, (_, a, b, m, _)) =>
+      df.withColumn("s", replace(col("s"), lit(s"($a)($b)"), lit(s"($m)")))
+    }
+    applied
+      .withColumn("k",
+        expr("size(regexp_extract_all(s, '\\\\(([^)]*)\\\\)', 1))"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+      .orderBy("doc_id")
   }
 
   /** Top-k tokens per language by frequency (explode → count → window
