@@ -349,6 +349,12 @@ object SparkEntry {
       "e06_time_to_convert" -> tbl("events")(ops.EventOps.timeToConvert(_)),
       // 7-day calendar-RANGE rolling revenue per event type
       "e07_rolling_daily" -> tbl("events")(ops.EventOps.rollingDaily(_, 7)),
+      // bounded interval join: per event, the user's orders in the trailing
+      // 7 days — bucketed equi-join, never a per-key nested loop
+      "e08_interval_join" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        ops.EventOps.intervalJoin(c.table("events"), c.table("orders"), 7)
+      }),
       // full-corpus embedding near-dup: 2 hyperplane-LSH tables × 6 bits as
       // the blocking key (the scale composition d05's blocked primitive
       // defers to)
@@ -1305,6 +1311,22 @@ object SparkEntry {
         |CROSS JOIN tot
         |WHERE c_xy >= 5
         |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    // e08: the oracle IS the naive inequality join — the bucketed equi-join
+    // must return identical rows
+    "e08_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS e_day,
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS e_d
+        |  FROM events),
+        |od AS (SELECT o_custkey AS user_id,
+        |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_d,
+        |  CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(27,6)) AS v
+        |  FROM orders)
+        |SELECT e.event_id, e.user_id, e.e_day,
+        |CAST(COUNT(o.o_d) AS BIGINT) AS n_orders,
+        |CAST(COALESCE(SUM(o.v), 0) AS DOUBLE) AS order_total
+        |FROM ev e LEFT JOIN od o
+        |  ON e.user_id = o.user_id AND o.o_d <= e.e_d AND o.o_d > e.e_d - 7
+        |GROUP BY 1, 2, 3 ORDER BY e.event_id""".stripMargin,
     // d11: all-pairs cross-set Jaccard (recall-1.0 argument as d02); the
     // division's integer operands make max_jaccard bit-identical
     "d11_fuzzy_decontam" ->

@@ -197,6 +197,45 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Bounded INTERVAL JOIN — per event, aggregate the same user's orders in
+    * the trailing `days`-day window. The naive spelling is an inequality
+    * (range) join that Spark can only run as a per-key nested loop — it
+    * blows up O(|events|·|orders per user|). This is the BUCKETED form: both
+    * sides key on (user, ⌊epoch_day / days⌋); each order additionally posts
+    * to the NEXT bucket, so every qualifying (event, order) pair — which
+    * spans at most one bucket boundary — meets on exactly one equi-key, and
+    * the exact window predicate prunes the rest. Work: one 2× explode of
+    * the orders side + one hash equi-join; never a nested loop, at any
+    * scale. A candidate pair meets once (its order-bucket posting matching
+    * the event's bucket is unique), so no dedup pass is needed.
+    *
+    * Output: one row per event with the trailing-window order count and
+    * decimal-exact total (0/0.0 when none — the join is left). */
+  def intervalJoin(events: DataFrame, orders: DataFrame,
+      days: Int = 7): DataFrame = {
+    val anchor = lit("1970-01-01").cast("date")
+    val ev = events.select(col("event_id"), col("user_id"),
+        col("ts").cast("date").as("e_day"))
+      .withColumn("e_d", datediff(col("e_day"), anchor))
+      .withColumn("bucket", expr(s"e_d DIV $days"))
+    val ord = orders.select(col("o_custkey").as("user_id"),
+        datediff(col("o_orderdate").cast("date"), anchor).as("o_d"),
+        expr("CAST(o_totalprice AS DECIMAL(27,6))").as("v"))
+      .withColumn("b0", expr(s"o_d DIV $days"))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+      .select("user_id", "bucket", "o_d", "v")
+    ev.join(ord, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        col("o_d").isNotNull &&
+          col("o_d") <= col("e_d") && col("o_d") > col("e_d") - days)
+      .groupBy("event_id", "user_id", "e_day")
+      .agg(
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_orders"),
+        coalesce(sum(when(col("hit"), col("v"))), lit(0).cast("decimal(27,6)"))
+          .cast("double").as("order_total"))
+      .orderBy("event_id")
+  }
+
   /** Per-event-type stats over a JSON-extracted numeric field. */
   def jsonFieldStats(events: DataFrame, field: String): DataFrame = {
     val k = get_json_object(col("props"), s"$$.$field").cast("long")

@@ -713,6 +713,31 @@ class OpsSpec extends AnyFunSuite {
     assert(hit.get.getDouble(2) == 1.0)
   }
 
+  test("interval join plans as a hash equi-join, never a nested loop") {
+    val out = EventOps.intervalJoin(cat.table("events"), cat.table("orders"), 7)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "bucketed interval join must not fall back to a nested loop")
+    // exactness vs the naive per-row check on collected data
+    val events = cat.table("events")
+      .selectExpr("event_id", "user_id", "CAST(ts AS DATE) AS d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val orders = cat.table("orders")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d",
+        "o_totalprice")
+      .collect().groupBy(_.getLong(0))
+    val got = out.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    events.take(500).foreach { case (eid, uid, ed) =>
+      val expected = orders.getOrElse(uid, Array.empty).count { o =>
+        val od = o.getDate(1).toLocalDate
+        !od.isAfter(ed) && od.isAfter(ed.minusDays(7))
+      }
+      assert(got(eid) == expected.toLong, s"event $eid")
+    }
+  }
+
   test("rolling daily window equals a brute-force trailing-7-day sum") {
     val ev = cat.table("events")
     val out = EventOps.rollingDaily(ev, 7).collect()
