@@ -174,6 +174,76 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class FunnelIn(user_id: Long, ts: java.sql.Timestamp, step: Int)
+  final case class FunnelProg(user_id: Long, step_times_us: Seq[Long],
+      steps_completed: Int)
+  // buffered (t_us, step) pending the watermark + the set step times
+  final case class FunnelSt(buf: Seq[(Long, Int)], times: Seq[Long])
+
+  /** Streaming ORDERED FUNNEL — the continuous twin of
+    * [[graft.ops.EventOps.funnel]]: per user, the earliest time each step
+    * was reached at-or-after the previous step's time. Events wait in the
+    * same watermark reorder buffer as [[asofJoinStream]], then apply to the
+    * per-user step machine in global (t, step) order — ascending across
+    * triggers because the watermark only moves forward, so each step time
+    * is set exactly once, to the value the batch operator computes. A
+    * buffered event for step s+1 that precedes the (future) step-s time can
+    * never become eligible (all later-set times are ≥ its own t), so
+    * skipping it on processing is exact, and state stays bounded: the
+    * reorder buffer drains at the watermark and the step vector is k longs.
+    *
+    * Emits a refreshed (user, step-times, steps_completed) row whenever a
+    * user's vector extends; the LATEST row per user equals the batch
+    * funnel (steps_completed is monotone, so "latest" is well-defined in
+    * append mode). */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], delay: String): Dataset[FunnelProg] = {
+    import spark.implicits._
+    require(steps.size >= 2, "a funnel needs at least two steps")
+
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def update(userId: Long, rows: Iterator[FunnelIn],
+        st: GroupState[FunnelSt]): Iterator[FunnelProg] = {
+      val prev = st.getOption.getOrElse(FunnelSt(Nil, Nil))
+      var buf = prev.buf
+      if (!st.hasTimedOut)
+        rows.foreach(r => buf :+= ((micros(r.ts), r.step)))
+      val wmMs = st.getCurrentWatermarkMs()
+      val (ready, pending) = buf.partition(_._1 / 1000 <= wmMs)
+      var times = prev.times
+      ready.sortBy(identity).foreach { case (t, s) =>
+        if (s == times.length && (s == 0 || t >= times(s - 1)))
+          times :+= t
+      }
+      val out =
+        if (times.length > prev.times.length)
+          Iterator.single(FunnelProg(userId, times, times.length))
+        else Iterator.empty
+      if (pending.isEmpty && times.isEmpty) st.remove()
+      else {
+        st.update(FunnelSt(pending, times))
+        if (pending.nonEmpty)
+          st.setTimeoutTimestamp(pending.map(_._1).min / 1000 + 1)
+      }
+      out
+    }
+
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    events.withWatermark("ts", delay)
+      .withColumn("step", stepIdx)
+      .where(col("step").isNotNull)
+      .select(col("user_id"), col("ts"), col("step"))
+      .as[FunnelIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming EXACT DEDUP — the continuous twin of the batch keep-first
     * pipeline ([[graft.ops.TextOps.dedupKeepFirst]]): drop every document
     * whose content digest has already been admitted. Same md5 content key

@@ -105,6 +105,53 @@ class StreamingSpec extends AnyFunSuite {
       s"${(unemitted -- lateOk).size} closed events missing")
   }
 
+  test("streaming funnel's latest row per user equals the batch funnel") {
+    val steps = Seq("view", "click", "purchase")
+    val stream = Streaming.readEventsStream(spark, eventsDir)
+    val name = Streaming.runToMemory(spark,
+      Streaming.funnelStream(spark, stream, steps, "1 minute").toDF(),
+      "funnel_test")
+    // steps_completed is monotone per user → max row is the latest
+    val streamed = spark.table(name).collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val last = rows.maxBy(_.getInt(2))
+        u -> ((last.getSeq[Long](1), last.getInt(2)))
+      }
+    val batch = graft.ops.EventOps.funnel(cat.table("events"), steps)
+      .collect()
+      .map { r =>
+        val times = (1 to steps.size).map(i => Option(r.get(i)))
+          .takeWhile(_.nonEmpty).map(_.get.asInstanceOf[Long])
+        r.getLong(0) -> ((times, r.getInt(steps.size + 1)))
+      }.toMap
+    assert(streamed.nonEmpty)
+    // every streamed vector must equal the batch vector for that user
+    streamed.foreach { case (u, (times, n)) =>
+      assert(batch.contains(u), s"user $u not in batch funnel")
+      val (bTimes, bN) = batch(u)
+      // the stream may still be short of steps landing after the final
+      // watermark; whatever it HAS emitted must be a prefix of batch
+      assert(times == bTimes.take(times.length), s"user $u: $times vs $bTimes")
+      assert(n <= bN)
+    }
+    // users fully closed by the final watermark must match exactly
+    val horizonUs = cat.table("events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) -
+      60L * 1000000L
+    val fullyClosed = cat.table("events")
+      .where(col("event_type").isin(steps: _*))
+      .groupBy("user_id").agg(max(unix_micros(col("ts"))).as("t"))
+      .where(col("t") <= horizonUs)
+      .collect().map(_.getLong(0)).toSet
+    fullyClosed.foreach { u =>
+      if (batch.contains(u)) {
+        assert(streamed.contains(u), s"closed user $u missing from stream")
+        assert(streamed(u) == batch(u), s"closed user $u differs")
+      }
+    }
+  }
+
   test("streaming document dedup admits exactly one doc per content digest") {
     // replay the corpus twice (at-least-once ingest) — the streaming twin
     // must admit each distinct content exactly once, matching the batch
