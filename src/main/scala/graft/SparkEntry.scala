@@ -389,6 +389,36 @@ object SparkEntry {
         }
         ops.TextOps.applyBpe(d, merges)
       }),
+      // one-scan GROUPING SETS lattice — the query-surface form of the
+      // Rollups.buildMany materialization: ROLLUP(region, brand) computes
+      // the (region×brand, region, total) levels in ONE fact pass with
+      // partial aggregation, instead of three scans
+      "q43_grouping_sets" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        val c = CubeCatalog.forDir(s, dir)
+        c.table("lineitem")
+          .join(broadcast(c.table("supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c.table("nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(c.table("region")
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(c.table("part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .rollup(col("r_name").as("region"), col("p_brand").as("brand"))
+          .agg(
+            grouping_id().cast("int").as("gid"),
+            sum(expr(
+              "CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,6))"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("cnt"))
+          .select("gid", "region", "brand", "revenue", "cnt")
+          .orderBy("gid", "region", "brand")
+      }),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -1311,6 +1341,19 @@ object SparkEntry {
         |CROSS JOIN tot
         |WHERE c_xy >= 5
         |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    // q43: DuckDB GROUPING(a, b) uses the same MSB-first bitmask as Spark's
+    // grouping_id() (verified: rollup levels 0, 1, 3)
+    "q43_grouping_sets" ->
+      s"""SELECT CAST(GROUPING(r_name, p_brand) AS INTEGER) AS gid,
+         |r_name AS region, p_brand AS brand,
+         |${sumd(REV, "revenue")}, COUNT(1) AS cnt
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY ROLLUP(r_name, p_brand)
+         |ORDER BY 1, 2, 3""".stripMargin,
     // e08: the oracle IS the naive inequality join — the bucketed equi-join
     // must return identical rows
     "e08_interval_join" ->
