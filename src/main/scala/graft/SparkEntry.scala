@@ -335,6 +335,9 @@ object SparkEntry {
       "t12_rarity" -> tbl("documents")(ops.TextOps.unigramRarity),
       // per-doc repeated-span profile (exact-substring dedup signal)
       "d08_dup_spans" -> tbl("documents")(ops.Dedup.dupSpanStats(_, 10)),
+      // the transform d08 profiles: remove corpus-repeated 10-token spans
+      "t21_trim_spans" -> tbl("documents")(
+        ops.Dedup.trimRepeatedSpans(_, 10)),
       // log-free BM25 keyword search, top-20
       "t13_bm25" -> tbl("documents")(
         ops.TextOps.bm25TopK(_, Seq("spark", "hash", "join"), 20)),
@@ -1391,6 +1394,34 @@ object SparkEntry {
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t19_bpe_merges" -> bpeOracleSql,
     "t20_bpe_tokenize" -> bpeTokenizeOracleSql,
+    // t21: span strings + positions replayed verbatim; reassembly is the
+    // ordered string_agg twin of Spark's sorted collect_list
+    "t21_trim_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sp AS (SELECT doc_id, g AS pos,
+        |  array_to_string(w[g:g+9], ' ') AS span
+        |  FROM (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 9)) AS g FROM d)),
+        |shared AS (SELECT span FROM
+        |  (SELECT span, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY span)
+        |  WHERE nd >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS cpos
+        |  FROM (SELECT s.doc_id, s.pos, unnest(generate_series(0, 9)) AS o
+        |    FROM sp s JOIN shared sh ON s.span = sh.span)),
+        |toks AS (SELECT doc_id, g AS pos, w[g] AS tok
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS g
+        |    FROM d)),
+        |kept AS (SELECT t.doc_id, CAST(COUNT(1) AS BIGINT) AS n_kept,
+        |  string_agg(t.tok, ' ' ORDER BY t.pos) AS trimmed_text
+        |  FROM toks t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |  WHERE c.cpos IS NULL GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
+        |CAST(len(d.w) - COALESCE(k.n_kept, 0) AS INTEGER) AS n_removed,
+        |COALESCE(k.trimmed_text, '') AS trimmed_text
+        |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // t18: u = first 8 md5 hex digits as an integer (Horner form — the same
     // instr-digit recipe as t07); the keep test compares exact integers
     // against weight·2³² in double (u < 2³² ⇒ exactly representable)

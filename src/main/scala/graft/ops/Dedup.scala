@@ -551,6 +551,56 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** REPEATED-SPAN TRIMMING — the transform [[dupSpanStats]] only profiles:
+    * rewrite each document with every corpus-repeated k-token span REMOVED
+    * (the MassiveText/RefinedWeb "remove repeated passages" pass). A span
+    * is repeated when it occurs in ≥ 2 documents; every token position
+    * covered by any repeated span is dropped, and the survivors rejoin in
+    * order.
+    *
+    * Scale shape: positions explode ∝ tokens, coverage explode ∝ k·hits —
+    * all shuffles key on span or doc_id, nothing pairwise; per-doc
+    * reassembly sorts only that doc's own surviving tokens (array_sort of
+    * a collect_list — doc-sized, the same bound as holding the document).
+    * Spans travel as strings so the SQL oracle replays every step
+    * verbatim. */
+  def trimRepeatedSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
+    // (doc_id, pos, span): pos is 1-based; docs shorter than k have none
+    val sp = d.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) < $k THEN
+           |  CAST(array() AS ARRAY<STRUCT<pos: INT, span: STRING>>)
+           |ELSE transform(sequence(1, size(w) - ${k - 1}),
+           |  i -> struct(i AS pos, concat_ws(' ', slice(w, i, $k)) AS span))
+           |END""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+    val shared = sp.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("span")
+    val cov = sp.join(shared, "span")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("cpos"))
+      .distinct()
+    val toks = d.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(cov,
+        toks("doc_id") === cov("doc_id") && col("pos") === col("cpos"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, tok))), s -> s.tok), ' ')").as("trimmed_text"))
+    d.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)).cast("int"))
+          .as("n_removed"),
+        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key. Embeddings are
     * L2-normalized, so cosine = dot product (sequential double fold — matches
     * the DuckDB oracle bit-for-bit). */

@@ -698,6 +698,22 @@ class OpsSpec extends AnyFunSuite {
     assert(m.toSeq == Seq((1, "a", "b", "ab", 4L), (2, "ab", "c", "abc", 1L)))
   }
 
+  test("repeated-span trimming removes exactly the planted shared span") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // exactly k tokens
+    val tiny = Seq(
+      (0L, s"$boiler u1 u2 u3"), // shared prefix + unique tail
+      (1L, s"v1 v2 $boiler"),    // shared suffix
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11")).toDF("doc_id", "text")
+    val out = Dedup.trimRepeatedSpans(tiny, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((13, 10, "u1 u2 u3")))
+    assert(out(1L) == ((12, 10, "v1 v2")))
+    assert(out(2L) == ((11, 0,
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"))) // untouched
+  }
+
   test("fuzzy decontamination flags a corpus clone of a bench doc") {
     // clone a src0 (bench) doc into the corpus under a new id — the corpus
     // side must be flagged with max_jaccard 1.0
