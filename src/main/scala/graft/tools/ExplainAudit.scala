@@ -22,7 +22,8 @@ object ExplainAudit {
         "s06_kmeans_assign", "d09_dup_sources", "t15_chunk_windows",
         "d03_simhash", "d10_embedding_neardup_lsh", "t16_seq_pack",
         "t17_collocations", "t18_weighted_sample", "e07_rolling_daily",
-        "q42_parallel_period")
+        "q42_parallel_period", "d11_fuzzy_decontam", "t19_bpe_merges",
+        "t21_trim_spans", "e08_interval_join", "q43_grouping_sets")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
