@@ -267,6 +267,9 @@ object SparkEntry {
         ops.Similarity.kmeansAssignWith(emb, cs)
       }),
       "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
+      // daily session-quality rollup composed on the sessionize plan
+      "e09_session_stats" -> tbl("events")(
+        ops.Sessionize.sessionStats(_, 30)),
       // features flattened to scalar columns: the driver's compare sorts the
       // frame in pandas, which cannot lexsort an array column
       "m01_multimodal_decode" -> ((s: SparkSession, dir: String) =>
@@ -1021,6 +1024,29 @@ object SparkEntry {
         |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(1) AS n_events,
         |CAST(SUM(CAST(CAST((value) AS VARCHAR) AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e09: e01's session table rolled up by start day (exact integer micros
+    // into one fixed-shape double division — the e06 convention)
+    "e09_session_stats" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |lagd AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id) AS prev_us FROM ev),
+        |flagged AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagd),
+        |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM flagged),
+        |st AS (SELECT user_id, sess_idx, MIN(ts_us) AS start_us,
+        |  MAX(ts_us) AS end_us, COUNT(1) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+        |COUNT(1) AS sessions,
+        |CAST(SUM(n_events) AS BIGINT) AS events,
+        |CAST(SUM(end_us - start_us) AS DOUBLE) / COUNT(1) / 1000000.0
+        |  AS avg_secs,
+        |CAST(SUM(n_events) AS DOUBLE) / COUNT(1) AS avg_events
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "t06_bpeish_tokens" ->
       """SELECT source, COUNT(1) AS docs,
         |CAST(SUM(

@@ -33,4 +33,24 @@ object Sessionize {
           .as("value_sum"))
       .orderBy("user_id", "sess_idx")
   }
+
+  /** Daily SESSION-QUALITY rollup over [[sessions]] — sessions started per
+    * day with mean duration and mean events/session (the engagement
+    * dashboard companion to the per-session table). Durations ride as exact
+    * integer micros into one fixed-shape double division (the e06
+    * convention), so the rollup replays bit-identically in SQL. Adds one
+    * day-keyed aggregation over session-sized rows to the sessionize
+    * plan — no new corpus-scale work. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessions(events, gapMinutes)
+      .withColumn("day", expr("CAST(timestamp_micros(start_us) AS DATE)"))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("sessions"),
+        sum(col("n_events")).as("events"),
+        (sum(col("end_us") - col("start_us")).cast("double") /
+          count(lit(1)) / lit(1000000.0)).as("avg_secs"),
+        (sum(col("n_events")).cast("double") / count(lit(1)))
+          .as("avg_events"))
+      .orderBy("day")
 }
