@@ -425,6 +425,93 @@ object SparkEntry {
           .select("gid", "region", "brand", "revenue", "cnt")
           .orderBy("gid", "region", "brand")
       }),
+      // top-3 brands per region by revenue — the "top N per group" report
+      // riding the GroupedTopK bounded-heap operator (≤ k rows per region
+      // shuffled, no full per-group sort)
+      "q44_topk_per_group" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        val c = CubeCatalog.forDir(s, dir)
+        val agg = c.table("lineitem")
+          .join(broadcast(c.table("supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c.table("nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(c.table("region")
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(c.table("part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+          .agg(sum(expr(
+            "CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,6))"))
+            .cast("double").as("revenue"))
+        plans.GroupedTopK.topK(agg, Seq(col("region")),
+            Seq(col("revenue").desc, col("brand").asc), 3)
+          .select("region", "rank", "brand", "revenue")
+          .orderBy("region", "rank")
+      }),
+      // cumulative (running-total) monthly revenue — months-sized input, so
+      // the one unpartitioned window is bounded by the calendar, and the
+      // accumulator stays DECIMAL (order-independent) until the final cast
+      "q45_running_total" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val c = CubeCatalog.forDir(s, dir)
+        c.table("orders")
+          .select(year(col("o_orderdate")).cast("int").as("order_year"),
+            month(col("o_orderdate")).cast("int").as("order_month"),
+            expr("CAST(o_totalprice AS DECIMAL(27,6))").as("v"))
+          .groupBy("order_year", "order_month")
+          .agg(sum(col("v")).as("rev_m"))
+          .withColumn("cum", sum(col("rev_m")).over(
+            Window.orderBy("order_year", "order_month")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("order_year"), col("order_month"),
+            col("rev_m").cast("double").as("revenue"),
+            col("cum").cast("double").as("cumulative_revenue"))
+          .orderBy("order_year", "order_month")
+      }),
+      // ratio-to-parent (share-of-region) — the Mondrian-style "% of parent"
+      // calculated measure: brand revenue over its region total, both sides
+      // decimal until the final double division
+      "q46_share_of_parent" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val c = CubeCatalog.forDir(s, dir)
+        c.table("lineitem")
+          .join(broadcast(c.table("supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c.table("nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(c.table("region")
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(c.table("part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+          .agg(sum(expr(
+            "CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,6))"))
+            .as("rev"))
+          .withColumn("tot", sum(col("rev")).over(
+            Window.partitionBy("region")))
+          .select(col("region"), col("brand"),
+            col("rev").cast("double").as("revenue"),
+            (col("rev").cast("double") / col("tot").cast("double"))
+              .as("share_of_region"))
+          .orderBy("region", "brand")
+      }),
+      // exact discrete per-type percentiles of the event value (p50/p90/p99)
+      "e10_value_percentiles" -> tbl("events")(
+        ops.EventOps.valuePercentiles(_, Seq(50, 90, 99))),
+      // per-doc top-3 TF-IDF keywords (log-free RSJ idf; GroupedTopK heaps)
+      "t22_tfidf_keywords" -> tbl("documents")(
+        ops.TextOps.tfidfKeywords(_, 3)),
       // §3.2: the raw-MDX path (parser → same planner IR) in the hash gate
       "q34_mdx_topcount" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -1383,6 +1470,79 @@ object SparkEntry {
          |JOIN part ON l_partkey = p_partkey
          |GROUP BY ROLLUP(r_name, p_brand)
          |ORDER BY 1, 2, 3""".stripMargin,
+    // q44: ROW_NUMBER over (revenue DESC, brand) is the total order the
+    // GroupedTopK heaps rank by
+    "q44_topk_per_group" ->
+      s"""WITH agg AS (SELECT r_name AS region, p_brand AS brand,
+         |  ${sumd(REV, "revenue")}
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2),
+         |r AS (SELECT region, brand, revenue,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY region
+         |    ORDER BY revenue DESC, brand ASC) AS INTEGER) AS rank
+         |  FROM agg)
+         |SELECT region, rank, brand, revenue FROM r WHERE rank <= 3
+         |ORDER BY region, rank""".stripMargin,
+    // q45: the running sum accumulates in DECIMAL on both engines, so
+    // evaluation order cannot move a bit; cast to double only at the end
+    "q45_running_total" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |  SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(27,6))) AS rev_m
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT order_year, order_month, CAST(rev_m AS DOUBLE) AS revenue,
+        |CAST(SUM(rev_m) OVER (ORDER BY order_year, order_month
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS cumulative_revenue
+        |FROM m ORDER BY 1, 2""".stripMargin,
+    // q46: region totals via a decimal window sum; the share is one
+    // double/double division with identical operands on both engines
+    "q46_share_of_parent" ->
+      s"""WITH agg AS (SELECT r_name AS region, p_brand AS brand,
+         |  SUM(${dec(REV)}) AS rev
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2)
+         |SELECT region, brand, CAST(rev AS DOUBLE) AS revenue,
+         |CAST(rev AS DOUBLE) /
+         |  CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+         |  AS share_of_region
+         |FROM agg ORDER BY region, brand""".stripMargin,
+    // e10: discrete percentile = the value at rank ⌈p·n/100⌉ in the
+    // (value, event_id) total order — the same ROW on both engines, so the
+    // double is bit-identical (no interpolation arithmetic to match)
+    "e10_value_percentiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY value ASC NULLS LAST, event_id ASC) AS rn,
+        |  COUNT(1) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n_events,
+        |MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(50 * n / 100.0) AS INT))
+        |  THEN value END) AS p50,
+        |MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(90 * n / 100.0) AS INT))
+        |  THEN value END) AS p90,
+        |MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(99 * n / 100.0) AS INT))
+        |  THEN value END) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // t22: score = tf · (N − df + ½)/(df + ½) — integer counts into one
+    // fixed-shape double expression (see t13); rank order is total
+    "t22_tfidf_keywords" ->
+      """WITH tfc AS (SELECT doc_id, term, COUNT(1) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |   FROM documents) GROUP BY 1, 2),
+        |dfc AS (SELECT term, COUNT(1) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT COUNT(1) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |  CAST(tf AS DOUBLE) * ((n_docs - df + 0.5) / (df + 0.5)) AS score
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     // e08: the oracle IS the naive inequality join — the bucketed equi-join
     // must return identical rows
     "e08_interval_join" ->

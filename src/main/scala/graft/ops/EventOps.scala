@@ -236,6 +236,42 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** EXACT per-group percentiles of the event value — the latency/size
+    * distribution report every pipeline SLO review asks for. The p-th
+    * percentile is defined discretely (no interpolation): the value at
+    * 1-based rank ⌈p·n/100⌉ in (value, event_id) ascending order — a total
+    * order, so the picked ROW (hence its double value, bit-for-bit) is
+    * deterministic and replayable by any engine; interpolated percentile_cont
+    * would instead inherit each engine's interpolation arithmetic.
+    *
+    * Scale shape: one shuffle on event_type, then a per-type sort (Spark
+    * external-sorts each partition; ranks never leave their partition).
+    * Parallelism = #groups — the right shape for a grouped report; for a
+    * percentile of ONE billion-row group use approx_percentile or a
+    * two-phase histogram instead (documented trade, not this operator's
+    * contract). ⌈p·n/100⌉ is computed on exact integer-valued doubles
+    * (p·n < 2⁵³), so the ceiling has no ulp hazard. */
+  def valuePercentiles(events: DataFrame,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in 1..100")
+    // nulls-last explicitly: Spark's ASC default is nulls-first, SQL
+    // engines' is typically nulls-last — pin the total order either way
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc_nulls_last, col("event_id").asc)
+    val ranked = events.select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val picks = ps.map { p =>
+      max(when(col("rn") ===
+          greatest(lit(1), ceil(lit(p) * col("n") / lit(100.0)).cast("int")),
+        col("value"))).as(s"p$p")
+    }
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), picks: _*)
+      .orderBy("event_type")
+  }
+
   /** Per-event-type stats over a JSON-extracted numeric field. */
   def jsonFieldStats(events: DataFrame, field: String): DataFrame = {
     val k = get_json_object(col("props"), s"$$.$field").cast("long")

@@ -569,6 +569,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document TF-IDF KEYWORDS — the top-k most characteristic terms of
+    * every document, the classic extractive profile a curation pipeline
+    * attaches as metadata (topic routing, cluster naming, search facets).
+    * The idf factor is the log-free Robertson–Spärck-Jones ratio
+    * (N − df + 0.5)/(df + 0.5), as in [[bm25TopK]]: a monotone transform of
+    * log-idf, so per-doc top-k membership is unchanged and every arithmetic
+    * step (integer counts into one fixed-shape double expression) is
+    * bit-reproducible across engines.
+    *
+    * Scale shape: explode → (doc, term) hash-agg (map-side combine), a
+    * vocabulary-sized df table joined BROADCAST (vocab ≪ corpus), and
+    * per-doc top-k on the GroupedTopK bounded-heap operator — ≤ k rows per
+    * doc shuffled, no full sort. Work ∝ corpus tokens throughout. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens("text")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    graft.plans.GroupedTopK.topK(scored, Seq(col("doc_id")),
+        Seq(col("score").desc, col("term").asc), k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {

@@ -754,6 +754,50 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("value percentiles pick the exact ranked row per group") {
+    val ev = cat.table("events")
+    val out = EventOps.valuePercentiles(ev, Seq(50, 90)).collect()
+    val byType = ev.select(col("event_type"), col("value"), col("event_id"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getDouble(1), r.getLong(2))).sorted)
+      .toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vs = byType(r.getString(0))
+      assert(r.getLong(1) == vs.length.toLong)
+      def pick(p: Int) = vs(math.max(1,
+        math.ceil(p * vs.length / 100.0).toInt) - 1)._1
+      assert(r.getDouble(2) == pick(50), s"${r.getString(0)} p50")
+      assert(r.getDouble(3) == pick(90), s"${r.getString(0)} p90")
+    }
+  }
+
+  test("tfidf keywords: k per doc, rank order matches score order") {
+    val out = TextOps.tfidfKeywords(docs, 3).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getDouble(5), b.getDouble(5))
+          assert(sa > sb || (sa == sb &&
+            a.getString(2) < b.getString(2)), s"doc ${a.getLong(0)}")
+        case _ =>
+      }
+    }
+    // a term in every document has the minimum possible idf ratio — it can
+    // only surface through tf; rarer terms outrank it at equal tf
+    val nDocs = docs.count()
+    out.foreach { r =>
+      assert(r.getLong(4) <= nDocs)
+      val expected = r.getLong(3).toDouble *
+        ((nDocs - r.getLong(4) + 0.5) / (r.getLong(4) + 0.5))
+      assert(r.getDouble(5) == expected, s"score shape doc ${r.getLong(0)}")
+    }
+  }
+
   test("rolling daily window equals a brute-force trailing-7-day sum") {
     val ev = cat.table("events")
     val out = EventOps.rollingDaily(ev, 7).collect()
