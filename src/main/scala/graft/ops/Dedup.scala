@@ -96,7 +96,14 @@ object Dedup {
     * goes through a decimal sum, so it is aggregation-order-independent. */
   def dupSourceMatrix(docs: DataFrame, shingleK: Int, bands: Int, rows: Int,
       threshold: Double): DataFrame =
-    minhashLshPairs(docs, shingleK, bands, rows, threshold)
+    dupSourceMatrix(docs,
+      minhashLshPairs(docs, shingleK, bands, rows, threshold))
+
+  /** Variant over a precomputed pair list (the once-per-ingest artifact a
+    * pipeline memoizes — see [[IndexCache]]): only the two source-label
+    * joins and the source-pair aggregation run per call. */
+  def dupSourceMatrix(docs: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("source").as("sa")),
         "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("source").as("sb")),
