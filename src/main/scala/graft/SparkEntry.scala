@@ -399,7 +399,16 @@ object SparkEntry {
           d.where(d("source") === "src0"), 3, 32, 4, 0.5)),
       // tokenizer vocabulary induction: first 6 BPE merges, replayed
       // bit-exactly by an unrolled per-round SQL oracle
-      "t19_bpe_merges" -> tbl("documents")(ops.TextOps.bpeMerges(_, 6)),
+      "t19_bpe_merges" -> ((s: SparkSession, dir: String) => {
+        // same memo the tokenizer (t20) reads: merges are trained once
+        val d = CubeCatalog.forDir(s, dir).table("documents")
+        val merges = ops.IndexCache.memo(s, s"bpe:$dir:6") {
+          ops.TextOps.bpeMergeTable(d, 6)
+        }
+        import s.implicits._
+        merges.toDF("round", "lhs", "rhs", "merged", "pair_count")
+          .orderBy("round")
+      }),
       // tokenize the corpus with the learned merges (memoized — a trained
       // tokenizer is a ship-once artifact, like the IVF index)
       "t20_bpe_tokenize" -> ((s: SparkSession, dir: String) => {
@@ -523,6 +532,30 @@ object SparkEntry {
       // exact discrete per-type percentiles of the event value (p50/p90/p99)
       "e10_value_percentiles" -> tbl("events")(
         ops.EventOps.valuePercentiles(_, Seq(50, 90, 99))),
+      // fixed-width histogram of order totals (count + decimal-exact sum
+      // per bucket) — one hash agg, the classic distribution report
+      "q47_value_histogram" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        CubeCatalog.forDir(s, dir).table("orders")
+          .withColumn("bucket",
+            floor(col("o_totalprice") / lit(50000.0)).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(o_totalprice AS DECIMAL(27,6))"))
+              .cast("double").as("total"))
+          .withColumn("bucket_lo", col("bucket") * lit(50000.0))
+          .select("bucket", "bucket_lo", "n_orders", "total")
+          .orderBy("bucket")
+      }),
+      // character-level verification of the near-dup pair list: Levenshtein
+      // runs ONLY on the pair-count-sized candidate set, never the corpus
+      "d12_edit_verify" -> ((s: SparkSession, dir: String) =>
+        ops.Dedup.editVerifiedPairs(
+          CubeCatalog.forDir(s, dir).table("documents"), lshPairs(s, dir))),
+      // TextRank keywords: 3 damped PageRank rounds over the token
+      // co-occurrence graph, replayed round-by-round by the SQL oracle
+      "t23_textrank" -> tbl("documents")(
+        ops.TextOps.textrankKeywords(_, 3, 20)),
       // per-doc top-3 TF-IDF keywords (log-free RSJ idf; GroupedTopK heaps)
       "t22_tfidf_keywords" -> tbl("documents")(
         ops.TextOps.tfidfKeywords(_, 3)),
@@ -1557,6 +1590,39 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    // q47: bucket = floor of one double division; the per-bucket sum rides
+    // DECIMAL (VARCHAR hop) to the final double
+    "q47_value_histogram" ->
+      """WITH b AS (SELECT
+        |  CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
+        |  CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(27,6)) AS v
+        |  FROM orders)
+        |SELECT bucket, bucket * CAST(50000.0 AS DOUBLE) AS bucket_lo,
+        |CAST(COUNT(1) AS BIGINT) AS n_orders, CAST(SUM(v) AS DOUBLE) AS total
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // d12: the d02 all-pairs pair set (recall-1.0 argument, see d02) +
+    // unit-cost Levenshtein — identical dynamic-program in both engines
+    "d12_edit_verify" ->
+      """WITH sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh)) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+        |SELECT p.doc_a, p.doc_b,
+        |CAST(levenshtein(a.text, b.text) AS INTEGER) AS lev,
+        |1.0 - levenshtein(a.text, b.text) /
+        |  GREATEST(len(a.text), len(b.text)) AS edit_sim
+        |FROM p JOIN documents a ON a.doc_id = p.doc_a
+        |JOIN documents b ON b.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "t23_textrank" -> textrankOracleSql,
     // e08: the oracle IS the naive inequality join — the bucketed equi-join
     // must return identical rows
     "e08_interval_join" ->
@@ -1813,6 +1879,41 @@ object SparkEntry {
   // the flanked symbol strings, a LIMIT-1 argmax (cnt desc, pair asc — the
   // same total order the Spark driver argmax uses), and a replace() whose
   // left-to-right non-overlapping semantics match Spark's exactly
+  /** t23: TextRank oracle — 3 damped PageRank rounds unrolled (the
+    * s06/t19 pattern). Per-node neighbor sums ride DECIMAL(38,18) with the
+    * VARCHAR hop; the damping step 0.15/n + 0.85·s is one fixed-shape
+    * double expression on both engines (DuckDB decimal literals convert to
+    * the identical nearest double before `/` and `*`). */
+  private lazy val textrankOracleSql: String = {
+    def round(i: Int) =
+      s"""r$i AS (SELECT n0.tok,
+         |  0.15 / nn.n + 0.85 * CAST(COALESCE(SUM(
+         |    CAST(CAST(r.pr / d.deg AS VARCHAR) AS DECIMAL(38,18))), 0)
+         |    AS DOUBLE) AS pr
+         |  FROM nodes n0 CROSS JOIN nn
+         |  LEFT JOIN edges e ON e.dst = n0.tok
+         |  LEFT JOIN r${i - 1} r ON r.tok = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY n0.tok, nn.n)""".stripMargin
+    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |bi AS (SELECT w[g] AS x, w[g + 1] AS y
+       |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS g FROM w)
+       |  WHERE w[g] <> w[g + 1]),
+       |edges AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT x AS src, y AS dst FROM bi
+       |   UNION ALL SELECT y AS src, x AS dst FROM bi)),
+       |nodes AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |nn AS (SELECT COUNT(1) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(1) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT tok, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT tok, ROUND(pr, 12) AS pr FROM r3
+       |ORDER BY ROUND(pr, 12) DESC, tok ASC LIMIT 20""".stripMargin
+  }
+
   private val bpeRounds = 6
 
   /** The shared unrolled-BPE CTE chain: words → w0 and per-round

@@ -424,6 +424,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EDIT-DISTANCE verification of a near-dup candidate pair list — the
+    * "expensive verifier on a tiny candidate set" composition: Jaccard-level
+    * blocking (LSH) finds the pairs, and character-level Levenshtein
+    * confirms/ranks them (shingle Jaccard is order-insensitive; edit
+    * distance catches reorderings Jaccard cannot). Levenshtein is O(|a|·|b|)
+    * PER PAIR, which is exactly why it must never run on the corpus — here
+    * it runs only on the pair list (pair-count-sized ≪ corpus), re-attached
+    * to the texts by two skinny joins. Unit-cost Levenshtein is
+    * engine-portable; edit_sim = 1 − lev/max(|a|,|b|) is one double
+    * division of exact integers. */
+  def editVerifiedPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    pairs.select("doc_a", "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        "doc_b")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .withColumn("edit_sim", lit(1.0) -
+        col("lev") / greatest(length(col("ta")), length(col("tb"))))
+      .select("doc_a", "doc_b", "lev", "edit_sim")
+      .orderBy("doc_a", "doc_b")
+
   /** Duplicate-cluster resolution: connected components over an undirected
     * near-dup pair graph, labeling every node with the MINIMUM doc id of its
     * component. This is the step a dedup pipeline runs after pair

@@ -569,6 +569,64 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TEXTRANK keyword extraction — PageRank over the token co-occurrence
+    * graph (undirected, deduplicated adjacent-token edges), the
+    * graph-centrality twin of the frequency profiles above: a token ranks
+    * high when its NEIGHBORS rank high, not merely when it is frequent.
+    * `iters` damped power-iteration rounds (d = 0.85) from a uniform start;
+    * the fixed iteration count makes the whole procedure a deterministic
+    * dataflow the SQL oracle replays round by round (the s06 k-means /
+    * t19 BPE unrolling pattern).
+    *
+    * Cross-engine exactness: each neighbor contribution pr/deg is one
+    * double division of identical operands; the PER-NODE neighbor sum —
+    * the only place accumulation order varies — runs in DECIMAL(38,18)
+    * (Spark's double→decimal cast is canonical-string quantization; the
+    * oracle takes the VARCHAR hop), and the damping step
+    * 0.15/N + 0.85·s is one fixed-shape double expression.
+    *
+    * Scale shape: nodes/edges/degrees are VOCABULARY-sized (built by one
+    * corpus pass + hash aggs); each round is two vocab-sized hash joins and
+    * one hash agg — PageRank's native distributed form. Nothing
+    * corpus-sized after the first pass, nothing on the driver but the node
+    * count. */
+  def textrankKeywords(docs: DataFrame, iters: Int = 3,
+      k: Int = 20): DataFrame = {
+    val bi = docs.select(tokens("text").as("w"))
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> struct(a AS x, b AS y))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .where(col("x") =!= col("y")) // self-loops contribute nothing
+    val edges = bi.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(bi.select(col("y").as("src"), col("x").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = docs.select(explode(tokens("text")).as("tok")).distinct()
+      .localCheckpoint()
+    val n = nodes.count() // vocab count — the one driver-side scalar
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("tok", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("tok"),
+          (col("pr") / col("deg")).cast("decimal(38,18)").as("c"))
+        .groupBy("tok").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("tok"), "left")
+        .withColumn("pr", lit(0.15 / n) + lit(0.85) *
+          coalesce(col("s"), lit(0).cast("decimal(38,18)")).cast("double"))
+        .select("tok", "pr")
+        .localCheckpoint()
+    }
+    // final scores round to 12 decimals (the t14 recipe): the per-round
+    // decimal quantization can round differently at the 18th fractional
+    // digit across engines, so the last few ulps of pr are not contractual;
+    // 1e-12 is ~5 orders above that noise and far below any rank gap
+    pr.select(col("tok"), round(col("pr"), 12).as("pr"))
+      .orderBy(col("pr").desc, col("tok").asc).limit(k)
+  }
+
   /** Per-document TF-IDF KEYWORDS — the top-k most characteristic terms of
     * every document, the classic extractive profile a curation pipeline
     * attaches as metadata (topic routing, cluster naming, search facets).

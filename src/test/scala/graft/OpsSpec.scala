@@ -798,6 +798,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("edit verification: planted exact duplicate scores lev 0, sim 1.0") {
+    val pairs = Dedup.minhashLshPairs(docsWithDup, 3, 32, 4, 0.9)
+    val out = Dedup.editVerifiedPairs(docsWithDup, pairs).collect()
+    assert(out.exists(r => r.getLong(0) == 7L && r.getLong(1) == 100007L &&
+      r.getInt(2) == 0 && r.getDouble(3) == 1.0))
+    out.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("textrank: k rows, scores in (0,1), deterministic across runs") {
+    val a = TextOps.textrankKeywords(docs, 3, 20).collect()
+    val b = TextOps.textrankKeywords(docs, 3, 20).collect()
+    assert(a.length == 20)
+    assert(a.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      b.map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    a.sliding(2).foreach {
+      case Array(x, y) => assert(x.getDouble(1) >= y.getDouble(1))
+      case _ =>
+    }
+    a.foreach(r => assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0))
+  }
+
   test("rolling daily window equals a brute-force trailing-7-day sum") {
     val ev = cat.table("events")
     val out = EventOps.rollingDaily(ev, 7).collect()
