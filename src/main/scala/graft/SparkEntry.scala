@@ -556,6 +556,16 @@ object SparkEntry {
       // co-occurrence graph, replayed round-by-round by the SQL oracle
       "t23_textrank" -> tbl("documents")(
         ops.TextOps.textrankKeywords(_, 3, 20)),
+      // n-gram diversity per source (mode-collapse / boilerplate detector)
+      "t24_ngram_diversity" -> tbl("documents")(ops.TextOps.ngramDiversity),
+      // tokenizer fertility per language under the learned BPE merges
+      "t25_bpe_fertility" -> ((s: SparkSession, dir: String) => {
+        val d = CubeCatalog.forDir(s, dir).table("documents")
+        val merges = ops.IndexCache.memo(s, s"bpe:$dir:6") {
+          ops.TextOps.bpeMergeTable(d, 6)
+        }
+        ops.TextOps.bpeFertility(d, merges)
+      }),
       // per-doc top-3 TF-IDF keywords (log-free RSJ idf; GroupedTopK heaps)
       "t22_tfidf_keywords" -> tbl("documents")(
         ops.TextOps.tfidfKeywords(_, 3)),
@@ -1623,6 +1633,25 @@ object SparkEntry {
         |JOIN documents b ON b.doc_id = p.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
     "t23_textrank" -> textrankOracleSql,
+    "t24_ngram_diversity" ->
+      """WITH uni AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |u AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT t) AS BIGINT) AS distinct_tokens,
+        |  CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(1) AS ttr
+        |  FROM uni GROUP BY source),
+        |tri AS (SELECT source, unnest(list_transform(
+        |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        |t AS (SELECT source, CAST(COUNT(1) AS BIGINT) AS n_trigrams,
+        |  CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_trigrams,
+        |  CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(1) AS trigram_diversity
+        |  FROM tri GROUP BY source)
+        |SELECT u.source, n_tokens, distinct_tokens, ttr,
+        |n_trigrams, distinct_trigrams, trigram_diversity
+        |FROM u LEFT JOIN t ON u.source = t.source
+        |ORDER BY u.source""".stripMargin,
+    "t25_bpe_fertility" -> bpeFertilityOracleSql,
     // e08: the oracle IS the naive inequality join — the bucketed equi-join
     // must return identical rows
     "e08_interval_join" ->
@@ -1879,6 +1908,28 @@ object SparkEntry {
   // the flanked symbol strings, a LIMIT-1 argmax (cnt desc, pair asc — the
   // same total order the Spark driver argmax uses), and a replace() whose
   // left-to-right non-overlapping semantics match Spark's exactly
+  /** t25: the tokenize oracle's CTE chain, grouped by lang with the
+    * fertility ratio. */
+  private lazy val bpeFertilityOracleSql: String = {
+    val nested = (1 to bpeRounds).foldLeft("tok.s") { (acc, r) =>
+      s"replace($acc, '(' || b$r.a || ')(' || b$r.b || ')', " +
+        s"'(' || b$r.a || b$r.b || ')')"
+    }
+    val bs = (1 to bpeRounds).map(r => s"b$r").mkString(", ")
+    s"""WITH $bpeCtes,
+       |tok AS (SELECT lang, regexp_replace(w, '(.)', '(\\1)', 'g') AS s
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)),
+       |ap AS (SELECT lang, $nested AS s FROM tok, $bs)
+       |SELECT lang,
+       |CAST(SUM(len(regexp_extract_all(s, '\\(([^)]*)\\)', 1))) AS BIGINT)
+       |  AS n_bpe_tokens,
+       |COUNT(1) AS n_words,
+       |CAST(SUM(len(regexp_extract_all(s, '\\(([^)]*)\\)', 1))) AS DOUBLE) /
+       |  COUNT(1) AS fertility
+       |FROM ap GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** t23: TextRank oracle — 3 damped PageRank rounds unrolled (the
     * s06/t19 pattern). Per-node neighbor sums ride DECIMAL(38,18) with the
     * VARCHAR hop; the damping step 0.15/n + 0.85·s is one fixed-shape

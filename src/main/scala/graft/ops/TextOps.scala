@@ -654,6 +654,54 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** N-GRAM DIVERSITY per source — the distinct-n-gram ratios (unigram
+    * type-token ratio + trigram diversity) that detect mode collapse and
+    * template boilerplate in a corpus slice; THE standard health metric for
+    * synthetic/generated training data (low trigram diversity = the
+    * generator is repeating itself). Two explode → hash-agg passes with
+    * exact countDistinct; work ∝ corpus tokens, shuffles keyed on source. */
+  def ngramDiversity(docs: DataFrame): DataFrame = {
+    val uni = docs.select(col("source"), explode(tokens("text")).as("t"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("distinct_tokens"),
+        (countDistinct(col("t")).cast("double") / count(lit(1))).as("ttr"))
+    val tri = docs.select(col("source"), tokens("text").as("w"))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(w) < 3 THEN array()
+          |ELSE transform(sequence(1, size(w) - 2),
+          |  i -> concat_ws(' ', slice(w, i, 3))) END""".stripMargin)).as("g"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_trigrams"),
+        countDistinct(col("g")).as("distinct_trigrams"),
+        (countDistinct(col("g")).cast("double") / count(lit(1)))
+          .as("trigram_diversity"))
+    uni.join(tri, Seq("source"), "left").orderBy("source")
+  }
+
+  /** Tokenizer FERTILITY per language — BPE tokens emitted per whitespace
+    * word under a learned merge table ([[bpeMergeTable]]), the metric that
+    * tells you which languages a tokenizer serves poorly (high fertility =
+    * more sequence length per word = more compute per sentence). Same
+    * flanked-replace application as [[applyBpe]], grouped by `lang`. */
+  def bpeFertility(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    val flanked = docs.select(col("lang"), explode(tokens("text")).as("w"))
+      .withColumn("s", expr(
+        "concat_ws('', transform(filter(split(w, ''), c -> c <> ''), " +
+          "c -> concat('(', c, ')')))"))
+    val applied = merges.foldLeft(flanked) { case (df, (_, a, b, m, _)) =>
+      df.withColumn("s", replace(col("s"), lit(s"($a)($b)"), lit(s"($m)")))
+    }
+    applied
+      .withColumn("k",
+        expr("size(regexp_extract_all(s, '\\\\(([^)]*)\\\\)', 1))"))
+      .groupBy("lang")
+      .agg(sum(col("k")).as("n_bpe_tokens"), count(lit(1)).as("n_words"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {

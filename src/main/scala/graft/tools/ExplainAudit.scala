@@ -23,7 +23,10 @@ object ExplainAudit {
         "d03_simhash", "d10_embedding_neardup_lsh", "t16_seq_pack",
         "t17_collocations", "t18_weighted_sample", "e07_rolling_daily",
         "q42_parallel_period", "d11_fuzzy_decontam", "t19_bpe_merges",
-        "t21_trim_spans", "e08_interval_join", "q43_grouping_sets")
+        "t21_trim_spans", "e08_interval_join", "q43_grouping_sets",
+        "q44_topk_per_group", "q45_running_total", "q46_share_of_parent",
+        "q47_value_histogram", "e10_value_percentiles", "t22_tfidf_keywords",
+        "t23_textrank", "d12_edit_verify")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
