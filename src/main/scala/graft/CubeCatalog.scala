@@ -229,6 +229,9 @@ object TpchCatalog {
       LagMeasureDef("prev_revenue", "revenue", "ShipDate"),
       // ParallelPeriod(Year, 1) at Month grain: same month, previous year
       LagMeasureDef("yoy_prev_revenue", "revenue", "ShipDate", periods = 12)),
+    cumMeasures = Seq(
+      // Ytd(): revenue accumulated within each shipment year
+      CumMeasureDef("ytd_revenue", "revenue", "ShipDate", "Year")),
     namedSets = Seq(
       NamedSetDef("Top Brands", "Part", "Brand", 5, "revenue"),
       NamedSetDef("Top Suppliers", "Geography", "Supplier", 3, "revenue")),

@@ -193,7 +193,12 @@ object SparkEntry {
     "q42_parallel_period" -> CubeQuery("sales",
       Seq(drill("ShipDate", "Year", "Monthly"),
         drill("ShipDate", "Month", "Monthly")),
-      Seq("revenue", "yoy_prev_revenue", "yoy_growth")))
+      Seq("revenue", "yoy_prev_revenue", "yoy_growth")),
+    // B8 extension: Ytd()/PeriodsToDate running measure, resetting per Year
+    "q48_ytd" -> CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "ytd_revenue")))
 
   // ============================================== LLM-pipeline operators
   // (dedup / similarity / text analysis / multimodal / sessionization —
@@ -792,6 +797,20 @@ object SparkEntry {
          |ELSE (revenue - yoy_prev_revenue) / yoy_prev_revenue END
          |  AS yoy_growth
          |FROM lagd ORDER BY ship_year, ship_month""".stripMargin,
+    // q48: the YTD window re-quantizes the aggregated double through
+    // DECIMAL(27,6) (VARCHAR hop) exactly like the planner's applyCum
+    "q48_ytd" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT ship_year, ship_month, revenue,
+         |CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6))) OVER (
+         |  PARTITION BY ship_year ORDER BY ship_year, ship_month
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |  AS ytd_revenue
+         |FROM agg ORDER BY ship_year, ship_month""".stripMargin,
     "q17_namedset_drill" ->
       s"""WITH b AS (
          |  SELECT p_brand AS brand, ${sumd(REV, "revenue")}

@@ -116,6 +116,14 @@ final case class CalcMemberDef(alias: String, formula: String)
 final case class LagMeasureDef(alias: String, base: String, timeDim: String,
     coalesceToBase: Boolean = false, periods: Int = 1)
 
+/** PERIODSTODATE-style running measure (MDX Ytd()/PeriodsToDate): cumulative
+  * sum of `base` over the time hierarchy's member order, resetting at each
+  * member of `resetLevel` (Year → year-to-date), partitioned by every
+  * non-time axis column. The accumulator rides DECIMAL(27,6) so window
+  * evaluation order cannot move a float bit. */
+final case class CumMeasureDef(alias: String, base: String, timeDim: String,
+    resetLevel: String)
+
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,
     byMeasure: String)
@@ -127,6 +135,7 @@ final case class CubeDef(
     measures: Seq[MeasureDef],
     calcMembers: Seq[CalcMemberDef] = Nil,
     lagMeasures: Seq[LagMeasureDef] = Nil,
+    cumMeasures: Seq[CumMeasureDef] = Nil,
     namedSets: Seq[NamedSetDef] = Nil,
     defaultMeasure: Option[String] = None) {
   def dimension(n: String): Option[DimensionDef] = dimensions.find(_.name == n)

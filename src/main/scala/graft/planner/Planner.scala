@@ -49,7 +49,8 @@ object Planner {
       q.adhocCalcs.foreach { c =>
         if (cube.measure(c.alias).nonEmpty ||
             cube.calcMembers.exists(_.alias == c.alias) ||
-            cube.lagMeasures.exists(_.alias == c.alias))
+            cube.lagMeasures.exists(_.alias == c.alias) ||
+            cube.cumMeasures.exists(_.alias == c.alias))
           GraftException.badRequest(
             s"WITH MEMBER '${c.alias}' shadows a declared measure")
       }
@@ -124,7 +125,8 @@ object Planner {
     val joined = joinNeededDims(cat, cube,
       drills.map(_.dim) ++ cuts.flatMap(levelOfCut(cube, _)).map(_.dim) ++
         q.properties.map(p => resolve(cube, p.level).dim) ++
-        need.lags.map(l => cube.dimension(l.timeDim).get))
+        need.lags.map(l => cube.dimension(l.timeDim).get) ++
+        need.cums.map(c => cube.dimension(c.timeDim).get))
 
     val filtered = cuts.foldLeft(joined)((df, c) => applyCut(cat, cube, df, c))
 
@@ -181,7 +183,10 @@ object Planner {
     val withLags = need.lags.foldLeft(aggDf) { (df, lm) =>
       applyLag(cube, df, lm, drills, groupLevels)
     }
-    val withCalcs = need.calcs.foldLeft(withLags) { (df, cm) =>
+    val withCums = need.cums.foldLeft(withLags) { (df, cm) =>
+      applyCum(cube, df, cm, drills, groupLevels)
+    }
+    val withCalcs = need.calcs.foldLeft(withCums) { (df, cm) =>
       df.withColumn(cm.alias, expr(cm.formula))
     }
     val havingDf = q.filters.foldLeft(withCalcs) { (df, f) =>
@@ -276,13 +281,14 @@ object Planner {
   // ---------------------------------------------------------------- helpers
 
   private final case class NeededMeasures(bases: Seq[MeasureDef],
-      lags: Seq[LagMeasureDef], calcs: Seq[CalcMemberDef])
+      lags: Seq[LagMeasureDef], cums: Seq[CumMeasureDef],
+      calcs: Seq[CalcMemberDef])
 
-  /** Expand requested measure aliases to (base, lag, calc) closure. Calc
-    * formulas may reference base, lag, and earlier calc aliases. */
+  /** Expand requested measure aliases to (base, lag, cum, calc) closure. Calc
+    * formulas may reference base, lag, cum, and earlier calc aliases. */
   private def resolveMeasures(cube: CubeDef, names: Seq[String]): NeededMeasures = {
     var bases = Set.empty[String]; var lags = Set.empty[String]
-    var calcs = Set.empty[String]
+    var cums = Set.empty[String]; var calcs = Set.empty[String]
     def visit(n: String): Unit =
       cube.measure(n) match {
         case Some(m) => bases += m.alias
@@ -290,18 +296,23 @@ object Planner {
           cube.lagMeasures.find(_.alias == n) match {
             case Some(lm) => if (!lags(n)) { lags += n; visit(lm.base) }
             case None =>
-              cube.calcMembers.find(_.alias == n) match {
-                case Some(cm) =>
-                  if (!calcs(n)) {
-                    calcs += n
-                    val deps = (cube.measures.map(_.alias) ++
-                      cube.lagMeasures.map(_.alias) ++
-                      cube.calcMembers.map(_.alias))
-                      .filter(a => a != n && referencesAlias(cm.formula, a))
-                    deps.foreach(visit)
-                  }
+              cube.cumMeasures.find(_.alias == n) match {
+                case Some(cm) => if (!cums(n)) { cums += n; visit(cm.base) }
                 case None =>
-                  GraftException.badRequest(s"measure '$n' not found in cube '${cube.name}'")
+                  cube.calcMembers.find(_.alias == n) match {
+                    case Some(cm) =>
+                      if (!calcs(n)) {
+                        calcs += n
+                        val deps = (cube.measures.map(_.alias) ++
+                          cube.lagMeasures.map(_.alias) ++
+                          cube.cumMeasures.map(_.alias) ++
+                          cube.calcMembers.map(_.alias))
+                          .filter(a => a != n && referencesAlias(cm.formula, a))
+                        deps.foreach(visit)
+                      }
+                    case None =>
+                      GraftException.badRequest(s"measure '$n' not found in cube '${cube.name}'")
+                  }
               }
           }
       }
@@ -309,6 +320,7 @@ object Planner {
     NeededMeasures(
       cube.measures.filter(m => bases(m.alias)),
       cube.lagMeasures.filter(l => lags(l.alias)),
+      cube.cumMeasures.filter(c => cums(c.alias)),
       cube.calcMembers.filter(c => calcs(c.alias))) // declaration order
   }
 
@@ -319,6 +331,7 @@ object Planner {
   def aliasOfMeasure(cube: CubeDef, name: String): String =
     cube.measure(name).map(_.alias)
       .orElse(cube.lagMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.cumMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.calcMembers.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
@@ -540,6 +553,33 @@ object Planner {
     val lagged = lag(col(lm.base), lm.periods).over(w)
     df.withColumn(lm.alias,
       if (lm.coalesceToBase) coalesce(lagged, col(lm.base)) else lagged)
+  }
+
+  /** B8 extension — PERIODSTODATE/Ytd (MDX Ytd(), PeriodsToDate): running
+    * sum of the base measure over the time axis, partitioned by every
+    * non-time axis column PLUS the reset level's member (Year → YTD resets
+    * each year). The accumulator re-quantizes the aggregated double to
+    * DECIMAL(27,6) (canonical shortest-string cast, the same recipe as
+    * measure sums), so window evaluation order cannot move a float bit.
+    * Same axis-not-domain caveat as [[applyLag]]. */
+  private def applyCum(cube: CubeDef, df: DataFrame, cm: CumMeasureDef,
+      drills: Seq[ResolvedLevel], groupLevels: Seq[ResolvedLevel]): DataFrame = {
+    val timeDrills = drills.filter(_.dim.name == cm.timeDim).sortBy(_.depth)
+    if (timeDrills.isEmpty)
+      GraftException.badRequest(
+        s"cumulative measure '${cm.alias}' requires a drilldown on its time dimension '${cm.timeDim}'")
+    val resetRl = timeDrills.find(_.level.name == cm.resetLevel).getOrElse(
+      GraftException.badRequest(
+        s"cumulative measure '${cm.alias}' requires a drilldown on ${cm.timeDim}.${cm.resetLevel}"))
+    val ordCols = timeDrills.map { rl =>
+      col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
+    }
+    val partCols = groupLevels.filterNot(_.dim.name == cm.timeDim)
+      .flatMap(levelAliases).map(col) :+ col(resetRl.level.alias)
+    val w = Window.partitionBy(partCols: _*).orderBy(ordCols.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cm.alias,
+      sum(expr(s"CAST(${cm.base} AS DECIMAL(27,6))")).over(w).cast("double"))
   }
 
   /** Dense axes (ref C1 default JSON shape): cross product of the member

@@ -168,6 +168,28 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("YTD running measure accumulates within, and resets at, each year") {
+    val rows = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "ytd_revenue"))).collect()
+    var year = -1; var acc = BigDecimal(0)
+    rows.foreach { r =>
+      if (r.getInt(0) != year) { year = r.getInt(0); acc = BigDecimal(0) }
+      acc += BigDecimal(r.getDouble(2))
+      assert(math.abs(r.getDouble(3) - acc.toDouble) < 1e-6,
+        s"ytd at $year-${r.getInt(1)}")
+    }
+  }
+
+  test("YTD requires its time dimension drilled, incl. the reset level") {
+    val e = intercept[GraftException] {
+      Planner.plan(cat, CubeQuery("sales",
+        Seq(drill("Geography", "Region")), Seq("ytd_revenue")))
+    }
+    assert(e.status == 400)
+  }
+
   test("member cuts on fact columns push down to the parquet scan") {
     val df = Planner.plan(cat, CubeQuery("sales",
       Seq(drill("LineStatus")), Seq("revenue"),
