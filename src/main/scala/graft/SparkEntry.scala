@@ -255,6 +255,16 @@ object SparkEntry {
           .orderBy("doc_id")),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
+      // the fuzzy-dedup survivor corpus: one representative (min doc_id)
+      // per near-dup cluster — pair list → connected components → keep-one
+      "d13_keep_canonical" -> ((s: SparkSession, dir: String) => {
+        val d = CubeCatalog.forDir(s, dir).table("documents")
+        ops.Dedup.keepClusterRepresentative(d, "doc_id",
+          ops.Dedup.duplicateClusters(d, "doc_id",
+            lshPairs(s, dir).select("doc_a", "doc_b")))
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      }),
       "d05_embedding_neardup" -> tbl("embeddings")(
         ops.Dedup.embeddingNearDupPairs(_, "label", 0.8)),
       "s01_knn_brute" -> tbl("embeddings")(
@@ -1054,6 +1064,33 @@ object SparkEntry {
         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a)
         |SELECT node AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // d13: d07's recursive-reachability clusters, keeping the row whose id
+    // IS its cluster label (min of the component)
+    "d13_keep_canonical" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a),
+        |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+        |  FROM reach GROUP BY node)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+        |WHERE d.doc_id = cl.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang,
         |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
