@@ -312,6 +312,11 @@ object SparkEntry {
           .orderBy("doc_id")),
       "m02_frame_sample" -> tbl("documents")(d =>
         ops.Multimodal.frameSample(ops.Multimodal.attachFakeMedia(d), 2)),
+      // decode-batch packing: ~1 MB of decoded output per batch, per
+      // modality (the GPU decode-pool scheduling plan)
+      "m04_decode_batches" -> tbl("documents")(d =>
+        ops.Multimodal.decodeBatchPlan(
+          ops.Multimodal.attachFakeMedia(d), 1000000L)),
       "m03_resize_plan" -> tbl("documents")(d =>
         ops.Multimodal.resizePlan(ops.Multimodal.attachFakeMedia(d), 256)),
       // B11: parent-child hierarchy — closure-table transitive rollup; the
@@ -1289,6 +1294,22 @@ object SparkEntry {
       """SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames,
         |CAST(unnest(range(0, doc_id % 10 + 1, 2)) AS INTEGER) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    // m04: the fake-media metadata recipe + per-modality running byte sum
+    "m04_decode_batches" ->
+      """WITH m AS (SELECT doc_id,
+        |  (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST((64 + (doc_id % 8) * 32) *
+        |    (64 + (doc_id % 5) * 48) * (doc_id % 10 + 1) AS BIGINT)
+        |    AS est_bytes
+        |  FROM documents),
+        |o AS (SELECT doc_id, format, est_bytes,
+        |  CAST(COALESCE(SUM(est_bytes) OVER (PARTITION BY format
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS "offset"
+        |  FROM m)
+        |SELECT doc_id, format, est_bytes, "offset",
+        |"offset" // 1000000 AS batch_id
+        |FROM o ORDER BY format, doc_id""".stripMargin,
     "q32_month_ordinal" ->
       s"""SELECT monthname(l_shipdate) AS month_name, ${sumd(REV, "revenue")}
          |FROM lineitem GROUP BY monthname(l_shipdate), month(l_shipdate)

@@ -67,6 +67,31 @@ object Multimodal {
           .as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
+  /** DECODE-BATCH packing plan — assign media items to fixed-byte-budget
+    * decode batches per modality, the scheduling step that feeds a GPU
+    * decode pool (each worker takes one batch of ≈ `batchBytes` of decoded
+    * output, so batch latency is uniform regardless of item sizes).
+    * est_bytes is the decoded size (w·h·frames); the assignment is the
+    * concat-then-chunk running sum (the t16 sequence-packing layout applied
+    * to bytes), so it is deterministic and engine-replayable. The window
+    * partitions by modality; at extreme per-modality cardinality the
+    * bucketed two-phase prefix sum of [[TextOps.packOffsets]] is the scale
+    * path (same contract). */
+  def decodeBatchPlan(media: DataFrame, batchBytes: Long): DataFrame = {
+    require(batchBytes > 0, "batchBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("format").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    media.select(col("doc_id"), col("meta.format").as("format"),
+        (col("meta.width").cast("long") * col("meta.height") *
+          col("meta.nFrames")).as("est_bytes"))
+      .withColumn("offset", coalesce(sum("est_bytes").over(w), lit(0L)))
+      .withColumn("batch_id", expr(s"offset DIV ${batchBytes}L"))
+      .select("doc_id", "format", "est_bytes", "offset", "batch_id")
+      .orderBy("format", "doc_id")
+  }
+
   /** Metadata-only resize plan (the real pixel op is the stubbed part). */
   def resizePlan(media: DataFrame, maxSide: Int): DataFrame =
     media.select(col("doc_id"), col("meta.width").as("width"),
