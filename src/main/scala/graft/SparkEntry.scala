@@ -222,6 +222,17 @@ object SparkEntry {
         .localCheckpoint()
     }
 
+  /** Cluster labels over [[lshPairs]] — the second per-ingest dedup
+    * artifact (pointer-jumping connected components); d07 reads it, d13
+    * keeps one representative per label. */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+    ops.IndexCache.memo(s, s"lshclusters:$dir:3:32:4:0.5") {
+      ops.Dedup.duplicateClusters(
+        CubeCatalog.forDir(s, dir).table("documents"), "doc_id",
+        lshPairs(s, dir).select("doc_a", "doc_b"))
+        .localCheckpoint()
+    }
+
   val opsQueries: ListMap[String, (SparkSession, String) => DataFrame] =
     ListMap(
       "t01_token_stats" -> tbl("documents")(ops.TextOps.tokenStats),
@@ -249,19 +260,14 @@ object SparkEntry {
       // connected components over the near-dup pair graph: transitive
       // closure of a~b into clusters, labeled by the min doc id
       "d07_dup_clusters" -> ((s: SparkSession, dir: String) =>
-        ops.Dedup.duplicateClusters(
-          CubeCatalog.forDir(s, dir).table("documents"), "doc_id",
-          lshPairs(s, dir).select("doc_a", "doc_b"))
-          .orderBy("doc_id")),
+        dupClusters(s, dir).orderBy("doc_id")),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
       // the fuzzy-dedup survivor corpus: one representative (min doc_id)
       // per near-dup cluster — pair list → connected components → keep-one
       "d13_keep_canonical" -> ((s: SparkSession, dir: String) => {
         val d = CubeCatalog.forDir(s, dir).table("documents")
-        ops.Dedup.keepClusterRepresentative(d, "doc_id",
-          ops.Dedup.duplicateClusters(d, "doc_id",
-            lshPairs(s, dir).select("doc_a", "doc_b")))
+        ops.Dedup.keepClusterRepresentative(d, "doc_id", dupClusters(s, dir))
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
       }),

@@ -26,7 +26,9 @@ object ExplainAudit {
         "t21_trim_spans", "e08_interval_join", "q43_grouping_sets",
         "q44_topk_per_group", "q45_running_total", "q46_share_of_parent",
         "q47_value_histogram", "e10_value_percentiles", "t22_tfidf_keywords",
-        "t23_textrank", "d12_edit_verify")
+        "t23_textrank", "d12_edit_verify", "t24_ngram_diversity",
+        "t25_bpe_fertility", "q48_ytd", "d13_keep_canonical",
+        "m04_decode_batches")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
