@@ -275,6 +275,10 @@ object SparkEntry {
         ops.Dedup.embeddingNearDupPairs(_, "label", 0.8)),
       "s01_knn_brute" -> tbl("embeddings")(
         ops.Similarity.knnBrute(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      // text-side similarity search: top-5 docs by shingle Jaccard per
+      // query doc (broadcast query postings, inverted-index join)
+      "s07_similar_docs" -> tbl("documents")(
+        ops.Dedup.similarDocs(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
       "s02_knn_lsh" -> tbl("embeddings")(
         ops.Similarity.knnLsh(_, Seq(0L, 1L, 2L, 3L, 4L), 5, bits = 8)),
       // index build (k-means + assignment + residual bounds) is a
@@ -1716,6 +1720,31 @@ object SparkEntry {
         |JOIN documents b ON b.doc_id = p.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
     "t23_textrank" -> textrankOracleSql,
+    // s07: all-candidates Jaccard against each query doc (candidates
+    // sharing zero shingles never appear — mirror the inverted-index join)
+    "s07_similar_docs" ->
+      """WITH sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |q AS (SELECT doc_id AS query_id, sh FROM sh
+        |  WHERE doc_id IN (0, 1, 2, 3, 4) AND len(sh) > 0),
+        |p AS (SELECT q.query_id, c.doc_id AS cand_id,
+        |    len(list_intersect(q.sh, c.sh)) AS inter,
+        |    len(q.sh) AS nq, len(c.sh) AS nc
+        |  FROM q JOIN sh c ON c.doc_id <> q.query_id
+        |  WHERE len(c.sh) > 0),
+        |s AS (SELECT query_id, cand_id, inter,
+        |    inter / (nq + nc - inter) AS jaccard
+        |  FROM p WHERE inter > 0),
+        |r AS (SELECT query_id, cand_id, inter, jaccard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY jaccard DESC, cand_id ASC) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, cand_id, jaccard FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "t24_ngram_diversity" ->
       """WITH uni AS (SELECT source, unnest(string_split(text, ' ')) AS t
         |  FROM documents),

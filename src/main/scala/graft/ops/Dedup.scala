@@ -424,6 +424,40 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** TEXT SIMILARITY SEARCH — top-k most similar documents per query doc by
+    * shingle Jaccard, the text-side twin of the embedding kNN family: "find
+    * documents like this one" for retrieval/curation UIs and manual dedup
+    * review. Inverted-index form: the query docs' postings are a tiny
+    * broadcast side; corpus postings join them (work ∝ postings that match
+    * a query shingle, never corpus²), per-(query, candidate) overlaps are
+    * one hash agg, and the per-query top-k rides the GroupedTopK bounded
+    * heaps. Candidates sharing zero shingles never materialize. */
+  def similarDocs(docs: DataFrame, queryIds: Seq[Long], k: Int,
+      shingleK: Int = 3): DataFrame = {
+    require(queryIds.nonEmpty && k > 0, "need query ids and k > 0")
+    val sh = docs.select(col("doc_id"), hashedShingles("text", shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
+    val q = sh.where(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), explode(col("sh")).as("g"))
+    val c = sh.select(col("doc_id").as("cand_id"), explode(col("sh")).as("g"))
+    val inter = c.join(broadcast(q), Seq("g"))
+      .where(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id").agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val scored = inter
+      .join(broadcast(sizes.where(col("doc_id").isin(queryIds: _*))
+        .select(col("doc_id").as("query_id"), col("n").as("nq"))), "query_id")
+      .join(sizes.select(col("doc_id").as("cand_id"), col("n").as("nc")),
+        "cand_id")
+      .withColumn("jaccard",
+        col("inter") / (col("nq") + col("nc") - col("inter")))
+    graft.plans.GroupedTopK.topK(scored, Seq(col("query_id")),
+        Seq(col("jaccard").desc, col("cand_id").asc), k)
+      .select("query_id", "rank", "cand_id", "jaccard")
+      .orderBy("query_id", "rank")
+  }
+
   /** EDIT-DISTANCE verification of a near-dup candidate pair list — the
     * "expensive verifier on a tiny candidate set" composition: Jaccard-level
     * blocking (LSH) finds the pairs, and character-level Levenshtein

@@ -798,6 +798,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("similar-docs search ranks a planted duplicate first, jaccard 1.0") {
+    val out = Dedup.similarDocs(docsWithDup, Seq(7L), 5).collect()
+    assert(out.nonEmpty)
+    val top = out.filter(_.getLong(0) == 7L).minBy(_.getInt(1))
+    assert(top.getLong(2) == 100007L && top.getDouble(3) == 1.0)
+    // ranks are 1..k and jaccard is non-increasing within the query
+    val js = out.filter(_.getLong(0) == 7L).sortBy(_.getInt(1)).map(_.getDouble(3))
+    js.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+
   test("edit verification: planted exact duplicate scores lev 0, sim 1.0") {
     val pairs = Dedup.minhashLshPairs(docsWithDup, 3, 32, 4, 0.9)
     val out = Dedup.editVerifiedPairs(docsWithDup, pairs).collect()
