@@ -263,6 +263,21 @@ object SparkEntry {
         dupClusters(s, dir).orderBy("doc_id")),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
+      // nightly delta ingestion: src3 arrives as the delta, checked against
+      // the stored LSH index of the rest (and itself) without re-scanning
+      // indexed text — pairs equal batch LSH over the union (spec-proven;
+      // oracle = all delta-involving pairs, recall-1.0 as d02)
+      "d14_delta_ingest" -> ((s: SparkSession, dir: String) => {
+        val d = CubeCatalog.forDir(s, dir).table("documents")
+        val idx = ops.IndexCache.memo(s, s"lshindex:$dir:3:32:4:!src3") {
+          val i = ops.Dedup.lshIndex(d.where(d("source") =!= "src3"), 3, 32, 4)
+          ops.Dedup.LshIndex(
+            i.postings.localCheckpoint(), i.signatures.localCheckpoint())
+        }
+        ops.Dedup.lshDeltaPairs(idx, d.where(d("source") === "src3"),
+            3, 32, 4, 0.5)
+          ._1.select("doc_a", "doc_b", "jaccard")
+      }),
       // the fuzzy-dedup survivor corpus: one representative (min doc_id)
       // per near-dup cluster — pair list → connected components → keep-one
       "d13_keep_canonical" -> ((s: SparkSession, dir: String) => {
@@ -1027,6 +1042,25 @@ object SparkEntry {
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
         |FROM pairs WHERE inter / (na + nb - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // d14: all pairs with a delta (src3) member — the set the incremental
+    // index must reproduce exactly (recall-1.0 argument as d02)
+    "d14_delta_ingest" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND (a.source = 'src3' OR b.source = 'src3'))
+        |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
+        |FROM p WHERE inter / (na + nb - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     // d09: the d02 all-pairs oracle + source labels + a per-source-pair
     // rollup (decimal-summed mean Jaccard via the VARCHAR hop)
