@@ -89,6 +89,23 @@ class ApiSpec extends AnyFunSuite {
     assert(asLatin.contains("Workbook"))
   }
 
+  test("Ytd running measure serves over the aggregate route") {
+    val (code, body) = get("/cubes/sales/aggregate.jsonrecords?" +
+      "drilldown%5B%5D=ShipDate.Monthly.Year&drilldown%5B%5D=ShipDate.Monthly.Month&" +
+      "measures%5B%5D=revenue&measures%5B%5D=ytd_revenue&nonempty=true")
+    assert(code == 200)
+    val recs = Json.parse(body).asInstanceOf[Seq[Map[String, Any]]]
+    assert(recs.nonEmpty)
+    val rk = recs.head.keys.find(_.equalsIgnoreCase("revenue")).get
+    val yk = recs.head.keys.find(_.equalsIgnoreCase("ytd_revenue")).get
+    // first month of each year: ytd == revenue
+    recs.groupBy(_("Year")).values.foreach { ms =>
+      val first = ms.minBy(_("Month").asInstanceOf[Long])
+      assert(math.abs(first(yk).asInstanceOf[Double] -
+        first(rk).asInstanceOf[Double]) < 1e-6)
+    }
+  }
+
   test("POST aggregate (form body) equals GET (reference parity)") {
     val qs = "drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue&measures%5B%5D=cnt"
     val (_, viaGet) = get(s"/cubes/sales/aggregate?$qs")
