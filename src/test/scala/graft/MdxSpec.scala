@@ -105,6 +105,23 @@ class MdxSpec extends AnyFunSuite {
     }
   }
 
+  test("MDX references the Ytd running measure by alias (B8 ext)") {
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue], [Measures].[ytd_revenue]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.nonEmpty)
+    var year = -1; var acc = BigDecimal(0)
+    rows.foreach { r =>
+      if (r.getInt(0) != year) { year = r.getInt(0); acc = BigDecimal(0) }
+      acc += BigDecimal(r.getDouble(2))
+      assert(math.abs(r.getDouble(3) - acc.toDouble) < 1e-6,
+        s"MDX ytd at $year-${r.getInt(1)}")
+    }
+  }
+
   test("WITH MEMBER alias may contain spaces (standard MDX names)") {
     val q = MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[Profit Margin] AS

@@ -64,6 +64,15 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("share-of-parent fractions sum to 1 within every region (q46)") {
+    val rows = SparkEntry.queries("q46_share_of_parent")(
+      SparkTestSession.spark, SparkTestSession.sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (region, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$region shares sum to $s")
+    }
+  }
+
   test("a cut never increases any group's value, and filters the axis") {
     forAll(Gen.zip(drillsGen, cutGen)) { case (drills, cut) =>
       val base = CubeQuery("sales", drills.map(LevelDrill(_)), Seq("revenue"))
