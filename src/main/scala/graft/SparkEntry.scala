@@ -577,6 +577,9 @@ object SparkEntry {
       // exact discrete per-type percentiles of the event value (p50/p90/p99)
       "e10_value_percentiles" -> tbl("events")(
         ops.EventOps.valuePercentiles(_, Seq(50, 90, 99))),
+      // ingest-volume anomaly days: |z| >= 1.5 vs the trailing-7-day window
+      "e11_anomaly_days" -> tbl("events")(
+        ops.EventOps.anomalyDays(_, 7, 1.5)),
       // fixed-width histogram of order totals (count + decimal-exact sum
       // per bucket) — one hash agg, the classic distribution report
       "q47_value_histogram" -> ((s: SparkSession, dir: String) => {
@@ -1704,6 +1707,41 @@ object SparkEntry {
         |MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(99 * n / 100.0) AS INT))
         |  THEN value END) AS p99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // e11: decimal window sums (rev, rev² exact in DECIMAL(37,12)); the
+    // mean/σ/z chain is one fixed-shape double expression on both engines.
+    // The square's cast is (19,6) here vs Spark's (18,6): DuckDB multiplies
+    // in the operands' common width (int64 overflow at 18), width ≥ 19
+    // forces its int128 path — both sides are exact, so values agree
+    "e11_anomaly_days" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) AS rev,
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE),
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))),
+        |win AS (SELECT event_type, day, rev,
+        |  COUNT(rev) OVER tw AS n_prev,
+        |  SUM(rev) OVER tw AS s1,
+        |  SUM(CAST(CAST(rev AS DECIMAL(19,6)) * CAST(rev AS DECIMAL(19,6))
+        |    AS DECIMAL(38,6))) OVER tw AS s2
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day_i
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT event_type, day, rev, n_prev,
+        |  CAST(s1 AS DOUBLE) / n_prev AS mean,
+        |  GREATEST(0.0, CAST(s2 AS DOUBLE) / n_prev -
+        |    (CAST(s1 AS DOUBLE) / n_prev) * (CAST(s1 AS DOUBLE) / n_prev))
+        |    AS variance
+        |  FROM win WHERE n_prev >= 2),
+        |sg AS (SELECT event_type, day, rev, n_prev, mean,
+        |  ROUND(sqrt(variance), 9) AS sigma FROM sc),
+        |zz AS (SELECT event_type, day, CAST(rev AS DOUBLE) AS revenue,
+        |  n_prev, mean, sigma,
+        |  CASE WHEN sigma > 0.0
+        |    THEN ROUND((CAST(rev AS DOUBLE) - mean) / sigma, 9) END AS zscore
+        |  FROM sg)
+        |SELECT event_type, day, revenue, n_prev, mean, sigma, zscore
+        |FROM zz WHERE zscore IS NOT NULL AND ABS(zscore) >= 1.5
+        |ORDER BY event_type, day""".stripMargin,
     // t22: score = tf · (N − df + ½)/(df + ½) — integer counts into one
     // fixed-shape double expression (see t13); rank order is total
     "t22_tfidf_keywords" ->

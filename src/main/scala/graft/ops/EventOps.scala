@@ -197,6 +197,61 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** ANOMALY DETECTION over the daily event stream — flag days whose
+    * revenue deviates more than `z` trailing standard deviations from the
+    * preceding `days`-day window (the data-quality monitor a pipeline runs
+    * on its own ingest volumes; the trailing window EXCLUDES the current
+    * day so an anomaly cannot mask itself). Sums and sums-of-squares ride
+    * DECIMAL — rev as DECIMAL(18,6), its square exact in DECIMAL(37,12) —
+    * so the window accumulation is order-independent; mean/variance/σ/z is
+    * then one fixed-shape double expression (sqrt is correctly rounded
+    * IEEE), bit-identical across engines. Same scale shape as
+    * [[rollingDaily]]: one shuffle to daily grain, windows partitioned by
+    * event type over day-count-sized rows. */
+  def anomalyDays(events: DataFrame, days: Int = 7,
+      z: Double = 2.0): DataFrame = {
+    val daily = events
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        expr("CAST(value AS DECIMAL(18,6))").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).as("rev"))
+      .withColumn("day_i",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("event_type").orderBy(col("day_i"))
+      .rangeBetween(-days, -1)
+    daily
+      .withColumn("n_prev", count(col("rev")).over(w))
+      .withColumn("s1", sum(col("rev")).over(w))
+      // rev re-narrowed to (18,6) so the product is exact DECIMAL(37,12),
+      // then re-quantized to scale 6 — lossless for ≤3-decimal daily sums
+      // (monetary inputs) and it keeps s2's integer representation under
+      // 2⁵³, so BOTH engines' decimal→double conversions are exact and the
+      // variance chain is bit-identical (wide decimals double-round in
+      // some engines' toDouble)
+      .withColumn("s2",
+        sum(expr("CAST(CAST(rev AS DECIMAL(18,6)) * " +
+          "CAST(rev AS DECIMAL(18,6)) AS DECIMAL(38,6))")).over(w))
+      .where(col("n_prev") >= 2)
+      .withColumn("mean", col("s1").cast("double") / col("n_prev"))
+      .withColumn("variance", greatest(lit(0.0),
+        col("s2").cast("double") / col("n_prev") -
+          col("mean") * col("mean")))
+      // σ and z round to 9 decimals (t14/t23 recipe): the s2 decimal is
+      // wider than 2⁵³, and one engine's decimal→double conversion double-
+      // rounds — a ~1e-13 relative wobble that 1e-9 rounding absorbs; the
+      // |z| ≥ threshold filter runs on the rounded value on both sides so
+      // the row sets agree too
+      .withColumn("sigma", round(sqrt(col("variance")), 9))
+      .withColumn("zscore",
+        when(col("sigma") > 0.0, round(
+          (col("rev").cast("double") - col("mean")) / col("sigma"), 9)))
+      .where(col("zscore").isNotNull && abs(col("zscore")) >= z)
+      .select(col("event_type"), col("day"),
+        col("rev").cast("double").as("revenue"),
+        col("n_prev"), col("mean"), col("sigma"), col("zscore"))
+      .orderBy("event_type", "day")
+  }
+
   /** Bounded INTERVAL JOIN — per event, aggregate the same user's orders in
     * the trailing `days`-day window. The naive spelling is an inequality
     * (range) join that Spark can only run as a per-key nested loop — it
