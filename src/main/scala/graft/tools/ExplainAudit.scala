@@ -28,7 +28,8 @@ object ExplainAudit {
         "q47_value_histogram", "e10_value_percentiles", "t22_tfidf_keywords",
         "t23_textrank", "d12_edit_verify", "t24_ngram_diversity",
         "t25_bpe_fertility", "q48_ytd", "d13_keep_canonical",
-        "m04_decode_batches")
+        "m04_decode_batches", "s07_similar_docs", "d14_delta_ingest",
+        "e11_anomaly_days")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
