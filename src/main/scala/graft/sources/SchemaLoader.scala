@@ -132,7 +132,11 @@ object SchemaLoader {
     lagMeasures = strSeq(m, "lagMeasures").map(lm => LagMeasureDef(
       lm("alias").toString, lm("base").toString, lm("timeDimension").toString,
       coalesceToBase = lm.getOrElse("coalesceToBase", false)
-        .asInstanceOf[Boolean])),
+        .asInstanceOf[Boolean],
+      periods = lm.getOrElse("periods", 1L).asInstanceOf[Long].toInt)),
+    cumMeasures = strSeq(m, "cumMeasures").map(cm => CumMeasureDef(
+      cm("alias").toString, cm("base").toString, cm("timeDimension").toString,
+      cm("resetLevel").toString)),
     namedSets = strSeq(m, "namedSets").map(ns => NamedSetDef(
       ns("name").toString, ns("dimension").toString, ns("level").toString,
       ns("topK").asInstanceOf[Long].toInt, ns("byMeasure").toString)),

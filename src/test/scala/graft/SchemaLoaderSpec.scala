@@ -48,7 +48,9 @@ class SchemaLoaderSpec extends AnyFunSuite {
        |      {"name": "OrderDate", "type": "time", "hierarchies": [
        |        {"name": "Monthly", "levels": [
        |          {"name": "Year", "key": "year(o_orderdate)",
-       |           "alias": "order_year"}]}]}
+       |           "alias": "order_year"},
+       |          {"name": "Month", "key": "month(o_orderdate)",
+       |           "alias": "order_month"}]}]}
        |    ],
        |    "measures": [
        |      {"name": "Total Sales", "alias": "total_sales",
@@ -57,7 +59,13 @@ class SchemaLoaderSpec extends AnyFunSuite {
        |       "aggregator": "count-all", "expr": "1"}
        |    ],
        |    "calculatedMembers": [
-       |      {"alias": "avg_sale", "formula": "total_sales / order_count"}]
+       |      {"alias": "avg_sale", "formula": "total_sales / order_count"}],
+       |    "lagMeasures": [
+       |      {"alias": "yoy_sales", "base": "total_sales",
+       |       "timeDimension": "OrderDate", "periods": 12}],
+       |    "cumMeasures": [
+       |      {"alias": "ytd_sales", "base": "total_sales",
+       |       "timeDimension": "OrderDate", "resetLevel": "Year"}]
        |  }]
        |}""".stripMargin
 
@@ -76,6 +84,25 @@ class SchemaLoaderSpec extends AnyFunSuite {
       assert(g.getInt(0) == w.getInt(0))
       assert(g.getDouble(2) == w.getDouble(2)) // identical decimal-exact sums
       assert(g.getDouble(4) == g.getDouble(2) / g.getLong(3))
+    }
+  }
+
+  test("declared lag periods and cum measures load and plan (B8 ext)") {
+    val cat = SchemaLoader.load(spark, catalogJson(parquetRegion))
+    val rows = Planner.plan(cat, CubeQuery("orders",
+      Seq(drill("OrderDate", "Year"), drill("OrderDate", "Month")),
+      Seq("total_sales", "ytd_sales", "yoy_sales"))).collect()
+    assert(rows.nonEmpty)
+    var year = -1; var acc = BigDecimal(0)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (r.getInt(0) != year) { year = r.getInt(0); acc = BigDecimal(0) }
+      acc += BigDecimal(r.getDouble(2))
+      assert(math.abs(r.getDouble(3) - acc.toDouble) < 1e-6,
+        s"declared ytd at $year-${r.getInt(1)}")
+      if (i >= 12)
+        assert(r.getDouble(4) == rows(i - 12).getDouble(2),
+          s"declared yoy periods=12 at row $i")
+      else assert(r.isNullAt(4))
     }
   }
 
