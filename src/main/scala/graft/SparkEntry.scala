@@ -263,6 +263,33 @@ object SparkEntry {
         dupClusters(s, dir).orderBy("doc_id")),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
+      // the dedup-impact ("data diet") report: per source, how many docs
+      // survive exact and fuzzy dedup, and how many tokens span-trimming
+      // keeps — the accounting every corpus build publishes. Pure
+      // composition of d06/d13/t21 over the memoized artifacts.
+      "t26_dedup_report" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        val d = CubeCatalog.forDir(s, dir).table("documents")
+        val exact = ops.TextOps.dedupKeepFirst(d)
+          .select(col("doc_id"), lit(1L).as("ex"))
+        val fuzzy = ops.Dedup.keepClusterRepresentative(
+            d, "doc_id", dupClusters(s, dir))
+          .select(col("doc_id"), lit(1L).as("fz"))
+        val trim = ops.Dedup.trimRepeatedSpans(d, 10)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("nt"),
+            col("n_removed").cast("long").as("nr"))
+        d.select(col("doc_id"), col("source"))
+          .join(exact, Seq("doc_id"), "left")
+          .join(fuzzy, Seq("doc_id"), "left")
+          .join(trim, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum(coalesce(col("ex"), lit(0L))).as("docs_after_exact"),
+            sum(coalesce(col("fz"), lit(0L))).as("docs_after_fuzzy"),
+            sum(col("nt")).as("tokens"),
+            sum(col("nt") - col("nr")).as("tokens_after_trim"))
+          .orderBy("source")
+      }),
       // nightly delta ingestion: src3 arrives as the delta, checked against
       // the stored LSH index of the rest (and itself) without re-scanning
       // indexed text — pairs equal batch LSH over the union (spec-proven;
@@ -1065,6 +1092,57 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
         |FROM p WHERE inter / (na + nb - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // t26: d06's exact survivors + d13's recursive-reachability survivors +
+    // t21's covered-position counts, rolled up per source
+    "t26_dedup_report" ->
+      """WITH RECURSIVE dd AS (SELECT doc_id, source,
+        |  string_split(text, ' ') AS w FROM documents),
+        |ex AS (SELECT doc_id FROM documents
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a),
+        |fz AS (SELECT node AS doc_id FROM reach GROUP BY node
+        |  HAVING node = MIN(r)),
+        |sp AS (SELECT doc_id, g AS pos,
+        |  array_to_string(w[g:g+9], ' ') AS span
+        |  FROM (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 9)) AS g FROM dd)),
+        |shared AS (SELECT span FROM
+        |  (SELECT span, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY span)
+        |  WHERE nd >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS cpos
+        |  FROM (SELECT s.doc_id, s.pos, unnest(generate_series(0, 9)) AS o
+        |    FROM sp s JOIN shared sh2 ON s.span = sh2.span)),
+        |rem AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS nr
+        |  FROM cov GROUP BY doc_id)
+        |SELECT dd.source, CAST(COUNT(1) AS BIGINT) AS docs,
+        |CAST(SUM(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |  AS docs_after_exact,
+        |CAST(SUM(CASE WHEN fz.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |  AS docs_after_fuzzy,
+        |CAST(SUM(len(dd.w)) AS BIGINT) AS tokens,
+        |CAST(SUM(len(dd.w) - COALESCE(rem.nr, 0)) AS BIGINT)
+        |  AS tokens_after_trim
+        |FROM dd LEFT JOIN ex ON dd.doc_id = ex.doc_id
+        |LEFT JOIN fz ON dd.doc_id = fz.doc_id
+        |LEFT JOIN rem ON dd.doc_id = rem.doc_id
+        |GROUP BY dd.source ORDER BY dd.source""".stripMargin,
     // d09: the d02 all-pairs oracle + source labels + a per-source-pair
     // rollup (decimal-summed mean Jaccard via the VARCHAR hop)
     "d09_dup_sources" ->
