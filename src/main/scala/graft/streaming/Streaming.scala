@@ -244,6 +244,102 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class AnomIn(event_type: String, ts: java.sql.Timestamp,
+      value: Double)
+  final case class AnomOut(event_type: String, day_i: Long, revenue: Double,
+      n_prev: Long, mean: Double, sigma: Double, zscore: Double)
+  // per-type state: accumulating day→rev decimal sums (scale-6 strings —
+  // exact, encoder-friendly) and the last day already emitted
+  final case class AnomSt(days: Seq[(Long, String)], emittedThrough: Long)
+
+  /** Streaming ANOMALY DETECTION — the continuous twin of
+    * [[graft.ops.EventOps.anomalyDays]]: per event type, a day is scored
+    * against the trailing `days`-day window once the WATERMARK passes its
+    * end (no more events can join that day — the same finality batch
+    * grouping has), so emitted rows equal the batch operator's on every
+    * watermark-closed day. Revenue accumulates as scale-6 decimals and the
+    * mean/σ/z chain replays the batch arithmetic step for step (squares
+    * re-quantized to scale 6, σ and z rounded at 1e-9), so the equality is
+    * bit-exact, not approximate.
+    *
+    * State per type stays BOUNDED: closed days older than the trailing
+    * window evict; what remains is ≤ `days` closed days plus the open
+    * (watermark-window) days — the streaming-aggregation minimum. */
+  def anomalyStream(spark: SparkSession, events: DataFrame, days: Int,
+      z: Double, delay: String): Dataset[AnomOut] = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def dec6(v: java.math.BigDecimal): java.math.BigDecimal =
+      v.setScale(6, java.math.RoundingMode.HALF_UP)
+    def round9(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
+    def update(typ: String, rows: Iterator[AnomIn],
+        st: GroupState[AnomSt]): Iterator[AnomOut] = {
+      val prev = st.getOption.getOrElse(AnomSt(Nil, Long.MinValue))
+      var revs: Map[Long, java.math.BigDecimal] = prev.days
+        .map { case (d, s) => d -> new java.math.BigDecimal(s) }.toMap
+      if (!st.hasTimedOut) rows.foreach { r =>
+        val d = Math.floorDiv(micros(r.ts), dayUs)
+        // the same double→DECIMAL(18,6) quantization as the batch cast
+        val v = dec6(java.math.BigDecimal.valueOf(r.value))
+        revs = revs.updated(d, revs.get(d).fold(v)(_.add(v)))
+      }
+      val wmMs = st.getCurrentWatermarkMs()
+      // day d is closed once the watermark reaches its end
+      val closedThrough = Math.floorDiv(wmMs, 86400000L) - 1
+      val ready = revs.keys.filter(d =>
+        d > prev.emittedThrough && d <= closedThrough).toSeq.sorted
+      val out = ready.flatMap { d =>
+        val win = ((d - days) until d).flatMap(revs.get)
+        val n = win.length
+        if (n < 2) None
+        else {
+          val s1 = win.reduce(_.add(_))
+          val s2 = win.map(r => dec6(r.multiply(r))).reduce(_.add(_))
+          val mean = s1.doubleValue / n
+          val variance =
+            math.max(0.0, s2.doubleValue / n - mean * mean)
+          val sigma = round9(math.sqrt(variance))
+          val rev = revs(d)
+          if (sigma > 0.0) {
+            val zs = round9((rev.doubleValue - mean) / sigma)
+            if (math.abs(zs) >= z)
+              Some(AnomOut(typ, d, rev.doubleValue, n, mean, sigma, zs))
+            else None
+          } else None
+        }
+      }
+      val emitted = if (ready.nonEmpty) ready.max else prev.emittedThrough
+      // evict closed days that can no longer appear in any future window
+      // (sentinel guard: MinValue - days would wrap positive and drop all)
+      val cutoff =
+        if (emitted == Long.MinValue) Long.MinValue else emitted - days
+      val keep = revs.filter { case (d, _) => d > cutoff }
+      if (keep.isEmpty) st.remove()
+      else {
+        st.update(AnomSt(
+          keep.toSeq.sortBy(_._1).map { case (d, v) => d -> v.toPlainString },
+          emitted))
+        val oldestOpen = keep.keys.filter(_ > emitted).reduceOption(_ min _)
+        // flush when the watermark closes the oldest still-open day
+        oldestOpen.foreach(d => st.setTimeoutTimestamp((d + 1) * 86400000L))
+      }
+      out.iterator
+    }
+
+    events.withWatermark("ts", delay)
+      .select(col("event_type"), col("ts"), col("value"))
+      .as[AnomIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming EXACT DEDUP — the continuous twin of the batch keep-first
     * pipeline ([[graft.ops.TextOps.dedupKeepFirst]]): drop every document
     * whose content digest has already been admitted. Same md5 content key

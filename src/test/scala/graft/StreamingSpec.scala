@@ -152,6 +152,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomaly days equal batch for every watermark-closed day") {
+    val name = Streaming.runToMemory(spark,
+      Streaming.anomalyStream(spark,
+        Streaming.readEventsStream(spark, eventsDir), 7, 1.5, "1 minute")
+        .toDF(), "anom_test")
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val batch = graft.ops.EventOps.anomalyDays(cat.table("events"), 7, 1.5)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))))
+      .toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"$k differs: ${batch.get(k)} vs $v")
+    }
+    // only days the final watermark never closed may be unemitted
+    val maxUs = cat.table("events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val horizonDay =
+      Math.floorDiv(maxUs - 60L * 1000000L, 86400L * 1000000L) - 1
+    val unemitted = batch.keySet -- streamed.keySet
+    assert(unemitted.forall(_._2 > horizonDay),
+      s"closed days missing: ${unemitted.filter(_._2 <= horizonDay)}")
+  }
+
   test("streaming document dedup admits exactly one doc per content digest") {
     // replay the corpus twice (at-least-once ingest) — the streaming twin
     // must admit each distinct content exactly once, matching the batch
