@@ -321,6 +321,12 @@ object SparkEntry {
       // query doc (broadcast query postings, inverted-index join)
       "s07_similar_docs" -> tbl("documents")(
         ops.Dedup.similarDocs(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      // filtered vector search: top-5 OUTSIDE the query's own label
+      // (exclude-own-cluster retrieval; predicate pre-filters the scan)
+      "s08_knn_filtered" -> tbl("embeddings")(
+        ops.Similarity.knnFiltered(_, Seq(0L, 1L, 2L, 3L, 4L), 5,
+          org.apache.spark.sql.functions.col("label_q") =!=
+            org.apache.spark.sql.functions.col("label_n"))),
       "s02_knn_lsh" -> tbl("embeddings")(
         ops.Similarity.knnLsh(_, Seq(0L, 1L, 2L, 3L, 4L), 5, bits = 8)),
       // index build (k-means + assignment + residual bounds) is a
@@ -621,6 +627,24 @@ object SparkEntry {
           .withColumn("bucket_lo", col("bucket") * lit(50000.0))
           .select("bucket", "bucket_lo", "n_orders", "total")
           .orderBy("bucket")
+      }),
+      // equi-depth quartiles of order value (NTILE over a pinned total
+      // order; the report-sized exact form — at corpus scale the
+      // boundaries come from a range-partitioned sort or approx quantiles)
+      "q49_value_quartiles" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        CubeCatalog.forDir(s, dir).table("orders")
+          .select(col("o_orderkey"),
+            expr("CAST(o_totalprice AS DECIMAL(27,6))").as("v"))
+          .withColumn("quartile", ntile(4).over(
+            Window.orderBy(col("v").asc, col("o_orderkey").asc)))
+          .groupBy("quartile")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("v")).cast("double").as("lo"),
+            max(col("v")).cast("double").as("hi"),
+            sum(col("v")).cast("double").as("total"))
+          .orderBy("quartile")
       }),
       // character-level verification of the near-dup pair list: Levenshtein
       // runs ONLY on the pair-count-sized candidate set, never the corpus
@@ -1261,6 +1285,23 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // s08: s01 restricted to candidates outside the query's label
+    "s08_knn_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, n.v) AS sim
+        |  FROM e q JOIN e n ON q.vec_id <> n.vec_id AND q.label <> n.label
+        |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM sims)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // s05: replay the two-phase quantized search — int8 codes as
     // integer-valued doubles (floor half-up matches Spark), integer-dot
     // shortlist of 20, exact-dot re-rank of the shortlist only
@@ -1847,6 +1888,18 @@ object SparkEntry {
         |SELECT bucket, bucket * CAST(50000.0 AS DOUBLE) AS bucket_lo,
         |CAST(COUNT(1) AS BIGINT) AS n_orders, CAST(SUM(v) AS DOUBLE) AS total
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q49: NTILE's distribution rule (earlier buckets take the remainder)
+    // is SQL-standard and identical in both engines; the order is total
+    "q49_value_quartiles" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(27,6)) AS v
+        |  FROM orders),
+        |r AS (SELECT v, CAST(NTILE(4) OVER (ORDER BY v ASC, o_orderkey ASC)
+        |  AS INTEGER) AS quartile FROM o)
+        |SELECT quartile, CAST(COUNT(1) AS BIGINT) AS n_orders,
+        |CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi,
+        |CAST(SUM(v) AS DOUBLE) AS total
+        |FROM r GROUP BY quartile ORDER BY quartile""".stripMargin,
     // d12: the d02 all-pairs pair set (recall-1.0 argument, see d02) +
     // unit-cost Levenshtein — identical dynamic-program in both engines
     "d12_edit_verify" ->

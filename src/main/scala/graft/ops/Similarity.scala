@@ -49,6 +49,26 @@ object Similarity {
     topKPerQuery(scored, k).orderBy("query_id", "rank")
   }
 
+  /** FILTERED vector search — exact top-k under a metadata predicate, the
+    * "filtered retrieval" shape every vector store serves (date-bounded,
+    * source-scoped, exclude-own-cluster). `pred` sees the pair columns
+    * (query_id, label_q, neighbor_id, label_n) and restricts candidates
+    * BEFORE scoring — at scale this is a pushed-down filter on the index
+    * scan, never post-filtering a top-k that could come back short of k. */
+  def knnFiltered(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      pred: Column): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      asDouble("embedding").as("v_n"), col("label").as("label_n"))
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), asDouble("embedding").as("v_q"),
+        col("label").as("label_q"))
+    val scored = corpus
+      .join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id") && pred)
+      .withColumn("sim", dot(col("v_q"), col("v_n")))
+    topKPerQuery(scored, k).orderBy("query_id", "rank")
+  }
+
   /** INT8-quantized kNN with exact re-rank — the embedding-compression path
     * a 100 TB ANN index actually runs: per-vector symmetric scalar
     * quantization (scale = max|x|/127) shrinks the corpus 4-8× so the scan
