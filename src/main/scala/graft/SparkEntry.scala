@@ -353,6 +353,18 @@ object SparkEntry {
         }
         ops.Similarity.kmeansAssignWith(emb, cs)
       }),
+      // SemDeDup: k-means clusters (the s06 memoized centroids) block the
+      // within-cluster cosine pairs; greedy smaller-id-survives
+      "d15_semantic_dedup" -> ((s: SparkSession, dir: String) => {
+        val emb = CubeCatalog.forDir(s, dir).table("embeddings")
+        val cs = ops.IndexCache.memo(s, s"kmeans:$dir:8:3") {
+          ops.Similarity.kmeansCentroids(emb, 8, 3)
+        }
+        ops.Dedup.semanticDedup(emb, cs, 0.35)
+      }),
+      // per-doc OOV rate against the corpus' own top-16 token vocabulary
+      "t27_vocab_coverage" -> tbl("documents")(
+        ops.TextOps.vocabCoverage(_, 16)),
       "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
       // daily session-quality rollup composed on the sessionize plan
       "e09_session_stats" -> tbl("events")(
@@ -628,17 +640,18 @@ object SparkEntry {
           .select("bucket", "bucket_lo", "n_orders", "total")
           .orderBy("bucket")
       }),
-      // equi-depth quartiles of order value (NTILE over a pinned total
-      // order; the report-sized exact form — at corpus scale the
-      // boundaries come from a range-partitioned sort or approx quantiles)
+      // equi-depth quartiles of order value — NTILE semantics over a pinned
+      // total order, computed DISTRIBUTED (ops.Ranking two-phase rank:
+      // equi-width value buckets → bucket-offset broadcast → partitioned
+      // windows; never a single-partition global window)
       "q49_value_quartiles" -> ((s: SparkSession, dir: String) => {
         import org.apache.spark.sql.functions._
-        import org.apache.spark.sql.expressions.Window
-        CubeCatalog.forDir(s, dir).table("orders")
+        val o = CubeCatalog.forDir(s, dir).table("orders")
           .select(col("o_orderkey"),
             expr("CAST(o_totalprice AS DECIMAL(27,6))").as("v"))
-          .withColumn("quartile", ntile(4).over(
-            Window.orderBy(col("v").asc, col("o_orderkey").asc)))
+        ops.Ranking.equiDepthTiles(o, col("v"), col("o_orderkey"),
+            tiles = 4, bucketWidth = 50000.0)
+          .withColumnRenamed("tile", "quartile")
           .groupBy("quartile")
           .agg(count(lit(1)).as("n_orders"),
             min(col("v")).cast("double").as("lo"),
@@ -756,6 +769,54 @@ object SparkEntry {
     cubeQueries.map { case (n, q) => n -> cq(q) } ++ opsQueries
 
   // ============================================================ oracle SQL
+
+  /** Shared oracle prefix for every query that rides the memoized k-means
+    * clustering (s06, d15): the full iterative Lloyd procedure UNROLLED in
+    * SQL — decimal-mean centroids (VARCHAR hop), sequential
+    * list_dot_product scores, ties to the larger cluster id (Spark's
+    * lexicographic struct max), empty clusters inheriting the previous
+    * round's centroid (COALESCE chain) — ending with
+    * `afinal(vec_id, emb, c)`, the per-vector assignment. Callers append
+    * further CTEs after a comma or the final SELECT directly. */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    def cent(r: Int, from: String): String = {
+      val base =
+        s"""x$r AS (SELECT c, unnest(emb) AS x,
+           |  generate_subscripts(emb, 1) AS pos FROM $from),
+           |m$r AS (SELECT c, pos,
+           |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE)
+           |    / COUNT(1) AS m
+           |  FROM x$r GROUP BY c, pos),
+           |newc$r AS (SELECT c, list(m ORDER BY pos) AS cent
+           |  FROM m$r GROUP BY c)""".stripMargin
+      val carry =
+        if (r == 1) s"cent$r AS (SELECT c, cent FROM newc$r)"
+        else
+          s"""cent$r AS (SELECT p.c, COALESCE(n.cent, p.cent) AS cent
+             |  FROM cent${r - 1} p LEFT JOIN newc$r n USING (c))""".stripMargin
+      s"$base,\n$carry"
+    }
+    def assign(name: String, centTbl: String): String =
+      s"""s_$name AS (SELECT v.vec_id, v.emb, ct.c,
+         |  list_dot_product(v.emb, ct.cent)
+         |    - list_dot_product(ct.cent, ct.cent) / 2.0 AS score
+         |  FROM v CROSS JOIN $centTbl ct),
+         |$name AS (SELECT vec_id, emb, c FROM (
+         |  SELECT vec_id, emb, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY score DESC, c DESC) AS rn FROM s_$name)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val c = cent(r, s"a${r - 1}")
+      if (r < iters) s"$c,\n${assign(s"a$r", s"cent$r")}" else c
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, emb, CAST(vec_id % $k AS INTEGER) AS c
+       |  FROM v),
+       |$rounds,
+       |${assign("afinal", s"cent$iters")}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_returnflag_agg" ->
@@ -1338,48 +1399,36 @@ object SparkEntry {
     // the larger cluster id (Spark's lexicographic struct max). Empty
     // clusters inherit the previous round's centroid (COALESCE chain),
     // mirroring kmeansLoop's keep-previous rule.
-    "s06_kmeans_assign" -> {
-      val k = 8
-      val iters = 3
-      def cent(r: Int, from: String): String = {
-        val base =
-          s"""x$r AS (SELECT c, unnest(emb) AS x,
-             |  generate_subscripts(emb, 1) AS pos FROM $from),
-             |m$r AS (SELECT c, pos,
-             |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE)
-             |    / COUNT(1) AS m
-             |  FROM x$r GROUP BY c, pos),
-             |newc$r AS (SELECT c, list(m ORDER BY pos) AS cent
-             |  FROM m$r GROUP BY c)""".stripMargin
-        val carry =
-          if (r == 1) s"cent$r AS (SELECT c, cent FROM newc$r)"
-          else
-            s"""cent$r AS (SELECT p.c, COALESCE(n.cent, p.cent) AS cent
-               |  FROM cent${r - 1} p LEFT JOIN newc$r n USING (c))""".stripMargin
-        s"$base,\n$carry"
-      }
-      def assign(name: String, centTbl: String): String =
-        s"""s_$name AS (SELECT v.vec_id, v.emb, ct.c,
-           |  list_dot_product(v.emb, ct.cent)
-           |    - list_dot_product(ct.cent, ct.cent) / 2.0 AS score
-           |  FROM v CROSS JOIN $centTbl ct),
-           |$name AS (SELECT vec_id, emb, c FROM (
-           |  SELECT vec_id, emb, c, ROW_NUMBER() OVER (PARTITION BY vec_id
-           |    ORDER BY score DESC, c DESC) AS rn FROM s_$name)
-           |  WHERE rn = 1)""".stripMargin
-      val rounds = (1 to iters).map { r =>
-        val c = cent(r, s"a${r - 1}")
-        if (r < iters) s"$c,\n${assign(s"a$r", s"cent$r")}" else c
-      }.mkString(",\n")
-      s"""WITH v AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |  FROM embeddings),
-         |a0 AS (SELECT vec_id, emb, CAST(vec_id % $k AS INTEGER) AS c
-         |  FROM v),
-         |$rounds,
-         |${assign("afinal", s"cent$iters")}
-         |SELECT vec_id, c AS cluster FROM afinal ORDER BY vec_id""".stripMargin
-    },
+    "s06_kmeans_assign" ->
+      s"""${kmeansOracleCtes(8, 3)}
+         |SELECT vec_id, c AS cluster FROM afinal ORDER BY vec_id""".stripMargin,
+    // d15: the s06 assignment CTEs verbatim, then within-cluster pairs and
+    // the greedy smaller-id-survives rule
+    "d15_semantic_dedup" ->
+      s"""${kmeansOracleCtes(8, 3)},
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  list_dot_product(a.emb, b.emb) AS cos
+         |  FROM afinal a JOIN afinal b ON a.c = b.c AND a.vec_id < b.vec_id),
+         |dup AS (SELECT DISTINCT vb FROM p WHERE cos >= 0.35)
+         |SELECT f.vec_id, f.c AS cluster,
+         |CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM afinal f LEFT JOIN dup d ON f.vec_id = d.vb
+         |ORDER BY f.vec_id""".stripMargin,
+    // t27: the vocab is top-16 by (count desc, token asc) — a total order,
+    // so LIMIT is deterministic; SUM of ints is HUGEINT in DuckDB → BIGINT
+    "t27_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, COUNT(1) AS cnt FROM tok GROUP BY token
+        |  ORDER BY cnt DESC, token ASC LIMIT 16)),
+        |j AS (SELECT t.doc_id,
+        |  CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+        |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_tok,
+        |CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS oov_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e01_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
         |  FROM events),

@@ -664,6 +664,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters are the
+    * blocking key, and within each cluster every document whose cosine to a
+    * SMALLER-id cluster-mate reaches `threshold` is dropped (greedy
+    * keep-first — the paper's keep-one-per-near-dup-group rule with a
+    * deterministic representative). Exact near-dups collapse like MinHash
+    * dedup would, but so do paraphrases and translations that share no
+    * n-grams — the semantic layer of a dedup stack, run AFTER exact/fuzzy
+    * text dedup on the survivors.
+    *
+    * Scale shape: assignment is map-only (centroids broadcast — k×dim
+    * doubles, driver-sized by construction); the only quadratic work is the
+    * within-cluster pair join, which is the SemDeDup design point — k grows
+    * ∝ corpus so cluster populations stay bounded (the paper runs n/k ≈
+    * const). Centroids come from the deterministic decimal k-means
+    * ([[Similarity.kmeansCentroids]], memoized per ingest in [[IndexCache]]),
+    * so the whole operator replays exactly in SQL.
+    *
+    * Output: one row per vector — its cluster and kept = 1 (survivor) or 0
+    * (semantic duplicate of a smaller-id cluster-mate). */
+  def semanticDedup(emb: DataFrame, cs: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    // localCheckpoint: feeds both pair-join sides + the final kept join
+    val e = emb.select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("cluster", Similarity.nearestCluster(col("v"), cs))
+      .localCheckpoint(eager = false)
+    val a = e.select(col("cluster").as("cl_a"), col("vec_id").as("va"),
+      col("v").as("v_a"))
+    val b = e.select(col("cluster").as("cl_b"), col("vec_id").as("vb"),
+      col("v").as("v_b"))
+    val dups = a.join(b, col("cl_a") === col("cl_b") && col("va") < col("vb"))
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    e.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key. Embeddings are
     * L2-normalized, so cosine = dot product (sequential double fold — matches
     * the DuckDB oracle bit-for-bit). */

@@ -702,6 +702,33 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** VOCABULARY COVERAGE — per-document out-of-vocabulary rate against the
+    * corpus' own top-`vocabSize` token vocabulary (count desc, token asc —
+    * a total order, so the vocab is deterministic). The tokenizer-coverage
+    * check a pipeline runs before committing to a fixed vocab: documents
+    * with high `oov_frac` are the ones a small vocabulary would shred into
+    * UNK/bytes (the per-language twin of [[bpeFertility]]).
+    *
+    * Scale shape: token counts are one map-side-combined hash agg; the
+    * vocab is top-k of that (TakeOrderedAndProject — vocabSize rows, always
+    * broadcastable); per-doc coverage is one broadcast join on the exploded
+    * tokens plus one doc-keyed agg. Work ∝ total tokens, nothing pairwise,
+    * no UDFs. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = docs.select(col("doc_id"), explode(tokens("text")).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tok").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k tokens per language by frequency (explode → count → window
     * rank): the vocabulary profile of a corpus slice. */
   def topWordsPerLang(docs: DataFrame, k: Int): DataFrame = {

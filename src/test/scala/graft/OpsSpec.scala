@@ -847,4 +847,44 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(3) - expRev) < 1e-6, s"$typ $day roll_rev")
     }
   }
+
+  test("semantic dedup: planted clone removed, survivors have no " +
+    "smaller-id near-mate") {
+    val clone = emb.where(col("vec_id") === 7L)
+      .withColumn("vec_id", lit(100007L))
+    val withDup = emb.unionByName(clone)
+    val cs = Similarity.kmeansCentroids(withDup, 8, 3)
+    val out = Dedup.semanticDedup(withDup, cs, 0.35)
+    val kept = out.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // the clone shares its original's vector → same cluster, cos 1.0 → cut
+    assert(kept(100007L)._2 == 0, "planted clone must be removed")
+    assert(kept(7L)._2 == 1, "the smaller-id original survives")
+    // every removed vector has a smaller-id cluster-mate at cos >= t;
+    // verify against the naive within-cluster pair set
+    val e = withDup.select(col("vec_id"),
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("c", Similarity.nearestCluster(col("v"), cs))
+    val naiveDups = e.as("a").join(e.as("b"),
+        col("a.c") === col("b.c") && col("a.vec_id") < col("b.vec_id"))
+      .where(Similarity.dot(col("a.v"), col("b.v")) >= 0.35)
+      .select(col("b.vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    kept.foreach { case (id, (_, k)) =>
+      assert((k == 0) == naiveDups.contains(id), s"vec $id kept=$k")
+    }
+  }
+
+  test("vocab coverage: OOV fraction against a hand-picked tiny vocab") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b c"), (2L, "a b"), (3L, "x y z a"))
+      .toDF("doc_id", "text")
+    // corpus counts: a=4, b=2, c=1, x=1, y=1, z=1 → top-2 vocab = {a, b}
+    val out = TextOps.vocabCoverage(d, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((4L, 3L, 0.75)))
+  }
 }
