@@ -344,6 +344,9 @@ object SparkEntry {
       // int8 scalar quantization + integer-dot shortlist + exact re-rank
       "s05_knn_quantized" -> tbl("embeddings")(
         ops.Similarity.quantizedKnn(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      // random-projection (JL) shortlist in 16 dims + exact re-rank
+      "s09_knn_projected" -> tbl("embeddings")(
+        ops.Similarity.projectedKnn(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
       // deterministic k-means topic assignment (the curation clustering
       // step); centroids memoized like the IVF index they seed
       "s06_kmeans_assign" -> ((s: SparkSession, dir: String) => {
@@ -452,6 +455,9 @@ object SparkEntry {
       "e05_retention" -> tbl("events")(ops.EventOps.retentionCohorts),
       // bigram-LM mean surprisal (CCNet-style perplexity quality filter)
       "t14_lm_score" -> tbl("documents")(ops.TextOps.bigramLmScore),
+      // curriculum quartiles of the t14 score (distributed equi-depth rank)
+      "t28_difficulty_buckets" -> tbl("documents")(
+        ops.TextOps.difficultyBuckets(_)),
       // context-window chunking: 64-token windows advancing 48 (25% overlap)
       "t15_chunk_windows" -> tbl("documents")(
         ops.TextOps.chunkWindows(_, 64, 48)),
@@ -618,6 +624,45 @@ object SparkEntry {
             (col("rev").cast("double") / col("tot").cast("double"))
               .as("share_of_region"))
           .orderBy("region", "brand")
+      }),
+      // league-table reporting windows: rank in region, gap to the
+      // previous rank, percent of the leader — all windows PARTITIONED by
+      // region (never global), decimal until the final double casts
+      "q50_rank_in_region" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val c = CubeCatalog.forDir(s, dir)
+        val agg = c.table("lineitem")
+          .join(broadcast(c.table("supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c.table("nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(c.table("region")
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(c.table("part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+          .agg(sum(expr(
+            "CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(27,6))"))
+            .as("rev"))
+        val w = Window.partitionBy("region")
+          .orderBy(col("rev").desc, col("brand").asc)
+        agg
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("prev", lag(col("rev"), 1).over(w))
+          .withColumn("leader", max(col("rev")).over(
+            Window.partitionBy("region")))
+          .select(col("region"), col("rnk"), col("brand"),
+            col("rev").cast("double").as("revenue"),
+            coalesce((col("prev") - col("rev")).cast("double"), lit(0.0))
+              .as("behind_prev"),
+            (col("rev").cast("double") / col("leader").cast("double"))
+              .as("pct_of_leader"))
+          .orderBy("region", "rnk")
       }),
       // exact discrete per-type percentiles of the event value (p50/p90/p99)
       "e10_value_percentiles" -> tbl("events")(
@@ -817,6 +862,25 @@ object SparkEntry {
        |$rounds,
        |${assign("afinal", s"cent$iters")}""".stripMargin
   }
+
+  /** Shared oracle CTEs for the bigram-LM score (t14, t28): ends with
+    * `scored(doc_id, n_bigrams, lm_score)` — the per-doc mean surprisal,
+    * decimal-summed (order-independent) and rounded at 1e-6. */
+  private val LM_SCORE_CTES: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+      |  unnest(w[2:len(w)]) AS w2 FROM toks),
+      |c2 AS (SELECT w1, w2, COUNT(1) AS c2 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(1) AS c1 FROM bg GROUP BY w1),
+      |sc AS (SELECT bg.doc_id,
+      |  CAST(CAST(-ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+      |    AS VARCHAR) AS DECIMAL(38,18)) AS s
+      |  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+      |  JOIN c1 ON bg.w1 = c1.w1),
+      |scored AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+      |  round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6) AS lm_score
+      |  FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_returnflag_agg" ->
@@ -1707,20 +1771,21 @@ object SparkEntry {
     // quantizes via the shortest round-trip string), decimal SUM is
     // aggregation-order-independent, round(…,6) absorbs sub-micro residue
     "t14_lm_score" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents),
-        |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
-        |  unnest(w[2:len(w)]) AS w2 FROM toks),
-        |c2 AS (SELECT w1, w2, COUNT(1) AS c2 FROM bg GROUP BY w1, w2),
-        |c1 AS (SELECT w1, COUNT(1) AS c1 FROM bg GROUP BY w1),
-        |sc AS (SELECT bg.doc_id,
-        |  CAST(CAST(-ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
-        |    AS VARCHAR) AS DECIMAL(38,18)) AS s
-        |  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
-        |  JOIN c1 ON bg.w1 = c1.w1)
-        |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
-        |  round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6) AS lm_score
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $LM_SCORE_CTES
+         |SELECT doc_id, n_bigrams, lm_score FROM scored
+         |ORDER BY doc_id""".stripMargin,
+    // t28: t14's per-doc scores tiled into equi-depth quartiles (NTILE over
+    // the (lm_score, doc_id) total order — the Ranking.equiDepthTiles
+    // contract) and rolled up per difficulty bucket
+    "t28_difficulty_buckets" ->
+      s"""WITH $LM_SCORE_CTES,
+         |t AS (SELECT *, CAST(NTILE(4) OVER (
+         |  ORDER BY lm_score ASC, doc_id ASC) AS INTEGER) AS difficulty
+         |  FROM scored)
+         |SELECT difficulty, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |MIN(lm_score) AS lo, MAX(lm_score) AS hi,
+         |CAST(SUM(n_bigrams) AS BIGINT) AS bigram_budget
+         |FROM t GROUP BY difficulty ORDER BY difficulty""".stripMargin,
     // t15: DuckDB list slices are 1-based INCLUSIVE (w[a:b] = b−a+1 items),
     // mirroring Spark's slice(w, start, LENGTH); range() is exclusive → +1
     "t15_chunk_windows" ->
@@ -1858,6 +1923,24 @@ object SparkEntry {
          |  CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
          |  AS share_of_region
          |FROM agg ORDER BY region, brand""".stripMargin,
+    // q50: same decimal revenue chain; all windows partition by region
+    "q50_rank_in_region" ->
+      s"""WITH agg AS (SELECT r_name AS region, p_brand AS brand,
+         |  SUM(${dec(REV)}) AS rev
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2),
+         |w AS (SELECT region, brand, rev,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY region
+         |    ORDER BY rev DESC, brand ASC) AS INTEGER) AS rnk,
+         |  lag(rev) OVER (PARTITION BY region
+         |    ORDER BY rev DESC, brand ASC) AS prev,
+         |  MAX(rev) OVER (PARTITION BY region) AS leader
+         |  FROM agg)
+         |SELECT region, rnk, brand, CAST(rev AS DOUBLE) AS revenue,
+         |COALESCE(CAST(prev - rev AS DOUBLE), 0.0) AS behind_prev,
+         |CAST(rev AS DOUBLE) / CAST(leader AS DOUBLE) AS pct_of_leader
+         |FROM w ORDER BY region, rnk""".stripMargin,
     // e10: discrete percentile = the value at rank ⌈p·n/100⌉ in the
     // (value, event_id) total order — the same ROW on both engines, so the
     // double is bit-identical (no interpolation arithmetic to match)
@@ -2243,6 +2326,7 @@ object SparkEntry {
     // bucket = sign bits, then exact per-bucket top-k. list_dot_product ==
     // Spark's sequential zip_with fold bit-for-bit (validated on s01/d05).
     "s02_knn_lsh" -> lshOracleSql,
+    "s09_knn_projected" -> projectedKnnOracleSql,
     // s04: at this corpus size the IVF probe set (nprobe=3 of nlist=8 cells)
     // contains the true top-5 for every query vector, so the deterministic
     // IVF result equals exhaustive search (validated empirically at the
@@ -2408,6 +2492,36 @@ object SparkEntry {
        |  JOIN e eb ON vec_b = eb.vec_id)
        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // s09: the projection planes embed as double literals (Double.toString
+  // round-trips exactly — the s02 convention); two-phase replay like s05
+  private lazy val projectedKnnOracleSql: String = {
+    val planes = ops.Similarity.hyperplanes(64, 16, seed = 7L)
+    val projExpr = planes.map(p =>
+      s"list_dot_product(v, [${p.mkString(", ")}])").mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pr AS (SELECT vec_id, v, [$projExpr] AS p FROM e),
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    list_dot_product(q.p, n.p) AS pdot, q.v AS v_q, n.v AS v_n
+       |  FROM pr q JOIN pr n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+       |short AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY pdot DESC, neighbor_id ASC) AS srank FROM qd),
+       |rescored AS (
+       |  SELECT query_id, neighbor_id, list_dot_product(v_q, v_n) AS sim
+       |  FROM short WHERE srank <= 20),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM rescored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   private lazy val lshOracleSql: String = {

@@ -112,6 +112,41 @@ object Similarity {
     topKPerQuery(rescored, k).orderBy("query_id", "rank")
   }
 
+  /** RANDOM-PROJECTION kNN — the dimensionality-reduction ANN path (the
+    * Johnson-Lindenstrauss cousin of [[quantizedKnn]]'s scalar
+    * quantization): project the corpus onto `projDim` fixed random
+    * directions (map-only, seeded — fully deterministic), shortlist per
+    * query by dot product IN THE PROJECTED SPACE (projDim ≪ dim, so the
+    * scan reads ~projDim/dim of the bytes), then re-rank the shortlist
+    * EXACTLY on the full vectors. At 100 TB the projected corpus is the
+    * resident index (4× smaller at 16/64) and the full vectors page in only
+    * for shortlist·|queries| rows — same two-phase economics a disk-ANN
+    * serves. Shortlist + final top-k ride the GroupedTopK bounded heaps. */
+  def projectedKnn(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      projDim: Int = 16, shortlist: Int = 20, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, projDim, seed = 7L)
+    def proj(v: Column): Column =
+      array(planes.map(p => dot(v, array(p.map(lit).toIndexedSeq: _*)))
+        .toIndexedSeq: _*)
+    val projected = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+      .withColumn("p", proj(col("v")))
+    val corpus = projected.select(col("vec_id").as("neighbor_id"),
+      col("v").as("v_n"), col("p").as("p_n"))
+    val queries = projected.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("p").as("p_q"))
+    val qscored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pdot", dot(col("p_q"), col("p_n")))
+    // (pdot desc, neighbor_id asc) is total → deterministic shortlist
+    val short = graft.plans.GroupedTopK.topK(
+      qscored.select("query_id", "neighbor_id", "pdot", "v_q", "v_n"),
+      Seq(col("query_id")), Seq(col("pdot").desc, col("neighbor_id").asc),
+      shortlist)
+    val rescored = short.withColumn("sim", dot(col("v_q"), col("v_n")))
+    topKPerQuery(rescored, k).orderBy("query_id", "rank")
+  }
+
   /** Per-label centroids, element-wise (posexplode → per-position exact
     * decimal mean): the building block for IVF-style coarse quantization and
     * class prototypes. Long format (label, pos, centroid) — no array

@@ -378,6 +378,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CURRICULUM difficulty buckets — equi-depth quartiles of the bigram-LM
+    * surprisal score ([[bigramLmScore]]): the "order training data easy →
+    * hard" binning a curriculum-learning schedule samples from, with the
+    * per-bucket token (bigram) budget a mixture planner needs. Tiling rides
+    * [[Ranking.equiDepthTiles]] — the two-phase distributed rank, never a
+    * single-partition global window; the score range is ~[0, ln corpus], so
+    * `bucketWidth` 0.5 bounds the offset table at a few dozen rows at any
+    * corpus size. */
+  def difficultyBuckets(docs: DataFrame, tiles: Int = 4,
+      bucketWidth: Double = 0.5): DataFrame =
+    Ranking.equiDepthTiles(bigramLmScore(docs), col("lm_score"),
+        col("doc_id"), tiles, bucketWidth)
+      .groupBy(col("tile").as("difficulty"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lm_score")).as("lo"),
+        max(col("lm_score")).as("hi"),
+        sum(col("n_bigrams")).as("bigram_budget"))
+      .orderBy("difficulty")
+
   /** Context-window CHUNKING — split every document into `window`-token
     * chunks advancing by `stride` tokens (stride < window ⇒ overlap), the
     * "pack the corpus into training context windows" step of an LLM data

@@ -428,6 +428,26 @@ class OpsSpec extends AnyFunSuite {
       s"recall $overlap/${brute.length}")
   }
 
+  test("projected knn: exact with a full shortlist, real sims at default") {
+    val qids = (0L until 10L).toSeq
+    val k = 5
+    val brute = Similarity.knnBrute(emb, qids, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // shortlist = whole corpus → exact re-rank covers everything
+    val full = Similarity.projectedKnn(emb, qids, k,
+        shortlist = emb.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sameElements(brute))
+    // default shortlist: every sim returned is the TRUE dot product (the
+    // re-rank is exact), so any overlap with brute agrees on the value
+    val bruteMap = brute.map(r => (r._1, r._3) -> r._4).toMap
+    Similarity.projectedKnn(emb, qids, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .foreach { case (key, sim) =>
+        bruteMap.get(key).foreach(b => assert(b == sim, s"$key sim drift"))
+      }
+  }
+
   test("native shingle_hashes equals the declarative xxhash64 chain") {
     import spark.implicits._
     val k = 3
