@@ -486,6 +486,10 @@ object SparkEntry {
       "t18_weighted_sample" -> tbl("documents")(
         ops.TextOps.weightedSample(_,
           Map("src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.0))),
+      // token-budget mixture fill: 1000 tokens per source in hash order
+      // (distributed per-source prefix sum — Ranking.groupedPrefixSum)
+      "t29_budget_sample" -> tbl("documents")(
+        ops.TextOps.budgetSample(_, 1000L)),
       // fuzzy decontamination: corpus docs near-duplicating the src0 "eval
       // set" via cross-set LSH banding (oracle = all-pairs cross Jaccard —
       // banded recall is 1.0 at this corpus's similarity gap, see d02)
@@ -881,6 +885,12 @@ object SparkEntry {
       |scored AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
       |  round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6) AS lm_score
       |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** First 8 hex digits of an md5 column `h` as a uint32 (Horner form —
+    * DuckDB has no conv(); shared by the t18/t29 content-hash draws). */
+  private val MD5_U_HORNER: String = (1 to 8)
+    .map(i => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)")
+    .reduce((a, b) => s"($a * 16 + $b)")
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_returnflag_agg" ->
@@ -2167,20 +2177,34 @@ object SparkEntry {
     // t18: u = first 8 md5 hex digits as an integer (Horner form — the same
     // instr-digit recipe as t07); the keep test compares exact integers
     // against weight·2³² in double (u < 2³² ⇒ exactly representable)
-    "t18_weighted_sample" -> {
-      val digits = (1 to 8).map(i =>
-        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)")
-      val horner = digits.reduce((a, b) => s"($a * 16 + $b)")
+    "t18_weighted_sample" ->
       s"""WITH h AS (SELECT doc_id, source,
          |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h
          |  FROM documents),
-         |u AS (SELECT doc_id, source, CAST($horner AS BIGINT) AS u FROM h),
+         |u AS (SELECT doc_id, source, CAST($MD5_U_HORNER AS BIGINT) AS u
+         |  FROM h),
          |w AS (SELECT doc_id, source, u,
          |  CASE WHEN source = 'src1' THEN 0.25 WHEN source = 'src2' THEN 0.5
          |  WHEN source = 'src3' THEN 0.0 ELSE 1.0 END AS kw FROM u)
          |SELECT doc_id, source, u FROM w WHERE u < kw * 4294967296.0
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+    // t29: the naive windowed spelling of the per-source prefix sum (the
+    // Spark side computes the same totals two-phase, bucket-distributed)
+    "t29_budget_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h
+         |  FROM documents),
+         |u AS (SELECT doc_id, source, n_tok,
+         |  CAST($MD5_U_HORNER AS BIGINT) AS u FROM h),
+         |c AS (SELECT doc_id, source, n_tok,
+         |  COALESCE(SUM(n_tok) OVER (PARTITION BY source
+         |    ORDER BY u ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS cum_before FROM u)
+         |SELECT doc_id, source, n_tok, CAST(cum_before AS BIGINT)
+         |  AS cum_before
+         |FROM c WHERE cum_before < 1000 ORDER BY doc_id""".stripMargin,
     // e05: epoch-anchored day indices (no engine week/calendar semantics)
     "e05_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,

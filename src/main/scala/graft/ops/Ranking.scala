@@ -29,19 +29,35 @@ object Ranking {
     * by `tieBreak` (unique), making the order total and the result
     * deterministic under any partitioning. */
   def globalRank(df: DataFrame, value: Column, tieBreak: Column,
-      bucketWidth: Double, rankCol: String = "global_rank"): DataFrame = {
+      bucketWidth: Double, rankCol: String = "global_rank"): DataFrame =
+    ranked(df, value, tieBreak, bucketWidth, rankCol)
+      .drop("__rk_total")
+
+  /** [[globalRank]] plus a `__rk_total` column (the total row count,
+    * piggybacked on the bucket-offset frame — no extra pass over the
+    * data). */
+  private def ranked(df: DataFrame, value: Column, tieBreak: Column,
+      bucketWidth: Double, rankCol: String): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // localCheckpoint: the bucketed frame feeds BOTH the offset aggregate
+    // and the rank join — without it the (possibly expensive) upstream plan
+    // runs twice; blocks are GC-released with the result (Dedup convention)
     val b = df.withColumn("__rk_v", value)
       .withColumn("__rk_t", tieBreak)
       .withColumn("__rk_b",
         floor(col("__rk_v").cast("double") / lit(bucketWidth)).cast("long"))
-    // bucket-count-sized: the unpartitioned window below is bounded by the
-    // value range, not the row count (packOffsets discipline)
+      .localCheckpoint(eager = false)
+    // bucket-count-sized: the unpartitioned windows below are bounded by the
+    // value range, not the row count (packOffsets discipline); the total
+    // rides the same tiny frame so callers never re-aggregate the data
     val offs = b.groupBy("__rk_b").agg(count(lit(1)).as("__rk_n"))
       .withColumn("__rk_off", coalesce(
         sum("__rk_n").over(Window.orderBy("__rk_b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__rk_b", "__rk_off")
+      .withColumn("__rk_total",
+        sum("__rk_n").over(Window.orderBy("__rk_b").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__rk_b", "__rk_off", "__rk_total")
     b.withColumn("__rk_w", row_number().over(
         Window.partitionBy("__rk_b")
           .orderBy(col("__rk_v").asc, col("__rk_t").asc)))
@@ -72,15 +88,51 @@ object Ranking {
   private def intDiv(a: Column, b: Column): Column =
     floor(a.cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
 
+  /** PREFIX SUM of `weight` within each `part` group, over the
+    * (value asc, tieBreak asc) total order, EXCLUSIVE of the current row —
+    * appended as `outCol`. Same two-phase shape as [[globalRank]], with the
+    * group key prepended to the bucket: per-(group, bucket) subtotals
+    * cumulate in a window partitioned BY GROUP over the bucket order
+    * (groups × buckets rows — tiny), and the per-row window partitions by
+    * (group, bucket). A group's rows therefore never concentrate on one
+    * partition, no matter how large the group — the failure mode of the
+    * naive `SUM OVER (PARTITION BY group ORDER BY …)`, whose per-group
+    * state is unbounded at corpus scale. */
+  def groupedPrefixSum(df: DataFrame, part: Column, value: Column,
+      tieBreak: Column, weight: Column, bucketWidth: Double,
+      outCol: String): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = df.withColumn("__rk_p", part)
+      .withColumn("__rk_v", value)
+      .withColumn("__rk_t", tieBreak)
+      .withColumn("__rk_w", weight.cast("long"))
+      .withColumn("__rk_b",
+        floor(col("__rk_v").cast("double") / lit(bucketWidth)).cast("long"))
+      .localCheckpoint(eager = false)
+    val offs = b.groupBy("__rk_p", "__rk_b")
+      .agg(sum("__rk_w").as("__rk_n"))
+      .withColumn("__rk_off", coalesce(
+        sum("__rk_n").over(Window.partitionBy("__rk_p").orderBy("__rk_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__rk_p", "__rk_b", "__rk_off")
+    b.withColumn("__rk_c", coalesce(
+        sum("__rk_w").over(Window.partitionBy("__rk_p", "__rk_b")
+          .orderBy(col("__rk_v").asc, col("__rk_t").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offs), Seq("__rk_p", "__rk_b"))
+      .withColumn(outCol, col("__rk_off") + col("__rk_c"))
+      .drop("__rk_p", "__rk_b", "__rk_v", "__rk_t", "__rk_w", "__rk_c",
+        "__rk_off")
+  }
+
   /** Equi-depth tiling: appends `tile` (1..tiles, NTILE semantics) over the
-    * total order (value asc, tieBreak asc). The total count joins in as a
-    * broadcast 1-row frame — no driver collect, no global window. */
+    * total order (value asc, tieBreak asc). The total count rides the
+    * broadcast bucket-offset frame — no second pass over the data, no
+    * driver collect, no global window. */
   def equiDepthTiles(df: DataFrame, value: Column, tieBreak: Column,
       tiles: Int, bucketWidth: Double): DataFrame = {
     require(tiles > 0, "tiles must be positive")
-    val ranked = globalRank(df, value, tieBreak, bucketWidth)
-    val total = ranked.agg(count(lit(1)).as("__rk_total"))
-    ranked.crossJoin(broadcast(total))
+    ranked(df, value, tieBreak, bucketWidth, "global_rank")
       .withColumn("tile",
         ntileOf(col("global_rank"), col("__rk_total"), tiles))
       .drop("__rk_total")

@@ -177,6 +177,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TOKEN-BUDGET sampling — fill each source's slice of a training mixture
+    * up to `tokenBudget` tokens, taking documents in content-hash order
+    * (the same portable md5-prefix draw as [[weightedSample]], so the
+    * sample is reshuffle-stable and engine-replayable; hash order ≡ a
+    * uniform random permutation). A doc is kept while the tokens consumed
+    * BEFORE it are still under budget, so every source fills to the first
+    * doc that crosses the line — the "N tokens per source" recipe a mixture
+    * spec actually states (vs [[weightedSample]]'s keep-RATE form).
+    *
+    * Scale shape: the per-source prefix sum rides
+    * [[Ranking.groupedPrefixSum]] — hash-range buckets, per-(source,
+    * bucket) subtotals, partitioned windows — never a one-partition-per-
+    * source window, so a source with billions of docs still spreads. */
+  def budgetSample(docs: DataFrame, tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val t = docs
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', text)), " +
+          "1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("n_tok", size(tokens("text")).cast("bigint"))
+      .select("doc_id", "source", "u", "n_tok")
+    Ranking.groupedPrefixSum(t, col("source"), col("u"), col("doc_id"),
+        col("n_tok"), bucketWidth = (1L << 28).toDouble,
+        outCol = "cum_before")
+      .where(col("cum_before") < tokenBudget)
+      .select("doc_id", "source", "n_tok", "cum_before")
+      .orderBy("doc_id")
+  }
+
   /** Repetition signals (the Gopher/C4-style quality rules): fraction of
     * tokens taken by the most frequent token, fraction of bigrams taken by
     * the most frequent bigram, and the duplicate-bigram fraction

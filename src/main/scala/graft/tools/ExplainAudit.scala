@@ -29,7 +29,9 @@ object ExplainAudit {
         "t23_textrank", "d12_edit_verify", "t24_ngram_diversity",
         "t25_bpe_fertility", "q48_ytd", "d13_keep_canonical",
         "m04_decode_batches", "s07_similar_docs", "d14_delta_ingest",
-        "e11_anomaly_days")
+        "e11_anomaly_days", "s08_knn_filtered", "s09_knn_projected",
+        "q49_value_quartiles", "q50_rank_in_region", "d15_semantic_dedup",
+        "t27_vocab_coverage", "t28_difficulty_buckets")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -49,6 +49,40 @@ class RankingSpec extends AnyFunSuite {
       want.except(got.select("v", "id", "tile")).isEmpty)
   }
 
+  test("groupedPrefixSum equals the naive per-group running-sum window") {
+    val df = (1 to 400).map { i =>
+      (s"g${i % 3}", (i * 37 % 19) * 10.0, i.toLong, (i % 7 + 1).toLong)
+    }.toDF("g", "v", "id", "w")
+    val got = Ranking.groupedPrefixSum(df, col("g"), col("v"), col("id"),
+      col("w"), bucketWidth = 25.0, outCol = "cum")
+    val want = df.withColumn("cum", coalesce(
+      sum("w").over(Window.partitionBy("g")
+        .orderBy(col("v").asc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(got.select("g", "v", "id", "w", "cum").except(want).isEmpty &&
+      want.except(got.select("g", "v", "id", "w", "cum")).isEmpty)
+  }
+
+  test("budget sample fills each source to the boundary doc exactly") {
+    val docs = SparkTestSession.catalog.table("documents")
+    val out = ops.TextOps.budgetSample(docs, 1000L)
+    val bySrc = out.groupBy("source")
+      .agg(max(col("cum_before") + col("n_tok")).as("consumed"),
+        min("cum_before").as("lo"))
+      .collect()
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { r =>
+      // the first doc in hash order always survives (cum_before = 0), and
+      // the kept set reaches or crosses the budget (the boundary doc is in)
+      assert(r.getLong(2) == 0L, s"${r.getString(0)} first-doc offset")
+      assert(r.getLong(1) >= 1000L, s"${r.getString(0)} under-filled")
+    }
+    // kept strictly fewer docs than the corpus (the budget bites)
+    assert(out.count() < docs.count())
+    // deterministic: same result on a re-run
+    assert(out.except(ops.TextOps.budgetSample(docs, 1000L)).isEmpty)
+  }
+
   test("ranking windows are partitioned (no single-partition data window)") {
     val df = frame(500)
     val ranked = Ranking.globalRank(df, col("v"), col("id"), 25.0)
