@@ -668,6 +668,13 @@ object SparkEntry {
               .as("pct_of_leader"))
           .orderBy("region", "rnk")
       }),
+      // Deequ-style data-quality gate: FK orphans, key uniqueness, domain
+      // and cross-table date checks in one (check_name, n_violations) report
+      "q51_dq_audit" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        ops.DataChecks.dqAudit(c.table("orders"), c.table("lineitem"),
+          c.table("customer"))
+      }),
       // exact discrete per-type percentiles of the event value (p50/p90/p99)
       "e10_value_percentiles" -> tbl("events")(
         ops.EventOps.valuePercentiles(_, Seq(50, 90, 99))),
@@ -1951,6 +1958,39 @@ object SparkEntry {
          |COALESCE(CAST(prev - rev AS DOUBLE), 0.0) AS behind_prev,
          |CAST(rev AS DOUBLE) / CAST(leader AS DOUBLE) AS pct_of_leader
          |FROM w ORDER BY region, rnk""".stripMargin,
+    // q51: each check replayed as a scalar-subquery count, unioned
+    "q51_dq_audit" ->
+      """SELECT * FROM (
+        |SELECT 'duplicate_line_number' AS check_name, CAST((SELECT COUNT(1)
+        |  FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+        |    GROUP BY 1, 2 HAVING COUNT(1) > 1)) AS BIGINT) AS n_violations
+        |UNION ALL
+        |SELECT 'duplicate_order_key', CAST((SELECT COUNT(1)
+        |  FROM (SELECT o_orderkey FROM orders
+        |    GROUP BY 1 HAVING COUNT(1) > 1)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem_discount_range', CAST((SELECT COUNT(1)
+        |  FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_qty', CAST((SELECT COUNT(1)
+        |  FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem_orphan_order', CAST((SELECT COUNT(1)
+        |  FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'order_null_keys', CAST((SELECT COUNT(1)
+        |  FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL)
+        |  AS BIGINT)
+        |UNION ALL
+        |SELECT 'order_orphan_customer', CAST((SELECT COUNT(1)
+        |  FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'ship_before_order_date', CAST((SELECT COUNT(1)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate < o_orderdate) AS BIGINT)
+        |) ORDER BY check_name""".stripMargin,
     // e10: discrete percentile = the value at rank ⌈p·n/100⌉ in the
     // (value, event_id) total order — the same ROW on both engines, so the
     // double is bit-identical (no interpolation arithmetic to match)

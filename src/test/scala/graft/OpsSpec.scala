@@ -448,6 +448,46 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("dq audit: base data profiled; planted violations each caught") {
+    import spark.implicits._
+    val orders = cat.table("orders")
+    val lineitem = cat.table("lineitem")
+    val customer = cat.table("customer")
+    val base = DataChecks.dqAudit(orders, lineitem, customer).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(base.size == 8)
+    // the synthetic warehouse is referentially sound and in-domain…
+    Seq("lineitem_orphan_order", "order_orphan_customer",
+      "duplicate_order_key", "order_null_keys",
+      "lineitem_nonpositive_qty", "lineitem_discount_range")
+      .foreach(c => assert(base(c) == 0L, s"$c on base data"))
+    // …but its generator really does emit duplicate line numbers and
+    // ship-before-order rows — the audit catches them (values verified
+    // against the DuckDB oracle in the q51 gate)
+    assert(base("duplicate_line_number") > 0L)
+    assert(base("ship_before_order_date") > 0L)
+    // plant: an orphan lineitem (unknown order key) with negative quantity
+    // and discount 2.0, plus a duplicated order row (dup key + dup custkey
+    // orphaned against customer)
+    val badLine = lineitem.limit(1)
+      .withColumn("l_orderkey", lit(-999L))
+      .withColumn("l_quantity", lit(-5.0))
+      .withColumn("l_discount", lit(2.0))
+    val badOrder = orders.limit(1).withColumn("o_custkey", lit(-777L))
+    val dirty = DataChecks.dqAudit(
+      orders.unionByName(badOrder).unionByName(badOrder),
+      lineitem.unionByName(badLine), customer).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dirty("lineitem_orphan_order") == base("lineitem_orphan_order") + 1)
+    assert(dirty("lineitem_nonpositive_qty") ==
+      base("lineitem_nonpositive_qty") + 1)
+    assert(dirty("lineitem_discount_range") ==
+      base("lineitem_discount_range") + 1)
+    assert(dirty("duplicate_order_key") == base("duplicate_order_key") + 1)
+    assert(dirty("order_orphan_customer") ==
+      base("order_orphan_customer") + 2)
+  }
+
   test("native shingle_hashes equals the declarative xxhash64 chain") {
     import spark.implicits._
     val k = 3
