@@ -681,6 +681,18 @@ object SparkEntry {
       // ingest-volume anomaly days: |z| >= 1.5 vs the trailing-7-day window
       "e11_anomaly_days" -> tbl("events")(
         ops.EventOps.anomalyDays(_, 7, 1.5)),
+      // Markov next-event transitions: top-20 (prev, next) with row share
+      "e12_transitions" -> tbl("events")(
+        ops.EventOps.eventTransitions(_, 20)),
+      // RFM terciles per customer rolled up by segment code
+      "q52_rfm_segments" -> ((s: SparkSession, dir: String) =>
+        ops.Analytics.rfmSegments(CubeCatalog.forDir(s, dir)
+          .table("orders"))),
+      // market-basket brand pairs by lift (top-20, >= 5 co-orders)
+      "q53_copurchase" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        ops.Analytics.copurchaseLift(c.table("lineitem"), c.table("part"))
+      }),
       // fixed-width histogram of order totals (count + decimal-exact sum
       // per bucket) — one hash agg, the classic distribution report
       "q47_value_histogram" -> ((s: SparkSession, dir: String) => {
@@ -1991,6 +2003,65 @@ object SparkEntry {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE l_shipdate < o_orderdate) AS BIGINT)
         |) ORDER BY check_name""".stripMargin,
+    // e12: lead() replay; the per-prev share is one double division of
+    // exact integer counts
+    "e12_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events),
+        |nx AS (SELECT user_id, event_type AS prev_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ASC, event_id ASC) AS next_type FROM ev),
+        |p AS (SELECT prev_type, next_type, COUNT(1) AS n FROM nx
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, SUM(n) AS tot FROM p GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+        |CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+        |FROM p JOIN t ON p.prev_type = t.prev_type
+        |ORDER BY n DESC, p.prev_type ASC, p.next_type ASC
+        |LIMIT 20""".stripMargin,
+    // q52: three NTILE(3) terciles over (value, custkey) total orders —
+    // recency inverted (most recent = 3); monetary decimal until the end
+    "q52_rfm_segments" ->
+      s"""WITH pc AS (SELECT o_custkey AS custkey,
+         |  MAX(o_orderdate) AS last_order, COUNT(1) AS frequency,
+         |  SUM(${dec("o_totalprice")}) AS monetary
+         |  FROM orders GROUP BY 1),
+         |a AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+         |b AS (SELECT custkey,
+         |  CAST(datediff('day', last_order, a.anchor) AS BIGINT)
+         |    AS recency_days,
+         |  frequency, monetary FROM pc CROSS JOIN a),
+         |t AS (SELECT *,
+         |  CAST(4 - NTILE(3) OVER (ORDER BY recency_days ASC, custkey ASC)
+         |    AS INTEGER) AS r,
+         |  CAST(NTILE(3) OVER (ORDER BY frequency ASC, custkey ASC)
+         |    AS INTEGER) AS f,
+         |  CAST(NTILE(3) OVER (ORDER BY CAST(monetary AS DOUBLE) ASC,
+         |    custkey ASC) AS INTEGER) AS m
+         |  FROM b)
+         |SELECT CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm_code,
+         |CAST(COUNT(1) AS BIGINT) AS n_customers,
+         |CAST(SUM(monetary) AS DOUBLE) AS monetary_total
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q53: per-order distinct brand sets; lift = exact integer products
+    // into one double division
+    "q53_copurchase" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |p AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |  COUNT(1) AS n_ab
+        |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2 HAVING COUNT(1) >= 5),
+        |m AS (SELECT brand, COUNT(1) AS n_b FROM ob GROUP BY 1),
+        |t AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob)
+        |SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |CAST(n_ab * t.n_orders AS DOUBLE) /
+        |  CAST(ma.n_b * mb.n_b AS DOUBLE) AS lift
+        |FROM p JOIN m ma ON p.brand_a = ma.brand
+        |JOIN m mb ON p.brand_b = mb.brand
+        |CROSS JOIN t
+        |ORDER BY lift DESC, brand_a ASC, brand_b ASC
+        |LIMIT 20""".stripMargin,
     // e10: discrete percentile = the value at rank ⌈p·n/100⌉ in the
     // (value, event_id) total order — the same ROW on both engines, so the
     // double is bit-identical (no interpolation arithmetic to match)

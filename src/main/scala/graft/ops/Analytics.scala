@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Customer/basket analytics on the order star — the segmentation and
+  * affinity primitives a warehouse team runs next to the cube queries. */
+object Analytics {
+
+  /** RFM SEGMENTATION — recency / frequency / monetary terciles per
+    * customer, rolled up per segment code (r·100 + f·10 + m, each 1..3
+    * where 3 = best: most recent, most frequent, highest spend). The
+    * classic lifecycle segmentation (champions 333, at-risk 1xx, …),
+    * built entirely on [[Ranking.equiDepthTiles]] — three equi-depth
+    * tilings over (value, custkey) total orders, each the two-phase
+    * distributed rank, never a single-partition NTILE.
+    *
+    * Recency is measured in days BEFORE the corpus' last order date (the
+    * anchor broadcasts as a 1-row frame), so the operator is deterministic
+    * for any snapshot. Monetary rides DECIMAL until the final double. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(o_totalprice AS DECIMAL(27,6))")).as("monetary"))
+    val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+    val base = perCust.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor"), col("last_order")).cast("long"))
+      .select("custkey", "recency_days", "frequency", "monetary")
+    def tiled(df: DataFrame, value: Column, width: Double,
+        asCol: String, invert: Boolean): DataFrame = {
+      val t = Ranking.equiDepthTiles(df, value, col("custkey"), 3, width)
+      // recency: LOWER days = better → tile 1 (most recent) maps to score 3
+      val score = if (invert) lit(4) - col("tile") else col("tile")
+      t.withColumn(asCol, score.cast("int"))
+        .drop("tile", "global_rank")
+    }
+    val scored = tiled(tiled(tiled(base,
+      col("recency_days"), 100.0, "r", invert = true),
+      col("frequency").cast("double"), 1.0, "f", invert = false),
+      col("monetary").cast("double"), 50000.0, "m", invert = false)
+    scored
+      .withColumn("rfm_code", (col("r") * 100 + col("f") * 10 + col("m")))
+      .groupBy("rfm_code")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("monetary_total"))
+      .orderBy("rfm_code")
+  }
+
+  /** MARKET-BASKET affinity — top-k brand pairs by LIFT, the co-purchase
+    * signal behind "frequently bought together". Lift compares the pair's
+    * co-occurrence (orders containing both brands) against independence:
+    * n_ab·N / (n_a·n_b) — exact integer products into one double division,
+    * the log-free PMI form ([[TextOps.collocations]] for baskets).
+    *
+    * Scale shape: the per-order brand set self-joins ON THE ORDER KEY, so
+    * pair work is Σ basket_size² — bounded by the max basket, never
+    * corpus². Brand-marginal counts are one hash agg; the 1-row order
+    * total broadcasts; top-k is TakeOrderedAndProject. `minPairs` prunes
+    * noise pairs before ranking (result-identical for the returned k as
+    * long as real pairs clear it). */
+  def copurchaseLift(lineitem: DataFrame, part: DataFrame, k: Int = 20,
+      minPairs: Long = 5L): DataFrame = {
+    val ob = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds pairs + marginals + total
+    val pairs = ob.select(col("okey"), col("brand").as("brand_a"))
+      .join(ob.select(col("okey"), col("brand").as("brand_b")), Seq("okey"))
+      .where(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairs)
+    val marg = ob.groupBy("brand").agg(count(lit(1)).as("n_b"))
+    val total = ob.select(countDistinct(col("okey")).as("n_orders"))
+    pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"),
+        col("n_b").as("n_a"))), "brand_a")
+      .join(broadcast(marg.select(col("brand").as("brand_b"),
+        col("n_b").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", (col("n_ab") * col("n_orders")).cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+      .select("brand_a", "brand_b", "n_ab", "lift")
+      .orderBy(col("lift").desc, col("brand_a").asc, col("brand_b").asc)
+      .limit(k)
+  }
+}

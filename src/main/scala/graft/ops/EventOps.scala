@@ -327,6 +327,36 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** NEXT-EVENT TRANSITION MATRIX — the Markov view of the event stream:
+    * for each event type, how users' immediately-following event
+    * distributes (count + row-normalized share), top-k transitions
+    * overall. The "what do users do after X" primitive behind flow
+    * diagrams and funnel discovery.
+    *
+    * Scale shape: the lead() window partitions BY USER (a user's history is
+    * bounded — the legitimate per-key window, unlike a global one);
+    * transition counting is one map-side-combined hash agg on the
+    * (prev, next) pair; the per-prev totals frame is event-type-cardinality
+    * sized and broadcasts; top-k is TakeOrderedAndProject. */
+  def eventTransitions(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val pairs = events
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
+    pairs.join(broadcast(totals), "prev_type")
+      .withColumn("share", col("n").cast("double") / col("tot").cast("double"))
+      .select("prev_type", "next_type", "n", "share")
+      .orderBy(col("n").desc, col("prev_type").asc, col("next_type").asc)
+      .limit(k)
+  }
+
   /** Per-event-type stats over a JSON-extracted numeric field. */
   def jsonFieldStats(events: DataFrame, field: String): DataFrame = {
     val k = get_json_object(col("props"), s"$$.$field").cast("long")

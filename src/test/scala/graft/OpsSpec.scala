@@ -488,6 +488,58 @@ class OpsSpec extends AnyFunSuite {
       base("order_orphan_customer") + 2)
   }
 
+  test("event transitions: hand-built stream gives exact counts and shares") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "a"), (4L, 1L, "b"),
+      (5L, 2L, "a"), (6L, 2L, "b"), (7L, 2L, "c")
+    ).map { case (id, u, t) => (id, u, new Timestamp(id * 1000L), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.eventTransitions(ev, 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // user1: a→b, b→a, a→b; user2: a→b, b→c
+    assert(out(("a", "b")) == ((3L, 1.0)))
+    assert(out(("b", "a")) == ((1L, 0.5)))
+    assert(out(("b", "c")) == ((1L, 0.5)))
+    assert(out.size == 3)
+  }
+
+  test("rfm segments: every tercile populated, customer total preserved") {
+    val orders = cat.table("orders")
+    val out = Analytics.rfmSegments(orders).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // codes are digit triples with each digit in 1..3
+    out.keys.foreach { c =>
+      val (r, f, m) = (c / 100, c / 10 % 10, c % 10)
+      assert(Seq(r, f, m).forall(d => d >= 1 && d <= 3), s"code $c")
+    }
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(out.values.sum == nCust, "every customer in exactly one segment")
+    // terciles split ~evenly: each r-digit covers about a third
+    val byR = out.groupBy(_._1 / 100).view.mapValues(_.values.sum)
+    byR.values.foreach(n => assert(n > nCust / 4 && n < nCust / 2))
+  }
+
+  test("copurchase lift: planted always-together brands rank first") {
+    import spark.implicits._
+    // brands X,Y co-occur in all 6 orders; Z floats alone in 6 more
+    val li = ((1 to 6).flatMap(o => Seq((o.toLong, 1L), (o.toLong, 2L))) ++
+      (7 to 12).map(o => (o.toLong, 3L)))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y"), (3L, "Z"))
+      .toDF("p_partkey", "p_brand")
+    val out = Analytics.copurchaseLift(li, part, k = 5, minPairs = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length == 1)
+    val (a, b, n, lift) = out.head
+    assert((a, b, n) == (("X", "Y", 6L)))
+    // lift = 6 * 12 / (6 * 6) = 2.0 (12 distinct orders total)
+    assert(lift == 2.0)
+  }
+
   test("native shingle_hashes equals the declarative xxhash64 chain") {
     import spark.implicits._
     val k = 3
