@@ -31,7 +31,9 @@ object ExplainAudit {
         "m04_decode_batches", "s07_similar_docs", "d14_delta_ingest",
         "e11_anomaly_days", "s08_knn_filtered", "s09_knn_projected",
         "q49_value_quartiles", "q50_rank_in_region", "d15_semantic_dedup",
-        "t27_vocab_coverage", "t28_difficulty_buckets")
+        "t27_vocab_coverage", "t28_difficulty_buckets", "t29_budget_sample",
+        "q51_dq_audit", "q52_rfm_segments", "q53_copurchase",
+        "e12_transitions")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
