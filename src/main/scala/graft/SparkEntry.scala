@@ -225,13 +225,18 @@ object SparkEntry {
   /** Cluster labels over [[lshPairs]] — the second per-ingest dedup
     * artifact (pointer-jumping connected components); d07 reads it, d13
     * keeps one representative per label. */
-  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    // resolve the inner artifact BEFORE entering the outer memo: even though
+    // IndexCache.memo tolerates reentrancy (get-then-putIfAbsent, not
+    // computeIfAbsent), composing artifacts outside the build closure keeps
+    // each cache entry's build independent
+    val pairs = lshPairs(s, dir).select("doc_a", "doc_b")
     ops.IndexCache.memo(s, s"lshclusters:$dir:3:32:4:0.5") {
       ops.Dedup.duplicateClusters(
-        CubeCatalog.forDir(s, dir).table("documents"), "doc_id",
-        lshPairs(s, dir).select("doc_a", "doc_b"))
+        CubeCatalog.forDir(s, dir).table("documents"), "doc_id", pairs)
         .localCheckpoint()
     }
+  }
 
   val opsQueries: ListMap[String, (SparkSession, String) => DataFrame] =
     ListMap(
@@ -718,7 +723,7 @@ object SparkEntry {
           .select(col("o_orderkey"),
             expr("CAST(o_totalprice AS DECIMAL(27,6))").as("v"))
         ops.Ranking.equiDepthTiles(o, col("v"), col("o_orderkey"),
-            tiles = 4, bucketWidth = 50000.0)
+            tiles = 4)
           .withColumnRenamed("tile", "quartile")
           .groupBy("quartile")
           .agg(count(lit(1)).as("n_orders"),

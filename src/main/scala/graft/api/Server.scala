@@ -26,7 +26,8 @@ import graft.result._
   *   GET /cubes/:cube/dimensions/:dim/hierarchies/:h/levels/:lvl/members[/:key]
   *   GET /flush                                    drop catalog caches
   */
-final class Server(spark: SparkSession, sfDir: String, port: Int) {
+final class Server(spark: SparkSession, sfDir: String, port: Int,
+    flushSecret: Option[String] = sys.env.get("GRAFT_SECRET")) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   @volatile private var catalog: CubeCatalog = CubeCatalog.forDir(spark, sfDir)
@@ -136,6 +137,14 @@ final class Server(spark: SparkSession, sfDir: String, port: Int) {
         "members", k) =>
       memberByKey(cat, c, LevelRef(d, Some(l), Some(h)), k, params)
     case List("flush") =>
+      // ref api.rb:54-64: flush is gated on a shared secret — 403 when the
+      // deployment never configured one (MONDRIAN_REST_SECRET analog:
+      // GRAFT_SECRET) and 403 on mismatch, so a public-facing instance
+      // can't have its caches dropped by an anonymous GET
+      val secret = flushSecret.getOrElse(
+        GraftException.forbidden("set GRAFT_SECRET to use this endpoint"))
+      if (!params.get("secret").exists(_.headOption.contains(secret)))
+        GraftException.forbidden("invalid secret key")
       CubeCatalog.flush()
       catalog = CubeCatalog.forDir(spark, sfDir)
       text(200, "application/json", Json.write(ListMap("status" -> "flushed")))

@@ -166,4 +166,5 @@ final class GraftException(val status: Int, msg: String)
 object GraftException {
   def badRequest(msg: String): Nothing = throw new GraftException(400, msg)
   def notFound(msg: String): Nothing = throw new GraftException(404, msg)
+  def forbidden(msg: String): Nothing = throw new GraftException(403, msg)
 }

@@ -29,18 +29,18 @@ object Analytics {
       .withColumn("recency_days",
         datediff(col("anchor"), col("last_order")).cast("long"))
       .select("custkey", "recency_days", "frequency", "monetary")
-    def tiled(df: DataFrame, value: Column, width: Double,
+    def tiled(df: DataFrame, value: Column,
         asCol: String, invert: Boolean): DataFrame = {
-      val t = Ranking.equiDepthTiles(df, value, col("custkey"), 3, width)
+      val t = Ranking.equiDepthTiles(df, value, col("custkey"), 3)
       // recency: LOWER days = better → tile 1 (most recent) maps to score 3
       val score = if (invert) lit(4) - col("tile") else col("tile")
       t.withColumn(asCol, score.cast("int"))
         .drop("tile", "global_rank")
     }
     val scored = tiled(tiled(tiled(base,
-      col("recency_days"), 100.0, "r", invert = true),
-      col("frequency").cast("double"), 1.0, "f", invert = false),
-      col("monetary").cast("double"), 50000.0, "m", invert = false)
+      col("recency_days"), "r", invert = true),
+      col("frequency").cast("double"), "f", invert = false),
+      col("monetary").cast("double"), "m", invert = false)
     scored
       .withColumn("rfm_code", (col("r") * 100 + col("f") * 10 + col("m")))
       .groupBy("rfm_code")

@@ -13,23 +13,62 @@ import org.apache.spark.sql.SparkSession
   * sustains (the same reasoning as the named-set key memoization in the
   * planner and the aggregate-table store in [[graft.CubeCatalog]]).
   *
-  * Keys are (session, caller key); values are typically localCheckpointed
-  * DataFrames (blocks pinned by the cached reference, released on
-  * [[invalidate]]) or small driver-side arrays. `/flush` clears it along with
-  * the catalog caches. Entries are per-session, so a stopped session's
-  * entries are inert; invalidate() drops them.
+  * Sessions are map keys in a [[java.util.WeakHashMap]] (identity semantics —
+  * `SparkSession` does not override equals), so two live sessions can never
+  * observe each other's artifacts and a dropped session's entries become
+  * GC-eligible with it. Values are typically localCheckpointed DataFrames
+  * (blocks pinned by the cached reference, released on [[invalidate]]) or
+  * small driver-side arrays. `/flush` clears the calling session's entries
+  * along with the catalog caches.
+  *
+  * [[memo]] deliberately does NOT use `ConcurrentHashMap.computeIfAbsent`:
+  * artifact builders compose (the LSH cluster table is built FROM the
+  * memoized LSH pair list), and the CHM contract forbids a mapping function
+  * from touching other mappings of the same map — a nested computeIfAbsent
+  * can throw `IllegalStateException("Recursive update")` when keys share a
+  * bin. The get-then-putIfAbsent pattern below tolerates reentrancy; the
+  * cost is that two racing first callers may both run `build` and one result
+  * is discarded — acceptable for idempotent, side-effect-free index builds
+  * (the winner's checkpoint is kept, the loser's blocks are GC-released).
   */
 object IndexCache {
-  private val cache = new ConcurrentHashMap[(String, String), AnyRef]()
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, AnyRef]]()
+
+  private def mapFor(spark: SparkSession): ConcurrentHashMap[String, AnyRef] =
+    sessions.synchronized {
+      var m = sessions.get(spark)
+      if (m == null) { m = new ConcurrentHashMap[String, AnyRef](); sessions.put(spark, m) }
+      m
+    }
 
   /** Memoized build: the first caller pays the construction cost, later
-    * callers (same session + key) get the materialized artifact. */
-  def memo[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T =
-    cache.computeIfAbsent(
-      (String.valueOf(System.identityHashCode(spark)), key),
-      _ => build).asInstanceOf[T]
+    * callers (same session + key) get the materialized artifact. Safe to
+    * call from inside another memo's `build` (see class doc). */
+  def memo[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val m = mapFor(spark)
+    val hit = m.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val built = build
+    val raced = m.putIfAbsent(key, built)
+    (if (raced != null) raced else built).asInstanceOf[T]
+  }
 
-  def invalidate(): Unit = cache.clear()
+  /** Drop one session's artifacts (the `/flush` path). Other sessions'
+    * entries are untouched. */
+  def invalidate(spark: SparkSession): Unit =
+    sessions.synchronized {
+      val m = sessions.get(spark)
+      if (m != null) m.clear()
+    }
 
-  private[graft] def size: Int = cache.size()
+  /** Drop everything (test teardown / catalog-wide flush). */
+  def invalidate(): Unit = sessions.synchronized(sessions.clear())
+
+  private[graft] def size: Int =
+    sessions.synchronized {
+      var n = 0
+      sessions.values().forEach(m => n += m.size())
+      n
+    }
 }

@@ -187,7 +187,7 @@ object TextOps {
     * spec actually states (vs [[weightedSample]]'s keep-RATE form).
     *
     * Scale shape: the per-source prefix sum rides
-    * [[Ranking.groupedPrefixSum]] — hash-range buckets, per-(source,
+    * [[Ranking.groupedPrefixSum]] — quantile range buckets, per-(source,
     * bucket) subtotals, partitioned windows — never a one-partition-per-
     * source window, so a source with billions of docs still spreads. */
   def budgetSample(docs: DataFrame, tokenBudget: Long): DataFrame = {
@@ -199,8 +199,7 @@ object TextOps {
       .withColumn("n_tok", size(tokens("text")).cast("bigint"))
       .select("doc_id", "source", "u", "n_tok")
     Ranking.groupedPrefixSum(t, col("source"), col("u"), col("doc_id"),
-        col("n_tok"), bucketWidth = (1L << 28).toDouble,
-        outCol = "cum_before")
+        col("n_tok"), outCol = "cum_before")
       .where(col("cum_before") < tokenBudget)
       .select("doc_id", "source", "n_tok", "cum_before")
       .orderBy("doc_id")
@@ -412,13 +411,12 @@ object TextOps {
     * hard" binning a curriculum-learning schedule samples from, with the
     * per-bucket token (bigram) budget a mixture planner needs. Tiling rides
     * [[Ranking.equiDepthTiles]] — the two-phase distributed rank, never a
-    * single-partition global window; the score range is ~[0, ln corpus], so
-    * `bucketWidth` 0.5 bounds the offset table at a few dozen rows at any
-    * corpus size. */
-  def difficultyBuckets(docs: DataFrame, tiles: Int = 4,
-      bucketWidth: Double = 0.5): DataFrame =
+    * single-partition global window; range buckets from the partitioner's
+    * sampled quantiles keep the tiling balanced even when many documents
+    * share one score. */
+  def difficultyBuckets(docs: DataFrame, tiles: Int = 4): DataFrame =
     Ranking.equiDepthTiles(bigramLmScore(docs), col("lm_score"),
-        col("doc_id"), tiles, bucketWidth)
+        col("doc_id"), tiles)
       .groupBy(col("tile").as("difficulty"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("lm_score")).as("lo"),

