@@ -288,7 +288,19 @@ object TpchCatalog {
       MeasureDef("Value", "value_sum", Agg.Sum, "value"),
       MeasureDef("Events", "event_count", Agg.CountAll, "1"),
       MeasureDef("Users", "user_count", Agg.DistinctCount, "user_id"),
-      MeasureDef("Avg Value", "avg_value", Agg.Avg, "value")))
+      MeasureDef("Avg Value", "avg_value", Agg.Avg, "value")),
+    calcMembers = Seq(
+      // null-safe ratio over the lag below — evaluates on DENSE filler
+      // cells too (a day the user was idle still shows the growth vs the
+      // previous active day as null, Mondrian's empty-cell arithmetic)
+      CalcMemberDef("day_value_growth",
+        "CASE WHEN prev_day_value = 0.0 OR prev_day_value IS NULL THEN NULL ELSE (value_sum - prev_day_value) / prev_day_value END")),
+    lagMeasures = Seq(
+      // PREVMEMBER at Day grain: per-partition gaps are the NORM here
+      // (users are idle most days), so this measure exercises the
+      // domain-exact lag path — prev = previous calendar day in the
+      // dimension, null when that day has no data for the partition
+      LagMeasureDef("prev_day_value", "value_sum", "EventDate")))
 
   // Drill-across virtual cube over the conformed Geography dimension
   // (ref Warehouse and Sales foodmart.xml:758-790).

@@ -198,7 +198,25 @@ object SparkEntry {
     "q48_ytd" -> CubeQuery("sales",
       Seq(drill("ShipDate", "Year", "Monthly"),
         drill("ShipDate", "Month", "Monthly")),
-      Seq("revenue", "ytd_revenue")))
+      Seq("revenue", "ytd_revenue")),
+    // B8 domain-exact lag under a gap-creating cut: the axis keeps months
+    // {1,2,4} but PrevMember at Apr references the cut-away Mar, at Jan the
+    // previous year's Dec, and Ytd(Apr) still includes Mar — the cut
+    // selects axis members, the windows walk the hierarchy (ref
+    // foodmart.xml:351-366 + query_helper.rb:234-246 axis-fold)
+    "q54_lag_gap_cut" -> CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "prev_revenue", "revenue_growth", "ytd_revenue"),
+      cuts = Seq(SetCut(L("ShipDate", "Month", "Monthly"), Seq(1, 2, 4)))),
+    // B8 + C1: DENSE axes with a lag + ratio calc member on a naturally
+    // gappy grain (user × day — users are idle most days): filler cells
+    // carry the domain-lag value and the null-safe ratio, Mondrian's
+    // empty-cell arithmetic on a densified axis
+    "q55_dense_lag" -> CubeQuery("events",
+      Seq(drill("User"), drill("EventDate", "Day", "Daily")),
+      Seq("value_sum", "prev_day_value", "day_value_growth"),
+      nonempty = false))
 
   // ============================================== LLM-pipeline operators
   // (dedup / similarity / text analysis / multimodal / sessionization —
@@ -1064,6 +1082,51 @@ object SparkEntry {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          |  AS ytd_revenue
          |FROM agg ORDER BY ship_year, ship_month""".stripMargin,
+    // q54: DOMAIN lag — windows run over the full month domain, the cut
+    // filters the AXIS afterwards (lag at Apr = the cut-away Mar; Ytd
+    // includes it)
+    "q54_lag_gap_cut" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2),
+         |w AS (
+         |  SELECT ship_year, ship_month, revenue,
+         |    lag(revenue) OVER (ORDER BY ship_year, ship_month)
+         |      AS prev_revenue,
+         |    CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6))) OVER (
+         |      PARTITION BY ship_year ORDER BY ship_year, ship_month
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |      AS ytd_revenue
+         |  FROM agg)
+         |SELECT ship_year, ship_month, revenue, prev_revenue,
+         |CASE WHEN prev_revenue = 0.0 OR prev_revenue IS NULL THEN NULL
+         |ELSE (revenue - prev_revenue) / prev_revenue END AS revenue_growth,
+         |ytd_revenue
+         |FROM w WHERE ship_month IN (1, 2, 4)
+         |ORDER BY ship_year, ship_month""".stripMargin,
+    // q55: dense axes + lag — the lag runs over the (user × calendar-day)
+    // spine BEFORE the dense left-join shape, so filler cells carry the
+    // domain-lag value and the null-safe growth ratio
+    "q55_dense_lag" ->
+      s"""WITH agg AS (
+         |  SELECT user_id AS "user", CAST(ts AS DATE) AS event_day,
+         |    ${sumd("value", "value_sum")}
+         |  FROM events GROUP BY 1, 2),
+         |users AS (SELECT DISTINCT "user" FROM agg),
+         |days AS (SELECT DISTINCT event_day FROM agg),
+         |spine AS (SELECT "user", event_day FROM users CROSS JOIN days),
+         |w AS (
+         |  SELECT s."user", s.event_day, a.value_sum,
+         |    lag(a.value_sum) OVER (PARTITION BY s."user"
+         |      ORDER BY s.event_day) AS prev_day_value
+         |  FROM spine s LEFT JOIN agg a USING ("user", event_day))
+         |SELECT "user", event_day, value_sum, prev_day_value,
+         |CASE WHEN prev_day_value = 0.0 OR prev_day_value IS NULL THEN NULL
+         |ELSE (value_sum - prev_day_value) / prev_day_value END
+         |  AS day_value_growth
+         |FROM w ORDER BY "user", event_day""".stripMargin,
     "q17_namedset_drill" ->
       s"""WITH b AS (
          |  SELECT p_brand AS brand, ${sumd(REV, "revenue")}

@@ -104,14 +104,19 @@ object Planner {
     val (drills, nsDrillCuts) = expandDrills(cube, q.drilldowns)
     val cuts = q.cuts ++ nsDrillCuts
 
-    // A9 ascendant guard: drilling a level strictly above a cut on the same
-    // hierarchy is a client error (ref api_spec.rb:154-157).
+    // A9 ascendant guard (ref api_spec.rb:154-157): a cut whose hierarchy
+    // is on the axis must be CONSUMED by a drill at-or-below its level —
+    // the reference folds such cuts into the axis set (query_helper.rb:
+    // 234-246); one that can't fold stays in the slicer, where Mondrian
+    // rejects the same-hierarchy axis/slicer collision. Drilling an
+    // ancestor level ALONGSIDE an at-or-below drill is fine (Year.Members
+    // crossjoined with the cut months).
     for (c <- cuts) levelOfCut(cube, c).foreach { cl =>
-      drills.find(d => d.dim.name == cl.dim.name && d.hier.name == cl.hier.name
-          && d.depth < cl.depth).foreach { d =>
+      val sameHier = drills.filter(d =>
+        d.dim.name == cl.dim.name && d.hier.name == cl.hier.name)
+      if (sameHier.nonEmpty && !sameHier.exists(_.depth >= cl.depth))
         GraftException.badRequest(
-          s"drilldown on '${d.level.name}' is above the cut level '${cl.level.name}' of ${cl.dim.name}")
-      }
+          s"drilldown on '${sameHier.head.level.name}' is above the cut level '${cl.level.name}' of ${cl.dim.name}")
     }
 
     val measureNames =
@@ -128,11 +133,44 @@ object Planner {
         need.lags.map(l => cube.dimension(l.timeDim).get) ++
         need.cums.map(c => cube.dimension(c.timeDim).get))
 
-    val filtered = cuts.foldLeft(joined)((df, c) => applyCut(cat, cube, df, c))
-
     val groupLevels = groupLevelList(cube, drills, q.parents)
     val groupCols: Seq[Column] = groupLevels.flatMap(levelCols)
     val groupAliases: Seq[String] = groupLevels.flatMap(levelAliases)
+
+    // B8 domain-exact lag (ref foodmart.xml:351-366): PREVMEMBER /
+    // PARALLELPERIOD / PeriodsToDate walk the HIERARCHY's member order, not
+    // the present-rows axis — and a cut on the time dimension only selects
+    // which members appear on the axis (the reference rewrites same-level
+    // cuts into the axis set, query_helper.rb:234-246), so `(revenue,
+    // PrevMember)` at the first cut member still references the member
+    // BEFORE the cut. Cuts on a lag/cum time dimension are therefore
+    // RELAXED during aggregation to the needed member domain (cut members +
+    // lag predecessors + reset-group prefixes) and re-applied to the axis
+    // after the windows run. Cuts below the drilled time grain cannot reach
+    // here (the A9 ascendant guard 400s them).
+    val lagTimeDims: Seq[String] =
+      (need.lags.map(_.timeDim) ++ need.cums.map(_.timeDim)).distinct
+    val (timeCuts, directCuts) =
+      if (lagTimeDims.isEmpty) (Nil, cuts)
+      else cuts.partition(c =>
+        levelOfCut(cube, c).exists(rl => lagTimeDims.contains(rl.dim.name)))
+    val timeDomains = lagTimeDims.map(dn =>
+      lagTimeDomain(cat, cube, dn, groupLevels, timeCuts, need))
+
+    val directFiltered =
+      directCuts.foldLeft(joined)((df, c) => applyCut(cat, cube, df, c))
+    // restrict the fact to the needed time members (broadcast semi-join on
+    // the drilled keys — the domain is dim-sized, so this is the IN-list
+    // shape that prunes the scan, same as applyCut would have)
+    val filtered = timeDomains.filter(_.hasCuts).foldLeft(directFiltered) {
+      (df, td) =>
+        val pref = td.dom.select(td.unit.map(rl =>
+          col(rl.level.alias).as("__nd_" + rl.level.alias)): _*).distinct()
+        val cond = td.unit.map(rl =>
+          expr(rl.level.keyExpr) === col("__nd_" + rl.level.alias))
+          .reduce(_ && _)
+        df.join(broadcast(pref), cond, "left_semi")
+    }
 
     // B17 aggregate-table routing: answer from a materialized rollup when
     // every axis/cut level and measure is covered (properties need the dim
@@ -168,8 +206,16 @@ object Planner {
       GraftException.badRequest("no measures requested")
     val aggDf = routedRollup match {
       case Some(r) if need.bases.nonEmpty =>
-        val rFiltered = cuts.foldLeft(r.df)((df, c) =>
+        val rDirect = directCuts.foldLeft(r.df)((df, c) =>
           applyCutOnAliases(cat, cube, df, c))
+        // relaxed time cuts: same needed-domain restriction, on the rollup's
+        // alias columns (the drilled unit is covered by routing)
+        val rFiltered = timeDomains.filter(_.hasCuts).foldLeft(rDirect) {
+          (df, td) =>
+            val keys = td.unit.map(_.level.alias)
+            df.join(broadcast(td.dom.select(keys.map(col): _*).distinct()),
+              keys, "left_semi")
+        }
         val reAgg = need.bases.map(Rollups.reAggColumn)
         rFiltered.groupBy(groupAliases.map(col): _*)
           .agg(reAgg.head, reAgg.tail: _*)
@@ -180,7 +226,26 @@ object Planner {
     }
 
     // ------------------------------------------------- lag + calc + having
-    val withLags = need.lags.foldLeft(aggDf) { (df, lm) =>
+    // Expand the aggregated axis to the full time-member domain before any
+    // window runs: lag/cum measures then see every calendar member (filler
+    // rows carry null bases), so a month absent from one partition cannot
+    // silently alias "previous present month" to "previous member". Filler
+    // rows are dropped again after the windows (nonempty) or kept for the
+    // dense shape, where calc members evaluate on empty cells like Mondrian.
+    val expanded =
+      if (timeDomains.isEmpty) aggDf
+      else timeDomains.foldLeft(aggDf.withColumn("__present", lit(1))) {
+        (df, td) =>
+          val unitAliases = td.unit.flatMap(levelAliases)
+          val otherAliases = groupAliases.filterNot(unitAliases.contains)
+          val dom = broadcast(if (td.hasCuts) td.dom
+            else td.dom.drop(td.cutFlag))
+          val full =
+            if (otherAliases.isEmpty) dom
+            else df.select(otherAliases.map(col): _*).distinct().crossJoin(dom)
+          full.join(df, unitAliases ++ otherAliases, "left")
+      }
+    val withLags = need.lags.foldLeft(expanded) { (df, lm) =>
       applyLag(cube, df, lm, drills, groupLevels)
     }
     val withCums = need.cums.foldLeft(withLags) { (df, cm) =>
@@ -189,7 +254,18 @@ object Planner {
     val withCalcs = need.calcs.foldLeft(withCums) { (df, cm) =>
       df.withColumn(cm.alias, expr(cm.formula))
     }
-    val havingDf = q.filters.foldLeft(withCalcs) { (df, f) =>
+    // re-apply the relaxed time cuts to the axis, then drop the filler
+    // members (nonempty) — dense queries keep them so lag/calc values
+    // survive onto empty cells
+    val cutBack = timeDomains.filter(_.hasCuts).foldLeft(withCalcs) {
+      (df, td) => df.filter(col(td.cutFlag) === 1).drop(td.cutFlag)
+    }
+    val unfilled =
+      if (timeDomains.isEmpty) cutBack
+      else if (q.nonempty) cutBack.filter(col("__present") === 1)
+        .drop("__present")
+      else cutBack.drop("__present")
+    val havingDf = q.filters.foldLeft(unfilled) { (df, f) =>
       val a = aliasOfMeasure(cube, f.measure)
       df.filter(comparison(col(a), f.op, f.value))
     }
@@ -534,10 +610,92 @@ object Planner {
       .getOrElse(GraftException.badRequest(s"property '${p.property}' not found"))
   }
 
+  /** The time-member domain a lag/cum window must see (B8 domain
+    * exactness), plus the cut-membership flag used to re-restrict the axis
+    * after the windows run.
+    *
+    * @param unit    the drilled levels of the time dimension (root→leaf)
+    * @param dom     one row per needed member: the unit's alias columns
+    *                (key + label + ordinal) and, when `hasCuts`, a
+    *                `cutFlag` column marking the members the axis keeps
+    * @param hasCuts whether any cut restricts this dimension (if not, the
+    *                domain is the full member list and no re-filter runs)
+    */
+  private final case class TimeDomain(dim: String, unit: Seq[ResolvedLevel],
+      dom: DataFrame, hasCuts: Boolean) {
+    def cutFlag: String = "__cut_" + dim
+  }
+
+  /** Build the needed member domain for one lag/cum time dimension. The
+    * member list comes from the dimension's own table (or the fact for a
+    * degenerate time dimension, exactly like [[densify]]'s domains) — the
+    * materialized hierarchy Mondrian navigates. When cuts restrict the
+    * dimension, the needed set is: every cut member, every member within
+    * `max(periods)` BEFORE a cut member (so positional lag(n) at any cut
+    * member spans exactly its n hierarchy predecessors), and — per cum
+    * measure — every member from the reset-group start through a cut member
+    * (PeriodsToDate sums from the period start regardless of the axis set).
+    * The marking windows are unpartitioned but run over the MEMBER DOMAIN
+    * (dim-sized, like the bucket-offset frames in [[graft.ops.Ranking]]),
+    * never the data. */
+  private def lagTimeDomain(cat: CubeCatalog, cube: CubeDef, dn: String,
+      groupLevels: Seq[ResolvedLevel], timeCuts: Seq[Cut],
+      need: NeededMeasures): TimeDomain = {
+    val unit = groupLevels.filter(_.dim.name == dn)
+    if (unit.isEmpty)
+      GraftException.badRequest(
+        s"lag/cumulative measures require a drilldown on their time dimension '$dn'")
+    val dim = cube.dimension(dn).getOrElse(
+      GraftException.badRequest(s"time dimension '$dn' not found"))
+    val src = dim.join match {
+      case Some(js) => cat.table(js.table)
+      case None => cat.fact(cube)
+    }
+    val cols = unit.flatMap(levelCols)
+    val aliases = unit.flatMap(levelAliases)
+    val fullDom = src.select(cols: _*).distinct()
+    val dimCuts = timeCuts.filter(c =>
+      levelOfCut(cube, c).exists(_.dim.name == dn))
+    if (dimCuts.isEmpty)
+      return TimeDomain(dn, unit, fullDom, hasCuts = false)
+    val flag = "__cut_" + dn
+    val cutDom = dimCuts.foldLeft(src)((d, c) => applyCut(cat, cube, d, c))
+      .select(cols: _*).distinct().withColumn(flag, lit(1))
+    val flagged = fullDom.join(cutDom, aliases, "left")
+      .withColumn(flag, coalesce(col(flag), lit(0)))
+    val ordC = unit.map { rl =>
+      col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
+    }
+    val maxLag = need.lags.filter(_.timeDim == dn).map(_.periods)
+      .maxOption.getOrElse(0)
+    var needed: Column = col(flag) === 1
+    if (maxLag > 0)
+      needed = needed || max(col(flag)).over(
+        Window.orderBy(ordC.map(_.asc): _*).rowsBetween(0, maxLag)) === 1
+    for (cm <- need.cums.filter(_.timeDim == dn);
+         resetRl <- unit.find(_.level.name == cm.resetLevel))
+      needed = needed || max(col(flag)).over(
+        Window.partitionBy(col(resetRl.level.alias))
+          .orderBy(ordC.map(_.asc): _*)
+          .rowsBetween(0, Window.unboundedFollowing)) === 1
+    // localCheckpoint: the domain feeds the fact semi-join AND the axis
+    // expansion; tiny frame, computed once (Dedup convention)
+    TimeDomain(dn, unit,
+      flagged.withColumn("__needed", needed).filter(col("__needed"))
+        .drop("__needed").localCheckpoint(eager = false),
+      hasCuts = true)
+  }
+
   /** PREVMEMBER lag (ref B8): lag(base) over the time hierarchy's drilled
-    * levels root→leaf, partitioned by every non-time axis column. NOTE
-    * (SURVEY §7.4 dragon 2): computed over the aggregated axis — months
-    * absent from the axis are skipped; densify first for domain-exact lag. */
+    * levels root→leaf, partitioned by every non-time axis column. The input
+    * frame is pre-expanded to the full time-member domain (planCube), so
+    * the positional lag walks the HIERARCHY's member order — a month with
+    * no data in this partition yields null (→ COALESCEEMPTY), never the
+    * previous present month. `periods` > 1 (PARALLELPERIOD) steps n
+    * positions among existing members, which is Mondrian's own semantics
+    * (ParallelPeriod navigates sibling POSITIONS in the materialized
+    * hierarchy, not key arithmetic — a year with missing members shifts
+    * both engines identically). */
   private def applyLag(cube: CubeDef, df: DataFrame, lm: LagMeasureDef,
       drills: Seq[ResolvedLevel], groupLevels: Seq[ResolvedLevel]): DataFrame = {
     val timeDrills = drills.filter(_.dim.name == lm.timeDim).sortBy(_.depth)
@@ -561,7 +719,9 @@ object Planner {
     * each year). The accumulator re-quantizes the aggregated double to
     * DECIMAL(27,6) (canonical shortest-string cast, the same recipe as
     * measure sums), so window evaluation order cannot move a float bit.
-    * Same axis-not-domain caveat as [[applyLag]]. */
+    * Runs over the domain-expanded frame like [[applyLag]]: members cut
+    * from the axis still contribute to the running sum (PeriodsToDate
+    * accumulates from the period start, not the axis set). */
   private def applyCum(cube: CubeDef, df: DataFrame, cm: CumMeasureDef,
       drills: Seq[ResolvedLevel], groupLevels: Seq[ResolvedLevel]): DataFrame = {
     val timeDrills = drills.filter(_.dim.name == cm.timeDim).sortBy(_.depth)

@@ -182,6 +182,42 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("lag under a gap-creating time cut references the hierarchy-previous member") {
+    // ref semantics (foodmart.xml:351-366 + query_helper.rb:234-246): a cut
+    // on the time level selects the AXIS members, but PrevMember walks the
+    // hierarchy — at Apr under cut {Jan,Feb,Apr}, prev = the cut-away Mar;
+    // at Jan, prev = Dec of the previous year. Ytd(Apr) likewise includes
+    // the cut-away Mar (PeriodsToDate runs from the period start).
+    val all = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue"))).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val rows = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "prev_revenue", "ytd_revenue"),
+      cuts = Seq(SetCut(LevelRef("ShipDate", Some("Month"), Some("Monthly")),
+        Seq(1, 2, 4))))).collect()
+    assert(rows.nonEmpty && rows.forall(r => Set(1, 2, 4)(r.getInt(1))))
+    rows.foreach { r =>
+      val (y, m) = (r.getInt(0), r.getInt(1))
+      val expectPrev =
+        if (m == 4) all.get((y, 3))
+        else if (m == 2) all.get((y, 1))
+        else all.get((y - 1, 12))
+      expectPrev match {
+        case Some(v) => assert(r.getDouble(3) == v, s"$y-$m prev_revenue")
+        case None => assert(r.isNullAt(3), s"$y-$m prev_revenue not null")
+      }
+    }
+    rows.filter(_.getInt(1) == 4).foreach { r =>
+      val y = r.getInt(0)
+      val want = Seq(1, 2, 3, 4).flatMap(m => all.get((y, m))).sum
+      assert(math.abs(r.getDouble(4) - want) < 1e-5, s"$y ytd at Apr")
+    }
+  }
+
   test("YTD requires its time dimension drilled, incl. the reset level") {
     val e = intercept[GraftException] {
       Planner.plan(cat, CubeQuery("sales",

@@ -73,6 +73,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("domain-exact lag invariants under random month-set cuts (B8)") {
+    // the round-4 semantic gap: lag must reference the CALENDAR-previous
+    // member of the time domain, never "the previous month present on this
+    // partition's axis". For any random month subset cut (and optionally a
+    // region partition), every output row's prev_revenue must equal the
+    // UNCUT query's value at the hierarchy-previous member — null exactly
+    // when that member has no data for the partition or is the domain head.
+    def key(r: org.apache.spark.sql.Row, reg: Boolean): (Any, Int, Int) =
+      if (reg) (r.getInt(0), r.getInt(2), r.getInt(3))
+      else ((), r.getInt(0), r.getInt(1))
+    def timeDrills = Seq(drill("ShipDate", "Year", "Monthly"),
+      drill("ShipDate", "Month", "Monthly"))
+    def drill(d: String, l: String, h: String) =
+      LevelDrill(LevelRef(d, Some(l), Some(h)))
+    val domain: Seq[(Int, Int)] = Planner.plan(cat, CubeQuery("sales",
+        timeDrills, Seq("revenue"))).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted
+    val prevMember: Map[(Int, Int), (Int, Int)] =
+      domain.zip(domain.drop(1)).map { case (p, m) => m -> p }.toMap
+    for (withRegion <- Seq(false, true)) {
+      val drills0 =
+        if (withRegion) Seq(drill("Geography", "Region", "Geography"))
+        else Nil
+      val uncut = Planner.plan(cat, CubeQuery("sales",
+          drills0 ++ timeDrills, Seq("revenue", "prev_revenue"))).collect()
+      val uncutRev = uncut.map(r => key(r, withRegion) ->
+        r.getDouble(if (withRegion) 4 else 2)).toMap
+      forAll(Gen.someOf(1 to 12).suchThat(_.nonEmpty), n = 4) { monthsRaw =>
+        val months = monthsRaw.toSeq.sorted
+        val rows = Planner.plan(cat, CubeQuery("sales",
+          drills0 ++ timeDrills, Seq("revenue", "prev_revenue"),
+          cuts = Seq(SetCut(LevelRef("ShipDate", Some("Month"),
+            Some("Monthly")), months)))).collect()
+        // axis = exactly the uncut keys in the cut months (value-invariant)
+        val got = rows.map(r => key(r, withRegion)).toSet
+        val want = uncutRev.keySet.filter(k => months.contains(k._3))
+        assert(got == want, s"months=$months region=$withRegion axis")
+        rows.foreach { r =>
+          val k = key(r, withRegion)
+          val (revI, prevI) = if (withRegion) (4, 5) else (2, 3)
+          assert(r.getDouble(revI) == uncutRev(k), s"$k revenue changed")
+          prevMember.get((k._2, k._3))
+            .flatMap(p => uncutRev.get((k._1, p._1, p._2))) match {
+            case Some(v) => assert(r.getDouble(prevI) == v, s"$k prev")
+            case None => assert(r.isNullAt(prevI), s"$k prev should be null")
+          }
+        }
+      }
+    }
+  }
+
   test("a cut never increases any group's value, and filters the axis") {
     forAll(Gen.zip(drillsGen, cutGen)) { case (drills, cut) =>
       val base = CubeQuery("sales", drills.map(LevelDrill(_)), Seq("revenue"))
