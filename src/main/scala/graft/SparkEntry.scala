@@ -388,6 +388,16 @@ object SparkEntry {
         }
         ops.Dedup.semanticDedup(emb, cs, 0.35)
       }),
+      // paper-exact SemDeDup greedy keep-first (d15's rule deletes a
+      // superset): bounded fixpoint over the within-cluster pair list,
+      // rounds unrolled so the oracle replays them CTE for CTE
+      "d16_semdedup_greedy" -> ((s: SparkSession, dir: String) => {
+        val emb = CubeCatalog.forDir(s, dir).table("embeddings")
+        val cs = ops.IndexCache.memo(s, s"kmeans:$dir:8:3") {
+          ops.Similarity.kmeansCentroids(emb, 8, 3)
+        }
+        ops.Dedup.semanticDedupGreedy(emb, cs, 0.35)
+      }),
       // per-doc OOV rate against the corpus' own top-16 token vocabulary
       "t27_vocab_coverage" -> tbl("documents")(
         ops.TextOps.vocabCoverage(_, 16)),
@@ -1575,6 +1585,36 @@ object SparkEntry {
          |CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS kept
          |FROM afinal f LEFT JOIN dup d ON f.vec_id = d.vb
          |ORDER BY f.vec_id""".stripMargin,
+    // d16: the paper-exact greedy keep-first as the same bounded fixpoint
+    // the Spark side unrolls — round 0 keeps no-smaller-neighbor vectors,
+    // each round drops on a KEPT smaller neighbor and keeps when all
+    // smaller neighbors are decided-dropped (MAX/MIN ignore-null semantics
+    // match Spark's)
+    "d16_semdedup_greedy" -> {
+      val rounds = 6
+      val roundCtes = (1 to rounds).map { r =>
+        s"s$r AS (SELECT s.vec_id, CASE WHEN s.kept IS NOT NULL THEN s.kept " +
+          "WHEN n.any_kept = 1 THEN 0 WHEN n.all_decided = 1 THEN 1 " +
+          "ELSE NULL END AS kept " +
+          s"FROM s${r - 1} s LEFT JOIN (SELECT p.vb, MAX(ps.kept) AS any_kept, " +
+          "MIN(CASE WHEN ps.kept IS NULL THEN 0 ELSE 1 END) AS all_decided " +
+          s"FROM p JOIN s${r - 1} ps ON p.va = ps.vec_id GROUP BY p.vb) n " +
+          "ON s.vec_id = n.vb)"
+      }.mkString(",\n")
+      s"""${kmeansOracleCtes(8, 3)},
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM afinal a JOIN afinal b ON a.c = b.c AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.emb, b.emb) >= 0.35),
+         |s0 AS (SELECT f.vec_id,
+         |  CASE WHEN sm.vb IS NULL THEN 1 ELSE NULL END AS kept
+         |  FROM afinal f LEFT JOIN (SELECT DISTINCT vb FROM p) sm
+         |  ON f.vec_id = sm.vb),
+         |$roundCtes
+         |SELECT f.vec_id, f.c AS cluster,
+         |CAST(s$rounds.kept AS INTEGER) AS kept
+         |FROM afinal f JOIN s$rounds ON f.vec_id = s$rounds.vec_id
+         |ORDER BY f.vec_id""".stripMargin
+    },
     // t27: the vocab is top-16 by (count desc, token asc) — a total order,
     // so LIMIT is deterministic; SUM of ints is HUGEINT in DuckDB → BIGINT
     "t27_vocab_coverage" ->

@@ -666,9 +666,12 @@ object Dedup {
 
   /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters are the
     * blocking key, and within each cluster every document whose cosine to a
-    * SMALLER-id cluster-mate reaches `threshold` is dropped (greedy
-    * keep-first — the paper's keep-one-per-near-dup-group rule with a
-    * deterministic representative). Exact near-dups collapse like MinHash
+    * SMALLER-id cluster-mate reaches `threshold` is dropped. NOTE the rule
+    * here is drop-on-ANY-smaller-id-neighbor — a deterministic SUPERSET of
+    * the paper's greedy keep-first deletions (a chain A~B, B~C, A≁C keeps
+    * only A here, where the greedy scan keeps A and C); see
+    * [[semanticDedupGreedy]] for the paper-exact rule computed as a bounded
+    * fixpoint. Exact near-dups collapse like MinHash
     * dedup would, but so do paraphrases and translations that share no
     * n-grams — the semantic layer of a dedup stack, run AFTER exact/fuzzy
     * text dedup on the survivors.
@@ -701,6 +704,68 @@ object Dedup {
     e.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** TRUE SemDeDup greedy keep-first (Abbas et al. 2023, the paper's rule):
+    * process vectors in id order, keep one iff it has no previously-KEPT
+    * cluster-mate at cos ≥ threshold. [[semanticDedup]]'s simpler rule drops
+    * on ANY smaller-id neighbor (kept or not), which over-deletes transitive
+    * chains: A~B, B~C, A≁C keeps only A where the greedy rule keeps A and C.
+    *
+    * The sequential scan is computed as a bounded fixpoint over the
+    * within-cluster pair list: round 0 keeps every vector with no smaller
+    * neighbor; each later round drops vectors with a KEPT smaller neighbor
+    * and keeps those whose smaller neighbors are ALL decided-dropped. Each
+    * round is one join + groupBy over the (skinny) pair frame — never the
+    * corpus — and the round count bounds the neighbor-chain depth, which in
+    * a threshold graph is short (chains need monotone ids along similarity
+    * edges). Rounds are UNROLLED, so the DuckDB oracle replays them CTE for
+    * CTE (the t14/t23 convention); a non-converged vector would carry the
+    * same null in both engines (and [[graft.OpsSpec]] asserts convergence at
+    * gate scale).
+    *
+    * Output: one row per vector — cluster, kept = 1 (greedy survivor) or 0.
+    */
+  def semanticDedupGreedy(emb: DataFrame, cs: Array[Array[Double]],
+      threshold: Double, rounds: Int = 6): DataFrame = {
+    val e = emb.select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("cluster", Similarity.nearestCluster(col("v"), cs))
+      .localCheckpoint(eager = false)
+    val a = e.select(col("cluster").as("cl_a"), col("vec_id").as("va"),
+      col("v").as("v_a"))
+    val b = e.select(col("cluster").as("cl_b"), col("vec_id").as("vb"),
+      col("v").as("v_b"))
+    val pairs = a.join(b, col("cl_a") === col("cl_b") && col("va") < col("vb"))
+      .where(Similarity.dot(col("v_a"), col("v_b")) >= threshold)
+      .select("va", "vb")
+      .localCheckpoint(eager = false)
+    // kept: 1 survivor, 0 dropped, null undecided
+    var st = e.select("vec_id")
+      .join(pairs.select(col("vb").as("vec_id")).distinct()
+        .withColumn("__has_smaller", lit(1)), Seq("vec_id"), "left")
+      .withColumn("kept",
+        when(col("__has_smaller").isNull, lit(1)).otherwise(lit(null)))
+      .select("vec_id", "kept")
+    for (_ <- 1 to rounds) {
+      val nb = pairs
+        .join(st.select(col("vec_id").as("va"), col("kept").as("ka")), "va")
+        .groupBy("vb").agg(
+          max("ka").as("__any_kept"), // MAX ignores nulls (undecided)
+          min(when(col("ka").isNotNull, 1).otherwise(0)).as("__all_decided"))
+      st = st
+        .join(nb.withColumnRenamed("vb", "vec_id"), Seq("vec_id"), "left")
+        .withColumn("kept",
+          when(col("kept").isNotNull, col("kept"))
+            .when(col("__any_kept") === 1, lit(0))
+            .when(col("__all_decided") === 1, lit(1))
+            .otherwise(lit(null)))
+        .select("vec_id", "kept")
+        .localCheckpoint(eager = false) // truncate per-round lineage
+    }
+    e.select("vec_id", "cluster").join(st, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("kept").cast("int"))
       .orderBy("vec_id")
   }
 

@@ -987,6 +987,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup greedy: keep-first chain semantics and convergence") {
+    import spark.implicits._
+    // A~B and B~C at cos ~0.5 (0.49999997 in float) but A~/~C (cos -0.5): the paper's greedy scan
+    // keeps A (first), drops B (kept neighbor A), keeps C (its only smaller
+    // neighbor B was dropped) — where the simpler drop-on-any-smaller rule
+    // kills both B and C.
+    val chain = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.5f, 0.8660254f)),
+      (3L, Array(-0.5f, 0.8660254f))).toDF("vec_id", "embedding")
+    val oneCluster = Array(Array(0.0, 1.0))
+    val greedy = Dedup.semanticDedupGreedy(chain, oneCluster, 0.49)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(greedy == Map(1L -> 1, 2L -> 0, 3L -> 1))
+    val simple = Dedup.semanticDedup(chain, oneCluster, 0.49)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(simple == Map(1L -> 1, 2L -> 0, 3L -> 0))
+    // gate-scale convergence: within the default round budget every vector
+    // is decided (no nulls), and greedy keeps a superset of simple's
+    // survivors (its deletions are a subset by construction)
+    val cs = Similarity.kmeansCentroids(emb, 8, 3)
+    val g = Dedup.semanticDedupGreedy(emb, cs, 0.35).collect()
+    assert(g.forall(!_.isNullAt(2)), "fixpoint must converge in 6 rounds")
+    val gKept = g.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    val sKept = Dedup.semanticDedup(emb, cs, 0.35).collect()
+      .filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    assert(sKept.subsetOf(gKept))
+  }
+
   test("vocab coverage: OOV fraction against a hand-picked tiny vocab") {
     import spark.implicits._
     val d = Seq((1L, "a a b c"), (2L, "a b"), (3L, "x y z a"))
