@@ -368,8 +368,12 @@ object Dedup {
         (col("n") - ceil(round(col("n") * threshold, 9)) + 1).cast("int"))
         .as("pre"))
       .select(col("block"), col("doc_id"), col("n"),
-        explode(col("pre")).as("p"))
-      .select(col("block"), col("doc_id"), col("n"), col("p.s").as("s"))
+        posexplode(col("pre")).as(Seq("pos0", "p")))
+      // the prefix is the HEAD of the doc's canonical sort, so a shingle's
+      // position within the prefix IS its position in the full order — the
+      // 1-based `pos` the PPJoin position filter needs
+      .select(col("block"), col("doc_id"), col("n"), col("p.s").as("s"),
+        (col("pos0") + 1).as("pos"))
   }
 
   /** Exact n-gram Jaccard similarity join (result identical to all-pairs
@@ -384,8 +388,16 @@ object Dedup {
     *     shingles per doc loses no pair while removing exactly the hot
     *     (stopword-like) postings whose df² join blowup dominates at corpus
     *     scale.
-    *  3. Candidate pairs travel skinny (two longs) through the join/distinct;
-    *     full shingle arrays re-attach only for the exact intersect.
+    *  3. PPJOIN POSITION FILTER (Xiao et al. 2008): every common shingle of a
+    *     qualifying pair sits at-or-after the pair's FIRST shared token in the
+    *     canonical order, so overlap ≤ 1 + min(na − pa, nb − pb) at that
+    *     token's 1-based positions — pairs whose bound misses
+    *     ⌈t·max(na,nb)⌉ are cut before the exact verify. At loose thresholds
+    *     this prunes the hot-shingle co-occurrence pairs the prefix filter
+    *     alone lets through.
+    *  4. Candidate pairs travel skinny (two longs) through the join and the
+    *     first-shared-token agg; full shingle arrays re-attach only for the
+    *     exact intersect.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int, blockCol: String,
       threshold: Double): DataFrame = {
@@ -400,18 +412,7 @@ object Dedup {
     // regroup) feeds BOTH sides of the candidate self-join — without this it
     // is evaluated twice
     val prefix = prefixPostings(sh, threshold).localCheckpoint(eager = false)
-    val a = prefix.select(col("block").as("block_a"),
-      col("doc_id").as("doc_a"), col("n").as("na"), col("s").as("s_a"))
-    val b = prefix.select(col("block").as("block_b"),
-      col("doc_id").as("doc_b"), col("n").as("nb"), col("s").as("s_b"))
-    val cand = a.join(b,
-        col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
-        col("doc_a") < col("doc_b") &&
-        // round(…, 9) for the same ulp hazard as the prefix length: a
-        // zero-slack pair (|A| = t·|B| exactly) must survive the size prune
-        col("na") >= round(col("nb") * threshold, 9) &&
-        col("nb") >= round(col("na") * threshold, 9))
-      .select("doc_a", "doc_b").distinct()
+    val cand = ssjoinCandidates(prefix, threshold, positional = true)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("na")), "doc_a")
@@ -422,6 +423,44 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate (doc_a, doc_b) pairs from prefix postings. The self-join keys
+    * on (block, shingle) with the size-ratio prune inlined; the distinct is
+    * fused with the position filter: one groupBy picks each pair's FIRST
+    * shared canonical token (positions are monotone in the canonical order,
+    * so min(pa) finds it), and the PPJoin bound prunes there. `positional =
+    * false` degrades to the plain prefix-filter candidate set (spec hook —
+    * [[graft.OpsSpec]] asserts the positional bound strictly shrinks it). */
+  private[graft] def ssjoinCandidates(prefix: DataFrame, threshold: Double,
+      positional: Boolean): DataFrame = {
+    val a = prefix.select(col("block").as("block_a"),
+      col("doc_id").as("doc_a"), col("n").as("na"), col("s").as("s_a"),
+      col("pos").as("pa"))
+    val b = prefix.select(col("block").as("block_b"),
+      col("doc_id").as("doc_b"), col("n").as("nb"), col("s").as("s_b"),
+      col("pos").as("pb"))
+    val joined = a.join(b,
+      col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
+      col("doc_a") < col("doc_b") &&
+      // round(…, 9) for the same ulp hazard as the prefix length: a
+      // zero-slack pair (|A| = t·|B| exactly) must survive the size prune
+      col("na") >= round(col("nb") * threshold, 9) &&
+      col("nb") >= round(col("na") * threshold, 9))
+    if (!positional) joined.select("doc_a", "doc_b").distinct()
+    else joined
+      .groupBy("doc_a", "doc_b")
+      // both docs' positions are monotone in the shared canonical order, so
+      // the first shared token minimizes (pa, pb) jointly
+      .agg(min(struct(col("pa"), col("pb"))).as("fst"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      // overlap ≤ 1 + min(na − pa, nb − pb) at the first shared token; the
+      // lemma's bound is ⌈t·max(na,nb)⌉ (round(…, 9) snaps product ulps
+      // DOWN — an under-ceil only weakens the prune, never loses a pair)
+      .where(lit(1) + least(col("na") - col("fst.pa"),
+          col("nb") - col("fst.pb")) >=
+        ceil(round(greatest(col("na"), col("nb")) * threshold, 9)))
+      .select("doc_a", "doc_b")
   }
 
   /** TEXT SIMILARITY SEARCH — top-k most similar documents per query doc by

@@ -286,7 +286,7 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_c"),
         min(col("c")).as("min_c"))
-      .crossJoin(total)
+      .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"),
         (col("sum_c").cast("double") / col("n_total") / col("n_tokens"))
           .as("mean_tok_freq"),
@@ -511,7 +511,7 @@ object TextOps {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
     val totals = uni.agg(count(lit(1)).as("n_total"))
-      .crossJoin(bi.agg(count(lit(1)).as("m_total")))
+      .crossJoin(broadcast(bi.agg(count(lit(1)).as("m_total"))))
     bc.join(uc.select(col("wd").as("w1"), col("c").as("c1")), "w1")
       .join(uc.select(col("wd").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(totals))

@@ -184,6 +184,51 @@ class OpsSpec extends AnyFunSuite {
     assert(keptMax < hotDf, "hot shingles must not survive the prefix")
   }
 
+  test("PPJoin position filter shrinks candidates, loses no qualifying pair") {
+    import spark.implicits._
+    // The position bound only adds pruning on SIZE-MISMATCHED pairs whose
+    // shared token sits near the end of the small doc's prefix (for equal
+    // sizes, shared-in-both-prefixes already implies the bound holds). 20
+    // (small, big) pairs share a per-pair bridge trigram (df=2 — rare, so
+    // it SURVIVES both prefixes) plus a global hot boiler (df=40 — cut by
+    // the prefix). Small n=12, big n=24 at t=0.2: the bridge lands at
+    // pa=10 of the small prefix (len 10) and pb=19 of the big (len 20), so
+    // 1 + min(12−10, 24−19) = 3 < ⌈0.2·24⌉ = 5 — positionally pruned,
+    // while the plain prefix join admits all 20.
+    val corpus = (0L until 20L).flatMap { i =>
+      val small = (1 to 5).map(j => s"ua$i-$j").mkString(" ") +
+        s" x$i b$i-1 b$i-2 b$i-3 z$i h1 h2 h3 h4"
+      val big = (1 to 14).map(j => s"ub$i-$j").mkString(" ") +
+        s" y$i b$i-1 b$i-2 b$i-3 w$i h1 h2 h3 h4 h5 h6 h7"
+      Seq((i, "en", small), (i + 100L, "en", big))
+    }.toDF("doc_id", "lang", "text")
+    val sh = corpus.select(col("doc_id"), col("lang").as("block"),
+      Dedup.hashedShingles("text", 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val prefix = Dedup.prefixPostings(sh, 0.2)
+    val plain = Dedup.ssjoinCandidates(prefix, 0.2, positional = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pos = Dedup.ssjoinCandidates(prefix, 0.2, positional = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos.subsetOf(plain))
+    assert(pos.size < plain.size,
+      s"position filter must prune candidates (${plain.size} -> ${pos.size})")
+    // specifically: every (small, big) bridge pair is admitted by the plain
+    // prefix join and rejected by the position bound
+    (0L until 20L).foreach { i =>
+      assert(plain.contains((i, i + 100L)), s"plain must admit ($i, ${i + 100L})")
+      assert(!pos.contains((i, i + 100L)), s"position bound must cut ($i, ${i + 100L})")
+    }
+    // exactness: every truly-qualifying pair survives the positional prune
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", expr("size(array_intersect(a.sh, b.sh))"))
+      .withColumn("j", expr("inter / (size(a.sh) + size(b.sh) - inter)"))
+      .where(col("j") >= 0.2)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(pos), "positional prune dropped a qualifying pair")
+  }
+
   test("duplicate clusters: transitive closure, log-round convergence") {
     import spark.implicits._
     val nodes = (0L until 80L).toDF("doc_id")
