@@ -24,6 +24,7 @@ import graft.result._
   *   GET /cubes/:cube/dimensions/:dim/levels/:lvl/members[?caption&member_properties[]]
   *   GET /cubes/:cube/dimensions/:dim/levels/:lvl/members/:key
   *   GET /cubes/:cube/dimensions/:dim/hierarchies/:h/levels/:lvl/members[/:key]
+  *   GET /reports[/:name[.csv|.jsonrecords|.xls]]  named warehouse reports
   *   GET /flush                                    drop catalog caches
   */
 final class Server(spark: SparkSession, sfDir: String, port: Int,
@@ -136,6 +137,26 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     case List("cubes", c, "dimensions", d, "hierarchies", h, "levels", l,
         "members", k) =>
       memberByKey(cat, c, LevelRef(d, Some(l), Some(h)), k, params)
+    // Named warehouse reports (the q51–q53 analytics as a REST surface —
+    // beyond reference parity; see [[Reports]])
+    case List("reports") =>
+      text(200, "application/json",
+        Json.write(ListMap("reports" -> Reports.list)))
+    case List("reports", nameExt) =>
+      val (name, ext) = nameExt.lastIndexOf('.') match {
+        case i if i > 0 => (nameExt.substring(0, i), nameExt.substring(i + 1))
+        case _ => (nameExt, "jsonrecords")
+      }
+      val t = Reports.run(cat, name)
+      ext match {
+        case "jsonrecords" =>
+          val asArrays = params.get("format")
+            .exists(_.headOption.contains("array"))
+          text(200, "application/json", Formatters.jsonRecords(t, asArrays))
+        case "csv" => text(200, "text/csv", Formatters.csv(t))
+        case "xls" => (200, "application/vnd.ms-excel", Biff.xls(t))
+        case other => GraftException.notFound(s"unknown format: $other")
+      }
     case List("flush") =>
       // ref api.rb:54-64: flush is gated on a shared secret — 403 when the
       // deployment never configured one (MONDRIAN_REST_SECRET analog:

@@ -274,6 +274,33 @@ class ApiSpec extends AnyFunSuite {
     assert(tree("b").asInstanceOf[Map[Any, Any]](1) == Seq("z"))
   }
 
+  test("named reports: listing, JSONRecords round-trip, CSV, 404") {
+    val (lc, listing) = get("/reports")
+    assert(lc == 200)
+    val names = Json.parse(listing).asInstanceOf[Map[String, Any]]("reports")
+      .asInstanceOf[Seq[Map[String, Any]]].map(_("name"))
+    assert(names == Seq("dq_audit", "rfm_segments", "copurchase_lift"))
+    // JSONRecords rows must equal the library call the q51 gate verifies
+    val (code, body) = get("/reports/dq_audit")
+    assert(code == 200)
+    val rows = Json.parse(body).asInstanceOf[Seq[Map[String, Any]]]
+    val cat = CubeCatalog.forDir(spark, SparkTestSession.sf)
+    val expected = ops.DataChecks.dqAudit(cat.table("orders"),
+      cat.table("lineitem"), cat.table("customer")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(r => (r("check_name"), r("n_violations"))).toSeq ==
+      expected.toSeq)
+    // CSV carries the same header + rowcount
+    val (cc, csv) = get("/reports/rfm_segments.csv")
+    assert(cc == 200)
+    val lines = csv.split("\r\n")
+    assert(lines.head.startsWith("rfm_code"))
+    assert(lines.length - 1 ==
+      ops.Analytics.rfmSegments(cat.table("orders")).count())
+    assert(get("/reports/nope")._1 == 404)
+    assert(get("/reports/dq_audit.pdf")._1 == 404)
+  }
+
   test("level members and member-by-key endpoints") {
     val (_, members) = get("/cubes/sales/dimensions/Geography/levels/Region/members")
     val keys = Json.parse(members).asInstanceOf[Map[String, Any]]("members")
