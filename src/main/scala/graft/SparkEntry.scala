@@ -800,6 +800,25 @@ object SparkEntry {
             |[Geography].[Region].Members ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // WITH MEMBER tuple time-navigation: the foodmart Profit Growth
+      // pattern (foodmart.xml:351-366) — ([M], [T].PrevMember) resolves to
+      // the declared domain-exact lag, COALESCEEMPTY to null-coalescing;
+      // Lag(2) synthesizes an ad-hoc lag measure
+      "q56_mdx_growth" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[growth] AS
+            |  '[Measures].[Revenue] - COALESCEEMPTY(
+            |     ([Measures].[Revenue], [ShipDate].PrevMember),
+            |     [Measures].[Revenue])'
+            |MEMBER [Measures].[rev_2mo_ago] AS
+            |  '([Measures].[Revenue], [ShipDate].CurrentMember.Lag(2))'
+            |SELECT {[Measures].[Revenue], [Measures].[growth],
+            |  [Measures].[rev_2mo_ago]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+            |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // FILTER (HAVING) + ORDER axis functions
       "q38_mdx_filter_order" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -2530,6 +2549,21 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT region, region_label, revenue, gross - disc_amt AS margin
          |FROM agg ORDER BY 1""".stripMargin,
+    // q56: tuple navigation — lag/lag2 run over the month DOMAIN (dense at
+    // this sf, so the ordered lag replays it); COALESCEEMPTY = coalesce
+    "q56_mdx_growth" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT ship_year, ship_month, revenue,
+         |revenue - coalesce(
+         |  lag(revenue) OVER (ORDER BY ship_year, ship_month), revenue)
+         |  AS growth,
+         |lag(revenue, 2) OVER (ORDER BY ship_year, ship_month)
+         |  AS rev_2mo_ago
+         |FROM agg ORDER BY ship_year, ship_month""".stripMargin,
     "q38_mdx_filter_order" ->
       s"""SELECT brand, revenue FROM (
          |SELECT p_brand AS brand, ${sumd(REV, "revenue")}

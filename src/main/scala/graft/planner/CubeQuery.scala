@@ -65,4 +65,8 @@ final case class CubeQuery(
     sparse: Boolean = false,                   // C6: drop all-null measure rows
     // Query-scoped calculated measures (MDX `WITH MEMBER [Measures].[X] AS
     // '<formula>'`): merged with the cube's schema calc members at plan time.
-    adhocCalcs: Seq[graft.model.CalcMemberDef] = Nil)
+    adhocCalcs: Seq[graft.model.CalcMemberDef] = Nil,
+    // Lag measures synthesized from MDX tuple navigation —
+    // `([Measures].[M], [Time].PrevMember)` / `[Time].Lag(n)` inside a WITH
+    // MEMBER formula — merged with the cube's declared lag measures.
+    adhocLags: Seq[graft.model.LagMeasureDef] = Nil)

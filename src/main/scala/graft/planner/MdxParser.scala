@@ -43,11 +43,12 @@ object MdxParser {
         if (fromCube != cube.name)
           GraftException.badRequest(
             s"MDX FROM cube '$fromCube' does not match '${cube.name}'")
-        val adhoc = Option(withClause).map(parseWithMembers(cube, _))
-          .getOrElse(Nil)
+        val (adhoc, adhocLags) = Option(withClause)
+          .map(parseWithMembers(cube, _)).getOrElse((Nil, Nil))
         // adhoc aliases resolve on an augmented view of the cube so the
         // measure axis (and nested FILTER/ORDER) can reference them
-        val augmented = cube.copy(calcMembers = cube.calcMembers ++ adhoc)
+        val augmented = cube.copy(calcMembers = cube.calcMembers ++ adhoc,
+          lagMeasures = cube.lagMeasures ++ adhocLags)
         val measures = parseMeasureAxis(augmented, colAxis.trim)
         val (nonEmpty, rowAxis) = {
           val t = rowAxisRaw.trim
@@ -64,7 +65,7 @@ object MdxParser {
           cuts = axis.cuts ++ slicerCuts, filters = axis.filters,
           order = axis.order, limit = axis.limit, offset = axis.offset,
           nonempty = nonEmpty || axis.filters.nonEmpty,
-          adhocCalcs = adhoc)
+          adhocCalcs = adhoc, adhocLags = adhocLags)
       case _ => GraftException.badRequest(
         "cannot parse MDX (supported: [WITH MEMBER...] SELECT <measures> ON COLUMNS, <set> ON ROWS FROM <cube> [WHERE <tuple>])")
     }
@@ -72,8 +73,20 @@ object MdxParser {
 
   /** `MEMBER [Measures].[X] AS '<formula>'` list. Formulas are arithmetic
     * over `[Measures].[...]` references, translated to result-column aliases
-    * (the same expression language schema calc members use — B7). */
-  private def parseWithMembers(cube: CubeDef, s: String): Seq[CalcMemberDef] = {
+    * (the same expression language schema calc members use — B7), plus:
+    *
+    *   - `COALESCEEMPTY(a, b, ...)` → SQL `coalesce` (empty cells surface
+    *     as nulls post-aggregation, so the MDX empty-cell fallback IS null
+    *     coalescing — ref foodmart.xml:351-366 Profit Growth);
+    *   - tuple time navigation `([Measures].[M], [Time].PrevMember)` /
+    *     `[Time].CurrentMember.Lag(n)` → a synthesized [[LagMeasureDef]]
+    *     whose alias substitutes into the formula (`Lag(12)` at Month grain
+    *     is `ParallelPeriod([Year], 1)`). The lag rides the planner's
+    *     domain-exact window (B8), so gap months behave like Mondrian's
+    *     calendar-previous member.
+    */
+  private def parseWithMembers(cube: CubeDef, s: String)
+      : (Seq[CalcMemberDef], Seq[LagMeasureDef]) = {
     // Bracketed aliases take ANY non-']' chars (spaces included — standard
     // MDX names like [Profit Margin]); only the bare unbracketed form is
     // restricted to non-space tokens.
@@ -82,13 +95,47 @@ object MdxParser {
     val found = memberRe.findAllMatchIn(s).toSeq
     if (found.isEmpty)
       GraftException.badRequest(s"cannot parse WITH clause '$s'")
-    found.map { m =>
+    val lags = scala.collection.mutable.LinkedHashMap.empty[String, LagMeasureDef]
+    // `([Measures].[M], [Dim](.[Hier])*(.CurrentMember)?.<nav>)` where <nav>
+    // is PrevMember, Lag(n), or ParallelPeriod([Dim].[Level]) — the last
+    // resolves periods from the level's members-per-parent (Year at Month
+    // grain = 12) like Mondrian's calendar arithmetic would
+    val tupleRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
+      """((?:\[[^\]]+\]\.?)+?)(?:\.CURRENTMEMBER)?\s*\.\s*""" +
+      """(?:PREVMEMBER|LAG\s*\(\s*(\d+)\s*\))\s*\)""").r
+    def synth(measureName: String, dimRef: String, periodsS: String): String = {
+      val base = resolveMeasure(cube, measureName)
+      val dim = QueryParser.segments(dimRef).head
+      if (cube.dimension(dim).isEmpty)
+        GraftException.badRequest(s"tuple navigation on unknown dimension '$dim'")
+      val periods = Option(periodsS).map(_.toInt).getOrElse(1)
+      if (periods < 1)
+        GraftException.badRequest(s"Lag periods must be >= 1, got $periods")
+      // reuse a declared lag with identical semantics; else synthesize one
+      cube.lagMeasures.find(l =>
+        l.base == base && l.timeDim == dim && l.periods == periods &&
+          !l.coalesceToBase)
+        .map(_.alias)
+        .getOrElse {
+          val alias = s"__mdx_lag_${base}_$periods"
+          lags.getOrElseUpdate(alias, LagMeasureDef(alias, base, dim,
+            periods = periods))
+          alias
+        }
+    }
+    val calcs = found.map { m =>
       val alias = Option(m.group(2)).getOrElse(m.group(3))
+      var formula = m.group(4)
+        .replaceAll("(?i)COALESCEEMPTY\\s*\\(", "coalesce(")
+      formula = tupleRe.replaceAllIn(formula, mm =>
+        java.util.regex.Matcher.quoteReplacement(
+          synth(mm.group(1), mm.group(2), mm.group(3))))
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
-      val formula = measureRef.replaceAllIn(m.group(4),
+      formula = measureRef.replaceAllIn(formula,
         mm => resolveMeasure(cube, mm.group(1)))
       CalcMemberDef(alias, formula)
     }
+    (calcs, lags.values.toSeq)
   }
 
   /** Parsed row axis: a set plus its axis-level wrappers. */

@@ -44,7 +44,7 @@ object Planner {
   /** Merge query-scoped calc members (MDX WITH MEMBER) into the cube's
     * schema-declared ones; shadowing a declared measure is a client error. */
   private def withAdhoc(cube: CubeDef, q: CubeQuery): CubeDef =
-    if (q.adhocCalcs.isEmpty) cube
+    if (q.adhocCalcs.isEmpty && q.adhocLags.isEmpty) cube
     else {
       q.adhocCalcs.foreach { c =>
         if (cube.measure(c.alias).nonEmpty ||
@@ -54,7 +54,12 @@ object Planner {
           GraftException.badRequest(
             s"WITH MEMBER '${c.alias}' shadows a declared measure")
       }
-      cube.copy(calcMembers = cube.calcMembers ++ q.adhocCalcs)
+      // tuple-navigation lags are parser-named (__mdx_lag_*) and deduped
+      // there; an alias collision with a declared lag just reuses it
+      val newLags = q.adhocLags.filterNot(l =>
+        cube.lagMeasures.exists(_.alias == l.alias))
+      cube.copy(calcMembers = cube.calcMembers ++ q.adhocCalcs,
+        lagMeasures = cube.lagMeasures ++ newLags)
     }
 
   private def withAdhoc(vc: VirtualCubeDef, q: CubeQuery): VirtualCubeDef =

@@ -122,6 +122,59 @@ class MdxSpec extends AnyFunSuite {
     }
   }
 
+  test("WITH MEMBER tuple navigation: PrevMember reuses the declared lag") {
+    // the foodmart Profit Growth pattern (foodmart.xml:351-366): the tuple
+    // resolves to the cube's declared prev_revenue lag (same base, dim,
+    // periods), COALESCEEMPTY becomes null-coalescing over the lag value
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[Revenue Growth] AS
+        |  '[Measures].[Revenue] - COALESCEEMPTY(
+        |     ([Measures].[Revenue], [ShipDate].PrevMember),
+        |     [Measures].[Revenue])'
+        |SELECT {[Measures].[Revenue], [Measures].[Revenue Growth]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.adhocLags.isEmpty, "must reuse the declared prev_revenue lag")
+    assert(q.adhocCalcs.map(_.formula) ==
+      Seq("revenue - coalesce(\n     prev_revenue,\n     revenue)"))
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.length > 1)
+    // first member of the domain: no previous → growth coalesces to 0
+    assert(rows.head.getDouble(3) == 0.0)
+    // later rows: growth == revenue - previous row's revenue (dense months)
+    (1 until rows.length).foreach { i =>
+      assert(math.abs(rows(i).getDouble(3) -
+        (rows(i).getDouble(2) - rows(i - 1).getDouble(2))) < 1e-6,
+        s"row $i growth")
+    }
+  }
+
+  test("WITH MEMBER tuple Lag(n) synthesizes an ad-hoc lag measure") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[Rev 2mo Ago] AS
+        |  '([Measures].[Revenue], [ShipDate].CurrentMember.Lag(2))'
+        |SELECT {[Measures].[Revenue], [Measures].[Rev 2mo Ago]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.adhocLags.map(l => (l.base, l.timeDim, l.periods)) ==
+      Seq(("revenue", "ShipDate", 2)))
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.length > 2)
+    (2 until rows.length).foreach { i =>
+      assert(rows(i).getDouble(3) == rows(i - 2).getDouble(2),
+        s"row $i: Lag(2) mismatch")
+    }
+    // navigation on an unknown dimension is a 400
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  '([Measures].[Revenue], [Wat].PrevMember)'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS FROM sales""".stripMargin))
+      .status == 400)
+  }
+
   test("WITH MEMBER alias may contain spaces (standard MDX names)") {
     val q = MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[Profit Margin] AS
