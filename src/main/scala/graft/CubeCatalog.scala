@@ -224,11 +224,18 @@ object TpchCatalog {
         "CASE WHEN prev_revenue = 0.0 OR prev_revenue IS NULL THEN NULL ELSE (revenue - prev_revenue) / prev_revenue END"),
       // year-over-year growth via the PARALLELPERIOD lag (periods = 12)
       CalcMemberDef("yoy_growth",
-        "CASE WHEN yoy_prev_revenue = 0.0 OR yoy_prev_revenue IS NULL THEN NULL ELSE (revenue - yoy_prev_revenue) / yoy_prev_revenue END")),
+        "CASE WHEN yoy_prev_revenue = 0.0 OR yoy_prev_revenue IS NULL THEN NULL ELSE (revenue - yoy_prev_revenue) / yoy_prev_revenue END"),
+      // share-of-total over Geography: the MDX
+      // '[Revenue] / ([Revenue], [Geography].[All])' pattern
+      CalcMemberDef("revenue_geo_share",
+        "CASE WHEN revenue_geo_total = 0.0 OR revenue_geo_total IS NULL THEN NULL ELSE revenue / revenue_geo_total END")),
     lagMeasures = Seq(
       LagMeasureDef("prev_revenue", "revenue", "ShipDate"),
       // ParallelPeriod(Year, 1) at Month grain: same month, previous year
       LagMeasureDef("yoy_prev_revenue", "revenue", "ShipDate", periods = 12)),
+    totalMeasures = Seq(
+      // ([Revenue], [Geography].[All]): revenue with Geography rolled up
+      TotalMeasureDef("revenue_geo_total", "revenue", "Geography")),
     cumMeasures = Seq(
       // Ytd(): revenue accumulated within each shipment year
       CumMeasureDef("ytd_revenue", "revenue", "ShipDate", "Year")),

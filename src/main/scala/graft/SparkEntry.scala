@@ -800,6 +800,29 @@ object SparkEntry {
             |[Geography].[Region].Members ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // B-surface share-of-total: declared TotalMeasureDef + ratio calc —
+      // revenue_geo_total partitions by the OTHER axis dim (Brand), one
+      // axis-sized window, never a second fact pass
+      "q57_share_of_total" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, CubeQuery("sales",
+          Seq(LevelDrill(LevelRef("Geography", Some("Region"))),
+            LevelDrill(LevelRef("Part", Some("Brand")))),
+          Seq("revenue", "revenue_geo_total", "revenue_geo_share")))
+      }),
+      // the same pattern via MDX ALL-member tuple:
+      // [Revenue] / ([Revenue], [Geography].[All Regions])
+      "q58_mdx_share" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[brand share] AS
+            |  '[Measures].[Revenue] /
+            |   ([Measures].[Revenue], [Part].[All Brands])'
+            |SELECT {[Measures].[Revenue], [Measures].[brand share]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+            |  [Part].[Brands].[Brand].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // WITH MEMBER tuple time-navigation: the foodmart Profit Growth
       // pattern (foodmart.xml:351-366) — ([M], [T].PrevMember) resolves to
       // the declared domain-exact lag, COALESCEEMPTY to null-coalescing;
@@ -2549,6 +2572,38 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT region, region_label, revenue, gross - disc_amt AS margin
          |FROM agg ORDER BY 1""".stripMargin,
+    // q57: ALL-member total — a decimal window sum over the aggregated axis
+    // partitioned by the OTHER dimension (brand); VARCHAR-hop quantization
+    // matches the planner's DECIMAL(27,6) re-cast
+    "q57_share_of_total" ->
+      s"""WITH agg AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    p_brand AS brand, ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3),
+         |w AS (SELECT region, region_label, brand, revenue,
+         |  CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6)))
+         |    OVER (PARTITION BY brand) AS DOUBLE) AS revenue_geo_total
+         |  FROM agg)
+         |SELECT region, region_label, brand, revenue, revenue_geo_total,
+         |CASE WHEN revenue_geo_total = 0.0 OR revenue_geo_total IS NULL
+         |THEN NULL ELSE revenue / revenue_geo_total END AS revenue_geo_share
+         |FROM w ORDER BY region, brand""".stripMargin,
+    // q58: the same share via the MDX All-member tuple; partition flips to
+    // region (the total rolls up Part)
+    "q58_mdx_share" ->
+      s"""WITH agg AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    p_brand AS brand, ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3)
+         |SELECT region, region_label, brand, revenue,
+         |revenue / CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6)))
+         |  OVER (PARTITION BY region, region_label) AS DOUBLE)
+         |  AS "brand share"
+         |FROM agg ORDER BY region, brand""".stripMargin,
     // q56: tuple navigation — lag/lag2 run over the month DOMAIN (dense at
     // this sf, so the ordered lag replays it); COALESCEEMPTY = coalesce
     "q56_mdx_growth" ->

@@ -124,6 +124,17 @@ final case class LagMeasureDef(alias: String, base: String, timeDim: String,
 final case class CumMeasureDef(alias: String, base: String, timeDim: String,
     resetLevel: String)
 
+/** ALL-member tuple measure (MDX `([Measures].[M], [Dim].[All ...])`): the
+  * base measure with `dim` rolled up to its All member — the denominator of
+  * every share-of-total calc. Computed as a window sum over the aggregated
+  * axis partitioned by the OTHER dimensions' columns (one axis-sized window,
+  * never a re-aggregation of the fact), summing the axis-visible cells: a
+  * cut on `dim` makes this "total of the cut set", the share semantics BI
+  * consumers expect (Mondrian's slicer-override All would need a second
+  * fact pass for a rarely-wanted answer). When `dim` is not drilled it
+  * already sits at All and the total IS the base value. */
+final case class TotalMeasureDef(alias: String, base: String, dim: String)
+
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,
     byMeasure: String)
@@ -136,6 +147,7 @@ final case class CubeDef(
     calcMembers: Seq[CalcMemberDef] = Nil,
     lagMeasures: Seq[LagMeasureDef] = Nil,
     cumMeasures: Seq[CumMeasureDef] = Nil,
+    totalMeasures: Seq[TotalMeasureDef] = Nil,
     namedSets: Seq[NamedSetDef] = Nil,
     defaultMeasure: Option[String] = None) {
   def dimension(n: String): Option[DimensionDef] = dimensions.find(_.name == n)

@@ -69,4 +69,7 @@ final case class CubeQuery(
     // Lag measures synthesized from MDX tuple navigation —
     // `([Measures].[M], [Time].PrevMember)` / `[Time].Lag(n)` inside a WITH
     // MEMBER formula — merged with the cube's declared lag measures.
-    adhocLags: Seq[graft.model.LagMeasureDef] = Nil)
+    adhocLags: Seq[graft.model.LagMeasureDef] = Nil,
+    // ALL-member tuple totals — `([Measures].[M], [Dim].[All ...])` — same
+    // merge path as adhocLags.
+    adhocTotals: Seq[graft.model.TotalMeasureDef] = Nil)

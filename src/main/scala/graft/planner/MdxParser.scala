@@ -43,12 +43,13 @@ object MdxParser {
         if (fromCube != cube.name)
           GraftException.badRequest(
             s"MDX FROM cube '$fromCube' does not match '${cube.name}'")
-        val (adhoc, adhocLags) = Option(withClause)
-          .map(parseWithMembers(cube, _)).getOrElse((Nil, Nil))
+        val (adhoc, adhocLags, adhocTotals) = Option(withClause)
+          .map(parseWithMembers(cube, _)).getOrElse((Nil, Nil, Nil))
         // adhoc aliases resolve on an augmented view of the cube so the
         // measure axis (and nested FILTER/ORDER) can reference them
         val augmented = cube.copy(calcMembers = cube.calcMembers ++ adhoc,
-          lagMeasures = cube.lagMeasures ++ adhocLags)
+          lagMeasures = cube.lagMeasures ++ adhocLags,
+          totalMeasures = cube.totalMeasures ++ adhocTotals)
         val measures = parseMeasureAxis(augmented, colAxis.trim)
         val (nonEmpty, rowAxis) = {
           val t = rowAxisRaw.trim
@@ -65,7 +66,8 @@ object MdxParser {
           cuts = axis.cuts ++ slicerCuts, filters = axis.filters,
           order = axis.order, limit = axis.limit, offset = axis.offset,
           nonempty = nonEmpty || axis.filters.nonEmpty,
-          adhocCalcs = adhoc, adhocLags = adhocLags)
+          adhocCalcs = adhoc, adhocLags = adhocLags,
+          adhocTotals = adhocTotals)
       case _ => GraftException.badRequest(
         "cannot parse MDX (supported: [WITH MEMBER...] SELECT <measures> ON COLUMNS, <set> ON ROWS FROM <cube> [WHERE <tuple>])")
     }
@@ -83,10 +85,14 @@ object MdxParser {
     *     whose alias substitutes into the formula (`Lag(12)` at Month grain
     *     is `ParallelPeriod([Year], 1)`). The lag rides the planner's
     *     domain-exact window (B8), so gap months behave like Mondrian's
-    *     calendar-previous member.
+    *     calendar-previous member;
+    *   - ALL-member tuples `([Measures].[M], [Dim].[All ...])` → a
+    *     synthesized [[TotalMeasureDef]] — the share-of-total denominator
+    *     (`[Revenue] / ([Revenue], [Geography].[All])`), one axis-sized
+    *     window sum in the planner.
     */
   private def parseWithMembers(cube: CubeDef, s: String)
-      : (Seq[CalcMemberDef], Seq[LagMeasureDef]) = {
+      : (Seq[CalcMemberDef], Seq[LagMeasureDef], Seq[TotalMeasureDef]) = {
     // Bracketed aliases take ANY non-']' chars (spaces included — standard
     // MDX names like [Profit Margin]); only the bare unbracketed form is
     // restricted to non-space tokens.
@@ -96,10 +102,10 @@ object MdxParser {
     if (found.isEmpty)
       GraftException.badRequest(s"cannot parse WITH clause '$s'")
     val lags = scala.collection.mutable.LinkedHashMap.empty[String, LagMeasureDef]
+    val totals =
+      scala.collection.mutable.LinkedHashMap.empty[String, TotalMeasureDef]
     // `([Measures].[M], [Dim](.[Hier])*(.CurrentMember)?.<nav>)` where <nav>
-    // is PrevMember, Lag(n), or ParallelPeriod([Dim].[Level]) — the last
-    // resolves periods from the level's members-per-parent (Year at Month
-    // grain = 12) like Mondrian's calendar arithmetic would
+    // is PrevMember or Lag(n)
     val tupleRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
       """((?:\[[^\]]+\]\.?)+?)(?:\.CURRENTMEMBER)?\s*\.\s*""" +
       """(?:PREVMEMBER|LAG\s*\(\s*(\d+)\s*\))\s*\)""").r
@@ -123,6 +129,23 @@ object MdxParser {
           alias
         }
     }
+    // `([Measures].[M], [Dim].[All ...])` — the All member's bracket text is
+    // free-form ([All], [All Regions], [All Products])
+    val allRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
+      """\[([^\]]+)\]\s*\.\s*\[All[^\]]*\]\s*\)""").r
+    def synthTotal(measureName: String, dimS: String): String = {
+      val base = resolveMeasure(cube, measureName)
+      val dim = dimS.trim
+      if (cube.dimension(dim).isEmpty)
+        GraftException.badRequest(s"All-member tuple on unknown dimension '$dim'")
+      cube.totalMeasures.find(t => t.base == base && t.dim == dim)
+        .map(_.alias)
+        .getOrElse {
+          val alias = s"__mdx_total_${base}_$dim"
+          totals.getOrElseUpdate(alias, TotalMeasureDef(alias, base, dim))
+          alias
+        }
+    }
     val calcs = found.map { m =>
       val alias = Option(m.group(2)).getOrElse(m.group(3))
       var formula = m.group(4)
@@ -130,12 +153,15 @@ object MdxParser {
       formula = tupleRe.replaceAllIn(formula, mm =>
         java.util.regex.Matcher.quoteReplacement(
           synth(mm.group(1), mm.group(2), mm.group(3))))
+      formula = allRe.replaceAllIn(formula, mm =>
+        java.util.regex.Matcher.quoteReplacement(
+          synthTotal(mm.group(1), mm.group(2))))
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
       formula = measureRef.replaceAllIn(formula,
         mm => resolveMeasure(cube, mm.group(1)))
       CalcMemberDef(alias, formula)
     }
-    (calcs, lags.values.toSeq)
+    (calcs, lags.values.toSeq, totals.values.toSeq)
   }
 
   /** Parsed row axis: a set plus its axis-level wrappers. */

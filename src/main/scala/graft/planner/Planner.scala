@@ -44,7 +44,8 @@ object Planner {
   /** Merge query-scoped calc members (MDX WITH MEMBER) into the cube's
     * schema-declared ones; shadowing a declared measure is a client error. */
   private def withAdhoc(cube: CubeDef, q: CubeQuery): CubeDef =
-    if (q.adhocCalcs.isEmpty && q.adhocLags.isEmpty) cube
+    if (q.adhocCalcs.isEmpty && q.adhocLags.isEmpty && q.adhocTotals.isEmpty)
+      cube
     else {
       q.adhocCalcs.foreach { c =>
         if (cube.measure(c.alias).nonEmpty ||
@@ -58,8 +59,11 @@ object Planner {
       // there; an alias collision with a declared lag just reuses it
       val newLags = q.adhocLags.filterNot(l =>
         cube.lagMeasures.exists(_.alias == l.alias))
+      val newTotals = q.adhocTotals.filterNot(t =>
+        cube.totalMeasures.exists(_.alias == t.alias))
       cube.copy(calcMembers = cube.calcMembers ++ q.adhocCalcs,
-        lagMeasures = cube.lagMeasures ++ newLags)
+        lagMeasures = cube.lagMeasures ++ newLags,
+        totalMeasures = cube.totalMeasures ++ newTotals)
     }
 
   private def withAdhoc(vc: VirtualCubeDef, q: CubeQuery): VirtualCubeDef =
@@ -256,7 +260,20 @@ object Planner {
     val withCums = need.cums.foldLeft(withLags) { (df, cm) =>
       applyCum(cube, df, cm, drills, groupLevels)
     }
-    val withCalcs = need.calcs.foldLeft(withCums) { (df, cm) =>
+    // ALL-member totals sum only the axis-VISIBLE cells: filler rows carry
+    // null bases already, and members present purely for lag windows
+    // (relaxed cuts) are masked out — then every row (fillers included, for
+    // dense shapes) carries its partition's total, like lag values do.
+    val totalVisible: Column = {
+      val conds = timeDomains.filter(_.hasCuts).map(td =>
+        col(td.cutFlag) === 1) ++
+        (if (timeDomains.nonEmpty) Seq(col("__present") === 1) else Nil)
+      conds.foldLeft(lit(true))(_ && _)
+    }
+    val withTotals = need.totals.foldLeft(withCums) { (df, tm) =>
+      applyTotal(df, tm, groupLevels, totalVisible)
+    }
+    val withCalcs = need.calcs.foldLeft(withTotals) { (df, cm) =>
       df.withColumn(cm.alias, expr(cm.formula))
     }
     // re-apply the relaxed time cuts to the axis, then drop the filler
@@ -363,13 +380,14 @@ object Planner {
 
   private final case class NeededMeasures(bases: Seq[MeasureDef],
       lags: Seq[LagMeasureDef], cums: Seq[CumMeasureDef],
-      calcs: Seq[CalcMemberDef])
+      totals: Seq[TotalMeasureDef], calcs: Seq[CalcMemberDef])
 
   /** Expand requested measure aliases to (base, lag, cum, calc) closure. Calc
     * formulas may reference base, lag, cum, and earlier calc aliases. */
   private def resolveMeasures(cube: CubeDef, names: Seq[String]): NeededMeasures = {
     var bases = Set.empty[String]; var lags = Set.empty[String]
     var cums = Set.empty[String]; var calcs = Set.empty[String]
+    var totals = Set.empty[String]
     def visit(n: String): Unit =
       cube.measure(n) match {
         case Some(m) => bases += m.alias
@@ -380,6 +398,10 @@ object Planner {
               cube.cumMeasures.find(_.alias == n) match {
                 case Some(cm) => if (!cums(n)) { cums += n; visit(cm.base) }
                 case None =>
+                  cube.totalMeasures.find(_.alias == n) match {
+                    case Some(tm) =>
+                      if (!totals(n)) { totals += n; visit(tm.base) }
+                    case None =>
                   cube.calcMembers.find(_.alias == n) match {
                     case Some(cm) =>
                       if (!calcs(n)) {
@@ -387,12 +409,14 @@ object Planner {
                         val deps = (cube.measures.map(_.alias) ++
                           cube.lagMeasures.map(_.alias) ++
                           cube.cumMeasures.map(_.alias) ++
+                          cube.totalMeasures.map(_.alias) ++
                           cube.calcMembers.map(_.alias))
                           .filter(a => a != n && referencesAlias(cm.formula, a))
                         deps.foreach(visit)
                       }
                     case None =>
                       GraftException.badRequest(s"measure '$n' not found in cube '${cube.name}'")
+                  }
                   }
               }
           }
@@ -402,6 +426,7 @@ object Planner {
       cube.measures.filter(m => bases(m.alias)),
       cube.lagMeasures.filter(l => lags(l.alias)),
       cube.cumMeasures.filter(c => cums(c.alias)),
+      cube.totalMeasures.filter(t => totals(t.alias)),
       cube.calcMembers.filter(c => calcs(c.alias))) // declaration order
   }
 
@@ -413,6 +438,7 @@ object Planner {
     cube.measure(name).map(_.alias)
       .orElse(cube.lagMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.cumMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.totalMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.calcMembers.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
@@ -746,6 +772,25 @@ object Planner {
     df.withColumn(cm.alias,
       sum(expr(s"CAST(${cm.base} AS DECIMAL(27,6))")).over(w).cast("double"))
   }
+
+  /** ALL-member total (share-of-total denominator): one window sum over the
+    * aggregated axis, partitioned by every axis column NOT belonging to the
+    * total's dimension — never a second pass over the fact. The sum
+    * re-quantizes through DECIMAL(27,6) like [[applyCum]], so window
+    * evaluation order cannot move a float bit. A dimension that is not
+    * drilled already sits at its All member: the total IS the base value. */
+  private def applyTotal(df: DataFrame, tm: TotalMeasureDef,
+      groupLevels: Seq[ResolvedLevel], visible: Column): DataFrame =
+    if (groupLevels.forall(_.dim.name != tm.dim))
+      df.withColumn(tm.alias, col(tm.base))
+    else {
+      val partCols = groupLevels.filterNot(_.dim.name == tm.dim)
+        .flatMap(levelAliases).map(col)
+      val w = Window.partitionBy(partCols: _*)
+      df.withColumn(tm.alias,
+        sum(when(visible, expr(s"CAST(${tm.base} AS DECIMAL(27,6))")))
+          .over(w).cast("double"))
+    }
 
   /** Dense axes (ref C1 default JSON shape): cross product of the member
     * domains (restricted by same-dimension cuts) left-joined with the

@@ -62,7 +62,8 @@ object Metadata {
     "dimensions" -> c.dimensions.map(dimensionDict),
     "measures" -> c.measures.map(measureDict),
     "calculated_members" -> (c.calcMembers.map(_.alias) ++
-      c.lagMeasures.map(_.alias) ++ c.cumMeasures.map(_.alias)),
+      c.lagMeasures.map(_.alias) ++ c.cumMeasures.map(_.alias) ++
+      c.totalMeasures.map(_.alias)),
     "named_sets" -> c.namedSets.map(namedSetDict),
     "default_measure" -> c.defaultMeasure.orNull)
 

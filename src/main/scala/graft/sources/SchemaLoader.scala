@@ -14,7 +14,7 @@ import graft.result.Json
   *   tables:  named sources, any DataFrameReader format (parquet/csv/json/
   *            orc/jdbc) + options, or a derived pre-join of two tables
   *            (snowflake collapse, ref B3)
-  *   cubes:   dimensions/hierarchies/levels/measures/calcMembers/lagMeasures/
+  *   cubes:   dimensions/hierarchies/levels/measures/calcMembers/lagMeasures/totalMeasures/
   *            namedSets as in [[graft.model]]
   *
   * Column references are validated against the bound DataFrame schemas at
@@ -137,6 +137,8 @@ object SchemaLoader {
     cumMeasures = strSeq(m, "cumMeasures").map(cm => CumMeasureDef(
       cm("alias").toString, cm("base").toString, cm("timeDimension").toString,
       cm("resetLevel").toString)),
+    totalMeasures = strSeq(m, "totalMeasures").map(tm => TotalMeasureDef(
+      tm("alias").toString, tm("base").toString, tm("dimension").toString)),
     namedSets = strSeq(m, "namedSets").map(ns => NamedSetDef(
       ns("name").toString, ns("dimension").toString, ns("level").toString,
       ns("topK").asInstanceOf[Long].toInt, ns("byMeasure").toString)),

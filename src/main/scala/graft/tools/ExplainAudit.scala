@@ -33,7 +33,8 @@ object ExplainAudit {
         "q49_value_quartiles", "q50_rank_in_region", "d15_semantic_dedup",
         "t27_vocab_coverage", "t28_difficulty_buckets", "t29_budget_sample",
         "q51_dq_audit", "q52_rfm_segments", "q53_copurchase",
-        "e12_transitions")
+        "e12_transitions", "d16_semdedup_greedy", "q54_lag_gap_cut",
+        "q55_dense_lag", "q56_mdx_growth", "d04_ngram_jaccard")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -175,6 +175,34 @@ class MdxSpec extends AnyFunSuite {
       .status == 400)
   }
 
+  test("WITH MEMBER All-member tuple computes share-of-total") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[geo share] AS
+        |  '[Measures].[Revenue] /
+        |   ([Measures].[Revenue], [Geography].[All Regions])'
+        |SELECT {[Measures].[Revenue], [Measures].[geo share]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)
+    // the declared revenue_geo_total (same base + dim) is reused
+    assert(q.adhocTotals.isEmpty)
+    assert(q.adhocCalcs.map(_.formula) ==
+      Seq("revenue /\n   revenue_geo_total"))
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.length == 5)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    // an undeclared (base, dim) pair synthesizes an ad-hoc total
+    val q2 = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[qty share] AS
+        |  '[Measures].[Quantity] /
+        |   ([Measures].[Quantity], [Part].[All Brands])'
+        |SELECT {[Measures].[qty share]} ON COLUMNS,
+        |[Part].[Brands].[Brand].Members ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q2.adhocTotals.map(t => (t.base, t.dim)) == Seq(("sum_qty", "Part")))
+    val shares = Planner.plan(cat, q2).collect().map(_.getDouble(1))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+  }
+
   test("WITH MEMBER alias may contain spaces (standard MDX names)") {
     val q = MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[Profit Margin] AS

@@ -247,6 +247,41 @@ class PlannerSpec extends AnyFunSuite {
     assert(viaCube == direct)
   }
 
+  test("ALL-member total: window over the other dims; base when not drilled") {
+    // Region x Brand: revenue_geo_total is the per-brand sum across regions
+    val rows = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Region"), drill("Part", "Brand")),
+      Seq("revenue", "revenue_geo_total", "revenue_geo_share"))).collect()
+    val byBrand = rows.groupBy(_.getString(2))
+    byBrand.values.foreach { brandRows =>
+      val total = brandRows.map(r => BigDecimal(r.getDouble(3))).sum.toDouble
+      brandRows.foreach { r =>
+        assert(math.abs(r.getDouble(4) - total) < 1e-6,
+          s"brand ${r.getString(2)} total")
+        assert(math.abs(r.getDouble(5) - r.getDouble(3) / total) < 1e-12)
+      }
+      // shares within a brand partition sum to 1
+      assert(math.abs(brandRows.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+    }
+    // Geography not drilled: it already sits at All — total == base, share = 1
+    val flat = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Part", "Brand")),
+      Seq("revenue", "revenue_geo_total", "revenue_geo_share"))).collect()
+    flat.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(1))
+      assert(r.getDouble(3) == 1.0)
+    }
+    // a cut on the total's own dim: the total is the cut set's sum (the
+    // share-of-visible semantics the scaladoc documents)
+    val cutRows = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Region")),
+      Seq("revenue", "revenue_geo_total"),
+      cuts = Seq(SetCut(LevelRef("Geography", Some("Region")), Seq(1, 3))))).collect()
+    assert(cutRows.length == 2)
+    val visSum = cutRows.map(r => BigDecimal(r.getDouble(2))).sum.toDouble
+    cutRows.foreach(r => assert(math.abs(r.getDouble(3) - visSum) < 1e-6))
+  }
+
   test("virtual cube + named-set cut is a 400, never silently unfiltered") {
     // 'Top Brands' exists on sales but not on the orders member cube of the
     // 'commerce' virtual cube — dropping it there would return drill-across
