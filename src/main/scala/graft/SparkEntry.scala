@@ -401,6 +401,10 @@ object SparkEntry {
       // per-doc OOV rate against the corpus' own top-16 token vocabulary
       "t27_vocab_coverage" -> tbl("documents")(
         ops.TextOps.vocabCoverage(_, 16)),
+      // exactly-2-per-(lang, source) eval sample in content-hash order
+      // (GroupedTopK bounded heaps, never a per-stratum sort)
+      "t30_stratified_sample" -> tbl("documents")(
+        ops.TextOps.stratifiedSample(_, 2)),
       "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
       // daily session-quality rollup composed on the sessionize plan
       "e09_session_stats" -> tbl("events")(
@@ -1657,6 +1661,21 @@ object SparkEntry {
          |FROM afinal f JOIN s$rounds ON f.vec_id = s$rounds.vec_id
          |ORDER BY f.vec_id""".stripMargin
     },
+    // t30: the (hash, doc_id) order is total, so ROW_NUMBER is deterministic
+    // and both engines pick identical stratum samples
+    "t30_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS sample_hash
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source, sample_hash,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY sample_hash, doc_id) AS INTEGER) AS sample_rank
+        |  FROM h)
+        |SELECT doc_id, lang, source, sample_hash, sample_rank
+        |FROM r WHERE sample_rank <= 2
+        |ORDER BY lang, source, sample_rank""".stripMargin,
     // t27: the vocab is top-16 by (count desc, token asc) — a total order,
     // so LIMIT is deterministic; SUM of ints is HUGEINT in DuckDB → BIGINT
     "t27_vocab_coverage" ->

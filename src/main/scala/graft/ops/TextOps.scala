@@ -205,6 +205,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** STRATIFIED SAMPLE — exactly `k` documents per (lang, source) stratum,
+    * taken in content-hash order (the [[weightedSample]] md5 draw: hash
+    * order ≡ a uniform permutation, reshuffle-stable and engine-replayable).
+    * The eval-set builder's recipe: "n examples per language × source cell",
+    * exact cell counts guaranteed, unlike rate-based sampling.
+    *
+    * Scale shape: the row_number-over-(hash, id) ≤ k pattern is rewritten
+    * by [[graft.plans.TopKRewrite]] into the [[graft.plans.GroupedTopK]]
+    * bounded-heap operator — partial per-partition heaps, ≤ k rows per
+    * stratum shuffled, never a full per-stratum sort. */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("sample_hash").asc, col("doc_id").asc)
+    docs
+      .withColumn("sample_hash",
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_hash"),
+        col("sample_rank").cast("int"))
+      .orderBy("lang", "source", "sample_rank")
+  }
+
   /** Repetition signals (the Gopher/C4-style quality rules): fraction of
     * tokens taken by the most frequent token, fraction of bigrams taken by
     * the most frequent bigram, and the duplicate-bigram fraction

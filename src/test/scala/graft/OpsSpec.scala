@@ -1061,6 +1061,26 @@ class OpsSpec extends AnyFunSuite {
     assert(sKept.subsetOf(gKept))
   }
 
+  test("stratified sample: exactly k per stratum, rides GroupedTopK") {
+    graft.functions.GraftExtensions.register(spark)
+    val out = TextOps.stratifiedSample(docs, 2)
+    // every (lang, source) stratum with >= 2 docs yields exactly 2 rows,
+    // smaller strata yield all their docs
+    val strata = docs.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = out.collect().groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length).toMap
+    strata.foreach { case (k, n) =>
+      assert(got.getOrElse(k, 0) == math.min(n, 2L).toInt, s"stratum $k")
+    }
+    // determinism: re-running picks the identical sample
+    assert(out.collect().map(_.getLong(0)).toSeq ==
+      TextOps.stratifiedSample(docs, 2).collect().map(_.getLong(0)).toSeq)
+    // the row_number pattern is rewritten to the bounded-heap operator
+    assert(out.queryExecution.executedPlan.toString.contains("GroupedTopK"),
+      "TopKRewrite must fire on the stratified-sample pattern")
+  }
+
   test("vocab coverage: OOV fraction against a hand-picked tiny vocab") {
     import spark.implicits._
     val d = Seq((1L, "a a b c"), (2L, "a b"), (3L, "x y z a"))
