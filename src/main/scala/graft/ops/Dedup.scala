@@ -613,6 +613,20 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Production sizing for [[embeddingNearDupAll]]'s hyperplane tables:
+    * within-bucket pair work is Σ bucket² ≈ n²/2^bits on spread data, so
+    * FIXED bits turn a 10× corpus into ~100× pair work (the 4.7× observed
+    * slope in BENCH_sf1.json at constant demo bits) — growing bits with
+    * `⌈log₂(n / targetBucket)⌉` pins expected bucket population at
+    * `targetBucket` and keeps total pair work linear in n. Recall at larger
+    * bits is bought back with more OR-amplified `tables` (linear map-side
+    * cost), not bigger buckets. */
+  def suggestedLshBits(n: Long, targetBucket: Int = 64): Int = {
+    require(n > 0 && targetBucket > 0, "need n > 0 and targetBucket > 0")
+    math.max(1, math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+  }
+
   /** FULL-CORPUS embedding near-dup — the scale composition the blocked
     * primitive [[embeddingNearDupPairs]] defers to: hyperplane-LSH buckets
     * are the blocking key, so no label/caller block is needed and the only

@@ -251,6 +251,17 @@ object Similarity {
   final case class IvfIndex(cs: Array[Array[Double]], corpus: DataFrame,
       cellRes: DataFrame)
 
+  /** Production sizing for the IVF coarse quantizer: probe cost is
+    * `nlist` (centroid dots) + `n/nlist × probes` (cell scans), minimized
+    * at `nlist ≈ √n` — the standard IVF rule. Fixed demo nlist makes cells
+    * grow linearly with the corpus (the BENCH_sf1.json s0x slopes);
+    * √n-sizing keeps per-query work at O(√n). Floor 16 so tiny corpora
+    * still spread across executors. SemDeDup cluster counts follow the same
+    * rule: within-cluster pair work is Σ cell² ≈ n²/k, linear in n only
+    * when k grows with it. */
+  def suggestedIvfLists(n: Long): Int =
+    math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+
   /** Build the IVF index: k-means coarse quantizer, one assignment shuffle,
     * one tiny per-cell residual aggregate. */
   def ivfIndex(emb: DataFrame, nlist: Int, iters: Int = 3): IvfIndex = {

@@ -1061,6 +1061,25 @@ class OpsSpec extends AnyFunSuite {
     assert(sKept.subsetOf(gKept))
   }
 
+  test("index sizing: LSH bits pin bucket population, IVF lists grow as sqrt") {
+    // expected bucket population n / 2^bits stays <= targetBucket
+    Seq(1000L, 100000L, 10000000L, 1000000000L).foreach { n =>
+      val bits = Dedup.suggestedLshBits(n, 64)
+      assert(n.toDouble / math.pow(2, bits) <= 64.0, s"n=$n bits=$bits")
+      assert(n.toDouble / math.pow(2, bits) > 16.0 || n <= 64 * 32,
+        s"n=$n bits=$bits overshoots (empty buckets waste tables)")
+    }
+    // monotone: a bigger corpus never gets fewer bits
+    assert(Dedup.suggestedLshBits(1000000L) >= Dedup.suggestedLshBits(10000L))
+    // IVF: nlist ~ sqrt(n), so per-query work nlist + n/nlist stays O(sqrt n)
+    Seq(10000L, 1000000L, 100000000L).foreach { n =>
+      val lists = Similarity.suggestedIvfLists(n)
+      val work = lists + n.toDouble / lists
+      assert(work <= 3.0 * math.sqrt(n.toDouble), s"n=$n lists=$lists")
+    }
+    assert(Similarity.suggestedIvfLists(100L) == 16) // floor for tiny corpora
+  }
+
   test("stratified sample: exactly k per stratum, rides GroupedTopK") {
     graft.functions.GraftExtensions.register(spark)
     val out = TextOps.stratifiedSample(docs, 2)
