@@ -60,6 +60,47 @@ final class CubeCatalog(
       compute: => DataFrame): DataFrame =
     memberFrameCache.getOrElseUpdate(key, compute.persist())
 
+  // QUERY-RESULT cache — the Mondrian cell/segment-cache analog and the
+  // reason the reference exposes /flush at all (api.rb:52-64): repeated
+  // dashboard queries answer from memory without a Spark job. Keyed by the
+  // normalized CubeQuery (a case class — structural equality), values are
+  // the COLLECTED axis rows, which are axis-sized by construction (the
+  // dense-cells guard bounds them), so the LRU-capped driver footprint is
+  // cells × entries. Dropped with the catalog on /flush; access-ordered so
+  // hot dashboards stay resident. Size: spark.graft.result.cache.entries
+  // (0 disables).
+  private val resultCacheMax: Int =
+    spark.conf.getOption("spark.graft.result.cache.entries")
+      .map(_.toInt).getOrElse(256)
+  private val resultCache =
+    new java.util.LinkedHashMap[graft.planner.CubeQuery,
+        (Seq[org.apache.spark.sql.Row], Seq[String])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[graft.planner.CubeQuery,
+            (Seq[org.apache.spark.sql.Row], Seq[String])]): Boolean =
+        size() > resultCacheMax
+    }
+
+  /** (rows, columns) for a query, computed once per catalog generation.
+    * `compute` runs OUTSIDE the lock (a slow plan must not serialize the
+    * request pool; two racing first callers both compute, one result wins —
+    * plans are deterministic so both are identical). */
+  def cachedResult(q: graft.planner.CubeQuery)(
+      compute: => (Seq[org.apache.spark.sql.Row], Seq[String]))
+      : (Seq[org.apache.spark.sql.Row], Seq[String]) = {
+    if (resultCacheMax <= 0) return compute
+    val hit = resultCache.synchronized(resultCache.get(q))
+    if (hit != null) hit
+    else {
+      val computed = compute
+      resultCache.synchronized {
+        val raced = resultCache.get(q)
+        if (raced != null) raced
+        else { resultCache.put(q, computed); computed }
+      }
+    }
+  }
+
   /** Release executor-side state this catalog pinned (persisted member
     * frames, cached rollups). Without this, /flush would only drop the
     * TrieMap while Spark's CacheManager kept the InMemoryRelations

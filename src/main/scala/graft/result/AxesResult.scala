@@ -25,9 +25,11 @@ object AxesResult {
 
   def build(cat: CubeCatalog, q: CubeQuery): ListMap[String, Any] = {
     val cube = Planner.anchorCube(cat, q.cube)
-    val df = Planner.plan(cat, q)
-    val rows = df.collect().toSeq
-    val colIdx = df.columns.zipWithIndex.toMap
+    val (rows, cols) = cat.cachedResult(q) {
+      val df = Planner.plan(cat, q)
+      (df.collect().toSeq, df.columns.toSeq)
+    }
+    val colIdx = cols.zipWithIndex.toMap
     val (drills, _) = Planner.expandDrills(cube, q.drilldowns)
     val measures = Formatters.measureDisplay(cat, cube, q)
 

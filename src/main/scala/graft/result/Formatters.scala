@@ -22,8 +22,11 @@ object Formatters {
     * axis-sized by construction; SURVEY §3.1 step 4). */
   def tidy(cat: CubeCatalog, q: CubeQuery): Tidy = {
     val cube = Planner.anchorCube(cat, q.cube)
-    val df = Planner.plan(cat, q)
-    tidyOf(cat, cube, q, df.collect().toSeq, df.columns.toSeq)
+    val (rows, cols) = cat.cachedResult(q) {
+      val df = Planner.plan(cat, q)
+      (df.collect().toSeq, df.columns.toSeq)
+    }
+    tidyOf(cat, cube, q, rows, cols)
   }
 
   def tidyOf(cat: CubeCatalog, cube: CubeDef, q: CubeQuery,

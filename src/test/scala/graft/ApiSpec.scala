@@ -274,6 +274,33 @@ class ApiSpec extends AnyFunSuite {
     assert(tree("b").asInstanceOf[Map[Any, Any]](1) == Seq("z"))
   }
 
+  test("repeated aggregate answers from the result cache: zero Spark jobs") {
+    val q = "/cubes/sales/aggregate?drilldown%5B%5D=Part.Brands.Brand&measures%5B%5D=revenue"
+    val (c1, first) = get(q) // cold: plans + collects
+    assert(c1 == 200)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (c2, second) = get(q)
+      assert(c2 == 200 && second == first)
+      // the csv serialization of the same query shares the cached rows
+      assert(get(q.replace("aggregate?", "aggregate.csv?"))._1 == 200)
+      Thread.sleep(1500) // listener bus is async
+      assert(jobs.get() == 0,
+        s"cached aggregate must not launch jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // /flush drops the cache with the catalog: the rebuilt catalog
+    // recomputes (and still answers identically)
+    assert(get("/flush?secret=s3cret")._1 == 200)
+    assert(get(q)._2 == first)
+  }
+
   test("named reports: listing, JSONRecords round-trip, CSV, 404") {
     val (lc, listing) = get("/reports")
     assert(lc == 200)
