@@ -124,6 +124,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("share-of-total invariants under random drills and cuts") {
+    // for any drill combination including Geography and any cut on OTHER
+    // dims: within each non-Geography coordinate, totals are constant,
+    // equal the coordinate's revenue sum, and shares sum to 1
+    val otherCutGen: Gen[Option[Cut]] = Gen.oneOf(
+      Gen.const(None),
+      Gen.someOf(Seq("A", "N", "R")).suchThat(_.nonEmpty).map(ks =>
+        Some(SetCut(LevelRef("ReturnFlag", Some("ReturnFlag")), ks.toSeq))))
+    val geoLevel: Gen[LevelRef] = Gen.oneOf(
+      LevelRef("Geography", Some("Region")), LevelRef("Geography", Some("Nation")))
+    val otherDrill: Gen[Option[LevelRef]] = Gen.oneOf(
+      None, Some(LevelRef("ReturnFlag", Some("ReturnFlag"))),
+      Some(LevelRef("LineStatus", Some("LineStatus"))))
+    forAll(Gen.zip(geoLevel, otherDrill, otherCutGen)) {
+      case (geo, other, cut) =>
+        val drills = (Seq(geo) ++ other.toSeq).map(LevelDrill(_))
+        val rows = Planner.plan(cat, CubeQuery("sales", drills,
+          Seq("revenue", "revenue_geo_total", "revenue_geo_share"),
+          cuts = cut.toSeq)).collect()
+        assert(rows.nonEmpty)
+        val nCols = rows.head.length
+        val (revI, totI, shareI) = (nCols - 3, nCols - 2, nCols - 1)
+        // group by the non-geo coordinate: geo drills lead the axis with
+        // (key, label); the remaining axis columns are the other dim's
+        rows.groupBy(r => (2 until revI).map(r.get)).values
+          .foreach { part =>
+            val total = part.head.getDouble(totI)
+            assert(part.forall(r => math.abs(r.getDouble(totI) - total) < 1e-6),
+              "total must be constant within a partition")
+            val sumRev = part.map(r => BigDecimal(r.getDouble(revI))).sum
+            assert(math.abs(sumRev.toDouble - total) < 1e-6)
+            assert(math.abs(part.map(_.getDouble(shareI)).sum - 1.0) < 1e-9)
+          }
+    }
+  }
+
   test("a cut never increases any group's value, and filters the axis") {
     forAll(Gen.zip(drillsGen, cutGen)) { case (drills, cut) =>
       val base = CubeQuery("sales", drills.map(LevelDrill(_)), Seq("revenue"))
