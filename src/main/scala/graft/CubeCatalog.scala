@@ -348,7 +348,12 @@ object TpchCatalog {
       // (users are idle most days), so this measure exercises the
       // domain-exact lag path — prev = previous calendar day in the
       // dimension, null when that day has no data for the partition
-      LagMeasureDef("prev_day_value", "value_sum", "EventDate")))
+      LagMeasureDef("prev_day_value", "value_sum", "EventDate")),
+    totalMeasures = Seq(
+      // ([Value], [EventDate].[All]): the user's lifetime value — on DENSE
+      // axes every filler day still carries it (Mondrian evaluates the All
+      // tuple on empty cells), exercising the post-densify backfill
+      TotalMeasureDef("value_user_total", "value_sum", "EventDate")))
 
   // Drill-across virtual cube over the conformed Geography dimension
   // (ref Warehouse and Sales foodmart.xml:758-790).

@@ -216,6 +216,14 @@ object SparkEntry {
     "q55_dense_lag" -> CubeQuery("events",
       Seq(drill("User"), drill("EventDate", "Day", "Daily")),
       Seq("value_sum", "prev_day_value", "day_value_growth"),
+      nonempty = false),
+    // B-ext: ALL-member total on DENSE axes — filler days (users are idle
+    // most days) still carry the user's lifetime total via the
+    // post-densify backfill window; Mondrian evaluates (Value, Date.All)
+    // on empty cells the same way
+    "q59_dense_share" -> CubeQuery("events",
+      Seq(drill("User"), drill("EventDate", "Day", "Daily")),
+      Seq("value_sum", "value_user_total"),
       nonempty = false))
 
   // ============================================== LLM-pipeline operators
@@ -1183,6 +1191,22 @@ object SparkEntry {
          |ELSE (value_sum - prev_day_value) / prev_day_value END
          |  AS day_value_growth
          |FROM w ORDER BY "user", event_day""".stripMargin,
+    // q59: ALL-member total on dense axes — the total window runs over the
+    // spine (nulls ignored), so every filler day carries the user's total
+    "q59_dense_share" ->
+      s"""WITH agg AS (
+         |  SELECT user_id AS "user", CAST(ts AS DATE) AS event_day,
+         |    ${sumd("value", "value_sum")}
+         |  FROM events GROUP BY 1, 2),
+         |users AS (SELECT DISTINCT "user" FROM agg),
+         |days AS (SELECT DISTINCT event_day FROM agg),
+         |spine AS (SELECT "user", event_day FROM users CROSS JOIN days),
+         |j AS (SELECT s."user", s.event_day, a.value_sum
+         |  FROM spine s LEFT JOIN agg a USING ("user", event_day))
+         |SELECT "user", event_day, value_sum,
+         |CAST(SUM(CAST(CAST(value_sum AS VARCHAR) AS DECIMAL(27,6)))
+         |  OVER (PARTITION BY "user") AS DOUBLE) AS value_user_total
+         |FROM j ORDER BY "user", event_day""".stripMargin,
     "q17_namedset_drill" ->
       s"""WITH b AS (
          |  SELECT p_brand AS brand, ${sumd(REV, "revenue")}

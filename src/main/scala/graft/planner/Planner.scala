@@ -297,11 +297,28 @@ object Planner {
       if (q.nonempty) havingDf
       else densify(cat, cube, havingDf, drills, groupLevels, cuts, q.parents)
 
+    // Dense filler cells still carry their partition's ALL-member total —
+    // Mondrian's `(M, [Dim].[All])` evaluates on empty cells (ratio calcs
+    // stay null there because the base is null, matching empty-cell
+    // arithmetic). The backfill window is axis-sized: max() over the
+    // partition picks the constant total past the fillers' nulls.
+    val denseTotals =
+      if (q.nonempty || need.totals.isEmpty) denseDf
+      else need.totals.foldLeft(denseDf) { (df, tm) =>
+        if (groupLevels.forall(_.dim.name != tm.dim)) df
+        else {
+          val partCols = groupLevels.filterNot(_.dim.name == tm.dim)
+            .flatMap(levelAliases).map(col)
+          df.withColumn(tm.alias,
+            max(col(tm.alias)).over(Window.partitionBy(partCols: _*)))
+        }
+      }
+
     val sparseDf =
       if (q.sparse) { // C6 — implemented for real (dead param in the reference)
         val ms = measureNames.map(aliasOfMeasure(cube, _))
-        denseDf.filter(ms.map(col(_).isNotNull).reduce(_ || _))
-      } else denseDf
+        denseTotals.filter(ms.map(col(_).isNotNull).reduce(_ || _))
+      } else denseTotals
 
     // ------------------------------------------------- order, subset, select
     val outputCols: Seq[String] =
