@@ -65,7 +65,10 @@ class SchemaLoaderSpec extends AnyFunSuite {
        |       "timeDimension": "OrderDate", "periods": 12}],
        |    "cumMeasures": [
        |      {"alias": "ytd_sales", "base": "total_sales",
-       |       "timeDimension": "OrderDate", "resetLevel": "Year"}]
+       |       "timeDimension": "OrderDate", "resetLevel": "Year"}],
+       |    "totalMeasures": [
+       |      {"alias": "sales_geo_total", "base": "total_sales",
+       |       "dimension": "Geography"}]
        |  }]
        |}""".stripMargin
 
@@ -103,6 +106,18 @@ class SchemaLoaderSpec extends AnyFunSuite {
         assert(r.getDouble(4) == rows(i - 12).getDouble(2),
           s"declared yoy periods=12 at row $i")
       else assert(r.isNullAt(4))
+    }
+  }
+
+  test("declared total measures load and plan (share-of-total ext)") {
+    val cat = SchemaLoader.load(spark, catalogJson(parquetRegion))
+    val rows = Planner.plan(cat, CubeQuery("orders",
+      Seq(drill("Geography", "Region"), drill("OrderDate", "Year")),
+      Seq("total_sales", "sales_geo_total"))).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(2)).values.foreach { byYear =>
+      val tot = byYear.map(r => BigDecimal(r.getDouble(3))).sum.toDouble
+      byYear.foreach(r => assert(math.abs(r.getDouble(4) - tot) < 1e-6))
     }
   }
 
