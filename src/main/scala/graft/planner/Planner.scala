@@ -66,7 +66,13 @@ object Planner {
         totalMeasures = cube.totalMeasures ++ newTotals)
     }
 
-  private def withAdhoc(vc: VirtualCubeDef, q: CubeQuery): VirtualCubeDef =
+  private def withAdhoc(vc: VirtualCubeDef, q: CubeQuery): VirtualCubeDef = {
+    // tuple navigation needs a member cube's lag/total machinery; a virtual
+    // cube only conforms axes — reject cleanly instead of planning a
+    // formula whose synthesized alias no member cube can supply
+    if (q.adhocLags.nonEmpty || q.adhocTotals.nonEmpty)
+      GraftException.badRequest(
+        s"tuple navigation (PrevMember/Lag/All) is not supported on virtual cube '${vc.name}'")
     if (q.adhocCalcs.isEmpty) vc
     else {
       q.adhocCalcs.foreach { c =>
@@ -76,6 +82,7 @@ object Planner {
       }
       vc.copy(calcMembers = vc.calcMembers ++ q.adhocCalcs)
     }
+  }
 
   // ---------------------------------------------------------------- planCube
 
@@ -339,6 +346,22 @@ object Planner {
       if (q.measures.nonEmpty) q.measures
       else vc.cubeMeasures.flatMap(_._2)
     val calcNeeded = vc.calcMembers.filter(c => requested.contains(c.alias))
+    // a calc may only reference measures the virtual cube EXPOSES — a
+    // member cube's lag/total/calc alias that isn't in cubeMeasures would
+    // otherwise vanish from baseNeeded and die in expression analysis
+    val exposed = vc.cubeMeasures.flatMap(_._2).toSet ++
+      vc.calcMembers.map(_.alias)
+    val memberAliases = vc.cubeMeasures.flatMap { case (cn, _) =>
+      val c = cat.cube(cn)
+      c.measures.map(_.alias) ++ c.lagMeasures.map(_.alias) ++
+        c.cumMeasures.map(_.alias) ++ c.totalMeasures.map(_.alias) ++
+        c.calcMembers.map(_.alias)
+    }.toSet
+    calcNeeded.foreach { cm =>
+      (memberAliases -- exposed).find(a => referencesAlias(cm.formula, a))
+        .foreach(a => GraftException.badRequest(
+          s"measure '$a' referenced by '${cm.alias}' is not exposed by virtual cube '${vc.name}'"))
+    }
     val baseNeeded = (requested.filterNot(calcNeeded.map(_.alias).contains) ++
       calcNeeded.flatMap(c => vc.cubeMeasures.flatMap(_._2)
         .filter(a => referencesAlias(c.formula, a)))).distinct

@@ -203,6 +203,32 @@ class MdxSpec extends AnyFunSuite {
     assert(math.abs(shares.sum - 1.0) < 1e-9)
   }
 
+  test("tuple navigation on a virtual cube is a clean 400, never a crash") {
+    // a virtual cube only conforms axes — tuple measures live in member
+    // cubes. Two failure shapes: a SYNTHESIZED ad-hoc total (Quantity over
+    // Part is undeclared) and a REUSED declared alias (revenue_geo_total)
+    // that the virtual cube does not expose. Both must 400 with a
+    // diagnosable message, not die in Spark analysis.
+    val anchor = Planner.anchorCube(cat, "commerce").copy(name = "commerce")
+    val synth = MdxParser.parse(anchor,
+      """WITH MEMBER [Measures].[x] AS
+        |  '([Measures].[Quantity], [Part].[All Brands])'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS FROM commerce""".stripMargin)
+      .copy(cube = "commerce")
+    val e1 = intercept[GraftException](Planner.plan(cat, synth))
+    assert(e1.status == 400 && e1.getMessage.contains("virtual cube"))
+    val reused = MdxParser.parse(anchor,
+      """WITH MEMBER [Measures].[x] AS
+        |  '([Measures].[Revenue], [Geography].[All Regions])'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS FROM commerce""".stripMargin)
+      .copy(cube = "commerce")
+    val e2 = intercept[GraftException](Planner.plan(cat, reused))
+    assert(e2.status == 400 &&
+      e2.getMessage.contains("revenue_geo_total"), e2.getMessage)
+  }
+
   test("WITH MEMBER alias may contain spaces (standard MDX names)") {
     val q = MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[Profit Margin] AS
