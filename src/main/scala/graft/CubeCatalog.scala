@@ -277,6 +277,9 @@ object TpchCatalog {
     totalMeasures = Seq(
       // ([Revenue], [Geography].[All]): revenue with Geography rolled up
       TotalMeasureDef("revenue_geo_total", "revenue", "Geography")),
+    movingMeasures = Seq(
+      // Avg(LastPeriods(3), Revenue) at Month grain: trailing 3-month mean
+      MovingMeasureDef("revenue_3mo_avg", "revenue", "ShipDate", 3)),
     cumMeasures = Seq(
       // Ytd(): revenue accumulated within each shipment year
       CumMeasureDef("ytd_revenue", "revenue", "ShipDate", "Year")),

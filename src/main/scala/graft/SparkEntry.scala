@@ -217,6 +217,15 @@ object SparkEntry {
       Seq(drill("User"), drill("EventDate", "Day", "Daily")),
       Seq("value_sum", "prev_day_value", "day_value_growth"),
       nonempty = false),
+    // B8-ext: trailing 3-month moving average under a gap-creating cut —
+    // the window spans CALENDAR members (Apr's average includes the
+    // cut-away Feb and Mar via the relaxed domain), Mondrian's
+    // Avg(LastPeriods(3), Revenue)
+    "q60_moving_avg" -> CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "revenue_3mo_avg"),
+      cuts = Seq(SetCut(L("ShipDate", "Month", "Monthly"), Seq(1, 4, 9)))),
     // B-ext: ALL-member total on DENSE axes — filler days (users are idle
     // most days) still carry the user's lifetime total via the
     // post-densify backfill window; Mondrian evaluates (Value, Date.All)
@@ -1191,6 +1200,27 @@ object SparkEntry {
          |ELSE (value_sum - prev_day_value) / prev_day_value END
          |  AS day_value_growth
          |FROM w ORDER BY "user", event_day""".stripMargin,
+    // q60: the moving window runs over the FULL month domain (decimal sum /
+    // non-null count, both cast double before dividing), the cut filters
+    // the axis afterwards — Apr averages Feb+Mar+Apr even though they're cut
+    "q60_moving_avg" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2),
+         |w AS (
+         |  SELECT ship_year, ship_month, revenue,
+         |    CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6)))
+         |      OVER (ORDER BY ship_year, ship_month
+         |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+         |    CAST(COUNT(revenue) OVER (ORDER BY ship_year, ship_month
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |      AS revenue_3mo_avg
+         |  FROM agg)
+         |SELECT ship_year, ship_month, revenue, revenue_3mo_avg
+         |FROM w WHERE ship_month IN (1, 4, 9)
+         |ORDER BY ship_year, ship_month""".stripMargin,
     // q59: ALL-member total on dense axes — the total window runs over the
     // spine (nulls ignored), so every filler day carries the user's total
     "q59_dense_share" ->

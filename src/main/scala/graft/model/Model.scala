@@ -124,6 +124,16 @@ final case class LagMeasureDef(alias: String, base: String, timeDim: String,
 final case class CumMeasureDef(alias: String, base: String, timeDim: String,
     resetLevel: String)
 
+/** Trailing moving average (MDX `Avg(LastPeriods(n), [Measures].[M])`):
+  * mean of the base measure over the last `periods` time members INCLUDING
+  * the current one, partitioned by every non-time axis column. Runs over
+  * the domain-expanded frame like lag/cum, so a gap month contributes
+  * nothing (count skips null bases) instead of silently stretching the
+  * window across calendar holes — Mondrian's Avg over a member set ignores
+  * empty cells the same way. */
+final case class MovingMeasureDef(alias: String, base: String,
+    timeDim: String, periods: Int)
+
 /** ALL-member tuple measure (MDX `([Measures].[M], [Dim].[All ...])`): the
   * base measure with `dim` rolled up to its All member — the denominator of
   * every share-of-total calc. Computed as a window sum over the aggregated
@@ -148,6 +158,7 @@ final case class CubeDef(
     lagMeasures: Seq[LagMeasureDef] = Nil,
     cumMeasures: Seq[CumMeasureDef] = Nil,
     totalMeasures: Seq[TotalMeasureDef] = Nil,
+    movingMeasures: Seq[MovingMeasureDef] = Nil,
     namedSets: Seq[NamedSetDef] = Nil,
     defaultMeasure: Option[String] = None) {
   def dimension(n: String): Option[DimensionDef] = dimensions.find(_.name == n)

@@ -263,6 +263,8 @@ object MdxParser {
       .orElse(cube.calcMembers.find(_.alias == name).map(_.alias))
       .orElse(cube.lagMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.cumMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.totalMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.movingMeasures.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
   /** One side of a set-algebra expression, normalized to a single level plus

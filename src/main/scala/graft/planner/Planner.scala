@@ -147,7 +147,8 @@ object Planner {
       drills.map(_.dim) ++ cuts.flatMap(levelOfCut(cube, _)).map(_.dim) ++
         q.properties.map(p => resolve(cube, p.level).dim) ++
         need.lags.map(l => cube.dimension(l.timeDim).get) ++
-        need.cums.map(c => cube.dimension(c.timeDim).get))
+        need.cums.map(c => cube.dimension(c.timeDim).get) ++
+        need.movings.map(m => cube.dimension(m.timeDim).get))
 
     val groupLevels = groupLevelList(cube, drills, q.parents)
     val groupCols: Seq[Column] = groupLevels.flatMap(levelCols)
@@ -165,7 +166,8 @@ object Planner {
     // after the windows run. Cuts below the drilled time grain cannot reach
     // here (the A9 ascendant guard 400s them).
     val lagTimeDims: Seq[String] =
-      (need.lags.map(_.timeDim) ++ need.cums.map(_.timeDim)).distinct
+      (need.lags.map(_.timeDim) ++ need.cums.map(_.timeDim) ++
+        need.movings.map(_.timeDim)).distinct
     val (timeCuts, directCuts) =
       if (lagTimeDims.isEmpty) (Nil, cuts)
       else cuts.partition(c =>
@@ -267,6 +269,9 @@ object Planner {
     val withCums = need.cums.foldLeft(withLags) { (df, cm) =>
       applyCum(cube, df, cm, drills, groupLevels)
     }
+    val withMovings = need.movings.foldLeft(withCums) { (df, mm) =>
+      applyMoving(df, mm, drills, groupLevels)
+    }
     // ALL-member totals sum only the axis-VISIBLE cells: filler rows carry
     // null bases already, and members present purely for lag windows
     // (relaxed cuts) are masked out — then every row (fillers included, for
@@ -277,7 +282,7 @@ object Planner {
         (if (timeDomains.nonEmpty) Seq(col("__present") === 1) else Nil)
       conds.foldLeft(lit(true))(_ && _)
     }
-    val withTotals = need.totals.foldLeft(withCums) { (df, tm) =>
+    val withTotals = need.totals.foldLeft(withMovings) { (df, tm) =>
       applyTotal(df, tm, groupLevels, totalVisible)
     }
     val withCalcs = need.calcs.foldLeft(withTotals) { (df, cm) =>
@@ -355,7 +360,7 @@ object Planner {
       val c = cat.cube(cn)
       c.measures.map(_.alias) ++ c.lagMeasures.map(_.alias) ++
         c.cumMeasures.map(_.alias) ++ c.totalMeasures.map(_.alias) ++
-        c.calcMembers.map(_.alias)
+        c.movingMeasures.map(_.alias) ++ c.calcMembers.map(_.alias)
     }.toSet
     calcNeeded.foreach { cm =>
       (memberAliases -- exposed).find(a => referencesAlias(cm.formula, a))
@@ -420,14 +425,15 @@ object Planner {
 
   private final case class NeededMeasures(bases: Seq[MeasureDef],
       lags: Seq[LagMeasureDef], cums: Seq[CumMeasureDef],
-      totals: Seq[TotalMeasureDef], calcs: Seq[CalcMemberDef])
+      totals: Seq[TotalMeasureDef], movings: Seq[MovingMeasureDef],
+      calcs: Seq[CalcMemberDef])
 
   /** Expand requested measure aliases to (base, lag, cum, calc) closure. Calc
     * formulas may reference base, lag, cum, and earlier calc aliases. */
   private def resolveMeasures(cube: CubeDef, names: Seq[String]): NeededMeasures = {
     var bases = Set.empty[String]; var lags = Set.empty[String]
     var cums = Set.empty[String]; var calcs = Set.empty[String]
-    var totals = Set.empty[String]
+    var totals = Set.empty[String]; var movings = Set.empty[String]
     def visit(n: String): Unit =
       cube.measure(n) match {
         case Some(m) => bases += m.alias
@@ -442,6 +448,10 @@ object Planner {
                     case Some(tm) =>
                       if (!totals(n)) { totals += n; visit(tm.base) }
                     case None =>
+                  cube.movingMeasures.find(_.alias == n) match {
+                    case Some(mm) =>
+                      if (!movings(n)) { movings += n; visit(mm.base) }
+                    case None =>
                   cube.calcMembers.find(_.alias == n) match {
                     case Some(cm) =>
                       if (!calcs(n)) {
@@ -450,12 +460,14 @@ object Planner {
                           cube.lagMeasures.map(_.alias) ++
                           cube.cumMeasures.map(_.alias) ++
                           cube.totalMeasures.map(_.alias) ++
+                          cube.movingMeasures.map(_.alias) ++
                           cube.calcMembers.map(_.alias))
                           .filter(a => a != n && referencesAlias(cm.formula, a))
                         deps.foreach(visit)
                       }
                     case None =>
                       GraftException.badRequest(s"measure '$n' not found in cube '${cube.name}'")
+                  }
                   }
                   }
               }
@@ -467,6 +479,7 @@ object Planner {
       cube.lagMeasures.filter(l => lags(l.alias)),
       cube.cumMeasures.filter(c => cums(c.alias)),
       cube.totalMeasures.filter(t => totals(t.alias)),
+      cube.movingMeasures.filter(m => movings(m.alias)),
       cube.calcMembers.filter(c => calcs(c.alias))) // declaration order
   }
 
@@ -479,6 +492,7 @@ object Planner {
       .orElse(cube.lagMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.cumMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.totalMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.movingMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.calcMembers.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
@@ -737,7 +751,8 @@ object Planner {
     val ordC = unit.map { rl =>
       col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
     }
-    val maxLag = need.lags.filter(_.timeDim == dn).map(_.periods)
+    val maxLag = (need.lags.filter(_.timeDim == dn).map(_.periods) ++
+      need.movings.filter(_.timeDim == dn).map(_.periods - 1))
       .maxOption.getOrElse(0)
     var needed: Column = col(flag) === 1
     if (maxLag > 0)
@@ -811,6 +826,32 @@ object Planner {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(cm.alias,
       sum(expr(s"CAST(${cm.base} AS DECIMAL(27,6))")).over(w).cast("double"))
+  }
+
+  /** Trailing moving average (MDX Avg(LastPeriods(n), M)): windowed mean of
+    * the base over the last `periods` time members including the current
+    * one, partitioned by every non-time axis column. Runs over the
+    * domain-expanded frame like [[applyLag]], so calendar gap members hold a
+    * window slot with a null base — the count skips them (Mondrian's Avg
+    * ignores empty cells) instead of stretching the window across holes.
+    * The sum rides DECIMAL(27,6); the DIVISION is double/double (cast each
+    * side first) so both engines divide identical operands. */
+  private def applyMoving(df: DataFrame, mm: MovingMeasureDef,
+      drills: Seq[ResolvedLevel], groupLevels: Seq[ResolvedLevel]): DataFrame = {
+    val timeDrills = drills.filter(_.dim.name == mm.timeDim).sortBy(_.depth)
+    if (timeDrills.isEmpty)
+      GraftException.badRequest(
+        s"moving measure '${mm.alias}' requires a drilldown on its time dimension '${mm.timeDim}'")
+    val ordCols = timeDrills.map { rl =>
+      col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
+    }
+    val partCols = groupLevels.filterNot(_.dim.name == mm.timeDim)
+      .flatMap(levelAliases).map(col)
+    val w = Window.partitionBy(partCols: _*).orderBy(ordCols.map(_.asc): _*)
+      .rowsBetween(-(mm.periods - 1), Window.currentRow)
+    df.withColumn(mm.alias,
+      sum(expr(s"CAST(${mm.base} AS DECIMAL(27,6))")).over(w).cast("double") /
+        count(col(mm.base)).over(w).cast("double"))
   }
 
   /** ALL-member total (share-of-total denominator): one window sum over the

@@ -63,7 +63,7 @@ object Metadata {
     "measures" -> c.measures.map(measureDict),
     "calculated_members" -> (c.calcMembers.map(_.alias) ++
       c.lagMeasures.map(_.alias) ++ c.cumMeasures.map(_.alias) ++
-      c.totalMeasures.map(_.alias)),
+      c.totalMeasures.map(_.alias) ++ c.movingMeasures.map(_.alias)),
     "named_sets" -> c.namedSets.map(namedSetDict),
     "default_measure" -> c.defaultMeasure.orNull)
 

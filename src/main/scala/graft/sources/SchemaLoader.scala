@@ -139,6 +139,10 @@ object SchemaLoader {
       cm("resetLevel").toString)),
     totalMeasures = strSeq(m, "totalMeasures").map(tm => TotalMeasureDef(
       tm("alias").toString, tm("base").toString, tm("dimension").toString)),
+    movingMeasures = strSeq(m, "movingMeasures").map(mm => MovingMeasureDef(
+      mm("alias").toString, mm("base").toString,
+      mm("timeDimension").toString,
+      mm("periods").asInstanceOf[Long].toInt)),
     namedSets = strSeq(m, "namedSets").map(ns => NamedSetDef(
       ns("name").toString, ns("dimension").toString, ns("level").toString,
       ns("topK").asInstanceOf[Long].toInt, ns("byMeasure").toString)),

@@ -282,6 +282,37 @@ class PlannerSpec extends AnyFunSuite {
     cutRows.foreach(r => assert(math.abs(r.getDouble(3) - visSum) < 1e-6))
   }
 
+  test("moving average spans calendar members, not the cut axis") {
+    // full-domain truth: every (year, month) revenue
+    val full = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue"))).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val ordered = full.keys.toSeq.sorted
+    val cut = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "revenue_3mo_avg"),
+      cuts = Seq(SetCut(LevelRef("ShipDate", Some("Month"),
+        Some("Monthly")), Seq(4))))).collect()
+    assert(cut.nonEmpty)
+    cut.foreach { r =>
+      val key = (r.getInt(0), r.getInt(1))
+      assert(key._2 == 4)
+      // trailing 3 CALENDAR members ending at this month — Feb/Mar are cut
+      // from the axis but still inside the window
+      val idx = ordered.indexOf(key)
+      val win = ordered.slice(math.max(0, idx - 2), idx + 1).map(full)
+      val want = win.map(BigDecimal(_)).sum.toDouble / win.length
+      assert(math.abs(r.getDouble(3) - want) < 1e-6, s"$key moving avg")
+    }
+    // requires its time drilldown
+    val e = intercept[GraftException](Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Region")), Seq("revenue_3mo_avg"))))
+    assert(e.status == 400)
+  }
+
   test("virtual cube + named-set cut is a 400, never silently unfiltered") {
     // 'Top Brands' exists on sales but not on the orders member cube of the
     // 'commerce' virtual cube — dropping it there would return drill-across
