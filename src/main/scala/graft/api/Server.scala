@@ -66,7 +66,12 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
         .exists(_.startsWith("application/x-www-form-urlencoded"))
       val params =
         parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
-          (if (isForm) parseQuery(body) else Map.empty)
+          (if (isForm) parseQuery(body) else Map.empty) ++
+          // `Authorization: Bearer <secret>` surfaces as a reserved param so
+          // /flush callers can keep the secret out of URLs and access logs
+          Option(ex.getRequestHeaders.getFirst("Authorization")).toSeq
+            .filter(_.startsWith("Bearer "))
+            .map(h => "__bearer" -> Seq(h.stripPrefix("Bearer ")))
       val segs = path.split("/").toList.filter(_.nonEmpty).map(decodeSegment)
       val cat = catalog // per-request snapshot (see pool note)
       val result = segs match {
@@ -164,8 +169,16 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
       // can't have its caches dropped by an anonymous GET
       val secret = flushSecret.getOrElse(
         GraftException.forbidden("set GRAFT_SECRET to use this endpoint"))
-      if (!params.get("secret").exists(_.headOption.contains(secret)))
-        GraftException.forbidden("invalid secret key")
+      // Accept the secret from an Authorization: Bearer header (preferred —
+      // stays out of access logs) or the ?secret= param (reference parity);
+      // MessageDigest.isEqual is constant-time, so the comparison leaks no
+      // prefix-length timing signal for a destructive endpoint.
+      val provided = params.get("__bearer").orElse(params.get("secret"))
+        .flatMap(_.headOption)
+      val ok = provided.exists(p => java.security.MessageDigest.isEqual(
+        p.getBytes(StandardCharsets.UTF_8),
+        secret.getBytes(StandardCharsets.UTF_8)))
+      if (!ok) GraftException.forbidden("invalid secret key")
       CubeCatalog.flush()
       catalog = CubeCatalog.forDir(spark, sfDir)
       text(200, "application/json", Json.write(ListMap("status" -> "flushed")))

@@ -15,11 +15,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Sessions are map keys in a [[java.util.WeakHashMap]] (identity semantics —
   * `SparkSession` does not override equals), so two live sessions can never
-  * observe each other's artifacts and a dropped session's entries become
-  * GC-eligible with it. Values are typically localCheckpointed DataFrames
-  * (blocks pinned by the cached reference, released on [[invalidate]]) or
-  * small driver-side arrays. `/flush` clears the calling session's entries
-  * along with the catalog caches.
+  * observe each other's artifacts. Note the weak key does NOT make entries
+  * GC-eligible when a session is dropped: the cached values are mostly
+  * DataFrames, and a DataFrame strongly references its SparkSession — the
+  * classic value-refers-to-key WeakHashMap pitfall — so an entry pins its
+  * own key and persists until an explicit [[invalidate]]. That is the
+  * contract: `/flush` clears the calling session's entries along with the
+  * catalog caches, and test teardown calls [[invalidate()]]. Values are
+  * typically localCheckpointed DataFrames (blocks pinned by the cached
+  * reference, released on invalidate) or small driver-side arrays.
   *
   * [[memo]] deliberately does NOT use `ConcurrentHashMap.computeIfAbsent`:
   * artifact builders compose (the LSH cluster table is built FROM the

@@ -123,7 +123,10 @@ object MdxParser {
           !l.coalesceToBase)
         .map(_.alias)
         .getOrElse {
-          val alias = s"__mdx_lag_${base}_$periods"
+          // dimension is part of the identity: ([M],[ShipDate].PrevMember)
+          // and ([M],[OrderDate].PrevMember) in one WITH clause are distinct
+          // lags and must not collapse onto one alias
+          val alias = s"__mdx_lag_${base}_${dim.replaceAll("\\W", "_")}_$periods"
           lags.getOrElseUpdate(alias, LagMeasureDef(alias, base, dim,
             periods = periods))
           alias
@@ -131,8 +134,10 @@ object MdxParser {
     }
     // `([Measures].[M], [Dim].[All ...])` — the All member's bracket text is
     // free-form ([All], [All Regions], [All Products])
+    // `[All]` or `[All <something>]` ONLY — a word boundary after "All", so
+    // a genuine member like [City].[Allentown] is not mistaken for a total
     val allRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
-      """\[([^\]]+)\]\s*\.\s*\[All[^\]]*\]\s*\)""").r
+      """\[([^\]]+)\]\s*\.\s*\[All(?:\s[^\]]*)?\]\s*\)""").r
     def synthTotal(measureName: String, dimS: String): String = {
       val base = resolveMeasure(cube, measureName)
       val dim = dimS.trim
@@ -159,6 +164,13 @@ object MdxParser {
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
       formula = measureRef.replaceAllIn(formula,
         mm => resolveMeasure(cube, mm.group(1)))
+      // Anything bracketed that survived every rewrite is a member tuple the
+      // compiled subset doesn't navigate (e.g. ([M], [City].[Allentown]));
+      // 400 with the original formula rather than a downstream parse error
+      if (formula.contains("["))
+        GraftException.badRequest(
+          s"unsupported member reference in calculated member '$alias': " +
+            s"'${m.group(4)}'")
       CalcMemberDef(alias, formula)
     }
     (calcs, lags.values.toSeq, totals.values.toSeq)

@@ -89,6 +89,17 @@ class ApiSpec extends AnyFunSuite {
     } finally bare.stop()
   }
 
+  test("/flush accepts the secret via Authorization: Bearer (log-safe path)") {
+    val ok = client.send(HttpRequest.newBuilder(URI.create(base + "/flush"))
+      .header("Authorization", "Bearer s3cret").build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(ok.statusCode() == 200 && ok.body().contains("flushed"), ok.body())
+    val bad = client.send(HttpRequest.newBuilder(URI.create(base + "/flush"))
+      .header("Authorization", "Bearer wrong").build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(bad.statusCode() == 403)
+  }
+
   test("aggregate.xls serves a binary OLE2/BIFF8 workbook") {
     val r = client.send(HttpRequest.newBuilder(URI.create(base +
       "/cubes/sales/aggregate.xls?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue"))

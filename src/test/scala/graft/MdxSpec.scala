@@ -229,6 +229,46 @@ class MdxSpec extends AnyFunSuite {
       e2.getMessage.contains("revenue_geo_total"), e2.getMessage)
   }
 
+  test("two same-period navigations on different dims synthesize distinct lags") {
+    // the lag alias carries the dimension: ([Revenue], [ShipDate].Lag(2))
+    // and ([Revenue], [Geography].Lag(2)) in one WITH clause must not
+    // collapse onto one synthesized measure (alias-collision regression)
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  '([Measures].[Revenue], [ShipDate].CurrentMember.Lag(2)) -
+        |   ([Measures].[Revenue], [Geography].CurrentMember.Lag(2))'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[ShipDate].[Monthly].[Month].Members ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.adhocLags.map(l => (l.timeDim, l.periods)).toSet ==
+      Set(("ShipDate", 2), ("Geography", 2)))
+    assert(q.adhocLags.map(_.alias).distinct.size == 2)
+    // both aliases substituted into the formula
+    val formula = q.adhocCalcs.head.formula
+    q.adhocLags.foreach(l => assert(formula.contains(l.alias), formula))
+  }
+
+  test("a member merely starting with 'All' is not a grand total (400)") {
+    // [City].[Allentown] must NOT silently become a share-of-total
+    // denominator; it is an unsupported member tuple → clean 400
+    val e = intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  '[Measures].[Revenue] / ([Measures].[Revenue], [Geography].[Allentown])'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin))
+    assert(e.status == 400 &&
+      e.getMessage.contains("unsupported member reference"), e.getMessage)
+    // the genuine All member (with the word boundary) still rewrites
+    val ok = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[s] AS
+        |  '[Measures].[Revenue] / ([Measures].[Revenue], [Geography].[All])'
+        |SELECT {[Measures].[s]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)
+    assert(ok.adhocCalcs.head.formula == "revenue / revenue_geo_total")
+  }
+
   test("WITH MEMBER alias may contain spaces (standard MDX names)") {
     val q = MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[Profit Margin] AS
