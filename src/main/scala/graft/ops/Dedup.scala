@@ -742,9 +742,9 @@ object Dedup {
   def semanticDedup(emb: DataFrame, cs: Array[Array[Double]],
       threshold: Double): DataFrame = {
     // localCheckpoint: feeds both pair-join sides + the final kept join
-    val e = emb.select(col("vec_id"),
-        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      .withColumn("cluster", Similarity.nearestCluster(col("v"), cs))
+    val e = Similarity.withNearestCluster(
+        emb.select(col("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")), cs, "cluster")
       .localCheckpoint(eager = false)
     val a = e.select(col("cluster").as("cl_a"), col("vec_id").as("va"),
       col("v").as("v_a"))
@@ -782,9 +782,9 @@ object Dedup {
     */
   def semanticDedupGreedy(emb: DataFrame, cs: Array[Array[Double]],
       threshold: Double, rounds: Int = 6): DataFrame = {
-    val e = emb.select(col("vec_id"),
-        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      .withColumn("cluster", Similarity.nearestCluster(col("v"), cs))
+    val e = Similarity.withNearestCluster(
+        emb.select(col("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")), cs, "cluster")
       .localCheckpoint(eager = false)
     val a = e.select(col("cluster").as("cl_a"), col("vec_id").as("va"),
       col("v").as("v_a"))

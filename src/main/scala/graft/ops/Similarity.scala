@@ -184,9 +184,53 @@ object Similarity {
   /** Assignment against prebuilt centroids (the map-only probe half —
     * centroids are a registration-time artifact, see [[graft.ops.IndexCache]]). */
   def kmeansAssignWith(emb: DataFrame, cs: Array[Array[Double]]): DataFrame =
-    emb.select(col("vec_id"), asDouble("embedding").as("v"))
-      .select(col("vec_id"), nearestCluster(col("v"), cs).as("cluster"))
+    withNearestCluster(
+        emb.select(col("vec_id"), asDouble("embedding").as("v")), cs, "cluster")
+      .select("vec_id", "cluster")
       .orderBy("vec_id")
+
+  /** Above this k, nearest-centroid assignment switches from the inline
+    * k-struct expression ([[nearestCluster]] — map-only, but the plan holds
+    * k×dim literals, so analysis/codegen blow up once k reaches the √n
+    * production sizing of [[suggestedIvfLists]]) to a broadcast join against
+    * a k-row centroid table (plan size O(1); the cross product collapses
+    * back to one row per vector in the map-side partial aggregate, so the
+    * shuffle stays n rows). */
+  private val kJoinThreshold = 64
+
+  /** The centroid table for the join-based assignment path: k rows of
+    * (j, c, bias) with bias = ‖c_j‖²/2 precomputed, exactly the constant the
+    * expression path folds in. */
+  private def centsDF(spark: org.apache.spark.sql.SparkSession,
+      cs: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cs.zipWithIndex.toSeq
+      .map { case (c, j) => (j, c.toSeq, c.map(x => x * x).sum / 2.0) }
+      .toDF("j", "c", "bias")
+  }
+
+  /** Append `out` = argmin_j ‖v − c_j‖² to a (vec_id, v, …) frame, picking
+    * the inline-expression path for small k and the broadcast-join path for
+    * large k. Both compute the same score `dot(v, c_j) − ‖c_j‖²/2` with the
+    * same sequential-fold [[dot]] and the same tie rule (ties → max j), so
+    * the outputs are bit-identical — [[graft.OpsSpec]] asserts the parity. */
+  private[graft] def withNearestCluster(df: DataFrame,
+      cs: Array[Array[Double]], out: String): DataFrame = {
+    if (cs.length <= kJoinThreshold)
+      df.withColumn(out, nearestCluster(col("v"), cs))
+    else {
+      val others = df.columns.filterNot(_ == "vec_id")
+      // first() is safe: every column is constant within a vec_id group
+      // (the broadcast join only replicates rows k ways)
+      val aggs = others.map(c => first(col(c)).as(c)) :+
+        max(struct(col("__score"), col("j"))).getField("j").as(out)
+      df.join(broadcast(centsDF(df.sparkSession, cs)))
+        .withColumn("__score", dot(col("v"), col("c")) - col("bias"))
+        .groupBy("vec_id")
+        .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+        .select((df.columns :+ out).map(col).toIndexedSeq: _*)
+    }
+  }
 
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
       : Array[Array[Double]] = {
@@ -224,8 +268,7 @@ object Similarity {
     var cs = centroidsOf(v.withColumn("cluster",
       (col("vec_id") % k).cast("int")), null)
     (1 until iters).foreach { _ =>
-      cs = centroidsOf(v.withColumn("cluster", nearestCluster(col("v"), cs)),
-        cs)
+      cs = centroidsOf(withNearestCluster(v, cs, "cluster"), cs)
     }
     cs
   }
@@ -272,13 +315,15 @@ object Similarity {
     // localCheckpoint (not persist) so the ContextCleaner releases the blocks
     // when the index is dropped — persist() would pin them in the
     // CacheManager forever.
-    val corpus = v.withColumn("cell", nearestCluster(col("v"), cs))
+    val corpus = withNearestCluster(v, cs, "cell")
       .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
         col("v").as("v_n"))
       .localCheckpoint()
     // per-cell max residual norm — nlist rows, checkpointed so probes don't
-    // re-aggregate the corpus
-    val centArr = array(cs.map(c => array(c.map(lit): _*)): _*)
+    // re-aggregate the corpus. typedLit packs the k×dim centroid table into
+    // ONE literal node (a per-element array(lit…) tree is O(k·dim) plan
+    // nodes — analysis-time death at the √n production nlist).
+    val centArr = typedLit(cs.map(_.toSeq).toSeq)
     val cellRes = corpus
       .withColumn("c", element_at(centArr, col("cell_n") + 1))
       .withColumn("r2", aggregate(
@@ -306,20 +351,24 @@ object Similarity {
   def knnIvfProbe(idx: IvfIndex, queryIds: Seq[Long], k: Int,
       nprobe: Int): DataFrame = {
     val IvfIndex(cs, corpus, cellRes) = idx
-    // per query per cell: biased score (picks seed cells) + raw dot (bound)
-    val scored = cs.zipWithIndex.map { case (c, j) =>
-      val cc = array(c.map(lit): _*)
-      val bias = c.map(x => x * x).sum / 2.0
-      struct((dot(col("v_q"), cc) - bias).as("score"),
-        dot(col("v_q"), cc).as("cdot"), lit(j).as("j"))
-    }
+    // per query per cell: biased score (picks seed cells) + raw dot (bound).
+    // A k-row broadcast join (not a k-struct inline array) so the plan stays
+    // O(1) nodes at the √n production nlist; |queries|×k rows total — tiny.
     val queries = corpus.where(col("neighbor_id").isin(queryIds: _*))
       .select(col("neighbor_id").as("query_id"), col("v_n").as("v_q"))
-      .withColumn("cells", array(scored: _*))
-    // phase 1: seed probes → provisional k-th best score θ per query
-    val seed = queries.select(col("query_id"), col("v_q"),
-      explode(slice(reverse(array_sort(col("cells"))), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("v_q"), col("p.j").as("cell_q"))
+    val qcells = queries.join(broadcast(centsDF(corpus.sparkSession, cs)))
+      .select(col("query_id"), col("v_q"), col("j").as("cell_q"),
+        (dot(col("v_q"), col("c")) - col("bias")).as("score"),
+        dot(col("v_q"), col("c")).as("cdot"))
+      .localCheckpoint(eager = false) // feeds seed AND phase-2 probes
+    // phase 1: seed probes → provisional k-th best score θ per query.
+    // (score desc, cdot desc, cell desc) replays the array_sort-then-reverse
+    // struct order of the inline spelling — same cells win on ties.
+    val seedW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cdot").desc, col("cell_q").desc)
+    val seed = qcells.withColumn("__r", row_number().over(seedW))
+      .where(col("__r") <= nprobe)
+      .select(col("query_id"), col("v_q"), col("cell_q"))
     val seedScored = corpus.join(broadcast(seed),
         col("cell_q") === col("cell_n") &&
           col("query_id") =!= col("neighbor_id"))
@@ -331,10 +380,7 @@ object Similarity {
         when(col("nc") < k, lit(-2.0)).otherwise(col("kth")).as("theta"))
     // phase 2: all cells whose bound reaches θ (1e-9 absorbs float slack;
     // a query with no phase-1 candidates probes every non-empty cell)
-    val probes = queries.select(col("query_id"), col("v_q"),
-        explode(col("cells")).as("p"))
-      .select(col("query_id"), col("v_q"), col("p.j").as("cell_q"),
-        col("p.cdot").as("cdot"))
+    val probes = qcells
       .join(broadcast(cellRes), col("cell_q") === col("cell_n"))
       .join(broadcast(theta), Seq("query_id"), "left")
       .where(col("cdot") + col("max_res") + lit(1e-9) >=
