@@ -157,12 +157,19 @@ object TpchCatalog {
     val lineitem = load("lineitem")
     val events = {
       val raw = load("events")
-      import org.apache.spark.sql.types.LongType
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts",
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        // TIMESTAMP(NANOS) read as epoch-nano longs → µs instants
+        case LongType => raw.withColumn("ts",
           org.apache.spark.sql.functions.expr(
             "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-      else raw
+        // TIMESTAMP(MICROS) without UTC adjustment reads as NTZ; the session
+        // runs in UTC, so the cast keeps the same epoch micros while giving
+        // downstream unix_micros() the instant type it requires
+        case TimestampNTZType => raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
     }
     val documents = load("documents")
     val embeddings = load("embeddings")

@@ -209,24 +209,39 @@ object Similarity {
       .toDF("j", "c", "bias")
   }
 
-  /** Append `out` = argmin_j ‖v − c_j‖² to a (vec_id, v, …) frame, picking
-    * the inline-expression path for small k and the broadcast-join path for
+  /** Append `out` = argmin_j ‖v − c_j‖² to a (…, v, …) frame, picking the
+    * inline-expression path for small k and the broadcast-join path for
     * large k. Both compute the same score `dot(v, c_j) − ‖c_j‖²/2` with the
     * same sequential-fold [[dot]] and the same tie rule (ties → max j), so
-    * the outputs are bit-identical — [[graft.OpsSpec]] asserts the parity. */
+    * the outputs are bit-identical — [[graft.OpsSpec]]'s
+    * "withNearestCluster join/inline parity" test asserts it at k = 100.
+    *
+    * The join path keys its collapse on a per-row surrogate id (NOT on
+    * vec_id), so duplicate vec_id rows survive like they do inline, and the
+    * centroid table's columns are `__nc_`-prefixed so they cannot capture
+    * caller columns; the only precondition is that the input has a `v`
+    * array column and no `__nc_`-prefixed columns (asserted). */
   private[graft] def withNearestCluster(df: DataFrame,
       cs: Array[Array[Double]], out: String): DataFrame = {
     if (cs.length <= kJoinThreshold)
       df.withColumn(out, nearestCluster(col("v"), cs))
     else {
-      val others = df.columns.filterNot(_ == "vec_id")
-      // first() is safe: every column is constant within a vec_id group
-      // (the broadcast join only replicates rows k ways)
-      val aggs = others.map(c => first(col(c)).as(c)) :+
-        max(struct(col("__score"), col("j"))).getField("j").as(out)
-      df.join(broadcast(centsDF(df.sparkSession, cs)))
-        .withColumn("__score", dot(col("v"), col("c")) - col("bias"))
-        .groupBy("vec_id")
+      require(!df.columns.exists(_.startsWith("__nc_")),
+        "withNearestCluster: input must not carry __nc_-prefixed columns")
+      val cents = centsDF(df.sparkSession, cs).select(
+        col("j").as("__nc_j"), col("c").as("__nc_c"),
+        col("bias").as("__nc_bias"))
+      // first() is safe: every input column is constant within a __nc_rid
+      // group (the broadcast join only replicates each row k ways, and the
+      // surrogate id is minted BEFORE the join)
+      val aggs = df.columns.map(c => first(col(c)).as(c)) :+
+        max(struct(col("__nc_score"), col("__nc_j")))
+          .getField("__nc_j").as(out)
+      df.withColumn("__nc_rid", monotonically_increasing_id())
+        .join(broadcast(cents))
+        .withColumn("__nc_score",
+          dot(col("v"), col("__nc_c")) - col("__nc_bias"))
+        .groupBy("__nc_rid")
         .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
         .select((df.columns :+ out).map(col).toIndexedSeq: _*)
     }

@@ -62,10 +62,15 @@ object ScaleUp {
 
     val events = load("events")
     val eventStride = events.agg(max("event_id")).head.getLong(0) + 1
+    val tsIsLong =
+      events.schema("ts").dataType == org.apache.spark.sql.types.LongType
     save("events", replicate(events, factor) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * eventStride))
-        // ts is nanos-as-long here; replica i lands i seconds later
-        .withColumn("ts", col("ts") + lit(i * 1000000000L))
+      val shifted = df.withColumn("event_id",
+        col("event_id") + lit(i * eventStride))
+      // replica i lands i seconds later (nanos-as-long or µs timestamps)
+      if (tsIsLong) shifted.withColumn("ts", col("ts") + lit(i * 1000000000L))
+      else shifted.withColumn("ts",
+        col("ts") + expr(s"make_interval(0, 0, 0, 0, 0, 0, $i)"))
     })
 
     val docs = load("documents")

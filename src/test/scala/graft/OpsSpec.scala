@@ -1112,4 +1112,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0L, 0.0)))
     assert(out(3L) == ((4L, 3L, 0.75)))
   }
+
+  test("withNearestCluster join/inline parity at k=100; duplicates and " +
+      "reserved-name-ish columns survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    // duplicate vec_id rows with DIFFERENT vectors, plus caller columns
+    // named like the old centroid-table internals (j, c, bias) — the join
+    // path must neither collapse the duplicates nor capture the columns
+    val rows = (0 until 300).map { i =>
+      ((i % 150).toLong, Array.fill(dim)(rnd.nextGaussian()),
+        i.toLong, s"c$i", i * 0.5)
+    }
+    val df = rows.toDF("vec_id", "v", "j", "c", "bias")
+    val cs = Array.fill(100)(Array.fill(dim)(rnd.nextGaussian()))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Double](1).toList, r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getInt(5))
+    val joined = Similarity.withNearestCluster(df, cs, "cluster")
+    assert(joined.columns.toSeq ==
+      Seq("vec_id", "v", "j", "c", "bias", "cluster"))
+    val viaJoin = joined.collect().map(key).sortBy(k => (k._3, k._1))
+    val inline = df
+      .withColumn("cluster", Similarity.nearestCluster(col("v"), cs))
+      .collect().map(key).sortBy(k => (k._3, k._1))
+    assert(viaJoin.length == 300, "duplicate vec_id rows must survive")
+    assert(viaJoin.toSeq == inline.toSeq,
+      "join-path assignment must be bit-identical to the inline expression")
+    // __nc_-prefixed caller columns are the one documented precondition
+    val bad = df.withColumn("__nc_rid", lit(1L))
+    assertThrows[IllegalArgumentException] {
+      Similarity.withNearestCluster(bad, cs, "cluster")
+    }
+  }
 }
