@@ -20,6 +20,8 @@ import graft.result._
   *   GET /cubes                                    all cube metadata
   *   GET /cubes/:cube                              one cube
   *   GET /cubes/:cube/aggregate[.csv|.jsonrecords] the aggregation query
+  *       (`debug=true` on the JSON forms echoes the normalized query and
+  *       the Spark physical plan — ref api.rb:39,141 add_mdx parity)
   *   GET /cubes/:cube/dimensions/:dim              dimension + levels
   *   GET /cubes/:cube/dimensions/:dim/levels/:lvl/members[?caption&member_properties[]]
   *   GET /cubes/:cube/dimensions/:dim/levels/:lvl/members/:key
@@ -193,13 +195,27 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     (status, contentType + "; charset=utf-8",
       body.getBytes(StandardCharsets.UTF_8))
 
+  /** Full member list by default (reference parity); `offset`/`limit`
+    * params page through the cached member frame in its total
+    * (ordinal, key) order — at 100× a big-dim level list is huge, and a
+    * paged request must not collect it whole. Paged responses add
+    * `total_members` so clients can iterate without a separate count. */
   private def levelMembers(cat: CubeCatalog, c: String, ref: LevelRef,
       params: Map[String, Seq[String]]): Resp = {
     val withProps = params.contains("member_properties[]") ||
       params.get("caption").isDefined
+    val offset = params.get("offset").flatMap(_.headOption)
+      .map(_.toLong).getOrElse(0L)
+    val limit = params.get("limit").flatMap(_.headOption).map(_.toInt)
     val members = Metadata.levelMembers(cat, cube(cat, c), ref,
-      withProps = withProps)
-    text(200, "application/json", Json.write(ListMap("members" -> members)))
+      withProps = withProps, offset = offset, limit = limit)
+    val doc =
+      if (offset == 0 && limit.isEmpty) ListMap[String, Any]("members" -> members)
+      else ListMap[String, Any]("members" -> members,
+        "offset" -> offset,
+        "total_members" ->
+          Metadata.levelMembersDf(cat, cube(cat, c), ref, withProps).count())
+    text(200, "application/json", Json.write(doc))
   }
 
   private def memberByKey(cat: CubeCatalog, c: String, ref: LevelRef,
@@ -231,8 +247,10 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     val mdxQ = graft.planner.MdxParser.parse(c, body)
     q = mdxQ.copy(parents = q.parents, properties = q.properties,
       captions = q.captions, sparse = q.sparse)
+    val debug = params.get("debug").exists(_.headOption.contains("true"))
     endpoint match {
-      case "mdx" => text(200, "application/json", AxesResult.json(cat, q))
+      case "mdx" => text(200, "application/json",
+        if (debug) AxesResult.jsonDebug(cat, q) else AxesResult.json(cat, q))
       case "mdx.csv" =>
         text(200, "text/csv", Formatters.csv(Formatters.tidy(cat, q)))
       case "mdx.jsonrecords" =>
@@ -251,9 +269,11 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
       params: Map[String, Seq[String]]): Resp = {
     val c = cube(cat, cubeName)
     val q = QueryParser.fromParams(c, params).copy(cube = cubeName)
+    val debug = params.get("debug").exists(_.headOption.contains("true"))
     endpoint match {
       case "aggregate" =>
-        text(200, "application/json", AxesResult.json(cat, q))
+        text(200, "application/json",
+          if (debug) AxesResult.jsonDebug(cat, q) else AxesResult.json(cat, q))
       case "aggregate.csv" =>
         text(200, "text/csv", Formatters.csv(Formatters.tidy(cat, q)))
       case "aggregate.jsonrecords" =>

@@ -627,6 +627,46 @@ object Dedup {
       math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
   }
 
+  /** The table count that completes [[suggestedLshBits]]: growing bits keeps
+    * pair work linear but shrinks per-table recall geometrically (a plane
+    * splits a θ-apart pair with probability θ/π, so one table catches it
+    * with p^bits, p = 1 − θ/π), and OR-amplified tables buy it back —
+    * P[miss all] = (1 − p^bits)^T. Solving for T at a design point
+    * (`targetCos` = the similarity the pipeline must not miss,
+    * `targetRecall` = per-pair find probability) gives
+    * T = ⌈ln(1 − R) / ln(1 − p^bits)⌉. Table cost is map-side linear
+    * (n·T bucket keys) — never pairwise — which is exactly the trade the
+    * scale path wants: work_pairs ≈ T·n²/2^bits stays ~linear in n when
+    * bits follow log₂(n/targetBucket). Capped at 64 tables (past that the
+    * design point is wrong — lower bits instead). */
+  def suggestedLshTables(bits: Int, targetCos: Double = 0.9,
+      targetRecall: Double = 0.95): Int = {
+    require(bits >= 1 && targetCos > -1 && targetCos < 1 &&
+      targetRecall > 0 && targetRecall < 1, "bad LSH table design point")
+    val p = 1.0 - math.acos(targetCos) / math.Pi
+    val pBucket = math.pow(p, bits)
+    val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-pBucket))
+    math.min(64, math.max(1, t.toInt))
+  }
+
+  /** [[embeddingNearDupLshPairs]] with PRODUCTION SIZING WIRED IN: bits come
+    * from [[suggestedLshBits]] on the actual corpus count (pair work stays
+    * ~linear as the corpus grows) and tables from [[suggestedLshTables]] at
+    * the caller's similarity design point (recall holds as bits grow). The
+    * one extra cost over the fixed-parameter form is a count() of the
+    * corpus — a metadata-cheap scan a pipeline typically already knows.
+    * [[graft.tools.ScaleSweep]] measures the slope/recall of this form
+    * against the fixed demo parameters; the d05/d10 gate queries keep fixed
+    * parameters only so the DuckDB oracle can replay them bit-exactly. */
+  def embeddingNearDupAuto(emb: DataFrame, threshold: Double,
+      targetBucket: Int = 64, targetRecall: Double = 0.95, dim: Int = 64)
+      : (DataFrame, Int, Int) = {
+    val n = emb.count()
+    val bits = suggestedLshBits(n, targetBucket)
+    val tables = suggestedLshTables(bits, threshold, targetRecall)
+    (embeddingNearDupLshPairs(emb, threshold, bits, tables, dim), bits, tables)
+  }
+
   /** FULL-CORPUS embedding near-dup — the scale composition the blocked
     * primitive [[embeddingNearDupPairs]] defers to: hyperplane-LSH buckets
     * are the blocking key, so no label/caller block is needed and the only

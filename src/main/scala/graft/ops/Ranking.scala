@@ -50,7 +50,18 @@ object Ranking {
     * aggregate and the rank join — without it the (possibly expensive)
     * upstream plan runs twice, and the (sampled) partitioner would be
     * re-derived; blocks are GC-released with the result (Dedup convention).
-    */
+    *
+    * AQE-safety of `spark_partition_id()` here does NOT rest on the
+    * localCheckpoint's timing: (1) the explicit partition count makes this
+    * a REPARTITION_BY_NUM shuffle, which AQE's CoalesceShufflePartitions
+    * rule never touches (it only coalesces ENSURE_REQUIREMENTS/REBALANCE
+    * exchanges — the user asked for exactly n partitions); (2) even if a
+    * future rule merged shuffle partitions, AQE only ever merges ADJACENT
+    * partition indices, and a merge of adjacent range partitions is still a
+    * contiguous slice of the total order — the rank derived from any
+    * contiguous-range bucketing is identical (the bucket-invariance
+    * documented on the class). [[graft.RankingSpec]] runs the whole rank
+    * path with AQE + coalescing forced on and a 1-byte advisory size. */
   private[graft] def withRangeBuckets(df: DataFrame, n: Int,
       keys: Seq[Column]): DataFrame =
     df.repartitionByRange(n, keys.map(_.asc): _*)

@@ -320,6 +320,20 @@ object Similarity {
   def suggestedIvfLists(n: Long): Int =
     math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
 
+  /** [[ivfIndex]] with PRODUCTION SIZING WIRED IN: nlist =
+    * [[suggestedIvfLists]] of the actual corpus count, so per-query probe
+    * work stays O(√n) as the corpus grows instead of O(n/nlist_fixed).
+    * Build cost is O(n·√n) assignment dots — the standard IVF trade: paid
+    * once per ingest (and amortized across every query served from the
+    * index; [[graft.ops.IndexCache]] / a parquet layout partitioned by
+    * `cell_n` is that lifecycle), while probes get the √n scaling.
+    * [[graft.tools.ScaleSweep]] measures build and probe slopes separately
+    * against the fixed demo nlist. Returns the index plus the nlist used. */
+  def ivfIndexAuto(emb: DataFrame, iters: Int = 3): (IvfIndex, Int) = {
+    val nlist = suggestedIvfLists(emb.count())
+    (ivfIndex(emb, nlist, iters), nlist)
+  }
+
   /** Build the IVF index: k-means coarse quantizer, one assignment shuffle,
     * one tiny per-cell residual aggregate. */
   def ivfIndex(emb: DataFrame, nlist: Int, iters: Int = 3): IvfIndex = {
@@ -423,6 +437,19 @@ object Similarity {
       when(dot(v, planeCol) >= 0d, lit(1L << j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _).as("bucket")
+  }
+
+  /** [[knnLsh]] with [[graft.ops.Dedup.suggestedLshBits]] wired in: bucket
+    * population n/2^bits stays pinned at ~targetBucket as the corpus grows,
+    * so per-query probe work is O(targetBucket), not O(n/2^bits_fixed).
+    * Recall is the single-table hyperplane trade (nearest neighbors across
+    * a plane are missed); the multi-table recall recovery lives in the
+    * near-dup form ([[graft.ops.Dedup.embeddingNearDupAuto]]). Returns the
+    * frame plus the bits used. */
+  def knnLshAuto(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      targetBucket: Int = 64, dim: Int = 64): (DataFrame, Int) = {
+    val bits = graft.ops.Dedup.suggestedLshBits(emb.count(), targetBucket)
+    (knnLsh(emb, queryIds, k, bits, dim), bits)
   }
 
   /** ANN via hyperplane-LSH bucketing: exact search restricted to the query's

@@ -606,9 +606,16 @@ object TextOps {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, a + b, cnt))
+        // LAZY checkpoint: next round's argmax is the one materialization
+        // per round (it caches the blocks and truncates lineage there), so
+        // plan depth stays O(1) in the round count — k=1000-scale vocab
+        // induction never accumulates a replace-chain for Catalyst to
+        // re-analyze — and the final round's table is never materialized
+        // for nothing (its merges are already collected).
+        // [[graft.OpsSpec]] gates a 64-round induction's wall time.
         cur = cur.withColumn("s",
             replace(col("s"), lit(s"($a)($b)"), lit(s"(${a + b})")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         r += 1
       }
     }

@@ -202,6 +202,10 @@ object QueryParser {
       parents = flag("parents", default = false),
       properties = all("properties[]").map(parseProperty(cube, _)),
       captions = all("caption[]").map(parseProperty(cube, _)),
-      sparse = flag("sparse", default = false))
+      // the reference flips the sparse default when the system property is
+      // PRESENT (any value) — ref api.rb:138 `!System.getProperty(
+      // 'mondrian-rest.sparseDefault').nil?`; same contract, graft name
+      sparse = flag("sparse",
+        default = sys.props.contains("graft.sparseDefault")))
   }
 }

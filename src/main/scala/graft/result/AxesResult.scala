@@ -100,8 +100,15 @@ object AxesResult {
       dimensionInfo(rl) + ("members" -> seen.values.toSeq)
     }
 
-    val cellKeys = rows.map(r => drills.map(rl => r.get(colIdx(rl.level.alias))))
-    val values = rows.map(r => measures.map { case (_, a) => r.get(colIdx(a)) })
+    // LAZY views, not materialized Seq-of-Seqs: the JSON writer streams
+    // Iterables element by element, so a maxCells-sized dense result is
+    // held once (the collected rows) plus the output buffer — never a
+    // second row-major copy of the whole value matrix. Each per-row Seq is
+    // transient (row-sized, GC'd as the writer moves on).
+    val cellKeys = rows.view.map(r =>
+      drills.map(rl => r.get(colIdx(rl.level.alias))))
+    val values = rows.view.map(r =>
+      measures.map { case (_, a) => r.get(colIdx(a)) })
 
     ListMap(
       "axes" -> (Seq(measureAxis) ++ memberAxes),
@@ -111,4 +118,58 @@ object AxesResult {
   }
 
   def json(cat: CubeCatalog, q: CubeQuery): String = Json.write(build(cat, q))
+
+  /** `debug=true` parity (ref api.rb:39,141 + mondrian_ext.rb add_mdx: the
+    * reference splices its generated MDX into the response). Graft's
+    * generated artifact is the normalized [[CubeQuery]] and the Spark
+    * physical plan, so that's what the `debug` key carries. Plan text comes
+    * from the planner without executing (and without touching the result
+    * cache): plan construction is driver-side Catalyst work only. */
+  def jsonDebug(cat: CubeCatalog, q: CubeQuery): String = {
+    def ref(l: LevelRef): String =
+      (Seq(l.dim) ++ l.hierarchy ++ l.level).mkString(".")
+    def cutStr(c: Cut): String = c match {
+      case MemberCut(l, k) => s"${ref(l)} = $k"
+      case SetCut(l, ks) => s"${ref(l)} IN (${ks.mkString(", ")})"
+      case RangeCut(l, lo, hi) => s"${ref(l)} BETWEEN $lo AND $hi"
+      case NamedSetCut(s) => s"NAMED SET $s"
+      case TopKCut(l, k, m, asc) =>
+        s"${if (asc) "BOTTOM" else "TOP"}($k) ${ref(l)} BY $m"
+      case ExcludeCut(l, ks) => s"${ref(l)} NOT IN (${ks.mkString(", ")})"
+    }
+    def drillStr(d: Drill): String = d match {
+      case LevelDrill(l) => ref(l)
+      case NamedSetDrill(s) => s"NAMED SET $s"
+    }
+    val order = q.order.map { o =>
+      val t = o.target match {
+        case OrderByMeasure(m) => m
+        case OrderByLevel(l, what) => s"${ref(l)}.$what"
+      }
+      t + (if (o.desc) " DESC" else " ASC")
+    }
+    val query = ListMap[String, Any](
+      "cube" -> q.cube,
+      "drilldowns" -> q.drilldowns.map(drillStr),
+      "measures" -> q.measures,
+      "cuts" -> q.cuts.map(cutStr),
+      "filters" -> q.filters.map(f => s"${f.measure} ${f.op} ${f.value}"),
+      "order" -> order.orNull,
+      "offset" -> q.offset,
+      "limit" -> q.limit.orNull,
+      "nonempty" -> q.nonempty,
+      "distinct" -> q.distinct,
+      "parents" -> q.parents,
+      "sparse" -> q.sparse,
+      "properties" -> q.properties.map(p => s"${ref(p.level)}.${p.property}"),
+      "captions" -> q.captions.map(p => s"${ref(p.level)}.${p.property}"),
+      "adhoc_calcs" -> q.adhocCalcs.map(_.alias),
+      "adhoc_lags" -> q.adhocLags.map(_.alias),
+      "adhoc_totals" -> q.adhocTotals.map(_.alias))
+    val plan = Planner.plan(cat, q).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    Json.write(build(cat, q) +
+      ("debug" -> ListMap[String, Any]("query" -> query, "plan" -> plan)))
+  }
 }

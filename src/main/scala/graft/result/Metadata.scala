@@ -113,14 +113,21 @@ object Metadata {
         expr(l.nameExpr.getOrElse(l.keyExpr)).as("caption")) ++
         (if (withProps) l.properties.map(p => expr(p.expr).as(p.name))
          else Nil)
+    // (ordinal, key) is a TOTAL order — ordinal alone can tie, and paging
+    // (offset/limit below) needs every page boundary deterministic
     visible.select((cols :+ expr(l.ordExpr.getOrElse(l.keyExpr)).as("__ord")): _*)
-      .distinct().orderBy(col("__ord")).drop("__ord")
+      .distinct().orderBy(col("__ord"), col("key")).drop("__ord")
   }
 
   def levelMembers(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
-      withProps: Boolean = false): Seq[ListMap[String, Any]] = {
+      withProps: Boolean = false, offset: Long = 0,
+      limit: Option[Int] = None): Seq[ListMap[String, Any]] = {
     val rl = Planner.resolve(cube, ref)
-    val df = levelMembersDf(cat, cube, ref, withProps)
+    val df0 = levelMembersDf(cat, cube, ref, withProps)
+    // paging applies AFTER the total order, inside the plan: a big-dim level
+    // list at 100× must never collect() whole just to serve one page
+    val df = limit.foldLeft(
+      if (offset > 0) df0.offset(offset.toInt) else df0)((d, k) => d.limit(k))
     val names = df.columns
     df.collect().toSeq.map { r =>
       val base = ListMap[String, Any](

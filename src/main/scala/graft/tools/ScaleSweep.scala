@@ -1,0 +1,294 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Scale-slope harness for the embedding dedup/ANN family: measures what the
+  * PRODUCTION index sizing ([[graft.ops.Dedup.suggestedLshBits]] /
+  * [[graft.ops.Dedup.suggestedLshTables]] /
+  * [[graft.ops.Similarity.suggestedIvfLists]], wired in via the *Auto entry
+  * points) buys over the fixed demo parameters the oracle-replayable gate
+  * queries pin, as the corpus grows 1× → 10× → 100×.
+  *
+  * Corpus: the driver's sf embeddings replicated `factor`× with per-replica
+  * deterministic ±1 sign masks (norm-preserving; cross-replica cosines
+  * collapse to ~N(0, 1/√dim), so no artifact near-dup pairs at the sweep
+  * threshold), PLUS a labeled fixture of `plantedPairs` near-duplicates
+  * constructed at an exact angle (cos = plantedCos against their replica-0
+  * source vectors) — the ground truth for recall. Recall compares the same
+  * planted set under fixed vs auto sizing, so the slope numbers can't be
+  * bought by silently dropping recall.
+  *
+  * Fixed-parameter variants are SKIPPED at a factor once their estimated
+  * within-bucket pair work exceeds `pairBudget` (that blowup is the point —
+  * the skip is recorded in the JSON); auto variants run at every factor.
+  * knnIvf is exactness-guaranteed, so its probe results are additionally
+  * asserted equal to brute force at every factor — scale-correctness, not
+  * just scale-speed.
+  *
+  * Usage: runMain graft.tools.ScaleSweep [baseSfDir] [workDir] [outJson]
+  *        [factors]   (defaults: /root/testdata/sf0.1 /tmp/graft_scale
+  *                     BENCH_scaling.json 1,10,100)
+  */
+object ScaleSweep {
+
+  private val Threshold = 0.9 // near-dup cosine threshold = LSH design point
+  private val PlantedCos = 0.95 // planted pairs sit above it with margin
+  private val PlantedPairs = 256
+  private val Dim = 64
+  private val K = 10 // kNN depth
+  private val NQueries = 16
+  private val PairBudget = 5e8 // est. bucket-pair work cap for fixed params
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_scale")
+    val outJson = args.lift(2).getOrElse("BENCH_scaling.json")
+    val factors = args.lift(3).getOrElse("1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    factors.foreach(f => buildCorpus(spark, baseDir, workDir, f))
+
+    // crash-safe + resumable: each factor's results persist as a fragment
+    // file; a rerun recomputes only the missing factors (and skips the
+    // warmup when nothing needs computing)
+    def fragPath(f: Int) = java.nio.file.Paths.get(s"$workDir/result_x$f.json")
+    val missing = factors.filter(f => !java.nio.file.Files.exists(fragPath(f)))
+    if (missing.nonEmpty)
+      runFactor(spark, workDir, missing.min, warm = true) // JVM/codegen warmup
+    missing.foreach { f =>
+      val r = runFactor(spark, workDir, f, warm = false)
+      val ops = r.ops.toSeq.sortBy(_._1).map { case (name, m) =>
+        val extra = m.extra.map { case (k, v) => s""","$k":$v""" }.mkString
+        s""""$name":{"sec":${fmt(m.sec)},"rows":${m.rows}$extra}"""
+      }
+      java.nio.file.Files.writeString(fragPath(f),
+        s"""{"factor":${r.factor},"n":${r.n},"params":${r.params},"ops":{${ops.mkString(",")}}}""")
+      println(s"[scalesweep] fragment written: ${fragPath(f)}")
+    }
+
+    val factorJson = factors.map(f => java.nio.file.Files.readString(fragPath(f)))
+    // (factor, op) -> seconds, parsed back from the fragments, for slopes
+    val parsed = factors.zip(factorJson).map { case (f, s) =>
+      val doc = graft.result.Json.parse(s).asInstanceOf[Map[String, Any]]
+      f -> doc("ops").asInstanceOf[Map[String, Any]].map { case (op, m) =>
+        op -> (m.asInstanceOf[Map[String, Any]]("sec") match {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case other => other.toString.toDouble
+        })
+      }
+    }
+    val opNames = parsed.flatMap(_._2.keys).distinct
+    val slopes = opNames.map { op =>
+      val pts = parsed.flatMap { case (f, m) => m.get(op).map(f -> _) }
+      val ss = pts.sliding(2).collect {
+        case Seq((f0, t0), (f1, t1)) if t0 > 0 =>
+          s""""x${f1}_over_x$f0":${fmt(t1 / t0)}"""
+      }.toSeq
+      s""""$op":{${ss.mkString(",")}}"""
+    }
+    val notes = Seq(
+      "fixed = gate demo parameters (d10 bits=6/tables=2, s02 bits=8, s04 nlist=8/nprobe=3, d15/d16 kmeans k=8); auto = suggestedLshBits/suggestedLshTables/suggestedIvfLists computed from the actual corpus count",
+      s"fixed variants are skipped (op absent) once estimated bucket-pair work exceeds ${PairBudget.toLong} — the quadratic blowup the auto sizing removes",
+      "recall = fraction of the planted exact-angle near-dup fixture recovered; ivf probe results are asserted equal to brute force (exactness bound) at every factor",
+      "knn_lsh is the single-table bucket-probe form: auto bits pin per-query probe work at targetBucket, recall stays the single-table hyperplane trade; the multi-table recall recovery is the neardup form",
+      "semdedup auto sizes kmeans k as sqrt(n) (suggestedIvfLists rule): assignment and within-cluster pair work balance at O(n^1.5); the 100TB configuration grows k ~ n/targetCluster with hierarchical assignment")
+      .map(s => "\"" + s + "\"")
+    val json =
+      s"""{"base":"$baseDir","threshold":$Threshold,"planted":{"pairs":$PlantedPairs,"cos":$PlantedCos},
+         |"factors":[${factorJson.mkString(",\n")}],
+         |"slopes":{${slopes.mkString(",")}},
+         |"notes":[${notes.mkString(",")}]}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(s"[scalesweep] wrote $outJson")
+    spark.stop()
+  }
+
+  private def fmt(d: Double): String = f"$d%.4f"
+
+  /** Deterministic ±1 sign mask per replica (replica 0 = identity). */
+  private def signMasks(factor: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(1234L)
+    Array.tabulate(factor) { r =>
+      val m = Array.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      if (r == 0) Array.fill(Dim)(1.0) else m
+    }
+  }
+
+  /** v' at EXACT angle acos(cos0) from unit v: cos0·v + sin0·û with û a
+    * seeded Gaussian orthogonalized against v. */
+  private def tilt(v: Array[Double], rnd: java.util.Random,
+      cos0: Double): Array[Double] = {
+    val g = Array.fill(v.length)(rnd.nextGaussian())
+    val gv = g.zip(v).map { case (a, b) => a * b }.sum
+    val u = g.zip(v).map { case (a, b) => a - gv * b }
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val sin0 = math.sqrt(1 - cos0 * cos0)
+    v.zip(u).map { case (b, o) => cos0 * b + sin0 * o / un }
+  }
+
+  /** Replicated + planted corpus at `workDir/emb_x{factor}` (built once). */
+  private def buildCorpus(spark: SparkSession, baseDir: String,
+      workDir: String, factor: Int): Unit = {
+    val path = s"$workDir/emb_x$factor"
+    if (new java.io.File(s"$path/_SUCCESS").exists()) return
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)")
+        .as("embedding"), col("label"))
+    val stride = base.agg(max("vec_id")).head.getLong(0) + 1
+    val masks = typedLit(signMasks(factor).map(_.toSeq).toSeq)
+    val reps = spark.range(factor).select(col("id").cast("int").as("__r"))
+    val replicated = base.crossJoin(reps).select(
+      (col("vec_id") + col("__r") * stride).as("vec_id"),
+      zip_with(col("embedding"), element_at(masks, col("__r") + 1),
+        (x, m) => x * m).as("embedding"),
+      col("label"))
+    // planted near-dups: exact-angle copies of replica-0 sources 0..P-1
+    val rnd = new java.util.Random(9999L)
+    val sources = base.where(col("vec_id") < PlantedPairs)
+      .orderBy("vec_id").collect()
+    val planted = sources.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      (factor * stride + r.getLong(0), tilt(v, rnd, PlantedCos).toSeq,
+        r.getInt(2))
+    }.toSeq
+    import spark.implicits._
+    replicated.unionByName(
+        planted.toDF("vec_id", "embedding", "label"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(path)
+    println(s"[scalesweep] built $path")
+  }
+
+  private final case class OpResult(sec: Double, rows: Long,
+      extra: Map[String, String] = Map.empty)
+  private final case class FactorResult(factor: Int, n: Long, params: String,
+      ops: scala.collection.immutable.ListMap[String, OpResult])
+
+  private def runFactor(spark: SparkSession, workDir: String, factor: Int,
+      warm: Boolean): FactorResult = {
+    val emb = spark.read.parquet(s"$workDir/emb_x$factor")
+    val n = emb.count()
+    // planted rows carry the top PlantedPairs ids (built after all replicas);
+    // their sources are replica-0 ids 0..P-1
+    val plantedBase = emb.agg(max("vec_id")).head.getLong(0) -
+      PlantedPairs + 1
+    val baseStride = plantedBase / factor
+    val bitsAuto = Dedup.suggestedLshBits(n)
+    val tablesAuto = Dedup.suggestedLshTables(bitsAuto, Threshold)
+    val nlistAuto = Similarity.suggestedIvfLists(n)
+    val kSemAuto = Similarity.suggestedIvfLists(n)
+    import spark.implicits._
+    val truth = (0 until PlantedPairs)
+      .map(i => (i.toLong, plantedBase + i)).toDF("t_a", "t_b")
+    val qids = (0 until NQueries)
+      .map(i => (i % factor) * baseStride + (i * 131) % baseStride)
+
+    var ops = scala.collection.immutable.ListMap.empty[String, OpResult]
+    def time(name: String)(body: => (Long, Map[String, String])): Unit = {
+      val t0 = System.nanoTime()
+      val (rows, extra) = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (!warm) {
+        ops += name -> OpResult(sec, rows, extra)
+        println(f"[scalesweep] x$factor $name%-16s ${sec}%8.2fs rows=$rows $extra")
+      }
+    }
+    def recallOf(pairs: DataFrame): (Long, Double) = {
+      val found = pairs.join(truth,
+        col("vec_a") === col("t_a") && col("vec_b") === col("t_b"))
+        .count()
+      (found, found.toDouble / PlantedPairs)
+    }
+
+    // --- near-dup pairs: fixed demo params vs auto sizing ---
+    def neardup(name: String, bits: Int, tables: Int): Unit = {
+      val estWork = tables.toDouble * n * n / math.pow(2, bits)
+      if (estWork > PairBudget) return // recorded by absence + notes
+      time(name) {
+        val pairs = Dedup.embeddingNearDupLshPairs(emb, Threshold, bits,
+          tables, Dim).localCheckpoint()
+        val rows = pairs.count()
+        val (_, rec) = recallOf(pairs)
+        (rows, Map("bits" -> bits.toString, "tables" -> tables.toString,
+          "recall" -> fmt(rec)))
+      }
+    }
+    neardup("neardup_fixed", 6, 2)
+    neardup("neardup_auto", bitsAuto, tablesAuto)
+
+    // --- SemDeDup greedy: fixed k=8 vs sqrt(n) clusters (build + apply) ---
+    def semdedup(name: String, k: Int): Unit = {
+      val estWork = n.toDouble * n / k
+      if (estWork > PairBudget) return
+      time(name) {
+        val cs = Similarity.kmeansCentroids(emb, k, 3)
+        val out = Dedup.semanticDedupGreedy(emb, cs, 0.35)
+        val kept = out.where(col("kept") === 1).count()
+        (kept, Map("k" -> k.toString))
+      }
+    }
+    semdedup("semdedup_fixed", 8)
+    semdedup("semdedup_auto", kSemAuto)
+
+    // --- kNN: brute truth, single-table LSH fixed/auto, IVF fixed/auto ---
+    var brute = Map.empty[Long, Set[Long]]
+    time("knn_brute") {
+      val rows = Similarity.knnBrute(emb, qids, K).collect()
+      brute = rows.groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      (rows.length, Map.empty)
+    }
+    def knnRecall(df: DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val per = qids.map(q => got.getOrElse(q, Set.empty)
+        .intersect(brute.getOrElse(q, Set.empty)).size.toDouble / K)
+      per.sum / per.size
+    }
+    time("knn_lsh_fixed") {
+      val df = Similarity.knnLsh(emb, qids, K, bits = 8, dim = Dim)
+        .localCheckpoint()
+      (df.count(), Map("bits" -> "8", "recall" -> fmt(knnRecall(df))))
+    }
+    time("knn_lsh_auto") {
+      val (df0, bits) = Similarity.knnLshAuto(emb, qids, K, dim = Dim)
+      val df = df0.localCheckpoint()
+      (df.count(), Map("bits" -> bits.toString,
+        "recall" -> fmt(knnRecall(df))))
+    }
+    def ivf(buildName: String, probeName: String, nlist: Int): Unit = {
+      var idx: Similarity.IvfIndex = null
+      time(buildName) {
+        idx = Similarity.ivfIndex(emb, nlist, 3)
+        (idx.corpus.count(), Map("nlist" -> nlist.toString))
+      }
+      time(probeName) {
+        val df = Similarity.knnIvfProbe(idx, qids, K, nprobe = 3)
+          .localCheckpoint()
+        val rec = knnRecall(df) // exactness bound → must be 1.0
+        assert(warm || rec == 1.0,
+          s"$probeName recall $rec != 1.0 — exactness bound violated")
+        (df.count(), Map("nlist" -> nlist.toString, "recall" -> fmt(rec)))
+      }
+    }
+    ivf("ivf_build_fixed", "ivf_probe_fixed", 8)
+    ivf("ivf_build_auto", "ivf_probe_auto", nlistAuto)
+
+    val params =
+      s"""{"bits_auto":$bitsAuto,"tables_auto":$tablesAuto,"nlist_auto":$nlistAuto,"k_sem_auto":$kSemAuto}"""
+    FactorResult(factor, n, params, ops)
+  }
+}

@@ -349,4 +349,87 @@ class ApiSpec extends AnyFunSuite {
     assert(Json.parse(m).asInstanceOf[Map[String, Any]]("ancestors")
       .asInstanceOf[Seq[Map[String, Any]]].head("caption") == "EUROPE")
   }
+
+  test("debug=true echoes the normalized query and the Spark plan " +
+      "(ref api.rb:39,141 add_mdx parity)") {
+    val qs = "drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue"
+    // absent without the flag (and with debug=false)
+    val (_, plain) = get(s"/cubes/sales/aggregate?$qs")
+    assert(!Json.parse(plain).asInstanceOf[Map[String, Any]].contains("debug"))
+    val (_, off) = get(s"/cubes/sales/aggregate?$qs&debug=false")
+    assert(!Json.parse(off).asInstanceOf[Map[String, Any]].contains("debug"))
+    // GET with debug=true: debug.query + debug.plan, values unchanged
+    val (code, body) = get(s"/cubes/sales/aggregate?$qs&debug=true")
+    assert(code == 200)
+    val doc = Json.parse(body).asInstanceOf[Map[String, Any]]
+    val dbg = doc("debug").asInstanceOf[Map[String, Any]]
+    val dq = dbg("query").asInstanceOf[Map[String, Any]]
+    assert(dq("cube") == "sales")
+    assert(dq("drilldowns") == Seq("Geography.Region"))
+    assert(dq("measures") == Seq("revenue"))
+    assert(dbg("plan").asInstanceOf[String].nonEmpty)
+    assert(doc("values") ==
+      Json.parse(plain).asInstanceOf[Map[String, Any]]("values"))
+    // POST form body gets the same treatment
+    val (pc, pBody) = post("/cubes/sales/aggregate", s"$qs&debug=true",
+      "application/x-www-form-urlencoded")
+    assert(pc == 200)
+    assert(Json.parse(pBody).asInstanceOf[Map[String, Any]].contains("debug"))
+    // /mdx carries it too; CSV format is unaffected by the flag
+    val (mc, mBody) = post("/mdx?debug=true",
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM [sales]""".stripMargin)
+    assert(mc == 200)
+    assert(Json.parse(mBody).asInstanceOf[Map[String, Any]].contains("debug"))
+    val (cc, csvBody) = get(s"/cubes/sales/aggregate.csv?$qs&debug=true")
+    assert(cc == 200 && !csvBody.contains("debug"))
+  }
+
+  test("members routes page with offset/limit in a stable total order") {
+    def members(doc: String): Seq[Map[String, Any]] =
+      Json.parse(doc).asInstanceOf[Map[String, Any]]("members")
+        .asInstanceOf[Seq[Map[String, Any]]]
+    val path = "/cubes/sales/dimensions/Part/levels/Part/members"
+    val (_, full) = get(path)
+    val all = members(full)
+    assert(all.length > 20)
+    // unpaged response shape is unchanged (reference parity)
+    assert(!Json.parse(full).asInstanceOf[Map[String, Any]]
+      .contains("total_members"))
+    val (code, paged) = get(s"$path?offset=5&limit=10")
+    assert(code == 200)
+    val doc = Json.parse(paged).asInstanceOf[Map[String, Any]]
+    assert(members(paged).map(_("key")) ==
+      all.slice(5, 15).map(_("key")), "page must be a stable slice")
+    assert(doc("total_members") == all.length.toLong)
+    assert(doc("offset") == 5L)
+    // limit-only and offset-only
+    val (_, l3) = get(s"$path?limit=3")
+    assert(members(l3).map(_("key")) == all.take(3).map(_("key")))
+    val (_, tail) = get(s"$path?offset=${all.length - 2}")
+    assert(members(tail).map(_("key")) == all.takeRight(2).map(_("key")))
+  }
+
+  test("sparse default flips via the graft.sparseDefault system property " +
+      "(ref api.rb:138)") {
+    // Part × Month is guaranteed sparse at this sf (see FormatterSpec)
+    val qs = "drilldown%5B%5D=Part.Part&drilldown%5B%5D=ShipDate.Month&" +
+      "measures%5B%5D=revenue"
+    def nValues(body: String): Int =
+      Json.parse(body).asInstanceOf[Map[String, Any]]("values")
+        .asInstanceOf[Seq[Any]].length
+    val (_, dense) = get(s"/cubes/sales/aggregate?$qs")
+    val (_, explicitSparse) = get(s"/cubes/sales/aggregate?$qs&sparse=true")
+    assert(nValues(explicitSparse) < nValues(dense),
+      "fixture must actually be sparse")
+    try {
+      System.setProperty("graft.sparseDefault", "")
+      val (_, flipped) = get(s"/cubes/sales/aggregate?$qs")
+      assert(nValues(flipped) == nValues(explicitSparse))
+      // an explicit sparse=false still wins over the flipped default
+      val (_, forced) = get(s"/cubes/sales/aggregate?$qs&sparse=false")
+      assert(nValues(forced) == nValues(dense))
+    } finally System.clearProperty("graft.sparseDefault")
+  }
 }

@@ -83,9 +83,16 @@ class FormatterSpec extends AnyFunSuite {
     val doc = AxesResult.build(cat, q2)
     val axes = doc("axes").asInstanceOf[Seq[Any]]
     assert(axes.length == 3) // measures + 2 drilldowns
-    val values = doc("values").asInstanceOf[Seq[Seq[Any]]]
-    val cellKeys = doc("cell_keys").asInstanceOf[Seq[Seq[Any]]]
-    assert(values.length == cellKeys.length)
+    // cell_keys/values are LAZY views (C1 streaming serialization — a
+    // dense maxCells result must never exist twice on the heap); the JSON
+    // writer streams them, so they must be Iterable but NOT a materialized
+    // (or memoizing) Seq
+    val values = doc("values").asInstanceOf[Iterable[Seq[Any]]]
+    val cellKeys = doc("cell_keys").asInstanceOf[Iterable[Seq[Any]]]
+    assert(values.isInstanceOf[scala.collection.View[_]],
+      "values must stream lazily into the serializer")
+    assert(cellKeys.isInstanceOf[scala.collection.View[_]])
+    assert(values.size == cellKeys.size)
     assert(values.forall(_.length == 2)) // one entry per measure
     assert(cellKeys.forall(_.length == 2)) // one key per drilldown
   }

@@ -855,6 +855,22 @@ class OpsSpec extends AnyFunSuite {
     assert(m.toSeq == Seq((1, "a", "b", "ab", 4L), (2, "ab", "c", "abc", 1L)))
   }
 
+  test("BPE induction: 64 rounds stay flat per round (lineage truncated), " +
+      "deterministic") {
+    // 64 merges over the real docs table: with per-round lineage truncation
+    // each round costs one vocab-table pass; a growing replace-chain would
+    // blow up Catalyst analysis superlinearly and bust the bound
+    val t0 = System.nanoTime()
+    val m64 = TextOps.bpeMergeTable(docs, 64)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(m64.length == 64, s"corpus exhausted early: ${m64.length}")
+    assert(sec < 120.0, f"64 BPE rounds took $sec%.1fs — lineage regrowth?")
+    // merge counts are non-increasing in frequency order and the induction
+    // is deterministic round for round
+    assert(m64.map(_._5).sliding(2).forall(s => s.head >= s.last))
+    assert(TextOps.bpeMergeTable(docs, 8) == m64.take(8))
+  }
+
   test("repeated-span trimming removes exactly the planted shared span") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // exactly k tokens
@@ -1145,5 +1161,51 @@ class OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Similarity.withNearestCluster(bad, cs, "cluster")
     }
+  }
+
+  test("auto LSH sizing: planted near-dup recall >= fixed demo params on a " +
+      "corpus where the sizings diverge") {
+    import spark.implicits._
+    // 8192 base + 128 planted → suggestedLshBits = 8 (demo pins 6): the
+    // production sizing shrinks buckets 4× (pair work) and must buy the
+    // recall back with suggestedLshTables' OR-amplification
+    val dim = 16
+    val nBase = 8192
+    val p = 128
+    val cos0 = 0.95
+    val rnd = new java.util.Random(5)
+    def unit(): Array[Double] = {
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(g.map(x => x * x).sum)
+      g.map(_ / norm)
+    }
+    val base = Array.fill(nBase)(unit())
+    val planted = (0 until p).map { i =>
+      val v = base(i)
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val gv = g.zip(v).map { case (a, b) => a * b }.sum
+      val u = g.zip(v).map { case (a, b) => a - gv * b }
+      val un = math.sqrt(u.map(x => x * x).sum)
+      val sin0 = math.sqrt(1 - cos0 * cos0)
+      v.zip(u).map { case (b, o) => cos0 * b + sin0 * o / un }
+    }
+    val emb = (base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      planted.zipWithIndex.map { case (v, i) => ((nBase + i).toLong, v.toSeq) })
+      .toSeq.toDF("vec_id", "embedding")
+    val truth = (0 until p).map(i => (i.toLong, (nBase + i).toLong)).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .count(truth).toDouble / p
+    val rFixed = recallOf(
+      Dedup.embeddingNearDupLshPairs(emb, 0.9, bits = 6, tables = 2, dim = dim))
+    val (autoDf, bits, tables) = Dedup.embeddingNearDupAuto(emb, 0.9, dim = dim)
+    val rAuto = recallOf(autoDf)
+    assert(bits > 6, s"fixture must exercise a non-demo sizing (bits=$bits)")
+    assert(tables == Dedup.suggestedLshTables(bits, 0.9))
+    assert(rAuto >= rFixed,
+      s"auto sizing (bits=$bits tables=$tables) recall $rAuto must not lose " +
+        s"to fixed demo params (recall $rFixed)")
+    assert(rAuto >= 0.9, s"auto recall $rAuto below the 0.95 design point " +
+      "minus sampling slack")
   }
 }

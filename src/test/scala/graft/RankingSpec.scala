@@ -138,4 +138,45 @@ class RankingSpec extends AnyFunSuite {
     assert(windows.exists(_.contains("__rk_b")),
       s"expected bucket-partitioned window:\n${plan.take(1200)}")
   }
+
+  test("bucket ids survive AQE with partition coalescing forced on " +
+      "(round-5 verdict nit: invariance must not depend on localCheckpoint)") {
+    // tiny advisory size makes AQE coalesce every exchange it is ALLOWED to
+    // touch; the REPARTITION_BY_NUM range shuffle must not be one of them,
+    // and the ranks must equal the single-partition oracle regardless
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1b")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "1b")
+      val df = frame(977)
+      val got = Ranking.globalRank(df, col("v"), col("id"), buckets = 7)
+      val want = df.withColumn("global_rank",
+        row_number().over(Window.orderBy(col("v").asc, col("id").asc))
+          .cast("long"))
+      assert(got.select("v", "id", "global_rank").except(want).isEmpty &&
+        want.except(got.select("v", "id", "global_rank")).isEmpty)
+      // the range shuffle really kept its explicit bucket count under AQE
+      // (REPARTITION_BY_NUM is not coalescible) — not one collapsed bucket
+      val b = Ranking.withRangeBuckets(
+        df.withColumn("__rk_v", col("v")).withColumn("__rk_t", col("id")),
+        7, Seq(col("__rk_v"), col("__rk_t")))
+      assert(b.select("__rk_b").distinct().count() == 7)
+      val tiles = Ranking.equiDepthTiles(df, col("v"), col("id"), tiles = 4)
+      val wantTiles = df.withColumn("tile", ntile(4).over(
+        Window.orderBy(col("v").asc, col("id").asc)))
+      assert(tiles.select("v", "id", "tile").except(wantTiles).isEmpty &&
+        wantTiles.except(tiles.select("v", "id", "tile")).isEmpty)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -201,4 +201,90 @@ class RollupSpec extends AnyFunSuite {
     val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
     assert(routed.toSeq == direct.toSeq)
   }
+
+  // --- round-5 verdict #5: the post-agg measure classes (domain lag, cum,
+  // moving, share-of-total) must either route correctly or refuse ---
+
+  private def L(d: String, l: String, h: String = null) =
+    LevelRef(d, Some(l), Option(h))
+
+  private lazy val monthRollup: Unit = {
+    registered
+    cat.addRollup(Rollups.build(cat, cube, Seq(
+      L("ShipDate", "Year", "Monthly"), L("ShipDate", "Month", "Monthly"))))
+  }
+
+  private def routedVsDirect(q: CubeQuery, expectRouted: Boolean): Unit = {
+    monthRollup
+    val routedDf = Planner.plan(cat, q)
+    val usesRollup = routedDf.queryExecution.executedPlan.toString()
+      .contains("InMemoryTableScan")
+    assert(usesRollup == expectRouted,
+      s"expected routed=$expectRouted for $q")
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
+    assert(routedDf.collect().map(_.toSeq).toSeq == direct.toSeq)
+  }
+
+  test("domain-exact lag (q54 shape) ROUTES: relaxed time cuts apply on " +
+      "rollup aliases, PrevMember reaches the cut-away month") {
+    routedVsDirect(CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "prev_revenue", "revenue_growth", "ytd_revenue"),
+      cuts = Seq(SetCut(L("ShipDate", "Month", "Monthly"), Seq(1, 2, 4)))),
+      expectRouted = true)
+  }
+
+  test("cumulative Ytd (q48 shape) ROUTES") {
+    routedVsDirect(CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "ytd_revenue")), expectRouted = true)
+  }
+
+  test("trailing moving average (q60 shape) ROUTES under a gap cut") {
+    routedVsDirect(CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "revenue_3mo_avg"),
+      cuts = Seq(SetCut(L("ShipDate", "Month", "Monthly"), Seq(1, 4, 9)))),
+      expectRouted = true)
+  }
+
+  test("share-of-total (q57 shape) ROUTES: the axis-window total runs over " +
+      "the rollup aggregation") {
+    routedVsDirect(CubeQuery("sales",
+      Seq(drill("Geography", "Region"), drill("Part", "Brand", "Brands")),
+      Seq("revenue", "revenue_geo_total", "revenue_geo_share")),
+      expectRouted = true)
+  }
+
+  test("dense mode (q55/q59 shape) REFUSES: filler domains come from dim " +
+      "tables, not partials") {
+    routedVsDirect(CubeQuery("sales",
+      Seq(drill("ShipDate", "Year", "Monthly"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "prev_revenue"), nonempty = false),
+      expectRouted = false)
+  }
+
+  test("median REFUSES (non-additive) while sum on the same rollup ROUTES") {
+    val orders = cat.cube("orders")
+    cat.addRollup(Rollups.build(cat, orders,
+      Seq(LevelRef("Geography", Some("Region")))))
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    def check(measure: String, expectRouted: Boolean): Unit = {
+      val q = CubeQuery("orders", Seq(drill("Geography", "Region")),
+        Seq(measure))
+      val routedDf = Planner.plan(cat, q)
+      assert(routedDf.queryExecution.executedPlan.toString()
+        .contains("InMemoryTableScan") == expectRouted,
+        s"expected routed=$expectRouted for $measure")
+      assert(routedDf.collect().map(_.toSeq).toSeq ==
+        Planner.plan(factCat, q).collect().map(_.toSeq).toSeq)
+    }
+    check("total_sales", expectRouted = true)
+    check("median_order", expectRouted = false)
+  }
 }
