@@ -439,17 +439,58 @@ object Similarity {
     bitCols.reduce(_ + _).as("bucket")
   }
 
-  /** [[knnLsh]] with [[graft.ops.Dedup.suggestedLshBits]] wired in: bucket
-    * population n/2^bits stays pinned at ~targetBucket as the corpus grows,
-    * so per-query probe work is O(targetBucket), not O(n/2^bits_fixed).
-    * Recall is the single-table hyperplane trade (nearest neighbors across
-    * a plane are missed); the multi-table recall recovery lives in the
-    * near-dup form ([[graft.ops.Dedup.embeddingNearDupAuto]]). Returns the
-    * frame plus the bits used. */
+  /** MULTI-TABLE LSH kNN — [[knnLsh]] with the recall knob the single-table
+    * form lacks: `tables` independent hyperplane tables OR-amplify the
+    * per-neighbor find probability from p^bits to 1 − (1 − p^bits)^T
+    * (p = 1 − θ/π), the same trade [[graft.ops.Dedup.embeddingNearDupAuto]]
+    * uses for pair generation. Candidates ride SKINNY (query_id,
+    * neighbor_id) through the bucket join and dedup (a neighbor sharing
+    * several buckets scores once); vectors re-attach only for surviving
+    * candidates. Per-query probe work is T · bucket population — map-side
+    * linear in T, never pairwise. */
+  def knnLshMulti(emb: DataFrame, queryIds: Seq[Long], k: Int, bits: Int,
+      tables: Int, dim: Int = 64): DataFrame = {
+    // localCheckpoint: feeds bucket explosion + the two vector re-attaches
+    val e = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+      .localCheckpoint(eager = false)
+    val bucketCols = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, seed = 42L + t)
+      struct(lit(t).as("t"), lshBucket(col("v"), planes).as("b"))
+    }
+    val keyed = e.select(col("vec_id"),
+      explode(array(bucketCols: _*)).as("bk"))
+    val queries = keyed.where(col("vec_id").isin(queryIds: _*))
+      .select(col("bk").as("bk_q"), col("vec_id").as("query_id"))
+    val cand = keyed.select(col("bk").as("bk_n"), col("vec_id").as("neighbor_id"))
+      .join(broadcast(queries),
+        col("bk_q") === col("bk_n") && col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("v_n")),
+        "neighbor_id")
+      .join(broadcast(e.where(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("v_q"))),
+        "query_id")
+      .withColumn("sim", dot(col("v_q"), col("v_n")))
+    topKPerQuery(scored, k).orderBy("query_id", "rank")
+  }
+
+  /** [[knnLshMulti]] with the PRODUCTION SIZING wired in: bits from
+    * [[graft.ops.Dedup.suggestedLshBits]] pin bucket population at
+    * ~targetBucket as the corpus grows (per-query probe work stays
+    * O(T·targetBucket), not O(n/2^bits_fixed)), and tables from
+    * [[graft.ops.Dedup.suggestedLshTables]] hold the find probability for
+    * neighbors at the (targetCos, targetRecall) design point as bits grow.
+    * Neighbors far below targetCos keep the plain hyperplane miss rate —
+    * that is LSH's contract, not a sizing defect. Returns (frame, bits,
+    * tables). */
   def knnLshAuto(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      targetBucket: Int = 64, dim: Int = 64): (DataFrame, Int) = {
+      targetBucket: Int = 64, targetCos: Double = 0.9,
+      targetRecall: Double = 0.95, dim: Int = 64): (DataFrame, Int, Int) = {
     val bits = graft.ops.Dedup.suggestedLshBits(emb.count(), targetBucket)
-    (knnLsh(emb, queryIds, k, bits, dim), bits)
+    val tables = graft.ops.Dedup.suggestedLshTables(bits, targetCos,
+      targetRecall)
+    (knnLshMulti(emb, queryIds, k, bits, tables, dim), bits, tables)
   }
 
   /** ANN via hyperplane-LSH bucketing: exact search restricted to the query's

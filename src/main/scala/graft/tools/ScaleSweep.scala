@@ -103,7 +103,7 @@ object ScaleSweep {
       "fixed = gate demo parameters (d10 bits=6/tables=2, s02 bits=8, s04 nlist=8/nprobe=3, d15/d16 kmeans k=8); auto = suggestedLshBits/suggestedLshTables/suggestedIvfLists computed from the actual corpus count",
       s"fixed variants are skipped (op absent) once estimated bucket-pair work exceeds ${PairBudget.toLong} — the quadratic blowup the auto sizing removes",
       "recall = fraction of the planted exact-angle near-dup fixture recovered; ivf probe results are asserted equal to brute force (exactness bound) at every factor",
-      "knn_lsh is the single-table bucket-probe form: auto bits pin per-query probe work at targetBucket, recall stays the single-table hyperplane trade; the multi-table recall recovery is the neardup form",
+      "knn_lsh_fixed is the gate's single-table form (s02 bits=8); knn_lsh_auto is the multi-table production form (suggestedLshBits + suggestedLshTables) — twin_hit is the find-my-near-duplicate retrieval metric (queries are planted sources, their twin sits at cos 0.95), recall is plain recall@10 vs brute force (most true top-10 neighbors sit far below the design cos, where LSH's contract does not reach)",
       "semdedup auto sizes kmeans k as sqrt(n) (suggestedIvfLists rule): assignment and within-cluster pair work balance at O(n^1.5); the 100TB configuration grows k ~ n/targetCluster with hierarchical assignment")
       .map(s => "\"" + s + "\"")
     val json =
@@ -193,8 +193,11 @@ object ScaleSweep {
     import spark.implicits._
     val truth = (0 until PlantedPairs)
       .map(i => (i.toLong, plantedBase + i)).toDF("t_a", "t_b")
-    val qids = (0 until NQueries)
-      .map(i => (i % factor) * baseStride + (i * 131) % baseStride)
+    // kNN queries = planted SOURCES: each has a known twin at PlantedCos,
+    // so besides plain recall@k vs brute force, every kNN op reports
+    // twin_hit — the find-my-near-duplicate retrieval task LSH exists for
+    val qids = (0L until NQueries.toLong).toSeq
+    def twinOf(q: Long): Long = plantedBase + q
 
     var ops = scala.collection.immutable.ListMap.empty[String, OpResult]
     def time(name: String)(body: => (Long, Map[String, String])): Unit = {
@@ -243,31 +246,36 @@ object ScaleSweep {
     semdedup("semdedup_fixed", 8)
     semdedup("semdedup_auto", kSemAuto)
 
-    // --- kNN: brute truth, single-table LSH fixed/auto, IVF fixed/auto ---
+    // --- kNN: brute truth, LSH fixed (gate single-table) vs auto
+    // (multi-table production sizing), IVF fixed/auto ---
     var brute = Map.empty[Long, Set[Long]]
+    def sets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+        .toMap
+    def knnMetrics(got: Map[Long, Set[Long]]): Map[String, String] = Map(
+      "recall" -> fmt(qids.map(q => got.getOrElse(q, Set.empty[Long])
+        .intersect(brute.getOrElse(q, Set.empty[Long])).size.toDouble / K)
+        .sum / qids.size),
+      "twin_hit" -> fmt(qids.count(q =>
+        got.getOrElse(q, Set.empty[Long]).contains(twinOf(q))).toDouble /
+        qids.size))
     time("knn_brute") {
       val rows = Similarity.knnBrute(emb, qids, K).collect()
-      brute = rows.groupBy(_.getLong(0))
-        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
-      (rows.length, Map.empty)
-    }
-    def knnRecall(df: DataFrame): Double = {
-      val got = df.collect().groupBy(_.getLong(0))
-        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
-      val per = qids.map(q => got.getOrElse(q, Set.empty)
-        .intersect(brute.getOrElse(q, Set.empty)).size.toDouble / K)
-      per.sum / per.size
+      brute = sets(rows)
+      (rows.length, Map(
+        "twin_hit" -> fmt(qids.count(q => brute.getOrElse(q,
+          Set.empty[Long]).contains(twinOf(q))).toDouble / qids.size)))
     }
     time("knn_lsh_fixed") {
-      val df = Similarity.knnLsh(emb, qids, K, bits = 8, dim = Dim)
-        .localCheckpoint()
-      (df.count(), Map("bits" -> "8", "recall" -> fmt(knnRecall(df))))
+      val rows = Similarity.knnLsh(emb, qids, K, bits = 8, dim = Dim)
+        .collect()
+      (rows.length, Map("bits" -> "8") ++ knnMetrics(sets(rows)))
     }
     time("knn_lsh_auto") {
-      val (df0, bits) = Similarity.knnLshAuto(emb, qids, K, dim = Dim)
-      val df = df0.localCheckpoint()
-      (df.count(), Map("bits" -> bits.toString,
-        "recall" -> fmt(knnRecall(df))))
+      val (df, bits, tables) = Similarity.knnLshAuto(emb, qids, K, dim = Dim)
+      val rows = df.collect()
+      (rows.length, Map("bits" -> bits.toString,
+        "tables" -> tables.toString) ++ knnMetrics(sets(rows)))
     }
     def ivf(buildName: String, probeName: String, nlist: Int): Unit = {
       var idx: Similarity.IvfIndex = null
@@ -276,12 +284,11 @@ object ScaleSweep {
         (idx.corpus.count(), Map("nlist" -> nlist.toString))
       }
       time(probeName) {
-        val df = Similarity.knnIvfProbe(idx, qids, K, nprobe = 3)
-          .localCheckpoint()
-        val rec = knnRecall(df) // exactness bound → must be 1.0
-        assert(warm || rec == 1.0,
-          s"$probeName recall $rec != 1.0 — exactness bound violated")
-        (df.count(), Map("nlist" -> nlist.toString, "recall" -> fmt(rec)))
+        val rows = Similarity.knnIvfProbe(idx, qids, K, nprobe = 3).collect()
+        val m = knnMetrics(sets(rows)) // exactness bound → recall 1.0
+        assert(warm || m("recall") == fmt(1.0),
+          s"$probeName recall ${m("recall")} != 1.0 — exactness bound violated")
+        (rows.length, Map("nlist" -> nlist.toString) ++ m)
       }
     }
     ivf("ivf_build_fixed", "ivf_probe_fixed", 8)

@@ -1208,4 +1208,50 @@ class OpsSpec extends AnyFunSuite {
     assert(rAuto >= 0.9, s"auto recall $rAuto below the 0.95 design point " +
       "minus sampling slack")
   }
+
+  test("multi-table LSH kNN: planted twin found where single-table misses " +
+      "it; one table equals knnLsh exactly") {
+    import spark.implicits._
+    val dim = 16
+    val nBase = 2048
+    val p = 32
+    val cos0 = 0.95
+    val rnd = new java.util.Random(7)
+    def unit(): Array[Double] = {
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(g.map(x => x * x).sum)
+      g.map(_ / norm)
+    }
+    val base = Array.fill(nBase)(unit())
+    val twins = (0 until p).map { i =>
+      val v = base(i)
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val gv = g.zip(v).map { case (a, b) => a * b }.sum
+      val u = g.zip(v).map { case (a, b) => a - gv * b }
+      val un = math.sqrt(u.map(x => x * x).sum)
+      val sin0 = math.sqrt(1 - cos0 * cos0)
+      v.zip(u).map { case (b, o) => cos0 * b + sin0 * o / un }
+    }
+    val emb = (base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      twins.zipWithIndex.map { case (v, i) => ((nBase + i).toLong, v.toSeq) })
+      .toSeq.toDF("vec_id", "embedding")
+    val qids = (0L until p.toLong).toSeq
+    def twinHits(df: org.apache.spark.sql.DataFrame): Int =
+      df.collect().count(r =>
+        r.getLong(2) == nBase + r.getLong(0)) // twin id = nBase + query id
+    val bits = 8
+    val one = Similarity.knnLshMulti(emb, qids, 5, bits, tables = 1, dim = dim)
+    val many = Similarity.knnLshMulti(emb, qids, 5, bits,
+      tables = Dedup.suggestedLshTables(bits, cos0, 0.98), dim = dim)
+    // single table finds p95^8 ~ 0.43 of twins; OR-amplification must lift
+    // it to the design point (seeded, so these are fixed numbers)
+    assert(twinHits(many) > twinHits(one),
+      s"tables must buy recall: ${twinHits(many)} vs ${twinHits(one)}")
+    assert(twinHits(many) >= (0.9 * p).toInt,
+      s"twin recall ${twinHits(many)}/$p below design point")
+    // tables=1 must degrade EXACTLY to the single-table knnLsh
+    val legacy = Similarity.knnLsh(emb, qids, 5, bits, dim)
+      .collect().map(_.toSeq)
+    assert(one.collect().map(_.toSeq).toSeq == legacy.toSeq)
+  }
 }
