@@ -8,20 +8,24 @@ import graft.model._
   * users commonly POST by hand; everything compiles onto the same CubeQuery
   * IR the REST params use:
   *
-  *   [WITH (MEMBER [Measures].[X] AS '<arith over measures>')+]
+  *   [WITH (MEMBER [Measures].[X] AS '<arith over measures>'
+  *          | SET [X] AS '<set>')+]
   *   SELECT {[Measures].[M], ...} ON COLUMNS,
   *          [NON EMPTY] <axis> ON ROWS
   *   FROM [Cube]
   *   [WHERE (<member> [* <member>]...)]
   *
   *   <axis> ::= <set>
+  *           | ( <axis> )
   *           | FILTER(<axis>, [Measures].[M] <op> <number>)   — HAVING
   *           | ORDER(<axis>, [Measures].[M] [, ASC|DESC|BASC|BDESC])
   *           | HEAD(<axis>, n)                                 — limit
   *           | SUBSET(<axis>, start[, count])                  — offset/limit
+  *           | DISTINCT(<axis>)                                — A14 flag
   *           | HIERARCHIZE(<axis>)                             — default order
   *   <set> ::= [Dim].[Level].Members | [Dim].[Hier].[Level].Members
-  *           | [Named Set]
+  *           | [Named Set] | [Query Set]                       — WITH SET ref
+  *           | ( <set> )
   *           | {<member>, ...}
   *           | <member> : <member>                             — range
   *           | <member>.Children
@@ -30,7 +34,11 @@ import graft.model._
   *           | TOPCOUNT(<set>, k, [Measures].[M])
   *           | BOTTOMCOUNT(<set>, k, [Measures].[M])
   *           | DESCENDANTS(<member>, [Dim].[Level])
-  */
+  *
+  * WITH SET definitions substitute textually (definition-before-use, each
+  * into later definitions and the axes) — the set grammar is compositional
+  * on strings, so substitution is exact; shadowing a dimension or schema
+  * named set 400s. */
 object MdxParser {
 
   def parse(cube: CubeDef, mdx: String): CubeQuery = {
@@ -43,7 +51,34 @@ object MdxParser {
         if (fromCube != cube.name)
           GraftException.badRequest(
             s"MDX FROM cube '$fromCube' does not match '${cube.name}'")
-        val (adhoc, adhocLags, adhocTotals) = Option(withClause)
+        // WITH SET [X] AS '<set>': query-scoped named sets. MDX requires
+        // definition before use, so each definition substitutes (as text)
+        // into every LATER definition and into the axes — the set language
+        // is compositional on strings, which makes substitution exact.
+        val setRe =
+          """(?is)SET\s+(?:\[([^\]]+)\]|([^\]\s]+))\s+AS\s+'([^']*)'""".r
+        val querySets = Option(withClause).toSeq
+          .flatMap(setRe.findAllMatchIn(_)).map { m =>
+            val name = Option(m.group(1)).getOrElse(m.group(2))
+            if (cube.dimension(name).nonEmpty ||
+              cube.namedSets.exists(_.name == name))
+              GraftException.badRequest(
+                s"WITH SET '$name' shadows a dimension or schema named set")
+            name -> m.group(3)
+          }
+        val resolvedSets = querySets
+          .foldLeft(Seq.empty[(String, String)]) { case (done, (n, b)) =>
+            done :+ (n -> done.foldLeft(b) { case (acc, (dn, db)) =>
+              acc.replace(s"[$dn]", s"($db)")
+            })
+          }
+        def substResolved(s: String): String =
+          resolvedSets.foldLeft(s) { case (acc, (name, body)) =>
+            acc.replace(s"[$name]", s"($body)")
+          }
+        val memberClause = Option(withClause)
+          .map(setRe.replaceAllIn(_, "").trim).filter(_.nonEmpty)
+        val (adhoc, adhocLags, adhocTotals) = memberClause
           .map(parseWithMembers(cube, _)).getOrElse((Nil, Nil, Nil))
         // adhoc aliases resolve on an augmented view of the cube so the
         // measure axis (and nested FILTER/ORDER) can reference them
@@ -57,7 +92,7 @@ object MdxParser {
             (true, t.substring("NON EMPTY".length).trim)
           else (false, t)
         }
-        val axis = parseAxis(augmented, rowAxis)
+        val axis = parseAxis(augmented, substResolved(rowAxis))
         val slicerCuts = Option(slicer).map(_.trim).filter(_.nonEmpty)
           .map(parseSlicer(augmented, _)).getOrElse(Nil)
         // FILTER() removes tuples from the axis (Mondrian semantics) — the
@@ -66,6 +101,7 @@ object MdxParser {
           cuts = axis.cuts ++ slicerCuts, filters = axis.filters,
           order = axis.order, limit = axis.limit, offset = axis.offset,
           nonempty = nonEmpty || axis.filters.nonEmpty,
+          distinct = axis.distinct,
           adhocCalcs = adhoc, adhocLags = adhocLags,
           adhocTotals = adhocTotals)
       case _ => GraftException.badRequest(
@@ -179,17 +215,28 @@ object MdxParser {
   /** Parsed row axis: a set plus its axis-level wrappers. */
   final case class Axis(drills: Seq[Drill], cuts: Seq[Cut],
       filters: Seq[MeasureFilter] = Nil, order: Option[OrderSpec] = None,
-      limit: Option[Long] = None, offset: Long = 0)
+      limit: Option[Long] = None, offset: Long = 0,
+      distinct: Boolean = false)
 
   /** Axis-level functions wrap the whole set: FILTER → HAVING, ORDER →
-    * result order, HEAD → limit, HIERARCHIZE → the default hierarchical
-    * order (a no-op — exactly what finishAxis already emits). */
+    * result order, HEAD → limit, SUBSET → offset/limit, DISTINCT → the A14
+    * flag, HIERARCHIZE → the default hierarchical order (a no-op — exactly
+    * what finishAxis already emits). */
   def parseAxis(cube: CubeDef, s: String): Axis = {
     val t = s.trim
     val upper = t.toUpperCase
     def args(fn: String): Vector[String] =
       splitTop(t.substring(fn.length, t.length - 1), ',')
-    if (upper.startsWith("FILTER(") && t.endsWith(")")) {
+    if (wholeParen(t)) {
+      // one redundant paren group around the whole axis (WITH SET bodies
+      // substitute in wrapped, and hand-written MDX parenthesizes freely)
+      parseAxis(cube, t.substring(1, t.length - 1))
+    } else if (upper.startsWith("DISTINCT(") && t.endsWith(")")) {
+      val as = args("DISTINCT(")
+      if (as.length != 1)
+        GraftException.badRequest(s"DISTINCT takes one set: '$s'")
+      parseAxis(cube, as(0)).copy(distinct = true)
+    } else if (upper.startsWith("FILTER(") && t.endsWith(")")) {
       val as = args("FILTER(")
       if (as.length != 2)
         GraftException.badRequest(s"FILTER takes (set, condition): '$s'")
@@ -343,11 +390,31 @@ object MdxParser {
     (Seq(LevelDrill(lref)), cut.toSeq)
   }
 
+  /** True when the string is one balanced (...) group end to end. */
+  private def wholeParen(t: String): Boolean = {
+    if (!(t.startsWith("(") && t.endsWith(")"))) return false
+    var depth = 0
+    var i = 0
+    while (i < t.length - 1) {
+      t.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return false
+        case _ =>
+      }
+      i += 1
+    }
+    depth == 1
+  }
+
   /** Row-axis set → (drilldowns, cuts). */
   def parseSet(cube: CubeDef, s: String): (Seq[Drill], Seq[Cut]) = {
     val t = s.trim
     val upper = t.toUpperCase
-    if (Seq("UNION(", "EXCEPT(", "INTERSECT(").exists(upper.startsWith)
+    if (wholeParen(t)) {
+      // a paren-wrapped SET (WITH SET substitution wraps its body; tuple
+      // slicers never reach parseSet — they go through parseSlicer)
+      parseSet(cube, t.substring(1, t.length - 1))
+    } else if (Seq("UNION(", "EXCEPT(", "INTERSECT(").exists(upper.startsWith)
         && t.endsWith(")")) {
       val fn = upper.takeWhile(_ != '(')
       val args = splitTop(t.substring(fn.length + 1, t.length - 1), ',')

@@ -383,4 +383,55 @@ class MdxSpec extends AnyFunSuite {
       "SELECT {[Measures].[Nope]} ON COLUMNS, [Geography].[Region].Members ON ROWS FROM sales"))
       .status == 400)
   }
+
+  test("WITH SET defines a query-scoped set; later sets and axis wrappers " +
+      "may reference it") {
+    val q = MdxParser.parse(salesCube,
+      """WITH SET [Euro Pair] AS '{[Geography].[Nation].[3], [Geography].[Nation].[7]}'
+        |SET [Trio] AS 'UNION([Euro Pair], {[Geography].[Nation].[9]})'
+        |SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |ORDER([Trio], [Measures].[Revenue], DESC) ON ROWS
+        |FROM [sales]""".stripMargin)
+    val inline = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |ORDER({[Geography].[Nation].[3], [Geography].[Nation].[7],
+        |  [Geography].[Nation].[9]}, [Measures].[Revenue], DESC) ON ROWS
+        |FROM [sales]""".stripMargin)
+    assert(q == inline)
+    // the set composes under TOPCOUNT too
+    val topQ = MdxParser.parse(salesCube,
+      """WITH SET [Picked] AS '[Part].[Brand].Members'
+        |SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |TOPCOUNT([Picked], 3, [Measures].[Revenue]) ON ROWS
+        |FROM [sales]""".stripMargin)
+    assert(topQ.cuts.exists {
+      case TopKCut(_, 3, "revenue", false) => true; case _ => false
+    })
+    // WITH may carry SET and MEMBER together
+    val both = MdxParser.parse(salesCube,
+      """WITH SET [R] AS '[Geography].[Region].Members'
+        |MEMBER [Measures].[Dbl] AS '[Measures].[Revenue] * 2'
+        |SELECT {[Measures].[Dbl]} ON COLUMNS, [R] ON ROWS
+        |FROM [sales]""".stripMargin)
+    assert(both.adhocCalcs.map(_.alias) == Seq("Dbl") &&
+      both.drilldowns == Seq(LevelDrill(LevelRef("Geography", Some("Region")))))
+    // shadowing a dimension or a schema named set is a 400
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH SET [Geography] AS '[Part].[Brand].Members'
+        |SELECT {[Measures].[Revenue]} ON COLUMNS, [Geography] ON ROWS
+        |FROM [sales]""".stripMargin)).status == 400)
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH SET [Top Brands] AS '[Part].[Brand].Members'
+        |SELECT {[Measures].[Revenue]} ON COLUMNS, [Top Brands] ON ROWS
+        |FROM [sales]""".stripMargin)).status == 400)
+  }
+
+  test("DISTINCT() sets the A14 flag; redundant parens are transparent") {
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |DISTINCT(([Geography].[Region].Members)) ON ROWS
+        |FROM [sales]""".stripMargin)
+    assert(q.distinct &&
+      q.drilldowns == Seq(LevelDrill(LevelRef("Geography", Some("Region")))))
+  }
 }
