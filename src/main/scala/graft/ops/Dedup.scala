@@ -676,15 +676,25 @@ object Dedup {
     * Jaccard — more tables buy recall linearly in map-side work, never
     * pairwise work.
     *
-    * Scale shape: bucket keys ride SKINNY (vec_id, table, bucket) through
-    * the candidate self-join; vectors re-attach only for surviving pairs
-    * after dedup. At corpus scale, size `bits` ≈ log₂(n / targetBucket) so
-    * bucket population stays bounded as the corpus grows. Deterministic
-    * planes (seeded per table) make the whole operator replayable in SQL —
-    * this query carries a full DuckDB oracle. */
+    * Scale shape: the cosine verify runs INLINE in the bucket self-join —
+    * vectors ride the n·T bucket rows (the only shuffled frame), and the
+    * T·n²/2^bits candidate-pair stream exists only inside the join stage
+    * (codegen'd dot + threshold filter consume it as it is produced; it
+    * never materializes or shuffles). Cross-table duplicate pairs dedup
+    * AFTER the filter, on the survivor-sized result. This inverts the
+    * skinny-pairs-then-re-attach discipline the text-side joins use
+    * ([[minhashLshPairs]]): a threshold verify at near-dup cosines is
+    * survivor-SPARSE, so shuffling the (huge) candidate list three times
+    * to attach arrays costs far more than carrying each vector once per
+    * table — the ScaleSweep measured the re-attach form at ~60× this plan
+    * at 100× scale (505 s → 8.5 s for 200k vectors, 18 tables, 12 bits). At corpus scale, size `bits` ≈ log₂(n / targetBucket)
+    * so bucket population stays bounded as the corpus grows ([[
+    * embeddingNearDupAuto]]). Deterministic planes (seeded per table) make
+    * the whole operator replayable in SQL — this query carries a full
+    * DuckDB oracle. */
   def embeddingNearDupLshPairs(emb: DataFrame, threshold: Double,
       bits: Int = 6, tables: Int = 2, dim: Int = 64): DataFrame = {
-    // localCheckpoint: feeds bucket explosion + both re-attach sides
+    // localCheckpoint: the cast + bucketing map feeds both join sides
     val e = emb.select(col("vec_id"),
       expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
       .localCheckpoint(eager = false)
@@ -692,18 +702,16 @@ object Dedup {
       val planes = Similarity.hyperplanes(dim, bits, seed = 42L + t)
       struct(lit(t).as("t"), Similarity.lshBucket(col("v"), planes).as("b"))
     }
-    val keyed = e.select(col("vec_id"),
+    val keyed = e.select(col("vec_id"), col("v"),
       explode(array(bucketCols: _*)).as("bk"))
-    val cand = keyed.select(col("bk").as("bk_a"), col("vec_id").as("vec_a"))
-      .join(keyed.select(col("bk").as("bk_b"), col("vec_id").as("vec_b")),
+    keyed.select(col("bk").as("bk_a"), col("vec_id").as("vec_a"),
+        col("v").as("v_a"))
+      .join(keyed.select(col("bk").as("bk_b"), col("vec_id").as("vec_b"),
+        col("v").as("v_b")),
         col("bk_a") === col("bk_b") && col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("v_a")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("v_b")), "vec_b")
       .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
-      .select("vec_a", "vec_b", "cos")
+      .select("vec_a", "vec_b", "cos").distinct()
       .orderBy("vec_a", "vec_b")
   }
 

@@ -430,14 +430,17 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-signature bucket id (0 until 2^bits) for a double-array column. */
-  def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
-    val bitCols = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(v, planeCol) >= 0d, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _).as("bucket")
-  }
+  /** Sign-signature bucket id (0 until 2^bits) for a double-array column.
+    * Native [[graft.functions.LshBucket]] expression: the plane matrix is
+    * ONE reference object and the generated code two primitive loops —
+    * the per-plane `when(dot(v, array(lit…)) >= 0, …)` spelling this
+    * replaces carried bits × dim literal nodes (× tables in the multi-table
+    * forms), which pushed generated methods past JIT limits and dropped
+    * the whole bucketing map into interpreted evaluation (~10× slower per
+    * flop than the codegen'd brute scan, per the ScaleSweep). Bit-identical
+    * output: same sequential fold per plane, same `>= 0` sign rule. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.LshBucket.lshBucket(v, planes).as("bucket")
 
   /** MULTI-TABLE LSH kNN — [[knnLsh]] with the recall knob the single-table
     * form lacks: `tables` independent hyperplane tables OR-amplify the

@@ -104,7 +104,8 @@ object ScaleSweep {
       s"fixed variants are skipped (op absent) once estimated bucket-pair work exceeds ${PairBudget.toLong} — the quadratic blowup the auto sizing removes",
       "recall = fraction of the planted exact-angle near-dup fixture recovered; ivf probe results are asserted equal to brute force (exactness bound) at every factor",
       "knn_lsh_fixed is the gate's single-table form (s02 bits=8); knn_lsh_auto is the multi-table production form (suggestedLshBits + suggestedLshTables) — twin_hit is the find-my-near-duplicate retrieval metric (queries are planted sources, their twin sits at cos 0.95), recall is plain recall@10 vs brute force (most true top-10 neighbors sit far below the design cos, where LSH's contract does not reach)",
-      "semdedup auto sizes kmeans k as sqrt(n) (suggestedIvfLists rule): assignment and within-cluster pair work balance at O(n^1.5); the 100TB configuration grows k ~ n/targetCluster with hierarchical assignment")
+      "semdedup auto sizes kmeans k as sqrt(n) (suggestedIvfLists rule): assignment and within-cluster pair work balance at O(n^1.5); the 100TB configuration grows k ~ n/targetCluster with hierarchical assignment",
+      "asymptotics: auto-sized near-dup pair work is C*n^(1+rho) with rho = 1 - log2(2p)/1 ~ 0.22 at the cos-0.9 design point (the classic hyperplane-LSH exponent: holding recall while buckets shrink costs tables ~ p^-bits) — sub-quadratic by construction vs the fixed-parameter n^2, which is why fixed is budget-skipped at 100x while auto completes with recall 1.0; ivf probe is the O(sqrt n) + constant-cell-scan path and its slope stays ~1")
       .map(s => "\"" + s + "\"")
     val json =
       s"""{"base":"$baseDir","threshold":$Threshold,"planted":{"pairs":$PlantedPairs,"cos":$PlantedCos},

@@ -1254,4 +1254,32 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(one.collect().map(_.toSeq).toSeq == legacy.toSeq)
   }
+
+  test("native LshBucket expression is bit-identical to the declarative " +
+      "per-plane spelling") {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new java.util.Random(3)
+    val vecs = (0 until 500).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v")
+    val planes = Similarity.hyperplanes(dim, bits = 12, seed = 99L)
+    // the spelling the native expression replaced (bits × dim literal nodes)
+    val declarative = planes.zipWithIndex.map { case (p, j) =>
+      when(Similarity.dot(col("v"), array(p.map(lit).toIndexedSeq: _*)) >= 0d,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = vecs
+      .withColumn("native", Similarity.lshBucket(col("v"), planes))
+      .withColumn("decl", declarative)
+      .where(col("native") =!= col("decl"))
+    assert(rows.count() == 0, "native and declarative buckets must agree")
+    // short vectors fold over min(|v|, |plane|), like DotProduct
+    val short = Seq((1L, Seq(1.0, -1.0))).toDF("vec_id", "v")
+      .select(Similarity.lshBucket(col("v"), planes).as("b")).head.getLong(0)
+    val expect = planes.zipWithIndex.map { case (p, j) =>
+      if (p(0) * 1.0 + p(1) * -1.0 >= 0) 1L << j else 0L
+    }.sum
+    assert(short == expect)
+  }
 }
