@@ -117,7 +117,11 @@ object Dedup {
       .orderBy("src_lo", "src_hi")
 
   /** One (band, bh) struct per band: bh = xxhash64 of the band's signature
-    * slice. Shared by the batch self-join and the incremental index. */
+    * slice. Shared by the batch self-join, the incremental index, and the
+    * streaming twin ([[bandKeyCols]]). */
+  private[graft] def bandKeyCols(bands: Int, rows: Int): Column =
+    array(bandKeys(bands, rows): _*)
+
   private def bandKeys(bands: Int, rows: Int): Seq[Column] =
     (0 until bands).map { b =>
       val slice = (0 until rows).map(r => s"sig[${b * rows + r}]")

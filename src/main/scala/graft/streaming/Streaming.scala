@@ -363,6 +363,99 @@ object Streaming {
     }
   }
 
+  final case class LshIn(band: Int, bh: Long, doc_id: Long,
+      sh: Seq[Long], sig: Seq[Long])
+  final case class LshPost(doc_id: Long, sh: Seq[Long], sig: Seq[Long])
+  final case class NearDupPair(doc_a: Long, doc_b: Long,
+      est_jaccard: Double, jaccard: Double)
+
+  /** Streaming NEAR-DUP detection — the continuous twin of
+    * [[graft.ops.Dedup.minhashLshPairs]] / the always-on form of the
+    * nightly [[graft.ops.Dedup.lshDeltaPairs]]: every arriving document is
+    * checked against everything already ingested, and each qualifying
+    * (earlier, later) pair is emitted exactly once, as it becomes known.
+    * Same shingling, signatures, banding and true-Jaccard verify as the
+    * batch op, so the emitted pair SET equals the batch run over the same
+    * corpus regardless of arrival order (StreamingSpec proves it on the
+    * planted-duplicate fixture).
+    *
+    * Shape: per-document shingling/signing is the map side (the same
+    * native expressions as batch); documents explode to band keys and
+    * `flatMapGroupsWithState` keyed on (band, bh) holds the bucket's
+    * postings — THE LSH INDEX IS THE STATE, hash-partitioned across
+    * executors exactly like the batch `LshIndex` parquet would be. A new
+    * posting verifies against its bucket-mates only (bounded by genuine
+    * similarity, never corpus size). Cross-band duplicate pairs dedup in a
+    * downstream stateful distinct on the survivor-sized pair stream.
+    *
+    * State per bucket = its postings (ids + signatures + hashed shingles).
+    * Like any dedup index, it grows with the DISTINCT corpus — that is the
+    * floor for exact near-dup detection; a retention horizon (drop
+    * postings older than a watermark) is the bounded-state variant, at the
+    * cost of missing pairs that straddle it.
+    *
+    * Emit-once without a second stateful stage: a pair colliding in
+    * several bands would surface in each, so a bucket emits it only when
+    * its band is the SMALLEST band whose signature slices agree — both
+    * postings carry their full signatures, so every bucket computes the
+    * same shared-band set locally and exactly one elects itself. (A pure
+    * 64-bit band-hash collision with unequal slices falls outside the
+    * election and would emit from its own bucket — the 2⁻⁶⁴ case where
+    * batch dedups and streaming could double-emit.) */
+  def nearDupStream(spark: SparkSession, docs: DataFrame, shingleK: Int,
+      bands: Int, rows: Int, threshold: Double): Dataset[NearDupPair] = {
+    import spark.implicits._
+    val h = bands * rows
+
+    def sharedBands(a: Seq[Long], b: Seq[Long]): Seq[Int] =
+      (0 until bands).filter { bi =>
+        var i = bi * rows
+        var eq = true
+        while (eq && i < (bi + 1) * rows) { eq = a(i) == b(i); i += 1 }
+        eq
+      }
+
+    def update(key: (Int, Long), ins: Iterator[LshIn],
+        st: GroupState[Seq[LshPost]]): Iterator[NearDupPair] = {
+      var posts = st.getOption.getOrElse(Nil)
+      val out = Seq.newBuilder[NearDupPair]
+      ins.foreach { in =>
+        posts.foreach { p =>
+          if (p.doc_id != in.doc_id) {
+            val shared = sharedBands(in.sig, p.sig)
+            if (shared.headOption.forall(_ == key._1)) {
+              val est = in.sig.zip(p.sig).count { case (a, b) => a == b }
+                .toDouble / h
+              val inter = in.sh.toSet.intersect(p.sh.toSet).size
+              val j = inter.toDouble / (in.sh.size + p.sh.size - inter)
+              if (j >= threshold)
+                out += NearDupPair(math.min(in.doc_id, p.doc_id),
+                  math.max(in.doc_id, p.doc_id), est, j)
+            }
+          }
+        }
+        posts :+= LshPost(in.doc_id, in.sh, in.sig)
+      }
+      st.update(posts)
+      out.result().iterator
+    }
+
+    val posted = docs
+      .select(col("doc_id"),
+        graft.ops.Dedup.hashedShingles("text", shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", graft.ops.Dedup.minhashSignature("sh", h))
+      .select(col("doc_id"), col("sh"), col("sig"),
+        explode(graft.ops.Dedup.bandKeyCols(bands, rows)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"),
+        col("doc_id"), col("sh"), col("sig"))
+      .as[LshIn]
+    posted
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Drive a streaming query over a bounded source synchronously (memory
     * sink) — the local-smoke harness from the Spark guide. Returns the sink
     * table name. */

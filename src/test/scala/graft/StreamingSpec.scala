@@ -200,6 +200,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.toSet == batchDigests)
   }
 
+  test("streaming near-dup emits exactly the batch LSH pair set, once each") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // planted exact duplicate + the corpus, ingested as two file batches so
+    // pair endpoints arrive in different triggers
+    val docs = cat.table("documents")
+    val clone = docs.where(col("doc_id") === 7L)
+      .withColumn("doc_id", lit(100007L))
+    val corpus = docs.unionByName(clone)
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    corpus.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    corpus.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val name = Streaming.runToMemory(spark,
+      Streaming.nearDupStream(spark, stream, 3, 32, 4, 0.9).toDF(),
+      "neardup_stream_test", OutputMode.Update)
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(streamed.length == streamed.distinct.length,
+      "each pair must emit exactly once (band election)")
+    val batch = graft.ops.Dedup.minhashLshPairs(corpus, 3, 32, 4, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(streamed.toSet == batch.toSet,
+      s"stream ${streamed.length} pairs vs batch ${batch.length}")
+    assert(streamed.exists(p => p._1 == 7L && p._2 == 100007L && p._4 == 1.0))
+  }
+
   test("stateful sessionization emits exactly the batch-closed sessions") {
     import spark.implicits._
     val stream = Streaming.readEventsStream(spark, eventsDir)
