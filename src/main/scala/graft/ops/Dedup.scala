@@ -134,6 +134,27 @@ object Dedup {
     * frames, so a pipeline stores them as parquet between ingests. */
   final case class LshIndex(postings: DataFrame, signatures: DataFrame)
 
+  /** Persist an [[LshIndex]] as the between-ingests parquet layout the
+    * incremental path ([[lshDeltaPairs]]) reads: `postings/` bucketed by
+    * the band hash would be ideal at cluster scale — here postings are
+    * partitioned by `band` (bounded directory fan-out, prunes the
+    * per-band join) and `signatures/` keyed by doc_id.
+    * [[loadLshIndex]] restores both frames without re-scanning any text;
+    * OpsSpec proves a delta ingest over a loaded index emits exactly the
+    * pairs the in-memory index does. */
+  def saveLshIndex(idx: LshIndex, path: String): Unit = {
+    idx.postings.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/postings")
+    idx.signatures.write.mode("overwrite").parquet(s"$path/signatures")
+  }
+
+  /** Restore a persisted [[LshIndex]] (see [[saveLshIndex]]). */
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): LshIndex =
+    LshIndex(
+      spark.read.parquet(s"$path/postings").select("doc_id", "band", "bh"),
+      spark.read.parquet(s"$path/signatures").select("doc_id", "sh", "sig"))
+
   /** Build the LSH index for a corpus slice (no pair generation). */
   def lshIndex(docs: DataFrame, shingleK: Int, bands: Int, rows: Int)
       : LshIndex = {
@@ -781,8 +802,10 @@ object Dedup {
     * n-grams — the semantic layer of a dedup stack, run AFTER exact/fuzzy
     * text dedup on the survivors.
     *
-    * Scale shape: assignment is map-only (centroids broadcast — k×dim
-    * doubles, driver-sized by construction); the only quadratic work is the
+    * Scale shape: assignment is map-only for k ≤ 64 and a broadcast join +
+    * n-row partial-aggregate shuffle above (see
+    * [[Similarity.kmeansAssignWith]]; centroids stay k×dim doubles,
+    * driver-sized by construction); the only quadratic work is the
     * within-cluster pair join, which is the SemDeDup design point — k grows
     * ∝ corpus so cluster populations stay bounded (the paper runs n/k ≈
     * const). Centroids come from the deterministic decimal k-means

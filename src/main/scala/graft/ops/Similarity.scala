@@ -177,7 +177,9 @@ object Similarity {
     *
     * Scale shape: centroids are k×dim (driver-sized by construction); each
     * round is one partial-aggregated shuffle of the corpus; the final
-    * assignment is a map-only pass. Nothing corpus-sized ever concentrates. */
+    * assignment is map-only for k ≤ 64 (inline expression) and a broadcast
+    * join + n-row partial-aggregate shuffle above (see
+    * [[withNearestCluster]]). Nothing corpus-sized ever concentrates. */
   def kmeansAssign(emb: DataFrame, k: Int, iters: Int = 3): DataFrame =
     kmeansAssignWith(emb, kmeansCentroids(emb, k, iters))
 
@@ -238,7 +240,7 @@ object Similarity {
         max(struct(col("__nc_score"), col("__nc_j")))
           .getField("__nc_j").as(out)
       df.withColumn("__nc_rid", monotonically_increasing_id())
-        .join(broadcast(cents))
+        .crossJoin(broadcast(cents))
         .withColumn("__nc_score",
           dot(col("v"), col("__nc_c")) - col("__nc_bias"))
         .groupBy("__nc_rid")
@@ -320,6 +322,34 @@ object Similarity {
   def suggestedIvfLists(n: Long): Int =
     math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
 
+  /** Persist an [[IvfIndex]] as the parquet layout a production
+    * registration writes once per ingest: `centroids/` (nlist rows of
+    * (j, c)), `corpus/` PARTITIONED BY cell_n — so a probe's cell scans
+    * are partition-pruned file reads — and `cell_res/` (the per-cell
+    * residual bounds). [[loadIvfIndex]] restores it without touching the
+    * embeddings; OpsSpec proves probes over a loaded index match probes
+    * over the built one bit-for-bit. */
+  def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
+    val spark = idx.corpus.sparkSession
+    import spark.implicits._
+    idx.cs.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("j", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    idx.corpus.write.mode("overwrite").partitionBy("cell_n")
+      .parquet(s"$path/corpus")
+    idx.cellRes.coalesce(1).write.mode("overwrite").parquet(s"$path/cell_res")
+  }
+
+  /** Restore a persisted [[IvfIndex]] (see [[saveIvfIndex]]). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val cs = spark.read.parquet(s"$path/centroids").orderBy("j")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .select("cell_n", "neighbor_id", "v_n")
+    IvfIndex(cs, corpus, spark.read.parquet(s"$path/cell_res"))
+  }
+
   /** [[ivfIndex]] with PRODUCTION SIZING WIRED IN: nlist =
     * [[suggestedIvfLists]] of the actual corpus count, so per-query probe
     * work stays O(√n) as the corpus grows instead of O(n/nlist_fixed).
@@ -385,7 +415,7 @@ object Similarity {
     // O(1) nodes at the √n production nlist; |queries|×k rows total — tiny.
     val queries = corpus.where(col("neighbor_id").isin(queryIds: _*))
       .select(col("neighbor_id").as("query_id"), col("v_n").as("v_q"))
-    val qcells = queries.join(broadcast(centsDF(corpus.sparkSession, cs)))
+    val qcells = queries.crossJoin(broadcast(centsDF(corpus.sparkSession, cs)))
       .select(col("query_id"), col("v_q"), col("j").as("cell_q"),
         (dot(col("v_q"), col("c")) - col("bias")).as("score"),
         dot(col("v_q"), col("c")).as("cdot"))

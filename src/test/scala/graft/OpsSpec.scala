@@ -1255,6 +1255,33 @@ class OpsSpec extends AnyFunSuite {
     assert(one.collect().map(_.toSeq).toSeq == legacy.toSeq)
   }
 
+  test("persisted indexes answer identically to built ones (IVF probes, " +
+      "LSH delta ingest)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    // IVF: build → save → load → probe parity (bit-for-bit)
+    val built = Similarity.ivfIndex(emb, nlist = 8, iters = 3)
+    Similarity.saveIvfIndex(built, s"$dir/ivf")
+    val loaded = Similarity.loadIvfIndex(spark, s"$dir/ivf")
+    assert(loaded.cs.map(_.toSeq).toSeq == built.cs.map(_.toSeq).toSeq)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val a = Similarity.knnIvfProbe(built, qids, 5, nprobe = 3)
+      .collect().map(_.toSeq)
+    val b = Similarity.knnIvfProbe(loaded, qids, 5, nprobe = 3)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // LSH: index the even docs, persist, delta-ingest the odd docs over
+    // the LOADED index — pairs must equal the in-memory delta run
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 =!= 0)
+    val idx = Dedup.lshIndex(even, 3, 32, 4)
+    Dedup.saveLshIndex(idx, s"$dir/lsh")
+    val re = Dedup.loadLshIndex(spark, s"$dir/lsh")
+    val (pairsMem, _) = Dedup.lshDeltaPairs(idx, odd, 3, 32, 4, 0.5)
+    val (pairsDisk, _) = Dedup.lshDeltaPairs(re, odd, 3, 32, 4, 0.5)
+    assert(pairsDisk.collect().map(_.toSeq).toSeq ==
+      pairsMem.collect().map(_.toSeq).toSeq)
+  }
+
   test("native LshBucket expression is bit-identical to the declarative " +
       "per-plane spelling") {
     import spark.implicits._
