@@ -25,6 +25,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
 
+    // SPARK_GRAFT_ONLY=q49,q52 narrows the run to matching name prefixes —
+    // local iteration aid; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+
     // warmup: run every query once so catalog build, parquet footers, and
     // whole-stage-codegen/classloader compilation happen off the clock —
     // measured numbers then reflect steady-state throughput (what a warm
@@ -32,7 +39,7 @@ object Bench {
     // so measured runs still pay their real data-side costs.
     try {
       CubeCatalog.forDir(spark, sfDir)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
@@ -41,7 +48,7 @@ object Bench {
     // two measured passes, per-query MIN: host contention on this box swings
     // single-shot numbers several-fold; the min is the steady-state capability
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -50,10 +57,29 @@ object Bench {
     spark.catalog.clearCache()
     val p2 = pass().toMap
     val results = p1.map { case (n, t) => n -> math.min(t, p2.getOrElse(n, t)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness that invokes this main keeps only the LAST ~2000 chars of
+    // stdout, and sbt appends its own "[success] …" line after ours. Order
+    // the JSON so the high-signal fields survive that window: per-query times
+    // ascending (the slowest — the interesting ones — land at the END of the
+    // map, inside the tail) and the headline total as the FINAL key. Values
+    // round to ms; the full-precision line goes to bench_full.json alongside.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val asc = results.sortBy(_._2)
+    val qs = asc.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","queries":$qs,"sf":"$sfDir","unit":"sec","value":${fmt(total)}}"""
+    println(line)
+    try {
+      val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
