@@ -375,6 +375,40 @@ object TpchCatalog {
     calcMembers = Seq(
       CalcMemberDef("rev_per_order", "revenue / order_count")))
 
+  /** B18 demo roles over the star schema (region keys are TPC-H's:
+    * 0 AFRICA, 1 AMERICA, 2 ASIA, 3 EUROPE, 4 MIDDLE EAST). One role per
+    * grant shape the engine supports: the three rollup policies over a
+    * member grant, a nested member-grant override, a schema-level cube
+    * restriction, and a pure level band. */
+  private def emeaGeoGrant(policy: String, extra: Seq[MemberGrantDef] = Nil) =
+    HierarchyGrantDef("Geography", rollupPolicy = policy,
+      memberGrants = MemberGrantDef("Region", Seq(0, 3), "all") +: extra)
+
+  val roles: Seq[RoleDef] = Seq(
+    // partial: only AFRICA+EUROPE customers aggregate anywhere
+    RoleDef("emea", cubeGrants = Seq(CubeGrantDef("orders", "all",
+      Seq(emeaGeoGrant("partial"))))),
+    // full: same axis membership, but rollups keep their complete values
+    RoleDef("emea_full", cubeGrants = Seq(CubeGrantDef("orders", "all",
+      Seq(emeaGeoGrant("full"))))),
+    // hidden: a rollup spanning invisible members shows null
+    RoleDef("emea_hidden", cubeGrants = Seq(CubeGrantDef("orders", "all",
+      Seq(emeaGeoGrant("hidden"))))),
+    // nested override (Mondrian grant-then-deny): EMEA minus one nation
+    // inside it (the testdata maps nation k to region k % 5, so nation 3
+    // sits in region 3)
+    RoleDef("emea_minus_one", cubeGrants = Seq(CubeGrantDef("orders",
+      "all", Seq(emeaGeoGrant("partial",
+        Seq(MemberGrantDef("Nation", Seq(3), "none"))))))),
+    // schema-level restriction: ONLY the orders cube is visible
+    RoleDef("orders_only", schemaAccess = "none",
+      cubeGrants = Seq(CubeGrantDef("orders", "all"))),
+    // level band: sales Geography visible only down to Nation (no
+    // Supplier level, no member restriction)
+    RoleDef("nation_band", cubeGrants = Seq(CubeGrantDef("sales", "all",
+      Seq(HierarchyGrantDef("Geography", topLevel = Some("Region"),
+        bottomLevel = Some("Nation")))))))
+
   val schemaDef: SchemaDef = SchemaDef("graft",
-    Seq(salesCube, ordersCube, eventsCube), Seq(commerceVirtual))
+    Seq(salesCube, ordersCube, eventsCube), Seq(commerceVirtual), roles)
 }

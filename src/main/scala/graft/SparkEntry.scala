@@ -233,7 +233,21 @@ object SparkEntry {
     "q59_dense_share" -> CubeQuery("events",
       Seq(drill("User"), drill("EventDate", "Day", "Daily")),
       Seq("value_sum", "value_user_total"),
-      nonempty = false))
+      nonempty = false),
+    // B18 partial rollup policy: the 'emea' role grants customer regions
+    // {0, 3}; with Geography undrilled, every cell is a rollup over
+    // VISIBLE members only — the grant compiles to a fact filter that
+    // pushes into the scan like a cut
+    "q61_role_partial" -> CubeQuery("orders",
+      Seq(drill("Priority")), Seq("total_sales", "order_count"),
+      role = Some("emea")),
+    // B18 full rollup policy: same grant, 'full' — drilled AT the grant
+    // level only visible regions appear, each with its complete value
+    // (membership is a broadcast semi-join, values never recomputed)
+    "q62_role_full" -> CubeQuery("orders",
+      Seq(drill("Geography", "Region")),
+      Seq("total_sales", "customer_count"),
+      role = Some("emea_full")))
 
   // ============================================== LLM-pipeline operators
   // (dedup / similarity / text analysis / multimodal / sessionization —
@@ -502,6 +516,27 @@ object SparkEntry {
       // the transform d08 profiles: remove corpus-repeated 10-token spans
       "t21_trim_spans" -> tbl("documents")(
         ops.Dedup.trimRepeatedSpans(_, 10)),
+      // PII scrub (detect + redact emails/IPs/phones, map-only codegen).
+      // The synthetic corpus carries no PII, so the gate injects
+      // deterministic spans derived from doc_id — the OPERATOR
+      // (TextOps.piiScrub) is generic; the oracle replays the same
+      // injection and the same ordered redaction
+      "t31_pii_redact" -> tbl("documents") { d =>
+        import org.apache.spark.sql.functions._
+        val aug = d.withColumn("text", concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com now"),
+          when(col("doc_id") % 3 === 0, concat(
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 7) % 256).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(
+            lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        ops.TextOps.piiScrub(aug)
+      },
       // log-free BM25 keyword search, top-20
       "t13_bm25" -> tbl("documents")(
         ops.TextOps.bm25TopK(_, Seq("spark", "hash", "join"), 20)),
@@ -1309,6 +1344,24 @@ object SparkEntry {
     "q26_distinct" ->
       """SELECT l_returnflag AS return_flag, COUNT(1) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q61: B18 partial rollup policy — the role's member grant (customer
+    // regions 0 and 3) is a plain WHERE on the oracle side
+    "q61_role_partial" ->
+      s"""SELECT o_orderpriority AS order_priority,
+         |${sumd("o_totalprice", "total_sales")}, COUNT(1) AS order_count
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE n_regionkey IN (0, 3)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q62: B18 full rollup policy drilled AT the grant level — membership
+    // filters the axis, values stay the complete per-region rollups
+    "q62_role_full" ->
+      s"""SELECT r_regionkey AS region, r_name AS region_label,
+         |${sumd("o_totalprice", "total_sales")},
+         |COUNT(DISTINCT o_custkey) AS customer_count
+         |$CUST_GEO_JOIN
+         |WHERE r_regionkey IN (0, 3)
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q27_orders_cube" ->
       s"""SELECT c_mktsegment AS segment,
          |CAST(year(o_orderdate) AS INTEGER) AS order_year,
@@ -2482,6 +2535,38 @@ object SparkEntry {
     "t20_bpe_tokenize" -> bpeTokenizeOracleSql,
     // t21: span strings + positions replayed verbatim; reassembly is the
     // ordered string_agg twin of Spark's sorted collect_list
+    // t31: same injection, same pattern set, same application order
+    // (email → ip → phone); counts cast to INTEGER to match Spark's
+    // regexp_count type
+    "t31_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@mail.example.com now' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |      CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |pats AS (SELECT
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS p_email,
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS p_ip,
+        |  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b' AS p_phone),
+        |red AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    p_email, '[EMAIL]', 'g'), p_ip, '[IP]', 'g'),
+        |    p_phone, '[PHONE]', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(text, p_email)) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(text, p_ip)) AS INTEGER) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, p_phone)) AS INTEGER) AS n_phone
+        |  FROM aug CROSS JOIN pats)
+        |SELECT doc_id, n_email, n_ip, n_phone,
+        |  md5(clean) AS clean_md5,
+        |  CAST(length(clean) AS INTEGER) AS clean_len,
+        |  CAST(n_email + n_ip + n_phone AS DOUBLE) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS pii_per_token
+        |FROM red ORDER BY doc_id""".stripMargin,
     "t21_trim_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),

@@ -8,7 +8,8 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.SparkSession
 import graft.CubeCatalog
 import graft.model.{CubeDef, GraftException}
-import graft.planner.{LevelRef, Planner, QueryParser}
+import graft.model.RoleDef
+import graft.planner.{LevelRef, Planner, QueryParser, Roles}
 import graft.result._
 
 /** REST surface — the analog of the reference's Grape API (§2.D, api.rb).
@@ -73,7 +74,11 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
           // /flush callers can keep the secret out of URLs and access logs
           Option(ex.getRequestHeaders.getFirst("Authorization")).toSeq
             .filter(_.startsWith("Bearer "))
-            .map(h => "__bearer" -> Seq(h.stripPrefix("Bearer ")))
+            .map(h => "__bearer" -> Seq(h.stripPrefix("Bearer "))) ++
+          // B18: a role can ride a header instead of ?role= (keeps the
+          // security context out of URLs/access logs, like the secret)
+          Option(ex.getRequestHeaders.getFirst("X-Graft-Role")).toSeq
+            .map(h => "__rolehdr" -> Seq(h))
       val segs = path.split("/").toList.filter(_.nonEmpty).map(decodeSegment)
       val cat = catalog // per-request snapshot (see pool note)
       val result = segs match {
@@ -97,11 +102,33 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     }
   }
 
-  private def cube(cat: CubeCatalog, name: String): CubeDef =
+  /** The role selected by `role=` / X-Graft-Role, resolved against the
+    * schema (unknown → 403). None → unrestricted (B18). */
+  private def roleOf(cat: CubeCatalog,
+      params: Map[String, Seq[String]]): Option[RoleDef] =
+    Roles.resolve(cat.schema, params.get("role").orElse(
+      params.get("__rolehdr")).flatMap(_.headOption))
+
+  private def cube(cat: CubeCatalog, name: String,
+      role: Option[RoleDef] = None): CubeDef = {
+    role.foreach(Roles.checkCubeAccess(_, name))
     Planner.anchorCube(cat,
       if (cat.schema.cube(name).nonEmpty ||
         cat.schema.virtualCube(name).nonEmpty) name
       else GraftException.notFound(s"cube not found: $name"))
+  }
+
+  /** Member-visibility predicate for metadata routes on a restricted
+    * level, after the 403 band/access checks (B18). */
+  private def roleMemberFilter(c: CubeDef, ref: LevelRef,
+      role: Option[RoleDef]): Option[org.apache.spark.sql.Column] =
+    role.flatMap { r =>
+      val rl = Planner.resolve(c, ref)
+      Roles.validateLevels(r, c, Seq(rl))
+      Roles.grantFor(r, c.name, rl.dim, rl.hier)
+        .filter(g => g.access == "custom" && g.memberGrants.nonEmpty)
+        .map(g => Roles.DimGrant(rl.dim, rl.hier, g).visibleCol)
+    }
 
   private def route(cat: CubeCatalog, segs: List[String],
       params: Map[String, Seq[String]]): Resp = segs match {
@@ -109,26 +136,38 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
       text(200, "application/json", Json.write(ListMap(
         "status" -> "ok", "engine" -> "graft", "schema" -> cat.schema.name)))
     case List("cubes") =>
-      text(200, "application/json", Json.write(Metadata.schemaDict(cat)))
+      text(200, "application/json",
+        Json.write(Metadata.schemaDict(cat, roleOf(cat, params))))
     case List("cubes", c) =>
+      val role = roleOf(cat, params)
       cat.schema.virtualCube(c) match {
         case Some(vc) =>
+          role.foreach(Roles.checkCubeAccess(_, c))
           text(200, "application/json", Json.write(Metadata.virtualCubeDict(vc)))
         case None =>
-          text(200, "application/json", Json.write(Metadata.cubeDict(cube(cat, c))))
+          text(200, "application/json", Json.write(Metadata.cubeDict(
+            Roles.filteredCube(role, cube(cat, c, role)))))
       }
     case List("cubes", c, agg) if agg.startsWith("aggregate") =>
       aggregate(cat, c, agg, params)
     case List("cubes", c, "members") =>
       val fullName = params.get("full_name").flatMap(_.headOption)
         .getOrElse(GraftException.badRequest("full_name param required"))
-      Metadata.memberByFullName(cat, cube(cat, c), fullName) match {
+      val role = roleOf(cat, params)
+      val cb = cube(cat, c, role)
+      Metadata.memberByFullName(cat, cb, fullName,
+        ref => roleMemberFilter(cb, ref, role)) match {
         case Some(m) => text(200, "application/json", Json.write(m))
         case None => GraftException.notFound(s"member not found: $fullName")
       }
     case List("cubes", c, "dimensions", d) =>
-      val dim = cube(cat, c).dimension(d).getOrElse(
-        GraftException.notFound(s"dimension not found: $d"))
+      val role = roleOf(cat, params)
+      // the role's view: a denied hierarchy is indistinguishable from a
+      // dimension that was never declared (404, not 403 — existence is
+      // itself access-controlled metadata)
+      val dim = Roles.filteredCube(role, cube(cat, c, role))
+        .dimension(d).getOrElse(
+          GraftException.notFound(s"dimension not found: $d"))
       text(200, "application/json", Json.write(Metadata.dimensionDict(dim)))
     // Level members: default-hierarchy form and the hierarchy-qualified form
     // (ref api.rb:173-191 nests hierarchies/:h/levels/:l/members) — the
@@ -207,26 +246,33 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     val offset = params.get("offset").flatMap(_.headOption)
       .map(_.toLong).getOrElse(0L)
     val limit = params.get("limit").flatMap(_.headOption).map(_.toInt)
-    val members = Metadata.levelMembers(cat, cube(cat, c), ref,
-      withProps = withProps, offset = offset, limit = limit)
+    val role = roleOf(cat, params)
+    val cb = cube(cat, c, role)
+    val rf = roleMemberFilter(cb, ref, role)
+    val members = Metadata.levelMembers(cat, cb, ref,
+      withProps = withProps, offset = offset, limit = limit,
+      roleFilter = rf)
     val doc =
       if (offset == 0 && limit.isEmpty) ListMap[String, Any]("members" -> members)
       else ListMap[String, Any]("members" -> members,
         "offset" -> offset,
         "total_members" ->
-          Metadata.levelMembersDf(cat, cube(cat, c), ref, withProps).count())
+          Metadata.levelMembersDf(cat, cb, ref, withProps, rf).count())
     text(200, "application/json", Json.write(doc))
   }
 
   private def memberByKey(cat: CubeCatalog, c: String, ref: LevelRef,
       k: String, params: Map[String, Seq[String]]): Resp = {
     val key = QueryParser.typedKey(k) // segment already decoded once
-    Metadata.memberByKey(cat, cube(cat, c), ref, key) match {
+    val role = roleOf(cat, params)
+    val cb = cube(cat, c, role)
+    val rf = roleMemberFilter(cb, ref, role)
+    Metadata.memberByKey(cat, cb, ref, key, rf) match {
       case Some(m) =>
         val withChildren =
           if (params.get("children").exists(_.headOption.contains("true")))
-            m + ("children" -> Metadata.memberChildren(cat, cube(cat, c),
-              ref, key))
+            m + ("children" -> Metadata.memberChildren(cat, cb,
+              ref, key, rf))
           else m
         text(200, "application/json", Json.write(withChildren))
       case None => GraftException.notFound(s"member not found: $k")
@@ -242,11 +288,12 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     val cubeName = fromRe.findFirstMatchIn(body)
       .map(m => m.group(1).stripPrefix("[").stripSuffix("]"))
       .getOrElse(GraftException.badRequest("MDX has no FROM clause"))
-    val c = cube(cat, cubeName)
+    val role = roleOf(cat, params)
+    val c = cube(cat, cubeName, role)
     var q = QueryParser.fromParams(c, params) // parents/properties/caption
     val mdxQ = graft.planner.MdxParser.parse(c, body)
     q = mdxQ.copy(parents = q.parents, properties = q.properties,
-      captions = q.captions, sparse = q.sparse)
+      captions = q.captions, sparse = q.sparse, role = role.map(_.name))
     val debug = params.get("debug").exists(_.headOption.contains("true"))
     endpoint match {
       case "mdx" => text(200, "application/json",
@@ -267,8 +314,10 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
   /** GET /cubes/:cube/aggregate[.ext] — all §2.A params. */
   private def aggregate(cat: CubeCatalog, cubeName: String, endpoint: String,
       params: Map[String, Seq[String]]): Resp = {
-    val c = cube(cat, cubeName)
-    val q = QueryParser.fromParams(c, params).copy(cube = cubeName)
+    val role = roleOf(cat, params) // resolve eagerly: unknown role → 403
+    val c = cube(cat, cubeName, role)
+    val q = QueryParser.fromParams(c, params)
+      .copy(cube = cubeName, role = role.map(_.name))
     val debug = params.get("debug").exists(_.headOption.contains("true"))
     endpoint match {
       case "aggregate" =>

@@ -175,11 +175,74 @@ final case class VirtualCubeDef(
     cubeMeasures: Seq[(String, Seq[String])], // (cubeName, measure aliases)
     calcMembers: Seq[CalcMemberDef] = Nil)
 
+// ------------------------------------------------------------------- roles
+
+/** One member grant inside a custom hierarchy grant (ref Mondrian
+  * `<MemberGrant member="[Dim].[X]" access="all|none"/>`, the B18 surface
+  * the reference's schema format supports but its REST API never exposed).
+  * Grants are ORDERED: later entries override earlier ones for the members
+  * they name (Mondrian's nested-grant semantics — grant a region, then deny
+  * one nation inside it), and anything no entry names is DENIED (custom
+  * access starts from nothing).
+  *
+  * @param level the hierarchy level the keys name
+  * @param keys  member keys at that level (the level key expression's type)
+  */
+final case class MemberGrantDef(level: String, keys: Seq[Any],
+    access: String) // "all" | "none"
+
+/** Access grant for one hierarchy of one dimension (ref Mondrian
+  * `<HierarchyGrant>`).
+  *
+  * `access`: "all" (default when no grant exists), "none" (hierarchy
+  * invisible; drills/cuts on it 403), or "custom" (band + member grants).
+  *
+  * `topLevel`/`bottomLevel` bound the visible level band — drilling or
+  * cutting outside it is a 403 and metadata hides the levels.
+  *
+  * `rollupPolicy` decides what a cell ABOVE the granted members shows
+  * (Mondrian's rollupPolicy attribute):
+  *   - "full":    ancestors/totals aggregate ALL members, visible or not
+  *                (membership only filters which axis rows appear);
+  *   - "partial": only visible members aggregate anywhere — the fact is
+  *                filtered before any rollup (the default, like Mondrian);
+  *   - "hidden":  a rollup that would include an invisible member shows
+  *                null instead of a partial or full value.
+  */
+final case class HierarchyGrantDef(
+    dim: String,
+    hierarchy: Option[String] = None,
+    access: String = "custom", // "all" | "none" | "custom"
+    topLevel: Option[String] = None,
+    bottomLevel: Option[String] = None,
+    rollupPolicy: String = "partial", // "full" | "partial" | "hidden"
+    memberGrants: Seq[MemberGrantDef] = Nil)
+
+/** Access grant for one cube (ref Mondrian `<CubeGrant>`). */
+final case class CubeGrantDef(cube: String, access: String, // "all" | "none"
+    hierarchyGrants: Seq[HierarchyGrantDef] = Nil)
+
+/** A role: the B18 operator (ref Mondrian `<Role>` + `<SchemaGrant>`).
+  * `schemaAccess` is the default for cubes without an explicit grant:
+  * "all" → visible, "none" → invisible. Queries select a role by name
+  * (REST `role=` param / X-Graft-Role header); no role means full access,
+  * like a Mondrian connection with no role set. */
+final case class RoleDef(name: String, schemaAccess: String = "all",
+    cubeGrants: Seq[CubeGrantDef] = Nil) {
+  def cubeGrant(c: String): Option[CubeGrantDef] = cubeGrants.find(_.cube == c)
+  def cubeVisible(c: String): Boolean = cubeGrant(c) match {
+    case Some(g) => g.access != "none"
+    case None => schemaAccess != "none"
+  }
+}
+
 final case class SchemaDef(name: String, cubes: Seq[CubeDef],
-    virtualCubes: Seq[VirtualCubeDef] = Nil) {
+    virtualCubes: Seq[VirtualCubeDef] = Nil,
+    roles: Seq[RoleDef] = Nil) {
   def cube(n: String): Option[CubeDef] = cubes.find(_.name == n)
   def virtualCube(n: String): Option[VirtualCubeDef] =
     virtualCubes.find(_.name == n)
+  def role(n: String): Option[RoleDef] = roles.find(_.name == n)
 }
 
 /** Planner/validation error → HTTP 400 analog (ref error contract,

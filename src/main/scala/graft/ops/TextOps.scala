@@ -820,4 +820,47 @@ object TextOps {
       .select("lang", "rank", "token", "cnt")
       .orderBy("lang", "rank")
   }
+
+  /** PII patterns a pre-training scrub removes, in APPLICATION ORDER
+    * (emails first — their host part could otherwise be half-eaten by the
+    * IP pattern; then dotted quads; then phone-shaped digit runs). Each
+    * entry is (kind, regex, replacement token). The regex subset used —
+    * char classes, bounded repeats, `\b` — behaves identically under
+    * Java's engine (Spark) and RE2 (DuckDB/Go scrubbers), so a corpus
+    * scrubbed here hashes the same as one scrubbed by an off-cluster
+    * pipeline using the same table. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"))
+
+  /** PII SCRUB — detect-and-redact over a text column: per-document match
+    * counts per pattern kind, the redacted text's md5 and length, and the
+    * document's PII density (matches per whitespace token). The standard
+    * pre-training privacy stage (emails/IPs/phones → placeholder tokens);
+    * returning the hash instead of the text keeps the gate's compare
+    * scalar-only while still pinning the exact redacted bytes.
+    *
+    * Scale shape: pure per-row codegen'd expressions (`regexp_count` +
+    * chained `regexp_replace`) — map-only, no shuffle, no UDFs; at 100 TB
+    * this runs at scan speed and the output is doc-count-sized. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = piiPatterns.map { case (kind, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).as(s"n_$kind")
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    val totalMatches = piiPatterns.map { case (_, pat, _) =>
+      regexp_count(col(textCol), lit(pat))
+    }.reduce(_ + _)
+    docs.select(
+      (col("doc_id") +: counts) ++ Seq(
+        md5(redacted).as("clean_md5"),
+        length(redacted).as("clean_len"),
+        (totalMatches.cast("double") /
+          size(split(col(textCol), " ")).cast("double"))
+          .as("pii_per_token")): _*)
+      .orderBy("doc_id")
+  }
 }

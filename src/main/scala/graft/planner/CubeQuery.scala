@@ -72,4 +72,9 @@ final case class CubeQuery(
     adhocLags: Seq[graft.model.LagMeasureDef] = Nil,
     // ALL-member tuple totals — `([Measures].[M], [Dim].[All ...])` — same
     // merge path as adhocLags.
-    adhocTotals: Seq[graft.model.TotalMeasureDef] = Nil)
+    adhocTotals: Seq[graft.model.TotalMeasureDef] = Nil,
+    // B18: evaluate under this schema-declared role's grants. Part of the
+    // case-class identity ON PURPOSE — the per-catalog query-result cache
+    // keys on the normalized CubeQuery, so two roles can never share a
+    // cached axis.
+    role: Option[String] = None)

@@ -120,6 +120,20 @@ object Planner {
     val (drills, nsDrillCuts) = expandDrills(cube, q.drilldowns)
     val cuts = q.cuts ++ nsDrillCuts
 
+    // B18 role grants: access checks are plan-time 403s; `partial` member
+    // visibility becomes a fact filter (below), `full`/`hidden` post-agg
+    // membership/masking (after densify).
+    val qRole = Roles.resolve(cat.schema, q.role)
+    qRole.foreach { r =>
+      Roles.checkCubeAccess(r, cube.name)
+      Roles.validateLevels(r, cube,
+        drills ++ cuts.flatMap(levelOfCut(cube, _)) ++
+          (q.properties ++ q.captions).map(p => resolve(cube, p.level)))
+    }
+    val roleGrants = Roles.customGrants(qRole, cube)
+    val partialGrants = roleGrants.filter(g =>
+      g.restricts && g.grant.rollupPolicy == "partial")
+
     // A9 ascendant guard (ref api_spec.rb:154-157): a cut whose hierarchy
     // is on the axis must be CONSUMED by a drill at-or-below its level —
     // the reference folds such cuts into the axis set (query_helper.rb:
@@ -148,7 +162,10 @@ object Planner {
         q.properties.map(p => resolve(cube, p.level).dim) ++
         need.lags.map(l => cube.dimension(l.timeDim).get) ++
         need.cums.map(c => cube.dimension(c.timeDim).get) ++
-        need.movings.map(m => cube.dimension(m.timeDim).get))
+        need.movings.map(m => cube.dimension(m.timeDim).get) ++
+        // a partial-policy grant filters the fact through its dim's level
+        // key expressions, so the dim must be joined even when not drilled
+        partialGrants.map(_.dim))
 
     val groupLevels = groupLevelList(cube, drills, q.parents)
     val groupCols: Seq[Column] = groupLevels.flatMap(levelCols)
@@ -176,7 +193,9 @@ object Planner {
       lagTimeDomain(cat, cube, dn, groupLevels, timeCuts, need))
 
     val directFiltered =
-      directCuts.foldLeft(joined)((df, c) => applyCut(cat, cube, df, c))
+      partialGrants.foldLeft(
+        directCuts.foldLeft(joined)((df, c) => applyCut(cat, cube, df, c))
+      )((df, g) => df.filter(g.visibleCol))
     // restrict the fact to the needed time members (broadcast semi-join on
     // the drilled keys — the domain is dim-sized, so this is the IN-list
     // shape that prunes the scan, same as applyCut would have)
@@ -195,7 +214,10 @@ object Planner {
     // row, so they disqualify). Decided here, above Catalyst — the fact scan
     // disappears from the plan entirely.
     val routedRollup =
-      if (q.properties.nonEmpty || q.captions.nonEmpty) None
+      if (q.properties.nonEmpty || q.captions.nonEmpty ||
+          // a partial-policy role filter runs on the FACT's dim-joined
+          // frame; a rollup has already aggregated past it → fact path only
+          partialGrants.nonEmpty) None
       else Rollups.route(cat.rollups, cube, groupLevels, cuts, need.bases,
         dense = !q.nonempty)
 
@@ -307,7 +329,8 @@ object Planner {
     // ------------------------------------------------- densify (dense axes)
     val denseDf =
       if (q.nonempty) havingDf
-      else densify(cat, cube, havingDf, drills, groupLevels, cuts, q.parents)
+      else densify(cat, cube, havingDf, drills, groupLevels, cuts, q.parents,
+        roleGrants)
 
     // Dense filler cells still carry their partition's ALL-member total —
     // Mondrian's `(M, [Dim].[All])` evaluates on empty cells (ratio calcs
@@ -326,11 +349,21 @@ object Planner {
         }
       }
 
+    // B18 full/hidden grants: axis membership (semi-join, nonempty mode —
+    // dense axes already built from role-filtered member domains) and
+    // hidden-policy cell masking.
+    val roleApplied =
+      if (roleGrants.forall(g =>
+          !g.restricts || g.grant.rollupPolicy == "partial")) denseTotals
+      else Roles.applyPostAgg(cat, cube, denseTotals, roleGrants,
+        groupLevels, measureNames.map(aliasOfMeasure(cube, _)),
+        semiJoinMembership = q.nonempty)
+
     val sparseDf =
       if (q.sparse) { // C6 — implemented for real (dead param in the reference)
         val ms = measureNames.map(aliasOfMeasure(cube, _))
-        denseTotals.filter(ms.map(col(_).isNotNull).reduce(_ || _))
-      } else denseTotals
+        roleApplied.filter(ms.map(col(_).isNotNull).reduce(_ || _))
+      } else roleApplied
 
     // ------------------------------------------------- order, subset, select
     val outputCols: Seq[String] =
@@ -347,6 +380,10 @@ object Planner {
     * drilldowns, full-outer join on the axis columns, derive cross-cube calc
     * members. USING-column outer join coalesces the axis keys. */
   def planVirtual(cat: CubeCatalog, vc: VirtualCubeDef, q: CubeQuery): DataFrame = {
+    // B18: the virtual cube itself must be visible; member-cube grants are
+    // enforced by each planCube call (role rides the sub-queries below)
+    Roles.resolve(cat.schema, q.role)
+      .foreach(Roles.checkCubeAccess(_, vc.name))
     val requested =
       if (q.measures.nonEmpty) q.measures
       else vc.cubeMeasures.flatMap(_._2)
@@ -398,7 +435,8 @@ object Planner {
             true
           case c => levelRefOfCut(c).exists(r => cube.dimension(r.dim).nonEmpty)
         }
-        Some(planCube(cat, cube, CubeQuery(cubeName, q.drilldowns, sub, cuts)))
+        Some(planCube(cat, cube,
+          CubeQuery(cubeName, q.drilldowns, sub, cuts, role = q.role)))
       }
     }
     if (parts.isEmpty) GraftException.badRequest("no measures requested")
@@ -880,7 +918,8 @@ object Planner {
     * (§7.4 dragon 1) and stays opt-in. */
   private def densify(cat: CubeCatalog, cube: CubeDef, aggDf: DataFrame,
       drills: Seq[ResolvedLevel], groupLevels: Seq[ResolvedLevel],
-      cuts: Seq[Cut], parents: Boolean): DataFrame = {
+      cuts: Seq[Cut], parents: Boolean,
+      roleGrants: Seq[Roles.DimGrant] = Nil): DataFrame = {
     if (drills.isEmpty) return aggDf
     // one domain per drilled level — or, with parents=true, one per drilled
     // DIMENSION carrying the full ancestor chain (ancestor columns live on
@@ -899,7 +938,12 @@ object Planner {
       val dimCuts = cuts.filter(c =>
         levelOfCut(cube, c).exists(_.dim.name == rl.dim.name))
       val cutSrc = dimCuts.foldLeft(src)((d, c) => applyCut(cat, cube, d, c))
-      cutSrc.select(unit.flatMap(levelCols): _*).distinct()
+      // B18: an invisible member must not reappear as a dense filler row —
+      // restrict the member domain by the role's visibility predicate
+      val roleSrc = roleGrants.find(g => g.restricts &&
+          g.dim.name == rl.dim.name && g.hier.name == rl.hier.name)
+        .map(g => cutSrc.filter(g.visibleCol)).getOrElse(cutSrc)
+      roleSrc.select(unit.flatMap(levelCols): _*).distinct()
     }
     // Guardrail for §7.4 dragon 1: the cross product of member domains is
     // the one place a small request can demand an astronomically large

@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.CubeCatalog
 import graft.model._
-import graft.planner.{LevelRef, Planner}
+import graft.planner.{LevelRef, Planner, Roles}
 
 /** Metadata introspection — the analog of the reference's schema serializers
   * (C9, mondrian_ext.rb:35-146) and the member-enumeration endpoints
@@ -74,28 +74,42 @@ object Metadata {
     }: _*),
     "calculated_members" -> v.calcMembers.map(_.alias))
 
-  def schemaDict(cat: CubeCatalog): ListMap[String, Any] = ListMap(
+  /** With a role: invisible cubes drop out and visible ones serialize as
+    * the role sees them — denied hierarchies gone, bands truncated (B18). */
+  def schemaDict(cat: CubeCatalog,
+      role: Option[RoleDef] = None): ListMap[String, Any] = ListMap(
     "name" -> cat.schema.name,
-    "cubes" -> (cat.schema.cubes.map(cubeDict) ++
-      cat.schema.virtualCubes.map(virtualCubeDict)))
+    "cubes" -> (Roles.visibleCubes(cat.schema, role)
+      .map(c => cubeDict(Roles.filteredCube(role, c))) ++
+      Roles.visibleVirtualCubes(cat.schema, role).map(virtualCubeDict)))
 
   /** Distinct members of a level, ordered by ordinal/key, with key, caption
     * and (optionally) property columns (ref api.rb:174-205). */
   def levelMembersDf(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
-      withProps: Boolean = false): DataFrame = {
+      withProps: Boolean = false,
+      roleFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val rl = Planner.resolve(cube, ref)
-    cat.cachedMemberFrame((cube.name,
-      s"${rl.dim.name}.${rl.hier.name}.${rl.level.name}", withProps)) {
-      levelMembersDfUncached(cat, cube, rl, withProps)
+    roleFilter match {
+      // role-restricted listings skip the shared member cache (its key is
+      // role-blind and listing is not the hot path) and filter at the
+      // SOURCE, so paging/ordering see only visible members
+      case Some(f) => levelMembersDfUncached(cat, cube, rl, withProps,
+        Some(f))
+      case None => cat.cachedMemberFrame((cube.name,
+        s"${rl.dim.name}.${rl.hier.name}.${rl.level.name}", withProps)) {
+        levelMembersDfUncached(cat, cube, rl, withProps)
+      }
     }
   }
 
   private def levelMembersDfUncached(cat: CubeCatalog, cube: CubeDef,
-      rl: Planner.ResolvedLevel, withProps: Boolean): DataFrame = {
-    val src = rl.dim.join match {
+      rl: Planner.ResolvedLevel, withProps: Boolean,
+      roleFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val src0 = rl.dim.join match {
       case Some(js) => cat.table(js.table)
       case None => cat.fact(cube)
     }
+    val src = roleFilter.map(src0.filter).getOrElse(src0)
     val l = rl.level
     // ragged hierarchies (B12): hide members per hideMemberIf before listing
     val visible = l.hideIf match {
@@ -121,9 +135,11 @@ object Metadata {
 
   def levelMembers(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
       withProps: Boolean = false, offset: Long = 0,
-      limit: Option[Int] = None): Seq[ListMap[String, Any]] = {
+      limit: Option[Int] = None,
+      roleFilter: Option[org.apache.spark.sql.Column] = None)
+      : Seq[ListMap[String, Any]] = {
     val rl = Planner.resolve(cube, ref)
-    val df0 = levelMembersDf(cat, cube, ref, withProps)
+    val df0 = levelMembersDf(cat, cube, ref, withProps, roleFilter)
     // paging applies AFTER the total order, inside the plan: a big-dim level
     // list at 100× must never collect() whole just to serve one page
     val df = limit.foldLeft(
@@ -153,8 +169,21 @@ object Metadata {
     * ONE Spark job over a persisted frame — not a row fetch plus a separate
     * distinct-count job per request. */
   def memberByKey(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
-      key: Any): Option[ListMap[String, Any]] = {
+      key: Any,
+      roleFilter: Option[org.apache.spark.sql.Column] = None)
+      : Option[ListMap[String, Any]] = {
     val rl = Planner.resolve(cube, ref)
+    // B18: an invisible member looks exactly like a missing one (404) —
+    // one small existence probe against the dim frame, outside the
+    // role-blind detail cache below
+    roleFilter.foreach { f =>
+      val src = rl.dim.join match {
+        case Some(js) => cat.table(js.table)
+        case None => cat.fact(cube)
+      }
+      if (src.where(expr(rl.level.keyExpr) === lit(key) && f).isEmpty)
+        return None
+    }
     val chain = rl.hier.levels.take(rl.depth + 1)
     val detail = cat.cachedMemberFrame((cube.name,
       s"${rl.dim.name}.${rl.hier.name}.${rl.level.name}.__detail", false)) {
@@ -198,15 +227,18 @@ object Metadata {
   /** Children of a member: next-level members beneath it, in ordinal order
     * (ref C2 `children`, mondrian_ext.rb get_children). Empty at the leaf. */
   def memberChildren(cat: CubeCatalog, cube: CubeDef, ref: LevelRef,
-      key: Any): Seq[ListMap[String, Any]] = {
+      key: Any,
+      roleFilter: Option[org.apache.spark.sql.Column] = None)
+      : Seq[ListMap[String, Any]] = {
     val rl = Planner.resolve(cube, ref)
     rl.hier.levels.lift(rl.depth + 1) match {
       case None => Nil
       case Some(child) =>
-        val src = rl.dim.join match {
+        val src0 = rl.dim.join match {
           case Some(js) => cat.table(js.table)
           case None => cat.fact(cube)
         }
+        val src = roleFilter.map(src0.filter).getOrElse(src0)
         src.where(expr(rl.level.keyExpr) === lit(key))
           .select(expr(child.keyExpr).as("key"),
             expr(child.nameExpr.getOrElse(child.keyExpr)).as("caption"),
@@ -228,13 +260,19 @@ object Metadata {
     * `[Dim].[Hier].[Level].[key]` (ref GET /cubes/:cube/members?full_name=,
     * api.rb:93-113). */
   def memberByFullName(cat: CubeCatalog, cube: CubeDef,
-      fullName: String): Option[ListMap[String, Any]] = {
+      fullName: String,
+      roleFilterFor: LevelRef => Option[org.apache.spark.sql.Column] =
+        _ => None): Option[ListMap[String, Any]] = {
     val segs = graft.planner.QueryParser.segments(fullName)
     segs match {
-      case Seq(d, l, k) => memberByKey(cat, cube,
-        LevelRef(d, Some(l)), graft.planner.QueryParser.typedKey(k))
-      case Seq(d, h, l, k) => memberByKey(cat, cube,
-        LevelRef(d, Some(l), Some(h)), graft.planner.QueryParser.typedKey(k))
+      case Seq(d, l, k) =>
+        val ref = LevelRef(d, Some(l))
+        memberByKey(cat, cube, ref,
+          graft.planner.QueryParser.typedKey(k), roleFilterFor(ref))
+      case Seq(d, h, l, k) =>
+        val ref = LevelRef(d, Some(l), Some(h))
+        memberByKey(cat, cube, ref,
+          graft.planner.QueryParser.typedKey(k), roleFilterFor(ref))
       case _ => GraftException.badRequest(
         s"full_name '$fullName' must be [Dim].[Level].[key]")
     }

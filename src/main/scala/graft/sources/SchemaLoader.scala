@@ -35,8 +35,10 @@ object SchemaLoader {
       .map(c => cubeDef(c.asInstanceOf[Map[String, Any]]))
     val virtual = root.getOrElse("virtualCubes", Seq.empty)
       .asInstanceOf[Seq[Any]].map(v => virtualDef(v.asInstanceOf[Map[String, Any]]))
+    val roles = root.getOrElse("roles", Seq.empty).asInstanceOf[Seq[Any]]
+      .map(r => roleDef(r.asInstanceOf[Map[String, Any]]))
     val schema = SchemaDef(
-      root.getOrElse("name", "schema").toString, cubes, virtual)
+      root.getOrElse("name", "schema").toString, cubes, virtual, roles)
     validate(schema, tables)
     new CubeCatalog(spark, schema, tables)
   }
@@ -147,6 +149,36 @@ object SchemaLoader {
       ns("name").toString, ns("dimension").toString, ns("level").toString,
       ns("topK").asInstanceOf[Long].toInt, ns("byMeasure").toString)),
     defaultMeasure = opt(m, "defaultMeasure"))
+
+  /** B18 roles (ref Mondrian `<Role>` schema element; see
+    * [[graft.planner.Roles]] for enforcement semantics). JSON shape:
+    * {{{
+    * "roles": [{"name": "emea", "schemaAccess": "all",
+    *   "cubeGrants": [{"cube": "sales", "access": "all",
+    *     "hierarchyGrants": [{"dimension": "Geography",
+    *       "access": "custom", "rollupPolicy": "partial",
+    *       "topLevel": "Region", "bottomLevel": "Nation",
+    *       "memberGrants": [{"level": "Region", "keys": [0, 3],
+    *                         "access": "all"}]}]}]}]
+    * }}} */
+  private def roleDef(m: Map[String, Any]): RoleDef = RoleDef(
+    name = m("name").toString,
+    schemaAccess = m.getOrElse("schemaAccess", "all").toString,
+    cubeGrants = strSeq(m, "cubeGrants").map(cg => CubeGrantDef(
+      cube = cg("cube").toString,
+      access = cg.getOrElse("access", "all").toString,
+      hierarchyGrants = strSeq(cg, "hierarchyGrants").map(hg =>
+        HierarchyGrantDef(
+          dim = hg("dimension").toString,
+          hierarchy = opt(hg, "hierarchy"),
+          access = hg.getOrElse("access", "custom").toString,
+          topLevel = opt(hg, "topLevel"),
+          bottomLevel = opt(hg, "bottomLevel"),
+          rollupPolicy = hg.getOrElse("rollupPolicy", "partial").toString,
+          memberGrants = strSeq(hg, "memberGrants").map(mg =>
+            MemberGrantDef(mg("level").toString,
+              mg.getOrElse("keys", Seq.empty).asInstanceOf[Seq[Any]],
+              mg.getOrElse("access", "all").toString)))))))
 
   private def virtualDef(m: Map[String, Any]): VirtualCubeDef = VirtualCubeDef(
     name = m("name").toString,

@@ -1309,4 +1309,27 @@ class OpsSpec extends AnyFunSuite {
     }.sum
     assert(short == expect)
   }
+
+  test("pii scrub: counts per kind, full redaction, clean text fixpoint") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "mail me at a.b+c@x-y.example.org or root@h.io today"),
+      (2L, "server 10.0.255.3 then call 555-010-1234 now"),
+      (3L, "version 1.2 is not an ip and 12-345-6789 is not a phone"),
+      (4L, "plain text with no pii at all")).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 2 && out(1L).getInt(2) == 0) // 2 emails
+    assert(out(2L).getInt(2) == 1 && out(2L).getInt(3) == 1) // ip + phone
+    assert(out(3L).getInt(1) + out(3L).getInt(2) + out(3L).getInt(3) == 0)
+    assert(out(4L).getDouble(6) == 0.0) // pii_per_token
+    // redaction is complete: scrubbing the scrubbed text changes nothing
+    val redacted = TextOps.piiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    val once = corpus.select(col("doc_id"), redacted.as("text"))
+    val twiceHash = TextOps.piiScrub(once).select("doc_id", "clean_md5")
+    val onceHash = once.select(col("doc_id"), md5(col("text")).as("clean_md5"))
+    assert(twiceHash.except(onceHash).isEmpty)
+  }
 }

@@ -1,0 +1,228 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.Server
+import graft.model.GraftException
+import graft.planner._
+import graft.result.Json
+import SparkTestSession.{catalog => cat, spark}
+
+/** B18 roles/grants — the operator the reference's schema format supports
+  * but its REST API never exposed (SURVEY §2.B B18). Covers the three
+  * rollup policies, nested member-grant overrides, schema-level cube
+  * grants, level bands, dense-axis membership, and the REST surface. */
+class RoleSpec extends AnyFunSuite {
+
+  private def drill(d: String, l: String = null, h: String = null) =
+    LevelDrill(LevelRef(d, Option(l), Option(h)))
+
+  private def q(role: String, drills: Drill*) =
+    CubeQuery("orders", drills, Seq("total_sales"), role = Option(role))
+
+  private def status(t: Throwable): Int = t match {
+    case g: GraftException => g.status
+    case _ => -1
+  }
+
+  // ground truth straight from the tables: customers in regions 0/3
+  private lazy val visibleSales: Double = {
+    val cg = cat.table("cust_geo").filter(col("r_regionkey").isin(0, 3))
+      .select("c_custkey")
+    cat.table("orders").join(cg,
+        cat.table("orders")("o_custkey") === cg("c_custkey"), "left_semi")
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(27,6))")).cast("double"))
+      .collect()(0).getDouble(0)
+  }
+  private lazy val allSales: Double =
+    cat.table("orders")
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(27,6))")).cast("double"))
+      .collect()(0).getDouble(0)
+
+  test("schema-level grant: invisible cube 403s and drops from metadata") {
+    val e = intercept[GraftException] {
+      Planner.plan(cat, CubeQuery("sales", Nil, Seq("revenue"),
+        role = Some("orders_only")))
+    }
+    assert(e.status == 403)
+    // the virtual cube inherits schemaAccess=none too
+    val e2 = intercept[GraftException] {
+      Planner.plan(cat, CubeQuery("commerce", Nil, Seq("revenue"),
+        role = Some("orders_only")))
+    }
+    assert(e2.status == 403)
+    // metadata view
+    val role = cat.schema.role("orders_only")
+    assert(Roles.visibleCubes(cat.schema, role).map(_.name) == Seq("orders"))
+    assert(Roles.visibleVirtualCubes(cat.schema, role).isEmpty)
+    // and the granted cube still answers
+    assert(Planner.plan(cat, q("orders_only")).collect().nonEmpty)
+  }
+
+  test("unknown role is a 403, not a planner error") {
+    val e = intercept[GraftException] {
+      Planner.plan(cat, q("nonexistent_role"))
+    }
+    assert(e.status == 403)
+  }
+
+  test("partial policy: every rollup aggregates visible members only") {
+    val got = Planner.plan(cat, q("emea")).collect()(0).getDouble(0)
+    assert(math.abs(got - visibleSales) < 1e-6)
+    assert(visibleSales < allSales * 0.9) // the restriction actually bites
+  }
+
+  test("full policy: rollups keep complete values; axis membership filters") {
+    // undrilled grand total: the FULL value, not the restricted one
+    val total = Planner.plan(cat, q("emea_full")).collect()(0).getDouble(0)
+    assert(math.abs(total - allSales) < 1e-6)
+    // drilled at the grant level: only regions 0 and 3 on the axis, each
+    // carrying its complete per-region value
+    val rows = Planner.plan(cat, q("emea_full", drill("Geography", "Region")))
+      .collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(0, 3))
+    val unrestricted = Planner.plan(cat,
+      CubeQuery("orders", Seq(drill("Geography", "Region")),
+        Seq("total_sales")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(2) - unrestricted(r.getInt(0))) < 1e-6))
+  }
+
+  test("hidden policy: a rollup spanning invisible members shows null") {
+    // grand total includes hidden regions → null
+    val row = Planner.plan(cat, q("emea_hidden")).collect()(0)
+    assert(row.isNullAt(0))
+    // at the grant level each visible region's subtree is fully visible →
+    // complete values survive
+    val rows = Planner.plan(cat,
+      q("emea_hidden", drill("Geography", "Region"))).collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(0, 3))
+    assert(rows.forall(!_.isNullAt(2)))
+    // below the grant level: nations of visible regions, all complete
+    val nations = Planner.plan(cat,
+      q("emea_hidden", drill("Geography", "Nation"))).collect()
+    val expected = cat.table("nation")
+      .filter(col("n_regionkey").isin(0, 3))
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    assert(nations.map(_.getInt(0)).toSet == expected)
+    assert(nations.forall(!_.isNullAt(2)))
+  }
+
+  test("nested member-grant override: grant EMEA, deny nation 3 inside it") {
+    val rows = Planner.plan(cat,
+      q("emea_minus_one", drill("Geography", "Nation"))).collect()
+    val expected = cat.table("nation")
+      .filter(col("n_regionkey").isin(0, 3) && col("n_nationkey") =!= 3)
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    assert(rows.map(_.getInt(0)).toSet == expected)
+    // and the partial total shrinks below the EMEA total
+    val minus = Planner.plan(cat, q("emea_minus_one"))
+      .collect()(0).getDouble(0)
+    assert(minus < visibleSales)
+  }
+
+  test("level band: drilling outside topLevel..bottomLevel is a 403") {
+    val e = intercept[GraftException] {
+      Planner.plan(cat, CubeQuery("sales",
+        Seq(drill("Geography", "Supplier")), Seq("revenue"),
+        role = Some("nation_band")))
+    }
+    assert(e.status == 403)
+    // inside the band everything works, and values are unrestricted
+    // (band-only grants carry no member restriction)
+    val banded = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Nation")), Seq("revenue"),
+      role = Some("nation_band"))).collect()
+    val open = Planner.plan(cat, CubeQuery("sales",
+      Seq(drill("Geography", "Nation")), Seq("revenue"))).collect()
+    assert(banded.map(_.getInt(0)).toSet == open.map(_.getInt(0)).toSet)
+    // metadata view truncates the hierarchy to the band
+    val fc = Roles.filteredCube(cat.schema.role("nation_band"),
+      cat.cube("sales"))
+    assert(fc.dimension("Geography").get.defaultHierarchy.levels
+      .map(_.name) == Seq("Region", "Nation"))
+  }
+
+  test("dense axes never resurrect invisible members as filler rows") {
+    val rows = Planner.plan(cat, CubeQuery("orders",
+      Seq(drill("Geography", "Region"), drill("Priority")),
+      Seq("total_sales"), nonempty = false, role = Some("emea"))).collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(0, 3))
+    // dense cross product: 2 regions x |priorities|
+    val nPrio = cat.table("orders").select("o_orderpriority")
+      .distinct().count()
+    assert(rows.length == 2 * nPrio)
+  }
+
+  test("role is part of the plan identity: same query, different answers") {
+    val base = CubeQuery("orders", Nil, Seq("total_sales"))
+    val a = Planner.plan(cat, base.copy(role = Some("emea")))
+      .collect()(0).getDouble(0)
+    val b = Planner.plan(cat, base.copy(role = Some("emea_full")))
+      .collect()(0).getDouble(0)
+    assert(a != b)
+  }
+
+  // ------------------------------------------------------------- REST
+
+  private lazy val server: Server = {
+    val s = new Server(spark, SparkTestSession.sf, 0, flushSecret = None)
+    s.start(); s
+  }
+  private lazy val base = s"http://localhost:${server.boundPort}"
+  private lazy val client = HttpClient.newHttpClient()
+  private def get(path: String,
+      headers: Map[String, String] = Map.empty): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("REST: role= filters /cubes, 403s a denied aggregate, header works") {
+    val (c1, b1) = get("/cubes?role=orders_only")
+    assert(c1 == 200)
+    val names = Json.parse(b1).asInstanceOf[Map[String, Any]]("cubes")
+      .asInstanceOf[Seq[Map[String, Any]]].map(_("name"))
+    assert(names == Seq("orders"))
+    val (c2, _) = get("/cubes/sales/aggregate?measures%5B%5D=revenue&role=orders_only")
+    assert(c2 == 403)
+    val (c3, _) = get("/cubes?role=does_not_exist")
+    assert(c3 == 403)
+    // header form selects the role without touching the URL
+    val (c4, b4) = get("/cubes", Map("X-Graft-Role" -> "orders_only"))
+    assert(c4 == 200 && Json.parse(b4).asInstanceOf[Map[String, Any]]("cubes")
+      .asInstanceOf[Seq[Map[String, Any]]].map(_("name")) == Seq("orders"))
+  }
+
+  test("REST: member listing and lookup respect grants") {
+    val visible = cat.table("nation").filter(col("n_regionkey").isin(0, 3))
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    val hiddenKey = cat.table("nation")
+      .filter(!col("n_regionkey").isin(0, 3))
+      .select("n_nationkey").collect().map(_.getInt(0)).head
+    val (c1, b1) = get(
+      "/cubes/orders/dimensions/Geography/levels/Nation/members?role=emea")
+    assert(c1 == 200)
+    val keys = Json.parse(b1).asInstanceOf[Map[String, Any]]("members")
+      .asInstanceOf[Seq[Map[String, Any]]].map(_("key").toString.toDouble.toInt)
+    assert(keys.toSet == visible)
+    // an invisible member is indistinguishable from a missing one
+    val (c2, _) = get(
+      s"/cubes/orders/dimensions/Geography/levels/Nation/members/$hiddenKey?role=emea")
+    assert(c2 == 404)
+    val (c3, _) = get(
+      s"/cubes/orders/dimensions/Geography/levels/Nation/members/$hiddenKey")
+    assert(c3 == 200)
+    // banded metadata: the Supplier level is gone from the sales dim
+    val (c4, b4) = get("/cubes/sales/dimensions/Geography?role=nation_band")
+    assert(c4 == 200)
+    val lvls = Json.parse(b4).asInstanceOf[Map[String, Any]]("hierarchies")
+      .asInstanceOf[Seq[Map[String, Any]]].head("levels")
+      .asInstanceOf[Seq[Map[String, Any]]].map(_("name"))
+    assert(lvls == Seq("Region", "Nation"))
+  }
+}
