@@ -38,6 +38,24 @@ final class CubeCatalog(
     rollupReg.asScala.toSeq
   }
 
+  /** Swap the registered rollup with the same (cube, level-set) identity —
+    * the streaming refresh re-registers after every batch swap, because a
+    * parquet-backed frame pins its file listing at read time and the swap
+    * renames those files away. Uncached by default: for a continuously
+    * refreshed rollup the parquet IS the materialization. */
+  def replaceRollup(r: graft.planner.Rollups.Rollup,
+      cache: Boolean = false): Unit = {
+    import scala.jdk.CollectionConverters._
+    rollupReg.asScala
+      .filter(x => x.cube == r.cube && x.levels == r.levels)
+      .foreach { old =>
+        old.df.unpersist(blocking = false)
+        rollupReg.remove(old)
+      }
+    rollupReg.add(if (cache) r.copy(df = r.df.cache()) else r)
+    ()
+  }
+
   // A7/B9 member-key cache: resolved named-set / TopCount keys, computed once
   // per catalog (the reference's member-cache analog — /flush drops the whole
   // catalog, cache included). Keyed by (cube, dim, hierarchy, level, k,

@@ -188,10 +188,17 @@ object Rollups {
     * whole history. `deltaFact` must contain exactly the new fact rows
     * (dims come from the catalog as usual). */
   def refresh(cat: CubeCatalog, cube: CubeDef, levelRefs: Seq[LevelRef],
-      path: String, deltaFact: org.apache.spark.sql.DataFrame): Rollup = {
+      path: String, deltaFact: org.apache.spark.sql.DataFrame,
+      marker: Option[String] = None): Rollup = {
     val delta = buildOver(cat, cube, levelRefs, deltaFact)
-    val existing = load(cat.spark, cube.name, delta.levels, path)
-    val merged = merge(existing, delta)
+    val target0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = target0.getFileSystem(cat.spark.sparkContext.hadoopConfiguration)
+    // first delta against an empty path initializes the rollup — the
+    // streaming refresh's batch 0 and the nightly bootstrap are one path
+    val merged =
+      if (fs0.exists(target0))
+        merge(load(cat.spark, cube.name, delta.levels, path), delta)
+      else delta
     // Break the read-own-input cycle DISTRIBUTED: write the merged rollup to
     // a sibling temp directory (the plan still reads the old files), then
     // swap with a filesystem rename. No driver-side materialization, so a
@@ -200,6 +207,15 @@ object Rollups {
     save(Rollup(merged.cube, merged.levels, merged.df), tmp)
     val target = new org.apache.hadoop.fs.Path(path)
     val staged = new org.apache.hadoop.fs.Path(tmp)
+    // the marker (e.g. the streaming batch id) rides INSIDE the staged dir,
+    // so the swap rename makes data + marker visible atomically — parquet
+    // readers ignore underscore-prefixed files
+    marker.foreach { m =>
+      val out = fs0.create(
+        new org.apache.hadoop.fs.Path(staged, "_graft_marker"), true)
+      out.write(m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
     val old = new org.apache.hadoop.fs.Path(path + "__refresh_old")
     val fs = target.getFileSystem(cat.spark.sparkContext.hadoopConfiguration)
     // Crash-safe swap: never a moment with NO rollup on disk. Rename the
@@ -226,6 +242,21 @@ object Rollups {
   def save(r: Rollup, path: String): Unit =
     r.df.sortWithinPartitions(r.levels.toSeq.sorted.map(col): _*)
       .write.mode("overwrite").parquet(path)
+
+  /** The marker last written by [[refresh]] into this rollup directory
+    * (None: no rollup, or one never refreshed with a marker). */
+  def readMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_marker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
 
   /** Load a persisted rollup (no cache: parquet IS the materialization). */
   def load(spark: org.apache.spark.sql.SparkSession, cube: String,

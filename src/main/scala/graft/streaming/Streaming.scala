@@ -456,6 +456,54 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** CONTINUOUS AGGREGATE-TABLE MAINTENANCE — the streaming form of
+    * [[graft.planner.Rollups.refresh]]: each micro-batch of NEW fact rows
+    * aggregates to delta partials, merges into the stored rollup with the
+    * crash-safe two-rename swap, and re-registers in the catalog, so B17
+    * routing answers from a rollup that is never more than one batch stale.
+    * The OLAP analog of a streaming materialized view.
+    *
+    * Exactly-once despite foreachBatch's at-least-once replay: the batch id
+    * rides INSIDE the staged rollup directory (`_graft_marker`), made
+    * visible by the same rename that publishes the data — a replayed batch
+    * sees its own id (or a later one) already applied and no-ops. Batch 0
+    * initializes the rollup at `path`; a pre-existing rollup (nightly
+    * bootstrap over history) is merged into, so bootstrap + streaming tail
+    * is the deployment shape at 100 TB: one full scan ever, deltas forever.
+    *
+    * Scale shape per batch: work ∝ delta size + rollup size (one hash agg
+    * over the batch, one merge agg over rollup∪delta partials — never the
+    * fact history). State lives in parquet, not the state store: restarts
+    * resume from the directory + source checkpoint. */
+  def rollupRefreshStream(cat: graft.CubeCatalog, cubeName: String,
+      levelRefs: Seq[graft.planner.LevelRef], factStream: DataFrame,
+      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    factStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRollupBatch(cat, cubeName, levelRefs, batch, batchId, path)
+      }
+      .start()
+
+  /** One micro-batch of [[rollupRefreshStream]], exposed for direct testing
+    * of the replay guard. */
+  def applyRollupBatch(cat: graft.CubeCatalog, cubeName: String,
+      levelRefs: Seq[graft.planner.LevelRef], batch: DataFrame,
+      batchId: Long, path: String): Unit = {
+    import graft.planner.Rollups
+    val cube = cat.cube(cubeName)
+    val applied = Rollups.readMarker(cat.spark, path)
+      .flatMap(_.toLongOption)
+    if (applied.exists(_ >= batchId)) {
+      // replayed after a restart — the swap already published this batch
+    } else {
+      val r = Rollups.refresh(cat, cube, levelRefs, path, batch,
+        marker = Some(batchId.toString))
+      cat.replaceRollup(r)
+    }
+  }
+
   /** Drive a streaming query over a bounded source synchronously (memory
     * sink) — the local-smoke harness from the Spark guide. Returns the sink
     * table name. */

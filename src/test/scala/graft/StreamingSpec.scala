@@ -254,4 +254,62 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.keySet.maxBy(_._2)).toSet
     assert(unclosed.subsetOf(lastPerUser))
   }
+
+  test("streaming rollup refresh: routed answers track the stream; replays no-op") {
+    import graft.planner.{CubeQuery, LevelDrill, LevelRef, Planner, Rollups}
+    // isolated catalog so the registered rollup can't leak into suites
+    // sharing the cached one
+    val isoCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val dir = Files.createTempDirectory("graft-rollupstream").toString
+    val path = s"$dir/rollup"
+    val factDir = s"$dir/fact"
+    val orders = cat.table("orders")
+    val slice1 = orders.where(col("o_orderkey") % 2 === 0)
+    val slice2 = orders.where(col("o_orderkey") % 2 =!= 0)
+    slice1.coalesce(1).write.mode("append").parquet(factDir)
+
+    val refs = Seq(LevelRef("OrderDate", Some("Year")),
+      LevelRef("Priority", Some("Priority")))
+    val stream = spark.readStream.schema(orders.schema).parquet(factDir)
+    val sq = Streaming.rollupRefreshStream(isoCat, "orders", refs, stream,
+      path, s"$dir/ckpt")
+    def routed(): Map[String, (Double, Long)] =
+      Planner.plan(isoCat, CubeQuery("orders",
+        Seq(LevelDrill(LevelRef("Priority"))),
+        Seq("total_sales", "order_count"))).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def truth(of: org.apache.spark.sql.DataFrame): Map[String, (Double, Long)] =
+      of.groupBy("o_orderpriority")
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(27,6))")).cast("double"),
+          count(lit(1)))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+        .toMap
+    try {
+      sq.processAllAvailable()
+      // the answer is slice1-ONLY — which also proves the query ROUTED to
+      // the streaming rollup instead of scanning the (full) catalog fact
+      assert(routed() == truth(slice1))
+      slice2.coalesce(1).write.mode("append").parquet(factDir)
+      sq.processAllAvailable()
+      assert(routed() == truth(orders))
+    } finally sq.stop()
+    // replay guard: re-applying the last published batch id must change
+    // nothing (foreachBatch redelivers the trailing batch after a restart)
+    val marker = Rollups.readMarker(spark, path)
+    assert(marker.exists(_.toLongOption.nonEmpty))
+    val before = spark.read.parquet(path).collect().toSet
+    Streaming.applyRollupBatch(isoCat, "orders", refs, slice2,
+      marker.get.toLong, path)
+    assert(Rollups.readMarker(spark, path) == marker)
+    assert(spark.read.parquet(path).collect().toSet == before)
+    // and a NEW batch id with fresh rows still merges (delta discipline)
+    Streaming.applyRollupBatch(isoCat, "orders", refs, slice2,
+      marker.get.toLong + 1, path)
+    val doubled = routed()
+    val t1 = truth(orders); val t2 = truth(slice2)
+    doubled.foreach { case (k, (sales, n)) =>
+      assert(n == t1(k)._2 + t2(k)._2)
+      assert(math.abs(sales - (t1(k)._1 + t2(k)._1)) < 1e-6)
+    }
+  }
 }
