@@ -194,7 +194,8 @@ object SchemaLoader {
   /** Every level/measure/property expression must analyze against its bound
     * table's schema (load-time 400, ref §4.1 validation-as-optimization). */
   private def validate(schema: SchemaDef,
-      tables: Map[String, DataFrame]): Unit =
+      tables: Map[String, DataFrame]): Unit = {
+    validateRoles(schema)
     schema.cubes.foreach { cube =>
       val fact = tables.getOrElse(cube.factTable, GraftException.badRequest(
         s"cube '${cube.name}': fact table '${cube.factTable}' not registered"))
@@ -228,6 +229,53 @@ object SchemaLoader {
         catch {
           case ex: Exception => GraftException.badRequest(
             s"measure '${mm.name}': bad expression '${mm.expr}': ${ex.getMessage}")
+        }
+      }
+    }
+
+  }
+
+  /** B18: a grant naming a cube/dimension/hierarchy/level that doesn't
+    * exist is a schema bug — fail at load like every other declaration
+    * (a typo'd grant that silently never applied would be a SECURITY bug,
+    * the worst kind of silent). */
+  private def validateRoles(schema: SchemaDef): Unit =
+    schema.roles.foreach { r =>
+      def bad(msg: String): Nothing =
+        GraftException.badRequest(s"role '${r.name}': $msg")
+      if (!Set("all", "none").contains(r.schemaAccess))
+        bad(s"schemaAccess '${r.schemaAccess}' must be all|none")
+      r.cubeGrants.foreach { cg =>
+        if (!Set("all", "none").contains(cg.access))
+          bad(s"cube grant access '${cg.access}' must be all|none")
+        val cubeOpt = schema.cube(cg.cube)
+        if (cubeOpt.isEmpty && schema.virtualCube(cg.cube).isEmpty)
+          bad(s"cube grant names unknown cube '${cg.cube}'")
+        if (cubeOpt.isEmpty && cg.hierarchyGrants.nonEmpty)
+          bad(s"hierarchy grants are not supported on virtual cube '${cg.cube}'")
+        val cube = cubeOpt.getOrElse(CubeDef("", "", Nil, Nil))
+        cg.hierarchyGrants.foreach { hg =>
+          if (!Set("all", "none", "custom").contains(hg.access))
+            bad(s"hierarchy grant access '${hg.access}' must be all|none|custom")
+          if (!Set("full", "partial", "hidden").contains(hg.rollupPolicy))
+            bad(s"rollupPolicy '${hg.rollupPolicy}' must be full|partial|hidden")
+          val dim = cube.dimension(hg.dim).getOrElse(
+            bad(s"grant names unknown dimension '${hg.dim}' in cube '${cg.cube}'"))
+          val hier = dim.hierarchy(hg.hierarchy).getOrElse(
+            bad(s"grant names unknown hierarchy '${hg.hierarchy.getOrElse("")}' of '${hg.dim}'"))
+          (hg.topLevel.toSeq ++ hg.bottomLevel ++
+            hg.memberGrants.map(_.level)).foreach { ln =>
+            if (hier.level(ln).isEmpty)
+              bad(s"grant names unknown level '$ln' of ${hg.dim}.${hier.name}")
+          }
+          for (t <- hg.topLevel; b <- hg.bottomLevel)
+            if (hier.levels.indexWhere(_.name == t) >
+                hier.levels.indexWhere(_.name == b))
+              bad(s"topLevel '$t' is below bottomLevel '$b' in ${hg.dim}.${hier.name}")
+          hg.memberGrants.foreach { mg =>
+            if (!Set("all", "none").contains(mg.access))
+              bad(s"member grant access '${mg.access}' must be all|none")
+          }
         }
       }
     }

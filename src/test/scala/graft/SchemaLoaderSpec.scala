@@ -161,6 +161,41 @@ class SchemaLoaderSpec extends AnyFunSuite {
       SchemaLoader.load(spark, badFk)).status == 400)
   }
 
+  private def withRoles(json: String, roles: String): String =
+    json.trim.stripSuffix("}") + s""", "roles": $roles }"""
+
+  test("roles load from JSON, enforce, and validate at load time (B18)") {
+    val good = withRoles(catalogJson(parquetRegion),
+      """[{"name": "emea", "cubeGrants": [{"cube": "orders",
+        |  "hierarchyGrants": [{"dimension": "Geography",
+        |    "rollupPolicy": "partial",
+        |    "memberGrants": [{"level": "Region", "keys": [0, 3]}]}]}]}]"""
+        .stripMargin)
+    val cat = SchemaLoader.load(spark, good)
+    val restricted = Planner.plan(cat, CubeQuery("orders", Nil,
+      Seq("total_sales"), role = Some("emea"))).collect()(0).getDouble(0)
+    val open = Planner.plan(cat, CubeQuery("orders", Nil,
+      Seq("total_sales"))).collect()(0).getDouble(0)
+    assert(restricted < open)
+    // a typo'd grant would be a silent security hole → load-time 400
+    val badDim = good.replace("\"dimension\": \"Geography\"",
+      "\"dimension\": \"Geografy\"")
+    assert(intercept[GraftException](
+      SchemaLoader.load(spark, badDim)).status == 400)
+    val badLevel = good.replace("\"level\": \"Region\"",
+      "\"level\": \"Regio\"")
+    assert(intercept[GraftException](
+      SchemaLoader.load(spark, badLevel)).status == 400)
+    val badPolicy = good.replace("\"rollupPolicy\": \"partial\"",
+      "\"rollupPolicy\": \"some\"")
+    assert(intercept[GraftException](
+      SchemaLoader.load(spark, badPolicy)).status == 400)
+    val badCube = good.replace("\"cube\": \"orders\"",
+      "\"cube\": \"ordres\"")
+    assert(intercept[GraftException](
+      SchemaLoader.load(spark, badCube)).status == 400)
+  }
+
   test("Json.parse round-trips the writer") {
     val doc = scala.collection.immutable.ListMap(
       "a" -> Seq(1L, 2.5, "x\n", null, true),
