@@ -166,6 +166,59 @@ class RoleSpec extends AnyFunSuite {
     assert(a != b)
   }
 
+  test("property: random member grants — partial == pre-filtered recompute, " +
+      "full == unrestricted values on the visible axis") {
+    import graft.model._
+    val allNations = cat.table("nation").select("n_nationkey")
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val rnd = new scala.util.Random(0xB18)
+    // a catalog twin carrying the randomized roles (tables shared)
+    val tableNames = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings",
+      "supp_geo", "cust_geo")
+    val tables = tableNames.map(n => n -> cat.table(n)).toMap
+    def catWith(roles: Seq[RoleDef]): CubeCatalog =
+      new CubeCatalog(spark, cat.schema.copy(roles = roles), tables)
+
+    (1 to 6).foreach { trial =>
+      val grantSet = rnd.shuffle(allNations).take(1 + rnd.nextInt(12))
+      def role(policy: String) = RoleDef(s"t$trial", cubeGrants = Seq(
+        CubeGrantDef("orders", "all", Seq(HierarchyGrantDef("Geography",
+          rollupPolicy = policy,
+          memberGrants = Seq(MemberGrantDef("Nation", grantSet, "all")))))))
+
+      // partial, drilled on an unrelated dim: every cell == the filtered
+      // recompute
+      val c1 = catWith(Seq(role("partial")))
+      val got = Planner.plan(c1, CubeQuery("orders",
+        Seq(drill("Priority")), Seq("total_sales"),
+        role = Some(s"t$trial"))).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val cg = cat.table("cust_geo")
+        .filter(col("n_nationkey").isin(grantSet: _*)).select("c_custkey")
+      val want = cat.table("orders").join(cg,
+          cat.table("orders")("o_custkey") === cg("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(27,6))"))
+          .cast("double").as("s"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"trial $trial partial grant $grantSet")
+
+      // full, drilled AT the grant level: axis == visible members with
+      // orders; values == unrestricted per-nation values
+      val c2 = catWith(Seq(role("full")))
+      val gotFull = Planner.plan(c2, CubeQuery("orders",
+        Seq(drill("Geography", "Nation")), Seq("total_sales"),
+        role = Some(s"t$trial"))).collect()
+        .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      val open = Planner.plan(cat, CubeQuery("orders",
+        Seq(drill("Geography", "Nation")), Seq("total_sales"))).collect()
+        .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      assert(gotFull.keySet == open.keySet.intersect(grantSet.toSet))
+      gotFull.foreach { case (k, v) => assert(v == open(k)) }
+    }
+  }
+
   // ------------------------------------------------------------- REST
 
   private lazy val server: Server = {
