@@ -53,6 +53,11 @@ final class CubeCatalog(
         rollupReg.remove(old)
       }
     rollupReg.add(if (cache) r.copy(df = r.df.cache()) else r)
+    // the rollup's DATA changed (a streaming batch merged in) — cached axis
+    // rows computed from the previous generation are stale for any query
+    // that routed (or would now route) to it. Registration-only changes
+    // (addRollup) never alter results, but a REPLACEMENT does.
+    resultCache.synchronized(resultCache.clear())
     ()
   }
 

@@ -284,14 +284,30 @@ class StreamingSpec extends AnyFunSuite {
           count(lit(1)))
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
         .toMap
+    // the serving layer's result cache must not outlive a rollup swap —
+    // drive the same query through the cached AxesResult path around a batch
+    def servedCounts(): Double = {
+      val doc = graft.result.Json.parse(graft.result.AxesResult.json(isoCat,
+        CubeQuery("orders", Seq(LevelDrill(LevelRef("Priority"))),
+          Seq("order_count")))).asInstanceOf[Map[String, Any]]
+      def flat(v: Any): Seq[Double] = v match {
+        case s: Seq[_] => s.flatMap(flat)
+        case n: Number => Seq(n.doubleValue())
+        case _ => Nil
+      }
+      flat(doc("values")).sum
+    }
     try {
       sq.processAllAvailable()
       // the answer is slice1-ONLY — which also proves the query ROUTED to
       // the streaming rollup instead of scanning the (full) catalog fact
       assert(routed() == truth(slice1))
+      assert(servedCounts() == slice1.count().toDouble) // now cached
       slice2.coalesce(1).write.mode("append").parquet(factDir)
       sq.processAllAvailable()
       assert(routed() == truth(orders))
+      // the swap invalidated the cached axis: the served answer is fresh
+      assert(servedCounts() == orders.count().toDouble)
     } finally sq.stop()
     // replay guard: re-applying the last published batch id must change
     // nothing (foreachBatch redelivers the trailing batch after a restart)
