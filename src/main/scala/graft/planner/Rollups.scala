@@ -159,6 +159,158 @@ object Rollups {
   private def levelAliases(cube: CubeDef, ref: LevelRef): Seq[String] =
     Planner.levelAliasesOf(Planner.resolve(cube, ref))
 
+  // ---------------------------------------------------- aggregate designer
+
+  /** One recommended rollup: the level refs to materialize (full root→level
+    * chains), the alias set [[route]] will match against, the estimated row
+    * count, and how many workload queries it answers. */
+  final case class Advice(levelRefs: Seq[LevelRef], aliases: Set[String],
+      estRows: Long, covers: Int)
+
+  /** WORKLOAD-DRIVEN AGGREGATE DESIGNER — the analog of Mondrian's
+    * Aggregation Designer, which proposes agg tables from a query log: given
+    * a workload of [[CubeQuery]]s, recommend which rollups to materialize
+    * under a total row budget.
+    *
+    * Mechanics:
+    *  - each routable query (nonempty, no properties, re-aggregable
+    *    measures) contributes its needed level set, expanded to full
+    *    root→level hierarchy chains (ancestors are functionally dependent
+    *    on the leaf, so they add eligibility — descendants cuts — without
+    *    adding rows);
+    *  - candidates are the workload's distinct level sets plus their
+    *    pairwise unions (one rollup serving two query shapes);
+    *  - rollup cardinality is estimated as the product over dimensions of
+    *    the deepest needed level's approx distinct count (the designer's
+    *    classic correlation-blind upper bound — an over-estimate only
+    *    wastes budget, never correctness);
+    *  - greedy set cover: repeatedly take the candidate answering the most
+    *    still-uncovered queries per estimated row (coverage first, smaller
+    *    tables on ties) while the budget lasts.
+    *
+    * Estimation cost: one `approx_count_distinct` job per distinct (dim,
+    * level) in the workload — dim-frame-sized, bounded by the schema, never
+    * the fact. Build the result with [[buildMany]]: the whole recommended
+    * lattice materializes in ONE fact scan. */
+  def advise(cat: CubeCatalog, cube: CubeDef, workload: Seq[CubeQuery],
+      maxTotalRows: Long, maxRollups: Int = 8): Seq[Advice] = {
+    // needed level refs per routable query, as full chains
+    val querySets: Seq[Set[String]] = workload.flatMap(neededAliasSets(cube, _))
+    if (querySets.isEmpty) return Nil
+    val refsOf: Map[Set[String], Seq[LevelRef]] = querySets.distinct
+      .map(s => s -> refsForAliases(cube, s)).toMap
+
+    val cardCache = scala.collection.mutable.Map.empty[String, Long]
+    def levelCard(rl: Planner.ResolvedLevel): Long =
+      cardCache.getOrElseUpdate(rl.level.alias, {
+        val src = rl.dim.join match {
+          case Some(js) => cat.table(js.table)
+          case None => cat.fact(cube)
+        }
+        src.select(approx_count_distinct(expr(rl.level.keyExpr)))
+          .collect()(0).getLong(0).max(1L)
+      })
+    def estRows(refs: Seq[LevelRef]): Long = {
+      val rls = refs.map(Planner.resolve(cube, _))
+      rls.groupBy(_.dim.name).values.map { perDim =>
+        levelCard(perDim.maxBy(_.depth)) // deepest level keys the dim's grain
+      }.foldLeft(1L)((a, b) => if (a > maxTotalRows) a else a * b)
+    }
+
+    val base = querySets.distinct
+    val unions = (for {
+      (a, i) <- base.zipWithIndex; b <- base.drop(i + 1)
+    } yield a ++ b).distinct.filterNot(base.contains)
+    val candidates = (base ++ unions).map { s =>
+      val refs = refsOf.getOrElse(s, refsForAliases(cube, s))
+      Advice(refs, aliasSetOf(cube, refs), estRows(refs), 0)
+    }.filter(_.estRows <= maxTotalRows)
+
+    var remaining = querySets
+    var budget = maxTotalRows
+    val picked = Seq.newBuilder[Advice]
+    var n = 0
+    while (n < maxRollups && remaining.nonEmpty) {
+      val scored = candidates
+        .filter(_.estRows <= budget)
+        .map(c => c.copy(covers = remaining.count(_.subsetOf(c.aliases))))
+        .filter(_.covers > 0)
+      if (scored.isEmpty) { remaining = Nil }
+      else {
+        val best = scored.maxBy(c => (c.covers, -c.estRows))
+        picked += best
+        budget -= best.estRows
+        remaining = remaining.filterNot(_.subsetOf(best.aliases))
+        n += 1
+      }
+    }
+    picked.result()
+  }
+
+  /** [[advise]] + [[buildMany]] + registration: the whole recommended
+    * lattice materializes from ONE fact scan and starts routing. */
+  def adviseAndBuild(cat: CubeCatalog, cube: CubeDef,
+      workload: Seq[CubeQuery], maxTotalRows: Long,
+      maxRollups: Int = 8): Seq[Advice] = {
+    val advices = advise(cat, cube, workload, maxTotalRows, maxRollups)
+    if (advices.nonEmpty)
+      buildMany(cat, cube, advices.map(_.levelRefs))
+        .foreach(cat.addRollup(_))
+    advices
+  }
+
+  /** A query's needed levels as alias sets (chains included), or None when
+    * it can never route (dense, properties, non-reaggregable measures). */
+  private def neededAliasSets(cube: CubeDef, q: CubeQuery)
+      : Option[Set[String]] = {
+    if (!q.nonempty || q.properties.nonEmpty || q.captions.nonEmpty)
+      return None
+    val measures = if (q.measures.nonEmpty) q.measures
+      else cube.defaultMeasure.toSeq
+    // calc/lag/total aliases resolve to bases only inside planCube — the
+    // advisor stays conservative and counts only plain routable measures
+    if (!measures.forall(n => cube.measure(n).exists(m => supportedAgg(m.agg))))
+      return None
+    try {
+      val (drills, nsCuts) = Planner.expandDrills(cube, q.drilldowns)
+      val cutRefs = (q.cuts ++ nsCuts).flatMap {
+        case MemberCut(l, _) => Some(l)
+        case SetCut(l, _) => Some(l)
+        case RangeCut(l, _, _) => Some(l)
+        case NamedSetCut(name) => cube.namedSet(name)
+          .map(ns => LevelRef(ns.dim, Some(ns.level)))
+        case TopKCut(l, _, _, _) => Some(l)
+        case ExcludeCut(l, _) => Some(l)
+      }
+      val rls = drills ++ cutRefs.map(Planner.resolve(cube, _))
+      Some(rls.flatMap(rl => chainOf(rl).flatMap(Planner.levelAliasesOf))
+        .toSet)
+    } catch { case _: GraftException => None }
+  }
+
+  /** Root→level chain of a resolved level (same-hierarchy ancestors). */
+  private def chainOf(rl: Planner.ResolvedLevel): Seq[Planner.ResolvedLevel] =
+    rl.hier.levels.take(rl.depth + 1).zipWithIndex.map { case (l, i) =>
+      Planner.ResolvedLevel(rl.dim, rl.hier, l, i)
+    }
+
+  /** LevelRefs whose chains produce exactly this alias set (deepest level
+    * per hierarchy that appears in the set). */
+  private def refsForAliases(cube: CubeDef, aliases: Set[String])
+      : Seq[LevelRef] =
+    (for {
+      dim <- cube.dimensions
+      hier <- dim.hierarchies
+      deepest <- hier.levels.zipWithIndex.reverse.collectFirst {
+        case (l, i) if aliases.contains(l.alias) =>
+          LevelRef(dim.name, Some(l.name), Some(hier.name))
+      }
+    } yield deepest).distinct
+
+  private def aliasSetOf(cube: CubeDef, refs: Seq[LevelRef]): Set[String] =
+    refs.map(Planner.resolve(cube, _))
+      .flatMap(rl => chainOf(rl).flatMap(Planner.levelAliasesOf)).toSet
+
   /** Merge two rollups over the same level set by re-aggregating the
     * partial columns: sums/counts add, min/max fold, HLL sketches union —
     * every partial is associative, so (build(A) merge build(B)) ==

@@ -287,4 +287,45 @@ class RollupSpec extends AnyFunSuite {
     check("total_sales", expectRouted = true)
     check("median_order", expectRouted = false)
   }
+
+  test("aggregate designer: workload-driven advice respects the row budget " +
+      "and the built lattice routes every covered query") {
+    val adviseCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val c = adviseCat.cube("sales")
+    val regionQ = CubeQuery("sales",
+      Seq(drill("Geography", "Region")), Seq("revenue"))
+    val regionFlagQ = CubeQuery("sales",
+      Seq(drill("Geography", "Region"), drill("ReturnFlag")),
+      Seq("revenue", "cnt"))
+    val partQ = CubeQuery("sales",
+      Seq(drill("Part", "Part", "Brands")), Seq("revenue"))
+    val workload =
+      Seq.fill(5)(regionQ) ++ Seq.fill(3)(regionFlagQ) ++ Seq.fill(2)(partQ)
+
+    // tight budget: the ~200-part rollup can't fit; the region-family can.
+    // The designer prefers ONE union rollup covering both region shapes.
+    val tight = Rollups.advise(adviseCat, c, workload, maxTotalRows = 100L)
+    assert(tight.nonEmpty)
+    assert(tight.map(_.covers).sum == 8, s"got $tight")
+    assert(tight.forall(a => !a.aliases.contains("part")))
+    assert(tight.map(_.estRows).sum <= 100L)
+
+    // generous budget: everything covered; the lattice builds in one scan
+    // and every workload query routes with fact-identical results
+    val advices = Rollups.adviseAndBuild(adviseCat, c, workload,
+      maxTotalRows = 100000L)
+    assert(advices.map(_.covers).sum == workload.length)
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    Seq(regionQ, regionFlagQ, partQ).foreach { q =>
+      val routed = Planner.plan(adviseCat, q)
+      assert(routed.queryExecution.optimizedPlan.toString()
+        .contains("__sum_"), s"query $q did not route")
+      assert(routed.collect().map(_.toSeq).toSeq ==
+        Planner.plan(factCat, q).collect().map(_.toSeq).toSeq)
+    }
+
+    // unroutable shapes contribute nothing (dense, properties, median-class)
+    assert(Rollups.advise(adviseCat, c,
+      Seq(regionQ.copy(nonempty = false)), 100000L).isEmpty)
+  }
 }
