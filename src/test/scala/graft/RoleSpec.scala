@@ -166,6 +166,36 @@ class RoleSpec extends AnyFunSuite {
     assert(a != b)
   }
 
+  test("roles compose with rollup routing: full policy filters the routed " +
+      "axis; partial policy forces the fact path") {
+    val isoCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val c = isoCat.cube("orders")
+    isoCat.addRollup(Rollups.build(isoCat, c, Seq(
+      LevelRef("Geography", Some("Region")),
+      LevelRef("Geography", Some("Nation")))))
+    val q = CubeQuery("orders", Seq(drill("Geography", "Region")),
+      Seq("total_sales"))
+    // full: routes (plan reaggregates rollup partials) AND the membership
+    // semi-join keeps only the granted regions, with complete values
+    val full = Planner.plan(isoCat, q.copy(role = Some("emea_full")))
+    assert(full.queryExecution.optimizedPlan.toString().contains("__sum_"),
+      "full-policy query should still route to the rollup")
+    val fullRows = full.collect()
+    assert(fullRows.map(_.getInt(0)).toSet == Set(0, 3))
+    val open = Planner.plan(isoCat, q).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    fullRows.foreach(r =>
+      assert(math.abs(r.getDouble(2) - open(r.getInt(0))) < 1e-6))
+    // partial: the member filter lives on the fact's dim-joined frame, so
+    // routing is disqualified — and the values are the restricted ones
+    val partial = Planner.plan(isoCat, q.copy(role = Some("emea")))
+    assert(!partial.queryExecution.optimizedPlan.toString().contains("__sum_"),
+      "partial-policy query must bypass the rollup")
+    val pRows = partial.collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(pRows.keySet == Set(0, 3))
+    pRows.foreach { case (k, v) => assert(math.abs(v - open(k)) < 1e-6) }
+  }
+
   test("property: random member grants — partial == pre-filtered recompute, " +
       "full == unrestricted values on the visible axis") {
     import graft.model._
