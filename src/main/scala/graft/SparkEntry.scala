@@ -537,6 +537,18 @@ object SparkEntry {
             .otherwise(lit(""))))
         ops.TextOps.piiScrub(aug)
       },
+      // DRILLTHROUGH (Mondrian's cell-to-fact operator): the fact rows
+      // behind the (Region 3, ship year 1996) cell, projected + paged on a
+      // deterministic total order — cuts and projection push into the scan
+      "q63_drillthrough" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.planDrillthrough(c, c.cube("sales"),
+          CubeQuery("sales", Nil, Nil,
+            cuts = Seq(MemberCut(L("Geography", "Region"), 3),
+              MemberCut(L("ShipDate", "Year", "Monthly"), 1996)),
+            limit = Some(50)),
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      }),
       // log-free BM25 keyword search, top-20
       "t13_bm25" -> tbl("documents")(
         ops.TextOps.bm25TopK(_, Seq("spark", "hash", "join"), 20)),
@@ -1344,6 +1356,14 @@ object SparkEntry {
     "q26_distinct" ->
       """SELECT l_returnflag AS return_flag, COUNT(1) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63: drillthrough — same cell, same projection, same total order
+    "q63_drillthrough" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 3 AND year(l_shipdate) = 1996
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |LIMIT 50""".stripMargin,
     // q61: B18 partial rollup policy — the role's member grant (customer
     // regions 0 and 3) is a plain WHERE on the oracle side
     "q61_role_partial" ->

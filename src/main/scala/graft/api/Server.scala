@@ -150,6 +150,8 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
       }
     case List("cubes", c, agg) if agg.startsWith("aggregate") =>
       aggregate(cat, c, agg, params)
+    case List("cubes", c, dt) if dt.startsWith("drillthrough") =>
+      drillthrough(cat, c, dt, params)
     case List("cubes", c, "members") =>
       val fullName = params.get("full_name").flatMap(_.headOption)
         .getOrElse(GraftException.badRequest("full_name param required"))
@@ -307,6 +309,39 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
       case "mdx.xls" =>
         (200, "application/vnd.ms-excel",
           Biff.xls(Formatters.tidy(cat, q)))
+      case other => GraftException.notFound(s"unknown format: $other")
+    }
+  }
+
+  /** GET /cubes/:cube/drillthrough[.ext]?cut[]=…&returns[]=…&limit=… —
+    * the fact rows behind a cell (Mondrian DRILLTHROUGH; see
+    * [[Planner.planDrillthrough]]). `max_rows` (default 1000, config
+    * `spark.graft.drillthrough.maxRows`) caps an unlimited request — a
+    * cell at 100× can hide millions of rows and this endpoint collects. */
+  private def drillthrough(cat: CubeCatalog, cubeName: String,
+      endpoint: String, params: Map[String, Seq[String]]): Resp = {
+    if (cat.schema.virtualCube(cubeName).nonEmpty)
+      GraftException.badRequest(
+        s"drillthrough is not supported on virtual cube '$cubeName'")
+    val role = roleOf(cat, params)
+    val c = cube(cat, cubeName, role)
+    val q0 = QueryParser.fromParams(c, params)
+      .copy(cube = cubeName, role = role.map(_.name))
+    val maxRows = params.get("max_rows").flatMap(_.headOption).map(_.toLong)
+      .orElse(cat.spark.conf.getOption("spark.graft.drillthrough.maxRows")
+        .map(_.toLong))
+      .getOrElse(1000L)
+    val q = if (q0.limit.isEmpty) q0.copy(limit = Some(maxRows)) else q0
+    val returns = params.getOrElse("returns[]", Nil)
+    val df = Planner.planDrillthrough(cat, c, q, returns)
+    val t = Formatters.Tidy(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+    endpoint match {
+      case "drillthrough" | "drillthrough.jsonrecords" =>
+        val asArrays = params.get("format").exists(_.headOption.contains("array"))
+        text(200, "application/json", Formatters.jsonRecords(t, asArrays))
+      case "drillthrough.csv" => text(200, "text/csv", Formatters.csv(t))
+      case "drillthrough.xls" =>
+        (200, "application/vnd.ms-excel", Biff.xls(t))
       case other => GraftException.notFound(s"unknown format: $other")
     }
   }

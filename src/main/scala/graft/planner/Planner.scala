@@ -567,6 +567,50 @@ object Planner {
 
   /** Star joins for the dimensions this query actually touches, deduped by
     * (table, fk): small dims broadcast, fact-sized dims shuffle-join (ref B2). */
+  /** DRILLTHROUGH (Mondrian's cell-to-fact operator, `DRILLTHROUGH SELECT
+    * … RETURNING …` — supported by the engine the reference embeds, never
+    * surfaced by its REST API): the fact rows behind a cell. The cell is
+    * named by cuts; `returns` picks the projected columns (default: every
+    * fact column). Spark-first shape: cuts and the role's member-visibility
+    * predicate are plain filters on the dim-joined fact, so Catalyst pushes
+    * them into the scan and prunes the projection — at 100 TB a
+    * drillthrough reads only the cell's partitions and the returned
+    * columns.
+    *
+    * Role enforcement: drillthrough reveals ROWS, so any custom member
+    * grant filters them regardless of rollupPolicy (rollup policies decide
+    * what aggregated CELLS show; the row set behind them is visible iff
+    * the member is). Level bands and denied hierarchies 403 via the same
+    * cut validation as aggregate.
+    *
+    * A deterministic total order over the returned columns makes
+    * offset/limit pagination stable (the A12 discipline). */
+  def planDrillthrough(cat: CubeCatalog, cube: CubeDef, q: CubeQuery,
+      returns: Seq[String]): DataFrame = {
+    val qRole = Roles.resolve(cat.schema, q.role)
+    qRole.foreach { r =>
+      Roles.checkCubeAccess(r, cube.name)
+      Roles.validateLevels(r, cube, q.cuts.flatMap(levelOfCut(cube, _)))
+    }
+    val roleGrants = Roles.customGrants(qRole, cube).filter(_.restricts)
+    val joined = joinNeededDims(cat, cube,
+      q.cuts.flatMap(levelOfCut(cube, _)).map(_.dim) ++
+        roleGrants.map(_.dim))
+    val filtered = roleGrants.foldLeft(
+      q.cuts.foldLeft(joined)((df, c) => applyCut(cat, cube, df, c))
+    )((df, g) => df.filter(g.visibleCol))
+    val factCols = cat.fact(cube).columns.toSeq
+    val cols = if (returns.nonEmpty) returns else factCols
+    cols.foreach { c =>
+      if (!filtered.columns.contains(c))
+        GraftException.badRequest(s"drillthrough column '$c' not found")
+    }
+    val projected = filtered.select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*)
+    val off = if (q.offset > 0) projected.offset(q.offset.toInt) else projected
+    q.limit.fold(off)(n => off.limit(n.toInt))
+  }
+
   private def joinNeededDims(cat: CubeCatalog, cube: CubeDef,
       dims: Seq[DimensionDef], factOverride: Option[DataFrame] = None)
       : DataFrame = {

@@ -281,6 +281,37 @@ class RoleSpec extends AnyFunSuite {
       .asInstanceOf[Seq[Map[String, Any]]].map(_("name")) == Seq("orders"))
   }
 
+  test("REST: drillthrough pages the cell's fact rows and respects grants") {
+    import java.net.URLEncoder
+    def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+    val cut = enc("[Geography].[Region].[3]")
+    // unrestricted: rows behind the Region-3 cell
+    val (c1, b1) = get("/cubes/orders/drillthrough.jsonrecords" +
+      s"?cut%5B%5D=$cut&returns%5B%5D=o_orderkey&returns%5B%5D=o_totalprice" +
+      "&limit=5")
+    assert(c1 == 200)
+    val recs = Json.parse(b1).asInstanceOf[Seq[Map[String, Any]]]
+    assert(recs.length == 5 &&
+      recs.head.keySet == Set("o_orderkey", "o_totalprice"))
+    // the emea role grants regions {0,3} → region-3 rows stay visible,
+    // while a cut on a DENIED region's cell returns no rows at all
+    val (c2, b2) = get("/cubes/orders/drillthrough.jsonrecords" +
+      s"?cut%5B%5D=$cut&returns%5B%5D=o_orderkey&limit=5&role=emea")
+    assert(c2 == 200)
+    assert(Json.parse(b2).asInstanceOf[Seq[Any]].length == 5)
+    val denied = enc("[Geography].[Region].[2]")
+    val (c3, b3) = get("/cubes/orders/drillthrough.jsonrecords" +
+      s"?cut%5B%5D=$denied&returns%5B%5D=o_orderkey&role=emea")
+    assert(c3 == 200)
+    assert(Json.parse(b3).asInstanceOf[Seq[Any]].isEmpty)
+    // contract: virtual cubes and unknown columns are 400s
+    val (c4, _) = get(s"/cubes/commerce/drillthrough?cut%5B%5D=$cut")
+    assert(c4 == 400)
+    val (c5, _) = get("/cubes/orders/drillthrough" +
+      s"?cut%5B%5D=$cut&returns%5B%5D=no_such_col")
+    assert(c5 == 400)
+  }
+
   test("REST: member listing and lookup respect grants") {
     val visible = cat.table("nation").filter(col("n_regionkey").isin(0, 3))
       .select("n_nationkey").collect().map(_.getInt(0)).toSet
