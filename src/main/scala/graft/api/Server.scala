@@ -286,6 +286,19 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     * is recovered from the FROM clause. */
   private def mdx(cat: CubeCatalog, endpoint: String, body: String,
       params: Map[String, Seq[String]]): Resp = {
+    // MDX DRILLTHROUGH statement form (Mondrian dialect):
+    //   DRILLTHROUGH [MAXROWS n] <select> [RETURNING col, col, …]
+    // the inner SELECT's slicer cuts name the cell; axes are ignored (the
+    // REST param form takes cut[] directly — see /cubes/:c/drillthrough)
+    val dtRe = """(?is)^\s*DRILLTHROUGH\s+(?:MAXROWS\s+(\d+)\s+)?(.*?)(?:\s+RETURNING\s+(.+))?\s*$""".r
+    body match {
+      case dtRe(maxRows, select, returning) =>
+        return mdxDrillthrough(cat, endpoint, select,
+          Option(maxRows).map(_.toLong),
+          Option(returning).toSeq.flatMap(_.split(",")).map(_.trim)
+            .filter(_.nonEmpty), params)
+      case _ => ()
+    }
     val fromRe = """(?is)\bFROM\s+(\[[^\]]+\]|\S+)""".r
     val cubeName = fromRe.findFirstMatchIn(body)
       .map(m => m.group(1).stripPrefix("[").stripSuffix("]"))
@@ -309,6 +322,41 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
       case "mdx.xls" =>
         (200, "application/vnd.ms-excel",
           Biff.xls(Formatters.tidy(cat, q)))
+      case other => GraftException.notFound(s"unknown format: $other")
+    }
+  }
+
+  /** The statement form of drillthrough: parse the inner SELECT with the
+    * regular MDX parser, keep its slicer cuts as the cell address, and run
+    * [[Planner.planDrillthrough]] with the same max-rows discipline as the
+    * param form. */
+  private def mdxDrillthrough(cat: CubeCatalog, endpoint: String,
+      select: String, maxRows: Option[Long], returning: Seq[String],
+      params: Map[String, Seq[String]]): Resp = {
+    val fromRe = """(?is)\bFROM\s+(\[[^\]]+\]|\S+)""".r
+    val cubeName = fromRe.findFirstMatchIn(select)
+      .map(m => m.group(1).stripPrefix("[").stripSuffix("]"))
+      .getOrElse(GraftException.badRequest("MDX has no FROM clause"))
+    if (cat.schema.virtualCube(cubeName).nonEmpty)
+      GraftException.badRequest(
+        s"drillthrough is not supported on virtual cube '$cubeName'")
+    val role = roleOf(cat, params)
+    val c = cube(cat, cubeName, role)
+    val inner = graft.planner.MdxParser.parse(c, select)
+    val cap = maxRows.orElse(
+        cat.spark.conf.getOption("spark.graft.drillthrough.maxRows")
+          .map(_.toLong))
+      .getOrElse(1000L)
+    val q = inner.copy(drilldowns = Nil, measures = Nil,
+      limit = Some(cap), offset = 0, role = role.map(_.name))
+    val df = Planner.planDrillthrough(cat, c, q, returning)
+    val t = Formatters.Tidy(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+    endpoint match {
+      case "mdx" | "mdx.jsonrecords" =>
+        val asArrays = params.get("format").exists(_.headOption.contains("array"))
+        text(200, "application/json", Formatters.jsonRecords(t, asArrays))
+      case "mdx.csv" => text(200, "text/csv", Formatters.csv(t))
+      case "mdx.xls" => (200, "application/vnd.ms-excel", Biff.xls(t))
       case other => GraftException.notFound(s"unknown format: $other")
     }
   }

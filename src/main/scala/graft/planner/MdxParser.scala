@@ -485,11 +485,29 @@ object MdxParser {
       }
       (Seq(LevelDrill(levelRef)), Seq(cut))
     } else if (t.startsWith("{") && t.endsWith("}")) {
-      // explicit member set: drill the shared level + set cut (or named set)
-      val cut = QueryParser.parseCut(cube, t)
-      cut match {
-        case SetCut(level, _) => (Seq(LevelDrill(level)), Seq(cut))
-        case other => GraftException.badRequest(s"unsupported set literal '$t'")
+      val elems = splitTop(t.substring(1, t.length - 1), ',').map(_.trim)
+      def isSetExpr(e: String): Boolean = {
+        val u = e.toUpperCase
+        u.endsWith(".MEMBERS") || u.endsWith(".CHILDREN") ||
+          Seq("TOPCOUNT(", "BOTTOMCOUNT(", "CROSSJOIN(", "UNION(",
+            "EXCEPT(", "INTERSECT(", "DESCENDANTS(", "FILTER(", "ORDER(",
+            "HEAD(", "SUBSET(", "HIERARCHIZE(").exists(u.startsWith) ||
+          splitTop(e, ':').length == 2
+      }
+      if (elems.length == 1 && isSetExpr(elems.head)) {
+        // {} is MDX's Set constructor and accepts set expressions —
+        // `{[L].Members}` is the braced spelling of `[L].Members`
+        parseSet(cube, elems.head)
+      } else if (elems.exists(isSetExpr)) {
+        GraftException.badRequest(
+          s"set literal mixing members with set expressions is not supported: '$t'")
+      } else {
+        // explicit member set: drill the shared level + set cut (or named set)
+        val cut = QueryParser.parseCut(cube, t)
+        cut match {
+          case SetCut(level, _) => (Seq(LevelDrill(level)), Seq(cut))
+          case other => GraftException.badRequest(s"unsupported set literal '$t'")
+        }
       }
     } else if (upper.endsWith(".MEMBERS")) {
       val path = t.substring(0, t.length - ".Members".length)

@@ -312,6 +312,35 @@ class RoleSpec extends AnyFunSuite {
     assert(c5 == 400)
   }
 
+  test("REST: MDX DRILLTHROUGH statement form pages the cell's rows") {
+    def post(path: String, body: String): (Int, String) = {
+      val r = client.send(HttpRequest.newBuilder(URI.create(base + path))
+        .header("Content-Type", "text/plain")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    val (c1, b1) = post("/mdx",
+      """DRILLTHROUGH MAXROWS 5
+        |SELECT {[Measures].[total_sales]} ON COLUMNS,
+        |{[Priority].[Priority].Members} ON ROWS
+        |FROM [orders]
+        |WHERE ([Geography].[Region].[3])
+        |RETURNING o_orderkey, o_totalprice""".stripMargin)
+    assert(c1 == 200, b1)
+    val recs = Json.parse(b1).asInstanceOf[Seq[Map[String, Any]]]
+    assert(recs.length == 5 &&
+      recs.head.keySet == Set("o_orderkey", "o_totalprice"))
+    // a role's member grants bound the statement form too
+    val (c2, b2) = post("/mdx?role=emea",
+      """DRILLTHROUGH SELECT {[Measures].[total_sales]} ON COLUMNS,
+        |{[Priority].[Priority].Members} ON ROWS
+        |FROM [orders] WHERE ([Geography].[Region].[2])
+        |RETURNING o_orderkey""".stripMargin)
+    assert(c2 == 200)
+    assert(Json.parse(b2).asInstanceOf[Seq[Any]].isEmpty)
+  }
+
   test("REST: member listing and lookup respect grants") {
     val visible = cat.table("nation").filter(col("n_regionkey").isin(0, 3))
       .select("n_nationkey").collect().map(_.getInt(0)).toSet
