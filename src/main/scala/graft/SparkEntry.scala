@@ -2578,8 +2578,12 @@ object SparkEntry {
         |    p_email, '[EMAIL]', 'g'), p_ip, '[IP]', 'g'),
         |    p_phone, '[PHONE]', 'g') AS clean,
         |  CAST(len(regexp_extract_all(text, p_email)) AS INTEGER) AS n_email,
-        |  CAST(len(regexp_extract_all(text, p_ip)) AS INTEGER) AS n_ip,
-        |  CAST(len(regexp_extract_all(text, p_phone)) AS INTEGER) AS n_phone
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(text, p_email, '[EMAIL]', 'g'), p_ip))
+        |    AS INTEGER) AS n_ip,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(text, p_email, '[EMAIL]', 'g'),
+        |      p_ip, '[IP]', 'g'), p_phone)) AS INTEGER) AS n_phone
         |  FROM aug CROSS JOIN pats)
         |SELECT doc_id, n_email, n_ip, n_phone,
         |  md5(clean) AS clean_md5,

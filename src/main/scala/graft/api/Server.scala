@@ -337,28 +337,12 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     val cubeName = fromRe.findFirstMatchIn(select)
       .map(m => m.group(1).stripPrefix("[").stripSuffix("]"))
       .getOrElse(GraftException.badRequest("MDX has no FROM clause"))
-    if (cat.schema.virtualCube(cubeName).nonEmpty)
-      GraftException.badRequest(
-        s"drillthrough is not supported on virtual cube '$cubeName'")
     val role = roleOf(cat, params)
-    val c = cube(cat, cubeName, role)
+    val c = drillthroughTarget(cat, cubeName, role)
     val inner = graft.planner.MdxParser.parse(c, select)
-    val cap = maxRows.orElse(
-        cat.spark.conf.getOption("spark.graft.drillthrough.maxRows")
-          .map(_.toLong))
-      .getOrElse(1000L)
-    val q = inner.copy(drilldowns = Nil, measures = Nil,
-      limit = Some(cap), offset = 0, role = role.map(_.name))
-    val df = Planner.planDrillthrough(cat, c, q, returning)
-    val t = Formatters.Tidy(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
-    endpoint match {
-      case "mdx" | "mdx.jsonrecords" =>
-        val asArrays = params.get("format").exists(_.headOption.contains("array"))
-        text(200, "application/json", Formatters.jsonRecords(t, asArrays))
-      case "mdx.csv" => text(200, "text/csv", Formatters.csv(t))
-      case "mdx.xls" => (200, "application/vnd.ms-excel", Biff.xls(t))
-      case other => GraftException.notFound(s"unknown format: $other")
-    }
+    val q = inner.copy(drilldowns = Nil, measures = Nil, limit = None,
+      offset = 0, role = role.map(_.name))
+    runDrillthrough(cat, c, q, maxRows, returning, endpoint, params)
   }
 
   /** GET /cubes/:cube/drillthrough[.ext]?cut[]=…&returns[]=…&limit=… —
@@ -368,29 +352,47 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     * cell at 100× can hide millions of rows and this endpoint collects. */
   private def drillthrough(cat: CubeCatalog, cubeName: String,
       endpoint: String, params: Map[String, Seq[String]]): Resp = {
+    val role = roleOf(cat, params)
+    val c = drillthroughTarget(cat, cubeName, role)
+    val q = QueryParser.fromParams(c, params)
+      .copy(cube = cubeName, role = role.map(_.name))
+    runDrillthrough(cat, c, q,
+      params.get("max_rows").flatMap(_.headOption).map(_.toLong),
+      params.getOrElse("returns[]", Nil), endpoint, params)
+  }
+
+  /** Shared drillthrough machinery for the param and MDX-statement forms:
+    * virtual-cube rejection, the max-rows COLLECT cap (this endpoint
+    * materializes on the driver, so an explicit limit/MAXROWS above the
+    * configured ceiling clamps rather than bypasses), and the tabular
+    * format dispatch keyed by the endpoint's extension. */
+  private def drillthroughTarget(cat: CubeCatalog, cubeName: String,
+      role: Option[RoleDef]): CubeDef = {
     if (cat.schema.virtualCube(cubeName).nonEmpty)
       GraftException.badRequest(
         s"drillthrough is not supported on virtual cube '$cubeName'")
-    val role = roleOf(cat, params)
-    val c = cube(cat, cubeName, role)
-    val q0 = QueryParser.fromParams(c, params)
-      .copy(cube = cubeName, role = role.map(_.name))
-    val maxRows = params.get("max_rows").flatMap(_.headOption).map(_.toLong)
-      .orElse(cat.spark.conf.getOption("spark.graft.drillthrough.maxRows")
-        .map(_.toLong))
+    cube(cat, cubeName, role)
+  }
+
+  private def runDrillthrough(cat: CubeCatalog, c: CubeDef,
+      q0: graft.planner.CubeQuery, requestedMax: Option[Long],
+      returns: Seq[String], endpoint: String,
+      params: Map[String, Seq[String]]): Resp = {
+    val ceiling = cat.spark.conf
+      .getOption("spark.graft.drillthrough.maxRows").map(_.toLong)
       .getOrElse(1000L)
-    val q = if (q0.limit.isEmpty) q0.copy(limit = Some(maxRows)) else q0
-    val returns = params.getOrElse("returns[]", Nil)
+    val cap = (requestedMax.toSeq ++ q0.limit :+ ceiling).min
+    val q = q0.copy(limit = Some(cap))
     val df = Planner.planDrillthrough(cat, c, q, returns)
     val t = Formatters.Tidy(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
-    endpoint match {
-      case "drillthrough" | "drillthrough.jsonrecords" =>
+    val ext = endpoint.dropWhile(_ != '.')
+    ext match {
+      case "" | ".jsonrecords" =>
         val asArrays = params.get("format").exists(_.headOption.contains("array"))
         text(200, "application/json", Formatters.jsonRecords(t, asArrays))
-      case "drillthrough.csv" => text(200, "text/csv", Formatters.csv(t))
-      case "drillthrough.xls" =>
-        (200, "application/vnd.ms-excel", Biff.xls(t))
-      case other => GraftException.notFound(s"unknown format: $other")
+      case ".csv" => text(200, "text/csv", Formatters.csv(t))
+      case ".xls" => (200, "application/vnd.ms-excel", Biff.xls(t))
+      case other => GraftException.notFound(s"unknown format: ${other.stripPrefix(".")}")
     }
   }
 

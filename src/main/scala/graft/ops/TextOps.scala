@@ -845,14 +845,20 @@ object TextOps {
     * chained `regexp_replace`) — map-only, no shuffle, no UDFs; at 100 TB
     * this runs at scan speed and the output is doc-count-sized. */
   def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val counts = piiPatterns.map { case (kind, pat, _) =>
-      regexp_count(col(textCol), lit(pat)).as(s"n_$kind")
-    }
-    val redacted = piiPatterns.foldLeft(col(textCol)) {
+    // counts run against the PROGRESSIVELY redacted text, so each count is
+    // exactly the number of replacements its pattern performed — counting
+    // every pattern on the raw text would claim matches an earlier
+    // redaction already consumed (an IP eating the head of a phone-shaped
+    // digit run) while the digits survive in the clean text
+    val staged = piiPatterns.scanLeft(col(textCol)) {
       case (c, (_, pat, token)) => regexp_replace(c, pat, token)
     }
-    val totalMatches = piiPatterns.map { case (_, pat, _) =>
-      regexp_count(col(textCol), lit(pat))
+    val counts = piiPatterns.zipWithIndex.map { case ((kind, pat, _), i) =>
+      regexp_count(staged(i), lit(pat)).as(s"n_$kind")
+    }
+    val redacted = staged.last
+    val totalMatches = piiPatterns.zipWithIndex.map { case ((_, pat, _), i) =>
+      regexp_count(staged(i), lit(pat))
     }.reduce(_ + _)
     docs.select(
       (col("doc_id") +: counts) ++ Seq(

@@ -66,15 +66,23 @@ object MdxParser {
                 s"WITH SET '$name' shadows a dimension or schema named set")
             name -> m.group(3)
           }
+        // substitute only STANDALONE [name] tokens: a member path segment
+        // ([Year].[1996]) follows a '.', and a set reference never does —
+        // a blind replace would corrupt member literals whose key segment
+        // collides with a set name
+        def substOne(acc: String, name: String, body: String): String =
+          ("""(?<![.\w])""" + java.util.regex.Pattern.quote(s"[$name]"))
+            .r.replaceAllIn(acc,
+              java.util.regex.Matcher.quoteReplacement(s"($body)"))
         val resolvedSets = querySets
           .foldLeft(Seq.empty[(String, String)]) { case (done, (n, b)) =>
             done :+ (n -> done.foldLeft(b) { case (acc, (dn, db)) =>
-              acc.replace(s"[$dn]", s"($db)")
+              substOne(acc, dn, db)
             })
           }
         def substResolved(s: String): String =
           resolvedSets.foldLeft(s) { case (acc, (name, body)) =>
-            acc.replace(s"[$name]", s"($body)")
+            substOne(acc, name, body)
           }
         val memberClause = Option(withClause)
           .map(setRe.replaceAllIn(_, "").trim).filter(_.nonEmpty)
@@ -494,11 +502,18 @@ object MdxParser {
             "HEAD(", "SUBSET(", "HIERARCHIZE(").exists(u.startsWith) ||
           splitTop(e, ':').length == 2
       }
-      if (elems.length == 1 && isSetExpr(elems.head)) {
+      // a WITH SET substitution wraps its body in parens, so the brace
+      // element may arrive as "(<set expr>)" — strip before classifying
+      def unparen(e: String): String = {
+        var x = e.trim
+        while (wholeParen(x)) x = x.substring(1, x.length - 1).trim
+        x
+      }
+      if (elems.length == 1 && isSetExpr(unparen(elems.head))) {
         // {} is MDX's Set constructor and accepts set expressions —
         // `{[L].Members}` is the braced spelling of `[L].Members`
         parseSet(cube, elems.head)
-      } else if (elems.exists(isSetExpr)) {
+      } else if (elems.exists(e => isSetExpr(unparen(e)))) {
         GraftException.badRequest(
           s"set literal mixing members with set expressions is not supported: '$t'")
       } else {

@@ -131,8 +131,17 @@ object Planner {
           (q.properties ++ q.captions).map(p => resolve(cube, p.level)))
     }
     val roleGrants = Roles.customGrants(qRole, cube)
-    val partialGrants = roleGrants.filter(g =>
-      g.restricts && g.grant.rollupPolicy == "partial")
+    // fact-filtered grants: `partial` policy always; ANY policy when the
+    // query CUTS the granted hierarchy — a cut names members explicitly,
+    // and an invisible member must behave like a nonexistent one (the
+    // metadata routes 404 it), not leak its complete value because the
+    // hierarchy happened not to be drilled. full/hidden semantics govern
+    // what rollup CELLS show for visible members; they never authorize
+    // addressing invisible ones.
+    val partialGrants = roleGrants.filter(g => g.restricts &&
+      (g.grant.rollupPolicy == "partial" ||
+        cuts.exists(c => levelOfCut(cube, c).exists(rl =>
+          rl.dim.name == g.dim.name && rl.hier.name == g.hier.name))))
 
     // A9 ascendant guard (ref api_spec.rb:154-157): a cut whose hierarchy
     // is on the axis must be CONSUMED by a drill at-or-below its level —
@@ -605,10 +614,16 @@ object Planner {
       if (!filtered.columns.contains(c))
         GraftException.badRequest(s"drillthrough column '$c' not found")
     }
-    val projected = filtered.select(cols.map(col): _*)
-      .orderBy(cols.map(col): _*)
+    // total order: the returned columns lead (so the visible order is by
+    // them), the remaining fact columns break ties — a projection like
+    // (l_quantity) alone ties on thousands of rows and offset/limit pages
+    // would overlap under Spark's unstable distributed sort
+    val orderCols = (cols ++ factCols.filterNot(cols.contains)).map(col)
+    val projected = filtered.orderBy(orderCols: _*).select(cols.map(col): _*)
+    if (q.offset > Int.MaxValue || q.offset < 0)
+      GraftException.badRequest(s"offset ${q.offset} out of range")
     val off = if (q.offset > 0) projected.offset(q.offset.toInt) else projected
-    q.limit.fold(off)(n => off.limit(n.toInt))
+    q.limit.fold(off)(n => off.limit(math.min(n, Int.MaxValue.toLong).toInt))
   }
 
   private def joinNeededDims(cat: CubeCatalog, cube: CubeDef,

@@ -142,6 +142,8 @@ object Metadata {
     val df0 = levelMembersDf(cat, cube, ref, withProps, roleFilter)
     // paging applies AFTER the total order, inside the plan: a big-dim level
     // list at 100× must never collect() whole just to serve one page
+    if (offset > Int.MaxValue || offset < 0)
+      GraftException.badRequest(s"offset $offset out of range")
     val df = limit.foldLeft(
       if (offset > 0) df0.offset(offset.toInt) else df0)((d, k) => d.limit(k))
     val names = df.columns

@@ -496,7 +496,13 @@ object Streaming {
     val applied = Rollups.readMarker(cat.spark, path)
       .flatMap(_.toLongOption)
     if (applied.exists(_ >= batchId)) {
-      // replayed after a restart — the swap already published this batch
+      // Replayed after a restart — the swap already published this batch's
+      // DATA. Still re-register: a crash between the swap and the previous
+      // registration leaves the catalog pinned to the renamed-away file
+      // listing, and a parquet frame's listing is fixed at read time.
+      val rls = levelRefs.map(graft.planner.Planner.resolve(cube, _))
+      cat.replaceRollup(Rollups.load(cat.spark, cube.name,
+        rls.flatMap(graft.planner.Planner.levelAliasesOf).toSet, path))
     } else {
       val r = Rollups.refresh(cat, cube, levelRefs, path, batch,
         marker = Some(batchId.toString))

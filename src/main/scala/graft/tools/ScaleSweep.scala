@@ -117,7 +117,8 @@ object ScaleSweep {
     spark.stop()
   }
 
-  private def fmt(d: Double): String = f"$d%.4f"
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
   /** Deterministic ±1 sign mask per replica (replica 0 = identity). */
   private def signMasks(factor: Int): Array[Array[Double]] = {

@@ -1316,12 +1316,16 @@ class OpsSpec extends AnyFunSuite {
       (1L, "mail me at a.b+c@x-y.example.org or root@h.io today"),
       (2L, "server 10.0.255.3 then call 555-010-1234 now"),
       (3L, "version 1.2 is not an ip and 12-345-6789 is not a phone"),
-      (4L, "plain text with no pii at all")).toDF("doc_id", "text")
+      (4L, "plain text with no pii at all"),
+      // the IP redaction consumes the head of the phone-shaped run —
+      // counts reflect what was REDACTED, so n_phone must be 0 here
+      (5L, "overlap 192.168.255.255-123-4567 case")).toDF("doc_id", "text")
     val out = TextOps.piiScrub(corpus).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getInt(1) == 2 && out(1L).getInt(2) == 0) // 2 emails
     assert(out(2L).getInt(2) == 1 && out(2L).getInt(3) == 1) // ip + phone
     assert(out(3L).getInt(1) + out(3L).getInt(2) + out(3L).getInt(3) == 0)
+    assert(out(5L).getInt(2) == 1 && out(5L).getInt(3) == 0)
     assert(out(4L).getDouble(6) == 0.0) // pii_per_token
     // redaction is complete: scrubbing the scrubbed text changes nothing
     val redacted = TextOps.piiPatterns.foldLeft(col("text")) {

@@ -166,6 +166,26 @@ class RoleSpec extends AnyFunSuite {
     assert(a != b)
   }
 
+  test("full/hidden policies cannot address invisible members via cuts") {
+    // an explicit cut names a member; an invisible one must behave like a
+    // nonexistent one (the metadata routes 404 it) — not return its
+    // complete value because the hierarchy happened not to be drilled
+    Seq("emea_full", "emea_hidden").foreach { roleName =>
+      val r = Planner.plan(cat, CubeQuery("orders", Nil, Seq("total_sales"),
+        cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 4)),
+        role = Some(roleName))).collect()
+      assert(r.isEmpty || r(0).isNullAt(0), s"$roleName leaked region 4")
+    }
+    // a cut on a VISIBLE member still answers, with that member's value
+    val ok = Planner.plan(cat, CubeQuery("orders", Nil, Seq("total_sales"),
+      cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 3)),
+      role = Some("emea_full"))).collect()(0).getDouble(0)
+    val open = Planner.plan(cat, CubeQuery("orders", Nil, Seq("total_sales"),
+      cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 3))))
+      .collect()(0).getDouble(0)
+    assert(math.abs(ok - open) < 1e-6)
+  }
+
   test("roles compose with rollup routing: full policy filters the routed " +
       "axis; partial policy forces the fact path") {
     val isoCat = TpchCatalog.build(spark, SparkTestSession.sf)
@@ -304,6 +324,11 @@ class RoleSpec extends AnyFunSuite {
       s"?cut%5B%5D=$denied&returns%5B%5D=o_orderkey&role=emea")
     assert(c3 == 200)
     assert(Json.parse(b3).asInstanceOf[Seq[Any]].isEmpty)
+    // the collect cap clamps an oversized explicit limit (default 1000)
+    val (c6, b6) = get("/cubes/orders/drillthrough.jsonrecords" +
+      "?returns%5B%5D=o_orderkey&limit=5000000")
+    assert(c6 == 200)
+    assert(Json.parse(b6).asInstanceOf[Seq[Any]].length == 1000)
     // contract: virtual cubes and unknown columns are 400s
     val (c4, _) = get(s"/cubes/commerce/drillthrough?cut%5B%5D=$cut")
     assert(c4 == 400)
