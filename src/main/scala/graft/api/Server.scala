@@ -8,8 +8,8 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.SparkSession
 import graft.CubeCatalog
 import graft.model.{CubeDef, GraftException}
-import graft.model.RoleDef
 import graft.planner.{LevelRef, Planner, QueryParser, Roles}
+import graft.planner.Roles.RoleSet
 import graft.result._
 
 /** REST surface — the analog of the reference's Grape API (§2.D, api.rb).
@@ -105,12 +105,12 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
   /** The role selected by `role=` / X-Graft-Role, resolved against the
     * schema (unknown → 403). None → unrestricted (B18). */
   private def roleOf(cat: CubeCatalog,
-      params: Map[String, Seq[String]]): Option[RoleDef] =
+      params: Map[String, Seq[String]]): Option[RoleSet] =
     Roles.resolve(cat.schema, params.get("role").orElse(
       params.get("__rolehdr")).flatMap(_.headOption))
 
   private def cube(cat: CubeCatalog, name: String,
-      role: Option[RoleDef] = None): CubeDef = {
+      role: Option[RoleSet] = None): CubeDef = {
     role.foreach(Roles.checkCubeAccess(_, name))
     Planner.anchorCube(cat,
       if (cat.schema.cube(name).nonEmpty ||
@@ -121,14 +121,8 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
   /** Member-visibility predicate for metadata routes on a restricted
     * level, after the 403 band/access checks (B18). */
   private def roleMemberFilter(c: CubeDef, ref: LevelRef,
-      role: Option[RoleDef]): Option[org.apache.spark.sql.Column] =
-    role.flatMap { r =>
-      val rl = Planner.resolve(c, ref)
-      Roles.validateLevels(r, c, Seq(rl))
-      Roles.grantFor(r, c.name, rl.dim, rl.hier)
-        .filter(g => g.access == "custom" && g.memberGrants.nonEmpty)
-        .map(g => Roles.DimGrant(rl.dim, rl.hier, g).visibleCol)
-    }
+      role: Option[RoleSet]): Option[org.apache.spark.sql.Column] =
+    role.flatMap(r => Roles.memberFilter(r, c, Planner.resolve(c, ref)))
 
   private def route(cat: CubeCatalog, segs: List[String],
       params: Map[String, Seq[String]]): Resp = segs match {
@@ -367,7 +361,7 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
     * configured ceiling clamps rather than bypasses), and the tabular
     * format dispatch keyed by the endpoint's extension. */
   private def drillthroughTarget(cat: CubeCatalog, cubeName: String,
-      role: Option[RoleDef]): CubeDef = {
+      role: Option[RoleSet]): CubeDef = {
     if (cat.schema.virtualCube(cubeName).nonEmpty)
       GraftException.badRequest(
         s"drillthrough is not supported on virtual cube '$cubeName'")

@@ -139,7 +139,7 @@ object Planner {
     // what rollup CELLS show for visible members; they never authorize
     // addressing invisible ones.
     val partialGrants = roleGrants.filter(g => g.restricts &&
-      (g.grant.rollupPolicy == "partial" ||
+      (g.policy == "partial" ||
         cuts.exists(c => levelOfCut(cube, c).exists(rl =>
           rl.dim.name == g.dim.name && rl.hier.name == g.hier.name))))
 
@@ -363,7 +363,7 @@ object Planner {
     // hidden-policy cell masking.
     val roleApplied =
       if (roleGrants.forall(g =>
-          !g.restricts || g.grant.rollupPolicy == "partial")) denseTotals
+          !g.restricts || g.policy == "partial")) denseTotals
       else Roles.applyPostAgg(cat, cube, denseTotals, roleGrants,
         groupLevels, measureNames.map(aliasOfMeasure(cube, _)),
         semiJoinMembership = q.nonempty)

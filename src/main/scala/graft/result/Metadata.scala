@@ -77,7 +77,7 @@ object Metadata {
   /** With a role: invisible cubes drop out and visible ones serialize as
     * the role sees them — denied hierarchies gone, bands truncated (B18). */
   def schemaDict(cat: CubeCatalog,
-      role: Option[RoleDef] = None): ListMap[String, Any] = ListMap(
+      role: Option[Roles.RoleSet] = None): ListMap[String, Any] = ListMap(
     "name" -> cat.schema.name,
     "cubes" -> (Roles.visibleCubes(cat.schema, role)
       .map(c => cubeDict(Roles.filteredCube(role, c))) ++

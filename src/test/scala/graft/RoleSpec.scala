@@ -54,7 +54,7 @@ class RoleSpec extends AnyFunSuite {
     }
     assert(e2.status == 403)
     // metadata view
-    val role = cat.schema.role("orders_only")
+    val role = Roles.resolve(cat.schema, Some("orders_only"))
     assert(Roles.visibleCubes(cat.schema, role).map(_.name) == Seq("orders"))
     assert(Roles.visibleVirtualCubes(cat.schema, role).isEmpty)
     // and the granted cube still answers
@@ -140,8 +140,8 @@ class RoleSpec extends AnyFunSuite {
       Seq(drill("Geography", "Nation")), Seq("revenue"))).collect()
     assert(banded.map(_.getInt(0)).toSet == open.map(_.getInt(0)).toSet)
     // metadata view truncates the hierarchy to the band
-    val fc = Roles.filteredCube(cat.schema.role("nation_band"),
-      cat.cube("sales"))
+    val fc = Roles.filteredCube(Roles.resolve(cat.schema,
+      Some("nation_band")), cat.cube("sales"))
     assert(fc.dimension("Geography").get.defaultHierarchy.levels
       .map(_.name) == Seq("Region", "Nation"))
   }
@@ -164,6 +164,37 @@ class RoleSpec extends AnyFunSuite {
     val b = Planner.plan(cat, base.copy(role = Some("emea_full")))
       .collect()(0).getDouble(0)
     assert(a != b)
+  }
+
+  test("union roles: most-permissive-wins across cubes, members, and policies") {
+    // a role whose cube grant carries no Geography restriction makes the
+    // union unrestricted for that hierarchy (Mondrian union semantics)
+    val open = Planner.plan(cat, CubeQuery("orders", Nil,
+      Seq("total_sales"), role = Some("emea,orders_only")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(open - allSales) < 1e-6)
+    // OR of member predicates: the deny inside emea_minus_one is overridden
+    // by emea's allow of the same nation
+    val nations = Planner.plan(cat, CubeQuery("orders",
+      Seq(drill("Geography", "Nation")), Seq("total_sales"),
+      role = Some("emea,emea_minus_one"))).collect()
+      .map(_.getInt(0)).toSet
+    val expected = cat.table("nation").filter(col("n_regionkey").isin(0, 3))
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    assert(nations == expected)
+    // policy union: partial + full → full (complete grand total survives)
+    val t = Planner.plan(cat, CubeQuery("orders", Nil, Seq("total_sales"),
+      role = Some("emea,emea_full"))).collect()(0).getDouble(0)
+    assert(math.abs(t - allSales) < 1e-6)
+    // cube visibility is the union too; unknown names still 403
+    assert(Roles.visibleCubes(cat.schema,
+      Roles.resolve(cat.schema, Some("orders_only,nation_band")))
+      .map(_.name).toSet == Set("sales", "orders", "events"))
+    val e = intercept[GraftException] {
+      Planner.plan(cat, CubeQuery("orders", Nil, Seq("total_sales"),
+        role = Some("emea,does_not_exist")))
+    }
+    assert(e.status == 403)
   }
 
   test("full/hidden policies cannot address invisible members via cuts") {
