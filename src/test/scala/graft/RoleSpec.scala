@@ -397,6 +397,30 @@ class RoleSpec extends AnyFunSuite {
     assert(Json.parse(b2).asInstanceOf[Seq[Any]].isEmpty)
   }
 
+  test("REST: union role selector rides the role param and the header") {
+    // emea alone restricts the grand total; adding orders_only (cube-wide
+    // access, no Geography grant) unrestricts the union
+    def total(body: String): Double = {
+      val doc = Json.parse(body).asInstanceOf[Map[String, Any]]
+      def flat(v: Any): Seq[Double] = v match {
+        case s: Seq[_] => s.flatMap(flat)
+        case n: Number => Seq(n.doubleValue())
+        case _ => Nil
+      }
+      flat(doc("values")).sum
+    }
+    val (c1, b1) = get(
+      "/cubes/orders/aggregate?measures%5B%5D=total_sales&role=emea")
+    val (c2, b2) = get(
+      "/cubes/orders/aggregate?measures%5B%5D=total_sales&role=emea%2Corders_only")
+    assert(c1 == 200 && c2 == 200)
+    assert(total(b1) < total(b2))
+    assert(math.abs(total(b2) - allSales) < 1e-6)
+    val (c3, b3) = get("/cubes/orders/aggregate?measures%5B%5D=total_sales",
+      Map("X-Graft-Role" -> "orders_only,emea"))
+    assert(c3 == 200 && math.abs(total(b3) - allSales) < 1e-6)
+  }
+
   test("REST: member listing and lookup respect grants") {
     val visible = cat.table("nation").filter(col("n_regionkey").isin(0, 3))
       .select("n_nationkey").collect().map(_.getInt(0)).toSet
