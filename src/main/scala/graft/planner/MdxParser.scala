@@ -205,6 +205,16 @@ object MdxParser {
       formula = allRe.replaceAllIn(formula, mm =>
         java.util.regex.Matcher.quoteReplacement(
           synthTotal(mm.group(1), mm.group(2))))
+      // `Sum(<level>.Members, [Measures].[M])` / `Aggregate(...)`: a sum
+      // over a COMPLETE member set of a dimension is that dimension's
+      // All-member value — the same TotalMeasureDef machinery as the All
+      // tuple (and the same additive-base contract)
+      val sumRe = ("""(?is)(?:SUM|AGGREGATE)\s*\(\s*""" +
+        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\.\s*MEMBERS\s*,\s*""" +
+        """\[Measures\]\.\[([^\]]+)\]\s*\)""").r
+      formula = sumRe.replaceAllIn(formula, mm =>
+        java.util.regex.Matcher.quoteReplacement(
+          synthTotal(mm.group(2), QueryParser.segments(mm.group(1)).head)))
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
       formula = measureRef.replaceAllIn(formula,
         mm => resolveMeasure(cube, mm.group(1)))

@@ -426,6 +426,37 @@ class MdxSpec extends AnyFunSuite {
         |FROM [sales]""".stripMargin)).status == 400)
   }
 
+  test("Sum(level.Members, measure) compiles onto the All-member total") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[share2] AS
+        |'[Measures].[revenue] / Sum([Geography].[Region].Members, [Measures].[revenue])'
+        |SELECT {[Measures].[revenue], [Measures].[share2]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM [sales]""".stripMargin)
+    // reuses the schema-declared TotalMeasureDef for (revenue, Geography)
+    assert(q.adhocTotals.isEmpty)
+    val rows = Planner.plan(cat, q).collect()
+    val declared = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Geography", Some("Region")))),
+      Seq("revenue", "revenue_geo_share"))).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    rows.foreach(r => assert(r.getDouble(3) == declared(r.getInt(0))))
+    // Aggregate() is a synonym; an unknown dimension is still a 400
+    val q2 = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[t] AS
+        |'Aggregate([Part].[Brands].[Brand].Members, [Measures].[revenue])'
+        |SELECT {[Measures].[t]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM [sales]""".stripMargin)
+    assert(q2.adhocTotals.exists(_.dim == "Part"))
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[t] AS
+        |'Sum([Nope].[X].Members, [Measures].[revenue])'
+        |SELECT {[Measures].[t]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM [sales]""".stripMargin)).status == 400)
+  }
+
   test("DISTINCT() sets the A14 flag; redundant parens are transparent") {
     val q = MdxParser.parse(salesCube,
       """SELECT {[Measures].[Revenue]} ON COLUMNS,
