@@ -436,7 +436,14 @@ object SparkEntry {
       // (GroupedTopK bounded heaps, never a per-stratum sort)
       "t30_stratified_sample" -> tbl("documents")(
         ops.TextOps.stratifiedSample(_, 2)),
+      // α = 0.5 temperature-weighted mixture plan (weights ∝ share^α, the
+      // multilingual upsampling recipe) + the realized content-hash draw
+      "t32_temperature_mix" -> tbl("documents")(
+        ops.TextOps.temperatureMix(_, 0.5, 300L)),
       "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
+      // first/last-touch conversion attribution: preceding click/view per
+      // purchase, one ignore-nulls window pass per user partition
+      "e13_attribution" -> tbl("events")(ops.EventOps.attribution(_)),
       // daily session-quality rollup composed on the sessionize plan
       "e09_session_stats" -> tbl("events")(
         ops.Sessionize.sessionStats(_, 30)),
@@ -907,6 +914,25 @@ object SparkEntry {
             |SELECT {[Measures].[Revenue], [Measures].[growth],
             |  [Measures].[rev_2mo_ago]} ON COLUMNS,
             |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+            |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
+      // WITH MEMBER Sum(PeriodsToDate(level), M): quarter-to-date at Month
+      // grain — synthesizes an ad-hoc CumMeasureDef resetting per Quarter
+      // (Mondrian's Qtd()); Sum(Ytd(), M) rides the same rewrite onto the
+      // declared Year-reset measure
+      "q64_mdx_qtd" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[qtd] AS
+            |  'Sum(PeriodsToDate([ShipDate].[Monthly].[Quarter]),
+            |       [Measures].[Revenue])'
+            |MEMBER [Measures].[ytd2] AS 'Sum(Ytd(), [Measures].[Revenue])'
+            |SELECT {[Measures].[Revenue], [Measures].[qtd],
+            |  [Measures].[ytd2]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN(CROSSJOIN(
+            |  [ShipDate].[Monthly].[Year].Members,
+            |  [ShipDate].[Monthly].[Quarter].Members),
             |  [ShipDate].[Monthly].[Month].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
@@ -2631,6 +2657,36 @@ object SparkEntry {
          |  WHEN source = 'src3' THEN 0.0 ELSE 1.0 END AS kw FROM u)
          |SELECT doc_id, source, u FROM w WHERE u < kw * 4294967296.0
          |ORDER BY doc_id""".stripMargin,
+    // t32: α-smoothed mixture plan — sqrt weights (IEEE-exact both
+    // engines), Σw re-quantized through DECIMAL(27,18), then the t18
+    // content-hash draw at the derived per-source keep rate
+    "t32_temperature_mix" ->
+      s"""WITH per AS (SELECT source, COUNT(1) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT SUM(n_docs) AS n_total FROM per),
+         |w AS (SELECT source, n_docs,
+         |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS raw_share,
+         |  sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS w
+         |  FROM per, tot),
+         |ws AS (SELECT CAST(SUM(CAST(CAST(w AS VARCHAR)
+         |  AS DECIMAL(27,12))) AS DOUBLE) AS w_sum FROM w),
+         |plan AS (SELECT source, n_docs, raw_share,
+         |  w / w_sum AS alpha_share,
+         |  LEAST(1.0, w / w_sum * 300.0 / CAST(n_docs AS DOUBLE))
+         |    AS keep_rate
+         |  FROM w, ws),
+         |h AS (SELECT doc_id, source,
+         |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h
+         |  FROM documents),
+         |u AS (SELECT doc_id, source, CAST($MD5_U_HORNER AS BIGINT) AS u
+         |  FROM h),
+         |drawn AS (SELECT u.source, COUNT(1) AS kept_docs
+         |  FROM u JOIN plan USING (source)
+         |  WHERE u < keep_rate * 4294967296.0 GROUP BY 1)
+         |SELECT p.source, p.n_docs, p.raw_share, p.alpha_share,
+         |  p.keep_rate, COALESCE(d.kept_docs, 0) AS kept_docs
+         |FROM plan p LEFT JOIN drawn d ON p.source = d.source
+         |ORDER BY p.source""".stripMargin,
     // t29: the naive windowed spelling of the per-source prefix sum (the
     // Spark side computes the same totals two-phase, bucket-distributed)
     "t29_budget_sample" ->
@@ -2691,6 +2747,31 @@ object SparkEntry {
         |  AND o.o_orderdate <= CAST(e.ts AS DATE)
         |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_order_price
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    // e13: first/last-touch attribution — IGNORE NULLS window lookups over
+    // (ts, event_id) order, frame ending one row before the conversion
+    "e13_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events),
+        |w AS (SELECT event_id, user_id, ts_us, event_type,
+        |  FIRST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_id END IGNORE NULLS) OVER pre AS first_touch_id,
+        |  FIRST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER pre AS first_touch_type,
+        |  LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_id END IGNORE NULLS) OVER pre AS last_touch_id,
+        |  LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER pre AS last_touch_type,
+        |  LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |      THEN ts_us END IGNORE NULLS) OVER pre AS last_touch_us
+        |  FROM e
+        |  WINDOW pre AS (PARTITION BY user_id
+        |    ORDER BY ts_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS conv_id, user_id, ts_us AS conv_ts_us,
+        |  first_touch_id, first_touch_type, last_touch_id, last_touch_type,
+        |  ts_us - last_touch_us AS us_since_last_touch
+        |FROM w WHERE event_type = 'purchase' AND last_touch_id IS NOT NULL
+        |ORDER BY conv_id""".stripMargin,
     // t08: the composed pipeline — each CTE is a stage whose standalone
     // query (t02, d06, t07) already hash-matches
     "t08_pipeline_e2e" ->
@@ -2801,6 +2882,28 @@ object SparkEntry {
          |lag(revenue, 2) OVER (ORDER BY ship_year, ship_month)
          |  AS rev_2mo_ago
          |FROM agg ORDER BY ship_year, ship_month""".stripMargin,
+    // q64: Sum(PeriodsToDate(Quarter)) = QTD, Sum(Ytd()) = YTD — both
+    // DECIMAL(27,6)-requantized running sums (the q48 recipe), partitioned
+    // by their reset member
+    "q64_mdx_qtd" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(quarter(l_shipdate) AS INTEGER) AS ship_quarter,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2, 3)
+         |SELECT ship_year, ship_quarter, ship_month, revenue,
+         |CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6))) OVER (
+         |  PARTITION BY ship_year, ship_quarter
+         |  ORDER BY ship_year, ship_quarter, ship_month
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |  AS qtd,
+         |CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6))) OVER (
+         |  PARTITION BY ship_year
+         |  ORDER BY ship_year, ship_quarter, ship_month
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |  AS ytd2
+         |FROM agg ORDER BY ship_year, ship_quarter, ship_month""".stripMargin,
     "q38_mdx_filter_order" ->
       s"""SELECT brand, revenue FROM (
          |SELECT p_brand AS brand, ${sumd(REV, "revenue")}

@@ -357,6 +357,48 @@ object EventOps {
       .limit(k)
   }
 
+  /** CONVERSION ATTRIBUTION — first-touch / last-touch marketing
+    * attribution: for every conversion event, the earliest and the most
+    * recent PRECEDING touch event (click/view) by the same user, plus the
+    * microsecond gap to the last touch. The canonical web-analytics join
+    * a warehouse answers per conversion.
+    *
+    * Shape: one pass, two ignore-nulls window lookups (`first`/`last` over
+    * `when(isTouch, …)`), both partitioned by user and ordered by
+    * (ts, event_id) — the frame ends one row before the current event, so
+    * a conversion at the same microsecond as a touch only attributes to it
+    * when the touch's event_id sorts earlier. No self-join: at 100 TB the
+    * event history streams through each user partition once. */
+  def attribution(events: DataFrame, convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    events
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("first_touch_id",
+        first(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("first_touch_type",
+        first(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_id",
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_us",
+        last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === convType &&
+        col("last_touch_id").isNotNull)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts_us").as("conv_ts_us"),
+        col("first_touch_id"), col("first_touch_type"),
+        col("last_touch_id"), col("last_touch_type"),
+        (col("ts_us") - col("last_touch_us")).as("us_since_last_touch"))
+      .orderBy("conv_id")
+  }
+
   /** Per-event-type stats over a JSON-extracted numeric field. */
   def jsonFieldStats(events: DataFrame, field: String): DataFrame = {
     val k = get_json_object(col("props"), s"$$.$field").cast("long")

@@ -205,6 +205,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TEMPERATURE-WEIGHTED MIXTURE — per-source sampling plan with
+    * α-smoothed multinomial weights, the multilingual/multi-source rebalance
+    * recipe (weights ∝ share^α: α = 1 keeps natural proportions, α → 0
+    * approaches uniform; the XLM-R / multilingual-LM upsampling scheme). For
+    * each source: w_s = (n_s / N)^α, q_s = w_s / Σw, a document budget
+    * `budgetDocs` allocates t_s = q_s · budget, and the keep RATE
+    * r_s = min(1, t_s / n_s) drives the same content-hash uniform draw as
+    * [[weightedSample]] — so the realized sample is deterministic,
+    * reshuffle-stable, and engine-replayable.
+    *
+    * Cross-engine float discipline: Σw re-quantizes each w_s through
+    * DECIMAL(27,12) (canonical shortest-string cast) so the 20-source sum
+    * is evaluation-order-exact — scale 12 keeps the sum's integer units
+    * under 2^53, where decimal→double conversion is exact in every engine
+    * (scale 18 double-rounds in DuckDB); every later step is pointwise
+    * double arithmetic both engines share bit-for-bit.
+    *
+    * Scale shape: one hash-aggregate over the corpus (per-source counts),
+    * a source-count-sized weight table broadcast back onto the scan, one
+    * map-side filter for the draw, one final per-source aggregate. No
+    * data-sized shuffle beyond the two groupBys; the weight table is
+    * O(sources). */
+  def temperatureMix(docs: DataFrame, alpha: Double,
+      budgetDocs: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(budgetDocs > 0, "budgetDocs must be positive")
+    val perSrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val total = perSrc.agg(sum("n_docs").as("n_total"))
+    val weighted = perSrc.crossJoin(broadcast(total))
+      .withColumn("raw_share",
+        col("n_docs").cast("double") / col("n_total").cast("double"))
+      // α = 0.5 rides IEEE-correctly-rounded sqrt (bit-identical across
+      // engines); other α use pow, whose last ulp is libm-specific — fine
+      // for production, but only the sqrt path is oracle-replayable
+      .withColumn("w",
+        if (alpha == 0.5) sqrt(col("raw_share"))
+        else pow(col("raw_share"), lit(alpha)))
+    val wSum = weighted.agg(
+      sum(expr("CAST(CAST(w AS STRING) AS DECIMAL(27,12))"))
+        .cast("double").as("w_sum"))
+    val plan0 = weighted.crossJoin(broadcast(wSum))
+      .withColumn("alpha_share", col("w") / col("w_sum"))
+      .withColumn("keep_rate", least(lit(1.0),
+        col("alpha_share") * lit(budgetDocs.toDouble) /
+          col("n_docs").cast("double")))
+      .select("source", "n_docs", "raw_share", "alpha_share", "keep_rate")
+    val drawn = docs
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', text)), " +
+          "1, 8), 16, 10) AS BIGINT)"))
+      .join(broadcast(plan0.select("source", "keep_rate")), Seq("source"))
+      .where(col("u") < col("keep_rate") * lit(4294967296.0))
+      .groupBy("source").agg(count(lit(1)).as("kept_docs"))
+    plan0.join(drawn, Seq("source"), "left")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .orderBy("source")
+  }
+
   /** STRATIFIED SAMPLE — exactly `k` documents per (lang, source) stratum,
     * taken in content-hash order (the [[weightedSample]] md5 draw: hash
     * order ≡ a uniform permutation, reshuffle-stable and engine-replayable).

@@ -73,6 +73,11 @@ final case class CubeQuery(
     // ALL-member tuple totals — `([Measures].[M], [Dim].[All ...])` — same
     // merge path as adhocLags.
     adhocTotals: Seq[graft.model.TotalMeasureDef] = Nil,
+    // PERIODSTODATE running sums — `Sum(PeriodsToDate([T].[Year]), [M])` /
+    // `Sum(Ytd(), [M])` — and trailing moving averages —
+    // `Avg(LastPeriods(n), [M])` — synthesized the same way.
+    adhocCums: Seq[graft.model.CumMeasureDef] = Nil,
+    adhocMovings: Seq[graft.model.MovingMeasureDef] = Nil,
     // B18: evaluate under this schema-declared role's grants. Part of the
     // case-class identity ON PURPOSE — the per-catalog query-result cache
     // keys on the normalized CubeQuery, so two roles can never share a

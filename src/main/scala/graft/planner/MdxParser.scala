@@ -86,13 +86,16 @@ object MdxParser {
           }
         val memberClause = Option(withClause)
           .map(setRe.replaceAllIn(_, "").trim).filter(_.nonEmpty)
-        val (adhoc, adhocLags, adhocTotals) = memberClause
-          .map(parseWithMembers(cube, _)).getOrElse((Nil, Nil, Nil))
+        val (adhoc, adhocLags, adhocTotals, adhocCums, adhocMovings) =
+          memberClause.map(parseWithMembers(cube, _))
+            .getOrElse((Nil, Nil, Nil, Nil, Nil))
         // adhoc aliases resolve on an augmented view of the cube so the
         // measure axis (and nested FILTER/ORDER) can reference them
         val augmented = cube.copy(calcMembers = cube.calcMembers ++ adhoc,
           lagMeasures = cube.lagMeasures ++ adhocLags,
-          totalMeasures = cube.totalMeasures ++ adhocTotals)
+          totalMeasures = cube.totalMeasures ++ adhocTotals,
+          cumMeasures = cube.cumMeasures ++ adhocCums,
+          movingMeasures = cube.movingMeasures ++ adhocMovings)
         val measures = parseMeasureAxis(augmented, colAxis.trim)
         val (nonEmpty, rowAxis) = {
           val t = rowAxisRaw.trim
@@ -111,7 +114,8 @@ object MdxParser {
           nonempty = nonEmpty || axis.filters.nonEmpty,
           distinct = axis.distinct,
           adhocCalcs = adhoc, adhocLags = adhocLags,
-          adhocTotals = adhocTotals)
+          adhocTotals = adhocTotals, adhocCums = adhocCums,
+          adhocMovings = adhocMovings)
       case _ => GraftException.badRequest(
         "cannot parse MDX (supported: [WITH MEMBER...] SELECT <measures> ON COLUMNS, <set> ON ROWS FROM <cube> [WHERE <tuple>])")
     }
@@ -133,10 +137,17 @@ object MdxParser {
     *   - ALL-member tuples `([Measures].[M], [Dim].[All ...])` → a
     *     synthesized [[TotalMeasureDef]] — the share-of-total denominator
     *     (`[Revenue] / ([Revenue], [Geography].[All])`), one axis-sized
-    *     window sum in the planner.
+    *     window sum in the planner;
+    *   - `Sum(PeriodsToDate([T].[Level]), [M])` / `Sum(Ytd(), [M])` → a
+    *     synthesized [[CumMeasureDef]] (Ytd = PeriodsToDate at the Year
+    *     level of the cube's time dimension);
+    *   - `Avg(LastPeriods(n[, [T].CurrentMember]), [M])` → a synthesized
+    *     [[MovingMeasureDef]] (trailing n-member mean over the calendar
+    *     domain).
     */
   private def parseWithMembers(cube: CubeDef, s: String)
-      : (Seq[CalcMemberDef], Seq[LagMeasureDef], Seq[TotalMeasureDef]) = {
+      : (Seq[CalcMemberDef], Seq[LagMeasureDef], Seq[TotalMeasureDef],
+         Seq[CumMeasureDef], Seq[MovingMeasureDef]) = {
     // Bracketed aliases take ANY non-']' chars (spaces included — standard
     // MDX names like [Profit Margin]); only the bare unbracketed form is
     // restricted to non-space tokens.
@@ -148,6 +159,59 @@ object MdxParser {
     val lags = scala.collection.mutable.LinkedHashMap.empty[String, LagMeasureDef]
     val totals =
       scala.collection.mutable.LinkedHashMap.empty[String, TotalMeasureDef]
+    val cums =
+      scala.collection.mutable.LinkedHashMap.empty[String, CumMeasureDef]
+    val movings =
+      scala.collection.mutable.LinkedHashMap.empty[String, MovingMeasureDef]
+    // the cube's single time dimension — the implicit argument of Ytd() and
+    // LastPeriods(n) with no explicit member (Mondrian resolves them against
+    // the TimeDimension; ambiguous with several, so that 400s)
+    def defaultTimeDim(fn: String): String =
+      cube.dimensions.filter(_.isTime) match {
+        case Seq(d) => d.name
+        case Seq() => GraftException.badRequest(
+          s"$fn needs a time dimension; cube '${cube.name}' declares none")
+        case many => GraftException.badRequest(
+          s"$fn is ambiguous: cube '${cube.name}' has ${many.length} time " +
+            s"dimensions (${many.map(_.name).mkString(", ")}) — name one explicitly")
+      }
+    def levelOf(dim: String, level: String, fn: String): Unit = {
+      val d = cube.dimension(dim).getOrElse(
+        GraftException.badRequest(s"$fn on unknown dimension '$dim'"))
+      if (!d.hierarchies.exists(_.level(level).nonEmpty))
+        GraftException.badRequest(
+          s"$fn: level '$level' not found in dimension '$dim'")
+    }
+    def synthCum(measureName: String, dim: String, resetLevel: String): String = {
+      val base = resolveMeasure(cube, measureName)
+      levelOf(dim, resetLevel, "PeriodsToDate")
+      cube.cumMeasures.find(c => c.base == base && c.timeDim == dim &&
+          c.resetLevel == resetLevel)
+        .map(_.alias)
+        .getOrElse {
+          val alias = s"__mdx_ptd_${base}_${dim.replaceAll("\\W", "_")}_" +
+            resetLevel.replaceAll("\\W", "_")
+          cums.getOrElseUpdate(alias, CumMeasureDef(alias, base, dim, resetLevel))
+          alias
+        }
+    }
+    def synthMoving(measureName: String, dim: String, periods: Int): String = {
+      val base = resolveMeasure(cube, measureName)
+      if (periods < 1)
+        GraftException.badRequest(s"LastPeriods needs n >= 1, got $periods")
+      if (cube.dimension(dim).isEmpty)
+        GraftException.badRequest(s"LastPeriods on unknown dimension '$dim'")
+      cube.movingMeasures.find(m => m.base == base && m.timeDim == dim &&
+          m.periods == periods)
+        .map(_.alias)
+        .getOrElse {
+          val alias =
+            s"__mdx_avg_${base}_${dim.replaceAll("\\W", "_")}_$periods"
+          movings.getOrElseUpdate(alias,
+            MovingMeasureDef(alias, base, dim, periods))
+          alias
+        }
+    }
     // `([Measures].[M], [Dim](.[Hier])*(.CurrentMember)?.<nav>)` where <nav>
     // is PrevMember or Lag(n)
     val tupleRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
@@ -215,6 +279,44 @@ object MdxParser {
       formula = sumRe.replaceAllIn(formula, mm =>
         java.util.regex.Matcher.quoteReplacement(
           synthTotal(mm.group(2), QueryParser.segments(mm.group(1)).head)))
+      // `Sum(PeriodsToDate([T].[Year]), [M])` / `Sum(Ytd(), [M])` → a
+      // synthesized [[CumMeasureDef]]: the running sum resets at each member
+      // of the named level (Ytd = PeriodsToDate at Year). Rides the planner's
+      // domain-expanded window (B8-ext), so a cut month still accumulates
+      // from the period start like Mondrian's PeriodsToDate.
+      val ptdRe = ("""(?is)(?:SUM|AGGREGATE)\s*\(\s*PERIODSTODATE\s*\(\s*""" +
+        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\)\s*,\s*""" +
+        """\[Measures\]\.\[([^\]]+)\]\s*\)""").r
+      formula = ptdRe.replaceAllIn(formula, mm => {
+        val (dim, level) = QueryParser.segments(mm.group(1)) match {
+          case Seq(d, l) => (d, l)
+          case Seq(d, _, l) => (d, l)
+          case _ => GraftException.badRequest(
+            s"bad PeriodsToDate level '${mm.group(1)}'")
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          synthCum(mm.group(2), dim, level))
+      })
+      val ytdRe = ("""(?is)(?:SUM|AGGREGATE)\s*\(\s*YTD\s*\(\s*""" +
+        """(?:\[([^\]]+)\]\s*)?\)\s*,\s*\[Measures\]\.\[([^\]]+)\]\s*\)""").r
+      formula = ytdRe.replaceAllIn(formula, mm => {
+        val dim = Option(mm.group(1)).getOrElse(defaultTimeDim("Ytd()"))
+        java.util.regex.Matcher.quoteReplacement(
+          synthCum(mm.group(2), dim, "Year"))
+      })
+      // `Avg(LastPeriods(n[, [T].CurrentMember]), [M])` → a synthesized
+      // [[MovingMeasureDef]] — the trailing n-member mean over the calendar
+      // domain (gap members hold a null-base slot the count skips)
+      val avgRe = ("""(?is)AVG\s*\(\s*LASTPERIODS\s*\(\s*(\d+)\s*""" +
+        """(?:,\s*((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*(?:\.\s*CURRENTMEMBER)?\s*)?""" +
+        """\)\s*,\s*\[Measures\]\.\[([^\]]+)\]\s*\)""").r
+      formula = avgRe.replaceAllIn(formula, mm => {
+        val dim = Option(mm.group(2))
+          .map(p => QueryParser.segments(p).head)
+          .getOrElse(defaultTimeDim("LastPeriods"))
+        java.util.regex.Matcher.quoteReplacement(
+          synthMoving(mm.group(3), dim, mm.group(1).toInt))
+      })
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
       formula = measureRef.replaceAllIn(formula,
         mm => resolveMeasure(cube, mm.group(1)))
@@ -227,7 +329,8 @@ object MdxParser {
             s"'${m.group(4)}'")
       CalcMemberDef(alias, formula)
     }
-    (calcs, lags.values.toSeq, totals.values.toSeq)
+    (calcs, lags.values.toSeq, totals.values.toSeq,
+      cums.values.toSeq, movings.values.toSeq)
   }
 
   /** Parsed row axis: a set plus its axis-level wrappers. */

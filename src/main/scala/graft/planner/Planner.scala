@@ -44,7 +44,8 @@ object Planner {
   /** Merge query-scoped calc members (MDX WITH MEMBER) into the cube's
     * schema-declared ones; shadowing a declared measure is a client error. */
   private def withAdhoc(cube: CubeDef, q: CubeQuery): CubeDef =
-    if (q.adhocCalcs.isEmpty && q.adhocLags.isEmpty && q.adhocTotals.isEmpty)
+    if (q.adhocCalcs.isEmpty && q.adhocLags.isEmpty && q.adhocTotals.isEmpty &&
+        q.adhocCums.isEmpty && q.adhocMovings.isEmpty)
       cube
     else {
       q.adhocCalcs.foreach { c =>
@@ -61,18 +62,25 @@ object Planner {
         cube.lagMeasures.exists(_.alias == l.alias))
       val newTotals = q.adhocTotals.filterNot(t =>
         cube.totalMeasures.exists(_.alias == t.alias))
+      val newCums = q.adhocCums.filterNot(c =>
+        cube.cumMeasures.exists(_.alias == c.alias))
+      val newMovings = q.adhocMovings.filterNot(m =>
+        cube.movingMeasures.exists(_.alias == m.alias))
       cube.copy(calcMembers = cube.calcMembers ++ q.adhocCalcs,
         lagMeasures = cube.lagMeasures ++ newLags,
-        totalMeasures = cube.totalMeasures ++ newTotals)
+        totalMeasures = cube.totalMeasures ++ newTotals,
+        cumMeasures = cube.cumMeasures ++ newCums,
+        movingMeasures = cube.movingMeasures ++ newMovings)
     }
 
   private def withAdhoc(vc: VirtualCubeDef, q: CubeQuery): VirtualCubeDef = {
     // tuple navigation needs a member cube's lag/total machinery; a virtual
     // cube only conforms axes — reject cleanly instead of planning a
     // formula whose synthesized alias no member cube can supply
-    if (q.adhocLags.nonEmpty || q.adhocTotals.nonEmpty)
+    if (q.adhocLags.nonEmpty || q.adhocTotals.nonEmpty ||
+        q.adhocCums.nonEmpty || q.adhocMovings.nonEmpty)
       GraftException.badRequest(
-        s"tuple navigation (PrevMember/Lag/All) is not supported on virtual cube '${vc.name}'")
+        s"tuple navigation (PrevMember/Lag/All/PeriodsToDate/LastPeriods) is not supported on virtual cube '${vc.name}'")
     if (q.adhocCalcs.isEmpty) vc
     else {
       q.adhocCalcs.foreach { c =>
@@ -858,7 +866,10 @@ object Planner {
     for (cm <- need.cums.filter(_.timeDim == dn);
          resetRl <- unit.find(_.level.name == cm.resetLevel))
       needed = needed || max(col(flag)).over(
-        Window.partitionBy(col(resetRl.level.alias))
+        // reset-member identity = the reset level plus its drilled
+        // ancestors (same rule as applyCum — a Quarter key repeats per year)
+        Window.partitionBy(unit.filter(_.depth <= resetRl.depth)
+            .map(rl => col(rl.level.alias)): _*)
           .orderBy(ordC.map(_.asc): _*)
           .rowsBetween(0, Window.unboundedFollowing)) === 1
     // localCheckpoint: the domain feeds the fact semi-join AND the axis
@@ -917,8 +928,13 @@ object Planner {
     val ordCols = timeDrills.map { rl =>
       col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
     }
+    // the reset member's identity in the drilled projection is the reset
+    // level PLUS its drilled ancestors — a Quarter key (1-4) repeats across
+    // years, so partitioning by it alone would run Q1-1995 into Q1-1996
+    val resetCols = timeDrills.filter(_.depth <= resetRl.depth)
+      .map(rl => col(rl.level.alias))
     val partCols = groupLevels.filterNot(_.dim.name == cm.timeDim)
-      .flatMap(levelAliases).map(col) :+ col(resetRl.level.alias)
+      .flatMap(levelAliases).map(col) ++ resetCols
     val w = Window.partitionBy(partCols: _*).orderBy(ordCols.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(cm.alias,

@@ -165,7 +165,9 @@ object AxesResult {
       "captions" -> q.captions.map(p => s"${ref(p.level)}.${p.property}"),
       "adhoc_calcs" -> q.adhocCalcs.map(_.alias),
       "adhoc_lags" -> q.adhocLags.map(_.alias),
-      "adhoc_totals" -> q.adhocTotals.map(_.alias))
+      "adhoc_totals" -> q.adhocTotals.map(_.alias),
+      "adhoc_cums" -> q.adhocCums.map(_.alias),
+      "adhoc_movings" -> q.adhocMovings.map(_.alias))
     val plan = Planner.plan(cat, q).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode
         .fromString("simple"))

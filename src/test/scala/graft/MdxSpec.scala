@@ -465,4 +465,86 @@ class MdxSpec extends AnyFunSuite {
     assert(q.distinct &&
       q.drilldowns == Seq(LevelDrill(LevelRef("Geography", Some("Region")))))
   }
+
+  test("Sum(Ytd(), M) reuses the declared running measure; bare Ytd() " +
+      "resolves against the cube's single time dimension") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[ytd2] AS 'Sum(Ytd(), [Measures].[Revenue])'
+        |SELECT {[Measures].[Revenue], [Measures].[ytd2]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    // (revenue, ShipDate, Year) matches the declared ytd_revenue — no
+    // ad-hoc synthesis, the calc is a plain alias of it
+    assert(q.adhocCums.isEmpty)
+    assert(q.adhocCalcs.map(_.formula) == Seq("ytd_revenue"))
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.nonEmpty)
+    var year = -1; var acc = BigDecimal(0)
+    rows.foreach { r =>
+      if (r.getInt(0) != year) { year = r.getInt(0); acc = BigDecimal(0) }
+      acc += BigDecimal(r.getDouble(2))
+      assert(math.abs(r.getDouble(3) - acc.toDouble) < 1e-6,
+        s"Sum(Ytd()) at $year-${r.getInt(1)}")
+    }
+  }
+
+  test("Sum(PeriodsToDate(level), M) synthesizes an ad-hoc cum measure " +
+      "resetting at that level (QTD)") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[qtd] AS
+        |  'Sum(PeriodsToDate([ShipDate].[Monthly].[Quarter]),
+        |       [Measures].[Revenue])'
+        |SELECT {[Measures].[Revenue], [Measures].[qtd]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN(CROSSJOIN(
+        |  [ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Quarter].Members),
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.adhocCums.map(c => (c.base, c.timeDim, c.resetLevel)) ==
+      Seq(("revenue", "ShipDate", "Quarter")))
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.nonEmpty)
+    var key = (-1, -1); var acc = BigDecimal(0)
+    rows.foreach { r =>
+      val k = (r.getInt(0), r.getInt(1))
+      if (k != key) { key = k; acc = BigDecimal(0) }
+      acc += BigDecimal(r.getDouble(3))
+      assert(math.abs(r.getDouble(4) - acc.toDouble) < 1e-6,
+        s"QTD at $key month ${r.getInt(2)}")
+    }
+    // unknown reset level is a 400
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  'Sum(PeriodsToDate([ShipDate].[Decade]), [Measures].[Revenue])'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS FROM sales""".stripMargin))
+      .status == 400)
+  }
+
+  test("Avg(LastPeriods(n), M) reuses the declared moving average and " +
+      "synthesizes ad-hoc windows for other n") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[ma3] AS
+        |  'Avg(LastPeriods(3), [Measures].[Revenue])'
+        |MEMBER [Measures].[ma2] AS
+        |  'Avg(LastPeriods(2, [ShipDate].CurrentMember), [Measures].[Revenue])'
+        |SELECT {[Measures].[Revenue], [Measures].[ma3],
+        |  [Measures].[ma2]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    // n=3 matches the declared revenue_3mo_avg; n=2 is ad-hoc
+    assert(q.adhocMovings.map(m => (m.base, m.timeDim, m.periods)) ==
+      Seq(("revenue", "ShipDate", 2)))
+    assert(q.adhocCalcs.map(_.formula) == Seq("revenue_3mo_avg",
+      "__mdx_avg_revenue_ShipDate_2"))
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.length > 2)
+    (1 until rows.length).foreach { i =>
+      val want = (rows(i).getDouble(2) + rows(i - 1).getDouble(2)) / 2.0
+      assert(math.abs(rows(i).getDouble(4) - want) < 1e-6,
+        s"row $i trailing-2 mean")
+    }
+  }
 }

@@ -845,6 +845,65 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("temperature mix: α=1 keeps natural shares, α=0.5 upsamples small " +
+      "sources, draw is deterministic and budget-tracking") {
+    val plan = TextOps.temperatureMix(docs, 0.5, 300L).collect()
+    assert(plan.nonEmpty)
+    // shares are a distribution; keep rates are probabilities
+    val shareSum = plan.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    plan.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(5) <= r.getLong(1), "kept can never exceed n_docs")
+    }
+    // α = 0.5 upsamples: the upsample factor alpha_share / raw_share
+    // decreases as n_docs grows (∝ 1/sqrt(share))
+    val byN = plan.sortBy(_.getLong(1))
+    val factors = byN.map(r => r.getDouble(3) / r.getDouble(2))
+    factors.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12, "upsample factor must fall with source size")
+    }
+    // α = 1 degrades to natural proportions
+    val nat = TextOps.temperatureMix(docs, 1.0, 300L).collect()
+    nat.foreach(r => assert(math.abs(r.getDouble(3) - r.getDouble(2)) < 1e-12))
+    // the hash draw is repartition-invariant and roughly fills the budget
+    val again = TextOps.temperatureMix(docs.repartition(13), 0.5, 300L)
+      .collect()
+    assert(plan.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val kept = plan.map(_.getLong(5)).sum
+    val n = plan.map(_.getLong(1)).sum
+    assert(kept > 0 && kept <= n)
+  }
+
+  test("attribution: first/last touch per conversion on a hand-built stream") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      // user 1: click(1) view(2) purchase(3) click(4) purchase(5)
+      (1L, 1L, 1000L, "click"), (2L, 1L, 2000L, "view"),
+      (3L, 1L, 3000L, "purchase"), (4L, 1L, 4000L, "click"),
+      (5L, 1L, 5000L, "purchase"),
+      // user 2: purchase(6) with no preceding touch → excluded; then
+      // view(7) and a purchase(8) at the SAME timestamp — the touch's
+      // smaller event_id sorts first, so it still attributes
+      (6L, 2L, 1000L, "purchase"), (7L, 2L, 2000L, "view"),
+      (8L, 2L, 2000L, "purchase")
+    ).map { case (id, u, ms, t) => (id, u, new Timestamp(ms), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.attribution(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(3L, 5L, 8L), "conv 6 has no touch")
+    // conv 3: first=click(1), last=view(2), gap = 1000 ms
+    assert(out(3L).getLong(3) == 1L && out(3L).getString(4) == "click")
+    assert(out(3L).getLong(5) == 2L && out(3L).getString(6) == "view")
+    assert(out(3L).getLong(7) == 1000000L)
+    // conv 5: first stays click(1), last moves to click(4)
+    assert(out(5L).getLong(3) == 1L && out(5L).getLong(5) == 4L)
+    // conv 8: same-microsecond touch attributes via the event_id tiebreak
+    assert(out(8L).getLong(3) == 7L && out(8L).getLong(5) == 7L)
+    assert(out(8L).getLong(7) == 0L)
+  }
+
   test("BPE merges follow frequency order on a hand-computed corpus") {
     import spark.implicits._
     val tiny = Seq((0L, "ab ab ab"), (1L, "abc")).toDF("doc_id", "text")
