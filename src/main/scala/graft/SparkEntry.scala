@@ -375,6 +375,10 @@ object SparkEntry {
       // query doc (broadcast query postings, inverted-index join)
       "s07_similar_docs" -> tbl("documents")(
         ops.Dedup.similarDocs(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      // MMR diversified re-rank: greedy λ·rel − (1−λ)·max-sim-to-picked
+      // over a 20-candidate shortlist, k=5 bounded rounds
+      "s10_mmr_rerank" -> tbl("embeddings")(
+        ops.Similarity.mmrRerank(_, Seq(0L, 1L, 2L, 3L, 4L))),
       // filtered vector search: top-5 OUTSIDE the query's own label
       // (exclude-own-cluster retrieval; predicate pre-filters the scan)
       "s08_knn_filtered" -> tbl("embeddings")(
@@ -1074,6 +1078,49 @@ object SparkEntry {
       |  round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6) AS lm_score
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** s10: the MMR greedy unrolled round by round (the Lloyd-unroll recipe).
+    * λ = 0.75 so both λ and 1−λ are binary-exact literals; every dot
+    * product is the same ordered float sum [[graft.functions.DotProduct]]
+    * computes, so scores agree bit-for-bit. */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to 5).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""c$r AS (SELECT sh.query_id, sh.neighbor_id, sh.rel, sh.v,
+         |  0.75 * sh.rel - 0.25 * MAX(list_dot_product(sh.v, s.v)) AS score
+         |  FROM sh JOIN $prev s USING (query_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.query_id = sh.query_id
+         |      AND x.neighbor_id = sh.neighbor_id)
+         |  GROUP BY sh.query_id, sh.neighbor_id, sh.rel, sh.v),
+         |p$r AS (SELECT query_id, $r AS pick_rank, neighbor_id, rel, v, score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id ASC) AS rk FROM c$r)
+         |  WHERE rk = 1),
+         |sel$r AS (SELECT * FROM $prev UNION ALL
+         |  SELECT query_id, pick_rank, neighbor_id, rel, v, score
+         |  FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |sh AS (SELECT query_id, neighbor_id, rel, v FROM (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, n.v) AS rel, n.v AS v,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_dot_product(q.v, n.v) DESC, n.vec_id ASC) AS rk
+       |  FROM q JOIN e n ON q.vec_id <> n.vec_id)
+       |  WHERE rk <= 20),
+       |sel1 AS (SELECT query_id, 1 AS pick_rank, neighbor_id, rel, v,
+       |  0.75 * rel - 0.25 * 0.0 AS score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, neighbor_id ASC) AS rk FROM sh)
+       |  WHERE rk = 1),
+       |$rounds
+       |SELECT query_id, pick_rank, neighbor_id, rel, score FROM sel5
+       |ORDER BY query_id, pick_rank""".stripMargin
+  }
+
   /** First 8 hex digits of an md5 column `h` as a uint32 (Horner form —
     * DuckDB has no conv(); shared by the t18/t29 content-hash draws). */
   private val MD5_U_HORNER: String = (1 to 8)
@@ -1716,6 +1763,7 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s10_mmr_rerank" -> mmrOracleSql,
     // s08: s01 restricted to candidates outside the query's label
     "s08_knn_filtered" ->
       """WITH e AS (SELECT vec_id, label,

@@ -49,6 +49,65 @@ object Similarity {
     topKPerQuery(scored, k).orderBy("query_id", "rank")
   }
 
+  /** MMR DIVERSIFIED RE-RANK (Maximal Marginal Relevance, Carbonell &
+    * Goldstein '98) — the retrieval-quality pass a RAG / dataset-curation
+    * pipeline runs after ANN: from each query's `shortlist` nearest
+    * neighbors, greedily pick `k` results maximizing
+    * `λ·rel − (1−λ)·max_{s∈S} sim(cand, s)` — relevance traded against
+    * redundancy with the already-picked set. Round 0 is pure relevance
+    * (empty S ⇒ zero penalty).
+    *
+    * Shape: the corpus-sized work is the one brute shortlist scan (swap in
+    * [[knnIvfProbe]]/[[knnLshMulti]] at scale); the k−1 greedy rounds touch
+    * only (queries × shortlist)-sized frames — an anti-join against the
+    * picked set, a penalty join computing max-sim to S, and a GroupedTopK
+    * k=1 argmax with a neighbor_id tiebreak. Lineage is checkpointed per
+    * round. λ = 0.75 keeps both λ and 1−λ binary-exact, so the whole
+    * procedure replays bit-for-bit as unrolled SQL. */
+  def mmrRerank(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+      shortlist: Int = 20, lambda: Double = 0.75): DataFrame = {
+    require(k >= 1 && shortlist >= k, "need shortlist >= k >= 1")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      asDouble("embedding").as("v_n"))
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), asDouble("embedding").as("v_q"))
+    val short = graft.plans.GroupedTopK.topK(
+        corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+          .withColumn("rel", dot(col("v_q"), col("v_n")))
+          .select("query_id", "neighbor_id", "rel", "v_n"),
+        Seq(col("query_id")), Seq(col("rel").desc, col("neighbor_id").asc),
+        shortlist)
+      .select("query_id", "neighbor_id", "rel", "v_n")
+      .localCheckpoint(eager = false) // every round reads it
+    var selected = graft.plans.GroupedTopK.topK(short,
+        Seq(col("query_id")), Seq(col("rel").desc, col("neighbor_id").asc), 1)
+      .withColumn("pick_rank", lit(1))
+      .withColumn("score", lit(lambda) * col("rel") -
+        lit(1.0 - lambda) * lit(0.0))
+      .select("query_id", "pick_rank", "neighbor_id", "rel", "score", "v_n")
+    for (r <- 2 to k) {
+      val sel = selected.select(col("query_id"),
+        col("neighbor_id").as("sel_id"), col("v_n").as("v_s"))
+      val cand = short.join(
+        sel.select(col("query_id"), col("sel_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val pen = cand.join(sel, Seq("query_id"))
+        .withColumn("s", dot(col("v_n"), col("v_s")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(max(col("s")).as("max_sim"))
+      val pick = graft.plans.GroupedTopK.topK(
+          cand.join(pen, Seq("query_id", "neighbor_id"))
+            .withColumn("score", lit(lambda) * col("rel") -
+              lit(1.0 - lambda) * col("max_sim")),
+          Seq(col("query_id")),
+          Seq(col("score").desc, col("neighbor_id").asc), 1)
+        .withColumn("pick_rank", lit(r))
+        .select("query_id", "pick_rank", "neighbor_id", "rel", "score", "v_n")
+      selected = selected.unionByName(pick).localCheckpoint(eager = false)
+    }
+    selected.drop("v_n").orderBy("query_id", "pick_rank")
+  }
+
   /** FILTERED vector search — exact top-k under a metadata predicate, the
     * "filtered retrieval" shape every vector store serves (date-bounded,
     * source-scoped, exclude-own-cluster). `pred` sees the pair columns

@@ -845,6 +845,34 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("MMR re-rank: penalizes redundancy (clone loses to a distinct " +
+      "candidate), λ=1 degrades to pure kNN order") {
+    import spark.implicits._
+    // q = e_x; a ≈ q; clone = exact copy of a; b = a mirrored in y
+    // (rel 0.97, sim-to-a ≈ 0.902). Pure top-2 is {a, clone}; MMR at
+    // λ = 0.75 scores clone 0.485 vs b ≈ 0.502 and picks b.
+    val a = Array(0.98f, 0.19899748f, 0f)
+    val b = Array(0.97f, -0.24310492f, 0f)
+    val emb = Seq(
+      0L -> Array(1f, 0f, 0f), 10L -> a, 11L -> a, 12L -> b,
+      20L -> Array(0f, 1f, 0f), 21L -> Array(0f, 0f, 1f)
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.knnBrute(emb, Seq(0L), 2).collect()
+    assert(knn.map(_.getLong(2)).toSeq == Seq(10L, 11L),
+      "pure kNN keeps the clone")
+    val mmr = Similarity.mmrRerank(emb, Seq(0L), k = 2, shortlist = 5)
+      .collect()
+    assert(mmr.map(_.getLong(2)).toSeq == Seq(10L, 12L),
+      "MMR must trade the clone for the distinct candidate")
+    // λ = 1 removes the penalty: picks equal the kNN prefix again
+    val pure = Similarity.mmrRerank(emb, Seq(0L), k = 2, shortlist = 5,
+      lambda = 1.0).collect()
+    assert(pure.map(_.getLong(2)).toSeq == Seq(10L, 11L))
+    // ranks are 1..k and rel is the plain cosine to the query
+    assert(mmr.map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(math.abs(mmr.head.getDouble(3) - 0.98) < 1e-6)
+  }
+
   test("temperature mix: α=1 keeps natural shares, α=0.5 upsamples small " +
       "sources, draw is deterministic and budget-tracking") {
     val plan = TextOps.temperatureMix(docs, 0.5, 300L).collect()
