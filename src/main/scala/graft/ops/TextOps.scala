@@ -259,7 +259,7 @@ object TextOps {
       .join(broadcast(plan0.select("source", "keep_rate")), Seq("source"))
       .where(col("u") < col("keep_rate") * lit(4294967296.0))
       .groupBy("source").agg(count(lit(1)).as("kept_docs"))
-    plan0.join(drawn, Seq("source"), "left")
+    plan0.join(broadcast(drawn), Seq("source"), "left")
       .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
       .orderBy("source")
   }

@@ -36,7 +36,9 @@ object ExplainAudit {
         "e12_transitions", "d16_semdedup_greedy", "q54_lag_gap_cut",
         "q55_dense_lag", "q56_mdx_growth", "d04_ngram_jaccard",
         "q57_share_of_total", "q58_mdx_share", "t30_stratified_sample",
-        "q61_role_partial", "q62_role_full", "q63_drillthrough")
+        "q61_role_partial", "q62_role_full", "q63_drillthrough",
+        "q64_mdx_qtd", "t32_temperature_mix", "e13_attribution",
+        "s10_mmr_rerank")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
