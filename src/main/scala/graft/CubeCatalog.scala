@@ -72,6 +72,15 @@ final class CubeCatalog(
       compute: => Seq[Any]): Seq[Any] =
     topKCache.getOrElseUpdate(key, compute)
 
+  // TopPercent/TopSum member sets, memoized like TopCount keys (threshold
+  // is part of the identity; absolute distinguishes TOPSUM from TOPPERCENT)
+  private val topShareCache = TrieMap.empty[(String, String, String, String,
+    Double, String, Boolean), Seq[Any]]
+
+  def cachedTopShareKeys(key: (String, String, String, String, Double,
+      String, Boolean))(compute: => Seq[Any]): Seq[Any] =
+    topShareCache.getOrElseUpdate(key, compute)
+
   // C9 member-frame cache: the distinct() member list of a level, persisted
   // on the executors (NOT collected — a 100 TB dimension stays distributed;
   // the reference caches driver-side member lists, its documented hazard).

@@ -921,6 +921,17 @@ object SparkEntry {
             |  [ShipDate].[Monthly].[Month].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // TOPPERCENT (Pareto cut): the brands covering 25% of total revenue
+      // — minimal descending prefix whose cumulative share reaches the
+      // threshold, memoized to an IN-list like TopCount
+      "q65_mdx_toppercent" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |TOPPERCENT([Part].[Brands].[Brand].Members, 25,
+            |  [Measures].[Revenue]) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // WITH MEMBER Sum(PeriodsToDate(level), M): quarter-to-date at Month
       // grain — synthesizes an ad-hoc CumMeasureDef resetting per Quarter
       // (Mondrian's Qtd()); Sum(Ytd(), M) rides the same rewrite onto the
@@ -2930,6 +2941,23 @@ object SparkEntry {
          |lag(revenue, 2) OVER (ORDER BY ship_year, ship_month)
          |  AS rev_2mo_ago
          |FROM agg ORDER BY ship_year, ship_month""".stripMargin,
+    // q65: TOPPERCENT — cumulative-before and the set total both ride the
+    // DECIMAL(27,6) window recipe; keep while cum_before < 25% of total
+    "q65_mdx_toppercent" ->
+      s"""WITH b AS (
+         |  SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         |w AS (SELECT brand, revenue,
+         |  COALESCE(CAST(SUM(CAST(CAST(revenue AS VARCHAR)
+         |    AS DECIMAL(27,6))) OVER (ORDER BY revenue DESC, brand ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE),
+         |    0.0) AS cum_before,
+         |  CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6)))
+         |    OVER () AS DOUBLE) AS total
+         |  FROM b)
+         |SELECT brand, revenue FROM w
+         |WHERE cum_before < 25.0 / 100.0 * total
+         |ORDER BY brand""".stripMargin,
     // q64: Sum(PeriodsToDate(Quarter)) = QTD, Sum(Ytd()) = YTD — both
     // DECIMAL(27,6)-requantized running sums (the q48 recipe), partitioned
     // by their reset member

@@ -25,6 +25,13 @@ final case class TopKCut(level: LevelRef, k: Int, byMeasure: String,
 /** Negated member-set cut (MDX `EXCEPT([L].Members, {…})`): every member of
   * the level EXCEPT these keys — a NOT IN that still pushes into the scan. */
 final case class ExcludeCut(level: LevelRef, keys: Seq[Any]) extends Cut
+/** TopPercent / TopSum restriction (MDX `TOPPERCENT(set, p, m)` /
+  * `TOPSUM(set, s, m)`): the minimal descending-by-measure prefix of the
+  * level's members whose cumulative total reaches the threshold — a percent
+  * of the set total (`absolute = false`, Pareto-style "members covering p%
+  * of revenue") or an absolute sum (`absolute = true`). */
+final case class TopShareCut(level: LevelRef, threshold: Double,
+    byMeasure: String, absolute: Boolean = false) extends Cut
 
 /** Axis drilldowns (ref A2/A15). */
 sealed trait Drill

@@ -33,6 +33,8 @@ import graft.model._
   *           | UNION | EXCEPT | INTERSECT (<set>, <set>)       — same level
   *           | TOPCOUNT(<set>, k, [Measures].[M])
   *           | BOTTOMCOUNT(<set>, k, [Measures].[M])
+  *           | TOPPERCENT(<set>, p, [Measures].[M])
+  *           | TOPSUM(<set>, s, [Measures].[M])
   *           | DESCENDANTS(<member>, [Dim].[Level])
   *
   * WITH SET definitions substitute textually (definition-before-use, each
@@ -572,6 +574,32 @@ object MdxParser {
         case _ => GraftException.badRequest(s"bad ${fn.dropRight(1)} measure '${args(2)}'")
       }
       (drills, cuts :+ TopKCut(level, k, m, asc = fn == "BOTTOMCOUNT("))
+    } else if ((upper.startsWith("TOPPERCENT(") ||
+        upper.startsWith("TOPSUM(")) && t.endsWith(")")) {
+      // TOPPERCENT(set, p, m) / TOPSUM(set, s, m): the smallest
+      // descending-by-measure prefix reaching the threshold (Pareto cut)
+      val fn = if (upper.startsWith("TOPPERCENT(")) "TOPPERCENT(" else "TOPSUM("
+      val args = splitTop(t.substring(fn.length, t.length - 1), ',')
+      if (args.length != 3)
+        GraftException.badRequest(
+          s"${fn.dropRight(1)} takes (set, threshold, measure): '$s'")
+      val (drills, cuts) = parseSet(cube, args(0))
+      val level = drills match {
+        case Seq(LevelDrill(ref)) => ref
+        case _ => GraftException.badRequest(
+          s"${fn.dropRight(1)} set must be a single level enumeration: '$s'")
+      }
+      val th = try args(1).trim.toDouble catch {
+        case _: NumberFormatException => GraftException.badRequest(
+          s"bad ${fn.dropRight(1)} threshold '${args(1)}'")
+      }
+      val m = QueryParser.segments(args(2)) match {
+        case Seq("Measures", name) => resolveMeasure(cube, name)
+        case Seq(name) => resolveMeasure(cube, name)
+        case _ => GraftException.badRequest(
+          s"bad ${fn.dropRight(1)} measure '${args(2)}'")
+      }
+      (drills, cuts :+ TopShareCut(level, th, m, absolute = fn == "TOPSUM("))
     } else if (splitTop(t, ':').length == 2) {
       // member range [D].[L].[a] : [D].[L].[b] → drill the level + range cut
       val cut = QueryParser.parseCut(cube, s"($t)")
@@ -610,7 +638,8 @@ object MdxParser {
       def isSetExpr(e: String): Boolean = {
         val u = e.toUpperCase
         u.endsWith(".MEMBERS") || u.endsWith(".CHILDREN") ||
-          Seq("TOPCOUNT(", "BOTTOMCOUNT(", "CROSSJOIN(", "UNION(",
+          Seq("TOPCOUNT(", "BOTTOMCOUNT(", "TOPPERCENT(", "TOPSUM(",
+            "CROSSJOIN(", "UNION(",
             "EXCEPT(", "INTERSECT(", "DESCENDANTS(", "FILTER(", "ORDER(",
             "HEAD(", "SUBSET(", "HIERARCHIZE(").exists(u.startsWith) ||
           splitTop(e, ':').length == 2

@@ -668,6 +668,10 @@ object Planner {
       val rl = resolve(cube, l)
       df.filter(col(rl.level.alias)
         .isin(topKKeyValues(cat, cube, rl, k, byMeasure): _*))
+    case TopShareCut(l, th, byMeasure, abs) =>
+      val rl = resolve(cube, l)
+      df.filter(col(rl.level.alias)
+        .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!col(resolve(cube, l).level.alias).isin(keys: _*))
   }
@@ -687,6 +691,7 @@ object Planner {
     case SetCut(l, _) => Some(l)
     case RangeCut(l, _, _) => Some(l)
     case TopKCut(l, _, _, _) => Some(l)
+    case TopShareCut(l, _, _, _) => Some(l)
     case ExcludeCut(l, _) => Some(l)
     case NamedSetCut(_) => None
   }
@@ -723,6 +728,10 @@ object Planner {
       val rl = resolve(cube, l)
       df.filter(expr(rl.level.keyExpr)
         .isin(topKKeyValues(cat, cube, rl, k, byMeasure, asc): _*))
+    case TopShareCut(l, th, byMeasure, abs) =>
+      val rl = resolve(cube, l)
+      df.filter(expr(rl.level.keyExpr)
+        .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!expr(resolve(cube, l).level.keyExpr).isin(keys: _*))
   }
@@ -744,6 +753,51 @@ object Planner {
     cat.cachedTopKKeys((cube.name, rl.dim.name, rl.hier.name, rl.level.name,
       if (asc) -k else k, byMeasure)) { // sign encodes direction in the key
       topKKeys(cat, cube, rl, k, byMeasure, asc).collect().toSeq.map(_.get(0))
+    }
+
+  /** TopPercent/TopSum member keys: the minimal descending-by-measure prefix
+    * whose cumulative total reaches the threshold (p% of the set total, or
+    * an absolute sum). Cumulative and total ride the DECIMAL(27,6) window
+    * recipe over the MEMBER AGGREGATE (a dim-sized frame — the same class
+    * as the lag domains, never the fact), memoized per catalog like
+    * TopCount keys so the cut is an IN-list pushed into the scan. */
+  private def topShareKeyValues(cat: CubeCatalog, cube: CubeDef,
+      rl: ResolvedLevel, threshold: Double, byMeasure: String,
+      absolute: Boolean): Seq[Any] =
+    cat.cachedTopShareKeys((cube.name, rl.dim.name, rl.hier.name,
+        rl.level.name, threshold, byMeasure, absolute)) {
+      if (threshold <= 0)
+        GraftException.badRequest(
+          s"TopPercent/TopSum threshold must be positive, got $threshold")
+      if (!absolute && threshold > 100)
+        GraftException.badRequest(
+          s"TopPercent takes a percentage in (0, 100], got $threshold")
+      val q = CubeQuery(cube.name,
+        Seq(LevelDrill(LevelRef(rl.dim.name, Some(rl.level.name),
+          Some(rl.hier.name)))), Seq(byMeasure))
+      val agg = planCube(cat, cube, q)
+      val dec = expr(s"CAST($byMeasure AS DECIMAL(27,6))")
+      val before = Window.orderBy(col(byMeasure).desc,
+          col(rl.level.alias).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val whole = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val cumBefore =
+        coalesce(sum(dec).over(before).cast("double"), lit(0.0))
+      val lim =
+        if (absolute) lit(threshold)
+        else lit(threshold / 100.0) * sum(dec).over(whole).cast("double")
+      val keys = agg
+        .withColumn("__cum_before", cumBefore)
+        .withColumn("__lim", lim)
+        .where(col("__cum_before") < col("__lim"))
+        .select(rl.level.alias)
+        .collect().toSeq.map(_.get(0))
+      if (keys.length > 65536)
+        GraftException.badRequest(
+          s"TopPercent/TopSum selects ${keys.length} members — too many " +
+            "for an IN-list cut; narrow the threshold")
+      keys
     }
 
   private def topKKeys(cat: CubeCatalog, cube: CubeDef, rl: ResolvedLevel,

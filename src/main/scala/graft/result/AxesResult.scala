@@ -135,6 +135,8 @@ object AxesResult {
       case NamedSetCut(s) => s"NAMED SET $s"
       case TopKCut(l, k, m, asc) =>
         s"${if (asc) "BOTTOM" else "TOP"}($k) ${ref(l)} BY $m"
+      case TopShareCut(l, th, m, abs) =>
+        s"${if (abs) s"TOPSUM($th)" else s"TOPPERCENT($th%)"} ${ref(l)} BY $m"
       case ExcludeCut(l, ks) => s"${ref(l)} NOT IN (${ks.mkString(", ")})"
     }
     def drillStr(d: Drill): String = d match {

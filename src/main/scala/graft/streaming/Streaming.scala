@@ -244,6 +244,76 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class AttrIn(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, kind: Int, etype: String)
+  final case class AttrOut(conv_id: Long, user_id: Long, conv_ts_us: Long,
+      first_touch_id: Long, first_touch_type: String,
+      last_touch_id: Long, last_touch_type: String,
+      us_since_last_touch: Long)
+  // reorder buffer (t_us, id, kind, type) + the O(1) attribution context
+  final case class AttrSt(buf: Seq[(Long, Long, Int, String)],
+      first: Option[(Long, String)], last: Option[(Long, String, Long)])
+
+  /** Streaming CONVERSION ATTRIBUTION — the continuous twin of
+    * [[graft.ops.EventOps.attribution]]: each conversion emits its
+    * first/last preceding touch, correct under out-of-order arrival via
+    * the same per-user watermark reorder buffer as [[asofJoinStream]].
+    * Ready rows apply to the user's attribution context in global
+    * (t, event_id) order — ascending across triggers because the watermark
+    * only moves forward — so every emitted row equals the batch operator's
+    * for that conversion. State per user is the in-flight buffer plus an
+    * O(1) context (first touch is sticky; last touch is the latest seen):
+    * the asymptotic minimum for this query. */
+  def attributionStream(spark: SparkSession, events: DataFrame,
+      delay: String, convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view")): Dataset[AttrOut] = {
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def update(userId: Long, rows: Iterator[AttrIn],
+        st: GroupState[AttrSt]): Iterator[AttrOut] = {
+      val prev = st.getOption.getOrElse(AttrSt(Nil, None, None))
+      var buf = prev.buf
+      if (!st.hasTimedOut)
+        rows.foreach(r => buf :+= ((micros(r.ts), r.event_id, r.kind, r.etype)))
+      val wmMs = st.getCurrentWatermarkMs()
+      val (ready, pending) = buf.partition(_._1 / 1000 <= wmMs)
+      var first = prev.first
+      var last = prev.last
+      val out = Seq.newBuilder[AttrOut]
+      ready.sortBy(r => (r._1, r._2)).foreach { case (t, id, kind, tp) =>
+        if (kind == 0) {
+          if (first.isEmpty) first = Some((id, tp))
+          last = Some((id, tp, t))
+        } else last.foreach { case (lid, ltp, lt) =>
+          out += AttrOut(id, userId, t, first.get._1, first.get._2,
+            lid, ltp, t - lt)
+        }
+      }
+      if (pending.isEmpty && first.isEmpty && last.isEmpty) st.remove()
+      else {
+        st.update(AttrSt(pending, first, last))
+        if (pending.nonEmpty)
+          st.setTimeoutTimestamp(pending.map(_._1).min / 1000 + 1)
+      }
+      out.result().iterator
+    }
+
+    val kind = when(col("event_type").isin(touchTypes: _*), lit(0))
+      .when(col("event_type") === convType, lit(1))
+    events.withWatermark("ts", delay)
+      .withColumn("kind", kind)
+      .where(col("kind").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("kind"),
+        col("event_type").as("etype"))
+      .as[AttrIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   final case class AnomIn(event_type: String, ts: java.sql.Timestamp,
       value: Double)
   final case class AnomOut(event_type: String, day_i: Long, revenue: Double,

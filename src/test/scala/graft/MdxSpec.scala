@@ -466,6 +466,50 @@ class MdxSpec extends AnyFunSuite {
       q.drilldowns == Seq(LevelDrill(LevelRef("Geography", Some("Region")))))
   }
 
+  test("TOPPERCENT keeps the minimal top prefix covering the share; " +
+      "TOPSUM is the absolute form; bad thresholds 400") {
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |TOPPERCENT([Part].[Brands].[Brand].Members, 25,
+        |  [Measures].[Revenue]) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.cuts == Seq(TopShareCut(
+      LevelRef("Part", Some("Brand"), Some("Brands")), 25.0, "revenue")))
+    val all = Planner.plan(cat, CubeQuery("sales",
+        Seq(LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands")))),
+        Seq("revenue"))).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val total = all.map(_._2).sum
+    val sel = Planner.plan(cat, q).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val sum = sel.map(_._2).sum
+    assert(sel.nonEmpty && sel.length < all.length)
+    // covers the share, and dropping the smallest member would not
+    assert(sum >= 0.25 * total - 1e-6)
+    assert(sum - sel.map(_._2).min < 0.25 * total + 1e-6)
+    // it is a TOP prefix: every selected revenue >= every unselected one
+    val selSet = sel.map(_._1).toSet
+    val out = all.filterNot(p => selSet(p._1))
+    assert(sel.map(_._2).min >= out.map(_._2).max - 1e-9)
+    // TOPSUM: absolute threshold spelling
+    val q2 = MdxParser.parse(salesCube,
+      s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+         |TOPSUM([Part].[Brands].[Brand].Members, ${total / 4},
+         |  [Measures].[Revenue]) ON ROWS
+         |FROM sales""".stripMargin)
+    assert(q2.cuts.exists { case TopShareCut(_, _, "revenue", true) => true
+      case _ => false })
+    val sel2 = Planner.plan(cat, q2).collect().map(_.getString(0)).toSet
+    assert(sel2 == selSet, "25% of total as TOPSUM selects the same set")
+    // error contract
+    assert(intercept[GraftException](Planner.plan(cat,
+      MdxParser.parse(salesCube,
+        """SELECT {[Measures].[Revenue]} ON COLUMNS,
+          |TOPPERCENT([Part].[Brands].[Brand].Members, 150,
+          |  [Measures].[Revenue]) ON ROWS
+          |FROM sales""".stripMargin))).status == 400)
+  }
+
   test("Sum(Ytd(), M) reuses the declared running measure; bare Ytd() " +
       "resolves against the cube's single time dimension") {
     val q = MdxParser.parse(salesCube,

@@ -105,6 +105,32 @@ class StreamingSpec extends AnyFunSuite {
       s"${(unemitted -- lateOk).size} closed events missing")
   }
 
+  test("streaming attribution equals batch for every watermark-closed " +
+      "conversion") {
+    val stream = Streaming.readEventsStream(spark, eventsDir)
+    val name = Streaming.runToMemory(spark,
+      Streaming.attributionStream(spark, stream, "1 minute").toDF(),
+      "attr_test")
+    val streamed = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = graft.ops.EventOps.attribution(cat.table("events")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (id, v) =>
+      assert(batch.contains(id), s"conversion $id not in batch")
+      assert(batch(id) == v, s"conversion $id differs: ${batch(id)} vs $v")
+    }
+    // only conversions after the final watermark may be unemitted
+    val delayUs = 60L * 1000000L
+    val horizon = cat.table("events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) - delayUs
+    val unemitted = batch.keySet -- streamed.keySet
+    val lateOk = batch.filter { case (_, v) =>
+      v(1).asInstanceOf[Long] / 1000 > horizon / 1000 }.keySet
+    assert(unemitted.subsetOf(lateOk),
+      s"${(unemitted -- lateOk).size} closed conversions missing")
+  }
+
   test("streaming funnel's latest row per user equals the batch funnel") {
     val steps = Seq("view", "click", "purchase")
     val stream = Streaming.readEventsStream(spark, eventsDir)
