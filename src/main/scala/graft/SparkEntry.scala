@@ -471,6 +471,26 @@ object SparkEntry {
           ops.Multimodal.attachFakeMedia(d), 1000000L)),
       "m03_resize_plan" -> tbl("documents")(d =>
         ops.Multimodal.resizePlan(ops.Multimodal.attachFakeMedia(d), 256)),
+      // media near-dup: the synthetic payloads are random 64-bit-apart, so
+      // the gate PLANTS the real-world cases — an exact re-upload
+      // (identical payload, Hamming 0) and a re-encode (one low bit
+      // flipped, Hamming 1) — and the operator must find exactly those
+      "m05_phash_neardup" -> tbl("documents") { d =>
+        import org.apache.spark.sql.functions._
+        val base = ops.Multimodal.attachFakeMedia(d)
+          .select("doc_id", "media")
+        val h = hex(col("media"))
+        val reup = base.where(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val reenc = base.where(col("doc_id") % 101 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("media", unhex(concat(substring(h, 1, 15),
+            translate(substring(h, 16, 1),
+              "0123456789ABCDEF", "1032547698BADCFE"),
+            substring(h, 17, 16))))
+        ops.Multimodal.phashNearDupPairs(
+          base.unionByName(reup).unionByName(reenc), 3)
+      },
       // B11: parent-child hierarchy — closure-table transitive rollup; the
       // closure is the reference's registration-time <Closure> table, so it
       // is memoized per (session, dir) and each query is join + groupBy
@@ -1131,6 +1151,13 @@ object SparkEntry {
        |SELECT query_id, pick_rank, neighbor_id, rel, score FROM sel5
        |ORDER BY query_id, pick_rank""".stripMargin
   }
+
+  /** Horner uint32 from 8 UPPERCASE hex digits of expression `e` starting
+    * at 1-based `start` (m05's phash halves). */
+  private def hexHornerU(e: String, start: Int): String =
+    (start until start + 8)
+      .map(i => s"(instr('0123456789ABCDEF', substr($e, $i, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
 
   /** First 8 hex digits of an md5 column `h` as a uint32 (Horner form —
     * DuckDB has no conv(); shared by the t18/t29 content-hash draws). */
@@ -1983,6 +2010,29 @@ object SparkEntry {
       """SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames,
         |CAST(unnest(range(0, doc_id % 10 + 1, 2)) AS INTEGER) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    // m05: the payload-hex phash halves replayed by Horner; all-pairs
+    // verify (the blocked Spark path finds the same pairs by pigeonhole
+    // completeness); injections mirror the Spark-side clones
+    "m05_phash_neardup" ->
+      s"""WITH base AS (SELECT doc_id, upper(md5(text)) AS h
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, h FROM base
+         |  UNION ALL SELECT doc_id + 1000000, h FROM base
+         |    WHERE doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id + 2000000,
+         |    substr(h, 1, 15) || translate(substr(h, 16, 1),
+         |      '0123456789ABCDEF', '1032547698BADCFE') || substr(h, 17, 16)
+         |  FROM base WHERE doc_id % 101 = 0),
+         |fp AS (SELECT doc_id,
+         |  CAST(${hexHornerU("h", 1)} AS BIGINT) AS hi,
+         |  CAST(${hexHornerU("h", 9)} AS BIGINT) AS lo FROM m)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.hi, b.hi))
+         |    + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // m04: the fake-media metadata recipe + per-modality running byte sum
     "m04_decode_batches" ->
       """WITH m AS (SELECT doc_id,

@@ -92,6 +92,53 @@ object Multimodal {
       .orderBy("format", "doc_id")
   }
 
+  /** 64-bit perceptual hash of the media payload, as two 32-bit halves —
+    * STUB: a real pHash would decode and DCT the pixels; the stub derives
+    * the 64 bits from the payload's leading bytes (locality-preserving on
+    * the payload: a re-encode that perturbs trailing bytes or flips a
+    * low bit yields a near-identical hash, the property the dedup pass
+    * exploits). Halves ride as separate longs so Hamming distance is the
+    * sum of two bit_counts — no wrapping 64-bit arithmetic anywhere the
+    * oracle must replay (the d03 portable-SimHash discipline). */
+  def mediaPhash(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      expr("CAST(conv(substr(hex(media), 1, 8), 16, 10) AS BIGINT)")
+        .as("ph_hi"),
+      expr("CAST(conv(substr(hex(media), 9, 8), 16, 10) AS BIGINT)")
+        .as("ph_lo"))
+
+  /** MEDIA NEAR-DUPLICATE detection — the image-dedup pass every multimodal
+    * training pipeline runs (exact re-uploads and re-encodes of the same
+    * asset): pairs within Hamming distance `maxHamming` of the 64-bit
+    * [[mediaPhash]]. Candidates come from the pigeonhole combo blocks
+    * shared with SimHash ([[Dedup.simhashBlockKeys]] — complete for
+    * Hamming ≤ maxHamming, no false negatives), travel SKINNY through the
+    * self-join, and verify with two bit_counts. Same scale shape as d03:
+    * map-side hash, ~n/2^26-sized buckets, pair work linear until tens of
+    * billions of assets. */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = mediaPhash(media).localCheckpoint(eager = false)
+    val keyed = fp
+      .withColumn("ph",
+        shiftleft(col("ph_hi"), 32).bitwiseOR(col("ph_lo")))
+      .select(col("doc_id"),
+        explode(Dedup.simhashBlockKeys("ph", maxHamming)).as("bk"))
+    val cand = keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
+        col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("ph_hi").as("hi_a"),
+        col("ph_lo").as("lo_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("ph_hi").as("hi_b"),
+        col("ph_lo").as("lo_b")), "doc_b")
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Metadata-only resize plan (the real pixel op is the stubbed part). */
   def resizePlan(media: DataFrame, maxSide: Int): DataFrame =
     media.select(col("doc_id"), col("meta.width").as("width"),

@@ -845,6 +845,27 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("phash near-dup: finds pairs within the Hamming bound, drops " +
+      "pairs beyond it (pigeonhole blocking is complete)") {
+    import spark.implicits._
+    // payloads as hex: base, 2-bit flip (found), 5-bit flip (dropped),
+    // and an exact clone (Hamming 0)
+    val base = "00112233445566778899AABBCCDDEEFF"
+    val flip2 = "03112233445566778899AABBCCDDEEFF" // bits 0,1 of digit 2
+    val flip5 = "1F112233445566778899AABBCCDDEEFF" // 5 bits in byte 1
+    val media = Seq(
+      (1L, base), (2L, flip2), (3L, base), (4L, flip5)
+    ).toDF("doc_id", "hx")
+      .select(col("doc_id"), unhex(col("hx")).as("media"))
+    val pairs = Multimodal.phashNearDupPairs(media, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 3L)).contains(0), "exact clone at Hamming 0")
+    assert(pairs.get((1L, 2L)).contains(2), "2-bit flip found")
+    assert(pairs.get((2L, 3L)).contains(2))
+    assert(!pairs.contains((1L, 4L)), "5-bit flip is beyond the bound")
+    assert(!pairs.contains((3L, 4L)))
+  }
+
   test("MMR re-rank: penalizes redundancy (clone loses to a distinct " +
       "candidate), λ=1 degrades to pure kNN order") {
     import spark.implicits._
