@@ -941,6 +941,16 @@ object SparkEntry {
             |  [ShipDate].[Monthly].[Month].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // TAIL: the trailing-12-months axis ("last year of data") — a
+      // reverse TakeOrderedAndProject re-sorted forward, never a full sort
+      "q66_mdx_tail" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |NON EMPTY TAIL(CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+            |  [ShipDate].[Monthly].[Month].Members), 12) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // TOPPERCENT (Pareto cut): the brands covering 25% of total revenue
       // — minimal descending prefix whose cumulative share reaches the
       // threshold, memoized to an IN-list like TopCount
@@ -2991,6 +3001,18 @@ object SparkEntry {
          |lag(revenue, 2) OVER (ORDER BY ship_year, ship_month)
          |  AS rev_2mo_ago
          |FROM agg ORDER BY ship_year, ship_month""".stripMargin,
+    // q66: TAIL — the last 12 axis rows of the hierarchical order,
+    // emitted forward
+    "q66_mdx_tail" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2),
+         |t AS (SELECT * FROM agg
+         |  ORDER BY ship_year DESC, ship_month DESC LIMIT 12)
+         |SELECT ship_year, ship_month, revenue FROM t
+         |ORDER BY ship_year, ship_month""".stripMargin,
     // q65: TOPPERCENT — cumulative-before and the set total both ride the
     // DECIMAL(27,6) window recipe; keep while cum_before < 25% of total
     "q65_mdx_toppercent" ->

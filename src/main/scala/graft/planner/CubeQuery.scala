@@ -62,6 +62,10 @@ final case class CubeQuery(
     order: Option[OrderSpec] = None,
     offset: Long = 0,
     limit: Option[Long] = None,
+    // MDX TAIL(set, n): keep the LAST n tuples of the axis order (emitted
+    // in forward order). Applied before offset/limit, so HEAD(TAIL(s, n),
+    // k) and SUBSET(TAIL(s, n), …) page within the tail.
+    tailLimit: Option[Long] = None,
     nonempty: Boolean = true,   // groupBy output is naturally nonempty; dense
     // mode (the reference's default JSON shape) densifies via member-domain
     // cross product + left join (SURVEY §2.4 C1)

@@ -20,6 +20,7 @@ import graft.model._
   *           | FILTER(<axis>, [Measures].[M] <op> <number>)   — HAVING
   *           | ORDER(<axis>, [Measures].[M] [, ASC|DESC|BASC|BDESC])
   *           | HEAD(<axis>, n)                                 — limit
+  *           | TAIL(<axis>, n)                                 — last n
   *           | SUBSET(<axis>, start[, count])                  — offset/limit
   *           | DISTINCT(<axis>)                                — A14 flag
   *           | HIERARCHIZE(<axis>)                             — default order
@@ -113,6 +114,7 @@ object MdxParser {
         CubeQuery(cube.name, axis.drills, measures,
           cuts = axis.cuts ++ slicerCuts, filters = axis.filters,
           order = axis.order, limit = axis.limit, offset = axis.offset,
+          tailLimit = axis.tail,
           nonempty = nonEmpty || axis.filters.nonEmpty,
           distinct = axis.distinct,
           adhocCalcs = adhoc, adhocLags = adhocLags,
@@ -339,7 +341,7 @@ object MdxParser {
   final case class Axis(drills: Seq[Drill], cuts: Seq[Cut],
       filters: Seq[MeasureFilter] = Nil, order: Option[OrderSpec] = None,
       limit: Option[Long] = None, offset: Long = 0,
-      distinct: Boolean = false)
+      tail: Option[Long] = None, distinct: Boolean = false)
 
   /** Axis-level functions wrap the whole set: FILTER → HAVING, ORDER →
     * result order, HEAD → limit, SUBSET → offset/limit, DISTINCT → the A14
@@ -388,6 +390,14 @@ object MdxParser {
         GraftException.badRequest(s"HEAD takes (set, count): '$s'")
       val inner = parseAxis(cube, as(0))
       inner.copy(limit = Some(as(1).trim.toLong))
+    } else if (upper.startsWith("TAIL(") && t.endsWith(")")) {
+      // TAIL(set, n): the LAST n tuples of the axis order, emitted in
+      // forward order ("last 12 months"); HEAD/SUBSET page within it
+      val as = args("TAIL(")
+      if (as.length != 2)
+        GraftException.badRequest(s"TAIL takes (set, count): '$s'")
+      val inner = parseAxis(cube, as(0))
+      inner.copy(tail = Some(as(1).trim.toLong))
     } else if (upper.startsWith("SUBSET(") && t.endsWith(")")) {
       // SUBSET(set, start[, count]) — offset/limit over the axis order
       val as = args("SUBSET(")
@@ -641,7 +651,7 @@ object MdxParser {
           Seq("TOPCOUNT(", "BOTTOMCOUNT(", "TOPPERCENT(", "TOPSUM(",
             "CROSSJOIN(", "UNION(",
             "EXCEPT(", "INTERSECT(", "DESCENDANTS(", "FILTER(", "ORDER(",
-            "HEAD(", "SUBSET(", "HIERARCHIZE(").exists(u.startsWith) ||
+            "HEAD(", "TAIL(", "SUBSET(", "HIERARCHIZE(").exists(u.startsWith) ||
           splitTop(e, ':').length == 2
       }
       // a WITH SET substitution wraps its body in parens, so the brace

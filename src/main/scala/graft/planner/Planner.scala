@@ -1112,9 +1112,9 @@ object Planner {
       q: CubeQuery, drills: Seq[ResolvedLevel],
       groupLevels: Seq[ResolvedLevel], outputCols: Seq[String]): DataFrame = {
     val defaultSort: Seq[Column] = groupLevels.map { rl =>
-      col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias)).asc
+      col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
     }
-    val explicit: Seq[Column] = q.order.toSeq.map { os =>
+    val explicit: Seq[(Column, Boolean)] = q.order.toSeq.map { os =>
       val c = os.target match {
         case OrderByMeasure(m) =>
           // virtual-cube measures live in member cubes; fall back to the raw
@@ -1133,10 +1133,21 @@ object Planner {
                 s"cannot order by unknown property '$prop'")))
           }
       }
-      if (os.desc) c.desc else c.asc
+      (c, os.desc)
     }
     val distinctDf = if (q.distinct) df.dropDuplicates(outputCols) else df
-    val sorted = distinctDf.orderBy((explicit ++ defaultSort): _*)
+    val keys: Seq[(Column, Boolean)] =
+      explicit ++ defaultSort.map(c => (c, false))
+    def ordered(rev: Boolean): Seq[Column] =
+      keys.map { case (c, desc) => if (desc ^ rev) c.desc else c.asc }
+    // TAIL: the last n of the total order — reverse-sort + limit (a
+    // TakeOrderedAndProject, no full sort), re-sorted forward below
+    val tailed = q.tailLimit match {
+      case Some(n) => distinctDf.orderBy(ordered(rev = true): _*)
+        .limit(n.toInt)
+      case None => distinctDf
+    }
+    val sorted = tailed.orderBy(ordered(rev = false): _*)
     val page = (q.offset, q.limit) match {
       case (0, None) => sorted
       case (0, Some(n)) => sorted.limit(n.toInt)

@@ -159,6 +159,7 @@ object AxesResult {
       "order" -> order.orNull,
       "offset" -> q.offset,
       "limit" -> q.limit.orNull,
+      "tail" -> q.tailLimit.orNull,
       "nonempty" -> q.nonempty,
       "distinct" -> q.distinct,
       "parents" -> q.parents,

@@ -466,6 +466,35 @@ class MdxSpec extends AnyFunSuite {
       q.drilldowns == Seq(LevelDrill(LevelRef("Geography", Some("Region")))))
   }
 
+  test("TAIL keeps the last n axis tuples in forward order; HEAD pages " +
+      "within the tail") {
+    val base = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    val all = Planner.plan(cat, base).collect()
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY TAIL(CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members), 3) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.tailLimit.contains(3L))
+    val tail3 = Planner.plan(cat, q).collect()
+    assert(tail3.map(_.toSeq).toSeq ==
+      all.takeRight(3).map(_.toSeq).toSeq)
+    // HEAD(TAIL(s, 3), 1) = third-from-last row
+    val q2 = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY HEAD(TAIL(CROSSJOIN(
+        |  [ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members), 3), 1) ON ROWS
+        |FROM sales""".stripMargin)
+    val one = Planner.plan(cat, q2).collect()
+    assert(one.map(_.toSeq).toSeq ==
+      all.takeRight(3).take(1).map(_.toSeq).toSeq)
+  }
+
   test("TOPPERCENT keeps the minimal top prefix covering the share; " +
       "TOPSUM is the absolute form; bad thresholds 400") {
     val q = MdxParser.parse(salesCube,
