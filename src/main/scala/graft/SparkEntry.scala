@@ -536,6 +536,11 @@ object SparkEntry {
         ops.TextOps.decontaminate(
           d.where(d("source") =!= "src0"),
           d.where(d("source") === "src0"), 5)),
+      // the bloom-prefiltered scale path — provably output-identical
+      "d17_bloom_decontam" -> tbl("documents")(d =>
+        ops.TextOps.decontaminateBloom(
+          d.where(d("source") =!= "src0"),
+          d.where(d("source") === "src0"), 5)),
       // ordered view→click→purchase funnel over the step-1 cohort
       "e04_funnel" -> tbl("events")(
         ops.EventOps.funnel(_, Seq("view", "click", "purchase"))),
@@ -1161,6 +1166,23 @@ object SparkEntry {
        |SELECT query_id, pick_rank, neighbor_id, rel, score FROM sel5
        |ORDER BY query_id, pick_rank""".stripMargin
   }
+
+  /** t11/d17 shared oracle: exact n-gram decontamination (the bloom
+    * prefilter is output-identical, so both gates replay this SQL). */
+  private val decontamOracleSql: String =
+    """WITH sh AS (SELECT doc_id, source,
+      |  CASE WHEN len(string_split(text, ' ')) < 5 THEN []
+      |  ELSE list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 3),
+      |    i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) END AS sh
+      |  FROM documents),
+      |bench AS (SELECT list_distinct(flatten(list(sh))) AS bg
+      |  FROM sh WHERE source = 'src0')
+      |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_grams,
+      |CAST(len(list_intersect(s.sh, b.bg)) AS BIGINT) AS hit_grams,
+      |len(list_intersect(s.sh, b.bg)) > 0 AS contaminated
+      |FROM sh s, bench b WHERE s.source <> 'src0'
+      |ORDER BY s.doc_id""".stripMargin
 
   /** Horner uint32 from 8 UPPERCASE hex digits of expression `e` starting
     * at 1-based `start` (m05's phash halves). */
@@ -2137,20 +2159,10 @@ object SparkEntry {
         |FROM t LEFT JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin,
     // t11: string 5-gram intersection against the src0 set; counts are
     // invariant under the Spark side's injective xxhash64 shingle hashing
-    "t11_decontaminate" ->
-      """WITH sh AS (SELECT doc_id, source,
-        |  CASE WHEN len(string_split(text, ' ')) < 5 THEN []
-        |  ELSE list_distinct(list_transform(
-        |    range(1, len(string_split(text, ' ')) - 3),
-        |    i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) END AS sh
-        |  FROM documents),
-        |bench AS (SELECT list_distinct(flatten(list(sh))) AS bg
-        |  FROM sh WHERE source = 'src0')
-        |SELECT s.doc_id, CAST(len(s.sh) AS INTEGER) AS n_grams,
-        |CAST(len(list_intersect(s.sh, b.bg)) AS BIGINT) AS hit_grams,
-        |len(list_intersect(s.sh, b.bg)) > 0 AS contaminated
-        |FROM sh s, bench b WHERE s.source <> 'src0'
-        |ORDER BY s.doc_id""".stripMargin,
+    "t11_decontaminate" -> decontamOracleSql,
+    // d17: the bloom-prefiltered path is OUTPUT-IDENTICAL to t11 by
+    // construction (no false negatives + exact verify) — same oracle
+    "d17_bloom_decontam" -> decontamOracleSql,
     // e04: each step is the min event time at-or-after the previous step's
     // time, per user — the same filtered-min cascade the Spark plan runs
     "e04_funnel" ->

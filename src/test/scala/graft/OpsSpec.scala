@@ -845,6 +845,23 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("bloom decontamination equals the exact operator, even with an " +
+      "undersized (high-fpp) filter") {
+    val corpus = docs.where(col("source") =!= "src0")
+    val bench = docs.where(col("source") === "src0")
+    val exact = TextOps.decontaminate(corpus, bench, 5)
+      .collect().map(_.toSeq).toSeq
+    val bloom = TextOps.decontaminateBloom(corpus, bench, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(bloom == exact)
+    assert(exact.exists(_(3) == true), "fixture must have a contaminated doc")
+    // a deliberately tiny filter inflates fpp — more candidates reach the
+    // exact verify, the OUTPUT must not move (no-false-negative property)
+    val tiny = TextOps.decontaminateBloom(corpus, bench, 5,
+      expectedGrams = 8L).collect().map(_.toSeq).toSeq
+    assert(tiny == exact)
+  }
+
   test("phash near-dup: finds pairs within the Hamming bound, drops " +
       "pairs beyond it (pigeonhole blocking is complete)") {
     import spark.implicits._
