@@ -20,6 +20,18 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write a fact TIME-PARTITIONED (the SURVEY §4.3 design point): with the
+    * partition column declared as a level key, a cut on it becomes a
+    * partition filter that prunes whole directories at the scan — at 100 TB
+    * the difference between touching one year and listing all of them.
+    * Results are identical to the unpartitioned layout (ScaleOpsSpec proves
+    * both the pruning and the equality). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Shuffle-free join of two same-bucketed tables (hinted merge join so
     * neither side broadcasts away the demonstration). */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -25,6 +25,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() == cat.table("lineitem").count())
   }
 
+  test("a year cut on a time-partitioned fact prunes partitions at the " +
+      "scan and matches the unpartitioned result") {
+    import graft.model._
+    import graft.planner._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-part").toString
+    ScaleOps.writePartitioned(
+      cat.table("lineitem")
+        .withColumn("ship_year", year(col("l_shipdate"))),
+      dir, Seq("ship_year"))
+    val fact = spark.read.parquet(dir)
+    // minimal cube over the partitioned layout: the Year level's key IS
+    // the physical partition column, so the cut reaches the directory list
+    val cube = CubeDef("sales_part", "lineitem_part",
+      dimensions = Seq(DimensionDef("ShipDate", Seq(HierarchyDef("Monthly",
+        Seq(LevelDef("Year", "ship_year", "ship_year"),
+          LevelDef("Month", "month(l_shipdate)", "ship_month")))),
+        isTime = true)),
+      measures = Seq(MeasureDef("Revenue", "revenue", Agg.Sum,
+        "l_extendedprice * (1.0 - l_discount)")))
+    val pcat = new CubeCatalog(spark,
+      SchemaDef("part_demo", Seq(cube)), Map("lineitem_part" -> fact))
+    val q = CubeQuery("sales_part",
+      Seq(LevelDrill(LevelRef("ShipDate", Some("Month"), Some("Monthly")))),
+      Seq("revenue"),
+      cuts = Seq(MemberCut(LevelRef("ShipDate", Some("Year"),
+        Some("Monthly")), 1995)))
+    val df = Planner.plan(pcat, q)
+    df.count() // finalize AQE so the executed plan is the real one
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters:") &&
+      plan.replaceAll("#\\d+", "").contains("ship_year = 1995"),
+      s"cut must prune partitions:\n${plan.take(1200)}")
+    // identical numbers to the standard (unpartitioned, expression-keyed)
+    // catalog answering the same question
+    val base = Planner.plan(cat, CubeQuery("sales",
+        Seq(LevelDrill(LevelRef("ShipDate", Some("Month"), Some("Monthly")))),
+        Seq("revenue"),
+        cuts = Seq(MemberCut(LevelRef("ShipDate", Some("Year"),
+          Some("Monthly")), 1995))))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val part = df.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(part == base)
+  }
+
   test("decontamination plan broadcasts bench grams, never cartesians") {
     val docs = cat.table("documents")
     val df = ops.TextOps.decontaminate(
