@@ -18,7 +18,10 @@ import graft.model._
   *   <axis> ::= <set>
   *           | ( <axis> )
   *           | FILTER(<axis>, [Measures].[M] <op> <number>)   — HAVING
-  *           | ORDER(<axis>, [Measures].[M] [, ASC|DESC|BASC|BDESC])
+  *           | ORDER(<axis>, [Measures].[M]
+  *                   | [D].CurrentMember.Properties('P')
+  *                   | [D].CurrentMember.{Caption|Name|Key|Ordinal}
+  *                   [, ASC|DESC|BASC|BDESC])
   *           | HEAD(<axis>, n)                                 — limit
   *           | TAIL(<axis>, n)                                 — last n
   *           | SUBSET(<axis>, start[, count])                  — offset/limit
@@ -370,12 +373,33 @@ object MdxParser {
     } else if (upper.startsWith("ORDER(") && t.endsWith(")")) {
       val as = args("ORDER(")
       if (as.length < 2 || as.length > 3)
-        GraftException.badRequest(s"ORDER takes (set, measure[, dir]): '$s'")
+        GraftException.badRequest(s"ORDER takes (set, expr[, dir]): '$s'")
       val inner = parseAxis(cube, as(0))
-      val m = QueryParser.segments(as(1)) match {
-        case Seq("Measures", name) => resolveMeasure(cube, name)
-        case Seq(name) => resolveMeasure(cube, name)
-        case _ => GraftException.badRequest(s"bad ORDER measure '${as(1)}'")
+      // member expressions the reference's own builder emits
+      // (query_helper.rb:152-188): CurrentMember.Properties('X') /
+      // .Caption / .Name / .UniqueName / .Key / .Ordinal — resolved
+      // against the DRILLED level of that dimension
+      val cmRe = ("""(?is)^\s*((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\.\s*""" +
+        """CURRENTMEMBER\s*\.\s*(?:PROPERTIES\s*\(\s*'([^']*)'\s*\)""" +
+        """|(CAPTION|NAME|UNIQUENAME|KEY|ORDINAL))\s*$""").r
+      val target: OrderTarget = as(1).trim match {
+        case cmRe(path, prop, method) =>
+          val dim = QueryParser.segments(path).head
+          val ref = inner.drills.collectFirst {
+            case LevelDrill(r) if r.dim == dim => r
+          }.getOrElse(GraftException.badRequest(
+            s"ORDER by [$dim].CurrentMember requires a drilldown on '$dim'"))
+          val what = Option(prop).getOrElse(method.toUpperCase match {
+            case "KEY" => "key"
+            case "ORDINAL" => "ordinal"
+            case _ => "caption" // CAPTION | NAME | UNIQUENAME
+          })
+          OrderByLevel(ref, what)
+        case m => OrderByMeasure(QueryParser.segments(m) match {
+          case Seq("Measures", name) => resolveMeasure(cube, name)
+          case Seq(name) => resolveMeasure(cube, name)
+          case _ => GraftException.badRequest(s"bad ORDER expression '$m'")
+        })
       }
       val desc = as.lift(2).map(_.trim.toUpperCase) match {
         case Some("DESC") | Some("BDESC") => true
@@ -383,7 +407,7 @@ object MdxParser {
         case Some(other) =>
           GraftException.badRequest(s"bad ORDER direction '$other'")
       }
-      inner.copy(order = Some(OrderSpec(OrderByMeasure(m), desc)))
+      inner.copy(order = Some(OrderSpec(target, desc)))
     } else if (upper.startsWith("HEAD(") && t.endsWith(")")) {
       val as = args("HEAD(")
       if (as.length != 2)

@@ -173,10 +173,21 @@ object Planner {
       q.order.toSeq.collect { case OrderSpec(OrderByMeasure(m), _) => m } ++
       q.filters.map(_.measure))
 
+    // a property named ONLY as an ORDER target (ref A11:
+    // `ORDER(axis, [D].CurrentMember.Properties('X'))`) is computed
+    // server-side without being projected, like Mondrian: it rides the
+    // aggregation as an internal column and the final output select drops it
+    val orderProps: Seq[PropertyRef] = q.order.toSeq.collect {
+      case OrderSpec(OrderByLevel(ref, what), _)
+          if !Seq("key", "caption", "ordinal").contains(what) =>
+        PropertyRef(ref, what)
+    }.filterNot(q.properties.contains)
+    val carriedProps = q.properties ++ orderProps
+
     // ------------------------------------------------- join + filter + group
     val joined = joinNeededDims(cat, cube,
       drills.map(_.dim) ++ cuts.flatMap(levelOfCut(cube, _)).map(_.dim) ++
-        q.properties.map(p => resolve(cube, p.level).dim) ++
+        carriedProps.map(p => resolve(cube, p.level).dim) ++
         need.lags.map(l => cube.dimension(l.timeDim).get) ++
         need.cums.map(c => cube.dimension(c.timeDim).get) ++
         need.movings.map(m => cube.dimension(m.timeDim).get) ++
@@ -231,14 +242,14 @@ object Planner {
     // row, so they disqualify). Decided here, above Catalyst — the fact scan
     // disappears from the plan entirely.
     val routedRollup =
-      if (q.properties.nonEmpty || q.captions.nonEmpty ||
+      if (carriedProps.nonEmpty || q.captions.nonEmpty ||
           // a partial-policy role filter runs on the FACT's dim-joined
           // frame; a rollup has already aggregated past it → fact path only
           partialGrants.nonEmpty) None
       else Rollups.route(cat.rollups, cube, groupLevels, cuts, need.bases,
         dense = !q.nonempty)
 
-    val propCols = q.properties.map { p =>
+    val propCols = carriedProps.map { p =>
       val rl = resolve(cube, p.level)
       if (!drills.exists(d => d.dim.name == rl.dim.name && d.level.name == rl.level.name))
         GraftException.badRequest(

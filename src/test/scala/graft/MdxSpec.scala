@@ -466,6 +466,48 @@ class MdxSpec extends AnyFunSuite {
       q.drilldowns == Seq(LevelDrill(LevelRef("Geography", Some("Region")))))
   }
 
+  test("ORDER accepts the member expressions the reference emits: " +
+      "Properties('X'), Caption — computed without being projected") {
+    // the exact shape query_helper.rb emits for order=property
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |HEAD(ORDER([Part].[Brands].[Part].Members,
+        |  [Part].CurrentMember.Properties('Retail Price'), BDESC), 20)
+        |ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.order.contains(OrderSpec(OrderByLevel(
+      LevelRef("Part", Some("Part"), Some("Brands")), "Retail Price"),
+      desc = true)))
+    val viaMdx = Planner.plan(cat, q).collect()
+    // same ordering through the REST-style IR, property NOT projected —
+    // the order column rides internally and is dropped from the output
+    val viaIr = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Part", Some("Part"), Some("Brands")))),
+      Seq("revenue"),
+      order = Some(OrderSpec(OrderByLevel(
+        LevelRef("Part", Some("Part"), Some("Brands")), "Retail Price"),
+        desc = true)),
+      limit = Some(20))).collect()
+    assert(viaMdx.map(_.toSeq).toSeq == viaIr.map(_.toSeq).toSeq)
+    assert(viaMdx.head.schema.fieldNames.toSeq ==
+      Seq("part", "part_label", "revenue"), "order property must not leak")
+    // caption spelling
+    val q2 = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Line Count]} ON COLUMNS,
+        |ORDER([Geography].[Geography].[Nation].Members,
+        |  [Geography].CurrentMember.Caption, BDESC) ON ROWS
+        |FROM sales""".stripMargin)
+    val rows = Planner.plan(cat, q2).collect()
+    val caps = rows.map(_.getString(1))
+    assert(caps.toSeq == caps.sortBy(identity)(Ordering[String].reverse).toSeq)
+    // ordering by a property of an undrilled dimension is a 400
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |ORDER([Geography].[Region].Members,
+        |  [Part].CurrentMember.Properties('Size'), DESC) ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+  }
+
   test("TAIL keeps the last n axis tuples in forward order; HEAD pages " +
       "within the tail") {
     val base = MdxParser.parse(salesCube,
