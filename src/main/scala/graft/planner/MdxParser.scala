@@ -104,10 +104,18 @@ object MdxParser {
           movingMeasures = cube.movingMeasures ++ adhocMovings)
         val measures = parseMeasureAxis(augmented, colAxis.trim)
         val (nonEmpty, rowAxis) = {
-          val t = rowAxisRaw.trim
-          if (t.toUpperCase.startsWith("NON EMPTY"))
-            (true, t.substring("NON EMPTY".length).trim)
-          else (false, t)
+          val t0 = rowAxisRaw.trim
+          val (ne0, t1) =
+            if (t0.toUpperCase.startsWith("NON EMPTY"))
+              (true, t0.substring("NON EMPTY".length).trim)
+            else (false, t0)
+          // NONEMPTYCROSSJOIN(a, b) ≡ NON EMPTY CROSSJOIN(a, b): nonempty
+          // is an axis-level property here (groupBy output is naturally
+          // non-empty), so the function form folds into the flag
+          val neRe = "(?i)NONEMPTYCROSSJOIN\\s*\\(".r
+          if (neRe.findFirstIn(t1).isDefined)
+            (true, neRe.replaceAllIn(t1, "CROSSJOIN("))
+          else (ne0, t1)
         }
         val axis = parseAxis(augmented, substResolved(rowAxis))
         val slicerCuts = Option(slicer).map(_.trim).filter(_.nonEmpty)

@@ -466,6 +466,20 @@ class MdxSpec extends AnyFunSuite {
       q.drilldowns == Seq(LevelDrill(LevelRef("Geography", Some("Region")))))
   }
 
+  test("NONEMPTYCROSSJOIN folds into NON EMPTY CROSSJOIN") {
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NONEMPTYCROSSJOIN([Geography].[Region].Members,
+        |  [Part].[Brands].[Brand].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    val q2 = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+        |  [Part].[Brands].[Brand].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.nonempty && q == q2)
+  }
+
   test("ORDER accepts the member expressions the reference emits: " +
       "Properties('X'), Caption — computed without being projected") {
     // the exact shape query_helper.rb emits for order=property

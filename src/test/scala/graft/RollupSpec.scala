@@ -202,6 +202,17 @@ class RollupSpec extends AnyFunSuite {
     assert(routed.toSeq == direct.toSeq)
   }
 
+  test("TopPercent cut routes like TopCount (IN-list on a covered level)") {
+    val q = CubeQuery("sales", Seq(drill("Geography", "Region")),
+      Seq("revenue"),
+      cuts = Seq(TopShareCut(LevelRef("Part", Some("Brand"), Some("Brands")),
+        25.0, "revenue")))
+    val routed = planOf(q).collect().map(_.toSeq)
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
+    assert(routed.toSeq == direct.toSeq)
+  }
+
   // --- round-5 verdict #5: the post-agg measure classes (domain lag, cum,
   // moving, share-of-total) must either route correctly or refuse ---
 
