@@ -133,6 +133,41 @@ final class CubeCatalog(
     }
   }
 
+  /** Flattened star frame for a cube — the raw-SQL escape hatch: every
+    * level's key (alias), label and ordinal expressions materialized as
+    * columns over the dim-joined fact, plus each measure's INPUT expression
+    * as `<alias>_raw` (so `SELECT region, sum(revenue_raw) … GROUP BY 1`
+    * reads naturally). [[registerStarViews]] publishes one temp view per
+    * cube as `<cube>_star`. Columns prune into the scans; the dim JOINS
+    * themselves are inner equi-joins Catalyst cannot eliminate without FK
+    * constraints, but they are broadcast and dim-sized — the planner path
+    * stays the optimized surface. NOTE: views bypass the planner — role
+    * grants, DECIMAL-exact measure arithmetic, and the result cache live
+    * in the REST/planner layer. */
+  def starFrame(cube: CubeDef): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val rls = cube.dimensions.flatMap(d => d.hierarchies.flatMap(h =>
+      h.levels.map(l =>
+        graft.planner.Planner.ResolvedLevel(d, h, l, h.depthOf(l)))))
+    val joined = graft.planner.Planner.joinForLevels(this, cube, rls)
+    // dedupe by alias — shared levels (Year in the Monthly AND Weekly
+    // hierarchies) materialize once
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    val lvlCols = rls.flatMap { rl =>
+      graft.planner.Planner.levelColsOf(rl)
+        .zip(graft.planner.Planner.levelAliasesOf(rl))
+    }.collect { case (c, a) if seen.add(a) => c }
+    val measureCols = cube.measures
+      .filter(_.expr != "1") // CountAll's synthetic input isn't a column
+      .map(m => expr(m.expr).as(m.alias + "_raw"))
+    joined.select(lvlCols ++ measureCols: _*)
+  }
+
+  /** Publish `<cube>_star` temp views for every cube in the schema. */
+  def registerStarViews(): Unit =
+    schema.cubes.foreach(c =>
+      starFrame(c).createOrReplaceTempView(s"${c.name}_star"))
+
   /** Release executor-side state this catalog pinned (persisted member
     * frames, cached rollups). Without this, /flush would only drop the
     * TrieMap while Spark's CacheManager kept the InMemoryRelations

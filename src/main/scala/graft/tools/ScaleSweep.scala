@@ -59,6 +59,7 @@ object ScaleSweep {
     spark.sparkContext.setLogLevel("WARN")
 
     factors.foreach(f => buildCorpus(spark, baseDir, workDir, f))
+    factors.foreach(f => buildDocsCorpus(spark, baseDir, workDir, f))
 
     // crash-safe + resumable: each factor's results persist as a fragment
     // file; a rerun recomputes only the missing factors (and skips the
@@ -105,7 +106,8 @@ object ScaleSweep {
       "recall = fraction of the planted exact-angle near-dup fixture recovered; ivf probe results are asserted equal to brute force (exactness bound) at every factor",
       "knn_lsh_fixed is the gate's single-table form (s02 bits=8); knn_lsh_auto is the multi-table production form (suggestedLshBits + suggestedLshTables) — twin_hit is the find-my-near-duplicate retrieval metric (queries are planted sources, their twin sits at cos 0.95), recall is plain recall@10 vs brute force (most true top-10 neighbors sit far below the design cos, where LSH's contract does not reach)",
       "semdedup auto sizes kmeans k as sqrt(n) (suggestedIvfLists rule): assignment and within-cluster pair work balance at O(n^1.5); the 100TB configuration grows k ~ n/targetCluster with hierarchical assignment",
-      "asymptotics: auto-sized near-dup pair work is C*n^(1+rho) with rho = 1 - log2(2p)/1 ~ 0.22 at the cos-0.9 design point (the classic hyperplane-LSH exponent: holding recall while buckets shrink costs tables ~ p^-bits) — sub-quadratic by construction vs the fixed-parameter n^2, which is why fixed is budget-skipped at 100x while auto completes with recall 1.0; ivf probe is the O(sqrt n) + constant-cell-scan path and its slope stays ~1")
+      "asymptotics: auto-sized near-dup pair work is C*n^(1+rho) with rho = 1 - log2(2p)/1 ~ 0.22 at the cos-0.9 design point (the classic hyperplane-LSH exponent: holding recall while buckets shrink costs tables ~ p^-bits) — sub-quadratic by construction vs the fixed-parameter n^2, which is why fixed is budget-skipped at 100x while auto completes with recall 1.0; ivf probe is the O(sqrt n) + constant-cell-scan path and its slope stays ~1",
+      "text family (minhash_pairs/simhash_pairs/ngram_jaccard): banding keys live in 2^64 space, so buckets hold only genuine duplicate groups and pair work is ~linear in n with NO sizing knob — the structural contrast with hyperplane LSH's 2^bits buckets; planted recall (128 exact clones at jaccard 1.0, 128 one-token-appended near-dups ~0.97) proves the banding contract at every factor; the PPJoin SSJoin carries inherent sum-df^2 growth and is capped at 200k docs like the fixed embedding variants")
       .map(s => "\"" + s + "\"")
     val json =
       s"""{"base":"$baseDir","threshold":$Threshold,"planted":{"pairs":$PlantedPairs,"cos":$PlantedCos},
@@ -169,6 +171,39 @@ object ScaleSweep {
     import spark.implicits._
     replicated.unionByName(
         planted.toDF("vec_id", "embedding", "label"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(path)
+    println(s"[scalesweep] built $path")
+  }
+
+  private val PlantedDocs = 128 // planted text dup/near-dup pairs per kind
+
+  /** Replicated + planted TEXT corpus at `workDir/docs_x{factor}`. Every
+    * token carries a per-replica suffix (the ScaleUp recipe), so
+    * cross-replica shingle sets are disjoint and pair counts measure
+    * throughput, not clone artifacts. Planted ground truth: `PlantedDocs`
+    * EXACT clones of replica-0 docs (jaccard 1.0) and `PlantedDocs`
+    * one-token-appended near-dups (jaccard ≈ S/(S+1)). */
+  private def buildDocsCorpus(spark: SparkSession, baseDir: String,
+      workDir: String, factor: Int): Unit = {
+    val path = s"$workDir/docs_x$factor"
+    if (new java.io.File(s"$path/_SUCCESS").exists()) return
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val stride = base.agg(max("doc_id")).head.getLong(0) + 1
+    val reps = (0 until factor).map { i =>
+      val shifted = base.withColumn("doc_id", col("doc_id") + lit(i * stride))
+      if (i == 0) shifted
+      else shifted.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"$$1$i"))
+    }.reduce(_ unionByName _)
+    val src = base.where(col("doc_id") < PlantedDocs)
+    val exactClones = src
+      .withColumn("doc_id", col("doc_id") + lit(factor * stride))
+    val nearClones = src
+      .withColumn("doc_id", col("doc_id") + lit(factor * stride + PlantedDocs))
+      .withColumn("text", concat(col("text"), lit(" zzextra")))
+    reps.unionByName(exactClones).unionByName(nearClones)
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(path)
     println(s"[scalesweep] built $path")
@@ -295,6 +330,42 @@ object ScaleSweep {
     }
     ivf("ivf_build_fixed", "ivf_probe_fixed", 8)
     ivf("ivf_build_auto", "ivf_probe_auto", nlistAuto)
+
+    // --- text-dedup family (d02/d03/d04 shapes): banding keys live in
+    // 2^64 space, so buckets hold only true duplicate groups and pair work
+    // is ~linear in the corpus BY CONSTRUCTION (no sizing knob needed —
+    // the contrast with hyperplane LSH's 2^bits buckets above); planted
+    // recall proves the banding contract holds while n grows. The SSJoin
+    // carries inherent Σdf² growth and is budget-capped like the fixed
+    // embedding variants. ---
+    val docs = spark.read.parquet(s"$workDir/docs_x$factor")
+    val nDocs = docs.count()
+    val docPlantedBase = docs.agg(max("doc_id")).head.getLong(0) -
+      2 * PlantedDocs + 1
+    def docRecall(pairs: DataFrame, offset: Int): Double = {
+      val t = (0 until PlantedDocs)
+        .map(i => (i.toLong, docPlantedBase + offset + i))
+        .toDF("t_a", "t_b")
+      pairs.join(t, col("doc_a") === col("t_a") && col("doc_b") === col("t_b"))
+        .count().toDouble / PlantedDocs
+    }
+    time("minhash_pairs") {
+      val pairs = Dedup.minhashLshPairs(docs, 3, 32, 4, 0.8)
+        .localCheckpoint()
+      val rows = pairs.count()
+      (rows, Map("n_docs" -> nDocs.toString,
+        "recall_exact" -> fmt(docRecall(pairs, 0)),
+        "recall_near" -> fmt(docRecall(pairs, PlantedDocs))))
+    }
+    time("simhash_pairs") {
+      val pairs = Dedup.simhashPairs(docs, 3).localCheckpoint()
+      val rows = pairs.count()
+      (rows, Map("recall_exact" -> fmt(docRecall(pairs, 0))))
+    }
+    if (nDocs <= 200000) time("ngram_jaccard") {
+      val rows = Dedup.ngramJaccardPairs(docs, 3, "lang", 0.5).count()
+      (rows, Map("threshold" -> "0.5", "n_docs" -> nDocs.toString))
+    }
 
     val params =
       s"""{"bits_auto":$bitsAuto,"tables_auto":$tablesAuto,"nlist_auto":$nlistAuto,"k_sem_auto":$kSemAuto}"""

@@ -324,4 +324,26 @@ class PlannerSpec extends AnyFunSuite {
     assert(e.status == 400)
     assert(e.getMessage.contains("Top Brands"))
   }
+
+  test("star views: raw SQL over <cube>_star matches the planner") {
+    cat.registerStarViews()
+    val sqlRows = spark.sql(
+      """SELECT region, region_label, sum(revenue_raw) AS revenue
+        |FROM sales_star GROUP BY 1, 2 ORDER BY 1""".stripMargin).collect()
+    val planned = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Geography", Some("Region")))),
+      Seq("revenue"))).collect()
+    assert(sqlRows.length == planned.length && sqlRows.nonEmpty)
+    sqlRows.zip(planned).foreach { case (s, p) =>
+      assert(s.getInt(0) == p.getInt(0) && s.getString(1) == p.getString(1))
+      // raw double sum vs the planner's DECIMAL-exact path: same value up
+      // to accumulation-order noise
+      assert(math.abs(s.getDouble(2) - p.getDouble(2)) <
+        1e-9 * math.abs(p.getDouble(2)))
+    }
+    // shared levels materialize once; measures read naturally
+    val cols = spark.table("sales_star").columns
+    assert(cols.count(_ == "ship_year") == 1)
+    assert(cols.contains("revenue_raw") && cols.contains("ship_week"))
+  }
 }
