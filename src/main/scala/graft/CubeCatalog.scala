@@ -75,10 +75,10 @@ final class CubeCatalog(
   // TopPercent/TopSum member sets, memoized like TopCount keys (threshold
   // is part of the identity; absolute distinguishes TOPSUM from TOPPERCENT)
   private val topShareCache = TrieMap.empty[(String, String, String, String,
-    Double, String, Boolean), Seq[Any]]
+    Double, String, String), Seq[Any]]
 
   def cachedTopShareKeys(key: (String, String, String, String, Double,
-      String, Boolean))(compute: => Seq[Any]): Seq[Any] =
+      String, String))(compute: => Seq[Any]): Seq[Any] =
     topShareCache.getOrElseUpdate(key, compute)
 
   // C9 member-frame cache: the distinct() member list of a level, persisted
@@ -179,6 +179,7 @@ final class CubeCatalog(
     rollups.foreach(_.df.unpersist(blocking = false))
     rollupReg.clear()
     topKCache.clear()
+    topShareCache.clear()
   }
 }
 

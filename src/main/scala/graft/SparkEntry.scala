@@ -2789,8 +2789,10 @@ object SparkEntry {
          |SELECT doc_id, source, u FROM w WHERE u < kw * 4294967296.0
          |ORDER BY doc_id""".stripMargin,
     // t32: α-smoothed mixture plan — sqrt weights (IEEE-exact both
-    // engines), Σw re-quantized through DECIMAL(27,18), then the t18
-    // content-hash draw at the derived per-source keep rate
+    // engines), Σw re-quantized through DECIMAL(27,12) (scale 12 keeps the
+    // sum's integer units under 2^53, where decimal→double conversion is
+    // exact in both engines — scale 18 double-rounds in DuckDB), then the
+    // t18 content-hash draw at the derived per-source keep rate
     "t32_temperature_mix" ->
       s"""WITH per AS (SELECT source, COUNT(1) AS n_docs
          |  FROM documents GROUP BY 1),

@@ -29,9 +29,14 @@ final case class ExcludeCut(level: LevelRef, keys: Seq[Any]) extends Cut
   * `TOPSUM(set, s, m)`): the minimal descending-by-measure prefix of the
   * level's members whose cumulative total reaches the threshold — a percent
   * of the set total (`absolute = false`, Pareto-style "members covering p%
-  * of revenue") or an absolute sum (`absolute = true`). */
+  * of revenue") or an absolute sum (`absolute = true`). `within` carries
+  * the argument set's own restrictions (`TOPPERCENT(EXCEPT(...), …)`), so
+  * both the prefix and the percent denominator are computed over the GIVEN
+  * set, not the whole level. (Like inline TOPCOUNT, evaluation is cube
+  * context — the slicer does not restrict the selection.) */
 final case class TopShareCut(level: LevelRef, threshold: Double,
-    byMeasure: String, absolute: Boolean = false) extends Cut
+    byMeasure: String, absolute: Boolean = false,
+    within: Seq[Cut] = Nil) extends Cut
 
 /** Axis drilldowns (ref A2/A15). */
 sealed trait Drill

@@ -111,13 +111,16 @@ object MdxParser {
             else (false, t0)
           // NONEMPTYCROSSJOIN(a, b) ≡ NON EMPTY CROSSJOIN(a, b): nonempty
           // is an axis-level property here (groupBy output is naturally
-          // non-empty), so the function form folds into the flag
+          // non-empty), so the function form folds into the flag. Folded
+          // AFTER WITH SET substitution — the function may arrive on the
+          // axis through a set reference.
+          val t2 = substResolved(t1)
           val neRe = "(?i)NONEMPTYCROSSJOIN\\s*\\(".r
-          if (neRe.findFirstIn(t1).isDefined)
-            (true, neRe.replaceAllIn(t1, "CROSSJOIN("))
-          else (ne0, t1)
+          if (neRe.findFirstIn(t2).isDefined)
+            (true, neRe.replaceAllIn(t2, "CROSSJOIN("))
+          else (ne0, t2)
         }
-        val axis = parseAxis(augmented, substResolved(rowAxis))
+        val axis = parseAxis(augmented, rowAxis)
         val slicerCuts = Option(slicer).map(_.trim).filter(_.nonEmpty)
           .map(parseSlicer(augmented, _)).getOrElse(Nil)
         // FILTER() removes tuples from the axis (Mondrian semantics) — the
@@ -392,16 +395,44 @@ object MdxParser {
         """|(CAPTION|NAME|UNIQUENAME|KEY|ORDINAL))\s*$""").r
       val target: OrderTarget = as(1).trim match {
         case cmRe(path, prop, method) =>
-          val dim = QueryParser.segments(path).head
-          val ref = inner.drills.collectFirst {
+          val segs = QueryParser.segments(path)
+          val dim = segs.head
+          val dimDrills = inner.drills.collect {
             case LevelDrill(r) if r.dim == dim => r
-          }.getOrElse(GraftException.badRequest(
-            s"ORDER by [$dim].CurrentMember requires a drilldown on '$dim'"))
+          }
+          if (dimDrills.isEmpty)
+            GraftException.badRequest(
+              s"ORDER by [$dim].CurrentMember requires a drilldown on '$dim'")
+          // an explicit level path ([D].[H].[L].CurrentMember) binds that
+          // drilled level; the bare dimension form binds the DEEPEST
+          // drilled level — the member whose properties a crossjoined
+          // current tuple exposes
+          val ref = segs match {
+            case Seq(_) =>
+              dimDrills.maxBy(r => Planner.resolve(cube, r).depth)
+            case _ =>
+              val lvl = segs.last
+              dimDrills.find(r =>
+                  Planner.resolve(cube, r).level.name == lvl)
+                .getOrElse(GraftException.badRequest(
+                  s"ORDER by $path.CurrentMember: level '$lvl' is not drilled"))
+          }
           val what = Option(prop).getOrElse(method.toUpperCase match {
             case "KEY" => "key"
             case "ORDINAL" => "ordinal"
             case _ => "caption" // CAPTION | NAME | UNIQUENAME
           })
+          // a schema property whose name collides with the intrinsic
+          // key/caption/ordinal could not be told apart downstream
+          // (OrderByLevel.what is the shared encoding) — refuse loudly
+          // rather than silently sorting by the intrinsic
+          if (prop != null &&
+              Seq("key", "caption", "ordinal").contains(prop.toLowerCase) &&
+              Planner.resolve(cube, ref).level.properties
+                .exists(_.name == prop))
+            GraftException.badRequest(
+              s"property '$prop' shadows the intrinsic member $prop — " +
+                "rename the schema property")
           OrderByLevel(ref, what)
         case m => OrderByMeasure(QueryParser.segments(m) match {
           case Seq("Measures", name) => resolveMeasure(cube, name)
@@ -424,12 +455,20 @@ object MdxParser {
       inner.copy(limit = Some(as(1).trim.toLong))
     } else if (upper.startsWith("TAIL(") && t.endsWith(")")) {
       // TAIL(set, n): the LAST n tuples of the axis order, emitted in
-      // forward order ("last 12 months"); HEAD/SUBSET page within it
+      // forward order ("last 12 months"); HEAD/SUBSET page within it when
+      // applied OUTSIDE. The planner applies tail before offset/limit, so
+      // TAIL over an already-paged set would silently return the wrong
+      // rows — reject it instead (nested TAILs compose as min)
       val as = args("TAIL(")
       if (as.length != 2)
         GraftException.badRequest(s"TAIL takes (set, count): '$s'")
       val inner = parseAxis(cube, as(0))
-      inner.copy(tail = Some(as(1).trim.toLong))
+      if (inner.limit.nonEmpty || inner.offset != 0)
+        GraftException.badRequest(
+          "TAIL over a HEAD/SUBSET-paged set is not supported — apply " +
+            "HEAD/SUBSET outside TAIL")
+      val n = as(1).trim.toLong
+      inner.copy(tail = Some(inner.tail.fold(n)(math.min(_, n))))
     } else if (upper.startsWith("SUBSET(") && t.endsWith(")")) {
       // SUBSET(set, start[, count]) — offset/limit over the axis order
       val as = args("SUBSET(")
@@ -641,7 +680,8 @@ object MdxParser {
         case _ => GraftException.badRequest(
           s"bad ${fn.dropRight(1)} measure '${args(2)}'")
       }
-      (drills, cuts :+ TopShareCut(level, th, m, absolute = fn == "TOPSUM("))
+      (drills, cuts :+ TopShareCut(level, th, m,
+        absolute = fn == "TOPSUM(", within = cuts))
     } else if (splitTop(t, ':').length == 2) {
       // member range [D].[L].[a] : [D].[L].[b] → drill the level + range cut
       val cut = QueryParser.parseCut(cube, s"($t)")

@@ -679,10 +679,11 @@ object Planner {
       val rl = resolve(cube, l)
       df.filter(col(rl.level.alias)
         .isin(topKKeyValues(cat, cube, rl, k, byMeasure): _*))
-    case TopShareCut(l, th, byMeasure, abs) =>
+    case TopShareCut(l, th, byMeasure, abs, within) =>
       val rl = resolve(cube, l)
       df.filter(col(rl.level.alias)
-        .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs): _*))
+        .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs,
+          within): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!col(resolve(cube, l).level.alias).isin(keys: _*))
   }
@@ -702,7 +703,7 @@ object Planner {
     case SetCut(l, _) => Some(l)
     case RangeCut(l, _, _) => Some(l)
     case TopKCut(l, _, _, _) => Some(l)
-    case TopShareCut(l, _, _, _) => Some(l)
+    case TopShareCut(l, _, _, _, _) => Some(l)
     case ExcludeCut(l, _) => Some(l)
     case NamedSetCut(_) => None
   }
@@ -739,10 +740,11 @@ object Planner {
       val rl = resolve(cube, l)
       df.filter(expr(rl.level.keyExpr)
         .isin(topKKeyValues(cat, cube, rl, k, byMeasure, asc): _*))
-    case TopShareCut(l, th, byMeasure, abs) =>
+    case TopShareCut(l, th, byMeasure, abs, within) =>
       val rl = resolve(cube, l)
       df.filter(expr(rl.level.keyExpr)
-        .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs): _*))
+        .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs,
+          within): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!expr(resolve(cube, l).level.keyExpr).isin(keys: _*))
   }
@@ -774,18 +776,22 @@ object Planner {
     * TopCount keys so the cut is an IN-list pushed into the scan. */
   private def topShareKeyValues(cat: CubeCatalog, cube: CubeDef,
       rl: ResolvedLevel, threshold: Double, byMeasure: String,
-      absolute: Boolean): Seq[Any] =
+      absolute: Boolean, within: Seq[Cut]): Seq[Any] =
     cat.cachedTopShareKeys((cube.name, rl.dim.name, rl.hier.name,
-        rl.level.name, threshold, byMeasure, absolute)) {
+        rl.level.name, threshold, byMeasure,
+        s"$absolute|${within.mkString(";")}")) {
       if (threshold <= 0)
         GraftException.badRequest(
           s"TopPercent/TopSum threshold must be positive, got $threshold")
       if (!absolute && threshold > 100)
         GraftException.badRequest(
           s"TopPercent takes a percentage in (0, 100], got $threshold")
+      // the argument set's own restriction: prefix AND denominator run over
+      // the GIVEN members, so TOPPERCENT(EXCEPT(level, {x}), p, m) answers
+      // "p% of the remaining set's total", never the whole level's
       val q = CubeQuery(cube.name,
         Seq(LevelDrill(LevelRef(rl.dim.name, Some(rl.level.name),
-          Some(rl.hier.name)))), Seq(byMeasure))
+          Some(rl.hier.name)))), Seq(byMeasure), cuts = within)
       val agg = planCube(cat, cube, q)
       val dec = expr(s"CAST($byMeasure AS DECIMAL(27,6))")
       val before = Window.orderBy(col(byMeasure).desc,

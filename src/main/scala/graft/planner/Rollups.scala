@@ -149,7 +149,7 @@ object Rollups {
             GraftException.badRequest(s"named set '$name' not found"))
           levelAliases(cube, LevelRef(ns.dim, Some(ns.level)))
         case TopKCut(l, _, _, _) => levelAliases(cube, l)
-        case TopShareCut(l, _, _, _) => levelAliases(cube, l)
+        case TopShareCut(l, _, _, _, _) => levelAliases(cube, l)
         case ExcludeCut(l, _) => levelAliases(cube, l)
       }).toSet
     if (!bases.forall(m => supportedAgg(m.agg))) return None
@@ -281,7 +281,7 @@ object Rollups {
         case NamedSetCut(name) => cube.namedSet(name)
           .map(ns => LevelRef(ns.dim, Some(ns.level)))
         case TopKCut(l, _, _, _) => Some(l)
-        case TopShareCut(l, _, _, _) => Some(l)
+        case TopShareCut(l, _, _, _, _) => Some(l)
         case ExcludeCut(l, _) => Some(l)
       }
       val rls = drills ++ cutRefs.map(Planner.resolve(cube, _))

@@ -135,7 +135,7 @@ object AxesResult {
       case NamedSetCut(s) => s"NAMED SET $s"
       case TopKCut(l, k, m, asc) =>
         s"${if (asc) "BOTTOM" else "TOP"}($k) ${ref(l)} BY $m"
-      case TopShareCut(l, th, m, abs) =>
+      case TopShareCut(l, th, m, abs, _) =>
         s"${if (abs) s"TOPSUM($th)" else s"TOPPERCENT($th%)"} ${ref(l)} BY $m"
       case ExcludeCut(l, ks) => s"${ref(l)} NOT IN (${ks.mkString(", ")})"
     }

@@ -478,6 +478,86 @@ class MdxSpec extends AnyFunSuite {
         |  [Part].[Brands].[Brand].Members) ON ROWS
         |FROM sales""".stripMargin)
     assert(q.nonempty && q == q2)
+    // the function arriving through a WITH SET reference still folds
+    val q3 = MdxParser.parse(salesCube,
+      """WITH SET [S] AS 'NONEMPTYCROSSJOIN([Geography].[Region].Members,
+        |  [Part].[Brands].[Brand].Members)'
+        |SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |[S] ON ROWS FROM sales""".stripMargin)
+    assert(q3.nonempty && q3.drilldowns == q.drilldowns)
+  }
+
+  test("TOPPERCENT over a restricted set uses the SET's total, not the " +
+      "whole level's") {
+    // find the top revenue brand, then exclude it: the 25% prefix must be
+    // computed over the REMAINING brands' total
+    val all = Planner.plan(cat, CubeQuery("sales",
+        Seq(LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands")))),
+        Seq("revenue"))).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val top = all.maxBy(_._2)._1
+    val q = MdxParser.parse(salesCube,
+      s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+         |TOPPERCENT(EXCEPT([Part].[Brands].[Brand].Members,
+         |  {[Part].[Brands].[Brand].[$top]}), 25,
+         |  [Measures].[Revenue]) ON ROWS
+         |FROM sales""".stripMargin)
+    val sel = Planner.plan(cat, q).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val rest = all.filterNot(_._1 == top)
+    val restTotal = rest.map(_._2).sum
+    assert(sel.nonEmpty && !sel.exists(_._1 == top))
+    val sum = sel.map(_._2).sum
+    assert(sum >= 0.25 * restTotal - 1e-6,
+      "prefix must cover 25% of the REMAINING set's total")
+    assert(sum - sel.map(_._2).min < 0.25 * restTotal + 1e-6, "minimality")
+  }
+
+  test("TAIL over a HEAD/SUBSET-paged set is a 400, nested TAILs compose " +
+      "as min") {
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |TAIL(HEAD([Geography].[Region].Members, 10), 3) ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |TAIL(SUBSET([Geography].[Region].Members, 5, 20), 3) ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |TAIL(TAIL([Geography].[Region].Members, 5), 3) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.tailLimit.contains(3L))
+  }
+
+  test("ORDER CurrentMember binds the deepest drilled level of the " +
+      "dimension; an explicit level path binds that level") {
+    // Year AND Month drilled: the bare dimension form must bind Month
+    val q = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |ORDER(CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members),
+        |  [ShipDate].CurrentMember.Key, DESC) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.order.contains(OrderSpec(OrderByLevel(
+      LevelRef("ShipDate", Some("Month"), Some("Monthly")), "key"),
+      desc = true)))
+    // explicit level path picks Year
+    val q2 = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |ORDER(CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members),
+        |  [ShipDate].[Monthly].[Year].CurrentMember.Key, DESC) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q2.order.contains(OrderSpec(OrderByLevel(
+      LevelRef("ShipDate", Some("Year"), Some("Monthly")), "key"),
+      desc = true)))
+    // naming an undrilled level is a 400
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |ORDER([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].CurrentMember.Key, DESC) ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
   }
 
   test("ORDER accepts the member expressions the reference emits: " +
@@ -582,7 +662,7 @@ class MdxSpec extends AnyFunSuite {
          |TOPSUM([Part].[Brands].[Brand].Members, ${total / 4},
          |  [Measures].[Revenue]) ON ROWS
          |FROM sales""".stripMargin)
-    assert(q2.cuts.exists { case TopShareCut(_, _, "revenue", true) => true
+    assert(q2.cuts.exists { case TopShareCut(_, _, "revenue", true, _) => true
       case _ => false })
     val sel2 = Planner.plan(cat, q2).collect().map(_.getString(0)).toSet
     assert(sel2 == selSet, "25% of total as TOPSUM selects the same set")
