@@ -222,4 +222,34 @@ class PropertySpec extends AnyFunSuite {
         assert(page.toSeq == all.slice(offset, offset + limit).toSeq)
     }
   }
+
+  test("TopPercent invariants under random thresholds: top prefix, " +
+      "coverage, minimality, monotone in p") {
+    val brandRef = LevelRef("Part", Some("Brand"), Some("Brands"))
+    val all = Planner.plan(cat, CubeQuery("sales",
+        Seq(LevelDrill(brandRef)), Seq("revenue"))).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val total = all.map(_._2).sum
+    var prevSel = Set.empty[String]
+    var prevP = 0.0
+    forAll(Gen.choose(5, 95).map(_.toDouble), n = 6) { p =>
+      val sel = Planner.plan(cat, CubeQuery("sales",
+          Seq(LevelDrill(brandRef)), Seq("revenue"),
+          cuts = Seq(TopShareCut(brandRef, p, "revenue"))))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      val sum = sel.map(_._2).sum
+      assert(sum >= p / 100.0 * total - 1e-6, s"p=$p coverage")
+      assert(sel.length == all.length ||
+        sum - sel.map(_._2).min < p / 100.0 * total + 1e-6, s"p=$p minimality")
+      // top prefix: every selected revenue >= every unselected one
+      val s = sel.map(_._1).toSet
+      val out = all.filterNot(x => s(x._1))
+      if (out.nonEmpty)
+        assert(sel.map(_._2).min >= out.map(_._2).max - 1e-9, s"p=$p prefix")
+      // monotone: a larger p can only grow the selection
+      if (p >= prevP) assert(prevSel.subsetOf(s), s"p=$p monotone")
+      else assert(s.subsetOf(prevSel), s"p=$p monotone (shrink)")
+      prevSel = s; prevP = p
+    }
+  }
 }
