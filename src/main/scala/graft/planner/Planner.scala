@@ -218,11 +218,12 @@ object Planner {
       else cuts.partition(c =>
         levelOfCut(cube, c).exists(rl => lagTimeDims.contains(rl.dim.name)))
     val timeDomains = lagTimeDims.map(dn =>
-      lagTimeDomain(cat, cube, dn, groupLevels, timeCuts, need))
+      lagTimeDomain(cat, cube, dn, groupLevels, timeCuts, need, q.role))
 
     val directFiltered =
       partialGrants.foldLeft(
-        directCuts.foldLeft(joined)((df, c) => applyCut(cat, cube, df, c))
+        directCuts.foldLeft(joined)((df, c) =>
+          applyCut(cat, cube, df, c, q.role))
       )((df, g) => df.filter(g.visibleCol))
     // restrict the fact to the needed time members (broadcast semi-join on
     // the drilled keys — the domain is dim-sized, so this is the IN-list
@@ -275,7 +276,7 @@ object Planner {
     val aggDf = routedRollup match {
       case Some(r) if need.bases.nonEmpty =>
         val rDirect = directCuts.foldLeft(r.df)((df, c) =>
-          applyCutOnAliases(cat, cube, df, c))
+          applyCutOnAliases(cat, cube, df, c, q.role))
         // relaxed time cuts: same needed-domain restriction, on the rollup's
         // alias columns (the drilled unit is covered by routing)
         val rFiltered = timeDomains.filter(_.hasCuts).foldLeft(rDirect) {
@@ -358,7 +359,7 @@ object Planner {
     val denseDf =
       if (q.nonempty) havingDf
       else densify(cat, cube, havingDf, drills, groupLevels, cuts, q.parents,
-        roleGrants)
+        roleGrants, q.role)
 
     // Dense filler cells still carry their partition's ALL-member total —
     // Mondrian's `(M, [Dim].[All])` evaluates on empty cells (ratio calcs
@@ -625,7 +626,8 @@ object Planner {
       q.cuts.flatMap(levelOfCut(cube, _)).map(_.dim) ++
         roleGrants.map(_.dim))
     val filtered = roleGrants.foldLeft(
-      q.cuts.foldLeft(joined)((df, c) => applyCut(cat, cube, df, c))
+      q.cuts.foldLeft(joined)((df, c) =>
+        applyCut(cat, cube, df, c, q.role))
     )((df, g) => df.filter(g.visibleCol))
     val factCols = cat.fact(cube).columns.toSeq
     val cols = if (returns.nonEmpty) returns else factCols
@@ -660,7 +662,7 @@ object Planner {
   /** Cut application over a rollup frame, where levels exist as alias
     * COLUMNS rather than expressions over the fact (B17 routed path). */
   private def applyCutOnAliases(cat: CubeCatalog, cube: CubeDef, df: DataFrame,
-      c: Cut): DataFrame = c match {
+      c: Cut, role: Option[String]): DataFrame = c match {
     case MemberCut(l, key) =>
       df.filter(col(resolve(cube, l).level.alias) === lit(key))
     case SetCut(l, keys) =>
@@ -674,16 +676,17 @@ object Planner {
         GraftException.badRequest(s"named set '$name' not found"))
       val rl = resolve(cube, LevelRef(ns.dim, Some(ns.level)))
       df.filter(col(rl.level.alias)
-        .isin(topKKeyValues(cat, cube, rl, ns.k, ns.byMeasure): _*))
+        .isin(topKKeyValues(cat, cube, rl, ns.k, ns.byMeasure,
+          role = role): _*))
     case TopKCut(l, k, byMeasure, _) =>
       val rl = resolve(cube, l)
       df.filter(col(rl.level.alias)
-        .isin(topKKeyValues(cat, cube, rl, k, byMeasure): _*))
+        .isin(topKKeyValues(cat, cube, rl, k, byMeasure, role = role): _*))
     case TopShareCut(l, th, byMeasure, abs, within) =>
       val rl = resolve(cube, l)
       df.filter(col(rl.level.alias)
         .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs,
-          within): _*))
+          within, role): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!col(resolve(cube, l).level.alias).isin(keys: _*))
   }
@@ -721,7 +724,7 @@ object Planner {
     * set IN, range BETWEEN on the ordinal; named set / TopCount = IN over the
     * cached member keys. Catalyst pushes all of them into the scans. */
   private def applyCut(cat: CubeCatalog, cube: CubeDef, df: DataFrame,
-      c: Cut): DataFrame = c match {
+      c: Cut, role: Option[String]): DataFrame = c match {
     case MemberCut(l, key) =>
       df.filter(expr(resolve(cube, l).level.keyExpr) === lit(key))
     case SetCut(l, keys) =>
@@ -735,16 +738,17 @@ object Planner {
         GraftException.badRequest(s"named set '$name' not found"))
       val rl = resolve(cube, LevelRef(ns.dim, Some(ns.level)))
       df.filter(expr(rl.level.keyExpr)
-        .isin(topKKeyValues(cat, cube, rl, ns.k, ns.byMeasure): _*))
+        .isin(topKKeyValues(cat, cube, rl, ns.k, ns.byMeasure,
+          role = role): _*))
     case TopKCut(l, k, byMeasure, asc) =>
       val rl = resolve(cube, l)
       df.filter(expr(rl.level.keyExpr)
-        .isin(topKKeyValues(cat, cube, rl, k, byMeasure, asc): _*))
+        .isin(topKKeyValues(cat, cube, rl, k, byMeasure, asc, role): _*))
     case TopShareCut(l, th, byMeasure, abs, within) =>
       val rl = resolve(cube, l)
       df.filter(expr(rl.level.keyExpr)
         .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs,
-          within): _*))
+          within, role): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!expr(resolve(cube, l).level.keyExpr).isin(keys: _*))
   }
@@ -762,10 +766,16 @@ object Planner {
     * that removes a second fact pass that the semi-join form would need
     * every query. */
   private def topKKeyValues(cat: CubeCatalog, cube: CubeDef, rl: ResolvedLevel,
-      k: Int, byMeasure: String, asc: Boolean = false): Seq[Any] =
+      k: Int, byMeasure: String, asc: Boolean = false,
+      role: Option[String] = None): Seq[Any] =
+    // the role is part of the set identity: Mondrian evaluates named sets
+    // against the role's schema reader, so TopCount over a restricted
+    // hierarchy ranks only VISIBLE members (an invisible member must not
+    // consume a top-k slot and shrink the visible result below k)
     cat.cachedTopKKeys((cube.name, rl.dim.name, rl.hier.name, rl.level.name,
-      if (asc) -k else k, byMeasure)) { // sign encodes direction in the key
-      topKKeys(cat, cube, rl, k, byMeasure, asc).collect().toSeq.map(_.get(0))
+      if (asc) -k else k, byMeasure + role.fold("")("|role=" + _))) {
+      topKKeys(cat, cube, rl, k, byMeasure, asc, role)
+        .collect().toSeq.map(_.get(0))
     }
 
   /** TopPercent/TopSum member keys: the minimal descending-by-measure prefix
@@ -776,10 +786,11 @@ object Planner {
     * TopCount keys so the cut is an IN-list pushed into the scan. */
   private def topShareKeyValues(cat: CubeCatalog, cube: CubeDef,
       rl: ResolvedLevel, threshold: Double, byMeasure: String,
-      absolute: Boolean, within: Seq[Cut]): Seq[Any] =
+      absolute: Boolean, within: Seq[Cut],
+      role: Option[String]): Seq[Any] =
     cat.cachedTopShareKeys((cube.name, rl.dim.name, rl.hier.name,
         rl.level.name, threshold, byMeasure,
-        s"$absolute|${within.mkString(";")}")) {
+        s"$absolute|${within.mkString(";")}|${role.getOrElse("")}")) {
       if (threshold <= 0)
         GraftException.badRequest(
           s"TopPercent/TopSum threshold must be positive, got $threshold")
@@ -791,7 +802,8 @@ object Planner {
       // "p% of the remaining set's total", never the whole level's
       val q = CubeQuery(cube.name,
         Seq(LevelDrill(LevelRef(rl.dim.name, Some(rl.level.name),
-          Some(rl.hier.name)))), Seq(byMeasure), cuts = within)
+          Some(rl.hier.name)))), Seq(byMeasure), cuts = within,
+        role = role)
       val agg = planCube(cat, cube, q)
       val dec = expr(s"CAST($byMeasure AS DECIMAL(27,6))")
       val before = Window.orderBy(col(byMeasure).desc,
@@ -818,12 +830,13 @@ object Planner {
     }
 
   private def topKKeys(cat: CubeCatalog, cube: CubeDef, rl: ResolvedLevel,
-      k: Int, byMeasure: String, asc: Boolean = false): DataFrame = {
+      k: Int, byMeasure: String, asc: Boolean = false,
+      role: Option[String] = None): DataFrame = {
     val q = CubeQuery(cube.name,
       Seq(LevelDrill(LevelRef(rl.dim.name, Some(rl.level.name),
         Some(rl.hier.name)))), Seq(byMeasure),
       order = Some(OrderSpec(OrderByMeasure(byMeasure), desc = !asc)),
-      limit = Some(k))
+      limit = Some(k), role = role)
     planCube(cat, cube, q).select(rl.level.alias)
   }
 
@@ -901,7 +914,7 @@ object Planner {
     * never the data. */
   private def lagTimeDomain(cat: CubeCatalog, cube: CubeDef, dn: String,
       groupLevels: Seq[ResolvedLevel], timeCuts: Seq[Cut],
-      need: NeededMeasures): TimeDomain = {
+      need: NeededMeasures, role: Option[String]): TimeDomain = {
     val unit = groupLevels.filter(_.dim.name == dn)
     if (unit.isEmpty)
       GraftException.badRequest(
@@ -920,7 +933,8 @@ object Planner {
     if (dimCuts.isEmpty)
       return TimeDomain(dn, unit, fullDom, hasCuts = false)
     val flag = "__cut_" + dn
-    val cutDom = dimCuts.foldLeft(src)((d, c) => applyCut(cat, cube, d, c))
+    val cutDom = dimCuts.foldLeft(src)((d, c) =>
+        applyCut(cat, cube, d, c, role))
       .select(cols: _*).distinct().withColumn(flag, lit(1))
     val flagged = fullDom.join(cutDom, aliases, "left")
       .withColumn(flag, coalesce(col(flag), lit(0)))
@@ -1065,7 +1079,8 @@ object Planner {
   private def densify(cat: CubeCatalog, cube: CubeDef, aggDf: DataFrame,
       drills: Seq[ResolvedLevel], groupLevels: Seq[ResolvedLevel],
       cuts: Seq[Cut], parents: Boolean,
-      roleGrants: Seq[Roles.DimGrant] = Nil): DataFrame = {
+      roleGrants: Seq[Roles.DimGrant] = Nil,
+      role: Option[String] = None): DataFrame = {
     if (drills.isEmpty) return aggDf
     // one domain per drilled level — or, with parents=true, one per drilled
     // DIMENSION carrying the full ancestor chain (ancestor columns live on
@@ -1083,7 +1098,8 @@ object Planner {
       }
       val dimCuts = cuts.filter(c =>
         levelOfCut(cube, c).exists(_.dim.name == rl.dim.name))
-      val cutSrc = dimCuts.foldLeft(src)((d, c) => applyCut(cat, cube, d, c))
+      val cutSrc = dimCuts.foldLeft(src)((d, c) =>
+        applyCut(cat, cube, d, c, role))
       // B18: an invisible member must not reappear as a dense filler row —
       // restrict the member domain by the role's visibility predicate
       val roleSrc = roleGrants.find(g => g.restricts &&

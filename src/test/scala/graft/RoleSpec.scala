@@ -448,4 +448,33 @@ class RoleSpec extends AnyFunSuite {
       .asInstanceOf[Seq[Map[String, Any]]].map(_("name"))
     assert(lvls == Seq("Region", "Nation"))
   }
+
+  test("TopCount under a role ranks only VISIBLE members (an invisible " +
+      "member must not consume a top-k slot)") {
+    val nation = LevelRef("Geography", Some("Nation"))
+    def topQ(role: Option[String]) = CubeQuery("orders",
+      Seq(LevelDrill(nation)), Seq("total_sales"),
+      cuts = Seq(TopKCut(nation, 3, "total_sales")), role = role)
+    // unrestricted: establish that the global top-3 includes at least one
+    // nation OUTSIDE regions {0, 3} (else the fixture proves nothing)
+    val global = Planner.plan(cat, topQ(None)).collect()
+      .map(_.getAs[Number](0).longValue)
+    assert(global.length == 3)
+    assert(global.exists(n => n % 5 != 0 && n % 5 != 3),
+      "fixture: global top-3 must include an emea-invisible nation")
+    // emea: full rollup policy is irrelevant here — the SELECTION must
+    // run against the role's view, so exactly 3 visible nations return
+    val got = Planner.plan(cat, topQ(Some("emea"))).collect()
+      .map(_.getAs[Number](0).longValue)
+    assert(got.length == 3, s"expected 3 visible rows, got ${got.length}")
+    assert(got.forall(n => n % 5 == 0 || n % 5 == 3),
+      s"invisible nation in $got")
+    // and they are THE top-3 among visible nations: compare against the
+    // role-less ranking restricted to visible members
+    val visibleRanked = Planner.plan(cat, CubeQuery("orders",
+        Seq(LevelDrill(nation)), Seq("total_sales"), role = Some("emea")))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getDouble(2)))
+      .sortBy { case (n, v) => (-v, n) }.take(3).map(_._1).toSet
+    assert(got.toSet == visibleRanked)
+  }
 }
