@@ -241,6 +241,13 @@ object SparkEntry {
     "q61_role_partial" -> CubeQuery("orders",
       Seq(drill("Priority")), Seq("total_sales", "order_count"),
       role = Some("emea")),
+    // B18 × B9: TopCount evaluated against the ROLE's view — the top-3
+    // nations by sales among VISIBLE members only (an invisible member
+    // never consumes a slot), Mondrian's schema-reader set semantics
+    "q67_role_topcount" -> CubeQuery("orders",
+      Seq(drill("Geography", "Nation")), Seq("total_sales"),
+      cuts = Seq(TopKCut(L("Geography", "Nation"), 3, "total_sales")),
+      role = Some("emea")),
     // B18 full rollup policy: same grant, 'full' — drilled AT the grant
     // level only visible regions appear, each with its complete value
     // (membership is a broadcast semi-join, values never recomputed)
@@ -448,6 +455,10 @@ object SparkEntry {
       // first/last-touch conversion attribution: preceding click/view per
       // purchase, one ignore-nulls window pass per user partition
       "e13_attribution" -> tbl("events")(ops.EventOps.attribution(_)),
+      // the in-session form: touches attribute only within the
+      // conversion's own 30-minute session (e01's boundaries)
+      "e14_session_attribution" -> tbl("events")(
+        ops.EventOps.attributionInSession(_)),
       // daily session-quality rollup composed on the sessionize plan
       "e09_session_stats" -> tbl("events")(
         ops.Sessionize.sessionStats(_, 30)),
@@ -1516,6 +1527,23 @@ object SparkEntry {
          |JOIN nation ON c_nationkey = n_nationkey
          |WHERE n_regionkey IN (0, 3)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q67: the top-3 slots go to VISIBLE nations only (role-scoped set
+    // evaluation); their values aggregate visible customers (= complete
+    // nation sums — the member grant sits at Region, so a visible
+    // nation's whole subtree is visible)
+    "q67_role_topcount" ->
+      s"""WITH nat AS (
+         |  SELECT n_nationkey AS nation, n_name AS nation_label,
+         |    ${sumd("o_totalprice", "total_sales")}
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE n_regionkey IN (0, 3)
+         |  GROUP BY 1, 2),
+         |top AS (SELECT nation FROM nat
+         |  ORDER BY total_sales DESC, nation ASC LIMIT 3)
+         |SELECT nat.nation, nat.nation_label, nat.total_sales
+         |FROM nat JOIN top USING (nation)
+         |ORDER BY nation""".stripMargin,
     // q62: B18 full rollup policy drilled AT the grant level — membership
     // filters the axis, values stay the complete per-region rollups
     "q62_role_full" ->
@@ -2902,6 +2930,38 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |SELECT event_id AS conv_id, user_id, ts_us AS conv_ts_us,
         |  first_touch_id, first_touch_type, last_touch_id, last_touch_type,
+        |  ts_us - last_touch_us AS us_since_last_touch
+        |FROM w WHERE event_type = 'purchase' AND last_touch_id IS NOT NULL
+        |ORDER BY conv_id""".stripMargin,
+    // e14: e01's session-index CTEs + e13's window recipe partitioned by
+    // (user, session)
+    "e14_session_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events),
+        |lagd AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id) AS prev_us FROM ev),
+        |flagged AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagd),
+        |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM flagged),
+        |w AS (SELECT event_id, user_id, sess_idx, ts_us, event_type,
+        |  FIRST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_id END IGNORE NULLS) OVER pre AS first_touch_id,
+        |  LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_id END IGNORE NULLS) OVER pre AS last_touch_id,
+        |  LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER pre AS last_touch_type,
+        |  LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |      THEN ts_us END IGNORE NULLS) OVER pre AS last_touch_us
+        |  FROM sess
+        |  WINDOW pre AS (PARTITION BY user_id, sess_idx
+        |    ORDER BY ts_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS conv_id, user_id,
+        |  CAST(sess_idx AS BIGINT) AS sess_idx, ts_us AS conv_ts_us,
+        |  first_touch_id, last_touch_id, last_touch_type,
         |  ts_us - last_touch_us AS us_since_last_touch
         |FROM w WHERE event_type = 'purchase' AND last_touch_id IS NOT NULL
         |ORDER BY conv_id""".stripMargin,

@@ -399,6 +399,53 @@ object EventOps {
       .orderBy("conv_id")
   }
 
+  /** IN-SESSION ATTRIBUTION — [[attribution]] scoped to the conversion's
+    * own session (the standard e-commerce ask: "which touch in THIS visit
+    * converted"): session boundaries come from the same gaps-and-islands
+    * pass as [[Sessionize.sessions]] (computed over ALL events, so the
+    * indices agree with the session table), then the first/last-touch
+    * window lookups partition by (user, session). A touch in a previous
+    * session never attributes; a conversion opening its session emits
+    * nothing. Same one-pass shape as [[attribution]] — two windows over
+    * the user partition, no self-join. */
+  def attributionInSession(events: DataFrame, gapMinutes: Int = 30,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val tagged = events
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "sess_idx", "ts_us", "event_type")
+    val w = Window.partitionBy("user_id", "sess_idx")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    tagged
+      .withColumn("first_touch_id",
+        first(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_id",
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_us",
+        last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("event_type") === convType &&
+        col("last_touch_id").isNotNull)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("sess_idx"), col("ts_us").as("conv_ts_us"),
+        col("first_touch_id"), col("last_touch_id"),
+        col("last_touch_type"),
+        (col("ts_us") - col("last_touch_us")).as("us_since_last_touch"))
+      .orderBy("conv_id")
+  }
+
   /** Per-event-type stats over a JSON-extracted numeric field. */
   def jsonFieldStats(events: DataFrame, field: String): DataFrame = {
     val k = get_json_object(col("props"), s"$$.$field").cast("long")

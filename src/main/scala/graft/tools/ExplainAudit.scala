@@ -38,7 +38,8 @@ object ExplainAudit {
         "q57_share_of_total", "q58_mdx_share", "t30_stratified_sample",
         "q61_role_partial", "q62_role_full", "q63_drillthrough",
         "q64_mdx_qtd", "t32_temperature_mix", "e13_attribution",
-        "s10_mmr_rerank", "q65_mdx_toppercent", "m05_phash_neardup")
+        "s10_mmr_rerank", "q65_mdx_toppercent", "m05_phash_neardup",
+        "q67_role_topcount", "e14_session_attribution")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

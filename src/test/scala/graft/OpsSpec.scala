@@ -970,6 +970,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out(8L).getLong(7) == 0L)
   }
 
+  test("in-session attribution: a touch in a previous session never " +
+      "attributes; a session-opening conversion emits nothing") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val h = 3600L * 1000L // ms
+    val ev = Seq(
+      // user 1, session 0: click(1) then purchase(2) — attributes
+      (1L, 1L, 0L, "click"), (2L, 1L, 60000L, "purchase"),
+      // 2 hours later (> 30 min gap): purchase(3) OPENS session 1 with no
+      // touch before it in that session — must not attribute to click(1)
+      (3L, 1L, 2 * h, "purchase"),
+      // then view(4), purchase(5) inside session 1 — attributes to 4
+      (4L, 1L, 2 * h + 1000L, "view"), (5L, 1L, 2 * h + 2000L, "purchase")
+    ).map { case (id, u, ms, t) => (id, u, new Timestamp(ms), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.attributionInSession(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 5L),
+      "conv 3 opens its session and must not attribute across the gap")
+    assert(out(2L).getLong(4) == 1L && out(2L).getLong(5) == 1L)
+    assert(out(5L).getLong(4) == 4L && out(5L).getLong(5) == 4L)
+    // the plain attribution DOES credit click(1) for conv 3 — the two
+    // operators differ exactly at the session boundary
+    val plain = EventOps.attribution(ev).collect().map(_.getLong(0)).toSet
+    assert(plain == Set(2L, 3L, 5L))
+  }
+
   test("BPE merges follow frequency order on a hand-computed corpus") {
     import spark.implicits._
     val tiny = Seq((0L, "ab ab ab"), (1L, "abc")).toDF("doc_id", "text")
