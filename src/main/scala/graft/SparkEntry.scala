@@ -394,6 +394,13 @@ object SparkEntry {
             org.apache.spark.sql.functions.col("label_n"))),
       "s02_knn_lsh" -> tbl("embeddings")(
         ops.Similarity.knnLsh(_, Seq(0L, 1L, 2L, 3L, 4L), 5, bits = 8)),
+      // recall@5 of the single-table LSH search against exhaustive truth —
+      // the index-quality acceptance gate, distributed
+      "s11_knn_recall" -> tbl("embeddings") { e =>
+        ops.Similarity.knnRecall(
+          ops.Similarity.knnLsh(e, Seq(0L, 1L, 2L, 3L, 4L), 5, bits = 8),
+          ops.Similarity.knnBrute(e, Seq(0L, 1L, 2L, 3L, 4L), 5))
+      },
       // index build (k-means + assignment + residual bounds) is a
       // registration-time artifact — memoized per (session, dir), probes
       // pay only the probe cost (IndexCache scaladoc)
@@ -1135,6 +1142,24 @@ object SparkEntry {
       |  round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6) AS lm_score
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** s01 (and s11's exact side): exhaustive top-5 cosine per query. */
+  private val bruteKnnOracleSql: String =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sims AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    list_dot_product(q.v, n.v) AS sim
+      |  FROM e q JOIN e n ON q.vec_id <> n.vec_id
+      |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      |  FROM sims)
+      |SELECT query_id, rank, neighbor_id, sim FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** s10: the MMR greedy unrolled round by round (the Lloyd-unroll recipe).
     * λ = 0.75 so both λ and 1−λ are binary-exact literals; every dot
     * product is the same ordered float sum [[graft.functions.DotProduct]]
@@ -1845,22 +1870,21 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
-    "s01_knn_brute" ->
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |sims AS (
-        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-        |    list_dot_product(q.v, n.v) AS sim
-        |  FROM e q JOIN e n ON q.vec_id <> n.vec_id
-        |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
-        |  FROM sims)
-        |SELECT query_id, rank, neighbor_id, sim FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s01_knn_brute" -> bruteKnnOracleSql,
+    // s11: recall@5 of the LSH search vs exhaustive truth — both sides are
+    // the already-gated s01/s02 replays, nested as subquery CTEs
+    "s11_knn_recall" ->
+      s"""WITH approx AS ($lshOracleSql),
+         |exact AS ($bruteKnnOracleSql)
+         |SELECT e.query_id, COUNT(1) AS n_exact,
+         |CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |  THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)
+         |  AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_mmr_rerank" -> mmrOracleSql,
     // s08: s01 restricted to candidates outside the query's label
     "s08_knn_filtered" ->

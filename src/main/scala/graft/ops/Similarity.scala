@@ -49,6 +49,27 @@ object Similarity {
     topKPerQuery(scored, k).orderBy("query_id", "rank")
   }
 
+  /** RECALL@K EVALUATION — the ANN-quality harness as a first-class
+    * operator: per query, the fraction of the EXACT top-k an approximate
+    * search recovered (`|approx ∩ exact| / |exact|`). The acceptance gate
+    * every vector-store rollout runs before swapping an index config; the
+    * ScaleSweep computes this driver-side — this is the distributed form
+    * for evaluation sets too large to collect. Work is a join of two
+    * (queries × k)-sized frames — negligible at any corpus scale, the
+    * corpus cost lives in producing the inputs. */
+  def knnRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1))
+    exact.select("query_id", "neighbor_id")
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
   /** MMR DIVERSIFIED RE-RANK (Maximal Marginal Relevance, Carbonell &
     * Goldstein '98) — the retrieval-quality pass a RAG / dataset-curation
     * pipeline runs after ANN: from each query's `shortlist` nearest

@@ -883,6 +883,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("knnRecall: identical results score 1.0, disjoint 0.0, partial " +
+      "overlap the exact fraction") {
+    import spark.implicits._
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 7L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((0L, 2L), (0L, 3L), (0L, 9L), (1L, 8L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.knnRecall(approx, exact).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3)))).toMap
+    assert(r(0L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(r(1L) == ((1L, 0L, 0.0)))
+    val perfect = Similarity.knnRecall(exact, exact).collect()
+    assert(perfect.forall(_.getDouble(3) == 1.0))
+  }
+
   test("MMR re-rank: penalizes redundancy (clone loses to a distinct " +
       "candidate), λ=1 degrades to pure kNN order") {
     import spark.implicits._
