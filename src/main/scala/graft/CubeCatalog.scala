@@ -73,12 +73,16 @@ final class CubeCatalog(
     topKCache.getOrElseUpdate(key, compute)
 
   // TopPercent/TopSum member sets, memoized like TopCount keys (threshold
-  // is part of the identity; absolute distinguishes TOPSUM from TOPPERCENT)
+  // is part of the identity; absolute distinguishes TOPSUM from TOPPERCENT).
+  // The `within` cuts participate STRUCTURALLY (case-class equality), not
+  // as a string rendering — toString identity can collide across cuts whose
+  // values stringify identically (SetCut(Seq("1")) vs SetCut(Seq(1)))
   private val topShareCache = TrieMap.empty[(String, String, String, String,
-    Double, String, String), Seq[Any]]
+    Double, String, Boolean, Seq[graft.planner.Cut], Option[String]), Seq[Any]]
 
   def cachedTopShareKeys(key: (String, String, String, String, Double,
-      String, String))(compute: => Seq[Any]): Seq[Any] =
+      String, Boolean, Seq[graft.planner.Cut], Option[String]))(
+      compute: => Seq[Any]): Seq[Any] =
     topShareCache.getOrElseUpdate(key, compute)
 
   // C9 member-frame cache: the distinct() member list of a level, persisted
@@ -141,15 +145,24 @@ final class CubeCatalog(
     * cube as `<cube>_star`. Columns prune into the scans; the dim JOINS
     * themselves are inner equi-joins Catalyst cannot eliminate without FK
     * constraints, but they are broadcast and dim-sized — the planner path
-    * stays the optimized surface. NOTE: views bypass the planner — role
-    * grants, DECIMAL-exact measure arithmetic, and the result cache live
-    * in the REST/planner layer. */
-  def starFrame(cube: CubeDef): DataFrame = {
+    * stays the optimized surface. NOTE: views bypass the planner —
+    * DECIMAL-exact measure arithmetic and the result cache live in the
+    * REST/planner layer; role grants apply only when a `role` is passed
+    * here (see [[registerStarViews]]). */
+  def starFrame(cube: CubeDef, role: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.expr
     val rls = cube.dimensions.flatMap(d => d.hierarchies.flatMap(h =>
       h.levels.map(l =>
         graft.planner.Planner.ResolvedLevel(d, h, l, h.depthOf(l)))))
-    val joined = graft.planner.Planner.joinForLevels(this, cube, rls)
+    val joined0 = graft.planner.Planner.joinForLevels(this, cube, rls)
+    // star views reveal ROWS, so like drillthrough any custom member grant
+    // filters them regardless of rollupPolicy (policies govern aggregated
+    // CELLS; the rows behind a member are visible iff the member is)
+    val rs = graft.planner.Roles.resolve(schema, role)
+    rs.foreach(graft.planner.Roles.checkCubeAccess(_, cube.name))
+    val joined = graft.planner.Roles.customGrants(rs, cube)
+      .filter(_.restricts)
+      .foldLeft(joined0)((df, g) => df.filter(g.visibleCol))
     // dedupe by alias — shared levels (Year in the Monthly AND Weekly
     // hierarchies) materialize once
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -163,10 +176,21 @@ final class CubeCatalog(
     joined.select(lvlCols ++ measureCols: _*)
   }
 
-  /** Publish `<cube>_star` temp views for every cube in the schema. */
-  def registerStarViews(): Unit =
-    schema.cubes.foreach(c =>
-      starFrame(c).createOrReplaceTempView(s"${c.name}_star"))
+  /** Publish `<cube>_star` temp views for every cube in the schema.
+    *
+    * SECURITY: star views hand raw rows to anyone with Spark SQL access to
+    * the session, bypassing the REST layer's per-request role checks. On a
+    * role-enforcing deployment either do not call this at all, or pass the
+    * session's `role` — then invisible cubes get no view and custom member
+    * grants filter the published rows (drillthrough semantics). The
+    * no-role call is the explicit opt-in to an UNRESTRICTED SQL surface. */
+  def registerStarViews(role: Option[String] = None): Unit = {
+    val rs = graft.planner.Roles.resolve(schema, role)
+    schema.cubes
+      .filter(c => rs.forall(_.cubeVisible(c.name)))
+      .foreach(c =>
+        starFrame(c, role).createOrReplaceTempView(s"${c.name}_star"))
+  }
 
   /** Release executor-side state this catalog pinned (persisted member
     * frames, cached rollups). Without this, /flush would only drop the

@@ -452,7 +452,7 @@ object MdxParser {
       if (as.length != 2)
         GraftException.badRequest(s"HEAD takes (set, count): '$s'")
       val inner = parseAxis(cube, as(0))
-      inner.copy(limit = Some(as(1).trim.toLong))
+      inner.copy(limit = Some(parseCount(as(1), "HEAD")))
     } else if (upper.startsWith("TAIL(") && t.endsWith(")")) {
       // TAIL(set, n): the LAST n tuples of the axis order, emitted in
       // forward order ("last 12 months"); HEAD/SUBSET page within it when
@@ -467,7 +467,7 @@ object MdxParser {
         GraftException.badRequest(
           "TAIL over a HEAD/SUBSET-paged set is not supported — apply " +
             "HEAD/SUBSET outside TAIL")
-      val n = as(1).trim.toLong
+      val n = parseCount(as(1), "TAIL")
       inner.copy(tail = Some(inner.tail.fold(n)(math.min(_, n))))
     } else if (upper.startsWith("SUBSET(") && t.endsWith(")")) {
       // SUBSET(set, start[, count]) — offset/limit over the axis order
@@ -475,8 +475,8 @@ object MdxParser {
       if (as.length < 2 || as.length > 3)
         GraftException.badRequest(s"SUBSET takes (set, start[, count]): '$s'")
       val inner = parseAxis(cube, as(0))
-      inner.copy(offset = as(1).trim.toLong,
-        limit = as.lift(2).map(_.trim.toLong).orElse(inner.limit))
+      inner.copy(offset = parseCount(as(1), "SUBSET start"),
+        limit = as.lift(2).map(parseCount(_, "SUBSET")).orElse(inner.limit))
     } else if (upper.startsWith("HIERARCHIZE(") && t.endsWith(")")) {
       parseAxis(cube, t.substring("HIERARCHIZE(".length, t.length - 1))
     } else {
@@ -486,6 +486,20 @@ object MdxParser {
   }
 
   /** `[Measures].[M] <op> <number>` with ops > < >= <= = <> (ref A10). */
+  /** HEAD/TAIL/SUBSET count: must be a non-negative integer that fits in
+    * Int — `limit`/`offset` take Int, and a silent `.toInt` truncation of a
+    * larger value would return a WRONG row count instead of erroring. */
+  private def parseCount(raw: String, what: String): Long = {
+    val n = try raw.trim.toLong catch {
+      case _: NumberFormatException =>
+        GraftException.badRequest(s"bad $what count '${raw.trim}'")
+    }
+    if (n < 0 || n > Int.MaxValue)
+      GraftException.badRequest(
+        s"$what count out of range [0, ${Int.MaxValue}]: $n")
+    n
+  }
+
   private def parseCondition(cube: CubeDef, s: String): MeasureFilter = {
     val condRe =
       """(?s)^\s*(.*?)\s*(>=|<=|<>|>|<|=)\s*(-?\d+(?:\.\d+)?)\s*$""".r
@@ -674,6 +688,12 @@ object MdxParser {
         case _: NumberFormatException => GraftException.badRequest(
           s"bad ${fn.dropRight(1)} threshold '${args(1)}'")
       }
+      // toDouble accepts 'NaN'/'Infinity'; NaN slips through both range
+      // checks downstream (NaN<=0 and NaN>100 are false) and would yield a
+      // silently-empty member set — reject non-finite here
+      if (th.isNaN || th.isInfinite)
+        GraftException.badRequest(
+          s"${fn.dropRight(1)} threshold must be finite, got '${args(1)}'")
       val m = QueryParser.segments(args(2)) match {
         case Seq("Measures", name) => resolveMeasure(cube, name)
         case Seq(name) => resolveMeasure(cube, name)

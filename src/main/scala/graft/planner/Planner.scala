@@ -789,8 +789,7 @@ object Planner {
       absolute: Boolean, within: Seq[Cut],
       role: Option[String]): Seq[Any] =
     cat.cachedTopShareKeys((cube.name, rl.dim.name, rl.hier.name,
-        rl.level.name, threshold, byMeasure,
-        s"$absolute|${within.mkString(";")}|${role.getOrElse("")}")) {
+        rl.level.name, threshold, byMeasure, absolute, within, role)) {
       if (threshold <= 0)
         GraftException.badRequest(
           s"TopPercent/TopSum threshold must be positive, got $threshold")

@@ -181,6 +181,19 @@ object QueryParser {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** offset/limit: non-negative, Int-ranged (Spark's limit/offset take
+    * Int; silent truncation would page wrongly), 400 on garbage. */
+  private def parseCount(raw: String, what: String): Long = {
+    val n = try raw.trim.toLong catch {
+      case _: NumberFormatException =>
+        GraftException.badRequest(s"bad $what '${raw.trim}'")
+    }
+    if (n < 0 || n > Int.MaxValue)
+      GraftException.badRequest(
+        s"$what out of range [0, ${Int.MaxValue}]: $n")
+    n
+  }
+
   /** Assemble a full CubeQuery from flat REST-style params (the analog of
     * build_query, query_helper.rb:190-316). */
   def fromParams(cube: CubeDef, params: Map[String, Seq[String]]): CubeQuery = {
@@ -195,8 +208,8 @@ object QueryParser {
       cuts = all("cut[]").map(parseCut(cube, _)),
       filters = all("filter[]").map(parseFilter(cube, _)),
       order = one("order").map(parseOrder(cube, _, one("order_desc"))),
-      offset = one("offset").map(_.toLong).getOrElse(0L),
-      limit = one("limit").map(_.toLong),
+      offset = one("offset").map(parseCount(_, "offset")).getOrElse(0L),
+      limit = one("limit").map(parseCount(_, "limit")),
       nonempty = flag("nonempty", default = false),
       distinct = flag("distinct", default = false),
       parents = flag("parents", default = false),

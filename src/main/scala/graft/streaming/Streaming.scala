@@ -250,9 +250,11 @@ object Streaming {
       first_touch_id: Long, first_touch_type: String,
       last_touch_id: Long, last_touch_type: String,
       us_since_last_touch: Long)
-  // reorder buffer (t_us, id, kind, type) + the O(1) attribution context
+  // reorder buffer (t_us, id, kind, type) + the O(1) attribution context;
+  // lastT is the max event time seen (µs) — the TTL idle-horizon anchor
   final case class AttrSt(buf: Seq[(Long, Long, Int, String)],
-      first: Option[(Long, String)], last: Option[(Long, String, Long)])
+      first: Option[(Long, String)], last: Option[(Long, String, Long)],
+      lastT: Long = 0L)
 
   /** Streaming CONVERSION ATTRIBUTION — the continuous twin of
     * [[graft.ops.EventOps.attribution]]: each conversion emits its
@@ -266,8 +268,27 @@ object Streaming {
     * the asymptotic minimum for this query. */
   def attributionStream(spark: SparkSession, events: DataFrame,
       delay: String, convType: String = "purchase",
-      touchTypes: Seq[String] = Seq("click", "view")): Dataset[AttrOut] = {
+      touchTypes: Seq[String] = Seq("click", "view"),
+      stateTtl: Option[String] = None): Dataset[AttrOut] = {
     import spark.implicits._
+
+    // State retention: first-touch attribution is INHERENTLY unbounded —
+    // a conversion years after the first click must still see it, so a
+    // user's O(1) context lives as long as the stream by default (the
+    // buffer itself always drains at the watermark). `stateTtl` bounds it
+    // for deployments that only need attribution within a horizon: a
+    // user's context expires after that much EVENT TIME without activity,
+    // and a later conversion re-attributes from the post-expiry touches
+    // (documented divergence from the batch operator beyond the horizon).
+    val ttlMs: Option[Long] = stateTtl.map { s =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .safeStringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s.trim))
+      if (iv == null || iv.months != 0)
+        throw new IllegalArgumentException(
+          s"stateTtl must be a day/time interval, got '$s'")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
 
     def micros(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
@@ -276,8 +297,13 @@ object Streaming {
         st: GroupState[AttrSt]): Iterator[AttrOut] = {
       val prev = st.getOption.getOrElse(AttrSt(Nil, None, None))
       var buf = prev.buf
+      var lastT = prev.lastT
       if (!st.hasTimedOut)
-        rows.foreach(r => buf :+= ((micros(r.ts), r.event_id, r.kind, r.etype)))
+        rows.foreach { r =>
+          val t = micros(r.ts)
+          buf :+= ((t, r.event_id, r.kind, r.etype))
+          if (t > lastT) lastT = t
+        }
       val wmMs = st.getCurrentWatermarkMs()
       val (ready, pending) = buf.partition(_._1 / 1000 <= wmMs)
       var first = prev.first
@@ -293,10 +319,17 @@ object Streaming {
         }
       }
       if (pending.isEmpty && first.isEmpty && last.isEmpty) st.remove()
-      else {
-        st.update(AttrSt(pending, first, last))
+      else if (pending.isEmpty && ttlMs.exists(ttl =>
+          st.hasTimedOut && wmMs >= lastT / 1000 + ttl)) {
+        // TTL expiry: buffer drained AND the idle horizon has passed in
+        // EVENT time since the user's last activity — drop the context
+        st.remove()
+      } else {
+        st.update(AttrSt(pending, first, last, lastT))
         if (pending.nonEmpty)
           st.setTimeoutTimestamp(pending.map(_._1).min / 1000 + 1)
+        else ttlMs.foreach(ttl => st.setTimeoutTimestamp(
+          math.max(lastT / 1000 + ttl, wmMs + 1)))
       }
       out.result().iterator
     }

@@ -756,4 +756,41 @@ class MdxSpec extends AnyFunSuite {
         s"row $i trailing-2 mean")
     }
   }
+
+  test("non-finite TOPPERCENT/TOPSUM thresholds and out-of-Int-range or " +
+      "garbage HEAD/TAIL/SUBSET counts are 400s, not silent wrong answers") {
+    def bad(mdx: String): Unit =
+      assert(intercept[GraftException](
+        MdxParser.parse(salesCube, mdx)).status == 400, mdx)
+    // toDouble accepts 'NaN'/'Infinity'; both must reject at parse time
+    Seq("NaN", "Infinity", "-Infinity").foreach { th =>
+      bad(s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+             |TOPPERCENT([Part].[Brands].[Brand].Members, $th,
+             |  [Measures].[Revenue]) ON ROWS FROM sales""".stripMargin)
+      bad(s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+             |TOPSUM([Part].[Brands].[Brand].Members, $th,
+             |  [Measures].[Revenue]) ON ROWS FROM sales""".stripMargin)
+    }
+    // counts above Int.MaxValue would truncate inside limit(); negatives
+    // and garbage are garbage — all 400
+    val over = (Int.MaxValue.toLong + 1).toString
+    Seq(over, "-1", "12x").foreach { n =>
+      bad(s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+             |HEAD([Geography].[Region].Members, $n) ON ROWS
+             |FROM sales""".stripMargin)
+      bad(s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+             |TAIL([Geography].[Region].Members, $n) ON ROWS
+             |FROM sales""".stripMargin)
+      bad(s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+             |SUBSET([Geography].[Region].Members, $n, 2) ON ROWS
+             |FROM sales""".stripMargin)
+    }
+    // the REST param path shares the discipline
+    assert(intercept[GraftException](QueryParser.fromParams(salesCube,
+      Map("measures[]" -> Seq("revenue"), "limit" -> Seq(over))))
+      .status == 400)
+    assert(intercept[GraftException](QueryParser.fromParams(salesCube,
+      Map("measures[]" -> Seq("revenue"), "offset" -> Seq("-2"))))
+      .status == 400)
+  }
 }

@@ -477,4 +477,28 @@ class RoleSpec extends AnyFunSuite {
       .sortBy { case (n, v) => (-v, n) }.take(3).map(_._1).toSet
     assert(got.toSet == visibleRanked)
   }
+
+  test("role-scoped star views: invisible cubes get no view, member " +
+      "grants filter the published rows") {
+    // a leftover unrestricted registration (other suites) must not mask
+    // the role-scoped outcome
+    Seq("sales_star", "orders_star", "events_star")
+      .foreach(spark.catalog.dropTempView)
+    // schema-level restriction: only the orders cube gets a view
+    cat.registerStarViews(Some("orders_only"))
+    assert(spark.catalog.tableExists("orders_star"))
+    assert(!spark.catalog.tableExists("sales_star"))
+    // member grant: the published rows are the role's rows (drillthrough
+    // semantics — rollupPolicy governs cells, not the row surface)
+    cat.registerStarViews(Some("emea"))
+    val got = spark.sql(
+      """SELECT CAST(sum(CAST(total_sales_raw AS DECIMAL(27,6))) AS DOUBLE)
+        |FROM orders_star""".stripMargin).collect()(0).getDouble(0)
+    assert(math.abs(got - visibleSales) < 1e-6,
+      s"expected the emea-visible total $visibleSales, got $got")
+    // regions outside the grant are absent outright
+    val regions = spark.sql("SELECT DISTINCT region FROM orders_star")
+      .collect().map(_.getAs[Number](0).intValue).toSet
+    assert(regions == Set(0, 3), s"unexpected regions $regions")
+  }
 }

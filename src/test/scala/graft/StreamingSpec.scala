@@ -354,4 +354,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(sales - (t1(k)._1 + t2(k)._1)) < 1e-6)
     }
   }
+
+  test("attribution stateTtl expires an idle user's context; without a " +
+      "TTL the first touch is sticky forever") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("event_type",
+        StringType)))
+    def file(dir: String, rows: (Long, String, Long, String)*): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map { case (u, t, id, tp) =>
+            org.apache.spark.sql.Row(u, java.sql.Timestamp.valueOf(t), id,
+              tp) }, 1), schema)
+        .write.mode("append").parquet(dir)
+    val dir = Files.createTempDirectory("graft-attr-ttl").toString
+    // file 1: user 1's only touch; user 2 pushes the watermark to ~09:59
+    file(dir, (1L, "2024-01-01 00:00:00", 10L, "click"),
+      (2L, "2024-01-01 10:00:00", 20L, "view"))
+    // file 2 (later batch): between batches the buffer-drain timer fires
+    // with the watermark already past 00:00 + TTL → with a 1-hour TTL the
+    // context expires; user 3 pushes the watermark past the conversion
+    file(dir, (3L, "2024-01-01 20:00:00", 30L, "view"))
+    // file 3: user 1 converts at 15:00 — watermark-closed by now
+    file(dir, (1L, "2024-01-01 15:00:00", 40L, "purchase"),
+      (4L, "2024-01-02 10:00:00", 50L, "view"))
+    def run(ttl: Option[String], q: String): Seq[org.apache.spark.sql.Row] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      Streaming.runToMemory(spark, Streaming.attributionStream(spark,
+        stream, "1 minute", stateTtl = ttl).toDF(), q)
+      spark.table(q).filter(col("user_id") === 1).collect().toSeq
+    }
+    val noTtl = run(None, "attr_ttl_off")
+    assert(noTtl.length == 1 &&
+      noTtl.head.getAs[Long]("first_touch_id") == 10L,
+      s"without TTL the conversion attributes to the click: $noTtl")
+    val withTtl = run(Some("1 hour"), "attr_ttl_on")
+    assert(withTtl.isEmpty,
+      s"a 1-hour-TTL context must expire before the 15:00 conversion: " +
+        s"$withTtl")
+  }
 }
