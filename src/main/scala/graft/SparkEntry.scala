@@ -458,6 +458,17 @@ object SparkEntry {
       // multilingual upsampling recipe) + the realized content-hash draw
       "t32_temperature_mix" -> tbl("documents")(
         ops.TextOps.temperatureMix(_, 0.5, 300L)),
+      // Gopher/MassiveText intra-doc repetition filters: char coverage of
+      // the top bigram and of duplicated 5-grams (explode → hash-agg,
+      // skew-free; the paper's unspecified overlap handling pinned to a
+      // documented deterministic variant)
+      "t33_repetition_signals" -> tbl("documents")(
+        ops.TextOps.repetitionSignals(_)),
+      // cluster-level hash split: near-dup docs land in the SAME split
+      // (no train→test leakage through paraphrase pairs); rides the
+      // memoized d07 cluster artifact, then pure map
+      "d18_leakage_split" -> ((s: SparkSession, dir: String) =>
+        ops.Dedup.leakageFreeSplit(dupClusters(s, dir))),
       "e01_sessionize" -> tbl("events")(ops.Sessionize.sessions(_, 30)),
       // first/last-touch conversion attribution: preceding click/view per
       // purchase, one ignore-nulls window pass per user partition
@@ -2872,6 +2883,77 @@ object SparkEntry {
          |  p.keep_rate, COALESCE(d.kept_docs, 0) AS kept_docs
          |FROM plan p LEFT JOIN drawn d ON p.source = d.source
          |ORDER BY p.source""".stripMargin,
+    // t33: Gopher repetition signals — char coverage of the top word
+    // bigram (ties lexicographic) and of duplicated word 5-grams (overlap
+    // counted, capped at 1.0). Fractions are int/int double divisions —
+    // IEEE-exact in both engines.
+    "t33_repetition_signals" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  length(text) AS nc FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(w[g:g+1], ' ') AS gram
+        |  FROM (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 1)) AS g FROM toks)),
+        |c2 AS (SELECT doc_id, gram, COUNT(1) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, gram, c, ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM c2),
+        |g5 AS (SELECT doc_id, array_to_string(w[g:g+4], ' ') AS gram
+        |  FROM (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 4)) AS g FROM toks)),
+        |c5 AS (SELECT doc_id, gram, COUNT(1) AS c FROM g5 GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id, SUM(CASE WHEN c >= 2
+        |  THEN c * length(gram) END) AS dupchars FROM c5 GROUP BY 1),
+        |j AS (SELECT tk.doc_id,
+        |  COALESCE(t2.gram, '') AS top_gram,
+        |  CAST(COALESCE(t2.c, 0) AS BIGINT) AS top_gram_count,
+        |  COALESCE(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |    / GREATEST(tk.nc, 1), CAST(0.0 AS DOUBLE)) AS top_char_frac,
+        |  LEAST(CAST(1.0 AS DOUBLE), CAST(COALESCE(d5.dupchars, 0)
+        |    AS DOUBLE) / GREATEST(tk.nc, 1)) AS dup_char_frac
+        |  FROM toks tk
+        |  LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2
+        |    ON tk.doc_id = t2.doc_id
+        |  LEFT JOIN d5 ON tk.doc_id = d5.doc_id)
+        |SELECT doc_id, top_gram, top_gram_count, top_char_frac,
+        |  dup_char_frac,
+        |  (top_char_frac > 0.2 OR dup_char_frac > 0.3) AS repetitive
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // d18: d07's recursive-reachability clusters + the t07 md5-conv bucket
+    // over the CLUSTER label ('c:'-prefixed so cluster buckets decorrelate
+    // from doc buckets) — near-dup members provably share a split
+    "d18_leakage_split" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a),
+        |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |h AS (SELECT doc_id, cluster_id,
+        |  md5(concat('c:', CAST(cluster_id AS VARCHAR))) AS h FROM cl),
+        |b AS (SELECT doc_id, cluster_id,
+        |  CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100
+        |    AS INTEGER) AS bucket
+        |  FROM h)
+        |SELECT doc_id, cluster_id, bucket,
+        |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+        |ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     // t29: the naive windowed spelling of the per-source prefix sum (the
     // Spark side computes the same totals two-phase, bucket-distributed)
     "t29_budget_sample" ->

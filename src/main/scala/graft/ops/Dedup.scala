@@ -602,6 +602,30 @@ object Dedup {
       .select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** LEAKAGE-FREE train/valid/test split: hash-split at the DUPLICATE-
+    * CLUSTER level ([[duplicateClusters]]), not the document level — every
+    * member of a near-dup cluster lands in the SAME split, so a paraphrase
+    * of a test document can never leak into train (the contamination a
+    * doc-level split like `TextOps.hashSplit` cannot rule out). The bucket
+    * hashes the cluster label with the same md5-conv recipe as
+    * `TextOps.hashSplitAssign` (prefixed so cluster buckets and doc buckets
+    * decorrelate), keeping the assignment stable under reshuffling,
+    * re-partitioning, and re-runs. Pure map over the cluster table — no
+    * joins, no shuffles beyond what cluster construction already paid (and
+    * that table is a memoized per-ingest artifact). */
+  def leakageFreeSplit(clusters: DataFrame, trainPct: Int = 80,
+      validPct: Int = 10): DataFrame = {
+    require(trainPct + validPct < 100, "train+valid must leave room for test")
+    clusters
+      .withColumn("bucket", expr(
+        "CAST(CAST(conv(substr(md5(concat('c:', CAST(cluster_id AS STRING)" +
+          ")), 1, 4), 16, 10) AS INT) % 100 AS INT)"))
+      .withColumn("split", when(col("bucket") < trainPct, "train")
+        .when(col("bucket") < trainPct + validPct, "valid")
+        .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** One representative doc per duplicate cluster (the min-id member). */
   def keepClusterRepresentative(docs: DataFrame, idCol: String,
       clusters: DataFrame): DataFrame =

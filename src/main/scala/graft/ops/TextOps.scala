@@ -860,6 +860,62 @@ object TextOps {
     uni.join(tri, Seq("source"), "left").orderBy("source")
   }
 
+  /** Intra-document REPETITION signals — the Gopher/MassiveText repetition
+    * quality filters (Rae et al. 2021, appendix A1.1): the fraction of a
+    * document's characters covered by its single most frequent word
+    * `topN`-gram, and by all word `dupN`-grams that occur more than once.
+    * High values mark degenerate/boilerplate text (lorem-loops, scraped
+    * navigation, LM mode collapse) that survives length/vocabulary checks
+    * like [[qualityScore]]. Coverage is `count × chars(gram) / chars(doc)`;
+    * the duplicate-gram sum counts overlapping occurrences and is capped at
+    * 1.0 (documented deterministic variant — the paper leaves overlap
+    * handling unspecified). Ties for the top gram break lexicographically.
+    *
+    * Shape at scale: two explode → hash-agg passes keyed on
+    * (doc_id, gram) — work ∝ corpus tokens, skew-free (a doc's grams
+    * spread across partitions during counting; the per-doc reduction is
+    * count-sized) — then two doc-keyed reductions joined doc-to-doc. No
+    * windows, no driver state. */
+  def repetitionSignals(docs: DataFrame, topN: Int = 2, dupN: Int = 5,
+      topThresh: Double = 0.20, dupThresh: Double = 0.30): DataFrame = {
+    def grams(n: Int) = expr(
+      s"""CASE WHEN size(split(text, ' ')) < $n THEN array()
+         |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+         |  i -> concat_ws(' ', slice(split(text, ' '), i, $n))) END"""
+        .stripMargin)
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"), explode(grams(n)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    // deterministic argmax: min(struct(-count, gram)) = (max count, then
+    // lexicographically first gram) — one hash-agg, no window
+    val top = gramCounts(topN)
+      .groupBy("doc_id")
+      .agg(min(struct((-col("c")).as("negc"), col("gram").as("gram")))
+        .as("t"))
+      .select(col("doc_id"), col("t.gram").as("top_gram"),
+        (-col("t.negc")).as("top_gram_count"),
+        ((-col("t.negc")) * length(col("t.gram"))).as("topchars"))
+    val dup = gramCounts(dupN)
+      .groupBy("doc_id")
+      .agg(coalesce(sum(when(col("c") >= 2, col("c") * length(col("gram")))),
+        lit(0L)).as("dupchars"))
+    docs.select(col("doc_id"), length(col("text")).as("nc0"))
+      .join(top, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("top_gram"), lit("")).as("top_gram"),
+        coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
+        // greatest(nc, 1): a zero-length doc has zero coverage, not NaN
+        coalesce(col("topchars").cast("double") /
+          greatest(col("nc0"), lit(1L)), lit(0.0)).as("top_char_frac"),
+        least(lit(1.0), coalesce(col("dupchars"), lit(0L)).cast("double") /
+          greatest(col("nc0"), lit(1L))).as("dup_char_frac"))
+      .withColumn("repetitive",
+        col("top_char_frac") > topThresh || col("dup_char_frac") > dupThresh)
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer FERTILITY per language — BPE tokens emitted per whitespace
     * word under a learned merge table ([[bpeMergeTable]]), the metric that
     * tells you which languages a tokenizer serves poorly (high fertility =

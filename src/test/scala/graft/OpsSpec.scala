@@ -1504,4 +1504,59 @@ class OpsSpec extends AnyFunSuite {
     val onceHash = once.select(col("doc_id"), md5(col("text")).as("clean_md5"))
     assert(twiceHash.except(onceHash).isEmpty)
   }
+
+  test("repetition signals: looped text trips the filter, diverse text " +
+      "doesn't, degenerate docs are zeros") {
+    import spark.implicits._
+    val corpus = Seq(
+      // "spam ham" bigram covers most of the doc → repetitive
+      (1L, "spam ham spam ham spam ham spam ham spam ham"),
+      // all-distinct words: every bigram occurs once, dup 5-grams none
+      (2L, "a b c d e f g h i j"),
+      (3L, "solo"), // no bigrams at all
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: "spam ham" occurs 5×, 8 chars each over 44 chars
+    assert(out(1L).getString(1) == "spam ham")
+    assert(out(1L).getLong(2) == 5L)
+    assert(out(1L).getDouble(3) == 5.0 * 8 / 44)
+    // duplicated 5-grams: "spam ham spam ham spam" ×3 (22 chars) + "ham
+    // spam ham spam ham" ×3 (21 chars) → 129 over 44 → capped at 1.0
+    assert(out(1L).getDouble(4) == 1.0)
+    assert(out(1L).getBoolean(5))
+    // doc 2: top bigram count 1, zero duplicate 5-grams
+    assert(out(2L).getLong(2) == 1L && out(2L).getDouble(4) == 0.0)
+    assert(!out(2L).getBoolean(5))
+    // degenerate: no grams → empty top, zero fractions, not repetitive
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id).getString(1) == "" && out(id).getLong(2) == 0L)
+      assert(out(id).getDouble(3) == 0.0 && out(id).getDouble(4) == 0.0)
+      assert(!out(id).getBoolean(5))
+    }
+  }
+
+  test("leakage-free split: every near-dup pair lands in the same split, " +
+      "and buckets follow the cluster label") {
+    val pairs = Dedup.minhashLshPairs(docsWithDup, 3, 32, 4, 0.5)
+      .select("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(docsWithDup, "doc_id", pairs)
+    val split = Dedup.leakageFreeSplit(clusters)
+    val byDoc = split.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(byDoc.size == docsWithDup.count())
+    // the planted exact duplicate shares its cluster AND its split
+    assert(byDoc(7L)._1 == byDoc(100007L)._1)
+    assert(byDoc(7L)._2 == byDoc(100007L)._2)
+    // every pair endpoint agrees (the invariant a doc-level split lacks)
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(byDoc(a)._2 == byDoc(b)._2, s"pair ($a, $b) split apart")
+    }
+    // all three splits are populated at this corpus size and the split is
+    // a pure function of the cluster label
+    assert(byDoc.values.map(_._2).toSet == Set("train", "valid", "test"))
+    val byCluster = byDoc.values.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byCluster.values.forall(_.size == 1))
+  }
 }
