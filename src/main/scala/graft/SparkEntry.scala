@@ -324,6 +324,10 @@ object SparkEntry {
         dupClusters(s, dir).orderBy("doc_id")),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
+      // asymmetric containment |A∩B|/|A| — the quote-expansion duplicates
+      // symmetric Jaccard misses (prefix⋈inverted-index, PPJoin-pruned)
+      "d19_containment" -> tbl("documents")(
+        ops.Dedup.containmentPairs(_, 3, "lang", 0.6)),
       // the dedup-impact ("data diet") report: per source, how many docs
       // survive exact and fuzzy dedup, and how many tokens span-trimming
       // keeps — the accounting every corpus build publishes. Pure
@@ -473,6 +477,10 @@ object SparkEntry {
       // first/last-touch conversion attribution: preceding click/view per
       // purchase, one ignore-nulls window pass per user partition
       "e13_attribution" -> tbl("events")(ops.EventOps.attribution(_)),
+      // U-shaped multi-touch credit per journey segment (40/20/40; the
+      // first/last-touch models are e13) — windows per user, no self-join
+      "e15_position_attribution" -> tbl("events")(
+        ops.EventOps.positionAttribution(_)),
       // the in-session form: touches attribute only within the
       // conversion's own 30-minute session (e01's boundaries)
       "e14_session_attribution" -> tbl("events")(
@@ -1872,6 +1880,23 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
         |FROM pairs WHERE inter / (na + nb - inter) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d19: directional containment |A∩B|/|A| over the same shingle sets —
+    // all ordered pairs (a ≠ b), int/int double division as in d04
+    "d19_containment" ->
+      """WITH sh AS (SELECT doc_id, lang,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT doc_a, doc_b, inter / na AS containment
+        |FROM pairs WHERE inter / na >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d05_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3016,6 +3041,37 @@ object SparkEntry {
         |FROM events e ORDER BY e.event_id""".stripMargin,
     // e13: first/last-touch attribution — IGNORE NULLS window lookups over
     // (ts, event_id) order, frame ending one row before the conversion
+    // e15: the U-shaped credit model — one running conversion count
+    // assigns journey segments, window rank/count within them, credit by
+    // position (all literals CAST to DOUBLE: DuckDB literals are DECIMAL)
+    "e15_position_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |seg AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |  THEN 1 END) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        |  FROM e),
+        |t AS (SELECT user_id, seg, event_id, ts_us, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, seg
+        |    ORDER BY ts_us ASC, event_id ASC) AS rn,
+        |  COUNT(1) OVER (PARTITION BY user_id, seg) AS n
+        |  FROM seg WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id, seg, event_id AS conv_id,
+        |  ts_us AS conv_ts_us FROM seg WHERE event_type = 'purchase')
+        |SELECT c.conv_id, c.user_id, c.conv_ts_us,
+        |  t.event_id AS touch_id, t.event_type AS touch_type,
+        |  CAST(t.rn AS BIGINT) AS touch_rank,
+        |  CAST(t.n AS BIGINT) AS n_touches,
+        |  CASE WHEN t.n = 1 THEN 'only' WHEN t.rn = 1 THEN 'first'
+        |    WHEN t.rn = t.n THEN 'last' ELSE 'middle' END AS position,
+        |  CASE WHEN t.n = 1 THEN CAST(1.0 AS DOUBLE)
+        |    WHEN t.n = 2 THEN CAST(0.5 AS DOUBLE)
+        |    WHEN t.rn = 1 OR t.rn = t.n THEN CAST(0.4 AS DOUBLE)
+        |    ELSE CAST(0.2 AS DOUBLE) / (t.n - 2) END AS credit
+        |FROM c JOIN t ON c.user_id = t.user_id AND c.seg = t.seg
+        |ORDER BY conv_id, touch_rank""".stripMargin,
     "e13_attribution" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  event_type FROM events),

@@ -367,6 +367,14 @@ object Dedup {
     * prefixes — so no qualifying pair is lost, while the most frequent
     * (stopword-like) shingles, whose df² posting blowup dominates the join at
     * corpus scale, are exactly the ones dropped. */
+  /** Full postings in the same canonical (df asc, value asc) order as
+    * [[prefixPostings]] — the probe side of the containment join, where
+    * the container doc may share only its FREQUENT shingles with the
+    * contained doc's rare-first prefix. threshold ~0 makes the prefix
+    * length formula n − ⌈εn⌉ + 1 = n, i.e. every posting, positioned. */
+  private[graft] def fullPostings(sh: DataFrame): DataFrame =
+    prefixPostings(sh, 1e-12)
+
   private[graft] def prefixPostings(sh: DataFrame, threshold: Double,
       hotK: Int = 1 << 16): DataFrame = {
     val posting = sh.select(col("block"), col("doc_id"), col("n"),
@@ -447,6 +455,62 @@ object Dedup {
       .withColumn("jaccard", expr("inter / (na + nb - inter)"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram CONTAINMENT join — the asymmetric near-dup case symmetric
+    * Jaccard misses: doc A quoted/expanded inside a larger doc B has
+    * C(A→B) = |A∩B| / |A| ≈ 1 while J(A,B) ≈ |A|/|B| can be arbitrarily
+    * small (the quote-expansion duplicates RefinedWeb-style pipelines
+    * chase with substring dedup). Emits DIRECTIONAL rows (doc_a contained
+    * in doc_b, a ≠ b) with the exact containment ≥ `threshold`.
+    *
+    * Result-identical to all-pairs verification, never all-pairs work:
+    * C(A→B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so A's rare-first PREFIX (the
+    * same ⌈⌉-safe length as the Jaccard SSJoin — the lemma only involves
+    * the contained side's size) must hit B's FULL posting list; candidates
+    * come from that prefix⋈index join, pruned by nb ≥ ⌈t·na⌉ (overlap
+    * can't exceed |B|) and the PPJoin position bound (both sides share one
+    * canonical order), then verify exactly on the re-attached shingle
+    * arrays. The probe side is a plain inverted index — posting work is
+    * Σ(prefix_df × df), and the prefix side's rarest-first discipline
+    * keeps hot shingles out of the probing set. */
+  def containmentPairs(docs: DataFrame, k: Int, blockCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
+      hashedShingles("text", k).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint(eager = false)
+    val pre = prefixPostings(sh, threshold).localCheckpoint(eager = false)
+    val full = fullPostings(sh).localCheckpoint(eager = false)
+    val a = pre.select(col("block").as("block_a"), col("doc_id").as("doc_a"),
+      col("n").as("na"), col("s").as("s_a"), col("pos").as("pa"))
+    val b = full.select(col("block").as("block_b"),
+      col("doc_id").as("doc_b"), col("n").as("nb"), col("s").as("s_b"),
+      col("pos").as("pb"))
+    val cand = a.join(b,
+      col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
+        col("doc_a") =!= col("doc_b") &&
+        // the container must be able to supply the required overlap
+        col("nb") >= ceil(round(col("na") * threshold, 9)))
+      .groupBy("doc_a", "doc_b")
+      .agg(min(struct(col("pa"), col("pb"))).as("fst"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      // PPJoin bound at the first shared canonical token, against ⌈t·na⌉
+      .where(lit(1) + least(col("na") - col("fst.pa"),
+          col("nb") - col("fst.pb")) >=
+        ceil(round(col("na") * threshold, 9)))
+      .select("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("containment", expr("inter / na"))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -399,6 +399,63 @@ object EventOps {
       .orderBy("conv_id")
   }
 
+  /** POSITION-BASED (U-shaped) MULTI-TOUCH ATTRIBUTION — each conversion
+    * distributes credit across every touch in its JOURNEY SEGMENT (the
+    * touches since the user's previous conversion, so a touch credits
+    * exactly one conversion): 40% to the first touch, 40% to the last,
+    * the remaining 20% split evenly over the middle ones; two touches
+    * split 50/50 and a lone touch takes 100% — the standard U-shaped
+    * model between first-touch and last-touch ([[attribution]] gives
+    * those). Credits per conversion sum to exactly 1 in IEEE doubles
+    * only when n ≤ 2; for larger n the sum is 0.8 + (n−2)·(0.2/(n−2))
+    * up to rounding — consumers aggregating credit should tolerate ulps.
+    *
+    * Shape at scale: one running-count window over the user partition
+    * assigns segments, one row_number + count pair over (user, segment),
+    * then an equi-join of touches to their segment's conversion — all
+    * partitioned on user, no data-sized windows, no self-joins beyond the
+    * segment join (≤ one conversion per segment by construction). */
+  def positionAttribution(events: DataFrame, convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    val isConv = col("event_type") === convType
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val ev = events
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .where(isTouch || isConv)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"))
+      // segment = #conversions STRICTLY before this event in user order
+      .withColumn("seg", coalesce(sum(when(isConv, 1L))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val segW = Window.partitionBy("user_id", "seg")
+    val touches = ev.where(isTouch)
+      .withColumn("rn",
+        row_number().over(segW.orderBy(col("ts_us").asc,
+          col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(segW))
+    val convs = ev.where(isConv)
+      .select(col("user_id"), col("seg"), col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts_us"))
+    touches.join(convs, Seq("user_id", "seg"))
+      .withColumn("position",
+        when(col("n") === 1, "only")
+          .when(col("rn") === 1, "first")
+          .when(col("rn") === col("n"), "last")
+          .otherwise("middle"))
+      .withColumn("credit",
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2)))
+      .select(col("conv_id"), col("user_id"), col("conv_ts_us"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"),
+        col("rn").cast("long").as("touch_rank"), col("n").as("n_touches"),
+        col("position"), col("credit"))
+      .orderBy("conv_id", "touch_rank")
+  }
+
   /** IN-SESSION ATTRIBUTION — [[attribution]] scoped to the conversion's
     * own session (the standard e-commerce ask: "which touch in THIS visit
     * converted"): session boundaries come from the same gaps-and-islands

@@ -1013,6 +1013,63 @@ class OpsSpec extends AnyFunSuite {
     assert(plain == Set(2L, 3L, 5L))
   }
 
+  test("position attribution: U-shaped credits on a hand-built journey, " +
+      "segments reset at each conversion") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      // user 1, segment 0: 4 touches → 0.4 / 0.1 / 0.1 / 0.4
+      (1L, 1L, 1000L, "click"), (2L, 1L, 2000L, "view"),
+      (3L, 1L, 3000L, "click"), (4L, 1L, 4000L, "view"),
+      (5L, 1L, 5000L, "purchase"),
+      // segment 1: a lone touch takes full credit
+      (6L, 1L, 6000L, "click"), (7L, 1L, 7000L, "purchase"),
+      // user 2: two touches split 50/50
+      (8L, 2L, 1000L, "view"), (9L, 2L, 2000L, "click"),
+      (10L, 2L, 3000L, "purchase"),
+      // user 3: conversion with no touches emits nothing
+      (11L, 3L, 1000L, "purchase")
+    ).map { case (id, u, ms, t) => (id, u, new Timestamp(ms), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.positionAttribution(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getString(7), r.getDouble(8))).toMap
+    assert(out.keySet.map(_._1) == Set(5L, 7L, 10L))
+    assert(out((5L, 1L)) == ("first", 0.4))
+    assert(out((5L, 2L)) == ("middle", 0.1))
+    assert(out((5L, 3L)) == ("middle", 0.1))
+    assert(out((5L, 4L)) == ("last", 0.4))
+    assert(out((7L, 6L)) == ("only", 1.0))
+    assert(out((10L, 8L)) == ("first", 0.5))
+    assert(out((10L, 9L)) == ("last", 0.5))
+    // a touch credits exactly one conversion: touch 1 must not also
+    // appear under conversion 7
+    assert(!out.contains((7L, 1L)))
+  }
+
+  test("containment join finds a planted quote-expansion pair the " +
+      "symmetric Jaccard join misses at the same threshold") {
+    import spark.implicits._
+    val d7 = docs.where(col("doc_id") === 7L)
+      .select("lang", "text").head()
+    val words = d7.getString(1).split(" ")
+    val planted = Seq((300001L, d7.getString(0),
+      words.take(words.length / 2).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val corpus = docs.select("doc_id", "lang", "text").unionByName(planted)
+    // every shingle of the half-doc is a shingle of doc 7 → containment 1
+    val cont = Dedup.containmentPairs(corpus, 3, "lang", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.get((300001L, 7L)).contains(1.0),
+      s"planted containment pair missing: ${cont.keySet.take(5)}")
+    // containment is directional: doc 7 is NOT 90%-contained in its half
+    assert(!cont.contains((7L, 300001L)))
+    // the symmetric join can't see it: J = |A|/|B| ≈ 0.5 < 0.9
+    val jac = Dedup.ngramJaccardPairs(corpus, 3, "lang", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((300001L, 7L)) && !jac.contains((7L, 300001L)))
+  }
+
   test("BPE merges follow frequency order on a hand-computed corpus") {
     import spark.implicits._
     val tiny = Seq((0L, "ab ab ab"), (1L, "abc")).toDF("doc_id", "text")
