@@ -629,6 +629,10 @@ object SparkEntry {
       "e05_retention" -> tbl("events")(ops.EventOps.retentionCohorts),
       // bigram-LM mean surprisal (CCNet-style perplexity quality filter)
       "t14_lm_score" -> tbl("documents")(ops.TextOps.bigramLmScore),
+      // Moore-Lewis cross-entropy difference vs the src0 seed domain —
+      // most-negative = most in-domain (the data-selection classic)
+      "t34_domain_select" -> tbl("documents")(
+        ops.TextOps.domainSelect(_)),
       // curriculum quartiles of the t14 score (distributed equi-depth rank)
       "t28_difficulty_buckets" -> tbl("documents")(
         ops.TextOps.difficultyBuckets(_)),
@@ -2344,6 +2348,40 @@ object SparkEntry {
       s"""WITH $LM_SCORE_CTES
          |SELECT doc_id, n_bigrams, lm_score FROM scored
          |ORDER BY doc_id""".stripMargin,
+    // t34: Moore-Lewis CE difference — add-one-smoothed seed vs general
+    // bigram LMs over one bigram stream; same decimal-sum discipline as
+    // t14 (integer adds in BIGINT, one CAST to DOUBLE, VARCHAR-hop
+    // quantization, round 6)
+    "t34_domain_select" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source, unnest(w[1:len(w)-1]) AS w1,
+        |  unnest(w[2:len(w)]) AS w2 FROM toks),
+        |c2i AS (SELECT w1, w2, COUNT(1) AS c2i FROM bg
+        |  WHERE source = 'src0' GROUP BY 1, 2),
+        |c1i AS (SELECT w1, COUNT(1) AS c1i FROM bg
+        |  WHERE source = 'src0' GROUP BY 1),
+        |vi AS (SELECT COUNT(DISTINCT w2) + 1 AS vi FROM bg
+        |  WHERE source = 'src0'),
+        |c2g AS (SELECT w1, w2, COUNT(1) AS c2g FROM bg GROUP BY 1, 2),
+        |c1g AS (SELECT w1, COUNT(1) AS c1g FROM bg GROUP BY 1),
+        |vg AS (SELECT COUNT(DISTINCT w2) + 1 AS vg FROM bg),
+        |sc AS (SELECT bg.doc_id, bg.source,
+        |  CAST(CAST(
+        |    ln(CAST(c2g.c2g + 1 AS DOUBLE) / CAST(c1g.c1g + vg.vg AS DOUBLE))
+        |    - ln(CAST(COALESCE(c2i.c2i, 0) + 1 AS DOUBLE)
+        |        / CAST(COALESCE(c1i.c1i, 0) + vi.vi AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,18)) AS s
+        |  FROM bg
+        |  JOIN c2g ON bg.w1 = c2g.w1 AND bg.w2 = c2g.w2
+        |  JOIN c1g ON bg.w1 = c1g.w1
+        |  LEFT JOIN c2i ON bg.w1 = c2i.w1 AND bg.w2 = c2i.w2
+        |  LEFT JOIN c1i ON bg.w1 = c1i.w1
+        |  CROSS JOIN vi CROSS JOIN vg)
+        |SELECT doc_id, source, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6) AS ce_diff
+        |FROM sc GROUP BY doc_id, source
+        |ORDER BY doc_id""".stripMargin,
     // t28: t14's per-doc scores tiled into equi-depth quartiles (NTILE over
     // the (lm_score, doc_id) total order — the Ranking.equiDepthTiles
     // contract) and rolled up per difficulty bucket

@@ -534,6 +534,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** MOORE-LEWIS DOMAIN SELECTION (cross-entropy difference; Moore & Lewis,
+    * ACL 2010): score every document by H_in(doc) − H_gen(doc) — its mean
+    * surprisal under an IN-DOMAIN bigram LM (trained on the `seedSource`
+    * slice) minus under the GENERAL LM (trained on the whole corpus). The
+    * most NEGATIVE scores are the general-corpus documents most like the
+    * seed domain — the classic "find me more data like this seed set"
+    * selector a pre-training mix builds domain slices with. Both models
+    * are add-one-smoothed MLE bigram LMs (the in-domain model must score
+    * bigrams it never saw); V = distinct successor types + 1 (OOV slot).
+    *
+    * Same cross-engine discipline as [[bigramLmScore]]: per-bigram terms
+    * ride ln() on exact integer-ratio doubles, quantize to DECIMAL(38,18)
+    * (order-independent sums), final round(…, 6).
+    *
+    * Scale shape: one bigram stream feeds four hash aggregations (counts ×
+    * {seed, all}); scoring left-joins the stream to the seed counts and
+    * inner-joins the general counts on the SAME (w1, w2)/(w1) keys the
+    * aggregations partitioned on; the two vocabulary sizes broadcast as
+    * 1-row frames. Work ∝ corpus tokens, no collect, no all-pairs. */
+  def domainSelect(docs: DataFrame, seedSource: String = "src0")
+      : DataFrame = {
+    val bg = docs.select(col("doc_id"), col("source"), tokens("text").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"),
+        col("b.w2").as("w2"))
+      .localCheckpoint(eager = false) // feeds both models AND scoring
+    val seed = bg.where(col("source") === seedSource)
+    val c2i = seed.groupBy("w1", "w2").agg(count(lit(1)).as("c2i"))
+    val c1i = seed.groupBy("w1").agg(count(lit(1)).as("c1i"))
+    val vi = seed.agg((countDistinct(col("w2")) + 1).as("vi"))
+    val c2g = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2g"))
+    val c1g = bg.groupBy("w1").agg(count(lit(1)).as("c1g"))
+    val vg = bg.agg((countDistinct(col("w2")) + 1).as("vg"))
+    bg
+      .join(c2g, Seq("w1", "w2"))
+      .join(c1g, Seq("w1"))
+      .join(c2i, Seq("w1", "w2"), "left")
+      .join(c1i, Seq("w1"), "left")
+      .crossJoin(broadcast(vi))
+      .crossJoin(broadcast(vg))
+      .withColumn("s",
+        (log((col("c2g") + 1).cast("double") /
+            (col("c1g") + col("vg")).cast("double")) -
+          log((coalesce(col("c2i"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1i"), lit(0L)) + col("vi")).cast("double")))
+          .cast("decimal(38,18)"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6).as("ce_diff"))
+      .orderBy("doc_id")
+  }
+
   /** CURRICULUM difficulty buckets — equi-depth quartiles of the bigram-LM
     * surprisal score ([[bigramLmScore]]): the "order training data easy →
     * hard" binning a curriculum-learning schedule samples from, with the

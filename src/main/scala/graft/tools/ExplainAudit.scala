@@ -39,7 +39,9 @@ object ExplainAudit {
         "q61_role_partial", "q62_role_full", "q63_drillthrough",
         "q64_mdx_qtd", "t32_temperature_mix", "e13_attribution",
         "s10_mmr_rerank", "q65_mdx_toppercent", "m05_phash_neardup",
-        "q67_role_topcount", "e14_session_attribution")
+        "q67_role_topcount", "e14_session_attribution",
+        "t33_repetition_signals", "d18_leakage_split", "d19_containment",
+        "e15_position_attribution", "t34_domain_select")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1070,6 +1070,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!jac.contains((300001L, 7L)) && !jac.contains((7L, 300001L)))
   }
 
+  test("Moore-Lewis selection ranks seed-like documents below off-domain " +
+      "ones, and seed docs score in-domain on the real corpus") {
+    import spark.implicits._
+    // seed domain speaks alpha/beta/gamma; off-domain speaks delta/epsilon;
+    // doc 10 is an unlabeled seed-like doc the selector must surface
+    val corpus = Seq(
+      (1L, "seed", "alpha beta gamma alpha beta gamma alpha beta"),
+      (2L, "seed", "beta gamma alpha beta gamma alpha beta gamma"),
+      (10L, "web", "alpha beta gamma alpha beta gamma alpha beta gamma"),
+      (11L, "web", "delta epsilon delta epsilon delta epsilon delta")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.domainSelect(corpus, seedSource = "seed").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) < out(11L),
+      s"seed-like web doc must score more in-domain: $out")
+    assert(out(10L) < 0, "familiar bigrams: H_in < H_gen")
+    // real corpus: the seed slice itself averages more in-domain than the
+    // rest (it trained the in-domain model)
+    val real = TextOps.domainSelect(docs).collect()
+    val (s0, rest) = real.partition(_.getString(1) == "src0")
+    val mean = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(_.getDouble(3)).sum / rs.length
+    assert(mean(s0) < mean(rest),
+      s"seed mean ${mean(s0)} vs rest ${mean(rest)}")
+  }
+
   test("BPE merges follow frequency order on a hand-computed corpus") {
     import spark.implicits._
     val tiny = Seq((0L, "ab ab ab"), (1L, "abc")).toDF("doc_id", "text")
