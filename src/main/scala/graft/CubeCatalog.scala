@@ -151,15 +151,20 @@ final class CubeCatalog(
     * here (see [[registerStarViews]]). */
   def starFrame(cube: CubeDef, role: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.expr
+    val rs = graft.planner.Roles.resolve(schema, role)
+    rs.foreach(graft.planner.Roles.checkCubeAccess(_, cube.name))
+    // a denied hierarchy (effective "none") or out-of-band level gets no
+    // COLUMNS at all — the planner path 403s those levels on any drill or
+    // cut, so the SQL surface must not publish their values either
     val rls = cube.dimensions.flatMap(d => d.hierarchies.flatMap(h =>
       h.levels.map(l =>
         graft.planner.Planner.ResolvedLevel(d, h, l, h.depthOf(l)))))
+      .filter(rl => rs.forall(
+        graft.planner.Roles.levelAccessible(_, cube, rl)))
     val joined0 = graft.planner.Planner.joinForLevels(this, cube, rls)
     // star views reveal ROWS, so like drillthrough any custom member grant
     // filters them regardless of rollupPolicy (policies govern aggregated
     // CELLS; the rows behind a member are visible iff the member is)
-    val rs = graft.planner.Roles.resolve(schema, role)
-    rs.foreach(graft.planner.Roles.checkCubeAccess(_, cube.name))
     val joined = graft.planner.Roles.customGrants(rs, cube)
       .filter(_.restricts)
       .foldLeft(joined0)((df, g) => df.filter(g.visibleCol))
@@ -186,10 +191,14 @@ final class CubeCatalog(
     * no-role call is the explicit opt-in to an UNRESTRICTED SQL surface. */
   def registerStarViews(role: Option[String] = None): Unit = {
     val rs = graft.planner.Roles.resolve(schema, role)
-    schema.cubes
-      .filter(c => rs.forall(_.cubeVisible(c.name)))
-      .foreach(c =>
-        starFrame(c, role).createOrReplaceTempView(s"${c.name}_star"))
+    schema.cubes.foreach { c =>
+      if (rs.forall(_.cubeVisible(c.name)))
+        starFrame(c, role).createOrReplaceTempView(s"${c.name}_star")
+      else
+        // a view from an earlier, broader registration must not survive a
+        // role-scoped re-registration with full data behind it
+        spark.catalog.dropTempView(s"${c.name}_star")
+    }
   }
 
   /** Release executor-side state this catalog pinned (persisted member

@@ -357,6 +357,14 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Full postings in the same canonical (df asc, value asc) order as
+    * [[prefixPostings]] — the probe side of the containment join, where
+    * the container doc may share only its FREQUENT shingles with the
+    * contained doc's rare-first prefix. threshold ~0 makes the prefix
+    * length formula n − ⌈εn⌉ + 1 = n, i.e. every posting, positioned. */
+  private[graft] def fullPostings(sh: DataFrame): DataFrame =
+    prefixPostings(sh, 1e-12)
+
   /** Prefix-filtered postings for [[ngramJaccardPairs]]. Shingles are put in
     * a canonical corpus-wide order — document frequency ascending (exact for
     * the global top-`hotK` shingles, everything rarer ties at 0), value
@@ -367,14 +375,6 @@ object Dedup {
     * prefixes — so no qualifying pair is lost, while the most frequent
     * (stopword-like) shingles, whose df² posting blowup dominates the join at
     * corpus scale, are exactly the ones dropped. */
-  /** Full postings in the same canonical (df asc, value asc) order as
-    * [[prefixPostings]] — the probe side of the containment join, where
-    * the container doc may share only its FREQUENT shingles with the
-    * contained doc's rare-first prefix. threshold ~0 makes the prefix
-    * length formula n − ⌈εn⌉ + 1 = n, i.e. every posting, positioned. */
-  private[graft] def fullPostings(sh: DataFrame): DataFrame =
-    prefixPostings(sh, 1e-12)
-
   private[graft] def prefixPostings(sh: DataFrame, threshold: Double,
       hotK: Int = 1 << 16): DataFrame = {
     val posting = sh.select(col("block"), col("doc_id"), col("n"),
@@ -482,8 +482,15 @@ object Dedup {
       hashedShingles("text", k).as("sh"))
       .withColumn("n", size(col("sh")))
       .localCheckpoint(eager = false)
-    val pre = prefixPostings(sh, threshold).localCheckpoint(eager = false)
+    // ONE posting pipeline: the contained side's prefix is a position
+    // filter over the same table — the df agg / hot-set sort / per-doc
+    // regroup are paid once, and the A and B sides share one canonical
+    // total order BY CONSTRUCTION (two independent hot-set computations
+    // could in principle break boundary ties differently, which would
+    // invalidate the position filter's shared-order premise)
     val full = fullPostings(sh).localCheckpoint(eager = false)
+    val pre = full.where(col("pos") <=
+      col("n") - ceil(round(col("n") * threshold, 9)) + 1)
     val a = pre.select(col("block").as("block_a"), col("doc_id").as("doc_a"),
       col("n").as("na"), col("s").as("s_a"), col("pos").as("pa"))
     val b = full.select(col("block").as("block_b"),

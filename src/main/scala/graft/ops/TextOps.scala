@@ -515,9 +515,13 @@ object TextOps {
     * hash-partitioned on (w1,w2); the scoring join shuffles on the same
     * keys Catalyst already aggregated on. */
   def bigramLmScore(docs: DataFrame): DataFrame = {
+    // same size < 2 guard as domainSelect: sequence(0, -1) descends
     val bg = docs.select(col("doc_id"), tokens("text").as("w"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        """CASE WHEN size(w) < 2
+          |THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |ELSE transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] AS w1, w[i+1] AS w2)) END""".stripMargin))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .localCheckpoint(eager = false) // feeds model build AND scoring join
@@ -555,9 +559,15 @@ object TextOps {
     * 1-row frames. Work ∝ corpus tokens, no collect, no all-pairs. */
   def domainSelect(docs: DataFrame, seedSource: String = "src0")
       : DataFrame = {
+    // size < 2 guard: Spark's sequence(0, -1) DESCENDS, which would emit
+    // bogus (w, null)/(null, w) bigrams for sub-2-token docs and skew the
+    // count tables (the DuckDB slice idiom emits nothing there)
     val bg = docs.select(col("doc_id"), col("source"), tokens("text").as("w"))
       .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        """CASE WHEN size(w) < 2
+          |THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |ELSE transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] AS w1, w[i+1] AS w2)) END""".stripMargin))
         .as("b"))
       .select(col("doc_id"), col("source"), col("b.w1").as("w1"),
         col("b.w2").as("w2"))

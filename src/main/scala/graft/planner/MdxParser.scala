@@ -485,7 +485,6 @@ object MdxParser {
     }
   }
 
-  /** `[Measures].[M] <op> <number>` with ops > < >= <= = <> (ref A10). */
   /** HEAD/TAIL/SUBSET count: must be a non-negative integer that fits in
     * Int — `limit`/`offset` take Int, and a silent `.toInt` truncation of a
     * larger value would return a WRONG row count instead of erroring. */
@@ -500,6 +499,7 @@ object MdxParser {
     n
   }
 
+  /** `[Measures].[M] <op> <number>` with ops > < >= <= = <> (ref A10). */
   private def parseCondition(cube: CubeDef, s: String): MeasureFilter = {
     val condRe =
       """(?s)^\s*(.*?)\s*(>=|<=|<>|>|<|=)\s*(-?\d+(?:\.\d+)?)\s*$""".r

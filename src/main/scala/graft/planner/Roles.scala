@@ -174,6 +174,18 @@ object Roles {
       } yield dg
     }
 
+  /** Whether the role set can see this level at all: false for a denied
+    * hierarchy or a level outside the union band. [[validateLevels]]'s
+    * predicate without the throw — for surfaces that PROJECT AWAY denied
+    * levels (star views) instead of 403ing the request. */
+  def levelAccessible(rs: RoleSet, cube: CubeDef,
+      rl: Planner.ResolvedLevel): Boolean =
+    effective(rs, cube.name, rl.dim, rl.hier) match {
+      case EffNone => false
+      case EffCustom(dg) => dg.levelVisible(rl.depth)
+      case EffAll => true
+    }
+
   /** 403 any drill/cut/property level the role set cannot see: denied
     * hierarchy, or level outside the union band. */
   def validateLevels(rs: RoleSet, cube: CubeDef,

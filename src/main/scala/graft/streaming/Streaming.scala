@@ -276,10 +276,15 @@ object Streaming {
     // a conversion years after the first click must still see it, so a
     // user's O(1) context lives as long as the stream by default (the
     // buffer itself always drains at the watermark). `stateTtl` bounds it
-    // for deployments that only need attribution within a horizon: a
-    // user's context expires after that much EVENT TIME without activity,
-    // and a later conversion re-attributes from the post-expiry touches
-    // (documented divergence from the batch operator beyond the horizon).
+    // for deployments that only need attribution within a horizon: the
+    // context expires when the EVENT-TIME gap between consecutive events
+    // exceeds the TTL, and a later conversion re-attributes from the
+    // post-gap touches (documented divergence from the batch operator
+    // beyond the horizon). The expiry is enforced IN the ordered apply
+    // loop — a pure function of event times, identical whatever the
+    // micro-batch boundaries — and the state-store cleanup timer merely
+    // removes a context the gap rule already voids (any event accepted
+    // after removal is above the watermark, hence beyond the gap).
     val ttlMs: Option[Long] = stateTtl.map { s =>
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
         .safeStringToInterval(
@@ -287,7 +292,11 @@ object Streaming {
       if (iv == null || iv.months != 0)
         throw new IllegalArgumentException(
           s"stateTtl must be a day/time interval, got '$s'")
-      iv.days * 86400000L + iv.microseconds / 1000L
+      val ms = iv.days * 86400000L + iv.microseconds / 1000L
+      if (ms <= 0)
+        throw new IllegalArgumentException(
+          s"stateTtl must be positive, got '$s'")
+      ms
     }
 
     def micros(t: java.sql.Timestamp): Long =
@@ -297,19 +306,25 @@ object Streaming {
         st: GroupState[AttrSt]): Iterator[AttrOut] = {
       val prev = st.getOption.getOrElse(AttrSt(Nil, None, None))
       var buf = prev.buf
-      var lastT = prev.lastT
       if (!st.hasTimedOut)
-        rows.foreach { r =>
-          val t = micros(r.ts)
-          buf :+= ((t, r.event_id, r.kind, r.etype))
-          if (t > lastT) lastT = t
-        }
+        rows.foreach(r =>
+          buf :+= ((micros(r.ts), r.event_id, r.kind, r.etype)))
       val wmMs = st.getCurrentWatermarkMs()
       val (ready, pending) = buf.partition(_._1 / 1000 <= wmMs)
       var first = prev.first
       var last = prev.last
+      // lastT = the last APPLIED event time: the gap anchor (pending rows
+      // haven't happened yet from the context's point of view)
+      var lastT = prev.lastT
       val out = Seq.newBuilder[AttrOut]
       ready.sortBy(r => (r._1, r._2)).foreach { case (t, id, kind, tp) =>
+        // event-time idle-horizon expiry — a pure function of consecutive
+        // event times, so the output is identical whatever the micro-batch
+        // boundaries (the cleanup timer below never decides semantics)
+        if (ttlMs.exists(ttl => lastT > 0 && t - lastT > ttl * 1000)) {
+          first = None; last = None
+        }
+        if (t > lastT) lastT = t
         if (kind == 0) {
           if (first.isEmpty) first = Some((id, tp))
           last = Some((id, tp, t))
@@ -321,8 +336,10 @@ object Streaming {
       if (pending.isEmpty && first.isEmpty && last.isEmpty) st.remove()
       else if (pending.isEmpty && ttlMs.exists(ttl =>
           st.hasTimedOut && wmMs >= lastT / 1000 + ttl)) {
-        // TTL expiry: buffer drained AND the idle horizon has passed in
-        // EVENT time since the user's last activity — drop the context
+        // state-store CLEANUP (not semantics): buffer drained and the
+        // watermark has passed lastT + ttl, so any event still admitted
+        // has t > watermark ≥ lastT + ttl — the gap rule above would void
+        // this context anyway; dropping it just frees the store
         st.remove()
       } else {
         st.update(AttrSt(pending, first, last, lastT))

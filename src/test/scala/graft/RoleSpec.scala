@@ -500,5 +500,18 @@ class RoleSpec extends AnyFunSuite {
     val regions = spark.sql("SELECT DISTINCT region FROM orders_star")
       .collect().map(_.getAs[Number](0).intValue).toSet
     assert(regions == Set(0, 3), s"unexpected regions $regions")
+    // level band: nation_band sees sales Geography only down to Nation —
+    // the Supplier level's columns must not be published at all (the
+    // planner 403s them on any drill; the SQL surface must match)
+    cat.registerStarViews(Some("nation_band"))
+    val bandCols = spark.table("sales_star").columns.toSet
+    assert(bandCols.exists(_.startsWith("nation")), s"cols: $bandCols")
+    assert(!bandCols.exists(_.startsWith("supplier")),
+      s"banded level leaked into the star view: $bandCols")
+    // a view from an earlier broader registration must NOT survive a
+    // role-scoped re-registration (orders_only cannot see sales)
+    cat.registerStarViews(Some("orders_only"))
+    assert(!spark.catalog.tableExists("sales_star"),
+      "stale sales_star survived a role-scoped re-registration")
   }
 }
