@@ -364,6 +364,88 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class PosOut(conv_id: Long, user_id: Long, conv_ts_us: Long,
+      touch_id: Long, touch_type: String, touch_rank: Long,
+      n_touches: Long, position: String, credit: Double)
+  // reorder buffer + the current journey segment's touch list (in apply
+  // order — rank is the index)
+  final case class PosSt(buf: Seq[(Long, Long, Int, String)],
+      touches: Seq[(Long, String)])
+
+  /** Streaming POSITION-BASED ATTRIBUTION — the continuous twin of
+    * [[graft.ops.EventOps.positionAttribution]]: when the watermark closes
+    * a conversion, it distributes the 40/20/40 U-shaped credit over the
+    * touches of its journey segment and the segment resets — emitted rows
+    * equal the batch operator's for every watermark-closed conversion
+    * (same reorder-buffer discipline as [[attributionStream]]). State per
+    * user is the in-flight buffer plus the CURRENT segment's touch list:
+    * like first-touch retention, an endless never-converting touch stream
+    * grows the list — at scale, bound the input to the touch types that
+    * can convert, or periodize upstream. */
+  def positionAttributionStream(spark: SparkSession, events: DataFrame,
+      delay: String, convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view")): Dataset[PosOut] = {
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def update(userId: Long, rows: Iterator[AttrIn],
+        st: GroupState[PosSt]): Iterator[PosOut] = {
+      val prev = st.getOption.getOrElse(PosSt(Nil, Nil))
+      var buf = prev.buf
+      if (!st.hasTimedOut)
+        rows.foreach(r =>
+          buf :+= ((micros(r.ts), r.event_id, r.kind, r.etype)))
+      val wmMs = st.getCurrentWatermarkMs()
+      val (ready, pending) = buf.partition(_._1 / 1000 <= wmMs)
+      var touches = prev.touches
+      val out = Seq.newBuilder[PosOut]
+      ready.sortBy(r => (r._1, r._2)).foreach { case (t, id, kind, tp) =>
+        if (kind == 0) touches :+= ((id, tp))
+        else {
+          val n = touches.length
+          touches.zipWithIndex.foreach { case ((tid, ttp), i) =>
+            val rn = i + 1
+            val position =
+              if (n == 1) "only"
+              else if (rn == 1) "first"
+              else if (rn == n) "last"
+              else "middle"
+            // same IEEE arithmetic as the batch operator's Columns
+            val credit =
+              if (n == 1) 1.0
+              else if (n == 2) 0.5
+              else if (rn == 1 || rn == n) 0.4
+              else 0.2 / (n - 2)
+            out += PosOut(id, userId, t, tid, ttp, rn.toLong, n.toLong,
+              position, credit)
+          }
+          touches = Nil // the segment resets at its conversion
+        }
+      }
+      if (pending.isEmpty && touches.isEmpty) st.remove()
+      else {
+        st.update(PosSt(pending, touches))
+        if (pending.nonEmpty)
+          st.setTimeoutTimestamp(pending.map(_._1).min / 1000 + 1)
+      }
+      out.result().iterator
+    }
+
+    val kind = when(col("event_type").isin(touchTypes: _*), lit(0))
+      .when(col("event_type") === convType, lit(1))
+    events.withWatermark("ts", delay)
+      .withColumn("kind", kind)
+      .where(col("kind").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("kind"),
+        col("event_type").as("etype"))
+      .as[AttrIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   final case class AnomIn(event_type: String, ts: java.sql.Timestamp,
       value: Double)
   final case class AnomOut(event_type: String, day_i: Long, revenue: Double,

@@ -131,6 +131,33 @@ class StreamingSpec extends AnyFunSuite {
       s"${(unemitted -- lateOk).size} closed conversions missing")
   }
 
+  test("streaming position attribution equals batch for every " +
+      "watermark-closed conversion") {
+    val stream = Streaming.readEventsStream(spark, eventsDir)
+    val name = Streaming.runToMemory(spark,
+      Streaming.positionAttributionStream(spark, stream, "1 minute").toDF(),
+      "posattr_test")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(3))
+    val streamed = spark.table(name).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    val batch = graft.ops.EventOps.positionAttribution(cat.table("events"))
+      .collect().map(r => key(r) -> r.toSeq).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) =>
+      assert(batch.contains(k), s"credit row $k not in batch")
+      assert(batch(k) == v, s"credit row $k differs: ${batch(k)} vs $v")
+    }
+    // only conversions after the final watermark may be unemitted
+    val delayUs = 60L * 1000000L
+    val horizon = cat.table("events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) - delayUs
+    val unemittedConvs = (batch.keySet -- streamed.keySet).map(_._1)
+    val lateOk = batch.collect { case ((conv, _), v)
+      if v(2).asInstanceOf[Long] / 1000 > horizon / 1000 => conv }.toSet
+    assert(unemittedConvs.subsetOf(lateOk),
+      s"${(unemittedConvs -- lateOk).size} closed conversions missing")
+  }
+
   test("streaming funnel's latest row per user equals the batch funnel") {
     val steps = Seq("view", "click", "purchase")
     val stream = Streaming.readEventsStream(spark, eventsDir)
