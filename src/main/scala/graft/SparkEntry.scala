@@ -1028,6 +1028,18 @@ object SparkEntry {
             |FROM sales""".stripMargin))
       }),
       // FILTER (HAVING) + ORDER axis functions
+      // the raw-SQL escape hatch gated END-TO-END: publish the star views,
+      // run plain Spark SQL over sales_star (level columns + measure
+      // inputs; same decimal-exact discipline as the planner path)
+      "q68_star_sql" -> ((s: SparkSession, dir: String) => {
+        CubeCatalog.forDir(s, dir).registerStarViews()
+        s.sql("""SELECT region, region_label,
+          |CAST(SUM(CAST(revenue_raw AS DECIMAL(27,6))) AS DOUBLE)
+          |  AS revenue,
+          |COUNT(1) AS cnt
+          |FROM sales_star GROUP BY region, region_label
+          |ORDER BY region""".stripMargin)
+      }),
       "q38_mdx_filter_order" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -1575,6 +1587,16 @@ object SparkEntry {
          |JOIN nation ON c_nationkey = n_nationkey
          |WHERE n_regionkey IN (0, 3)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q68: the star-view SQL surface — the same join/quantization the
+    // planner would produce, spelled as user SQL over sales_star
+    "q68_star_sql" ->
+      s"""SELECT r_regionkey AS region, r_name AS region_label,
+         |${sumd(REV, "revenue")}, CAST(COUNT(1) AS BIGINT) AS cnt
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q67: the top-3 slots go to VISIBLE nations only (role-scoped set
     // evaluation); their values aggregate visible customers (= complete
     // nation sums — the member grant sits at Region, so a visible
