@@ -1040,6 +1040,18 @@ object SparkEntry {
           |FROM sales_star GROUP BY region, region_label
           |ORDER BY region""".stripMargin)
       }),
+      // the role-scoped SQL surface: the emea member grant filters the
+      // published rows (drillthrough semantics), so user SQL over the
+      // star view can only aggregate the role's regions
+      "q69_star_sql_role" -> ((s: SparkSession, dir: String) => {
+        CubeCatalog.forDir(s, dir).registerStarViews(Some("emea"))
+        s.sql("""SELECT region, region_label,
+          |CAST(SUM(CAST(total_sales_raw AS DECIMAL(27,6))) AS DOUBLE)
+          |  AS total_sales,
+          |COUNT(1) AS cnt
+          |FROM orders_star GROUP BY region, region_label
+          |ORDER BY region""".stripMargin)
+      }),
       "q38_mdx_filter_order" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -1596,6 +1608,18 @@ object SparkEntry {
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q69: the emea grant (customer regions {0, 3}) filters the star
+    // view's ROWS — the SQL surface can only see the role's data
+    "q69_star_sql_role" ->
+      s"""SELECT r_regionkey AS region, r_name AS region_label,
+         |${sumd("o_totalprice", "total_sales")},
+         |CAST(COUNT(1) AS BIGINT) AS cnt
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_regionkey IN (0, 3)
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q67: the top-3 slots go to VISIBLE nations only (role-scoped set
     // evaluation); their values aggregate visible customers (= complete

@@ -366,6 +366,16 @@ object ScaleSweep {
       val rows = Dedup.ngramJaccardPairs(docs, 3, "lang", 0.5).count()
       (rows, Map("threshold" -> "0.5", "n_docs" -> nDocs.toString))
     }
+    // directional containment shares the SSJoin's Σdf² class (prefix ⋈
+    // full index) — budget-capped like it; planted exact dups must appear
+    // at containment 1.0 in the canonical direction
+    if (nDocs <= 200000) time("containment") {
+      val pairs = Dedup.containmentPairs(docs, 3, "lang", 0.8)
+        .localCheckpoint()
+      val rows = pairs.count()
+      (rows, Map("threshold" -> "0.8", "n_docs" -> nDocs.toString,
+        "recall_exact" -> fmt(docRecall(pairs, 0))))
+    }
 
     val params =
       s"""{"bits_auto":$bitsAuto,"tables_auto":$tablesAuto,"nlist_auto":$nlistAuto,"k_sem_auto":$kSemAuto}"""
