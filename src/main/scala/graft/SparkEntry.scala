@@ -633,6 +633,9 @@ object SparkEntry {
       // most-negative = most in-domain (the data-selection classic)
       "t34_domain_select" -> tbl("documents")(
         ops.TextOps.domainSelect(_)),
+      // the one-page per-source corpus health summary (t33 × t34
+      // composition; decimal-quantized means — also served at /reports)
+      "t35_corpus_health" -> tbl("documents")(ops.TextOps.corpusHealth),
       // curriculum quartiles of the t14 score (distributed equi-depth rank)
       "t28_difficulty_buckets" -> tbl("documents")(
         ops.TextOps.difficultyBuckets(_)),
@@ -3063,6 +3066,74 @@ object SparkEntry {
         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
         |ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // t35: the t33 + t34 per-doc recipes joined and rolled up per source;
+    // every mean rides a VARCHAR-hop DECIMAL(27,6) sum (order-independent)
+    "t35_corpus_health" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+        |  length(text) AS nc FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(w[g:g+1], ' ') AS gram
+        |  FROM (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 1)) AS g FROM toks)),
+        |cg2 AS (SELECT doc_id, gram, COUNT(1) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, gram, c, ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM cg2),
+        |g5 AS (SELECT doc_id, array_to_string(w[g:g+4], ' ') AS gram
+        |  FROM (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 4)) AS g FROM toks)),
+        |cg5 AS (SELECT doc_id, gram, COUNT(1) AS c FROM g5 GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id, SUM(CASE WHEN c >= 2
+        |  THEN c * length(gram) END) AS dupchars FROM cg5 GROUP BY 1),
+        |rep AS (SELECT tk.doc_id, tk.source,
+        |  COALESCE(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |    / GREATEST(tk.nc, 1), CAST(0.0 AS DOUBLE)) AS top_char_frac,
+        |  LEAST(CAST(1.0 AS DOUBLE), CAST(COALESCE(d5.dupchars, 0)
+        |    AS DOUBLE) / GREATEST(tk.nc, 1)) AS dup_char_frac
+        |  FROM toks tk
+        |  LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2
+        |    ON tk.doc_id = t2.doc_id
+        |  LEFT JOIN d5 ON tk.doc_id = d5.doc_id),
+        |rep2 AS (SELECT *,
+        |  (top_char_frac > 0.2 OR dup_char_frac > 0.3) AS repetitive
+        |  FROM rep),
+        |bg AS (SELECT doc_id, source, unnest(w[1:len(w)-1]) AS w1,
+        |  unnest(w[2:len(w)]) AS w2 FROM toks),
+        |c2i AS (SELECT w1, w2, COUNT(1) AS c2i FROM bg
+        |  WHERE source = 'src0' GROUP BY 1, 2),
+        |c1i AS (SELECT w1, COUNT(1) AS c1i FROM bg
+        |  WHERE source = 'src0' GROUP BY 1),
+        |vi AS (SELECT COUNT(DISTINCT w2) + 1 AS vi FROM bg
+        |  WHERE source = 'src0'),
+        |c2g AS (SELECT w1, w2, COUNT(1) AS c2g FROM bg GROUP BY 1, 2),
+        |c1g AS (SELECT w1, COUNT(1) AS c1g FROM bg GROUP BY 1),
+        |vg AS (SELECT COUNT(DISTINCT w2) + 1 AS vg FROM bg),
+        |sc AS (SELECT bg.doc_id,
+        |  CAST(CAST(
+        |    ln(CAST(c2g.c2g + 1 AS DOUBLE) / CAST(c1g.c1g + vg.vg AS DOUBLE))
+        |    - ln(CAST(COALESCE(c2i.c2i, 0) + 1 AS DOUBLE)
+        |        / CAST(COALESCE(c1i.c1i, 0) + vi.vi AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,18)) AS s
+        |  FROM bg
+        |  JOIN c2g ON bg.w1 = c2g.w1 AND bg.w2 = c2g.w2
+        |  JOIN c1g ON bg.w1 = c1g.w1
+        |  LEFT JOIN c2i ON bg.w1 = c2i.w1 AND bg.w2 = c2i.w2
+        |  LEFT JOIN c1i ON bg.w1 = c1i.w1
+        |  CROSS JOIN vi CROSS JOIN vg),
+        |ce AS (SELECT doc_id, round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6)
+        |  AS ce_diff FROM sc GROUP BY doc_id)
+        |SELECT r.source, CAST(COUNT(1) AS BIGINT) AS docs,
+        |  CAST(SUM(CASE WHEN r.repetitive THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive,
+        |  CAST(SUM(CASE WHEN r.repetitive THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(1) AS repetitive_frac,
+        |  CAST(SUM(CAST(CAST(r.top_char_frac AS VARCHAR)
+        |    AS DECIMAL(27,6))) AS DOUBLE) / COUNT(1) AS mean_top_char_frac,
+        |  CAST(SUM(CAST(CAST(r.dup_char_frac AS VARCHAR)
+        |    AS DECIMAL(27,6))) AS DOUBLE) / COUNT(1) AS mean_dup_char_frac,
+        |  CAST(SUM(CAST(CAST(ce.ce_diff AS VARCHAR)
+        |    AS DECIMAL(27,6))) AS DOUBLE) / COUNT(ce.ce_diff)
+        |    AS mean_ce_diff
+        |FROM rep2 r LEFT JOIN ce ON r.doc_id = ce.doc_id
+        |GROUP BY r.source ORDER BY r.source""".stripMargin,
     // t29: the naive windowed spelling of the per-source prefix sum (the
     // Spark side computes the same totals two-phase, bucket-distributed)
     "t29_budget_sample" ->

@@ -34,7 +34,11 @@ object Reports {
       c => Analytics.rfmSegments(c.table("orders"))),
     "copurchase_lift" -> ("Market-basket brand pairs by lift " +
       "(top-20, >= 5 co-orders)",
-      c => Analytics.copurchaseLift(c.table("lineitem"), c.table("part"))))
+      c => Analytics.copurchaseLift(c.table("lineitem"), c.table("part"))),
+    "corpus_health" -> ("Per-source corpus health: repetitive-doc " +
+      "fraction (Gopher filters), mean repetition coverage, mean " +
+      "Moore-Lewis ce_diff vs the src0 seed domain",
+      c => graft.ops.TextOps.corpusHealth(c.table("documents"))))
 
   def list: Seq[ListMap[String, String]] =
     registry.toSeq.map { case (name, (desc, _)) =>

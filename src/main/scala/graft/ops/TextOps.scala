@@ -598,6 +598,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source CORPUS HEALTH report — the one-page summary a corpus build
+    * publishes before training: document counts, the fraction tripping the
+    * Gopher repetition filters ([[repetitionSignals]]), mean repetition
+    * coverages, and the mean Moore-Lewis cross-entropy difference vs the
+    * seed domain ([[domainSelect]]). Pure composition of the two gated
+    * per-doc operators; the means ride DECIMAL(27,6)-quantized sums so the
+    * 4-row result is aggregation-order-independent (bit-exact replayable).
+    * Report-sized output by construction — REST-safe (`/reports`). */
+  def corpusHealth(docs: DataFrame): DataFrame = {
+    val rep = repetitionSignals(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val dom = domainSelect(docs).select(col("doc_id"), col("ce_diff"))
+    def decSum(c: String) =
+      sum(col(c).cast("decimal(27,6)")).cast("double")
+    rep.join(dom, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"),
+        (sum(when(col("repetitive"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("repetitive_frac"),
+        (decSum("top_char_frac") / count(lit(1))).as("mean_top_char_frac"),
+        (decSum("dup_char_frac") / count(lit(1))).as("mean_dup_char_frac"),
+        (decSum("ce_diff") / count(col("ce_diff"))).as("mean_ce_diff"))
+      .orderBy("source")
+  }
+
   /** CURRICULUM difficulty buckets — equi-depth quartiles of the bigram-LM
     * surprisal score ([[bigramLmScore]]): the "order training data easy →
     * hard" binning a curriculum-learning schedule samples from, with the

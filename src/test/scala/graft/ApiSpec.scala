@@ -317,7 +317,8 @@ class ApiSpec extends AnyFunSuite {
     assert(lc == 200)
     val names = Json.parse(listing).asInstanceOf[Map[String, Any]]("reports")
       .asInstanceOf[Seq[Map[String, Any]]].map(_("name"))
-    assert(names == Seq("dq_audit", "rfm_segments", "copurchase_lift"))
+    assert(names == Seq("dq_audit", "rfm_segments", "copurchase_lift",
+      "corpus_health"))
     // JSONRecords rows must equal the library call the q51 gate verifies
     val (code, body) = get("/reports/dq_audit")
     assert(code == 200)
