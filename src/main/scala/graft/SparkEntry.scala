@@ -481,6 +481,11 @@ object SparkEntry {
       // first/last-touch models are e13) — windows per user, no self-join
       "e15_position_attribution" -> tbl("events")(
         ops.EventOps.positionAttribution(_)),
+      // exponential-recency credit, 24 h half-life (sized to this
+      // corpus's ≤ 21-day touch→conversion gaps; see the decimal floor
+      // note in the scaladoc)
+      "e16_time_decay_attribution" -> tbl("events")(
+        ops.EventOps.timeDecayAttribution(_, 1440)),
       // the in-session form: touches attribute only within the
       // conversion's own 30-minute session (e01's boundaries)
       "e14_session_attribution" -> tbl("events")(
@@ -3227,6 +3232,34 @@ object SparkEntry {
         |    ELSE CAST(0.2 AS DOUBLE) / (t.n - 2) END AS credit
         |FROM c JOIN t ON c.user_id = t.user_id AND c.seg = t.seg
         |ORDER BY conv_id, touch_rank""".stripMargin,
+    // e16: same journey segments as e15; per-touch weight
+    // power(2, −Δt/h) quantized through DECIMAL(38,18) (order-independent
+    // normalizer), credit rounded at 1e-9 (the t14 libm discipline)
+    "e16_time_decay_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |seg AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |  THEN 1 END) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        |  FROM e),
+        |t AS (SELECT user_id, seg, event_id AS touch_id,
+        |  ts_us AS touch_ts_us, event_type AS touch_type
+        |  FROM seg WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id, seg, event_id AS conv_id,
+        |  ts_us AS conv_ts_us FROM seg WHERE event_type = 'purchase'),
+        |j AS (SELECT c.conv_id, c.user_id, c.conv_ts_us, t.touch_id,
+        |  t.touch_type, c.conv_ts_us - t.touch_ts_us AS us_before_conv,
+        |  CAST(CAST(power(2.0, -(CAST(c.conv_ts_us - t.touch_ts_us
+        |    AS DOUBLE) / 86400000000.0)) AS VARCHAR) AS DECIMAL(38,18))
+        |    AS w_dec
+        |  FROM c JOIN t ON c.user_id = t.user_id AND c.seg = t.seg)
+        |SELECT conv_id, user_id, conv_ts_us, touch_id, touch_type,
+        |  us_before_conv,
+        |  round(CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec)
+        |    OVER (PARTITION BY conv_id) AS DOUBLE), 9) AS credit
+        |FROM j ORDER BY conv_id, us_before_conv, touch_id""".stripMargin,
     "e13_attribution" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  event_type FROM events),

@@ -456,6 +456,68 @@ object EventOps {
       .orderBy("conv_id", "touch_rank")
   }
 
+  /** TIME-DECAY MULTI-TOUCH ATTRIBUTION — each conversion distributes
+    * credit over its journey segment's touches with exponential recency
+    * weighting: raw weight 2^(−Δt/halfLife) (a touch `halfLife` minutes
+    * before the conversion earns half the weight of one at the instant),
+    * normalized per conversion — the fourth standard model next to
+    * first/last-touch ([[attribution]]) and U-shaped
+    * ([[positionAttribution]]).
+    *
+    * Cross-engine exactness: pow(2, −Δt/h) is evaluated on identical IEEE
+    * inputs (exact µs-integer ratios); each raw weight is quantized to
+    * DECIMAL(38,18) so the per-conversion normalizer is an
+    * aggregation-ORDER-independent decimal sum, and the final
+    * round(credit, 9) absorbs any sub-nano libm drift (the t14 ln()
+    * discipline, applied to exp2).
+    *
+    * The DECIMAL(38,18) quantization floors weights below 1e-18 to zero —
+    * a touch more than ~60 half-lives before its conversion carries no
+    * credit (and a conversion whose every touch is that stale nulls out);
+    * size `halfLife` to the corpus's touch-to-conversion span (a 24 h
+    * half-life covers gaps up to ~60 days).
+    *
+    * Same scale shape as [[positionAttribution]]: segment windows over the
+    * user partition, the normalizer a conversion-sized window — no
+    * self-joins, no data-sized windows. */
+  def timeDecayAttribution(events: DataFrame, halfLifeMinutes: Int = 60,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    require(halfLifeMinutes > 0, "halfLife must be positive")
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    val isConv = col("event_type") === convType
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val ev = events
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .where(isTouch || isConv)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("seg", coalesce(sum(when(isConv, 1L))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val touches = ev.where(isTouch)
+      .select(col("user_id"), col("seg"), col("event_id").as("touch_id"),
+        col("ts_us").as("touch_ts_us"), col("event_type").as("touch_type"))
+    val convs = ev.where(isConv)
+      .select(col("user_id"), col("seg"), col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts_us"))
+    val halfLifeUs = halfLifeMinutes * 60L * 1000000L
+    val w = Window.partitionBy("conv_id")
+    touches.join(convs, Seq("user_id", "seg"))
+      .withColumn("w_dec",
+        pow(lit(2.0), -((col("conv_ts_us") - col("touch_ts_us"))
+          .cast("double") / lit(halfLifeUs.toDouble)))
+          .cast("decimal(38,18)"))
+      .withColumn("credit", round(
+        col("w_dec").cast("double") /
+          sum(col("w_dec")).over(w).cast("double"), 9))
+      .select(col("conv_id"), col("user_id"), col("conv_ts_us"),
+        col("touch_id"), col("touch_type"),
+        ((col("conv_ts_us") - col("touch_ts_us"))).as("us_before_conv"),
+        col("credit"))
+      .orderBy("conv_id", "us_before_conv", "touch_id")
+  }
+
   /** IN-SESSION ATTRIBUTION — [[attribution]] scoped to the conversion's
     * own session (the standard e-commerce ask: "which touch in THIS visit
     * converted"): session boundaries come from the same gaps-and-islands

@@ -1047,6 +1047,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!out.contains((7L, 1L)))
   }
 
+  test("time-decay attribution: half-life weights on a hand-built " +
+      "journey; credits sum to ~1 per conversion on the real stream") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val h = 3600L * 1000L // one hour in ms = the test half-life
+    val ev = Seq(
+      // touch 1h before (weight 1/2) and touch at the instant (weight 1)
+      (1L, 1L, 0L, "click"), (2L, 1L, h, "view"),
+      (3L, 1L, h, "purchase")
+    ).map { case (id, u, ms, t) => (id, u, new Timestamp(ms), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.timeDecayAttribution(ev, 60).collect()
+      .map(r => r.getLong(3) -> r.getDouble(6)).toMap
+    assert(out(1L) == math.rint(0.5 / 1.5 * 1e9) / 1e9, s"got $out")
+    assert(out(2L) == math.rint(1.0 / 1.5 * 1e9) / 1e9)
+    // real stream: per-conversion credits sum to 1 up to the 1e-9 rounding
+    val real = EventOps.timeDecayAttribution(cat.table("events"), 1440)
+      .collect().groupBy(_.getLong(0))
+    assert(real.nonEmpty)
+    real.foreach { case (conv, rows) =>
+      val s = rows.map(_.getDouble(6)).sum
+      assert(math.abs(s - 1.0) < rows.length * 1e-9 + 1e-12,
+        s"conversion $conv credits sum to $s")
+    }
+  }
+
   test("containment join finds a planted quote-expansion pair the " +
       "symmetric Jaccard join misses at the same threshold") {
     import spark.implicits._
