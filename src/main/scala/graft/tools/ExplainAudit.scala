@@ -41,7 +41,9 @@ object ExplainAudit {
         "s10_mmr_rerank", "q65_mdx_toppercent", "m05_phash_neardup",
         "q67_role_topcount", "e14_session_attribution",
         "t33_repetition_signals", "d18_leakage_split", "d19_containment",
-        "e15_position_attribution", "t34_domain_select")
+        "e15_position_attribution", "t34_domain_select",
+        "t35_corpus_health", "e16_time_decay_attribution", "q68_star_sql",
+        "q69_star_sql_role")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
