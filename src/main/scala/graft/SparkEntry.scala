@@ -130,6 +130,12 @@ object SparkEntry {
     "q19_virtual_cube" -> CubeQuery("commerce",
       Seq(drill("Geography", "Region")),
       Seq("revenue", "total_sales", "rev_per_order")),
+    // B10 × B18: drill-across under a role — each member cube enforces
+    // ITS OWN grants (emea restricts orders' customer regions to {0, 3};
+    // sales is ungranted → full), Mondrian's per-cube schema-reader rule
+    "q70_role_virtual" -> CubeQuery("commerce",
+      Seq(drill("Geography", "Region")),
+      Seq("revenue", "total_sales"), role = Some("emea")),
     // B15: grand total (all-member, no drilldown)
     "q20_grand_total" -> CubeQuery("sales", Nil,
       Seq("revenue", "sum_qty", "cnt", "order_cnt")),
@@ -1549,6 +1555,23 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT region, region_label, revenue, total_sales,
          |revenue / order_count AS rev_per_order
+         |FROM s FULL JOIN o USING (region, region_label)
+         |ORDER BY region""".stripMargin,
+    // q70: the orders part carries the emea region filter, the sales part
+    // doesn't — outside {0, 3} total_sales is NULL while revenue survives
+    "q70_role_virtual" ->
+      s"""WITH s AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2),
+         |o AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd("o_totalprice", "total_sales")}
+         |  $CUST_GEO_JOIN
+         |  WHERE r_regionkey IN (0, 3)
+         |  GROUP BY 1, 2)
+         |SELECT region, region_label, revenue, total_sales
          |FROM s FULL JOIN o USING (region, region_label)
          |ORDER BY region""".stripMargin,
     "q20_grand_total" ->
