@@ -96,6 +96,14 @@ final class CubeCatalog(
       compute: => DataFrame): DataFrame =
     memberFrameCache.getOrElseUpdate(key, compute.persist())
 
+  // COUNT(Members) constants: (cube, level id, role name) → member count
+  // (MDX adhoc-count substitution — Planner.resolveAdhocCounts)
+  private val memberCountCache = TrieMap.empty[(String, String, String), Long]
+
+  def cachedMemberCount(key: (String, String, String))(
+      compute: => Long): Long =
+    memberCountCache.getOrElseUpdate(key, compute)
+
   // QUERY-RESULT cache — the Mondrian cell/segment-cache analog and the
   // reason the reference exposes /flush at all (api.rb:52-64): repeated
   // dashboard queries answer from memory without a Spark job. Keyed by the
@@ -213,6 +221,7 @@ final class CubeCatalog(
     rollupReg.clear()
     topKCache.clear()
     topShareCache.clear()
+    memberCountCache.clear()
   }
 }
 

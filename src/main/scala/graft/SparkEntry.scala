@@ -1066,6 +1066,19 @@ object SparkEntry {
           |FROM orders_star GROUP BY region, region_label
           |ORDER BY region""".stripMargin)
       }),
+      // COUNT(Members) in a calculated member — the per-member-average
+      // denominator, a plan-time schema-reader constant (memoized per
+      // catalog; role-visible members under a role)
+      "q71_mdx_count" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[rev_per_brand] AS
+            |  '[Measures].[Revenue] / COUNT([Part].[Brands].[Brand].Members)'
+            |SELECT {[Measures].[Revenue], [Measures].[rev_per_brand]}
+            |  ON COLUMNS,
+            |[Geography].[Region].Members ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       "q38_mdx_filter_order" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -1557,6 +1570,17 @@ object SparkEntry {
          |revenue / order_count AS rev_per_order
          |FROM s FULL JOIN o USING (region, region_label)
          |ORDER BY region""".stripMargin,
+    // q71: COUNT(Brand.Members) is the distinct-brand count of the dim
+    // table (the schema reader's member list, slicer-independent)
+    "q71_mdx_count" ->
+      s"""WITH n AS (SELECT COUNT(DISTINCT p_brand) AS nb FROM part),
+         |r AS (SELECT r_regionkey AS region, r_name AS region_label,
+         |  ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2)
+         |SELECT region, region_label, revenue,
+         |  revenue / CAST(nb AS DOUBLE) AS rev_per_brand
+         |FROM r CROSS JOIN n ORDER BY region""".stripMargin,
     // q70: the orders part carries the emea region filter, the sales part
     // doesn't — outside {0, 3} total_sales is NULL while revenue survives
     "q70_role_virtual" ->

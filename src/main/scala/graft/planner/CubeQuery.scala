@@ -94,6 +94,12 @@ final case class CubeQuery(
     // `Avg(LastPeriods(n), [M])` — synthesized the same way.
     adhocCums: Seq[graft.model.CumMeasureDef] = Nil,
     adhocMovings: Seq[graft.model.MovingMeasureDef] = Nil,
+    // `COUNT(<level>.Members)` inside a WITH MEMBER formula — (alias,
+    // level). Mondrian evaluates Level.Members through the schema reader
+    // (role-visible members, NOT slicer-filtered), so the value is a
+    // plan-time constant per (cube, level, role): the planner substitutes
+    // the memoized count into the formula before calc evaluation.
+    adhocCounts: Seq[(String, LevelRef)] = Nil,
     // B18: evaluate under this schema-declared role's grants. Part of the
     // case-class identity ON PURPOSE — the per-catalog query-result cache
     // keys on the normalized CubeQuery, so two roles can never share a

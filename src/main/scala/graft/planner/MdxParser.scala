@@ -92,9 +92,10 @@ object MdxParser {
           }
         val memberClause = Option(withClause)
           .map(setRe.replaceAllIn(_, "").trim).filter(_.nonEmpty)
-        val (adhoc, adhocLags, adhocTotals, adhocCums, adhocMovings) =
+        val (adhoc, adhocLags, adhocTotals, adhocCums, adhocMovings,
+            adhocCounts) =
           memberClause.map(parseWithMembers(cube, _))
-            .getOrElse((Nil, Nil, Nil, Nil, Nil))
+            .getOrElse((Nil, Nil, Nil, Nil, Nil, Nil))
         // adhoc aliases resolve on an augmented view of the cube so the
         // measure axis (and nested FILTER/ORDER) can reference them
         val augmented = cube.copy(calcMembers = cube.calcMembers ++ adhoc,
@@ -133,7 +134,7 @@ object MdxParser {
           distinct = axis.distinct,
           adhocCalcs = adhoc, adhocLags = adhocLags,
           adhocTotals = adhocTotals, adhocCums = adhocCums,
-          adhocMovings = adhocMovings)
+          adhocMovings = adhocMovings, adhocCounts = adhocCounts)
       case _ => GraftException.badRequest(
         "cannot parse MDX (supported: [WITH MEMBER...] SELECT <measures> ON COLUMNS, <set> ON ROWS FROM <cube> [WHERE <tuple>])")
     }
@@ -161,11 +162,16 @@ object MdxParser {
     *     level of the cube's time dimension);
     *   - `Avg(LastPeriods(n[, [T].CurrentMember]), [M])` → a synthesized
     *     [[MovingMeasureDef]] (trailing n-member mean over the calendar
-    *     domain).
+    *     domain);
+    *   - `COUNT(<level>.Members)` → the schema reader's member count of the
+    *     level (role-visible, slicer-independent — Mondrian semantics), a
+    *     plan-time constant substituted by the planner
+    *     ([[CubeQuery.adhocCounts]]) — the per-member-average denominator.
     */
   private def parseWithMembers(cube: CubeDef, s: String)
       : (Seq[CalcMemberDef], Seq[LagMeasureDef], Seq[TotalMeasureDef],
-         Seq[CumMeasureDef], Seq[MovingMeasureDef]) = {
+         Seq[CumMeasureDef], Seq[MovingMeasureDef],
+         Seq[(String, LevelRef)]) = {
     // Bracketed aliases take ANY non-']' chars (spaces included — standard
     // MDX names like [Profit Margin]); only the bare unbracketed form is
     // restricted to non-space tokens.
@@ -181,6 +187,8 @@ object MdxParser {
       scala.collection.mutable.LinkedHashMap.empty[String, CumMeasureDef]
     val movings =
       scala.collection.mutable.LinkedHashMap.empty[String, MovingMeasureDef]
+    val counts =
+      scala.collection.mutable.LinkedHashMap.empty[String, LevelRef]
     // the cube's single time dimension — the implicit argument of Ytd() and
     // LastPeriods(n) with no explicit member (Mondrian resolves them against
     // the TimeDimension; ambiguous with several, so that 400s)
@@ -335,6 +343,27 @@ object MdxParser {
         java.util.regex.Matcher.quoteReplacement(
           synthMoving(mm.group(3), dim, mm.group(1).toInt))
       })
+      // `COUNT(<level>.Members)` — the schema reader's member count of the
+      // level (role-visible, not slicer-filtered, Mondrian semantics): a
+      // plan-time constant the planner substitutes (see
+      // CubeQuery.adhocCounts), enabling per-member-average formulas like
+      // `[Revenue] / COUNT([Brand].Members)`
+      val countRe = ("""(?is)COUNT\s*\(\s*""" +
+        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\.\s*MEMBERS\s*\)""").r
+      formula = countRe.replaceAllIn(formula, mm => {
+        val ref = QueryParser.segments(mm.group(1)) match {
+          case Seq(d, l) => LevelRef(d, Some(l))
+          case Seq(d, h, l) => LevelRef(d, Some(l), Some(h))
+          case other => GraftException.badRequest(
+            s"bad COUNT member set '${mm.group(1)}'")
+        }
+        Planner.resolve(cube, ref) // 400s on unknown paths at parse time
+        val a = ("__mdx_cnt_" + ref.dim + "_" +
+          ref.hierarchy.getOrElse("") + "_" + ref.level.get)
+          .replaceAll("\\W", "_")
+        counts.getOrElseUpdate(a, ref)
+        java.util.regex.Matcher.quoteReplacement(a)
+      })
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
       formula = measureRef.replaceAllIn(formula,
         mm => resolveMeasure(cube, mm.group(1)))
@@ -348,7 +377,8 @@ object MdxParser {
       CalcMemberDef(alias, formula)
     }
     (calcs, lags.values.toSeq, totals.values.toSeq,
-      cums.values.toSeq, movings.values.toSeq)
+      cums.values.toSeq, movings.values.toSeq,
+      counts.toSeq)
   }
 
   /** Parsed row axis: a set plus its axis-level wrappers. */

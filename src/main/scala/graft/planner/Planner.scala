@@ -35,10 +35,47 @@ object Planner {
     ResolvedLevel(dim, hier, level, hier.depthOf(level))
   }
 
-  def plan(cat: CubeCatalog, q: CubeQuery): DataFrame =
+  def plan(cat: CubeCatalog, q0: CubeQuery): DataFrame = {
+    val q = resolveAdhocCounts(cat, q0)
     cat.schema.virtualCube(q.cube) match {
       case Some(vc) => planVirtual(cat, withAdhoc(vc, q), q)
       case None => planCube(cat, withAdhoc(cat.cube(q.cube), q), q)
+    }
+  }
+
+  /** MDX `COUNT(<level>.Members)`: substitute the schema reader's member
+    * count — role-visible members of the level, NOT slicer-filtered
+    * (Mondrian semantics) — into the calc formulas as a literal. The count
+    * is a per-(cube, level, role) constant, memoized on the catalog (the
+    * member frame itself is executor-persisted; the count job runs once
+    * per catalog lifetime and /flush drops it with everything else). */
+  private def resolveAdhocCounts(cat: CubeCatalog, q: CubeQuery): CubeQuery =
+    if (q.adhocCounts.isEmpty) q
+    else {
+      if (cat.schema.virtualCube(q.cube).nonEmpty)
+        GraftException.badRequest(
+          s"COUNT(Members) is not supported on virtual cube '${q.cube}'")
+      val cube = cat.cube(q.cube)
+      val rs = Roles.resolve(cat.schema, q.role)
+      rs.foreach(Roles.checkCubeAccess(_, cube.name))
+      val subst = q.adhocCounts.map { case (alias, ref) =>
+        val rl = resolve(cube, ref)
+        rs.foreach(Roles.validateLevels(_, cube, Seq(rl)))
+        val n = cat.cachedMemberCount((cube.name,
+          s"${rl.dim.name}.${rl.hier.name}.${rl.level.name}",
+          rs.map(_.name).getOrElse(""))) {
+          graft.result.Metadata.levelMembersDf(cat, cube, ref,
+            withProps = false,
+            roleFilter = rs.flatMap(Roles.memberFilter(_, cube, rl))).count()
+        }
+        alias -> n
+      }
+      q.copy(
+        adhocCalcs = q.adhocCalcs.map(c => c.copy(formula =
+          subst.foldLeft(c.formula) { case (f, (alias, n)) =>
+            f.replace(alias, s"CAST($n AS DOUBLE)")
+          })),
+        adhocCounts = Nil)
     }
 
   /** Merge query-scoped calc members (MDX WITH MEMBER) into the cube's

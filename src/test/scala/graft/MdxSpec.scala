@@ -757,6 +757,31 @@ class MdxSpec extends AnyFunSuite {
     }
   }
 
+  test("WITH MEMBER COUNT(level.Members) is the schema reader's member " +
+      "count — role-scoped under a role; unknown levels 400 at parse") {
+    val orders = cat.cube("orders")
+    def q = MdxParser.parse(orders,
+      """WITH MEMBER [Measures].[spn] AS
+        |  '[Measures].[total_sales] / COUNT([Geography].[Nation].Members)'
+        |SELECT {[Measures].[total_sales], [Measures].[spn]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM orders""".stripMargin)
+    def denominator(role: Option[String]): Double = {
+      val r = Planner.plan(cat, q.copy(role = role)).collect().head
+      r.getDouble(2) / r.getDouble(3)
+    }
+    // 25 nations in the schema; emea sees only regions {0, 3} → the
+    // testdata's nation k maps to region k % 5 → 10 visible nations
+    assert(math.abs(denominator(None) - 25.0) < 1e-6)
+    assert(math.abs(denominator(Some("emea")) - 10.0) < 1e-6)
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  'COUNT([Geography].[Bogus].Members)'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+  }
+
   test("non-finite TOPPERCENT/TOPSUM thresholds and out-of-Int-range or " +
       "garbage HEAD/TAIL/SUBSET counts are 400s, not silent wrong answers") {
     def bad(mdx: String): Unit =
