@@ -348,7 +348,10 @@ object MdxParser {
       // plan-time constant the planner substitutes (see
       // CubeQuery.adhocCounts), enabling per-member-average formulas like
       // `[Revenue] / COUNT([Brand].Members)`
-      val countRe = ("""(?is)COUNT\s*\(\s*""" +
+      // (?<!\w): bare COUNT only — an identifier ending in "Count(" (e.g.
+      // DistinctCount) must fall through to the leftover-bracket 400, not
+      // get its tail silently rewritten
+      val countRe = ("""(?is)(?<!\w)COUNT\s*\(\s*""" +
         """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\.\s*MEMBERS\s*\)""").r
       formula = countRe.replaceAllIn(formula, mm => {
         val ref = QueryParser.segments(mm.group(1)) match {
@@ -358,10 +361,19 @@ object MdxParser {
             s"bad COUNT member set '${mm.group(1)}'")
         }
         Planner.resolve(cube, ref) // 400s on unknown paths at parse time
-        val a = ("__mdx_cnt_" + ref.dim + "_" +
-          ref.hierarchy.getOrElse("") + "_" + ref.level.get)
-          .replaceAll("\\W", "_")
-        counts.getOrElseUpdate(a, ref)
+        // dedupe on the LevelRef, not the sanitized name: two levels whose
+        // names differ only in non-word chars must not collide onto one
+        // alias (uniquify with a suffix instead)
+        val a = counts.find(_._2 == ref).map(_._1).getOrElse {
+          val base = ("__mdx_cnt_" + ref.dim + "_" +
+            ref.hierarchy.getOrElse("") + "_" + ref.level.get)
+            .replaceAll("\\W", "_")
+          val unique = Iterator.from(0)
+            .map(i => if (i == 0) base else s"${base}_$i")
+            .find(!counts.contains(_)).get
+          counts(unique) = ref
+          unique
+        }
         java.util.regex.Matcher.quoteReplacement(a)
       })
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r

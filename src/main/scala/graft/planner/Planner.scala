@@ -73,7 +73,12 @@ object Planner {
       q.copy(
         adhocCalcs = q.adhocCalcs.map(c => c.copy(formula =
           subst.foldLeft(c.formula) { case (f, (alias, n)) =>
-            f.replace(alias, s"CAST($n AS DOUBLE)")
+            // word-bounded: one alias may be a strict prefix of another
+            // (Month vs MonthName) — a plain replace would corrupt the
+            // longer token
+            f.replaceAll(
+              "\\b" + java.util.regex.Pattern.quote(alias) + "\\b",
+              s"CAST($n AS DOUBLE)")
           })),
         adhocCounts = Nil)
     }

@@ -20,6 +20,27 @@ import graft.model.GraftException
   */
 object Streaming {
 
+  // exact µs (getTime is ms-truncated; getNanos carries the fraction)
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Parse a state-TTL interval string to positive milliseconds (shared by
+    * the attribution streams' idle-horizon expiry). */
+  private def ttlMillis(stateTtl: Option[String]): Option[Long] =
+    stateTtl.map { s =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .safeStringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s.trim))
+      if (iv == null || iv.months != 0)
+        throw new IllegalArgumentException(
+          s"stateTtl must be a day/time interval, got '$s'")
+      val ms = iv.days * 86400000L + iv.microseconds / 1000L
+      if (ms <= 0)
+        throw new IllegalArgumentException(
+          s"stateTtl must be positive, got '$s'")
+      ms
+    }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
@@ -50,9 +71,6 @@ object Streaming {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    // exact µs (getTime is ms-truncated; getNanos carries the fraction)
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -126,8 +144,6 @@ object Streaming {
       states: DataFrame, delay: String): Dataset[AsofOut] = {
     import spark.implicits._
 
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     def update(userId: Long, rows: Iterator[AsofIn],
         st: GroupState[AsofBuf]): Iterator[AsofOut] = {
@@ -201,8 +217,6 @@ object Streaming {
     import spark.implicits._
     require(steps.size >= 2, "a funnel needs at least two steps")
 
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     def update(userId: Long, rows: Iterator[FunnelIn],
         st: GroupState[FunnelSt]): Iterator[FunnelProg] = {
@@ -285,22 +299,8 @@ object Streaming {
     // micro-batch boundaries — and the state-store cleanup timer merely
     // removes a context the gap rule already voids (any event accepted
     // after removal is above the watermark, hence beyond the gap).
-    val ttlMs: Option[Long] = stateTtl.map { s =>
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .safeStringToInterval(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s.trim))
-      if (iv == null || iv.months != 0)
-        throw new IllegalArgumentException(
-          s"stateTtl must be a day/time interval, got '$s'")
-      val ms = iv.days * 86400000L + iv.microseconds / 1000L
-      if (ms <= 0)
-        throw new IllegalArgumentException(
-          s"stateTtl must be positive, got '$s'")
-      ms
-    }
+    val ttlMs: Option[Long] = ttlMillis(stateTtl)
 
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     def update(userId: Long, rows: Iterator[AttrIn],
         st: GroupState[AttrSt]): Iterator[AttrOut] = {
@@ -368,9 +368,9 @@ object Streaming {
       touch_id: Long, touch_type: String, touch_rank: Long,
       n_touches: Long, position: String, credit: Double)
   // reorder buffer + the current journey segment's touch list (in apply
-  // order — rank is the index)
+  // order — rank is the index); lastT anchors the TTL idle horizon
   final case class PosSt(buf: Seq[(Long, Long, Int, String)],
-      touches: Seq[(Long, String)])
+      touches: Seq[(Long, String)], lastT: Long = 0L)
 
   /** Streaming POSITION-BASED ATTRIBUTION — the continuous twin of
     * [[graft.ops.EventOps.positionAttribution]]: when the watermark closes
@@ -379,16 +379,19 @@ object Streaming {
     * equal the batch operator's for every watermark-closed conversion
     * (same reorder-buffer discipline as [[attributionStream]]). State per
     * user is the in-flight buffer plus the CURRENT segment's touch list:
-    * like first-touch retention, an endless never-converting touch stream
-    * grows the list — at scale, bound the input to the touch types that
-    * can convert, or periodize upstream. */
+    * an endless never-converting touch stream grows the list, so
+    * `stateTtl` bounds it the same way as [[attributionStream]]'s — the
+    * segment resets when the EVENT-TIME gap between consecutive events
+    * exceeds the TTL (deterministic whatever the batch boundaries;
+    * documented divergence from batch beyond the horizon), and the
+    * cleanup timer reclaims idle users' store entries. */
   def positionAttributionStream(spark: SparkSession, events: DataFrame,
       delay: String, convType: String = "purchase",
-      touchTypes: Seq[String] = Seq("click", "view")): Dataset[PosOut] = {
+      touchTypes: Seq[String] = Seq("click", "view"),
+      stateTtl: Option[String] = None): Dataset[PosOut] = {
     import spark.implicits._
 
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val ttlMs: Option[Long] = ttlMillis(stateTtl)
 
     def update(userId: Long, rows: Iterator[AttrIn],
         st: GroupState[PosSt]): Iterator[PosOut] = {
@@ -400,8 +403,13 @@ object Streaming {
       val wmMs = st.getCurrentWatermarkMs()
       val (ready, pending) = buf.partition(_._1 / 1000 <= wmMs)
       var touches = prev.touches
+      var lastT = prev.lastT
       val out = Seq.newBuilder[PosOut]
       ready.sortBy(r => (r._1, r._2)).foreach { case (t, id, kind, tp) =>
+        // event-time idle-horizon expiry (see attributionStream)
+        if (ttlMs.exists(ttl => lastT > 0 && t - lastT > ttl * 1000))
+          touches = Nil
+        if (t > lastT) lastT = t
         if (kind == 0) touches :+= ((id, tp))
         else {
           val n = touches.length
@@ -425,10 +433,18 @@ object Streaming {
         }
       }
       if (pending.isEmpty && touches.isEmpty) st.remove()
-      else {
-        st.update(PosSt(pending, touches))
+      else if (pending.isEmpty && ttlMs.exists(ttl =>
+          st.hasTimedOut && wmMs >= lastT / 1000 + ttl)) {
+        // cleanup, not semantics: any event still admitted is above the
+        // watermark, hence beyond the gap — the apply-loop reset would
+        // void this segment anyway (see attributionStream)
+        st.remove()
+      } else {
+        st.update(PosSt(pending, touches, lastT))
         if (pending.nonEmpty)
           st.setTimeoutTimestamp(pending.map(_._1).min / 1000 + 1)
+        else ttlMs.foreach(ttl => st.setTimeoutTimestamp(
+          math.max(lastT / 1000 + ttl, wmMs + 1)))
       }
       out.result().iterator
     }
@@ -472,8 +488,6 @@ object Streaming {
     import spark.implicits._
     val dayUs = 86400L * 1000000L
 
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     def dec6(v: java.math.BigDecimal): java.math.BigDecimal =
       v.setScale(6, java.math.RoundingMode.HALF_UP)
     def round9(d: Double): Double =

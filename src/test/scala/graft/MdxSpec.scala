@@ -780,6 +780,25 @@ class MdxSpec extends AnyFunSuite {
         |SELECT {[Measures].[x]} ON COLUMNS,
         |[Geography].[Region].Members ON ROWS
         |FROM sales""".stripMargin)).status == 400)
+    // prefix-alias pair (Month / MonthName): both counts substitute intact
+    // — 12 months and 12 month names
+    val q2 = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  'COUNT([ShipDate].[Monthly].[Month].Members) * 1000 +
+        |   COUNT([ShipDate].[MonthNames].[MonthName].Members)'
+        |SELECT {[Measures].[Revenue], [Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)
+    val v = Planner.plan(cat, q2).collect().head.getDouble(3)
+    assert(v == 12012.0, s"got $v")
+    // an identifier merely ENDING in Count( is not the COUNT function —
+    // clean 400, not a silent rewrite of its tail
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  'DistinctCount([Geography].[Region].Members)'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
   }
 
   test("non-finite TOPPERCENT/TOPSUM thresholds and out-of-Int-range or " +
