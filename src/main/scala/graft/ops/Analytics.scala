@@ -55,27 +55,40 @@ object Analytics {
     * n_ab·N / (n_a·n_b) — exact integer products into one double division,
     * the log-free PMI form ([[TextOps.collocations]] for baskets).
     *
-    * Scale shape: the per-order brand set self-joins ON THE ORDER KEY, so
-    * pair work is Σ basket_size² — bounded by the max basket, never
-    * corpus². Brand-marginal counts are one hash agg; the 1-row order
-    * total broadcasts; top-k is TakeOrderedAndProject. `minPairs` prunes
-    * noise pairs before ranking (result-identical for the returned k as
-    * long as real pairs clear it). */
+    * Scale shape: ONE shuffle builds per-order distinct brand sets
+    * (`collect_set` dedups in the aggregation buffer — no separate
+    * DISTINCT pass), then pairs are generated MAP-SIDE from each sorted
+    * set with codegen'd higher-order functions, so the Σ basket_size²
+    * pair stream collapses into the ≤ |brands|² partial-aggregation
+    * buffers before it ever reaches an exchange — the pair shuffle moves
+    * O(partitions · |brands|²) rows, not Σ basket². Brand marginals and
+    * the 1-row order total reread the cached basket table; top-k is
+    * TakeOrderedAndProject. `minPairs` prunes noise pairs before ranking
+    * (result-identical for the returned k as long as real pairs clear
+    * it). */
   def copurchaseLift(lineitem: DataFrame, part: DataFrame, k: Int = 20,
       minPairs: Long = 5L): DataFrame = {
-    val ob = lineitem
+    val baskets = lineitem
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      .distinct()
+      .groupBy("okey")
+      .agg(sort_array(collect_set(col("brand"))).as("brands"))
       .localCheckpoint(eager = false) // feeds pairs + marginals + total
-    val pairs = ob.select(col("okey"), col("brand").as("brand_a"))
-      .join(ob.select(col("okey"), col("brand").as("brand_b")), Seq("okey"))
-      .where(col("brand_a") < col("brand_b"))
+    // ordered (a < b holds by sort_array) pairs from within each basket —
+    // no self-join, no re-shuffle of the Σ basket² pair stream
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(brands, (a, i) ->
+          |  transform(slice(brands, i + 2, size(brands)),
+          |            b -> struct(a AS brand_a, b AS brand_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.brand_a"), col("p.brand_b"))
       .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairs)
-    val marg = ob.groupBy("brand").agg(count(lit(1)).as("n_b"))
-    val total = ob.select(countDistinct(col("okey")).as("n_orders"))
+    val marg = baskets.select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_b"))
+    val total = baskets.select(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(marg.select(col("brand").as("brand_a"),
         col("n_b").as("n_a"))), "brand_a")
