@@ -496,6 +496,10 @@ object SparkEntry {
       // conversion's own 30-minute session (e01's boundaries)
       "e14_session_attribution" -> tbl("events")(
         ops.EventOps.attributionInSession(_)),
+      // top-20 whole-session event-type journeys (30-min sessions, first
+      // 8 steps) — the ordered complement of e12's one-hop transitions
+      "e17_top_paths" -> tbl("events")(
+        ops.EventOps.topPaths(_, 30, 8, 20)),
       // daily session-quality rollup composed on the sessionize plan
       "e09_session_stats" -> tbl("events")(
         ops.Sessionize.sessionStats(_, 30)),
@@ -3362,6 +3366,24 @@ object SparkEntry {
         |  ts_us - last_touch_us AS us_since_last_touch
         |FROM w WHERE event_type = 'purchase' AND last_touch_id IS NOT NULL
         |ORDER BY conv_id""".stripMargin,
+    // e17: e01's session boundaries, each session's first 8 event types
+    // joined into one path string, counted per path
+    "e17_top_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events),
+        |lagd AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id) AS prev_us FROM ev),
+        |flagged AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagd),
+        |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM flagged),
+        |p AS (SELECT user_id, sess_idx, array_to_string(
+        |    (list(event_type ORDER BY ts_us ASC, event_id ASC))[1:8], '>')
+        |  AS path FROM sess GROUP BY 1, 2)
+        |SELECT path, COUNT(1) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
     // t08: the composed pipeline — each CTE is a stage whose standalone
     // query (t02, d06, t07) already hash-matches
     "t08_pipeline_e2e" ->

@@ -357,6 +357,47 @@ object EventOps {
       .limit(k)
   }
 
+  /** SESSION PATH MINING — the top-k ordered event-type journeys, the
+    * "what do users actually do" report behind funnel design: sessionize
+    * (same gaps-and-islands pass as [[Sessionize.sessions]]), render each
+    * session's first `maxSteps` event types as one `a>b>c` path string,
+    * and count sessions per path. Complements [[eventTransitions]] (the
+    * first-order Markov view): transitions lose order beyond one hop,
+    * paths keep the whole prefix.
+    *
+    * Scale shape: one shuffle on user_id feeds both window passes AND the
+    * per-session collect (the session id starts with user_id, so the
+    * groupBy reuses the partitioning); per-session event lists are
+    * session-sized (bounded by the gap parameter in practice), sorted
+    * in-buffer by (ts, event_id) via `array_sort` over structs — fully
+    * deterministic, no `collect_list` order dependence. The path table is
+    * ≤ session-count-sized and collapses in partial aggregation; top-k is
+    * TakeOrderedAndProject under a (count, path) total order. */
+  def topPaths(events: DataFrame, gapMinutes: Int = 30, maxSteps: Int = 8,
+      k: Int = 20): DataFrame = {
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sess = events
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess
+      .groupBy("user_id", "sess_idx")
+      .agg(collect_list(
+        struct(col("ts_us"), col("event_id"), col("event_type"))).as("evs"))
+      .select(expr(
+        s"""array_join(transform(slice(array_sort(evs), 1, $maxSteps),
+           |           x -> x.event_type), '>')""".stripMargin).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** CONVERSION ATTRIBUTION — first-touch / last-touch marketing
     * attribution: for every conversion event, the earliest and the most
     * recent PRECEDING touch event (click/view) by the same user, plus the

@@ -551,6 +551,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("top paths: session boundaries, step cap, and deterministic order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val gapUs = 31L * 60L * 1000000L // 31 min > the 30-min session gap
+    // user1: one session a,b,c then (after a gap) a,b,c again;
+    // user2: one session a,b,c; user3: a 10-event session capped at 8
+    val rows =
+      Seq((1L, 0L, "a"), (2L, 1L, "b"), (3L, 2L, "c"),
+        (4L, gapUs, "a"), (5L, gapUs + 1, "b"), (6L, gapUs + 2, "c"))
+        .map { case (id, us, t) => (id, 1L, us, t) } ++
+      Seq((7L, 0L, "a"), (8L, 1L, "b"), (9L, 2L, "c"))
+        .map { case (id, us, t) => (id, 2L, us, t) } ++
+      (0 until 10).map(i => (10L + i, 3L, i.toLong, ('d' + i % 2).toChar.toString))
+    val ev = rows.map { case (id, u, us, t) =>
+      (id, u, new Timestamp(us / 1000L), t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.topPaths(ev, 30, 8, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // a>b>c: three sessions (two from user1, one from user2) ranks first;
+    // user3's 10-step alternation truncates to its first 8 types
+    assert(out.head == ("a>b>c" -> 3L))
+    assert(out.toMap ==
+      Map("a>b>c" -> 3L, "d>e>d>e>d>e>d>e" -> 1L))
+  }
+
   test("rfm segments: every tercile populated, customer total preserved") {
     val orders = cat.table("orders")
     val out = Analytics.rfmSegments(orders).collect()
