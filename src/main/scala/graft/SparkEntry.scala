@@ -1083,6 +1083,20 @@ object SparkEntry {
             |[Geography].[Region].Members ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // MDX Rank (3-arg measure form): per-region brand rank by revenue —
+      // one axis-sized window partitioned by the other drilled dimension
+      "q72_mdx_rank" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[brand_rank] AS
+            |  'Rank([Part].CurrentMember, [Part].[Brands].[Brand].Members,
+            |        [Measures].[Revenue])'
+            |SELECT {[Measures].[Revenue], [Measures].[brand_rank]}
+            |  ON COLUMNS,
+            |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+            |  [Part].[Brands].[Brand].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       "q38_mdx_filter_order" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -3545,6 +3559,17 @@ object SparkEntry {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          |  AS ytd2
          |FROM agg ORDER BY ship_year, ship_quarter, ship_month""".stripMargin,
+    // q72: RANK() over the aggregated axis, per region, ties sharing a rank
+    "q72_mdx_rank" ->
+      s"""WITH a AS (SELECT r_regionkey AS region, r_name AS region_label,
+         |  p_brand AS brand, ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3)
+         |SELECT region, region_label, brand, revenue,
+         |  CAST(RANK() OVER (PARTITION BY region ORDER BY revenue DESC)
+         |    AS BIGINT) AS brand_rank
+         |FROM a ORDER BY region, brand""".stripMargin,
     "q38_mdx_filter_order" ->
       s"""SELECT brand, revenue FROM (
          |SELECT p_brand AS brand, ${sumd(REV, "revenue")}

@@ -145,6 +145,16 @@ final case class MovingMeasureDef(alias: String, base: String,
   * already sits at All and the total IS the base value. */
 final case class TotalMeasureDef(alias: String, base: String, dim: String)
 
+/** MDX `Rank([Dim].CurrentMember, [Dim].[Level].Members, [Measures].[M])`
+  * (Mondrian's 3-arg ranked form): the current member's 1-based position
+  * among the axis members of `dim`, ordered by `base` descending, within
+  * each combination of the OTHER drilled dimensions. Ties share a rank
+  * (SQL RANK semantics, Mondrian's tie behavior for the measure form).
+  * Evaluated as one axis-sized window — never a re-sort of the fact. When
+  * `dim` is not drilled the set collapses to the current (All) member and
+  * the rank is 1. */
+final case class RankMeasureDef(alias: String, base: String, dim: String)
+
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,
     byMeasure: String)
@@ -159,6 +169,7 @@ final case class CubeDef(
     cumMeasures: Seq[CumMeasureDef] = Nil,
     totalMeasures: Seq[TotalMeasureDef] = Nil,
     movingMeasures: Seq[MovingMeasureDef] = Nil,
+    rankMeasures: Seq[RankMeasureDef] = Nil,
     namedSets: Seq[NamedSetDef] = Nil,
     defaultMeasure: Option[String] = None) {
   def dimension(n: String): Option[DimensionDef] = dimensions.find(_.name == n)

@@ -94,6 +94,10 @@ final case class CubeQuery(
     // `Avg(LastPeriods(n), [M])` — synthesized the same way.
     adhocCums: Seq[graft.model.CumMeasureDef] = Nil,
     adhocMovings: Seq[graft.model.MovingMeasureDef] = Nil,
+    // `Rank([D].CurrentMember, [D].[L].Members, [Measures].[M])` inside a
+    // WITH MEMBER formula — the member's 1-based rank by the measure among
+    // the axis members of its dimension (ties share a rank).
+    adhocRanks: Seq[graft.model.RankMeasureDef] = Nil,
     // `COUNT(<level>.Members)` inside a WITH MEMBER formula — (alias,
     // level). Mondrian evaluates Level.Members through the schema reader
     // (role-visible members, NOT slicer-filtered), so the value is a

@@ -93,16 +93,17 @@ object MdxParser {
         val memberClause = Option(withClause)
           .map(setRe.replaceAllIn(_, "").trim).filter(_.nonEmpty)
         val (adhoc, adhocLags, adhocTotals, adhocCums, adhocMovings,
-            adhocCounts) =
+            adhocRanks, adhocCounts) =
           memberClause.map(parseWithMembers(cube, _))
-            .getOrElse((Nil, Nil, Nil, Nil, Nil, Nil))
+            .getOrElse((Nil, Nil, Nil, Nil, Nil, Nil, Nil))
         // adhoc aliases resolve on an augmented view of the cube so the
         // measure axis (and nested FILTER/ORDER) can reference them
         val augmented = cube.copy(calcMembers = cube.calcMembers ++ adhoc,
           lagMeasures = cube.lagMeasures ++ adhocLags,
           totalMeasures = cube.totalMeasures ++ adhocTotals,
           cumMeasures = cube.cumMeasures ++ adhocCums,
-          movingMeasures = cube.movingMeasures ++ adhocMovings)
+          movingMeasures = cube.movingMeasures ++ adhocMovings,
+          rankMeasures = cube.rankMeasures ++ adhocRanks)
         val measures = parseMeasureAxis(augmented, colAxis.trim)
         val (nonEmpty, rowAxis) = {
           val t0 = rowAxisRaw.trim
@@ -134,7 +135,8 @@ object MdxParser {
           distinct = axis.distinct,
           adhocCalcs = adhoc, adhocLags = adhocLags,
           adhocTotals = adhocTotals, adhocCums = adhocCums,
-          adhocMovings = adhocMovings, adhocCounts = adhocCounts)
+          adhocMovings = adhocMovings, adhocRanks = adhocRanks,
+          adhocCounts = adhocCounts)
       case _ => GraftException.badRequest(
         "cannot parse MDX (supported: [WITH MEMBER...] SELECT <measures> ON COLUMNS, <set> ON ROWS FROM <cube> [WHERE <tuple>])")
     }
@@ -166,11 +168,15 @@ object MdxParser {
     *   - `COUNT(<level>.Members)` → the schema reader's member count of the
     *     level (role-visible, slicer-independent — Mondrian semantics), a
     *     plan-time constant substituted by the planner
-    *     ([[CubeQuery.adhocCounts]]) — the per-member-average denominator.
+    *     ([[CubeQuery.adhocCounts]]) — the per-member-average denominator;
+    *   - `Rank([D].CurrentMember, [D].[L].Members, [Measures].[M])` → a
+    *     synthesized [[RankMeasureDef]] — the member's 1-based rank by the
+    *     measure among its dimension's axis members (ties share a rank),
+    *     one axis-sized window in the planner (never a fact re-sort).
     */
   private def parseWithMembers(cube: CubeDef, s: String)
       : (Seq[CalcMemberDef], Seq[LagMeasureDef], Seq[TotalMeasureDef],
-         Seq[CumMeasureDef], Seq[MovingMeasureDef],
+         Seq[CumMeasureDef], Seq[MovingMeasureDef], Seq[RankMeasureDef],
          Seq[(String, LevelRef)]) = {
     // Bracketed aliases take ANY non-']' chars (spaces included — standard
     // MDX names like [Profit Margin]); only the bare unbracketed form is
@@ -189,6 +195,8 @@ object MdxParser {
       scala.collection.mutable.LinkedHashMap.empty[String, MovingMeasureDef]
     val counts =
       scala.collection.mutable.LinkedHashMap.empty[String, LevelRef]
+    val ranks =
+      scala.collection.mutable.LinkedHashMap.empty[String, RankMeasureDef]
     // the cube's single time dimension — the implicit argument of Ytd() and
     // LastPeriods(n) with no explicit member (Mondrian resolves them against
     // the TimeDimension; ambiguous with several, so that 400s)
@@ -351,6 +359,35 @@ object MdxParser {
       // (?<!\w): bare COUNT only — an identifier ending in "Count(" (e.g.
       // DistinctCount) must fall through to the leftover-bracket 400, not
       // get its tail silently rewritten
+      // `Rank([D](.CurrentMember), [D].[L].Members, [Measures].[M])` —
+      // Mondrian's 3-arg ranked form over a level's member set: the
+      // current member's 1-based rank by the measure among the axis
+      // members of its dimension (ties share a rank). Both arguments must
+      // name the SAME dimension — ranking one dimension's member inside
+      // another's set is a tuple calculation the compiled subset rejects.
+      val rankRe = ("""(?is)(?<!\w)RANK\s*\(\s*""" +
+        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*(?:\.\s*CURRENTMEMBER)?\s*,\s*""" +
+        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\.\s*MEMBERS\s*,\s*""" +
+        """\[Measures\]\.\[([^\]]+)\]\s*\)""").r
+      formula = rankRe.replaceAllIn(formula, mm => {
+        val memberDim = QueryParser.segments(mm.group(1)).head
+        val setDim = QueryParser.segments(mm.group(2)).head
+        if (cube.dimension(memberDim).isEmpty)
+          GraftException.badRequest(s"Rank on unknown dimension '$memberDim'")
+        if (memberDim != setDim)
+          GraftException.badRequest(
+            s"Rank: member dimension '$memberDim' must match the set's " +
+              s"dimension '$setDim' in the compiled subset")
+        val base = resolveMeasure(cube, mm.group(3))
+        val alias = cube.rankMeasures
+          .find(r => r.base == base && r.dim == memberDim).map(_.alias)
+          .getOrElse {
+            val a = s"__mdx_rank_${base}_${memberDim.replaceAll("\\W", "_")}"
+            ranks.getOrElseUpdate(a, RankMeasureDef(a, base, memberDim))
+            a
+          }
+        java.util.regex.Matcher.quoteReplacement(alias)
+      })
       val countRe = ("""(?is)(?<!\w)COUNT\s*\(\s*""" +
         """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\.\s*MEMBERS\s*\)""").r
       formula = countRe.replaceAllIn(formula, mm => {
@@ -389,7 +426,7 @@ object MdxParser {
       CalcMemberDef(alias, formula)
     }
     (calcs, lags.values.toSeq, totals.values.toSeq,
-      cums.values.toSeq, movings.values.toSeq,
+      cums.values.toSeq, movings.values.toSeq, ranks.values.toSeq,
       counts.toSeq)
   }
 
@@ -584,6 +621,7 @@ object MdxParser {
       .orElse(cube.cumMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.totalMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.movingMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.rankMeasures.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
   /** One side of a set-algebra expression, normalized to a single level plus

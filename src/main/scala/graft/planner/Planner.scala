@@ -87,7 +87,7 @@ object Planner {
     * schema-declared ones; shadowing a declared measure is a client error. */
   private def withAdhoc(cube: CubeDef, q: CubeQuery): CubeDef =
     if (q.adhocCalcs.isEmpty && q.adhocLags.isEmpty && q.adhocTotals.isEmpty &&
-        q.adhocCums.isEmpty && q.adhocMovings.isEmpty)
+        q.adhocCums.isEmpty && q.adhocMovings.isEmpty && q.adhocRanks.isEmpty)
       cube
     else {
       q.adhocCalcs.foreach { c =>
@@ -108,11 +108,14 @@ object Planner {
         cube.cumMeasures.exists(_.alias == c.alias))
       val newMovings = q.adhocMovings.filterNot(m =>
         cube.movingMeasures.exists(_.alias == m.alias))
+      val newRanks = q.adhocRanks.filterNot(r =>
+        cube.rankMeasures.exists(_.alias == r.alias))
       cube.copy(calcMembers = cube.calcMembers ++ q.adhocCalcs,
         lagMeasures = cube.lagMeasures ++ newLags,
         totalMeasures = cube.totalMeasures ++ newTotals,
         cumMeasures = cube.cumMeasures ++ newCums,
-        movingMeasures = cube.movingMeasures ++ newMovings)
+        movingMeasures = cube.movingMeasures ++ newMovings,
+        rankMeasures = cube.rankMeasures ++ newRanks)
     }
 
   private def withAdhoc(vc: VirtualCubeDef, q: CubeQuery): VirtualCubeDef = {
@@ -120,9 +123,10 @@ object Planner {
     // cube only conforms axes — reject cleanly instead of planning a
     // formula whose synthesized alias no member cube can supply
     if (q.adhocLags.nonEmpty || q.adhocTotals.nonEmpty ||
-        q.adhocCums.nonEmpty || q.adhocMovings.nonEmpty)
+        q.adhocCums.nonEmpty || q.adhocMovings.nonEmpty ||
+        q.adhocRanks.nonEmpty)
       GraftException.badRequest(
-        s"tuple navigation (PrevMember/Lag/All/PeriodsToDate/LastPeriods) is not supported on virtual cube '${vc.name}'")
+        s"tuple navigation (PrevMember/Lag/All/PeriodsToDate/LastPeriods/Rank) is not supported on virtual cube '${vc.name}'")
     if (q.adhocCalcs.isEmpty) vc
     else {
       q.adhocCalcs.foreach { c =>
@@ -378,7 +382,10 @@ object Planner {
     val withTotals = need.totals.foldLeft(withMovings) { (df, tm) =>
       applyTotal(df, tm, groupLevels, totalVisible)
     }
-    val withCalcs = need.calcs.foldLeft(withTotals) { (df, cm) =>
+    val withRanks = need.ranks.foldLeft(withTotals) { (df, rm) =>
+      applyRank(df, rm, groupLevels, totalVisible)
+    }
+    val withCalcs = need.calcs.foldLeft(withRanks) { (df, cm) =>
       df.withColumn(cm.alias, expr(cm.formula))
     }
     // re-apply the relaxed time cuts to the axis, then drop the filler
@@ -535,7 +542,7 @@ object Planner {
   private final case class NeededMeasures(bases: Seq[MeasureDef],
       lags: Seq[LagMeasureDef], cums: Seq[CumMeasureDef],
       totals: Seq[TotalMeasureDef], movings: Seq[MovingMeasureDef],
-      calcs: Seq[CalcMemberDef])
+      ranks: Seq[RankMeasureDef], calcs: Seq[CalcMemberDef])
 
   /** Expand requested measure aliases to (base, lag, cum, calc) closure. Calc
     * formulas may reference base, lag, cum, and earlier calc aliases. */
@@ -543,6 +550,7 @@ object Planner {
     var bases = Set.empty[String]; var lags = Set.empty[String]
     var cums = Set.empty[String]; var calcs = Set.empty[String]
     var totals = Set.empty[String]; var movings = Set.empty[String]
+    var ranks = Set.empty[String]
     def visit(n: String): Unit =
       cube.measure(n) match {
         case Some(m) => bases += m.alias
@@ -561,6 +569,10 @@ object Planner {
                     case Some(mm) =>
                       if (!movings(n)) { movings += n; visit(mm.base) }
                     case None =>
+                  cube.rankMeasures.find(_.alias == n) match {
+                    case Some(rm) =>
+                      if (!ranks(n)) { ranks += n; visit(rm.base) }
+                    case None =>
                   cube.calcMembers.find(_.alias == n) match {
                     case Some(cm) =>
                       if (!calcs(n)) {
@@ -570,12 +582,14 @@ object Planner {
                           cube.cumMeasures.map(_.alias) ++
                           cube.totalMeasures.map(_.alias) ++
                           cube.movingMeasures.map(_.alias) ++
+                          cube.rankMeasures.map(_.alias) ++
                           cube.calcMembers.map(_.alias))
                           .filter(a => a != n && referencesAlias(cm.formula, a))
                         deps.foreach(visit)
                       }
                     case None =>
                       GraftException.badRequest(s"measure '$n' not found in cube '${cube.name}'")
+                  }
                   }
                   }
                   }
@@ -589,6 +603,7 @@ object Planner {
       cube.cumMeasures.filter(c => cums(c.alias)),
       cube.totalMeasures.filter(t => totals(t.alias)),
       cube.movingMeasures.filter(m => movings(m.alias)),
+      cube.rankMeasures.filter(r => ranks(r.alias)),
       cube.calcMembers.filter(c => calcs(c.alias))) // declaration order
   }
 
@@ -602,6 +617,7 @@ object Planner {
       .orElse(cube.cumMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.totalMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.movingMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.rankMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.calcMembers.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
@@ -1110,6 +1126,28 @@ object Planner {
       df.withColumn(tm.alias,
         sum(when(visible, expr(s"CAST(${tm.base} AS DECIMAL(27,6))")))
           .over(w).cast("double"))
+    }
+
+  /** MDX Rank (3-arg measure form): 1-based RANK over the aggregated axis,
+    * ordered by the base measure DESCENDING within each combination of the
+    * OTHER drilled dimensions' columns — one axis-sized window like
+    * [[applyTotal]], never a re-sort of the fact. Ties share a rank (no
+    * tie-break column in the ORDER — adding one would split ties into
+    * distinct ranks, which is DENSE_RANK-adjacent but not Mondrian's
+    * behavior). Axis-invisible rows (lag-relaxed cut members, dense
+    * fillers) are pushed out of the order by masking their base to null
+    * (desc_nulls_last) and carry a null rank. A dimension that is not
+    * drilled sits at its All member — a one-member set, rank 1. */
+  private def applyRank(df: DataFrame, rm: RankMeasureDef,
+      groupLevels: Seq[ResolvedLevel], visible: Column): DataFrame =
+    if (groupLevels.forall(_.dim.name != rm.dim))
+      df.withColumn(rm.alias, when(visible, lit(1L)))
+    else {
+      val partCols = groupLevels.filterNot(_.dim.name == rm.dim)
+        .flatMap(levelAliases).map(col)
+      val w = Window.partitionBy(partCols: _*)
+        .orderBy(when(visible, col(rm.base)).desc_nulls_last)
+      df.withColumn(rm.alias, when(visible, rank().over(w).cast("long")))
     }
 
   /** Dense axes (ref C1 default JSON shape): cross product of the member

@@ -837,4 +837,48 @@ class MdxSpec extends AnyFunSuite {
       Map("measures[]" -> Seq("revenue"), "offset" -> Seq("-2"))))
       .status == 400)
   }
+
+  test("Rank: 1-based, descending, ties share a rank, per other-dim group") {
+    val rows = Planner.plan(cat, MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[rk] AS
+        |  'Rank([Geography].CurrentMember,
+        |        [Geography].[Nation].Members, [Measures].[Revenue])'
+        |SELECT {[Measures].[Revenue], [Measures].[rk]} ON COLUMNS,
+        |NON EMPTY [Geography].[Nation].Members ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    val byRank = rows.sortBy(_.getLong(rows.head.fieldIndex("rk")))
+    val revs = byRank.map(r => r.getDouble(r.fieldIndex("revenue")))
+    // rank order is revenue-descending and ranks start at 1
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(byRank.head.getLong(byRank.head.fieldIndex("rk")) == 1L)
+    // ties (if any) share a rank; distinct revenues get distinct ranks
+    val pairs = rows.map(r =>
+      r.getDouble(r.fieldIndex("revenue")) -> r.getLong(r.fieldIndex("rk")))
+    assert(pairs.groupBy(_._1).values.forall(g => g.map(_._2).distinct.size == 1))
+    // an undrilled dimension's rank is 1 (the set collapses to All)
+    val allRank = Planner.plan(cat, MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[rk] AS
+        |  'Rank([Part].CurrentMember, [Part].[Brands].[Brand].Members,
+        |        [Measures].[Revenue])'
+        |SELECT {[Measures].[rk]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    assert(allRank.nonEmpty &&
+      allRank.forall(r => r.getLong(r.fieldIndex("rk")) == 1L))
+    // cross-dimension rank and unknown dimensions 400
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[rk] AS
+        |  'Rank([Geography].CurrentMember,
+        |        [Part].[Brands].[Brand].Members, [Measures].[Revenue])'
+        |SELECT {[Measures].[rk]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[rk] AS
+        |  'Rank([Nope].CurrentMember, [Nope].[X].Members,
+        |        [Measures].[Revenue])'
+        |SELECT {[Measures].[rk]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+  }
 }
