@@ -654,6 +654,11 @@ object SparkEntry {
       // curriculum quartiles of the t14 score (distributed equi-depth rank)
       "t28_difficulty_buckets" -> tbl("documents")(
         ops.TextOps.difficultyBuckets(_)),
+      // trainable quality probe: 3 batch-GD rounds distilling the t02
+      // rule-based score into a linear model (decimal-exact gradients,
+      // driver state = 4 doubles)
+      "t36_linear_probe" -> tbl("documents")(
+        ops.TextOps.linearProbe(_, 3, 0.5)),
       // context-window chunking: 64-token windows advancing 48 (25% overlap)
       "t15_chunk_windows" -> tbl("documents")(
         ops.TextOps.chunkWindows(_, 64, 48)),
@@ -1213,6 +1218,53 @@ object SparkEntry {
        |  FROM v),
        |$rounds,
        |${assign("afinal", s"cent$iters")}""".stripMargin
+  }
+
+  /** Unrolled oracle for [[graft.ops.TextOps.linearProbe]] (t36): one
+    * (gradient, weight-update) CTE pair per GD round, seeded from the
+    * all-zero weight row. Per-term DECIMAL(38,18) captures (exact for the
+    * shortest-round-trip string of any |term| < 10 — the t14 surprisal
+    * recipe), exact order-independent sums, then the derived gradient
+    * means round at 1e-9 — the exact shape the Spark side computes, so
+    * three rounds of float arithmetic stay bit-identical across engines
+    * (squared loss: no transcendentals). */
+  private def probeOracle(iters: Int, lr: Double): String = {
+    def pred = "(w.wb*f.x0 + w.wu*f.x1 + w.ws*f.x2 + w.wl*f.x3)"
+    def gsum(term: String) =
+      s"round(CAST(SUM(CAST(CAST(($term) AS VARCHAR) AS DECIMAL(38,18))) " +
+        s"AS DOUBLE) / COUNT(1), 9)"
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "wseed" else s"w${i - 1}"
+      s"""g$i AS (SELECT
+         |  ${gsum(s"($pred - f.y) * f.x0")} AS g0,
+         |  ${gsum(s"($pred - f.y) * f.x1")} AS g1,
+         |  ${gsum(s"($pred - f.y) * f.x2")} AS g2,
+         |  ${gsum(s"($pred - f.y) * f.x3")} AS g3,
+         |  ${gsum(s"($pred - f.y) * ($pred - f.y)")} AS mse
+         |  FROM f CROSS JOIN $prev w),
+         |w$i AS (SELECT w.wb - $lr*g.g0 AS wb, w.wu - $lr*g.g1 AS wu,
+         |  w.ws - $lr*g.g2 AS ws, w.wl - $lr*g.g3 AS wl, g.mse AS mse
+         |  FROM $prev w CROSS JOIN g$i g)""".stripMargin
+    }
+    val emit = (1 to iters).map(i =>
+      s"""SELECT $i AS round, wb AS w_bias, wu AS w_uniq, ws AS w_stop,
+         |  wl AS w_len, mse AS mse_before FROM w$i""".stripMargin)
+    s"""WITH q AS (SELECT
+       |  len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio,
+       |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) / len(string_split(text, ' ')) AS stop_ratio,
+       |  (length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')) AS mean_token_len,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+       |  FROM documents),
+       |f AS (SELECT 1.0 AS x0, uniq_ratio AS x1, stop_ratio AS x2,
+       |  mean_token_len / 10.0 AS x3,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+       |   * (0.25 + 0.75 * uniq_ratio)
+       |   * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) AS y
+       |  FROM q),
+       |wseed AS (SELECT 0.0 AS wb, 0.0 AS wu, 0.0 AS ws, 0.0 AS wl),
+       |${rounds.mkString(",\n")}
+       |${emit.mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
   }
 
   /** Shared oracle CTEs for the bigram-LM score (t14, t28): ends with
@@ -2502,6 +2554,8 @@ object SparkEntry {
         |FROM sc GROUP BY doc_id, source
         |ORDER BY doc_id""".stripMargin,
     // t28: t14's per-doc scores tiled into equi-depth quartiles (NTILE over
+    // t36: the 3-round GD distillation, unrolled one CTE pair per round
+    "t36_linear_probe" -> probeOracle(3, 0.5),
     // the (lm_score, doc_id) total order — the Ranking.equiDepthTiles
     // contract) and rolled up per difficulty bucket
     "t28_difficulty_buckets" ->

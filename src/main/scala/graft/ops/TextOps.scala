@@ -94,6 +94,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TRAINABLE QUALITY PROBE — batch-gradient-descent linear regression of
+    * the handcrafted [[qualityScore]] onto bounded per-document features
+    * (bias, type-token ratio, stopword ratio, mean token length / 10): the
+    * "fit a cheap linear filter, then score the whole corpus with it"
+    * stage of a curation pipeline (the model-distillation form of the
+    * fastText-style quality classifier), here with the label supplied by
+    * the rule-based scorer so the procedure is fully self-contained.
+    * Emits one row per GD round: the post-update weights and the
+    * PRE-update mean-squared error (so round 1 shows the w=0 loss and the
+    * mse column is monotone-decreasing when the step size fits).
+    *
+    * Determinism at any partitioning: each round's gradient
+    * Σ (w·x − y)·xⱼ and squared-error sum ride DECIMAL(38,18) per term —
+    * wide enough that the shortest-round-trip string of any |term| < 10
+    * converts EXACTLY on both engines (the t14 surprisal recipe), giving
+    * exact, order-independent sums — and the derived per-round doubles
+    * (gradient means, mse) round at 1e-9 on both sides (the t14/t23
+    * convention; a decimal DOWNSCALE would not work here — DuckDB
+    * truncates decimal→decimal while Spark rounds half-up), so the whole
+    * iterative procedure replays bit-exactly in the SQL oracle with one
+    * unrolled CTE pair per round. Per-row arithmetic is plain IEEE doubles with a
+    * fixed association order — no transcendentals (squared loss, not
+    * logistic, PRECISELY so no exp()/libm variance can leak into the
+    * gate).
+    *
+    * Scale shape: the weight vector is 4 doubles — round state is
+    * driver-sized by construction (the k-means centroid pattern,
+    * [[Similarity.kmeansCentroids]]); each round is ONE partial-aggregated
+    * pass over the feature table (map-side combine on the decimal sums),
+    * and the feature projection is computed once and reused across rounds
+    * via a lazy localCheckpoint. Nothing corpus-sized ever concentrates on
+    * the driver. */
+  def linearProbe(docs: DataFrame, iters: Int = 3,
+      lr: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val feat = qualityScore(docs)
+      .select(lit(1.0).as("x0"),
+        col("uniq_ratio").cast("double").as("x1"),
+        col("stop_ratio").cast("double").as("x2"),
+        (col("mean_token_len").cast("double") / lit(10.0)).as("x3"),
+        col("quality_score").cast("double").as("y"))
+      .localCheckpoint(eager = false) // one materialization, iters reads
+    def dec18(c: Column) = c.cast(DecimalType(38, 18))
+    def gmean(c: Column) =
+      round(sum(dec18(c)).cast("double") / count(lit(1)), 9)
+    val w = Array.fill(4)(0.0)
+    val rounds = (1 to iters).map { r =>
+      val pred = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      val err = pred - col("y")
+      val row = feat.agg(
+        gmean(err * col("x0")).as("g0"),
+        gmean(err * col("x1")).as("g1"),
+        gmean(err * col("x2")).as("g2"),
+        gmean(err * col("x3")).as("g3"),
+        gmean(err * err).as("mse")).head()
+      val mse = row.getDouble(4)
+      (0 until 4).foreach { j =>
+        w(j) = w(j) - lr * row.getDouble(j)
+      }
+      (r, w(0), w(1), w(2), w(3), mse)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rounds.toDF("round", "w_bias", "w_uniq", "w_stop", "w_len",
+      "mse_before")
+  }
+
   /** Document fingerprinting: 64-bit content fingerprint (hex) + canonical
     * doc per fingerprint group (min doc_id) + duplicate flag. The window-min
     * is per-fingerprint, i.e. shuffles on the fingerprint — skew-free. */

@@ -1693,4 +1693,24 @@ class OpsSpec extends AnyFunSuite {
     val byCluster = byDoc.values.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     assert(byCluster.values.forall(_.size == 1))
   }
+
+  test("linear probe: loss decreases each round and the trained weights " +
+      "are partitioning-invariant") {
+    val out = TextOps.linearProbe(docs, 4, 0.5).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // squared loss under batch GD with a sane step is monotone decreasing
+    val mses = out.map(_._6)
+    mses.zip(mses.tail).foreach { case (a, b) => assert(b < a) }
+    // decimal-exact gradient sums: a different partitioning must yield
+    // bit-identical weights, not merely close ones
+    val shuffled = TextOps.linearProbe(docs.repartition(7), 4, 0.5)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(shuffled.toSeq == out.toSeq)
+  }
 }
