@@ -659,6 +659,10 @@ object SparkEntry {
       // driver state = 4 doubles)
       "t36_linear_probe" -> tbl("documents")(
         ops.TextOps.linearProbe(_, 3, 0.5)),
+      // the probe's inference half: score every document with the trained
+      // weights, report per-source mean prediction + residual MSE
+      "t37_probe_score" -> tbl("documents")(
+        ops.TextOps.probeScore(_, 3, 0.5)),
       // context-window chunking: 64-token windows advancing 48 (25% overlap)
       "t15_chunk_windows" -> tbl("documents")(
         ops.TextOps.chunkWindows(_, 64, 48)),
@@ -1228,44 +1232,62 @@ object SparkEntry {
     * means round at 1e-9 — the exact shape the Spark side computes, so
     * three rounds of float arithmetic stay bit-identical across engines
     * (squared loss: no transcendentals). */
-  private def probeOracle(iters: Int, lr: Double): String = {
-    def pred = "(w.wb*f.x0 + w.wu*f.x1 + w.ws*f.x2 + w.wl*f.x3)"
-    def gsum(term: String) =
-      s"round(CAST(SUM(CAST(CAST(($term) AS VARCHAR) AS DECIMAL(38,18))) " +
-        s"AS DOUBLE) / COUNT(1), 9)"
+  private val PROBE_PRED = "(w.wb*f.x0 + w.wu*f.x1 + w.ws*f.x2 + w.wl*f.x3)"
+  private def probeSum(term: String) =
+    s"round(CAST(SUM(CAST(CAST(($term) AS VARCHAR) AS DECIMAL(38,18))) " +
+      s"AS DOUBLE) / COUNT(1), 9)"
+
+  /** Shared CTE prefix: features + the unrolled GD rounds, ending with
+    * `w<iters>(wb, wu, ws, wl, mse)` — t36 emits the trace, t37 scores
+    * the corpus against the final weights. */
+  private def probeCtes(iters: Int, lr: Double): String = {
     val rounds = (1 to iters).map { i =>
       val prev = if (i == 1) "wseed" else s"w${i - 1}"
       s"""g$i AS (SELECT
-         |  ${gsum(s"($pred - f.y) * f.x0")} AS g0,
-         |  ${gsum(s"($pred - f.y) * f.x1")} AS g1,
-         |  ${gsum(s"($pred - f.y) * f.x2")} AS g2,
-         |  ${gsum(s"($pred - f.y) * f.x3")} AS g3,
-         |  ${gsum(s"($pred - f.y) * ($pred - f.y)")} AS mse
+         |  ${probeSum(s"($PROBE_PRED - f.y) * f.x0")} AS g0,
+         |  ${probeSum(s"($PROBE_PRED - f.y) * f.x1")} AS g1,
+         |  ${probeSum(s"($PROBE_PRED - f.y) * f.x2")} AS g2,
+         |  ${probeSum(s"($PROBE_PRED - f.y) * f.x3")} AS g3,
+         |  ${probeSum(s"($PROBE_PRED - f.y) * ($PROBE_PRED - f.y)")} AS mse
          |  FROM f CROSS JOIN $prev w),
          |w$i AS (SELECT w.wb - $lr*g.g0 AS wb, w.wu - $lr*g.g1 AS wu,
          |  w.ws - $lr*g.g2 AS ws, w.wl - $lr*g.g3 AS wl, g.mse AS mse
          |  FROM $prev w CROSS JOIN g$i g)""".stripMargin
     }
-    val emit = (1 to iters).map(i =>
-      s"""SELECT $i AS round, wb AS w_bias, wu AS w_uniq, ws AS w_stop,
-         |  wl AS w_len, mse AS mse_before FROM w$i""".stripMargin)
-    s"""WITH q AS (SELECT
+    s"""WITH q AS (SELECT source,
        |  len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS uniq_ratio,
        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) / len(string_split(text, ' ')) AS stop_ratio,
        |  (length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')) AS mean_token_len,
        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
        |  FROM documents),
-       |f AS (SELECT 1.0 AS x0, uniq_ratio AS x1, stop_ratio AS x2,
+       |f AS (SELECT source, 1.0 AS x0, uniq_ratio AS x1, stop_ratio AS x2,
        |  mean_token_len / 10.0 AS x3,
        |  (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
        |   * (0.25 + 0.75 * uniq_ratio)
        |   * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) AS y
        |  FROM q),
        |wseed AS (SELECT 0.0 AS wb, 0.0 AS wu, 0.0 AS ws, 0.0 AS wl),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def probeOracle(iters: Int, lr: Double): String = {
+    val emit = (1 to iters).map(i =>
+      s"""SELECT $i AS round, wb AS w_bias, wu AS w_uniq, ws AS w_stop,
+         |  wl AS w_len, mse AS mse_before FROM w$i""".stripMargin)
+    s"""${probeCtes(iters, lr)}
        |${emit.mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
   }
+
+  /** t37: the t36 training CTEs, then one scan scoring every document with
+    * the final weights — per-source mean prediction and residual MSE. */
+  private def probeScoreOracle(iters: Int, lr: Double): String =
+    s"""${probeCtes(iters, lr)}
+       |SELECT f.source, COUNT(1) AS n_docs,
+       |  ${probeSum(PROBE_PRED)} AS mean_pred,
+       |  ${probeSum(s"($PROBE_PRED - f.y) * ($PROBE_PRED - f.y)")} AS mse
+       |FROM f CROSS JOIN w$iters w
+       |GROUP BY f.source ORDER BY f.source""".stripMargin
 
   /** Shared oracle CTEs for the bigram-LM score (t14, t28): ends with
     * `scored(doc_id, n_bigrams, lm_score)` — the per-doc mean surprisal,
@@ -2556,6 +2578,8 @@ object SparkEntry {
     // t28: t14's per-doc scores tiled into equi-depth quartiles (NTILE over
     // t36: the 3-round GD distillation, unrolled one CTE pair per round
     "t36_linear_probe" -> probeOracle(3, 0.5),
+    // t37: the same unrolled training, then the corpus-wide scoring scan
+    "t37_probe_score" -> probeScoreOracle(3, 0.5),
     // the (lm_score, doc_id) total order — the Ranking.equiDepthTiles
     // contract) and rolled up per difficulty bucket
     "t28_difficulty_buckets" ->

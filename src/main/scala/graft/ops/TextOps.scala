@@ -128,22 +128,55 @@ object TextOps {
     * the driver. */
   def linearProbe(docs: DataFrame, iters: Int = 3,
       lr: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val feat = qualityScore(docs)
-      .select(lit(1.0).as("x0"),
+    val rounds = probeRounds(probeFeatures(docs), iters, lr)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rounds.toDF("round", "w_bias", "w_uniq", "w_stop", "w_len",
+      "mse_before")
+  }
+
+  /** The probe's feature projection: (source, x0..x3, y) — bias, bounded
+    * ratios, and the rule-based label, computed once and reused across GD
+    * rounds (and by [[probeScore]]'s inference pass). */
+  private def probeFeatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(tokens("text")))
+      .withColumn("uniq_ratio",
+        expr("size(array_distinct(split(text, ' '))) / size(split(text, ' '))"))
+      .withColumn("stop_ratio", expr(
+        s"size(filter(split(text, ' '), t -> t IN (${inList(stopwords)}))) / size(split(text, ' '))"))
+      .withColumn("mean_token_len",
+        expr("(length(text) - size(split(text, ' ')) + 1) / size(split(text, ' '))"))
+      .select(col("source"), lit(1.0).as("x0"),
         col("uniq_ratio").cast("double").as("x1"),
         col("stop_ratio").cast("double").as("x2"),
         (col("mean_token_len").cast("double") / lit(10.0)).as("x3"),
-        col("quality_score").cast("double").as("y"))
-      .localCheckpoint(eager = false) // one materialization, iters reads
-    def dec18(c: Column) = c.cast(DecimalType(38, 18))
+        expr(
+          """(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+            | * (0.25 + 0.75 * uniq_ratio)
+            | * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0
+            |    ELSE 0.6 END)""".stripMargin).cast("double").as("y"))
+      .localCheckpoint(eager = false) // one materialization, iters+1 reads
+
+  private def dec18(c: Column) = {
+    import org.apache.spark.sql.types.DecimalType
+    c.cast(DecimalType(38, 18))
+  }
+
+  /** w·x with the fixed left-to-right association both engines share. */
+  private def probePred(w: Array[Double]): Column =
+    lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+
+  /** The GD loop shared by [[linearProbe]] (emits the trace) and
+    * [[probeScore]] (uses the final weights). */
+  private def probeRounds(feat: DataFrame, iters: Int, lr: Double)
+      : Seq[(Int, Double, Double, Double, Double, Double)] = {
     def gmean(c: Column) =
       round(sum(dec18(c)).cast("double") / count(lit(1)), 9)
     val w = Array.fill(4)(0.0)
-    val rounds = (1 to iters).map { r =>
-      val pred = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
-        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-      val err = pred - col("y")
+    (1 to iters).map { r =>
+      val err = probePred(w) - col("y")
       val row = feat.agg(
         gmean(err * col("x0")).as("g0"),
         gmean(err * col("x1")).as("g1"),
@@ -156,10 +189,32 @@ object TextOps {
       }
       (r, w(0), w(1), w(2), w(3), mse)
     }
-    val spark = docs.sparkSession
-    import spark.implicits._
-    rounds.toDF("round", "w_bias", "w_uniq", "w_stop", "w_len",
-      "mse_before")
+  }
+
+  /** PROBE INFERENCE — train the [[linearProbe]] weights, then score the
+    * whole corpus with the linear model and report the per-source fit:
+    * document count, mean predicted quality, and the residual MSE against
+    * the rule-based label ("where does the cheap filter disagree with the
+    * rule"). The train half is the k-means-pattern driver loop; the score
+    * half is map-only arithmetic at scan speed (per-row doubles never
+    * surface — they enter exact DECIMAL(38,18) sums, so the report is
+    * partitioning-invariant and oracle-replayable like the training
+    * trace). */
+  def probeScore(docs: DataFrame, iters: Int = 3,
+      lr: Double = 0.5): DataFrame = {
+    val feat = probeFeatures(docs)
+    val last = probeRounds(feat, iters, lr).last
+    val w = Array(last._2, last._3, last._4, last._5)
+    val pred = probePred(w)
+    val resid = pred - col("y")
+    def smean(c: Column) =
+      round(sum(dec18(c)).cast("double") / count(lit(1)), 9)
+    feat
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        smean(pred).as("mean_pred"),
+        smean(resid * resid).as("mse"))
+      .orderBy("source")
   }
 
   /** Document fingerprinting: 64-bit content fingerprint (hex) + canonical

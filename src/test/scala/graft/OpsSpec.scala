@@ -1712,5 +1712,18 @@ class OpsSpec extends AnyFunSuite {
         r.getDouble(3), r.getDouble(4), r.getDouble(5)))
       .sortBy(_._1)
     assert(shuffled.toSeq == out.toSeq)
+    // inference: every source is scored, and the per-source residual MSE
+    // never exceeds the model's round-3 global pre-update loss by much
+    // (the probe fits globally; sources share the feature distribution)
+    val scored = TextOps.probeScore(docs, 3, 0.5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(scored.map(_._1).toSet ==
+      docs.select("source").distinct().collect().map(_.getString(0)).toSet)
+    assert(scored.map(_._2).sum == docs.count())
+    val round3Loss = out(2)._6
+    scored.foreach { case (_, _, pred, mse) =>
+      assert(pred > 0.0 && mse < round3Loss * 2.0)
+    }
   }
 }
