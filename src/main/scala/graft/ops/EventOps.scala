@@ -374,7 +374,19 @@ object EventOps {
     * ≤ session-count-sized and collapses in partial aggregation; top-k is
     * TakeOrderedAndProject under a (count, path) total order. */
   def topPaths(events: DataFrame, gapMinutes: Int = 30, maxSteps: Int = 8,
-      k: Int = 20): DataFrame = {
+      k: Int = 20): DataFrame =
+    sessionPaths(events, gapMinutes, maxSteps)
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+
+  /** The per-session path table [[topPaths]] counts over: one row per
+    * (user, session) with the session's start micros and its first
+    * `maxSteps` event types as a `a>b>c` string. Public because the
+    * streaming twin ([[graft.streaming.Streaming.sessionPathsStream]])
+    * is gated against it per watermark-closed session. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+      maxSteps: Int = 8): DataFrame = {
     val order = Window.partitionBy("user_id")
       .orderBy(col("ts_us").asc, col("event_id").asc)
     val gapUs = gapMinutes * 60L * 1000000L
@@ -388,14 +400,12 @@ object EventOps {
         order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     sess
       .groupBy("user_id", "sess_idx")
-      .agg(collect_list(
-        struct(col("ts_us"), col("event_id"), col("event_type"))).as("evs"))
-      .select(expr(
+      .agg(min(col("ts_us")).as("start_us"),
+        collect_list(
+          struct(col("ts_us"), col("event_id"), col("event_type"))).as("evs"))
+      .select(col("user_id"), col("start_us"), expr(
         s"""array_join(transform(slice(array_sort(evs), 1, $maxSteps),
            |           x -> x.event_type), '>')""".stripMargin).as("path"))
-      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
-      .orderBy(col("n_sessions").desc, col("path").asc)
-      .limit(k)
   }
 
   /** CONVERSION ATTRIBUTION — first-touch / last-touch marketing

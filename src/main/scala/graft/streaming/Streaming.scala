@@ -111,6 +111,77 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class PathOut(user_id: Long, start_us: Long, path: String)
+  // buf holds the session's earliest `maxSteps` (ts_us, event_id, type)
+  // triples in sorted order — an incremental order statistic, so a late
+  // (within-watermark) event still lands in its time position
+  final case class PathState(start_us: Long, end_us: Long,
+      buf: Seq[(Long, Long, String)])
+
+  /** Streaming SESSION PATHS — the continuous twin of
+    * [[graft.ops.EventOps.sessionPaths]]: per-user gap sessionization
+    * (the [[sessionize]] state machine) carrying the session's first
+    * `maxSteps` event types, emitted as one `a>b>c` path row when the
+    * session closes (gap break or watermark timeout). Downstream path
+    * COUNTING is an ordinary streaming aggregation over this output —
+    * kept separate exactly like the batch pair (per-session table →
+    * count), so both halves stay individually testable.
+    *
+    * State per user is one open session: two longs plus at most
+    * `maxSteps` buffered triples — bounded regardless of session length
+    * (the capped buffer keeps the earliest `maxSteps` by (ts, event_id),
+    * which is exactly the prefix the batch `slice(array_sort(...))`
+    * renders; dropping the largest is safe because a later insert can
+    * only displace larger elements). */
+  def sessionPathsStream(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Int, maxSteps: Int = 8): Dataset[PathOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def render(buf: Seq[(Long, Long, String)]): String =
+      buf.map(_._3).mkString(">")
+    def insert(buf: Seq[(Long, Long, String)],
+        e: (Long, Long, String)): Seq[(Long, Long, String)] =
+      ((buf :+ e).sortBy(t => (t._1, t._2))).take(maxSteps)
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[PathState]): Iterator[PathOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator.single(PathOut(userId, s.start_us, render(s.buf)))
+      }
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var closed = Vector.empty[PathOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        val triple = (us, e.event_id, e.event_type)
+        cur match {
+          case Some(s) if us - s.end_us <= gapUs =>
+            cur = Some(PathState(math.min(s.start_us, us),
+              math.max(s.end_us, us), insert(s.buf, triple)))
+          case Some(s) =>
+            closed :+= PathOut(userId, s.start_us, render(s.buf))
+            cur = Some(PathState(us, us, Seq(triple)))
+          case None =>
+            cur = Some(PathState(us, us, Seq(triple)))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end_us / 1000L + gapMinutes * 60L * 1000L)
+      }
+      closed.iterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   // unified as-of input: events carry event_id, states carry (ord, value)
   final case class AsofIn(user_id: Long, ts: java.sql.Timestamp, is_state: Int,
       event_id: Option[Long], ord: Option[Long], value: Option[Double])

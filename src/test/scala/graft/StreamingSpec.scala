@@ -308,6 +308,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(unclosed.subsetOf(lastPerUser))
   }
 
+  test("streaming session paths emit the batch per-session path strings") {
+    import spark.implicits._
+    val stream = Streaming.readEventsStream(spark, eventsDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streaming.Event]
+    val name = Streaming.runToMemory(spark,
+      Streaming.sessionPathsStream(spark, stream, 30, 8).toDF(),
+      "paths_test")
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val batch = graft.ops.EventOps.sessionPaths(cat.table("events"), 30, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, path) =>
+      assert(batch.get(k).contains(path), s"session $k path differs")
+    }
+    // unclosed = at most each user's final (watermark-open) session
+    val unclosed = batch.keySet -- streamed.keySet
+    val lastPerUser = batch.keySet.groupBy(_._1).values
+      .map(_.maxBy(_._2)).toSet
+    assert(unclosed.subsetOf(lastPerUser))
+  }
+
   test("streaming rollup refresh: routed answers track the stream; replays no-op") {
     import graft.planner.{CubeQuery, LevelDrill, LevelRef, Planner, Rollups}
     // isolated catalog so the registered rollup can't leak into suites
