@@ -43,7 +43,8 @@ object ExplainAudit {
         "t33_repetition_signals", "d18_leakage_split", "d19_containment",
         "e15_position_attribution", "t34_domain_select",
         "t35_corpus_health", "e16_time_decay_attribution", "q68_star_sql",
-        "q69_star_sql_role")
+        "q69_star_sql_role", "e17_top_paths", "q72_mdx_rank",
+        "t37_probe_score")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
