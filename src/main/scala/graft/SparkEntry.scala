@@ -1106,6 +1106,22 @@ object SparkEntry {
             |  [Part].[Brands].[Brand].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // MDX set aggregates in calc members: revenue vs the per-region
+      // brand average, and the per-region brand max — one axis window each
+      "q73_mdx_setavg" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[vs_brand_avg] AS
+            |  '[Measures].[Revenue] - AVG([Part].[Brands].[Brand].Members,
+            |                              [Measures].[Revenue])'
+            |MEMBER [Measures].[brand_max] AS
+            |  'MAX([Part].[Brands].[Brand].Members, [Measures].[Revenue])'
+            |SELECT {[Measures].[Revenue], [Measures].[vs_brand_avg],
+            |  [Measures].[brand_max]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+            |  [Part].[Brands].[Brand].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       "q38_mdx_filter_order" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -3637,6 +3653,20 @@ object SparkEntry {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          |  AS ytd2
          |FROM agg ORDER BY ship_year, ship_quarter, ship_month""".stripMargin,
+    // q73: per-region window AVG (decimal sum / count, the planner's exact
+    // shape) and window MAX over the aggregated axis
+    "q73_mdx_setavg" ->
+      s"""WITH a AS (SELECT r_regionkey AS region, r_name AS region_label,
+         |  p_brand AS brand, ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3)
+         |SELECT region, region_label, brand, revenue,
+         |  revenue - (CAST(SUM(${dec("revenue")}) OVER w AS DOUBLE)
+         |    / CAST(COUNT(revenue) OVER w AS DOUBLE)) AS vs_brand_avg,
+         |  MAX(revenue) OVER w AS brand_max
+         |FROM a WINDOW w AS (PARTITION BY region)
+         |ORDER BY region, brand""".stripMargin,
     // q72: RANK() over the aggregated axis, per region, ties sharing a rank
     "q72_mdx_rank" ->
       s"""WITH a AS (SELECT r_regionkey AS region, r_name AS region_label,

@@ -155,6 +155,18 @@ final case class TotalMeasureDef(alias: String, base: String, dim: String)
   * the rank is 1. */
 final case class RankMeasureDef(alias: String, base: String, dim: String)
 
+/** MDX `Avg|Min|Max(<level>.Members, [Measures].[M])` inside a calculated
+  * member: the aggregate of `base` over the axis members of `dim`, within
+  * each combination of the OTHER drilled dimensions — the per-member
+  * benchmark ("revenue vs the brand average") next to [[TotalMeasureDef]]'s
+  * SUM. Empty cells are ignored (Mondrian's Avg/Min/Max skip empty tuples),
+  * and Avg rides the DECIMAL-exact sum/count split so window evaluation
+  * order cannot move a float bit. One axis-sized window, never a second
+  * fact pass; an undrilled `dim` sits at All — a one-member set, so the
+  * aggregate IS the base value. `fn` ∈ avg | min | max. */
+final case class SetAggMeasureDef(alias: String, base: String, dim: String,
+    fn: String)
+
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,
     byMeasure: String)
@@ -170,6 +182,7 @@ final case class CubeDef(
     totalMeasures: Seq[TotalMeasureDef] = Nil,
     movingMeasures: Seq[MovingMeasureDef] = Nil,
     rankMeasures: Seq[RankMeasureDef] = Nil,
+    setAggMeasures: Seq[SetAggMeasureDef] = Nil,
     namedSets: Seq[NamedSetDef] = Nil,
     defaultMeasure: Option[String] = None) {
   def dimension(n: String): Option[DimensionDef] = dimensions.find(_.name == n)

@@ -98,6 +98,10 @@ final case class CubeQuery(
     // WITH MEMBER formula — the member's 1-based rank by the measure among
     // the axis members of its dimension (ties share a rank).
     adhocRanks: Seq[graft.model.RankMeasureDef] = Nil,
+    // `Avg|Min|Max(<level>.Members, [Measures].[M])` inside a WITH MEMBER
+    // formula — the axis-set aggregate benchmark (TotalMeasureDef's SUM
+    // generalized; same merge path).
+    adhocSetAggs: Seq[graft.model.SetAggMeasureDef] = Nil,
     // `COUNT(<level>.Members)` inside a WITH MEMBER formula — (alias,
     // level). Mondrian evaluates Level.Members through the schema reader
     // (role-visible members, NOT slicer-filtered), so the value is a

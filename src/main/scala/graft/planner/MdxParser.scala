@@ -93,9 +93,9 @@ object MdxParser {
         val memberClause = Option(withClause)
           .map(setRe.replaceAllIn(_, "").trim).filter(_.nonEmpty)
         val (adhoc, adhocLags, adhocTotals, adhocCums, adhocMovings,
-            adhocRanks, adhocCounts) =
+            adhocRanks, adhocSetAggs, adhocCounts) =
           memberClause.map(parseWithMembers(cube, _))
-            .getOrElse((Nil, Nil, Nil, Nil, Nil, Nil, Nil))
+            .getOrElse((Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil))
         // adhoc aliases resolve on an augmented view of the cube so the
         // measure axis (and nested FILTER/ORDER) can reference them
         val augmented = cube.copy(calcMembers = cube.calcMembers ++ adhoc,
@@ -103,7 +103,8 @@ object MdxParser {
           totalMeasures = cube.totalMeasures ++ adhocTotals,
           cumMeasures = cube.cumMeasures ++ adhocCums,
           movingMeasures = cube.movingMeasures ++ adhocMovings,
-          rankMeasures = cube.rankMeasures ++ adhocRanks)
+          rankMeasures = cube.rankMeasures ++ adhocRanks,
+          setAggMeasures = cube.setAggMeasures ++ adhocSetAggs)
         val measures = parseMeasureAxis(augmented, colAxis.trim)
         val (nonEmpty, rowAxis) = {
           val t0 = rowAxisRaw.trim
@@ -136,7 +137,7 @@ object MdxParser {
           adhocCalcs = adhoc, adhocLags = adhocLags,
           adhocTotals = adhocTotals, adhocCums = adhocCums,
           adhocMovings = adhocMovings, adhocRanks = adhocRanks,
-          adhocCounts = adhocCounts)
+          adhocSetAggs = adhocSetAggs, adhocCounts = adhocCounts)
       case _ => GraftException.badRequest(
         "cannot parse MDX (supported: [WITH MEMBER...] SELECT <measures> ON COLUMNS, <set> ON ROWS FROM <cube> [WHERE <tuple>])")
     }
@@ -172,12 +173,16 @@ object MdxParser {
     *   - `Rank([D].CurrentMember, [D].[L].Members, [Measures].[M])` → a
     *     synthesized [[RankMeasureDef]] — the member's 1-based rank by the
     *     measure among its dimension's axis members (ties share a rank),
-    *     one axis-sized window in the planner (never a fact re-sort).
+    *     one axis-sized window in the planner (never a fact re-sort);
+    *   - `Avg|Min|Max(<level>.Members, [Measures].[M])` → a synthesized
+    *     [[SetAggMeasureDef]] — the axis-set aggregate benchmark
+    *     ("revenue vs the brand average"), same one-window shape (SUM of
+    *     a complete member set folds into [[TotalMeasureDef]] above).
     */
   private def parseWithMembers(cube: CubeDef, s: String)
       : (Seq[CalcMemberDef], Seq[LagMeasureDef], Seq[TotalMeasureDef],
          Seq[CumMeasureDef], Seq[MovingMeasureDef], Seq[RankMeasureDef],
-         Seq[(String, LevelRef)]) = {
+         Seq[SetAggMeasureDef], Seq[(String, LevelRef)]) = {
     // Bracketed aliases take ANY non-']' chars (spaces included — standard
     // MDX names like [Profit Margin]); only the bare unbracketed form is
     // restricted to non-space tokens.
@@ -197,6 +202,8 @@ object MdxParser {
       scala.collection.mutable.LinkedHashMap.empty[String, LevelRef]
     val ranks =
       scala.collection.mutable.LinkedHashMap.empty[String, RankMeasureDef]
+    val setAggs =
+      scala.collection.mutable.LinkedHashMap.empty[String, SetAggMeasureDef]
     // the cube's single time dimension — the implicit argument of Ytd() and
     // LastPeriods(n) with no explicit member (Mondrian resolves them against
     // the TimeDimension; ambiguous with several, so that 400s)
@@ -313,6 +320,30 @@ object MdxParser {
       formula = sumRe.replaceAllIn(formula, mm =>
         java.util.regex.Matcher.quoteReplacement(
           synthTotal(mm.group(2), QueryParser.segments(mm.group(1)).head)))
+      // `Avg|Min|Max(<level>.Members, [Measures].[M])` — the axis-set
+      // aggregate benchmark (SUM above collapses to the All total; these
+      // need their own window): a synthesized [[SetAggMeasureDef]]
+      val setAggRe = ("""(?is)(?<!\w)(AVG|MIN|MAX)\s*\(\s*""" +
+        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\.\s*MEMBERS\s*,\s*""" +
+        """\[Measures\]\.\[([^\]]+)\]\s*\)""").r
+      formula = setAggRe.replaceAllIn(formula, mm => {
+        val fn = mm.group(1).toLowerCase
+        val dim = QueryParser.segments(mm.group(2)).head
+        if (cube.dimension(dim).isEmpty)
+          GraftException.badRequest(
+            s"${mm.group(1).toUpperCase}(set, measure) on unknown " +
+              s"dimension '$dim'")
+        val base = resolveMeasure(cube, mm.group(3))
+        val alias = cube.setAggMeasures
+          .find(a => a.base == base && a.dim == dim && a.fn == fn)
+          .map(_.alias)
+          .getOrElse {
+            val a = s"__mdx_${fn}_${base}_${dim.replaceAll("\\W", "_")}"
+            setAggs.getOrElseUpdate(a, SetAggMeasureDef(a, base, dim, fn))
+            a
+          }
+        java.util.regex.Matcher.quoteReplacement(alias)
+      })
       // `Sum(PeriodsToDate([T].[Year]), [M])` / `Sum(Ytd(), [M])` → a
       // synthesized [[CumMeasureDef]]: the running sum resets at each member
       // of the named level (Ytd = PeriodsToDate at Year). Rides the planner's
@@ -427,7 +458,7 @@ object MdxParser {
     }
     (calcs, lags.values.toSeq, totals.values.toSeq,
       cums.values.toSeq, movings.values.toSeq, ranks.values.toSeq,
-      counts.toSeq)
+      setAggs.values.toSeq, counts.toSeq)
   }
 
   /** Parsed row axis: a set plus its axis-level wrappers. */
@@ -622,6 +653,7 @@ object MdxParser {
       .orElse(cube.totalMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.movingMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.rankMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.setAggMeasures.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
   /** One side of a set-algebra expression, normalized to a single level plus

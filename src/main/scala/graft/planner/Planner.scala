@@ -87,7 +87,8 @@ object Planner {
     * schema-declared ones; shadowing a declared measure is a client error. */
   private def withAdhoc(cube: CubeDef, q: CubeQuery): CubeDef =
     if (q.adhocCalcs.isEmpty && q.adhocLags.isEmpty && q.adhocTotals.isEmpty &&
-        q.adhocCums.isEmpty && q.adhocMovings.isEmpty && q.adhocRanks.isEmpty)
+        q.adhocCums.isEmpty && q.adhocMovings.isEmpty &&
+        q.adhocRanks.isEmpty && q.adhocSetAggs.isEmpty)
       cube
     else {
       q.adhocCalcs.foreach { c =>
@@ -110,12 +111,15 @@ object Planner {
         cube.movingMeasures.exists(_.alias == m.alias))
       val newRanks = q.adhocRanks.filterNot(r =>
         cube.rankMeasures.exists(_.alias == r.alias))
+      val newSetAggs = q.adhocSetAggs.filterNot(a =>
+        cube.setAggMeasures.exists(_.alias == a.alias))
       cube.copy(calcMembers = cube.calcMembers ++ q.adhocCalcs,
         lagMeasures = cube.lagMeasures ++ newLags,
         totalMeasures = cube.totalMeasures ++ newTotals,
         cumMeasures = cube.cumMeasures ++ newCums,
         movingMeasures = cube.movingMeasures ++ newMovings,
-        rankMeasures = cube.rankMeasures ++ newRanks)
+        rankMeasures = cube.rankMeasures ++ newRanks,
+        setAggMeasures = cube.setAggMeasures ++ newSetAggs)
     }
 
   private def withAdhoc(vc: VirtualCubeDef, q: CubeQuery): VirtualCubeDef = {
@@ -124,9 +128,9 @@ object Planner {
     // formula whose synthesized alias no member cube can supply
     if (q.adhocLags.nonEmpty || q.adhocTotals.nonEmpty ||
         q.adhocCums.nonEmpty || q.adhocMovings.nonEmpty ||
-        q.adhocRanks.nonEmpty)
+        q.adhocRanks.nonEmpty || q.adhocSetAggs.nonEmpty)
       GraftException.badRequest(
-        s"tuple navigation (PrevMember/Lag/All/PeriodsToDate/LastPeriods/Rank) is not supported on virtual cube '${vc.name}'")
+        s"tuple navigation (PrevMember/Lag/All/PeriodsToDate/LastPeriods/Rank/set aggregates) is not supported on virtual cube '${vc.name}'")
     if (q.adhocCalcs.isEmpty) vc
     else {
       q.adhocCalcs.foreach { c =>
@@ -385,7 +389,10 @@ object Planner {
     val withRanks = need.ranks.foldLeft(withTotals) { (df, rm) =>
       applyRank(df, rm, groupLevels, totalVisible)
     }
-    val withCalcs = need.calcs.foldLeft(withRanks) { (df, cm) =>
+    val withSetAggs = need.setAggs.foldLeft(withRanks) { (df, am) =>
+      applySetAgg(df, am, groupLevels, totalVisible)
+    }
+    val withCalcs = need.calcs.foldLeft(withSetAggs) { (df, cm) =>
       df.withColumn(cm.alias, expr(cm.formula))
     }
     // re-apply the relaxed time cuts to the axis, then drop the filler
@@ -542,7 +549,8 @@ object Planner {
   private final case class NeededMeasures(bases: Seq[MeasureDef],
       lags: Seq[LagMeasureDef], cums: Seq[CumMeasureDef],
       totals: Seq[TotalMeasureDef], movings: Seq[MovingMeasureDef],
-      ranks: Seq[RankMeasureDef], calcs: Seq[CalcMemberDef])
+      ranks: Seq[RankMeasureDef], setAggs: Seq[SetAggMeasureDef],
+      calcs: Seq[CalcMemberDef])
 
   /** Expand requested measure aliases to (base, lag, cum, calc) closure. Calc
     * formulas may reference base, lag, cum, and earlier calc aliases. */
@@ -550,7 +558,7 @@ object Planner {
     var bases = Set.empty[String]; var lags = Set.empty[String]
     var cums = Set.empty[String]; var calcs = Set.empty[String]
     var totals = Set.empty[String]; var movings = Set.empty[String]
-    var ranks = Set.empty[String]
+    var ranks = Set.empty[String]; var setAggs = Set.empty[String]
     def visit(n: String): Unit =
       cube.measure(n) match {
         case Some(m) => bases += m.alias
@@ -573,6 +581,10 @@ object Planner {
                     case Some(rm) =>
                       if (!ranks(n)) { ranks += n; visit(rm.base) }
                     case None =>
+                  cube.setAggMeasures.find(_.alias == n) match {
+                    case Some(am) =>
+                      if (!setAggs(n)) { setAggs += n; visit(am.base) }
+                    case None =>
                   cube.calcMembers.find(_.alias == n) match {
                     case Some(cm) =>
                       if (!calcs(n)) {
@@ -583,12 +595,14 @@ object Planner {
                           cube.totalMeasures.map(_.alias) ++
                           cube.movingMeasures.map(_.alias) ++
                           cube.rankMeasures.map(_.alias) ++
+                          cube.setAggMeasures.map(_.alias) ++
                           cube.calcMembers.map(_.alias))
                           .filter(a => a != n && referencesAlias(cm.formula, a))
                         deps.foreach(visit)
                       }
                     case None =>
                       GraftException.badRequest(s"measure '$n' not found in cube '${cube.name}'")
+                  }
                   }
                   }
                   }
@@ -604,6 +618,7 @@ object Planner {
       cube.totalMeasures.filter(t => totals(t.alias)),
       cube.movingMeasures.filter(m => movings(m.alias)),
       cube.rankMeasures.filter(r => ranks(r.alias)),
+      cube.setAggMeasures.filter(a => setAggs(a.alias)),
       cube.calcMembers.filter(c => calcs(c.alias))) // declaration order
   }
 
@@ -618,6 +633,7 @@ object Planner {
       .orElse(cube.totalMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.movingMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.rankMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.setAggMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.calcMembers.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
@@ -1148,6 +1164,35 @@ object Planner {
       val w = Window.partitionBy(partCols: _*)
         .orderBy(when(visible, col(rm.base)).desc_nulls_last)
       df.withColumn(rm.alias, when(visible, rank().over(w).cast("long")))
+    }
+
+  /** MDX Avg/Min/Max(set, measure): one window over the aggregated axis,
+    * partitioned like [[applyTotal]] by the other dimensions' columns.
+    * Only axis-visible cells participate (the `when(visible, …)` mask —
+    * aggregate functions skip nulls, matching Mondrian's empty-cell
+    * skipping); Avg re-quantizes the sum through DECIMAL(27,6) and
+    * divides by the visible count so window evaluation order cannot move
+    * a float bit. An undrilled dimension sits at All: the one-member
+    * set's aggregate IS the base value. */
+  private def applySetAgg(df: DataFrame, am: SetAggMeasureDef,
+      groupLevels: Seq[ResolvedLevel], visible: Column): DataFrame =
+    if (groupLevels.forall(_.dim.name != am.dim))
+      df.withColumn(am.alias, col(am.base))
+    else {
+      val partCols = groupLevels.filterNot(_.dim.name == am.dim)
+        .flatMap(levelAliases).map(col)
+      val w = Window.partitionBy(partCols: _*)
+      val masked = when(visible, col(am.base))
+      val agg = am.fn match {
+        case "avg" =>
+          sum(when(visible, expr(s"CAST(${am.base} AS DECIMAL(27,6))")))
+            .over(w).cast("double") / count(masked).over(w).cast("double")
+        case "min" => min(masked).over(w)
+        case "max" => max(masked).over(w)
+        case other => GraftException.badRequest(
+          s"unsupported set aggregate '$other'")
+      }
+      df.withColumn(am.alias, agg)
     }
 
   /** Dense axes (ref C1 default JSON shape): cross product of the member

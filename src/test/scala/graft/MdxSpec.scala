@@ -881,4 +881,42 @@ class MdxSpec extends AnyFunSuite {
         |[Geography].[Region].Members ON ROWS
         |FROM sales""".stripMargin)).status == 400)
   }
+
+  test("Avg/Min/Max set aggregates: axis-window benchmark semantics") {
+    val rows = Planner.plan(cat, MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[vs_avg] AS
+        |  '[Measures].[Revenue] - AVG([Geography].[Nation].Members,
+        |                              [Measures].[Revenue])'
+        |MEMBER [Measures].[nmax] AS
+        |  'MAX([Geography].[Nation].Members, [Measures].[Revenue])'
+        |MEMBER [Measures].[nmin] AS
+        |  'MIN([Geography].[Nation].Members, [Measures].[Revenue])'
+        |SELECT {[Measures].[Revenue], [Measures].[vs_avg],
+        |  [Measures].[nmax], [Measures].[nmin]} ON COLUMNS,
+        |NON EMPTY [Geography].[Nation].Members ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    def d(r: org.apache.spark.sql.Row, c: String) =
+      r.getDouble(r.fieldIndex(c))
+    val revs = rows.map(d(_, "revenue"))
+    // deviations from the set mean sum to ~0; max/min are the set extremes
+    assert(math.abs(rows.map(d(_, "vs_avg")).sum) < 1e-4)
+    assert(rows.forall(r => d(r, "nmax") == revs.max))
+    assert(rows.forall(r => d(r, "nmin") == revs.min))
+    // an undrilled dimension's set aggregate is the base value itself
+    val allRows = Planner.plan(cat, MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[bavg] AS
+        |  'AVG([Part].[Brands].[Brand].Members, [Measures].[Revenue])'
+        |SELECT {[Measures].[Revenue], [Measures].[bavg]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    assert(allRows.nonEmpty &&
+      allRows.forall(r => d(r, "bavg") == d(r, "revenue")))
+    // unknown dimension 400s at parse time
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  'AVG([Nope].[X].Members, [Measures].[Revenue])'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+  }
 }
