@@ -38,7 +38,14 @@ object Reports {
     "corpus_health" -> ("Per-source corpus health: repetitive-doc " +
       "fraction (Gopher filters), mean repetition coverage, mean " +
       "Moore-Lewis ce_diff vs the src0 seed domain",
-      c => graft.ops.TextOps.corpusHealth(c.table("documents"))))
+      c => graft.ops.TextOps.corpusHealth(c.table("documents"))),
+    "top_paths" -> ("Top-20 whole-session event-type journeys " +
+      "(30-minute sessions, first 8 steps)",
+      c => graft.ops.EventOps.topPaths(c.table("events"), 30, 8, 20)),
+    "probe_fit" -> ("Per-source fit of the trained linear quality probe: " +
+      "document count, mean predicted quality, residual MSE vs the " +
+      "rule-based score",
+      c => graft.ops.TextOps.probeScore(c.table("documents"), 3, 0.5)))
 
   def list: Seq[ListMap[String, String]] =
     registry.toSeq.map { case (name, (desc, _)) =>

@@ -318,7 +318,7 @@ class ApiSpec extends AnyFunSuite {
     val names = Json.parse(listing).asInstanceOf[Map[String, Any]]("reports")
       .asInstanceOf[Seq[Map[String, Any]]].map(_("name"))
     assert(names == Seq("dq_audit", "rfm_segments", "copurchase_lift",
-      "corpus_health"))
+      "corpus_health", "top_paths", "probe_fit"))
     // JSONRecords rows must equal the library call the q51 gate verifies
     val (code, body) = get("/reports/dq_audit")
     assert(code == 200)
