@@ -1120,8 +1120,10 @@ object SparkEntry {
             |                              [Measures].[Revenue])'
             |MEMBER [Measures].[brand_max] AS
             |  'MAX([Part].[Brands].[Brand].Members, [Measures].[Revenue])'
+            |MEMBER [Measures].[brand_median] AS
+            |  'MEDIAN([Part].[Brands].[Brand].Members, [Measures].[Revenue])'
             |SELECT {[Measures].[Revenue], [Measures].[vs_brand_avg],
-            |  [Measures].[brand_max]} ON COLUMNS,
+            |  [Measures].[brand_max], [Measures].[brand_median]} ON COLUMNS,
             |NON EMPTY CROSSJOIN([Geography].[Region].Members,
             |  [Part].[Brands].[Brand].Members) ON ROWS
             |FROM sales""".stripMargin))
@@ -3708,7 +3710,8 @@ object SparkEntry {
          |SELECT region, region_label, brand, revenue,
          |  revenue - (CAST(SUM(${dec("revenue")}) OVER w AS DOUBLE)
          |    / CAST(COUNT(revenue) OVER w AS DOUBLE)) AS vs_brand_avg,
-         |  MAX(revenue) OVER w AS brand_max
+         |  MAX(revenue) OVER w AS brand_max,
+         |  MEDIAN(revenue) OVER w AS brand_median
          |FROM a WINDOW w AS (PARTITION BY region)
          |ORDER BY region, brand""".stripMargin,
     // q72: RANK() over the aggregated axis, per region, ties sharing a rank

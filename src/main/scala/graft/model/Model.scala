@@ -163,7 +163,9 @@ final case class RankMeasureDef(alias: String, base: String, dim: String)
   * and Avg rides the DECIMAL-exact sum/count split so window evaluation
   * order cannot move a float bit. One axis-sized window, never a second
   * fact pass; an undrilled `dim` sits at All — a one-member set, so the
-  * aggregate IS the base value. `fn` ∈ avg | min | max. */
+  * aggregate IS the base value. `fn` ∈ avg | min | max | median (median is
+  * the exact interpolated percentile-0.5 both engines share — the B4/q36
+  * cross-engine contract). */
 final case class SetAggMeasureDef(alias: String, base: String, dim: String,
     fn: String)
 

@@ -174,10 +174,11 @@ object MdxParser {
     *     synthesized [[RankMeasureDef]] — the member's 1-based rank by the
     *     measure among its dimension's axis members (ties share a rank),
     *     one axis-sized window in the planner (never a fact re-sort);
-    *   - `Avg|Min|Max(<level>.Members, [Measures].[M])` → a synthesized
-    *     [[SetAggMeasureDef]] — the axis-set aggregate benchmark
-    *     ("revenue vs the brand average"), same one-window shape (SUM of
-    *     a complete member set folds into [[TotalMeasureDef]] above).
+    *   - `Avg|Min|Max|Median(<level>.Members, [Measures].[M])` → a
+    *     synthesized [[SetAggMeasureDef]] — the axis-set aggregate
+    *     benchmark ("revenue vs the brand average / median"), same
+    *     one-window shape (SUM of a complete member set folds into
+    *     [[TotalMeasureDef]] above).
     */
   private def parseWithMembers(cube: CubeDef, s: String)
       : (Seq[CalcMemberDef], Seq[LagMeasureDef], Seq[TotalMeasureDef],
@@ -323,7 +324,7 @@ object MdxParser {
       // `Avg|Min|Max(<level>.Members, [Measures].[M])` — the axis-set
       // aggregate benchmark (SUM above collapses to the All total; these
       // need their own window): a synthesized [[SetAggMeasureDef]]
-      val setAggRe = ("""(?is)(?<!\w)(AVG|MIN|MAX)\s*\(\s*""" +
+      val setAggRe = ("""(?is)(?<!\w)(AVG|MIN|MAX|MEDIAN)\s*\(\s*""" +
         """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\.\s*MEMBERS\s*,\s*""" +
         """\[Measures\]\.\[([^\]]+)\]\s*\)""").r
       formula = setAggRe.replaceAllIn(formula, mm => {

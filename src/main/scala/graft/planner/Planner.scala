@@ -1189,6 +1189,9 @@ object Planner {
             .over(w).cast("double") / count(masked).over(w).cast("double")
         case "min" => min(masked).over(w)
         case "max" => max(masked).over(w)
+        // exact interpolated median — the same percentile(…, 0.5) contract
+        // the B4 Median measure (q36) already hash-matches cross-engine
+        case "median" => median(masked).over(w)
         case other => GraftException.badRequest(
           s"unsupported set aggregate '$other'")
       }

@@ -891,8 +891,11 @@ class MdxSpec extends AnyFunSuite {
         |  'MAX([Geography].[Nation].Members, [Measures].[Revenue])'
         |MEMBER [Measures].[nmin] AS
         |  'MIN([Geography].[Nation].Members, [Measures].[Revenue])'
+        |MEMBER [Measures].[nmed] AS
+        |  'MEDIAN([Geography].[Nation].Members, [Measures].[Revenue])'
         |SELECT {[Measures].[Revenue], [Measures].[vs_avg],
-        |  [Measures].[nmax], [Measures].[nmin]} ON COLUMNS,
+        |  [Measures].[nmax], [Measures].[nmin], [Measures].[nmed]}
+        |  ON COLUMNS,
         |NON EMPTY [Geography].[Nation].Members ON ROWS
         |FROM sales""".stripMargin)).collect()
     def d(r: org.apache.spark.sql.Row, c: String) =
@@ -902,6 +905,10 @@ class MdxSpec extends AnyFunSuite {
     assert(math.abs(rows.map(d(_, "vs_avg")).sum) < 1e-4)
     assert(rows.forall(r => d(r, "nmax") == revs.max))
     assert(rows.forall(r => d(r, "nmin") == revs.min))
+    // median sits strictly inside the set's range (all revenues distinct)
+    val med = d(rows.head, "nmed")
+    assert(rows.forall(r => d(r, "nmed") == med))
+    assert(med > revs.min && med < revs.max)
     // an undrilled dimension's set aggregate is the base value itself
     val allRows = Planner.plan(cat, MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[bavg] AS
