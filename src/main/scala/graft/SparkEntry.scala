@@ -1128,6 +1128,21 @@ object SparkEntry {
             |  [Part].[Brands].[Brand].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // MDX conditionals: IIF + IsEmpty guarding a PrevMember ratio (the
+      // canonical month-over-month percent with a sentinel first month)
+      "q74_mdx_iif" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[mom_pct] AS
+            |  'IIF(IsEmpty(([Measures].[Revenue], [ShipDate].PrevMember)),
+            |       -1.0,
+            |       [Measures].[Revenue] /
+            |         ([Measures].[Revenue], [ShipDate].PrevMember) - 1.0)'
+            |SELECT {[Measures].[Revenue], [Measures].[mom_pct]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+            |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       "q38_mdx_filter_order" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -3635,6 +3650,19 @@ object SparkEntry {
          |FROM agg ORDER BY region, brand""".stripMargin,
     // q56: tuple navigation — lag/lag2 run over the month DOMAIN (dense at
     // this sf, so the ordered lag replays it); COALESCEEMPTY = coalesce
+    // q74: the guarded month-over-month ratio — CASE mirrors if/IS NULL
+    "q74_mdx_iif" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT ship_year, ship_month, revenue,
+         |CASE WHEN lag(revenue) OVER (ORDER BY ship_year, ship_month)
+         |    IS NULL THEN -1.0
+         |  ELSE revenue / lag(revenue) OVER (ORDER BY ship_year, ship_month)
+         |    - 1.0 END AS mom_pct
+         |FROM agg ORDER BY ship_year, ship_month""".stripMargin,
     "q56_mdx_growth" ->
       s"""WITH agg AS (
          |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,

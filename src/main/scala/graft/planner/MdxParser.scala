@@ -178,7 +178,10 @@ object MdxParser {
     *     synthesized [[SetAggMeasureDef]] — the axis-set aggregate
     *     benchmark ("revenue vs the brand average / median"), same
     *     one-window shape (SUM of a complete member set folds into
-    *     [[TotalMeasureDef]] above).
+    *     [[TotalMeasureDef]] above);
+    *   - `IIF(cond, a, b)` → Spark `if(...)`; `IsEmpty(x)` → a null test
+    *     — the Mondrian conditional idioms (`IIF(IsEmpty(lag), …)`),
+    *     rewritten after every member reference is an alias.
     */
   private def parseWithMembers(cube: CubeDef, s: String)
       : (Seq[CalcMemberDef], Seq[LagMeasureDef], Seq[TotalMeasureDef],
@@ -448,6 +451,20 @@ object MdxParser {
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
       formula = measureRef.replaceAllIn(formula,
         mm => resolveMeasure(cube, mm.group(1)))
+      // MDX conditionals, after every member reference is an alias:
+      // `IIF(cond, a, b)` is Spark's `if(...)` verbatim; `IsEmpty(x)` is
+      // a null test. IsEmpty handles a parenthesis-free argument (aliases
+      // and arithmetic — what survives the rewrites above); a nested form
+      // the regex can't see 400s below rather than reaching Spark's parser.
+      formula = formula.replaceAll("(?i)(?<!\\w)IIF\\s*\\(", "if(")
+      formula = ("""(?is)(?<!\w)ISEMPTY\s*\(([^()]*)\)""").r
+        .replaceAllIn(formula, mm =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"((${mm.group(1).trim}) IS NULL)"))
+      if ("""(?is)(?<!\w)ISEMPTY\s*\(""".r.findFirstIn(formula).isDefined)
+        GraftException.badRequest(
+          s"IsEmpty with a nested-parenthesis argument is not supported " +
+            s"in calculated member '$alias'")
       // Anything bracketed that survived every rewrite is a member tuple the
       // compiled subset doesn't navigate (e.g. ([M], [City].[Allentown]));
       // 400 with the original formula rather than a downstream parse error

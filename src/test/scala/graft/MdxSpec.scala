@@ -926,4 +926,26 @@ class MdxSpec extends AnyFunSuite {
         |[Geography].[Region].Members ON ROWS
         |FROM sales""".stripMargin)).status == 400)
   }
+
+  test("IIF and IsEmpty compile; nested IsEmpty 400s") {
+    val rows = Planner.plan(cat, MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[flag] AS
+        |  'IIF(IsEmpty(([Measures].[Revenue], [ShipDate].PrevMember)),
+        |       -1.0, 1.0)'
+        |SELECT {[Measures].[Revenue], [Measures].[flag]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    // pure-literal branches type as DECIMAL in Spark SQL — read numerically
+    val flags = rows.map(r => r.get(r.fieldIndex("flag")).toString.toDouble)
+    // exactly the first month of the axis has no previous member
+    assert(flags.count(_ == -1.0) == 1 && flags.count(_ == 1.0) ==
+      rows.length - 1)
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  'IIF(IsEmpty(if(true, [Measures].[Revenue], 0)), 0, 1)'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+  }
 }
