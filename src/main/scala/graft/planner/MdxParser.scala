@@ -17,6 +17,7 @@ import graft.model._
   *
   *   <axis> ::= <set>
   *           | ( <axis> )
+  *           | NONEMPTY(<axis>[, <measure>])   — NON EMPTY, function form
   *           | FILTER(<axis>, [Measures].[M] <op> <number>)   — HAVING
   *           | ORDER(<axis>, [Measures].[M]
   *                   | [D].CurrentMember.Properties('P')
@@ -119,9 +120,34 @@ object MdxParser {
           // axis through a set reference.
           val t2 = substResolved(t1)
           val neRe = "(?i)NONEMPTYCROSSJOIN\\s*\\(".r
-          if (neRe.findFirstIn(t2).isDefined)
-            (true, neRe.replaceAllIn(t2, "CROSSJOIN("))
-          else (ne0, t2)
+          val (ne1, t3) =
+            if (neRe.findFirstIn(t2).isDefined)
+              (true, neRe.replaceAllIn(t2, "CROSSJOIN("))
+            else (ne0, t2)
+          // `NonEmpty(<axis>[, [Measures].[M]])` as a whole-axis wrapper
+          // (Mondrian's function form of NON EMPTY). The optional measure
+          // argument names which measure defines emptiness — here the
+          // groupBy axis is fact-non-empty by construction, so the
+          // argument only needs to resolve; the flag semantics match the
+          // reference's NON EMPTY output for base measures.
+          if (t3.toUpperCase.startsWith("NONEMPTY(") && t3.endsWith(")")) {
+            val inner = t3.substring("NONEMPTY(".length, t3.length - 1)
+            splitTop(inner, ',') match {
+              case Vector(axisOnly) => (true, axisOnly.trim)
+              case Vector(axisPart, measurePart) =>
+                val mRe = """(?is)^\s*\[Measures\]\.\[([^\]]+)\]\s*$""".r
+                measurePart match {
+                  case mRe(mname) =>
+                    resolveMeasure(augmented, mname) // 400s on unknown
+                    (true, axisPart.trim)
+                  case _ => GraftException.badRequest(
+                    s"NonEmpty: second argument must be a measure, got " +
+                      s"'${measurePart.trim}'")
+                }
+              case _ => GraftException.badRequest(
+                s"NonEmpty takes (set[, measure]), got '$inner'")
+            }
+          } else (ne1, t3)
         }
         val axis = parseAxis(augmented, rowAxis)
         val slicerCuts = Option(slicer).map(_.trim).filter(_.nonEmpty)

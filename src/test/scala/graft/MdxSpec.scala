@@ -927,6 +927,27 @@ class MdxSpec extends AnyFunSuite {
         |FROM sales""".stripMargin)).status == 400)
   }
 
+  test("NonEmpty(set[, measure]) folds into the nonempty flag") {
+    val base = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)
+    val fn = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NONEMPTY([Geography].[Region].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    val fnM = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NonEmpty([Geography].[Region].Members, [Measures].[Revenue])
+        |  ON ROWS
+        |FROM sales""".stripMargin)
+    assert(fn == base && fnM == base)
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NonEmpty([Geography].[Region].Members, [Measures].[Nope]) ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+  }
+
   test("IIF and IsEmpty compile; nested IsEmpty 400s") {
     val rows = Planner.plan(cat, MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[flag] AS
