@@ -160,6 +160,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rank and set-aggregate invariants under random drills and cuts") {
+    import graft.model.{RankMeasureDef, SetAggMeasureDef}
+    val otherCutGen: Gen[Option[Cut]] = Gen.oneOf(
+      Gen.const(None),
+      Gen.someOf(Seq("A", "N", "R")).suchThat(_.nonEmpty).map(ks =>
+        Some(SetCut(LevelRef("ReturnFlag", Some("ReturnFlag")), ks.toSeq))))
+    val geoLevel: Gen[LevelRef] = Gen.oneOf(
+      LevelRef("Geography", Some("Region")),
+      LevelRef("Geography", Some("Nation")))
+    val otherDrill: Gen[Option[LevelRef]] = Gen.oneOf(
+      None, Some(LevelRef("ReturnFlag", Some("ReturnFlag"))),
+      Some(LevelRef("LineStatus", Some("LineStatus"))))
+    forAll(Gen.zip(geoLevel, otherDrill, otherCutGen)) {
+      case (geo, other, cut) =>
+        val drills = (Seq(geo) ++ other.toSeq).map(LevelDrill(_))
+        val rows = Planner.plan(cat, CubeQuery("sales", drills,
+          Seq("revenue", "rk", "sa_avg", "sa_min", "sa_max"),
+          cuts = cut.toSeq,
+          adhocRanks = Seq(RankMeasureDef("rk", "revenue", "Geography")),
+          adhocSetAggs = Seq(
+            SetAggMeasureDef("sa_avg", "revenue", "Geography", "avg"),
+            SetAggMeasureDef("sa_min", "revenue", "Geography", "min"),
+            SetAggMeasureDef("sa_max", "revenue", "Geography", "max"))))
+          .collect()
+        assert(rows.nonEmpty)
+        val nCols = rows.head.length
+        val (revI, rkI, avgI, minI, maxI) =
+          (nCols - 5, nCols - 4, nCols - 3, nCols - 2, nCols - 1)
+        // within each non-geo coordinate: RANK = 1 + #strictly-greater,
+        // min/max are the set extremes, avg·n reproduces the exact sum
+        rows.groupBy(r => (2 until revI).map(r.get)).values.foreach { part =>
+          val revs = part.map(_.getDouble(revI))
+          part.foreach { r =>
+            val rev = r.getDouble(revI)
+            assert(r.getLong(rkI) == 1L + revs.count(_ > rev),
+              "rank must count strictly-greater members (ties share)")
+            assert(r.getDouble(minI) == revs.min)
+            assert(r.getDouble(maxI) == revs.max)
+            assert(math.abs(r.getDouble(avgI) * revs.length -
+              revs.map(BigDecimal(_)).sum.toDouble) < 1e-4)
+          }
+        }
+    }
+  }
+
   test("a cut never increases any group's value, and filters the axis") {
     forAll(Gen.zip(drillsGen, cutGen)) { case (drills, cut) =>
       val base = CubeQuery("sales", drills.map(LevelDrill(_)), Seq("revenue"))
