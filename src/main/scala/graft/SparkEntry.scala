@@ -1128,6 +1128,17 @@ object SparkEntry {
             |  [Part].[Brands].[Brand].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // TOPCOUNT over a TUPLE set: top-15 (nation, brand) cells by
+      // revenue — ORDER + HEAD on the whole axis (TakeOrderedAndProject)
+      "q75_mdx_topcount_tuples" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |TOPCOUNT(CROSSJOIN([Geography].[Nation].Members,
+            |  [Part].[Brands].[Brand].Members), 15,
+            |  [Measures].[Revenue]) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // MDX conditionals: IIF + IsEmpty guarding a PrevMember ratio (the
       // canonical month-over-month percent with a sentinel first month)
       "q74_mdx_iif" -> ((s: SparkSession, dir: String) => {
@@ -3650,6 +3661,15 @@ object SparkEntry {
          |FROM agg ORDER BY region, brand""".stripMargin,
     // q56: tuple navigation — lag/lag2 run over the month DOMAIN (dense at
     // this sf, so the ordered lag replays it); COALESCEEMPTY = coalesce
+    // q75: top-15 (nation, brand) tuples by revenue, planner tie-break
+    // (hierarchical keys ascending) after the measure
+    "q75_mdx_topcount_tuples" ->
+      s"""SELECT n_nationkey AS nation, n_name AS nation_label,
+         |p_brand AS brand, ${sumd(REV, "revenue")}
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, nation ASC, brand ASC LIMIT 15""".stripMargin,
     // q74: the guarded month-over-month ratio — CASE mirrors if/IS NULL
     "q74_mdx_iif" ->
       s"""WITH agg AS (

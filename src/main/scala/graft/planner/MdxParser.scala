@@ -633,6 +633,34 @@ object MdxParser {
         limit = as.lift(2).map(parseCount(_, "SUBSET")).orElse(inner.limit))
     } else if (upper.startsWith("HIERARCHIZE(") && t.endsWith(")")) {
       parseAxis(cube, t.substring("HIERARCHIZE(".length, t.length - 1))
+    } else if ((upper.startsWith("TOPCOUNT(") ||
+        upper.startsWith("BOTTOMCOUNT(")) && t.endsWith(")") && {
+      // TOPCOUNT over a TUPLE set (≥ 2 drilled levels, e.g. a CROSSJOIN):
+      // Mondrian ranks the axis tuples by the measure — exactly ORDER +
+      // HEAD on the whole axis (TakeOrderedAndProject in the plan). The
+      // single-level form stays a TopKCut in parseSet (it composes with
+      // other cuts as a member set rather than an axis ordering).
+      val fnLen =
+        (if (upper.startsWith("TOPCOUNT(")) "TOPCOUNT(" else "BOTTOMCOUNT(")
+          .length
+      val as = splitTop(t.substring(fnLen, t.length - 1), ',')
+      as.length == 3 && parseSet(cube, as(0))._1.length > 1
+    }) {
+      val asc = upper.startsWith("BOTTOMCOUNT(")
+      val fnLen =
+        (if (asc) "BOTTOMCOUNT(" else "TOPCOUNT(").length
+      val as = splitTop(t.substring(fnLen, t.length - 1), ',')
+      val (drills, cuts) = parseSet(cube, as(0))
+      val k = parseCount(as(1), if (asc) "BOTTOMCOUNT" else "TOPCOUNT")
+      val m = QueryParser.segments(as(2)) match {
+        case Seq("Measures", name) => resolveMeasure(cube, name)
+        case Seq(name) => resolveMeasure(cube, name)
+        case _ => GraftException.badRequest(
+          s"bad ${if (asc) "BOTTOMCOUNT" else "TOPCOUNT"} measure '${as(2)}'")
+      }
+      Axis(drills, cuts,
+        order = Some(OrderSpec(OrderByMeasure(m), desc = !asc)),
+        limit = Some(k))
     } else {
       val (drills, cuts) = parseSet(cube, t)
       Axis(drills, cuts)

@@ -927,6 +927,44 @@ class MdxSpec extends AnyFunSuite {
         |FROM sales""".stripMargin)).status == 400)
   }
 
+  test("TOPCOUNT over a tuple set is ORDER + HEAD on the axis") {
+    val top = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |TOPCOUNT(CROSSJOIN([Geography].[Region].Members,
+        |  [ReturnFlag].[ReturnFlag].Members), 4,
+        |  [Measures].[Revenue]) ON ROWS
+        |FROM sales""".stripMargin)
+    val viaOrder = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |HEAD(ORDER(CROSSJOIN([Geography].[Region].Members,
+        |  [ReturnFlag].[ReturnFlag].Members),
+        |  [Measures].[Revenue], DESC), 4) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(top == viaOrder)
+    val rows = Planner.plan(cat, top).collect()
+    assert(rows.length == 4)
+    val revs = rows.map(r => r.getDouble(r.fieldIndex("revenue")))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // BOTTOMCOUNT tuple form ranks ascending
+    val bottom = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |BOTTOMCOUNT(CROSSJOIN([Geography].[Region].Members,
+        |  [ReturnFlag].[ReturnFlag].Members), 2,
+        |  [Measures].[Revenue]) ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    assert(bottom.length == 2)
+    val brevs = bottom.map(r => r.getDouble(r.fieldIndex("revenue")))
+    assert(brevs.head <= revs.min && brevs.zip(brevs.tail)
+      .forall { case (a, b) => a <= b })
+    // the single-level form still compiles to a TopKCut (q34 shape)
+    val single = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |TOPCOUNT([Part].[Brands].[Brand].Members, 5,
+        |  [Measures].[Revenue]) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(single.cuts.exists(_.isInstanceOf[TopKCut]))
+  }
+
   test("NonEmpty(set[, measure]) folds into the nonempty flag") {
     val base = MdxParser.parse(salesCube,
       """SELECT {[Measures].[Revenue]} ON COLUMNS,
