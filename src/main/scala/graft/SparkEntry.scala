@@ -663,6 +663,10 @@ object SparkEntry {
       // scored on the valid split it never saw, per source
       "t38_heldout_ppl" -> tbl("documents")(
         ops.TextOps.heldOutPerplexity(_, 80, 10)),
+      // the probe's operating-point sweep: keep-counts + precision/recall
+      // per candidate threshold against the rule-based good label
+      "t39_probe_calibration" -> tbl("documents")(
+        ops.TextOps.probeCalibration(_, 3, 0.5)),
       // the probe's inference half: score every document with the trained
       // weights, report per-source mean prediction + residual MSE
       "t37_probe_score" -> tbl("documents")(
@@ -2626,6 +2630,34 @@ object SparkEntry {
     // t28: t14's per-doc scores tiled into equi-depth quartiles (NTILE over
     // t36: the 3-round GD distillation, unrolled one CTE pair per round
     "t36_linear_probe" -> probeOracle(3, 0.5),
+    // t39: the t36 training CTEs, then integer-exact keep/precision/recall
+    // per binary-exact threshold
+    "t39_probe_calibration" ->
+      s"""${probeCtes(3, 0.5)},
+         |sc AS (SELECT (w.wb*f.x0 + w.wu*f.x1 + w.ws*f.x2 + w.wl*f.x3)
+         |    AS pred,
+         |  CASE WHEN f.y >= 1.0 THEN 1 ELSE 0 END AS good
+         |  FROM f CROSS JOIN w3 w),
+         |th AS (SELECT CAST(v AS DOUBLE) AS threshold
+         |  FROM (VALUES (0.5), (0.75), (1.0), (1.25)) t(v))
+         |SELECT th.threshold,
+         |  CAST(SUM(CASE WHEN sc.pred >= th.threshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN sc.pred >= th.threshold AND sc.good = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_good_kept,
+         |  CAST(SUM(sc.good) AS BIGINT) AS n_good,
+         |  CASE WHEN SUM(CASE WHEN sc.pred >= th.threshold THEN 1 ELSE 0
+         |      END) > 0
+         |    THEN CAST(SUM(CASE WHEN sc.pred >= th.threshold AND
+         |        sc.good = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN sc.pred >= th.threshold THEN 1 ELSE 0
+         |        END) AS DOUBLE) END AS precision,
+         |  CASE WHEN SUM(sc.good) > 0
+         |    THEN CAST(SUM(CASE WHEN sc.pred >= th.threshold AND
+         |        sc.good = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(SUM(sc.good) AS DOUBLE) END AS recall
+         |FROM sc CROSS JOIN th
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // t38: t07's split buckets, train-only add-one bigram LM, valid-split
     // scoring (t14's DECIMAL(38,18) surprisal discipline)
     "t38_heldout_ppl" ->

@@ -771,6 +771,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** PROBE CALIBRATION — the threshold sweep that turns the trained
+    * [[linearProbe]] into an operating filter: for each candidate cutoff
+    * τ, how many documents the filter keeps (pred ≥ τ), and its
+    * precision/recall against the rule-based "good" label (y ≥ 1.0 — the
+    * full-length, decent-uniqueness band of the t02 score). The report a
+    * pipeline reads to pick its keep threshold.
+    *
+    * All counts are exact integers (no float accumulation at all — the
+    * per-row predicate compares identical IEEE doubles on both engines,
+    * thresholds are binary-exact literals), and precision/recall are
+    * single integer-ratio divisions. One map-only scoring pass over the
+    * checkpointed features crossed with the threshold-count-sized frame —
+    * work ∝ corpus × |thresholds|, output |thresholds| rows. */
+  def probeCalibration(docs: DataFrame, iters: Int = 3, lr: Double = 0.5,
+      thresholds: Seq[Double] = Seq(0.5, 0.75, 1.0, 1.25)): DataFrame = {
+    val feat = probeFeatures(docs)
+    val last = probeRounds(feat, iters, lr).last
+    val w = Array(last._2, last._3, last._4, last._5)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val th = thresholds.toDF("threshold")
+    feat
+      .select(probePred(w).as("pred"),
+        (col("y") >= lit(1.0)).cast("long").as("good"))
+      .crossJoin(broadcast(th))
+      .groupBy("threshold")
+      .agg(
+        sum((col("pred") >= col("threshold")).cast("long")).as("n_kept"),
+        sum(((col("pred") >= col("threshold")) && col("good") === 1L)
+          .cast("long")).as("n_good_kept"),
+        sum(col("good")).as("n_good"))
+      .withColumn("precision",
+        when(col("n_kept") > 0,
+          col("n_good_kept").cast("double") / col("n_kept").cast("double")))
+      .withColumn("recall",
+        when(col("n_good") > 0,
+          col("n_good_kept").cast("double") / col("n_good").cast("double")))
+      .orderBy("threshold")
+  }
+
   /** Per-source CORPUS HEALTH report — the one-page summary a corpus build
     * publishes before training: document counts, the fraction tripping the
     * Gopher repetition filters ([[repetitionSignals]]), mean repetition

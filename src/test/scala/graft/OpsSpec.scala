@@ -1754,5 +1754,17 @@ class OpsSpec extends AnyFunSuite {
     scored.foreach { case (_, _, pred, mse) =>
       assert(pred > 0.0 && mse < round3Loss * 2.0)
     }
+    // calibration: kept counts and recall are monotone non-increasing in
+    // the threshold; n_good is threshold-independent
+    val cal = TextOps.probeCalibration(docs, 3, 0.5).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(cal.map(_._1).toSeq == Seq(0.5, 0.75, 1.0, 1.25))
+    assert(cal.map(_._4).distinct.length == 1)
+    val kept = cal.map(_._2)
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b })
+    val goodKept = cal.map(_._3)
+    assert(goodKept.zip(goodKept.tail).forall { case (a, b) => a >= b })
+    cal.foreach { case (_, k, gk, g) => assert(gk <= k && gk <= g) }
   }
 }
