@@ -18,7 +18,8 @@ import graft.model._
   *   <axis> ::= <set>
   *           | ( <axis> )
   *           | NONEMPTY(<axis>[, <measure>])   — NON EMPTY, function form
-  *           | FILTER(<axis>, [Measures].[M] <op> <number>)   — HAVING
+  *           | FILTER(<axis>, <cond> [AND <cond>]*)           — HAVING
+  *             where <cond> ::= [Measures].[M] <op> <number>
   *           | ORDER(<axis>, [Measures].[M]
   *                   | [D].CurrentMember.Properties('P')
   *                   | [D].CurrentMember.{Caption|Name|Key|Ordinal}
@@ -534,7 +535,7 @@ object MdxParser {
       if (as.length != 2)
         GraftException.badRequest(s"FILTER takes (set, condition): '$s'")
       val inner = parseAxis(cube, as(0))
-      inner.copy(filters = inner.filters :+ parseCondition(cube, as(1)))
+      inner.copy(filters = inner.filters ++ parseConditions(cube, as(1)))
     } else if (upper.startsWith("ORDER(") && t.endsWith(")")) {
       val as = args("ORDER(")
       if (as.length < 2 || as.length > 3)
@@ -679,6 +680,17 @@ object MdxParser {
       GraftException.badRequest(
         s"$what count out of range [0, ${Int.MaxValue}]: $n")
     n
+  }
+
+  /** A FILTER condition: one comparison, or several conjoined with AND
+    * (HAVING filters compose conjunctively — each term is its own
+    * [[MeasureFilter]]). OR would need disjunctive HAVING the IR doesn't
+    * model; reject it explicitly rather than mis-parsing. */
+  private def parseConditions(cube: CubeDef, s: String): Seq[MeasureFilter] = {
+    if ("""(?i)\bOR\b""".r.findFirstIn(s).isDefined)
+      GraftException.badRequest(
+        s"FILTER supports AND-conjoined comparisons only, got '$s'")
+    s.split("""(?i)\bAND\b""").toSeq.map(parseCondition(cube, _))
   }
 
   /** `[Measures].[M] <op> <number>` with ops > < >= <= = <> (ref A10). */

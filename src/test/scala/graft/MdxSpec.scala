@@ -927,6 +927,28 @@ class MdxSpec extends AnyFunSuite {
         |FROM sales""".stripMargin)).status == 400)
   }
 
+  test("FILTER with AND-conjoined conditions; OR rejects") {
+    val conj = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |FILTER([Part].[Brands].[Brand].Members,
+        |  [Measures].[Revenue] > 1000 AND [Measures].[Quantity] < 90000)
+        |  ON ROWS
+        |FROM sales""".stripMargin)
+    val nested = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |FILTER(FILTER([Part].[Brands].[Brand].Members,
+        |  [Measures].[Revenue] > 1000), [Measures].[Quantity] < 90000)
+        |  ON ROWS
+        |FROM sales""".stripMargin)
+    assert(conj == nested && conj.filters.length == 2)
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |FILTER([Part].[Brands].[Brand].Members,
+        |  [Measures].[Revenue] > 1000 OR [Measures].[Quantity] < 9)
+        |  ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+  }
+
   test("TOPCOUNT over a tuple set is ORDER + HEAD on the axis") {
     val top = MdxParser.parse(salesCube,
       """SELECT {[Measures].[Revenue]} ON COLUMNS,
