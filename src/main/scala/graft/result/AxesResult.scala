@@ -170,7 +170,9 @@ object AxesResult {
       "adhoc_lags" -> q.adhocLags.map(_.alias),
       "adhoc_totals" -> q.adhocTotals.map(_.alias),
       "adhoc_cums" -> q.adhocCums.map(_.alias),
-      "adhoc_movings" -> q.adhocMovings.map(_.alias))
+      "adhoc_movings" -> q.adhocMovings.map(_.alias),
+      "adhoc_ranks" -> q.adhocRanks.map(_.alias),
+      "adhoc_setaggs" -> q.adhocSetAggs.map(a => s"${a.fn}:${a.alias}"))
     val plan = Planner.plan(cat, q).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode
         .fromString("simple"))

@@ -329,6 +329,57 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class TransIn(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  final case class TransOut(user_id: Long, next_id: Long, next_us: Long,
+      prev_type: String, next_type: String)
+  // reorder buffer (t_us, id, type) + the O(1) last-seen-type context
+  final case class TransSt(buf: Seq[(Long, Long, String)],
+      lastType: Option[String])
+
+  /** Streaming EVENT TRANSITIONS — the continuous twin of
+    * [[graft.ops.EventOps.eventTransitions]]' pair stream: each event
+    * (after its watermark passes, via the [[asofJoinStream]] reorder
+    * buffer) emits one (prev_type → its type) row against the user's
+    * previous event in global (t, event_id) order. Downstream Markov
+    * counts/shares are an ordinary streaming aggregation over this
+    * output — kept separate exactly like the batch pair (window pass →
+    * hash agg). State per user: the in-flight buffer plus ONE string
+    * (the last seen type) — the asymptotic minimum; the context is
+    * sticky (a user's next event after any gap still transitions from
+    * their last, matching the batch window's unbounded frame). */
+  def transitionsStream(spark: SparkSession, events: DataFrame,
+      delay: String): Dataset[TransOut] = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[TransIn],
+        st: GroupState[TransSt]): Iterator[TransOut] = {
+      val prev = st.getOption.getOrElse(TransSt(Nil, None))
+      var buf = prev.buf
+      if (!st.hasTimedOut)
+        rows.foreach(r => buf :+= ((micros(r.ts), r.event_id, r.event_type)))
+      val wmMs = st.getCurrentWatermarkMs()
+      val (ready, pending) = buf.partition(_._1 / 1000 <= wmMs)
+      var lastType = prev.lastType
+      val out = Vector.newBuilder[TransOut]
+      ready.sortBy(t => (t._1, t._2)).foreach { case (t, id, tp) =>
+        lastType.foreach(p => out += TransOut(userId, id, t, p, tp))
+        lastType = Some(tp)
+      }
+      st.update(TransSt(pending, lastType))
+      if (pending.nonEmpty)
+        st.setTimeoutTimestamp(pending.map(_._1).min / 1000 + 1)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[TransIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   final case class AttrIn(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, kind: Int, etype: String)
   final case class AttrOut(conv_id: Long, user_id: Long, conv_ts_us: Long,

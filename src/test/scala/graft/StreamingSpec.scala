@@ -308,6 +308,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(unclosed.subsetOf(lastPerUser))
   }
 
+  test("streaming transitions emit the batch lead-pair per event") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stream = Streaming.readEventsStream(spark, eventsDir)
+    val name = Streaming.runToMemory(spark,
+      Streaming.transitionsStream(spark, stream, "0 seconds").toDF(),
+      "transitions_test")
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getString(4))).toMap
+    // batch truth: each event's previous event type per user in
+    // (ts, event_id) order
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val batch = cat.table("events")
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .select("user_id", "event_id", "ts_us", "prev_type", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"pair for $k differs")
+    }
+    // only rows at/after the final watermark may still be pending
+    val missing = batch.keySet -- streamed.keySet
+    if (missing.nonEmpty) {
+      val maxStreamedUs = streamed.values.map(_._1).max
+      missing.foreach { k => assert(batch(k)._1 >= maxStreamedUs) }
+    }
+  }
+
   test("streaming session paths emit the batch per-session path strings") {
     import spark.implicits._
     val stream = Streaming.readEventsStream(spark, eventsDir)
