@@ -1132,6 +1132,23 @@ object SparkEntry {
             |  [Part].[Brands].[Brand].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // aggregate-designer candidate table with MEASURED-exact sizes: one
+      // GROUPING SETS fact pass sizes the whole candidate lattice
+      "q76_advisor_exact" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        val workload = Seq(
+          CubeQuery("sales",
+            Seq(LevelDrill(LevelRef("Geography", Some("Region")))),
+            Seq("revenue"), nonempty = true),
+          CubeQuery("sales",
+            Seq(LevelDrill(LevelRef("Geography", Some("Region"))),
+              LevelDrill(LevelRef("ShipDate", Some("Year"), Some("Monthly")))),
+            Seq("revenue"), nonempty = true),
+          CubeQuery("sales",
+            Seq(LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands")))),
+            Seq("revenue"), nonempty = true))
+        Rollups.candidateTable(c, c.cube("sales"), workload)
+      }),
       // TOPCOUNT over a TUPLE set: top-15 (nation, brand) cells by
       // revenue — ORDER + HEAD on the whole axis (TakeOrderedAndProject)
       "q75_mdx_topcount_tuples" -> ((s: SparkSession, dir: String) => {
@@ -3693,6 +3710,34 @@ object SparkEntry {
          |FROM agg ORDER BY region, brand""".stripMargin,
     // q56: tuple navigation — lag/lag2 run over the month DOMAIN (dense at
     // this sf, so the ordered lag replays it); COALESCEEMPTY = coalesce
+    // q76: the advisor's candidate lattice — each candidate's EXACT combo
+    // count over the joined fact, plus how many workload queries it covers
+    "q76_advisor_exact" ->
+      s"""WITH rg AS (SELECT COUNT(1) AS n FROM (
+         |  SELECT DISTINCT r_regionkey, r_name $SUPP_GEO_JOIN)),
+         |ry AS (SELECT COUNT(1) AS n FROM (
+         |  SELECT DISTINCT r_regionkey, r_name, year(l_shipdate)
+         |  $SUPP_GEO_JOIN)),
+         |b AS (SELECT COUNT(1) AS n FROM (
+         |  SELECT DISTINCT p_brand FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey)),
+         |rb AS (SELECT COUNT(1) AS n FROM (
+         |  SELECT DISTINCT r_regionkey, r_name, p_brand $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey)),
+         |ryb AS (SELECT COUNT(1) AS n FROM (
+         |  SELECT DISTINCT r_regionkey, r_name, year(l_shipdate), p_brand
+         |  $SUPP_GEO_JOIN JOIN part ON l_partkey = p_partkey))
+         |SELECT * FROM (
+         |SELECT 'brand' AS levels, (SELECT n FROM b) AS exact_rows,
+         |  CAST(1 AS BIGINT) AS covers
+         |UNION ALL SELECT 'brand,region,region_label',
+         |  (SELECT n FROM rb), 2
+         |UNION ALL SELECT 'brand,region,region_label,ship_year',
+         |  (SELECT n FROM ryb), 3
+         |UNION ALL SELECT 'region,region_label', (SELECT n FROM rg), 1
+         |UNION ALL SELECT 'region,region_label,ship_year',
+         |  (SELECT n FROM ry), 2)
+         |ORDER BY levels""".stripMargin,
     // q75: top-15 (nation, brand) tuples by revenue, planner tie-break
     // (hierarchical keys ascending) after the measure
     "q75_mdx_topcount_tuples" ->

@@ -262,6 +262,68 @@ object Rollups {
 
   /** A query's needed levels as alias sets (chains included), or None when
     * it can never route (dense, properties, non-reaggregable measures). */
+  /** EXACT candidate cardinalities in ONE fact scan: every candidate level
+    * set becomes a grouping set over the joined fact (the [[buildMany]]
+    * lattice, count-only), and the rows per `grouping_id` ARE the exact
+    * rollup sizes. The product estimate in [[advise]] is correlation-blind
+    * by design (an upper bound costing only dim-frame jobs); this is the
+    * measured complement — one fact pass no matter how many candidates. */
+  def measureCandidates(cat: CubeCatalog, cube: CubeDef,
+      levelSets: Seq[Seq[LevelRef]]): Seq[Long] = {
+    require(levelSets.nonEmpty, "no candidates to measure")
+    val rlSets = levelSets.map(_.map(Planner.resolve(cube, _)))
+    val allRls = rlSets.flatten.distinctBy(_.level.alias)
+    val joined = Planner.joinForLevels(cat, cube, allRls)
+    val allCols = allRls.flatMap(Planner.levelColsOf).distinct
+    val projected = joined.select(col("*") +: allCols: _*)
+    val aliasSets = rlSets.map(_.flatMap(Planner.levelAliasesOf).distinct)
+    require(aliasSets.distinct.length == aliasSets.length,
+      "candidate level sets must be distinct")
+    val allAliases = allRls.flatMap(Planner.levelAliasesOf).distinct
+    val setsSql = aliasSets
+      .map(_.map(a => s"`$a`").mkString("(", ", ", ")"))
+      .mkString("GROUPING SETS (", ", ", ")")
+    val view = s"__graft_measure_src_${System.identityHashCode(projected)}"
+    projected.createOrReplaceTempView(view)
+    val counts = cat.spark.sql(
+      s"""SELECT __g AS __gid, COUNT(1) AS __combos FROM (
+         |SELECT grouping_id(${allAliases.map(a => s"`$a`").mkString(", ")})
+         |  AS __g
+         |FROM $view GROUP BY $setsSql) GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    aliasSets.map { aliases =>
+      val gid = allAliases.zipWithIndex
+        .filterNot { case (a, _) => aliases.contains(a) }
+        .map { case (_, i) => 1L << (allAliases.length - 1 - i) }.sum
+      counts.getOrElse(gid, 0L)
+    }
+  }
+
+  /** The advisor's CANDIDATE TABLE with measured-exact sizes — the report a
+    * warehouse team reads before committing storage: each candidate level
+    * set (the workload's distinct shapes plus pairwise unions) with its
+    * exact row count (one [[measureCandidates]] fact pass) and how many
+    * workload queries it can answer. Candidate count is bounded by the
+    * workload's shape count squared — report-sized by construction. */
+  def candidateTable(cat: CubeCatalog, cube: CubeDef,
+      workload: Seq[CubeQuery]): DataFrame = {
+    val querySets: Seq[Set[String]] = workload.flatMap(neededAliasSets(cube, _))
+    require(querySets.nonEmpty, "no routable queries in the workload")
+    val base = querySets.distinct
+    val unions = (for {
+      (a, i) <- base.zipWithIndex; b <- base.drop(i + 1)
+    } yield a ++ b).distinct.filterNot(base.contains)
+    val candSets = base ++ unions
+    val refs = candSets.map(refsForAliases(cube, _))
+    val counts = measureCandidates(cat, cube, refs)
+    val spark = cat.spark
+    import spark.implicits._
+    candSets.zip(counts).map { case (s, n) =>
+      (s.toSeq.sorted.mkString(","), n,
+        querySets.count(_.subsetOf(s)).toLong)
+    }.toDF("levels", "exact_rows", "covers").orderBy("levels")
+  }
+
   private def neededAliasSets(cube: CubeDef, q: CubeQuery)
       : Option[Set[String]] = {
     if (!q.nonempty || q.properties.nonEmpty || q.captions.nonEmpty)

@@ -339,4 +339,32 @@ class RollupSpec extends AnyFunSuite {
     assert(Rollups.advise(adviseCat, c,
       Seq(regionQ.copy(nonempty = false)), 100000L).isEmpty)
   }
+
+  test("measured candidate table: exact sizes from one lattice pass") {
+    import org.apache.spark.sql.functions.col
+    val c = cat.cube("sales")
+    val workload = Seq(
+      CubeQuery("sales", Seq(drill("Geography", "Region")), Seq("revenue")),
+      CubeQuery("sales",
+        Seq(drill("Geography", "Region"), drill("ReturnFlag")),
+        Seq("revenue")))
+    val table = Rollups.candidateTable(cat, c, workload).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // candidates: {region}, {region, returnflag} (the union duplicates
+    // the second shape, so exactly two rows)
+    assert(table.size == 2)
+    // exact sizes equal independent distinct counts over the joined fact
+    val li = cat.table("lineitem")
+    val geo = li
+      .join(cat.table("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(cat.table("nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(cat.table("region"), col("n_regionkey") === col("r_regionkey"))
+    val nRegion = geo.select("r_regionkey").distinct().count()
+    val nRegionFlag =
+      geo.select("r_regionkey", "l_returnflag").distinct().count()
+    val regionRow = table.find(_._1.startsWith("region")).get
+    val bothRow = table.find(_._1.contains("return")).get
+    assert(regionRow._2 == ((nRegion, 1L)))
+    assert(bothRow._2 == ((nRegionFlag, 2L)))
+  }
 }
