@@ -500,6 +500,10 @@ object SparkEntry {
       // 8 steps) — the ordered complement of e12's one-hop transitions
       "e17_top_paths" -> tbl("events")(
         ops.EventOps.topPaths(_, 30, 8, 20)),
+      // order-sensitive co-occurrence: sessions where type A strictly
+      // precedes type B (first(A) < last(B)) — PrefixSpan's length-2 core
+      "e18_precedence_pairs" -> tbl("events")(
+        ops.EventOps.precedencePairs(_, 30, 20)),
       // daily session-quality rollup composed on the sessionize plan
       "e09_session_stats" -> tbl("events")(
         ops.Sessionize.sessionStats(_, 30)),
@@ -3613,6 +3617,30 @@ object SparkEntry {
         |  AS path FROM sess GROUP BY 1, 2)
         |SELECT path, COUNT(1) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+    // e18: e01's sessions, per-(session, type) first/last occurrence,
+    // ordered-pair counting via a self-join the Spark side does map-side
+    "e18_precedence_pairs" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events),
+        |lagd AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id) AS prev_us FROM ev),
+        |flagged AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagd),
+        |sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM flagged),
+        |occ AS (SELECT user_id, sess_idx, event_type,
+        |  MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+        |  FROM sess GROUP BY 1, 2, 3)
+        |SELECT a.event_type AS before_type, b.event_type AS after_type,
+        |  COUNT(1) AS n_sessions
+        |FROM occ a JOIN occ b
+        |  ON a.user_id = b.user_id AND a.sess_idx = b.sess_idx
+        |  AND a.event_type <> b.event_type AND a.first_us < b.last_us
+        |GROUP BY 1, 2
+        |ORDER BY n_sessions DESC, before_type ASC, after_type ASC
+        |LIMIT 20""".stripMargin,
     // t08: the composed pipeline — each CTE is a stage whose standalone
     // query (t02, d06, t07) already hash-matches
     "t08_pipeline_e2e" ->

@@ -408,6 +408,55 @@ object EventOps {
            |           x -> x.event_type), '>')""".stripMargin).as("path"))
   }
 
+  /** SESSION PRECEDENCE MINING — how many sessions see event type A
+    * strictly BEFORE event type B (some A-occurrence earlier than some
+    * B-occurrence ⇔ first(A) < last(B)): the order-sensitive
+    * co-occurrence table behind "do users browse before they buy?" —
+    * between [[eventTransitions]] (adjacent-only) and [[topPaths]]
+    * (whole-prefix exact): A>B here counts even with arbitrary events in
+    * between. The length-2 core of sequential-pattern (PrefixSpan-style)
+    * mining, kept exact and oracle-replayable.
+    *
+    * Scale shape: one user_id shuffle sessionizes; per-session per-type
+    * first/last occurrences reuse that partitioning; ordered pairs
+    * generate MAP-SIDE from each session's type list with higher-order
+    * functions (the q53 basket trick — pair work Σ types², bounded by the
+    * event-type vocabulary, collapsing in partial aggregation before any
+    * exchange); top-k is TakeOrderedAndProject. */
+  def precedencePairs(events: DataFrame, gapMinutes: Int = 30,
+      k: Int = 20): DataFrame = {
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val occ = events
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_idx", "event_type")
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+    occ
+      .groupBy("user_id", "sess_idx")
+      .agg(collect_list(struct(col("event_type"), col("first_us"),
+        col("last_us"))).as("ts"))
+      .select(explode(expr(
+        """filter(flatten(transform(ts, a ->
+          |  transform(ts, b -> struct(a.event_type AS before_type,
+          |    b.event_type AS after_type, a.first_us AS fa,
+          |    b.last_us AS lb)))),
+          |  p -> p.before_type != p.after_type AND p.fa < p.lb)"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.before_type").as("before_type"),
+        col("p.after_type").as("after_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("before_type").asc,
+        col("after_type").asc)
+      .limit(k)
+  }
+
   /** CONVERSION ATTRIBUTION — first-touch / last-touch marketing
     * attribution: for every conversion event, the earliest and the most
     * recent PRECEDING touch event (click/view) by the same user, plus the

@@ -551,6 +551,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("precedence pairs: strictly-before semantics, both directions " +
+      "possible") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user1 one session: a, b, a — a<b and b<a both hold; user2: a then c
+    val ev = Seq(
+      (1L, 1L, 1000L, "a"), (2L, 1L, 2000L, "b"), (3L, 1L, 3000L, "a"),
+      (4L, 2L, 1000L, "a"), (5L, 2L, 5000L, "c"))
+      .map { case (id, u, ms, t) => (id, u, new Timestamp(ms), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventOps.precedencePairs(ev, 30, 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("a", "c") -> 1L))
+  }
+
   test("top paths: session boundaries, step cap, and deterministic order") {
     import spark.implicits._
     import java.sql.Timestamp
