@@ -150,24 +150,33 @@ final case class TotalMeasureDef(alias: String, base: String, dim: String)
   * among the axis members of `dim`, ordered by `base` descending, within
   * each combination of the OTHER drilled dimensions. Ties share a rank
   * (SQL RANK semantics, Mondrian's tie behavior for the measure form).
-  * Evaluated as one axis-sized window — never a re-sort of the fact. When
-  * `dim` is not drilled the set collapses to the current (All) member and
-  * the rank is 1. */
-final case class RankMeasureDef(alias: String, base: String, dim: String)
+  * Evaluated as one axis-sized window — never a re-sort of the fact.
+  * `level` (when non-empty) names the set's level and must match the
+  * dimension's finest drilled level at plan time; a query that does not
+  * drill `dim` at all 400s (evaluating the set outside its own axis
+  * context would need a second aggregation pass — out of the compiled
+  * subset). `base` must not be a calculated member (calc columns are
+  * computed AFTER the window measures). */
+final case class RankMeasureDef(alias: String, base: String, dim: String,
+    level: String = "")
 
-/** MDX `Avg|Min|Max(<level>.Members, [Measures].[M])` inside a calculated
-  * member: the aggregate of `base` over the axis members of `dim`, within
-  * each combination of the OTHER drilled dimensions — the per-member
-  * benchmark ("revenue vs the brand average") next to [[TotalMeasureDef]]'s
-  * SUM. Empty cells are ignored (Mondrian's Avg/Min/Max skip empty tuples),
-  * and Avg rides the DECIMAL-exact sum/count split so window evaluation
-  * order cannot move a float bit. One axis-sized window, never a second
-  * fact pass; an undrilled `dim` sits at All — a one-member set, so the
-  * aggregate IS the base value. `fn` ∈ avg | min | max | median (median is
-  * the exact interpolated percentile-0.5 both engines share — the B4/q36
-  * cross-engine contract). */
+/** MDX `Avg|Min|Max|Median(<level>.Members, [Measures].[M])` inside a
+  * calculated member: the aggregate of `base` over the axis members of
+  * `dim`, within each combination of the OTHER drilled dimensions — the
+  * per-member benchmark ("revenue vs the brand average") next to
+  * [[TotalMeasureDef]]'s SUM. Empty cells are ignored (Mondrian's
+  * Avg/Min/Max skip empty tuples), and Avg rides the DECIMAL-exact
+  * sum/count split so window evaluation order cannot move a float bit.
+  * One axis-sized window, never a second fact pass. `level` (when
+  * non-empty) must match the dimension's finest drilled level at plan
+  * time, and a query that does not drill `dim` 400s — evaluating the set
+  * outside its own axis context would silently aggregate the WRONG member
+  * set (unlike SUM, which folds to the All total and stays a
+  * [[TotalMeasureDef]]). `fn` ∈ avg | min | max | median (median is the
+  * exact interpolated percentile-0.5 both engines share — the B4/q36
+  * cross-engine contract); `base` must not be a calculated member. */
 final case class SetAggMeasureDef(alias: String, base: String, dim: String,
-    fn: String)
+    fn: String, level: String = "")
 
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,

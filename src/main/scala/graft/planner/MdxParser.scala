@@ -359,18 +359,20 @@ object MdxParser {
         """\[Measures\]\.\[([^\]]+)\]\s*\)""").r
       formula = setAggRe.replaceAllIn(formula, mm => {
         val fn = mm.group(1).toLowerCase
-        val dim = QueryParser.segments(mm.group(2)).head
-        if (cube.dimension(dim).isEmpty)
-          GraftException.badRequest(
-            s"${mm.group(1).toUpperCase}(set, measure) on unknown " +
-              s"dimension '$dim'")
-        val base = resolveMeasure(cube, mm.group(3))
+        val fnU = mm.group(1).toUpperCase
+        val setRef = levelRefOfSet(cube, mm.group(2), fnU)
+        val base = resolveWindowBase(cube, mm.group(3), fnU)
+        val level = setRef.level.getOrElse("")
         val alias = cube.setAggMeasures
-          .find(a => a.base == base && a.dim == dim && a.fn == fn)
+          .find(a => a.base == base && a.dim == setRef.dim && a.fn == fn &&
+            a.level == level)
           .map(_.alias)
           .getOrElse {
-            val a = s"__mdx_${fn}_${base}_${dim.replaceAll("\\W", "_")}"
-            setAggs.getOrElseUpdate(a, SetAggMeasureDef(a, base, dim, fn))
+            val a = s"__mdx_${fn}_${base}_" +
+              s"${setRef.dim.replaceAll("\\W", "_")}_" +
+              s"${level.replaceAll("\\W", "_")}"
+            setAggs.getOrElseUpdate(a,
+              SetAggMeasureDef(a, base, setRef.dim, fn, level))
             a
           }
         java.util.regex.Matcher.quoteReplacement(alias)
@@ -433,19 +435,23 @@ object MdxParser {
         """\[Measures\]\.\[([^\]]+)\]\s*\)""").r
       formula = rankRe.replaceAllIn(formula, mm => {
         val memberDim = QueryParser.segments(mm.group(1)).head
-        val setDim = QueryParser.segments(mm.group(2)).head
+        val setRef = levelRefOfSet(cube, mm.group(2), "Rank")
         if (cube.dimension(memberDim).isEmpty)
           GraftException.badRequest(s"Rank on unknown dimension '$memberDim'")
-        if (memberDim != setDim)
+        if (memberDim != setRef.dim)
           GraftException.badRequest(
             s"Rank: member dimension '$memberDim' must match the set's " +
-              s"dimension '$setDim' in the compiled subset")
-        val base = resolveMeasure(cube, mm.group(3))
+              s"dimension '${setRef.dim}' in the compiled subset")
+        val base = resolveWindowBase(cube, mm.group(3), "Rank")
+        val level = setRef.level.getOrElse("")
         val alias = cube.rankMeasures
-          .find(r => r.base == base && r.dim == memberDim).map(_.alias)
+          .find(r => r.base == base && r.dim == memberDim &&
+            r.level == level).map(_.alias)
           .getOrElse {
-            val a = s"__mdx_rank_${base}_${memberDim.replaceAll("\\W", "_")}"
-            ranks.getOrElseUpdate(a, RankMeasureDef(a, base, memberDim))
+            val a = s"__mdx_rank_${base}_${memberDim.replaceAll("\\W", "_")}" +
+              s"_${level.replaceAll("\\W", "_")}"
+            ranks.getOrElseUpdate(a,
+              RankMeasureDef(a, base, memberDim, level))
             a
           }
         java.util.regex.Matcher.quoteReplacement(alias)
@@ -634,37 +640,39 @@ object MdxParser {
         limit = as.lift(2).map(parseCount(_, "SUBSET")).orElse(inner.limit))
     } else if (upper.startsWith("HIERARCHIZE(") && t.endsWith(")")) {
       parseAxis(cube, t.substring("HIERARCHIZE(".length, t.length - 1))
-    } else if ((upper.startsWith("TOPCOUNT(") ||
-        upper.startsWith("BOTTOMCOUNT(")) && t.endsWith(")") && {
+    } else {
       // TOPCOUNT over a TUPLE set (≥ 2 drilled levels, e.g. a CROSSJOIN):
       // Mondrian ranks the axis tuples by the measure — exactly ORDER +
       // HEAD on the whole axis (TakeOrderedAndProject in the plan). The
       // single-level form stays a TopKCut in parseSet (it composes with
-      // other cuts as a member set rather than an axis ordering).
-      val fnLen =
-        (if (upper.startsWith("TOPCOUNT(")) "TOPCOUNT(" else "BOTTOMCOUNT(")
-          .length
-      val as = splitTop(t.substring(fnLen, t.length - 1), ',')
-      as.length == 3 && parseSet(cube, as(0))._1.length > 1
-    }) {
-      val asc = upper.startsWith("BOTTOMCOUNT(")
-      val fnLen =
-        (if (asc) "BOTTOMCOUNT(" else "TOPCOUNT(").length
-      val as = splitTop(t.substring(fnLen, t.length - 1), ',')
-      val (drills, cuts) = parseSet(cube, as(0))
-      val k = parseCount(as(1), if (asc) "BOTTOMCOUNT" else "TOPCOUNT")
-      val m = QueryParser.segments(as(2)) match {
-        case Seq("Measures", name) => resolveMeasure(cube, name)
-        case Seq(name) => resolveMeasure(cube, name)
-        case _ => GraftException.badRequest(
-          s"bad ${if (asc) "BOTTOMCOUNT" else "TOPCOUNT"} measure '${as(2)}'")
+      // other cuts as a member set rather than an axis ordering). The
+      // inner set is parsed ONCE and the parse is reused either way.
+      val isTop = upper.startsWith("TOPCOUNT(")
+      val isBottom = upper.startsWith("BOTTOMCOUNT(")
+      val tupleTop: Option[Axis] =
+        if ((isTop || isBottom) && t.endsWith(")")) {
+          val fn = if (isTop) "TOPCOUNT" else "BOTTOMCOUNT"
+          val as = splitTop(t.substring(fn.length + 1, t.length - 1), ',')
+          if (as.length == 3) {
+            val (drills, cuts) = parseSet(cube, as(0))
+            if (drills.length > 1) {
+              val k = parseCount(as(1), fn)
+              val m = QueryParser.segments(as(2)) match {
+                case Seq("Measures", name) => resolveMeasure(cube, name)
+                case Seq(name) => resolveMeasure(cube, name)
+                case _ => GraftException.badRequest(
+                  s"bad $fn measure '${as(2)}'")
+              }
+              Some(Axis(drills, cuts,
+                order = Some(OrderSpec(OrderByMeasure(m), desc = isTop)),
+                limit = Some(k)))
+            } else None
+          } else None
+        } else None
+      tupleTop.getOrElse {
+        val (drills, cuts) = parseSet(cube, t)
+        Axis(drills, cuts)
       }
-      Axis(drills, cuts,
-        order = Some(OrderSpec(OrderByMeasure(m), desc = !asc)),
-        limit = Some(k))
-    } else {
-      val (drills, cuts) = parseSet(cube, t)
-      Axis(drills, cuts)
     }
   }
 
@@ -682,15 +690,45 @@ object MdxParser {
     n
   }
 
+  /** Split on a keyword at bracket/paren depth 0 with word boundaries —
+    * so a measure NAMED '[Black and Decker]' or '[Profit or Loss]' never
+    * splits (the [[splitTop]] discipline, word-shaped). */
+  private def splitTopWord(s: String, word: String): Seq[String] = {
+    val up = s.toUpperCase
+    val w = word.toUpperCase
+    val parts = Seq.newBuilder[String]
+    var depth = 0; var brk = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '[' => brk += 1
+        case ']' => brk -= 1
+        case _ =>
+      }
+      if (depth == 0 && brk == 0 && up.startsWith(w, i) &&
+          (i == 0 || !s(i - 1).isLetterOrDigit) &&
+          (i + w.length >= s.length || !s(i + w.length).isLetterOrDigit)) {
+        parts += s.substring(start, i)
+        start = i + w.length
+        i += w.length
+      } else i += 1
+    }
+    parts += s.substring(start)
+    parts.result()
+  }
+
   /** A FILTER condition: one comparison, or several conjoined with AND
     * (HAVING filters compose conjunctively — each term is its own
     * [[MeasureFilter]]). OR would need disjunctive HAVING the IR doesn't
-    * model; reject it explicitly rather than mis-parsing. */
+    * model; reject it explicitly rather than mis-parsing. Both keywords
+    * split bracket-aware, so measure names containing the words stay
+    * intact. */
   private def parseConditions(cube: CubeDef, s: String): Seq[MeasureFilter] = {
-    if ("""(?i)\bOR\b""".r.findFirstIn(s).isDefined)
+    if (splitTopWord(s, "OR").length > 1)
       GraftException.badRequest(
         s"FILTER supports AND-conjoined comparisons only, got '$s'")
-    s.split("""(?i)\bAND\b""").toSeq.map(parseCondition(cube, _))
+    splitTopWord(s, "AND").map(parseCondition(cube, _))
   }
 
   /** `[Measures].[M] <op> <number>` with ops > < >= <= = <> (ref A10). */
@@ -726,6 +764,39 @@ object MdxParser {
         case _ => GraftException.badRequest(s"bad measure expression '$m'")
       }
     }
+  }
+
+  /** The LevelRef named by a `<set>.Members` argument of Rank/Avg/Min/Max/
+    * Median — validated against the schema at parse time (unknown
+    * dimension/level 400s via [[Planner.resolve]]). */
+  private def levelRefOfSet(cube: CubeDef, path: String,
+      fn: String): LevelRef = {
+    val ref = QueryParser.segments(path) match {
+      case Seq(d) => LevelRef(d)
+      case Seq(d, l) => LevelRef(d, Some(l))
+      case Seq(d, h, l) => LevelRef(d, Some(l), Some(h))
+      case _ => GraftException.badRequest(s"bad $fn member set '$path'")
+    }
+    if (cube.dimension(ref.dim).isEmpty)
+      GraftException.badRequest(s"$fn(set, …) on unknown dimension '${ref.dim}'")
+    if (ref.level.nonEmpty) Planner.resolve(cube, ref) // 400 unknown level
+    ref
+  }
+
+  /** Base measure of a window measure (Rank/set aggregates): any
+    * non-calculated measure alias. Calculated members are computed AFTER
+    * the window measures in the planner, so a calc base would reference a
+    * column that does not exist yet — reject at parse time instead of
+    * surfacing an internal analysis error. */
+  private def resolveWindowBase(cube: CubeDef, name: String,
+      fn: String): String = {
+    val alias = resolveMeasure(cube, name)
+    if (cube.calcMembers.exists(_.alias == alias))
+      GraftException.badRequest(
+        s"$fn base '$name' is a calculated member — window measures " +
+          s"rank/aggregate base, lag, total, cumulative or moving " +
+          s"measures only")
+    alias
   }
 
   /** Measures may be referenced by display name or alias. */

@@ -433,14 +433,37 @@ object Planner {
             max(col(tm.alias)).over(Window.partitionBy(partCols: _*)))
         }
       }
+    // Set aggregates are partition-constant like totals — the same max()
+    // backfill carries them onto dense fillers. Ranks vary per row: empty
+    // cells all sort after every non-empty one and tie among themselves
+    // (null-base equality under RANK), i.e. rank = #non-empty + 1.
+    val denseWindows =
+      if (q.nonempty || (need.setAggs.isEmpty && need.ranks.isEmpty))
+        denseTotals
+      else {
+        val withSA = need.setAggs.foldLeft(denseTotals) { (df, am) =>
+          val partCols = groupLevels.filterNot(_.dim.name == am.dim)
+            .flatMap(levelAliases).map(col)
+          df.withColumn(am.alias,
+            max(col(am.alias)).over(Window.partitionBy(partCols: _*)))
+        }
+        need.ranks.foldLeft(withSA) { (df, rm) =>
+          val partCols = groupLevels.filterNot(_.dim.name == rm.dim)
+            .flatMap(levelAliases).map(col)
+          val w = Window.partitionBy(partCols: _*)
+          df.withColumn(rm.alias,
+            when(col(rm.alias).isNotNull, col(rm.alias))
+              .otherwise(count(col(rm.base)).over(w) + 1))
+        }
+      }
 
     // B18 full/hidden grants: axis membership (semi-join, nonempty mode —
     // dense axes already built from role-filtered member domains) and
     // hidden-policy cell masking.
     val roleApplied =
       if (roleGrants.forall(g =>
-          !g.restricts || g.policy == "partial")) denseTotals
-      else Roles.applyPostAgg(cat, cube, denseTotals, roleGrants,
+          !g.restricts || g.policy == "partial")) denseWindows
+      else Roles.applyPostAgg(cat, cube, denseWindows, roleGrants,
         groupLevels, measureNames.map(aliasOfMeasure(cube, _)),
         semiJoinMembership = q.nonempty)
 
@@ -579,11 +602,23 @@ object Planner {
                     case None =>
                   cube.rankMeasures.find(_.alias == n) match {
                     case Some(rm) =>
-                      if (!ranks(n)) { ranks += n; visit(rm.base) }
+                      if (!ranks(n)) {
+                        if (cube.calcMembers.exists(_.alias == rm.base))
+                          GraftException.badRequest(
+                            s"Rank base '${rm.base}' is a calculated " +
+                              s"member — not supported")
+                        ranks += n; visit(rm.base)
+                      }
                     case None =>
                   cube.setAggMeasures.find(_.alias == n) match {
                     case Some(am) =>
-                      if (!setAggs(n)) { setAggs += n; visit(am.base) }
+                      if (!setAggs(n)) {
+                        if (cube.calcMembers.exists(_.alias == am.base))
+                          GraftException.badRequest(
+                            s"set-aggregate base '${am.base}' is a " +
+                              s"calculated member — not supported")
+                        setAggs += n; visit(am.base)
+                      }
                     case None =>
                   cube.calcMembers.find(_.alias == n) match {
                     case Some(cm) =>
@@ -1144,43 +1179,58 @@ object Planner {
           .over(w).cast("double"))
     }
 
+  /** The window measures' axis-context contract (Rank + set aggregates):
+    * the dimension must be drilled (evaluating the set outside its own
+    * axis context would need a second aggregation pass — SUM has that
+    * fold, [[TotalMeasureDef]]; the others don't), and a named set level
+    * must equal the dimension's finest drilled level (a coarser/finer set
+    * would silently aggregate the WRONG members). Returns the partition
+    * columns (every axis column NOT of `dim`). */
+  private def windowPartCols(groupLevels: Seq[ResolvedLevel], dim: String,
+      level: String, what: String): Seq[Column] = {
+    val dimLevels = groupLevels.filter(_.dim.name == dim)
+    if (dimLevels.isEmpty)
+      GraftException.badRequest(
+        s"$what over '$dim' members requires a drilldown on '$dim'")
+    val finest = dimLevels.maxBy(_.depth)
+    if (level.nonEmpty && finest.level.name != level)
+      GraftException.badRequest(
+        s"$what set level '$level' does not match the drilled level " +
+          s"'${finest.level.name}' of '$dim'")
+    groupLevels.filterNot(_.dim.name == dim).flatMap(levelAliases).map(col)
+  }
+
   /** MDX Rank (3-arg measure form): 1-based RANK over the aggregated axis,
     * ordered by the base measure DESCENDING within each combination of the
     * OTHER drilled dimensions' columns — one axis-sized window like
     * [[applyTotal]], never a re-sort of the fact. Ties share a rank (no
     * tie-break column in the ORDER — adding one would split ties into
     * distinct ranks, which is DENSE_RANK-adjacent but not Mondrian's
-    * behavior). Axis-invisible rows (lag-relaxed cut members, dense
-    * fillers) are pushed out of the order by masking their base to null
-    * (desc_nulls_last) and carry a null rank. A dimension that is not
-    * drilled sits at its All member — a one-member set, rank 1. */
+    * behavior). Axis-invisible rows (lag-relaxed cut members) are pushed
+    * out of the order by masking their base to null (desc_nulls_last) and
+    * carry a null rank; dense filler cells are backfilled after densify
+    * (all empties share the last rank, Mondrian's null-sorts-last). */
   private def applyRank(df: DataFrame, rm: RankMeasureDef,
-      groupLevels: Seq[ResolvedLevel], visible: Column): DataFrame =
-    if (groupLevels.forall(_.dim.name != rm.dim))
-      df.withColumn(rm.alias, when(visible, lit(1L)))
-    else {
-      val partCols = groupLevels.filterNot(_.dim.name == rm.dim)
-        .flatMap(levelAliases).map(col)
-      val w = Window.partitionBy(partCols: _*)
-        .orderBy(when(visible, col(rm.base)).desc_nulls_last)
-      df.withColumn(rm.alias, when(visible, rank().over(w).cast("long")))
-    }
+      groupLevels: Seq[ResolvedLevel], visible: Column): DataFrame = {
+    val partCols = windowPartCols(groupLevels, rm.dim, rm.level, "Rank")
+    val w = Window.partitionBy(partCols: _*)
+      .orderBy(when(visible, col(rm.base)).desc_nulls_last)
+    df.withColumn(rm.alias, when(visible, rank().over(w).cast("long")))
+  }
 
-  /** MDX Avg/Min/Max(set, measure): one window over the aggregated axis,
-    * partitioned like [[applyTotal]] by the other dimensions' columns.
-    * Only axis-visible cells participate (the `when(visible, …)` mask —
-    * aggregate functions skip nulls, matching Mondrian's empty-cell
-    * skipping); Avg re-quantizes the sum through DECIMAL(27,6) and
-    * divides by the visible count so window evaluation order cannot move
-    * a float bit. An undrilled dimension sits at All: the one-member
-    * set's aggregate IS the base value. */
+  /** MDX Avg/Min/Max/Median(set, measure): one window over the aggregated
+    * axis, partitioned like [[applyTotal]] by the other dimensions'
+    * columns. Only axis-visible cells participate (the `when(visible, …)`
+    * mask — aggregate functions skip nulls, matching Mondrian's
+    * empty-cell skipping); Avg re-quantizes the sum through DECIMAL(27,6)
+    * and divides by the visible count so window evaluation order cannot
+    * move a float bit. Axis-context contract: [[windowPartCols]]; dense
+    * filler cells are backfilled after densify (the aggregate is
+    * partition-constant, so a max() carries it). */
   private def applySetAgg(df: DataFrame, am: SetAggMeasureDef,
-      groupLevels: Seq[ResolvedLevel], visible: Column): DataFrame =
-    if (groupLevels.forall(_.dim.name != am.dim))
-      df.withColumn(am.alias, col(am.base))
-    else {
-      val partCols = groupLevels.filterNot(_.dim.name == am.dim)
-        .flatMap(levelAliases).map(col)
+      groupLevels: Seq[ResolvedLevel], visible: Column): DataFrame = {
+      val partCols = windowPartCols(groupLevels, am.dim, am.level,
+        am.fn.toUpperCase)
       val w = Window.partitionBy(partCols: _*)
       val masked = when(visible, col(am.base))
       val agg = am.fn match {

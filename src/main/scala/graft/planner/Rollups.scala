@@ -83,8 +83,22 @@ object Rollups {
     * [[build]] calls — Spark expands grouping sets into the same partial
     * aggregates. Level sets must be given as resolvable LevelRefs; the
     * returned rollups are in input order. */
-  def buildMany(cat: CubeCatalog, cube: CubeDef,
-      levelSets: Seq[Seq[LevelRef]]): Seq[Rollup] = {
+  /** Shared GROUPING SETS scaffolding for the one-pass lattice consumers
+    * ([[buildMany]] materializes it with measures, [[measureCandidates]]
+    * counts it): the joined+projected fact registered as a temp view, the
+    * per-candidate alias sets, the GROUPING SETS clause, and the
+    * `grouping_id` each candidate's rows carry (bit = 1 ⇔ column NOT in
+    * the grouping set) — ONE place owns the gid bit-order convention. */
+  private final case class Lattice(view: String,
+      rlSets: Seq[Seq[Planner.ResolvedLevel]], aliasSets: Seq[Seq[String]],
+      allAliases: Seq[String], setsSql: String) {
+    def gidOf(aliases: Seq[String]): Long = allAliases.zipWithIndex
+      .filterNot { case (a, _) => aliases.contains(a) }
+      .map { case (_, i) => 1L << (allAliases.length - 1 - i) }.sum
+  }
+
+  private def latticeView(cat: CubeCatalog, cube: CubeDef,
+      levelSets: Seq[Seq[LevelRef]], tag: String): Lattice = {
     val rlSets = levelSets.map(_.map(Planner.resolve(cube, _)))
     val allRls = rlSets.flatten.distinctBy(_.level.alias)
     val joined = Planner.joinForLevels(cat, cube, allRls)
@@ -97,8 +111,15 @@ object Rollups {
       .mkString("GROUPING SETS (", ", ", ")")
     val allAliases = allRls.flatMap(Planner.levelAliasesOf).distinct
     // DataFrame API has no grouping-sets handle → SQL over a temp view
-    val view = s"__graft_rollup_src_${System.identityHashCode(projected)}"
+    val view = s"__graft_${tag}_src_${System.identityHashCode(projected)}"
     projected.createOrReplaceTempView(view)
+    Lattice(view, rlSets, aliasSets, allAliases, setsSql)
+  }
+
+  def buildMany(cat: CubeCatalog, cube: CubeDef,
+      levelSets: Seq[Seq[LevelRef]]): Seq[Rollup] = {
+    val lat = latticeView(cat, cube, levelSets, "rollup")
+    import lat.{rlSets, aliasSets, allAliases, setsSql, view}
     val aggSql = cube.measures.filter(m => supportedAgg(m.agg)).flatMap { m =>
       val e = s"(${m.expr})"
       val dec = s"CAST($e AS DECIMAL(27,6))"
@@ -123,12 +144,8 @@ object Rollups {
          |GROUP BY $setsSql""".stripMargin
     val lattice = cat.spark.sql(sql)
     aliasSets.zip(rlSets).map { case (aliases, rls) =>
-      // gid bit = 1 ⇔ column NOT in the grouping set
-      val gid = allAliases.zipWithIndex
-        .filterNot { case (a, _) => aliases.contains(a) }
-        .map { case (_, i) => 1L << (allAliases.length - 1 - i) }.sum
       Rollup(cube.name, rls.flatMap(Planner.levelAliasesOf).toSet,
-        lattice.where(col("__gid") === gid)
+        lattice.where(col("__gid") === lat.gidOf(aliases))
           .select(aliases.map(col) ++
             lattice.columns.filter(_.startsWith("__"))
               .filterNot(_ == "__gid").map(col): _*))
@@ -271,32 +288,17 @@ object Rollups {
   def measureCandidates(cat: CubeCatalog, cube: CubeDef,
       levelSets: Seq[Seq[LevelRef]]): Seq[Long] = {
     require(levelSets.nonEmpty, "no candidates to measure")
-    val rlSets = levelSets.map(_.map(Planner.resolve(cube, _)))
-    val allRls = rlSets.flatten.distinctBy(_.level.alias)
-    val joined = Planner.joinForLevels(cat, cube, allRls)
-    val allCols = allRls.flatMap(Planner.levelColsOf).distinct
-    val projected = joined.select(col("*") +: allCols: _*)
-    val aliasSets = rlSets.map(_.flatMap(Planner.levelAliasesOf).distinct)
-    require(aliasSets.distinct.length == aliasSets.length,
+    val lat = latticeView(cat, cube, levelSets, "measure")
+    require(lat.aliasSets.distinct.length == lat.aliasSets.length,
       "candidate level sets must be distinct")
-    val allAliases = allRls.flatMap(Planner.levelAliasesOf).distinct
-    val setsSql = aliasSets
-      .map(_.map(a => s"`$a`").mkString("(", ", ", ")"))
-      .mkString("GROUPING SETS (", ", ", ")")
-    val view = s"__graft_measure_src_${System.identityHashCode(projected)}"
-    projected.createOrReplaceTempView(view)
     val counts = cat.spark.sql(
       s"""SELECT __g AS __gid, COUNT(1) AS __combos FROM (
-         |SELECT grouping_id(${allAliases.map(a => s"`$a`").mkString(", ")})
+         |SELECT grouping_id(${lat.allAliases.map(a => s"`$a`")
+            .mkString(", ")})
          |  AS __g
-         |FROM $view GROUP BY $setsSql) GROUP BY 1""".stripMargin)
+         |FROM ${lat.view} GROUP BY ${lat.setsSql}) GROUP BY 1""".stripMargin)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    aliasSets.map { aliases =>
-      val gid = allAliases.zipWithIndex
-        .filterNot { case (a, _) => aliases.contains(a) }
-        .map { case (_, i) => 1L << (allAliases.length - 1 - i) }.sum
-      counts.getOrElse(gid, 0L)
-    }
+    lat.aliasSets.map(aliases => counts.getOrElse(lat.gidOf(aliases), 0L))
   }
 
   /** The advisor's CANDIDATE TABLE with measured-exact sizes — the report a

@@ -355,7 +355,9 @@ object Streaming {
     def update(userId: Long, rows: Iterator[TransIn],
         st: GroupState[TransSt]): Iterator[TransOut] = {
       val prev = st.getOption.getOrElse(TransSt(Nil, None))
-      var buf = prev.buf
+      // Vector: appends are effectively O(1); a List here would make a hot
+      // user's per-batch buffering quadratic while the watermark lags
+      var buf = prev.buf.toVector
       if (!st.hasTimedOut)
         rows.foreach(r => buf :+= ((micros(r.ts), r.event_id, r.event_type)))
       val wmMs = st.getCurrentWatermarkMs()

@@ -855,16 +855,34 @@ class MdxSpec extends AnyFunSuite {
     val pairs = rows.map(r =>
       r.getDouble(r.fieldIndex("revenue")) -> r.getLong(r.fieldIndex("rk")))
     assert(pairs.groupBy(_._1).values.forall(g => g.map(_._2).distinct.size == 1))
-    // an undrilled dimension's rank is 1 (the set collapses to All)
-    val allRank = Planner.plan(cat, MdxParser.parse(salesCube,
+    // ranking a dimension the query does not drill 400s (the set has no
+    // axis context — a silent wrong answer would be worse)
+    assert(intercept[GraftException](Planner.plan(cat,
+      MdxParser.parse(salesCube,
+        """WITH MEMBER [Measures].[rk] AS
+          |  'Rank([Part].CurrentMember, [Part].[Brands].[Brand].Members,
+          |        [Measures].[Revenue])'
+          |SELECT {[Measures].[rk]} ON COLUMNS,
+          |NON EMPTY [Geography].[Region].Members ON ROWS
+          |FROM sales""".stripMargin))).status == 400)
+    // a set level that differs from the drilled level 400s too
+    assert(intercept[GraftException](Planner.plan(cat,
+      MdxParser.parse(salesCube,
+        """WITH MEMBER [Measures].[rk] AS
+          |  'Rank([Geography].CurrentMember, [Geography].[Region].Members,
+          |        [Measures].[Revenue])'
+          |SELECT {[Measures].[Revenue], [Measures].[rk]} ON COLUMNS,
+          |NON EMPTY [Geography].[Nation].Members ON ROWS
+          |FROM sales""".stripMargin))).status == 400)
+    // a calculated-member base 400s at parse time (the window would
+    // reference a column computed after it)
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[rk] AS
-        |  'Rank([Part].CurrentMember, [Part].[Brands].[Brand].Members,
-        |        [Measures].[Revenue])'
+        |  'Rank([Geography].CurrentMember, [Geography].[Nation].Members,
+        |        [Measures].[net])'
         |SELECT {[Measures].[rk]} ON COLUMNS,
-        |NON EMPTY [Geography].[Region].Members ON ROWS
-        |FROM sales""".stripMargin)).collect()
-    assert(allRank.nonEmpty &&
-      allRank.forall(r => r.getLong(r.fieldIndex("rk")) == 1L))
+        |NON EMPTY [Geography].[Nation].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
     // cross-dimension rank and unknown dimensions 400
     assert(intercept[GraftException](MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[rk] AS
@@ -909,15 +927,23 @@ class MdxSpec extends AnyFunSuite {
     val med = d(rows.head, "nmed")
     assert(rows.forall(r => d(r, "nmed") == med))
     assert(med > revs.min && med < revs.max)
-    // an undrilled dimension's set aggregate is the base value itself
-    val allRows = Planner.plan(cat, MdxParser.parse(salesCube,
-      """WITH MEMBER [Measures].[bavg] AS
-        |  'AVG([Part].[Brands].[Brand].Members, [Measures].[Revenue])'
-        |SELECT {[Measures].[Revenue], [Measures].[bavg]} ON COLUMNS,
-        |NON EMPTY [Geography].[Region].Members ON ROWS
-        |FROM sales""".stripMargin)).collect()
-    assert(allRows.nonEmpty &&
-      allRows.forall(r => d(r, "bavg") == d(r, "revenue")))
+    // a set aggregate over a dimension the query does not drill 400s —
+    // the undrilled average would silently be the WRONG member set
+    assert(intercept[GraftException](Planner.plan(cat,
+      MdxParser.parse(salesCube,
+        """WITH MEMBER [Measures].[bavg] AS
+          |  'AVG([Part].[Brands].[Brand].Members, [Measures].[Revenue])'
+          |SELECT {[Measures].[Revenue], [Measures].[bavg]} ON COLUMNS,
+          |NON EMPTY [Geography].[Region].Members ON ROWS
+          |FROM sales""".stripMargin))).status == 400)
+    // and so does a set level that differs from the drilled level
+    assert(intercept[GraftException](Planner.plan(cat,
+      MdxParser.parse(salesCube,
+        """WITH MEMBER [Measures].[ravg] AS
+          |  'AVG([Geography].[Region].Members, [Measures].[Revenue])'
+          |SELECT {[Measures].[Revenue], [Measures].[ravg]} ON COLUMNS,
+          |NON EMPTY [Geography].[Nation].Members ON ROWS
+          |FROM sales""".stripMargin))).status == 400)
     // unknown dimension 400s at parse time
     assert(intercept[GraftException](MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[x] AS
