@@ -96,6 +96,18 @@ final class CubeCatalog(
       compute: => DataFrame): DataFrame =
     memberFrameCache.getOrElseUpdate(key, compute.persist())
 
+  // Member-navigation keys (MDX ANCESTOR/.Parent/FirstChild/LastChild/
+  // OPENINGPERIOD/CLOSINGPERIOD): (cube, structural NavCut) → the navigated
+  // member's full path keys (root→target — a member's identity is its
+  // path, not its leaf key). One 1-row lookup per distinct navigation per
+  // catalog, dropped on /flush like every member cache.
+  private val navKeyCache =
+    TrieMap.empty[(String, graft.planner.NavCut), Any]
+
+  def cachedNavKey(key: (String, graft.planner.NavCut))(
+      compute: => Any): Any =
+    navKeyCache.getOrElseUpdate(key, compute)
+
   // COUNT(Members) constants: (cube, level id, role name) → member count
   // (MDX adhoc-count substitution — Planner.resolveAdhocCounts)
   private val memberCountCache = TrieMap.empty[(String, String, String), Long]

@@ -1179,6 +1179,45 @@ object SparkEntry {
             |  [ShipDate].[Monthly].[Month].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // MDX member navigation as a slicer: ANCESTOR walks up the
+      // denormalized hierarchy — the cut is the nation's REGION (every
+      // nation in it), resolved by one memoized 1-row dim lookup
+      "q77_mdx_ancestor" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue], [Measures].[Line Count]} ON COLUMNS,
+            |NON EMPTY [Part].[Brands].[Brand].Members ON ROWS
+            |FROM sales
+            |WHERE ANCESTOR([Geography].[Nation].[3], [Geography].[Region])
+            |""".stripMargin))
+      }),
+      // CLOSINGPERIOD: the LAST Month member (full path — Year AND Quarter
+      // AND Month, a member is its path) under Year 1995, by member order
+      "q78_mdx_closingperiod" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue], [Measures].[Quantity]} ON COLUMNS,
+            |NON EMPTY [Geography].[Nation].Members ON ROWS
+            |FROM sales
+            |WHERE CLOSINGPERIOD([ShipDate].[Monthly].[Month],
+            |  [ShipDate].[Monthly].[Year].[1995])
+            |""".stripMargin))
+      }),
+      // NEXTMEMBER / Lead(n): forward navigation — negative lag periods,
+      // with the time-domain expansion extended FORWARD of cut members
+      "q79_mdx_lead" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[next_rev] AS
+            |  '([Measures].[Revenue], [ShipDate].NextMember)'
+            |MEMBER [Measures].[rev_in_3mo] AS
+            |  '([Measures].[Revenue], [ShipDate].CurrentMember.Lead(3))'
+            |SELECT {[Measures].[Revenue], [Measures].[next_rev],
+            |  [Measures].[rev_in_3mo]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+            |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       "q38_mdx_filter_order" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -3787,6 +3826,43 @@ object SparkEntry {
          |    IS NULL THEN -1.0
          |  ELSE revenue / lag(revenue) OVER (ORDER BY ship_year, ship_month)
          |    - 1.0 END AS mom_pct
+         |FROM agg ORDER BY ship_year, ship_month""".stripMargin,
+    // q77: ANCESTOR(nation 5, Region) slicer = the whole region nation 5
+    // belongs to
+    "q77_mdx_ancestor" ->
+      s"""SELECT p_brand AS brand, ${sumd(REV, "revenue")}, COUNT(1) AS cnt
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_regionkey =
+         |  (SELECT n_regionkey FROM nation WHERE n_nationkey = 3)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q78: CLOSINGPERIOD = the last (quarter, month) with data under year
+    // 1995 in member order — the full path (year AND quarter AND month)
+    "q78_mdx_closingperiod" ->
+      s"""WITH lastm AS (
+         |  SELECT quarter(l_shipdate) AS q, month(l_shipdate) AS m
+         |  FROM lineitem WHERE year(l_shipdate) = 1995
+         |  ORDER BY 1 DESC, 2 DESC LIMIT 1)
+         |SELECT n_nationkey AS nation, n_name AS nation_label,
+         |  ${sumd(REV, "revenue")}, ${sumd("l_quantity", "sum_qty")}
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE year(l_shipdate) = 1995
+         |  AND quarter(l_shipdate) = (SELECT q FROM lastm)
+         |  AND month(l_shipdate) = (SELECT m FROM lastm)
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q79: NextMember / Lead(3) = SQL lead over the (year, month) axis
+    "q79_mdx_lead" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT ship_year, ship_month, revenue,
+         |  lead(revenue) OVER (ORDER BY ship_year, ship_month) AS next_rev,
+         |  lead(revenue, 3) OVER (ORDER BY ship_year, ship_month)
+         |    AS rev_in_3mo
          |FROM agg ORDER BY ship_year, ship_month""".stripMargin,
     "q56_mdx_growth" ->
       s"""WITH agg AS (

@@ -112,7 +112,10 @@ final case class CalcMemberDef(alias: String, formula: String)
   * over the time hierarchy's member order, partitioned by all other axis
   * columns. `coalesceToBase` mirrors COALESCEEMPTY((m, PREVMEMBER), m).
   * `periods` generalizes to PARALLELPERIOD: 12 at Month grain = the same
-  * member one Year earlier (MDX ParallelPeriod([Time].[Year], 1)). */
+  * member one Year earlier (MDX ParallelPeriod([Time].[Year], 1)). A
+  * NEGATIVE `periods` looks FORWARD (MDX NextMember / Lead(n)) — the
+  * planner branches to Spark's lead() and extends the needed time-member
+  * domain forward of cut members symmetrically. */
 final case class LagMeasureDef(alias: String, base: String, timeDim: String,
     coalesceToBase: Boolean = false, periods: Int = 1)
 

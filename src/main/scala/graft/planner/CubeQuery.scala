@@ -25,6 +25,17 @@ final case class TopKCut(level: LevelRef, k: Int, byMeasure: String,
 /** Negated member-set cut (MDX `EXCEPT([L].Members, {…})`): every member of
   * the level EXCEPT these keys — a NOT IN that still pushes into the scan. */
 final case class ExcludeCut(level: LevelRef, keys: Seq[Any]) extends Cut
+/** Member-navigation cut (MDX `ANCESTOR(m, level)` / `m.Parent` /
+  * `m.FirstChild` / `m.LastChild` / `OPENINGPERIOD(level, m)` /
+  * `CLOSINGPERIOD(level, m)`): the single member at `target` reached by
+  * navigating the hierarchy from the member `key` of level `of`. The key
+  * of the navigated-to member is resolved at PLAN time with one memoized
+  * 1-row lookup against the dimension's own table (degenerate dims: the
+  * fact), then the cut is an ordinary pushdown-able equality on `target`.
+  * `mode` ∈ ancestor (target above `of`) | first | last (the edge
+  * descendant of `of` at `target`, by the hierarchy's member order). */
+final case class NavCut(of: LevelRef, key: Any, target: LevelRef,
+    mode: String) extends Cut
 /** TopPercent / TopSum restriction (MDX `TOPPERCENT(set, p, m)` /
   * `TOPSUM(set, s, m)`): the minimal descending-by-measure prefix of the
   * level's members whose cumulative total reaches the threshold — a percent

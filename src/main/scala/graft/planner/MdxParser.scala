@@ -288,15 +288,21 @@ object MdxParser {
     // is PrevMember or Lag(n)
     val tupleRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
       """((?:\[[^\]]+\]\.?)+?)(?:\.CURRENTMEMBER)?\s*\.\s*""" +
-      """(?:PREVMEMBER|LAG\s*\(\s*(\d+)\s*\))\s*\)""").r
-    def synth(measureName: String, dimRef: String, periodsS: String): String = {
+      """(PREVMEMBER|NEXTMEMBER|(?:LAG|LEAD)\s*\(\s*\d+\s*\))\s*\)""").r
+    def synth(measureName: String, dimRef: String, navS: String): String = {
       val base = resolveMeasure(cube, measureName)
       val dim = QueryParser.segments(dimRef).head
       if (cube.dimension(dim).isEmpty)
         GraftException.badRequest(s"tuple navigation on unknown dimension '$dim'")
-      val periods = Option(periodsS).map(_.toInt).getOrElse(1)
-      if (periods < 1)
-        GraftException.badRequest(s"Lag periods must be >= 1, got $periods")
+      // NEXTMEMBER / Lead(n) look FORWARD: a negative lag period (applyLag
+      // branches to Spark's lead(); the time-domain expansion extends the
+      // needed member set forward of cut members symmetrically)
+      val nav = navS.toUpperCase.replaceAll("\\s", "")
+      val n = "\\d+".r.findFirstIn(nav).map(_.toInt).getOrElse(1)
+      if (n < 1)
+        GraftException.badRequest(s"Lag/Lead periods must be >= 1, got $n")
+      val periods =
+        if (nav.startsWith("NEXT") || nav.startsWith("LEAD")) -n else n
       // reuse a declared lag with identical semantics; else synthesize one
       cube.lagMeasures.find(l =>
         l.base == base && l.timeDim == dim && l.periods == periods &&
@@ -306,7 +312,9 @@ object MdxParser {
           // dimension is part of the identity: ([M],[ShipDate].PrevMember)
           // and ([M],[OrderDate].PrevMember) in one WITH clause are distinct
           // lags and must not collapse onto one alias
-          val alias = s"__mdx_lag_${base}_${dim.replaceAll("\\W", "_")}_$periods"
+          val word = if (periods < 0) "lead" else "lag"
+          val alias =
+            s"__mdx_${word}_${base}_${dim.replaceAll("\\W", "_")}_$n"
           lags.getOrElseUpdate(alias, LagMeasureDef(alias, base, dim,
             periods = periods))
           alias
@@ -1044,18 +1052,88 @@ object MdxParser {
         case _ => GraftException.badRequest(s"bad level path '$path'")
       }
     } else {
-      val name = stripBrackets(t)
-      if (cube.namedSet(name).nonEmpty) (Seq(NamedSetDrill(name)), Nil)
-      else GraftException.badRequest(s"unsupported set expression '$t'")
+      parseNavMember(cube, t) match {
+        // a navigation member as a set: drill its target level, cut to it
+        case Some(nc) => (Seq(LevelDrill(nc.target)), Seq(nc))
+        case None =>
+          val name = stripBrackets(t)
+          if (cube.namedSet(name).nonEmpty) (Seq(NamedSetDrill(name)), Nil)
+          else GraftException.badRequest(s"unsupported set expression '$t'")
+      }
     }
   }
 
-  /** WHERE (m1 * m2 * ...) — slicer tuple of member cuts (ref A16). */
+  /** WHERE (m1 * m2 * ...) — slicer tuple of member cuts (ref A16). Each
+    * tuple element is a plain member or a member-navigation expression
+    * (ANCESTOR, .Parent, .FirstChild/.LastChild, OPENING/CLOSINGPERIOD). */
   private def parseSlicer(cube: CubeDef, s: String): Seq[Cut] = {
     val inner =
       if (s.startsWith("(") && s.endsWith(")")) s.substring(1, s.length - 1)
       else s
-    splitTop(inner, '*').map(QueryParser.parseCut(cube, _))
+    splitTop(inner, '*').map(p =>
+      parseNavMember(cube, p.trim).getOrElse(QueryParser.parseCut(cube, p)))
+  }
+
+  /** MDX member-navigation expression → [[NavCut]]; None when `s` is not a
+    * navigation form (the caller falls back to the plain member grammar).
+    * ANCESTOR(member, level) and member.Parent walk UP the hierarchy;
+    * OPENINGPERIOD(level, member) / CLOSINGPERIOD(level, member) and
+    * member.FirstChild / member.LastChild walk DOWN to the first/last
+    * descendant in member order. Resolution to a concrete member key
+    * happens at plan time ([[Planner]] navKeyValue — one memoized 1-row
+    * dimension lookup), so parsing stays pure. */
+  private def parseNavMember(cube: CubeDef, s: String): Option[NavCut] = {
+    val t = s.trim
+    val upper = t.toUpperCase
+    def memberOf(e: String): (LevelRef, Any) =
+      QueryParser.parseCut(cube, e.trim) match {
+        case MemberCut(l, k) => (l, k)
+        case _ => GraftException.badRequest(s"expected a member, got '$e'")
+      }
+    def levelRefOf(e: String, fn: String): LevelRef =
+      QueryParser.segments(e.trim) match {
+        case Seq(d, l) => LevelRef(d, Some(l))
+        case Seq(d, h, l) => LevelRef(d, Some(l), Some(h))
+        case _ => GraftException.badRequest(s"bad $fn level '$e'")
+      }
+    if (upper.startsWith("ANCESTOR(") && t.endsWith(")")) {
+      val as = splitTop(t.substring("ANCESTOR(".length, t.length - 1), ',')
+      if (as.length != 2)
+        GraftException.badRequest(s"ANCESTOR takes (member, level): '$s'")
+      val (ml, mk) = memberOf(as(0))
+      Some(NavCut(ml, mk, levelRefOf(as(1), "ANCESTOR"), "ancestor"))
+    } else if ((upper.startsWith("OPENINGPERIOD(") ||
+        upper.startsWith("CLOSINGPERIOD(")) && t.endsWith(")")) {
+      val fn = if (upper.startsWith("OPENINGPERIOD(")) "OPENINGPERIOD"
+        else "CLOSINGPERIOD"
+      val as = splitTop(t.substring(fn.length + 1, t.length - 1), ',')
+      if (as.length != 2)
+        GraftException.badRequest(s"$fn takes (level, member): '$s'")
+      val (ml, mk) = memberOf(as(1))
+      Some(NavCut(ml, mk, levelRefOf(as(0), fn),
+        if (fn == "OPENINGPERIOD") "first" else "last"))
+    } else if (upper.endsWith(".PARENT")) {
+      val (ml, mk) = memberOf(t.substring(0, t.length - ".Parent".length))
+      val rl = Planner.resolve(cube, ml)
+      if (rl.depth == 0)
+        GraftException.badRequest(
+          s"'$t': a top-level member's parent is the All member — cut has " +
+            s"no effect; drop it instead")
+      val parent = rl.hier.levels(rl.depth - 1)
+      Some(NavCut(ml, mk,
+        LevelRef(rl.dim.name, Some(parent.name), Some(rl.hier.name)),
+        "ancestor"))
+    } else if (upper.endsWith(".FIRSTCHILD") || upper.endsWith(".LASTCHILD")) {
+      val last = upper.endsWith(".LASTCHILD")
+      val suffix = if (last) ".LastChild" else ".FirstChild"
+      val (ml, mk) = memberOf(t.substring(0, t.length - suffix.length))
+      val rl = Planner.resolve(cube, ml)
+      val child = rl.hier.levels.lift(rl.depth + 1).getOrElse(
+        GraftException.badRequest(s"'$t' is a leaf member — no children"))
+      Some(NavCut(ml, mk,
+        LevelRef(rl.dim.name, Some(child.name), Some(rl.hier.name)),
+        if (last) "last" else "first"))
+    } else None
   }
 
   /** Split at depth 0 (parens/braces), honoring bracket quoting. */

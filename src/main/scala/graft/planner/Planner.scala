@@ -798,6 +798,11 @@ object Planner {
           within, role): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!col(resolve(cube, l).level.alias).isin(keys: _*))
+    case nc: NavCut =>
+      navPathRefs(cube, nc).zip(navPathKeys(cat, cube, nc))
+        .foldLeft(df) { case (d, (ref, k)) =>
+          d.filter(col(resolve(cube, ref).level.alias) === lit(k))
+        }
   }
 
   // public handles for Rollups (B17)
@@ -817,6 +822,7 @@ object Planner {
     case TopKCut(l, _, _, _) => Some(l)
     case TopShareCut(l, _, _, _, _) => Some(l)
     case ExcludeCut(l, _) => Some(l)
+    case NavCut(_, _, target, _) => Some(target)
     case NamedSetCut(_) => None
   }
 
@@ -860,7 +866,78 @@ object Planner {
           within, role): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!expr(resolve(cube, l).level.keyExpr).isin(keys: _*))
+    case nc: NavCut =>
+      navPathRefs(cube, nc).zip(navPathKeys(cat, cube, nc))
+        .foldLeft(df) { case (d, (ref, k)) =>
+          d.filter(expr(resolve(cube, ref).level.keyExpr) === lit(k))
+        }
   }
+
+  /** The hierarchy levels (root→target) that identify a [[NavCut]]'s
+    * navigated-to member. A member's identity is its FULL PATH, not its
+    * leaf key — Month 12 repeats every Year, so `ClosingPeriod(Month,
+    * [1995])` must cut (Year=1995, Quarter=4, Month=12), never Month=12
+    * alone. Rollup routing uses the same path (every path column must
+    * exist in a candidate rollup for the cut to apply post-aggregation). */
+  def navPathRefs(cube: CubeDef, nc: NavCut): Seq[LevelRef] = {
+    val tRl = resolve(cube, nc.target)
+    tRl.hier.levels.take(tRl.depth + 1).map(l =>
+      LevelRef(tRl.dim.name, Some(l.name), Some(tRl.hier.name)))
+  }
+
+  /** The navigated-to member's path keys (one per [[navPathRefs]] level) —
+    * ANCESTOR walks UP the materialized hierarchy (the target levels'
+    * columns on the member's own dimension row — denormalized, so no
+    * recursive walk), FirstChild/LastChild/OPENINGPERIOD/CLOSINGPERIOD
+    * walk DOWN to the first/last descendant at `target` in the
+    * hierarchy's member order (the ordinals of every level below the
+    * member's, down to target). One 1-row lookup on the dimension's own
+    * table (degenerate time dims: the fact), memoized per catalog — the
+    * cut then pushes into the scan as plain equalities, exactly like
+    * TopCount's IN-list (never a per-query semi-join). */
+  private def navPathKeys(cat: CubeCatalog, cube: CubeDef,
+      c: NavCut): Seq[Any] =
+    cat.cachedNavKey((cube.name, c)) {
+      val mRl = resolve(cube, c.of)
+      val tRl = resolve(cube, c.target)
+      if (mRl.dim.name != tRl.dim.name || mRl.hier.name != tRl.hier.name)
+        GraftException.badRequest(
+          s"member navigation must stay in one hierarchy: " +
+            s"${mRl.dim.name}.${mRl.hier.name} vs ${tRl.dim.name}.${tRl.hier.name}")
+      if (c.mode == "ancestor" && tRl.depth >= mRl.depth)
+        GraftException.badRequest(
+          s"ANCESTOR target '${tRl.level.name}' is not above " +
+            s"'${mRl.level.name}' in ${mRl.dim.name}.${mRl.hier.name}")
+      if (c.mode != "ancestor" && tRl.depth <= mRl.depth)
+        GraftException.badRequest(
+          s"${c.mode} descendant target '${tRl.level.name}' is not below " +
+            s"'${mRl.level.name}' in ${mRl.dim.name}.${mRl.hier.name}")
+      val src = mRl.dim.join match {
+        case Some(js) => cat.table(js.table)
+        case None => cat.fact(cube)
+      }
+      val within = src.filter(expr(mRl.level.keyExpr) === lit(c.key))
+      val keyCols = tRl.hier.levels.take(tRl.depth + 1)
+        .map(l => expr(l.keyExpr))
+      val rows = c.mode match {
+        case "ancestor" =>
+          within.select(keyCols: _*).limit(1).collect()
+        case _ =>
+          val desc = c.mode == "last"
+          val ordCols = tRl.hier.levels.zipWithIndex
+            .filter { case (_, d) => d > mRl.depth && d <= tRl.depth }
+            .map { case (lvl, _) =>
+              val e = expr(lvl.ordExpr.getOrElse(lvl.keyExpr))
+              if (desc) e.desc else e.asc
+            }
+          // TakeOrderedAndProject: k=1, never a full sort of the dim
+          within.orderBy(ordCols: _*).select(keyCols: _*).limit(1).collect()
+      }
+      if (rows.isEmpty)
+        GraftException.badRequest(
+          s"member '${c.key}' not found at ${mRl.dim.name}.${mRl.level.name}")
+      rows.head.toSeq
+    }.asInstanceOf[Seq[Any]]
 
   /** TopCount named set (ref B9, foodmart.xml:405-410): k member keys by
     * measure, descending — TakeOrderedAndProject, no full sort. */
@@ -1049,13 +1126,20 @@ object Planner {
     val ordC = unit.map { rl =>
       col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
     }
-    val maxLag = (need.lags.filter(_.timeDim == dn).map(_.periods) ++
+    val maxLag = (need.lags.filter(_.timeDim == dn).map(_.periods)
+      .filter(_ > 0) ++
       need.movings.filter(_.timeDim == dn).map(_.periods - 1))
       .maxOption.getOrElse(0)
+    // Lead(n) (negative periods) needs members AFTER cut members
+    val maxLead = need.lags.filter(_.timeDim == dn).map(-_.periods)
+      .filter(_ > 0).maxOption.getOrElse(0)
     var needed: Column = col(flag) === 1
     if (maxLag > 0)
       needed = needed || max(col(flag)).over(
         Window.orderBy(ordC.map(_.asc): _*).rowsBetween(0, maxLag)) === 1
+    if (maxLead > 0)
+      needed = needed || max(col(flag)).over(
+        Window.orderBy(ordC.map(_.asc): _*).rowsBetween(-maxLead, 0)) === 1
     for (cm <- need.cums.filter(_.timeDim == dn);
          resetRl <- unit.find(_.level.name == cm.resetLevel))
       needed = needed || max(col(flag)).over(
@@ -1095,7 +1179,10 @@ object Planner {
     val partCols = groupLevels.filterNot(_.dim.name == lm.timeDim)
       .flatMap(levelAliases).map(col)
     val w = Window.partitionBy(partCols: _*).orderBy(ordCols.map(_.asc): _*)
-    val lagged = lag(col(lm.base), lm.periods).over(w)
+    // negative periods = NEXTMEMBER/Lead(n): look forward in member order
+    val lagged =
+      if (lm.periods < 0) lead(col(lm.base), -lm.periods).over(w)
+      else lag(col(lm.base), lm.periods).over(w)
     df.withColumn(lm.alias,
       if (lm.coalesceToBase) coalesce(lagged, col(lm.base)) else lagged)
   }

@@ -168,6 +168,9 @@ object Rollups {
         case TopKCut(l, _, _, _) => levelAliases(cube, l)
         case TopShareCut(l, _, _, _, _) => levelAliases(cube, l)
         case ExcludeCut(l, _) => levelAliases(cube, l)
+        // the nav resolves to equalities on its full member path
+        case nc: NavCut =>
+          Planner.navPathRefs(cube, nc).flatMap(levelAliases(cube, _))
       }).toSet
     if (!bases.forall(m => supportedAgg(m.agg))) return None
     rollups.filter(r => r.cube == cube.name && neededLevels.subsetOf(r.levels))
@@ -347,6 +350,7 @@ object Rollups {
         case TopKCut(l, _, _, _) => Some(l)
         case TopShareCut(l, _, _, _, _) => Some(l)
         case ExcludeCut(l, _) => Some(l)
+        case nc: NavCut => Planner.navPathRefs(cube, nc)
       }
       val rls = drills ++ cutRefs.map(Planner.resolve(cube, _))
       Some(rls.flatMap(rl => chainOf(rl).flatMap(Planner.levelAliasesOf))

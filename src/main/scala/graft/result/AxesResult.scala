@@ -138,6 +138,8 @@ object AxesResult {
       case TopShareCut(l, th, m, abs, _) =>
         s"${if (abs) s"TOPSUM($th)" else s"TOPPERCENT($th%)"} ${ref(l)} BY $m"
       case ExcludeCut(l, ks) => s"${ref(l)} NOT IN (${ks.mkString(", ")})"
+      case NavCut(of, k, target, mode) =>
+        s"${ref(target)} = ${mode.toUpperCase}(${ref(of)} = $k)"
     }
     def drillStr(d: Drill): String = d match {
       case LevelDrill(l) => ref(l)

@@ -1055,4 +1055,148 @@ class MdxSpec extends AnyFunSuite {
         |[Geography].[Region].Members ON ROWS
         |FROM sales""".stripMargin)).status == 400)
   }
+
+  test("member navigation: ANCESTOR/.Parent/FirstChild/OPENINGPERIOD " +
+      "resolve to full-path member cuts; wrong directions 400") {
+    def plan(mdx: String) =
+      Planner.plan(cat, MdxParser.parse(salesCube, mdx))
+        .collect().map(_.toSeq).toSeq
+    val direct = plan(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Part].[Brands].[Brand].Members ON ROWS
+        |FROM sales
+        |WHERE [Geography].[Region].[3]""".stripMargin)
+    // ANCESTOR(nation 3, Region) slicer == cutting region 3 directly
+    assert(plan(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Part].[Brands].[Brand].Members ON ROWS
+        |FROM sales
+        |WHERE ANCESTOR([Geography].[Nation].[3], [Geography].[Region])"""
+        .stripMargin) == direct)
+    // .Parent is ANCESTOR one level up
+    assert(plan(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Part].[Brands].[Brand].Members ON ROWS
+        |FROM sales
+        |WHERE [Geography].[Nation].[3].Parent""".stripMargin) == direct)
+    // OPENINGPERIOD(Month, 1995) = the FULL PATH (year 1995 AND its first
+    // quarter AND month) — never month-1-of-every-year
+    val q1995 = CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Geography", Some("Region")))),
+      Seq("revenue"), cuts = Seq(
+        MemberCut(LevelRef("ShipDate", Some("Year"), Some("Monthly")), 1995),
+        MemberCut(LevelRef("ShipDate", Some("Quarter"), Some("Monthly")), 1),
+        MemberCut(LevelRef("ShipDate", Some("Month"), Some("Monthly")), 1)))
+    assert(plan(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales
+        |WHERE OPENINGPERIOD([ShipDate].[Monthly].[Month],
+        |  [ShipDate].[Monthly].[Year].[1995])""".stripMargin) ==
+      Planner.plan(cat, q1995).collect().map(_.toSeq).toSeq)
+    // FirstChild of year 1995 = its first Quarter
+    val firstQ = CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Geography", Some("Region")))),
+      Seq("revenue"), cuts = Seq(
+        MemberCut(LevelRef("ShipDate", Some("Year"), Some("Monthly")), 1995),
+        MemberCut(LevelRef("ShipDate", Some("Quarter"), Some("Monthly")), 1)))
+    assert(plan(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales
+        |WHERE [ShipDate].[Monthly].[Year].[1995].FirstChild""".stripMargin) ==
+      Planner.plan(cat, firstQ).collect().map(_.toSeq).toSeq)
+    // ANCESTOR downward 400s at plan time
+    assert(intercept[GraftException](Planner.plan(cat, MdxParser.parse(
+      salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Part].[Brands].[Brand].Members ON ROWS
+        |FROM sales
+        |WHERE ANCESTOR([Geography].[Region].[3], [Geography].[Nation])"""
+        .stripMargin))).status == 400)
+    // top-level member has no parent below All
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Part].[Brands].[Brand].Members ON ROWS
+        |FROM sales
+        |WHERE [Geography].[Region].[3].Parent""".stripMargin)).status == 400)
+    // a leaf member has no children
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Part].[Brands].[Brand].Members ON ROWS
+        |FROM sales
+        |WHERE [Geography].[Supplier].[1].FirstChild""".stripMargin))
+      .status == 400)
+    // cross-hierarchy navigation 400s at plan time
+    assert(intercept[GraftException](Planner.plan(cat, MdxParser.parse(
+      salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales
+        |WHERE OPENINGPERIOD([ShipDate].[Weekly].[Week],
+        |  [ShipDate].[Monthly].[Year].[1995])""".stripMargin))).status == 400)
+    // a navigation member as an axis SET drills its target level
+    val axis = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |ANCESTOR([Geography].[Nation].[3], [Geography].[Region]) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(axis.drilldowns ==
+      Seq(LevelDrill(LevelRef("Geography", Some("Region")))))
+    assert(axis.cuts.exists {
+      case NavCut(_, _, t, "ancestor") => t.level.contains("Region")
+      case _ => false
+    })
+  }
+
+  test("NextMember/Lead(n) look forward; the time domain expands past " +
+      "the cut") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[next_rev] AS
+        |  '([Measures].[Revenue], [ShipDate].NextMember)'
+        |MEMBER [Measures].[rev_in_3mo] AS
+        |  '([Measures].[Revenue], [ShipDate].CurrentMember.Lead(3))'
+        |SELECT {[Measures].[Revenue], [Measures].[next_rev],
+        |  [Measures].[rev_in_3mo]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.adhocLags.map(_.periods).sorted == Seq(-3, -1))
+    val rows = Planner.plan(cat, q).collect()
+    def ym(r: org.apache.spark.sql.Row) =
+      (r.getInt(r.fieldIndex("ship_year")), r.getInt(r.fieldIndex("ship_month")))
+    val revByYm = rows.map(r =>
+      ym(r) -> r.getDouble(r.fieldIndex("revenue"))).toMap
+    def next(y: Int, m: Int, k: Int): (Int, Int) = {
+      val t = y * 12 + (m - 1) + k; (t / 12, t % 12 + 1)
+    }
+    // month axis is gap-free at this sf: next_rev(i) == revenue(i+1 month)
+    rows.foreach { r =>
+      val (y, m) = ym(r)
+      val nr = r.fieldIndex("next_rev")
+      if (revByYm.contains(next(y, m, 1)))
+        assert(r.getDouble(nr) == revByYm(next(y, m, 1)))
+      else assert(r.isNullAt(nr))
+      val l3 = r.fieldIndex("rev_in_3mo")
+      if (revByYm.contains(next(y, m, 3)))
+        assert(r.getDouble(l3) == revByYm(next(y, m, 3)))
+      else assert(r.isNullAt(l3))
+    }
+    // cut to month 6: the forward domain expansion still reaches month 7
+    // (off-axis), so next_rev at (y, 6) equals the uncut (y, 7) revenue
+    val cut = Planner.plan(cat, MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[next_rev] AS
+        |  '([Measures].[Revenue], [ShipDate].NextMember)'
+        |SELECT {[Measures].[Revenue], [Measures].[next_rev]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales
+        |WHERE [ShipDate].[Monthly].[Month].[6]""".stripMargin)).collect()
+    assert(cut.nonEmpty && cut.forall(r =>
+      r.getInt(r.fieldIndex("ship_month")) == 6))
+    cut.foreach { r =>
+      val (y, _) = ym(r)
+      if (revByYm.contains((y, 7)))
+        assert(r.getDouble(r.fieldIndex("next_rev")) == revByYm((y, 7)))
+    }
+  }
 }
