@@ -429,6 +429,10 @@ object SparkEntry {
       // random-projection (JL) shortlist in 16 dims + exact re-rank
       "s09_knn_projected" -> tbl("embeddings")(
         ops.Similarity.projectedKnn(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      // product quantization: 16 subspace codebooks (k-means), ADC lookup-
+      // table scoring over the coded corpus + exact re-rank
+      "s12_knn_pq" -> tbl("embeddings")(
+        ops.Similarity.pqKnn(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
       // deterministic k-means topic assignment (the curation clustering
       // step); centroids memoized like the IVF index they seed
       "s06_kmeans_assign" -> ((s: SparkSession, dir: String) => {
@@ -1334,6 +1338,59 @@ object SparkEntry {
        |  FROM v),
        |$rounds,
        |${assign("afinal", s"cent$iters")}""".stripMargin
+  }
+
+  /** Per-subspace unrolled k-means for the PQ oracle (s12): the
+    * [[kmeansOracleCtes]] chain, prefixed `p{j}_` per subspace and run
+    * over the sliced vectors. Emits a shared full-vector `v` plus, per
+    * subspace j: `p{j}_v` (sliced), `p{j}_cent{iters}` (carried
+    * centroids) and `p{j}_afinal` (final code assignment). */
+  private def pqOracleCtes(m: Int, ksub: Int, iters: Int,
+      sub: Int): String = {
+    def chain(j: Int): String = {
+      val P = s"p${j}_"
+      def cent(r: Int, from: String): String = {
+        val base =
+          s"""${P}x$r AS (SELECT c, unnest(emb) AS x,
+             |  generate_subscripts(emb, 1) AS pos FROM $from),
+             |${P}m$r AS (SELECT c, pos,
+             |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE)
+             |    / COUNT(1) AS m
+             |  FROM ${P}x$r GROUP BY c, pos),
+             |${P}newc$r AS (SELECT c, list(m ORDER BY pos) AS cent
+             |  FROM ${P}m$r GROUP BY c)""".stripMargin
+        val carry =
+          if (r == 1) s"${P}cent$r AS (SELECT c, cent FROM ${P}newc$r)"
+          else
+            s"""${P}cent$r AS (SELECT p.c, COALESCE(n.cent, p.cent) AS cent
+               |  FROM ${P}cent${r - 1} p
+               |  LEFT JOIN ${P}newc$r n USING (c))""".stripMargin
+        s"$base,\n$carry"
+      }
+      def assign(name: String, centTbl: String): String =
+        s"""${P}s_$name AS (SELECT v.vec_id, v.emb, ct.c,
+           |  list_dot_product(v.emb, ct.cent)
+           |    - list_dot_product(ct.cent, ct.cent) / 2.0 AS score
+           |  FROM ${P}v v CROSS JOIN $centTbl ct),
+           |$P$name AS (SELECT vec_id, emb, c FROM (
+           |  SELECT vec_id, emb, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |    ORDER BY score DESC, c DESC) AS rn FROM ${P}s_$name)
+           |  WHERE rn = 1)""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        val c = cent(r, s"${P}a${r - 1}")
+        if (r < iters) s"$c,\n${assign(s"a$r", s"${P}cent$r")}" else c
+      }.mkString(",\n")
+      s"""${P}v AS (SELECT vec_id, emb[${j * sub + 1}:${(j + 1) * sub}] AS emb
+         |  FROM v),
+         |${P}a0 AS (SELECT vec_id, emb, CAST(vec_id % $ksub AS INTEGER) AS c
+         |  FROM ${P}v),
+         |$rounds,
+         |${assign("afinal", s"${P}cent$iters")}""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |${(0 until m).map(chain).mkString(",\n")}""".stripMargin
   }
 
   /** Unrolled oracle for [[graft.ops.TextOps.linearProbe]] (t36): one
@@ -2279,6 +2336,38 @@ object SparkEntry {
         |  FROM rescored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // s12: per-subspace k-means unrolled, ADC = left-fold sum of subspace
+    // centroid dots (the query-side lookup table, replayed directly),
+    // shortlist by ADC, exact re-rank — same two-phase shape as s05/s09
+    "s12_knn_pq" -> {
+      val (m, ksub, iters, sub) = (16, 16, 2, 4)
+      val adc = (0 until m).map(j =>
+        s"list_dot_product(q.emb[${j * sub + 1}:${(j + 1) * sub}], c$j.cent)")
+        .mkString("(", "\n + ", ")")
+      val codeJoin = (0 until m).map(j =>
+        s"JOIN p${j}_afinal a$j ON a$j.vec_id = n.vec_id\n" +
+          s"JOIN p${j}_cent$iters c$j ON c$j.c = a$j.c").mkString("\n")
+      s"""${pqOracleCtes(m, ksub, iters, sub)},
+         |qd AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    $adc AS adc, q.emb AS v_q, n.emb AS v_n
+         |  FROM v q JOIN v n ON q.vec_id <> n.vec_id
+         |  $codeJoin
+         |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+         |short AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adc DESC, neighbor_id ASC) AS srank FROM qd),
+         |rescored AS (
+         |  SELECT query_id, neighbor_id, list_dot_product(v_q, v_n) AS sim
+         |  FROM short WHERE srank <= 20),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM rescored)
+         |SELECT query_id, rank, neighbor_id, sim FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     // s06: the full iterative k-means UNROLLED in SQL — decimal-mean
     // centroids (VARCHAR hop), sequential list_dot_product scores, ties to
     // the larger cluster id (Spark's lexicographic struct max). Empty
