@@ -508,6 +508,10 @@ object SparkEntry {
       // precedes type B (first(A) < last(B)) — PrefixSpan's length-2 core
       "e18_precedence_pairs" -> tbl("events")(
         ops.EventOps.precedencePairs(_, 30, 20)),
+      // Kaplan-Meier survival of signup→purchase with right-censoring at
+      // the corpus horizon; all windows over the day grid
+      "e19_kaplan_meier" -> tbl("events")(
+        ops.EventOps.kaplanMeier(_)),
       // daily session-quality rollup composed on the sessionize plan
       "e09_session_stats" -> tbl("events")(
         ops.Sessionize.sessionStats(_, 30)),
@@ -3745,6 +3749,44 @@ object SparkEntry {
         |  AS path FROM sess GROUP BY 1, 2)
         |SELECT path, COUNT(1) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+    // e19: durations in whole days from first signup; non-converters censor
+    // at the corpus horizon; survival = product-limit over the day grid,
+    // replayed as exp∘Σln rounded at 1e-9 (both engines)
+    "e19_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |h AS (SELECT MAX(epoch_us(ts)) AS h_us FROM events),
+        |f AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS t0,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) AS t1
+        |  FROM ev GROUP BY user_id),
+        |d AS (SELECT
+        |  CASE WHEN t1 IS NOT NULL AND t1 >= t0
+        |    THEN CAST(floor((t1 - t0) / 86400000000) AS BIGINT)
+        |    ELSE CAST(floor(((SELECT h_us FROM h) - t0) / 86400000000)
+        |      AS BIGINT) END AS day,
+        |  CASE WHEN t1 IS NOT NULL AND t1 >= t0 THEN 1 ELSE 0 END
+        |    AS observed
+        |  FROM f WHERE t0 IS NOT NULL),
+        |byday AS (SELECT day, CAST(SUM(observed) AS BIGINT) AS events,
+        |  CAST(SUM(1 - observed) AS BIGINT) AS censored
+        |  FROM d GROUP BY day),
+        |r AS (SELECT *, CAST(SUM(events + censored) OVER () -
+        |  COALESCE(SUM(events + censored) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS at_risk FROM byday),
+        |s AS (SELECT *, 1.0 - CAST(events AS DOUBLE) /
+        |  CAST(at_risk AS DOUBLE) AS factor FROM r)
+        |SELECT CAST(day AS INTEGER) AS day, at_risk, events, censored,
+        |  CASE WHEN SUM(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+        |    THEN 0.0
+        |  ELSE round(exp(SUM(CASE WHEN factor > 0.0 THEN ln(factor)
+        |      ELSE 0.0 END) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+        |  END AS survival
+        |FROM s ORDER BY day""".stripMargin,
     // e18: e01's sessions, per-(session, type) first/last occurrence,
     // ordered-pair counting via a self-join the Spark side does map-side
     "e18_precedence_pairs" ->

@@ -134,6 +134,73 @@ object EventOps {
     * Scale shape: one user_id-keyed aggregation over filtered events (the
     * two min-aggregates fuse into one hash agg), then a cohort-day rollup
     * of user-sized rows. Work ∝ events, no joins, no windows. */
+  /** KAPLAN–MEIER survival estimate of time-to-conversion WITH CENSORING —
+    * the right-censored complement of [[timeToConvert]] (which silently
+    * conditions on conversion happening; survival analysis is how a growth
+    * team reads "how long until purchase" without that bias). Subjects are
+    * users with a `from` event (time origin = their first `from`); a user
+    * whose first `to` lands at/after the origin converts at duration
+    * `⌊Δ/day⌋`; a user who never converts is right-censored at the corpus
+    * horizon (max event ts — the end of observation). Per duration-day t:
+    * `at_risk n_t` (subjects with duration ≥ t), `events d_t`, `censored
+    * c_t`, and `S(t) = Π_{u≤t} (1 − d_u/n_u)` — the product-limit
+    * estimator (Kaplan & Meier 1958).
+    *
+    * Scale shape: one user-keyed aggregation over filtered events (exactly
+    * [[timeToConvert]]'s shape), a 1-row horizon broadcast, then all
+    * windows run over the DAY-GRID frame (≤ observation-span rows, never
+    * the data — the bucket-frame convention of [[graft.ops.Ranking]]).
+    * The survival product rides exp∘Σln rounded at 1e-9 (the cross-engine
+    * float recipe); a day with d_t = n_t pins S to exactly 0 from then on
+    * (no ln(0)). */
+  def kaplanMeier(events: DataFrame, from: String = "signup",
+      to: String = "purchase"): DataFrame = {
+    val usDay = 86400000000L
+    val horizon = events.agg(max(unix_micros(col("ts"))).as("h_us"))
+    val durations = events
+      .where(col("event_type").isin(from, to))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === from, unix_micros(col("ts"))))
+          .as("t0"),
+        min(when(col("event_type") === to, unix_micros(col("ts"))))
+          .as("t1"))
+      .where(col("t0").isNotNull)
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("t1").isNotNull && col("t1") >= col("t0"),
+          floor((col("t1") - col("t0")) / lit(usDay)))
+          .otherwise(floor((col("h_us") - col("t0")) / lit(usDay)))
+          .cast("long").as("day"),
+        when(col("t1").isNotNull && col("t1") >= col("t0"), 1L)
+          .otherwise(0L).as("observed"))
+    val byDay = durations.groupBy("day")
+      .agg(sum(col("observed")).as("events"),
+        sum(lit(1L) - col("observed")).as("censored"))
+    // day-grid windows: at-risk = subjects not yet exited before this day
+    val all = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val before = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withRisk = byDay.withColumn("at_risk",
+      sum(col("events") + col("censored")).over(all) -
+        coalesce(sum(col("events") + col("censored")).over(before), lit(0L)))
+    val factor = lit(1.0) -
+      col("events").cast("double") / col("at_risk").cast("double")
+    withRisk
+      .withColumn("__zero", when(factor <= lit(0.0), 1L).otherwise(0L))
+      .withColumn("__ln", when(factor > lit(0.0), log(factor))
+        .otherwise(lit(0.0)))
+      .withColumn("survival",
+        when(sum(col("__zero")).over(upTo) > 0, lit(0.0))
+          .otherwise(round(exp(sum(col("__ln")).over(upTo)), 9)))
+      .select(col("day").cast("int").as("day"), col("at_risk"),
+        col("events"), col("censored"), col("survival"))
+      .orderBy("day")
+  }
+
   def timeToConvert(events: DataFrame, from: String = "view",
       to: String = "purchase"): DataFrame = {
     val firsts = events

@@ -296,6 +296,39 @@ class OpsSpec extends AnyFunSuite {
       1 -> ((1L, 30.0, 30.0, 30.0))))
   }
 
+  test("kaplan-meier: product-limit with right-censoring at the horizon") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+      // four signups at t=0; u1,u2 convert day 1; u3 converts day 3;
+      // u4 never converts → censored at the horizon (u3's purchase, day 3)
+      (1L, 0L, "signup"), (1L, day + 7200000000L, "purchase"),
+      (2L, 0L, "signup"), (2L, day + 1000000L, "purchase"),
+      (3L, 0L, "signup"), (3L, 3 * day, "purchase"),
+      (4L, 0L, "signup"),
+      // a purchase with NO signup: not a subject
+      (5L, 2 * day, "purchase"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us") + lit(820454400000000L)))
+    val got = EventOps.kaplanMeier(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // day 1: 4 at risk, 2 events → S = 0.5
+    // day 3: 2 at risk, 1 event + 1 censored → S = 0.5 × (1 − 1/2) = 0.25
+    assert(got.toSeq == Seq(
+      (1, 4L, 2L, 0L, 0.5),
+      (3, 2L, 1L, 1L, 0.25)))
+    // invariants on the real corpus: S non-increasing in [0,1], at_risk
+    // strictly decreasing, exits sum to the subject count
+    val km = EventOps.kaplanMeier(cat.table("events")).collect()
+    val s = km.map(_.getDouble(4))
+    assert(s.forall(x => x >= 0.0 && x <= 1.0))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a })
+    val risk = km.map(_.getLong(1))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b < a })
+    assert(km.map(r => r.getLong(2) + r.getLong(3)).sum == risk.head)
+  }
+
   test("chunk windows: coverage, overlap, short-tail semantics") {
     import spark.implicits._
     val corpus = Seq(
