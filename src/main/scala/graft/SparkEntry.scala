@@ -328,6 +328,12 @@ object SparkEntry {
       // closure of a~b into clusters, labeled by the min doc id
       "d07_dup_clusters" -> ((s: SparkSession, dir: String) =>
         dupClusters(s, dir).orderBy("doc_id")),
+      // soft dedup: d07's clusters as 1/|cluster| sampling weights —
+      // duplicates stay in the mix at one cluster's worth of mass
+      "t40_soft_dedup" -> ((s: SparkSession, dir: String) =>
+        ops.Dedup.softDedupWeights(
+          CubeCatalog.forDir(s, dir).table("documents"),
+          dupClusters(s, dir))),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
       // asymmetric containment |A∩B|/|A| — the quote-expansion duplicates
@@ -2208,6 +2214,40 @@ object SparkEntry {
         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a)
         |SELECT node AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // t40: d07's clusters → 1/|cluster| weights and effective token mass
+    "t40_soft_dedup" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a),
+        |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |sz AS (SELECT cluster_id, CAST(COUNT(1) AS BIGINT) AS cluster_size
+        |  FROM cl GROUP BY 1),
+        |tok AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+        |  1.0 / CAST(sz.cluster_size AS DOUBLE) AS weight,
+        |  (1.0 / CAST(sz.cluster_size AS DOUBLE))
+        |    * CAST(tok.n_tokens AS DOUBLE) AS eff_tokens
+        |FROM cl JOIN sz USING (cluster_id)
+        |JOIN tok ON tok.doc_id = cl.doc_id
+        |ORDER BY cl.doc_id""".stripMargin,
     // d13: d07's recursive-reachability clusters, keeping the row whose id
     // IS its cluster label (min of the component)
     "d13_keep_canonical" ->

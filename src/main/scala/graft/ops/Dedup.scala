@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.SimHash64.simhash64
 
 /** Near-duplicate detection at corpus scale. Three families, all shuffle-lean:
@@ -671,6 +672,29 @@ object Dedup {
       .select(col("node"), col("node").as("label"))
     labels.unionByName(singletons)
       .select(col("node").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** SOFT DEDUPLICATION — down-weight duplicates instead of dropping them
+    * (the "commonness reweighting" alternative to hard dedup, e.g. He et
+    * al. 2024, SoftDedup): each document keeps full coverage in the
+    * training mix but carries sampling weight `1/|cluster|`, so a
+    * duplicate cluster contributes exactly one document's worth of
+    * sampling mass and the loader's effective token count per doc is
+    * `n_tokens/|cluster|`. Input `clusters` is [[duplicateClusters]]'s
+    * (doc_id, cluster_id) frame. One partitioned window for the cluster
+    * size (cluster-keyed, no skew beyond the largest dup cluster) and one
+    * doc-keyed join for the token counts — no driver-side state. */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sized = clusters.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    sized.join(toks, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"),
+        ((lit(1.0) / col("cluster_size").cast("double")) *
+          col("n_tokens").cast("double")).as("eff_tokens"))
+      .orderBy("doc_id")
   }
 
   /** LEAKAGE-FREE train/valid/test split: hash-split at the DUPLICATE-

@@ -296,6 +296,27 @@ class OpsSpec extends AnyFunSuite {
       1 -> ((1L, 30.0, 30.0, 30.0))))
   }
 
+  test("soft dedup: weights are 1/|cluster|, cluster mass sums to 1, " +
+      "singletons keep full weight") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d e f"),
+      (4L, "totally different text here now")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.softDedupWeights(docs, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 1.0 / 3, 6.0 / 3),
+      (2L, 1L, 3L, 1.0 / 3, 6.0 / 3),
+      (3L, 1L, 3L, 1.0 / 3, 6.0 / 3),
+      (4L, 4L, 1L, 1.0, 5.0)))
+    // every cluster contributes exactly one document's worth of mass
+    val mass = got.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    assert(mass.values.forall(m => math.abs(m - 1.0) < 1e-12))
+  }
+
   test("kaplan-meier: product-limit with right-censoring at the horizon") {
     import spark.implicits._
     val day = 86400000000L
