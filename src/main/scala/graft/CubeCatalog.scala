@@ -77,11 +77,11 @@ final class CubeCatalog(
   // The `within` cuts participate STRUCTURALLY (case-class equality), not
   // as a string rendering — toString identity can collide across cuts whose
   // values stringify identically (SetCut(Seq("1")) vs SetCut(Seq(1)))
-  private val topShareCache = TrieMap.empty[(String, String, String, String,
-    Double, String, Boolean, Seq[graft.planner.Cut], Option[String]), Seq[Any]]
+  private val topShareCache = TrieMap.empty[
+    (String, graft.planner.TopShareCut, Option[String]), Seq[Any]]
 
-  def cachedTopShareKeys(key: (String, String, String, String, Double,
-      String, Boolean, Seq[graft.planner.Cut], Option[String]))(
+  def cachedTopShareKeys(
+      key: (String, graft.planner.TopShareCut, Option[String]))(
       compute: => Seq[Any]): Seq[Any] =
     topShareCache.getOrElseUpdate(key, compute)
 

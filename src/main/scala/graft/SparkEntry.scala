@@ -1061,6 +1061,16 @@ object SparkEntry {
             |  [Measures].[Revenue]) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // BOTTOMPERCENT: the ASCENDING-by-measure prefix covering the share
+      // — the long-tail complement of q65's Pareto cut
+      "q80_mdx_bottompercent" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |BOTTOMPERCENT([Part].[Brands].[Brand].Members, 10,
+            |  [Measures].[Revenue]) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // WITH MEMBER Sum(PeriodsToDate(level), M): quarter-to-date at Month
       // grain — synthesizes an ad-hoc CumMeasureDef resetting per Quarter
       // (Mondrian's Qtd()); Sum(Ytd(), M) rides the same rewrite onto the
@@ -4076,6 +4086,23 @@ object SparkEntry {
          |  FROM b)
          |SELECT brand, revenue FROM w
          |WHERE cum_before < 25.0 / 100.0 * total
+         |ORDER BY brand""".stripMargin,
+    // q80: q65 with the window order flipped ASC — the ascending prefix
+    // whose cumulative share stays under 10% of the set total
+    "q80_mdx_bottompercent" ->
+      s"""WITH b AS (
+         |  SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         |w AS (SELECT brand, revenue,
+         |  COALESCE(CAST(SUM(CAST(CAST(revenue AS VARCHAR)
+         |    AS DECIMAL(27,6))) OVER (ORDER BY revenue ASC, brand ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE),
+         |    0.0) AS cum_before,
+         |  CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6)))
+         |    OVER () AS DOUBLE) AS total
+         |  FROM b)
+         |SELECT brand, revenue FROM w
+         |WHERE cum_before < 10.0 / 100.0 * total
          |ORDER BY brand""".stripMargin,
     // q64: Sum(PeriodsToDate(Quarter)) = QTD, Sum(Ytd()) = YTD — both
     // DECIMAL(27,6)-requantized running sums (the q48 recipe), partitioned

@@ -44,10 +44,12 @@ final case class NavCut(of: LevelRef, key: Any, target: LevelRef,
   * the argument set's own restrictions (`TOPPERCENT(EXCEPT(...), …)`), so
   * both the prefix and the percent denominator are computed over the GIVEN
   * set, not the whole level. (Like inline TOPCOUNT, evaluation is cube
-  * context — the slicer does not restrict the selection.) */
+  * context — the slicer does not restrict the selection.) `asc = true` is
+  * the BOTTOMPERCENT / BOTTOMSUM form: the minimal ASCENDING-by-measure
+  * prefix (the long tail covering the threshold). */
 final case class TopShareCut(level: LevelRef, threshold: Double,
     byMeasure: String, absolute: Boolean = false,
-    within: Seq[Cut] = Nil) extends Cut
+    within: Seq[Cut] = Nil, asc: Boolean = false) extends Cut
 
 /** Axis drilldowns (ref A2/A15). */
 sealed trait Drill

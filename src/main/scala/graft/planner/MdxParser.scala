@@ -945,10 +945,13 @@ object MdxParser {
       }
       (drills, cuts :+ TopKCut(level, k, m, asc = fn == "BOTTOMCOUNT("))
     } else if ((upper.startsWith("TOPPERCENT(") ||
-        upper.startsWith("TOPSUM(")) && t.endsWith(")")) {
+        upper.startsWith("TOPSUM(") || upper.startsWith("BOTTOMPERCENT(") ||
+        upper.startsWith("BOTTOMSUM(")) && t.endsWith(")")) {
       // TOPPERCENT(set, p, m) / TOPSUM(set, s, m): the smallest
-      // descending-by-measure prefix reaching the threshold (Pareto cut)
-      val fn = if (upper.startsWith("TOPPERCENT(")) "TOPPERCENT(" else "TOPSUM("
+      // descending-by-measure prefix reaching the threshold (Pareto cut);
+      // BOTTOM* forms take the ASCENDING prefix (the long tail)
+      val fn = Seq("TOPPERCENT(", "TOPSUM(", "BOTTOMPERCENT(", "BOTTOMSUM(")
+        .find(upper.startsWith).get
       val args = splitTop(t.substring(fn.length, t.length - 1), ',')
       if (args.length != 3)
         GraftException.badRequest(
@@ -976,7 +979,8 @@ object MdxParser {
           s"bad ${fn.dropRight(1)} measure '${args(2)}'")
       }
       (drills, cuts :+ TopShareCut(level, th, m,
-        absolute = fn == "TOPSUM(", within = cuts))
+        absolute = fn == "TOPSUM(" || fn == "BOTTOMSUM(", within = cuts,
+        asc = fn.startsWith("BOTTOM")))
     } else if (splitTop(t, ':').length == 2) {
       // member range [D].[L].[a] : [D].[L].[b] → drill the level + range cut
       val cut = QueryParser.parseCut(cube, s"($t)")

@@ -791,11 +791,10 @@ object Planner {
       val rl = resolve(cube, l)
       df.filter(col(rl.level.alias)
         .isin(topKKeyValues(cat, cube, rl, k, byMeasure, role = role): _*))
-    case TopShareCut(l, th, byMeasure, abs, within) =>
-      val rl = resolve(cube, l)
+    case ts: TopShareCut =>
+      val rl = resolve(cube, ts.level)
       df.filter(col(rl.level.alias)
-        .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs,
-          within, role): _*))
+        .isin(topShareKeyValues(cat, cube, rl, ts, role): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!col(resolve(cube, l).level.alias).isin(keys: _*))
     case nc: NavCut =>
@@ -820,7 +819,7 @@ object Planner {
     case SetCut(l, _) => Some(l)
     case RangeCut(l, _, _) => Some(l)
     case TopKCut(l, _, _, _) => Some(l)
-    case TopShareCut(l, _, _, _, _) => Some(l)
+    case TopShareCut(l, _, _, _, _, _) => Some(l)
     case ExcludeCut(l, _) => Some(l)
     case NavCut(_, _, target, _) => Some(target)
     case NamedSetCut(_) => None
@@ -859,11 +858,10 @@ object Planner {
       val rl = resolve(cube, l)
       df.filter(expr(rl.level.keyExpr)
         .isin(topKKeyValues(cat, cube, rl, k, byMeasure, asc, role): _*))
-    case TopShareCut(l, th, byMeasure, abs, within) =>
-      val rl = resolve(cube, l)
+    case ts: TopShareCut =>
+      val rl = resolve(cube, ts.level)
       df.filter(expr(rl.level.keyExpr)
-        .isin(topShareKeyValues(cat, cube, rl, th, byMeasure, abs,
-          within, role): _*))
+        .isin(topShareKeyValues(cat, cube, rl, ts, role): _*))
     case ExcludeCut(l, keys) =>
       df.filter(!expr(resolve(cube, l).level.keyExpr).isin(keys: _*))
     case nc: NavCut =>
@@ -971,11 +969,10 @@ object Planner {
     * as the lag domains, never the fact), memoized per catalog like
     * TopCount keys so the cut is an IN-list pushed into the scan. */
   private def topShareKeyValues(cat: CubeCatalog, cube: CubeDef,
-      rl: ResolvedLevel, threshold: Double, byMeasure: String,
-      absolute: Boolean, within: Seq[Cut],
-      role: Option[String]): Seq[Any] =
-    cat.cachedTopShareKeys((cube.name, rl.dim.name, rl.hier.name,
-        rl.level.name, threshold, byMeasure, absolute, within, role)) {
+      rl: ResolvedLevel, ts: TopShareCut,
+      role: Option[String]): Seq[Any] = {
+    import ts.{threshold, byMeasure, absolute, within}
+    cat.cachedTopShareKeys((cube.name, ts, role)) {
       if (threshold <= 0)
         GraftException.badRequest(
           s"TopPercent/TopSum threshold must be positive, got $threshold")
@@ -991,8 +988,11 @@ object Planner {
         role = role)
       val agg = planCube(cat, cube, q)
       val dec = expr(s"CAST($byMeasure AS DECIMAL(27,6))")
-      val before = Window.orderBy(col(byMeasure).desc,
-          col(rl.level.alias).asc)
+      // BOTTOMPERCENT/BOTTOMSUM (asc): the minimal ASCENDING prefix — the
+      // long tail covering the threshold share/sum
+      val measureOrd =
+        if (ts.asc) col(byMeasure).asc else col(byMeasure).desc
+      val before = Window.orderBy(measureOrd, col(rl.level.alias).asc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val whole = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
@@ -1013,6 +1013,7 @@ object Planner {
             "for an IN-list cut; narrow the threshold")
       keys
     }
+  }
 
   private def topKKeys(cat: CubeCatalog, cube: CubeDef, rl: ResolvedLevel,
       k: Int, byMeasure: String, asc: Boolean = false,

@@ -166,7 +166,7 @@ object Rollups {
             GraftException.badRequest(s"named set '$name' not found"))
           levelAliases(cube, LevelRef(ns.dim, Some(ns.level)))
         case TopKCut(l, _, _, _) => levelAliases(cube, l)
-        case TopShareCut(l, _, _, _, _) => levelAliases(cube, l)
+        case TopShareCut(l, _, _, _, _, _) => levelAliases(cube, l)
         case ExcludeCut(l, _) => levelAliases(cube, l)
         // the nav resolves to equalities on its full member path
         case nc: NavCut =>
@@ -348,7 +348,7 @@ object Rollups {
         case NamedSetCut(name) => cube.namedSet(name)
           .map(ns => LevelRef(ns.dim, Some(ns.level)))
         case TopKCut(l, _, _, _) => Some(l)
-        case TopShareCut(l, _, _, _, _) => Some(l)
+        case TopShareCut(l, _, _, _, _, _) => Some(l)
         case ExcludeCut(l, _) => Some(l)
         case nc: NavCut => Planner.navPathRefs(cube, nc)
       }

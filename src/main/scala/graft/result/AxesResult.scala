@@ -135,8 +135,14 @@ object AxesResult {
       case NamedSetCut(s) => s"NAMED SET $s"
       case TopKCut(l, k, m, asc) =>
         s"${if (asc) "BOTTOM" else "TOP"}($k) ${ref(l)} BY $m"
-      case TopShareCut(l, th, m, abs, _) =>
-        s"${if (abs) s"TOPSUM($th)" else s"TOPPERCENT($th%)"} ${ref(l)} BY $m"
+      case TopShareCut(l, th, m, abs, _, asc) =>
+        val word = (asc, abs) match {
+          case (false, false) => s"TOPPERCENT($th%)"
+          case (false, true) => s"TOPSUM($th)"
+          case (true, false) => s"BOTTOMPERCENT($th%)"
+          case (true, true) => s"BOTTOMSUM($th)"
+        }
+        s"$word ${ref(l)} BY $m"
       case ExcludeCut(l, ks) => s"${ref(l)} NOT IN (${ks.mkString(", ")})"
       case NavCut(of, k, target, mode) =>
         s"${ref(target)} = ${mode.toUpperCase}(${ref(of)} = $k)"

@@ -44,7 +44,8 @@ object ExplainAudit {
         "e15_position_attribution", "t34_domain_select",
         "t35_corpus_health", "e16_time_decay_attribution", "q68_star_sql",
         "q69_star_sql_role", "e17_top_paths", "q72_mdx_rank",
-        "t37_probe_score")
+        "t37_probe_score", "q77_mdx_ancestor", "q78_mdx_closingperiod",
+        "q79_mdx_lead", "s12_knn_pq", "e19_kaplan_meier", "t40_soft_dedup")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -107,7 +107,8 @@ object ScaleSweep {
       "knn_lsh_fixed is the gate's single-table form (s02 bits=8); knn_lsh_auto is the multi-table production form (suggestedLshBits + suggestedLshTables) — twin_hit is the find-my-near-duplicate retrieval metric (queries are planted sources, their twin sits at cos 0.95), recall is plain recall@10 vs brute force (most true top-10 neighbors sit far below the design cos, where LSH's contract does not reach)",
       "semdedup auto sizes kmeans k as sqrt(n) (suggestedIvfLists rule): assignment and within-cluster pair work balance at O(n^1.5); the 100TB configuration grows k ~ n/targetCluster with hierarchical assignment",
       "asymptotics: auto-sized near-dup pair work is C*n^(1+rho) with rho = 1 - log2(2p)/1 ~ 0.22 at the cos-0.9 design point (the classic hyperplane-LSH exponent: holding recall while buckets shrink costs tables ~ p^-bits) — sub-quadratic by construction vs the fixed-parameter n^2, which is why fixed is budget-skipped at 100x while auto completes with recall 1.0; ivf probe is the O(sqrt n) + constant-cell-scan path and its slope stays ~1",
-      "text family (minhash_pairs/simhash_pairs/ngram_jaccard): banding keys live in 2^64 space, so buckets hold only genuine duplicate groups and pair work is ~linear in n with NO sizing knob — the structural contrast with hyperplane LSH's 2^bits buckets; planted recall (128 exact clones at jaccard 1.0, 128 one-token-appended near-dups ~0.97) proves the banding contract at every factor; the PPJoin SSJoin carries inherent sum-df^2 growth and is capped at 200k docs like the fixed embedding variants")
+      "text family (minhash_pairs/simhash_pairs/ngram_jaccard): banding keys live in 2^64 space, so buckets hold only genuine duplicate groups and pair work is ~linear in n with NO sizing knob — the structural contrast with hyperplane LSH's 2^bits buckets; planted recall (128 exact clones at jaccard 1.0, 128 one-token-appended near-dups ~0.97) proves the banding contract at every factor; the PPJoin SSJoin carries inherent sum-df^2 growth and is capped at 200k docs like the fixed embedding variants",
+      "knn_pq (s12): one op = 16 subspace k-means trains + 8-byte encode + ADC lookup-table scan + exact re-rank of a fixed 100-candidate shortlist — every stage a linear corpus pass; twin_hit stays 1.0 while plain recall@10 decays with n at FIXED shortlist (more distractors per true neighbor), the documented PQ trade: recall is bought with shortlist width, memory stays 32x compressed")
       .map(s => "\"" + s + "\"")
     val json =
       s"""{"base":"$baseDir","threshold":$Threshold,"planted":{"pairs":$PlantedPairs,"cos":$PlantedCos},
@@ -330,6 +331,16 @@ object ScaleSweep {
     }
     ivf("ivf_build_fixed", "ivf_probe_fixed", 8)
     ivf("ivf_build_auto", "ivf_probe_auto", nlistAuto)
+    // PQ/ADC: codebook train + encode + lookup-table scan in one op —
+    // every stage is a linear corpus pass (16 subspace k-means of 4-dim
+    // slices, then an m-lookup scan per candidate); the 8-byte codes are
+    // the resident index, so the scan reads 32× fewer bytes than brute
+    time("knn_pq") {
+      val rows = Similarity.pqKnn(emb, qids, K, shortlist = 100, dim = Dim)
+        .collect()
+      (rows.length, Map("m" -> "16", "ksub" -> "16",
+        "shortlist" -> "100") ++ knnMetrics(sets(rows)))
+    }
 
     // --- text-dedup family (d02/d03/d04 shapes): banding keys live in
     // 2^64 space, so buckets hold only true duplicate groups and pair work

@@ -662,15 +662,48 @@ class MdxSpec extends AnyFunSuite {
          |TOPSUM([Part].[Brands].[Brand].Members, ${total / 4},
          |  [Measures].[Revenue]) ON ROWS
          |FROM sales""".stripMargin)
-    assert(q2.cuts.exists { case TopShareCut(_, _, "revenue", true, _) => true
+    assert(q2.cuts.exists { case TopShareCut(_, _, "revenue", true, _, _) => true
       case _ => false })
     val sel2 = Planner.plan(cat, q2).collect().map(_.getString(0)).toSet
     assert(sel2 == selSet, "25% of total as TOPSUM selects the same set")
+    // BOTTOMPERCENT: the ASCENDING prefix — every selected revenue <=
+    // every unselected one, covering the share minimally
+    val qb = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |BOTTOMPERCENT([Part].[Brands].[Brand].Members, 10,
+        |  [Measures].[Revenue]) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(qb.cuts.exists {
+      case TopShareCut(_, 10.0, "revenue", false, _, true) => true
+      case _ => false })
+    val selB = Planner.plan(cat, qb).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val sumB = selB.map(_._2).sum
+    assert(selB.nonEmpty && selB.length < all.length)
+    assert(sumB >= 0.10 * total - 1e-6)
+    assert(sumB - selB.map(_._2).max < 0.10 * total + 1e-6)
+    val selBSet = selB.map(_._1).toSet
+    val outB = all.filterNot(p => selBSet(p._1))
+    assert(selB.map(_._2).max <= outB.map(_._2).min + 1e-9)
+    // BOTTOMSUM: absolute spelling selects the same ascending prefix
+    val qb2 = MdxParser.parse(salesCube,
+      s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+         |BOTTOMSUM([Part].[Brands].[Brand].Members, ${sumB - 1e-6},
+         |  [Measures].[Revenue]) ON ROWS
+         |FROM sales""".stripMargin)
+    assert(Planner.plan(cat, qb2).collect().map(_.getString(0)).toSet ==
+      selBSet)
     // error contract
     assert(intercept[GraftException](Planner.plan(cat,
       MdxParser.parse(salesCube,
         """SELECT {[Measures].[Revenue]} ON COLUMNS,
           |TOPPERCENT([Part].[Brands].[Brand].Members, 150,
+          |  [Measures].[Revenue]) ON ROWS
+          |FROM sales""".stripMargin))).status == 400)
+    assert(intercept[GraftException](Planner.plan(cat,
+      MdxParser.parse(salesCube,
+        """SELECT {[Measures].[Revenue]} ON COLUMNS,
+          |BOTTOMPERCENT([Part].[Brands].[Brand].Members, 0,
           |  [Measures].[Revenue]) ON ROWS
           |FROM sales""".stripMargin))).status == 400)
   }
