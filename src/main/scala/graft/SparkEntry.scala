@@ -1061,6 +1061,25 @@ object SparkEntry {
             |  [Measures].[Revenue]) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // partial-set aggregates: SUM/AVG over an explicit member list —
+      // a fixed-set subtotal per combination of the OTHER drilled dims
+      "q81_mdx_subset_agg" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[rev_94_95] AS
+            |  'SUM({[ShipDate].[Monthly].[Year].[1994],
+            |        [ShipDate].[Monthly].[Year].[1995]},
+            |       [Measures].[Revenue])'
+            |MEMBER [Measures].[avg_94_95] AS
+            |  'AVG({[ShipDate].[Monthly].[Year].[1994],
+            |        [ShipDate].[Monthly].[Year].[1995]},
+            |       [Measures].[Revenue])'
+            |SELECT {[Measures].[Revenue], [Measures].[rev_94_95],
+            |  [Measures].[avg_94_95]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+            |  [ShipDate].[Monthly].[Year].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // BOTTOMPERCENT: the ASCENDING-by-measure prefix covering the share
       // — the long-tail complement of q65's Pareto cut
       "q80_mdx_bottompercent" -> ((s: SparkSession, dir: String) => {
@@ -4087,6 +4106,25 @@ object SparkEntry {
          |SELECT brand, revenue FROM w
          |WHERE cum_before < 25.0 / 100.0 * total
          |ORDER BY brand""".stripMargin,
+    // q81: fixed-set subtotal/mean per region — the conditional window sum
+    // rides the same DECIMAL quantization as the All-member total
+    "q81_mdx_subset_agg" ->
+      s"""WITH agg AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         |    ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2, 3)
+         |SELECT region, region_label, ship_year, revenue,
+         |  CAST(SUM(CASE WHEN ship_year IN (1994, 1995)
+         |    THEN CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6)) END)
+         |    OVER (PARTITION BY region) AS DOUBLE) AS rev_94_95,
+         |  CAST(SUM(CASE WHEN ship_year IN (1994, 1995)
+         |    THEN CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6)) END)
+         |    OVER (PARTITION BY region) AS DOUBLE)
+         |   / COUNT(CASE WHEN ship_year IN (1994, 1995) THEN 1 END)
+         |    OVER (PARTITION BY region) AS avg_94_95
+         |FROM agg ORDER BY region, ship_year""".stripMargin,
     // q80: q65 with the window order flipped ASC — the ascending prefix
     // whose cumulative share stays under 10% of the set total
     "q80_mdx_bottompercent" ->

@@ -177,9 +177,14 @@ final case class RankMeasureDef(alias: String, base: String, dim: String,
   * set (unlike SUM, which folds to the All total and stays a
   * [[TotalMeasureDef]]). `fn` ∈ avg | min | max | median (median is the
   * exact interpolated percentile-0.5 both engines share — the B4/q36
-  * cross-engine contract); `base` must not be a calculated member. */
+  * cross-engine contract) | sum (the MDX `Sum({…}, M)` / `Aggregate({…},
+  * M)` partial-set subtotal — requantized through DECIMAL(27,6) exactly
+  * like [[TotalMeasureDef]]); `base` must not be a calculated member.
+  * A non-empty `keys` restricts the set to those member keys of the
+  * drilled level (`SUM({[Region].[1], [Region].[2]}, M)` — a fixed-set
+  * subtotal evaluated per combination of the OTHER drilled dims). */
 final case class SetAggMeasureDef(alias: String, base: String, dim: String,
-    fn: String, level: String = "")
+    fn: String, level: String = "", keys: Seq[Any] = Nil)
 
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,

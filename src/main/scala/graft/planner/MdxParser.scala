@@ -385,6 +385,51 @@ object MdxParser {
           }
         java.util.regex.Matcher.quoteReplacement(alias)
       })
+      // `Sum|Aggregate|Avg|Min|Max|Median({<member>, …}, [Measures].[M])` —
+      // a PARTIAL set: the aggregate over exactly those members (the
+      // fixed-set subtotal/benchmark), one axis window restricted to the
+      // set's keys. All members must share one level, which must be the
+      // drilled level of the dimension at plan time ([[Planner]]
+      // windowPartCols contract).
+      val subsetAggRe = ("""(?is)(?<!\w)(SUM|AGGREGATE|AVG|MIN|MAX|""" +
+        """MEDIAN)\s*\(\s*(\{[^}]*\})\s*,\s*""" +
+        """\[Measures\]\.\[([^\]]+)\]\s*\)""").r
+      formula = subsetAggRe.replaceAllIn(formula, mm => {
+        val fnU = mm.group(1).toUpperCase
+        val fn = if (fnU == "AGGREGATE") "sum" else fnU.toLowerCase
+        // `{[L].Members}` is the braced COMPLETE set, not a member list —
+        // 400 with the supported spelling (don't mis-read 'Members' as a
+        // member key and silently aggregate nothing)
+        if (mm.group(2).toUpperCase.contains(".MEMBERS"))
+          GraftException.badRequest(
+            s"$fnU over a complete set: write ${fnU}([Dim].[Level].Members" +
+              s", [Measures].[M]) without braces, got '${mm.group(2)}'")
+        else {
+        val (ref, keys) = QueryParser.parseCut(cube, mm.group(2)) match {
+          case SetCut(r, ks) => (r, ks)
+          case MemberCut(r, k) => (r, Seq(k))
+          case _ => GraftException.badRequest(
+            s"$fnU set must enumerate members of one level: '${mm.group(2)}'")
+        }
+        Planner.resolve(cube, ref) // 400 on unknown dimension/level
+        val base = resolveWindowBase(cube, mm.group(3), fnU)
+        val level = ref.level.getOrElse("")
+        val alias = cube.setAggMeasures
+          .find(a => a.base == base && a.dim == ref.dim && a.fn == fn &&
+            a.level == level && a.keys == keys)
+          .map(_.alias)
+          .getOrElse {
+            val a = s"__mdx_${fn}_${base}_" +
+              s"${ref.dim.replaceAll("\\W", "_")}_" +
+              s"${level.replaceAll("\\W", "_")}_s" +
+              java.lang.Integer.toHexString(keys.toString.hashCode)
+            setAggs.getOrElseUpdate(a,
+              SetAggMeasureDef(a, base, ref.dim, fn, level, keys))
+            a
+          }
+        java.util.regex.Matcher.quoteReplacement(alias)
+        }
+      })
       // `Sum(PeriodsToDate([T].[Year]), [M])` / `Sum(Ytd(), [M])` → a
       // synthesized [[CumMeasureDef]]: the running sum resets at each member
       // of the named level (Ytd = PeriodsToDate at Year). Rides the planner's

@@ -1320,10 +1320,19 @@ object Planner {
       val partCols = windowPartCols(groupLevels, am.dim, am.level,
         am.fn.toUpperCase)
       val w = Window.partitionBy(partCols: _*)
-      val masked = when(visible, col(am.base))
+      // a non-empty key set restricts the aggregate to those members — the
+      // MDX `Sum({…}, M)` fixed-set subtotal (still one axis-sized window)
+      val finest = groupLevels.filter(_.dim.name == am.dim).maxBy(_.depth)
+      val inSet =
+        if (am.keys.isEmpty) visible
+        else visible && col(finest.level.alias).isin(am.keys: _*)
+      val masked = when(inSet, col(am.base))
       val agg = am.fn match {
+        case "sum" =>
+          sum(when(inSet, expr(s"CAST(${am.base} AS DECIMAL(27,6))")))
+            .over(w).cast("double")
         case "avg" =>
-          sum(when(visible, expr(s"CAST(${am.base} AS DECIMAL(27,6))")))
+          sum(when(inSet, expr(s"CAST(${am.base} AS DECIMAL(27,6))")))
             .over(w).cast("double") / count(masked).over(w).cast("double")
         case "min" => min(masked).over(w)
         case "max" => max(masked).over(w)

@@ -1089,6 +1089,66 @@ class MdxSpec extends AnyFunSuite {
         |FROM sales""".stripMargin)).status == 400)
   }
 
+  test("partial-set aggregates: SUM/AVG/MIN over an explicit member list " +
+      "restrict the axis window; complete-set braces and mixed levels 400") {
+    val rows = Planner.plan(cat, MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[pair] AS
+        |  'SUM({[Geography].[Region].[1], [Geography].[Region].[2]},
+        |       [Measures].[Revenue])'
+        |MEMBER [Measures].[pair_min] AS
+        |  'MIN({[Geography].[Region].[1], [Geography].[Region].[2]},
+        |       [Measures].[Revenue])'
+        |SELECT {[Measures].[Revenue], [Measures].[pair],
+        |  [Measures].[pair_min]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    def d(r: org.apache.spark.sql.Row, c: String) =
+      r.getDouble(r.fieldIndex(c))
+    val revByRegion = rows.map(r =>
+      r.getInt(r.fieldIndex("region")) -> d(r, "revenue")).toMap
+    val expect = Seq(1, 2).flatMap(revByRegion.get)
+    val dec = (x: Double) =>
+      new java.math.BigDecimal(x.toString).setScale(6,
+        java.math.RoundingMode.HALF_UP)
+    val expectSum = expect.map(dec).reduce(_ add _).doubleValue
+    rows.foreach { r =>
+      assert(d(r, "pair") == expectSum)
+      assert(d(r, "pair_min") == expect.min)
+    }
+    // Aggregate is the SUM spelling
+    val agg = Planner.plan(cat, MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[pair] AS
+        |  'AGGREGATE({[Geography].[Region].[1], [Geography].[Region].[2]},
+        |             [Measures].[Revenue])'
+        |SELECT {[Measures].[pair]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    assert(agg.forall(r => d(r, "pair") == expectSum))
+    // braced complete set 400s with the supported spelling
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  'SUM({[Geography].[Region].Members}, [Measures].[Revenue])'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+    // members of different levels 400
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  'SUM({[Geography].[Region].[1], [Geography].[Nation].[3]},
+        |       [Measures].[Revenue])'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+    // set level must match the drilled level at plan time
+    assert(intercept[GraftException](Planner.plan(cat, MdxParser.parse(
+      salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  'SUM({[Geography].[Region].[1]}, [Measures].[Revenue])'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |NON EMPTY [Geography].[Nation].Members ON ROWS
+        |FROM sales""".stripMargin))).status == 400)
+  }
+
   test("member navigation: ANCESTOR/.Parent/FirstChild/OPENINGPERIOD " +
       "resolve to full-path member cuts; wrong directions 400") {
     def plan(mdx: String) =
