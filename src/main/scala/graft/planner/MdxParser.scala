@@ -298,7 +298,12 @@ object MdxParser {
       // branches to Spark's lead(); the time-domain expansion extends the
       // needed member set forward of cut members symmetrically)
       val nav = navS.toUpperCase.replaceAll("\\s", "")
-      val n = "\\d+".r.findFirstIn(nav).map(_.toInt).getOrElse(1)
+      val n = "\\d+".r.findFirstIn(nav).map { d =>
+        try d.toInt catch {
+          case _: NumberFormatException => GraftException.badRequest(
+            s"Lag/Lead periods out of range: '$d'")
+        }
+      }.getOrElse(1)
       if (n < 1)
         GraftException.badRequest(s"Lag/Lead periods must be >= 1, got $n")
       val periods =
@@ -414,17 +419,19 @@ object MdxParser {
         Planner.resolve(cube, ref) // 400 on unknown dimension/level
         val base = resolveWindowBase(cube, mm.group(3), fnU)
         val level = ref.level.getOrElse("")
-        val alias = cube.setAggMeasures
-          .find(a => a.base == base && a.dim == ref.dim && a.fn == fn &&
-            a.level == level && a.keys == keys)
-          .map(_.alias)
+        def same(a: SetAggMeasureDef) = a.base == base && a.dim == ref.dim &&
+          a.fn == fn && a.level == level && a.keys == keys
+        // adhoc aliases dedupe STRUCTURALLY then number sequentially — a
+        // content hash in the name could collide across different member
+        // lists and silently share one subtotal
+        val alias = cube.setAggMeasures.find(same).map(_.alias)
+          .orElse(setAggs.values.find(same).map(_.alias))
           .getOrElse {
             val a = s"__mdx_${fn}_${base}_" +
               s"${ref.dim.replaceAll("\\W", "_")}_" +
-              s"${level.replaceAll("\\W", "_")}_s" +
-              java.lang.Integer.toHexString(keys.toString.hashCode)
-            setAggs.getOrElseUpdate(a,
-              SetAggMeasureDef(a, base, ref.dim, fn, level, keys))
+              s"${level.replaceAll("\\W", "_")}_s${setAggs.size}"
+            setAggs.update(a, SetAggMeasureDef(a, base, ref.dim, fn, level,
+              keys))
             a
           }
         java.util.regex.Matcher.quoteReplacement(alias)
@@ -698,8 +705,9 @@ object MdxParser {
       // Mondrian ranks the axis tuples by the measure — exactly ORDER +
       // HEAD on the whole axis (TakeOrderedAndProject in the plan). The
       // single-level form stays a TopKCut in parseSet (it composes with
-      // other cuts as a member set rather than an axis ordering). The
-      // inner set is parsed ONCE and the parse is reused either way.
+      // other cuts as a member set rather than an axis ordering; that
+      // fallback re-parses the text — parses are pure, the cost is one
+      // extra walk of a short string).
       val isTop = upper.startsWith("TOPCOUNT(")
       val isBottom = upper.startsWith("BOTTOMCOUNT(")
       val tupleTop: Option[Axis] =
@@ -747,8 +755,7 @@ object MdxParser {
     * so a measure NAMED '[Black and Decker]' or '[Profit or Loss]' never
     * splits (the [[splitTop]] discipline, word-shaped). */
   private def splitTopWord(s: String, word: String): Seq[String] = {
-    val up = s.toUpperCase
-    val w = word.toUpperCase
+    val w = word
     val parts = Seq.newBuilder[String]
     var depth = 0; var brk = 0; var start = 0; var i = 0
     while (i < s.length) {
@@ -759,7 +766,10 @@ object MdxParser {
         case ']' => brk -= 1
         case _ =>
       }
-      if (depth == 0 && brk == 0 && up.startsWith(w, i) &&
+      // regionMatches(ignoreCase): indexing stays on s itself — a
+      // whole-string toUpperCase can CHANGE LENGTH (ß -> SS) and misalign
+      if (depth == 0 && brk == 0 &&
+          s.regionMatches(true, i, w, 0, w.length) &&
           (i == 0 || !s(i - 1).isLetterOrDigit) &&
           (i + w.length >= s.length || !s(i + w.length).isLetterOrDigit)) {
         parts += s.substring(start, i)
@@ -826,7 +836,14 @@ object MdxParser {
       fn: String): LevelRef = {
     val ref = QueryParser.segments(path) match {
       case Seq(d) => LevelRef(d)
-      case Seq(d, l) => LevelRef(d, Some(l))
+      case Seq(d, x) =>
+        // [Dim].[X].Members: X is a HIERARCHY (the standard multi-hierarchy
+        // spelling — the set is that hierarchy's drilled level) or a level
+        cube.dimension(d) match {
+          case Some(dim) if dim.hierarchy(Some(x)).nonEmpty =>
+            LevelRef(d, None, Some(x))
+          case _ => LevelRef(d, Some(x))
+        }
       case Seq(d, h, l) => LevelRef(d, Some(l), Some(h))
       case _ => GraftException.badRequest(s"bad $fn member set '$path'")
     }

@@ -915,6 +915,21 @@ object Planner {
         case None => cat.fact(cube)
       }
       val within = src.filter(expr(mRl.level.keyExpr) === lit(c.key))
+      // the anchor member must be UNIQUE at its level: a key that repeats
+      // across parents (Month 6 exists in every Year) names no single
+      // member, and an arbitrary-row pick would cut to a silently wrong
+      // (and memoized) path — 400 with guidance instead
+      val anchorCols = mRl.hier.levels.take(mRl.depth + 1)
+        .map(l => expr(l.keyExpr))
+      val anchors = within.select(anchorCols: _*).distinct().limit(2).collect()
+      if (anchors.isEmpty)
+        GraftException.badRequest(
+          s"member '${c.key}' not found at ${mRl.dim.name}.${mRl.level.name}")
+      if (anchors.length > 1)
+        GraftException.badRequest(
+          s"member '${c.key}' is ambiguous at " +
+            s"${mRl.dim.name}.${mRl.level.name} (it exists under several " +
+            s"parents) — navigate from a member that is unique at its level")
       val keyCols = tRl.hier.levels.take(tRl.depth + 1)
         .map(l => expr(l.keyExpr))
       val rows = c.mode match {
@@ -931,9 +946,6 @@ object Planner {
           // TakeOrderedAndProject: k=1, never a full sort of the dim
           within.orderBy(ordCols: _*).select(keyCols: _*).limit(1).collect()
       }
-      if (rows.isEmpty)
-        GraftException.badRequest(
-          s"member '${c.key}' not found at ${mRl.dim.name}.${mRl.level.name}")
       rows.head.toSeq
     }.asInstanceOf[Seq[Any]]
 

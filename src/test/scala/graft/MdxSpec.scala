@@ -1228,6 +1228,16 @@ class MdxSpec extends AnyFunSuite {
         |FROM sales
         |WHERE OPENINGPERIOD([ShipDate].[Weekly].[Week],
         |  [ShipDate].[Monthly].[Year].[1995])""".stripMargin))).status == 400)
+    // an AMBIGUOUS anchor (Month 6 exists in every Year) 400s instead of
+    // silently cutting to an arbitrary parent's path
+    assert(intercept[GraftException](Planner.plan(cat, MdxParser.parse(
+      salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
+        |FROM sales
+        |WHERE ANCESTOR([ShipDate].[Monthly].[Month].[6],
+        |  [ShipDate].[Monthly].[Year])""".stripMargin)))
+      .status == 400)
     // a navigation member as an axis SET drills its target level
     val axis = MdxParser.parse(salesCube,
       """SELECT {[Measures].[Revenue]} ON COLUMNS,
@@ -1254,6 +1264,26 @@ class MdxSpec extends AnyFunSuite {
         |  [ShipDate].[Monthly].[Month].Members) ON ROWS
         |FROM sales""".stripMargin)
     assert(q.adhocLags.map(_.periods).sorted == Seq(-3, -1))
+    // out-of-Int periods 400 at parse (never a NumberFormatException 500)
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[x] AS
+        |  '([Measures].[Revenue], [ShipDate].CurrentMember.Lead(99999999999))'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |NON EMPTY [ShipDate].[Monthly].[Month].Members ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+    // [Dim].[Hierarchy].Members names the HIERARCHY's drilled level (the
+    // standard multi-hierarchy set spelling), not a level called 'Monthly'
+    val hierSet = Planner.plan(cat, MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[mrank] AS
+        |  'Rank([ShipDate].CurrentMember, [ShipDate].[Monthly].Members,
+        |        [Measures].[Revenue])'
+        |SELECT {[Measures].[Revenue], [Measures].[mrank]} ON COLUMNS,
+        |NON EMPTY [ShipDate].[Monthly].[Month].Members ON ROWS
+        |FROM sales
+        |WHERE [ShipDate].[Monthly].[Year].[1995]""".stripMargin)).collect()
+    assert(hierSet.nonEmpty &&
+      hierSet.map(_.getLong(hierSet.head.fieldIndex("mrank"))).sorted
+        .sameElements(1L to hierSet.length))
     val rows = Planner.plan(cat, q).collect()
     def ym(r: org.apache.spark.sql.Row) =
       (r.getInt(r.fieldIndex("ship_year")), r.getInt(r.fieldIndex("ship_month")))
