@@ -439,6 +439,12 @@ object SparkEntry {
       // table scoring over the coded corpus + exact re-rank
       "s12_knn_pq" -> tbl("embeddings")(
         ops.Similarity.pqKnn(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      // hybrid lexical+vector retrieval fused by reciprocal rank (RRF)
+      "s13_hybrid_rrf" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        ops.Similarity.hybridRrf(c.table("documents"),
+          c.table("embeddings"), Seq(0L, 1L, 2L, 3L, 4L), 5)
+      }),
       // deterministic k-means topic assignment (the curation clustering
       // step); centroids memoized like the IVF index they seed
       "s06_kmeans_assign" -> ((s: SparkSession, dir: String) => {
@@ -614,6 +620,10 @@ object SparkEntry {
       // ordered view→click→purchase funnel over the step-1 cohort
       "e04_funnel" -> tbl("events")(
         ops.EventOps.funnel(_, Seq("view", "click", "purchase"))),
+      // same funnel constrained to a 72h gap between consecutive steps
+      "e20_windowed_funnel" -> tbl("events")(
+        ops.EventOps.windowedFunnel(_, Seq("view", "click", "purchase"),
+          259200L)),
       // corpus-frequency rarity scores (CCNet-style filter, log-free so
       // every arithmetic step is bit-reproducible across engines)
       "t12_rarity" -> tbl("documents")(ops.TextOps.unigramRarity),
@@ -2409,6 +2419,52 @@ object SparkEntry {
         |  FROM rescored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // s13: the s07 lexical CTEs (rank <= 20) full-joined with the s01
+    // vector shortlist; rrf = the two reciprocal terms summed v-then-t
+    "s13_hybrid_rrf" ->
+      """WITH sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |q AS (SELECT doc_id AS query_id, sh FROM sh
+        |  WHERE doc_id IN (0, 1, 2, 3, 4) AND len(sh) > 0),
+        |p AS (SELECT q.query_id, c.doc_id AS cand_id,
+        |    len(list_intersect(q.sh, c.sh)) AS inter,
+        |    len(q.sh) AS nq, len(c.sh) AS nc
+        |  FROM q JOIN sh c ON c.doc_id <> q.query_id
+        |  WHERE len(c.sh) > 0),
+        |ts AS (SELECT query_id, cand_id,
+        |    inter / (nq + nc - inter) AS jaccard
+        |  FROM p WHERE inter > 0),
+        |tr AS (SELECT query_id, cand_id AS doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY jaccard DESC, cand_id ASC) AS trank FROM ts),
+        |t20 AS (SELECT * FROM tr WHERE trank <= 20),
+        |e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |vq AS (SELECT qe.vec_id AS query_id, n.vec_id AS doc_id,
+        |    list_dot_product(qe.v, n.v) AS sim
+        |  FROM e qe JOIN e n ON qe.vec_id <> n.vec_id
+        |  WHERE qe.vec_id IN (0, 1, 2, 3, 4)),
+        |vr AS (SELECT query_id, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, doc_id ASC) AS vrank FROM vq),
+        |v20 AS (SELECT * FROM vr WHERE vrank <= 20),
+        |f AS (SELECT COALESCE(v.query_id, t.query_id) AS query_id,
+        |    COALESCE(v.doc_id, t.doc_id) AS doc_id, v.vrank, t.trank
+        |  FROM v20 v FULL JOIN t20 t
+        |    ON v.query_id = t.query_id AND v.doc_id = t.doc_id),
+        |s AS (SELECT query_id, doc_id,
+        |  COALESCE(1.0 / (60 + vrank), 0.0)
+        |    + COALESCE(1.0 / (60 + trank), 0.0) AS rrf FROM f),
+        |r AS (SELECT query_id, doc_id, rrf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank FROM s)
+        |SELECT query_id, rank, doc_id, rrf FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // s12: per-subspace k-means unrolled, ADC = left-fold sum of subspace
     // centroid dots (the query-side lookup table, replayed directly),
     // shortlist by ADC, exact re-rank — same two-phase shape as s05/s09
@@ -2736,6 +2792,30 @@ object SparkEntry {
         |s3 AS (SELECT ev.user_id, MIN(ev.ts_us) AS t3_us FROM ev
         |  JOIN s2 ON ev.user_id = s2.user_id
         |  WHERE ev.event_type = 'purchase' AND ev.ts_us >= s2.t2_us
+        |  GROUP BY ev.user_id)
+        |SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+        |CAST(1 + (CASE WHEN s2.t2_us IS NULL THEN 0 ELSE 1 END)
+        |  + (CASE WHEN s3.t3_us IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+        |  AS steps_completed
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    // e20: e04's chained min-aggregations with the 72h consecutive-gap
+    // constraint (259200s = 259200000000 µs)
+    "e20_windowed_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, MIN(ev.ts_us) AS t2_us FROM ev
+        |  JOIN s1 ON ev.user_id = s1.user_id
+        |  WHERE ev.event_type = 'click' AND ev.ts_us >= s1.t1_us
+        |    AND ev.ts_us <= s1.t1_us + 259200000000
+        |  GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, MIN(ev.ts_us) AS t3_us FROM ev
+        |  JOIN s2 ON ev.user_id = s2.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.ts_us >= s2.t2_us
+        |    AND ev.ts_us <= s2.t2_us + 259200000000
         |  GROUP BY ev.user_id)
         |SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
         |CAST(1 + (CASE WHEN s2.t2_us IS NULL THEN 0 ELSE 1 END)

@@ -89,6 +89,50 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** WINDOWED funnel — [[funnel]] with a maximum gap between CONSECUTIVE
+    * steps (the product-analytics "converted within N hours" constraint):
+    * each later step is the earliest occurrence in
+    * `[t_prev, t_prev + windowSecs]`; outside the window the user stalls
+    * at the previous step even if the event happens later. Anchoring
+    * matches [[funnel]]: t1 is the user's FIRST step-1 event (the step-1
+    * cohort — no re-anchoring on later step-1 occurrences; that keeps the
+    * result a deterministic chain of min-aggregations instead of a
+    * per-user sequence scan). Same scale shape as [[funnel]]: one
+    * user-keyed min-aggregation per step, left-join assembly. */
+  def windowedFunnel(events: DataFrame, steps: Seq[String],
+      windowSecs: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(windowSecs > 0, "windowSecs must be positive")
+    val winUs = windowSecs * 1000000L
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val stepTimes = steps.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
+        val t = s"t${i + 1}_us"
+        val evs = base.where(col("event_type") === step)
+        val reached = acc.lastOption match {
+          case None =>
+            evs.groupBy("user_id").agg(min(col("ts_us")).as(t))
+          case Some(prev) =>
+            val pt = s"t$i" + "_us"
+            evs.join(prev.select(col("user_id"), col(pt)), Seq("user_id"))
+              .where(col("ts_us") >= col(pt) &&
+                col("ts_us") <= col(pt) + lit(winUs))
+              .groupBy("user_id").agg(min(col("ts_us")).as(t))
+        }
+        acc :+ reached
+      }
+    val joined = stepTimes.tail.foldLeft(stepTimes.head) { (l, r) =>
+      l.join(r, Seq("user_id"), "left")
+    }
+    joined
+      .withColumn("steps_completed",
+        steps.indices.map(i =>
+          when(col(s"t${i + 1}_us").isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+      .orderBy("user_id")
+  }
+
   /** COHORT RETENTION — the event-analytics companion to [[funnel]]: group
     * users by the day of their first activity (the cohort) and count how
     * many are still active at each day offset. Days are epoch-anchored

@@ -227,6 +227,35 @@ object Similarity {
     topKPerQuery(rescored, k).orderBy("query_id", "rank")
   }
 
+  /** HYBRID RETRIEVAL by RECIPROCAL RANK FUSION (Cormack, Clarke &
+    * Büttcher, SIGIR 2009): fuse a lexical ranking
+    * ([[graft.ops.Dedup.similarDocs]]'s shingle-Jaccard top-`shortlist`)
+    * with a dense-vector ranking ([[knnBrute]] cosine top-`shortlist`)
+    * as `Σ 1/(k0 + rank)` — rank-only fusion, so no score calibration
+    * across modalities is needed (the reason vector stores ship RRF as
+    * the default hybrid mode). A candidate on only one list contributes
+    * that list's term alone. Work = the two shortlist searches (swap in
+    * the ANN forms at scale) plus one (queries×shortlist)-sized
+    * full-outer join; the final top-k rides GroupedTopK. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+      k: Int, shortlist: Int = 20, k0: Int = 60): DataFrame = {
+    val vec = knnBrute(emb, queryIds, shortlist)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    val txt = graft.ops.Dedup.similarDocs(docs, queryIds, shortlist)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("rank").as("trank"))
+    val fused = vec.join(txt, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0) + col("vrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("trank")), lit(0.0)))
+    graft.plans.GroupedTopK.topK(
+        fused.select("query_id", "doc_id", "rrf"),
+        Seq(col("query_id")), Seq(col("rrf").desc, col("doc_id").asc), k)
+      .select("query_id", "rank", "doc_id", "rrf")
+      .orderBy("query_id", "rank")
+  }
+
   /** PRODUCT-QUANTIZATION codebooks (the compression half of IVF-PQ,
     * Jégou et al., "Product quantization for nearest neighbor search",
     * TPAMI 2011): split each vector into `m` contiguous subspaces and

@@ -317,6 +317,62 @@ class OpsSpec extends AnyFunSuite {
     assert(mass.values.forall(m => math.abs(m - 1.0) < 1e-12))
   }
 
+  test("windowed funnel: a step outside the gap window stalls the user; " +
+      "never completes more steps than the unbounded funnel") {
+    import spark.implicits._
+    val hour = 3600000000L
+    val ev = Seq(
+      // u1: view, click +1h, purchase +1h — completes within 2h windows
+      (1L, 0L, "view"), (1L, hour, "click"), (1L, 2 * hour, "purchase"),
+      // u2: click 3h after view — outside the 2h window, stalls at step 1
+      (2L, 0L, "view"), (2L, 3 * hour, "click"),
+      // u3: click in window, purchase 5h after click — stalls at step 2
+      (3L, 0L, "view"), (3L, hour, "click"), (3L, 6 * hour, "purchase"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us") + lit(820454400000000L)))
+    val got = EventOps.windowedFunnel(ev, Seq("view", "click", "purchase"),
+        2 * 3600L).collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("steps_completed")))
+      .toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2))
+    // on the real corpus: per user, windowed completion <= unbounded
+    val steps = Seq("view", "click", "purchase")
+    val unbounded = EventOps.funnel(cat.table("events"), steps).collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("steps_completed")))
+      .toMap
+    val windowed = EventOps.windowedFunnel(cat.table("events"), steps,
+      259200L).collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("steps_completed")))
+    assert(windowed.nonEmpty)
+    windowed.foreach { case (u, n) => assert(n <= unbounded(u)) }
+  }
+
+  test("hybrid RRF: fuses lexical and vector shortlists by reciprocal " +
+      "rank; both-list candidates score the sum of their terms") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val fused = Similarity.hybridRrf(docs, emb, qids, 5).collect()
+    assert(fused.length == 25)
+    val vec = Similarity.knnBrute(emb, qids, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val txt = Dedup.similarDocs(docs, qids, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expect = vec.get(key).map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+        txt.get(key).map(t => 1.0 / (60 + t)).getOrElse(0.0)
+      assert(r.getDouble(3) == expect)
+      // every fused winner came from at least one shortlist
+      assert(vec.contains(key) || txt.contains(key))
+    }
+    // ranks are 1..5 per query, rrf non-increasing within a query
+    fused.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to 5))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a })
+    }
+  }
+
   test("kaplan-meier: product-limit with right-censoring at the horizon") {
     import spark.implicits._
     val day = 86400000000L
