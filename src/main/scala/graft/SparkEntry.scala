@@ -617,6 +617,12 @@ object SparkEntry {
         ops.TextOps.decontaminateBloom(
           d.where(d("source") =!= "src0"),
           d.where(d("source") === "src0"), 5)),
+      // decontamination against a SUITE: which benchmark does each doc
+      // leak into — one corpus scan for the whole suite
+      "t41_decontam_multi" -> tbl("documents")(d =>
+        ops.TextOps.decontaminateMulti(
+          d.where(!d("source").isin("src0", "src1")),
+          d.where(d("source").isin("src0", "src1")), "source")),
       // ordered view→click→purchase funnel over the step-1 cohort
       "e04_funnel" -> tbl("events")(
         ops.EventOps.funnel(_, Seq("view", "click", "purchase"))),
@@ -2775,6 +2781,23 @@ object SparkEntry {
     // t11: string 5-gram intersection against the src0 set; counts are
     // invariant under the Spark side's injective xxhash64 shingle hashing
     "t11_decontaminate" -> decontamOracleSql,
+    // t41: per-(doc, benchmark) shared-gram counts, contaminated pairs only
+    "t41_decontam_multi" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |  CASE WHEN len(string_split(text, ' ')) < 5 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 3),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) END AS sh
+        |  FROM documents),
+        |c AS (SELECT doc_id, sh FROM sh
+        |  WHERE source NOT IN ('src0', 'src1')),
+        |bg AS (SELECT source AS bench, list_distinct(flatten(list(sh))) AS bg
+        |  FROM sh WHERE source IN ('src0', 'src1') GROUP BY source)
+        |SELECT c.doc_id, b.bench, CAST(len(c.sh) AS INTEGER) AS n_grams,
+        |  CAST(len(list_intersect(c.sh, b.bg)) AS BIGINT) AS hit_grams
+        |FROM c CROSS JOIN bg b
+        |WHERE len(list_intersect(c.sh, b.bg)) > 0
+        |ORDER BY c.doc_id, b.bench""".stripMargin,
     // d17: the bloom-prefiltered path is OUTPUT-IDENTICAL to t11 by
     // construction (no false negatives + exact verify) — same oracle
     "d17_bloom_decontam" -> decontamOracleSql,

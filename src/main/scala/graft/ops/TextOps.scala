@@ -527,6 +527,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** MULTI-BENCHMARK decontamination ATTRIBUTION — [[decontaminate]]
+    * against a SUITE of benchmarks at once, reporting WHICH benchmark each
+    * contaminated doc leaks into (the eval-suite hygiene report: a doc
+    * overlapping GSM-style set A but not set B gets dropped only from A's
+    * eval runs). One labeled benchmark gram table (distinct per (label,
+    * gram), broadcast once), ONE corpus gram pass, a (doc, label) rollup —
+    * the whole suite costs one corpus scan, not one per benchmark. Output
+    * long-format: only contaminated (doc_id, bench) pairs, with the doc's
+    * gram count for contamination-rate math. */
+  def decontaminateMulti(corpus: DataFrame, bench: DataFrame,
+      labelCol: String, k: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(col(labelCol).as("bench"),
+        explode(Dedup.hashedShingles("text", k)).as("g"))
+      .distinct()
+    val sh = corpus.select(col("doc_id"),
+      Dedup.hashedShingles("text", k).as("sh"))
+    sh.select(col("doc_id"), size(col("sh")).as("n_grams"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy("doc_id", "bench", "n_grams")
+      .agg(count(lit(1)).as("hit_grams"))
+      .select("doc_id", "bench", "n_grams", "hit_grams")
+      .orderBy("doc_id", "bench")
+  }
+
   /** BLOOM-PREFILTERED decontamination — bit-identical OUTPUT to
     * [[decontaminate]], the 100 TB economics: the benchmark's gram set
     * folds into ONE Bloom filter (`bloom_filter_agg`, ~1.2 bytes/gram at

@@ -45,7 +45,9 @@ object ExplainAudit {
         "t35_corpus_health", "e16_time_decay_attribution", "q68_star_sql",
         "q69_star_sql_role", "e17_top_paths", "q72_mdx_rank",
         "t37_probe_score", "q77_mdx_ancestor", "q78_mdx_closingperiod",
-        "q79_mdx_lead", "s12_knn_pq", "e19_kaplan_meier", "t40_soft_dedup")
+        "q79_mdx_lead", "s12_knn_pq", "e19_kaplan_meier", "t40_soft_dedup",
+        "q80_mdx_bottompercent", "q81_mdx_subset_agg", "s13_hybrid_rrf",
+        "e20_windowed_funnel")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

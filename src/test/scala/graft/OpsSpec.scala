@@ -317,6 +317,41 @@ class OpsSpec extends AnyFunSuite {
     assert(mass.values.forall(m => math.abs(m - 1.0) < 1e-12))
   }
 
+  test("multi-benchmark decontamination attributes a planted leak to " +
+      "exactly its benchmark") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "benchA", "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "benchB", "one two three four five six seven"))
+      .toDF("doc_id", "bench_set", "text")
+    val corpus = Seq(
+      // leaks benchA's 5-grams verbatim
+      (10L, "padding alpha beta gamma delta epsilon zeta trailer"),
+      // clean
+      (11L, "completely unrelated content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val got = TextOps.decontaminateMulti(corpus, bench, "bench_set")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(got.toSeq == Seq((10L, "benchA", 2L))) // 2 shared 5-grams
+    // suite attribution on the real corpus agrees with single-benchmark
+    // decontamination run per benchmark
+    val docsAll = cat.table("documents")
+    val multi = TextOps.decontaminateMulti(
+        docsAll.where(!col("source").isin("src0", "src1")),
+        docsAll.where(col("source").isin("src0", "src1")), "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    Seq("src0", "src1").foreach { b =>
+      val single = TextOps.decontaminate(
+          docsAll.where(!col("source").isin("src0", "src1")),
+          docsAll.where(col("source") === b))
+        .where(col("contaminated"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(multi.collect { case ((d, bb), h) if bb == b => d -> h }.toMap
+        == single)
+    }
+  }
+
   test("windowed funnel: a step outside the gap window stalls the user; " +
       "never completes more steps than the unbounded funnel") {
     import spark.implicits._
