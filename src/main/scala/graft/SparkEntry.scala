@@ -437,8 +437,15 @@ object SparkEntry {
         ops.Similarity.projectedKnn(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
       // product quantization: 16 subspace codebooks (k-means), ADC lookup-
       // table scoring over the coded corpus + exact re-rank
-      "s12_knn_pq" -> tbl("embeddings")(
-        ops.Similarity.pqKnn(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
+      "s12_knn_pq" -> ((s: SparkSession, dir: String) => {
+        val emb = CubeCatalog.forDir(s, dir).table("embeddings")
+        // codebooks are a registration-time artifact (the s04 IVF pattern):
+        // train once per catalog, probes pay only encode + ADC scan
+        val cbs = ops.IndexCache.memo(s, s"pqcb:$dir:16:16:2") {
+          ops.Similarity.pqCodebooks(emb, 16, 16, 2)
+        }
+        ops.Similarity.pqKnnWith(emb, cbs, Seq(0L, 1L, 2L, 3L, 4L), 5)
+      }),
       // hybrid lexical+vector retrieval fused by reciprocal rank (RRF)
       "s13_hybrid_rrf" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)

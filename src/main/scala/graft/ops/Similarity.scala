@@ -289,9 +289,19 @@ object Similarity {
     * DECIMAL means), so the result replays bit-exactly. */
   def pqKnn(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = 16,
       ksub: Int = 16, iters: Int = 2, shortlist: Int = 20,
+      dim: Int = 64): DataFrame =
+    pqKnnWith(emb, pqCodebooks(emb, m, ksub, iters, dim), queryIds, k,
+      shortlist, dim)
+
+  /** [[pqKnn]] over PREBUILT codebooks — the production shape: the
+    * codebook train is a registration-time artifact ([[IndexCache]], like
+    * [[ivfIndex]]), queries pay only encode + ADC scan. */
+  def pqKnnWith(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+      queryIds: Seq[Long], k: Int, shortlist: Int = 20,
       dim: Int = 64): DataFrame = {
+    val m = cbs.length
+    val ksub = cbs.head.length
     val sub = dim / m
-    val cbs = pqCodebooks(emb, m, ksub, iters, dim)
     val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
     def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)
     // corpus side: encode once (the persisted PQ index at scale)
