@@ -97,14 +97,16 @@ final class CubeCatalog(
     memberFrameCache.getOrElseUpdate(key, compute.persist())
 
   // Member-navigation keys (MDX ANCESTOR/.Parent/FirstChild/LastChild/
-  // OPENINGPERIOD/CLOSINGPERIOD): (cube, structural NavCut) → the navigated
-  // member's full path keys (root→target — a member's identity is its
-  // path, not its leaf key). One 1-row lookup per distinct navigation per
-  // catalog, dropped on /flush like every member cache.
+  // OPENINGPERIOD/CLOSINGPERIOD): (cube, structural NavCut, role) → the
+  // navigated member's full path keys (root→target — a member's identity
+  // is its path, not its leaf key). The role is part of the identity
+  // because the anchor lookup is member-filtered per role (B18). One
+  // 1-row lookup per distinct navigation per catalog, dropped on /flush
+  // like every member cache.
   private val navKeyCache =
-    TrieMap.empty[(String, graft.planner.NavCut), Any]
+    TrieMap.empty[(String, graft.planner.NavCut, Option[String]), Any]
 
-  def cachedNavKey(key: (String, graft.planner.NavCut))(
+  def cachedNavKey(key: (String, graft.planner.NavCut, Option[String]))(
       compute: => Any): Any =
     navKeyCache.getOrElseUpdate(key, compute)
 
@@ -201,7 +203,16 @@ final class CubeCatalog(
     joined.select(lvlCols ++ measureCols: _*)
   }
 
-  /** Publish `<cube>_star` temp views for every cube in the schema.
+  /** Publish star temp views for every cube in the schema.
+    *
+    * Naming: the no-role call publishes `<cube>_star`; a role-scoped call
+    * publishes `<cube>_star__<role>`. The namespaces are DISJOINT — a
+    * role-scoped registration never touches the bare names and vice
+    * versa — so the restriction level behind a view name can never depend
+    * on which registration ran last, and concurrent sessions serving
+    * different roles cannot read each other's rows through a shared name.
+    * An invisible cube (role cannot see it) gets no view, and any earlier
+    * registration of that role's own name is dropped.
     *
     * SECURITY: star views hand raw rows to anyone with Spark SQL access to
     * the session, bypassing the REST layer's per-request role checks. On a
@@ -211,13 +222,14 @@ final class CubeCatalog(
     * no-role call is the explicit opt-in to an UNRESTRICTED SQL surface. */
   def registerStarViews(role: Option[String] = None): Unit = {
     val rs = graft.planner.Roles.resolve(schema, role)
+    val suffix = role.fold("")(r => s"__$r")
     schema.cubes.foreach { c =>
       if (rs.forall(_.cubeVisible(c.name)))
-        starFrame(c, role).createOrReplaceTempView(s"${c.name}_star")
+        starFrame(c, role).createOrReplaceTempView(s"${c.name}_star$suffix")
       else
-        // a view from an earlier, broader registration must not survive a
-        // role-scoped re-registration with full data behind it
-        spark.catalog.dropTempView(s"${c.name}_star")
+        // this role's own view from an earlier registration must not
+        // survive a schema change that made the cube invisible to it
+        spark.catalog.dropTempView(s"${c.name}_star$suffix")
     }
   }
 
@@ -234,6 +246,8 @@ final class CubeCatalog(
     topKCache.clear()
     topShareCache.clear()
     memberCountCache.clear()
+    navKeyCache.clear()
+    resultCache.synchronized(resultCache.clear())
   }
 }
 

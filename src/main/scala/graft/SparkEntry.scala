@@ -1147,14 +1147,17 @@ object SparkEntry {
       }),
       // the role-scoped SQL surface: the emea member grant filters the
       // published rows (drillthrough semantics), so user SQL over the
-      // star view can only aggregate the role's regions
+      // star view can only aggregate the role's regions. Role-scoped
+      // views live under their own suffixed name (`__<role>`), disjoint
+      // from the unrestricted `<cube>_star` namespace — registration
+      // order can never swap the data behind a shared name.
       "q69_star_sql_role" -> ((s: SparkSession, dir: String) => {
         CubeCatalog.forDir(s, dir).registerStarViews(Some("emea"))
         s.sql("""SELECT region, region_label,
           |CAST(SUM(CAST(total_sales_raw AS DECIMAL(27,6))) AS DOUBLE)
           |  AS total_sales,
           |COUNT(1) AS cnt
-          |FROM orders_star GROUP BY region, region_label
+          |FROM orders_star__emea GROUP BY region, region_label
           |ORDER BY region""".stripMargin)
       }),
       // COUNT(Members) in a calculated member — the per-member-average
@@ -3617,8 +3620,9 @@ object SparkEntry {
         |j AS (SELECT tk.doc_id,
         |  COALESCE(t2.gram, '') AS top_gram,
         |  CAST(COALESCE(t2.c, 0) AS BIGINT) AS top_gram_count,
-        |  COALESCE(CAST(t2.c * length(t2.gram) AS DOUBLE)
-        |    / GREATEST(tk.nc, 1), CAST(0.0 AS DOUBLE)) AS top_char_frac,
+        |  LEAST(CAST(1.0 AS DOUBLE),
+        |    COALESCE(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |    / GREATEST(tk.nc, 1), CAST(0.0 AS DOUBLE))) AS top_char_frac,
         |  LEAST(CAST(1.0 AS DOUBLE), CAST(COALESCE(d5.dupchars, 0)
         |    AS DOUBLE) / GREATEST(tk.nc, 1)) AS dup_char_frac
         |  FROM toks tk
@@ -3684,8 +3688,9 @@ object SparkEntry {
         |d5 AS (SELECT doc_id, SUM(CASE WHEN c >= 2
         |  THEN c * length(gram) END) AS dupchars FROM cg5 GROUP BY 1),
         |rep AS (SELECT tk.doc_id, tk.source,
-        |  COALESCE(CAST(t2.c * length(t2.gram) AS DOUBLE)
-        |    / GREATEST(tk.nc, 1), CAST(0.0 AS DOUBLE)) AS top_char_frac,
+        |  LEAST(CAST(1.0 AS DOUBLE),
+        |    COALESCE(CAST(t2.c * length(t2.gram) AS DOUBLE)
+        |    / GREATEST(tk.nc, 1), CAST(0.0 AS DOUBLE))) AS top_char_frac,
         |  LEAST(CAST(1.0 AS DOUBLE), CAST(COALESCE(d5.dupchars, 0)
         |    AS DOUBLE) / GREATEST(tk.nc, 1)) AS dup_char_frac
         |  FROM toks tk

@@ -301,6 +301,12 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     val m = cbs.length
     val ksub = cbs.head.length
+    // mismatched codebooks would silently slice misaligned subspaces and
+    // return plausible-but-wrong neighbors — fail loudly instead
+    require(m > 0 && dim % m == 0,
+      s"dim $dim not divisible into $m codebook subspaces")
+    require(cbs.head.head.length == dim / m,
+      s"codebook sub-vector width ${cbs.head.head.length} != ${dim / m} (dim $dim / m $m)")
     val sub = dim / m
     val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
     def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)

@@ -1236,9 +1236,12 @@ object TextOps {
         col("doc_id"),
         coalesce(col("top_gram"), lit("")).as("top_gram"),
         coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
-        // greatest(nc, 1): a zero-length doc has zero coverage, not NaN
-        coalesce(col("topchars").cast("double") /
-          greatest(col("nc0"), lit(1L)), lit(0.0)).as("top_char_frac"),
+        // greatest(nc, 1): a zero-length doc has zero coverage, not NaN;
+        // least(1.0): overlapping occurrences of the top gram ('a a a a')
+        // can sum to more characters than the doc holds — capped so the
+        // value stays a coverage FRACTION (same cap as dup_char_frac)
+        least(lit(1.0), coalesce(col("topchars").cast("double") /
+          greatest(col("nc0"), lit(1L)), lit(0.0))).as("top_char_frac"),
         least(lit(1.0), coalesce(col("dupchars"), lit(0L)).cast("double") /
           greatest(col("nc0"), lit(1L))).as("dup_char_frac"))
       .withColumn("repetitive",

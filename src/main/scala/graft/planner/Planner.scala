@@ -798,7 +798,7 @@ object Planner {
     case ExcludeCut(l, keys) =>
       df.filter(!col(resolve(cube, l).level.alias).isin(keys: _*))
     case nc: NavCut =>
-      navPathRefs(cube, nc).zip(navPathKeys(cat, cube, nc))
+      navPathRefs(cube, nc).zip(navPathKeys(cat, cube, nc, role))
         .foldLeft(df) { case (d, (ref, k)) =>
           d.filter(col(resolve(cube, ref).level.alias) === lit(k))
         }
@@ -865,7 +865,7 @@ object Planner {
     case ExcludeCut(l, keys) =>
       df.filter(!expr(resolve(cube, l).level.keyExpr).isin(keys: _*))
     case nc: NavCut =>
-      navPathRefs(cube, nc).zip(navPathKeys(cat, cube, nc))
+      navPathRefs(cube, nc).zip(navPathKeys(cat, cube, nc, role))
         .foldLeft(df) { case (d, (ref, k)) =>
           d.filter(expr(resolve(cube, ref).level.keyExpr) === lit(k))
         }
@@ -894,10 +894,18 @@ object Planner {
     * cut then pushes into the scan as plain equalities, exactly like
     * TopCount's IN-list (never a per-query semi-join). */
   private def navPathKeys(cat: CubeCatalog, cube: CubeDef,
-      c: NavCut): Seq[Any] =
-    cat.cachedNavKey((cube.name, c)) {
+      c: NavCut, role: Option[String]): Seq[Any] =
+    cat.cachedNavKey((cube.name, c, role)) {
       val mRl = resolve(cube, c.of)
       val tRl = resolve(cube, c.target)
+      // B18: the ANCHOR member's level needs the same role checks as the
+      // navigation target — without them, a role whose band or member
+      // grants deny the anchor level could still probe member existence
+      // (and learn an invisible member's ancestor path) through
+      // ANCESTOR/FirstChild navigation. Denied members fall through to the
+      // "not found" 400 below, like the 404 on the metadata routes.
+      val navRs = Roles.resolve(cat.schema, role)
+      navRs.foreach(r => Roles.validateLevels(r, cube, Seq(mRl, tRl)))
       if (mRl.dim.name != tRl.dim.name || mRl.hier.name != tRl.hier.name)
         GraftException.badRequest(
           s"member navigation must stay in one hierarchy: " +
@@ -914,7 +922,9 @@ object Planner {
         case Some(js) => cat.table(js.table)
         case None => cat.fact(cube)
       }
-      val within = src.filter(expr(mRl.level.keyExpr) === lit(c.key))
+      val memberVis = navRs.flatMap(r => Roles.memberFilter(r, cube, mRl))
+      val within = memberVis.foldLeft(
+        src.filter(expr(mRl.level.keyExpr) === lit(c.key)))(_.filter(_))
       // the anchor member must be UNIQUE at its level: a key that repeats
       // across parents (Month 6 exists in every Year) names no single
       // member, and an arbitrary-row pick would cut to a silently wrong

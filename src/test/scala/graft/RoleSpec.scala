@@ -479,39 +479,45 @@ class RoleSpec extends AnyFunSuite {
   }
 
   test("role-scoped star views: invisible cubes get no view, member " +
-      "grants filter the published rows") {
-    // a leftover unrestricted registration (other suites) must not mask
-    // the role-scoped outcome
-    Seq("sales_star", "orders_star", "events_star")
-      .foreach(spark.catalog.dropTempView)
-    // schema-level restriction: only the orders cube gets a view
+      "grants filter the published rows, namespaces are disjoint") {
+    // schema-level restriction: only the orders cube gets a view, under
+    // the role's OWN suffixed name — bare names are never touched
     cat.registerStarViews(Some("orders_only"))
-    assert(spark.catalog.tableExists("orders_star"))
-    assert(!spark.catalog.tableExists("sales_star"))
+    assert(spark.catalog.tableExists("orders_star__orders_only"))
+    assert(!spark.catalog.tableExists("sales_star__orders_only"))
     // member grant: the published rows are the role's rows (drillthrough
     // semantics — rollupPolicy governs cells, not the row surface)
     cat.registerStarViews(Some("emea"))
     val got = spark.sql(
       """SELECT CAST(sum(CAST(total_sales_raw AS DECIMAL(27,6))) AS DOUBLE)
-        |FROM orders_star""".stripMargin).collect()(0).getDouble(0)
+        |FROM orders_star__emea""".stripMargin).collect()(0).getDouble(0)
     assert(math.abs(got - visibleSales) < 1e-6,
       s"expected the emea-visible total $visibleSales, got $got")
     // regions outside the grant are absent outright
-    val regions = spark.sql("SELECT DISTINCT region FROM orders_star")
+    val regions = spark.sql("SELECT DISTINCT region FROM orders_star__emea")
       .collect().map(_.getAs[Number](0).intValue).toSet
     assert(regions == Set(0, 3), s"unexpected regions $regions")
     // level band: nation_band sees sales Geography only down to Nation —
     // the Supplier level's columns must not be published at all (the
     // planner 403s them on any drill; the SQL surface must match)
     cat.registerStarViews(Some("nation_band"))
-    val bandCols = spark.table("sales_star").columns.toSet
+    val bandCols = spark.table("sales_star__nation_band").columns.toSet
     assert(bandCols.exists(_.startsWith("nation")), s"cols: $bandCols")
     assert(!bandCols.exists(_.startsWith("supplier")),
       s"banded level leaked into the star view: $bandCols")
-    // a view from an earlier broader registration must NOT survive a
-    // role-scoped re-registration (orders_only cannot see sales)
-    cat.registerStarViews(Some("orders_only"))
-    assert(!spark.catalog.tableExists("sales_star"),
-      "stale sales_star survived a role-scoped re-registration")
+    // DISJOINT NAMESPACES: an unrestricted registration and a role-scoped
+    // one coexist — neither overwrites the other, so which registration
+    // ran last can never change the restriction level behind a name
+    cat.registerStarViews()
+    cat.registerStarViews(Some("emea"))
+    val bareRegions = spark.sql("SELECT DISTINCT region FROM orders_star")
+      .collect().map(_.getAs[Number](0).intValue).toSet
+    assert(bareRegions == Set(0, 1, 2, 3, 4),
+      s"role-scoped registration clobbered the unrestricted view: $bareRegions")
+    val scopedRegions = spark.sql(
+      "SELECT DISTINCT region FROM orders_star__emea")
+      .collect().map(_.getAs[Number](0).intValue).toSet
+    assert(scopedRegions == Set(0, 3),
+      s"unrestricted registration clobbered the role view: $scopedRegions")
   }
 }
