@@ -17,6 +17,23 @@ object SparkEntry {
   private def cq(q: CubeQuery): (SparkSession, String) => DataFrame =
     (s, dir) => Planner.plan(CubeCatalog.forDir(s, dir), q)
 
+  // q82: the Mondrian XML migration path — a catalog declared in the
+  // reference's own schema grammar (src/main/resources/graft/
+  // tpch_orders.xml), bound to the testdata star and cached per
+  // (session, dir) exactly like CubeCatalog.forDir
+  private val xmlCatalogs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), CubeCatalog]
+  private def xmlCatalogFor(s: SparkSession, dir: String): CubeCatalog =
+    xmlCatalogs.getOrElseUpdate((s, dir), {
+      val xml = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/graft/tpch_orders.xml"),
+        "UTF-8").mkString
+      graft.sources.SchemaLoader.loadXml(s, xml, Map(
+        "orders" -> s.read.parquet(s"$dir/orders.parquet"),
+        "customer" -> s.read.parquet(s"$dir/customer.parquet"),
+        "nation" -> s.read.parquet(s"$dir/nation.parquet")))
+    })
+
   private def L(dim: String, level: String, hier: String = null) =
     LevelRef(dim, Option(level), Option(hier))
   private def drill(dim: String, level: String = null, hier: String = null) =
@@ -1102,6 +1119,16 @@ object SparkEntry {
             |NON EMPTY CROSSJOIN([Geography].[Region].Members,
             |  [ShipDate].[Monthly].[Year].Members) ON ROWS
             |FROM sales""".stripMargin))
+      }),
+      // B1+B2+B3 through the Mondrian XML grammar (MondrianXml /
+      // SchemaLoader.loadXml): snowflake <Join>, DimensionUsage,
+      // nameColumn captions and a translated CalculatedMember — the
+      // catalog the planner runs against came from the reference's own
+      // schema format, not graft's JSON dialect
+      "q82_xml_catalog" -> ((s: SparkSession, dir: String) => {
+        Planner.plan(xmlCatalogFor(s, dir), CubeQuery("orders_xml",
+          Seq(drill("Geography", "Nation")),
+          Seq("total_sales", "order_count", "customer_count", "avg_order")))
       }),
       // BOTTOMPERCENT: the ASCENDING-by-measure prefix covering the share
       // — the long-tail complement of q65's Pareto cut
@@ -4240,6 +4267,20 @@ object SparkEntry {
          |   / COUNT(CASE WHEN ship_year IN (1994, 1995) THEN 1 END)
          |    OVER (PARTITION BY region) AS avg_94_95
          |FROM agg ORDER BY region, ship_year""".stripMargin,
+    // q82: the XML-declared catalog plans the same star aggregation the
+    // JSON catalog would — aliases minted by MondrianXml (<usage>_<level>),
+    // the calc member translated onto post-agg measure aliases
+    "q82_xml_catalog" ->
+      s"""SELECT n_nationkey AS geography_nation,
+         |  n_name AS geography_nation_label,
+         |  ${sumd("o_totalprice", "total_sales")},
+         |  COUNT(o_orderkey) AS order_count,
+         |  COUNT(DISTINCT o_custkey) AS customer_count,
+         |  CAST(SUM(${dec("o_totalprice")}) AS DOUBLE)
+         |    / COUNT(o_orderkey) AS avg_order
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q80: q65 with the window order flipped ASC — the ascending prefix
     // whose cumulative share stays under 10% of the set total
     "q80_mdx_bottompercent" ->

@@ -27,6 +27,47 @@ object SchemaLoader {
     load(spark, new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Bind a Mondrian XML catalog (ref spec/fixtures/foodmart.xml grammar —
+    * see [[MondrianXml]] for the element map) to concrete DataFrames: the
+    * migration path for an existing mondrian-rest user. `tables` supplies
+    * the base tables the XML names; snowflake `<Join>`s materialize here as
+    * derived pre-join frames (B3 — the planner only ever sees star
+    * equi-joins). The same load-time expression validation as the JSON
+    * dialect applies. */
+  def loadXml(spark: SparkSession, xmlText: String,
+      tables: Map[String, DataFrame]): CubeCatalog = {
+    val parsed = MondrianXml.parse(xmlText)
+    bindXml(spark, parsed, tables)
+  }
+
+  def loadXmlFile(spark: SparkSession, path: String,
+      tables: Map[String, DataFrame]): CubeCatalog =
+    loadXml(spark, new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8),
+      tables)
+
+  def bindXml(spark: SparkSession, parsed: MondrianXml.XmlCatalog,
+      tables: Map[String, DataFrame]): CubeCatalog = {
+    val missing = parsed.requiredTables.filterNot(tables.contains)
+    if (missing.nonEmpty)
+      GraftException.badRequest(
+        s"XML catalog needs unbound tables: ${missing.mkString(", ")}")
+    val withJoins = parsed.joins.foldLeft(tables) { (acc, j) =>
+      val left = acc(j.leftTable)
+      val right0 = acc(j.rightTable)
+      // drop the right side's join key when both sides name it identically
+      // (Mondrian's foodmart product/product_class share product_class_id) —
+      // the collapsed frame must keep unique column names for level exprs
+      val joined = left.join(right0,
+        left(j.leftKey) === right0(j.rightKey))
+      val collapsed = if (j.leftKey == j.rightKey)
+        joined.drop(right0(j.rightKey)) else joined
+      acc + (j.name -> collapsed)
+    }
+    validate(parsed.schema, withJoins)
+    new CubeCatalog(spark, parsed.schema, withJoins)
+  }
+
   def load(spark: SparkSession, jsonText: String): CubeCatalog = {
     val root = Json.parse(jsonText).asInstanceOf[Map[String, Any]]
     val tables = loadTables(spark,
