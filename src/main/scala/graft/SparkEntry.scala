@@ -463,6 +463,20 @@ object SparkEntry {
         }
         ops.Similarity.pqKnnWith(emb, cbs, Seq(0L, 1L, 2L, 3L, 4L), 5)
       }),
+      // IVF-PQ (Jégou et al. §IV, IVFADC — the billion-scale layout):
+      // coarse quantizer picks nprobe cells, PQ codes of RESIDUALS score
+      // by ADC within them, exact re-rank on the shortlist. Index built
+      // once per catalog (coarse centroids + residual codebooks + coded
+      // corpus), replacing s12's full-corpus ADC scan with probed cells
+      "s14_knn_ivfpq" -> ((s: SparkSession, dir: String) => {
+        val emb = CubeCatalog.forDir(s, dir).table("embeddings")
+        val idx = ops.IndexCache.memo(s, s"ivfpq:$dir:8:16:16:2:2") {
+          ops.Similarity.ivfPqIndex(emb, nlist = 8, m = 16, ksub = 16,
+            ivfIters = 2, pqIters = 2)
+        }
+        ops.Similarity.knnIvfPqProbe(idx, Seq(0L, 1L, 2L, 3L, 4L), 5,
+          nprobe = 3, shortlist = 20)
+      }),
       // hybrid lexical+vector retrieval fused by reciprocal rank (RRF)
       "s13_hybrid_rrf" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -1432,13 +1446,14 @@ object SparkEntry {
        |${assign("afinal", s"cent$iters")}""".stripMargin
   }
 
-  /** Per-subspace unrolled k-means for the PQ oracle (s12): the
-    * [[kmeansOracleCtes]] chain, prefixed `p{j}_` per subspace and run
-    * over the sliced vectors. Emits a shared full-vector `v` plus, per
-    * subspace j: `p{j}_v` (sliced), `p{j}_cent{iters}` (carried
-    * centroids) and `p{j}_afinal` (final code assignment). */
-  private def pqOracleCtes(m: Int, ksub: Int, iters: Int,
-      sub: Int): String = {
+  /** Per-subspace unrolled k-means for the PQ oracles (s12 over raw
+    * vectors, s14 over IVF residuals): the [[kmeansOracleCtes]] chain,
+    * prefixed `p{j}_` per subspace and run over slices of `src` (a CTE
+    * with (vec_id, emb)). Emits per subspace j: `p{j}_v` (sliced),
+    * `p{j}_cent{iters}` (carried centroids) and `p{j}_afinal` (final code
+    * assignment). */
+  private def pqChainCtes(m: Int, ksub: Int, iters: Int, sub: Int,
+      src: String): String = {
     def chain(j: Int): String = {
       val P = s"p${j}_"
       def cent(r: Int, from: String): String = {
@@ -1473,17 +1488,22 @@ object SparkEntry {
         if (r < iters) s"$c,\n${assign(s"a$r", s"${P}cent$r")}" else c
       }.mkString(",\n")
       s"""${P}v AS (SELECT vec_id, emb[${j * sub + 1}:${(j + 1) * sub}] AS emb
-         |  FROM v),
+         |  FROM $src),
          |${P}a0 AS (SELECT vec_id, emb, CAST(vec_id % $ksub AS INTEGER) AS c
          |  FROM ${P}v),
          |$rounds,
          |${assign("afinal", s"${P}cent$iters")}""".stripMargin
     }
+    (0 until m).map(chain).mkString(",\n")
+  }
+
+  /** s12's prefix: the raw-vector source plus the per-subspace chains. */
+  private def pqOracleCtes(m: Int, ksub: Int, iters: Int,
+      sub: Int): String =
     s"""WITH v AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
-       |${(0 until m).map(chain).mkString(",\n")}""".stripMargin
-  }
+       |${pqChainCtes(m, ksub, iters, sub, "v")}""".stripMargin
 
   /** Unrolled oracle for [[graft.ops.TextOps.linearProbe]] (t36): one
     * (gradient, weight-update) CTE pair per GD round, seeded from the
@@ -2526,6 +2546,59 @@ object SparkEntry {
          |  FROM v q JOIN v n ON q.vec_id <> n.vec_id
          |  $codeJoin
          |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+         |short AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adc DESC, neighbor_id ASC) AS srank FROM qd),
+         |rescored AS (
+         |  SELECT query_id, neighbor_id, list_dot_product(v_q, v_n) AS sim
+         |  FROM short WHERE srank <= 20),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM rescored)
+         |SELECT query_id, rank, neighbor_id, sim FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // s14: IVF-PQ fully unrolled — the s06-style coarse k-means (2 iters),
+    // residuals rebuilt by unnest-join-list, the s12 per-subspace chains
+    // retrained on the RESIDUAL frame, coarse probe ranking by the same
+    // (score DESC, cdot DESC, cell DESC) order as the Spark window, ADC =
+    // q·c_cell + Σ subspace lookups over the probed cells only, exact
+    // re-rank of the 20-candidate shortlist
+    "s14_knn_ivfpq" -> {
+      val (nlist, ivfIters, m, ksub, pqIters, sub) = (8, 2, 16, 16, 2, 4)
+      val adc = (0 until m).map(j =>
+        s"list_dot_product(p.emb[${j * sub + 1}:${(j + 1) * sub}], c$j.cent)")
+        .mkString("(", "\n + ", ")")
+      val codeJoin = (0 until m).map(j =>
+        s"JOIN p${j}_afinal a$j ON a$j.vec_id = n.vec_id\n" +
+          s"JOIN p${j}_cent$pqIters c$j ON c$j.c = a$j.c").mkString("\n")
+      s"""${kmeansOracleCtes(nlist, ivfIters)},
+         |res0 AS (SELECT vec_id, c, unnest(emb) AS ax,
+         |  generate_subscripts(emb, 1) AS pos FROM afinal),
+         |cexp AS (SELECT c, unnest(cent) AS cx,
+         |  generate_subscripts(cent, 1) AS pos FROM cent$ivfIters),
+         |rv AS (SELECT r.vec_id, list(r.ax - ce.cx ORDER BY r.pos) AS emb
+         |  FROM res0 r JOIN cexp ce ON r.c = ce.c AND r.pos = ce.pos
+         |  GROUP BY r.vec_id),
+         |${pqChainCtes(m, ksub, pqIters, sub, "rv")},
+         |qs AS (SELECT q.vec_id AS query_id, q.emb, ct.c AS cell_q,
+         |  list_dot_product(q.emb, ct.cent)
+         |    - list_dot_product(ct.cent, ct.cent) / 2.0 AS score,
+         |  list_dot_product(q.emb, ct.cent) AS cdot
+         |  FROM v q CROSS JOIN cent$ivfIters ct
+         |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+         |pr AS (SELECT query_id, emb, cell_q, cdot FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cdot DESC, cell_q DESC) AS rn FROM qs)
+         |  WHERE rn <= 3),
+         |qd AS (
+         |  SELECT p.query_id, n.vec_id AS neighbor_id,
+         |    p.cdot + $adc AS adc, p.emb AS v_q, n.emb AS v_n
+         |  FROM pr p
+         |  JOIN afinal n ON n.c = p.cell_q AND n.vec_id <> p.query_id
+         |  $codeJoin),
          |short AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY adc DESC, neighbor_id ASC) AS srank FROM qd),

@@ -339,6 +339,149 @@ object Similarity {
     topKPerQuery(rescored, k).orderBy("query_id", "rank")
   }
 
+  /** Production sizing for the SHORTLIST of every two-phase search
+    * (approximate-score scan → exact re-rank): a FIXED shortlist decays
+    * recall as the corpus grows — the count of distractors whose
+    * approximate score beats the true k-th neighbor grows with n while the
+    * list stays constant (BENCH_scaling.json: knn_pq recall 0.87 → 0.375
+    * at fixed 100, knn_lsh_auto 0.41 → 0.22 at fixed bucket 64). Growing
+    * the shortlist as √n (the [[suggestedIvfLists]] rule: re-rank work
+    * stays sublinear while coverage grows without bound) holds recall@k
+    * roughly flat at these scales; floor 4k so tiny corpora still re-rank
+    * a meaningful candidate pool. The third sizing knob next to
+    * [[graft.ops.Dedup.suggestedLshBits]]/[[suggestedIvfLists]], wired
+    * into the *Auto entry points below and measured by
+    * [[graft.tools.ScaleSweep]]. */
+  def suggestedShortlist(n: Long, k: Int): Int =
+    math.max(4 * k, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** [[pqKnn]] with [[suggestedShortlist]] wired in (codebooks still train
+    * inline — memoize via [[graft.ops.IndexCache]] in a serving path).
+    * Returns (frame, shortlist used). */
+  def pqKnnAuto(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = 16,
+      ksub: Int = 16, iters: Int = 2, dim: Int = 64): (DataFrame, Int) = {
+    val shortlist = suggestedShortlist(emb.count(), k)
+    (pqKnn(emb, queryIds, k, m, ksub, iters, shortlist, dim), shortlist)
+  }
+
+  /** [[quantizedKnn]] with [[suggestedShortlist]] wired in. */
+  def quantizedKnnAuto(emb: DataFrame, queryIds: Seq[Long], k: Int)
+      : (DataFrame, Int) = {
+    val shortlist = suggestedShortlist(emb.count(), k)
+    (quantizedKnn(emb, queryIds, k, shortlist), shortlist)
+  }
+
+  /** [[projectedKnn]] with [[suggestedShortlist]] wired in. */
+  def projectedKnnAuto(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      projDim: Int = 16, dim: Int = 64): (DataFrame, Int) = {
+    val shortlist = suggestedShortlist(emb.count(), k)
+    (projectedKnn(emb, queryIds, k, projDim, shortlist, dim), shortlist)
+  }
+
+  /** The IVF-PQ index (Jégou et al. §IV, "IVFADC" — the layout
+    * billion-scale ANN deployments actually run): an IVF coarse quantizer
+    * partitions the corpus into cells, and product quantization encodes
+    * each vector's RESIDUAL against its cell centroid (residuals are
+    * smaller and better-centered than raw vectors, so the same code budget
+    * quantizes them more accurately). Codebooks are SHARED across cells
+    * (the standard memory trade: one m×ksub table, not nlist of them), so
+    * a query builds one ADC lookup table and pays one extra q·c_cell dot
+    * per probed cell.
+    *
+    * @param cs     coarse centroids (driver-sized: nlist × dim)
+    * @param cbs    residual codebooks[j][c] (driver-sized: m·ksub·(dim/m))
+    * @param corpus (cell_n, neighbor_id, v_n, codes) — at production scale
+    *               this is the persisted index, partitioned by cell_n like
+    *               [[saveIvfIndex]]'s layout, codes 32× smaller than v_n
+    */
+  final case class IvfPqIndex(cs: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], corpus: DataFrame)
+
+  /** Build the IVF-PQ index: coarse k-means, one assignment pass,
+    * per-subspace k-means on RESIDUALS, one encode pass. Every stage is
+    * the deterministic DECIMAL-mean / sequential-dot recipe, so the build
+    * replays bit-exactly in SQL (gate s14). */
+  def ivfPqIndex(emb: DataFrame, nlist: Int = 8, m: Int = 16,
+      ksub: Int = 16, ivfIters: Int = 2, pqIters: Int = 2,
+      dim: Int = 64): IvfPqIndex = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cs = kmeansCentroids(emb, nlist, ivfIters)
+    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    val centArr = typedLit(cs.map(_.toSeq).toSeq)
+    // residual r = v − c_cell, computed once and checkpointed: feeds m
+    // codebook trains + the encode pass
+    val res = withNearestCluster(v, cs, "cell")
+      .withColumn("r", zip_with(col("v"),
+        element_at(centArr, col("cell") + 1), (x, y) => x - y))
+      .localCheckpoint()
+    val cbs = (0 until m).map { j =>
+      kmeansLoop(res.select(col("vec_id"),
+        slice(col("r"), j * sub + 1, sub).as("v")), ksub, pqIters)
+    }.toArray
+    val corpus = res
+      .withColumn("codes", array((0 until m).map(j =>
+        nearestCluster(slice(col("r"), j * sub + 1, sub), cbs(j))
+          .cast("int")): _*))
+      .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
+        col("v").as("v_n"), col("codes"))
+      .localCheckpoint()
+    IvfPqIndex(cs, cbs, corpus)
+  }
+
+  /** Probe an [[IvfPqIndex]]: rank cells by coarse score, scan the top
+    * `nprobe` cells' CODES with ADC (approx dot = q·c_cell + Σ_j
+    * lut[j][code_j], the lookup table built once per query), shortlist on
+    * the approximate score, exact re-rank on the raw vectors. Replaces
+    * [[pqKnn]]'s full-corpus ADC scan with a probed-cell scan — per-query
+    * work drops from O(n·m lookups) to O(nprobe·n/nlist·m), the IVF-PQ
+    * economics: probe cost ~flat as the corpus grows with √n-sized nlist
+    * while the resident index stays 32× compressed. */
+  def knnIvfPqProbe(idx: IvfPqIndex, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 3, shortlist: Int = 20): DataFrame = {
+    val IvfPqIndex(cs, cbs, corpus) = idx
+    val m = cbs.length
+    val ksub = cbs.head.length
+    val sub = cbs.head.head.length
+    def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)
+    val queries = corpus.where(col("neighbor_id").isin(queryIds: _*))
+      .select(col("neighbor_id").as("query_id"), col("v_n").as("v_q"))
+      // lut[j][c] = q_subj · codebook_j[c] — shared across cells
+      .withColumn("lut", array((0 until m).map(j =>
+        array((0 until ksub).map(c =>
+          dot(subv(col("v_q"), j),
+            array(cbs(j)(c).map(lit).toIndexedSeq: _*))): _*)): _*))
+    // coarse ranking — same (score desc, cdot desc, cell desc) total order
+    // as knnIvfProbe's seed probes, replayed by the s14 oracle
+    val qcells = queries
+      .crossJoin(broadcast(centsDF(corpus.sparkSession, cs)))
+      .select(col("query_id"), col("v_q"), col("lut"),
+        col("j").as("cell_q"),
+        (dot(col("v_q"), col("c")) - col("bias")).as("score"),
+        dot(col("v_q"), col("c")).as("cdot"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cdot").desc, col("cell_q").desc)
+    val probes = qcells.withColumn("__r", row_number().over(probeW))
+      .where(col("__r") <= nprobe)
+      .select("query_id", "v_q", "lut", "cell_q", "cdot")
+    val qscored = corpus.join(broadcast(probes),
+        col("cell_q") === col("cell_n") &&
+          col("query_id") =!= col("neighbor_id"))
+      // adc = q·c_cell + Σ_j lut[j][code_j]; the Σ is the same left fold
+      // as pqKnnWith, added AFTER (0.0 + t0 ≡ t0, so the grouping matches
+      // the oracle's `cdot + (t0 + t1 + …)` exactly)
+      .withColumn("adc", col("cdot") + aggregate(
+        zip_with(col("codes"), col("lut"),
+          (cd, l) => element_at(l, cd + 1)),
+        lit(0.0d), (acc, x) => acc + x))
+    val short = graft.plans.GroupedTopK.topK(
+      qscored.select("query_id", "neighbor_id", "adc", "v_q", "v_n"),
+      Seq(col("query_id")), Seq(col("adc").desc, col("neighbor_id").asc),
+      shortlist)
+    val rescored = short.withColumn("sim", dot(col("v_q"), col("v_n")))
+    topKPerQuery(rescored, k).orderBy("query_id", "rank")
+  }
+
   /** Per-label centroids, element-wise (posexplode → per-position exact
     * decimal mean): the building block for IVF-style coarse quantization and
     * class prototypes. Long format (label, pos, centroid) — no array
@@ -706,13 +849,19 @@ object Similarity {
     * O(T·targetBucket), not O(n/2^bits_fixed)), and tables from
     * [[graft.ops.Dedup.suggestedLshTables]] hold the find probability for
     * neighbors at the (targetCos, targetRecall) design point as bits grow.
-    * Neighbors far below targetCos keep the plain hyperplane miss rate —
-    * that is LSH's contract, not a sizing defect. Returns (frame, bits,
-    * tables). */
+    * `targetBucket ≤ 0` (the default) derives the bucket population from
+    * [[suggestedShortlist]] — the candidate pool per table grows as √n, so
+    * recall@k holds as the corpus grows instead of decaying with a fixed
+    * pool (the third sizing knob). Neighbors far below targetCos keep the
+    * plain hyperplane miss rate — that is LSH's contract, not a sizing
+    * defect. Returns (frame, bits, tables). */
   def knnLshAuto(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      targetBucket: Int = 64, targetCos: Double = 0.9,
+      targetBucket: Int = 0, targetCos: Double = 0.9,
       targetRecall: Double = 0.95, dim: Int = 64): (DataFrame, Int, Int) = {
-    val bits = graft.ops.Dedup.suggestedLshBits(emb.count(), targetBucket)
+    val n = emb.count()
+    val bucket =
+      if (targetBucket > 0) targetBucket else suggestedShortlist(n, k)
+    val bits = graft.ops.Dedup.suggestedLshBits(n, bucket)
     val tables = graft.ops.Dedup.suggestedLshTables(bits, targetCos,
       targetRecall)
     (knnLshMulti(emb, queryIds, k, bits, tables, dim), bits, tables)

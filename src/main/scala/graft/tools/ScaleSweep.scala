@@ -108,7 +108,9 @@ object ScaleSweep {
       "semdedup auto sizes kmeans k as sqrt(n) (suggestedIvfLists rule): assignment and within-cluster pair work balance at O(n^1.5); the 100TB configuration grows k ~ n/targetCluster with hierarchical assignment",
       "asymptotics: auto-sized near-dup pair work is C*n^(1+rho) with rho = 1 - log2(2p)/1 ~ 0.22 at the cos-0.9 design point (the classic hyperplane-LSH exponent: holding recall while buckets shrink costs tables ~ p^-bits) — sub-quadratic by construction vs the fixed-parameter n^2, which is why fixed is budget-skipped at 100x while auto completes with recall 1.0; ivf probe is the O(sqrt n) + constant-cell-scan path and its slope stays ~1",
       "text family (minhash_pairs/simhash_pairs/ngram_jaccard): banding keys live in 2^64 space, so buckets hold only genuine duplicate groups and pair work is ~linear in n with NO sizing knob — the structural contrast with hyperplane LSH's 2^bits buckets; planted recall (128 exact clones at jaccard 1.0, 128 one-token-appended near-dups ~0.97) proves the banding contract at every factor; the PPJoin SSJoin carries inherent sum-df^2 growth and is capped at 200k docs like the fixed embedding variants",
-      "knn_pq (s12): one op = 16 subspace k-means trains + 8-byte encode + ADC lookup-table scan + exact re-rank of a fixed 100-candidate shortlist — every stage a linear corpus pass; twin_hit stays 1.0 while plain recall@10 decays with n at FIXED shortlist (more distractors per true neighbor), the documented PQ trade: recall is bought with shortlist width, memory stays 32x compressed")
+      "knn_pq (s12): one op = 16 subspace k-means trains + 8-byte encode + ADC lookup-table scan + exact re-rank of a fixed 100-candidate shortlist — every stage a linear corpus pass; twin_hit stays 1.0 while plain recall@10 decays with n at FIXED shortlist (more distractors per true neighbor), the documented PQ trade: recall is bought with shortlist width, memory stays 32x compressed",
+      "knn_pq_auto / knn_lsh_auto / ivfpq_probe_auto wire suggestedShortlist(n,k) = max(4k, sqrt(n)) — the THIRD sizing knob: the shortlist (LSH: target bucket population) grows as sqrt(n), so recall@k holds across factors where the fixed-width rows decay; re-rank work stays O(sqrt n) per query",
+      "ivfpq (s14) composes the IVF coarse quantizer with PQ codes of RESIDUALS (Jegou et al. IVFADC): build = coarse kmeans + 16 residual-subspace kmeans + encode (linear, paid once per ingest); probe = nprobe of sqrt(n) cells x ADC lookups — per-query cost ~flat as n grows, vs knn_pq's full-corpus ADC scan growing linearly")
       .map(s => "\"" + s + "\"")
     val json =
       s"""{"base":"$baseDir","threshold":$Threshold,"planted":{"pairs":$PlantedPairs,"cos":$PlantedCos},
@@ -341,6 +343,31 @@ object ScaleSweep {
       (rows.length, Map("m" -> "16", "ksub" -> "16",
         "shortlist" -> "100") ++ knnMetrics(sets(rows)))
     }
+    // the third sizing knob: shortlist grows as sqrt(n) so recall@k holds
+    // while the fixed-100 row above decays (same codebooks, same scan)
+    time("knn_pq_auto") {
+      val (df, shortlist) = Similarity.pqKnnAuto(emb, qids, K, dim = Dim)
+      val rows = df.collect()
+      (rows.length, Map("m" -> "16", "ksub" -> "16",
+        "shortlist" -> shortlist.toString) ++ knnMetrics(sets(rows)))
+    }
+    // IVF-PQ (s14): probed-cell ADC replaces the full-corpus scan — build
+    // linear, probe ~flat with sqrt(n) cells; shortlist auto-sized
+    def ivfpq(buildName: String, probeName: String, nlist: Int): Unit = {
+      var idx: Similarity.IvfPqIndex = null
+      time(buildName) {
+        idx = Similarity.ivfPqIndex(emb, nlist, 16, 16, 2, 2, Dim)
+        (idx.corpus.count(), Map("nlist" -> nlist.toString))
+      }
+      time(probeName) {
+        val shortlist = Similarity.suggestedShortlist(n, K)
+        val rows = Similarity.knnIvfPqProbe(idx, qids, K, nprobe = 3,
+          shortlist = shortlist).collect()
+        (rows.length, Map("nlist" -> nlist.toString,
+          "shortlist" -> shortlist.toString) ++ knnMetrics(sets(rows)))
+      }
+    }
+    ivfpq("ivfpq_build_auto", "ivfpq_probe_auto", nlistAuto)
 
     // --- text-dedup family (d02/d03/d04 shapes): banding keys live in
     // 2^64 space, so buckets hold only true duplicate groups and pair work

@@ -1965,4 +1965,76 @@ class OpsSpec extends AnyFunSuite {
     assert(goodKept.zip(goodKept.tail).forall { case (a, b) => a >= b })
     cal.foreach { case (_, k, gk, g) => assert(gk <= k && gk <= g) }
   }
+
+  test("suggestedShortlist: monotone sqrt growth, floor 4k, holds recall " +
+      "where a fixed shortlist decays (the third sizing knob)") {
+    // sizing properties: >= 4k floor, ~sqrt(n) growth, monotone in n
+    assert(Similarity.suggestedShortlist(100L, 10) == 40)
+    assert(Similarity.suggestedShortlist(1000000L, 10) == 1000)
+    val ns = Seq(1000L, 100000L, 10000000L, 1000000000L)
+    val ls = ns.map(Similarity.suggestedShortlist(_, 10))
+    assert(ls.zip(ls.tail).forall { case (a, b) => a <= b })
+    ls.zip(ns).foreach { case (l, n) =>
+      assert(l <= 2 * math.sqrt(n.toDouble) + 40, s"n=$n shortlist=$l") }
+    // recall: on the 500-vector corpus the auto shortlist (~sqrt(500)=22
+    // floored to 4k=20 at k=5... use k=10 -> 40) must recover at least as
+    // much of the brute-force top-k as a deliberately starved fixed
+    // shortlist, and be a superset-quality result (recall non-decreasing
+    // in shortlist width is the monotonicity the knob relies on)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val k = 10
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.knnBrute(emb, qids, k).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+      val got = df.collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+      qids.map(q => got.getOrElse(q, Set.empty[Long])
+        .intersect(brute.getOrElse(q, Set.empty[Long])).size.toDouble / k)
+        .sum / qids.size
+    }
+    val starved = recallOf(Similarity.pqKnn(emb, qids, k, shortlist = k))
+    val (autoDf, autoShortlist) = Similarity.pqKnnAuto(emb, qids, k)
+    assert(autoShortlist == Similarity.suggestedShortlist(emb.count(), k))
+    val auto = recallOf(autoDf)
+    assert(auto >= starved,
+      s"auto shortlist $autoShortlist recall $auto < fixed-$k $starved")
+    // recall is monotone in shortlist width — the property the sqrt(n)
+    // growth converts into recall held across corpus growth
+    val wide = recallOf(
+      Similarity.pqKnn(emb, qids, k, shortlist = 4 * autoShortlist))
+    assert(wide >= auto,
+      s"recall not monotone in shortlist: $auto -> $wide")
+  }
+
+  test("IVF-PQ: probed-cell ADC finds a planted twin, deterministic " +
+      "across builds, codebook geometry validated") {
+    // plant an exact clone of vec 3: the probe must rank it first for
+    // query 3 (its cell is the query's own best cell, ADC of identical
+    // codes maximal, exact re-rank sim ~ 1.0)
+    val clone = emb.where(col("vec_id") === 3L)
+      .withColumn("vec_id", lit(90003L))
+    val planted = emb.unionByName(clone)
+    val idx = Similarity.ivfPqIndex(planted, nlist = 8, m = 16, ksub = 16,
+      ivfIters = 2, pqIters = 2)
+    val got = Similarity.knnIvfPqProbe(idx, Seq(3L), 5, nprobe = 3)
+      .collect()
+    assert(got.head.getLong(2) == 90003L, s"twin not first: ${got.head}")
+    assert(math.abs(got.head.getDouble(3) - 1.0) < 1e-6)
+    // deterministic: a rebuilt index answers identically
+    val idx2 = Similarity.ivfPqIndex(planted, nlist = 8, m = 16, ksub = 16,
+      ivfIters = 2, pqIters = 2)
+    val again = Similarity.knnIvfPqProbe(idx2, Seq(3L), 5, nprobe = 3)
+      .collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // probing MORE cells never loses the twin (monotone candidate pool)
+    val wide = Similarity.knnIvfPqProbe(idx, Seq(3L), 5, nprobe = 8)
+      .collect()
+    assert(wide.head.getLong(2) == 90003L)
+    // mismatched codebook geometry fails loudly instead of mis-slicing
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqKnnWith(emb, Array(Array(Array(1.0, 2.0, 3.0))),
+        Seq(0L), 5)
+    }
+    assert(ex.getMessage.contains("codebook"))
+  }
 }
