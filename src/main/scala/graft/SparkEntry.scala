@@ -676,6 +676,11 @@ object SparkEntry {
       // the transform d08 profiles: remove corpus-repeated 10-token spans
       "t21_trim_spans" -> tbl("documents")(
         ops.Dedup.trimRepeatedSpans(_, 10)),
+      // exact-substring dedup (Lee et al. 2022): duplicated >=20-token
+      // spans removed from all but the first occurrence; windows shuffle
+      // as 64-bit hashes, exact string verify — no suffix array anywhere
+      "d20_exact_substring" -> tbl("documents")(
+        ops.Dedup.exactSubstringDedup(_, 20)),
       // PII scrub (detect + redact emails/IPs/phones, map-only codegen).
       // The synthetic corpus carries no PII, so the gate injects
       // deterministic spans derived from doc_id — the OPERATOR
@@ -3650,6 +3655,38 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
         |CAST(len(d.w) - COALESCE(k.n_kept, 0) AS INTEGER) AS n_removed,
         |COALESCE(k.trimmed_text, '') AS trimmed_text
+        |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // d20: exact-substring dedup (Lee et al. 2022) — the Spark side's
+    // 64-bit window-hash prefilter is lossless (collisions only add
+    // verification candidates; string equality decides), so the oracle
+    // groups windows by their STRING directly: duplicated ≥20-token
+    // windows, canonical first occurrence (doc_id, pos) survives, covered
+    // positions of the rest are removed
+    "d20_exact_substring" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sp AS (SELECT doc_id, g AS pos,
+        |  array_to_string(w[g:g+19], ' ') AS span
+        |  FROM (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 19)) AS g
+        |    FROM d WHERE len(w) >= 20)),
+        |occ AS (SELECT doc_id, pos,
+        |  ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+        |  COUNT(1) OVER (PARTITION BY span) AS n FROM sp),
+        |cov AS (SELECT DISTINCT doc_id,
+        |  unnest(generate_series(pos, pos + 19)) AS cpos
+        |  FROM occ WHERE n >= 2 AND rn > 1),
+        |toks AS (SELECT doc_id, unnest(w) AS tok,
+        |  generate_subscripts(w, 1) AS pos FROM d),
+        |kept AS (SELECT t.doc_id, CAST(COUNT(1) AS BIGINT) AS n_kept,
+        |  string_agg(t.tok, ' ' ORDER BY t.pos) AS dedup_text
+        |  FROM toks t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |  WHERE c.cpos IS NULL GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
+        |CAST(len(d.w) - COALESCE(k.n_kept, 0) AS INTEGER) AS n_removed,
+        |COALESCE(k.dedup_text, '') AS dedup_text
         |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // t18: u = first 8 md5 hex digits as an integer (Horner form — the same

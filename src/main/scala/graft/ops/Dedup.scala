@@ -909,6 +909,83 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SUBSTRING DEDUPLICATION (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * operator, published standard the 10-gram span trim of
+    * [[trimRepeatedSpans]] approximates): every token span of length ≥
+    * `minLen` that occurs MORE THAN ONCE in the corpus (across documents
+    * OR repeated within one) is removed from every occurrence except the
+    * globally first. The identity "a position lies inside a duplicated
+    * span of length ≥ L iff some duplicated L-token window covers it"
+    * reduces the suffix-array construction the paper uses to a windowed
+    * hash-group — the distributed form: no suffix array, no single
+    * partition ever holds more than its own documents.
+    *
+    * Differences from [[trimRepeatedSpans]] (both deliberate):
+    *  - windows travel as 64-BIT HASHES (16-byte rows — at 100 TB the
+    *    window shuffle is the cost center and L-token strings would be a
+    *    ~12× wider shuffle); occurrences sharing a hash re-materialize
+    *    their strings and verify by EXACT string equality, so a hash
+    *    collision can only add a verification candidate, never a false
+    *    trim — exactness is preserved;
+    *  - repeats WITHIN one document count (count ≥ 2 occurrences, not ≥ 2
+    *    documents) — the paper dedups self-repeats too;
+    *  - the canonical occurrence (min (doc_id, pos)) KEEPS its text —
+    *    "remove all but one occurrence", where trimRepeatedSpans removes
+    *    every occurrence.
+    *
+    * Scale shape: window hashes explode ∝ tokens (map-side, skinny);
+    * duplicated hashes are a hash-agg; string verification touches only
+    * candidate occurrences; coverage explodes ∝ L · non-canonical hits;
+    * per-doc reassembly sorts only that doc's own tokens. All shuffles
+    * key on hash, span, or doc_id — nothing pairwise, no driver state. */
+  def exactSubstringDedup(docs: DataFrame, minLen: Int = 20): DataFrame = {
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .localCheckpoint(eager = false) // feeds windows, verify, reassembly
+    val sp = d.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) < $minLen THEN
+           |  CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>)
+           |ELSE transform(sequence(1, size(w) - ${minLen - 1}),
+           |  i -> struct(i AS pos,
+           |    xxhash64(concat_ws(' ', slice(w, i, $minLen))) AS h))
+           |END""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val dupH = sp.groupBy("h").agg(count(lit(1)).as("nh"))
+      .where(col("nh") >= 2).select("h")
+    // candidate occurrences re-slice their window strings for the exact
+    // verify (the only place strings shuffle — duplicated windows only)
+    val cand = sp.join(dupH, "h").join(d, "doc_id")
+      .select(col("doc_id"), col("pos"),
+        expr(s"concat_ws(' ', slice(w, pos, $minLen))").as("span"))
+    val spanAgg = cand.groupBy("span")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("n") >= 2)
+    val cov = cand.join(spanAgg, "span")
+      .where(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos"))) // canonical occurrence survives
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${minLen - 1})")).as("cpos"))
+      .distinct()
+    val toks = d.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(cov,
+        toks("doc_id") === cov("doc_id") && col("pos") === col("cpos"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, tok))), s -> s.tok), ' ')").as("dedup_text"))
+    d.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)).cast("int"))
+          .as("n_removed"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
   /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means clusters are the
     * blocking key, and within each cluster every document whose cosine to a
     * SMALLER-id cluster-mate reaches `threshold` is dropped. NOTE the rule

@@ -2037,4 +2037,52 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("codebook"))
   }
+
+  test("exact-substring dedup: 60-token shared span trimmed everywhere " +
+      "but its first occurrence; a 15-token span is below minLen where " +
+      "10-gram trimming still fires (the published-standard contrast)") {
+    import spark.implicits._
+    // two fresh docs: a shared 60-token span (>= minLen 20) and a shared
+    // 15-token span (>= 10-gram trim's k, < minLen); unique filler
+    // tokens so nothing else repeats
+    val long60 = (1 to 60).map(i => s"dup$i").mkString(" ")
+    val short15 = (1 to 15).map(i => s"mid$i").mkString(" ")
+    def filler(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val a = s"${filler("ax", 5)} $long60 ${filler("ay", 5)} $short15"
+    val b = s"${filler("bx", 5)} $long60 ${filler("by", 5)} $short15"
+    val planted = Seq((9000001L, a), (9000002L, b)).toDF("doc_id", "text")
+    val exact = Dedup.exactSubstringDedup(planted, 20).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    // doc A holds the canonical occurrence -> untouched
+    assert(exact(9000001L)._1 == 0, s"canonical doc trimmed: ${exact(9000001L)}")
+    assert(exact(9000001L)._2 == a)
+    // doc B loses exactly the 60 duplicated tokens, keeps the 15-token
+    // span (below minLen) and its filler
+    assert(exact(9000002L)._1 == 60, s"expected 60 removed: ${exact(9000002L)}")
+    assert(!exact(9000002L)._2.contains("dup1 "), exact(9000002L)._2)
+    assert(exact(9000002L)._2.contains(short15))
+    assert(exact(9000002L)._2.contains("bx1"))
+    // the 10-gram trim AGREES on the long span (covered in both docs —
+    // no canonical survivor there) and DISAGREES on the 15-token span
+    // (trimmed, because it holds repeated 10-grams)
+    val tenGram = Dedup.trimRepeatedSpans(planted, 10).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    Seq(9000001L, 9000002L).foreach { id =>
+      assert(!tenGram(id).contains("dup1 ") && !tenGram(id).endsWith("dup60"),
+        s"10-gram trim kept the long span in $id")
+      assert(!tenGram(id).contains(short15),
+        s"10-gram trim kept the 15-token span in $id — disagreement lost")
+    }
+    // within-doc self-repeat: the paper's count>=2 includes one document
+    // repeating itself (trimRepeatedSpans' >=2-docs rule would keep it)
+    val self = (1 to 25).map(i => s"rep$i").mkString(" ")
+    val selfDoc = Seq((9000003L, s"$self ${filler("mid", 3)} $self"))
+      .toDF("doc_id", "text")
+    val selfOut = Dedup.exactSubstringDedup(selfDoc, 20).collect().head
+    assert(selfOut.getInt(2) == 25,
+      s"self-repeat not trimmed: $selfOut")
+    val tenSelf = Dedup.trimRepeatedSpans(selfDoc, 10).collect().head
+    assert(tenSelf.getInt(2) == 0, "trimRepeatedSpans is cross-doc only")
+  }
 }
