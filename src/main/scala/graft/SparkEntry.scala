@@ -780,6 +780,11 @@ object SparkEntry {
       // (distributed per-source prefix sum — Ranking.groupedPrefixSum)
       "t29_budget_sample" -> tbl("documents")(
         ops.TextOps.budgetSample(_, 1000L)),
+      // DSIR importance resampling (Xie et al. 2023): hashed-bigram
+      // target/raw likelihood ratios, Gumbel-top-k with the content-hash
+      // draw, filled to a 20k-token budget by the t29 prefix machinery
+      "t42_dsir_resample" -> tbl("documents")(
+        ops.TextOps.dsirResample(_, 20000L)),
       // fuzzy decontamination: corpus docs near-duplicating the src0 "eval
       // set" via cross-set LSH banding (oracle = all-pairs cross Jaccard —
       // banded recall is 1.0 at this corpus's similarity gap, see d02)
@@ -3689,6 +3694,50 @@ object SparkEntry {
         |COALESCE(k.dedup_text, '') AS dedup_text
         |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // t42: DSIR replay — hashed-bigram bucket models (the md5-Horner hash
+    // mod 1024), per-term DECIMAL(38,18) capture of cnt·(ln p̂_t − ln p̂_r),
+    // round 6, Gumbel key from the t18 content-hash u (u+0.5 exact in
+    // binary64), global prefix sum over (−gkey, doc_id)
+    "t42_dsir_resample" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |  string_split(text, ' ') AS w FROM documents),
+         |bg AS (SELECT doc_id, source,
+         |  md5(concat(w[g], ' ', w[g+1])) AS h
+         |  FROM (SELECT doc_id, source, w,
+         |    unnest(generate_series(1, len(w) - 1)) AS g
+         |    FROM d WHERE len(w) >= 2)),
+         |bk AS (SELECT doc_id, source,
+         |  CAST($MD5_U_HORNER AS BIGINT) % 1024 AS bkt FROM bg),
+         |ct AS (SELECT bkt, COUNT(1) AS ct FROM bk
+         |  WHERE source = 'src0' GROUP BY 1),
+         |nt AS (SELECT COUNT(1) AS nt FROM bk WHERE source = 'src0'),
+         |cr AS (SELECT bkt, COUNT(1) AS cr FROM bk GROUP BY 1),
+         |nr AS (SELECT COUNT(1) AS nr FROM bk),
+         |pd AS (SELECT doc_id, bkt, COUNT(1) AS cnt FROM bk GROUP BY 1, 2),
+         |terms AS (SELECT p.doc_id, CAST(CAST(p.cnt *
+         |  (ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+         |     / CAST(nt.nt + 1024 AS DOUBLE))
+         |   - ln(CAST(c.cr + 1 AS DOUBLE) / CAST(nr.nr + 1024 AS DOUBLE)))
+         |  AS VARCHAR) AS DECIMAL(38,18)) AS term
+         |  FROM pd p JOIN cr c USING (bkt) LEFT JOIN ct t USING (bkt),
+         |    nt, nr),
+         |lw AS (SELECT doc_id, round(CAST(SUM(term) AS DOUBLE), 6)
+         |  AS logratio FROM terms GROUP BY 1),
+         |hs AS (SELECT doc_id,
+         |  md5(concat(CAST(doc_id AS VARCHAR), ':', text)) AS h FROM d),
+         |us AS (SELECT doc_id, CAST($MD5_U_HORNER AS BIGINT) AS u FROM hs),
+         |sc AS (SELECT d.doc_id, d.source, CAST(len(d.w) AS BIGINT)
+         |  AS n_tok, COALESCE(l.logratio, 0.0) AS logratio,
+         |  round(COALESCE(l.logratio, 0.0)
+         |    - ln(-ln((CAST(us.u AS DOUBLE) + 0.5) / 4294967296.0)), 6)
+         |    AS gkey
+         |  FROM d JOIN us USING (doc_id) LEFT JOIN lw l USING (doc_id)),
+         |pre AS (SELECT *, COALESCE(SUM(n_tok) OVER (
+         |  ORDER BY -gkey ASC, doc_id ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS cum_before FROM sc)
+         |SELECT doc_id, source, n_tok, logratio, gkey, cum_before
+         |FROM pre WHERE cum_before < 20000 ORDER BY doc_id""".stripMargin,
     // t18: u = first 8 md5 hex digits as an integer (Horner form — the same
     // instr-digit recipe as t07); the keep test compares exact integers
     // against weight·2³² in double (u < 2³² ⇒ exactly representable)

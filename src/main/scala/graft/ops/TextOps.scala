@@ -687,6 +687,83 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR — DATA SELECTION VIA IMPORTANCE RESAMPLING (Xie et al., NeurIPS
+    * 2023; extends [[domainSelect]]'s Moore-Lewis scoring from a filter to
+    * the paper's SAMPLER): documents are drawn with probability ∝ the
+    * target/raw likelihood ratio under HASHED n-gram feature models, so
+    * the selected set matches the seed domain's feature DISTRIBUTION
+    * instead of greedily taking the top scores (top-k overselects the
+    * mode; importance resampling keeps the tails in proportion).
+    *
+    *  1. Features: word bigrams hashed into `buckets` slots (the paper's
+    *     hashed n-grams — bounded model size regardless of vocabulary; the
+    *     portable md5-prefix hash, so the oracle replays it).
+    *  2. Models: add-one-smoothed bucket unigram models over the seed
+    *     slice (target) and the whole corpus (raw) — two hash-agg count
+    *     tables of `buckets` rows.
+    *  3. Importance weight: log w(doc) = Σ_f count_doc(f) · (ln p̂_t(f) −
+    *     ln p̂_r(f)) — per-term DECIMAL(38,18) capture, final round 6
+    *     (the t14/t34 cross-engine discipline).
+    *  4. Resampling: Gumbel-top-k (the paper's sampler — top-k by
+    *     log w + g, g = −ln(−ln u) with u the content-hash draw of
+    *     [[weightedSample]], so the "randomness" is reshuffle-stable and
+    *     engine-replayable), filled to `tokenBudget` by the same
+    *     distributed prefix-sum machinery as [[budgetSample]] — never a
+    *     single-partition global window.
+    *
+    * Scale shape: one bigram stream → two bucket-count hash-aggs
+    * (buckets-row model tables, broadcast back); per-doc weights are one
+    * more hash-agg over (doc, bucket); the budget fill rides
+    * [[Ranking.groupedPrefixSum]]. Work ∝ corpus tokens. */
+  def dsirResample(docs: DataFrame, tokenBudget: Long,
+      seedSource: String = "src0", buckets: Int = 1024): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val bg = docs.select(col("doc_id"), col("source"), tokens("text").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """CASE WHEN size(w) < 2
+          |THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |ELSE transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] AS w1, w[i+1] AS w2)) END""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("source"), expr(
+        "CAST(conv(substr(md5(concat(b.w1, ' ', b.w2)), 1, 8), 16, 10) " +
+          s"AS BIGINT) % $buckets").as("bkt"))
+      .localCheckpoint(eager = false) // feeds both models AND the weights
+    val cT = bg.where(col("source") === seedSource)
+      .groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val nT = bg.where(col("source") === seedSource)
+      .agg(count(lit(1)).as("nt"))
+    val cR = bg.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val nR = bg.agg(count(lit(1)).as("nr"))
+    val perDoc = bg.groupBy("doc_id", "bkt").agg(count(lit(1)).as("cnt"))
+      .join(cR, Seq("bkt")) // every doc bucket exists in the raw model
+      .join(cT, Seq("bkt"), "left")
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .withColumn("term", (col("cnt") *
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + buckets).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("nr") + buckets).cast("double"))))
+        .cast("decimal(38,18)"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("term")).cast("double"), 6).as("logratio"))
+    val scored = docs.select(col("doc_id"), col("source"),
+        size(tokens("text")).cast("bigint").as("n_tok"),
+        expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', " +
+          "text)), 1, 8), 16, 10) AS BIGINT)").as("u"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("logratio", coalesce(col("logratio"), lit(0.0d)))
+      // Gumbel-top-k: gkey = log w − ln(−ln u01); u01 ∈ (0,1) exactly
+      // representable (u + 0.5 halves never round in binary64 / 2^32)
+      .withColumn("gkey", round(col("logratio") -
+        log(-log((col("u") + lit(0.5d)) / lit(4294967296.0d))), 6))
+    Ranking.groupedPrefixSum(scored, lit(1), -col("gkey"), col("doc_id"),
+        col("n_tok"), outCol = "cum_before")
+      .where(col("cum_before") < tokenBudget)
+      .select("doc_id", "source", "n_tok", "logratio", "gkey", "cum_before")
+      .orderBy("doc_id")
+  }
+
   /** MOORE-LEWIS DOMAIN SELECTION (cross-entropy difference; Moore & Lewis,
     * ACL 2010): score every document by H_in(doc) − H_gen(doc) — its mean
     * surprisal under an IN-DOMAIN bigram LM (trained on the `seedSource`

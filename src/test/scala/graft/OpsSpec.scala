@@ -2085,4 +2085,39 @@ class OpsSpec extends AnyFunSuite {
     val tenSelf = Dedup.trimRepeatedSpans(selfDoc, 10).collect().head
     assert(tenSelf.getInt(2) == 0, "trimRepeatedSpans is cross-doc only")
   }
+
+  test("DSIR importance resampling: seed-domain docs are upweighted " +
+      "vs the uniform content-hash draw, deterministic across partitions") {
+    // full ranking (budget = everything) exposes the weights
+    val all = TextOps.dsirResample(docs, 100000000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
+        r.getDouble(4)))
+    assert(all.length == docs.count())
+    // the target model is trained on src0: src0 docs score a higher mean
+    // log importance ratio than the rest (their hashed-bigram features
+    // match the target distribution by construction)
+    val (seedS, restS) = all.partition(_._2 == "src0")
+    val seedMean = seedS.map(_._3).sum / seedS.length
+    val restMean = restS.map(_._3).sum / restS.length
+    assert(seedMean > restMean + 1.0,
+      s"seed mean $seedMean not above rest mean $restMean")
+    // under a tight budget the kept set OVERSELECTS the seed domain
+    // relative to its corpus share, where t18's uniform hash draw keeps
+    // every source at its base rate
+    val kept = TextOps.dsirResample(docs, 5000L).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.nonEmpty && kept.length < all.length)
+    val keptSeedFrac = kept.count(_._2 == "src0").toDouble / kept.length
+    val corpusSeedFrac = seedS.length.toDouble / all.length
+    assert(keptSeedFrac > 1.5 * corpusSeedFrac,
+      s"kept seed fraction $keptSeedFrac vs corpus $corpusSeedFrac")
+    val uniform = TextOps.weightedSample(docs,
+      Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0, "src3" -> 1.0,
+        "src4" -> 1.0)).collect()
+    assert(uniform.length == all.length) // keep-all: no domain pressure
+    // partitioning-invariant: the kept set replays identically
+    val again = TextOps.dsirResample(docs.repartition(17), 5000L).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSeq == again.toSeq)
+  }
 }
