@@ -657,6 +657,16 @@ object Similarity {
   def suggestedIvfLists(n: Long): Int =
     math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
 
+  /** Companion sizing for `nprobe` when `nlist` grows as √n: a FIXED probe
+    * count visits a vanishing fraction of cells (3 of 447 at 100× in the
+    * sweep — twin_hit fell off a cliff), while probing a fixed FRACTION
+    * re-linearizes the scan. √nlist probes scan n/√nlist = n^(3/4) rows —
+    * sublinear probe cost with cell coverage growing without bound. Used
+    * by the quantized IVF-PQ path; the EXACT [[knnIvfProbe]] needs no such
+    * knob (its Cauchy-Schwarz bound self-extends the probe set). */
+  def suggestedIvfProbes(nlist: Int): Int =
+    math.max(3, math.round(math.sqrt(nlist.toDouble)).toInt)
+
   /** Persist an [[IvfIndex]] as the parquet layout a production
     * registration writes once per ingest: `centroids/` (nlist rows of
     * (j, c)), `corpus/` PARTITIONED BY cell_n — so a probe's cell scans

@@ -110,7 +110,7 @@ object ScaleSweep {
       "text family (minhash_pairs/simhash_pairs/ngram_jaccard): banding keys live in 2^64 space, so buckets hold only genuine duplicate groups and pair work is ~linear in n with NO sizing knob — the structural contrast with hyperplane LSH's 2^bits buckets; planted recall (128 exact clones at jaccard 1.0, 128 one-token-appended near-dups ~0.97) proves the banding contract at every factor; the PPJoin SSJoin carries inherent sum-df^2 growth and is capped at 200k docs like the fixed embedding variants",
       "knn_pq (s12): one op = 16 subspace k-means trains + 8-byte encode + ADC lookup-table scan + exact re-rank of a fixed 100-candidate shortlist — every stage a linear corpus pass; twin_hit stays 1.0 while plain recall@10 decays with n at FIXED shortlist (more distractors per true neighbor), the documented PQ trade: recall is bought with shortlist width, memory stays 32x compressed",
       "knn_pq_auto / knn_lsh_auto / ivfpq_probe_auto wire suggestedShortlist(n,k) = max(4k, sqrt(n)) — the THIRD sizing knob: the shortlist (LSH: target bucket population) grows as sqrt(n), so recall@k holds across factors where the fixed-width rows decay; re-rank work stays O(sqrt n) per query",
-      "ivfpq (s14) composes the IVF coarse quantizer with PQ codes of RESIDUALS (Jegou et al. IVFADC): build = coarse kmeans + 16 residual-subspace kmeans + encode (linear, paid once per ingest); probe = nprobe of sqrt(n) cells x ADC lookups — per-query cost ~flat as n grows, vs knn_pq's full-corpus ADC scan growing linearly")
+      "ivfpq (s14) composes the IVF coarse quantizer with PQ codes of RESIDUALS (Jegou et al. IVFADC): build = coarse kmeans + 16 residual-subspace kmeans + encode (linear, paid once per ingest); probe = nprobe of sqrt(n) cells x ADC lookups with nprobe = suggestedIvfProbes(nlist) = sqrt(nlist) (fixed nprobe visits a vanishing cell fraction as nlist grows; sqrt keeps the scan at n^(3/4) rows — sublinear) — vs knn_pq's full-corpus ADC scan growing linearly; IVF-PQ is QUANTIZED (no exactness bound), so its recall@10 trails the exact-bound ivf_probe rows by construction")
       .map(s => "\"" + s + "\"")
     val json =
       s"""{"base":"$baseDir","threshold":$Threshold,"planted":{"pairs":$PlantedPairs,"cos":$PlantedCos},
@@ -361,9 +361,11 @@ object ScaleSweep {
       }
       time(probeName) {
         val shortlist = Similarity.suggestedShortlist(n, K)
-        val rows = Similarity.knnIvfPqProbe(idx, qids, K, nprobe = 3,
+        val nprobe = Similarity.suggestedIvfProbes(nlist)
+        val rows = Similarity.knnIvfPqProbe(idx, qids, K, nprobe = nprobe,
           shortlist = shortlist).collect()
         (rows.length, Map("nlist" -> nlist.toString,
+          "nprobe" -> nprobe.toString,
           "shortlist" -> shortlist.toString) ++ knnMetrics(sets(rows)))
       }
     }

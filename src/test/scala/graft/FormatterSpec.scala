@@ -54,6 +54,35 @@ class FormatterSpec extends AnyFunSuite {
     assert(sparse.rows.length < dense.rows.length)
   }
 
+  test("tidy CSV golden-file BYTE parity, dense and sparse (C5/C6/C8 — " +
+      "the reference's webshop_1.csv / webshop_1_sparse.csv contract)") {
+    // the committed goldens (src/test/resources/golden, regenerate via
+    // Test/runMain graft.GoldenGen) pin every serialization convention at
+    // once: ID/caption header pairs, hierarchical row order, EMPTY fields
+    // for null measures (never "null"/"0" — spec/fixtures/webshop_1.csv
+    // dragon 7), plain decimals without scientific notation, RFC-4180
+    // quoting, CRLF line ends. Any drift in planner order, densify
+    // domains, or cell formatting breaks the byte compare.
+    def golden(name: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/golden/$name").toURI)), "UTF-8")
+    def q(sparse: Boolean) = CubeQuery("sales",
+      Seq(drill("Part", "Part", "Brands"),
+        drill("ShipDate", "Month", "Monthly")),
+      Seq("revenue", "cnt"),
+      cuts = Seq(RangeCut(LevelRef("ShipDate", Some("Month"),
+        Some("Monthly")), 1, 3)),
+      nonempty = false, sparse = sparse)
+    val dense = Formatters.csv(Formatters.tidy(cat, q(sparse = false)))
+    assert(dense == golden("part_month_dense.csv"))
+    // the dense file must actually exercise the empty-cell convention
+    assert(dense.contains(",,\r\n"), "golden lost its empty cells")
+    val sparse = Formatters.csv(Formatters.tidy(cat, q(sparse = true)))
+    assert(sparse == golden("part_month_sparse.csv"))
+    assert(!sparse.contains(",,\r\n"))
+    assert(sparse.linesIterator.size < dense.linesIterator.size)
+  }
+
   test("dense + parents fills ancestor paths on empty combos (C1+C3)") {
     val rows = planner.Planner.plan(cat, CubeQuery("sales",
       Seq(drill("Geography", "Supplier"), drill("ShipDate", "Month", "Monthly")),
