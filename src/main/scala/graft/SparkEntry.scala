@@ -3736,7 +3736,8 @@ object SparkEntry {
          |  ORDER BY -gkey ASC, doc_id ASC
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |  AS cum_before FROM sc)
-         |SELECT doc_id, source, n_tok, logratio, gkey, cum_before
+         |SELECT doc_id, source, n_tok, logratio, gkey,
+         |  CAST(cum_before AS BIGINT) AS cum_before
          |FROM pre WHERE cum_before < 20000 ORDER BY doc_id""".stripMargin,
     // t18: u = first 8 md5 hex digits as an integer (Horner form — the same
     // instr-digit recipe as t07); the keep test compares exact integers
