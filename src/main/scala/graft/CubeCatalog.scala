@@ -222,7 +222,16 @@ final class CubeCatalog(
     * no-role call is the explicit opt-in to an UNRESTRICTED SQL surface. */
   def registerStarViews(role: Option[String] = None): Unit = {
     val rs = graft.planner.Roles.resolve(schema, role)
-    val suffix = role.fold("")(r => s"__$r")
+    // Mondrian role names are free text ("California manager") but temp
+    // view names must be identifiers: map non-identifier chars to '_' and,
+    // when that changed anything, append a stable hash so two roles that
+    // sanitize identically ("a b" vs "a_b") cannot collide on one view
+    // name and silently serve each other's rows.
+    val suffix = role.fold("") { r =>
+      val safe = r.replaceAll("[^A-Za-z0-9_]", "_")
+      if (safe == r) s"__$r"
+      else s"__${safe}_${(r.hashCode & 0x7fffffff).toHexString}"
+    }
     schema.cubes.foreach { c =>
       if (rs.forall(_.cubeVisible(c.name)))
         starFrame(c, role).createOrReplaceTempView(s"${c.name}_star$suffix")

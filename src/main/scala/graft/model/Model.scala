@@ -230,9 +230,16 @@ final case class VirtualCubeDef(
   *
   * @param level the hierarchy level the keys name
   * @param keys  member keys at that level (the level key expression's type)
+  * @param path  ancestor keys root→parent confining the grant to the
+  *              declared branch — `[Time].[1997].[Q1]` must grant Q1 of
+  *              1997 ONLY, even when the leaf key "Q1" repeats under every
+  *              year (Mondrian resolves the full unique name; a leaf-only
+  *              match would silently over-grant). Empty = match by leaf
+  *              key alone (fine for uniqueMembers levels).
   */
 final case class MemberGrantDef(level: String, keys: Seq[Any],
-    access: String) // "all" | "none"
+    access: String, // "all" | "none"
+    path: Seq[Any] = Nil)
 
 /** Access grant for one hierarchy of one dimension (ref Mondrian
   * `<HierarchyGrant>`).

@@ -300,13 +300,19 @@ object Similarity {
       queryIds: Seq[Long], k: Int, shortlist: Int = 20,
       dim: Int = 64): DataFrame = {
     val m = cbs.length
-    val ksub = cbs.head.length
     // mismatched codebooks would silently slice misaligned subspaces and
-    // return plausible-but-wrong neighbors — fail loudly instead
+    // return plausible-but-wrong neighbors — fail loudly instead (and
+    // BEFORE touching cbs.head: an empty array must hit the message, not
+    // a NoSuchElementException)
     require(m > 0 && dim % m == 0,
       s"dim $dim not divisible into $m codebook subspaces")
-    require(cbs.head.head.length == dim / m,
-      s"codebook sub-vector width ${cbs.head.head.length} != ${dim / m} (dim $dim / m $m)")
+    val ksub = cbs.head.length
+    cbs.zipWithIndex.foreach { case (cb, j) =>
+      require(cb.length == ksub,
+        s"codebook $j has ${cb.length} centroids, subspace 0 has $ksub")
+      require(cb.forall(_.length == dim / m),
+        s"codebook $j sub-vector width != ${dim / m} (dim $dim / m $m)")
+    }
     val sub = dim / m
     val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
     def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)

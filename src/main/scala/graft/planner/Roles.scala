@@ -133,10 +133,19 @@ object Roles {
       grants.map { g =>
         if (g.memberGrants.isEmpty) lit(true)
         else g.memberGrants.foldLeft(lit(false)) { (acc, mg) =>
-          val lvl = hier.level(mg.level).getOrElse(GraftException.badRequest(
-            s"member grant level '${mg.level}' not found in ${dim.name}.${hier.name}"))
-          when(expr(lvl.keyExpr).isin(mg.keys: _*), lit(mg.access == "all"))
-            .otherwise(acc)
+          val lvlIdx = hier.levels.indexWhere(_.name == mg.level)
+          if (lvlIdx < 0) GraftException.badRequest(
+            s"member grant level '${mg.level}' not found in ${dim.name}.${hier.name}")
+          val lvl = hier.levels(lvlIdx)
+          // ancestor path (root→parent keys) confines the grant to its
+          // declared branch: [Time].[1997].[Q1] must NOT also grant Q1 of
+          // other years when the leaf key repeats across parents
+          val anc = mg.path.takeRight(lvlIdx)
+          val cond = anc.zip(hier.levels.slice(lvlIdx - anc.length, lvlIdx))
+            .foldLeft(expr(lvl.keyExpr).isin(mg.keys: _*)) {
+              case (c, (k, al)) => c && expr(al.keyExpr) === lit(k)
+            }
+          when(cond, lit(mg.access == "all")).otherwise(acc)
         }
       }.reduce(_ || _)
 

@@ -440,9 +440,16 @@ object MondrianXml {
     * Spark sees an unresolvable qualifier over the registered frame, so
     * strip the fact-table prefix (and normalize double-quoted identifiers
     * to plain ones). */
-  private def stripTableQualifiers(sql: String, fact: String): String =
-    sql.replace(s"`$fact`.", "").replace(s""""$fact".""", "")
-      .replace(s"$fact.", "").replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "$1")
+  private def stripTableQualifiers(sql: String, fact: String): String = {
+    // word-boundary match only: an identifier that merely CONTAINS the
+    // fact name ("total_sales_fact.amount" for fact "sales_fact") must
+    // survive untouched
+    val f = java.util.regex.Pattern.quote(fact)
+    sql.replaceAll(s"`$f`\\.", "")
+      .replaceAll("\"" + f + "\"\\.", "")
+      .replaceAll(s"(?<![A-Za-z0-9_`\"])$f\\.", "")
+      .replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "$1")
+  }
 
   private sealed trait FormulaResult
   private final case class FormulaCalc(c: CalcMemberDef) extends FormulaResult
@@ -608,8 +615,11 @@ object MondrianXml {
         case None => // unknown cube (virtual-only grant) — positional name
           s"level${keys.length - 1}"
       }
+      // keys.init rides along as the ancestor path so the grant stays
+      // confined to its declared branch (leaf keys repeat across parents:
+      // [Time].[1997].[Q1] must not grant Q1 of 1998)
       MemberGrantDef(levelName, Seq(keys.last),
-        attr(mg, "access").getOrElse("all"))
+        attr(mg, "access").getOrElse("all"), path = keys.init)
     }
     HierarchyGrantDef(
       dim = dimName,

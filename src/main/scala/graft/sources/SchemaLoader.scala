@@ -219,7 +219,9 @@ object SchemaLoader {
           memberGrants = strSeq(hg, "memberGrants").map(mg =>
             MemberGrantDef(mg("level").toString,
               mg.getOrElse("keys", Seq.empty).asInstanceOf[Seq[Any]],
-              mg.getOrElse("access", "all").toString)))))))
+              mg.getOrElse("access", "all").toString,
+              path = mg.getOrElse("path", Seq.empty)
+                .asInstanceOf[Seq[Any]])))))))
 
   private def virtualDef(m: Map[String, Any]): VirtualCubeDef = VirtualCubeDef(
     name = m("name").toString,

@@ -5,7 +5,8 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.api.Server
-import graft.model.GraftException
+import graft.model.{CubeGrantDef, GraftException, HierarchyGrantDef,
+  MemberGrantDef, RoleDef}
 import graft.planner._
 import graft.result.Json
 import SparkTestSession.{catalog => cat, spark}
@@ -122,6 +123,43 @@ class RoleSpec extends AnyFunSuite {
     val minus = Planner.plan(cat, q("emea_minus_one"))
       .collect()(0).getDouble(0)
     assert(minus < visibleSales)
+  }
+
+  test("member-grant ancestor path confines the grant to its branch " +
+      "(leaf keys repeat across parents)") {
+    // ShipDate.Monthly: Quarter keys 1..4 repeat under EVERY year — a
+    // leaf-only grant on [1995].[Q1] would silently grant Q1 of all seven
+    // years. The `path` carries the ancestors into the membership
+    // predicate (ref Mondrian full-unique-name grant resolution).
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings",
+      "supp_geo", "cust_geo").map(n => n -> cat.table(n)).toMap
+    def grantCat(path: Seq[Any]) = new CubeCatalog(spark,
+      cat.schema.copy(roles = Seq(RoleDef("q1g", cubeGrants = Seq(
+        CubeGrantDef("sales", "all", Seq(HierarchyGrantDef("ShipDate",
+          hierarchy = Some("Monthly"), rollupPolicy = "partial",
+          memberGrants = Seq(
+            MemberGrantDef("Quarter", Seq(1), "all", path))))))))),
+      tables)
+    def yearsOf(c: CubeCatalog) = Planner.plan(c, CubeQuery("sales",
+        Seq(drill("ShipDate", "Year", "Monthly")), Seq("revenue"),
+        role = Some("q1g"))).collect()
+      .map(_.getAs[Int]("ship_year")).toSet
+    // WITH the path: only 1995 is visible, and the partial total is
+    // exactly the 1995-Q1 recompute
+    assert(yearsOf(grantCat(Seq(1995))) == Set(1995))
+    val got = Planner.plan(grantCat(Seq(1995)), CubeQuery("sales", Nil,
+      Seq("revenue"), role = Some("q1g"))).collect()(0).getDouble(0)
+    val truth = cat.table("lineitem")
+      .filter(expr("year(l_shipdate) = 1995 AND quarter(l_shipdate) = 1"))
+      .agg(sum(expr(
+        "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))"))
+        .cast("double"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - truth) < 1e-6)
+    // WITHOUT a path the same grant matches Q1 of every year — the
+    // over-grant the path exists to prevent
+    assert(yearsOf(grantCat(Nil)).size > 1)
   }
 
   test("level band: drilling outside topLevel..bottomLevel is a 403") {

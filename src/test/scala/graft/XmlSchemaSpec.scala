@@ -166,10 +166,12 @@ class XmlSchemaSpec extends AnyFunSuite {
     assert(store.access == "custom")
     assert(store.topLevel.contains("Store Country"))
     // member path depth resolves the level: [Store].[USA].[CA] = depth 2
-    // → Store State; the later Los Angeles deny overrides (order kept)
+    // → Store State; the later Los Angeles deny overrides (order kept);
+    // ancestors ride along as the confining path (no leaf-only over-grant)
     assert(store.memberGrants == Seq(
-      MemberGrantDef("Store State", Seq("CA"), "all"),
-      MemberGrantDef("Store City", Seq("Los Angeles"), "none")))
+      MemberGrantDef("Store State", Seq("CA"), "all", Seq("USA")),
+      MemberGrantDef("Store City", Seq("Los Angeles"), "none",
+        Seq("USA", "CA"))))
     val cust = cg.hierarchyGrants.find(_.dim == "Customers").get
     assert(cust.topLevel.contains("State Province") &&
       cust.bottomLevel.contains("City"))
