@@ -1154,6 +1154,15 @@ object SparkEntry {
           Seq(drill("Geography", "Nation")),
           Seq("total_sales", "order_count", "customer_count", "avg_order")))
       }),
+      // B18 × XML (ref Mondrian <Role>/<MemberGrant> grammar): the apac
+      // role grants five nations and denies customer 43 ONLY under nation
+      // 8 — the ancestor path keeps a same-keyed customer elsewhere
+      // visible (the over-grant regression)
+      "q83_xml_role" -> ((s: SparkSession, dir: String) => {
+        Planner.plan(xmlCatalogFor(s, dir), CubeQuery("orders_xml",
+          Seq(drill("Geography", "Nation")),
+          Seq("total_sales", "order_count"), role = Some("apac")))
+      }),
       // BOTTOMPERCENT: the ASCENDING-by-measure prefix covering the share
       // — the long-tail complement of q65's Pareto cut
       "q80_mdx_bottompercent" -> ((s: SparkSession, dir: String) => {
@@ -4440,6 +4449,19 @@ object SparkEntry {
          |    / COUNT(o_orderkey) AS avg_order
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q83: the XML-declared apac role — grants nations {8,9,12,18,21},
+    // denies customer 43 only under nation 8 (ancestor-confined deny);
+    // partial policy = plain WHERE on the oracle side
+    "q83_xml_role" ->
+      s"""SELECT n_nationkey AS geography_nation,
+         |  n_name AS geography_nation_label,
+         |  ${sumd("o_totalprice", "total_sales")},
+         |  COUNT(o_orderkey) AS order_count
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE n_nationkey IN (8, 9, 12, 18, 21)
+         |  AND NOT (n_nationkey = 8 AND c_custkey = 43)
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q80: q65 with the window order flipped ASC — the ascending prefix
     // whose cumulative share stays under 10% of the set total
