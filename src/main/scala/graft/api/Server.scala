@@ -11,6 +11,7 @@ import graft.model.{CubeDef, GraftException}
 import graft.planner.{LevelRef, Planner, QueryParser, Roles}
 import graft.planner.Roles.RoleSet
 import graft.result._
+import graft.sources.{MondrianXml, SchemaLoader}
 
 /** REST surface — the analog of the reference's Grape API (§2.D, api.rb).
   * Built on the JDK's HttpServer (zero extra dependencies); the engine below
@@ -31,10 +32,30 @@ import graft.result._
   *   GET /flush                                    drop catalog caches
   */
 final class Server(spark: SparkSession, sfDir: String, port: Int,
-    flushSecret: Option[String] = sys.env.get("GRAFT_SECRET")) {
+    flushSecret: Option[String] = sys.env.get("GRAFT_SECRET"),
+    catalogXml: Option[String] = None) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
-  @volatile private var catalog: CubeCatalog = CubeCatalog.forDir(spark, sfDir)
+
+  // Catalog-XML deployment contract (ref spec_helper.rb:45 `catalog:` /
+  // mondrian_rest.rb:7-12 — mondrian-rest boots by pointing the server at
+  // a Mondrian schema XML): every table the XML names resolves to an
+  // already-registered session table, else `<sfDir>/<name>.parquet`.
+  // Formulas the translator skipped are kept for /cubes?debug=true so a
+  // migrating user sees exactly what did not carry over.
+  @volatile private var skippedFormulas: Seq[MondrianXml.SkippedFormula] = Nil
+  private def loadCatalog(): CubeCatalog = catalogXml match {
+    case Some(path) =>
+      val parsed = MondrianXml.parseFile(path)
+      skippedFormulas = parsed.skipped
+      val tables = parsed.requiredTables.map { t =>
+        t -> (if (spark.catalog.tableExists(t)) spark.table(t)
+              else spark.read.parquet(s"$sfDir/$t.parquet"))
+      }.toMap
+      SchemaLoader.bindXml(spark, parsed, tables)
+    case None => CubeCatalog.forDir(spark, sfDir)
+  }
+  @volatile private var catalog: CubeCatalog = loadCatalog()
 
   // Concurrent request handling: the Spark driver schedules jobs from many
   // threads fine, and metadata endpoints shouldn't queue behind a long
@@ -130,8 +151,16 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
       text(200, "application/json", Json.write(ListMap(
         "status" -> "ok", "engine" -> "graft", "schema" -> cat.schema.name)))
     case List("cubes") =>
-      text(200, "application/json",
-        Json.write(Metadata.schemaDict(cat, roleOf(cat, params))))
+      val base = Metadata.schemaDict(cat, roleOf(cat, params))
+      // debug=true on an XML-booted server reports the formulas the
+      // translator could not carry over (never a silent drop)
+      val dict =
+        if (params.get("debug").exists(_.headOption.contains("true")))
+          base + ("skipped_formulas" -> skippedFormulas.map(s => ListMap(
+            "cube" -> s.cube, "name" -> s.name, "formula" -> s.formula,
+            "reason" -> s.reason)))
+        else base
+      text(200, "application/json", Json.write(dict))
     case List("cubes", c) =>
       val role = roleOf(cat, params)
       cat.schema.virtualCube(c) match {
@@ -217,7 +246,7 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
         secret.getBytes(StandardCharsets.UTF_8)))
       if (!ok) GraftException.forbidden("invalid secret key")
       CubeCatalog.flush()
-      catalog = CubeCatalog.forDir(spark, sfDir)
+      catalog = loadCatalog()
       text(200, "application/json", Json.write(ListMap("status" -> "flushed")))
     case _ => GraftException.notFound(s"no route for /${segs.mkString("/")}")
   }
@@ -440,11 +469,20 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
   }
 }
 
-/** `runMain graft.api.ServerMain [sfDir] [port]` — serve the engine. */
+/** `runMain graft.api.ServerMain [--catalog schema.xml] [sfDir] [port]` —
+  * serve the engine. With `--catalog` the cube model comes from a Mondrian
+  * schema XML (the reference's deployment contract, spec_helper.rb:45);
+  * each table the XML names binds to `<sfDir>/<name>.parquet` (or an
+  * already-registered session table). Without it, the built-in JSON/code
+  * catalog for the data directory. */
 object ServerMain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val port = args.lift(1).map(_.toInt).getOrElse(4567)
+    val (catalogXml, rest) = args.toList match {
+      case "--catalog" :: path :: tail => (Some(path), tail)
+      case other => (None, other)
+    }
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = rest.lift(1).map(_.toInt).getOrElse(4567)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -453,9 +491,10 @@ object ServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = new Server(spark, sfDir, port)
+    val server = new Server(spark, sfDir, port, catalogXml = catalogXml)
     server.start()
-    println(s"[graft] serving $sfDir on http://localhost:${server.boundPort}")
+    val src = catalogXml.map(x => s"catalog $x over ").getOrElse("")
+    println(s"[graft] serving $src$sfDir on http://localhost:${server.boundPort}")
     Thread.currentThread().join()
   }
 }

@@ -433,4 +433,55 @@ class ApiSpec extends AnyFunSuite {
       assert(nValues(forced) == nValues(dense))
     } finally System.clearProperty("graft.sparseDefault")
   }
+
+  test("server boots from a Mondrian catalog XML (ref spec_helper.rb:45): " +
+      "metadata, aggregate, role header, skipped-formula debug report") {
+    val xml = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/tpch_orders.xml"), "UTF-8")
+      .mkString
+    val tmp = java.nio.file.Files.createTempFile("graft-cat", ".xml")
+    java.nio.file.Files.write(tmp,
+      xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val s = new Server(spark, SparkTestSession.sf, 0, flushSecret = None,
+      catalogXml = Some(tmp.toString))
+    s.start()
+    val b = s"http://localhost:${s.boundPort}"
+    def getAt(path: String): (Int, String) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(b + path)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      // metadata comes from the XML-declared schema
+      val (c1, body1) = getAt("/cubes")
+      assert(c1 == 200)
+      val doc = Json.parse(body1).asInstanceOf[Map[String, Any]]
+      assert(doc("name") == "TpchXml")
+      assert(doc("cubes").asInstanceOf[Seq[Map[String, Any]]]
+        .map(_("name")) == Seq("orders_xml"))
+      // the aggregation route answers over the XML-bound star
+      val (c2, body2) = getAt("/cubes/orders_xml/aggregate?" +
+        "drilldown%5B%5D=Geography.Nation&measures%5B%5D=total_sales")
+      assert(c2 == 200)
+      val agg = Json.parse(body2).asInstanceOf[Map[String, Any]]
+      assert(agg("values").asInstanceOf[Seq[Any]].length == 25)
+      // the XML-declared role rides the normal role param
+      val (c3, body3) = getAt("/cubes/orders_xml/aggregate?" +
+        "drilldown%5B%5D=Geography.Nation&measures%5B%5D=total_sales&" +
+        "role=apac")
+      assert(c3 == 200)
+      assert(Json.parse(body3).asInstanceOf[Map[String, Any]]("values")
+        .asInstanceOf[Seq[Any]].length == 5)
+      // debug=true reports anything the formula translator skipped (this
+      // catalog translates fully → present and empty)
+      val (c4, body4) = getAt("/cubes?debug=true")
+      assert(c4 == 200)
+      assert(Json.parse(body4).asInstanceOf[Map[String, Any]]
+        .contains("skipped_formulas"))
+    } finally {
+      s.stop()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
 }
