@@ -102,11 +102,18 @@ object Agg {
   *              cluster sizes (100 TB determinism).
   */
 final case class MeasureDef(name: String, alias: String, agg: Agg, expr: String,
-    exact: Boolean = true)
+    exact: Boolean = true,
+    // presentation metadata the reference serves verbatim (Mondrian
+    // formatString attr; <Annotations> — ref mondrian_ext.rb:66-80):
+    // graft does not render them, clients do
+    formatString: Option[String] = None,
+    annotations: Map[String, String] = Map.empty)
 
 /** Post-aggregation calculated member: formula over measure/calc aliases
-  * (ref foodmart.xml:345-350 Profit = Store Sales - Store Cost). */
-final case class CalcMemberDef(alias: String, formula: String)
+  * (ref foodmart.xml:345-350 Profit = Store Sales - Store Cost).
+  * `formatString` carries a CalculatedMemberProperty FORMAT_STRING. */
+final case class CalcMemberDef(alias: String, formula: String,
+    formatString: Option[String] = None)
 
 /** PREVMEMBER-style lag measure (ref foodmart.xml:351-366): lag of `base`
   * over the time hierarchy's member order, partitioned by all other axis
@@ -188,7 +195,9 @@ final case class SetAggMeasureDef(alias: String, base: String, dim: String,
 
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,
-    byMeasure: String)
+    byMeasure: String,
+    // ref api_spec.rb:40: named-set <Annotations> are served verbatim
+    annotations: Map[String, String] = Map.empty)
 
 final case class CubeDef(
     name: String,
@@ -203,7 +212,8 @@ final case class CubeDef(
     rankMeasures: Seq[RankMeasureDef] = Nil,
     setAggMeasures: Seq[SetAggMeasureDef] = Nil,
     namedSets: Seq[NamedSetDef] = Nil,
-    defaultMeasure: Option[String] = None) {
+    defaultMeasure: Option[String] = None,
+    annotations: Map[String, String] = Map.empty) {
   def dimension(n: String): Option[DimensionDef] = dimensions.find(_.name == n)
   def measure(n: String): Option[MeasureDef] =
     measures.find(m => m.name == n || m.alias == n)

@@ -49,16 +49,24 @@ object Metadata {
     "caption" -> m.name,
     "alias" -> m.alias,
     "aggregator" -> aggName(m.agg),
-    "annotations" -> ListMap.empty[String, Any])
+    // declared presentation metadata served verbatim (ref
+    // mondrian_ext.rb:66-80): clients render format_string, graft doesn't
+    "format_string" -> m.formatString.orNull,
+    "annotations" -> m.annotations)
 
   def namedSetDict(ns: NamedSetDef): ListMap[String, Any] = ListMap(
     "name" -> ns.name,
     "dimension" -> ns.dim,
     "level" -> ns.level,
-    "annotations" -> ListMap("top_k" -> ns.k, "by_measure" -> ns.byMeasure))
+    // declared <Annotations> first (ref api_spec.rb:40), then graft's
+    // own top_k/by_measure descriptors (disambiguated if a declared key
+    // collides)
+    "annotations" -> (ns.annotations ++
+      ListMap("top_k" -> ns.k, "by_measure" -> ns.byMeasure)))
 
   def cubeDict(c: CubeDef): ListMap[String, Any] = ListMap(
     "name" -> c.name,
+    "annotations" -> c.annotations,
     "dimensions" -> c.dimensions.map(dimensionDict),
     "measures" -> c.measures.map(measureDict),
     "calculated_members" -> (c.calcMembers.map(_.alias) ++

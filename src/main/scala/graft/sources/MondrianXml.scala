@@ -44,8 +44,10 @@ import graft.model._
   *                                  grants override — Mondrian nesting)
   *
   * Deliberately IGNORED (with reasons, not silently dropped semantics):
-  *   formatString / CalculatedMemberProperty / Annotation — presentation
-  *     hints graft's REST layer doesn't render;
+  *   CalculatedMemberProperty other than FORMAT_STRING — Mondrian
+  *     rendering hints graft's REST layer doesn't evaluate (formatString
+  *     and <Annotations> ARE carried and served verbatim in metadata,
+  *     ref mondrian_ext.rb:37-80 / api_spec.rb:40);
   *   AggName/AggExclude — Mondrian's hand-declared aggregate-table routing;
   *     graft's B17 rollup registry + advisor replaces this mechanism;
   *   visible="false" — graft surfaces every declared member (the reference
@@ -144,6 +146,15 @@ object MondrianXml {
 
   private def boolAttr(el: Element, name: String, default: Boolean): Boolean =
     attr(el, name).map(_.toBoolean).getOrElse(default)
+
+  /** `<Annotations><Annotation name="k">v</Annotation>…</Annotations>` —
+    * served verbatim in metadata (ref mondrian_ext.rb:46-52, the
+    * annotation map the reference exposes on cubes/named sets/members). */
+  private def parseAnnotations(el: Element): Map[String, String] =
+    children(el, "Annotations").headOption.map { a =>
+      ListMap(children(a, "Annotation").flatMap(an =>
+        attr(an, "name").map(_ -> an.getTextContent.trim)): _*)
+    }.getOrElse(Map.empty)
 
   /** `<X><SQL dialect="…">…</SQL></X>` → the hive || generic || first
     * dialect's text (Spark SQL is Hive-compatible; Mondrian's generic
@@ -386,7 +397,9 @@ object MondrianXml {
         GraftException.badRequest(
           s"cube '$name': measure '$mn' has unknown aggregator " +
             s"'${attr(m, "aggregator").getOrElse("")}'"))
-      MeasureDef(mn, san(mn), agg, ex)
+      MeasureDef(mn, san(mn), agg, ex,
+        formatString = attr(m, "formatString"),
+        annotations = parseAnnotations(m))
     }
 
     // calculated members translate in document order so later formulas can
@@ -407,8 +420,13 @@ object MondrianXml {
             .map(_.getTextContent.trim))
           .getOrElse(GraftException.badRequest(
             s"cube '$name': calculated member '$cn' without formula"))
+        // <CalculatedMemberProperty name="FORMAT_STRING" value="$#,##0.00"/>
+        val fmt = children(cm, "CalculatedMemberProperty")
+          .find(p => attr(p, "name").contains("FORMAT_STRING"))
+          .flatMap(attr(_, "value"))
         translateFormula(formula, san(cn), aliasMap.toMap) match {
-          case FormulaCalc(c) => calcAcc += c; aliasMap += cn -> c.alias
+          case FormulaCalc(c) =>
+            calcAcc += c.copy(formatString = fmt); aliasMap += cn -> c.alias
           case FormulaLag(l) => lagAcc += l; aliasMap += cn -> l.alias
           case FormulaSkip(reason) =>
             skippedAcc += SkippedFormula(name, cn, formula, reason)
@@ -423,7 +441,8 @@ object MondrianXml {
         children(ns, "Formula").headOption.map(_.getTextContent.trim))
         .getOrElse("")
       parseTopCount(formula, aliasMap.toMap) match {
-        case Some((dim, level, k, by)) => Some(NamedSetDef(nn, dim, level, k, by))
+        case Some((dim, level, k, by)) => Some(NamedSetDef(nn, dim, level, k, by,
+          annotations = parseAnnotations(ns)))
         case None =>
           skippedAcc += SkippedFormula(name, nn, formula,
             "named set formula is not TopCount(<level>.Members, k, <measure>)")
@@ -432,7 +451,8 @@ object MondrianXml {
     }
 
     CubeDef(name, fact, dims.toSeq, measures, calcAcc.toList, lagAcc.toList,
-      namedSets = namedSets, defaultMeasure = attr(el, "defaultMeasure"))
+      namedSets = namedSets, defaultMeasure = attr(el, "defaultMeasure"),
+      annotations = parseAnnotations(el))
   }
 
   /** Mondrian generic-dialect SQL qualifies fact columns as

@@ -169,9 +169,12 @@ object SchemaLoader {
     measures = strSeq(m, "measures").map(mm => MeasureDef(
       mm("name").toString, mm("alias").toString,
       aggOf(mm("aggregator").toString), mm("expr").toString,
-      exact = mm.getOrElse("exact", true).asInstanceOf[Boolean])),
+      exact = mm.getOrElse("exact", true).asInstanceOf[Boolean],
+      formatString = opt(mm, "formatString"),
+      annotations = annotationsOf(mm))),
     calcMembers = strSeq(m, "calculatedMembers").map(cm =>
-      CalcMemberDef(cm("alias").toString, cm("formula").toString)),
+      CalcMemberDef(cm("alias").toString, cm("formula").toString,
+        formatString = opt(cm, "formatString"))),
     lagMeasures = strSeq(m, "lagMeasures").map(lm => LagMeasureDef(
       lm("alias").toString, lm("base").toString, lm("timeDimension").toString,
       coalesceToBase = lm.getOrElse("coalesceToBase", false)
@@ -188,8 +191,14 @@ object SchemaLoader {
       mm("periods").asInstanceOf[Long].toInt)),
     namedSets = strSeq(m, "namedSets").map(ns => NamedSetDef(
       ns("name").toString, ns("dimension").toString, ns("level").toString,
-      ns("topK").asInstanceOf[Long].toInt, ns("byMeasure").toString)),
-    defaultMeasure = opt(m, "defaultMeasure"))
+      ns("topK").asInstanceOf[Long].toInt, ns("byMeasure").toString,
+      annotations = annotationsOf(ns))),
+    defaultMeasure = opt(m, "defaultMeasure"),
+    annotations = annotationsOf(m))
+
+  private def annotationsOf(m: Map[String, Any]): Map[String, String] =
+    m.getOrElse("annotations", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
 
   /** B18 roles (ref Mondrian `<Role>` schema element; see
     * [[graft.planner.Roles]] for enforcement semantics). JSON shape:

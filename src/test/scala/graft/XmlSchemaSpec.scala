@@ -61,6 +61,14 @@ class XmlSchemaSpec extends AnyFunSuite {
     assert(sales.calcMembers(1).formula ==
       "(profit - profit_last_period) / profit_last_period")
     assert(sales.defaultMeasure.contains("Unit Sales"))
+    // presentation metadata carried verbatim for clients to render:
+    // cube <Annotations> (foodmart.xml:121-127), measure formatString,
+    // and a CalculatedMemberProperty FORMAT_STRING on Profit
+    assert(sales.annotations("caption.de_DE") == "Verkaufen")
+    assert(sales.annotations("description.fr_FR") == "Cube des ventes")
+    assert(sales.measure("Store Sales").get.formatString.contains("#,###.00"))
+    assert(sales.measure("Unit Sales").get.formatString.contains("Standard"))
+    assert(sales.calcMembers.head.formatString.contains("$#,##0.00"))
     // Time: TimeDimension, two hierarchies, Monthly hasAll=false
     val time = sales.dimension("Time").get
     assert(time.isTime)
@@ -143,8 +151,10 @@ class XmlSchemaSpec extends AnyFunSuite {
   test("foodmart named set + virtual cube translate") {
     val c = fixture("foodmart.xml").getOrElse(cancel("fixture unavailable"))
     val wh = c.schema.cube("Warehouse").get
+    // the named-set <Annotations> ride along verbatim (ref api_spec.rb:40)
     assert(wh.namedSets == Seq(NamedSetDef("Top Sellers", "Warehouse",
-      "Warehouse Name", 5, "warehouse_sales")))
+      "Warehouse Name", 5, "warehouse_sales",
+      annotations = Map("named_set_annotation" -> "Named Set Annotation"))))
     val vc = c.schema.virtualCube("Warehouse and Sales").get
     val byCube = vc.cubeMeasures.toMap
     // Sales contributes 4 measures + 2 calc aliases (Profit, Profit Growth)
