@@ -401,7 +401,10 @@ object Similarity {
     *               [[saveIvfIndex]]'s layout, codes 32× smaller than v_n
     */
   final case class IvfPqIndex(cs: Array[Array[Double]],
-      cbs: Array[Array[Array[Double]]], corpus: DataFrame)
+      cbs: Array[Array[Array[Double]]], corpus: DataFrame,
+      // per-cell max residual norm (nlist rows): the same Cauchy-Schwarz
+      // probe bound [[IvfIndex]] carries, enabling θ-bound probing
+      cellRes: DataFrame)
 
   /** Build the IVF-PQ index: coarse k-means, one assignment pass,
     * per-subspace k-means on RESIDUALS, one encode pass. Every stage is
@@ -432,7 +435,16 @@ object Similarity {
       .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
         col("v").as("v_n"), col("codes"))
       .localCheckpoint()
-    IvfPqIndex(cs, cbs, corpus)
+    // nlist-row probe-bound table, straight off the residuals already in
+    // hand (the IvfIndex recipe)
+    val cellRes = res
+      .withColumn("r2", aggregate(col("r"), lit(0.0),
+        (a, x) => a + x * x))
+      .groupBy("cell")
+      .agg(sqrt(max(col("r2"))).as("max_res"))
+      .select(col("cell").as("cell_n"), col("max_res"))
+      .localCheckpoint()
+    IvfPqIndex(cs, cbs, corpus, cellRes)
   }
 
   /** Probe an [[IvfPqIndex]]: rank cells by coarse score, scan the top
@@ -444,8 +456,9 @@ object Similarity {
     * economics: probe cost ~flat as the corpus grows with √n-sized nlist
     * while the resident index stays 32× compressed. */
   def knnIvfPqProbe(idx: IvfPqIndex, queryIds: Seq[Long], k: Int,
-      nprobe: Int = 3, shortlist: Int = 20): DataFrame = {
-    val IvfPqIndex(cs, cbs, corpus) = idx
+      nprobe: Int = 3, shortlist: Int = 20, boundProbe: Boolean = false)
+      : DataFrame = {
+    val IvfPqIndex(cs, cbs, corpus, cellRes) = idx
     val m = cbs.length
     val ksub = cbs.head.length
     val sub = cbs.head.head.length
@@ -467,25 +480,52 @@ object Similarity {
         dot(col("v_q"), col("c")).as("cdot"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cdot").desc, col("cell_q").desc)
-    val probes = qcells.withColumn("__r", row_number().over(probeW))
+    // ADC scan of a probe set + exact re-rank of the shortlist — the
+    // shared per-phase kernel
+    def adcRerank(probes: DataFrame): DataFrame = {
+      val qscored = corpus.join(broadcast(probes),
+          col("cell_q") === col("cell_n") &&
+            col("query_id") =!= col("neighbor_id"))
+        // adc = q·c_cell + Σ_j lut[j][code_j]; the Σ is the same left fold
+        // as pqKnnWith, added AFTER (0.0 + t0 ≡ t0, so the grouping matches
+        // the oracle's `cdot + (t0 + t1 + …)` exactly)
+        .withColumn("adc", col("cdot") + aggregate(
+          zip_with(col("codes"), col("lut"),
+            (cd, l) => element_at(l, cd + 1)),
+          lit(0.0d), (acc, x) => acc + x))
+      val short = graft.plans.GroupedTopK.topK(
+        qscored.select("query_id", "neighbor_id", "adc", "v_q", "v_n"),
+        Seq(col("query_id")), Seq(col("adc").desc, col("neighbor_id").asc),
+        shortlist)
+      short.withColumn("sim", dot(col("v_q"), col("v_n")))
+    }
+    val seeds = qcells.withColumn("__r", row_number().over(probeW))
       .where(col("__r") <= nprobe)
       .select("query_id", "v_q", "lut", "cell_q", "cdot")
-    val qscored = corpus.join(broadcast(probes),
-        col("cell_q") === col("cell_n") &&
-          col("query_id") =!= col("neighbor_id"))
-      // adc = q·c_cell + Σ_j lut[j][code_j]; the Σ is the same left fold
-      // as pqKnnWith, added AFTER (0.0 + t0 ≡ t0, so the grouping matches
-      // the oracle's `cdot + (t0 + t1 + …)` exactly)
-      .withColumn("adc", col("cdot") + aggregate(
-        zip_with(col("codes"), col("lut"),
-          (cd, l) => element_at(l, cd + 1)),
-        lit(0.0d), (acc, x) => acc + x))
-    val short = graft.plans.GroupedTopK.topK(
-      qscored.select("query_id", "neighbor_id", "adc", "v_q", "v_n"),
-      Seq(col("query_id")), Seq(col("adc").desc, col("neighbor_id").asc),
-      shortlist)
-    val rescored = short.withColumn("sim", dot(col("v_q"), col("v_n")))
-    topKPerQuery(rescored, k).orderBy("query_id", "rank")
+    if (!boundProbe)
+      topKPerQuery(adcRerank(seeds), k).orderBy("query_id", "rank")
+    else {
+      // θ-bound second phase (the [[knnIvfProbe]] exactness recipe applied
+      // to the compressed scan): the seed cells' EXACT re-ranked k-th score
+      // is a lower bound on the answer; any vector with sim > θ lives in a
+      // cell with q·c_j + max‖r‖_j ≥ θ, so probing every bound-passing cell
+      // removes the coarse-probe recall loss entirely. What remains is only
+      // ADC shortlist truncation INSIDE probed cells — the loss the
+      // √n-grown shortlist bounds. A query with < k seed candidates probes
+      // every non-empty cell.
+      val theta = topKPerQuery(adcRerank(seeds), k)
+        .groupBy("query_id")
+        .agg(min(col("sim")).as("kth"), count(lit(1)).as("nc"))
+        .select(col("query_id"),
+          when(col("nc") < k, lit(-2.0)).otherwise(col("kth")).as("theta"))
+      val probes = qcells
+        .join(broadcast(cellRes), col("cell_q") === col("cell_n"))
+        .join(broadcast(theta), Seq("query_id"), "left")
+        .where(col("cdot") + col("max_res") + lit(1e-9) >=
+          coalesce(col("theta"), lit(-2.0)))
+        .select("query_id", "v_q", "lut", "cell_q", "cdot")
+      topKPerQuery(adcRerank(probes), k).orderBy("query_id", "rank")
+    }
   }
 
   /** Per-label centroids, element-wise (posexplode → per-position exact
@@ -859,27 +899,69 @@ object Similarity {
     topKPerQuery(scored, k).orderBy("query_id", "rank")
   }
 
-  /** [[knnLshMulti]] with the PRODUCTION SIZING wired in: bits from
-    * [[graft.ops.Dedup.suggestedLshBits]] pin bucket population at
-    * ~targetBucket as the corpus grows (per-query probe work stays
-    * O(T·targetBucket), not O(n/2^bits_fixed)), and tables from
-    * [[graft.ops.Dedup.suggestedLshTables]] hold the find probability for
-    * neighbors at the (targetCos, targetRecall) design point as bits grow.
-    * `targetBucket ≤ 0` (the default) derives the bucket population from
-    * [[suggestedShortlist]] — the candidate pool per table grows as √n, so
-    * recall@k holds as the corpus grows instead of decaying with a fixed
-    * pool (the third sizing knob). Neighbors far below targetCos keep the
-    * plain hyperplane miss rate — that is LSH's contract, not a sizing
-    * defect. Returns (frame, bits, tables). */
-  def knnLshAuto(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      targetBucket: Int = 0, targetCos: Double = 0.9,
-      targetRecall: Double = 0.95, dim: Int = 64): (DataFrame, Int, Int) = {
+  /** Estimate the cosine of the k-th true neighbor for this query workload
+    * from a deterministic hash-sample of the corpus: |Q| × sample dot
+    * products (sample ≤ ~8k rows — negligible next to one probe pass, and
+    * broadcast-joined, so it costs one corpus scan at any n). The sample's
+    * k-th best UNDERESTIMATES the full corpus's k-th best (fewer
+    * candidates), which is the conservative direction for sizing — an LSH
+    * design point slightly below the true operating cosine buys slightly
+    * MORE tables than needed, never fewer. Returns the median across
+    * queries, clamped to (0.05, 0.99). */
+  def calibratedKthCos(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      sampleTarget: Int = 8192): Double = {
     val n = emb.count()
+    val e = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    val step = math.max(1L, n / math.max(1, sampleTarget))
+    val sample = e.where(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("v_n"))
+    val queries = e.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"))
+    val scored = sample.crossJoin(broadcast(queries))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("v_q"), col("v_n")))
+    val kth = topKPerQuery(scored, k).where(col("rank") === k)
+      .select("sim").collect().map(_.getDouble(0))
+    if (kth.isEmpty) 0.5
+    else math.min(0.99, math.max(0.05, kth.sorted.apply(kth.length / 2)))
+  }
+
+  /** [[knnLshMulti]] with the PRODUCTION SIZING wired in — and the sizing
+    * CALIBRATED TO THE DATA: the failure mode of a fixed design cosine is
+    * that most true top-k neighbors of a real workload sit far below it
+    * (on an isotropic corpus the k-th neighbor is ~3σ of a N(0, 1/dim)
+    * cosine), so tables sized for cos 0.9 under-amplify and recall@k
+    * DECAYS as bits grow with the corpus. Here the design point is
+    * [[calibratedKthCos]] — the cosine the workload's k-th neighbors
+    * actually have — unless the caller pins `targetCos > 0`.
+    *
+    * Sizing solves for (bits, tables) under a table budget: bits start at
+    * the √n bucket-population point ([[graft.ops.Dedup.suggestedLshBits]]
+    * of [[suggestedShortlist]]) and SHRINK until T(bits) =
+    * ⌈ln(1−R)/ln(1−p^bits)⌉ fits `maxTables` — trading bucket size for
+    * table count so the recall target HOLDS at every corpus size instead
+    * of being silently abandoned when the table formula caps. On clustered
+    * real-world embeddings p is large and the √n point fits as-is; on
+    * isotropic data the sizing honestly degrades toward a scan (the ANN
+    * lower bound, not an implementation limit — the planted twins at cos
+    * 0.95 stay found either way, see twin_hit in BENCH_scaling.json).
+    * Returns (frame, bits, tables). */
+  def knnLshAuto(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      targetBucket: Int = 0, targetCos: Double = 0.0,
+      targetRecall: Double = 0.95, dim: Int = 64, maxTables: Int = 64)
+      : (DataFrame, Int, Int) = {
+    val n = emb.count()
+    val cos =
+      if (targetCos > 0) targetCos else calibratedKthCos(emb, queryIds, k)
+    val p = 1.0 - math.acos(cos) / math.Pi
     val bucket =
       if (targetBucket > 0) targetBucket else suggestedShortlist(n, k)
-    val bits = graft.ops.Dedup.suggestedLshBits(n, bucket)
-    val tables = graft.ops.Dedup.suggestedLshTables(bits, targetCos,
-      targetRecall)
+    def tablesFor(b: Int): Double =
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-math.pow(p, b)))
+    var bits = graft.ops.Dedup.suggestedLshBits(n, bucket)
+    while (bits > 1 && tablesFor(bits) > maxTables) bits -= 1
+    val tables = math.max(1, math.min(maxTables.toDouble,
+      tablesFor(bits)).toInt)
     (knnLshMulti(emb, queryIds, k, bits, tables, dim), bits, tables)
   }
 

@@ -33,12 +33,12 @@ import graft.ops.{Dedup, Similarity}
   */
 object ScaleSweep {
 
-  private val Threshold = 0.9 // near-dup cosine threshold = LSH design point
-  private val PlantedCos = 0.95 // planted pairs sit above it with margin
-  private val PlantedPairs = 256
-  private val Dim = 64
-  private val K = 10 // kNN depth
-  private val NQueries = 16
+  private[tools] val Threshold = 0.9 // near-dup cosine threshold = LSH design point
+  private[tools] val PlantedCos = 0.95 // planted pairs sit above it with margin
+  private[tools] val PlantedPairs = 256
+  private[tools] val Dim = 64
+  private[tools] val K = 10 // kNN depth
+  private[tools] val NQueries = 16
   private val PairBudget = 5e8 // est. bucket-pair work cap for fixed params
 
   def main(args: Array[String]): Unit = {
@@ -104,13 +104,13 @@ object ScaleSweep {
       "fixed = gate demo parameters (d10 bits=6/tables=2, s02 bits=8, s04 nlist=8/nprobe=3, d15/d16 kmeans k=8); auto = suggestedLshBits/suggestedLshTables/suggestedIvfLists computed from the actual corpus count",
       s"fixed variants are skipped (op absent) once estimated bucket-pair work exceeds ${PairBudget.toLong} — the quadratic blowup the auto sizing removes",
       "recall = fraction of the planted exact-angle near-dup fixture recovered; ivf probe results are asserted equal to brute force (exactness bound) at every factor",
-      "knn_lsh_fixed is the gate's single-table form (s02 bits=8); knn_lsh_auto is the multi-table production form (suggestedLshBits + suggestedLshTables) — twin_hit is the find-my-near-duplicate retrieval metric (queries are planted sources, their twin sits at cos 0.95), recall is plain recall@10 vs brute force (most true top-10 neighbors sit far below the design cos, where LSH's contract does not reach)",
+      "knn_lsh_fixed is the gate's single-table form (s02 bits=8); knn_lsh_auto is the multi-table production form with DATA-CALIBRATED sizing: the design cosine is the sampled k-th-neighbor cosine of the actual query workload (calibratedKthCos), and (bits, tables) solve for targetRecall 0.95 under a 64-table budget (bits shrink when the table formula would cap) — recall@10 vs brute force holds ~0.95 at every factor instead of decaying with bits; twin_hit is the find-my-near-duplicate retrieval metric (queries are planted sources, their twin sits at cos 0.95); on this isotropic corpus the calibrated sizing honestly degrades toward a scan (k-th neighbor cos ~3sigma of N(0,1/dim)) — clustered real embeddings keep it sublinear",
       "semdedup auto sizes kmeans k as sqrt(n) (suggestedIvfLists rule): assignment and within-cluster pair work balance at O(n^1.5); the 100TB configuration grows k ~ n/targetCluster with hierarchical assignment",
       "asymptotics: auto-sized near-dup pair work is C*n^(1+rho) with rho = 1 - log2(2p)/1 ~ 0.22 at the cos-0.9 design point (the classic hyperplane-LSH exponent: holding recall while buckets shrink costs tables ~ p^-bits) — sub-quadratic by construction vs the fixed-parameter n^2, which is why fixed is budget-skipped at 100x while auto completes with recall 1.0; ivf probe is the O(sqrt n) + constant-cell-scan path and its slope stays ~1",
       "text family (minhash_pairs/simhash_pairs/ngram_jaccard): banding keys live in 2^64 space, so buckets hold only genuine duplicate groups and pair work is ~linear in n with NO sizing knob — the structural contrast with hyperplane LSH's 2^bits buckets; planted recall (128 exact clones at jaccard 1.0, 128 one-token-appended near-dups ~0.97) proves the banding contract at every factor; the PPJoin SSJoin carries inherent sum-df^2 growth and is capped at 200k docs like the fixed embedding variants",
       "knn_pq (s12): one op = 16 subspace k-means trains + 8-byte encode + ADC lookup-table scan + exact re-rank of a fixed 100-candidate shortlist — every stage a linear corpus pass; twin_hit stays 1.0 while plain recall@10 decays with n at FIXED shortlist (more distractors per true neighbor), the documented PQ trade: recall is bought with shortlist width, memory stays 32x compressed",
       "knn_pq_auto / knn_lsh_auto / ivfpq_probe_auto wire suggestedShortlist(n,k) = max(4k, sqrt(n)) — the THIRD sizing knob: the shortlist (LSH: target bucket population) grows as sqrt(n), so recall@k holds across factors where the fixed-width rows decay; re-rank work stays O(sqrt n) per query",
-      "ivfpq (s14) composes the IVF coarse quantizer with PQ codes of RESIDUALS (Jegou et al. IVFADC): build = coarse kmeans + 16 residual-subspace kmeans + encode (linear, paid once per ingest); probe = nprobe of sqrt(n) cells x ADC lookups with nprobe = suggestedIvfProbes(nlist) = sqrt(nlist) (fixed nprobe visits a vanishing cell fraction as nlist grows; sqrt keeps the scan at n^(3/4) rows — sublinear) — vs knn_pq's full-corpus ADC scan growing linearly; IVF-PQ is QUANTIZED (no exactness bound), so its recall@10 trails the exact-bound ivf_probe rows by construction")
+      "ivfpq (s14) composes the IVF coarse quantizer with PQ codes of RESIDUALS (Jegou et al. IVFADC): build = coarse kmeans + 16 residual-subspace kmeans + encode (linear, paid once per ingest); ivfpq_probe_auto runs the THETA-BOUND two-phase probe (the exact ivf_probe recipe applied to the compressed scan: seed cells give a provisional exact k-th score, then every cell whose Cauchy-Schwarz bound reaches it is ADC-scanned) with shortlist 2*suggestedShortlist(n,k) — DESIGN POINT: recall@10 >= 0.8 at every factor (the only remaining loss is ADC shortlist truncation inside probed cells; coarse-probe misses are eliminated by the bound), pinned by OpsSpec on the planted fixture")
       .map(s => "\"" + s + "\"")
     val json =
       s"""{"base":"$baseDir","threshold":$Threshold,"planted":{"pairs":$PlantedPairs,"cos":$PlantedCos},
@@ -147,7 +147,7 @@ object ScaleSweep {
   }
 
   /** Replicated + planted corpus at `workDir/emb_x{factor}` (built once). */
-  private def buildCorpus(spark: SparkSession, baseDir: String,
+  private[tools] def buildCorpus(spark: SparkSession, baseDir: String,
       workDir: String, factor: Int): Unit = {
     val path = s"$workDir/emb_x$factor"
     if (new java.io.File(s"$path/_SUCCESS").exists()) return
@@ -360,10 +360,12 @@ object ScaleSweep {
         (idx.corpus.count(), Map("nlist" -> nlist.toString))
       }
       time(probeName) {
-        val shortlist = Similarity.suggestedShortlist(n, K)
+        // the ≥0.8 recall@k design point: θ-bound phase-2 probing removes
+        // the coarse-probe loss, 2×√n shortlist bounds the ADC truncation
+        val shortlist = 2 * Similarity.suggestedShortlist(n, K)
         val nprobe = Similarity.suggestedIvfProbes(nlist)
         val rows = Similarity.knnIvfPqProbe(idx, qids, K, nprobe = nprobe,
-          shortlist = shortlist).collect()
+          shortlist = shortlist, boundProbe = true).collect()
         (rows.length, Map("nlist" -> nlist.toString,
           "nprobe" -> nprobe.toString,
           "shortlist" -> shortlist.toString) ++ knnMetrics(sets(rows)))

@@ -1755,6 +1755,73 @@ class OpsSpec extends AnyFunSuite {
     assert(one.collect().map(_.toSeq).toSeq == legacy.toSeq)
   }
 
+  test("calibrated LSH auto-sizing holds recall@k; bound-probed IVF-PQ " +
+      "meets its >= 0.8 design point (planted fixture)") {
+    import spark.implicits._
+    // the multi-table fixture: 2048 random unit vectors + 32 planted twins
+    // at cos 0.95 (deterministic seed), dim 16
+    val dim = 16
+    val nBase = 2048
+    val p = 32
+    val rnd = new java.util.Random(7)
+    def unit(): Array[Double] = {
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(g.map(x => x * x).sum)
+      g.map(_ / norm)
+    }
+    val base = Array.fill(nBase)(unit())
+    val twins = (0 until p).map { i =>
+      val v = base(i)
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val gv = g.zip(v).map { case (a, b) => a * b }.sum
+      val u = g.zip(v).map { case (a, b) => a - gv * b }
+      val un = math.sqrt(u.map(x => x * x).sum)
+      val sin0 = math.sqrt(1 - 0.95 * 0.95)
+      v.zip(u).map { case (b, o) => 0.95 * b + sin0 * o / un }
+    }
+    val emb2 = (base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      twins.zipWithIndex.map { case (v, i) => ((nBase + i).toLong, v.toSeq) })
+      .toSeq.toDF("vec_id", "embedding")
+    val k = 5
+    val qids = (0L until p.toLong).toSeq
+    def resultSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val brute = resultSets(Similarity.knnBrute(emb2, qids, k))
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      qids.map(q => got.getOrElse(q, Set.empty[Long])
+        .intersect(brute(q)).size.toDouble / k).sum / qids.size
+    // LSH: the calibrated design point (sampled k-th-neighbor cosine)
+    // must size tables for the workload's ACTUAL operating cosine — the
+    // old fixed-cos-0.9 formula under-amplifies here (true top-5
+    // neighbors of random 16-dim vectors sit far below 0.9)
+    val (lshDf, bits, tables) = Similarity.knnLshAuto(emb2, qids, k,
+      dim = dim)
+    val lshRecall = recallOf(resultSets(lshDf))
+    assert(tables > Dedup.suggestedLshTables(bits, 0.9, 0.95),
+      s"calibration must size beyond the fixed-cos-0.9 tables " +
+        s"(bits=$bits tables=$tables)")
+    assert(lshRecall >= 0.9,
+      s"calibrated LSH recall@$k $lshRecall below the 0.95 design point " +
+        "minus sampling slack")
+    // IVF-PQ: theta-bound phase-2 probing + 2x sqrt(n) shortlist is the
+    // >= 0.8 recall design point; the seed-only probe trails it
+    val n = nBase + p
+    val nlist = Similarity.suggestedIvfLists(n)
+    val nprobe = Similarity.suggestedIvfProbes(nlist)
+    val shortlist = 2 * Similarity.suggestedShortlist(n, k)
+    val idx = Similarity.ivfPqIndex(emb2, nlist, m = 8, ksub = 16,
+      ivfIters = 2, pqIters = 2, dim = dim)
+    val bound = recallOf(resultSets(Similarity.knnIvfPqProbe(
+      idx, qids, k, nprobe, shortlist, boundProbe = true)))
+    val seedOnly = recallOf(resultSets(Similarity.knnIvfPqProbe(
+      idx, qids, k, nprobe, shortlist)))
+    assert(bound >= 0.8, s"bound-probed IVF-PQ recall@$k $bound below " +
+      "the 0.8 design point")
+    assert(bound >= seedOnly,
+      s"bound probing must not lose to seed-only ($bound vs $seedOnly)")
+  }
+
   test("persisted indexes answer identically to built ones (IVF probes, " +
       "LSH delta ingest)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
