@@ -572,15 +572,6 @@ object Similarity {
       .select("vec_id", "cluster")
       .orderBy("vec_id")
 
-  /** Above this k, nearest-centroid assignment switches from the inline
-    * k-struct expression ([[nearestCluster]] — map-only, but the plan holds
-    * k×dim literals, so analysis/codegen blow up once k reaches the √n
-    * production sizing of [[suggestedIvfLists]]) to a broadcast join against
-    * a k-row centroid table (plan size O(1); the cross product collapses
-    * back to one row per vector in the map-side partial aggregate, so the
-    * shuffle stays n rows). */
-  private val kJoinThreshold = 64
-
   /** The centroid table for the join-based assignment path: k rows of
     * (j, c, bias) with bias = ‖c_j‖²/2 precomputed, exactly the constant the
     * expression path folds in. */
@@ -592,43 +583,18 @@ object Similarity {
       .toDF("j", "c", "bias")
   }
 
-  /** Append `out` = argmin_j ‖v − c_j‖² to a (…, v, …) frame, picking the
-    * inline-expression path for small k and the broadcast-join path for
-    * large k. Both compute the same score `dot(v, c_j) − ‖c_j‖²/2` with the
-    * same sequential-fold [[dot]] and the same tie rule (ties → max j), so
-    * the outputs are bit-identical — [[graft.OpsSpec]]'s
-    * "withNearestCluster join/inline parity" test asserts it at k = 100.
-    *
-    * The join path keys its collapse on a per-row surrogate id (NOT on
-    * vec_id), so duplicate vec_id rows survive like they do inline, and the
-    * centroid table's columns are `__nc_`-prefixed so they cannot capture
-    * caller columns; the only precondition is that the input has a `v`
-    * array column and no `__nc_`-prefixed columns (asserted). */
+  /** Append `out` = argmin_j ‖v − c_j‖² to a (…, v, …) frame: one map-only
+    * native [[nearestCluster]] column at ANY k. The broadcast-join +
+    * re-collapse workaround this used to switch to above k = 64 (the
+    * declarative expression's k×dim literal nodes blew up analysis/codegen
+    * at the √n production nlist) is gone — the native expression carries
+    * the centroid matrix as one reference object, so the assignment is a
+    * map pass with no shuffle at every k. [[graft.OpsSpec]]'s parity test
+    * pins the native kernel bit-identical to BOTH retired spellings
+    * (declarative struct-max and broadcast-join collapse) at k = 100. */
   private[graft] def withNearestCluster(df: DataFrame,
-      cs: Array[Array[Double]], out: String): DataFrame = {
-    if (cs.length <= kJoinThreshold)
-      df.withColumn(out, nearestCluster(col("v"), cs))
-    else {
-      require(!df.columns.exists(_.startsWith("__nc_")),
-        "withNearestCluster: input must not carry __nc_-prefixed columns")
-      val cents = centsDF(df.sparkSession, cs).select(
-        col("j").as("__nc_j"), col("c").as("__nc_c"),
-        col("bias").as("__nc_bias"))
-      // first() is safe: every input column is constant within a __nc_rid
-      // group (the broadcast join only replicates each row k ways, and the
-      // surrogate id is minted BEFORE the join)
-      val aggs = df.columns.map(c => first(col(c)).as(c)) :+
-        max(struct(col("__nc_score"), col("__nc_j")))
-          .getField("__nc_j").as(out)
-      df.withColumn("__nc_rid", monotonically_increasing_id())
-        .crossJoin(broadcast(cents))
-        .withColumn("__nc_score",
-          dot(col("v"), col("__nc_c")) - col("__nc_bias"))
-        .groupBy("__nc_rid")
-        .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-        .select((df.columns :+ out).map(col).toIndexedSeq: _*)
-    }
-  }
+      cs: Array[Array[Double]], out: String): DataFrame =
+    df.withColumn(out, nearestCluster(col("v"), cs))
 
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
       : Array[Array[Double]] = {
@@ -672,7 +638,16 @@ object Similarity {
   }
 
   /** argmin_j ‖v − c_j‖² = argmax_j (v·c_j − ‖c_j‖²/2) as a Column. */
-  def nearestCluster(v: Column, cs: Array[Array[Double]]): Column = {
+  def nearestCluster(v: Column, cs: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid.nearestCentroid(v, cs)
+
+  /** The declarative spelling [[nearestCluster]]'s native expression
+    * replaced — k × dim literal nodes, which overflowed janino's 64 KB
+    * method limit in the PQ encode stage (m × ksub centroid dots in one
+    * projection) and forced the broadcast-join workaround at the √n
+    * production nlist. Kept for the OpsSpec bit-parity pin. */
+  private[graft] def nearestClusterDeclarative(v: Column,
+      cs: Array[Array[Double]]): Column = {
     val scored = cs.zipWithIndex.map { case (c, j) =>
       val bias = c.map(x => x * x).sum / 2.0
       struct((dot(v, array(c.map(lit): _*)) - bias).as("score"),

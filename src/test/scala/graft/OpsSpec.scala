@@ -1629,14 +1629,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((4L, 3L, 0.75)))
   }
 
-  test("withNearestCluster join/inline parity at k=100; duplicates and " +
-      "reserved-name-ish columns survive") {
+  test("native nearest-centroid assignment is bit-identical to the " +
+      "declarative struct-max spelling at k=100; duplicates and " +
+      "centroid-table-named columns survive") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
     val dim = 16
     // duplicate vec_id rows with DIFFERENT vectors, plus caller columns
-    // named like the old centroid-table internals (j, c, bias) — the join
-    // path must neither collapse the duplicates nor capture the columns
+    // named like the retired join path's centroid-table internals (j, c,
+    // bias) — assignment must neither collapse the duplicates nor capture
+    // the columns
     val rows = (0 until 300).map { i =>
       ((i % 150).toLong, Array.fill(dim)(rnd.nextGaussian()),
         i.toLong, s"c$i", i * 0.5)
@@ -1646,21 +1648,20 @@ class OpsSpec extends AnyFunSuite {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getSeq[Double](1).toList, r.getLong(2),
         r.getString(3), r.getDouble(4), r.getInt(5))
-    val joined = Similarity.withNearestCluster(df, cs, "cluster")
-    assert(joined.columns.toSeq ==
+    val assigned = Similarity.withNearestCluster(df, cs, "cluster")
+    assert(assigned.columns.toSeq ==
       Seq("vec_id", "v", "j", "c", "bias", "cluster"))
-    val viaJoin = joined.collect().map(key).sortBy(k => (k._3, k._1))
-    val inline = df
-      .withColumn("cluster", Similarity.nearestCluster(col("v"), cs))
+    val native = assigned.collect().map(key).sortBy(k => (k._3, k._1))
+    // the declarative spelling the oracles replay (k×dim literal nodes —
+    // the 64 KB codegen overflow the native expression removes): same
+    // sequential-fold dot, same driver-side bias, same ties→max-j rule
+    val declarative = df
+      .withColumn("cluster",
+        Similarity.nearestClusterDeclarative(col("v"), cs))
       .collect().map(key).sortBy(k => (k._3, k._1))
-    assert(viaJoin.length == 300, "duplicate vec_id rows must survive")
-    assert(viaJoin.toSeq == inline.toSeq,
-      "join-path assignment must be bit-identical to the inline expression")
-    // __nc_-prefixed caller columns are the one documented precondition
-    val bad = df.withColumn("__nc_rid", lit(1L))
-    assertThrows[IllegalArgumentException] {
-      Similarity.withNearestCluster(bad, cs, "cluster")
-    }
+    assert(native.length == 300, "duplicate vec_id rows must survive")
+    assert(native.toSeq == declarative.toSeq,
+      "native assignment must be bit-identical to the declarative spelling")
   }
 
   test("auto LSH sizing: planted near-dup recall >= fixed demo params on a " +
