@@ -846,9 +846,20 @@ object Similarity {
     * neighbor_id) through the bucket join and dedup (a neighbor sharing
     * several buckets scores once); vectors re-attach only for surviving
     * candidates. Per-query probe work is T · bucket population — map-side
-    * linear in T, never pairwise. */
+    * linear in T, never pairwise.
+    *
+    * `multiprobe` (Lv et al., VLDB 2007) additionally probes, per query and
+    * table, every bucket at Hamming distance 1 from the home bucket — the
+    * buckets a true neighbor lands in when exactly one hyperplane
+    * disagrees. Per-table success grows from p^b to
+    * p^b + b·p^(b−1)(1−p), so the table count solving a recall target
+    * shrinks ~(1+b)×. The probe fan-out rides the QUERY side of the join —
+    * the broadcast side, |Q|·T·(1+b) tiny rows — while the corpus side
+    * (the expensive explode + shuffle at 10⁸+ vectors) stays T rows per
+    * vector. That asymmetry is the entire point: recall is bought with
+    * broadcast rows instead of corpus replication. */
   def knnLshMulti(emb: DataFrame, queryIds: Seq[Long], k: Int, bits: Int,
-      tables: Int, dim: Int = 64): DataFrame = {
+      tables: Int, dim: Int = 64, multiprobe: Boolean = false): DataFrame = {
     // localCheckpoint: feeds bucket explosion + the two vector re-attaches
     val e = emb.select(col("vec_id"), asDouble("embedding").as("v"))
       .localCheckpoint(eager = false)
@@ -858,8 +869,18 @@ object Similarity {
     }
     val keyed = e.select(col("vec_id"),
       explode(array(bucketCols: _*)).as("bk"))
-    val queries = keyed.where(col("vec_id").isin(queryIds: _*))
-      .select(col("bk").as("bk_q"), col("vec_id").as("query_id"))
+    val qProbeCols = (0 until tables).flatMap { t =>
+      val planes = hyperplanes(dim, bits, seed = 42L + t)
+      val home = lshBucket(col("v"), planes)
+      val probes =
+        if (multiprobe) home +: (0 until bits).map(i =>
+          home.bitwiseXOR(lit(1L << i)))
+        else Seq(home)
+      probes.map(b => struct(lit(t).as("t"), b.as("b")))
+    }
+    val queries = e.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        explode(array(qProbeCols: _*)).as("bk_q"))
     val cand = keyed.select(col("bk").as("bk_n"), col("vec_id").as("neighbor_id"))
       .join(broadcast(queries),
         col("bk_q") === col("bk_n") && col("query_id") =!= col("neighbor_id"))
@@ -910,34 +931,54 @@ object Similarity {
     * [[calibratedKthCos]] — the cosine the workload's k-th neighbors
     * actually have — unless the caller pins `targetCos > 0`.
     *
-    * Sizing solves for (bits, tables) under a table budget: bits start at
-    * the √n bucket-population point ([[graft.ops.Dedup.suggestedLshBits]]
-    * of [[suggestedShortlist]]) and SHRINK until T(bits) =
-    * ⌈ln(1−R)/ln(1−p^bits)⌉ fits `maxTables` — trading bucket size for
-    * table count so the recall target HOLDS at every corpus size instead
-    * of being silently abandoned when the table formula caps. On clustered
-    * real-world embeddings p is large and the √n point fits as-is; on
-    * isotropic data the sizing honestly degrades toward a scan (the ANN
-    * lower bound, not an implementation limit — the planted twins at cos
-    * 0.95 stay found either way, see twin_hit in BENCH_scaling.json).
-    * Returns (frame, bits, tables). */
+    * Sizing solves for (bits, tables) under a table budget with MULTIPROBE
+    * per-table success q(b) = p^b + b·p^(b−1)(1−p) (home bucket + every
+    * Hamming-1 probe, [[knnLshMulti]]): bits start at the √n
+    * bucket-population point ([[graft.ops.Dedup.suggestedLshBits]] of
+    * [[suggestedShortlist]]) and SHRINK until T(b) = ⌈ln(1−R)/ln(1−q(b))⌉
+    * fits `maxTables` — trading bucket size for table count so the recall
+    * target HOLDS at every corpus size instead of being silently abandoned
+    * when the table formula caps. Multiprobe buys the same amplification
+    * with ~(1+b)× fewer tables than home-bucket-only probing, which is
+    * ~(1+b)× less corpus explode — the term that dominates the wall at
+    * 10⁸+ vectors.
+    *
+    * COST-BASED CUTOVER (the index-vs-scan planner decision): before
+    * launching the index, the sizing predicts the corpus fraction each
+    * query's probes touch, f ≈ min(1, T·(1+b)/2^b). When f ≥ `bruteCutover`
+    * the bucket machinery (T× corpus explode, candidate dedup shuffle, two
+    * re-attach joins) costs strictly more than the codegen'd brute scan
+    * that reads a comparable row fraction ONCE — so the op returns
+    * [[knnBrute]] (exact, recall 1.0) and reports tables = 0. This is
+    * where an isotropic workload lands (the calibrated k-th-neighbor
+    * cosine is ~3σ of N(0, 1/dim), the ANN lower bound — no index wins);
+    * clustered real-world embeddings or a pinned `targetCos` keep f small
+    * and the LSH path engages. Returns (frame, bits, tables; tables = 0 ⇒
+    * exact-scan cutover). */
   def knnLshAuto(emb: DataFrame, queryIds: Seq[Long], k: Int,
       targetBucket: Int = 0, targetCos: Double = 0.0,
-      targetRecall: Double = 0.95, dim: Int = 64, maxTables: Int = 64)
-      : (DataFrame, Int, Int) = {
+      targetRecall: Double = 0.95, dim: Int = 64, maxTables: Int = 64,
+      bruteCutover: Double = 0.25): (DataFrame, Int, Int) = {
     val n = emb.count()
     val cos =
       if (targetCos > 0) targetCos else calibratedKthCos(emb, queryIds, k)
     val p = 1.0 - math.acos(cos) / math.Pi
     val bucket =
       if (targetBucket > 0) targetBucket else suggestedShortlist(n, k)
+    def qFor(b: Int): Double =
+      math.pow(p, b) + b * math.pow(p, b - 1) * (1.0 - p)
     def tablesFor(b: Int): Double =
-      math.ceil(math.log1p(-targetRecall) / math.log1p(-math.pow(p, b)))
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-qFor(b)))
     var bits = graft.ops.Dedup.suggestedLshBits(n, bucket)
     while (bits > 1 && tablesFor(bits) > maxTables) bits -= 1
     val tables = math.max(1, math.min(maxTables.toDouble,
       tablesFor(bits)).toInt)
-    (knnLshMulti(emb, queryIds, k, bits, tables, dim), bits, tables)
+    val probedFrac = math.min(1.0, tables * (1.0 + bits) / math.pow(2, bits))
+    if (probedFrac >= bruteCutover)
+      (knnBrute(emb, queryIds, k), bits, 0)
+    else
+      (knnLshMulti(emb, queryIds, k, bits, tables, dim, multiprobe = true),
+        bits, tables)
   }
 
   /** ANN via hyperplane-LSH bucketing: exact search restricted to the query's

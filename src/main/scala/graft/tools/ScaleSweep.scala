@@ -104,7 +104,8 @@ object ScaleSweep {
       "fixed = gate demo parameters (d10 bits=6/tables=2, s02 bits=8, s04 nlist=8/nprobe=3, d15/d16 kmeans k=8); auto = suggestedLshBits/suggestedLshTables/suggestedIvfLists computed from the actual corpus count",
       s"fixed variants are skipped (op absent) once estimated bucket-pair work exceeds ${PairBudget.toLong} — the quadratic blowup the auto sizing removes",
       "recall = fraction of the planted exact-angle near-dup fixture recovered; ivf probe results are asserted equal to brute force (exactness bound) at every factor",
-      "knn_lsh_fixed is the gate's single-table form (s02 bits=8); knn_lsh_auto is the multi-table production form with DATA-CALIBRATED sizing: the design cosine is the sampled k-th-neighbor cosine of the actual query workload (calibratedKthCos), and (bits, tables) solve for targetRecall 0.95 under a 64-table budget (bits shrink when the table formula would cap) — recall@10 vs brute force holds ~0.95 at every factor instead of decaying with bits; twin_hit is the find-my-near-duplicate retrieval metric (queries are planted sources, their twin sits at cos 0.95); on this isotropic corpus the calibrated sizing honestly degrades toward a scan (k-th neighbor cos ~3sigma of N(0,1/dim)) — clustered real embeddings keep it sublinear",
+      "knn_lsh_fixed is the gate's single-table form (s02 bits=8); knn_lsh_auto is the production planner: DATA-CALIBRATED sizing (design cosine = sampled k-th-neighbor cosine of the actual workload, (bits, tables) solve targetRecall 0.95 with MULTIPROBE per-table success p^b + b*p^(b-1)*(1-p) — flip-1 probes ride the broadcast query side, so tables and the corpus explode shrink ~(1+b)x) plus a COST-BASED CUTOVER: when predicted probe coverage T*(1+b)/2^b reaches 0.25 of the corpus the op takes the exact codegen'd scan instead (tables=0, recall 1.0) — the classic index-vs-scan decision; this isotropic corpus (k-th neighbor cos ~3sigma of N(0,1/dim)) always tips to the scan, so knn_lsh_auto reports brute-level wall at linear slope with recall 1.0",
+      "knn_lsh_design is the LSH index path at its contract regime (pinned cos-0.95 design point = the planted-twin cosine): multiprobe sizing stays on the index with a handful of tables at every factor; twin_hit (the find-my-near-duplicate metric the index exists for) holds while recall@10 counts background neighbors below the design cosine, outside the contract",
       "semdedup auto sizes kmeans k as sqrt(n) (suggestedIvfLists rule): assignment and within-cluster pair work balance at O(n^1.5); the 100TB configuration grows k ~ n/targetCluster with hierarchical assignment",
       "asymptotics: auto-sized near-dup pair work is C*n^(1+rho) with rho = 1 - log2(2p)/1 ~ 0.22 at the cos-0.9 design point (the classic hyperplane-LSH exponent: holding recall while buckets shrink costs tables ~ p^-bits) — sub-quadratic by construction vs the fixed-parameter n^2, which is why fixed is budget-skipped at 100x while auto completes with recall 1.0; ivf probe is the O(sqrt n) + constant-cell-scan path and its slope stays ~1",
       "text family (minhash_pairs/simhash_pairs/ngram_jaccard): banding keys live in 2^64 space, so buckets hold only genuine duplicate groups and pair work is ~linear in n with NO sizing knob — the structural contrast with hyperplane LSH's 2^bits buckets; planted recall (128 exact clones at jaccard 1.0, 128 one-token-appended near-dups ~0.97) proves the banding contract at every factor; the PPJoin SSJoin carries inherent sum-df^2 growth and is capped at 200k docs like the fixed embedding variants",
@@ -312,7 +313,22 @@ object ScaleSweep {
       (rows.length, Map("bits" -> "8") ++ knnMetrics(sets(rows)))
     }
     time("knn_lsh_auto") {
+      // calibrated sizing + cost-based planner: on this isotropic corpus
+      // the predicted probe coverage tips the index-vs-scan decision to
+      // the exact scan (tables = 0) — recall 1.0 at brute's linear slope
       val (df, bits, tables) = Similarity.knnLshAuto(emb, qids, K, dim = Dim)
+      val rows = df.collect()
+      (rows.length, Map("bits" -> bits.toString,
+        "tables" -> tables.toString) ++ knnMetrics(sets(rows)))
+    }
+    time("knn_lsh_design") {
+      // the LSH path itself, at its contract regime: a pinned cos-0.95
+      // design point (the planted-twin cosine) keeps multiprobe sizing on
+      // the index path with a handful of tables — twin_hit is the metric
+      // the index exists for; recall@10 counts background neighbors below
+      // the design cosine, outside the contract
+      val (df, bits, tables) = Similarity.knnLshAuto(emb, qids, K,
+        targetCos = 0.95, dim = Dim)
       val rows = df.collect()
       (rows.length, Map("bits" -> bits.toString,
         "tables" -> tables.toString) ++ knnMetrics(sets(rows)))

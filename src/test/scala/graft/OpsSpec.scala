@@ -1754,6 +1754,20 @@ class OpsSpec extends AnyFunSuite {
     val legacy = Similarity.knnLsh(emb, qids, 5, bits, dim)
       .collect().map(_.toSeq)
     assert(one.collect().map(_.toSeq).toSeq == legacy.toSeq)
+    // flip-1 multiprobe at the same table count probes a strict candidate
+    // SUPERSET of home-only buckets, so twin retrieval cannot lose — and at
+    // 2 tables the per-table success jump (p^b → p^b + b·p^(b−1)(1−p), ~0.43
+    // → ~0.81 here) shows up as a real gap, the fewer-tables-same-recall
+    // trade knnLshAuto sizes on
+    val homeOnly2 = Similarity.knnLshMulti(emb, qids, 5, bits, tables = 2,
+      dim = dim)
+    val multi2 = Similarity.knnLshMulti(emb, qids, 5, bits, tables = 2,
+      dim = dim, multiprobe = true)
+    assert(twinHits(multi2) > twinHits(homeOnly2),
+      s"multiprobe must beat home-only at equal tables: " +
+        s"${twinHits(multi2)} vs ${twinHits(homeOnly2)}")
+    assert(twinHits(multi2) >= (0.9 * p).toInt,
+      s"multiprobe twin recall ${twinHits(multi2)}/$p below design point")
   }
 
   test("calibrated LSH auto-sizing holds recall@k; bound-probed IVF-PQ " +
@@ -1792,19 +1806,30 @@ class OpsSpec extends AnyFunSuite {
     def recallOf(got: Map[Long, Set[Long]]): Double =
       qids.map(q => got.getOrElse(q, Set.empty[Long])
         .intersect(brute(q)).size.toDouble / k).sum / qids.size
-    // LSH: the calibrated design point (sampled k-th-neighbor cosine)
-    // must size tables for the workload's ACTUAL operating cosine — the
-    // old fixed-cos-0.9 formula under-amplifies here (true top-5
-    // neighbors of random 16-dim vectors sit far below 0.9)
-    val (lshDf, bits, tables) = Similarity.knnLshAuto(emb2, qids, k,
+    // LSH planner: on this isotropic fixture the calibrated k-th-neighbor
+    // cosine is low, so the sized index would probe most of the corpus —
+    // the cost-based cutover must take the exact scan instead (tables = 0,
+    // recall exactly 1.0: bucket machinery costs more than brute here)
+    val (lshDf, _, tables) = Similarity.knnLshAuto(emb2, qids, k,
       dim = dim)
+    assert(tables == 0,
+      s"isotropic workload must cut over to the exact scan, got $tables " +
+        "tables")
     val lshRecall = recallOf(resultSets(lshDf))
-    assert(tables > Dedup.suggestedLshTables(bits, 0.9, 0.95),
-      s"calibration must size beyond the fixed-cos-0.9 tables " +
-        s"(bits=$bits tables=$tables)")
-    assert(lshRecall >= 0.9,
-      s"calibrated LSH recall@$k $lshRecall below the 0.95 design point " +
-        "minus sampling slack")
+    assert(lshRecall == 1.0,
+      s"cutover path must be exact, recall@$k $lshRecall")
+    // pinned design cosine (the planted-twin regime): multiprobe sizing
+    // stays on the LSH path with a SMALL table count and still retrieves
+    // the twins — the contract the index exists for
+    val (designDf, dBits, dTables) = Similarity.knnLshAuto(emb2, qids, k,
+      targetCos = 0.95, dim = dim)
+    assert(dTables >= 1 && dTables <= 4,
+      s"multiprobe sizing should need only a few tables at cos 0.95, " +
+        s"got bits=$dBits tables=$dTables")
+    val designHits = resultSets(designDf).count { case (q, ns) =>
+      ns.contains(nBase + q) } // twin id = nBase + query id
+    assert(designHits >= (0.9 * p).toInt,
+      s"design-point twin retrieval $designHits/$p below 0.9")
     // IVF-PQ: theta-bound phase-2 probing + 2x sqrt(n) shortlist is the
     // >= 0.8 recall design point; the seed-only probe trails it
     val n = nBase + p
