@@ -681,6 +681,12 @@ object SparkEntry {
       // as 64-bit hashes, exact string verify — no suffix array anywhere
       "d20_exact_substring" -> tbl("documents")(
         ops.Dedup.exactSubstringDedup(_, 20)),
+      // pairwise shingle-Jaccard between corpus SOURCES (the
+      // dedup-before-mixing overlap report; |sources|^2-bounded fan-out)
+      "d21_source_overlap" -> tbl("documents")(
+        ops.Dedup.sourceOverlapMatrix(_, 3)),
+      // DAU/MAU engagement ratio per event type and calendar month
+      "e21_stickiness" -> tbl("events")(ops.EventOps.stickiness),
       // PII scrub (detect + redact emails/IPs/phones, map-only codegen).
       // The synthetic corpus carries no PII, so the gate injects
       // deterministic spans derived from doc_id — the OPERATOR
@@ -3703,6 +3709,49 @@ object SparkEntry {
         |COALESCE(k.dedup_text, '') AS dedup_text
         |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // d21: the oracle intersects STRING shingle sets; the Spark plan joins
+    // 64-bit hashed shingles — intersection/union SIZES are hash-invariant
+    // (the d04 discipline), and int/int division is double on both sides
+    "d21_source_overlap" ->
+      """WITH base AS (SELECT source,
+        |  CASE WHEN len(string_split(text,' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+        |  END AS shl FROM documents),
+        |sh AS (SELECT DISTINCT source, unnest(shl) AS sh FROM base),
+        |sizes AS (SELECT source, COUNT(1) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(1) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, CAST(i.inter AS BIGINT) AS inter,
+        |CAST(sa.n + sb.n - i.inter AS BIGINT) AS union_n,
+        |i.inter / (sa.n + sb.n - i.inter) AS jaccard
+        |FROM inter i JOIN sizes sa ON i.source_a = sa.source
+        |JOIN sizes sb ON i.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    // e21: engine-neutral calendar math (month_id = year*12 + month, the
+    // e05 epoch-integer convention); averages divide exact integer sums
+    "e21_stickiness" ->
+      """WITH act AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+        |  user_id FROM events),
+        |dau AS (SELECT event_type, day, COUNT(1) AS dau
+        |  FROM act GROUP BY 1, 2),
+        |a AS (SELECT event_type,
+        |  CAST(year(day)*12 + month(day) AS BIGINT) AS month_id,
+        |  CAST(COUNT(1) AS BIGINT) AS active_days,
+        |  CAST(SUM(dau) AS DOUBLE) / COUNT(1) AS avg_dau
+        |  FROM dau GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |  CAST(year(day)*12 + month(day) AS BIGINT) AS month_id,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM act GROUP BY 1, 2)
+        |SELECT a.event_type, a.month_id, a.active_days, a.avg_dau, m.mau,
+        |a.avg_dau / m.mau AS stickiness
+        |FROM a JOIN m ON a.event_type = m.event_type
+        |  AND a.month_id = m.month_id
+        |ORDER BY a.event_type, a.month_id""".stripMargin,
     // t42: DSIR replay — hashed-bigram bucket models (the md5-Horner hash
     // mod 1024), per-term DECIMAL(38,18) capture of cnt·(ln p̂_t − ln p̂_r),
     // round 6, Gumbel key from the t18 content-hash u (u+0.5 exact in

@@ -1093,6 +1093,46 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** CROSS-SOURCE OVERLAP MATRIX — pairwise shingle-set Jaccard between
+    * corpus SOURCES (the "how much does crawl A repeat crawl B" question a
+    * curation pipeline answers before mixing sources; the same statistic
+    * drives the dedup-before-mixing decision in e.g. RefinedWeb/Dolma-style
+    * corpus reports). For every source pair (a < b):
+    * `inter` = |shingles(a) ∩ shingles(b)|, `union_n` = |A|+|B|−inter,
+    * `jaccard` = inter/union.
+    *
+    * Scale shape: one distinct over (source, shingle-hash) — map-side
+    * partial, shuffled on the hash; per-source sizes are a |sources|-row
+    * aggregate broadcast back; intersections come from a self-equi-join on
+    * the shingle hash whose per-key fan-out is bounded by
+    * (|sources| choose 2) — a CONSTANT per shingle, so total pair rows are
+    * linear in distinct shingles, never corpus-quadratic. A stopword
+    * shingle present in every source contributes exactly one count to each
+    * of the 190 cells, not a blow-up. Same hashed-shingle trick as
+    * [[hashedShingles]]: intersection/union SIZES are hash-invariant, so
+    * Jaccard over 64-bit longs equals Jaccard over strings while the join
+    * runs on longs. */
+  def sourceOverlapMatrix(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("source"), explode(hashedShingles("text", k)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("sh").as("sh_a"), col("source").as("source_a"))
+    val b = sh.select(col("sh").as("sh_b"), col("source").as("source_b"))
+    a.join(b, col("sh_a") === col("sh_b") &&
+        col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_n"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter")))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key. Embeddings are
     * L2-normalized, so cosine = dot product (sequential double fold — matches
     * the DuckDB oracle bit-for-bit). */

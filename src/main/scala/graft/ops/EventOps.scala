@@ -164,6 +164,49 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** DAU/MAU STICKINESS by event type — the per-feature engagement ratio
+    * next to [[retentionCohorts]] in any product-analytics suite: for each
+    * (event_type, calendar month), the average daily active users over the
+    * month's ACTIVE days divided by the month's distinct actives. A
+    * stickiness of 1.0 means every monthly user shows up every active day;
+    * DAU-churned features drift toward 1/active_days.
+    *
+    * Calendar arithmetic is engine-neutral integer math (the
+    * [[retentionCohorts]] convention): `month_id` = year·12 + month, days
+    * are `CAST(ts AS DATE)`. Averages divide exact integer sums, so the
+    * doubles replay bit-for-bit cross-engine.
+    *
+    * Scale shape: one distinct over (event_type, day, user) — the only
+    * corpus-sized shuffle, map-side partial; DAU and MAU are two-phase
+    * hash aggs over that skinny frame; the final join is
+    * (types × months)-sized, AQE-broadcast. No windows, no driver state. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = act.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val avgDau = dau
+      .groupBy(col("event_type"),
+        (year(col("day")) * 12 + month(col("day"))).cast("long")
+          .as("month_id"))
+      .agg(count(lit(1)).as("active_days"),
+        (sum("dau").cast("double") / count(lit(1))).as("avg_dau"))
+    val mau = act
+      .select(col("event_type"),
+        (year(col("day")) * 12 + month(col("day"))).cast("long")
+          .as("month_id"),
+        col("user_id"))
+      .distinct()
+      .groupBy("event_type", "month_id").agg(count(lit(1)).as("mau"))
+    avgDau.join(mau, Seq("event_type", "month_id"))
+      .select(col("event_type"), col("month_id"), col("active_days"),
+        col("avg_dau"), col("mau"),
+        (col("avg_dau") / col("mau")).as("stickiness"))
+      .orderBy("event_type", "month_id")
+  }
+
   /** Conversion LATENCY by acquisition cohort: for each user whose first
     * `from` event precedes (or equals) their first `to` event, the time
     * from first touch to conversion, rolled up by first-touch day — the

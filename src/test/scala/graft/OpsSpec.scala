@@ -2213,4 +2213,43 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(kept.toSeq == again.toSeq)
   }
+
+  test("source overlap matrix: exact Jaccard on hand-built sources; " +
+      "disjoint sources produce no row") {
+    import spark.implicits._
+    // k=2 shingles: A={a b, b c, c d}, B={b c, c d, d e} -> inter 2,
+    // union 4; C shares nothing with either
+    val d = Seq(
+      (1L, "A", "a b c d"), (2L, "B", "b c d e"), (3L, "C", "x y z w"),
+      // duplicate doc inside A: per-source shingle sets are DISTINCT,
+      // so a repeated doc must not inflate any count
+      (4L, "A", "a b c d")
+    ).toDF("doc_id", "source", "text")
+    val rows = Dedup.sourceOverlapMatrix(d, 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(("A", "B")) == ((2L, 4L, 0.5)))
+    assert(!rows.contains(("A", "C")) && !rows.contains(("B", "C")))
+    assert(rows.size == 1)
+  }
+
+  test("stickiness: DAU/MAU per event type on a hand-built month") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day = 86400000L
+    // type x: day1 {u1,u2}, day2 {u1} -> avg_dau 1.5, mau 2, ratio 0.75
+    // type y: day1 {u3}              -> avg_dau 1.0, mau 1, ratio 1.0
+    val ev = Seq(
+      (1L, 1L, "x", 1L), (2L, 2L, "x", 1L), (3L, 1L, "x", 2L),
+      (4L, 1L, "x", 2L), // same user+day twice: distinct() must collapse
+      (5L, 3L, "y", 1L)
+    ).map { case (id, u, t, d) =>
+      (id, u, t, new Timestamp(d * day + 3600000L))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.stickiness(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out("x") == ((2L, 1.5, 2L, 0.75)))
+    assert(out("y") == ((1L, 1.0, 1L, 1.0)))
+  }
 }
