@@ -585,6 +585,12 @@ object SparkEntry {
           ops.Multimodal.attachFakeMedia(d), 1000000L)),
       "m03_resize_plan" -> tbl("documents")(d =>
         ops.Multimodal.resizePlan(ops.Multimodal.attachFakeMedia(d), 256)),
+      // aspect-ratio bucketing + in-bucket batch packing (multi-aspect
+      // training assembly): square / 4:3 / 2:1 / 3:4 / 1:2 targets,
+      // batches of 8 per bucket in doc_id order
+      "m06_ar_buckets" -> tbl("documents")(d =>
+        ops.Multimodal.arBucketPlan(ops.Multimodal.attachFakeMedia(d),
+          Seq((64, 64), (128, 96), (128, 64), (96, 128), (64, 128)), 8)),
       // media near-dup: the synthetic payloads are random 64-bit-apart, so
       // the gate PLANTS the real-world cases — an exact re-upload
       // (identical payload, Hamming 0) and a re-encode (one low bit
@@ -707,6 +713,22 @@ object SparkEntry {
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
             .otherwise(lit(""))))
         ops.TextOps.piiScrub(aug)
+      },
+      // C4/CCNet boilerplate-line removal: lines occurring in >=3 distinct
+      // docs of a source are template chrome and get stripped. The synthetic
+      // corpus has no line structure, so the gate injects it (the t31
+      // pattern): a per-source nav banner (df = docs-in-source, removed), a
+      // half-corpus "share" line (removed), a 2-doc "pair" line (df <= 2,
+      // KEPT — the threshold boundary) and a unique "sig" line (kept)
+      "t43_boilerplate" -> tbl("documents") { d =>
+        import org.apache.spark.sql.functions._
+        val aug = d.withColumn("text", concat_ws("\n",
+          concat(lit("nav "), col("source")),
+          col("text"),
+          concat(lit("share "), (col("doc_id") % 2).cast("string")),
+          concat(lit("pair "), expr("CAST(doc_id DIV 2 AS STRING)")),
+          concat(lit("sig "), col("doc_id").cast("string"))))
+        ops.TextOps.boilerplateStrip(aug, 3)
       },
       // DRILLTHROUGH (Mondrian's cell-to-fact operator): the fact rows
       // behind the (Region 3, ship year 1996) cell, projected + paged on a
@@ -2858,6 +2880,33 @@ object SparkEntry {
         |COUNT(1) AS subtree_orders
         |FROM orders JOIN closure cl ON o_custkey = cl.descendant
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // m06: the oracle replays the fake-meta dims and the exact-integer
+    // aspect argmin — |w*bh - bw*h| * (lcm(bh)/bh) with lcm(64,96,128) =
+    // 384 -> per-bucket multipliers {6,4,6,3,3}; ROW_NUMBER over
+    // (metric, idx) is the same min-struct tie-break, and the in-bucket
+    // sequence replays the two-phase prefix count's (doc_id) order
+    "m06_ar_buckets" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id % 5) * 48 AS INTEGER) AS height
+        |  FROM documents),
+        |b(idx, bw, bh, mult) AS (VALUES
+        |  (0, 64, 64, 6), (1, 128, 96, 4), (2, 128, 64, 6),
+        |  (3, 96, 128, 3), (4, 64, 128, 3)),
+        |sc AS (SELECT m.doc_id, m.width, m.height, b.idx, b.bw, b.bh,
+        |  abs(m.width * b.bh - b.bw * m.height) * b.mult AS metric
+        |  FROM m CROSS JOIN b),
+        |pick AS (SELECT doc_id, width, height, idx, bw, bh,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY metric, idx)
+        |    AS rn FROM sc),
+        |sel AS (SELECT doc_id, width, height, idx, bw, bh
+        |  FROM pick WHERE rn = 1),
+        |seq AS (SELECT *, ROW_NUMBER()
+        |  OVER (PARTITION BY idx ORDER BY doc_id) - 1 AS s FROM sel)
+        |SELECT doc_id, width, height, CAST(idx AS INTEGER) AS bucket,
+        |CAST(bw AS INTEGER) AS bucket_w, CAST(bh AS INTEGER) AS bucket_h,
+        |CAST(s // 8 AS INTEGER) AS batch_id
+        |FROM seq ORDER BY doc_id""".stripMargin,
     "m03_resize_plan" ->
       """WITH m AS (SELECT doc_id,
         |  CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
@@ -3677,6 +3726,37 @@ object SparkEntry {
         |COALESCE(k.trimmed_text, '') AS trimmed_text
         |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // t43: the oracle replays the same line injection, then counts line
+    // document-frequency per (source, line STRING) — the Spark side joins
+    // 64-bit line hashes (the d04/d21 discipline: collision-free at any
+    // realistic corpus, and the kept text itself is reassembled from the
+    // exact exploded strings, never from hashes)
+    "t43_boilerplate" ->
+      """WITH aug AS (SELECT doc_id, source,
+        |  concat_ws(chr(10), 'nav ' || source, text,
+        |    'share ' || CAST(doc_id % 2 AS VARCHAR),
+        |    'pair ' || CAST(doc_id // 2 AS VARCHAR),
+        |    'sig ' || CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, source, generate_subscripts(ls, 1) AS pos,
+        |  unnest(ls) AS line
+        |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+        |    FROM aug)),
+        |df AS (SELECT source, line, COUNT(DISTINCT doc_id) AS df
+        |  FROM l GROUP BY 1, 2),
+        |kept AS (SELECT l.doc_id, l.pos, l.line
+        |  FROM l JOIN df ON l.source = df.source AND l.line = df.line
+        |  WHERE df.df < 3),
+        |agg AS (SELECT doc_id, CAST(COUNT(1) AS INTEGER) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT a.doc_id,
+        |CAST(len(string_split(a.text, chr(10))) AS INTEGER) AS n_lines,
+        |CAST(len(string_split(a.text, chr(10))) - COALESCE(g.n_kept, 0)
+        |  AS INTEGER) AS n_removed,
+        |COALESCE(g.clean_text, '') AS clean_text
+        |FROM aug a LEFT JOIN agg g ON a.doc_id = g.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     // d20: exact-substring dedup (Lee et al. 2022) — the Spark side's
     // 64-bit window-hash prefilter is lossless (collisions only add
     // verification candidates; string equality decides), so the oracle

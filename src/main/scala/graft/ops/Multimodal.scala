@@ -139,6 +139,58 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** ASPECT-RATIO BUCKETING + batch assembly — the multi-aspect training
+    * step of image-generation pipelines (NovelAI's aspect-ratio bucketing,
+    * SDXL-style multi-aspect finetuning): every image is assigned to the
+    * bucket whose target aspect ratio bw/bh is CLOSEST to its own w/h, then
+    * packed into fixed-size batches WITHIN its bucket, so every training
+    * batch holds uniformly-shaped tensors and no image is cropped to a
+    * foreign aspect.
+    *
+    * The argmin is exact integer arithmetic, not floats: the candidate
+    * distances |w/h − bw_j/bh_j| share the per-image denominator h, so
+    * comparing |w·bh_j − bw_j·h| · (L/bh_j), with L = lcm of the bucket
+    * heights, is the same total order with no division anywhere — the
+    * engine-portable determinism every oracle-replayed op here maintains.
+    * Ties break to the lowest bucket index.
+    *
+    * Shape at scale: the bucket table is a literal (argmin is one map-only
+    * array_min over per-bucket structs — no join, no shuffle), and batch
+    * numbering uses [[graft.ops.Ranking.groupedPrefixSum]]'s two-phase
+    * bucketed prefix count — NOT `row_number() OVER (PARTITION BY bucket)`,
+    * whose per-bucket state is unbounded when billions of images land in a
+    * handful of buckets. One range-bucketed shuffle total. */
+  def arBucketPlan(media: DataFrame, buckets: Seq[(Int, Int)],
+      batchSize: Int): DataFrame = {
+    require(buckets.nonEmpty, "buckets must be non-empty")
+    require(batchSize > 0, "batchSize must be positive")
+    require(buckets.forall { case (bw, bh) => bw > 0 && bh > 0 },
+      "bucket dims must be positive")
+    def lcm(a: Long, b: Long): Long = a / BigInt(a).gcd(BigInt(b)).toLong * b
+    val lcmBh = buckets.map(_._2.toLong).reduce(lcm)
+    val scored = buckets.zipWithIndex.map { case ((bw, bh), j) =>
+      struct(
+        (abs(col("w") * lit(bh.toLong) - lit(bw.toLong) * col("h")) *
+          lit(lcmBh / bh)).as("m"),
+        lit(j).as("j"))
+    }
+    val sel = media.select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.width").cast("long").as("w"),
+        col("meta.height").cast("long").as("h"))
+      .withColumn("bucket", array_min(array(scored: _*)).getField("j"))
+      .select(col("doc_id"), col("width"), col("height"), col("bucket"),
+        element_at(array(buckets.map(b => lit(b._1)): _*),
+          col("bucket") + 1).as("bucket_w"),
+        element_at(array(buckets.map(b => lit(b._2)): _*),
+          col("bucket") + 1).as("bucket_h"))
+    Ranking.groupedPrefixSum(sel, col("bucket"), col("doc_id"),
+        col("doc_id"), lit(1L), "__seq")
+      .withColumn("batch_id", expr(s"CAST(__seq DIV $batchSize AS INT)"))
+      .drop("__seq")
+      .orderBy("doc_id")
+  }
+
   /** Metadata-only resize plan (the real pixel op is the stubbed part). */
   def resizePlan(media: DataFrame, maxSide: Int): DataFrame =
     media.select(col("doc_id"), col("meta.width").as("width"),

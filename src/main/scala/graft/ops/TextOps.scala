@@ -1439,4 +1439,54 @@ object TextOps {
           .as("pii_per_token")): _*)
       .orderBy("doc_id")
   }
+
+  /** BOILERPLATE LINE REMOVAL — the C4/CCNet "deduplicate at the line
+    * level" cleanup (Raffel et al. 2020 §2.2 drops any three-sentence span
+    * occurring more than once; CCNet hashes paragraphs): a line that occurs
+    * in ≥ `minDf` DISTINCT documents of the same source is site template
+    * chrome (nav menus, cookie banners, footers), not content, and is
+    * stripped from every document. Frequency is counted per (source, line)
+    * because boilerplate is a per-site phenomenon — a line legitimately
+    * common across independent sources (a famous quote) survives unless it
+    * repeats within one source.
+    *
+    * Output: one row per input document — `n_lines`, `n_removed`, and
+    * `clean_text` (surviving lines in original order, '' when everything
+    * was template).
+    *
+    * Shape at scale: one line explode (corpus-sized, map-only), the
+    * document-frequency aggregation over (source, line-hash, doc_id) —
+    * SKINNY rows, two-level hash-agg with map-side partials, never the
+    * line strings — then one equi-join of the exploded lines against the
+    * distinct-line-sized df table and one doc-keyed reassembly hash-agg.
+    * No windows, no driver state; hot template lines don't skew the df agg
+    * (distinct doc_ids partial-aggregate map-side). The join key is the
+    * line's xxhash64, the d04 discipline: a 64-bit collision could only
+    * merge two lines' df counts (~n²/2⁶⁴ — negligible beside the codegen
+    * win of never shuffling line text through the agg). */
+  def boilerplateStrip(docs: DataFrame, minDf: Int = 3): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = docs.select(col("doc_id"), col("source"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    // document frequency per (source, line): hash-keyed, strings never agg
+    val dfTab = lines
+      .select(col("source"), xxhash64(col("line")).as("lh"), col("doc_id"))
+      .distinct()
+      .groupBy("source", "lh").agg(count(lit(1)).as("df"))
+    val kept = lines.withColumn("lh", xxhash64(col("line")))
+      .join(dfTab, Seq("source", "lh"))
+      .where(col("df") < minDf)
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        concat_ws("\n", expr("transform(" +
+          "array_sort(collect_list(struct(pos, line))), x -> x.line)"))
+          .as("clean_text"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

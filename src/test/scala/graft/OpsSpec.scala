@@ -1068,6 +1068,42 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("ar bucketing: exact-integer nearest-aspect assignment, low-index " +
+      "tie break, in-bucket batches of fixed size in doc_id order") {
+    import spark.implicits._
+    // buckets: 0=(64,64) sq, 1=(128,64) 2:1, 2=(64,128) 1:2
+    val bks = Seq((64, 64), (128, 64), (64, 128))
+    val media = Seq(
+      (1L, 100, 100), // exactly square -> bucket 0
+      (2L, 200, 100), // exactly 2:1   -> bucket 1
+      (3L, 100, 200), // exactly 1:2   -> bucket 2
+      (4L, 150, 100), // 1.5: |1.5-1|=0.5 = |1.5-2|=0.5 -> TIE -> bucket 0
+      (5L, 120, 100), // 1.2 -> square
+      (6L, 190, 100), // 1.9 -> 2:1
+      (7L, 101, 101), (8L, 99, 100), (9L, 50, 50) // more squares
+    ).map { case (id, w, h) => (id, w, h, 1) }
+      .toDF("doc_id", "width", "height", "nf")
+      .select(col("doc_id"), struct(lit("png").as("format"),
+        col("width"), col("height"), col("nf").as("nFrames")).as("meta"))
+    val out = Multimodal.arBucketPlan(media, bks, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("bucket"), r.getAs[Int]("batch_id"))).toMap
+    val bucketOf = out.view.mapValues(_._1).toMap
+    assert(bucketOf(1L) == 0 && bucketOf(2L) == 1 && bucketOf(3L) == 2)
+    assert(bucketOf(4L) == 0, "exact tie breaks to the lower bucket index")
+    assert(bucketOf(5L) == 0 && bucketOf(6L) == 1)
+    assert(Seq(7L, 8L, 9L).forall(bucketOf(_) == 0))
+    // squares in doc_id order: 1,4,5,7,8,9 -> batches of 2: 0,0,1,1,2,2
+    val sq = Seq(1L, 4L, 5L, 7L, 8L, 9L).map(out(_)._2)
+    assert(sq == Seq(0, 0, 1, 1, 2, 2))
+    assert(out(2L)._2 == 0 && out(6L)._2 == 0) // 2:1 bucket: one batch
+    // partitioning-invariant replay
+    val again = Multimodal.arBucketPlan(media.repartition(5), bks, 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("bucket"), r.getAs[Int]("batch_id"))).toMap
+    assert(again == out)
+  }
+
   test("pq knn: exact with a full shortlist; ADC recall beats nothing-" +
       "lost floor; codebooks have the declared shape") {
     val qids = (0L until 10L).toSeq
@@ -2251,5 +2287,34 @@ class OpsSpec extends AnyFunSuite {
         (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
     assert(out("x") == ((2L, 1.5, 2L, 0.75)))
     assert(out("y") == ((1L, 1.0, 1L, 1.0)))
+  }
+
+  test("boilerplate strip: per-source line df, order preserved, " +
+      "threshold boundary, all-template doc goes empty") {
+    import spark.implicits._
+    // source A: "nav" in 3 docs (stripped at minDf=3), "pair" in 2 (kept);
+    // source B has its own "nav" in ONE doc only — same string as A's, but
+    // df is per-source, so B keeps it. doc 4 is pure template.
+    val d = Seq(
+      (1L, "A", "nav\nalpha one\npair"),
+      (2L, "A", "nav\nbeta two\npair"),
+      (3L, "A", "gamma three\nnav"),
+      (4L, "A", "nav"),
+      (5L, "B", "nav\ndelta four")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.boilerplateStrip(d, 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((3, 1, "alpha one\npair")))
+    assert(out(2L) == ((3, 1, "beta two\npair")))
+    assert(out(3L) == ((2, 1, "gamma three")))
+    assert(out(4L) == ((1, 1, ""))) // every line template -> empty text
+    assert(out(5L) == ((2, 0, "nav\ndelta four"))) // B's df("nav") = 1
+    assert(out.size == 5)
+    // partitioning-invariant replay
+    val again = TextOps.boilerplateStrip(d.repartition(7), 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(again == out)
   }
 }
