@@ -1113,6 +1113,21 @@ object SparkEntry {
             |  [Part].[Brands].[Brand].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // share-of-parent via MDX CurrentMember.Parent (the percent-of-
+      // subtotal classic): nation revenue over its REGION subtotal — the
+      // parent level rides the axis, so attribution stays exact
+      "q84_parent_share" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[nation share] AS
+            |  '[Measures].[Revenue] /
+            |   ([Measures].[Revenue], [Geography].CurrentMember.Parent)'
+            |SELECT {[Measures].[Revenue], [Measures].[nation share]}
+            |  ON COLUMNS,
+            |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+            |  [Geography].[Nation].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // WITH MEMBER tuple time-navigation: the foodmart Profit Growth
       // pattern (foodmart.xml:351-366) — ([M], [T].PrevMember) resolves to
       // the declared domain-exact lag, COALESCEEMPTY to null-coalescing;
@@ -4415,6 +4430,20 @@ object SparkEntry {
          |  OVER (PARTITION BY region, region_label) AS DOUBLE)
          |  AS "brand share"
          |FROM agg ORDER BY region, brand""".stripMargin,
+    // q84: share-of-parent — the window partitions by the PARENT level's
+    // axis columns (region), the same DECIMAL(27,6) re-quantization as q58
+    "q84_parent_share" ->
+      s"""WITH agg AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    n_nationkey AS nation, n_name AS nation_label,
+         |    ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT region, region_label, nation, nation_label, revenue,
+         |revenue / CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6)))
+         |  OVER (PARTITION BY region, region_label) AS DOUBLE)
+         |  AS "nation share"
+         |FROM agg ORDER BY region, nation""".stripMargin,
     // q56: tuple navigation — lag/lag2 run over the month DOMAIN (dense at
     // this sf, so the ordered lag replays it); COALESCEEMPTY = coalesce
     // q76: the advisor's candidate lattice — each candidate's EXACT combo

@@ -152,8 +152,19 @@ final case class MovingMeasureDef(alias: String, base: String,
   * cut on `dim` makes this "total of the cut set", the share semantics BI
   * consumers expect (Mondrian's slicer-override All would need a second
   * fact pass for a rarely-wanted answer). When `dim` is not drilled it
-  * already sits at All and the total IS the base value. */
-final case class TotalMeasureDef(alias: String, base: String, dim: String)
+  * already sits at All and the total IS the base value.
+  *
+  * `parent = true` is the MDX `([M], [Dim].CurrentMember.Parent)` variant
+  * (share-of-parent, the classic percent-of-subtotal measure): the window
+  * additionally partitions by the dimension's ANCESTOR level columns above
+  * its finest drilled level, so each cell sees its parent member's total
+  * rather than the dimension's All total. The parent level must be on the
+  * axis (drilled, or via parents=true) — parent attribution is exact even
+  * when child keys repeat across parents (Month 6 of every Year), because
+  * the axis rows themselves carry the parent keys. A finest-drilled TOP
+  * level's parent is the All member: the plain total. */
+final case class TotalMeasureDef(alias: String, base: String, dim: String,
+    parent: Boolean = false)
 
 /** MDX `Rank([Dim].CurrentMember, [Dim].[Level].Members, [Measures].[M])`
   * (Mondrian's 3-arg ranked form): the current member's 1-based position

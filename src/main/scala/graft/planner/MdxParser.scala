@@ -336,7 +336,8 @@ object MdxParser {
       val dim = dimS.trim
       if (cube.dimension(dim).isEmpty)
         GraftException.badRequest(s"All-member tuple on unknown dimension '$dim'")
-      cube.totalMeasures.find(t => t.base == base && t.dim == dim)
+      cube.totalMeasures.find(t => t.base == base && t.dim == dim &&
+          !t.parent)
         .map(_.alias)
         .getOrElse {
           val alias = s"__mdx_total_${base}_$dim"
@@ -354,6 +355,30 @@ object MdxParser {
       formula = allRe.replaceAllIn(formula, mm =>
         java.util.regex.Matcher.quoteReplacement(
           synthTotal(mm.group(1), mm.group(2))))
+      // `([Measures].[M], [Dim].CurrentMember.Parent)` — share-of-parent
+      // (the percent-of-subtotal classic): the measure at the current
+      // member's PARENT, a [[TotalMeasureDef]] with parent=true (the
+      // planner partitions the window by the dimension's ancestor columns
+      // and 400s unless the parent level is on the axis)
+      val parentRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
+        """\[([^\]]+)\]\s*\.\s*CURRENTMEMBER\s*\.\s*PARENT\s*\)""").r
+      formula = parentRe.replaceAllIn(formula, mm => {
+        val base = resolveMeasure(cube, mm.group(1))
+        val dim = mm.group(2).trim
+        if (cube.dimension(dim).isEmpty)
+          GraftException.badRequest(
+            s"CurrentMember.Parent tuple on unknown dimension '$dim'")
+        val alias = cube.totalMeasures
+          .find(t => t.base == base && t.dim == dim && t.parent)
+          .map(_.alias)
+          .getOrElse {
+            val a = s"__mdx_ptotal_${base}_$dim"
+            totals.getOrElseUpdate(a,
+              TotalMeasureDef(a, base, dim, parent = true))
+            a
+          }
+        java.util.regex.Matcher.quoteReplacement(alias)
+      })
       // `Sum(<level>.Members, [Measures].[M])` / `Aggregate(...)`: a sum
       // over a COMPLETE member set of a dimension is that dimension's
       // All-member value — the same TotalMeasureDef machinery as the All

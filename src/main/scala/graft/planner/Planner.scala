@@ -1279,10 +1279,39 @@ object Planner {
   private def applyTotal(df: DataFrame, tm: TotalMeasureDef,
       groupLevels: Seq[ResolvedLevel], visible: Column): DataFrame =
     if (groupLevels.forall(_.dim.name != tm.dim))
-      df.withColumn(tm.alias, col(tm.base))
+      if (tm.parent)
+        GraftException.badRequest(
+          s"CurrentMember.Parent over '${tm.dim}' requires a drilldown " +
+            s"on '${tm.dim}'")
+      else df.withColumn(tm.alias, col(tm.base))
     else {
-      val partCols = groupLevels.filterNot(_.dim.name == tm.dim)
-        .flatMap(levelAliases).map(col)
+      // parent totals partition ADDITIONALLY by the dimension's ancestor
+      // columns above its finest drilled level — each cell then sees its
+      // PARENT member's subtotal, not the All total. The immediate parent
+      // level must be on the axis: the axis rows carry the parent keys,
+      // which keeps attribution exact even when child keys repeat across
+      // parents (Month 6 exists in every Year). Other hierarchies of the
+      // same dimension stay in the partition (MDX CurrentMember is
+      // per-hierarchy context).
+      val partLevels =
+        if (!tm.parent) groupLevels.filterNot(_.dim.name == tm.dim)
+        else {
+          val dimLevels = groupLevels.filter(_.dim.name == tm.dim)
+          val finest = dimLevels.maxBy(_.depth)
+          val ancestors = dimLevels.filter(l =>
+            l.hier.name == finest.hier.name && l.depth < finest.depth)
+          if (finest.depth > 0 &&
+              !ancestors.exists(_.depth == finest.depth - 1))
+            GraftException.badRequest(
+              s"CurrentMember.Parent over '${tm.dim}' needs the parent " +
+                s"level '${finest.hier.levels(finest.depth - 1).name}' on " +
+                "the axis — drill it alongside " +
+                s"'${finest.level.name}' (or set parents=true)")
+          groupLevels.filterNot(l =>
+            l.dim.name == tm.dim && l.hier.name == finest.hier.name) ++
+            ancestors
+        }
+      val partCols = partLevels.flatMap(levelAliases).map(col)
       val w = Window.partitionBy(partCols: _*)
       df.withColumn(tm.alias,
         sum(when(visible, expr(s"CAST(${tm.base} AS DECIMAL(27,6))")))

@@ -203,6 +203,61 @@ class MdxSpec extends AnyFunSuite {
     assert(math.abs(shares.sum - 1.0) < 1e-9)
   }
 
+  test("CurrentMember.Parent tuple computes share-of-parent; shares sum " +
+      "to 1 within each parent; parent level must ride the axis") {
+    val q = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[nation share] AS
+        |  '[Measures].[Revenue] /
+        |   ([Measures].[Revenue], [Geography].CurrentMember.Parent)'
+        |SELECT {[Measures].[Revenue], [Measures].[nation share]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+        |  [Geography].[Nation].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(q.adhocTotals.map(t => (t.base, t.dim, t.parent)) ==
+      Seq(("revenue", "Geography", true)))
+    val rows = Planner.plan(cat, q).collect()
+    // within each region, nation shares sum to 1 exactly (same window)
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+    }
+    // the synthesized parent total is DISTINCT from the declared All
+    // total: with multiple regions, at least one nation's parent share
+    // exceeds its share of the grand total
+    assert(rows.map(_.getInt(0)).distinct.length > 1)
+    // parent of a TOP-level member is All: same value as the plain total
+    val qTop = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[region share] AS
+        |  '[Measures].[Revenue] /
+        |   ([Measures].[Revenue], [Geography].CurrentMember.Parent)'
+        |SELECT {[Measures].[region share]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS
+        |FROM sales""".stripMargin)
+    val topShares = Planner.plan(cat, qTop).collect().map(_.getDouble(2))
+    assert(math.abs(topShares.sum - 1.0) < 1e-9)
+    // drilling only Nation (no parent level on the axis) is a 400 with
+    // guidance, not a silent grand-total share
+    val qNoParent = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[nation share] AS
+        |  '[Measures].[Revenue] /
+        |   ([Measures].[Revenue], [Geography].CurrentMember.Parent)'
+        |SELECT {[Measures].[nation share]} ON COLUMNS,
+        |[Geography].[Nation].Members ON ROWS
+        |FROM sales""".stripMargin)
+    val e = intercept[GraftException](Planner.plan(cat, qNoParent).collect())
+    assert(e.status == 400 && e.getMessage.contains("parent level 'Region'"))
+    // an undrilled dimension has no CurrentMember to take a parent of
+    val qUndrilled = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[share] AS
+        |  '[Measures].[Revenue] /
+        |   ([Measures].[Revenue], [Geography].CurrentMember.Parent)'
+        |SELECT {[Measures].[share]} ON COLUMNS,
+        |[Part].[Brands].[Brand].Members ON ROWS
+        |FROM sales""".stripMargin)
+    val e2 = intercept[GraftException](
+      Planner.plan(cat, qUndrilled).collect())
+    assert(e2.status == 400 && e2.getMessage.contains("requires a drilldown"))
+  }
+
   test("tuple navigation on a virtual cube is a clean 400, never a crash") {
     // a virtual cube only conforms axes — tuple measures live in member
     // cubes. Two failure shapes: a SYNTHESIZED ad-hoc total (Quantity over
