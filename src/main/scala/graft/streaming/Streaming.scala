@@ -853,6 +853,33 @@ object Streaming {
   /** Drive a streaming query over a bounded source synchronously (memory
     * sink) — the local-smoke harness from the Spark guide. Returns the sink
     * table name. */
+  /** STREAMING DAU twin of the distinct half of
+    * [[graft.ops.EventOps.stickiness]] (e21): per (event_type, calendar
+    * day) DISTINCT-user counts maintained incrementally. Exact streaming
+    * distinct = first-seen dedup keyed on (event_type, day window,
+    * user_id) — `dropDuplicatesWithinWatermark` bounds that state by the
+    * watermark horizon (a day's user set expires once the watermark passes
+    * the day; the keys themselves are day-scoped, so state is
+    * O(active days × users), never unbounded history) — then the DAU count
+    * is an ordinary watermark-finalized windowed aggregation. Emits one
+    * (day_start, event_type, dau) row per closed day, bit-equal to the
+    * batch `COUNT(DISTINCT user_id)` (UTC session timezone ⇒ the 1-day
+    * tumbling window lands on the same calendar boundary as the batch
+    * CAST(ts AS DATE)). Month stickiness is a stateless rollup of this
+    * day table — the Kappa serving split: the stream maintains the
+    * expensive distinct state, the month ratio aggregates its output. */
+  def dauStream(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      // the day window inherits the event-time watermark; ts itself must
+      // not survive the select (two event-time columns is an error)
+      .select(col("event_type"), window(col("ts"), "1 day").as("w"),
+        col("user_id"))
+      .dropDuplicatesWithinWatermark("event_type", "w", "user_id")
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").as("day_start"), col("event_type"), col("dau"))
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): String = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name)

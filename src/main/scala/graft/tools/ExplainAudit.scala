@@ -47,7 +47,10 @@ object ExplainAudit {
         "t37_probe_score", "q77_mdx_ancestor", "q78_mdx_closingperiod",
         "q79_mdx_lead", "s12_knn_pq", "e19_kaplan_meier", "t40_soft_dedup",
         "q80_mdx_bottompercent", "q81_mdx_subset_agg", "s13_hybrid_rrf",
-        "e20_windowed_funnel")
+        "e20_windowed_funnel", "d20_exact_substring", "d21_source_overlap",
+        "s14_knn_ivfpq", "t39_probe_calibration", "t41_decontam_multi",
+        "t42_dsir_resample", "e21_stickiness", "t43_boilerplate",
+        "m06_ar_buckets", "q84_parent_share")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -41,6 +41,38 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, v) => assert(batch(k) == v) }
   }
 
+  test("streaming DAU matches batch COUNT(DISTINCT user_id) per " +
+      "(event_type, day); replayed events do not inflate it") {
+    // replay each event twice — the first-seen dedup must keep DAU exact
+    // under at-least-once delivery
+    val dupDir = Files.createTempDirectory("graft-dau").toString
+    val ev = cat.table("events")
+    ev.coalesce(1).write.mode("append").parquet(dupDir)
+    ev.coalesce(1).write.mode("append").parquet(dupDir)
+    val stream = Streaming.readEventsStream(spark, dupDir)
+    val name = Streaming.runToMemory(spark,
+      Streaming.dauStream(stream, "1 hour"), "dau_test")
+    val streamed = spark.table(name).collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = ev
+      .groupBy(window(col("ts"), "1 day").getField("start").as("day_start"),
+        col("event_type"))
+      .agg(countDistinct("user_id").as("dau"))
+      .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    // append mode emits only watermark-closed days ⇒ subset; every emitted
+    // day's DAU equals the batch distinct count exactly
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"day $k") }
+    // the month rollup of the emitted day table reproduces e21's
+    // avg-DAU numerator for months whose days all closed
+    val monthAvg = spark.table(name)
+      .groupBy(expr("year(day_start)*12 + month(day_start)").as("month_id"),
+        col("event_type"))
+      .agg((sum("dau").cast("double") / count(lit(1))).as("avg_dau"))
+      .collect()
+    assert(monthAvg.nonEmpty)
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import org.apache.spark.sql.functions._
     // replay every event twice (two identical file sets) — at-least-once
