@@ -399,6 +399,16 @@ object SparkEntry {
             3, 32, 4, 0.5)
           ._1.select("doc_a", "doc_b", "jaccard")
       }),
+      // right-to-be-forgotten: a deterministic tombstone batch (every
+      // 37th doc) deletes against the STANDING pair/cluster artifacts —
+      // only tombstone-touched components re-cluster; output bit-equals a
+      // from-scratch recompute on the surviving corpus (the oracle)
+      "d22_tombstone_delete" -> ((s: SparkSession, dir: String) => {
+        val d = CubeCatalog.forDir(s, dir).table("documents")
+        ops.Dedup.tombstoneDelete(d,
+          d.where(d("doc_id") % 37 === 0).select("doc_id"), "doc_id",
+          lshPairs(s, dir).select("doc_a", "doc_b"), dupClusters(s, dir))
+      }),
       // the fuzzy-dedup survivor corpus: one representative (min doc_id)
       // per near-dup cluster — pair list → connected components → keep-one
       "d13_keep_canonical" -> ((s: SparkSession, dir: String) => {
@@ -2374,6 +2384,32 @@ object SparkEntry {
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach(node, r) AS (
         |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a)
+        |SELECT node AS doc_id, MIN(r) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // d22: surviving pairs are deletion-invariant, so the oracle is d07's
+    // exact-Jaccard recursive-CTE clustering recomputed from scratch on the
+    // tombstone-filtered corpus — the incremental Spark path must bit-match
+    "d22_tombstone_delete" ->
+      """WITH RECURSIVE surv AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 37 <> 0),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM surv),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND len(list_intersect(a.sh, b.sh))
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM surv
         |  UNION
         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.node = e.a)
         |SELECT node AS doc_id, MIN(r) AS cluster_id

@@ -674,6 +674,58 @@ object Dedup {
       .select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** TOMBSTONE DELETE with incremental cluster maintenance — the
+    * right-to-be-forgotten pass a production corpus service runs against
+    * its standing dedup artifacts (the delete-side complement of the
+    * ingest-side [[lshDeltaPairs]]): given the memoized near-dup pair
+    * frame and cluster labeling, remove the deleted documents and repair
+    * the labeling WITHOUT re-clustering the corpus.
+    *
+    * Pairs between two survivors are deletion-invariant (a pair is a
+    * property of its two documents), so the pair frame just anti-joins the
+    * tombstones. Cluster labels are NOT filter-stable: deleting a cut
+    * vertex splits its component, and deleting a component's minimum id
+    * re-canonicalizes it — so connected components re-run, but ONLY on the
+    * touched components (those containing a tombstone); every untouched
+    * component keeps its label with zero recompute. Delete batches are
+    * tiny against the corpus, so the re-clustered subgraph is
+    * touched-component-sized — the incremental win that makes per-batch
+    * deletes affordable at 100 TB.
+    *
+    * Output: the surviving corpus's (idCol, cluster_id) — bit-equal to
+    * [[duplicateClusters]] recomputed from scratch on the filtered corpus
+    * and filtered pairs (OpsSpec pins split, re-canonicalization, and
+    * untouched-label stability).
+    *
+    * Shape at scale: tombstones broadcast into the anti/semi joins; the
+    * only iterative work is [[duplicateClusters]] on the touched subgraph
+    * (skinny label rows, O(log diameter) rounds). */
+  def tombstoneDelete(nodes: DataFrame, deletes: DataFrame, idCol: String,
+      pairs: DataFrame, clusters: DataFrame): DataFrame = {
+    val del = broadcast(deletes.select(col(idCol).as("__del")).distinct())
+    val survivingPairs = pairs
+      .join(del, col("doc_a") === col("__del"), "left_anti")
+      .join(del, col("doc_b") === col("__del"), "left_anti")
+    // components holding a tombstone: only these need re-clustering
+    val touched = clusters
+      .join(del, col(idCol) === col("__del"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val keep = clusters
+      .join(touched, Seq("cluster_id"), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+    val subNodes = clusters
+      .join(touched, Seq("cluster_id"), "left_semi")
+      .join(del, col(idCol) === col("__del"), "left_anti")
+      .select(col(idCol))
+    val subPairs = survivingPairs
+      .join(subNodes.select(col(idCol).as("doc_a")), Seq("doc_a"),
+        "left_semi")
+    keep.unionByName(
+        duplicateClusters(subNodes, idCol, subPairs)
+          .select(col(idCol), col("cluster_id")))
+      .orderBy(idCol)
+  }
+
   /** SOFT DEDUPLICATION — down-weight duplicates instead of dropping them
     * (the "commonness reweighting" alternative to hard dedup, e.g. He et
     * al. 2024, SoftDedup): each document keeps full coverage in the

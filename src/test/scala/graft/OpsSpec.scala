@@ -2289,6 +2289,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out("y") == ((1L, 1.0, 1L, 1.0)))
   }
 
+  test("tombstone delete: cut-vertex split, canonical re-election, " +
+      "untouched clusters keep labels; bit-equal to full recompute") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 30L, 31L)
+      .toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(nodes, "doc_id", pairs)
+    // deleting 2 splits the 1-2-3 chain; deleting 10 re-elects 11 as the
+    // {11,12} canonical; 30 is a deleted singleton; {20,21} is untouched
+    val deletes = Seq(2L, 10L, 30L).toDF("doc_id")
+    val out = Dedup.tombstoneDelete(nodes, deletes, "doc_id", pairs,
+        clusters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 3L, 11L -> 11L, 12L -> 11L,
+      20L -> 20L, 21L -> 20L, 31L -> 31L))
+    // parity with a from-scratch recompute on the filtered graph
+    val survNodes = nodes.join(deletes, Seq("doc_id"), "left_anti")
+    val survPairs = pairs
+      .join(deletes.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+        "left_anti")
+      .join(deletes.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_anti")
+    val full = Dedup.duplicateClusters(survNodes, "doc_id", survPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == full)
+  }
+
   test("boilerplate strip: per-source line df, order preserved, " +
       "threshold boundary, all-template doc goes empty") {
     import spark.implicits._
