@@ -1138,6 +1138,24 @@ object SparkEntry {
             |  [Geography].[Nation].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // semi-additive closing balance via MDX ClosingPeriod tuple: each
+      // (nation, year, month) row carries the revenue at its year's LAST
+      // calendar-domain month — empty when the nation has no data there
+      // (domain-exact, never "last present month")
+      "q85_mdx_closing" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[closing revenue] AS
+            |  '([Measures].[Revenue],
+            |    CLOSINGPERIOD([ShipDate].[Monthly].[Month],
+            |      [ShipDate].[Monthly].[Year].CurrentMember))'
+            |SELECT {[Measures].[Revenue], [Measures].[closing revenue]}
+            |  ON COLUMNS,
+            |NON EMPTY CROSSJOIN([Geography].[Nation].Members,
+            |  CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+            |    [ShipDate].[Monthly].[Month].Members)) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // WITH MEMBER tuple time-navigation: the foodmart Profit Growth
       // pattern (foodmart.xml:351-366) — ([M], [T].PrevMember) resolves to
       // the declared domain-exact lag, COALESCEEMPTY to null-coalescing;
@@ -4480,6 +4498,28 @@ object SparkEntry {
          |  OVER (PARTITION BY region, region_label) AS DOUBLE)
          |  AS "nation share"
          |FROM agg ORDER BY region, nation""".stripMargin,
+    // q85: closing balance — the closing month per year comes from the
+    // corpus-wide calendar domain (the degenerate dim's distinct months),
+    // then each (nation, year) row LEFT-joins its value at that month
+    // (null when the nation has no data there, Mondrian's empty cell)
+    "q85_mdx_closing" ->
+      s"""WITH agg AS (
+         |  SELECT n_nationkey AS nation, n_name AS nation_label,
+         |    year(l_shipdate) AS ship_year, month(l_shipdate) AS ship_month,
+         |    ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2, 3, 4),
+         |cm AS (SELECT ship_year, MAX(ship_month) AS cmonth FROM (
+         |  SELECT DISTINCT year(l_shipdate) AS ship_year,
+         |    month(l_shipdate) AS ship_month FROM lineitem)
+         |  GROUP BY 1)
+         |SELECT a.nation, a.nation_label, a.ship_year, a.ship_month,
+         |a.revenue, c.revenue AS "closing revenue"
+         |FROM agg a
+         |JOIN cm ON a.ship_year = cm.ship_year
+         |LEFT JOIN agg c ON c.nation = a.nation
+         |  AND c.ship_year = a.ship_year AND c.ship_month = cm.cmonth
+         |ORDER BY a.nation, a.ship_year, a.ship_month""".stripMargin,
     // q56: tuple navigation — lag/lag2 run over the month DOMAIN (dense at
     // this sf, so the ordered lag replays it); COALESCEEMPTY = coalesce
     // q76: the advisor's candidate lattice — each candidate's EXACT combo

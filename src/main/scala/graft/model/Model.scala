@@ -130,9 +130,20 @@ final case class LagMeasureDef(alias: String, base: String, timeDim: String,
   * sum of `base` over the time hierarchy's member order, resetting at each
   * member of `resetLevel` (Year → year-to-date), partitioned by every
   * non-time axis column. The accumulator rides DECIMAL(27,6) so window
-  * evaluation order cannot move a float bit. */
+  * evaluation order cannot move a float bit.
+  *
+  * `edge` turns the running sum into the SEMI-ADDITIVE edge value — the
+  * MDX `([M], CLOSINGPERIOD([T].[Leaf], [T].[Reset].CurrentMember))`
+  * closing-balance classic (and OPENINGPERIOD): the base measure at the
+  * reset group's LAST (`edge = "closing"`) or FIRST (`"opening"`) member
+  * of the hierarchy's member domain. Rides the same domain-expanded
+  * window, so a partition with no data at the closing member yields an
+  * empty cell (Mondrian's semantics), never the "last present" member.
+  * `edgeLevel` records the declared leaf level; the planner 400s unless it
+  * is the finest drilled level of the time dimension (a coarser axis
+  * cannot represent the closing member's value). */
 final case class CumMeasureDef(alias: String, base: String, timeDim: String,
-    resetLevel: String)
+    resetLevel: String, edge: String = "", edgeLevel: String = "")
 
 /** Trailing moving average (MDX `Avg(LastPeriods(n), [Measures].[M])`):
   * mean of the base measure over the last `periods` time members INCLUDING

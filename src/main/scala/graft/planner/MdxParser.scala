@@ -258,7 +258,7 @@ object MdxParser {
       val base = resolveMeasure(cube, measureName)
       levelOf(dim, resetLevel, "PeriodsToDate")
       cube.cumMeasures.find(c => c.base == base && c.timeDim == dim &&
-          c.resetLevel == resetLevel)
+          c.resetLevel == resetLevel && c.edge.isEmpty)
         .map(_.alias)
         .getOrElse {
           val alias = s"__mdx_ptd_${base}_${dim.replaceAll("\\W", "_")}_" +
@@ -486,6 +486,51 @@ object MdxParser {
         val dim = Option(mm.group(1)).getOrElse(defaultTimeDim("Ytd()"))
         java.util.regex.Matcher.quoteReplacement(
           synthCum(mm.group(2), dim, "Year"))
+      })
+      // `([M], CLOSINGPERIOD([T].[Leaf], [T].[Reset].CurrentMember))` and
+      // OPENINGPERIOD — the semi-additive closing/opening balance: a
+      // [[CumMeasureDef]] with edge set. The anchored 2-arg form is
+      // required (the bare 1-arg form closes the current member's OWN
+      // level — a no-op on an axis row); the anchor names which ancestor
+      // level the balance closes within.
+      val edgeRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
+        """(CLOSING|OPENING)PERIOD\s*\(\s*""" +
+        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*,\s*""" +
+        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\.\s*CURRENTMEMBER""" +
+        """\s*\)\s*\)""").r
+      formula = edgeRe.replaceAllIn(formula, mm => {
+        val base = resolveMeasure(cube, mm.group(1))
+        val edge = mm.group(2).toLowerCase
+        val fn = s"${mm.group(2).capitalize}Period"
+        def dimLevel(path: String, what: String): (String, String) =
+          QueryParser.segments(path) match {
+            case Seq(d, l) => (d, l)
+            case Seq(d, _, l) => (d, l)
+            case _ =>
+              GraftException.badRequest(s"bad $what level '$path'")
+          }
+        val (dim, leaf) = dimLevel(mm.group(3), fn)
+        val (dimA, reset) = dimLevel(mm.group(4), s"$fn anchor")
+        if (dim != dimA)
+          GraftException.badRequest(
+            s"$fn level and anchor must share one dimension, " +
+              s"got '$dim' and '$dimA'")
+        levelOf(dim, leaf, fn)
+        levelOf(dim, reset, fn)
+        val alias = cube.cumMeasures.find(c => c.base == base &&
+            c.timeDim == dim && c.resetLevel == reset && c.edge == edge &&
+            c.edgeLevel == leaf)
+          .map(_.alias)
+          .getOrElse {
+            val a = s"__mdx_${edge}_${base}_" +
+              s"${dim.replaceAll("\\W", "_")}_" +
+              s"${reset.replaceAll("\\W", "_")}_" +
+              leaf.replaceAll("\\W", "_")
+            cums.getOrElseUpdate(a,
+              CumMeasureDef(a, base, dim, reset, edge, leaf))
+            a
+          }
+        java.util.regex.Matcher.quoteReplacement(alias)
       })
       // `Avg(LastPeriods(n[, [T].CurrentMember]), [M])` → a synthesized
       // [[MovingMeasureDef]] — the trailing n-member mean over the calendar

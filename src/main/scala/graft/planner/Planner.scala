@@ -1165,13 +1165,23 @@ object Planner {
         Window.orderBy(ordC.map(_.asc): _*).rowsBetween(-maxLead, 0)) === 1
     for (cm <- need.cums.filter(_.timeDim == dn);
          resetRl <- unit.find(_.level.name == cm.resetLevel))
-      needed = needed || max(col(flag)).over(
-        // reset-member identity = the reset level plus its drilled
-        // ancestors (same rule as applyCum — a Quarter key repeats per year)
-        Window.partitionBy(unit.filter(_.depth <= resetRl.depth)
-            .map(rl => col(rl.level.alias)): _*)
-          .orderBy(ordC.map(_.asc): _*)
-          .rowsBetween(0, Window.unboundedFollowing)) === 1
+      needed = needed || (
+        if (cm.edge.isEmpty)
+          max(col(flag)).over(
+            // reset-member identity = the reset level plus its drilled
+            // ancestors (same rule as applyCum — a Quarter key repeats
+            // per year)
+            Window.partitionBy(unit.filter(_.depth <= resetRl.depth)
+                .map(rl => col(rl.level.alias)): _*)
+              .orderBy(ordC.map(_.asc): _*)
+              .rowsBetween(0, Window.unboundedFollowing)) === 1
+        else
+          // closing/opening balances read the reset group's EDGE member,
+          // which may sit beyond any cut member — a cut group needs its
+          // WHOLE reset group in the domain
+          max(col(flag)).over(
+            Window.partitionBy(unit.filter(_.depth <= resetRl.depth)
+              .map(rl => col(rl.level.alias)): _*)) === 1)
     // localCheckpoint: the domain feeds the fact semi-join AND the axis
     // expansion; tiny frame, computed once (Dedup convention)
     TimeDomain(dn, unit,
@@ -1238,10 +1248,34 @@ object Planner {
       .map(rl => col(rl.level.alias))
     val partCols = groupLevels.filterNot(_.dim.name == cm.timeDim)
       .flatMap(levelAliases).map(col) ++ resetCols
-    val w = Window.partitionBy(partCols: _*).orderBy(ordCols.map(_.asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn(cm.alias,
-      sum(expr(s"CAST(${cm.base} AS DECIMAL(27,6))")).over(w).cast("double"))
+    if (cm.edge.isEmpty) {
+      val w = Window.partitionBy(partCols: _*)
+        .orderBy(ordCols.map(_.asc): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(cm.alias,
+        sum(expr(s"CAST(${cm.base} AS DECIMAL(27,6))")).over(w)
+          .cast("double"))
+    } else {
+      // semi-additive closing/opening balance: the base value at the reset
+      // group's LAST/FIRST domain member. The frame is the domain-expanded
+      // axis, so the edge row exists even when this partition has no data
+      // there (null base → empty cell, Mondrian's semantics). No
+      // accumulation happens — the value is picked, not summed — so no
+      // decimal re-quantization is needed.
+      val finest = timeDrills.maxBy(_.depth)
+      if (finest.level.name != cm.edgeLevel)
+        GraftException.badRequest(
+          s"${cm.edge.capitalize}Period level '${cm.edgeLevel}' must be " +
+            s"the finest drilled level of '${cm.timeDim}' " +
+            s"(drilled: '${finest.level.name}')")
+      val w = Window.partitionBy(partCols: _*)
+        .orderBy(ordCols.map(_.asc): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val pick =
+        if (cm.edge == "closing") last(col(cm.base), ignoreNulls = false)
+        else first(col(cm.base), ignoreNulls = false)
+      df.withColumn(cm.alias, pick.over(w))
+    }
   }
 
   /** Trailing moving average (MDX Avg(LastPeriods(n), M)): windowed mean of

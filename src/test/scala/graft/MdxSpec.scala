@@ -203,6 +203,63 @@ class MdxSpec extends AnyFunSuite {
     assert(math.abs(shares.sum - 1.0) < 1e-9)
   }
 
+  test("ClosingPeriod/OpeningPeriod tuples: semi-additive balances at the " +
+      "calendar-domain edge, empty when the partition lacks the edge month") {
+    def mdx(fn: String) = MdxParser.parse(salesCube,
+      s"""WITH MEMBER [Measures].[edge revenue] AS
+         |  '([Measures].[Revenue],
+         |    ${fn}PERIOD([ShipDate].[Monthly].[Month],
+         |      [ShipDate].[Monthly].[Year].CurrentMember))'
+         |SELECT {[Measures].[Revenue], [Measures].[edge revenue]}
+         |  ON COLUMNS,
+         |NON EMPTY CROSSJOIN([Geography].[Nation].Members,
+         |  CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+         |    [ShipDate].[Monthly].[Month].Members)) ON ROWS
+         |FROM sales""".stripMargin)
+    val q = mdx("CLOSING")
+    assert(q.adhocCums.map(c =>
+        (c.base, c.timeDim, c.resetLevel, c.edge, c.edgeLevel)) ==
+      Seq(("revenue", "ShipDate", "Year", "closing", "Month")))
+    // rows: nation(0) label(1) year(2) month(3) revenue(4) edge(5)
+    val rows = Planner.plan(cat, q).collect().map(r =>
+      (r.getInt(0), r.getInt(2), r.getInt(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    // the calendar domain is corpus-wide: closing month of a year = the
+    // max month any nation shipped in (every fact row has a nation, so
+    // that month is visible in the axis)
+    val closingMonth = rows.groupBy(_._2).view.mapValues(_.map(_._3).max)
+    val byCell = rows.map(t => (t._1, t._2, t._3) -> t._4).toMap
+    rows.foreach { case (nation, year, _, _, edge) =>
+      assert(edge == byCell.get((nation, year, closingMonth(year))),
+        s"nation $nation year $year")
+    }
+    // a nation with no December data carries an EMPTY closing cell (the
+    // fixture is sparse at sf0.001, so such cells exist)
+    assert(rows.exists(_._5.isEmpty))
+    // opening variant: value at the year's FIRST domain month
+    val or = Planner.plan(cat, mdx("OPENING")).collect().map(r =>
+      (r.getInt(0), r.getInt(2), r.getInt(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val openingMonth = or.groupBy(_._2).view.mapValues(_.map(_._3).min)
+    or.foreach { case (nation, year, _, _, edge) =>
+      assert(edge == or.find(t => t._1 == nation && t._2 == year &&
+        t._3 == openingMonth(year)).map(_._4))
+    }
+    // a leaf coarser than the drilled axis cannot represent the closing
+    // member's value — 400, never a silently wrong pick
+    val qBad = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[bad] AS
+        |  '([Measures].[Revenue],
+        |    CLOSINGPERIOD([ShipDate].[Monthly].[Quarter],
+        |      [ShipDate].[Monthly].[Year].CurrentMember))'
+        |SELECT {[Measures].[bad]} ON COLUMNS,
+        |CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    val e = intercept[GraftException](Planner.plan(cat, qBad).collect())
+    assert(e.status == 400 && e.getMessage.contains("finest drilled"))
+  }
+
   test("CurrentMember.Parent tuple computes share-of-parent; shares sum " +
       "to 1 within each parent; parent level must ride the axis") {
     val q = MdxParser.parse(salesCube,
