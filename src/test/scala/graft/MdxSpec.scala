@@ -245,6 +245,29 @@ class MdxSpec extends AnyFunSuite {
       assert(edge == or.find(t => t._1 == nation && t._2 == year &&
         t._3 == openingMonth(year)).map(_._4))
     }
+    // a slicer cut on the time dimension must not clip the balance: the
+    // cut member's WHOLE year rides the window domain, so a month-3 axis
+    // still reads its year's closing (December-side) value
+    val qCut = MdxParser.parse(salesCube,
+      """WITH MEMBER [Measures].[edge revenue] AS
+        |  '([Measures].[Revenue],
+        |    CLOSINGPERIOD([ShipDate].[Monthly].[Month],
+        |      [ShipDate].[Monthly].[Year].CurrentMember))'
+        |SELECT {[Measures].[Revenue], [Measures].[edge revenue]}
+        |  ON COLUMNS,
+        |NON EMPTY CROSSJOIN([Geography].[Nation].Members,
+        |  CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+        |    [ShipDate].[Monthly].[Month].Members)) ON ROWS
+        |FROM sales
+        |WHERE ([ShipDate].[Monthly].[Month].[3])""".stripMargin)
+    val cutRows = Planner.plan(cat, qCut).collect().map(r =>
+      (r.getInt(0), r.getInt(2), r.getInt(3),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(cutRows.nonEmpty && cutRows.forall(_._3 == 3)) // axis clipped
+    cutRows.foreach { case (nation, year, _, edge) =>
+      assert(edge == byCell.get((nation, year, closingMonth(year))),
+        s"cut must not clip the balance: nation $nation year $year")
+    }
     // a leaf coarser than the drilled axis cannot represent the closing
     // member's value — 400, never a silently wrong pick
     val qBad = MdxParser.parse(salesCube,

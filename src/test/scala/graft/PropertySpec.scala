@@ -73,6 +73,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MDX parent-total invariants under random extra drills and " +
+      "month cuts: every cell's parent total equals its region group sum") {
+    val gen = for {
+      extra <- Gen.someOf(Seq(
+        LevelRef("Part", Some("Brand"), Some("Brands")),
+        LevelRef("ReturnFlag", Some("ReturnFlag"))))
+      months <- Gen.someOf(1 to 12)
+    } yield (extra.toSeq, months.toSeq.sorted)
+    forAll(gen, n = 6) { case (extra, months) =>
+      val q = CubeQuery("sales",
+        (Seq(LevelRef("Geography", Some("Region")),
+          LevelRef("Geography", Some("Nation"))) ++ extra)
+          .map(LevelDrill(_)),
+        Seq("revenue", "ptot"),
+        cuts = if (months.isEmpty) Nil
+          else Seq(SetCut(LevelRef("ShipDate", Some("Month"),
+            Some("Monthly")), months)),
+        adhocTotals = Seq(graft.model.TotalMeasureDef(
+          "ptot", "revenue", "Geography", parent = true)))
+      val df = Planner.plan(cat, q)
+      val cols = df.columns
+      val rIdx = cols.indexOf("revenue")
+      val pIdx = cols.indexOf("ptot")
+      val gIdx = cols.indices.filterNot(i =>
+        Seq("nation", "nation_label", "revenue", "ptot").contains(cols(i)))
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"extra=$extra months=$months")
+      rows.groupBy(r => gIdx.map(r.get)).foreach { case (g, rs) =>
+        val tot = rs.map(_.getDouble(rIdx)).sum
+        rs.foreach(r => assert(math.abs(r.getDouble(pIdx) - tot) < 1e-6,
+          s"group $g: ptot=${r.getDouble(pIdx)} sum=$tot " +
+            s"(extra=$extra months=$months)"))
+      }
+    }
+  }
+
   test("domain-exact lag invariants under random month-set cuts (B8)") {
     // the round-4 semantic gap: lag must reference the CALENDAR-previous
     // member of the time domain, never "the previous month present on this
