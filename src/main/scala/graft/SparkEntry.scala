@@ -724,6 +724,19 @@ object SparkEntry {
             .otherwise(lit(""))))
         ops.TextOps.piiScrub(aug)
       },
+      // dataset-version drift report: snapshot B derives from the corpus by
+      // deterministic mutations (remove %41, rewrite %43, clone-add %47 at
+      // shifted ids) — the diff must attribute every doc to exactly one of
+      // added/removed/changed/unchanged per source, with the token delta
+      "t44_corpus_diff" -> tbl("documents") { d =>
+        import org.apache.spark.sql.functions._
+        val cur = d.where(col("doc_id") % 41 =!= 0)
+          .withColumn("text", when(col("doc_id") % 43 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+          .unionByName(d.where(col("doc_id") % 47 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        ops.TextOps.corpusDiff(d, cur)
+      },
       // C4/CCNet boilerplate-line removal: lines occurring in >=3 distinct
       // docs of a source are template chrome and get stripped. The synthetic
       // corpus has no line structure, so the gate injects it (the t31
@@ -3795,6 +3808,40 @@ object SparkEntry {
         |COALESCE(k.trimmed_text, '') AS trimmed_text
         |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // t44: the oracle replays the same snapshot mutation, then classifies
+    // via the same full-outer join; token counts are whitespace splits on
+    // both sides
+    "t44_corpus_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 43 = 0 THEN text || ' rev2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 41 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents
+        |  WHERE doc_id % 47 = 0),
+        |a AS (SELECT doc_id, source AS src_a, text AS text_a,
+        |  len(string_split(text, ' ')) AS tok_a FROM documents),
+        |b AS (SELECT doc_id, source AS src_b, text AS text_b,
+        |  len(string_split(text, ' ')) AS tok_b FROM cur),
+        |j AS (SELECT COALESCE(b.src_b, a.src_a) AS source,
+        |  CASE WHEN a.text_a IS NULL THEN 'added'
+        |       WHEN b.text_b IS NULL THEN 'removed'
+        |       WHEN a.text_a <> b.text_b THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COALESCE(a.tok_a, 0) AS tok_a, COALESCE(b.tok_b, 0) AS tok_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source,
+        |CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_added,
+        |CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_removed,
+        |CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_changed,
+        |CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_unchanged,
+        |CAST(SUM(tok_b - tok_a) AS BIGINT) AS token_delta
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // t43: the oracle replays the same line injection, then counts line
     // document-frequency per (source, line STRING) — the Spark side joins
     // 64-bit line hashes (the d04/d21 discipline: collision-free at any

@@ -1440,6 +1440,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CORPUS DIFF — the dataset-versioning drift report between two corpus
+    * snapshots (what changed between crawl N and crawl N+1 before the next
+    * training run): per source, how many documents were added, removed,
+    * changed (same doc_id, different text), or unchanged, and the net
+    * whitespace-token delta. The report a data-lineage audit reads before
+    * promoting a snapshot.
+    *
+    * Shape at scale: ONE full-outer equi-join on doc_id (both snapshots
+    * shuffle once), change detection and token counts are map-side on the
+    * joined row, then a source-keyed hash-agg — linear in corpus size, no
+    * windows, no driver state. */
+  def corpusDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), col("source").as("src_a"),
+      col("text").as("text_a"),
+      size(split(col("text"), " ")).cast("long").as("tok_a"))
+    val b = cur.select(col("doc_id"), col("source").as("src_b"),
+      col("text").as("text_b"),
+      size(split(col("text"), " ")).cast("long").as("tok_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_b"), col("src_a")).as("source"),
+        when(col("text_a").isNull, "added")
+          .when(col("text_b").isNull, "removed")
+          .when(col("text_a") =!= col("text_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("tok_a"), lit(0L)).as("tok_a"),
+        coalesce(col("tok_b"), lit(0L)).as("tok_b"))
+      .groupBy("source").agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(col("tok_b") - col("tok_a")).as("token_delta"))
+      .orderBy("source")
+  }
+
   /** BOILERPLATE LINE REMOVAL — the C4/CCNet "deduplicate at the line
     * level" cleanup (Raffel et al. 2020 §2.2 drops any three-sentence span
     * occurring more than once; CCNet hashes paragraphs): a line that occurs

@@ -2317,6 +2317,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out == full)
   }
 
+  test("corpus diff: added/removed/changed/unchanged per source with " +
+      "token delta; added docs attribute to the NEW snapshot's source") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "A", "a b c"),   // unchanged
+      (2L, "A", "d e"),     // changed (+1 token)
+      (3L, "A", "f g h i"), // removed (-4)
+      (4L, "B", "j k")      // unchanged
+    ).toDF("doc_id", "source", "text")
+    val cur = Seq(
+      (1L, "A", "a b c"),
+      (2L, "A", "d e x"),
+      (4L, "B", "j k"),
+      (5L, "B", "new doc here") // added (+3)
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.corpusDiff(prev, cur).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("A") == ((0L, 1L, 1L, 1L, -3L))) // +1 changed, -4 removed
+    assert(out("B") == ((1L, 0L, 0L, 1L, 3L)))
+    assert(out.size == 2)
+  }
+
   test("boilerplate strip: per-source line df, order preserved, " +
       "threshold boundary, all-template doc goes empty") {
     import spark.implicits._
