@@ -50,7 +50,8 @@ object ExplainAudit {
         "e20_windowed_funnel", "d20_exact_substring", "d21_source_overlap",
         "s14_knn_ivfpq", "t39_probe_calibration", "t41_decontam_multi",
         "t42_dsir_resample", "e21_stickiness", "t43_boilerplate",
-        "m06_ar_buckets", "q84_parent_share")
+        "m06_ar_buckets", "q84_parent_share", "q85_mdx_closing",
+        "d22_tombstone_delete", "t44_corpus_diff")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
