@@ -30,6 +30,23 @@ class FuzzSpec extends AnyFunSuite {
     """SELECT {[Measures].[Revenue]} ON COLUMNS,
       |TOPCOUNT(HEAD(SUBSET([Geography].[Region].Members, 1, 9), 7), 3,
       |  [Measures].[Revenue]) ON ROWS
+      |FROM sales""".stripMargin,
+    // the round-11 tuple constructs: share-of-parent and the anchored
+    // semi-additive closing balance — mutations must 400, never crash
+    """WITH MEMBER [Measures].[nation share] AS
+      |  '[Measures].[Revenue] /
+      |   ([Measures].[Revenue], [Geography].CurrentMember.Parent)'
+      |SELECT {[Measures].[nation share]} ON COLUMNS,
+      |CROSSJOIN([Geography].[Region].Members,
+      |  [Geography].[Nation].Members) ON ROWS
+      |FROM sales""".stripMargin,
+    """WITH MEMBER [Measures].[closing] AS
+      |  '([Measures].[Revenue],
+      |    CLOSINGPERIOD([ShipDate].[Monthly].[Month],
+      |      [ShipDate].[Monthly].[Year].CurrentMember))'
+      |SELECT {[Measures].[closing]} ON COLUMNS,
+      |CROSSJOIN([ShipDate].[Monthly].[Year].Members,
+      |  [ShipDate].[Monthly].[Month].Members) ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(
