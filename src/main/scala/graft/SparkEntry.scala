@@ -725,14 +725,18 @@ object SparkEntry {
         ops.TextOps.piiScrub(aug)
       },
       // dataset-version drift report: snapshot B derives from the corpus by
-      // deterministic mutations (remove %41, rewrite %43, clone-add %47 at
-      // shifted ids) — the diff must attribute every doc to exactly one of
-      // added/removed/changed/unchanged per source, with the token delta
+      // deterministic mutations (remove %41, rewrite %43, re-source %53 to
+      // a mv_ bucket, clone-add %47 at shifted ids) — the diff must
+      // attribute every doc to exactly one of added/removed/changed/moved/
+      // unchanged per source, with the token delta; a doc hit by BOTH the
+      // rewrite and the move counts as changed (content edit dominates)
       "t44_corpus_diff" -> tbl("documents") { d =>
         import org.apache.spark.sql.functions._
         val cur = d.where(col("doc_id") % 41 =!= 0)
           .withColumn("text", when(col("doc_id") % 43 === 0,
             concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+          .withColumn("source", when(col("doc_id") % 53 === 0,
+            concat(lit("mv_"), col("source"))).otherwise(col("source")))
           .unionByName(d.where(col("doc_id") % 47 === 0)
             .withColumn("doc_id", col("doc_id") + 1000000L))
         ops.TextOps.corpusDiff(d, cur)
@@ -3813,7 +3817,9 @@ object SparkEntry {
     // both sides
     "t44_corpus_diff" ->
       """WITH cur AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 53 = 0 THEN 'mv_' || source ELSE source END
+        |      AS source,
         |    CASE WHEN doc_id % 43 = 0 THEN text || ' rev2' ELSE text END
         |      AS text
         |  FROM documents WHERE doc_id % 41 <> 0
@@ -3828,6 +3834,7 @@ object SparkEntry {
         |  CASE WHEN a.text_a IS NULL THEN 'added'
         |       WHEN b.text_b IS NULL THEN 'removed'
         |       WHEN a.text_a <> b.text_b THEN 'changed'
+        |       WHEN a.src_a <> b.src_b THEN 'moved'
         |       ELSE 'unchanged' END AS status,
         |  COALESCE(a.tok_a, 0) AS tok_a, COALESCE(b.tok_b, 0) AS tok_b
         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
@@ -3838,6 +3845,8 @@ object SparkEntry {
         |  AS n_removed,
         |CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_changed,
+        |CAST(SUM(CASE WHEN status = 'moved' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_moved,
         |CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
         |  AS BIGINT) AS n_unchanged,
         |CAST(SUM(tok_b - tok_a) AS BIGINT) AS token_delta

@@ -74,6 +74,22 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
        """.stripMargin
     })
 
+  // The case-class equals on an Array arg is reference equality, which
+  // makes two semantically identical buckets never compare equal and
+  // defeats Catalyst semanticEquals / common-subexpression elimination —
+  // compare the plane CONTENTS instead (the matrix is driver-built and
+  // immutable, so content equality is safe to cache in a hash).
+  override def equals(other: Any): Boolean = other match {
+    case that: LshBucket => child == that.child &&
+      java.util.Arrays.deepEquals(planes.asInstanceOf[Array[AnyRef]],
+        that.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)
 }

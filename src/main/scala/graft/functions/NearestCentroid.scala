@@ -93,6 +93,21 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
        """.stripMargin
     })
 
+  // The case-class equals on an Array arg is reference equality, which
+  // makes two semantically identical assignments never compare equal and
+  // defeats Catalyst semanticEquals / common-subexpression elimination —
+  // compare the centroid CONTENTS instead (driver-built, immutable).
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCentroid => child == that.child &&
+      java.util.Arrays.deepEquals(cents.asInstanceOf[Array[AnyRef]],
+        that.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildInternal(newChild: Expression)
       : NearestCentroid = copy(child = newChild)
 }

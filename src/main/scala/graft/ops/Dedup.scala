@@ -702,6 +702,16 @@ object Dedup {
     * (skinny label rows, O(log diameter) rounds). */
   def tombstoneDelete(nodes: DataFrame, deletes: DataFrame, idCol: String,
       pairs: DataFrame, clusters: DataFrame): DataFrame = {
+    // Survivors are derived from the standing `clusters` artifact, so a
+    // node missing from it (a stale artifact that predates an ingest)
+    // would silently VANISH from the output — fail loudly instead. One
+    // skinny anti-join scan per delete batch, same cost class as the
+    // repair joins below.
+    val stale = nodes.select(col(idCol))
+      .join(clusters.select(col(idCol)), Seq(idCol), "left_anti").count()
+    require(stale == 0L,
+      s"clusters artifact is stale: $stale node(s) in the corpus have no " +
+        "cluster label — rebuild duplicateClusters before applying deletes")
     val del = broadcast(deletes.select(col(idCol).as("__del")).distinct())
     val survivingPairs = pairs
       .join(del, col("doc_a") === col("__del"), "left_anti")

@@ -869,18 +869,26 @@ object Similarity {
     }
     val keyed = e.select(col("vec_id"),
       explode(array(bucketCols: _*)).as("bk"))
+    // Home buckets materialize ONCE per table as named columns; the XOR
+    // probes then reference the column, so the bits × dim hyperplane dots
+    // run once per (query, table) instead of (bits + 1)× — CollapseProject
+    // keeps the two projections separate because __home_t is a non-cheap
+    // expression referenced bits + 1 times.
+    val qHomes = e.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id") +: (0 until tables).map { t =>
+        val planes = hyperplanes(dim, bits, seed = 42L + t)
+        lshBucket(col("v"), planes).as(s"__home_$t")
+      }: _*)
     val qProbeCols = (0 until tables).flatMap { t =>
-      val planes = hyperplanes(dim, bits, seed = 42L + t)
-      val home = lshBucket(col("v"), planes)
+      val home = col(s"__home_$t")
       val probes =
         if (multiprobe) home +: (0 until bits).map(i =>
           home.bitwiseXOR(lit(1L << i)))
         else Seq(home)
       probes.map(b => struct(lit(t).as("t"), b.as("b")))
     }
-    val queries = e.where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"),
-        explode(array(qProbeCols: _*)).as("bk_q"))
+    val queries = qHomes.select(col("query_id"),
+      explode(array(qProbeCols: _*)).as("bk_q"))
     val cand = keyed.select(col("bk").as("bk_n"), col("vec_id").as("neighbor_id"))
       .join(broadcast(queries),
         col("bk_q") === col("bk_n") && col("query_id") =!= col("neighbor_id"))

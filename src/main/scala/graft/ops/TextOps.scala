@@ -1443,9 +1443,18 @@ object TextOps {
   /** CORPUS DIFF — the dataset-versioning drift report between two corpus
     * snapshots (what changed between crawl N and crawl N+1 before the next
     * training run): per source, how many documents were added, removed,
-    * changed (same doc_id, different text), or unchanged, and the net
-    * whitespace-token delta. The report a data-lineage audit reads before
-    * promoting a snapshot.
+    * changed (same doc_id, different text), moved (same doc_id, same text,
+    * DIFFERENT source — a silent re-attribution the lineage report must
+    * not hide as "unchanged"), or unchanged, and the net whitespace-token
+    * delta. The report a data-lineage audit reads before promoting a
+    * snapshot.
+    *
+    * Attribution: every doc counts in exactly ONE source group — the
+    * current snapshot's source when the doc survives (so a moved doc
+    * reports under its NEW source), the previous snapshot's when removed.
+    * A doc whose text AND source both differ counts as `changed` (the
+    * content edit dominates; the source column still attributes it to the
+    * new source).
     *
     * Shape at scale: ONE full-outer equi-join on doc_id (both snapshots
     * shuffle once), change detection and token counts are map-side on the
@@ -1464,6 +1473,7 @@ object TextOps {
         when(col("text_a").isNull, "added")
           .when(col("text_b").isNull, "removed")
           .when(col("text_a") =!= col("text_b"), "changed")
+          .when(col("src_a") =!= col("src_b"), "moved")
           .otherwise("unchanged").as("status"),
         coalesce(col("tok_a"), lit(0L)).as("tok_a"),
         coalesce(col("tok_b"), lit(0L)).as("tok_b"))
@@ -1474,6 +1484,8 @@ object TextOps {
           .as("n_removed"),
         sum(when(col("status") === "changed", 1L).otherwise(0L))
           .as("n_changed"),
+        sum(when(col("status") === "moved", 1L).otherwise(0L))
+          .as("n_moved"),
         sum(when(col("status") === "unchanged", 1L).otherwise(0L))
           .as("n_unchanged"),
         sum(col("tok_b") - col("tok_a")).as("token_delta"))

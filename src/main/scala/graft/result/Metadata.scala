@@ -59,10 +59,13 @@ object Metadata {
     "dimension" -> ns.dim,
     "level" -> ns.level,
     // declared <Annotations> first (ref api_spec.rb:40), then graft's
-    // own top_k/by_measure descriptors (disambiguated if a declared key
-    // collides)
+    // own top_k/by_measure descriptors; a declared key that collides with
+    // a descriptor name is served verbatim and the DESCRIPTOR moves to a
+    // graft_-prefixed key — user-declared metadata always wins
     "annotations" -> (ns.annotations ++
-      ListMap("top_k" -> ns.k, "by_measure" -> ns.byMeasure)))
+      ListMap[String, Any]("top_k" -> ns.k, "by_measure" -> ns.byMeasure)
+        .map { case (k, v) =>
+          (if (ns.annotations.contains(k)) s"graft_$k" else k) -> v }))
 
   def cubeDict(c: CubeDef): ListMap[String, Any] = ListMap(
     "name" -> c.name,

@@ -2317,26 +2317,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out == full)
   }
 
-  test("corpus diff: added/removed/changed/unchanged per source with " +
-      "token delta; added docs attribute to the NEW snapshot's source") {
+  test("corpus diff: added/removed/changed/moved/unchanged per source " +
+      "with token delta; moved docs attribute to the NEW source; a doc " +
+      "both edited and re-sourced counts as changed") {
     import spark.implicits._
     val prev = Seq(
       (1L, "A", "a b c"),   // unchanged
       (2L, "A", "d e"),     // changed (+1 token)
       (3L, "A", "f g h i"), // removed (-4)
-      (4L, "B", "j k")      // unchanged
+      (4L, "B", "j k"),     // unchanged
+      (6L, "A", "m n"),     // moved A → B, text identical
+      (7L, "A", "p q")      // moved AND edited → changed, attributed to B
     ).toDF("doc_id", "source", "text")
     val cur = Seq(
       (1L, "A", "a b c"),
       (2L, "A", "d e x"),
       (4L, "B", "j k"),
-      (5L, "B", "new doc here") // added (+3)
+      (5L, "B", "new doc here"), // added (+3)
+      (6L, "B", "m n"),
+      (7L, "B", "p q r")
     ).toDF("doc_id", "source", "text")
     val out = TextOps.corpusDiff(prev, cur).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    assert(out("A") == ((0L, 1L, 1L, 1L, -3L))) // +1 changed, -4 removed
-    assert(out("B") == ((1L, 0L, 0L, 1L, 3L)))
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // A: doc 2 changed (+1), doc 3 removed (-4)
+    assert(out("A") == ((0L, 1L, 1L, 0L, 1L, -3L)))
+    // B: doc 5 added (+3), doc 6 moved (0), doc 7 changed (+1), doc 4 same
+    assert(out("B") == ((1L, 0L, 1L, 1L, 1L, 4L)))
     assert(out.size == 2)
   }
 
