@@ -353,16 +353,42 @@ object Planner {
     // dense shape, where calc members evaluate on empty cells like Mondrian.
     val expanded =
       if (timeDomains.isEmpty) aggDf
-      else timeDomains.foldLeft(aggDf.withColumn("__present", lit(1))) {
-        (df, td) =>
+      else {
+        // §7.4 dragon 1's sibling: axis-distinct × calendar is bounded by
+        // the drilled axis for every sane query, but a high-cardinality
+        // non-time drilldown (customer × day) with a lag measure would
+        // materialize the dense product unbounded — the same failure the
+        // dense formatter guards with spark.graft.dense.maxCells, so the
+        // SAME knob caps it here. The axis side counts from the agg output
+        // (localCheckpoint'ed: the count job materializes the aggregation
+        // ONCE and the expansion joins reuse it — the axis frame is
+        // result-sized, the contract every formatter already assumes).
+        val maxCells = cat.spark.conf
+          .getOption("spark.graft.dense.maxCells").map(_.toLong)
+          .getOrElse(1000000L)
+        timeDomains.foldLeft(
+            aggDf.withColumn("__present", lit(1))
+              .localCheckpoint(eager = false)) { (df, td) =>
           val unitAliases = td.unit.flatMap(levelAliases)
           val otherAliases = groupAliases.filterNot(unitAliases.contains)
           val dom = broadcast(if (td.hasCuts) td.dom
             else td.dom.drop(td.cutFlag))
           val full =
             if (otherAliases.isEmpty) dom
-            else df.select(otherAliases.map(col): _*).distinct().crossJoin(dom)
+            else {
+              val others = df.select(otherAliases.map(col): _*).distinct()
+                .localCheckpoint(eager = false)
+              val cells = BigInt(others.count()) * BigInt(dom.count())
+              if (cells > maxCells)
+                GraftException.badRequest(
+                  s"time-window expansion would enumerate $cells cells " +
+                    s"(axis × calendar; limit $maxCells; raise " +
+                    "spark.graft.dense.maxCells or cut the time range / " +
+                    "drop the lag measure)")
+              others.crossJoin(dom)
+            }
           full.join(df, unitAliases ++ otherAliases, "left")
+        }
       }
     val withLags = need.lags.foldLeft(expanded) { (df, lm) =>
       applyLag(cube, df, lm, drills, groupLevels)

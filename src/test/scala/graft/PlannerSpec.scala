@@ -101,6 +101,32 @@ class PlannerSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dense.maxCells")
   }
 
+  test("lag window expansion beyond the cell cap is a 400 — a " +
+      "high-cardinality drilldown with a lag measure must not " +
+      "materialize axis × calendar unbounded (B8 guard)") {
+    // User × Day with a PREVMEMBER measure expands the agg output to the
+    // dense users × calendar product before the window — the same blowup
+    // class as the dense formatter, capped by the same knob
+    val q = CubeQuery("events",
+      Seq(drill("User"), drill("EventDate", "Day", "Daily")),
+      Seq("value_sum", "prev_day_value"), nonempty = true)
+    // sf0.001: 15 users × 30 days = 450 cells; 5 event types × 30 = 150
+    spark.conf.set("spark.graft.dense.maxCells", "200")
+    try {
+      val e = intercept[GraftException] { Planner.plan(cat, q).collect() }
+      assert(e.status == 400)
+      assert(e.getMessage.contains("expansion"), e.getMessage)
+      // a lag query whose expansion fits the cap still runs
+      val small = Planner.plan(cat, CubeQuery("events",
+        Seq(drill("EventType"), drill("EventDate", "Day", "Daily")),
+        Seq("value_sum", "prev_day_value"), nonempty = true)).collect()
+      assert(small.nonEmpty)
+    } finally spark.conf.unset("spark.graft.dense.maxCells")
+    // at the default cap the same query is fine and lag values stay
+    // domain-exact
+    assert(Planner.plan(cat, q).collect().nonEmpty)
+  }
+
   test("HAVING keeps only qualifying groups, applied before ORDER (A10)") {
     val rows = Planner.plan(cat, CubeQuery("sales",
       Seq(drill("Part", "Brand", "Brands")), Seq("revenue"),
