@@ -3003,10 +3003,14 @@ object SparkEntry {
         |CAST(FLOOR(width * least(1.0, 256 / greatest(width, height))) AS INTEGER) AS out_width,
         |CAST(FLOOR(height * least(1.0, 256 / greatest(width, height))) AS INTEGER) AS out_height
         |FROM m ORDER BY doc_id""".stripMargin,
-    // m01: the stub decoder derives features from md5(text) bytes, so the
-    // oracle recomputes them in SQL (hex digits -> byte values). All
-    // intermediate sums are small integers => the double arithmetic is exact
-    // and order-independent on both sides.
+    // m01: the decoder's REAL path (javax.imageio pixels) can't be
+    // replayed by a SQL engine, and the fixture payloads are md5(text)
+    // bytes — not image streams — so every row takes the deterministic
+    // byte-moment FALLBACK, which the oracle recomputes in SQL (hex
+    // digits -> byte values). The pixel path is spec-gated instead
+    // (OpsSpec "image decode is REAL"). All intermediate sums are small
+    // integers => the double arithmetic is exact and order-independent
+    // on both sides.
     "m01_multimodal_decode" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |b AS (SELECT doc_id,

@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, processed batch-wise with mapPartitions
   * (the Scala analog of arrow-batched Python UDFs).
   *
-  * The actual media decode is STUBBED (no codec libraries in this
-  * environment): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — schema, encoders, partition-wise batching,
-  * metadata propagation — is the real plumbing a codec would plug into:
-  * replace the body of `decodeStub` with the real decoder and nothing else
-  * changes.
+  * IMAGE decode is REAL: the JDK ships PNG/JPEG/BMP/GIF codecs in
+  * `javax.imageio` (zero new dependencies), so a payload that parses as an
+  * image yields pixel-space features and its DCT perceptual hash. AUDIO /
+  * VIDEO decode stays STUBBED (no codec libraries in this environment):
+  * `decodeStub` derives deterministic byte-moment features, and every
+  * undecodable payload falls back to it — that fallback is also the
+  * portable path the DuckDB correctness gate replays (SQL cannot decode
+  * pixels, and the gate fixture's payloads are md5 bytes, not image
+  * streams). Everything else — schema, encoders, partition-wise batching,
+  * metadata propagation — is shared between the two paths.
   */
 object Multimodal {
 
@@ -34,9 +38,55 @@ object Multimodal {
         (lit(64) + (col("doc_id") % 5) * 48).cast("int").as("height"),
         (col("doc_id") % 10 + 1).cast("int").as("nFrames")).as("meta"))
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic:
-    * features are byte-derived moments. Real implementation would decode
-    * `media` (e.g. via javax.imageio / ffmpeg bindings) per partition. */
+  // ImageIO's default stream cache writes executor temp FILES per decode —
+  // disable once per JVM (first use of any decode path touches this)
+  @transient private lazy val imageioInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** JDK-codec image parse; None when the payload is not a decodable
+    * image (wav/video payloads, the gate's md5 fixture bytes, truncated
+    * streams) — the caller falls back to [[decodeStub]]. */
+  private def readImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    imageioInit
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+  }
+
+  /** ITU-R BT.601 luma of a packed ARGB pixel (the classic 0.299/0.587/
+    * 0.114 weights — deterministic double arithmetic on int channels). */
+  private def luminance(argb: Int): Double = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    0.299 * r + 0.587 * g + 0.114 * b
+  }
+
+  /** REAL image decode: pixel-space luminance moments [mean, stddev, max,
+    * n_pixels], with width/height taken from the DECODED image — declared
+    * metadata can lie; the decoder is the authority. */
+  private def decodePixels(r: MediaRow,
+      im: java.awt.image.BufferedImage): DecodedRow = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val rgb = im.getRGB(0, 0, w, h, null, 0, w)
+    var s0 = 0.0; var s1 = 0.0; var mx = 0.0
+    var i = 0
+    while (i < rgb.length) {
+      val v = luminance(rgb(i))
+      s0 += v; s1 += v * v; if (v > mx) mx = v
+      i += 1
+    }
+    val n = math.max(rgb.length, 1).toDouble
+    DecodedRow(r.doc_id, r.meta.format, w, h, r.meta.nFrames, r.media.length,
+      Array(s0 / n, math.sqrt(math.max(s1 / n - (s0 / n) * (s0 / n), 0.0)),
+        mx, n))
+  }
+
+  /** STUB decoder — stands in for the audio/video codecs this environment
+    * lacks, and the fallback for any payload javax.imageio cannot parse.
+    * Deterministic: features are byte-derived moments. */
   private def decodeStub(r: MediaRow): DecodedRow = {
     val bytes = r.media
     var s0 = 0.0; var s1 = 0.0; var mx = Double.MinValue
@@ -53,10 +103,18 @@ object Multimodal {
         mx, n.toDouble))
   }
 
+  /** One media row → typed features: real pixel decode when the payload
+    * parses as an image, byte-moment stub otherwise. */
+  private[graft] def decodeOne(r: MediaRow): DecodedRow =
+    readImage(r.media) match {
+      case Some(im) => decodePixels(r, im)
+      case None => decodeStub(r)
+    }
+
   /** Partition-batched decode: binary column → typed features. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(decodeStub))
+    media.as[MediaRow].mapPartitions(_.map(decodeOne))
   }
 
   /** Deterministic frame sampling: every `stride`-th frame index, exploded to
@@ -107,17 +165,122 @@ object Multimodal {
       expr("CAST(conv(substr(hex(media), 9, 8), 16, 10) AS BIGINT)")
         .as("ph_lo"))
 
+  /** REAL 64-bit DCT perceptual hash of decoded pixels (the classic
+    * pHash recipe): area-average the luminance plane to 32×32, 2-D DCT-II
+    * (two unnormalized 1-D passes — scale factors cancel against the
+    * median threshold), keep the 8×8 lowest-frequency block, drop the DC
+    * term, and set bit k when coefficient k exceeds the median of the 63.
+    * Invariant to global brightness/contrast shifts (they move only the
+    * excluded DC term and a uniform coefficient scale) and robust to
+    * re-encode noise — the two properties the near-dup pass needs. */
+  private[graft] def phashPixels(im: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val w = im.getWidth
+    val h = im.getHeight
+    val rgb = im.getRGB(0, 0, w, h, null, 0, w)
+    // deterministic integer-tiled area average to N×N luminance
+    val g = Array.ofDim[Double](N * N)
+    var ty = 0
+    while (ty < N) {
+      val y0 = ty * h / N
+      val y1 = math.min(math.max((ty + 1) * h / N, y0 + 1), h)
+      var tx = 0
+      while (tx < N) {
+        val x0 = tx * w / N
+        val x1 = math.min(math.max((tx + 1) * w / N, x0 + 1), w)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luminance(rgb(y * w + x)); x += 1 }
+          y += 1
+        }
+        g(ty * N + tx) = s / ((y1 - y0) * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    // 2-D DCT-II via row pass then column pass, only the first 8 of each
+    val B = 8
+    val cosTab = Array.tabulate(B, N)((u, x) =>
+      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * N)))
+    val rows = Array.ofDim[Double](N * B) // rows × first-8 row coefficients
+    var y = 0
+    while (y < N) {
+      var u = 0
+      while (u < B) {
+        var s = 0.0
+        var x = 0
+        while (x < N) { s += g(y * N + x) * cosTab(u)(x); x += 1 }
+        rows(y * B + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = Array.ofDim[Double](B * B)
+    var v = 0
+    while (v < B) {
+      var u = 0
+      while (u < B) {
+        var s = 0.0
+        var yy = 0
+        while (yy < N) { s += rows(yy * B + u) * cosTab(v)(yy); yy += 1 }
+        coef(v * B + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = coef.drop(1) // 63 non-DC coefficients (row-major from (0,1))
+    val med = ac.sorted.apply(ac.length / 2)
+    var bits = 0L
+    var k = 0
+    while (k < ac.length) {
+      if (ac(k) > med) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** [[mediaPhash]]'s schema from REAL decodes: payloads that parse as
+    * images hash from their pixels ([[phashPixels]]); everything else
+    * falls back to the same leading-byte hash the SQL form derives, so
+    * mixed corpora band and join uniformly. */
+  def phashDecoded(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val ph = readImage(r.media) match {
+        case Some(im) => phashPixels(im)
+        case None =>
+          // byte fallback = the SQL spelling: first 8 payload bytes,
+          // big-endian, as two unsigned 32-bit halves
+          var acc = 0L
+          var i = 0
+          while (i < 8 && i < r.media.length) {
+            acc = (acc << 8) | (r.media(i) & 0xffL)
+            i += 1
+          }
+          acc << (8 * math.max(0, 8 - r.media.length))
+      }
+      (r.doc_id, ph >>> 32, ph & 0xffffffffL)
+    }).toDF("doc_id", "ph_hi", "ph_lo")
+  }
+
   /** MEDIA NEAR-DUPLICATE detection — the image-dedup pass every multimodal
     * training pipeline runs (exact re-uploads and re-encodes of the same
     * asset): pairs within Hamming distance `maxHamming` of the 64-bit
-    * [[mediaPhash]]. Candidates come from the pigeonhole combo blocks
+    * [[mediaPhash]] (`decoded = true` hashes real pixels via
+    * [[phashDecoded]] instead — same banding, same join shape).
+    * Candidates come from the pigeonhole combo blocks
     * shared with SimHash ([[Dedup.simhashBlockKeys]] — complete for
     * Hamming ≤ maxHamming, no false negatives), travel SKINNY through the
     * self-join, and verify with two bit_counts. Same scale shape as d03:
     * map-side hash, ~n/2^26-sized buckets, pair work linear until tens of
     * billions of assets. */
-  def phashNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
-    val fp = mediaPhash(media).localCheckpoint(eager = false)
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int,
+      decoded: Boolean = false): DataFrame = {
+    val fp = (if (decoded) phashDecoded(media) else mediaPhash(media))
+      .localCheckpoint(eager = false)
     val keyed = fp
       .withColumn("ph",
         shiftleft(col("ph_hi"), 32).bitwiseOR(col("ph_lo")))

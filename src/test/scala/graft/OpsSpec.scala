@@ -864,6 +864,95 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_.features.toSeq).toSet == again.map(_.features.toSeq).toSet)
   }
 
+  private def testImage(w: Int, h: Int)(f: (Int, Int) => Int)
+      : java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, f(x, y))
+    im
+  }
+
+  private def encode(im: java.awt.image.BufferedImage,
+      fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("image decode is REAL: javax.imageio pixels drive the features " +
+      "and the decoded dims override lying metadata; non-image payloads " +
+      "take the deterministic stub path") {
+    import spark.implicits._
+    // 4×2 PNG, left half black, right half white: luma mean = std = 127.5
+    val bw = encode(testImage(4, 2)(
+      (x, _) => if (x < 2) 0x000000 else 0xffffff), "png")
+    val media = Seq(
+      // declared meta lies about the dims — the decoder is the authority
+      Multimodal.MediaRow(1L, bw, Multimodal.MediaMeta("png", 99, 77, 1)),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4),
+        Multimodal.MediaMeta("wav", 8, 8, 1))).toDS().toDF()
+    val out = Multimodal.decodeFeatures(spark, media).collect()
+      .map(r => r.doc_id -> r).toMap
+    val img = out(1L)
+    assert(img.width == 4 && img.height == 2)
+    assert(img.n_bytes == bw.length)
+    assert(math.abs(img.features(0) - 127.5) < 1e-9) // mean luma
+    assert(math.abs(img.features(1) - 127.5) < 1e-9) // stddev
+    assert(math.abs(img.features(2) - 255.0) < 1e-9) // max
+    assert(img.features(3) == 8.0)                   // pixel count
+    // undecodable payload: metadata served verbatim, byte-moment features
+    val wav = out(2L)
+    assert(wav.width == 8 && wav.n_bytes == 4)
+    assert(wav.features(3) == 4.0) // byte count, not pixels
+  }
+
+  test("DCT pHash: brightness shift and JPEG re-encode are near-dups, a " +
+      "structurally different image is far; decoded near-dup pairs find " +
+      "exactly the re-encode cluster") {
+    import spark.implicits._
+    // blocky asymmetric pattern (8×8 tiles at varied levels ≤ 210): strong,
+    // well-separated AC coefficients — a smooth gradient's tiny
+    // coefficients would make the sign bits fp-noise-unstable. The +16
+    // shift never clamps, so it moves ONLY the excluded DC coefficient
+    // → identical AC signs.
+    def blocky(off: Int) = testImage(64, 48) { (x, y) =>
+      val v = 30 + ((x / 8) * 31 + (y / 8) * 47) % 180 + off
+      (v << 16) | (v << 8) | v
+    }
+    val base = blocky(0)
+    val shifted = blocky(16)
+    val stripes = testImage(64, 48) { (x, _) =>
+      val v = if ((x / 8) % 2 == 0) 40 else 200; (v << 16) | (v << 8) | v
+    }
+    val ha = Multimodal.phashPixels(base)
+    val hb = Multimodal.phashPixels(shifted)
+    val hj = Multimodal.phashPixels(
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(encode(base, "jpg"))))
+    val hc = Multimodal.phashPixels(stripes)
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 2,
+      s"brightness twin hamming ${java.lang.Long.bitCount(ha ^ hb)}")
+    assert(java.lang.Long.bitCount(ha ^ hj) <= 8,
+      s"jpeg re-encode hamming ${java.lang.Long.bitCount(ha ^ hj)}")
+    assert(java.lang.Long.bitCount(ha ^ hc) >= 12,
+      s"unrelated hamming ${java.lang.Long.bitCount(ha ^ hc)}")
+    // the banded near-dup op over REAL pixel hashes: the three re-encodes
+    // cluster, the stripes image pairs with nothing
+    val media = Seq(
+      Multimodal.MediaRow(1L, encode(base, "png"),
+        Multimodal.MediaMeta("png", 64, 48, 1)),
+      Multimodal.MediaRow(2L, encode(shifted, "png"),
+        Multimodal.MediaMeta("png", 64, 48, 1)),
+      Multimodal.MediaRow(3L, encode(base, "jpg"),
+        Multimodal.MediaMeta("jpeg", 64, 48, 1)),
+      Multimodal.MediaRow(4L, encode(stripes, "png"),
+        Multimodal.MediaMeta("png", 64, 48, 1))).toDS().toDF()
+    val pairs = Multimodal.phashNearDupPairs(media, 8, decoded = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("frame sampling strides over metadata frame counts") {
     val fs = Multimodal.frameSample(Multimodal.attachFakeMedia(docs), 2)
       .collect()
