@@ -473,6 +473,21 @@ object SparkEntry {
         }
         ops.Similarity.pqKnnWith(emb, cbs, Seq(0L, 1L, 2L, 3L, 4L), 5)
       }),
+      // θ-bound EXACT PQ (the s12 decay answer): encode stores each
+      // vector's quantization residual norm; after the ADC shortlist
+      // seeds a provisional k-th score θ, every vector whose
+      // adc + ‖q‖·‖v−v̂‖ Cauchy-Schwarz bound reaches θ is re-ranked
+      // exactly — nothing else can enter the top-k, so the served result
+      // IS the brute-force answer and the oracle is the plain SQL kNN
+      // (the strongest contract an index path can carry). Seed shortlist
+      // 8 < k·2 on purpose: the bound, not the width, buys the recall.
+      "s15_knn_pq_exact" -> ((s: SparkSession, dir: String) => {
+        val emb = CubeCatalog.forDir(s, dir).table("embeddings")
+        val cbs = ops.IndexCache.memo(s, s"pqcb:$dir:16:16:2") {
+          ops.Similarity.pqCodebooks(emb, 16, 16, 2)
+        }
+        ops.Similarity.pqKnnBound(emb, cbs, Seq(0L, 1L, 2L, 3L, 4L), 5, 8)
+      }),
       // IVF-PQ (Jégou et al. §IV, IVFADC — the billion-scale layout):
       // coarse quantizer picks nprobe cells, PQ codes of RESIDUALS score
       // by ADC within them, exact re-rank on the shortlist. Index built
@@ -2552,6 +2567,10 @@ object SparkEntry {
         |WHERE list_dot_product(a.v, b.v) >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
     "s01_knn_brute" -> bruteKnnOracleSql,
+    // s15: the θ-bound certified PQ search is EXACT by construction, so
+    // its oracle is the same brute-force SQL — the index must not change
+    // a single row, rank, or sim bit
+    "s15_knn_pq_exact" -> bruteKnnOracleSql,
     // s11: recall@5 of the LSH search vs exhaustive truth — both sides are
     // the already-gated s01/s02 replays, nested as subquery CTEs
     "s11_knn_recall" ->

@@ -345,6 +345,136 @@ object Similarity {
     topKPerQuery(rescored, k).orderBy("query_id", "rank")
   }
 
+  /** θ-BOUND EXACT flat-PQ kNN — the production PQ path, and the answer
+    * to the fixed-shortlist recall decay ([[suggestedShortlist]]'s √n
+    * growth only slows it): make the shortlist SELF-CERTIFYING instead of
+    * hoping it was wide enough. The encode stage stores, next to each
+    * vector's codes, its quantization residual norm ‖v − v̂‖; by
+    * Cauchy-Schwarz the true score obeys
+    * `q·v ≤ adc + ‖q‖·‖v − v̂‖` (adc = q·v̂ exactly, via the lookup
+    * table). So after the normal ADC scan + shortlist + exact re-rank
+    * gives a provisional k-th score θ, EVERY vector whose upper bound
+    * reaches θ is re-ranked too — and anything not re-ranked provably
+    * cannot enter the top-k. Recall is 1.0 BY CONSTRUCTION at every
+    * corpus size: the design point the fixed- and √n-shortlist variants
+    * hold only statistically becomes a certificate.
+    *
+    * Cost shape at 100 TB: the extra bound-filter pass reads only the
+    * 8-byte codes + one double per vector (the 32×-compressed resident
+    * index, ~3% of a raw-vector pass); full vectors page in solely for
+    * the certified candidates. On a TIGHTLY QUANTIZED corpus (clustered
+    * real-world embeddings: small residuals) the certified set is barely
+    * larger than k and the scan stays compressed; on an isotropic corpus
+    * (residual ≈ the vector itself — the regime where NO index wins) the
+    * bound certifies a large fraction and [[pqKnnBoundAuto]]'s cutover
+    * serves the codegen'd brute scan instead, same planner decision as
+    * [[knnLshAuto]]. */
+  def pqKnnBound(emb: DataFrame, cbs: Array[Array[Array[Double]]],
+      queryIds: Seq[Long], k: Int, shortlist: Int = 20,
+      dim: Int = 64): DataFrame = {
+    val (qscored, _) = pqBoundScan(emb, cbs, queryIds, dim)
+    val theta = pqTheta(qscored, k, shortlist)
+    val cand = qscored.join(broadcast(theta), Seq("query_id"), "left")
+      .where(col("adc") + col("qn") * col("res") >=
+        coalesce(col("theta"), lit(Double.MinValue)))
+    val rescored = cand.withColumn("sim", dot(col("v_q"), col("v_n")))
+    topKPerQuery(rescored.select("query_id", "neighbor_id", "sim"), k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The shared ADC scan of [[pqKnnBound]]/[[pqKnnBoundAuto]]: encode the
+    * corpus (codes + residual norm `res`), broadcast the queries (lut +
+    * norm `qn`), score every pair with the table-lookup sum. Returns the
+    * scored frame and the corpus size. */
+  private def pqBoundScan(emb: DataFrame,
+      cbs: Array[Array[Array[Double]]], queryIds: Seq[Long], dim: Int)
+      : (DataFrame, Long) = {
+    val m = cbs.length
+    require(m > 0 && dim % m == 0,
+      s"dim $dim not divisible into $m codebook subspaces")
+    val ksub = cbs.head.length
+    require(cbs.forall(_.length == ksub), "ragged codebooks")
+    val sub = dim / m
+    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)
+    val decoded = flatten(array((0 until m).map(j =>
+      element_at(typedLit(cbs(j).map(_.toSeq).toSeq),
+        col("codes").getItem(j) + 1)): _*))
+    val corpus = v
+      .withColumn("codes", array((0 until m).map(j =>
+        nearestCluster(subv(col("v"), j), cbs(j)).cast("int")): _*))
+      // ‖v − v̂‖: the per-vector ADC error bound, stored WITH the codes
+      // (one extra double beside the 8-byte code word in the index)
+      .withColumn("res", sqrt(aggregate(
+        zip_with(col("v"), decoded, (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x)))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("v_n"),
+        col("codes"), col("res"))
+    val queries = v.where(col("vec_id").isin(queryIds: _*))
+      .withColumn("lut", array((0 until m).map(j =>
+        array((0 until ksub).map(c =>
+          dot(subv(col("v"), j),
+            array(cbs(j)(c).map(lit).toIndexedSeq: _*))): _*)): _*))
+      .withColumn("qn", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("lut"), col("qn"))
+    val qscored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (cd, l) => element_at(l, cd + 1)),
+        lit(0.0d), (acc, x) => acc + x))
+    (qscored, emb.count())
+  }
+
+  /** Provisional exact k-th score per query: ADC-shortlist, re-rank
+    * exactly, take the k-th (the θ the bound certifies against). Queries
+    * with fewer than k candidates get no row (the caller treats a missing
+    * θ as −∞ and certifies everything). */
+  private def pqTheta(qscored: DataFrame, k: Int, shortlist: Int)
+      : DataFrame = {
+    val short = graft.plans.GroupedTopK.topK(
+      qscored.select("query_id", "neighbor_id", "adc", "v_q", "v_n"),
+      Seq(col("query_id")), Seq(col("adc").desc, col("neighbor_id").asc),
+      shortlist)
+    val rescored = short.withColumn("sim", dot(col("v_q"), col("v_n")))
+    topKPerQuery(rescored.select("query_id", "neighbor_id", "sim"), k)
+      .where(col("rank") === k)
+      .select(col("query_id"), col("sim").as("theta"))
+  }
+
+  /** [[pqKnnBound]] with sizing + the index-vs-scan planner decision
+    * wired in: √n shortlist seeds θ, then ONE pass over the compressed
+    * codes counts how much of the corpus the bound certifies. When that
+    * fraction reaches `bruteCutover`, re-ranking the certified set would
+    * read a comparable share of the raw vectors through a join that the
+    * codegen'd brute scan reads ONCE without join machinery — so the op
+    * serves [[knnBrute]] (also exact). Either way the served result is
+    * EXACT (recall 1.0); the decision only picks the cheaper plan, like
+    * [[knnLshAuto]]'s cutover. Returns (frame, shortlist, certified
+    * fraction, cutover engaged). */
+  def pqKnnBoundAuto(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 16, ksub: Int = 16, iters: Int = 2, dim: Int = 64,
+      bruteCutover: Double = 0.5): (DataFrame, Int, Double, Boolean) = {
+    val cbs = pqCodebooks(emb, m, ksub, iters, dim)
+    val (qscored, n) = pqBoundScan(emb, cbs, queryIds, dim)
+    val shortlist = suggestedShortlist(n, k)
+    val theta = pqTheta(qscored, k, shortlist)
+    val cand = qscored.join(broadcast(theta), Seq("query_id"), "left")
+      .where(col("adc") + col("qn") * col("res") >=
+        coalesce(col("theta"), lit(Double.MinValue)))
+    // decision pass: codes + res only — the 32×-compressed index
+    val certified = cand.count()
+    val frac = certified.toDouble / math.max(1L, n * queryIds.size)
+    if (frac >= bruteCutover)
+      (knnBrute(emb, queryIds, k), shortlist, frac, true)
+    else {
+      val rescored = cand.withColumn("sim", dot(col("v_q"), col("v_n")))
+      (topKPerQuery(rescored.select("query_id", "neighbor_id", "sim"), k)
+        .orderBy("query_id", "rank"), shortlist, frac, false)
+    }
+  }
+
   /** Production sizing for the SHORTLIST of every two-phase search
     * (approximate-score scan → exact re-rank): a FIXED shortlist decays
     * recall as the corpus grows — the count of distractors whose

@@ -53,6 +53,7 @@ object ScaleSweep {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -60,6 +61,7 @@ object ScaleSweep {
 
     factors.foreach(f => buildCorpus(spark, baseDir, workDir, f))
     factors.foreach(f => buildDocsCorpus(spark, baseDir, workDir, f))
+    factors.foreach(f => buildOlapCorpus(spark, baseDir, workDir, f))
 
     // crash-safe + resumable: each factor's results persist as a fragment
     // file; a rerun recomputes only the missing factors (and skips the
@@ -111,6 +113,9 @@ object ScaleSweep {
       "text family (minhash_pairs/simhash_pairs/ngram_jaccard): banding keys live in 2^64 space, so buckets hold only genuine duplicate groups and pair work is ~linear in n with NO sizing knob — the structural contrast with hyperplane LSH's 2^bits buckets; planted recall (128 exact clones at jaccard 1.0, 128 one-token-appended near-dups ~0.97) proves the banding contract at every factor; the PPJoin SSJoin carries inherent sum-df^2 growth and is capped at 200k docs like the fixed embedding variants",
       "knn_pq (s12): one op = 16 subspace k-means trains + 8-byte encode + ADC lookup-table scan + exact re-rank of a fixed 100-candidate shortlist — every stage a linear corpus pass; twin_hit stays 1.0 while plain recall@10 decays with n at FIXED shortlist (more distractors per true neighbor), the documented PQ trade: recall is bought with shortlist width, memory stays 32x compressed",
       "knn_pq_auto / knn_lsh_auto / ivfpq_probe_auto wire suggestedShortlist(n,k) = max(4k, sqrt(n)) — the THIRD sizing knob: the shortlist (LSH: target bucket population) grows as sqrt(n), so recall@k holds across factors where the fixed-width rows decay; re-rank work stays O(sqrt n) per query",
+      "knn_pq_bound is the SERVED flat-PQ path (gate s15): the encode stores each vector's quantization residual norm, the ADC shortlist seeds a provisional exact k-th score theta, and every vector whose adc + |q|*residual Cauchy-Schwarz bound reaches theta is re-ranked exactly — nothing else can enter the top-k, so recall is 1.0 BY CONSTRUCTION at every factor (the decayed knn_pq/knn_pq_auto rows above stay as the measurement of what fixed/sqrt-n shortlists alone buy); certified_frac + cutover record the cost-model decision: when the bound certifies >= 50% of the corpus (this isotropic fixture: residual ~ the vector itself, the no-index-wins regime) the op serves the codegen'd brute scan, which is the same exact answer read once without join machinery — clustered real-world embeddings certify ~one cluster and keep the 32x-compressed path (OpsSpec pins both regimes)",
+      "the per-factor index-vs-scan decision of every auto op is now ON the row: knn_lsh_auto/knn_lsh_design carry (bits, tables, cutover), knn_pq_bound carries (shortlist, certified_frac, cutover) — the cost model's behavior at 100x is auditable from the artifact alone",
+      "q02/q11/q49/q52 rows run the actual OLAP gate queries against a factor-scaled FULL sf directory (ScaleUp.build: facts replicate, dims and the calendar stay fixed — the 100TB shape): star-join agg, dense-axes densify, exact equi-depth tiling, RFM windowing; their slopes isolate fact-scan/shuffle/window growth on the engine paths the embedding ops don't touch",
       "ivfpq (s14) composes the IVF coarse quantizer with PQ codes of RESIDUALS (Jegou et al. IVFADC): build = coarse kmeans + 16 residual-subspace kmeans + encode (linear, paid once per ingest); ivfpq_probe_auto runs the THETA-BOUND two-phase probe (the exact ivf_probe recipe applied to the compressed scan: seed cells give a provisional exact k-th score, then every cell whose Cauchy-Schwarz bound reaches it is ADC-scanned) with shortlist 2*suggestedShortlist(n,k) — DESIGN POINT: recall@10 >= 0.8 at every factor (the only remaining loss is ADC shortlist truncation inside probed cells; coarse-probe misses are eliminated by the bound), pinned by OpsSpec on the planted fixture")
       .map(s => "\"" + s + "\"")
     val json =
@@ -177,6 +182,19 @@ object ScaleSweep {
         planted.toDF("vec_id", "embedding", "label"))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(path)
+    println(s"[scalesweep] built $path")
+  }
+
+  /** Factor-scaled OLAP corpus (full sf-dir layout) via [[ScaleUp.build]]:
+    * facts replicate, dims and the calendar stay fixed — the 100 TB shape
+    * (fact growth at constant dimensions), so the q-row slopes isolate
+    * fact-scan + shuffle growth. */
+  private def buildOlapCorpus(spark: SparkSession, baseDir: String,
+      workDir: String, factor: Int): Unit = {
+    val path = s"$workDir/olap_x$factor"
+    if (new java.io.File(s"$path/embeddings.parquet/_SUCCESS").exists())
+      return
+    ScaleUp.build(spark, baseDir, path, factor)
     println(s"[scalesweep] built $path")
   }
 
@@ -319,7 +337,8 @@ object ScaleSweep {
       val (df, bits, tables) = Similarity.knnLshAuto(emb, qids, K, dim = Dim)
       val rows = df.collect()
       (rows.length, Map("bits" -> bits.toString,
-        "tables" -> tables.toString) ++ knnMetrics(sets(rows)))
+        "tables" -> tables.toString,
+        "cutover" -> (tables == 0).toString) ++ knnMetrics(sets(rows)))
     }
     time("knn_lsh_design") {
       // the LSH path itself, at its contract regime: a pinned cos-0.95
@@ -331,7 +350,8 @@ object ScaleSweep {
         targetCos = 0.95, dim = Dim)
       val rows = df.collect()
       (rows.length, Map("bits" -> bits.toString,
-        "tables" -> tables.toString) ++ knnMetrics(sets(rows)))
+        "tables" -> tables.toString,
+        "cutover" -> (tables == 0).toString) ++ knnMetrics(sets(rows)))
     }
     def ivf(buildName: String, probeName: String, nlist: Int): Unit = {
       var idx: Similarity.IvfIndex = null
@@ -366,6 +386,24 @@ object ScaleSweep {
       val rows = df.collect()
       (rows.length, Map("m" -> "16", "ksub" -> "16",
         "shortlist" -> shortlist.toString) ++ knnMetrics(sets(rows)))
+    }
+    // the SERVED flat-PQ path (gate s15): θ-bound certification — the
+    // encode stores each vector's residual norm, the ADC shortlist seeds
+    // a provisional k-th score, and everything whose Cauchy-Schwarz bound
+    // reaches it re-ranks exactly, so recall is 1.0 BY CONSTRUCTION at
+    // every factor. The row records the certified fraction and whether
+    // the cost model served the index or the (equally exact) brute scan;
+    // this isotropic corpus certifies nearly everything, so the planner
+    // tips to the scan — clustered real-world embeddings keep the
+    // compressed path (OpsSpec pins both regimes)
+    time("knn_pq_bound") {
+      val (df, shortlist, frac, cut) =
+        Similarity.pqKnnBoundAuto(emb, qids, K, dim = Dim)
+      val rows = df.collect()
+      (rows.length, Map("m" -> "16", "ksub" -> "16",
+        "shortlist" -> shortlist.toString,
+        "certified_frac" -> fmt(frac),
+        "cutover" -> cut.toString) ++ knnMetrics(sets(rows)))
     }
     // IVF-PQ (s14): probed-cell ADC replaces the full-corpus scan — build
     // linear, probe ~flat with sqrt(n) cells; shortlist auto-sized
@@ -433,6 +471,20 @@ object ScaleSweep {
       val rows = pairs.count()
       (rows, Map("threshold" -> "0.8", "n_docs" -> nDocs.toString,
         "recall_exact" -> fmt(docRecall(pairs, 0))))
+    }
+
+    // --- OLAP gate queries at factor scale: star agg (q02), dense axes
+    // (q11), skew-proof equi-depth tiling (q49), RFM segmentation (q52).
+    // The non-index engine paths whose scale evidence previously stopped
+    // at the 10× bench: facts replicate factor×, dims + calendar stay
+    // fixed, so these slopes isolate fact-scan/shuffle/window growth.
+    val olapDir = s"$workDir/olap_x$factor"
+    Seq("q02_star_drilldown", "q11_dense_axes", "q49_value_quartiles",
+        "q52_rfm_segments").foreach { q =>
+      time(q) {
+        (graft.SparkEntry.queries(q)(spark, olapDir).count(),
+          Map.empty[String, String])
+      }
     }
 
     val params =

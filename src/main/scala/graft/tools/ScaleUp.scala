@@ -33,7 +33,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, dst, factor)
+    spark.stop()
+  }
 
+  /** The replication itself, callable from other harnesses
+    * ([[ScaleSweep]] builds its factor-100 OLAP corpus with it). Requires
+    * a session with `spark.sql.legacy.parquet.nanosAsLong=true` when the
+    * source events carry TIMESTAMP(NANOS). */
+  def build(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
     def load(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
     def save(name: String, df: DataFrame): Unit = {
@@ -93,7 +102,5 @@ object ScaleUp {
             size(col("embedding")) - lit(i)),
           slice(col("embedding"), lit(1), lit(i))))
     })
-
-    spark.stop()
   }
 }

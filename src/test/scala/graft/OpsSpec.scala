@@ -1231,6 +1231,47 @@ class OpsSpec extends AnyFunSuite {
       s"ADC recall $overlap/${brute.length} at shortlist 100")
   }
 
+  test("theta-bound PQ is EXACT with a tiny seed shortlist (the bound, " +
+      "not the width, certifies the top-k); auto cuts over on isotropic " +
+      "data and engages the index on clustered data — exact either way") {
+    val qids = (0L until 8L).toSeq
+    val k = 5
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = rows(Similarity.knnBrute(emb, qids, k))
+    val cbs = Similarity.pqCodebooks(emb, 16, 16, 2)
+    // shortlist 8 < the 20 the plain path needs for even 0.68 recall here
+    // — the residual bound re-ranks whatever could still beat θ, so the
+    // result matches brute force bit-for-bit
+    val bound = rows(Similarity.pqKnnBound(emb, cbs, qids, k, 8))
+    assert(bound.sameElements(brute))
+    // isotropic fixture: residual ≈ vector, the bound certifies most of
+    // the corpus → the planner serves the (also exact) brute scan
+    val (iso, _, isoFrac, isoCut) = Similarity.pqKnnBoundAuto(emb, qids, k)
+    assert(isoCut, s"expected brute cutover, certified frac $isoFrac")
+    assert(rows(iso).sameElements(brute))
+    // clustered fixture (8 tight clusters): residuals are tiny, the bound
+    // certifies ~one cluster per query → index path, still exact
+    import spark.implicits._
+    val rnd = new java.util.Random(5)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val anchors = Array.fill(8)(
+      normalize(Array.fill(64)(rnd.nextGaussian())))
+    val cemb = (0L until 1024L).map { i =>
+      val a = anchors((i % 8).toInt)
+      val v = normalize(a.map(_ + 0.05 * rnd.nextGaussian()))
+      (i, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val cqids = (0L until 8L).toSeq
+    val cbrute = rows(Similarity.knnBrute(cemb, cqids, k))
+    val (cl, _, clFrac, clCut) = Similarity.pqKnnBoundAuto(cemb, cqids, k)
+    assert(!clCut && clFrac < 0.5,
+      s"expected index path on clustered data, certified frac $clFrac")
+    assert(rows(cl).sameElements(cbrute))
+  }
+
   test("knnRecall: identical results score 1.0, disjoint 0.0, partial " +
       "overlap the exact fraction") {
     import spark.implicits._
