@@ -1174,6 +1174,21 @@ object SparkEntry {
       // (nation, year, month) row carries the revenue at its year's LAST
       // calendar-domain month — empty when the nation has no data there
       // (domain-exact, never "last present month")
+      // MDX Generate(set, TopCount(...)): the "top N per group" idiom —
+      // per region, the 3 top-revenue brands. Compiles to ONE GroupedTopK
+      // pass partitioned on the region level (bounded heaps, ≤ k rows per
+      // group cross the shuffle), never a per-member loop; each region
+      // block keeps the TopCount ranking order like Mondrian's Generate
+      "q86_mdx_generate" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |NON EMPTY GENERATE(
+            |  [Geography].[Geography].[Region].Members,
+            |  TOPCOUNT([Part].[Brands].[Brand].Members, 3,
+            |    [Measures].[Revenue])) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       "q85_mdx_closing" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -1816,6 +1831,22 @@ object SparkEntry {
          |$SUPP_GEO_JOIN
          |JOIN part ON l_partkey = p_partkey
          |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    // q86: Generate(Region.Members, TopCount(Brand.Members, 3, Revenue))
+    // — per-region top-3 brands; the oracle replays the GroupedTopK
+    // ranking (measure desc, member key asc tiebreak) with a window and
+    // keeps each region block in rank order like the axis does
+    "q86_mdx_generate" ->
+      s"""WITH base AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |  p_brand AS brand, ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY region
+         |    ORDER BY revenue DESC, brand ASC) AS rk FROM base)
+         |SELECT region, region_label, brand, revenue FROM ranked
+         |WHERE rk <= 3 ORDER BY region, rk""".stripMargin,
     "q03_crossjoin_3d" ->
       s"""SELECT r_regionkey AS region, r_name AS region_label,
          |l_returnflag AS return_flag,

@@ -71,6 +71,16 @@ final case class OrderSpec(target: OrderTarget, desc: Boolean = false)
 /** Requested member property column (ref C4, api_helpers.rb:96-132). */
 final case class PropertyRef(level: LevelRef, property: String)
 
+/** MDX `Generate(set1, TopCount(set2, k, m))` — the "top N per group"
+  * idiom: for each member of set1 the inner TopCount evaluates in that
+  * member's context and the results concatenate. The axis partitions on
+  * set1's drilled levels (the FIRST `groupDrills` drilldowns) and keeps
+  * `k` tuples per partition by `measure` (desc for TopCount, asc for
+  * BottomCount); within each partition the axis preserves the inner
+  * ranking order, like Mondrian's Generate output. */
+final case class GroupTopSpec(groupDrills: Int, k: Int, measure: String,
+    desc: Boolean = true)
+
 final case class CubeQuery(
     cube: String,
     drilldowns: Seq[Drill],
@@ -84,6 +94,10 @@ final case class CubeQuery(
     // in forward order). Applied before offset/limit, so HEAD(TAIL(s, n),
     // k) and SUBSET(TAIL(s, n), …) page within the tail.
     tailLimit: Option[Long] = None,
+    // MDX Generate(set1, TopCount(set2, k, m)): per-group top-k, applied
+    // before DISTINCT/TAIL/ORDER/SUBSET in the finish sequence (one
+    // GroupedTopK bounded-heap pass, never a per-group sort)
+    groupTop: Option[GroupTopSpec] = None,
     nonempty: Boolean = true,   // groupBy output is naturally nonempty; dense
     // mode (the reference's default JSON shape) densifies via member-domain
     // cross product + left join (SURVEY §2.4 C1)

@@ -158,7 +158,7 @@ object MdxParser {
         CubeQuery(cube.name, axis.drills, measures,
           cuts = axis.cuts ++ slicerCuts, filters = axis.filters,
           order = axis.order, limit = axis.limit, offset = axis.offset,
-          tailLimit = axis.tail,
+          tailLimit = axis.tail, groupTop = axis.groupTop,
           nonempty = nonEmpty || axis.filters.nonEmpty,
           distinct = axis.distinct,
           adhocCalcs = adhoc, adhocLags = adhocLags,
@@ -646,7 +646,8 @@ object MdxParser {
   final case class Axis(drills: Seq[Drill], cuts: Seq[Cut],
       filters: Seq[MeasureFilter] = Nil, order: Option[OrderSpec] = None,
       limit: Option[Long] = None, offset: Long = 0,
-      tail: Option[Long] = None, distinct: Boolean = false)
+      tail: Option[Long] = None, distinct: Boolean = false,
+      groupTop: Option[GroupTopSpec] = None)
 
   /** Axis-level functions wrap the whole set: FILTER → HAVING, ORDER →
     * result order, HEAD → limit, SUBSET → offset/limit, DISTINCT → the A14
@@ -770,6 +771,57 @@ object MdxParser {
         limit = as.lift(2).map(parseCount(_, "SUBSET")).orElse(inner.limit))
     } else if (upper.startsWith("HIERARCHIZE(") && t.endsWith(")")) {
       parseAxis(cube, t.substring("HIERARCHIZE(".length, t.length - 1))
+    } else if (upper.startsWith("GENERATE(") && t.endsWith(")")) {
+      // Generate(set1, TopCount(set2, k, [Measures].[M])) — Mondrian's
+      // "top N per group" idiom: the inner TopCount evaluates once per
+      // member of set1 and the blocks concatenate. Compiles to one
+      // GroupedTopK pass partitioned on set1's levels — never a
+      // per-member loop. Only the TopCount/BottomCount inner form is
+      // supported (the overwhelmingly common use); other inner sets 400.
+      val as = args("GENERATE(")
+      if (as.length != 2)
+        GraftException.badRequest(s"GENERATE takes (set, set): '$s'")
+      val (gDrills, gCuts) = parseSet(cube, as(0))
+      val inner = as(1).trim
+      val innerUpper = inner.toUpperCase
+      val isTop = innerUpper.startsWith("TOPCOUNT(")
+      val isBottom = innerUpper.startsWith("BOTTOMCOUNT(")
+      if (!(isTop || isBottom) || !inner.endsWith(")"))
+        GraftException.badRequest(
+          "GENERATE: the second set must be TOPCOUNT(...) or " +
+            s"BOTTOMCOUNT(...), got '$inner'")
+      val fn = if (isTop) "TOPCOUNT" else "BOTTOMCOUNT"
+      val ias = splitTop(inner.substring(fn.length + 1, inner.length - 1),
+        ',')
+      if (ias.length != 3)
+        GraftException.badRequest(
+          s"GENERATE: $fn takes (set, count, measure), got '$inner'")
+      val (iDrills, iCuts) = parseSet(cube, ias(0))
+      val k = parseCount(ias(1), fn)
+      val m = QueryParser.segments(ias(2)) match {
+        case Seq("Measures", name) => resolveMeasure(cube, name)
+        case Seq(name) => resolveMeasure(cube, name)
+        case _ =>
+          GraftException.badRequest(s"bad $fn measure '${ias(2)}'")
+      }
+      if (gDrills.isEmpty || iDrills.isEmpty)
+        GraftException.badRequest(
+          "GENERATE: both sets must drill at least one level")
+      if ((gDrills ++ iDrills).exists(!_.isInstanceOf[LevelDrill]))
+        GraftException.badRequest(
+          "GENERATE: named-set drilldowns are not supported inside " +
+            "GENERATE (the partition position would be ambiguous)")
+      val gDims = gDrills.collect { case LevelDrill(r) => r.dim }.toSet
+      val overlap = iDrills.collect {
+        case LevelDrill(r) if gDims.contains(r.dim) => r.dim
+      }
+      if (overlap.nonEmpty)
+        GraftException.badRequest(
+          s"GENERATE: inner set drills the outer set's dimension " +
+            s"'${overlap.head}' — the partition would be degenerate")
+      Axis(gDrills ++ iDrills, gCuts ++ iCuts,
+        groupTop = Some(GroupTopSpec(gDrills.length, k.toInt, m,
+          desc = isTop)))
     } else {
       // TOPCOUNT over a TUPLE set (≥ 2 drilled levels, e.g. a CROSSJOIN):
       // Mondrian ranks the axis tuples by the measure — exactly ORDER +

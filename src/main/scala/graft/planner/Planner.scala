@@ -1553,9 +1553,45 @@ object Planner {
       }
       (c, os.desc)
     }
-    val distinctDf = if (q.distinct) df.dropDuplicates(outputCols) else df
+    // MDX Generate(set1, TopCount(set2, k, m)): ONE GroupedTopK pass
+    // partitioned on set1's drilled levels (bounded heaps, ≤ k rows per
+    // group shuffled — never a per-group sort or a per-member loop). The
+    // appended __grank column carries the inner ranking into the axis
+    // order below, then falls away in the final projection.
+    val grankCol = "__grank"
+    val grouped = q.groupTop match {
+      case Some(gt) =>
+        val parts = drills.take(gt.groupDrills).map(rl =>
+          col(rl.level.alias))
+        val mcol = col(scala.util.Try(aliasOfMeasure(cube, gt.measure))
+          .getOrElse(gt.measure))
+        // deterministic inner order: measure (desc for TopCount), then
+        // the inner levels' member order — ties resolve like Mondrian's
+        // stable member order, and the oracle can replay it
+        val tiebreak = drills.drop(gt.groupDrills).map { rl =>
+          col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
+            .asc
+        }
+        graft.plans.GroupedTopK.topK(df, parts,
+            (if (gt.desc) mcol.desc else mcol.asc) +: tiebreak, gt.k)
+          .withColumnRenamed("rank", grankCol)
+      case None => df
+    }
+    val distinctDf =
+      if (q.distinct) grouped.dropDuplicates(outputCols) else grouped
+    // with a per-group top-k, each set1 block keeps its inner ranking
+    // order (Mondrian's Generate output shape) ahead of the default
+    // hierarchical member order
+    val groupSort: Seq[(Column, Boolean)] = q.groupTop match {
+      case Some(gt) =>
+        drills.take(gt.groupDrills).map { rl =>
+          (col(rl.level.ordExpr.fold(rl.level.alias)(_ =>
+            rl.level.ordAlias)), false)
+        } :+ ((col(grankCol), false))
+      case None => Nil
+    }
     val keys: Seq[(Column, Boolean)] =
-      explicit ++ defaultSort.map(c => (c, false))
+      explicit ++ groupSort ++ defaultSort.map(c => (c, false))
     def ordered(rev: Boolean): Seq[Column] =
       keys.map { case (c, desc) => if (desc ^ rev) c.desc else c.asc }
     // TAIL: the last n of the total order — reverse-sort + limit (a

@@ -97,10 +97,18 @@ object ScaleUp {
     save("embeddings", replicate(emb, factor) { (df, i) =>
       val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
       if (i == 0) shifted
-      else shifted.withColumn("embedding",
-        concat(slice(col("embedding"), lit(i + 1),
-            size(col("embedding")) - lit(i)),
-          slice(col("embedding"), lit(1), lit(i))))
+      else {
+        // rotate by i MOD dim — a raw i beyond the vector width handed
+        // slice() a negative length (factor > 64 builds); replicas a full
+        // cycle apart repeat a rotation, which is fine for the fact-side
+        // scale corpora this feeds (the embedding-op sweeps build their
+        // own sign-masked corpus with planted ground truth instead)
+        val r = pmod(lit(i), size(col("embedding")))
+        shifted.withColumn("embedding",
+          concat(slice(col("embedding"), r + lit(1),
+              size(col("embedding")) - r),
+            slice(col("embedding"), lit(1), r)))
+      }
     })
   }
 }

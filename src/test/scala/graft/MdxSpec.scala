@@ -1386,6 +1386,61 @@ class MdxSpec extends AnyFunSuite {
     })
   }
 
+  test("GENERATE(set, TOPCOUNT(...)): per-group top-k equals the brute " +
+      "per-group recompute, blocks ride in rank order; BOTTOMCOUNT flips " +
+      "the direction; malformed forms 400") {
+    val rows = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT([Part].[Brands].[Brand].Members, 2,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    // brute recompute from the plain region × brand axis
+    val full = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Geography", Some("Region"))),
+        LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands")))),
+      Seq("revenue"))).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+    val expect = full.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, g) => g.sortBy(t => (-t._3, t._2)).take(2)
+    }
+    assert(rows.map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+      .toSeq == expect.toSeq)
+    // per-region blocks arrive contiguous, ranked by measure desc
+    rows.grouped(2).foreach { g =>
+      assert(g.map(_.getInt(0)).distinct.length == 1)
+      assert(g(0).getDouble(3) >= g(1).getDouble(3))
+    }
+    // BOTTOMCOUNT: the k SMALLEST per group
+    val bottom = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  BOTTOMCOUNT([Part].[Brands].[Brand].Members, 2,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+    val expectB = full.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, g) => g.sortBy(t => (t._3, t._2)).take(2)
+    }
+    assert(bottom.toSeq == expectB.toSeq)
+    // error contract: non-TopCount inner set, overlapping dims, bad arity
+    for (bad <- Seq(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |GENERATE([Geography].[Geography].[Region].Members,
+        |  [Part].[Brands].[Brand].Members) ON ROWS
+        |FROM sales""".stripMargin,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT([Geography].[Geography].[Nation].Members, 2,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |GENERATE([Geography].[Geography].[Region].Members) ON ROWS
+        |FROM sales""".stripMargin))
+      assert(intercept[GraftException](
+        Planner.plan(cat, MdxParser.parse(salesCube, bad))).status == 400)
+  }
+
   test("NextMember/Lead(n) look forward; the time domain expands past " +
       "the cut") {
     val q = MdxParser.parse(salesCube,
