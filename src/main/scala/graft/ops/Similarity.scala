@@ -493,7 +493,13 @@ object Similarity {
 
   /** [[pqKnn]] with [[suggestedShortlist]] wired in (codebooks still train
     * inline — memoize via [[graft.ops.IndexCache]] in a serving path).
-    * Returns (frame, shortlist used). */
+    * Returns (frame, shortlist used).
+    *
+    * MEASUREMENT path, not the served one: √n growth slows the
+    * fixed-shortlist recall decay but holds no target (BENCH_scaling
+    * knn_pq_auto vs knn_pq rows). Serving goes through [[pqKnnBoundAuto]],
+    * whose residual-norm certificate makes the result EXACT at every
+    * corpus size — this entry point stays as the documented contrast. */
   def pqKnnAuto(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = 16,
       ksub: Int = 16, iters: Int = 2, dim: Int = 64): (DataFrame, Int) = {
     val shortlist = suggestedShortlist(emb.count(), k)

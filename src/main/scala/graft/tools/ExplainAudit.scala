@@ -51,7 +51,8 @@ object ExplainAudit {
         "s14_knn_ivfpq", "t39_probe_calibration", "t41_decontam_multi",
         "t42_dsir_resample", "e21_stickiness", "t43_boilerplate",
         "m06_ar_buckets", "q84_parent_share", "q85_mdx_closing",
-        "d22_tombstone_delete", "t44_corpus_diff")
+        "d22_tombstone_delete", "t44_corpus_diff", "q86_mdx_generate",
+        "s15_knn_pq_exact")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -47,6 +47,13 @@ class FuzzSpec extends AnyFunSuite {
       |SELECT {[Measures].[closing]} ON COLUMNS,
       |CROSSJOIN([ShipDate].[Monthly].[Year].Members,
       |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+      |FROM sales""".stripMargin,
+    // the round-12 per-group top-k construct — mutations must 400 (bad
+    // arity, stray inner sets, mangled brackets), never crash
+    """SELECT {[Measures].[Revenue]} ON COLUMNS,
+      |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+      |  TOPCOUNT([Part].[Brands].[Brand].Members, 3,
+      |    [Measures].[Revenue])) ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(
