@@ -122,10 +122,23 @@ object Ranking {
       .cast("int")
   }
 
-  /** Exact integer division on Column (Column./ is double division; the
-    * decimal hop keeps 38-digit exactness, floor restores the integer). */
-  private def intDiv(a: Column, b: Column): Column =
-    floor(a.cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
+  /** Exact integer division on Column. Column./ is DOUBLE division, and
+    * the earlier decimal(38,0)/decimal(38,0) hop was WRONG near integers:
+    * Spark divides those operands at result scale 6 with HALF_UP, so any
+    * quotient within 5e-7 BELOW an integer rounded up before the floor —
+    * first caught by the 100× scale sweep as a phantom 5th quartile
+    * (rank 15000000 / base 3750000 = 3.99999973… → 4.000000 → floor 4,
+    * one tile too high; invisible at gate scale, where quotients never
+    * land that close to an integer). Subtracting the remainder first
+    * makes the quotient an exact integer, and an IEEE double division
+    * whose operands and result are exactly representable (< 2⁵³ —
+    * trillion-row counts and beyond) returns it exactly. pmod keeps the
+    * floor semantics for negative dividends. */
+  private def intDiv(a: Column, b: Column): Column = {
+    val aL = a.cast("long")
+    val bL = b.cast("long")
+    ((aL - pmod(aL, bL)) / bL).cast("long")
+  }
 
   /** PREFIX SUM of `weight` within each `part` group, over the
     * (value asc, tieBreak asc) total order, EXCLUSIVE of the current row —

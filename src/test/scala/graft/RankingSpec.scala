@@ -39,6 +39,35 @@ class RankingSpec extends AnyFunSuite {
     assert(sizes == Seq((1, 26L), (2, 26L), (3, 26L), (4, 25L)))
   }
 
+  test("ntileOf near-integer quotients: no decimal-rounding phantom tile " +
+      "(the 100x-sweep q49 regression) and agreement with exact NTILE " +
+      "arithmetic across magnitudes") {
+    import org.apache.spark.sql.functions._
+    // the exact failing pair from the factor-100 corpus: 15e6 ranks over
+    // 4 tiles — rank 15000000 / base 3750000 sits 2.7e-7 below 4, which
+    // the old decimal(38,0)/decimal(38,0) hop HALF_UP-rounded to 4.000000
+    // before the floor, minting a 5th tile with exactly one row
+    val cases = Seq[(Long, Long, Int)](
+      (15000000L, 15000000L, 4), (14999999L, 15000000L, 4),
+      (8000004L, 8000004L, 4), (11250001L, 15000000L, 4),
+      (1L, 15000000L, 4), (3750000L, 15000000L, 4), (3750001L, 15000000L, 4),
+      (999999999999L, 999999999999L, 7), (5L, 7L, 3), (7L, 7L, 3))
+    def expected(rank: Long, n: Long, tiles: Int): Int = {
+      val base = n / tiles; val rem = n % tiles; val cut = rem * (base + 1)
+      (if (rank <= cut) (rank - 1) / (base + 1) + 1
+       else rem + (rank - cut - 1) / math.max(base, 1L) + 1).toInt
+    }
+    val row = spark.range(1).select(cases.zipWithIndex.map {
+      case ((r, n, t), i) =>
+        Ranking.ntileOf(lit(r), lit(n), t).as(s"c$i")
+    }: _*).head()
+    cases.zipWithIndex.foreach { case ((r, n, t), i) =>
+      assert(row.getInt(i) == expected(r, n, t),
+        s"ntileOf($r, $n, $t) = ${row.getInt(i)}, want ${expected(r, n, t)}")
+      assert(row.getInt(i) >= 1 && row.getInt(i) <= t)
+    }
+  }
+
   test("fewer rows than tiles: each row its own tile, like NTILE") {
     val df = frame(3)
     val got = Ranking.equiDepthTiles(df, col("v"), col("id"), tiles = 8)
