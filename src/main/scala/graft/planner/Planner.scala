@@ -366,9 +366,19 @@ object Planner {
         val maxCells = cat.spark.conf
           .getOption("spark.graft.dense.maxCells").map(_.toLong)
           .getOrElse(1000000L)
+        // checkpoint ONLY when some non-time axis exists (= a guard count
+        // will run): a pure-time drilldown expands by the calendar alone,
+        // needs no count, and must keep its plan lineage visible —
+        // truncating it would hide rollup routing (InMemoryTableScan)
+        // from plan inspection and block cross-barrier optimization
+        val anyOther = timeDomains.exists { td =>
+          val unitAliases = td.unit.flatMap(levelAliases)
+          groupAliases.exists(a => !unitAliases.contains(a))
+        }
+        val base = aggDf.withColumn("__present", lit(1))
         timeDomains.foldLeft(
-            aggDf.withColumn("__present", lit(1))
-              .localCheckpoint(eager = false)) { (df, td) =>
+            if (anyOther) base.localCheckpoint(eager = false)
+            else base) { (df, td) =>
           val unitAliases = td.unit.flatMap(levelAliases)
           val otherAliases = groupAliases.filterNot(unitAliases.contains)
           val dom = broadcast(if (td.hasCuts) td.dom
