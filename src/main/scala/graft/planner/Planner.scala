@@ -366,25 +366,44 @@ object Planner {
         val maxCells = cat.spark.conf
           .getOption("spark.graft.dense.maxCells").map(_.toLong)
           .getOrElse(1000000L)
-        // checkpoint ONLY when some non-time axis exists (= a guard count
-        // will run): a pure-time drilldown expands by the calendar alone,
-        // needs no count, and must keep its plan lineage visible —
-        // truncating it would hide rollup routing (InMemoryTableScan)
-        // from plan inspection and block cross-barrier optimization
-        val anyOther = timeDomains.exists { td =>
+        // FAST-PATH BOUND, fully memoized: (∏ member counts of the
+        // non-time drilled levels) × (∏ member counts of the time unit) ≥
+        // axis-distinct × |dom| for every time domain (member listings
+        // are dim-table-sized, counted once per catalog lifetime —
+        // cachedMemberCount, the COUNT(Members) cache). Under the cap —
+        // every sane query — the expansion runs the plain path: zero
+        // extra jobs, no checkpoint, plan lineage intact (rollup routing
+        // stays visible to plan inspection). Only a query whose BOUND
+        // exceeds the cap (the customer × day shape) pays the exact
+        // check: checkpoint the agg once, count the actual axis-distinct,
+        // and 400 if the real product still exceeds the cap.
+        def memberCountOf(rl: ResolvedLevel): Long =
+          cat.cachedMemberCount((cube.name,
+            s"${rl.dim.name}.${rl.hier.name}.${rl.level.name}", "")) {
+            graft.result.Metadata.levelMembersDf(cat, cube,
+              LevelRef(rl.dim.name, Some(rl.level.name),
+                Some(rl.hier.name)), withProps = false).count()
+          }
+        val boundedByDims = timeDomains.forall { td =>
           val unitAliases = td.unit.flatMap(levelAliases)
-          groupAliases.exists(a => !unitAliases.contains(a))
+          val bound = groupLevels
+            .filter(rl => !unitAliases.contains(rl.level.alias))
+            .map(rl => BigInt(memberCountOf(rl))).product *
+            td.unit.map(rl => BigInt(memberCountOf(rl))).product
+          bound <= maxCells
         }
         val base = aggDf.withColumn("__present", lit(1))
         timeDomains.foldLeft(
-            if (anyOther) base.localCheckpoint(eager = false)
-            else base) { (df, td) =>
+            if (boundedByDims) base
+            else base.localCheckpoint(eager = false)) { (df, td) =>
           val unitAliases = td.unit.flatMap(levelAliases)
           val otherAliases = groupAliases.filterNot(unitAliases.contains)
           val dom = broadcast(if (td.hasCuts) td.dom
             else td.dom.drop(td.cutFlag))
           val full =
             if (otherAliases.isEmpty) dom
+            else if (boundedByDims)
+              df.select(otherAliases.map(col): _*).distinct().crossJoin(dom)
             else {
               val others = df.select(otherAliases.map(col): _*).distinct()
                 .localCheckpoint(eager = false)
