@@ -473,20 +473,23 @@ object SparkEntry {
         }
         ops.Similarity.pqKnnWith(emb, cbs, Seq(0L, 1L, 2L, 3L, 4L), 5)
       }),
-      // θ-bound EXACT PQ (the s12 decay answer): encode stores each
-      // vector's quantization residual norm; after the ADC shortlist
-      // seeds a provisional k-th score θ, every vector whose
-      // adc + ‖q‖·‖v−v̂‖ Cauchy-Schwarz bound reaches θ is re-ranked
-      // exactly — nothing else can enter the top-k, so the served result
-      // IS the brute-force answer and the oracle is the plain SQL kNN
-      // (the strongest contract an index path can carry). Seed shortlist
-      // 8 < k·2 on purpose: the bound, not the width, buys the recall.
+      // θ-bound EXACT PQ (the s12 decay answer): the index stores, beside
+      // each vector's 8-byte codes, its quantization residual norm; after
+      // the ADC shortlist seeds a provisional k-th score θ, every vector
+      // whose adc + ‖q‖·‖v−v̂‖ Cauchy-Schwarz bound reaches θ is
+      // re-ranked exactly — nothing else can enter the top-k, so the
+      // served result IS the brute-force answer and the oracle is the
+      // plain SQL kNN (the strongest contract an index path can carry).
+      // Seed shortlist 8 < k·2 on purpose: the bound, not the width, buys
+      // the recall. The full PqIndex (codebooks + encoded corpus) is the
+      // registration-time artifact (IndexCache; savePqIndex is the
+      // persisted layout) — queries pay only the lut + compressed scan.
       "s15_knn_pq_exact" -> ((s: SparkSession, dir: String) => {
         val emb = CubeCatalog.forDir(s, dir).table("embeddings")
-        val cbs = ops.IndexCache.memo(s, s"pqcb:$dir:16:16:2") {
-          ops.Similarity.pqCodebooks(emb, 16, 16, 2)
+        val idx = ops.IndexCache.memo(s, s"pqidx:$dir:16:16:2") {
+          ops.Similarity.pqIndex(emb)
         }
-        ops.Similarity.pqKnnBound(emb, cbs, Seq(0L, 1L, 2L, 3L, 4L), 5, 8)
+        ops.Similarity.pqKnnBoundWith(idx, Seq(0L, 1L, 2L, 3L, 4L), 5, 8)
       }),
       // IVF-PQ (Jégou et al. §IV, IVFADC — the billion-scale layout):
       // coarse quantizer picks nprobe cells, PQ codes of RESIDUALS score

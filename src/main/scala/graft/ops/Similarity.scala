@@ -372,45 +372,102 @@ object Similarity {
   def pqKnnBound(emb: DataFrame, cbs: Array[Array[Array[Double]]],
       queryIds: Seq[Long], k: Int, shortlist: Int = 20,
       dim: Int = 64): DataFrame = {
-    val (qscored, _) = pqBoundScan(emb, cbs, queryIds, dim)
-    val theta = pqTheta(qscored, k, shortlist)
-    val cand = qscored.join(broadcast(theta), Seq("query_id"), "left")
-      .where(col("adc") + col("qn") * col("res") >=
-        coalesce(col("theta"), lit(Double.MinValue)))
-    val rescored = cand.withColumn("sim", dot(col("v_q"), col("v_n")))
-    topKPerQuery(rescored.select("query_id", "neighbor_id", "sim"), k)
-      .orderBy("query_id", "rank")
+    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    val qscored = pqAdcScores(pqEncode(v, cbs, dim),
+      pqQueries(v, cbs, queryIds, dim))
+    pqBoundFinish(pqCertified(qscored, k, shortlist), k)
   }
 
-  /** The shared ADC scan of [[pqKnnBound]]/[[pqKnnBoundAuto]]: encode the
-    * corpus (codes + residual norm `res`), broadcast the queries (lut +
-    * norm `qn`), score every pair with the table-lookup sum. Returns the
-    * scored frame and the corpus size. */
-  private def pqBoundScan(emb: DataFrame,
-      cbs: Array[Array[Array[Double]]], queryIds: Seq[Long], dim: Int)
-      : (DataFrame, Long) = {
+  /** PQ INDEX — [[pqKnnBound]]'s encode stage as a build-once-per-ingest
+    * artifact (the [[IvfIndex]]/[[graft.ops.Dedup.LshIndex]] lifecycle
+    * applied to flat PQ): the shared codebooks plus the encoded corpus
+    * (8-byte codes, the per-vector residual norm the θ-bound needs, and
+    * the raw vectors for the exact re-rank). Serving pays only the query
+    * lookup table + the compressed scan. */
+  final case class PqIndex(cbs: Array[Array[Array[Double]]],
+      corpus: DataFrame)
+
+  /** Build the PQ index: train codebooks, one encode pass. The encoded
+    * corpus is localCheckpoint'ed (the [[ivfIndex]] convention): every
+    * query served from the in-memory index reuses one materialization,
+    * and the ContextCleaner releases the blocks with the index. */
+  def pqIndex(emb: DataFrame, m: Int = 16, ksub: Int = 16, iters: Int = 2,
+      dim: Int = 64): PqIndex = {
+    val cbs = pqCodebooks(emb, m, ksub, iters, dim)
+    PqIndex(cbs, pqEncode(
+      emb.select(col("vec_id"), asDouble("embedding").as("v")), cbs, dim)
+      .localCheckpoint(eager = false))
+  }
+
+  /** Persist a [[PqIndex]]: codebooks as one tiny parquet, the encoded
+    * corpus as the resident index (at 100 TB the codes + residual are the
+    * hot 3%; the raw vectors page in only for certified candidates). */
+  def savePqIndex(idx: PqIndex, path: String): Unit = {
+    val spark = idx.corpus.sparkSession
+    import spark.implicits._
+    idx.cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("j", "i", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    idx.corpus.write.mode("overwrite").parquet(s"$path/corpus")
+  }
+
+  /** Restore a persisted [[PqIndex]] (see [[savePqIndex]]). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqIndex = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("j", "i").collect()
+    val cbs = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)).toArray
+    PqIndex(cbs, spark.read.parquet(s"$path/corpus"))
+  }
+
+  /** θ-bound exact search over a PREBUILT [[PqIndex]] — the serving
+    * shape: no codebook train, no encode; queries resolve against the
+    * index corpus itself. Same certificate as [[pqKnnBound]], so the
+    * result is exact regardless of shortlist. */
+  def pqKnnBoundWith(idx: PqIndex, queryIds: Seq[Long], k: Int,
+      shortlist: Int = 20, dim: Int = 64): DataFrame = {
+    val qv = idx.corpus.select(col("neighbor_id").as("vec_id"),
+      col("v_n").as("v"))
+    val qscored = pqAdcScores(idx.corpus,
+      pqQueries(qv, idx.cbs, queryIds, dim))
+    pqBoundFinish(pqCertified(qscored, k, shortlist), k)
+  }
+
+  /** Encode pass of the PQ index: (neighbor_id, v_n, codes, res) where
+    * `res` = ‖v − v̂‖, the per-vector ADC error bound stored WITH the
+    * codes (one extra double beside the 8-byte code word). */
+  private def pqEncode(v: DataFrame,
+      cbs: Array[Array[Array[Double]]], dim: Int): DataFrame = {
     val m = cbs.length
     require(m > 0 && dim % m == 0,
       s"dim $dim not divisible into $m codebook subspaces")
     val ksub = cbs.head.length
     require(cbs.forall(_.length == ksub), "ragged codebooks")
     val sub = dim / m
-    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
     def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)
     val decoded = flatten(array((0 until m).map(j =>
       element_at(typedLit(cbs(j).map(_.toSeq).toSeq),
         col("codes").getItem(j) + 1)): _*))
-    val corpus = v
-      .withColumn("codes", array((0 until m).map(j =>
+    v.withColumn("codes", array((0 until m).map(j =>
         nearestCluster(subv(col("v"), j), cbs(j)).cast("int")): _*))
-      // ‖v − v̂‖: the per-vector ADC error bound, stored WITH the codes
-      // (one extra double beside the 8-byte code word in the index)
       .withColumn("res", sqrt(aggregate(
         zip_with(col("v"), decoded, (a, b) => (a - b) * (a - b)),
         lit(0.0d), (acc, x) => acc + x)))
       .select(col("vec_id").as("neighbor_id"), col("v").as("v_n"),
         col("codes"), col("res"))
-    val queries = v.where(col("vec_id").isin(queryIds: _*))
+  }
+
+  /** Query side of the bound search: per query, the m×ksub ADC lookup
+    * table and the query norm the Cauchy-Schwarz bound scales by. */
+  private def pqQueries(v: DataFrame, cbs: Array[Array[Array[Double]]],
+      queryIds: Seq[Long], dim: Int): DataFrame = {
+    val m = cbs.length
+    val ksub = cbs.head.length
+    val sub = dim / m
+    def subv(c: Column, j: Int) = slice(c, j * sub + 1, sub)
+    v.where(col("vec_id").isin(queryIds: _*))
       .withColumn("lut", array((0 until m).map(j =>
         array((0 until ksub).map(c =>
           dot(subv(col("v"), j),
@@ -418,13 +475,33 @@ object Similarity {
       .withColumn("qn", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id").as("query_id"), col("v").as("v_q"),
         col("lut"), col("qn"))
-    val qscored = corpus
+  }
+
+  /** The compressed scan: every (query, vector) pair scores with m table
+    * lookups and m−1 adds — adc = q·v̂ exactly. */
+  private def pqAdcScores(corpus: DataFrame, queries: DataFrame): DataFrame =
+    corpus
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", aggregate(
         zip_with(col("codes"), col("lut"),
           (cd, l) => element_at(l, cd + 1)),
         lit(0.0d), (acc, x) => acc + x))
-    (qscored, emb.count())
+
+  /** CERTIFIED candidate set: everything whose `adc + ‖q‖·res` upper
+    * bound reaches the provisional exact k-th score θ — by Cauchy-Schwarz
+    * nothing outside it can enter the true top-k. */
+  private def pqCertified(qscored: DataFrame, k: Int,
+      shortlist: Int): DataFrame =
+    qscored.join(broadcast(pqTheta(qscored, k, shortlist)),
+        Seq("query_id"), "left")
+      .where(col("adc") + col("qn") * col("res") >=
+        coalesce(col("theta"), lit(Double.MinValue)))
+
+  /** Exact re-rank of the certified set → final top-k. */
+  private def pqBoundFinish(cand: DataFrame, k: Int): DataFrame = {
+    val rescored = cand.withColumn("sim", dot(col("v_q"), col("v_n")))
+    topKPerQuery(rescored.select("query_id", "neighbor_id", "sim"), k)
+      .orderBy("query_id", "rank")
   }
 
   /** Provisional exact k-th score per query: ADC-shortlist, re-rank
@@ -456,23 +533,20 @@ object Similarity {
   def pqKnnBoundAuto(emb: DataFrame, queryIds: Seq[Long], k: Int,
       m: Int = 16, ksub: Int = 16, iters: Int = 2, dim: Int = 64,
       bruteCutover: Double = 0.5): (DataFrame, Int, Double, Boolean) = {
+    val n = emb.count()
     val cbs = pqCodebooks(emb, m, ksub, iters, dim)
-    val (qscored, n) = pqBoundScan(emb, cbs, queryIds, dim)
+    val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
+    val qscored = pqAdcScores(pqEncode(v, cbs, dim),
+      pqQueries(v, cbs, queryIds, dim))
     val shortlist = suggestedShortlist(n, k)
-    val theta = pqTheta(qscored, k, shortlist)
-    val cand = qscored.join(broadcast(theta), Seq("query_id"), "left")
-      .where(col("adc") + col("qn") * col("res") >=
-        coalesce(col("theta"), lit(Double.MinValue)))
+    val cand = pqCertified(qscored, k, shortlist)
     // decision pass: codes + res only — the 32×-compressed index
     val certified = cand.count()
     val frac = certified.toDouble / math.max(1L, n * queryIds.size)
     if (frac >= bruteCutover)
       (knnBrute(emb, queryIds, k), shortlist, frac, true)
-    else {
-      val rescored = cand.withColumn("sim", dot(col("v_q"), col("v_n")))
-      (topKPerQuery(rescored.select("query_id", "neighbor_id", "sim"), k)
-        .orderBy("query_id", "rank"), shortlist, frac, false)
-    }
+    else
+      (pqBoundFinish(cand, k), shortlist, frac, false)
   }
 
   /** Production sizing for the SHORTLIST of every two-phase search

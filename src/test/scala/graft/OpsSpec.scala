@@ -1272,6 +1272,32 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(cl).sameElements(cbrute))
   }
 
+  test("PQ index lifecycle: build once, persist, reload — the served " +
+      "theta-bound search over the loaded index is still exactly brute " +
+      "force") {
+    val qids = (0L until 6L).toSeq
+    val k = 5
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = rows(Similarity.knnBrute(emb, qids, k))
+    val idx = Similarity.pqIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.savePqIndex(idx, dir)
+    val re = Similarity.loadPqIndex(spark, dir)
+    assert(re.cbs.length == idx.cbs.length)
+    idx.cbs.zip(re.cbs).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+    // serving pays no train/encode and the certificate still holds:
+    // bit-equal to brute force through the persistence round-trip
+    assert(rows(Similarity.pqKnnBoundWith(re, qids, k, 8))
+      .sameElements(brute))
+    // the in-memory index serves identically
+    assert(rows(Similarity.pqKnnBoundWith(idx, qids, k, 8))
+      .sameElements(brute))
+  }
+
   test("knnRecall: identical results score 1.0, disjoint 0.0, partial " +
       "overlap the exact fraction") {
     import spark.implicits._
