@@ -1192,6 +1192,20 @@ object SparkEntry {
             |    [Measures].[Revenue])) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // Generate + TOPPERCENT: per region, the minimal set of brands
+      // covering 40% of that region's revenue — the per-group TopShare
+      // form (DECIMAL(27,6) cumulative windows partitioned by region,
+      // cum_before < limit, crossing row included)
+      "q87_mdx_generate_pct" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |NON EMPTY GENERATE(
+            |  [Geography].[Geography].[Region].Members,
+            |  TOPPERCENT([Part].[Brands].[Brand].Members, 40,
+            |    [Measures].[Revenue])) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       "q85_mdx_closing" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -1834,6 +1848,30 @@ object SparkEntry {
          |$SUPP_GEO_JOIN
          |JOIN part ON l_partkey = p_partkey
          |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    // q87: Generate + TOPPERCENT — per-region minimal 40%-coverage brand
+    // prefix; the oracle replays the partitioned DECIMAL(27,6) cumulative
+    // windows (VARCHAR-hop casts) and the cum_before < limit comparator
+    "q87_mdx_generate_pct" ->
+      s"""WITH b AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |  p_brand AS brand, ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3),
+         |w AS (SELECT region, region_label, brand, revenue,
+         |  COALESCE(CAST(SUM(CAST(CAST(revenue AS VARCHAR)
+         |    AS DECIMAL(27,6))) OVER (PARTITION BY region
+         |    ORDER BY revenue DESC, brand ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE),
+         |    0.0) AS cum_before,
+         |  CAST(SUM(CAST(CAST(revenue AS VARCHAR) AS DECIMAL(27,6)))
+         |    OVER (PARTITION BY region) AS DOUBLE) AS total,
+         |  ROW_NUMBER() OVER (PARTITION BY region
+         |    ORDER BY revenue DESC, brand ASC) AS rk
+         |  FROM b)
+         |SELECT region, region_label, brand, revenue FROM w
+         |WHERE cum_before < 40.0 / 100.0 * total
+         |ORDER BY region, rk""".stripMargin,
     // q86: Generate(Region.Members, TopCount(Brand.Members, 3, Revenue))
     // — per-region top-3 brands; the oracle replays the GroupedTopK
     // ranking (measure desc, member key asc tiebreak) with a window and

@@ -77,9 +77,16 @@ final case class PropertyRef(level: LevelRef, property: String)
   * set1's drilled levels (the FIRST `groupDrills` drilldowns) and keeps
   * `k` tuples per partition by `measure` (desc for TopCount, asc for
   * BottomCount); within each partition the axis preserves the inner
-  * ranking order, like Mondrian's Generate output. */
+  * ranking order, like Mondrian's Generate output.
+  *
+  * `threshold` selects the TopPercent/TopSum inner form instead: the
+  * minimal per-group ordered prefix whose cumulative measure reaches the
+  * threshold (percent of the GROUP total, or an absolute sum when
+  * `absolute`) — `k` is ignored. Same cumulative-before < limit
+  * semantics as the axis-level TopShareCut, per group. */
 final case class GroupTopSpec(groupDrills: Int, k: Int, measure: String,
-    desc: Boolean = true)
+    desc: Boolean = true, threshold: Option[Double] = None,
+    absolute: Boolean = false)
 
 final case class CubeQuery(
     cube: String,

@@ -784,20 +784,45 @@ object MdxParser {
       val (gDrills, gCuts) = parseSet(cube, as(0))
       val inner = as(1).trim
       val innerUpper = inner.toUpperCase
-      val isTop = innerUpper.startsWith("TOPCOUNT(")
-      val isBottom = innerUpper.startsWith("BOTTOMCOUNT(")
-      if (!(isTop || isBottom) || !inner.endsWith(")"))
-        GraftException.badRequest(
-          "GENERATE: the second set must be TOPCOUNT(...) or " +
-            s"BOTTOMCOUNT(...), got '$inner'")
-      val fn = if (isTop) "TOPCOUNT" else "BOTTOMCOUNT"
+      // inner forms: TOPCOUNT/BOTTOMCOUNT (per-group top-k) and
+      // TOPPERCENT/BOTTOMPERCENT/TOPSUM/BOTTOMSUM (per-group minimal
+      // prefix covering a share of the GROUP total / an absolute sum —
+      // the axis-level TopShare semantics applied per partition)
+      val forms = Seq("TOPCOUNT", "BOTTOMCOUNT", "TOPPERCENT",
+        "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM")
+      val fn = forms.find(f => innerUpper.startsWith(f + "("))
+        .getOrElse(GraftException.badRequest(
+          "GENERATE: the second set must be one of " +
+            forms.mkString("(", "/", ")(...)") + s", got '$inner'"))
+      if (!inner.endsWith(")"))
+        GraftException.badRequest(s"GENERATE: unbalanced inner '$inner'")
+      val isBottom = fn.startsWith("BOTTOM")
+      val isCount = fn.endsWith("COUNT")
+      val isPercent = fn.endsWith("PERCENT")
       val ias = splitTop(inner.substring(fn.length + 1, inner.length - 1),
         ',')
       if (ias.length != 3)
         GraftException.badRequest(
-          s"GENERATE: $fn takes (set, count, measure), got '$inner'")
+          s"GENERATE: $fn takes (set, " +
+            s"${if (isCount) "count" else "threshold"}, measure), " +
+            s"got '$inner'")
       val (iDrills, iCuts) = parseSet(cube, ias(0))
-      val k = parseCount(ias(1), fn)
+      val k = if (isCount) parseCount(ias(1), fn) else 0L
+      val threshold: Option[Double] =
+        if (isCount) None
+        else {
+          val t = try ias(1).trim.toDouble catch {
+            case _: NumberFormatException => GraftException.badRequest(
+              s"bad $fn threshold '${ias(1).trim}'")
+          }
+          if (!java.lang.Double.isFinite(t) || t <= 0)
+            GraftException.badRequest(
+              s"$fn threshold must be positive and finite, got $t")
+          if (isPercent && t > 100)
+            GraftException.badRequest(
+              s"$fn takes a percentage in (0, 100], got $t")
+          Some(t)
+        }
       val m = QueryParser.segments(ias(2)) match {
         case Seq("Measures", name) => resolveMeasure(cube, name)
         case Seq(name) => resolveMeasure(cube, name)
@@ -821,7 +846,8 @@ object MdxParser {
             s"'${overlap.head}' — the partition would be degenerate")
       Axis(gDrills ++ iDrills, gCuts ++ iCuts,
         groupTop = Some(GroupTopSpec(gDrills.length, k.toInt, m,
-          desc = isTop)))
+          desc = !isBottom, threshold = threshold,
+          absolute = fn.endsWith("SUM"))))
     } else {
       // TOPCOUNT over a TUPLE set (≥ 2 drilled levels, e.g. a CROSSJOIN):
       // Mondrian ranks the axis tuples by the measure — exactly ORDER +

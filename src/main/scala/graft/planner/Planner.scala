@@ -1592,8 +1592,9 @@ object Planner {
       case Some(gt) =>
         val parts = drills.take(gt.groupDrills).map(rl =>
           col(rl.level.alias))
-        val mcol = col(scala.util.Try(aliasOfMeasure(cube, gt.measure))
-          .getOrElse(gt.measure))
+        val mAlias = scala.util.Try(aliasOfMeasure(cube, gt.measure))
+          .getOrElse(gt.measure)
+        val mcol = col(mAlias)
         // deterministic inner order: measure (desc for TopCount), then
         // the inner levels' member order — ties resolve like Mondrian's
         // stable member order, and the oracle can replay it
@@ -1601,9 +1602,37 @@ object Planner {
           col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
             .asc
         }
-        graft.plans.GroupedTopK.topK(df, parts,
-            (if (gt.desc) mcol.desc else mcol.asc) +: tiebreak, gt.k)
-          .withColumnRenamed("rank", grankCol)
+        val innerOrder = (if (gt.desc) mcol.desc else mcol.asc) +: tiebreak
+        gt.threshold match {
+          case None =>
+            graft.plans.GroupedTopK.topK(df, parts, innerOrder, gt.k)
+              .withColumnRenamed("rank", grankCol)
+          case Some(th) =>
+            // TopPercent/TopSum per group: the minimal ordered prefix
+            // whose cumulative measure covers the threshold — the
+            // TopShareCut recipe (DECIMAL(27,6) windows, cum_before <
+            // limit, the crossing row included) with the window
+            // PARTITIONED by set1's levels. Axis-sized frame, same state
+            // class as the B15 total windows.
+            val dec = expr(s"CAST($mAlias AS DECIMAL(27,6))")
+            val wOrder = Window.partitionBy(parts: _*)
+              .orderBy(innerOrder: _*)
+            val before =
+              wOrder.rowsBetween(Window.unboundedPreceding, -1)
+            val whole = Window.partitionBy(parts: _*)
+              .rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)
+            val cumBefore =
+              coalesce(sum(dec).over(before).cast("double"), lit(0.0))
+            val lim =
+              if (gt.absolute) lit(th)
+              else lit(th / 100.0) * sum(dec).over(whole).cast("double")
+            df.withColumn("__gt_cb", cumBefore)
+              .withColumn("__gt_lim", lim)
+              .withColumn(grankCol, row_number().over(wOrder))
+              .where(col("__gt_cb") < col("__gt_lim"))
+              .drop("__gt_cb", "__gt_lim")
+        }
       case None => df
     }
     val distinctDf =

@@ -48,11 +48,16 @@ class FuzzSpec extends AnyFunSuite {
       |CROSSJOIN([ShipDate].[Monthly].[Year].Members,
       |  [ShipDate].[Monthly].[Month].Members) ON ROWS
       |FROM sales""".stripMargin,
-    // the round-12 per-group top-k construct — mutations must 400 (bad
-    // arity, stray inner sets, mangled brackets), never crash
+    // the round-12 per-group top-k / coverage constructs — mutations must
+    // 400 (bad arity, stray inner sets, mangled brackets), never crash
     """SELECT {[Measures].[Revenue]} ON COLUMNS,
       |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
       |  TOPCOUNT([Part].[Brands].[Brand].Members, 3,
+      |    [Measures].[Revenue])) ON ROWS
+      |FROM sales""".stripMargin,
+    """SELECT {[Measures].[Revenue]} ON COLUMNS,
+      |GENERATE([Geography].[Geography].[Region].Members,
+      |  TOPPERCENT([Part].[Brands].[Brand].Members, 40,
       |    [Measures].[Revenue])) ON ROWS
       |FROM sales""".stripMargin)
 

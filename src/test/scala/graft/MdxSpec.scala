@@ -1441,6 +1441,63 @@ class MdxSpec extends AnyFunSuite {
         Planner.plan(cat, MdxParser.parse(salesCube, bad))).status == 400)
   }
 
+  test("GENERATE + TOPPERCENT/TOPSUM: per-group minimal coverage prefix " +
+      "equals the brute recompute (crossing row included); BOTTOMSUM " +
+      "orders ascending; bad thresholds 400") {
+    val full = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Geography", Some("Region"))),
+        LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands")))),
+      Seq("revenue"))).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+    def prefixCover(g: Seq[(Int, String, Double)], target: Double,
+        asc: Boolean): Seq[(Int, String, Double)] = {
+      val sorted = g.sortBy(t => (if (asc) t._3 else -t._3, t._2))
+      var cum = 0.0
+      sorted.takeWhile { t => val before = cum; cum += t._3
+        before < target }
+    }
+    val pct = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPPERCENT([Part].[Brands].[Brand].Members, 40,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+    val expectPct = full.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, g) => prefixCover(g.toSeq, 0.40 * g.map(_._3).sum, false)
+    }
+    assert(pct.toSeq == expectPct.toSeq)
+    // every group covers ≥ 40% and dropping its last row would not
+    assert(pct.groupBy(_._1).forall { case (k, g) =>
+      val tot = full.filter(_._1 == k).map(_._3).sum
+      g.map(_._3).sum >= 0.4 * tot - 1e-6 &&
+        g.init.map(_._3).sum < 0.4 * tot
+    })
+    // BOTTOMSUM: ascending minimal prefix reaching an absolute sum
+    val bs = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  BOTTOMSUM([Part].[Brands].[Brand].Members, 1000000,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+    val expectBs = full.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, g) => prefixCover(g.toSeq, 1000000.0, true)
+    }
+    assert(bs.toSeq == expectBs.toSeq)
+    for (bad <- Seq("TOPPERCENT([Part].[Brands].[Brand].Members, 150, " +
+        "[Measures].[Revenue])",
+      "TOPPERCENT([Part].[Brands].[Brand].Members, -5, " +
+        "[Measures].[Revenue])",
+      "TOPSUM([Part].[Brands].[Brand].Members, xyz, " +
+        "[Measures].[Revenue])"))
+      assert(intercept[GraftException](MdxParser.parse(salesCube,
+        s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+           |GENERATE([Geography].[Geography].[Region].Members,
+           |  $bad) ON ROWS
+           |FROM sales""".stripMargin)).status == 400)
+  }
+
   test("NextMember/Lead(n) look forward; the time domain expands past " +
       "the cut") {
     val q = MdxParser.parse(salesCube,
