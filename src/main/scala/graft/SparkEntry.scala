@@ -491,6 +491,17 @@ object SparkEntry {
         }
         ops.Similarity.pqKnnBoundWith(idx, Seq(0L, 1L, 2L, 3L, 4L), 5, 8)
       }),
+      // EXACT range search over the PQ index: every neighbor at cosine ≥
+      // 0.25 — θ is the caller's threshold, so the compressed scan keeps
+      // exactly the bound-qualified vectors and the re-rank is provably
+      // complete; the oracle is the plain SQL radius filter
+      "s16_knn_range" -> ((s: SparkSession, dir: String) => {
+        val emb = CubeCatalog.forDir(s, dir).table("embeddings")
+        val idx = ops.IndexCache.memo(s, s"pqidx:$dir:16:16:2") {
+          ops.Similarity.pqIndex(emb)
+        }
+        ops.Similarity.pqRangeSearch(idx, Seq(0L, 1L, 2L, 3L, 4L), 0.25)
+      }),
       // IVF-PQ (Jégou et al. §IV, IVFADC — the billion-scale layout):
       // coarse quantizer picks nprobe cells, PQ codes of RESIDUALS score
       // by ADC within them, exact re-rank on the shortlist. Index built
@@ -2643,6 +2654,23 @@ object SparkEntry {
     // its oracle is the same brute-force SQL — the index must not change
     // a single row, rank, or sim bit
     "s15_knn_pq_exact" -> bruteKnnOracleSql,
+    // s16: the certified range search is exact too — oracle is the plain
+    // radius filter over all pairs, ranked per query
+    "s16_knn_range" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, n.v) AS sim
+        |  FROM e q JOIN e n ON q.vec_id <> n.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+        |f AS (SELECT * FROM sims WHERE sim >= 0.25)
+        |SELECT query_id,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |  ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank,
+        |neighbor_id, sim FROM f
+        |ORDER BY query_id, rank""".stripMargin,
     // s11: recall@5 of the LSH search vs exhaustive truth — both sides are
     // the already-gated s01/s02 replays, nested as subquery CTEs
     "s11_knn_recall" ->

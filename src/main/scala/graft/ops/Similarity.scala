@@ -435,6 +435,32 @@ object Similarity {
     pqBoundFinish(pqCertified(qscored, k, shortlist), k)
   }
 
+  /** EXACT RANGE SEARCH over a [[PqIndex]] — every neighbor with
+    * `sim ≥ minSim`, the radius-query sibling of [[pqKnnBoundWith]]
+    * (retrieval-time dedup, "everything this similar to the query" — the
+    * shape RAG stores and near-dup audits ask, where top-k truncates
+    * arbitrarily). The certificate is even simpler than kNN's: θ IS the
+    * caller's threshold, no provisional pass needed — the compressed scan
+    * keeps exactly the vectors whose `adc + ‖q‖·res` bound reaches
+    * `minSim`, those re-rank exactly, and by Cauchy-Schwarz nothing
+    * dropped could have qualified. Output ranks within each query by
+    * (sim desc, neighbor_id) for a deterministic shape. */
+  def pqRangeSearch(idx: PqIndex, queryIds: Seq[Long], minSim: Double,
+      dim: Int = 64): DataFrame = {
+    val qv = idx.corpus.select(col("neighbor_id").as("vec_id"),
+      col("v_n").as("v"))
+    val cand = pqAdcScores(idx.corpus,
+        pqQueries(qv, idx.cbs, queryIds, dim))
+      .where(col("adc") + col("qn") * col("res") >= lit(minSim))
+    cand.withColumn("sim", dot(col("v_q"), col("v_n")))
+      .where(col("sim") >= lit(minSim))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** Encode pass of the PQ index: (neighbor_id, v_n, codes, res) where
     * `res` = ‖v − v̂‖, the per-vector ADC error bound stored WITH the
     * codes (one extra double beside the 8-byte code word). */

@@ -1296,6 +1296,14 @@ class OpsSpec extends AnyFunSuite {
     // the in-memory index serves identically
     assert(rows(Similarity.pqKnnBoundWith(idx, qids, k, 8))
       .sameElements(brute))
+    // range search: exact radius filter — equals brute ranked + filtered
+    val n = emb.count().toInt
+    val tau = 0.25
+    val bruteRadius = rows(Similarity.knnBrute(emb, qids, n))
+      .filter(_._4 >= tau)
+    val range = rows(Similarity.pqRangeSearch(re, qids, tau))
+    assert(range.sameElements(bruteRadius))
+    assert(range.nonEmpty, "fixture threshold selects at least one pair")
   }
 
   test("knnRecall: identical results score 1.0, disjoint 0.0, partial " +
