@@ -1217,6 +1217,19 @@ object SparkEntry {
             |    [Measures].[Revenue])) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // MDX Extract: project a crossjoined tuple set onto one dimension
+      // (duplicates removed) — brands sold in region 2, the Nation drill
+      // dropped by the projection while the slicer keeps restricting
+      "q88_mdx_extract" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |NON EMPTY EXTRACT(
+            |  CROSSJOIN([Geography].[Geography].[Nation].Members,
+            |    [Part].[Brands].[Brand].Members), [Part]) ON ROWS
+            |FROM sales
+            |WHERE [Geography].[Geography].[Region].[2]""".stripMargin))
+      }),
       "q85_mdx_closing" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
         Planner.plan(c, MdxParser.parse(c.cube("sales"),
@@ -1883,6 +1896,14 @@ object SparkEntry {
          |SELECT region, region_label, brand, revenue FROM w
          |WHERE cum_before < 40.0 / 100.0 * total
          |ORDER BY region, rk""".stripMargin,
+    // q88: Extract projects away the Nation drill; the slicer still cuts,
+    // so this is brand revenue within region 2
+    "q88_mdx_extract" ->
+      s"""SELECT p_brand AS brand, ${sumd(REV, "revenue")}
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE r_regionkey = 2
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q86: Generate(Region.Members, TopCount(Brand.Members, 3, Revenue))
     // — per-region top-3 brands; the oracle replays the GroupedTopK
     // ranking (measure desc, member key asc tiebreak) with a window and

@@ -771,6 +771,36 @@ object MdxParser {
         limit = as.lift(2).map(parseCount(_, "SUBSET")).orElse(inner.limit))
     } else if (upper.startsWith("HIERARCHIZE(") && t.endsWith(")")) {
       parseAxis(cube, t.substring("HIERARCHIZE(".length, t.length - 1))
+    } else if (upper.startsWith("EXTRACT(") && t.endsWith(")")) {
+      // Extract(set, dim[, dim…]) — project a (typically crossjoined)
+      // tuple set onto the named dimensions with duplicates removed
+      // (Mondrian's Extract): keep only the named dimensions' drilldowns
+      // in ARGUMENT order (cuts keep restricting the context) + the A14
+      // DISTINCT flag. The set argument must be a plain set (wrappers
+      // whose semantics depend on the dropped dimensions don't survive a
+      // projection and 400 via the set grammar).
+      val as = args("EXTRACT(")
+      if (as.length < 2)
+        GraftException.badRequest(
+          s"EXTRACT takes (set, dimension[, dimension...]): '$s'")
+      val (drills, cuts) = parseSet(cube, as(0))
+      val dims = as.drop(1).map { d =>
+        QueryParser.segments(d) match {
+          case Seq(dim) => dim
+          case _ => GraftException.badRequest(
+            s"EXTRACT: '${d.trim}' is not a dimension reference")
+        }
+      }
+      dims.foreach(d =>
+        if (!cube.dimensions.exists(_.name == d))
+          GraftException.badRequest(s"EXTRACT: unknown dimension '$d'"))
+      val ordered = dims.flatMap(d => drills.collect {
+        case ld @ LevelDrill(r) if r.dim == d => ld
+      })
+      if (ordered.isEmpty)
+        GraftException.badRequest(
+          "EXTRACT: the set drills no level of the named dimension(s)")
+      Axis(ordered.distinct, cuts, distinct = true)
     } else if (upper.startsWith("GENERATE(") && t.endsWith(")")) {
       // Generate(set1, TopCount(set2, k, [Measures].[M])) — Mondrian's
       // "top N per group" idiom: the inner TopCount evaluates once per

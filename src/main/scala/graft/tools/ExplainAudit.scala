@@ -52,7 +52,8 @@ object ExplainAudit {
         "t42_dsir_resample", "e21_stickiness", "t43_boilerplate",
         "m06_ar_buckets", "q84_parent_share", "q85_mdx_closing",
         "d22_tombstone_delete", "t44_corpus_diff", "q86_mdx_generate",
-        "s15_knn_pq_exact", "q87_mdx_generate_pct", "s16_knn_range")
+        "s15_knn_pq_exact", "q87_mdx_generate_pct", "s16_knn_range",
+        "q88_mdx_extract")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -59,6 +59,10 @@ class FuzzSpec extends AnyFunSuite {
       |GENERATE([Geography].[Geography].[Region].Members,
       |  TOPPERCENT([Part].[Brands].[Brand].Members, 40,
       |    [Measures].[Revenue])) ON ROWS
+      |FROM sales""".stripMargin,
+    """SELECT {[Measures].[Revenue]} ON COLUMNS,
+      |EXTRACT(CROSSJOIN([Geography].[Geography].[Nation].Members,
+      |  [Part].[Brands].[Brand].Members), [Part]) ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(

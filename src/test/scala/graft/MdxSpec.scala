@@ -1498,6 +1498,67 @@ class MdxSpec extends AnyFunSuite {
            |FROM sales""".stripMargin)).status == 400)
   }
 
+  test("EXTRACT projects a crossjoin onto the named dims in argument " +
+      "order; equals the direct drill under the same slicer; bad forms " +
+      "400") {
+    val ext = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY EXTRACT(
+        |  CROSSJOIN([Geography].[Geography].[Nation].Members,
+        |    [Part].[Brands].[Brand].Members), [Part]) ON ROWS
+        |FROM sales
+        |WHERE [Geography].[Geography].[Region].[2]""".stripMargin))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val direct = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands")))),
+      Seq("revenue"),
+      cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 2))))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(ext.toSeq == direct.toSeq && ext.nonEmpty)
+    // multi-dim extraction keeps the ARGUMENT order of the dims
+    val two = MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |EXTRACT(CROSSJOIN([Geography].[Geography].[Nation].Members,
+        |  [Part].[Brands].[Brand].Members), [Part], [Geography]) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(two.drilldowns == Seq(
+      LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands"))),
+      LevelDrill(LevelRef("Geography", Some("Nation"), Some("Geography")))))
+    assert(two.distinct)
+    for (bad <- Seq(
+      "EXTRACT([Geography].[Geography].[Nation].Members)",
+      "EXTRACT([Geography].[Geography].[Nation].Members, [Nope])",
+      "EXTRACT([Geography].[Geography].[Nation].Members, [Part])"))
+      assert(intercept[GraftException](MdxParser.parse(salesCube,
+        s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+           |$bad ON ROWS
+           |FROM sales""".stripMargin)).status == 400)
+  }
+
+  test("GENERATE with a multi-level outer set partitions on the full " +
+      "outer tuple") {
+    val rows = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE(
+        |  CROSSJOIN([Geography].[Geography].[Region].Members,
+        |    [ShipDate].[Monthly].[Year].Members),
+        |  TOPCOUNT([Part].[Brands].[Brand].Members, 2,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)).collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getString(3), r.getDouble(4)))
+    val full = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Geography", Some("Region"))),
+        LevelDrill(LevelRef("ShipDate", Some("Year"), Some("Monthly"))),
+        LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands")))),
+      Seq("revenue"))).collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getString(3), r.getDouble(4)))
+    val expect = full.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1)
+      .flatMap { case (_, g) => g.sortBy(t => (-t._4, t._3)).take(2) }
+    assert(rows.toSeq == expect.toSeq)
+    // every (region, year) block has at most 2 rows
+    assert(rows.groupBy(t => (t._1, t._2)).forall(_._2.length <= 2))
+  }
+
   test("NextMember/Lead(n) look forward; the time domain expands past " +
       "the cut") {
     val q = MdxParser.parse(salesCube,

@@ -42,6 +42,31 @@ class RoleSpec extends AnyFunSuite {
       .agg(sum(expr("CAST(o_totalprice AS DECIMAL(27,6))")).cast("double"))
       .collect()(0).getDouble(0)
 
+  test("GENERATE under a member grant: partitions exist only for granted " +
+      "members and the per-group top-k aggregates granted data only") {
+    val mdx = MdxParser.parse(cat.cube("orders"),
+      """SELECT {[Measures].[Total Sales]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT([Priority].[Priority].[Priority].Members, 2,
+        |    [Measures].[Total Sales])) ON ROWS
+        |FROM orders""".stripMargin).copy(role = Some("emea"))
+    val rows = Planner.plan(cat, mdx).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+    // no partition for an ungranted region — membership AND values filter
+    assert(rows.map(_._1).toSet == Set(0, 3))
+    // equals the brute per-group recompute under the same role
+    val full = Planner.plan(cat, q("emea", drill("Geography", "Region"),
+        drill("Priority"))).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+    val expect = full.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, g) => g.sortBy(t => (-t._3, t._2)).take(2)
+    }
+    assert(rows.toSeq == expect.toSeq)
+    // and the unroled query sees every region — the role drove the gap
+    val open = Planner.plan(cat, mdx.copy(role = None)).collect()
+    assert(open.map(_.getInt(0)).toSet.size > 2)
+  }
+
   test("schema-level grant: invisible cube 403s and drops from metadata") {
     val e = intercept[GraftException] {
       Planner.plan(cat, CubeQuery("sales", Nil, Seq("revenue"),
