@@ -160,10 +160,13 @@ object Multimodal {
     * oracle must replay (the d03 portable-SimHash discipline). */
   def mediaPhash(media: DataFrame): DataFrame =
     media.select(col("doc_id"),
-      expr("CAST(conv(substr(hex(media), 1, 8), 16, 10) AS BIGINT)")
-        .as("ph_hi"),
-      expr("CAST(conv(substr(hex(media), 9, 8), 16, 10) AS BIGINT)")
-        .as("ph_lo"))
+      // COALESCE: conv('') is NULL, so a payload shorter than the half
+      // being read must hash to 0 (not poison the Hamming arithmetic
+      // downstream with nulls) — [[phashDecoded]]'s byte fallback matches
+      expr("COALESCE(CAST(conv(substr(hex(media), 1, 8), 16, 10) " +
+        "AS BIGINT), 0)").as("ph_hi"),
+      expr("COALESCE(CAST(conv(substr(hex(media), 9, 8), 16, 10) " +
+        "AS BIGINT), 0)").as("ph_lo"))
 
   /** REAL 64-bit DCT perceptual hash of decoded pixels (the classic
     * pHash recipe): area-average the luminance plane to 32×32, 2-D DCT-II
@@ -249,20 +252,27 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { r =>
-      val ph = readImage(r.media) match {
-        case Some(im) => phashPixels(im)
+      readImage(r.media) match {
+        case Some(im) =>
+          val ph = phashPixels(im)
+          (r.doc_id, ph >>> 32, ph & 0xffffffffL)
         case None =>
-          // byte fallback = the SQL spelling: first 8 payload bytes,
-          // big-endian, as two unsigned 32-bit halves
-          var acc = 0L
-          var i = 0
-          while (i < 8 && i < r.media.length) {
-            acc = (acc << 8) | (r.media(i) & 0xffL)
-            i += 1
+          // byte fallback = EXACTLY the SQL spelling: ph_hi from bytes
+          // 0..3, ph_lo from bytes 4..7, each RIGHT-ALIGNED like
+          // conv(substr(hex, …)) on a short payload — so a short asset
+          // hashes identically through either entry point and an exact
+          // re-upload is never missed by the banding
+          def word(from: Int): Long = {
+            var acc = 0L
+            var i = from
+            while (i < from + 4 && i < r.media.length) {
+              acc = (acc << 8) | (r.media(i) & 0xffL)
+              i += 1
+            }
+            acc
           }
-          acc << (8 * math.max(0, 8 - r.media.length))
+          (r.doc_id, word(0), word(4))
       }
-      (r.doc_id, ph >>> 32, ph & 0xffffffffL)
     }).toDF("doc_id", "ph_hi", "ph_lo")
   }
 

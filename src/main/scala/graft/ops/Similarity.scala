@@ -373,7 +373,11 @@ object Similarity {
       queryIds: Seq[Long], k: Int, shortlist: Int = 20,
       dim: Int = 64): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
-    val qscored = pqAdcScores(pqEncode(v, cbs, dim),
+    // localCheckpoint: the encoded corpus feeds the θ broadcast job AND
+    // the certified re-rank — without it the 16 nearestCluster passes per
+    // row run once per consumer (the pqIndex convention)
+    val qscored = pqAdcScores(
+      pqEncode(v, cbs, dim).localCheckpoint(eager = false),
       pqQueries(v, cbs, queryIds, dim))
     pqBoundFinish(pqCertified(qscored, k, shortlist), k)
   }
@@ -562,7 +566,10 @@ object Similarity {
     val n = emb.count()
     val cbs = pqCodebooks(emb, m, ksub, iters, dim)
     val v = emb.select(col("vec_id"), asDouble("embedding").as("v"))
-    val qscored = pqAdcScores(pqEncode(v, cbs, dim),
+    // localCheckpoint: the encode feeds the θ job, the decision count,
+    // and the final re-rank — three consumers, one materialization
+    val qscored = pqAdcScores(
+      pqEncode(v, cbs, dim).localCheckpoint(eager = false),
       pqQueries(v, cbs, queryIds, dim))
     val shortlist = suggestedShortlist(n, k)
     val cand = pqCertified(qscored, k, shortlist)

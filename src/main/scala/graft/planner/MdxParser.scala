@@ -874,7 +874,12 @@ object MdxParser {
         GraftException.badRequest(
           s"GENERATE: inner set drills the outer set's dimension " +
             s"'${overlap.head}' — the partition would be degenerate")
-      Axis(gDrills ++ iDrills, gCuts ++ iCuts,
+      if (isCount && k == 0L)
+        // TOPCOUNT(set, 0) is an empty set per group → an empty axis,
+        // exactly like the axis-level TOPCOUNT(…, 0, …)'s limit = 0 —
+        // GroupedTopK requires k ≥ 1, so 0 must not reach it
+        Axis(gDrills ++ iDrills, gCuts ++ iCuts, limit = Some(0L))
+      else Axis(gDrills ++ iDrills, gCuts ++ iCuts,
         groupTop = Some(GroupTopSpec(gDrills.length, k.toInt, m,
           desc = !isBottom, threshold = threshold,
           absolute = fn.endsWith("SUM"))))

@@ -221,7 +221,11 @@ object Planner {
       else cube.defaultMeasure.toSeq
     val need = resolveMeasures(cube, measureNames ++
       q.order.toSeq.collect { case OrderSpec(OrderByMeasure(m), _) => m } ++
-      q.filters.map(_.measure))
+      q.filters.map(_.measure) ++
+      // GENERATE may rank by a measure that is not on COLUMNS — it must
+      // ride the aggregation like an ORDER measure (dropped by the final
+      // output projection)
+      q.groupTop.map(_.measure))
 
     // a property named ONLY as an ORDER target (ref A11:
     // `ORDER(axis, [D].CurrentMember.Properties('X'))`) is computed

@@ -60,12 +60,15 @@ object Metadata {
     "level" -> ns.level,
     // declared <Annotations> first (ref api_spec.rb:40), then graft's
     // own top_k/by_measure descriptors; a declared key that collides with
-    // a descriptor name is served verbatim and the DESCRIPTOR moves to a
-    // graft_-prefixed key — user-declared metadata always wins
+    // a descriptor name is served verbatim and the DESCRIPTOR moves to
+    // the first FREE graft_-prefixed key (prefixing repeats, so a schema
+    // that also declares 'graft_top_k' still loses nothing) —
+    // user-declared metadata always wins
     "annotations" -> (ns.annotations ++
       ListMap[String, Any]("top_k" -> ns.k, "by_measure" -> ns.byMeasure)
         .map { case (k, v) =>
-          (if (ns.annotations.contains(k)) s"graft_$k" else k) -> v }))
+          Iterator.iterate(k)(x => s"graft_$x")
+            .dropWhile(ns.annotations.contains).next() -> v }))
 
   def cubeDict(c: CubeDef): ListMap[String, Any] = ListMap(
     "name" -> c.name,

@@ -484,4 +484,21 @@ class ApiSpec extends AnyFunSuite {
       java.nio.file.Files.deleteIfExists(tmp)
     }
   }
+
+  test("named-set annotation collisions: declared keys always win, the " +
+      "descriptor relocates to the first FREE graft_-prefixed key") {
+    val ns = graft.model.NamedSetDef("Top X", "Part", "Brand", 5, "revenue",
+      annotations = Map("top_k" -> "declared", "graft_top_k" -> "also"))
+    val d = graft.result.Metadata.namedSetDict(ns)
+    val ann = d("annotations").asInstanceOf[Map[String, Any]]
+    assert(ann("top_k") == "declared")
+    assert(ann("graft_top_k") == "also")
+    assert(ann("graft_graft_top_k") == 5) // descriptor, twice-relocated
+    assert(ann("by_measure") == "revenue") // no collision -> plain key
+    // no declared collisions: descriptors sit on their plain keys
+    val plain = graft.result.Metadata.namedSetDict(
+      graft.model.NamedSetDef("Top Y", "Part", "Brand", 3, "revenue"))
+      .apply("annotations").asInstanceOf[Map[String, Any]]
+    assert(plain("top_k") == 3 && plain("by_measure") == "revenue")
+  }
 }

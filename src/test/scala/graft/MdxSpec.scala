@@ -1535,6 +1535,43 @@ class MdxSpec extends AnyFunSuite {
            |FROM sales""".stripMargin)).status == 400)
   }
 
+  test("GENERATE ranks by a measure NOT on COLUMNS (it rides the " +
+      "aggregation internally); TOPCOUNT 0 inside GENERATE is an empty " +
+      "axis, never a planner crash") {
+    // rank brands by Quantity, display Revenue — the idiomatic
+    // rank-by-one-show-another Mondrian query
+    val rows = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT([Part].[Brands].[Brand].Members, 2,
+        |    [Measures].[Quantity])) ON ROWS
+        |FROM sales""".stripMargin))
+    assert(rows.columns.toSeq ==
+      Seq("region", "region_label", "brand", "revenue"))
+    val got = rows.collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(3)))
+    val full = Planner.plan(cat, CubeQuery("sales",
+      Seq(LevelDrill(LevelRef("Geography", Some("Region"))),
+        LevelDrill(LevelRef("Part", Some("Brand"), Some("Brands")))),
+      Seq("revenue", "sum_qty"))).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(3),
+        r.getDouble(4)))
+    val expect = full.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, g) => g.sortBy(t => (-t._4, t._2)).take(2)
+        .map(t => (t._1, t._2, t._3))
+    }
+    assert(got.toSeq == expect.toSeq)
+    // k = 0: empty per-group set → empty axis (the axis-level TOPCOUNT 0
+    // contract), not GroupedTopK's require(k >= 1)
+    val empty = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT([Part].[Brands].[Brand].Members, 0,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)).collect()
+    assert(empty.isEmpty)
+  }
+
   test("GENERATE with a multi-level outer set partitions on the full " +
       "outer tuple") {
     val rows = Planner.plan(cat, MdxParser.parse(salesCube,

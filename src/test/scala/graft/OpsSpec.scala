@@ -953,6 +953,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("phashDecoded byte fallback is bit-identical to the SQL mediaPhash " +
+      "for undecodable payloads of ANY length (short assets band " +
+      "uniformly through either entry point)") {
+    import spark.implicits._
+    val payloads = Seq(
+      Array[Byte](1, 2, 3, 4, 5, 6),                    // short: 6 bytes
+      Array[Byte](0x7f, 0, -1, 0x10),                    // 4 bytes (no lo)
+      Array.tabulate(16)(i => (i * 17 + 3).toByte),      // full 16 bytes
+      Array[Byte](-128))                                 // 1 byte
+    val media = payloads.zipWithIndex.map { case (b, i) =>
+      Multimodal.MediaRow(i.toLong, b, Multimodal.MediaMeta("wav", 1, 1, 1))
+    }.toDS().toDF()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(Multimodal.phashDecoded(media)) == m(Multimodal.mediaPhash(media)))
+  }
+
   test("frame sampling strides over metadata frame counts") {
     val fs = Multimodal.frameSample(Multimodal.attachFakeMedia(docs), 2)
       .collect()
