@@ -426,17 +426,32 @@ object Similarity {
     PqIndex(cbs, spark.read.parquet(s"$path/corpus"))
   }
 
+  /** Vector dimensionality a [[PqIndex]] was built for — m subspaces ×
+    * subspace width. The index is the authority: a caller-supplied dim
+    * that disagreed with the codebook geometry would slice query vectors
+    * at the wrong offsets and return silently wrong results, so the
+    * serving entry points derive it instead of accepting it. */
+  private def pqDim(idx: PqIndex): Int =
+    idx.cbs.length * idx.cbs.head.head.length
+
   /** θ-bound exact search over a PREBUILT [[PqIndex]] — the serving
     * shape: no codebook train, no encode; queries resolve against the
     * index corpus itself. Same certificate as [[pqKnnBound]], so the
-    * result is exact regardless of shortlist. */
+    * result is exact regardless of shortlist; `shortlist ≤ 0` (the
+    * default) sizes the θ-seeding pass by [[suggestedShortlist]] from the
+    * index corpus count — a too-small seed θ is still exact but certifies
+    * a larger-than-necessary fraction for the re-rank. Query dim comes
+    * from the index geometry ([[pqDim]]), never the caller. */
   def pqKnnBoundWith(idx: PqIndex, queryIds: Seq[Long], k: Int,
-      shortlist: Int = 20, dim: Int = 64): DataFrame = {
+      shortlist: Int = 0): DataFrame = {
+    val sl =
+      if (shortlist > 0) shortlist
+      else suggestedShortlist(idx.corpus.count(), k)
     val qv = idx.corpus.select(col("neighbor_id").as("vec_id"),
       col("v_n").as("v"))
     val qscored = pqAdcScores(idx.corpus,
-      pqQueries(qv, idx.cbs, queryIds, dim))
-    pqBoundFinish(pqCertified(qscored, k, shortlist), k)
+      pqQueries(qv, idx.cbs, queryIds, pqDim(idx)))
+    pqBoundFinish(pqCertified(qscored, k, sl), k)
   }
 
   /** EXACT RANGE SEARCH over a [[PqIndex]] — every neighbor with
@@ -447,15 +462,21 @@ object Similarity {
     * caller's threshold, no provisional pass needed — the compressed scan
     * keeps exactly the vectors whose `adc + ‖q‖·res` bound reaches
     * `minSim`, those re-rank exactly, and by Cauchy-Schwarz nothing
-    * dropped could have qualified. Output ranks within each query by
-    * (sim desc, neighbor_id) for a deterministic shape. */
-  def pqRangeSearch(idx: PqIndex, queryIds: Seq[Long], minSim: Double,
-      dim: Int = 64): DataFrame = {
+    * dropped could have qualified. The bound filter is padded by the
+    * [[pqEps]] summation-error margin — for a zero-residual vector whose
+    * true sim equals `minSim` exactly, the real-arithmetic slack is 0 and
+    * a 1-ulp ADC association difference would otherwise drop a qualifying
+    * row; the exact `sim ≥ minSim` recheck below keeps the output tight.
+    * Output ranks within each query by (sim desc, neighbor_id) for a
+    * deterministic shape; query dim derives from the index geometry. */
+  def pqRangeSearch(idx: PqIndex, queryIds: Seq[Long], minSim: Double)
+      : DataFrame = {
     val qv = idx.corpus.select(col("neighbor_id").as("vec_id"),
       col("v_n").as("v"))
     val cand = pqAdcScores(idx.corpus,
-        pqQueries(qv, idx.cbs, queryIds, dim))
-      .where(col("adc") + col("qn") * col("res") >= lit(minSim))
+        pqQueries(qv, idx.cbs, queryIds, pqDim(idx)))
+      .where(col("adc") + col("qn") * col("res") >=
+        lit(minSim - pqEps * (math.abs(minSim) + 1.0)))
     cand.withColumn("sim", dot(col("v_q"), col("v_n")))
       .where(col("sim") >= lit(minSim))
       .withColumn("rank", row_number().over(
@@ -517,15 +538,38 @@ object Similarity {
           (cd, l) => element_at(l, cd + 1)),
         lit(0.0d), (acc, x) => acc + x))
 
-  /** CERTIFIED candidate set: everything whose `adc + ‖q‖·res` upper
-    * bound reaches the provisional exact k-th score θ — by Cauchy-Schwarz
-    * nothing outside it can enter the true top-k. */
-  private def pqCertified(qscored: DataFrame, k: Int,
+  /** Relative summation-error margin for the certificate filters. The
+    * Cauchy-Schwarz bound holds in real arithmetic, but `adc` is the
+    * LUT-order left-fold sum while θ (and the exact re-rank sims) come
+    * from the differently-associated full-vector dot — for a candidate
+    * whose quantization residual is exactly 0 (a vector that is its own
+    * singleton centroid in every subspace; outliers commonly are) the
+    * real slack is exactly 0 and a 1-ulp association difference could
+    * drop a true top-k member, including the shortlist's own k-th vector
+    * that DEFINED θ. 64-term double summation of O(1) embedding products
+    * mis-associates by ≲ 1e-13 relative; 1e-9 dominates it with margin
+    * while certifying a measure-zero sliver extra — and every extra
+    * candidate is exactly re-ranked, so served results are unchanged. */
+  private val pqEps = 1e-9
+
+  /** The certificate as a FLAG: each candidate row marked with whether
+    * its `adc + ‖q‖·res` upper bound (padded by [[pqEps]]) reaches the
+    * provisional exact k-th score θ — by Cauchy-Schwarz nothing unmarked
+    * can enter the true top-k. Kept as a column (rather than a filter) so
+    * [[pqKnnBoundAuto]] can count candidates and certified rows in ONE
+    * aggregation over the compressed codes. */
+  private def pqBounded(qscored: DataFrame, k: Int,
       shortlist: Int): DataFrame =
     qscored.join(broadcast(pqTheta(qscored, k, shortlist)),
         Seq("query_id"), "left")
-      .where(col("adc") + col("qn") * col("res") >=
-        coalesce(col("theta"), lit(Double.MinValue)))
+      .withColumn("certified", col("adc") + col("qn") * col("res") >=
+        coalesce(col("theta") - lit(pqEps) * (abs(col("theta")) + 1),
+          lit(Double.MinValue)))
+
+  /** CERTIFIED candidate set — [[pqBounded]]'s marked rows. */
+  private def pqCertified(qscored: DataFrame, k: Int,
+      shortlist: Int): DataFrame =
+    pqBounded(qscored, k, shortlist).where(col("certified"))
 
   /** Exact re-rank of the certified set → final top-k. */
   private def pqBoundFinish(cand: DataFrame, k: Int): DataFrame = {
@@ -572,14 +616,23 @@ object Similarity {
       pqEncode(v, cbs, dim).localCheckpoint(eager = false),
       pqQueries(v, cbs, queryIds, dim))
     val shortlist = suggestedShortlist(n, k)
-    val cand = pqCertified(qscored, k, shortlist)
-    // decision pass: codes + res only — the 32×-compressed index
-    val certified = cand.count()
-    val frac = certified.toDouble / math.max(1L, n * queryIds.size)
+    val bounded = pqBounded(qscored, k, shortlist)
+    // decision pass: codes + res only — the 32×-compressed index. ONE
+    // aggregation counts candidates AND certified rows, so the fraction's
+    // denominator is the actual candidate count (self-pairs excluded,
+    // absent query ids contribute nothing) — an n·|queries| denominator
+    // biases frac low and engages the brute cutover later than intended
+    val counts = bounded.agg(
+      count(lit(1)).as("total"),
+      sum(col("certified").cast("long")).as("certified")).head()
+    val total = counts.getLong(0)
+    val certified = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val frac = certified.toDouble / math.max(1L, total)
     if (frac >= bruteCutover)
       (knnBrute(emb, queryIds, k), shortlist, frac, true)
     else
-      (pqBoundFinish(cand, k), shortlist, frac, false)
+      (pqBoundFinish(bounded.where(col("certified")), k), shortlist, frac,
+        false)
   }
 
   /** Production sizing for the SHORTLIST of every two-phase search

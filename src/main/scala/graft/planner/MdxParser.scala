@@ -794,6 +794,18 @@ object MdxParser {
       dims.foreach(d =>
         if (!cube.dimensions.exists(_.name == d))
           GraftException.badRequest(s"EXTRACT: unknown dimension '$d'"))
+      // mirror GENERATE's guard: a named dimension drilled solely via a
+      // NAMED SET would silently lose its projection below (only
+      // LevelDrills survive) — reject instead of dropping the dimension
+      drills.foreach {
+        case NamedSetDrill(name)
+            if cube.namedSet(name).exists(ns => dims.contains(ns.dim)) =>
+          GraftException.badRequest(
+            s"EXTRACT: dimension '${cube.namedSet(name).get.dim}' is " +
+              s"drilled via named set '$name' — drill a level of it " +
+              "instead")
+        case _ => ()
+      }
       val ordered = dims.flatMap(d => drills.collect {
         case ld @ LevelDrill(r) if r.dim == d => ld
       })

@@ -1528,7 +1528,12 @@ class MdxSpec extends AnyFunSuite {
     for (bad <- Seq(
       "EXTRACT([Geography].[Geography].[Nation].Members)",
       "EXTRACT([Geography].[Geography].[Nation].Members, [Nope])",
-      "EXTRACT([Geography].[Geography].[Nation].Members, [Part])"))
+      "EXTRACT([Geography].[Geography].[Nation].Members, [Part])",
+      // a named dimension drilled ONLY via a named set would silently
+      // lose its projection (Extract keeps LevelDrills) — must 400, the
+      // same guard GENERATE applies
+      "EXTRACT(CROSSJOIN([Top Brands], " +
+        "[Geography].[Geography].[Nation].Members), [Part])"))
       assert(intercept[GraftException](MdxParser.parse(salesCube,
         s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
            |$bad ON ROWS

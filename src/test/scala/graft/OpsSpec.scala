@@ -1323,6 +1323,50 @@ class OpsSpec extends AnyFunSuite {
     assert(range.nonEmpty, "fixture threshold selects at least one pair")
   }
 
+  test("pqRangeSearch property: equals the brute-force radius filter for " +
+      "random (minSim, query) draws — the certificate claims completeness " +
+      "for every threshold") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val idx = Similarity.pqIndex(emb)
+    val n = emb.count().toInt
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val rnd = new scala.util.Random(1307)
+    (1 to 8).foreach { _ =>
+      val qids = rnd.shuffle(ids.toSeq).take(1 + rnd.nextInt(4))
+      // thresholds span negative (almost everything) to tight (near-empty)
+      val tau = -0.5 + rnd.nextDouble() * 1.4
+      val brute = rows(Similarity.knnBrute(emb, qids, n))
+        .filter(_._4 >= tau)
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .flatMap { case (_, rs) =>
+          rs.sortBy(r => (-r._4, r._3)).zipWithIndex
+            .map { case (r, i) => (r._1, i + 1, r._3, r._4) }
+        }
+      val got = rows(Similarity.pqRangeSearch(idx, qids, tau))
+      assert(got.sameElements(brute),
+        s"range mismatch at tau=$tau qids=$qids: got ${got.length} " +
+          s"rows, brute ${brute.length}")
+    }
+  }
+
+  test("pqKnnBoundWith default shortlist sizes by suggestedShortlist and " +
+      "serves the identical exact result") {
+    val qids = (0L until 6L).toSeq
+    val k = 5
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val idx = Similarity.pqIndex(emb)
+    val brute = rows(Similarity.knnBrute(emb, qids, k))
+    // exactness is shortlist-independent: default (√n-sized θ seed),
+    // a deliberately tiny seed, and brute force all agree bit-for-bit
+    assert(rows(Similarity.pqKnnBoundWith(idx, qids, k)).sameElements(brute))
+    assert(rows(Similarity.pqKnnBoundWith(idx, qids, k, shortlist = 1))
+      .sameElements(brute))
+    val expected = Similarity.suggestedShortlist(emb.count(), k)
+    assert(expected >= 4 * k, s"sizing rule floor: $expected")
+  }
+
   test("knnRecall: identical results score 1.0, disjoint 0.0, partial " +
       "overlap the exact fraction") {
     import spark.implicits._
