@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: the JDK ships PNG/JPEG/BMP/GIF codecs in
   * `javax.imageio` (zero new dependencies), so a payload that parses as an
-  * image yields pixel-space features and its DCT perceptual hash. AUDIO /
-  * VIDEO decode stays STUBBED (no codec libraries in this environment):
-  * `decodeStub` derives deterministic byte-moment features, and every
-  * undecodable payload falls back to it — that fallback is also the
+  * image yields pixel-space features and its DCT perceptual hash. AUDIO
+  * decode is REAL for PCM containers: WAV/AIFF/AU payloads decode through
+  * `javax.sound.sampled` (also in the JDK) to sample-space features —
+  * RMS, peak, duration, zero-crossings. COMPRESSED audio and VIDEO stay
+  * STUBBED (those codecs genuinely need libraries this environment
+  * lacks): `decodeStub` derives deterministic byte-moment features, and
+  * every undecodable payload falls back to it — that fallback is also the
   * portable path the DuckDB correctness gate replays (SQL cannot decode
-  * pixels, and the gate fixture's payloads are md5 bytes, not image
-  * streams). Everything else — schema, encoders, partition-wise batching,
-  * metadata propagation — is shared between the two paths.
+  * pixels or samples, and the gate fixture's payloads are md5 bytes, not
+  * media streams). Everything else — schema, encoders, partition-wise
+  * batching, metadata propagation — is shared across the paths.
   */
 object Multimodal {
 
@@ -84,8 +87,101 @@ object Multimodal {
         mx, n))
   }
 
-  /** STUB decoder — stands in for the audio/video codecs this environment
-    * lacks, and the fallback for any payload javax.imageio cannot parse.
+  /** JDK-codec audio parse: WAV/AIFF/AU containers with 8/16-bit PCM
+    * payloads decode through `javax.sound.sampled` (zero new
+    * dependencies — the same move as [[readImage]]); anything else —
+    * compressed codecs the JDK lacks, the gate's md5 fixture bytes,
+    * truncated streams — returns None and the caller falls back to
+    * [[decodeStub]]. Samples STREAM through running accumulators (one
+    * frame buffer, never the whole clip in memory — the per-row bound the
+    * mapPartitions batching relies on); channels mix down by mean.
+    * Returns sample-space features: RMS, peak |amplitude|, duration in
+    * seconds, zero-crossing count — plus the header facts (sample rate,
+    * channels, frame count) the row schema carries. */
+  private def readAudio(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Array[Double])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 ||
+          fmt.getFrameSize != ch * (bits / 8) || fmt.getFrameRate <= 0)
+        return None
+      val frameSize = fmt.getFrameSize
+      val big = fmt.isBigEndian
+      val full = (1.0 / (1 << (bits - 1))) // LSB scale to [-1, 1)
+      val buf = new Array[Byte](frameSize * 1024)
+      var nFrames = 0L
+      var sumSq = 0.0
+      var peak = 0.0
+      var zeroX = 0L
+      var prevNonNeg = true
+      var first = true
+      var read = ais.read(buf)
+      while (read > 0) {
+        var off = 0
+        while (off + frameSize <= read) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) {
+            val base = off + c * (bits / 8)
+            val raw =
+              if (bits == 8)
+                (if (signed) buf(base).toInt
+                 else (buf(base) & 0xff) - 128)
+              else {
+                val b0 = buf(base) & 0xff
+                val b1 = buf(base + 1) & 0xff
+                val v = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                (v << 16) >> 16 // sign-extend
+              }
+            val rw = if (bits == 16 && unsigned) raw - 32768 else raw
+            s += rw * full
+            c += 1
+          }
+          s /= ch
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          val nonNeg = s >= 0.0
+          if (!first && nonNeg != prevNonNeg) zeroX += 1
+          prevNonNeg = nonNeg
+          first = false
+          nFrames += 1
+          off += frameSize
+        }
+        read = ais.read(buf)
+      }
+      if (nFrames == 0L) return None
+      val rms = math.sqrt(sumSq / nFrames)
+      val dur = nFrames / fmt.getFrameRate.toDouble
+      Some((math.round(fmt.getSampleRate).toInt, ch, nFrames,
+        Array(rms, peak, dur, zeroX.toDouble)))
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** REAL audio decode: sample-space features [rms, peak, duration_sec,
+    * zero_crossings]. The fixed row schema reuses width for the sample
+    * rate and height for the channel count (audio has no pixel grid;
+    * n_frames is the DECODED frame count — the header is the authority,
+    * like the image path's decoded w/h). */
+  private def decodeSamples(r: MediaRow, sampleRate: Int, channels: Int,
+      nFrames: Long, features: Array[Double]): DecodedRow =
+    DecodedRow(r.doc_id, r.meta.format, sampleRate, channels,
+      math.min(nFrames, Int.MaxValue).toInt, r.media.length, features)
+
+  /** STUB decoder — stands in for the compressed audio/video codecs this
+    * environment lacks, and the fallback for any payload neither
+    * javax.imageio nor javax.sound.sampled can parse.
     * Deterministic: features are byte-derived moments. */
   private def decodeStub(r: MediaRow): DecodedRow = {
     val bytes = r.media
@@ -104,11 +200,17 @@ object Multimodal {
   }
 
   /** One media row → typed features: real pixel decode when the payload
-    * parses as an image, byte-moment stub otherwise. */
+    * parses as an image, real sample decode when it parses as PCM audio
+    * (WAV/AIFF/AU), byte-moment stub otherwise (compressed audio/video —
+    * the remaining codec gap — and the gate's md5 fixture bytes, which is
+    * why the DuckDB oracle replays the stub path unchanged). */
   private[graft] def decodeOne(r: MediaRow): DecodedRow =
     readImage(r.media) match {
       case Some(im) => decodePixels(r, im)
-      case None => decodeStub(r)
+      case None => readAudio(r.media) match {
+        case Some((sr, ch, nf, feats)) => decodeSamples(r, sr, ch, nf, feats)
+        case None => decodeStub(r)
+      }
     }
 
   /** Partition-batched decode: binary column → typed features. */

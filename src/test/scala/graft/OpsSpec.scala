@@ -906,6 +906,79 @@ class OpsSpec extends AnyFunSuite {
     assert(wav.features(3) == 4.0) // byte count, not pixels
   }
 
+  /** Encode 16-bit PCM samples into a WAV/AIFF container via the JDK
+    * (channels interleave; endianness follows the container). */
+  private def encodeAudio(samples: Array[Short], sampleRate: Float,
+      channels: Int, aiff: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled._
+    val big = aiff
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, big)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      if (big) {
+        data(2 * i) = ((s >> 8) & 0xff).toByte
+        data(2 * i + 1) = (s & 0xff).toByte
+      } else {
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt,
+      samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais,
+      if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE,
+      bos)
+    bos.toByteArray
+  }
+
+  test("audio decode is REAL: javax.sound.sampled samples drive RMS/peak/" +
+      "duration/zero-crossings exactly; stereo mixes down by mean; AIFF " +
+      "big-endian agrees with WAV; non-audio payloads keep the stub path") {
+    import spark.implicits._
+    // square wave, amplitude 16384 (= 0.5 in sample space), period 8
+    // frames, 4000 frames at 8 kHz: rms = peak = 0.5 and duration = 0.5 s
+    // EXACTLY; sign flips every 4 frames → 999 crossings over 4000 frames
+    val square = Array.tabulate(4000)(i =>
+      (if ((i / 4) % 2 == 0) 16384 else -16384).toShort)
+    val wav = encodeAudio(square, 8000f, 1)
+    // stereo: L = +0.5 square, R = its negation → mean mixdown is 0
+    val stereo = Array.tabulate(8000)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val aiff = encodeAudio(square, 8000f, 1, aiff = true)
+    val media = Seq(
+      Multimodal.MediaRow(1L, wav, Multimodal.MediaMeta("wav", 0, 0, 1)),
+      Multimodal.MediaRow(2L, encodeAudio(stereo, 8000f, 2),
+        Multimodal.MediaMeta("wav", 0, 0, 1)),
+      Multimodal.MediaRow(3L, aiff, Multimodal.MediaMeta("aiff", 0, 0, 1)),
+      Multimodal.MediaRow(4L, Array[Byte](1, 2, 3, 4),
+        Multimodal.MediaMeta("mp3", 8, 8, 1))).toDS().toDF()
+    val out = Multimodal.decodeFeatures(spark, media).collect()
+      .map(r => r.doc_id -> r).toMap
+    val mono = out(1L)
+    // the decoded header is the authority: width = sample rate,
+    // height = channels, n_frames = decoded frame count
+    assert(mono.width == 8000 && mono.height == 1 && mono.n_frames == 4000)
+    assert(mono.n_bytes == wav.length)
+    assert(mono.features(0) == 0.5)      // rms, exact
+    assert(mono.features(1) == 0.5)      // peak, exact
+    assert(mono.features(2) == 0.5)      // duration seconds, exact
+    assert(mono.features(3) == 999.0)    // zero crossings
+    // stereo mean mixdown cancels the anti-phase channels entirely
+    val st = out(2L)
+    assert(st.height == 2 && st.n_frames == 4000)
+    assert(st.features(0) == 0.0 && st.features(1) == 0.0)
+    // AIFF (big-endian) decodes to the same sample stream as WAV
+    val ai = out(3L)
+    assert(ai.features.toSeq == mono.features.toSeq)
+    assert(ai.n_frames == 4000 && ai.width == 8000)
+    // compressed/undecodable audio: deterministic byte-moment stub,
+    // metadata served verbatim — the portable path the gate replays
+    val mp3 = out(4L)
+    assert(mp3.width == 8 && mp3.n_bytes == 4 && mp3.features(3) == 4.0)
+  }
+
   test("DCT pHash: brightness shift and JPEG re-encode are near-dups, a " +
       "structurally different image is far; decoded near-dup pairs find " +
       "exactly the re-encode cluster") {
