@@ -213,6 +213,79 @@ class RollupSpec extends AnyFunSuite {
     assert(routed.toSeq == direct.toSeq)
   }
 
+  test("GENERATE (q86 shape) routes through a covering rollup: per-group " +
+      "top-k over additive measures is valid on the rollup grain and " +
+      "equals the fact path bit-for-bit; the dense form refuses") {
+    registered
+    def mdx(nonEmpty: String) = MdxParser.parse(cube,
+      s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+         |${nonEmpty}GENERATE([Geography].[Geography].[Region].Members,
+         |  TOPCOUNT([Part].[Brands].[Brand].Members, 2,
+         |    [Measures].[Quantity])) ON ROWS
+         |FROM sales""".stripMargin)
+    val routedDf = Planner.plan(cat, mdx("NON EMPTY "))
+    // the GroupedTopK pass runs over the rollup's re-aggregation — the
+    // fact scan disappears (the rank measure rides the rollup too)
+    assert(routedDf.queryExecution.executedPlan.toString()
+      .contains("InMemoryTableScan"))
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val direct = Planner.plan(factCat, mdx("NON EMPTY "))
+      .collect().map(_.toSeq)
+    assert(routedDf.collect().map(_.toSeq).toSeq == direct.toSeq)
+    assert(direct.nonEmpty)
+    // dense mode enumerates member domains from the dim tables — must
+    // refuse the rollup and still agree with the fact path
+    val denseDf = Planner.plan(cat, mdx(""))
+    assert(!denseDf.queryExecution.executedPlan.toString()
+      .contains("InMemoryTableScan"))
+    assert(denseDf.collect().map(_.toSeq).toSeq ==
+      Planner.plan(factCat, mdx("")).collect().map(_.toSeq).toSeq)
+  }
+
+  test("EXTRACT (q88 shape) routes through a covering rollup and equals " +
+      "the fact path") {
+    registered
+    val q = MdxParser.parse(cube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY EXTRACT(
+        |  CROSSJOIN([Geography].[Geography].[Nation].Members,
+        |    [Part].[Brands].[Brand].Members), [Part]) ON ROWS
+        |FROM sales""".stripMargin)
+    val routedDf = Planner.plan(cat, q)
+    assert(routedDf.queryExecution.executedPlan.toString()
+      .contains("InMemoryTableScan"))
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
+    assert(routedDf.collect().map(_.toSeq).toSeq == direct.toSeq)
+    assert(direct.nonEmpty)
+  }
+
+  test("GENERATE under a partial-policy role refuses the rollup (grants " +
+      "filter the dim-joined fact) and equals the fact path under the " +
+      "same role") {
+    val ordersCube = cat.cube("orders")
+    cat.addRollup(Rollups.build(cat, ordersCube, Seq(
+      LevelRef("Geography", Some("Region")),
+      LevelRef("Priority", Some("Priority")))))
+    def mdx(role: Option[String]) = MdxParser.parse(ordersCube,
+      """SELECT {[Measures].[Total Sales]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT([Priority].[Priority].[Priority].Members, 2,
+        |    [Measures].[Total Sales])) ON ROWS
+        |FROM orders""".stripMargin).copy(role = role)
+    // sanity: the unroled query DOES route over this rollup
+    assert(Planner.plan(cat, mdx(None)).queryExecution.executedPlan
+      .toString().contains("InMemoryTableScan"))
+    val roled = Planner.plan(cat, mdx(Some("emea")))
+    assert(!roled.queryExecution.executedPlan.toString()
+      .contains("InMemoryTableScan"))
+    val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
+    val direct = Planner.plan(factCat, mdx(Some("emea")))
+      .collect().map(_.toSeq)
+    assert(roled.collect().map(_.toSeq).toSeq == direct.toSeq)
+    assert(direct.nonEmpty)
+  }
+
   // --- round-5 verdict #5: the post-agg measure classes (domain lag, cum,
   // moving, share-of-total) must either route correctly or refuse ---
 
