@@ -1217,6 +1217,21 @@ object SparkEntry {
             |    [Measures].[Revenue])) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // Generate + inner FILTER: the per-group HAVING idiom — per region,
+      // the brands whose revenue in THAT region clears the threshold. The
+      // predicate evaluates in the (region, brand) tuple context, so it
+      // compiles onto the A10 measure-filter machinery: one aggregation,
+      // one post-agg filter, no window at all
+      "q89_mdx_generate_filter" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |NON EMPTY GENERATE(
+            |  [Geography].[Geography].[Region].Members,
+            |  FILTER([Part].[Brands].[Brand].Members,
+            |    [Measures].[Revenue] > 2300000)) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // MDX Extract: project a crossjoined tuple set onto one dimension
       // (duplicates removed) — brands sold in region 2, the Nation drill
       // dropped by the projection while the slicer keeps restricting
@@ -1896,6 +1911,17 @@ object SparkEntry {
          |SELECT region, region_label, brand, revenue FROM w
          |WHERE cum_before < 40.0 / 100.0 * total
          |ORDER BY region, rk""".stripMargin,
+    // q89: Generate + inner FILTER — per-region HAVING on the (region,
+    // brand) aggregation; hierarchical default order (region, brand)
+    "q89_mdx_generate_filter" ->
+      s"""SELECT r_regionkey AS region, r_name AS region_label,
+         |p_brand AS brand, ${sumd(REV, "revenue")}
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2, 3
+         |HAVING CAST(SUM(CAST(($REV) AS DECIMAL(27,6))) AS DOUBLE)
+         |  > 2300000.0
+         |ORDER BY 1, 3""".stripMargin,
     // q88: Extract projects away the Nation drill; the slicer still cuts,
     // so this is brand revenue within region 2
     "q88_mdx_extract" ->

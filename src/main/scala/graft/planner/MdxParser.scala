@@ -826,6 +826,44 @@ object MdxParser {
       val (gDrills, gCuts) = parseSet(cube, as(0))
       val inner = as(1).trim
       val innerUpper = inner.toUpperCase
+      // shared guards for every inner form (the FILTER early-return below
+      // relies on them too)
+      def guardSets(iDrills: Seq[Drill]): Unit = {
+        if (gDrills.isEmpty || iDrills.isEmpty)
+          GraftException.badRequest(
+            "GENERATE: both sets must drill at least one level")
+        if ((gDrills ++ iDrills).exists(!_.isInstanceOf[LevelDrill]))
+          GraftException.badRequest(
+            "GENERATE: named-set drilldowns are not supported inside " +
+              "GENERATE (the partition position would be ambiguous)")
+        val gDims = gDrills.collect { case LevelDrill(r) => r.dim }.toSet
+        val overlap = iDrills.collect {
+          case LevelDrill(r) if gDims.contains(r.dim) => r.dim
+        }
+        if (overlap.nonEmpty)
+          GraftException.badRequest(
+            s"GENERATE: inner set drills the outer set's dimension " +
+              s"'${overlap.head}' — the partition would be degenerate")
+      }
+      // inner FILTER — the per-group HAVING idiom: Generate(set1,
+      // Filter(set2, [Measures].[M] > x)). The predicate evaluates in the
+      // (outer, inner) tuple context, so per-group filtering IS a measure
+      // filter over the pair axis — it compiles onto the A10 HAVING
+      // machinery with no window at all (the cheapest possible plan: one
+      // aggregation, one post-agg filter).
+      if (innerUpper.startsWith("FILTER(")) {
+        if (!inner.endsWith(")"))
+          GraftException.badRequest(s"GENERATE: unbalanced inner '$inner'")
+        val ias = splitTop(
+          inner.substring("FILTER(".length, inner.length - 1), ',')
+        if (ias.length != 2)
+          GraftException.badRequest(
+            s"GENERATE: FILTER takes (set, condition), got '$inner'")
+        val (iDrills, iCuts) = parseSet(cube, ias(0))
+        guardSets(iDrills)
+        return Axis(gDrills ++ iDrills, gCuts ++ iCuts,
+          filters = parseConditions(cube, ias(1)))
+      }
       // inner forms: TOPCOUNT/BOTTOMCOUNT (per-group top-k) and
       // TOPPERCENT/BOTTOMPERCENT/TOPSUM/BOTTOMSUM (per-group minimal
       // prefix covering a share of the GROUP total / an absolute sum —
@@ -834,7 +872,7 @@ object MdxParser {
         "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM")
       val fn = forms.find(f => innerUpper.startsWith(f + "("))
         .getOrElse(GraftException.badRequest(
-          "GENERATE: the second set must be one of " +
+          "GENERATE: the second set must be FILTER(...) or one of " +
             forms.mkString("(", "/", ")(...)") + s", got '$inner'"))
       if (!inner.endsWith(")"))
         GraftException.badRequest(s"GENERATE: unbalanced inner '$inner'")
@@ -871,21 +909,7 @@ object MdxParser {
         case _ =>
           GraftException.badRequest(s"bad $fn measure '${ias(2)}'")
       }
-      if (gDrills.isEmpty || iDrills.isEmpty)
-        GraftException.badRequest(
-          "GENERATE: both sets must drill at least one level")
-      if ((gDrills ++ iDrills).exists(!_.isInstanceOf[LevelDrill]))
-        GraftException.badRequest(
-          "GENERATE: named-set drilldowns are not supported inside " +
-            "GENERATE (the partition position would be ambiguous)")
-      val gDims = gDrills.collect { case LevelDrill(r) => r.dim }.toSet
-      val overlap = iDrills.collect {
-        case LevelDrill(r) if gDims.contains(r.dim) => r.dim
-      }
-      if (overlap.nonEmpty)
-        GraftException.badRequest(
-          s"GENERATE: inner set drills the outer set's dimension " +
-            s"'${overlap.head}' — the partition would be degenerate")
+      guardSets(iDrills)
       if (isCount && k == 0L)
         // TOPCOUNT(set, 0) is an empty set per group → an empty axis,
         // exactly like the axis-level TOPCOUNT(…, 0, …)'s limit = 0 —

@@ -63,6 +63,14 @@ class FuzzSpec extends AnyFunSuite {
     """SELECT {[Measures].[Revenue]} ON COLUMNS,
       |EXTRACT(CROSSJOIN([Geography].[Geography].[Nation].Members,
       |  [Part].[Brands].[Brand].Members), [Part]) ON ROWS
+      |FROM sales""".stripMargin,
+    // the round-13 per-group HAVING form — mangled predicates (OR, junk
+    // comparators, missing args) must 400, never crash
+    """SELECT {[Measures].[Revenue]} ON COLUMNS,
+      |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+      |  FILTER([Part].[Brands].[Brand].Members,
+      |    [Measures].[Revenue] > 2300000 AND
+      |    [Measures].[Quantity] >= 10)) ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(

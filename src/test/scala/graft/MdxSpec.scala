@@ -1540,6 +1540,53 @@ class MdxSpec extends AnyFunSuite {
            |FROM sales""".stripMargin)).status == 400)
   }
 
+  test("GENERATE inner FILTER is the per-group HAVING idiom: equals the " +
+      "axis-level FILTER over the crossjoin (the predicate evaluates in " +
+      "the tuple context); AND-conjoined predicates compose; bad forms 400") {
+    val gen = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  FILTER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Revenue] > 200000)) ON ROWS
+        |FROM sales""".stripMargin)).collect().map(_.toSeq)
+    val flat = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY FILTER(
+        |  CROSSJOIN([Geography].[Geography].[Region].Members,
+        |    [Part].[Brands].[Brand].Members),
+        |  [Measures].[Revenue] > 200000) ON ROWS
+        |FROM sales""".stripMargin)).collect().map(_.toSeq)
+    assert(gen.toSeq == flat.toSeq && gen.nonEmpty)
+    // conjunction: tighter than either term alone
+    val and = Planner.plan(cat, MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  FILTER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Revenue] > 200000 AND
+        |    [Measures].[Quantity] > 3000)) ON ROWS
+        |FROM sales""".stripMargin)).collect().map(_.toSeq)
+    assert(and.length <= gen.length)
+    assert(and.toSet.subsetOf(gen.toSet))
+    for (bad <- Seq(
+      // OR predicates are rejected (disjunctive HAVING not modeled)
+      "FILTER([Part].[Brands].[Brand].Members, " +
+        "[Measures].[Revenue] > 1 OR [Measures].[Quantity] > 1)",
+      // missing condition / unknown measure / junk comparator
+      "FILTER([Part].[Brands].[Brand].Members)",
+      "FILTER([Part].[Brands].[Brand].Members, [Measures].[Nope] > 1)",
+      "FILTER([Part].[Brands].[Brand].Members, [Measures].[Revenue] ?? 1)",
+      // inner set drilling the outer dimension is degenerate
+      "FILTER([Geography].[Geography].[Nation].Members, " +
+        "[Measures].[Revenue] > 1)",
+      // named-set drilldowns don't carry a partition position
+      "FILTER([Top Brands], [Measures].[Revenue] > 1)"))
+      assert(intercept[GraftException](MdxParser.parse(salesCube,
+        s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+           |GENERATE([Geography].[Geography].[Region].Members,
+           |  $bad) ON ROWS
+           |FROM sales""".stripMargin)).status == 400)
+  }
+
   test("GENERATE ranks by a measure NOT on COLUMNS (it rides the " +
       "aggregation internally); TOPCOUNT 0 inside GENERATE is an empty " +
       "axis, never a planner crash") {
