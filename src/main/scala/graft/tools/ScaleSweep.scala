@@ -115,7 +115,7 @@ object ScaleSweep {
       "knn_pq_auto / knn_lsh_auto / ivfpq_probe_auto wire suggestedShortlist(n,k) = max(4k, sqrt(n)) — the THIRD sizing knob: the shortlist (LSH: target bucket population) grows as sqrt(n), so recall@k holds across factors where the fixed-width rows decay; re-rank work stays O(sqrt n) per query",
       "knn_pq_bound is the SERVED flat-PQ path (gate s15): the encode stores each vector's quantization residual norm, the ADC shortlist seeds a provisional exact k-th score theta, and every vector whose adc + |q|*residual Cauchy-Schwarz bound reaches theta is re-ranked exactly — nothing else can enter the top-k, so recall is 1.0 BY CONSTRUCTION at every factor (the decayed knn_pq/knn_pq_auto rows above stay as the measurement of what fixed/sqrt-n shortlists alone buy); certified_frac + cutover record the cost-model decision: when the bound certifies >= 50% of the corpus (this isotropic fixture: residual ~ the vector itself, the no-index-wins regime) the op serves the codegen'd brute scan, which is the same exact answer read once without join machinery — clustered real-world embeddings certify ~one cluster and keep the 32x-compressed path (OpsSpec pins both regimes)",
       "the per-factor index-vs-scan decision of every auto op is now ON the row: knn_lsh_auto/knn_lsh_design carry (bits, tables, cutover), knn_pq_bound carries (shortlist, certified_frac, cutover) — the cost model's behavior at 100x is auditable from the artifact alone",
-      "q02/q11/q49/q52 rows run the actual OLAP gate queries against a factor-scaled FULL sf directory (ScaleUp.build: facts replicate, dims and the calendar stay fixed — the 100TB shape): star-join agg, dense-axes densify, exact equi-depth tiling, RFM windowing; their slopes isolate fact-scan/shuffle/window growth on the engine paths the embedding ops don't touch. (ScaleUp shifts event replica i by i seconds, so late-night events can roll one extra calendar day into the q11 dense domain at high factors — 155 vs 150 cells, a corpus-builder artifact, not drift.) The factor-100 q49 run is also the regression fixture that CAUGHT the ntileOf decimal-rounding phantom tile (RankingSpec pins it)",
+      "q02/q11/q49/q52/q54 rows run the actual OLAP gate queries against a factor-scaled FULL sf directory (ScaleUp.build: facts replicate, dims and the calendar stay fixed — the 100TB shape): star-join agg, dense-axes densify, exact equi-depth tiling, RFM windowing, domain-exact lag under a gap cut (q54: relaxed time cuts -> calendar-domain windows -> post-window re-cut, the lag expansion staying calendar-bounded while the fact grows — maxCells guard untriggered by construction); their slopes isolate fact-scan/shuffle/window growth on the engine paths the embedding ops don't touch. (ScaleUp shifts event replica i by i seconds, so late-night events can roll one extra calendar day into the q11 dense domain at high factors — 155 vs 150 cells, a corpus-builder artifact, not drift.) The factor-100 q49 run is also the regression fixture that CAUGHT the ntileOf decimal-rounding phantom tile (RankingSpec pins it)",
       "ivfpq (s14) composes the IVF coarse quantizer with PQ codes of RESIDUALS (Jegou et al. IVFADC): build = coarse kmeans + 16 residual-subspace kmeans + encode (linear, paid once per ingest); ivfpq_probe_auto runs the THETA-BOUND two-phase probe (the exact ivf_probe recipe applied to the compressed scan: seed cells give a provisional exact k-th score, then every cell whose Cauchy-Schwarz bound reaches it is ADC-scanned) with shortlist 2*suggestedShortlist(n,k) — DESIGN POINT: recall@10 >= 0.8 at every factor (the only remaining loss is ADC shortlist truncation inside probed cells; coarse-probe misses are eliminated by the bound), pinned by OpsSpec on the planted fixture")
       .map(s => "\"" + s + "\"")
     val json =
@@ -474,13 +474,17 @@ object ScaleSweep {
     }
 
     // --- OLAP gate queries at factor scale: star agg (q02), dense axes
-    // (q11), skew-proof equi-depth tiling (q49), RFM segmentation (q52).
+    // (q11), skew-proof equi-depth tiling (q49), RFM segmentation (q52),
+    // domain-exact lag under a gap cut (q54 — the window-over-calendar-
+    // domain path: relaxed time cuts, lag expansion, post-window re-cut;
+    // the axis is calendar-bounded so the maxCells guard must never fire
+    // while the fact side grows 100×).
     // The non-index engine paths whose scale evidence previously stopped
     // at the 10× bench: facts replicate factor×, dims + calendar stay
     // fixed, so these slopes isolate fact-scan/shuffle/window growth.
     val olapDir = s"$workDir/olap_x$factor"
     Seq("q02_star_drilldown", "q11_dense_axes", "q49_value_quartiles",
-        "q52_rfm_segments").foreach { q =>
+        "q52_rfm_segments", "q54_lag_gap_cut").foreach { q =>
       time(q) {
         (graft.SparkEntry.queries(q)(spark, olapDir).count(),
           Map.empty[String, String])
