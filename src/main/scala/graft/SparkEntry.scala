@@ -1232,6 +1232,19 @@ object SparkEntry {
             |    [Measures].[Revenue] > 2300000)) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // Generate + inner ORDER: per-group ordering with NO truncation —
+      // each region block emits every brand, sorted by that region's
+      // revenue (the groupTop ranking machinery, rank-only)
+      "q90_mdx_generate_order" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |NON EMPTY GENERATE(
+            |  [Geography].[Geography].[Region].Members,
+            |  ORDER([Part].[Brands].[Brand].Members,
+            |    [Measures].[Revenue], DESC)) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // MDX Extract: project a crossjoined tuple set onto one dimension
       // (duplicates removed) — brands sold in region 2, the Nation drill
       // dropped by the projection while the slicer keeps restricting
@@ -1910,6 +1923,20 @@ object SparkEntry {
          |  FROM b)
          |SELECT region, region_label, brand, revenue FROM w
          |WHERE cum_before < 40.0 / 100.0 * total
+         |ORDER BY region, rk""".stripMargin,
+    // q90: Generate + inner ORDER — every (region, brand) tuple, region
+    // blocks sorted by revenue desc (brand asc tiebreak), no truncation
+    "q90_mdx_generate_order" ->
+      s"""WITH base AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |  p_brand AS brand, ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY region
+         |    ORDER BY revenue DESC, brand ASC) AS rk FROM base)
+         |SELECT region, region_label, brand, revenue FROM ranked
          |ORDER BY region, rk""".stripMargin,
     // q89: Generate + inner FILTER — per-region HAVING on the (region,
     // brand) aggregation; hierarchical default order (region, brand)

@@ -83,10 +83,14 @@ final case class PropertyRef(level: LevelRef, property: String)
   * minimal per-group ordered prefix whose cumulative measure reaches the
   * threshold (percent of the GROUP total, or an absolute sum when
   * `absolute`) — `k` is ignored. Same cumulative-before < limit
-  * semantics as the axis-level TopShareCut, per group. */
+  * semantics as the axis-level TopShareCut, per group.
+  *
+  * `orderOnly` selects the inner ORDER form: every tuple survives, the
+  * per-group ranking only ORDERS each set1 block by the measure —
+  * `k`/`threshold` are ignored. */
 final case class GroupTopSpec(groupDrills: Int, k: Int, measure: String,
     desc: Boolean = true, threshold: Option[Double] = None,
-    absolute: Boolean = false)
+    absolute: Boolean = false, orderOnly: Boolean = false)
 
 final case class CubeQuery(
     cube: String,

@@ -864,6 +864,38 @@ object MdxParser {
         return Axis(gDrills ++ iDrills, gCuts ++ iCuts,
           filters = parseConditions(cube, ias(1)))
       }
+      // inner ORDER — per-group ordering with no truncation:
+      // Generate(set1, Order(set2, [Measures].[M][, dir])) sorts each
+      // set1 block by the measure (every tuple survives — the groupTop
+      // machinery with ranking only). ASC is Mondrian's default;
+      // BASC/BDESC coincide with ASC/DESC here because the inner set
+      // drills a single-level member list (no hierarchy to preserve).
+      if (innerUpper.startsWith("ORDER(")) {
+        if (!inner.endsWith(")"))
+          GraftException.badRequest(s"GENERATE: unbalanced inner '$inner'")
+        val ias = splitTop(
+          inner.substring("ORDER(".length, inner.length - 1), ',')
+        if (ias.length < 2 || ias.length > 3)
+          GraftException.badRequest(
+            s"GENERATE: ORDER takes (set, measure[, dir]), got '$inner'")
+        val (iDrills, iCuts) = parseSet(cube, ias(0))
+        guardSets(iDrills)
+        val om = QueryParser.segments(ias(1)) match {
+          case Seq("Measures", name) => resolveMeasure(cube, name)
+          case Seq(name) => resolveMeasure(cube, name)
+          case _ => GraftException.badRequest(
+            s"GENERATE: ORDER sorts by a measure, got '${ias(1).trim}'")
+        }
+        val oDesc = ias.lift(2).map(_.trim.toUpperCase) match {
+          case None | Some("ASC") | Some("BASC") => false
+          case Some("DESC") | Some("BDESC") => true
+          case Some(x) => GraftException.badRequest(
+            s"GENERATE: bad ORDER direction '$x'")
+        }
+        return Axis(gDrills ++ iDrills, gCuts ++ iCuts,
+          groupTop = Some(GroupTopSpec(gDrills.length, 0, om,
+            desc = oDesc, orderOnly = true)))
+      }
       // inner forms: TOPCOUNT/BOTTOMCOUNT (per-group top-k) and
       // TOPPERCENT/BOTTOMPERCENT/TOPSUM/BOTTOMSUM (per-group minimal
       // prefix covering a share of the GROUP total / an absolute sum —

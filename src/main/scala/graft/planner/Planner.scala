@@ -1608,6 +1608,14 @@ object Planner {
         }
         val innerOrder = (if (gt.desc) mcol.desc else mcol.asc) +: tiebreak
         gt.threshold match {
+          case None if gt.orderOnly =>
+            // inner ORDER: no truncation — rank every tuple within its
+            // set1 block so the axis order below emits each group sorted
+            // by the measure. A partitioned window (axis-sized frame,
+            // same state class as the TopPercent branch), not a
+            // GroupedTopK heap — there is no k to bound it.
+            df.withColumn(grankCol, row_number().over(
+              Window.partitionBy(parts: _*).orderBy(innerOrder: _*)))
           case None =>
             graft.plans.GroupedTopK.topK(df, parts, innerOrder, gt.k)
               .withColumnRenamed("rank", grankCol)

@@ -71,6 +71,13 @@ class FuzzSpec extends AnyFunSuite {
       |  FILTER([Part].[Brands].[Brand].Members,
       |    [Measures].[Revenue] > 2300000 AND
       |    [Measures].[Quantity] >= 10)) ON ROWS
+      |FROM sales""".stripMargin,
+    // the round-13 per-group ORDER form — mangled directions/measures
+    // must 400, never crash
+    """SELECT {[Measures].[Revenue]} ON COLUMNS,
+      |GENERATE([Geography].[Geography].[Region].Members,
+      |  ORDER([Part].[Brands].[Brand].Members,
+      |    [Measures].[Revenue], DESC)) ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(

@@ -1587,6 +1587,55 @@ class MdxSpec extends AnyFunSuite {
            |FROM sales""".stripMargin)).status == 400)
   }
 
+  test("GENERATE inner ORDER sorts each group block by the measure with " +
+      "no truncation: same rows as the plain crossjoin, block-sorted; " +
+      "ASC is the default; bad directions 400") {
+    def rowsOf(mdx: String) = Planner.plan(cat,
+      MdxParser.parse(salesCube, mdx)).collect().map(_.toSeq)
+    val ordered = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  ORDER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Revenue], DESC)) ON ROWS
+        |FROM sales""".stripMargin)
+    val plain = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([Geography].[Geography].[Region].Members,
+        |  [Part].[Brands].[Brand].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    // no truncation: the same tuple set, re-ordered
+    assert(ordered.toSet == plain.toSet && ordered.nonEmpty)
+    assert(ordered.toSeq != plain.toSeq, "fixture must reorder some block")
+    // per-group: revenue non-increasing within each region block, and the
+    // blocks themselves arrive in region order
+    val byRegion = ordered.map(r =>
+      (r.head, r.last.asInstanceOf[Double]))
+    assert(byRegion.map(_._1.toString).distinct.toSeq ==
+      byRegion.map(_._1.toString).distinct.sorted.toSeq)
+    byRegion.groupBy(_._1).values.foreach { g =>
+      val revs = g.map(_._2).toSeq
+      assert(revs == revs.sortBy(-_), s"block not sorted desc: $revs")
+    }
+    // default direction is ASC — the exact reverse of each DESC block
+    // (ties impossible at this fixture's revenue precision)
+    val asc = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  ORDER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(asc.toSet == ordered.toSet)
+    for (bad <- Seq(
+      "ORDER([Part].[Brands].[Brand].Members, [Measures].[Revenue], UP)",
+      "ORDER([Part].[Brands].[Brand].Members)",
+      "ORDER([Part].[Brands].[Brand].Members, [Part].[Brands].[Brand])"))
+      assert(intercept[GraftException](MdxParser.parse(salesCube,
+        s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+           |GENERATE([Geography].[Geography].[Region].Members,
+           |  $bad) ON ROWS
+           |FROM sales""".stripMargin)).status == 400)
+  }
+
   test("GENERATE ranks by a measure NOT on COLUMNS (it rides the " +
       "aggregation internally); TOPCOUNT 0 inside GENERATE is an empty " +
       "axis, never a planner crash") {
