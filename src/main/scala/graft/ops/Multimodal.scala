@@ -132,19 +132,7 @@ object Multimodal {
           var s = 0.0
           var c = 0
           while (c < ch) {
-            val base = off + c * (bits / 8)
-            val raw =
-              if (bits == 8)
-                (if (signed) buf(base).toInt
-                 else (buf(base) & 0xff) - 128)
-              else {
-                val b0 = buf(base) & 0xff
-                val b1 = buf(base + 1) & 0xff
-                val v = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
-                (v << 16) >> 16 // sign-extend
-              }
-            val rw = if (bits == 16 && unsigned) raw - 32768 else raw
-            s += rw * full
+            s += pcmRaw(buf, off + c * (bits / 8), bits, signed, big) * full
             c += 1
           }
           s /= ch
@@ -168,6 +156,22 @@ object Multimodal {
     } catch { case _: Exception => None }
     finally ais.close()
   }
+
+  /** One PCM sample → signed raw value centered on 0. Unsigned samples
+    * re-center by subtracting the midpoint of their UNSIGNED range —
+    * never sign-extend first (an unsigned-16 value ≥ 32768 would corrupt
+    * to [-65536, -32768) under extend-then-shift, mapping the whole upper
+    * half of the amplitude range to garbage). */
+  private[graft] def pcmRaw(buf: Array[Byte], base: Int, bits: Int,
+      signed: Boolean, big: Boolean): Int =
+    if (bits == 8) {
+      if (signed) buf(base).toInt else (buf(base) & 0xff) - 128
+    } else {
+      val b0 = buf(base) & 0xff
+      val b1 = buf(base + 1) & 0xff
+      val v = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+      if (signed) (v << 16) >> 16 else v - 32768
+    }
 
   /** REAL audio decode: sample-space features [rms, peak, duration_sec,
     * zero_crossings]. The fixed row schema reuses width for the sample

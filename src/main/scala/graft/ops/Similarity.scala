@@ -389,7 +389,11 @@ object Similarity {
     * the raw vectors for the exact re-rank). Serving pays only the query
     * lookup table + the compressed scan. */
   final case class PqIndex(cbs: Array[Array[Array[Double]]],
-      corpus: DataFrame)
+      corpus: DataFrame) {
+    /** Corpus size — an ingest-time invariant, memoized so the serving
+      * path's shortlist sizing never re-scans the corpus per query. */
+    lazy val size: Long = corpus.count()
+  }
 
   /** Build the PQ index: train codebooks, one encode pass. The encoded
     * corpus is localCheckpoint'ed (the [[ivfIndex]] convention): every
@@ -446,7 +450,7 @@ object Similarity {
       shortlist: Int = 0): DataFrame = {
     val sl =
       if (shortlist > 0) shortlist
-      else suggestedShortlist(idx.corpus.count(), k)
+      else suggestedShortlist(idx.size, k)
     val qv = idx.corpus.select(col("neighbor_id").as("vec_id"),
       col("v_n").as("v"))
     val qscored = pqAdcScores(idx.corpus,

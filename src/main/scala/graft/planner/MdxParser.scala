@@ -904,8 +904,9 @@ object MdxParser {
         "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM")
       val fn = forms.find(f => innerUpper.startsWith(f + "("))
         .getOrElse(GraftException.badRequest(
-          "GENERATE: the second set must be FILTER(...) or one of " +
-            forms.mkString("(", "/", ")(...)") + s", got '$inner'"))
+          "GENERATE: the second set must be FILTER(...), ORDER(...) or " +
+            "one of " + forms.mkString("(", "/", ")(...)") +
+            s", got '$inner'"))
       if (!inner.endsWith(")"))
         GraftException.badRequest(s"GENERATE: unbalanced inner '$inner'")
       val isBottom = fn.startsWith("BOTTOM")

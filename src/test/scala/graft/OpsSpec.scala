@@ -979,6 +979,36 @@ class OpsSpec extends AnyFunSuite {
     assert(mp3.width == 8 && mp3.n_bytes == 4 && mp3.features(3) == 4.0)
   }
 
+  test("pcmRaw decodes all four PCM layouts: unsigned samples re-center " +
+      "by midpoint subtraction, never sign-extend-then-shift (the " +
+      "upper-half-amplitude corruption)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // 8-bit signed / unsigned
+    assert(Multimodal.pcmRaw(b(0x80), 0, 8, signed = true, big = false)
+      == -128)
+    assert(Multimodal.pcmRaw(b(0x7f), 0, 8, signed = true, big = false)
+      == 127)
+    assert(Multimodal.pcmRaw(b(0x80), 0, 8, signed = false, big = false)
+      == 0)   // unsigned midpoint = silence
+    assert(Multimodal.pcmRaw(b(0xff), 0, 8, signed = false, big = false)
+      == 127)
+    // 16-bit signed little/big endian
+    assert(Multimodal.pcmRaw(b(0x00, 0x80), 0, 16, signed = true,
+      big = false) == -32768)
+    assert(Multimodal.pcmRaw(b(0x80, 0x00), 0, 16, signed = true,
+      big = true) == -32768)
+    assert(Multimodal.pcmRaw(b(0xff, 0x7f), 0, 16, signed = true,
+      big = false) == 32767)
+    // 16-bit UNSIGNED: midpoint 32768 is silence, 65535 is max positive —
+    // the layout the sign-extend-first bug mapped to [-65536, -32768)
+    assert(Multimodal.pcmRaw(b(0x00, 0x80), 0, 16, signed = false,
+      big = false) == 0)
+    assert(Multimodal.pcmRaw(b(0xff, 0xff), 0, 16, signed = false,
+      big = false) == 32767)
+    assert(Multimodal.pcmRaw(b(0x00, 0x00), 0, 16, signed = false,
+      big = false) == -32768)
+  }
+
   test("DCT pHash: brightness shift and JPEG re-encode are near-dups, a " +
       "structurally different image is far; decoded near-dup pairs find " +
       "exactly the re-encode cluster") {
