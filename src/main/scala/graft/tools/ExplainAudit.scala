@@ -53,7 +53,8 @@ object ExplainAudit {
         "m06_ar_buckets", "q84_parent_share", "q85_mdx_closing",
         "d22_tombstone_delete", "t44_corpus_diff", "q86_mdx_generate",
         "s15_knn_pq_exact", "q87_mdx_generate_pct", "s16_knn_range",
-        "q88_mdx_extract")
+        "q88_mdx_extract", "q89_mdx_generate_filter",
+        "q90_mdx_generate_order", "m01_multimodal_decode")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
