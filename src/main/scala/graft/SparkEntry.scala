@@ -1245,6 +1245,22 @@ object SparkEntry {
             |    [Measures].[Revenue], DESC)) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // Composed inner form: FILTER inside TOPCOUNT — prune (region,
+      // brand) tuples by a scale-invariant avg measure, THEN rank each
+      // region's survivors by revenue (the filter-then-rank idiom; the
+      // HAVING runs before the GroupedTopK, so the top-2 is of the
+      // filtered set)
+      "q91_mdx_generate_topfilter" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |NON EMPTY GENERATE(
+            |  [Geography].[Geography].[Region].Members,
+            |  TOPCOUNT(FILTER([Part].[Brands].[Brand].Members,
+            |    [Measures].[Avg Discount] > 0.05), 2,
+            |    [Measures].[Revenue])) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // MDX Extract: project a crossjoined tuple set onto one dimension
       // (duplicates removed) — brands sold in region 2, the Nation drill
       // dropped by the projection while the slicer keeps restricting
@@ -1924,6 +1940,23 @@ object SparkEntry {
          |SELECT region, region_label, brand, revenue FROM w
          |WHERE cum_before < 40.0 / 100.0 * total
          |ORDER BY region, rk""".stripMargin,
+    // q91: FILTER composed inside TOPCOUNT — the HAVING prunes the
+    // (region, brand) pairs before the per-region rank, so the top-2 is
+    // of the filtered set (avg_disc is the scale-invariant gate)
+    "q91_mdx_generate_topfilter" ->
+      s"""WITH base AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |  p_brand AS brand, ${sumd(REV, "revenue")},
+         |  ${avgd("l_discount", "avg_disc")}
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3),
+         |flt AS (SELECT * FROM base WHERE avg_disc > 0.05),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY region
+         |    ORDER BY revenue DESC, brand ASC) AS rk FROM flt)
+         |SELECT region, region_label, brand, revenue FROM ranked
+         |WHERE rk <= 2 ORDER BY region, rk""".stripMargin,
     // q90: Generate + inner ORDER — every (region, brand) tuple, region
     // blocks sorted by revenue desc (brand asc tiebreak), no truncation
     "q90_mdx_generate_order" ->

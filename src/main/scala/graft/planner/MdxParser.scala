@@ -878,7 +878,20 @@ object MdxParser {
         if (ias.length < 2 || ias.length > 3)
           GraftException.badRequest(
             s"GENERATE: ORDER takes (set, measure[, dir]), got '$inner'")
-        val (iDrills, iCuts) = parseSet(cube, ias(0))
+        // ORDER(FILTER(set, pred), m, dir): prune tuples, then order
+        // each surviving block — the same HAVING-before-rank composition
+        // as the TOPCOUNT(FILTER(...)) form below
+        val o0 = ias(0).trim
+        val (oSetTxt, oFilters) =
+          if (o0.toUpperCase.startsWith("FILTER(") && o0.endsWith(")")) {
+            val fas = splitTop(
+              o0.substring("FILTER(".length, o0.length - 1), ',')
+            if (fas.length != 2)
+              GraftException.badRequest(
+                s"GENERATE: FILTER takes (set, condition), got '$o0'")
+            (fas(0), parseConditions(cube, fas(1)))
+          } else (o0, Nil: Seq[MeasureFilter])
+        val (iDrills, iCuts) = parseSet(cube, oSetTxt)
         guardSets(iDrills)
         val om = QueryParser.segments(ias(1)) match {
           case Seq("Measures", name) => resolveMeasure(cube, name)
@@ -893,6 +906,7 @@ object MdxParser {
             s"GENERATE: bad ORDER direction '$x'")
         }
         return Axis(gDrills ++ iDrills, gCuts ++ iCuts,
+          filters = oFilters,
           groupTop = Some(GroupTopSpec(gDrills.length, 0, om,
             desc = oDesc, orderOnly = true)))
       }
@@ -919,7 +933,24 @@ object MdxParser {
           s"GENERATE: $fn takes (set, " +
             s"${if (isCount) "count" else "threshold"}, measure), " +
             s"got '$inner'")
-      val (iDrills, iCuts) = parseSet(cube, ias(0))
+      // FILTER composed INSIDE the ranked form — the filter-then-rank
+      // idiom, Generate(set1, TopCount(Filter(set2, pred), k, m)): the
+      // predicate prunes (outer, inner) tuples BEFORE the per-group
+      // ranking — exactly the HAVING-before-groupTop order the planner
+      // already runs, so the coverage-prefix forms total the FILTERED
+      // set per group, like Mondrian
+      val inner0 = ias(0).trim
+      val (iSetTxt, innerFilters) =
+        if (inner0.toUpperCase.startsWith("FILTER(") &&
+            inner0.endsWith(")")) {
+          val fas = splitTop(
+            inner0.substring("FILTER(".length, inner0.length - 1), ',')
+          if (fas.length != 2)
+            GraftException.badRequest(
+              s"GENERATE: FILTER takes (set, condition), got '$inner0'")
+          (fas(0), parseConditions(cube, fas(1)))
+        } else (inner0, Nil: Seq[MeasureFilter])
+      val (iDrills, iCuts) = parseSet(cube, iSetTxt)
       val k = if (isCount) parseCount(ias(1), fn) else 0L
       val threshold: Option[Double] =
         if (isCount) None
@@ -947,8 +978,10 @@ object MdxParser {
         // TOPCOUNT(set, 0) is an empty set per group → an empty axis,
         // exactly like the axis-level TOPCOUNT(…, 0, …)'s limit = 0 —
         // GroupedTopK requires k ≥ 1, so 0 must not reach it
-        Axis(gDrills ++ iDrills, gCuts ++ iCuts, limit = Some(0L))
+        Axis(gDrills ++ iDrills, gCuts ++ iCuts, limit = Some(0L),
+          filters = innerFilters)
       else Axis(gDrills ++ iDrills, gCuts ++ iCuts,
+        filters = innerFilters,
         groupTop = Some(GroupTopSpec(gDrills.length, k.toInt, m,
           desc = !isBottom, threshold = threshold,
           absolute = fn.endsWith("SUM"))))

@@ -78,6 +78,14 @@ class FuzzSpec extends AnyFunSuite {
       |GENERATE([Geography].[Geography].[Region].Members,
       |  ORDER([Part].[Brands].[Brand].Members,
       |    [Measures].[Revenue], DESC)) ON ROWS
+      |FROM sales""".stripMargin,
+    // the round-13 composed form (FILTER inside the ranked inner set) —
+    // mangled nesting must 400, never crash
+    """SELECT {[Measures].[Revenue]} ON COLUMNS,
+      |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+      |  TOPCOUNT(FILTER([Part].[Brands].[Brand].Members,
+      |    [Measures].[Avg Discount] > 0.05), 2,
+      |    [Measures].[Revenue])) ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(

@@ -1563,7 +1563,7 @@ class MdxSpec extends AnyFunSuite {
         |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
         |  FILTER([Part].[Brands].[Brand].Members,
         |    [Measures].[Revenue] > 200000 AND
-        |    [Measures].[Quantity] > 3000)) ON ROWS
+        |    [Measures].[Quantity] > 1500)) ON ROWS
         |FROM sales""".stripMargin)).collect().map(_.toSeq)
     assert(and.length <= gen.length)
     assert(and.toSet.subsetOf(gen.toSet))
@@ -1629,6 +1629,91 @@ class MdxSpec extends AnyFunSuite {
       "ORDER([Part].[Brands].[Brand].Members, [Measures].[Revenue], UP)",
       "ORDER([Part].[Brands].[Brand].Members)",
       "ORDER([Part].[Brands].[Brand].Members, [Part].[Brands].[Brand])"))
+      assert(intercept[GraftException](MdxParser.parse(salesCube,
+        s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+           |GENERATE([Geography].[Geography].[Region].Members,
+           |  $bad) ON ROWS
+           |FROM sales""".stripMargin)).status == 400)
+  }
+
+  test("GENERATE composes FILTER inside the ranked forms: " +
+      "TOPCOUNT(FILTER(set, pred), k, m) prunes tuples BEFORE the " +
+      "per-group ranking, TOPPERCENT totals the filtered set, and " +
+      "ORDER(FILTER(...)) sorts the survivors") {
+    def rowsOf(mdx: String) = Planner.plan(cat,
+      MdxParser.parse(salesCube, mdx)).collect().map(_.toSeq)
+    val composed = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT(FILTER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Quantity] > 1500), 2,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)
+    // reference semantics by hand: filter the (region, brand) pairs by
+    // quantity, THEN take each region's top-2 by revenue — reproduce
+    // from the two uncomposed queries
+    val filtered = rowsOf(
+      """SELECT {[Measures].[Revenue], [Measures].[Quantity]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  FILTER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Quantity] > 1500)) ON ROWS
+        |FROM sales""".stripMargin)
+    val expect = filtered
+      .map(r => (r.head.toString, r(1), r(2), r(3).asInstanceOf[Double]))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (_, g) =>
+        g.sortBy(x => (-x._4, x._3.toString)).take(2)
+      }
+      .map(x => Seq(x._1.toLong, x._2, x._3, x._4))
+    assert(composed.map(_.mkString("|")).toSeq ==
+      expect.map(_.mkString("|")).toSeq)
+    assert(composed.nonEmpty)
+    // the filter binds BEFORE the rank: some region's top-2 must differ
+    // from the unfiltered top-2 (the fixture guarantees at least one
+    // brand with top-2 revenue but quantity <= 1500 somewhere)
+    val plainTop = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT([Part].[Brands].[Brand].Members, 2,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(composed.map(_.mkString("|")).toSeq !=
+      plainTop.map(_.mkString("|")).toSeq,
+      "fixture must make the filter change at least one region's top-2")
+    // TOPPERCENT over a filtered set: the survivors of each group form
+    // the 100% total, so a 100% threshold returns exactly the FILTER form
+    val pct100 = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPPERCENT(FILTER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Quantity] > 1500), 100,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)
+    val justFilter = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  FILTER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Quantity] > 1500)) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(pct100.map(_.mkString("|")).toSet ==
+      justFilter.map(_.mkString("|")).toSet)
+    // ORDER over a filtered set: same rows as FILTER, block-sorted
+    val ordFilter = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  ORDER(FILTER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Quantity] > 1500),
+        |    [Measures].[Revenue], DESC)) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(ordFilter.map(_.mkString("|")).toSet ==
+      justFilter.map(_.mkString("|")).toSet)
+    // malformed composed forms 400
+    for (bad <- Seq(
+      "TOPCOUNT(FILTER([Part].[Brands].[Brand].Members), 2, " +
+        "[Measures].[Revenue])",
+      "TOPCOUNT(FILTER([Part].[Brands].[Brand].Members, " +
+        "[Measures].[Revenue] > 1 OR [Measures].[Quantity] > 1), 2, " +
+        "[Measures].[Revenue])"))
       assert(intercept[GraftException](MdxParser.parse(salesCube,
         s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
            |GENERATE([Geography].[Geography].[Region].Members,
