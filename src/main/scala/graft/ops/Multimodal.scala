@@ -436,6 +436,140 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-window RMS energies of a decoded PCM payload: the clip's frames
+    * split into `nWindows` equal spans (frame `i` lands in window
+    * `i·nWindows/total` — exact integer arithmetic, no drift), channels
+    * mix down by mean, and each window accumulates Σs² streaming (one
+    * frame buffer + nWindows doubles live — the bounded-row contract).
+    * None when the payload is not PCM ([[looksLikePcmContainer]] keeps
+    * the miss path free) or has fewer frames than windows. */
+  private def pcmWindowRms(bytes: Array[Byte], nWindows: Int)
+      : Option[Array[Double]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (!looksLikePcmContainer(bytes)) return None
+    val ais =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      val total = ais.getFrameLength
+      if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 ||
+          fmt.getFrameSize != ch * (bits / 8) || total < nWindows)
+        return None
+      val frameSize = fmt.getFrameSize
+      val big = fmt.isBigEndian
+      val full = 1.0 / (1 << (bits - 1))
+      val buf = new Array[Byte](frameSize * 1024)
+      val sumSq = new Array[Double](nWindows)
+      val counts = new Array[Long](nWindows)
+      var frame = 0L
+      var read = ais.read(buf)
+      while (read > 0) {
+        var off = 0
+        while (off + frameSize <= read && frame < total) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) {
+            s += pcmRaw(buf, off + c * (bits / 8), bits, signed, big) * full
+            c += 1
+          }
+          s /= ch
+          val w = ((frame * nWindows) / total).toInt
+          sumSq(w) += s * s
+          counts(w) += 1
+          frame += 1
+          off += frameSize
+        }
+        read = ais.read(buf)
+      }
+      if (frame < total) return None // truncated payload
+      var w = 0
+      val rms = new Array[Double](nWindows)
+      while (w < nWindows) {
+        rms(w) = math.sqrt(sumSq(w) / math.max(counts(w), 1L))
+        w += 1
+      }
+      Some(rms)
+    } catch { case _: Exception => None }
+    finally ais.close()
+  }
+
+  /** 64-bit AUDIO FINGERPRINT from decoded samples — the energy-delta
+    * recipe (Haitsma & Kalker's robust-hash shape collapsed to one band):
+    * split the clip into 65 equal windows, take each window's RMS, and
+    * set bit k when window k+1 is louder than window k. Invariant to
+    * uniform gain (every RMS scales identically, so the deltas' SIGNS
+    * are unchanged), to container/endianness/channel layout (computed in
+    * decoded sample space — a WAV and its AIFF re-encode fingerprint
+    * identically), and robust to mild noise (only windows with
+    * near-equal energy can flip). Undecodable payloads fall back to the
+    * [[phashDecoded]] leading-byte words, so mixed corpora band and join
+    * uniformly — the same discipline as the image path. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      pcmWindowRms(r.media, 65) match {
+        case Some(rms) =>
+          var bitsAcc = 0L
+          var k = 0
+          while (k < 64) {
+            if (rms(k + 1) > rms(k)) bitsAcc |= 1L << k
+            k += 1
+          }
+          (r.doc_id, bitsAcc >>> 32, bitsAcc & 0xffffffffL)
+        case None =>
+          def word(from: Int): Long = {
+            var acc = 0L
+            var i = from
+            while (i < from + 4 && i < r.media.length) {
+              acc = (acc << 8) | (r.media(i) & 0xffL)
+              i += 1
+            }
+            acc
+          }
+          (r.doc_id, word(0), word(4))
+      }
+    }).toDF("doc_id", "fp_hi", "fp_lo")
+  }
+
+  /** AUDIO NEAR-DUPLICATE detection — re-encodes, gain-normalized copies,
+    * and container translations of the same recording pair up within
+    * Hamming distance `maxHamming` of the 64-bit [[audioFingerprint]].
+    * Identical scale shape to [[phashNearDupPairs]]: pigeonhole combo
+    * blocks ([[Dedup.simhashBlockKeys]], complete for Hamming ≤
+    * maxHamming), skinny candidate self-join, two-bit_count verify —
+    * map-side hash, ~n/2^26 buckets, pair work linear into the billions
+    * of assets. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = audioFingerprint(media).localCheckpoint(eager = false)
+    val keyed = fp
+      .withColumn("f",
+        shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo")))
+      .select(col("doc_id"),
+        explode(Dedup.simhashBlockKeys("f", maxHamming)).as("bk"))
+    val cand = keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
+        col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp_hi").as("hi_a"),
+        col("fp_lo").as("lo_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp_hi").as("hi_b"),
+        col("fp_lo").as("lo_b")), "doc_b")
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** ASPECT-RATIO BUCKETING + batch assembly — the multi-aspect training
     * step of image-generation pipelines (NovelAI's aspect-ratio bucketing,
     * SDXL-style multi-aspect finetuning): every image is assigned to the

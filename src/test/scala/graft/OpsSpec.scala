@@ -979,6 +979,54 @@ class OpsSpec extends AnyFunSuite {
     assert(mp3.width == 8 && mp3.n_bytes == 4 && mp3.features(3) == 4.0)
   }
 
+  test("audio fingerprint: gain-scaled copies, AIFF re-encodes hash " +
+      "identically; a different melody is far; near-dup pairs find " +
+      "exactly the re-encode cluster; undecodable payloads take the " +
+      "mediaPhash byte fallback") {
+    import spark.implicits._
+    // 65-window "melody": window i holds a square wave of a DISTINCT
+    // amplitude (seeded permutation — no RMS ties, so every delta bit is
+    // decisive), 80 frames per window at 8 kHz
+    val perm = new scala.util.Random(77).shuffle((0 until 65).toList)
+    def melody(amps: Seq[Int]): Array[Short] =
+      amps.flatMap(a => Array.tabulate(80)(j =>
+        (if (j % 2 == 0) a else -a).toShort)).toArray
+    val amps = perm.map(p => 1000 + 400 * p)
+    val base = melody(amps)
+    val halved = base.map(s => (s / 2).toShort) // uniform gain 0.5, exact
+    val reversed = melody(amps.reverse)
+    val wav = encodeAudio(base, 8000f, 1)
+    val media = Seq(
+      Multimodal.MediaRow(1L, wav, Multimodal.MediaMeta("wav", 0, 0, 1)),
+      Multimodal.MediaRow(2L, encodeAudio(halved, 8000f, 1),
+        Multimodal.MediaMeta("wav", 0, 0, 1)),
+      Multimodal.MediaRow(3L, encodeAudio(base, 8000f, 1, aiff = true),
+        Multimodal.MediaMeta("aiff", 0, 0, 1)),
+      Multimodal.MediaRow(4L, encodeAudio(reversed, 8000f, 1),
+        Multimodal.MediaMeta("wav", 0, 0, 1)),
+      Multimodal.MediaRow(5L, Array[Byte](9, 8, 7, 6, 5),
+        Multimodal.MediaMeta("mp3", 0, 0, 1))).toDS().toDF()
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // gain invariance and container invariance: bit-identical
+    assert(fp(2L) == fp(1L), "uniform gain must not move any delta sign")
+    assert(fp(3L) == fp(1L), "AIFF re-encode must hash identically")
+    // a structurally different melody is far
+    val ham = java.lang.Long.bitCount(fp(1L)._1 ^ fp(4L)._1) +
+      java.lang.Long.bitCount(fp(1L)._2 ^ fp(4L)._2)
+    assert(ham >= 12, s"different melody hamming $ham")
+    // undecodable payload: the mediaPhash leading-byte words, verified
+    // against the SQL entry point on the same payload
+    val sql = Multimodal.mediaPhash(media.where(col("doc_id") === 5L))
+      .collect().head
+    assert(fp(5L) == ((sql.getLong(1), sql.getLong(2))))
+    // the banded near-dup op: the three re-encodes cluster, the
+    // different melody and the stub payload pair with nothing
+    val pairs = Multimodal.audioNearDupPairs(media, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("pcmRaw decodes all four PCM layouts: unsigned samples re-center " +
       "by midpoint subtraction, never sign-extend-then-shift (the " +
       "upper-half-amplitude corruption)") {
