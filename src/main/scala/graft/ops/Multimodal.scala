@@ -412,29 +412,10 @@ object Multimodal {
     * map-side hash, ~n/2^26-sized buckets, pair work linear until tens of
     * billions of assets. */
   def phashNearDupPairs(media: DataFrame, maxHamming: Int,
-      decoded: Boolean = false): DataFrame = {
-    val fp = (if (decoded) phashDecoded(media) else mediaPhash(media))
-      .localCheckpoint(eager = false)
-    val keyed = fp
-      .withColumn("ph",
-        shiftleft(col("ph_hi"), 32).bitwiseOR(col("ph_lo")))
-      .select(col("doc_id"),
-        explode(Dedup.simhashBlockKeys("ph", maxHamming)).as("bk"))
-    val cand = keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
-      .join(keyed.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
-        col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("ph_hi").as("hi_a"),
-        col("ph_lo").as("lo_a")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("ph_hi").as("hi_b"),
-        col("ph_lo").as("lo_b")), "doc_b")
-      .withColumn("hamming",
-        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
-      .where(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
-  }
+      decoded: Boolean = false): DataFrame =
+    bandedHammingPairs(
+      if (decoded) phashDecoded(media) else mediaPhash(media),
+      "ph_hi", "ph_lo", maxHamming)
 
   /** Per-window RMS energies of a decoded PCM payload: the clip's frames
     * split into `nWindows` equal spans (frame `i` lands in window
@@ -459,8 +440,13 @@ object Multimodal {
       val signed = enc == AudioFormat.Encoding.PCM_SIGNED
       val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
       val total = ais.getFrameLength
+      // total < nWindows is fine: frame i still lands in window
+      // i·n/total, unreached windows stay at RMS 0 — deterministic and
+      // container/gain-invariant, so short clips keep the decode-space
+      // fingerprint instead of falling back to container bytes (whose
+      // headers differ between a WAV and its AIFF re-encode)
       if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 ||
-          fmt.getFrameSize != ch * (bits / 8) || total < nWindows)
+          fmt.getFrameSize != ch * (bits / 8) || total < 2)
         return None
       val frameSize = fmt.getFrameSize
       val big = fmt.isBigEndian
@@ -500,6 +486,27 @@ object Multimodal {
     finally ais.close()
   }
 
+  /** 64-bit FNV-1a over a whole payload — the fallback fingerprint for
+    * audio bytes NO codec can decode. Content-UNIFORM on purpose, the
+    * opposite of the image path's locality-preserving leading-byte
+    * words: compressed audio (the dominant real format) shares container
+    * headers — every ID3v2-tagged mp3 opens with the same bytes — so a
+    * leading-byte fallback would collide unrelated recordings into one
+    * banding bucket (false pairs at Hamming 0 AND an n² candidate join).
+    * A full-content hash makes exact re-uploads pair at Hamming 0 while
+    * unrelated files distribute uniformly, keeping the banding linear —
+    * the only honest semantic without a codec. */
+  private def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** 64-bit AUDIO FINGERPRINT from decoded samples — the energy-delta
     * recipe (Haitsma & Kalker's robust-hash shape collapsed to one band):
     * split the clip into 65 equal windows, take each window's RMS, and
@@ -507,10 +514,11 @@ object Multimodal {
     * uniform gain (every RMS scales identically, so the deltas' SIGNS
     * are unchanged), to container/endianness/channel layout (computed in
     * decoded sample space — a WAV and its AIFF re-encode fingerprint
-    * identically), and robust to mild noise (only windows with
-    * near-equal energy can flip). Undecodable payloads fall back to the
-    * [[phashDecoded]] leading-byte words, so mixed corpora band and join
-    * uniformly — the same discipline as the image path. */
+    * identically, including clips shorter than the window count), and
+    * robust to mild noise (only windows with near-equal energy can
+    * flip). Undecodable payloads fall back to the content-uniform
+    * [[fnv64]] hash — exact-duplicate detection only, see its note on
+    * why leading-byte words would go quadratic on compressed corpora. */
   def audioFingerprint(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -525,33 +533,24 @@ object Multimodal {
           }
           (r.doc_id, bitsAcc >>> 32, bitsAcc & 0xffffffffL)
         case None =>
-          def word(from: Int): Long = {
-            var acc = 0L
-            var i = from
-            while (i < from + 4 && i < r.media.length) {
-              acc = (acc << 8) | (r.media(i) & 0xffL)
-              i += 1
-            }
-            acc
-          }
-          (r.doc_id, word(0), word(4))
+          val h = fnv64(r.media)
+          (r.doc_id, h >>> 32, h & 0xffffffffL)
       }
     }).toDF("doc_id", "fp_hi", "fp_lo")
   }
 
-  /** AUDIO NEAR-DUPLICATE detection — re-encodes, gain-normalized copies,
-    * and container translations of the same recording pair up within
-    * Hamming distance `maxHamming` of the 64-bit [[audioFingerprint]].
-    * Identical scale shape to [[phashNearDupPairs]]: pigeonhole combo
-    * blocks ([[Dedup.simhashBlockKeys]], complete for Hamming ≤
-    * maxHamming), skinny candidate self-join, two-bit_count verify —
-    * map-side hash, ~n/2^26 buckets, pair work linear into the billions
-    * of assets. */
-  def audioNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
-    val fp = audioFingerprint(media).localCheckpoint(eager = false)
+  /** Shared banded-Hamming self-join over a 64-bit (hi, lo) fingerprint
+    * frame — the engine behind [[phashNearDupPairs]] and
+    * [[audioNearDupPairs]]: pigeonhole combo blocks
+    * ([[Dedup.simhashBlockKeys]], complete for Hamming ≤ maxHamming),
+    * skinny candidate self-join, two-bit_count verify — map-side hash,
+    * ~n/2^26 buckets, pair work linear into the billions of assets. */
+  private def bandedHammingPairs(fingerprints: DataFrame, hiCol: String,
+      loCol: String, maxHamming: Int): DataFrame = {
+    val fp = fingerprints.localCheckpoint(eager = false)
     val keyed = fp
       .withColumn("f",
-        shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo")))
+        shiftleft(col(hiCol), 32).bitwiseOR(col(loCol)))
       .select(col("doc_id"),
         explode(Dedup.simhashBlockKeys("f", maxHamming)).as("bk"))
     val cand = keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
@@ -559,16 +558,25 @@ object Multimodal {
         col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("fp_hi").as("hi_a"),
-        col("fp_lo").as("lo_a")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("fp_hi").as("hi_b"),
-        col("fp_lo").as("lo_b")), "doc_b")
+      .join(fp.select(col("doc_id").as("doc_a"), col(hiCol).as("hi_a"),
+        col(loCol).as("lo_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col(hiCol).as("hi_b"),
+        col(loCol).as("lo_b")), "doc_b")
       .withColumn("hamming",
         expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** AUDIO NEAR-DUPLICATE detection — re-encodes, gain-normalized copies,
+    * and container translations of the same recording pair up within
+    * Hamming distance `maxHamming` of the 64-bit [[audioFingerprint]];
+    * undecodable payloads pair only when byte-exact (the [[fnv64]]
+    * fallback). Scale shape: [[bandedHammingPairs]]. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
+    bandedHammingPairs(audioFingerprint(media), "fp_hi", "fp_lo",
+      maxHamming)
 
   /** ASPECT-RATIO BUCKETING + batch assembly — the multi-aspect training
     * step of image-generation pipelines (NovelAI's aspect-ratio bucketing,

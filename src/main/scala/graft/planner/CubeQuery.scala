@@ -109,6 +109,13 @@ final case class CubeQuery(
     // before DISTINCT/TAIL/ORDER/SUBSET in the finish sequence (one
     // GroupedTopK bounded-heap pass, never a per-group sort)
     groupTop: Option[GroupTopSpec] = None,
+    // HAVING applied AFTER the groupTop truncation — the axis-level
+    // FILTER wrapping a truncating GENERATE (Mondrian evaluates the
+    // generated set first, THEN filters it, so a top-2 member failing
+    // the predicate is dropped, never back-filled by rank 3). Distinct
+    // from `filters`, which prune BEFORE the ranking (the composed
+    // inner-FILTER form).
+    postFilters: Seq[MeasureFilter] = Nil,
     nonempty: Boolean = true,   // groupBy output is naturally nonempty; dense
     // mode (the reference's default JSON shape) densifies via member-domain
     // cross product + left join (SURVEY §2.4 C1)

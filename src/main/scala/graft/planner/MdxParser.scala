@@ -159,7 +159,9 @@ object MdxParser {
           cuts = axis.cuts ++ slicerCuts, filters = axis.filters,
           order = axis.order, limit = axis.limit, offset = axis.offset,
           tailLimit = axis.tail, groupTop = axis.groupTop,
-          nonempty = nonEmpty || axis.filters.nonEmpty,
+          postFilters = axis.postFilters,
+          nonempty = nonEmpty || axis.filters.nonEmpty ||
+            axis.postFilters.nonEmpty,
           distinct = axis.distinct,
           adhocCalcs = adhoc, adhocLags = adhocLags,
           adhocTotals = adhocTotals, adhocCums = adhocCums,
@@ -647,7 +649,8 @@ object MdxParser {
       filters: Seq[MeasureFilter] = Nil, order: Option[OrderSpec] = None,
       limit: Option[Long] = None, offset: Long = 0,
       tail: Option[Long] = None, distinct: Boolean = false,
-      groupTop: Option[GroupTopSpec] = None)
+      groupTop: Option[GroupTopSpec] = None,
+      postFilters: Seq[MeasureFilter] = Nil)
 
   /** Axis-level functions wrap the whole set: FILTER → HAVING, ORDER →
     * result order, HEAD → limit, SUBSET → offset/limit, DISTINCT → the A14
@@ -672,7 +675,21 @@ object MdxParser {
       if (as.length != 2)
         GraftException.badRequest(s"FILTER takes (set, condition): '$s'")
       val inner = parseAxis(cube, as(0))
-      inner.copy(filters = inner.filters ++ parseConditions(cube, as(1)))
+      val conds = parseConditions(cube, as(1))
+      // FILTER over an already-TRUNCATED set must evaluate AFTER the
+      // truncation (Mondrian computes the inner set first): over a
+      // truncating GENERATE that is the postFilters channel — a top-2
+      // member failing the predicate is dropped, never back-filled by
+      // rank 3. Over a HEAD/SUBSET/TAIL-paged set the planner applies
+      // pagination last, so post-paging filtering cannot be expressed —
+      // reject it like TAIL-over-paged rather than silently pre-filter.
+      if (inner.limit.nonEmpty || inner.tail.nonEmpty || inner.offset != 0)
+        GraftException.badRequest(
+          "FILTER over a HEAD/SUBSET/TAIL/TOPCOUNT-paged set is not " +
+            "supported — apply FILTER inside the paging function")
+      else if (inner.groupTop.exists(gt => !gt.orderOnly))
+        inner.copy(postFilters = inner.postFilters ++ conds)
+      else inner.copy(filters = inner.filters ++ conds)
     } else if (upper.startsWith("ORDER(") && t.endsWith(")")) {
       val as = args("ORDER(")
       if (as.length < 2 || as.length > 3)
@@ -845,6 +862,19 @@ object MdxParser {
             s"GENERATE: inner set drills the outer set's dimension " +
               s"'${overlap.head}' — the partition would be degenerate")
       }
+      // Strip a FILTER(set, cond) wrapper off an inner-set argument —
+      // shared by the plain, ORDER, and ranked inner forms below.
+      def stripInnerFilter(txt: String): (String, Seq[MeasureFilter]) = {
+        val t0 = txt.trim
+        if (t0.toUpperCase.startsWith("FILTER(") && t0.endsWith(")")) {
+          val fas = splitTop(
+            t0.substring("FILTER(".length, t0.length - 1), ',')
+          if (fas.length != 2)
+            GraftException.badRequest(
+              s"GENERATE: FILTER takes (set, condition), got '$t0'")
+          (fas(0), parseConditions(cube, fas(1)))
+        } else (t0, Nil)
+      }
       // inner FILTER — the per-group HAVING idiom: Generate(set1,
       // Filter(set2, [Measures].[M] > x)). The predicate evaluates in the
       // (outer, inner) tuple context, so per-group filtering IS a measure
@@ -881,16 +911,7 @@ object MdxParser {
         // ORDER(FILTER(set, pred), m, dir): prune tuples, then order
         // each surviving block — the same HAVING-before-rank composition
         // as the TOPCOUNT(FILTER(...)) form below
-        val o0 = ias(0).trim
-        val (oSetTxt, oFilters) =
-          if (o0.toUpperCase.startsWith("FILTER(") && o0.endsWith(")")) {
-            val fas = splitTop(
-              o0.substring("FILTER(".length, o0.length - 1), ',')
-            if (fas.length != 2)
-              GraftException.badRequest(
-                s"GENERATE: FILTER takes (set, condition), got '$o0'")
-            (fas(0), parseConditions(cube, fas(1)))
-          } else (o0, Nil: Seq[MeasureFilter])
+        val (oSetTxt, oFilters) = stripInnerFilter(ias(0))
         val (iDrills, iCuts) = parseSet(cube, oSetTxt)
         guardSets(iDrills)
         val om = QueryParser.segments(ias(1)) match {
@@ -939,17 +960,7 @@ object MdxParser {
       // ranking — exactly the HAVING-before-groupTop order the planner
       // already runs, so the coverage-prefix forms total the FILTERED
       // set per group, like Mondrian
-      val inner0 = ias(0).trim
-      val (iSetTxt, innerFilters) =
-        if (inner0.toUpperCase.startsWith("FILTER(") &&
-            inner0.endsWith(")")) {
-          val fas = splitTop(
-            inner0.substring("FILTER(".length, inner0.length - 1), ',')
-          if (fas.length != 2)
-            GraftException.badRequest(
-              s"GENERATE: FILTER takes (set, condition), got '$inner0'")
-          (fas(0), parseConditions(cube, fas(1)))
-        } else (inner0, Nil: Seq[MeasureFilter])
+      val (iSetTxt, innerFilters) = stripInnerFilter(ias(0))
       val (iDrills, iCuts) = parseSet(cube, iSetTxt)
       val k = if (isCount) parseCount(ias(1), fn) else 0L
       val threshold: Option[Double] =

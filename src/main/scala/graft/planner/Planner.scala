@@ -221,7 +221,7 @@ object Planner {
       else cube.defaultMeasure.toSeq
     val need = resolveMeasures(cube, measureNames ++
       q.order.toSeq.collect { case OrderSpec(OrderByMeasure(m), _) => m } ++
-      q.filters.map(_.measure) ++
+      q.filters.map(_.measure) ++ q.postFilters.map(_.measure) ++
       // GENERATE may rank by a measure that is not on COLUMNS — it must
       // ride the aggregation like an ORDER measure (dropped by the final
       // output projection)
@@ -1647,8 +1647,18 @@ object Planner {
         }
       case None => df
     }
+    // postFilters: HAVING evaluated AFTER the groupTop truncation — the
+    // axis-level FILTER wrapping a truncating GENERATE (a top-k member
+    // failing the predicate is dropped, never back-filled by the next
+    // rank; remaining rows keep their __grank, so blocks stay in inner
+    // order with gaps, like Mondrian's filtered generated set)
+    val postFiltered = q.postFilters.foldLeft(grouped) { (df, f) =>
+      val a = aliasOfMeasure(cube, f.measure)
+      df.filter(comparison(col(a), f.op, f.value))
+    }
     val distinctDf =
-      if (q.distinct) grouped.dropDuplicates(outputCols) else grouped
+      if (q.distinct) postFiltered.dropDuplicates(outputCols)
+      else postFiltered
     // with a per-group top-k, each set1 block keeps its inner ranking
     // order (Mondrian's Generate output shape) ahead of the default
     // hierarchical member order

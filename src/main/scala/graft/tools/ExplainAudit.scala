@@ -54,7 +54,8 @@ object ExplainAudit {
         "d22_tombstone_delete", "t44_corpus_diff", "q86_mdx_generate",
         "s15_knn_pq_exact", "q87_mdx_generate_pct", "s16_knn_range",
         "q88_mdx_extract", "q89_mdx_generate_filter",
-        "q90_mdx_generate_order", "m01_multimodal_decode")
+        "q90_mdx_generate_order", "q91_mdx_generate_topfilter",
+        "m01_multimodal_decode")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

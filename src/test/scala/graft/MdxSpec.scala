@@ -1721,6 +1721,53 @@ class MdxSpec extends AnyFunSuite {
            |FROM sales""".stripMargin)).status == 400)
   }
 
+  test("axis-level FILTER wrapping a truncating GENERATE evaluates AFTER " +
+      "the per-group top-k (a failing top-2 member drops, rank 3 is NOT " +
+      "promoted) — the opposite of the composed inner FILTER; FILTER " +
+      "over a paged set 400s") {
+    def rowsOf(mdx: String) = Planner.plan(cat,
+      MdxParser.parse(salesCube, mdx)).collect().map(_.mkString("|"))
+    val top2 = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT([Part].[Brands].[Brand].Members, 2,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)
+    val outer = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY FILTER(
+        |  GENERATE([Geography].[Geography].[Region].Members,
+        |    TOPCOUNT([Part].[Brands].[Brand].Members, 2,
+        |      [Measures].[Revenue])),
+        |  [Measures].[Avg Discount] > 0.05) ON ROWS
+        |FROM sales""".stripMargin)
+    val innerComposed = rowsOf(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY GENERATE([Geography].[Geography].[Region].Members,
+        |  TOPCOUNT(FILTER([Part].[Brands].[Brand].Members,
+        |    [Measures].[Avg Discount] > 0.05), 2,
+        |    [Measures].[Revenue])) ON ROWS
+        |FROM sales""".stripMargin)
+    // outer FILTER: a strict subset of the UNfiltered top-2 (members
+    // drop, nothing is promoted in) — Mondrian evaluates Generate first
+    assert(outer.toSet.subsetOf(top2.toSet))
+    assert(outer.nonEmpty && outer.length < top2.length,
+      "fixture must drop at least one top-2 member")
+    // the composed inner form back-fills from below the original top-2,
+    // so the two forms genuinely differ on this fixture
+    assert(innerComposed.toSet != outer.toSet,
+      "fixture must distinguish filter-then-rank from rank-then-filter")
+    assert(innerComposed.exists(r => !top2.toSet.contains(r)),
+      "inner form must promote a sub-top-2 member somewhere")
+    // FILTER over a HEAD/SUBSET/TAIL-paged set cannot evaluate after the
+    // paging in this planner — explicit 400, never a silent pre-filter
+    assert(intercept[GraftException](MdxParser.parse(salesCube,
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |FILTER(HEAD([Part].[Brands].[Brand].Members, 5),
+        |  [Measures].[Revenue] > 1) ON ROWS
+        |FROM sales""".stripMargin)).status == 400)
+  }
+
   test("GENERATE ranks by a measure NOT on COLUMNS (it rides the " +
       "aggregation internally); TOPCOUNT 0 inside GENERATE is an empty " +
       "axis, never a planner crash") {

@@ -1004,7 +1004,14 @@ class OpsSpec extends AnyFunSuite {
         Multimodal.MediaMeta("aiff", 0, 0, 1)),
       Multimodal.MediaRow(4L, encodeAudio(reversed, 8000f, 1),
         Multimodal.MediaMeta("wav", 0, 0, 1)),
-      Multimodal.MediaRow(5L, Array[Byte](9, 8, 7, 6, 5),
+      // undecodable payloads: 5/6 share a fake ID3-style header but
+      // differ later (must NOT pair — the compressed-corpus trap a
+      // leading-byte fallback falls into); 7 is byte-exact with 5
+      Multimodal.MediaRow(5L, "ID3x044rec-one-bytes".getBytes("UTF-8"),
+        Multimodal.MediaMeta("mp3", 0, 0, 1)),
+      Multimodal.MediaRow(6L, "ID3x044rec-two-other".getBytes("UTF-8"),
+        Multimodal.MediaMeta("mp3", 0, 0, 1)),
+      Multimodal.MediaRow(7L, "ID3x044rec-one-bytes".getBytes("UTF-8"),
         Multimodal.MediaMeta("mp3", 0, 0, 1))).toDS().toDF()
     val fp = Multimodal.audioFingerprint(media).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
@@ -1015,16 +1022,35 @@ class OpsSpec extends AnyFunSuite {
     val ham = java.lang.Long.bitCount(fp(1L)._1 ^ fp(4L)._1) +
       java.lang.Long.bitCount(fp(1L)._2 ^ fp(4L)._2)
     assert(ham >= 12, s"different melody hamming $ham")
-    // undecodable payload: the mediaPhash leading-byte words, verified
-    // against the SQL entry point on the same payload
-    val sql = Multimodal.mediaPhash(media.where(col("doc_id") === 5L))
-      .collect().head
-    assert(fp(5L) == ((sql.getLong(1), sql.getLong(2))))
-    // the banded near-dup op: the three re-encodes cluster, the
-    // different melody and the stub payload pair with nothing
+    // undecodable fallback is the content-uniform full-payload hash:
+    // byte-exact copies collide, shared-header different recordings
+    // do NOT (the leading-byte recipe would hash 5 and 6 identically)
+    assert(fp(5L) == fp(7L))
+    assert(fp(5L) != fp(6L))
+    // the banded near-dup op: the three re-encodes cluster, the exact
+    // undecodable re-upload pairs, the different melody and the
+    // different compressed file pair with nothing
     val pairs = Multimodal.audioNearDupPairs(media, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 7L)))
+  }
+
+  test("audio fingerprint stays in decode space for clips shorter than " +
+      "the window count: WAV and AIFF re-encodes of a short clip hash " +
+      "identically (no container-byte fallback)") {
+    import spark.implicits._
+    // 32 frames < 65 windows: must still fingerprint from samples
+    val short = Array.tabulate(32)(j =>
+      (if (j < 16) 8000 else 2000).toShort)
+    val media = Seq(
+      Multimodal.MediaRow(1L, encodeAudio(short, 8000f, 1),
+        Multimodal.MediaMeta("wav", 0, 0, 1)),
+      Multimodal.MediaRow(2L, encodeAudio(short, 8000f, 1, aiff = true),
+        Multimodal.MediaMeta("aiff", 0, 0, 1))).toDS().toDF()
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fp(1L) == fp(2L),
+      "short-clip container translation must hash identically")
   }
 
   test("pcmRaw decodes all four PCM layouts: unsigned samples re-center " +
