@@ -418,12 +418,16 @@ object Multimodal {
       "ph_hi", "ph_lo", maxHamming)
 
   /** Per-window RMS energies of a decoded PCM payload: the clip's frames
-    * split into `nWindows` equal spans (frame `i` lands in window
-    * `i·nWindows/total` — exact integer arithmetic, no drift), channels
-    * mix down by mean, and each window accumulates Σs² streaming (one
-    * frame buffer + nWindows doubles live — the bounded-row contract).
-    * None when the payload is not PCM ([[looksLikePcmContainer]] keeps
-    * the miss path free) or has fewer frames than windows. */
+    * split into min(`nWindows`, frameCount) equal spans (frame `i` lands
+    * in window `i·n/total` — exact integer arithmetic, no drift; capping
+    * n at the frame count keeps EVERY window populated, so short clips
+    * never interleave empty zero-RMS windows whose delta signs would be
+    * content-independent), channels mix down by mean, and each window
+    * accumulates Σs² streaming (one frame buffer + n doubles live — the
+    * bounded-row contract). The returned array has min(nWindows, total)
+    * entries. None when the payload is not PCM
+    * ([[looksLikePcmContainer]] keeps the miss path free) or has fewer
+    * than 2 frames. */
   private def pcmWindowRms(bytes: Array[Byte], nWindows: Int)
       : Option[Array[Double]] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
@@ -440,20 +444,19 @@ object Multimodal {
       val signed = enc == AudioFormat.Encoding.PCM_SIGNED
       val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
       val total = ais.getFrameLength
-      // total < nWindows is fine: frame i still lands in window
-      // i·n/total, unreached windows stay at RMS 0 — deterministic and
-      // container/gain-invariant, so short clips keep the decode-space
-      // fingerprint instead of falling back to container bytes (whose
-      // headers differ between a WAV and its AIFF re-encode)
+      // short clips keep the decode-space fingerprint (container bytes
+      // would differ between a WAV and its AIFF re-encode); the window
+      // count shrinks to the frame count so every window holds a frame
       if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 ||
           fmt.getFrameSize != ch * (bits / 8) || total < 2)
         return None
+      val n = math.min(nWindows.toLong, total).toInt
       val frameSize = fmt.getFrameSize
       val big = fmt.isBigEndian
       val full = 1.0 / (1 << (bits - 1))
       val buf = new Array[Byte](frameSize * 1024)
-      val sumSq = new Array[Double](nWindows)
-      val counts = new Array[Long](nWindows)
+      val sumSq = new Array[Double](n)
+      val counts = new Array[Long](n)
       var frame = 0L
       var read = ais.read(buf)
       while (read > 0) {
@@ -466,7 +469,7 @@ object Multimodal {
             c += 1
           }
           s /= ch
-          val w = ((frame * nWindows) / total).toInt
+          val w = ((frame * n) / total).toInt
           sumSq(w) += s * s
           counts(w) += 1
           frame += 1
@@ -476,8 +479,8 @@ object Multimodal {
       }
       if (frame < total) return None // truncated payload
       var w = 0
-      val rms = new Array[Double](nWindows)
-      while (w < nWindows) {
+      val rms = new Array[Double](n)
+      while (w < n) {
         rms(w) = math.sqrt(sumSq(w) / math.max(counts(w), 1L))
         w += 1
       }
@@ -525,9 +528,12 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map { r =>
       pcmWindowRms(r.media, 65) match {
         case Some(rms) =>
+          // short clips yield fewer windows (all populated); the unused
+          // high delta bits stay 0 — same-length clips still compare
+          // real per-window energies, never empty-window artifacts
           var bitsAcc = 0L
           var k = 0
-          while (k < 64) {
+          while (k < rms.length - 1) {
             if (rms(k + 1) > rms(k)) bitsAcc |= 1L << k
             k += 1
           }

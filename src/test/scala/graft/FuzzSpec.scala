@@ -86,6 +86,15 @@ class FuzzSpec extends AnyFunSuite {
       |  TOPCOUNT(FILTER([Part].[Brands].[Brand].Members,
       |    [Measures].[Avg Discount] > 0.05), 2,
       |    [Measures].[Revenue])) ON ROWS
+      |FROM sales""".stripMargin,
+    // the round-13 post-truncation form (FILTER wrapping GENERATE) —
+    // mangled wrappers must 400, never crash
+    """SELECT {[Measures].[Revenue]} ON COLUMNS,
+      |NON EMPTY FILTER(
+      |  GENERATE([Geography].[Geography].[Region].Members,
+      |    TOPCOUNT([Part].[Brands].[Brand].Members, 2,
+      |      [Measures].[Revenue])),
+      |  [Measures].[Avg Discount] > 0.05) ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(

@@ -982,7 +982,7 @@ class OpsSpec extends AnyFunSuite {
   test("audio fingerprint: gain-scaled copies, AIFF re-encodes hash " +
       "identically; a different melody is far; near-dup pairs find " +
       "exactly the re-encode cluster; undecodable payloads take the " +
-      "mediaPhash byte fallback") {
+      "content-uniform full-payload hash (exact dups only)") {
     import spark.implicits._
     // 65-window "melody": window i holds a square wave of a DISTINCT
     // amplitude (seeded permutation — no RMS ties, so every delta bit is
@@ -1036,21 +1036,31 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("audio fingerprint stays in decode space for clips shorter than " +
-      "the window count: WAV and AIFF re-encodes of a short clip hash " +
-      "identically (no container-byte fallback)") {
+      "the window count: WAV and AIFF re-encodes hash identically, and " +
+      "UNRELATED same-length short clips hash DIFFERENTLY (windows " +
+      "shrink to the frame count — no content-independent empty-window " +
+      "artifacts)") {
     import spark.implicits._
-    // 32 frames < 65 windows: must still fingerprint from samples
-    val short = Array.tabulate(32)(j =>
+    // 32 frames < 65 windows: every window must hold a frame, so the
+    // delta bits compare real energies frame-to-frame
+    val stepDown = Array.tabulate(32)(j =>
       (if (j < 16) 8000 else 2000).toShort)
+    // same length, all nonzero, different energy SHAPE (rising staircase)
+    val rising = Array.tabulate(32)(j => (500 + 400 * j).toShort)
     val media = Seq(
-      Multimodal.MediaRow(1L, encodeAudio(short, 8000f, 1),
+      Multimodal.MediaRow(1L, encodeAudio(stepDown, 8000f, 1),
         Multimodal.MediaMeta("wav", 0, 0, 1)),
-      Multimodal.MediaRow(2L, encodeAudio(short, 8000f, 1, aiff = true),
-        Multimodal.MediaMeta("aiff", 0, 0, 1))).toDS().toDF()
+      Multimodal.MediaRow(2L, encodeAudio(stepDown, 8000f, 1, aiff = true),
+        Multimodal.MediaMeta("aiff", 0, 0, 1)),
+      Multimodal.MediaRow(3L, encodeAudio(rising, 8000f, 1),
+        Multimodal.MediaMeta("wav", 0, 0, 1))).toDS().toDF()
     val fp = Multimodal.audioFingerprint(media).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(fp(1L) == fp(2L),
       "short-clip container translation must hash identically")
+    assert(fp(1L) != fp(3L),
+      "unrelated same-length short clips must not collide — the guard " +
+        "against content-independent empty-window delta bits")
   }
 
   test("pcmRaw decodes all four PCM layouts: unsigned samples re-center " +
