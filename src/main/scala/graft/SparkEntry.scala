@@ -650,6 +650,38 @@ object SparkEntry {
         ops.Multimodal.phashNearDupPairs(
           base.unionByName(reup).unionByName(reenc), 3)
       },
+      // m07: REAL video decode gated against GROUND TRUTH — the payloads
+      // are genuine YUV4MPEG2 streams (header + FRAME sections + planes)
+      // whose luma values derive from md5 arithmetic the oracle recomputes
+      // independently; a misparsed header token, plane offset, or frame
+      // count fails the hash compare. 1–10 frames per clip.
+      "m07_video_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticVideo(
+            CubeCatalog.forDir(s, dir).table("documents"), 1, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width", "height", "n_frames",
+            "n_bytes", "features[0] AS mean_luma",
+            "features[1] AS activity", "features[2] AS duration_sec",
+            "features[3] AS fps")
+          .orderBy("doc_id")),
+      // m08: video near-dup over DECODED frames — 60–69-frame clips carry
+      // 59–64 fingerprint delta bits (md5-uniform, so unrelated clips
+      // never band together); the gate PLANTS a re-upload (identical
+      // payload) and a brightness-graded re-encode (+8 on every luma
+      // byte — the fingerprint's shift invariance), both Hamming 0
+      "m08_video_neardup" -> tbl("documents") { d =>
+        import org.apache.spark.sql.functions._
+        val ids = d.select("doc_id")
+        val base = ops.Multimodal.attachSyntheticVideo(ids, 60, 10)
+        val reup = base.where(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val graded = ops.Multimodal.attachSyntheticVideo(
+            ids.where(col("doc_id") % 101 === 0), 60, 10, shift = 8)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+        ops.Multimodal.videoNearDupPairs(
+          base.unionByName(reup).unionByName(graded), 2)
+      },
       // B11: parent-child hierarchy — closure-table transitive rollup; the
       // closure is the reference's registration-time <Closure> table, so it
       // is memoized per (session, dir) and each query is join + groupBy
@@ -3154,6 +3186,76 @@ object SparkEntry {
          |    + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // m07: the oracle recomputes the synthetic Y4M clips' GROUND TRUTH —
+    // per-frame luma means from the md5-derived planes (every quantity
+    // exact dyadic arithmetic, so double equality is bit-exact across
+    // engines) — while the Spark side must PARSE the real containers
+    "m07_video_decode" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n,
+         |    f.range AS f
+         |  FROM documents CROSS JOIN range(0, 10) f
+         |  WHERE f.range < doc_id % 10 + 1),
+         |hb AS (SELECT doc_id, n, f,
+         |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS h
+         |  FROM fr),
+         |ab AS (SELECT doc_id, n, f, ($MD5_U_HORNER) % 200 AS a FROM hb),
+         |pm AS (SELECT ab.doc_id, ab.n, ab.f,
+         |  SUM((ab.a + p.range * 13) % 200) / 8.0 AS m
+         |  FROM ab CROSS JOIN range(0, 8) p GROUP BY 1, 2, 3),
+         |dl AS (SELECT doc_id, n, f, m,
+         |  m - LAG(m) OVER (PARTITION BY doc_id ORDER BY f) AS dm FROM pm)
+         |SELECT doc_id, 'y4m' AS format, CAST(4 AS INTEGER) AS width,
+         |  CAST(2 AS INTEGER) AS height, n AS n_frames,
+         |  CAST(35 + 18 * n AS INTEGER) AS n_bytes,
+         |  SUM(m) / n AS mean_luma,
+         |  CASE WHEN n = 1 THEN 0.0 ELSE SUM(ABS(dm)) / (n - 1) END
+         |    AS activity,
+         |  n / 25.0 AS duration_sec, 25.0 AS fps
+         |FROM dl GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // m08: fingerprints replayed from the same ground-truth arithmetic —
+    // window means are exact dyadics, so the delta SIGNS (the bits) are
+    // engine-portable; all-pairs verify, injections mirror the Spark side
+    "m08_video_neardup" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |m AS (
+         |  SELECT doc_id, doc_id AS src, 0 AS sh FROM d
+         |  UNION ALL SELECT doc_id + 1000000, doc_id, 0 FROM d
+         |    WHERE doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id + 2000000, doc_id, 8 FROM d
+         |    WHERE doc_id % 101 = 0),
+         |fr AS (
+         |  SELECT m.doc_id, m.sh, CAST(m.src % 10 + 60 AS INTEGER) AS n,
+         |    f.range AS f, m.src
+         |  FROM m CROSS JOIN range(0, 70) f WHERE f.range < m.src % 10 + 60),
+         |hb AS (SELECT doc_id, sh, n, f,
+         |  md5(CAST(src AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS h
+         |  FROM fr),
+         |ab AS (SELECT doc_id, sh, n, f, ($MD5_U_HORNER) % 200 AS a
+         |  FROM hb),
+         |pm AS (SELECT ab.doc_id, ab.n,
+         |  CAST((ab.f * LEAST(65, ab.n)) // ab.n AS INTEGER) AS w,
+         |  SUM((ab.a + p.range * 13) % 200) / 8.0 + ab.sh AS fm
+         |  FROM ab CROSS JOIN range(0, 8) p
+         |  GROUP BY ab.doc_id, ab.n, ab.f, ab.sh),
+         |wm AS (SELECT doc_id, w, SUM(fm) / COUNT(1) AS wmean
+         |  FROM pm GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, w,
+         |  CASE WHEN wmean > LAG(wmean) OVER (PARTITION BY doc_id ORDER BY w)
+         |    THEN 1 ELSE 0 END AS rising
+         |  FROM wm),
+         |fp AS (SELECT doc_id,
+         |  COALESCE(SUM(CASE WHEN rising = 1 AND w >= 33
+         |    THEN (CAST(1 AS BIGINT) << (w - 33)) END), 0) AS hi,
+         |  COALESCE(SUM(CASE WHEN rising = 1 AND w < 33
+         |    THEN (CAST(1 AS BIGINT) << (w - 1)) END), 0) AS lo
+         |  FROM dl WHERE w >= 1 GROUP BY 1)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+         |    AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
     // m04: the fake-media metadata recipe + per-modality running byte sum
     "m04_decode_batches" ->

@@ -12,14 +12,26 @@ import org.apache.spark.sql.functions._
   * image yields pixel-space features and its DCT perceptual hash. AUDIO
   * decode is REAL for PCM containers: WAV/AIFF/AU payloads decode through
   * `javax.sound.sampled` (also in the JDK) to sample-space features —
-  * RMS, peak, duration, zero-crossings. COMPRESSED audio and VIDEO stay
-  * STUBBED (those codecs genuinely need libraries this environment
-  * lacks): `decodeStub` derives deterministic byte-moment features, and
-  * every undecodable payload falls back to it — that fallback is also the
-  * portable path the DuckDB correctness gate replays (SQL cannot decode
-  * pixels or samples, and the gate fixture's payloads are md5 bytes, not
-  * media streams). Everything else — schema, encoders, partition-wise
-  * batching, metadata propagation — is shared across the paths.
+  * RMS, peak, duration, zero-crossings. VIDEO decode is REAL for the two
+  * formats the JDK can parse: raw YUV4MPEG2 (Y4M — the uncompressed
+  * interchange format every ffmpeg pipeline can emit; a ~60-line header +
+  * plane parser, [[readY4m]]) and multi-frame animated GIF (the
+  * `javax.imageio` GIF codec plus a real frame compositor honoring
+  * per-frame offsets and disposal methods, [[readGifFrames]]); both yield
+  * frame-space features — per-frame luminance, temporal activity,
+  * duration, fps — and the temporal fingerprint [[videoFingerprint]].
+  * COMPRESSED audio and video (mp3/aac/h264/vp9…) stay STUBBED — those
+  * codecs genuinely need libraries this environment lacks: `decodeStub`
+  * derives deterministic byte-moment features, and every undecodable
+  * payload falls back to it — that fallback is also the portable path the
+  * DuckDB correctness gate's m01 replays (SQL cannot decode pixels or
+  * samples, and that fixture's payloads are md5 bytes, not media
+  * streams). The VIDEO gate is stronger: m07/m08 attach REAL Y4M clips
+  * whose luma planes are derived from md5 arithmetic BOTH engines compute
+  * ([[syntheticY4m]]), so the oracle replays the decoded ground truth —
+  * a misparsed header or plane offset fails the gate. Everything else —
+  * schema, encoders, partition-wise batching, metadata propagation — is
+  * shared across the paths.
   */
 object Multimodal {
 
@@ -201,6 +213,218 @@ object Multimodal {
     DecodedRow(r.doc_id, r.meta.format, sampleRate, channels,
       math.min(nFrames, Int.MaxValue).toInt, r.media.length, features)
 
+  // ======================================================= video decode
+
+  /** Magic-byte gate for [[readY4m]] — every YUV4MPEG2 stream opens with
+    * this exact signature (the space is part of it), so the check loses
+    * nothing and keeps the miss path free, like [[looksLikePcmContainer]]. */
+  private def looksLikeY4m(b: Array[Byte]): Boolean =
+    b.length >= 10 && b(0) == 'Y' && b(1) == 'U' && b(2) == 'V' &&
+      b(3) == '4' && b(4) == 'M' && b(5) == 'P' && b(6) == 'E' &&
+      b(7) == 'G' && b(8) == '2' && b(9) == ' '
+
+  private def looksLikeGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** A parsed raw-video clip: decoded geometry, the header's frame rate,
+    * and one luma SUM per frame (the bounded per-row state — w·h ints
+    * never live at once; the plane streams through one accumulator). */
+  private[graft] case class Y4mClip(width: Int, height: Int, fpsNum: Int,
+      fpsDen: Int, frameLumaSum: Array[Long])
+
+  /** REAL raw-video parse: YUV4MPEG2 (the uncompressed interchange format
+    * ffmpeg/x264/mjpegtools pipelines emit — an ASCII header
+    * `YUV4MPEG2 W… H… F<num>:<den> … C<space>` then per frame a `FRAME…`
+    * line + raw planes). Supports the C420 family (420/420jpeg/420mpeg2/
+    * 420paldv), C422, C444 and Cmono plane layouts; unknown colourspaces,
+    * odd dimensions under subsampling, missing W/H/F, overlong header
+    * lines, and truncated frames all return None — the caller falls back
+    * to [[decodeStub]], never a partial decode. Per frame only the luma
+    * (Y) plane is read — for Y4M the Y plane IS BT.601 luma, no matrix
+    * needed; chroma is skipped by offset. */
+  private[graft] def readY4m(bytes: Array[Byte]): Option[Y4mClip] = {
+    if (!looksLikeY4m(bytes)) return None
+    def lineEnd(from: Int): Int = {
+      var i = from
+      val cap = math.min(bytes.length, from + 512)
+      while (i < cap && bytes(i) != '\n') i += 1
+      if (i < cap) i else -1
+    }
+    def intOf(s: String): Int =
+      try s.toInt catch { case _: NumberFormatException => -1 }
+    val hEnd = lineEnd(0)
+    if (hEnd < 0) return None
+    val header =
+      new String(bytes, 0, hEnd, java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var num = -1; var den = -1
+    var colour = "420"
+    header.split(' ').drop(1).foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = intOf(t.substring(1))
+        case 'H' => h = intOf(t.substring(1))
+        case 'F' =>
+          val parts = t.substring(1).split(':')
+          if (parts.length == 2) { num = intOf(parts(0)); den = intOf(parts(1)) }
+        case 'C' => colour = t.substring(1)
+        case _ => () // I (interlace), A (aspect), X (extensions) — ignored
+      }
+    }
+    if (w <= 0 || h <= 0 || num <= 0 || den <= 0) return None
+    val chromaPlane =
+      if (colour.startsWith("420")) {
+        if (w % 2 != 0 || h % 2 != 0) return None
+        (w / 2) * (h / 2)
+      } else if (colour == "422") {
+        if (w % 2 != 0) return None
+        (w / 2) * h
+      } else if (colour == "444") w * h
+      else if (colour == "mono") 0
+      else return None
+    val lumaLen = w * h
+    val frameLen = lumaLen + 2 * chromaPlane
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = hEnd + 1
+    while (pos < bytes.length) {
+      if (pos + 5 > bytes.length || bytes(pos) != 'F' ||
+          bytes(pos + 1) != 'R' || bytes(pos + 2) != 'A' ||
+          bytes(pos + 3) != 'M' || bytes(pos + 4) != 'E') return None
+      val fEnd = lineEnd(pos + 5) // optional per-frame params before '\n'
+      if (fEnd < 0 || fEnd + 1 + frameLen > bytes.length) return None
+      var s = 0L
+      var i = fEnd + 1
+      val stop = fEnd + 1 + lumaLen
+      while (i < stop) { s += bytes(i) & 0xff; i += 1 }
+      sums += s
+      pos = fEnd + 1 + frameLen
+    }
+    if (sums.isEmpty) None
+    else Some(Y4mClip(w, h, num, den, sums.toArray))
+  }
+
+  /** One attribute of a GIF metadata tree node, or `default`. */
+  private def gifAttr(root: org.w3c.dom.Node, node: String, attr: String,
+      default: String): String = {
+    var c = root.getFirstChild
+    while (c != null) {
+      if (c.getNodeName == node) {
+        val a = c.getAttributes.getNamedItem(attr)
+        return if (a == null) default else a.getNodeValue
+      }
+      c = c.getNextSibling
+    }
+    default
+  }
+
+  /** REAL multi-frame animated-GIF decode through the JDK's `javax.imageio`
+    * GIF codec: frames COMPOSITE onto the logical-screen canvas honoring
+    * each frame's offset and disposal method (none/doNotDispose keep the
+    * canvas, restoreToBackgroundColor clears the frame's rectangle,
+    * restoreToPrevious reverts to the pre-frame canvas) — the same state
+    * machine a browser runs, so per-frame luminance reflects what a viewer
+    * SEES, not the stored sub-rectangles an optimized encoder writes.
+    * Returns (canvas w, canvas h, per-frame mean luma over the canvas with
+    * undrawn pixels black, total delay in centiseconds) for clips with ≥ 2
+    * frames; single-frame GIFs return None and take the still-image path. */
+  private[graft] def readGifFrames(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Double], Int)] = {
+    if (!looksLikeGif(bytes)) return None
+    imageioInit
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(iis, false, false) // seekForward=false: keep metadata
+      val n =
+        try reader.getNumImages(true)
+        catch { case _: Exception => return None }
+      if (n < 2) return None
+      val first = reader.read(0)
+      // canvas = logical screen; fall back to frame-0 extent when absent
+      var cw = first.getWidth
+      var ch = first.getHeight
+      try {
+        val sm = reader.getStreamMetadata
+        if (sm != null) {
+          val tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
+          val wS = gifAttr(tree, "LogicalScreenDescriptor",
+            "logicalScreenWidth", "")
+          val hS = gifAttr(tree, "LogicalScreenDescriptor",
+            "logicalScreenHeight", "")
+          if (wS.nonEmpty && hS.nonEmpty) { cw = wS.toInt; ch = hS.toInt }
+        }
+      } catch { case _: Exception => () }
+      val canvas = new java.awt.image.BufferedImage(cw, ch,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = canvas.createGraphics()
+      g.setComposite(java.awt.AlphaComposite.SrcOver)
+      val means = new Array[Double](n)
+      var delayCs = 0
+      var i = 0
+      while (i < n) {
+        val im = if (i == 0) first else reader.read(i)
+        val md = reader.getImageMetadata(i)
+        val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+        val x = gifAttr(tree, "ImageDescriptor", "imageLeftPosition", "0").toInt
+        val y = gifAttr(tree, "ImageDescriptor", "imageTopPosition", "0").toInt
+        val disposal = gifAttr(tree, "GraphicControlExtension",
+          "disposalMethod", "none")
+        delayCs += gifAttr(tree, "GraphicControlExtension",
+          "delayTime", "0").toInt
+        val prev: Array[Int] =
+          if (disposal == "restoreToPrevious")
+            canvas.getRGB(0, 0, cw, ch, null, 0, cw)
+          else null
+        g.drawImage(im, x, y, null)
+        var s = 0.0
+        val rgb = canvas.getRGB(0, 0, cw, ch, null, 0, cw)
+        var p = 0
+        while (p < rgb.length) {
+          // undrawn (fully transparent) canvas is black, like a player
+          if ((rgb(p) >>> 24) != 0) s += luminance(rgb(p))
+          p += 1
+        }
+        means(i) = s / math.max(rgb.length, 1)
+        disposal match {
+          case "restoreToBackgroundColor" =>
+            val comp = g.getComposite
+            g.setComposite(java.awt.AlphaComposite.Clear)
+            g.fillRect(x, y, im.getWidth, im.getHeight)
+            g.setComposite(comp)
+          case "restoreToPrevious" =>
+            canvas.setRGB(0, 0, cw, ch, prev, 0, cw)
+          case _ => ()
+        }
+        i += 1
+      }
+      g.dispose()
+      Some((cw, ch, means, delayCs))
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** REAL video decode → the fixed row schema: decoded canvas w/h, DECODED
+    * frame count (the header/container is the authority, as in the image
+    * and audio paths), and frame-space features [mean luma over frames,
+    * temporal activity = mean |Δ frame luma| (0 for single-window clips),
+    * duration in seconds, fps]. */
+  private def decodeFrames(r: MediaRow, w: Int, h: Int,
+      means: Array[Double], durationSec: Double, fps: Double): DecodedRow = {
+    val n = means.length
+    var s = 0.0
+    var act = 0.0
+    var i = 0
+    while (i < n) {
+      s += means(i)
+      if (i > 0) act += math.abs(means(i) - means(i - 1))
+      i += 1
+    }
+    DecodedRow(r.doc_id, r.meta.format, w, h, n, r.media.length,
+      Array(s / n, if (n < 2) 0.0 else act / (n - 1), durationSec, fps))
+  }
+
   /** STUB decoder — stands in for the compressed audio/video codecs this
     * environment lacks, and the fallback for any payload neither
     * javax.imageio nor javax.sound.sampled can parse.
@@ -221,17 +445,34 @@ object Multimodal {
         mx, n.toDouble))
   }
 
-  /** One media row → typed features: real pixel decode when the payload
-    * parses as an image, real sample decode when it parses as PCM audio
-    * (WAV/AIFF/AU), byte-moment stub otherwise (compressed audio/video —
-    * the remaining codec gap — and the gate's md5 fixture bytes, which is
-    * why the DuckDB oracle replays the stub path unchanged). */
+  /** One media row → typed features: real frame decode when the payload
+    * parses as video (raw Y4M, or a multi-frame animated GIF — a
+    * single-frame GIF is a still image and takes the image path), real
+    * pixel decode when it parses as an image, real sample decode when it
+    * parses as PCM audio (WAV/AIFF/AU), byte-moment stub otherwise
+    * (compressed codecs — the remaining gap — and the m01 gate's md5
+    * fixture bytes, which is why that oracle replays the stub path
+    * unchanged; the m07 video gate attaches REAL Y4M payloads instead). */
   private[graft] def decodeOne(r: MediaRow): DecodedRow =
-    readImage(r.media) match {
-      case Some(im) => decodePixels(r, im)
-      case None => readAudio(r.media) match {
-        case Some((sr, ch, nf, feats)) => decodeSamples(r, sr, ch, nf, feats)
-        case None => decodeStub(r)
+    readY4m(r.media) match {
+      case Some(c) =>
+        val ppf = c.width * c.height
+        decodeFrames(r, c.width, c.height,
+          c.frameLumaSum.map(_.toDouble / ppf),
+          c.frameLumaSum.length.toDouble * c.fpsDen / c.fpsNum,
+          c.fpsNum.toDouble / c.fpsDen)
+      case None => readGifFrames(r.media) match {
+        case Some((w, h, means, delayCs)) =>
+          decodeFrames(r, w, h, means, delayCs / 100.0,
+            if (delayCs > 0) means.length * 100.0 / delayCs else 0.0)
+        case None => readImage(r.media) match {
+          case Some(im) => decodePixels(r, im)
+          case None => readAudio(r.media) match {
+            case Some((sr, ch, nf, feats)) =>
+              decodeSamples(r, sr, ch, nf, feats)
+            case None => decodeStub(r)
+          }
+        }
       }
     }
 
@@ -583,6 +824,137 @@ object Multimodal {
   def audioNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
     bandedHammingPairs(audioFingerprint(media), "fp_hi", "fp_lo",
       maxHamming)
+
+  /** Per-frame mean luma of a decodable video payload (Y4M or animated
+    * GIF), None otherwise — the shared decode step of [[videoFingerprint]]. */
+  private def videoFrameMeans(bytes: Array[Byte]): Option[Array[Double]] =
+    readY4m(bytes) match {
+      case Some(c) =>
+        val ppf = c.width * c.height
+        Some(c.frameLumaSum.map(_.toDouble / ppf))
+      case None => readGifFrames(bytes).map(_._3)
+    }
+
+  /** 64-bit VIDEO FINGERPRINT from decoded frames — [[audioFingerprint]]'s
+    * energy-delta recipe in the temporal-luma domain: the clip's frames
+    * split into min(65, frameCount) equal windows, each window takes the
+    * mean of its frames' mean luminance, and bit k is set when window k+1
+    * is brighter than window k. Invariant to uniform brightness shift AND
+    * contrast gain (both preserve the deltas' signs), to container
+    * re-encodes that preserve frames (a Y4M and its lossless GIF rendering
+    * fingerprint identically when the pixels match), and robust to mild
+    * noise. Clips with < 2 frames and undecodable payloads (compressed
+    * video — the codec gap) fall back to the content-uniform [[fnv64]]
+    * hash: exact-duplicate detection only, for the same
+    * shared-container-header reason as the audio fallback. */
+  def videoFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      videoFrameMeans(r.media).filter(_.length >= 2) match {
+        case Some(means) =>
+          val total = means.length
+          val nw = math.min(65, total)
+          val sums = new Array[Double](nw)
+          val counts = new Array[Int](nw)
+          var f = 0
+          while (f < total) {
+            val w = ((f.toLong * nw) / total).toInt
+            sums(w) += means(f)
+            counts(w) += 1
+            f += 1
+          }
+          var bitsAcc = 0L
+          var k = 0
+          while (k < nw - 1) {
+            if (sums(k + 1) / counts(k + 1) > sums(k) / counts(k))
+              bitsAcc |= 1L << k
+            k += 1
+          }
+          (r.doc_id, bitsAcc >>> 32, bitsAcc & 0xffffffffL)
+        case None =>
+          val hh = fnv64(r.media)
+          (r.doc_id, hh >>> 32, hh & 0xffffffffL)
+      }
+    }).toDF("doc_id", "fp_hi", "fp_lo")
+  }
+
+  /** VIDEO NEAR-DUPLICATE detection — re-renders, brightness/contrast
+    * grades, and container translations of the same footage pair up within
+    * Hamming distance `maxHamming` of the 64-bit [[videoFingerprint]];
+    * undecodable payloads pair only when byte-exact (the [[fnv64]]
+    * fallback). Scale shape: [[bandedHammingPairs]]. */
+  def videoNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
+    bandedHammingPairs(videoFingerprint(media), "fp_hi", "fp_lo",
+      maxHamming)
+
+  /** Per-frame luma base of the SYNTHETIC Y4M gate fixtures: the first 4
+    * bytes of md5("<docId>:<frame>") as a uint32, mod 200 — md5 because it
+    * is the one hash BOTH engines compute identically (DuckDB `md5` +
+    * Horner hex digits replay it in SQL), 200 because it leaves +55 of
+    * brightness-shift headroom below 256 so a shifted re-encode never
+    * clips (clipping would break the fingerprint's shift invariance). */
+  private[graft] def frameLumaBase(docId: Long, frame: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$docId:$frame"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % 200).toInt
+  }
+
+  /** Deterministic REAL 4×2 C420 YUV4MPEG2 clip for the video gate: frame
+    * f's luma plane is Y[p] = (frameLumaBase(docId, f) + 13·p) mod 200 +
+    * shift, chroma is neutral 128. Every decoded quantity — frame means,
+    * their deltas, duration at F25:1 — is exact dyadic arithmetic the
+    * DuckDB oracle reproduces independently, so the gate checks the REAL
+    * container parse against ground truth, not a replayed stub. Layout:
+    * 35-byte header + 18 bytes/frame (FRAME\n + 8 Y + 2 U + 2 V). */
+  private[graft] def syntheticY4m(docId: Long, nFrames: Int,
+      shift: Int = 0): Array[Byte] = {
+    require(nFrames > 0, "nFrames must be positive")
+    require(shift >= 0 && shift <= 55, "shift must stay within luma headroom")
+    val header = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val frame = "FRAME\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + nFrames * 18)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    var f = 0
+    while (f < nFrames) {
+      System.arraycopy(frame, 0, out, pos, 6)
+      pos += 6
+      val base = frameLumaBase(docId, f)
+      var p = 0
+      while (p < 8) {
+        out(pos) = ((base + 13 * p) % 200 + shift).toByte
+        pos += 1
+        p += 1
+      }
+      var c = 0
+      while (c < 4) { out(pos) = 128.toByte; pos += 1; c += 1 }
+      f += 1
+    }
+    out
+  }
+
+  /** Attach a [[syntheticY4m]] payload per document: doc_id % `modFrames`
+    * + `addFrames` frames, optionally brightness-shifted. The m07 gate
+    * uses short clips (1–10 frames) to gate the decode features; the m08
+    * near-dup gate uses 60–69-frame clips so fingerprints carry 59–64
+    * delta bits (md5-uniform → unrelated clips never collide, the
+    * property the banding relies on). */
+  def attachSyntheticVideo(docs: DataFrame, addFrames: Int, modFrames: Int,
+      shift: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id,
+        syntheticY4m(id, (id % modFrames).toInt + addFrames, shift),
+        MediaMeta("y4m", 0, 0, 0))
+    }.toDF()
+  }
 
   /** ASPECT-RATIO BUCKETING + batch assembly — the multi-aspect training
     * step of image-generation pipelines (NovelAI's aspect-ratio bucketing,

@@ -1093,6 +1093,213 @@ class OpsSpec extends AnyFunSuite {
       big = false) == -32768)
   }
 
+  /** Hand-written YUV4MPEG2 stream: `header` line (no trailing \n), then
+    * per frame its FRAME-line params (usually "") and raw planes. */
+  private def y4mBytes(header: String,
+      frames: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write((header + "\n").getBytes("US-ASCII"))
+    frames.foreach { case (params, planes) =>
+      bos.write(("FRAME" + params + "\n").getBytes("US-ASCII"))
+      bos.write(planes)
+    }
+    bos.toByteArray
+  }
+
+  test("Y4M video decode is REAL: header geometry, fractional frame " +
+      "rates, frame params, and every colourspace's plane offsets parse; " +
+      "malformed streams (odd dims under 4:2:0, truncated frames, unknown " +
+      "colourspace) fall back to the stub — never a partial decode") {
+    def planes(luma: Int, yLen: Int, cLen: Int): Array[Byte] =
+      Array.fill(yLen)(luma.toByte) ++ Array.fill(2 * cLen)(128.toByte)
+    // NTSC-rate 4×2 C420: frames at luma 10/20/30, one with FRAME params
+    val ntsc = y4mBytes("YUV4MPEG2 W4 H2 F30000:1001 Ip A1:1 C420jpeg",
+      Seq(("", planes(10, 8, 2)), (" Xextension", planes(20, 8, 2)),
+        ("", planes(30, 8, 2))))
+    val c444 = y4mBytes("YUV4MPEG2 W3 H3 F25:1 C444",
+      Seq(("", planes(100, 9, 9))))
+    val mono = y4mBytes("YUV4MPEG2 W3 H1 F25:1 Cmono",
+      Seq(("", planes(50, 3, 0))))
+    val c422 = y4mBytes("YUV4MPEG2 W4 H3 F25:1 C422",
+      Seq(("", planes(60, 12, 6))))
+    val oddDims = y4mBytes("YUV4MPEG2 W3 H2 F25:1 C420",
+      Seq(("", planes(10, 6, 0))))
+    val truncated = ntsc.dropRight(5)
+    val unknownC = y4mBytes("YUV4MPEG2 W4 H2 F25:1 C410",
+      Seq(("", planes(10, 8, 2))))
+    def row(id: Long, b: Array[Byte]) =
+      Multimodal.MediaRow(id, b, Multimodal.MediaMeta("y4m", 9, 9, 9))
+    val out = Seq(ntsc, c444, mono, c422, oddDims, truncated, unknownC)
+      .zipWithIndex
+      .map { case (b, i) => Multimodal.decodeOne(row(i + 1L, b)) }
+      .map(r => r.doc_id -> r).toMap
+    val v = out(1L)
+    assert(v.width == 4 && v.height == 2 && v.n_frames == 3)
+    assert(v.features(0) == 20.0) // mean of exact means 10/20/30
+    assert(v.features(1) == 10.0) // |Δ| = 10, 10
+    assert(v.features(2) == 3.0 * 1001 / 30000) // duration at NTSC rate
+    assert(v.features(3) == 30000.0 / 1001)
+    assert(out(2L).width == 3 && out(2L).n_frames == 1 &&
+      out(2L).features(0) == 100.0 && out(2L).features(1) == 0.0)
+    assert(out(3L).features(0) == 50.0 && out(3L).width == 3)
+    assert(out(4L).features(0) == 60.0 && out(4L).height == 3)
+    // fallbacks: the stub reports the DECLARED meta dims (9×9), the
+    // decoder-authority paths report parsed dims — distinguishes exactly
+    Seq(5L, 6L, 7L).foreach { id =>
+      assert(out(id).width == 9 && out(id).height == 9,
+        s"payload $id must take the stub path")
+    }
+  }
+
+  test("synthetic Y4M gate fixtures decode to their md5 ground truth — " +
+      "the arithmetic the DuckDB oracle replays (m07), byte layout pinned") {
+    val id = 7L
+    val n = 4
+    val clip = Multimodal.syntheticY4m(id, n)
+    assert(clip.length == 35 + 18 * n) // header + FRAME\n + 8Y + 2U + 2V
+    val means = (0 until n).map { f =>
+      val a = Multimodal.frameLumaBase(id, f)
+      (0 until 8).map(p => (a + 13 * p) % 200).sum / 8.0
+    }
+    val d = Multimodal.decodeOne(
+      Multimodal.MediaRow(id, clip, Multimodal.MediaMeta("y4m", 0, 0, 0)))
+    assert(d.width == 4 && d.height == 2 && d.n_frames == n)
+    assert(d.features(0) == means.sum / n)
+    assert(d.features(1) ==
+      means.sliding(2).map { case Seq(x, y) => math.abs(y - x) }.sum / (n - 1))
+    assert(d.features(2) == n / 25.0 && d.features(3) == 25.0)
+    // the brightness-graded re-encode shifts every frame mean by exactly
+    // the shift — the invariance the m08 fingerprint relies on
+    val g = Multimodal.decodeOne(Multimodal.MediaRow(id,
+      Multimodal.syntheticY4m(id, n, shift = 8),
+      Multimodal.MediaMeta("y4m", 0, 0, 0)))
+    assert(g.features(0) == d.features(0) + 8.0)
+    assert(g.features(1) == d.features(1))
+  }
+
+  /** Animated GIF via the JDK writer: frames as (image, delay cs,
+    * disposal, (x, y) offset). TYPE_BYTE_GRAY keeps palette colors exact. */
+  private def animatedGif(
+      frames: Seq[(java.awt.image.BufferedImage, Int, String, (Int, Int))])
+      : Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (im, delayCs, disposal, (x, y)) =>
+      val spec =
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(im)
+      val md =
+        writer.getDefaultImageMetadata(spec, writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      def child(name: String): IIOMetadataNode = {
+        var c = tree.getFirstChild
+        while (c != null && c.getNodeName != name) c = c.getNextSibling
+        if (c != null) c.asInstanceOf[IIOMetadataNode]
+        else {
+          val nn = new IIOMetadataNode(name); tree.appendChild(nn); nn
+        }
+      }
+      val gce = child("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      val idn = child("ImageDescriptor")
+      idn.setAttribute("imageLeftPosition", x.toString)
+      idn.setAttribute("imageTopPosition", y.toString)
+      idn.setAttribute("imageWidth", im.getWidth.toString)
+      idn.setAttribute("imageHeight", im.getHeight.toString)
+      idn.setAttribute("interlaceFlag", "FALSE")
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(im, null, md), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  private def grayFrame(w: Int, h: Int, level: Int)
+      : java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = im.createGraphics()
+    g.setColor(new java.awt.Color(level, level, level))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    im
+  }
+
+  test("animated-GIF decode is REAL: multi-frame javax.imageio read with " +
+      "offset compositing onto the logical screen; delays drive duration; " +
+      "single-frame GIFs stay on the still-image path") {
+    val eps = 1e-6
+    val threeFrames = animatedGif(Seq(
+      (grayFrame(8, 8, 40), 10, "none", (0, 0)),
+      (grayFrame(8, 8, 120), 10, "none", (0, 0)),
+      (grayFrame(8, 8, 80), 10, "none", (0, 0))))
+    val d = Multimodal.decodeOne(Multimodal.MediaRow(1L, threeFrames,
+      Multimodal.MediaMeta("gif", 0, 0, 0)))
+    assert(d.width == 8 && d.height == 8 && d.n_frames == 3)
+    assert(math.abs(d.features(0) - 80.0) < eps) // mean of 40/120/80
+    assert(math.abs(d.features(1) - 60.0) < eps) // (80 + 40) / 2
+    assert(d.features(2) == 0.3 && math.abs(d.features(3) - 10.0) < eps)
+    // a later frame covering only a sub-rectangle composites OVER the
+    // prior canvas at its offset — what a viewer sees, not the stored rect
+    val offset = animatedGif(Seq(
+      (grayFrame(8, 8, 0), 10, "none", (0, 0)),
+      (grayFrame(4, 4, 255), 10, "none", (4, 4))))
+    val o = Multimodal.decodeOne(Multimodal.MediaRow(2L, offset,
+      Multimodal.MediaMeta("gif", 0, 0, 0)))
+    assert(o.n_frames == 2 && o.width == 8 && o.height == 8)
+    assert(math.abs(o.features(0) - (0.0 + 255.0 / 4) / 2) < eps,
+      "frame 2 = black canvas + white quadrant = 63.75 mean luma")
+    // single-frame GIF: still image — pixel moments, not frame features
+    val still = Multimodal.decodeOne(Multimodal.MediaRow(3L,
+      animatedGif(Seq((grayFrame(8, 8, 120), 0, "none", (0, 0)))),
+      Multimodal.MediaMeta("gif", 0, 0, 0)))
+    assert(still.n_frames == 0 && math.abs(still.features(0) - 120.0) < eps
+      && still.features(1) < eps, "one frame takes the image path")
+  }
+
+  test("video fingerprint: brightness-graded and re-uploaded clips hash " +
+      "identically, unrelated clips differ; near-dup pairs find exactly " +
+      "the planted clones; undecodable (compressed) payloads take the " +
+      "content-uniform hash — exact dups only") {
+    import spark.implicits._
+    def meta = Multimodal.MediaMeta("y4m", 0, 0, 0)
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticY4m(1L, 64), meta),
+      Multimodal.MediaRow(2L, Multimodal.syntheticY4m(2L, 64), meta),
+      // clones of clip 1: re-upload + brightness grade
+      Multimodal.MediaRow(11L, Multimodal.syntheticY4m(1L, 64), meta),
+      Multimodal.MediaRow(12L, Multimodal.syntheticY4m(1L, 64, shift = 8),
+        meta),
+      // compressed payloads no JDK codec decodes: shared container
+      // header, different content — must NOT pair; 23/24 byte-exact must
+      Multimodal.MediaRow(21L, "    ftypmp42-rec-one"
+        .getBytes("UTF-8"), Multimodal.MediaMeta("mp4", 0, 0, 0)),
+      Multimodal.MediaRow(22L, "    ftypmp42-rec-two"
+        .getBytes("UTF-8"), Multimodal.MediaMeta("mp4", 0, 0, 0)),
+      Multimodal.MediaRow(23L, "    ftypmp42-rec-one"
+        .getBytes("UTF-8"), Multimodal.MediaMeta("mp4", 0, 0, 0)))
+      .toDS().toDF()
+    val fp = Multimodal.videoFingerprint(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fp(1L) == fp(11L) && fp(1L) == fp(12L))
+    assert(fp(1L) != fp(2L))
+    assert(fp(21L) == fp(23L) && fp(21L) != fp(22L))
+    val pairs = Multimodal.videoNearDupPairs(media, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 11L), (1L, 12L), (11L, 12L), (21L, 23L)))
+  }
+
   test("DCT pHash: brightness shift and JPEG re-encode are near-dups, a " +
       "structurally different image is far; decoded near-dup pairs find " +
       "exactly the re-encode cluster") {
