@@ -682,6 +682,39 @@ object SparkEntry {
         ops.Multimodal.videoNearDupPairs(
           base.unionByName(reup).unionByName(graded), 2)
       },
+      // m09: REAL audio decode gated against GROUND TRUTH — genuine
+      // RIFF/WAVE containers (8-bit mono PCM) whose samples derive from
+      // md5 arithmetic; RMS/peak/zero-crossings/duration come out of the
+      // javax.sound.sampled parse and must match the oracle's independent
+      // recomputation (sqrt is correctly-rounded IEEE in both engines)
+      "m09_audio_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticAudio(
+            CubeCatalog.forDir(s, dir).table("documents"), 1, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
+      // m10: audio near-dup over DECODED samples — plants a re-upload
+      // (identical payload) and a HALF-GAIN re-encode (every sample
+      // value exactly halved: base samples are even, so the window RMS
+      // scales by exactly 1/2 and the energy-delta signs are preserved
+      // bit-exactly — the fingerprint's gain invariance), both Hamming 0
+      "m10_audio_neardup" -> tbl("documents") { d =>
+        import org.apache.spark.sql.functions._
+        val ids = d.select("doc_id")
+        val base = ops.Multimodal.attachSyntheticAudio(ids, 60, 10)
+        val reup = base.where(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val graded = ops.Multimodal.attachSyntheticAudio(
+            ids.where(col("doc_id") % 101 === 0), 60, 10, halfGain = true)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+        ops.Multimodal.audioNearDupPairs(
+          base.unionByName(reup).unionByName(graded), 2)
+      },
       // B11: parent-child hierarchy — closure-table transitive rollup; the
       // closure is the reference's registration-time <Closure> table, so it
       // is memoized per (session, dir) and each query is join + groupBy
@@ -3245,6 +3278,76 @@ object SparkEntry {
          |  CASE WHEN wmean > LAG(wmean) OVER (PARTITION BY doc_id ORDER BY w)
          |    THEN 1 ELSE 0 END AS rising
          |  FROM wm),
+         |fp AS (SELECT doc_id,
+         |  COALESCE(SUM(CASE WHEN rising = 1 AND w >= 33
+         |    THEN (CAST(1 AS BIGINT) << (w - 33)) END), 0) AS hi,
+         |  COALESCE(SUM(CASE WHEN rising = 1 AND w < 33
+         |    THEN (CAST(1 AS BIGINT) << (w - 1)) END), 0) AS lo
+         |  FROM dl WHERE w >= 1 GROUP BY 1)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+         |    AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // m09: the synthetic WAV clips' ground truth — exact dyadic sample
+    // values (raw/128 with raw even in [-100, 100]) make RMS, peak,
+    // zero-crossings, and duration independently recomputable; sqrt and
+    // single divisions are correctly-rounded IEEE on identical operands
+    "m09_audio_decode" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n,
+         |    i.range AS i
+         |  FROM documents CROSS JOIN range(0, 10) i
+         |  WHERE i.range < doc_id % 10 + 1),
+         |hb AS (SELECT doc_id, n, i,
+         |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS h
+         |  FROM fr),
+         |sv AS (SELECT doc_id, n, i,
+         |  (2 * (($MD5_U_HORNER) % 101 - 50)) / 128.0 AS s FROM hb),
+         |tr AS (SELECT doc_id, n, s,
+         |  CASE WHEN (s >= 0) !=
+         |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+         |    THEN 1 ELSE 0 END AS zx
+         |  FROM sv)
+         |SELECT doc_id, 'wav' AS format,
+         |  CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
+         |  CAST(44 + n AS INTEGER) AS n_bytes,
+         |  sqrt(SUM(s * s) / n) AS rms,
+         |  MAX(ABS(s)) AS peak,
+         |  n / 8000.0 AS duration_sec,
+         |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+         |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // m10: the audio fingerprint replayed from ground truth — window RMS
+    // over exact dyadic samples (window counts are 1 or 2, power-of-two
+    // divisions), delta SIGNS are the bits; the half-gain clone's samples
+    // are recomputed at half amplitude, not assumed invariant
+    "m10_audio_neardup" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |m AS (
+         |  SELECT doc_id, doc_id AS src, 0 AS hg FROM d
+         |  UNION ALL SELECT doc_id + 1000000, doc_id, 0 FROM d
+         |    WHERE doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id + 2000000, doc_id, 1 FROM d
+         |    WHERE doc_id % 101 = 0),
+         |fr AS (
+         |  SELECT m.doc_id, m.hg, CAST(m.src % 10 + 60 AS INTEGER) AS n,
+         |    i.range AS i, m.src
+         |  FROM m CROSS JOIN range(0, 70) i WHERE i.range < m.src % 10 + 60),
+         |hb AS (SELECT doc_id, hg, n, i,
+         |  md5(CAST(src AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS h
+         |  FROM fr),
+         |sv AS (SELECT doc_id, n,
+         |  CAST((i * LEAST(65, n)) // n AS INTEGER) AS w,
+         |  (CASE WHEN hg = 1 THEN ($MD5_U_HORNER) % 101 - 50
+         |        ELSE 2 * (($MD5_U_HORNER) % 101 - 50) END) / 128.0 AS s
+         |  FROM hb),
+         |wr AS (SELECT doc_id, w, sqrt(SUM(s * s) / COUNT(1)) AS rms
+         |  FROM sv GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, w,
+         |  CASE WHEN rms > LAG(rms) OVER (PARTITION BY doc_id ORDER BY w)
+         |    THEN 1 ELSE 0 END AS rising FROM wr),
          |fp AS (SELECT doc_id,
          |  COALESCE(SUM(CASE WHEN rising = 1 AND w >= 33
          |    THEN (CAST(1 AS BIGINT) << (w - 33)) END), 0) AS hi,

@@ -888,20 +888,24 @@ object Multimodal {
     bandedHammingPairs(videoFingerprint(media), "fp_hi", "fp_lo",
       maxHamming)
 
-  /** Per-frame luma base of the SYNTHETIC Y4M gate fixtures: the first 4
-    * bytes of md5("<docId>:<frame>") as a uint32, mod 200 — md5 because it
-    * is the one hash BOTH engines compute identically (DuckDB `md5` +
-    * Horner hex digits replay it in SQL), 200 because it leaves +55 of
-    * brightness-shift headroom below 256 so a shifted re-encode never
-    * clips (clipping would break the fingerprint's shift invariance). */
-  private[graft] def frameLumaBase(docId: Long, frame: Int): Int = {
+  /** First 4 bytes of md5(`key`) as a uint32 — the shared randomness of
+    * the synthetic media gate fixtures: md5 is the one hash BOTH engines
+    * compute identically (DuckDB `md5` + Horner hex digits replay it in
+    * SQL), so every decoded quantity has an independently recomputable
+    * ground truth. */
+  private[graft] def md5Uint(key: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s"$docId:$frame"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+    val d = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    (u % 200).toInt
   }
+
+  /** Per-frame luma base of the SYNTHETIC Y4M gate fixtures:
+    * md5("<docId>:<frame>") mod 200 — 200 leaves +55 of brightness-shift
+    * headroom below 256 so a shifted re-encode never clips (clipping
+    * would break the fingerprint's shift invariance). */
+  private[graft] def frameLumaBase(docId: Long, frame: Int): Int =
+    (md5Uint(s"$docId:$frame") % 200).toInt
 
   /** Deterministic REAL 4×2 C420 YUV4MPEG2 clip for the video gate: frame
     * f's luma plane is Y[p] = (frameLumaBase(docId, f) + 13·p) mod 200 +
@@ -953,6 +957,61 @@ object Multimodal {
       MediaRow(id,
         syntheticY4m(id, (id % modFrames).toInt + addFrames, shift),
         MediaMeta("y4m", 0, 0, 0))
+    }.toDF()
+  }
+
+  /** Sample i of the synthetic WAV gate fixtures, as a SIGNED raw value:
+    * 2·(md5("<docId>:<i>") mod 101 − 50) ∈ [−100, 100]. Always EVEN so the
+    * half-gain re-encode divides exactly (raw/2 stays an integer sample
+    * and the window RMS scales by exactly 1/2 — a power of two, so IEEE
+    * sqrt and division preserve the deltas' signs bit-exactly, the
+    * invariance the m10 oracle replays rather than assumes). */
+  private[graft] def sampleRaw(docId: Long, i: Int): Int =
+    2 * ((md5Uint(s"$docId:$i") % 101).toInt - 50)
+
+  /** Deterministic REAL 8-bit mono 8 kHz WAV clip for the audio gate: the
+    * canonical 44-byte RIFF/WAVE header + unsigned PCM samples
+    * 128 + [[sampleRaw]] (halved under `halfGain` — the planted
+    * gain-graded re-encode). Decoded by the genuine `javax.sound.sampled`
+    * path; every decoded quantity — RMS, peak, zero-crossings, duration —
+    * is arithmetic on exact dyadic sample values the DuckDB oracle
+    * recomputes independently (md5 + Horner hex; sqrt is correctly
+    * rounded IEEE in both engines, so even the RMS matches bit-exactly). */
+  private[graft] def syntheticWav(docId: Long, nSamples: Int,
+      halfGain: Boolean = false): Array[Byte] = {
+    require(nSamples > 0, "nSamples must be positive")
+    val out = new Array[Byte](44 + nSamples)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000) // sample rate, byte rate
+      .putShort(1).putShort(8) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val raw = sampleRaw(docId, i)
+      out(44 + i) = (128 + (if (halfGain) raw / 2 else raw)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Attach a [[syntheticWav]] payload per document: doc_id % `modSamples`
+    * + `addSamples` samples, optionally gain-halved. The m09 gate uses
+    * 1–10-sample clips to gate the decode features; the m10 near-dup gate
+    * uses 60–69-sample clips for 59–64 md5-uniform fingerprint bits —
+    * the same shapes as the video gate's [[attachSyntheticVideo]]. */
+  def attachSyntheticAudio(docs: DataFrame, addSamples: Int,
+      modSamples: Int, halfGain: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id,
+        syntheticWav(id, (id % modSamples).toInt + addSamples, halfGain),
+        MediaMeta("wav", 0, 0, 0))
     }.toDF()
   }
 

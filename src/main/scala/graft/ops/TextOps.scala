@@ -65,6 +65,51 @@ object TextOps {
         "mean_token_len", "quality_score")
       .orderBy("doc_id")
 
+  /** COMPRESSIBILITY quality signal — the classic corpus-filter heuristic
+    * (Gopher-style quality rules, data-juicer's compression filter): the
+    * DEFLATE-compressed size of a document's UTF-8 bytes over its raw
+    * size. Near-1 ratios flag high-entropy non-language content (random
+    * strings, base64/binary paste) and very low ratios flag
+    * templated/repeated boilerplate; natural prose sits in between — the
+    * two tails a quality pipeline drops. Zero new dependencies
+    * (`java.util.zip`, fixed level 6 so the byte count is deterministic);
+    * ONE `Deflater` per partition, reset per row and released when the
+    * partition drains — bounded native state, map-only, no shuffle.
+    * Spec-gated rather than oracle-gated: unlike the codec gates there is
+    * no arithmetic ground truth to replay in SQL (the DEFLATE byte count
+    * is zlib's own output) — the spec pins the ordering contract
+    * (repeated < prose < random) and exact run-to-run determinism. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        new Iterator[(Long, Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) defl.end() // idempotent; partial drains fall to GC
+            h
+          }
+          def next(): (Long, Long, Long, Double) = {
+            val (id, text) = it.next()
+            val bytes = text
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            defl.reset()
+            defl.setInput(bytes)
+            defl.finish()
+            var total = 0L
+            while (!defl.finished()) total += defl.deflate(buf)
+            (id, bytes.length.toLong, total,
+              if (bytes.isEmpty) 1.0 else total.toDouble / bytes.length)
+          }
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "compression_ratio")
+      .orderBy("doc_id")
+  }
+
   // language-ID marker lists (function words; n-gram-free heuristic)
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "with", "that"),

@@ -55,7 +55,8 @@ object ExplainAudit {
         "s15_knn_pq_exact", "q87_mdx_generate_pct", "s16_knn_range",
         "q88_mdx_extract", "q89_mdx_generate_filter",
         "q90_mdx_generate_order", "q91_mdx_generate_topfilter",
-        "m01_multimodal_decode", "m07_video_decode", "m08_video_neardup")
+        "m01_multimodal_decode", "m07_video_decode", "m08_video_neardup",
+        "m09_audio_decode", "m10_audio_neardup")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

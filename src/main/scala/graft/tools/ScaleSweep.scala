@@ -506,6 +506,35 @@ object ScaleSweep {
         "n_docs" -> nDocs.toString))
     }
 
+    // --- audio near-dup at factor scale (m10 shape): REAL WAV decode via
+    // javax.sound.sampled → 65-window energy-delta fingerprints → the same
+    // banded Hamming join; planted re-uploads and HALF-GAIN re-encodes
+    // (Hamming 0 by the fingerprint's gain invariance) at every factor. ---
+    time("audio_neardup") {
+      val cloneBase = 1000000000L
+      val ids = docs.select("doc_id")
+      val base = graft.ops.Multimodal.attachSyntheticAudio(ids, 60, 10)
+      val reup = base.where(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + cloneBase)
+      val graded = graft.ops.Multimodal.attachSyntheticAudio(
+          ids.where(col("doc_id") % 101 === 0), 60, 10, halfGain = true)
+        .withColumn("doc_id", col("doc_id") + 2 * cloneBase)
+      val pairs = graft.ops.Multimodal.audioNearDupPairs(
+        base.unionByName(reup).unionByName(graded), 2).localCheckpoint()
+      val found = pairs.count()
+      val reupHit = pairs.where(col("doc_b") >= cloneBase &&
+        col("doc_b") < 2 * cloneBase &&
+        col("doc_a") === col("doc_b") - cloneBase).count()
+      val gradHit = pairs.where(col("doc_b") >= 2 * cloneBase &&
+        col("doc_a") === col("doc_b") - 2 * cloneBase).count()
+      val nReup = ids.where(col("doc_id") % 97 === 0).count()
+      val nGrad = ids.where(col("doc_id") % 101 === 0).count()
+      (found, Map(
+        "reup_recall" -> fmt(reupHit.toDouble / math.max(nReup, 1L)),
+        "graded_recall" -> fmt(gradHit.toDouble / math.max(nGrad, 1L)),
+        "n_docs" -> nDocs.toString))
+    }
+
     // --- OLAP gate queries at factor scale: star agg (q02), dense axes
     // (q11), skew-proof equi-depth tiling (q49), RFM segmentation (q52),
     // domain-exact lag under a gap cut (q54 — the window-over-calendar-
@@ -529,5 +558,3 @@ object ScaleSweep {
     FactorResult(factor, n, params, ops)
   }
 }
-
-

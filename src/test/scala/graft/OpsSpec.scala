@@ -1177,6 +1177,80 @@ class OpsSpec extends AnyFunSuite {
     assert(g.features(1) == d.features(1))
   }
 
+  test("compression-ratio quality signal: repeated boilerplate < natural " +
+      "prose < random hex, empty text guards to 1.0, and the byte counts " +
+      "are deterministic run-to-run") {
+    import spark.implicits._
+    val prose = "The quick brown fox jumps over the lazy dog while " +
+      "a curious reader wonders what this sentence demonstrates about " +
+      "natural language statistics and letter frequency distributions. " +
+      "Compression algorithms exploit the redundancy that grammar and " +
+      "vocabulary impose, which is precisely why fluent writing shrinks " +
+      "further than gibberish of the same length. Different sentences " +
+      "about unrelated topics, such as weather patterns, harbor seals, " +
+      "or the price of tea, still share that statistical structure."
+    val repeated = Seq.fill(40)("spam ham spam").mkString(" ")
+    // md5-derived random PRINTABLE bytes (94 symbols, near-uniform):
+    // genuinely high-entropy per byte, unlike hex's 16-symbol alphabet
+    // which Huffman-codes below prose
+    val random = (0 until 80).flatMap { i =>
+      val u = Multimodal.md5Uint(s"rnd:$i")
+      Seq(u >> 24, u >> 16, u >> 8, u)
+        .map(b => (33 + ((b & 0xff) % 94)).toChar)
+    }.mkString
+    val docs = Seq((1L, repeated), (2L, prose), (3L, random), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3,
+      s"ordering contract violated: $out")
+    assert(out(1L)._3 < 0.15, "40x-repeated boilerplate must crush")
+    assert(out(3L)._3 > 0.5, "high-entropy hex must resist compression")
+    assert(out(4L) == ((0L, 8L, 1.0)), // empty deflate stream is 8 bytes
+      "empty text guards the ratio to 1.0")
+    val again = TextOps.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == again, "byte counts must be deterministic")
+  }
+
+  test("synthetic WAV gate fixtures decode to their md5 ground truth " +
+      "(m09) and the half-gain re-encode fingerprints identically (m10): " +
+      "even raw samples halve exactly, so window RMS scales by a power " +
+      "of two and every delta sign is preserved") {
+    import spark.implicits._
+    val id = 9L
+    val n = 7
+    val clip = Multimodal.syntheticWav(id, n)
+    assert(clip.length == 44 + n)
+    val s = (0 until n).map(i => Multimodal.sampleRaw(id, i) / 128.0)
+    val d = Multimodal.decodeOne(
+      Multimodal.MediaRow(id, clip, Multimodal.MediaMeta("wav", 0, 0, 0)))
+    assert(d.width == 8000 && d.height == 1 && d.n_frames == n)
+    assert(d.features(0) == math.sqrt(s.map(x => x * x).sum / n)) // rms
+    assert(d.features(1) == s.map(math.abs).max) // peak
+    assert(d.features(2) == n / 8000.0) // duration
+    assert(d.features(3) == s.sliding(2).count { // zero crossings
+      case Seq(a, b) => (a >= 0) != (b >= 0)
+    }.toDouble)
+    def meta = Multimodal.MediaMeta("wav", 0, 0, 0)
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticWav(1L, 64), meta),
+      Multimodal.MediaRow(2L, Multimodal.syntheticWav(2L, 64), meta),
+      Multimodal.MediaRow(11L, Multimodal.syntheticWav(1L, 64), meta),
+      Multimodal.MediaRow(12L,
+        Multimodal.syntheticWav(1L, 64, halfGain = true), meta))
+      .toDS().toDF()
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fp(1L) == fp(11L) && fp(1L) == fp(12L))
+    assert(fp(1L) != fp(2L))
+    val pairs = Multimodal.audioNearDupPairs(media, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 11L), (1L, 12L), (11L, 12L)))
+  }
+
   /** Animated GIF via the JDK writer: frames as (image, delay cs,
     * disposal, (x, y) offset). TYPE_BYTE_GRAY keeps palette colors exact. */
   private def animatedGif(
