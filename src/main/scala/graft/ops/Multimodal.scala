@@ -99,18 +99,7 @@ object Multimodal {
         mx, n))
   }
 
-  /** JDK-codec audio parse: WAV/AIFF/AU containers with 8/16-bit PCM
-    * payloads decode through `javax.sound.sampled` (zero new
-    * dependencies — the same move as [[readImage]]); anything else —
-    * compressed codecs the JDK lacks, the gate's md5 fixture bytes,
-    * truncated streams — returns None and the caller falls back to
-    * [[decodeStub]]. Samples STREAM through running accumulators (one
-    * frame buffer, never the whole clip in memory — the per-row bound the
-    * mapPartitions batching relies on); channels mix down by mean.
-    * Returns sample-space features: RMS, peak |amplitude|, duration in
-    * seconds, zero-crossing count — plus the header facts (sample rate,
-    * channels, frame count) the row schema carries. */
-  /** Container magic-byte gate for [[readAudio]]: every stream the JDK's
+  /** Container magic-byte gate for the audio paths: every stream the JDK's
     * built-in audio readers accept opens with one of these signatures
     * (RIFF/WAVE, FORM/AIFF+AIFC, .snd for AU), so the check loses
     * nothing — and it keeps the miss path FREE. Without it, every
@@ -127,10 +116,69 @@ object Multimodal {
     (b.length >= 4 &&
       b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
 
-  private def readAudio(bytes: Array[Byte])
-      : Option[(Int, Int, Long, Array[Double])] = {
+  /** A PCM clip ready to scan: sample geometry plus a byte view — for the
+    * canonical-WAV fast path a window straight into the payload (zero
+    * copies), for the AudioSystem fallback one decoded buffer of the same
+    * size as the container's data chunk (still per-row-bounded). */
+  private case class PcmClip(bits: Int, ch: Int, signed: Boolean,
+      big: Boolean, sampleRate: Float, frames: Long, data: Array[Byte],
+      off: Int)
+
+  /** Canonical-WAV PCM fast path: a RIFF chunk walk to the fmt/data
+    * chunks, WITHOUT javax.sound's provider machinery — AudioSystem
+    * session setup costs ~0.2 ms per stream, 50× the actual sample scan,
+    * and at corpus scale it IS the decode pass (observed 115 s for 500k
+    * clips on the sweep's audio row vs ~2 s for the equivalent
+    * hand-parsed video row). PCM (format 1) 8/16-bit only; anything
+    * else — AIFF/AU, extensible/compressed WAVs, truncated data — returns
+    * None and takes the full [[readPcmViaAudioSystem]] path with
+    * identical semantics: the fast path reads exactly the bytes the
+    * codec would hand back. WAV convention: 8-bit unsigned, 16-bit
+    * signed little-endian. */
+  private def parseWavPcm(b: Array[Byte]): Option[PcmClip] = {
+    if (!(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E')) return None
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    var pos = 12
+    var bits = -1; var ch = -1; var rate = -1; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1L
+    while (pos + 8 <= b.length && (dataOff < 0 || bits < 0)) {
+      val sz = u32(pos + 4)
+      if (sz > b.length) return None // bogus/hostile chunk length
+      if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' &&
+          b(pos + 3) == ' ') {
+        if (sz < 16 || pos + 24 > b.length) return None
+        if (u16(pos + 8) != 1) return None // non-PCM → codec fallback
+        ch = u16(pos + 10)
+        rate = u32(pos + 12).toInt
+        blockAlign = u16(pos + 20)
+        bits = u16(pos + 22)
+      } else if (b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' &&
+          b(pos + 3) == 'a') {
+        dataOff = pos + 8
+        dataLen = sz
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if ((bits != 8 && bits != 16) || ch < 1 || rate <= 0 || dataOff < 0 ||
+        blockAlign != ch * (bits / 8) || dataOff + dataLen > b.length)
+      return None
+    val frames = dataLen / blockAlign
+    if (frames <= 0) return None
+    Some(PcmClip(bits, ch, signed = bits == 16, big = false, rate.toFloat,
+      frames, b, dataOff))
+  }
+
+  /** Full-codec fallback for PCM containers the fast path declines
+    * (AIFF/AU, extensible WAVs, truncated data): decode through
+    * `javax.sound.sampled` into one buffer. Returns the clip plus the
+    * HEADER's declared frame count so callers can detect truncation. */
+  private def readPcmViaAudioSystem(bytes: Array[Byte])
+      : Option[(PcmClip, Long)] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
-    if (!looksLikePcmContainer(bytes)) return None
     val ais =
       try AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -145,46 +193,64 @@ object Multimodal {
       if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 ||
           fmt.getFrameSize != ch * (bits / 8) || fmt.getFrameRate <= 0)
         return None
-      val frameSize = fmt.getFrameSize
-      val big = fmt.isBigEndian
-      val full = (1.0 / (1 << (bits - 1))) // LSB scale to [-1, 1)
-      val buf = new Array[Byte](frameSize * 1024)
-      var nFrames = 0L
-      var sumSq = 0.0
-      var peak = 0.0
-      var zeroX = 0L
-      var prevNonNeg = true
-      var first = true
-      var read = ais.read(buf)
-      while (read > 0) {
-        var off = 0
-        while (off + frameSize <= read) {
-          var s = 0.0
-          var c = 0
-          while (c < ch) {
-            s += pcmRaw(buf, off + c * (bits / 8), bits, signed, big) * full
-            c += 1
-          }
-          s /= ch
-          sumSq += s * s
-          val a = math.abs(s)
-          if (a > peak) peak = a
-          val nonNeg = s >= 0.0
-          if (!first && nonNeg != prevNonNeg) zeroX += 1
-          prevNonNeg = nonNeg
-          first = false
-          nFrames += 1
-          off += frameSize
-        }
-        read = ais.read(buf)
-      }
-      if (nFrames == 0L) return None
-      val rms = math.sqrt(sumSq / nFrames)
-      val dur = nFrames / fmt.getFrameRate.toDouble
-      Some((math.round(fmt.getSampleRate).toInt, ch, nFrames,
-        Array(rms, peak, dur, zeroX.toDouble)))
+      val declared = ais.getFrameLength
+      val data = ais.readAllBytes()
+      val frames = data.length.toLong / fmt.getFrameSize
+      if (frames <= 0) return None
+      Some((PcmClip(bits, ch, signed, fmt.isBigEndian, fmt.getSampleRate,
+        frames, data, 0), declared))
     } catch { case _: Exception => None }
     finally ais.close()
+  }
+
+  /** Sample scan shared by both PCM access paths: RMS, peak |amplitude|,
+    * duration in seconds, zero-crossing count — running accumulators,
+    * channels mixed down by mean. */
+  private def pcmFeatures(c: PcmClip): (Int, Int, Long, Array[Double]) = {
+    val bps = c.bits / 8
+    val frameSize = c.ch * bps
+    val full = 1.0 / (1 << (c.bits - 1)) // LSB scale to [-1, 1)
+    var sumSq = 0.0
+    var peak = 0.0
+    var zeroX = 0L
+    var prevNonNeg = true
+    var first = true
+    var f = 0L
+    var off = c.off
+    while (f < c.frames) {
+      var s = 0.0
+      var k = 0
+      while (k < c.ch) {
+        s += pcmRaw(c.data, off + k * bps, c.bits, c.signed, c.big) * full
+        k += 1
+      }
+      s /= c.ch
+      sumSq += s * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      val nonNeg = s >= 0.0
+      if (!first && nonNeg != prevNonNeg) zeroX += 1
+      prevNonNeg = nonNeg
+      first = false
+      f += 1
+      off += frameSize
+    }
+    val rms = math.sqrt(sumSq / c.frames)
+    val dur = c.frames / c.sampleRate.toDouble // PCM frame rate = sample rate
+    (math.round(c.sampleRate).toInt, c.ch, c.frames,
+      Array(rms, peak, dur, zeroX.toDouble))
+  }
+
+  /** PCM audio parse: the canonical-WAV fast path when the payload allows
+    * it, the `javax.sound.sampled` codec otherwise; None for anything no
+    * JDK path decodes — the caller falls back to [[decodeStub]]. */
+  private def readAudio(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Array[Double])] = {
+    if (!looksLikePcmContainer(bytes)) return None
+    parseWavPcm(bytes).map(pcmFeatures)
+      .orElse(readPcmViaAudioSystem(bytes).map { case (c, _) =>
+        pcmFeatures(c)
+      })
   }
 
   /** One PCM sample → signed raw value centered on 0. Unsigned samples
@@ -271,6 +337,8 @@ object Multimodal {
       }
     }
     if (w <= 0 || h <= 0 || num <= 0 || den <= 0) return None
+    // hostile headers: reject before any w·h arithmetic can overflow Int
+    if (w.toLong * h > Int.MaxValue / 4) return None
     val chromaPlane =
       if (colour.startsWith("420")) {
         if (w % 2 != 0 || h % 2 != 0) return None
@@ -671,63 +739,48 @@ object Multimodal {
     * than 2 frames. */
   private def pcmWindowRms(bytes: Array[Byte], nWindows: Int)
       : Option[Array[Double]] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
     if (!looksLikePcmContainer(bytes)) return None
-    val ais =
-      try AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => return None }
-    try {
-      val fmt = ais.getFormat
-      val enc = fmt.getEncoding
-      val bits = fmt.getSampleSizeInBits
-      val ch = fmt.getChannels
-      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
-      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
-      val total = ais.getFrameLength
-      // short clips keep the decode-space fingerprint (container bytes
-      // would differ between a WAV and its AIFF re-encode); the window
-      // count shrinks to the frame count so every window holds a frame
-      if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 ||
-          fmt.getFrameSize != ch * (bits / 8) || total < 2)
-        return None
-      val n = math.min(nWindows.toLong, total).toInt
-      val frameSize = fmt.getFrameSize
-      val big = fmt.isBigEndian
-      val full = 1.0 / (1 << (bits - 1))
-      val buf = new Array[Byte](frameSize * 1024)
+    // short clips keep the decode-space fingerprint (container bytes
+    // would differ between a WAV and its AIFF re-encode); the window
+    // count shrinks to the frame count so every window holds a frame.
+    // The codec fallback additionally rejects truncated payloads
+    // (decoded frames < the header's declared count); the fast path
+    // already declines those to the codec.
+    val clip = parseWavPcm(bytes).orElse(
+      readPcmViaAudioSystem(bytes).collect {
+        case (c, declared) if c.frames == declared => c
+      })
+    clip.filter(_.frames >= 2).map { c =>
+      val n = math.min(nWindows.toLong, c.frames).toInt
+      val bps = c.bits / 8
+      val frameSize = c.ch * bps
+      val full = 1.0 / (1 << (c.bits - 1))
       val sumSq = new Array[Double](n)
       val counts = new Array[Long](n)
       var frame = 0L
-      var read = ais.read(buf)
-      while (read > 0) {
-        var off = 0
-        while (off + frameSize <= read && frame < total) {
-          var s = 0.0
-          var c = 0
-          while (c < ch) {
-            s += pcmRaw(buf, off + c * (bits / 8), bits, signed, big) * full
-            c += 1
-          }
-          s /= ch
-          val w = ((frame * n) / total).toInt
-          sumSq(w) += s * s
-          counts(w) += 1
-          frame += 1
-          off += frameSize
+      var off = c.off
+      while (frame < c.frames) {
+        var s = 0.0
+        var k = 0
+        while (k < c.ch) {
+          s += pcmRaw(c.data, off + k * bps, c.bits, c.signed, c.big) * full
+          k += 1
         }
-        read = ais.read(buf)
+        s /= c.ch
+        val w = ((frame * n) / c.frames).toInt
+        sumSq(w) += s * s
+        counts(w) += 1
+        frame += 1
+        off += frameSize
       }
-      if (frame < total) return None // truncated payload
       var w = 0
       val rms = new Array[Double](n)
       while (w < n) {
         rms(w) = math.sqrt(sumSq(w) / math.max(counts(w), 1L))
         w += 1
       }
-      Some(rms)
-    } catch { case _: Exception => None }
-    finally ais.close()
+      rms
+    }
   }
 
   /** 64-bit FNV-1a over a whole payload — the fallback fingerprint for
@@ -824,6 +877,71 @@ object Multimodal {
   def audioNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
     bandedHammingPairs(audioFingerprint(media), "fp_hi", "fp_lo",
       maxHamming)
+
+  /** A persisted media-fingerprint index: the fingerprints plus their
+    * exploded pigeonhole banding keys — built ONCE per ingested asset, so
+    * a nightly delta joins only against postings, never re-fingerprints
+    * (or re-pairs) the corpus. `maxHamming` is baked in because the
+    * banding keys are specific to it. */
+  case class MediaFpIndex(fingerprints: DataFrame, keyed: DataFrame,
+      maxHamming: Int)
+
+  /** Build a [[MediaFpIndex]] from any of the three fingerprint frames
+    * ([[mediaPhash]]/[[phashDecoded]], [[audioFingerprint]],
+    * [[videoFingerprint]]) — (doc_id, hi, lo) by position, so the
+    * ph_/fp_ column-name split doesn't leak into the index schema. */
+  def mediaFpIndex(fingerprints: DataFrame, maxHamming: Int): MediaFpIndex = {
+    val c = fingerprints.columns
+    require(c.length == 3, s"expected (doc_id, hi, lo), got ${c.toSeq}")
+    val fp = fingerprints.select(col(c(0)).as("doc_id"),
+      col(c(1)).as("fp_hi"), col(c(2)).as("fp_lo"))
+      .localCheckpoint(eager = false)
+    val keyed = fp
+      .withColumn("f", shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo")))
+      .select(col("doc_id"),
+        explode(Dedup.simhashBlockKeys("f", maxHamming)).as("bk"))
+      .localCheckpoint(eager = false)
+    MediaFpIndex(fp, keyed, maxHamming)
+  }
+
+  /** NIGHTLY-DELTA media near-dup — the production ingest shape of the
+    * batch [[phashNearDupPairs]]/[[audioNearDupPairs]]/
+    * [[videoNearDupPairs]] (the [[Dedup.lshIndex]]/`lshDeltaPairs`
+    * discipline applied to the 64-bit Hamming families): tonight's batch
+    * fingerprints once, its banding keys join against the INDEX postings
+    * (cross pairs) and against themselves (within-delta pairs), and only
+    * surviving candidates re-attach fingerprints for the two-bit_count
+    * verify. Pair work per night is ∝ delta buckets, never the corpus;
+    * the corpus is touched only as the posting-list join side. Returns
+    * the delta's pairs (every pair involving ≥ 1 delta asset — provably
+    * the batch-over-union pairs minus the already-reported index-only
+    * pairs, OpsSpec-pinned) and the merged index for tomorrow. */
+  def mediaDeltaPairs(index: MediaFpIndex, deltaFingerprints: DataFrame)
+      : (DataFrame, MediaFpIndex) = {
+    val d = mediaFpIndex(deltaFingerprints, index.maxHamming)
+    val cross = d.keyed.select(col("bk"), col("doc_id").as("d_id"))
+      .join(index.keyed.select(col("bk"), col("doc_id").as("e_id")), Seq("bk"))
+      .select(least(col("d_id"), col("e_id")).as("doc_a"),
+        greatest(col("d_id"), col("e_id")).as("doc_b"))
+    val within = d.keyed.select(col("bk"), col("doc_id").as("doc_a"))
+      .join(d.keyed.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val cand = cross.unionByName(within).distinct()
+    val fps = index.fingerprints.unionByName(d.fingerprints)
+    val pairs = cand
+      .join(fps.select(col("doc_id").as("doc_a"), col("fp_hi").as("hi_a"),
+        col("fp_lo").as("lo_a")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp_hi").as("hi_b"),
+        col("fp_lo").as("lo_b")), "doc_b")
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
+      .where(col("hamming") <= index.maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+    (pairs, MediaFpIndex(fps, index.keyed.unionByName(d.keyed),
+      index.maxHamming))
+  }
 
   /** Per-frame mean luma of a decodable video payload (Y4M or animated
     * GIF), None otherwise — the shared decode step of [[videoFingerprint]]. */

@@ -1374,6 +1374,72 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 11L), (1L, 12L), (11L, 12L), (21L, 23L)))
   }
 
+  test("media decode is TOTAL on hostile bytes: seeded mutations of valid " +
+      "Y4M/WAV/GIF payloads and pure garbage never throw — every payload " +
+      "either decodes or falls to the stub (corpus payloads are untrusted)") {
+    val seeds = Seq[Array[Byte]](
+      Multimodal.syntheticY4m(3L, 5),
+      Multimodal.syntheticWav(3L, 40),
+      animatedGif(Seq((grayFrame(8, 8, 40), 10, "none", (0, 0)),
+        (grayFrame(8, 8, 120), 10, "none", (0, 0)))))
+    val rnd = new java.util.Random(42)
+    var id = 0L
+    for (base <- seeds; _ <- 0 until 300) {
+      val b = rnd.nextInt(3) match {
+        case 0 => // flip bytes anywhere (headers included)
+          val m = base.clone()
+          (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+            m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+          }
+          m
+        case 1 => base.take(1 + rnd.nextInt(base.length)) // truncate
+        case 2 => base ++ Array.fill(1 + rnd.nextInt(32))( // garbage tail
+          rnd.nextInt(256).toByte)
+      }
+      id += 1
+      // must not throw, whatever the bytes; features stay finite
+      val out = Multimodal.decodeOne(
+        Multimodal.MediaRow(id, b, Multimodal.MediaMeta("x", 7, 7, 7)))
+      assert(out.n_bytes == b.length)
+      assert(out.features.length == 4 && out.features.forall(f =>
+        !f.isNaN && !f.isInfinite))
+    }
+  }
+
+  test("media fingerprint index + nightly delta: delta pairs equal the " +
+      "batch pairs over the union minus the already-reported index-only " +
+      "pairs, and the merged index serves the next night") {
+    import spark.implicits._
+    def meta = Multimodal.MediaMeta("y4m", 0, 0, 0)
+    def clip(id: Long, src: Long, shift: Int = 0) =
+      Multimodal.MediaRow(id, Multimodal.syntheticY4m(src, 64, shift), meta)
+    // night-0 corpus: 1/2/3 unique, 4 re-uploads 1
+    val corpus =
+      Seq(clip(1, 1), clip(2, 2), clip(3, 3), clip(4, 1)).toDS().toDF()
+    // night-1 delta: 11 brightness-grades 2, 12 unique, 13 re-uploads 12
+    val delta =
+      Seq(clip(11, 2, shift = 8), clip(12, 12), clip(13, 12)).toDS().toDF()
+    val idx0 =
+      Multimodal.mediaFpIndex(Multimodal.videoFingerprint(corpus), 2)
+    val (pairs, idx1) =
+      Multimodal.mediaDeltaPairs(idx0, Multimodal.videoFingerprint(delta))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 11L), (12L, 13L)))
+    val batch = Multimodal.videoNearDupPairs(corpus.unionByName(delta), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexOnly = Multimodal.videoNearDupPairs(corpus, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == indexOnly ++ got,
+      "delta must report exactly the union's new pairs")
+    assert(idx1.fingerprints.count() == 7)
+    // night 2 touches BOTH prior nights through the merged index
+    val delta2 = Seq(clip(21, 1), clip(22, 12)).toDS().toDF()
+    val (p2, _) =
+      Multimodal.mediaDeltaPairs(idx1, Multimodal.videoFingerprint(delta2))
+    val got2 = p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 21L), (4L, 21L), (12L, 22L), (13L, 22L)))
+  }
+
   test("DCT pHash: brightness shift and JPEG re-encode are near-dups, a " +
       "structurally different image is far; decoded near-dup pairs find " +
       "exactly the re-encode cluster") {
