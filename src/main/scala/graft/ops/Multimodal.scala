@@ -400,10 +400,11 @@ object Multimodal {
     imageioInit
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    var reader: javax.imageio.ImageReader = null
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
-      val reader = readers.next()
+      reader = readers.next()
       reader.setInput(iis, false, false) // seekForward=false: keep metadata
       val n =
         try reader.getNumImages(true)
@@ -470,7 +471,12 @@ object Multimodal {
       g.dispose()
       Some((cw, ch, means, delayCs))
     } catch { case _: Exception => None }
-    finally iis.close()
+    finally {
+      // readers hold per-instance decode buffers — release them here, not
+      // at GC time (a decode pass churns one reader per animated asset)
+      if (reader != null) reader.dispose()
+      iis.close()
+    }
   }
 
   /** REAL video decode → the fixed row schema: decoded canvas w/h, DECODED
