@@ -682,6 +682,33 @@ object SparkEntry {
         ops.Multimodal.videoNearDupPairs(
           base.unionByName(reup).unionByName(graded), 2)
       },
+      // m11: the INCREMENTAL ingest shape, oracle-gated — even doc_ids are
+      // the indexed corpus (fingerprints + banding keys built once),
+      // odd doc_ids are tonight's delta, plus planted cross-night clones:
+      // re-uploads (+1M, content of an even doc, %97) and brightness
+      // grades (+2M, %101). The delta join must report EXACTLY the
+      // union's pairs that touch the delta — index-only pairs (evens
+      // among themselves) were reported when the index was built and
+      // must NOT reappear
+      "m11_video_delta_neardup" -> tbl("documents") { d =>
+        import org.apache.spark.sql.functions._
+        val ids = d.select("doc_id")
+        val evens = ids.where(col("doc_id") % 2 === 0)
+        val idx = ops.Multimodal.mediaFpIndex(
+          ops.Multimodal.videoFingerprint(
+            ops.Multimodal.attachSyntheticVideo(evens, 60, 10)), 2)
+        val reup = ops.Multimodal.attachSyntheticVideo(
+            evens.where(col("doc_id") % 97 === 0), 60, 10)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val graded = ops.Multimodal.attachSyntheticVideo(
+            evens.where(col("doc_id") % 101 === 0), 60, 10, shift = 8)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+        val delta = ops.Multimodal
+          .attachSyntheticVideo(ids.where(col("doc_id") % 2 === 1), 60, 10)
+          .unionByName(reup).unionByName(graded)
+        ops.Multimodal.mediaDeltaPairs(idx,
+          ops.Multimodal.videoFingerprint(delta))._1
+      },
       // m09: REAL audio decode gated against GROUND TRUTH — genuine
       // RIFF/WAVE containers (8-bit mono PCM) whose samples derive from
       // md5 arithmetic; RMS/peak/zero-crossings/duration come out of the
@@ -3289,6 +3316,54 @@ object SparkEntry {
          |    AS INTEGER) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // m11: the incremental-ingest contract replayed — fingerprints from
+    // the same ground-truth arithmetic as m08, membership (index vs
+    // delta) by construction; the result is the union's pairs RESTRICTED
+    // to those touching the delta (index-only pairs were reported at
+    // index build and must not reappear)
+    "m11_video_delta_neardup" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |m AS (
+         |  SELECT doc_id, doc_id AS src, 0 AS sh, 0 AS del FROM d
+         |    WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id, doc_id, 0, 1 FROM d WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 1000000, doc_id, 0, 1 FROM d
+         |    WHERE doc_id % 2 = 0 AND doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id + 2000000, doc_id, 8, 1 FROM d
+         |    WHERE doc_id % 2 = 0 AND doc_id % 101 = 0),
+         |fr AS (
+         |  SELECT m.doc_id, m.sh, m.del,
+         |    CAST(m.src % 10 + 60 AS INTEGER) AS n, f.range AS f, m.src
+         |  FROM m CROSS JOIN range(0, 70) f WHERE f.range < m.src % 10 + 60),
+         |hb AS (SELECT doc_id, sh, del, n, f,
+         |  md5(CAST(src AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS h
+         |  FROM fr),
+         |ab AS (SELECT doc_id, sh, del, n, f, ($MD5_U_HORNER) % 200 AS a
+         |  FROM hb),
+         |pm AS (SELECT ab.doc_id, ab.del, ab.n,
+         |  CAST((ab.f * LEAST(65, ab.n)) // ab.n AS INTEGER) AS w,
+         |  SUM((ab.a + p.range * 13) % 200) / 8.0 + ab.sh AS fm
+         |  FROM ab CROSS JOIN range(0, 8) p
+         |  GROUP BY ab.doc_id, ab.del, ab.n, ab.f, ab.sh),
+         |wm AS (SELECT doc_id, del, w, SUM(fm) / COUNT(1) AS wmean
+         |  FROM pm GROUP BY 1, 2, 3),
+         |dl AS (SELECT doc_id, del, w,
+         |  CASE WHEN wmean > LAG(wmean) OVER (PARTITION BY doc_id ORDER BY w)
+         |    THEN 1 ELSE 0 END AS rising
+         |  FROM wm),
+         |fp AS (SELECT doc_id, del,
+         |  COALESCE(SUM(CASE WHEN rising = 1 AND w >= 33
+         |    THEN (CAST(1 AS BIGINT) << (w - 33)) END), 0) AS hi,
+         |  COALESCE(SUM(CASE WHEN rising = 1 AND w < 33
+         |    THEN (CAST(1 AS BIGINT) << (w - 1)) END), 0) AS lo
+         |  FROM dl WHERE w >= 1 GROUP BY 1, 2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+         |    AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+         |  AND (a.del = 1 OR b.del = 1)
          |ORDER BY doc_a, doc_b""".stripMargin,
     // m09: the synthetic WAV clips' ground truth — exact dyadic sample
     // values (raw/128 with raw even in [-100, 100]) make RMS, peak,
