@@ -175,9 +175,13 @@ object Dedup {
     * index AND each other without ever re-scanning the indexed corpus'
     * text (only its postings/signatures, which a pipeline keeps as
     * parquet). Returns exactly the pairs batch LSH over (corpus ∪ delta)
-    * would emit that involve a delta doc, plus the grown index. Delta
-    * doc_ids must be new (dedup the delta against the index's ids first
-    * if re-ingestion is possible).
+    * would emit that involve a delta doc, plus the grown index. Ingest
+    * is IDEMPOTENT on doc_id: a delta id already present in the index is
+    * the same document re-presented and is dropped before any join (no
+    * self-pairs, no re-reported pairs, no duplicate index rows —
+    * replaying yesterday's batch is a no-op); an id re-ingested with
+    * CHANGED text is an update, which this append-only index does not
+    * model — route updates through a tombstone delete (d22) and re-add.
     *
     * Scale shape: the delta side is small by construction; its postings
     * hash-join the stored postings on (band, bh) — work ∝ matching
@@ -186,7 +190,9 @@ object Dedup {
   def lshDeltaPairs(index: LshIndex, delta: DataFrame, shingleK: Int,
       bands: Int, rows: Int, threshold: Double): (DataFrame, LshIndex) = {
     val h = bands * rows
-    val d = lshIndex(delta, shingleK, bands, rows)
+    val fresh = delta.join(index.signatures.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val d = lshIndex(fresh, shingleK, bands, rows)
     val cross = d.postings.select(col("band"), col("bh"),
         col("doc_id").as("d_id"))
       .join(index.postings.select(col("band"), col("bh"),

@@ -142,26 +142,29 @@ object Multimodal {
     def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-    var pos = 12
+    // LONG chunk-walk position: hostile multi-GB chunk sizes must end the
+    // walk (→ codec fallback → stub), never wrap an Int into bytes(-n)
+    var pos = 12L
     var bits = -1; var ch = -1; var rate = -1; var blockAlign = -1
     var dataOff = -1; var dataLen = -1L
     while (pos + 8 <= b.length && (dataOff < 0 || bits < 0)) {
-      val sz = u32(pos + 4)
+      val p = pos.toInt
+      val sz = u32(p + 4)
       if (sz > b.length) return None // bogus/hostile chunk length
-      if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' &&
-          b(pos + 3) == ' ') {
-        if (sz < 16 || pos + 24 > b.length) return None
-        if (u16(pos + 8) != 1) return None // non-PCM → codec fallback
-        ch = u16(pos + 10)
-        rate = u32(pos + 12).toInt
-        blockAlign = u16(pos + 20)
-        bits = u16(pos + 22)
-      } else if (b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' &&
-          b(pos + 3) == 'a') {
-        dataOff = pos + 8
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
+          b(p + 3) == ' ') {
+        if (sz < 16 || p + 24 > b.length) return None
+        if (u16(p + 8) != 1) return None // non-PCM → codec fallback
+        ch = u16(p + 10)
+        rate = u32(p + 12).toInt
+        blockAlign = u16(p + 20)
+        bits = u16(p + 22)
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+          b(p + 3) == 'a') {
+        dataOff = p + 8
         dataLen = sz
       }
-      pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      pos += 8L + sz + (sz & 1L) // RIFF chunks are word-aligned
     }
     if ((bits != 8 && bits != 16) || ch < 1 || rate <= 0 || dataOff < 0 ||
         blockAlign != ch * (bits / 8) || dataOff + dataLen > b.length)
@@ -358,7 +361,8 @@ object Multimodal {
           bytes(pos + 1) != 'R' || bytes(pos + 2) != 'A' ||
           bytes(pos + 3) != 'M' || bytes(pos + 4) != 'E') return None
       val fEnd = lineEnd(pos + 5) // optional per-frame params before '\n'
-      if (fEnd < 0 || fEnd + 1 + frameLen > bytes.length) return None
+      // LONG bound check: a hostile header can put frameLen near 2^31
+      if (fEnd < 0 || fEnd + 1L + frameLen > bytes.length) return None
       var s = 0L
       var i = fEnd + 1
       val stop = fEnd + 1 + lumaLen
@@ -384,6 +388,15 @@ object Multimodal {
     default
   }
 
+  /** [[readGifFrames]]'s outcome: a composited multi-frame clip, or the
+    * single decoded still frame (returned so the image path never parses
+    * the same bytes twice). */
+  private[graft] sealed trait GifParse
+  private[graft] final case class GifAnimated(w: Int, h: Int,
+      means: Array[Double], delayCs: Int) extends GifParse
+  private[graft] final case class GifStill(
+      im: java.awt.image.BufferedImage) extends GifParse
+
   /** REAL multi-frame animated-GIF decode through the JDK's `javax.imageio`
     * GIF codec: frames COMPOSITE onto the logical-screen canvas honoring
     * each frame's offset and disposal method (none/doNotDispose keep the
@@ -391,11 +404,14 @@ object Multimodal {
     * restoreToPrevious reverts to the pre-frame canvas) — the same state
     * machine a browser runs, so per-frame luminance reflects what a viewer
     * SEES, not the stored sub-rectangles an optimized encoder writes.
-    * Returns (canvas w, canvas h, per-frame mean luma over the canvas with
-    * undrawn pixels black, total delay in centiseconds) for clips with ≥ 2
-    * frames; single-frame GIFs return None and take the still-image path. */
-  private[graft] def readGifFrames(bytes: Array[Byte])
-      : Option[(Int, Int, Array[Double], Int)] = {
+    * Animated clips yield (canvas w, canvas h, per-frame mean luma with
+    * undrawn pixels black, total delay in centiseconds); a single-frame
+    * GIF yields its decoded still so the caller's image path reuses THIS
+    * parse instead of re-opening the bytes. A hostile logical screen
+    * (> 2^24 pixels — beyond any real GIF) declines to the stub rather
+    * than attempting the allocation: the canvas is attacker-sized, and an
+    * OutOfMemoryError is not catchable the way a parse error is. */
+  private[graft] def readGifFrames(bytes: Array[Byte]): Option[GifParse] = {
     if (!looksLikeGif(bytes)) return None
     imageioInit
     val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -409,8 +425,9 @@ object Multimodal {
       val n =
         try reader.getNumImages(true)
         catch { case _: Exception => return None }
-      if (n < 2) return None
+      if (n < 1) return None
       val first = reader.read(0)
+      if (n == 1) return Some(GifStill(first))
       // canvas = logical screen; fall back to frame-0 extent when absent
       var cw = first.getWidth
       var ch = first.getHeight
@@ -425,11 +442,14 @@ object Multimodal {
           if (wS.nonEmpty && hS.nonEmpty) { cw = wS.toInt; ch = hS.toInt }
         }
       } catch { case _: Exception => () }
+      if (cw <= 0 || ch <= 0 || cw.toLong * ch > (1 << 24)) return None
       val canvas = new java.awt.image.BufferedImage(cw, ch,
         java.awt.image.BufferedImage.TYPE_INT_ARGB)
       val g = canvas.createGraphics()
       g.setComposite(java.awt.AlphaComposite.SrcOver)
       val means = new Array[Double](n)
+      val rgb = new Array[Int](cw * ch) // one scan buffer for all frames
+      var prev: Array[Int] = null // restore-to-previous snapshot, reused
       var delayCs = 0
       var i = 0
       while (i < n) {
@@ -442,13 +462,13 @@ object Multimodal {
           "disposalMethod", "none")
         delayCs += gifAttr(tree, "GraphicControlExtension",
           "delayTime", "0").toInt
-        val prev: Array[Int] =
-          if (disposal == "restoreToPrevious")
-            canvas.getRGB(0, 0, cw, ch, null, 0, cw)
-          else null
+        if (disposal == "restoreToPrevious") {
+          if (prev == null) prev = new Array[Int](cw * ch)
+          canvas.getRGB(0, 0, cw, ch, prev, 0, cw)
+        }
         g.drawImage(im, x, y, null)
         var s = 0.0
-        val rgb = canvas.getRGB(0, 0, cw, ch, null, 0, cw)
+        canvas.getRGB(0, 0, cw, ch, rgb, 0, cw)
         var p = 0
         while (p < rgb.length) {
           // undrawn (fully transparent) canvas is black, like a player
@@ -469,7 +489,7 @@ object Multimodal {
         i += 1
       }
       g.dispose()
-      Some((cw, ch, means, delayCs))
+      Some(GifAnimated(cw, ch, means, delayCs))
     } catch { case _: Exception => None }
     finally {
       // readers hold per-instance decode buffers — release them here, not
@@ -536,9 +556,10 @@ object Multimodal {
           c.frameLumaSum.length.toDouble * c.fpsDen / c.fpsNum,
           c.fpsNum.toDouble / c.fpsDen)
       case None => readGifFrames(r.media) match {
-        case Some((w, h, means, delayCs)) =>
+        case Some(GifAnimated(w, h, means, delayCs)) =>
           decodeFrames(r, w, h, means, delayCs / 100.0,
             if (delayCs > 0) means.length * 100.0 / delayCs else 0.0)
+        case Some(GifStill(im)) => decodePixels(r, im) // parsed once
         case None => readImage(r.media) match {
           case Some(im) => decodePixels(r, im)
           case None => readAudio(r.media) match {
@@ -729,8 +750,7 @@ object Multimodal {
   def phashNearDupPairs(media: DataFrame, maxHamming: Int,
       decoded: Boolean = false): DataFrame =
     bandedHammingPairs(
-      if (decoded) phashDecoded(media) else mediaPhash(media),
-      "ph_hi", "ph_lo", maxHamming)
+      if (decoded) phashDecoded(media) else mediaPhash(media), maxHamming)
 
   /** Per-window RMS energies of a decoded PCM payload: the clip's frames
     * split into min(`nWindows`, frameCount) equal spans (frame `i` lands
@@ -810,6 +830,29 @@ object Multimodal {
     h
   }
 
+  /** FNV-1a over an array of doubles' raw bit patterns — the DEGENERATE-
+    * sketch fallback fingerprint: content-uniform like [[fnv64]] but in
+    * DECODE space, so container translations of the same degenerate clip
+    * (a WAV and its AIFF, a Y4M and its GIF rendering) still hash
+    * identically while unrelated degenerate clips (different fade-outs,
+    * different silence lengths) distribute uniformly. */
+  private def fnvDoubles(xs: Array[Double]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < xs.length) {
+      var bits = java.lang.Double.doubleToLongBits(xs(i))
+      var b = 0
+      while (b < 8) {
+        h ^= bits & 0xffL
+        h *= 0x100000001b3L
+        bits >>>= 8
+        b += 1
+      }
+      i += 1
+    }
+    h
+  }
+
   /** 64-bit AUDIO FINGERPRINT from decoded samples — the energy-delta
     * recipe (Haitsma & Kalker's robust-hash shape collapsed to one band):
     * split the clip into 65 equal windows, take each window's RMS, and
@@ -826,7 +869,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { r =>
-      pcmWindowRms(r.media, 65) match {
+      val h = pcmWindowRms(r.media, 65) match {
         case Some(rms) =>
           // short clips yield fewer windows (all populated); the unused
           // high delta bits stay 0 — same-length clips still compare
@@ -837,11 +880,19 @@ object Multimodal {
             if (rms(k + 1) > rms(k)) bitsAcc |= 1L << k
             k += 1
           }
-          (r.doc_id, bitsAcc >>> 32, bitsAcc & 0xffffffffL)
-        case None =>
-          val h = fnv64(r.media)
-          (r.doc_id, h >>> 32, h & 0xffffffffL)
+          // DEGENERATE sketch (silence / monotone decay: no rising
+          // window anywhere): the all-zero sketch would pair every such
+          // clip with every other one and pile them into a single n²
+          // banding bucket. Fall back to the content-uniform hash of the
+          // DECODED energies — container translations still pair, two
+          // different fade-outs don't (gain invariance is forfeited:
+          // with zero sketch bits it could only be had through false
+          // pairs). Cannot trigger on the md5-uniform gate fixtures
+          // (P ≈ 2⁻⁵⁹), so the m10 oracle replays the sketch alone.
+          if (bitsAcc != 0L) bitsAcc else fnvDoubles(rms)
+        case None => fnv64(r.media)
       }
+      (r.doc_id, h >>> 32, h & 0xffffffffL)
     }).toDF("doc_id", "fp_hi", "fp_lo")
   }
 
@@ -851,28 +902,48 @@ object Multimodal {
     * ([[Dedup.simhashBlockKeys]], complete for Hamming ≤ maxHamming),
     * skinny candidate self-join, two-bit_count verify — map-side hash,
     * ~n/2^26 buckets, pair work linear into the billions of assets. */
-  private def bandedHammingPairs(fingerprints: DataFrame, hiCol: String,
-      loCol: String, maxHamming: Int): DataFrame = {
-    val fp = fingerprints.localCheckpoint(eager = false)
-    val keyed = fp
-      .withColumn("f",
-        shiftleft(col(hiCol), 32).bitwiseOR(col(loCol)))
+  /** Normalize any (doc_id, hi, lo) fingerprint frame — the ph_/fp_
+    * column-name split stays out of the join machinery. */
+  private def fpNormalized(fingerprints: DataFrame): DataFrame = {
+    val c = fingerprints.columns
+    require(c.length == 3, s"expected (doc_id, hi, lo), got ${c.toSeq}")
+    fingerprints.select(col(c(0)).as("doc_id"), col(c(1)).as("fp_hi"),
+      col(c(2)).as("fp_lo"))
+  }
+
+  /** Pigeonhole banding keys of a normalized fingerprint frame (complete
+    * for Hamming ≤ maxHamming) — shared by the batch self-join and the
+    * incremental index, so the two paths cannot diverge. */
+  private def fpKeyed(fp: DataFrame, maxHamming: Int): DataFrame =
+    fp.withColumn("f", shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo")))
       .select(col("doc_id"),
         explode(Dedup.simhashBlockKeys("f", maxHamming)).as("bk"))
-    val cand = keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
-      .join(keyed.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
-        col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+
+  /** Re-attach fingerprints to skinny (doc_a, doc_b) candidates and keep
+    * pairs within the Hamming bound — the shared verify of the batch and
+    * delta paths. */
+  private def verifyHamming(cand: DataFrame, fp: DataFrame,
+      maxHamming: Int): DataFrame =
     cand
-      .join(fp.select(col("doc_id").as("doc_a"), col(hiCol).as("hi_a"),
-        col(loCol).as("lo_a")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col(hiCol).as("hi_b"),
-        col(loCol).as("lo_b")), "doc_b")
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp_hi").as("hi_a"),
+        col("fp_lo").as("lo_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp_hi").as("hi_b"),
+        col("fp_lo").as("lo_b")), "doc_b")
       .withColumn("hamming",
         expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+
+  private def bandedHammingPairs(fingerprints: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val fp = fpNormalized(fingerprints).localCheckpoint(eager = false)
+    val keyed = fpKeyed(fp, maxHamming)
+    val cand = keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
+        col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyHamming(cand, fp, maxHamming)
   }
 
   /** AUDIO NEAR-DUPLICATE detection — re-encodes, gain-normalized copies,
@@ -881,8 +952,7 @@ object Multimodal {
     * undecodable payloads pair only when byte-exact (the [[fnv64]]
     * fallback). Scale shape: [[bandedHammingPairs]]. */
   def audioNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
-    bandedHammingPairs(audioFingerprint(media), "fp_hi", "fp_lo",
-      maxHamming)
+    bandedHammingPairs(audioFingerprint(media), maxHamming)
 
   /** A persisted media-fingerprint index: the fingerprints plus their
     * exploded pigeonhole banding keys — built ONCE per ingested asset, so
@@ -897,16 +967,8 @@ object Multimodal {
     * [[videoFingerprint]]) — (doc_id, hi, lo) by position, so the
     * ph_/fp_ column-name split doesn't leak into the index schema. */
   def mediaFpIndex(fingerprints: DataFrame, maxHamming: Int): MediaFpIndex = {
-    val c = fingerprints.columns
-    require(c.length == 3, s"expected (doc_id, hi, lo), got ${c.toSeq}")
-    val fp = fingerprints.select(col(c(0)).as("doc_id"),
-      col(c(1)).as("fp_hi"), col(c(2)).as("fp_lo"))
-      .localCheckpoint(eager = false)
-    val keyed = fp
-      .withColumn("f", shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo")))
-      .select(col("doc_id"),
-        explode(Dedup.simhashBlockKeys("f", maxHamming)).as("bk"))
-      .localCheckpoint(eager = false)
+    val fp = fpNormalized(fingerprints).localCheckpoint(eager = false)
+    val keyed = fpKeyed(fp, maxHamming).localCheckpoint(eager = false)
     MediaFpIndex(fp, keyed, maxHamming)
   }
 
@@ -921,10 +983,20 @@ object Multimodal {
     * the corpus is touched only as the posting-list join side. Returns
     * the delta's pairs (every pair involving ≥ 1 delta asset — provably
     * the batch-over-union pairs minus the already-reported index-only
-    * pairs, OpsSpec-pinned) and the merged index for tomorrow. */
+    * pairs, OpsSpec-pinned) and the merged index for tomorrow.
+    *
+    * Ingest is IDEMPOTENT on doc_id: a delta id that already exists in
+    * the index is the same asset re-presented — it is dropped before any
+    * join (no self-pairs, no re-reported pairs, no duplicate index rows;
+    * replaying yesterday's batch tonight is a no-op). Re-ingesting an id
+    * with CHANGED content is an update, which this append-only index
+    * does not model — route updates through a delete (the d22 tombstone
+    * discipline) and re-add. */
   def mediaDeltaPairs(index: MediaFpIndex, deltaFingerprints: DataFrame)
       : (DataFrame, MediaFpIndex) = {
-    val d = mediaFpIndex(deltaFingerprints, index.maxHamming)
+    val fresh = fpNormalized(deltaFingerprints)
+      .join(index.fingerprints.select("doc_id"), Seq("doc_id"), "left_anti")
+    val d = mediaFpIndex(fresh, index.maxHamming)
     val cross = d.keyed.select(col("bk"), col("doc_id").as("d_id"))
       .join(index.keyed.select(col("bk"), col("doc_id").as("e_id")), Seq("bk"))
       .select(least(col("d_id"), col("e_id")).as("doc_a"),
@@ -935,16 +1007,7 @@ object Multimodal {
       .select("doc_a", "doc_b")
     val cand = cross.unionByName(within).distinct()
     val fps = index.fingerprints.unionByName(d.fingerprints)
-    val pairs = cand
-      .join(fps.select(col("doc_id").as("doc_a"), col("fp_hi").as("hi_a"),
-        col("fp_lo").as("lo_a")), "doc_a")
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp_hi").as("hi_b"),
-        col("fp_lo").as("lo_b")), "doc_b")
-      .withColumn("hamming",
-        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
-      .where(col("hamming") <= index.maxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+    val pairs = verifyHamming(cand, fps, index.maxHamming)
     (pairs, MediaFpIndex(fps, index.keyed.unionByName(d.keyed),
       index.maxHamming))
   }
@@ -956,7 +1019,9 @@ object Multimodal {
       case Some(c) =>
         val ppf = c.width * c.height
         Some(c.frameLumaSum.map(_.toDouble / ppf))
-      case None => readGifFrames(bytes).map(_._3)
+      case None => readGifFrames(bytes).collect {
+        case GifAnimated(_, _, means, _) => means
+      }
     }
 
   /** 64-bit VIDEO FINGERPRINT from decoded frames — [[audioFingerprint]]'s
@@ -970,36 +1035,49 @@ object Multimodal {
     * noise. Clips with < 2 frames and undecodable payloads (compressed
     * video — the codec gap) fall back to the content-uniform [[fnv64]]
     * hash: exact-duplicate detection only, for the same
-    * shared-container-header reason as the audio fallback. */
+    * shared-container-header reason as the audio fallback.
+    *
+    * DEGENERATE clips — static or monotonically non-brightening, i.e. no
+    * rising delta anywhere — also take the [[fnv64]] fallback: under the
+    * brightness/gain invariance a constant clip carries NO temporal
+    * signal, so the all-zero sketch would declare every static clip a
+    * near-dup of every other one (false pairs AND one n²-sized banding
+    * bucket — static assets are common in real corpora). Exact-dup
+    * semantics is the only honest answer for them. Cannot trigger on the
+    * md5-uniform gate fixtures (P ≈ 2⁻⁵⁹), so the m08/m11 oracles replay
+    * the sketch arithmetic alone. */
   def videoFingerprint(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { r =>
-      videoFrameMeans(r.media).filter(_.length >= 2) match {
+      val hh = videoFrameMeans(r.media).filter(_.length >= 2) match {
         case Some(means) =>
           val total = means.length
           val nw = math.min(65, total)
-          val sums = new Array[Double](nw)
+          val wmeans = new Array[Double](nw)
           val counts = new Array[Int](nw)
           var f = 0
           while (f < total) {
             val w = ((f.toLong * nw) / total).toInt
-            sums(w) += means(f)
+            wmeans(w) += means(f)
             counts(w) += 1
             f += 1
           }
-          var bitsAcc = 0L
           var k = 0
+          while (k < nw) { wmeans(k) /= counts(k); k += 1 }
+          var bitsAcc = 0L
+          k = 0
           while (k < nw - 1) {
-            if (sums(k + 1) / counts(k + 1) > sums(k) / counts(k))
-              bitsAcc |= 1L << k
+            if (wmeans(k + 1) > wmeans(k)) bitsAcc |= 1L << k
             k += 1
           }
-          (r.doc_id, bitsAcc >>> 32, bitsAcc & 0xffffffffL)
-        case None =>
-          val hh = fnv64(r.media)
-          (r.doc_id, hh >>> 32, hh & 0xffffffffL)
+          // degenerate sketch (static / monotone fade: no brightening
+          // window) → content-uniform hash of the DECODED window means,
+          // like the audio path — see audioFingerprint's note
+          if (bitsAcc != 0L) bitsAcc else fnvDoubles(wmeans)
+        case None => fnv64(r.media)
       }
+      (r.doc_id, hh >>> 32, hh & 0xffffffffL)
     }).toDF("doc_id", "fp_hi", "fp_lo")
   }
 
@@ -1009,8 +1087,7 @@ object Multimodal {
     * undecodable payloads pair only when byte-exact (the [[fnv64]]
     * fallback). Scale shape: [[bandedHammingPairs]]. */
   def videoNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
-    bandedHammingPairs(videoFingerprint(media), "fp_hi", "fp_lo",
-      maxHamming)
+    bandedHammingPairs(videoFingerprint(media), maxHamming)
 
   /** First 4 bytes of md5(`key`) as a uint32 — the shared randomness of
     * the synthetic media gate fixtures: md5 is the one hash BOTH engines

@@ -474,65 +474,48 @@ object ScaleSweep {
         "recall_exact" -> fmt(docRecall(pairs, 0))))
     }
 
-    // --- video near-dup at factor scale (m08 shape): REAL Y4M decode →
-    // 64-bit temporal fingerprints → the shared pigeonhole-banded Hamming
-    // join. Decode is map-only (one pass, bounded per-row state) and the
-    // fingerprints are md5-uniform, so pair work stays ~linear like the
-    // text banding families; planted re-uploads (byte-identical) and
-    // brightness-graded re-encodes (+8 luma, Hamming 0 by the delta-sign
-    // shift invariance) must both be found at every factor. ---
-    time("video_neardup") {
-      val cloneBase = 1000000000L
-      val ids = docs.select("doc_id")
-      val base = graft.ops.Multimodal.attachSyntheticVideo(ids, 60, 10)
-      val reup = base.where(col("doc_id") % 97 === 0)
-        .withColumn("doc_id", col("doc_id") + cloneBase)
-      val graded = graft.ops.Multimodal.attachSyntheticVideo(
-          ids.where(col("doc_id") % 101 === 0), 60, 10, shift = 8)
-        .withColumn("doc_id", col("doc_id") + 2 * cloneBase)
-      val pairs = graft.ops.Multimodal.videoNearDupPairs(
-        base.unionByName(reup).unionByName(graded), 2).localCheckpoint()
-      val found = pairs.count()
-      val reupHit = pairs.where(col("doc_b") >= cloneBase &&
-        col("doc_b") < 2 * cloneBase &&
-        col("doc_a") === col("doc_b") - cloneBase).count()
-      val gradHit = pairs.where(col("doc_b") >= 2 * cloneBase &&
-        col("doc_a") === col("doc_b") - 2 * cloneBase).count()
-      val nReup = ids.where(col("doc_id") % 97 === 0).count()
-      val nGrad = ids.where(col("doc_id") % 101 === 0).count()
-      (found, Map(
-        "reup_recall" -> fmt(reupHit.toDouble / math.max(nReup, 1L)),
-        "graded_recall" -> fmt(gradHit.toDouble / math.max(nGrad, 1L)),
-        "n_docs" -> nDocs.toString))
-    }
-
-    // --- audio near-dup at factor scale (m10 shape): REAL WAV decode via
-    // javax.sound.sampled → 65-window energy-delta fingerprints → the same
-    // banded Hamming join; planted re-uploads and HALF-GAIN re-encodes
-    // (Hamming 0 by the fingerprint's gain invariance) at every factor. ---
-    time("audio_neardup") {
-      val cloneBase = 1000000000L
-      val ids = docs.select("doc_id")
-      val base = graft.ops.Multimodal.attachSyntheticAudio(ids, 60, 10)
-      val reup = base.where(col("doc_id") % 97 === 0)
-        .withColumn("doc_id", col("doc_id") + cloneBase)
-      val graded = graft.ops.Multimodal.attachSyntheticAudio(
-          ids.where(col("doc_id") % 101 === 0), 60, 10, halfGain = true)
-        .withColumn("doc_id", col("doc_id") + 2 * cloneBase)
-      val pairs = graft.ops.Multimodal.audioNearDupPairs(
-        base.unionByName(reup).unionByName(graded), 2).localCheckpoint()
-      val found = pairs.count()
-      val reupHit = pairs.where(col("doc_b") >= cloneBase &&
-        col("doc_b") < 2 * cloneBase &&
-        col("doc_a") === col("doc_b") - cloneBase).count()
-      val gradHit = pairs.where(col("doc_b") >= 2 * cloneBase &&
-        col("doc_a") === col("doc_b") - 2 * cloneBase).count()
-      val nReup = ids.where(col("doc_id") % 97 === 0).count()
-      val nGrad = ids.where(col("doc_id") % 101 === 0).count()
-      (found, Map(
-        "reup_recall" -> fmt(reupHit.toDouble / math.max(nReup, 1L)),
-        "graded_recall" -> fmt(gradHit.toDouble / math.max(nGrad, 1L)),
-        "n_docs" -> nDocs.toString))
+    // --- decoded-media near-dup at factor scale (m08/m10 shapes): REAL
+    // Y4M / WAV decode → 64-bit temporal/energy-delta fingerprints → the
+    // shared pigeonhole-banded Hamming join. Decode is map-only (one
+    // pass, bounded per-row state) and the fingerprints are md5-uniform,
+    // so pair work stays ~linear like the text banding families; planted
+    // re-uploads (byte-identical) and graded re-encodes (+8 luma /
+    // half gain — Hamming 0 by the fingerprints' shift/gain invariance)
+    // must both be found at every factor. ---
+    val mediaRows: Seq[(String,
+        (DataFrame, Boolean) => DataFrame, DataFrame => DataFrame)] = Seq(
+      ("video_neardup",
+        (ids, graded) => graft.ops.Multimodal.attachSyntheticVideo(
+          ids, 60, 10, shift = if (graded) 8 else 0),
+        m => graft.ops.Multimodal.videoNearDupPairs(m, 2)),
+      ("audio_neardup",
+        (ids, graded) => graft.ops.Multimodal.attachSyntheticAudio(
+          ids, 60, 10, halfGain = graded),
+        m => graft.ops.Multimodal.audioNearDupPairs(m, 2)))
+    mediaRows.foreach { case (label, attach, nearDup) =>
+      time(label) {
+        val cloneBase = 1000000000L
+        val ids = docs.select("doc_id")
+        val base = attach(ids, false)
+        val reup = base.where(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + cloneBase)
+        val graded = attach(ids.where(col("doc_id") % 101 === 0), true)
+          .withColumn("doc_id", col("doc_id") + 2 * cloneBase)
+        val pairs = nearDup(base.unionByName(reup).unionByName(graded))
+          .localCheckpoint()
+        val found = pairs.count()
+        val reupHit = pairs.where(col("doc_b") >= cloneBase &&
+          col("doc_b") < 2 * cloneBase &&
+          col("doc_a") === col("doc_b") - cloneBase).count()
+        val gradHit = pairs.where(col("doc_b") >= 2 * cloneBase &&
+          col("doc_a") === col("doc_b") - 2 * cloneBase).count()
+        val nReup = ids.where(col("doc_id") % 97 === 0).count()
+        val nGrad = ids.where(col("doc_id") % 101 === 0).count()
+        (found, Map(
+          "reup_recall" -> fmt(reupHit.toDouble / math.max(nReup, 1L)),
+          "graded_recall" -> fmt(gradHit.toDouble / math.max(nGrad, 1L)),
+          "n_docs" -> nDocs.toString))
+      }
     }
 
     // --- OLAP gate queries at factor scale: star agg (q02), dense axes

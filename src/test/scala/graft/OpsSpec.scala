@@ -1374,6 +1374,47 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 11L), (1L, 12L), (11L, 12L), (21L, 23L)))
   }
 
+  test("degenerate-signal clips (static video, silence / monotone-decay " +
+      "audio) fall back to a DECODE-SPACE content hash: container " +
+      "translations still pair, but unrelated degenerate clips never " +
+      "share an all-zero sketch bucket") {
+    import spark.implicits._
+    def vmeta = Multimodal.MediaMeta("y4m", 0, 0, 0)
+    def staticY4m(luma: Int) = y4mBytes("YUV4MPEG2 W4 H2 F25:1 C420",
+      Seq.fill(8)(("",
+        Array.fill(8)(luma.toByte) ++ Array.fill(4)(128.toByte))))
+    val vm = Seq(
+      Multimodal.MediaRow(1L, staticY4m(50), vmeta),
+      Multimodal.MediaRow(2L, staticY4m(50), vmeta), // re-upload
+      Multimodal.MediaRow(3L, staticY4m(120), vmeta)) // DIFFERENT static
+      .toDS().toDF()
+    val vfp = Multimodal.videoFingerprint(vm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(vfp(1L) == vfp(2L), "static re-upload must pair")
+    assert(vfp(1L) != vfp(3L),
+      "two different static clips must NOT collide — the all-zero-sketch " +
+        "bucket would pair every static asset with every other one")
+    assert(Multimodal.videoNearDupPairs(vm, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // audio: silence and a monotone energy decay have no rising window;
+    // the decode-space hash keeps WAV↔AIFF container invariance anyway
+    val silence = Array.fill(64)(0.toShort)
+    val decay = Array.tabulate(64)(i => (6400 - 100 * i).toShort)
+    val am = Seq(
+      Multimodal.MediaRow(11L, encodeAudio(silence, 8000f, 1),
+        Multimodal.MediaMeta("wav", 0, 0, 1)),
+      Multimodal.MediaRow(12L, encodeAudio(silence, 8000f, 1, aiff = true),
+        Multimodal.MediaMeta("aiff", 0, 0, 1)),
+      Multimodal.MediaRow(13L, encodeAudio(decay, 8000f, 1),
+        Multimodal.MediaMeta("wav", 0, 0, 1))).toDS().toDF()
+    val afp = Multimodal.audioFingerprint(am).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(afp(11L) == afp(12L),
+      "silence must hash identically through WAV and AIFF (decode space)")
+    assert(afp(11L) != afp(13L),
+      "silence and a fade-out must not collide")
+  }
+
   test("media decode is TOTAL on hostile bytes: seeded mutations of valid " +
       "Y4M/WAV/GIF payloads and pure garbage never throw — every payload " +
       "either decodes or falls to the stub (corpus payloads are untrusted)") {
@@ -1416,9 +1457,12 @@ class OpsSpec extends AnyFunSuite {
     // night-0 corpus: 1/2/3 unique, 4 re-uploads 1
     val corpus =
       Seq(clip(1, 1), clip(2, 2), clip(3, 3), clip(4, 1)).toDS().toDF()
-    // night-1 delta: 11 brightness-grades 2, 12 unique, 13 re-uploads 12
-    val delta =
-      Seq(clip(11, 2, shift = 8), clip(12, 12), clip(13, 12)).toDS().toDF()
+    // night-1 delta: 11 brightness-grades 2, 12 unique, 13 re-uploads 12,
+    // and doc 1 RE-PRESENTED (same id, same content) — ingest is
+    // idempotent, so it must add nothing: no self-pair, no re-reported
+    // (1, 4), no duplicate index row
+    val delta = Seq(clip(11, 2, shift = 8), clip(12, 12), clip(13, 12),
+      clip(1, 1)).toDS().toDF()
     val idx0 =
       Multimodal.mediaFpIndex(Multimodal.videoFingerprint(corpus), 2)
     val (pairs, idx1) =
