@@ -725,6 +725,24 @@ object SparkEntry {
             "features[2] AS duration_sec",
             "features[3] AS zero_crossings")
           .orderBy("doc_id")),
+      // m12: G.711 μ-law decode gated against GROUND TRUTH — format-7
+      // RIFF/WAVE telephony clips whose code bytes derive from md5
+      // arithmetic; the oracle re-expands every code through the integer
+      // μ-law formula (complement, 4-bit mantissa + 132 bias, 3-bit
+      // exponent, sign off the top bit) and recomputes RMS/peak/
+      // zero-crossings/duration from the DECODED samples — a wrong table
+      // entry, complement, or sign in the engine's decode fails the hash
+      "m12_ulaw_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticUlaw(
+            CubeCatalog.forDir(s, dir).table("documents"), 1, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
       // m10: audio near-dup over DECODED samples — plants a re-upload
       // (identical payload) and a HALF-GAIN re-encode (every sample
       // value exactly halved: base samples are even, so the window RMS
@@ -3386,6 +3404,43 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END AS zx
          |  FROM sv)
          |SELECT doc_id, 'wav' AS format,
+         |  CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
+         |  CAST(44 + n AS INTEGER) AS n_bytes,
+         |  sqrt(SUM(s * s) / n) AS rms,
+         |  MAX(ABS(s)) AS peak,
+         |  n / 8000.0 AS duration_sec,
+         |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+         |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // m12: the μ-law clips' ground truth — every code byte re-expanded
+    // through the integer G.711 formula (u = 255 − code; t = ((u&15)·8 +
+    // 132) << ((u>>4)&7); v = sign(u&128) ? 132−t : t−132), then the same
+    // exact-dyadic feature arithmetic as m09: v/32768 is exact, v² fits
+    // 30 mantissa bits so the sum is order-independent, sqrt and the
+    // single divisions are correctly-rounded IEEE on identical operands
+    "m12_ulaw_decode" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n,
+         |    i.range AS i
+         |  FROM documents CROSS JOIN range(0, 10) i
+         |  WHERE i.range < doc_id % 10 + 1),
+         |hb AS (SELECT doc_id, n, i,
+         |  md5(CAST(doc_id AS VARCHAR) || ':u:' || CAST(i AS VARCHAR)) AS h
+         |  FROM fr),
+         |cd AS (SELECT doc_id, n, i,
+         |  CAST(255 - (($MD5_U_HORNER) % 256) AS INTEGER) AS u FROM hb),
+         |sv AS (SELECT doc_id, n, i,
+         |  (CASE WHEN u >= 128
+         |     THEN 132 - ((((u & 15) * 8) + 132) << ((u >> 4) & 7))
+         |     ELSE ((((u & 15) * 8) + 132) << ((u >> 4) & 7)) - 132
+         |   END) / 32768.0 AS s
+         |  FROM cd),
+         |tr AS (SELECT doc_id, n, s,
+         |  CASE WHEN (s >= 0) !=
+         |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+         |    THEN 1 ELSE 0 END AS zx
+         |  FROM sv)
+         |SELECT doc_id, 'ulaw' AS format,
          |  CAST(8000 AS INTEGER) AS sample_rate,
          |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
          |  CAST(44 + n AS INTEGER) AS n_bytes,

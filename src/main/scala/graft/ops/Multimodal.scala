@@ -116,24 +116,62 @@ object Multimodal {
     (b.length >= 4 &&
       b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
 
+  // Sample encodings a clip's byte view can carry: linear PCM (8/16/24/32
+  // bit), IEEE float32, and the two G.711 companding laws (8-bit bytes
+  // decoded through [[ulawTab]]/[[alawTab]]).
+  private final val EncPcm = 0
+  private final val EncFloat32 = 1
+  private final val EncUlaw = 2
+  private final val EncAlaw = 3
+
+  /** G.711 μ-law decode table: code byte → 16-bit linear PCM, built with
+    * the exact arithmetic of the JDK's ULAW→PCM codec (complement, 4-bit
+    * mantissa biased by 132, 3-bit exponent, sign off the top bit) — the
+    * OpsSpec pins all 256 entries equal to a real
+    * `AudioSystem.getAudioInputStream(PCM_SIGNED, ulawStream)`
+    * conversion, so the table IS the codec, not an approximation of it. */
+  private[graft] val ulawTab: Array[Short] = Array.tabulate(256) { i =>
+    val u = ~i & 0xff
+    val t = (((u & 0xf) << 3) + 132) << ((u & 0x70) >> 4)
+    (if ((u & 0x80) != 0) 132 - t else t - 132).toShort
+  }
+
+  /** G.711 A-law decode table — same contract as [[ulawTab]] (all 256
+    * entries OpsSpec-pinned to the JDK's ALAW→PCM codec): XOR 0x55
+    * toggle, 4-bit mantissa, 3-bit segment with the +0x100 bias applied
+    * from segment 1, sign off the top bit (set = positive). */
+  private[graft] val alawTab: Array[Short] = Array.tabulate(256) { i =>
+    val a = i ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var v = ((a & 0xf) << 4) + 8
+    if (seg >= 1) v += 0x100
+    if (seg > 1) v <<= seg - 1
+    (if ((a & 0x80) == 0) -v else v).toShort
+  }
+
   /** A PCM clip ready to scan: sample geometry plus a byte view — for the
     * canonical-WAV fast path a window straight into the payload (zero
     * copies), for the AudioSystem fallback one decoded buffer of the same
-    * size as the container's data chunk (still per-row-bounded). */
+    * size as the container's data chunk (still per-row-bounded). `enc`
+    * names the sample encoding ([[EncPcm]]/[[EncFloat32]]/[[EncUlaw]]/
+    * [[EncAlaw]]); bits/signed describe the linear-PCM layout and are 8/
+    * unsigned-irrelevant for the law codecs (one code byte per sample). */
   private case class PcmClip(bits: Int, ch: Int, signed: Boolean,
       big: Boolean, sampleRate: Float, frames: Long, data: Array[Byte],
-      off: Int)
+      off: Int, enc: Int = EncPcm)
 
   /** Canonical-WAV PCM fast path: a RIFF chunk walk to the fmt/data
     * chunks, WITHOUT javax.sound's provider machinery — AudioSystem
     * session setup costs ~0.2 ms per stream, 50× the actual sample scan,
     * and at corpus scale it IS the decode pass (observed 115 s for 500k
     * clips on the sweep's audio row vs ~2 s for the equivalent
-    * hand-parsed video row). PCM (format 1) 8/16-bit only; anything
-    * else — AIFF/AU, extensible/compressed WAVs, truncated data — returns
-    * None and takes the full [[readPcmViaAudioSystem]] path with
+    * hand-parsed video row). Decodes linear PCM (format 1, 8/16/24/32
+    * bit), IEEE float32 (format 3), and G.711 A-law/μ-law (formats 6/7 —
+    * the telephony WAVs; table decode spec-pinned to the JDK codec);
+    * anything else — AIFF/AU, extensible/ADPCM WAVs, truncated data —
+    * returns None and takes the full [[readPcmViaAudioSystem]] path with
     * identical semantics: the fast path reads exactly the bytes the
-    * codec would hand back. WAV convention: 8-bit unsigned, 16-bit
+    * codec would hand back. WAV convention: 8-bit unsigned, wider
     * signed little-endian. */
   private def parseWavPcm(b: Array[Byte]): Option[PcmClip] = {
     if (!(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
@@ -145,6 +183,7 @@ object Multimodal {
     // LONG chunk-walk position: hostile multi-GB chunk sizes must end the
     // walk (→ codec fallback → stub), never wrap an Int into bytes(-n)
     var pos = 12L
+    var tag = -1
     var bits = -1; var ch = -1; var rate = -1; var blockAlign = -1
     var dataOff = -1; var dataLen = -1L
     while (pos + 8 <= b.length && (dataOff < 0 || bits < 0)) {
@@ -154,7 +193,7 @@ object Multimodal {
       if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
           b(p + 3) == ' ') {
         if (sz < 16 || p + 24 > b.length) return None
-        if (u16(p + 8) != 1) return None // non-PCM → codec fallback
+        tag = u16(p + 8)
         ch = u16(p + 10)
         rate = u32(p + 12).toInt
         blockAlign = u16(p + 20)
@@ -166,13 +205,26 @@ object Multimodal {
       }
       pos += 8L + sz + (sz & 1L) // RIFF chunks are word-aligned
     }
-    if ((bits != 8 && bits != 16) || ch < 1 || rate <= 0 || dataOff < 0 ||
+    // Format tags this walk decodes directly: 1 = linear PCM (WAV
+    // convention: 8-bit unsigned, wider signed little-endian), 3 = IEEE
+    // float32, 6/7 = G.711 A-law/μ-law (one code byte per sample, the
+    // table decode). Anything else (extensible, ADPCM, MP3-in-WAV…) →
+    // codec fallback.
+    val enc = tag match {
+      case 1 if bits == 8 || bits == 16 || bits == 24 || bits == 32 =>
+        EncPcm
+      case 3 if bits == 32 => EncFloat32
+      case 6 if bits == 8 => EncAlaw
+      case 7 if bits == 8 => EncUlaw
+      case _ => return None
+    }
+    if (ch < 1 || rate <= 0 || dataOff < 0 ||
         blockAlign != ch * (bits / 8) || dataOff + dataLen > b.length)
       return None
     val frames = dataLen / blockAlign
     if (frames <= 0) return None
-    Some(PcmClip(bits, ch, signed = bits == 16, big = false, rate.toFloat,
-      frames, b, dataOff))
+    Some(PcmClip(bits, ch, signed = bits > 8, big = false, rate.toFloat,
+      frames, b, dataOff, enc))
   }
 
   /** Full-codec fallback for PCM containers the fast path declines
@@ -188,20 +240,34 @@ object Multimodal {
       catch { case _: Exception => return None }
     try {
       val fmt = ais.getFormat
-      val enc = fmt.getEncoding
+      val fe = fmt.getEncoding
       val bits = fmt.getSampleSizeInBits
       val ch = fmt.getChannels
-      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
-      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
-      if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 ||
-          fmt.getFrameSize != ch * (bits / 8) || fmt.getFrameRate <= 0)
+      val signed = fe == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = fe == AudioFormat.Encoding.PCM_UNSIGNED
+      // Sample encodings the scan decodes: linear PCM 8/16/24/32,
+      // float32, and the G.711 laws (the JDK's AU/AIFC readers hand the
+      // raw code bytes back with Encoding.ULAW/ALAW — decoded here
+      // through the spec-pinned tables, identical to routing the stream
+      // through the JDK's own FormatConversionProvider without paying a
+      // second provider lookup per row).
+      val enc =
+        if ((signed || unsigned) &&
+            (bits == 8 || bits == 16 || bits == 24 || bits == 32)) EncPcm
+        else if (fe == AudioFormat.Encoding.PCM_FLOAT && bits == 32)
+          EncFloat32
+        else if (fe == AudioFormat.Encoding.ULAW && bits == 8) EncUlaw
+        else if (fe == AudioFormat.Encoding.ALAW && bits == 8) EncAlaw
+        else return None
+      if (ch < 1 || fmt.getFrameSize != ch * (bits / 8) ||
+          fmt.getFrameRate <= 0)
         return None
       val declared = ais.getFrameLength
       val data = ais.readAllBytes()
       val frames = data.length.toLong / fmt.getFrameSize
       if (frames <= 0) return None
       Some((PcmClip(bits, ch, signed, fmt.isBigEndian, fmt.getSampleRate,
-        frames, data, 0), declared))
+        frames, data, 0, enc), declared))
     } catch { case _: Exception => None }
     finally ais.close()
   }
@@ -212,7 +278,8 @@ object Multimodal {
   private def pcmFeatures(c: PcmClip): (Int, Int, Long, Array[Double]) = {
     val bps = c.bits / 8
     val frameSize = c.ch * bps
-    val full = 1.0 / (1 << (c.bits - 1)) // LSB scale to [-1, 1)
+    val full = 1.0 / (1L << (c.bits - 1)) // LSB scale to [-1, 1)
+    val lawFull = 1.0 / 32768 // G.711 tables decode to 16-bit PCM
     var sumSq = 0.0
     var peak = 0.0
     var zeroX = 0L
@@ -224,7 +291,13 @@ object Multimodal {
       var s = 0.0
       var k = 0
       while (k < c.ch) {
-        s += pcmRaw(c.data, off + k * bps, c.bits, c.signed, c.big) * full
+        val o = off + k * bps
+        s += (c.enc match {
+          case EncPcm => pcmRaw(c.data, o, c.bits, c.signed, c.big) * full
+          case EncFloat32 => readFloat32(c.data, o, c.big)
+          case EncUlaw => ulawTab(c.data(o) & 0xff) * lawFull
+          case _ => alawTab(c.data(o) & 0xff) * lawFull
+        })
         k += 1
       }
       s /= c.ch
@@ -262,15 +335,44 @@ object Multimodal {
     * to [-65536, -32768) under extend-then-shift, mapping the whole upper
     * half of the amplitude range to garbage). */
   private[graft] def pcmRaw(buf: Array[Byte], base: Int, bits: Int,
-      signed: Boolean, big: Boolean): Int =
-    if (bits == 8) {
+      signed: Boolean, big: Boolean): Int = bits match {
+    case 8 =>
       if (signed) buf(base).toInt else (buf(base) & 0xff) - 128
-    } else {
+    case 16 =>
       val b0 = buf(base) & 0xff
       val b1 = buf(base + 1) & 0xff
       val v = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
       if (signed) (v << 16) >> 16 else v - 32768
-    }
+    case 24 =>
+      val b0 = buf(base) & 0xff
+      val b1 = buf(base + 1) & 0xff
+      val b2 = buf(base + 2) & 0xff
+      val v = if (big) (b0 << 16) | (b1 << 8) | b2
+              else (b2 << 16) | (b1 << 8) | b0
+      if (signed) (v << 8) >> 8 else v - (1 << 23)
+    case _ => // 32: the assembled Int IS the signed sample; the unsigned
+      // re-center (− 2³¹) is exactly a sign-bit flip, no wider type needed
+      val b0 = buf(base) & 0xff
+      val b1 = buf(base + 1) & 0xff
+      val b2 = buf(base + 2) & 0xff
+      val b3 = buf(base + 3) & 0xff
+      val v = if (big) (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
+              else (b3 << 24) | (b2 << 16) | (b1 << 8) | b0
+      if (signed) v else v ^ Int.MinValue
+  }
+
+  /** One IEEE float32 sample (WAV format 3 / PCM_FLOAT), honoring the
+    * container's endianness. */
+  private def readFloat32(buf: Array[Byte], base: Int, big: Boolean)
+      : Double = {
+    val b0 = buf(base) & 0xff
+    val b1 = buf(base + 1) & 0xff
+    val b2 = buf(base + 2) & 0xff
+    val b3 = buf(base + 3) & 0xff
+    val raw = if (big) (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
+              else (b3 << 24) | (b2 << 16) | (b1 << 8) | b0
+    java.lang.Float.intBitsToFloat(raw).toDouble
+  }
 
   /** REAL audio decode: sample-space features [rms, peak, duration_sec,
     * zero_crossings]. The fixed row schema reuses width for the sample
@@ -1213,6 +1315,48 @@ object Multimodal {
       MediaRow(id,
         syntheticWav(id, (id % modSamples).toInt + addSamples, halfGain),
         MediaMeta("wav", 0, 0, 0))
+    }.toDF()
+  }
+
+  /** Deterministic REAL G.711 μ-law WAV clip (format tag 7, mono 8 kHz)
+    * for the m12 gate: the canonical 44-byte RIFF header + one
+    * md5-derived code byte per sample — md5Uint("<docId>:u:<i>") mod 256,
+    * uniform over the code space so every exponent segment and both sign
+    * halves are exercised. The decode is [[ulawTab]] (spec-pinned equal
+    * to the JDK codec over all 256 codes), and the expansion formula is
+    * pure integer arithmetic, so the DuckDB oracle replays the DECODED
+    * ground truth — a wrong table entry, complement, or sign fails the
+    * hash compare. */
+  private[graft] def syntheticUlawWav(docId: Long, nSamples: Int)
+      : Array[Byte] = {
+    require(nSamples > 0, "nSamples must be positive")
+    val out = new Array[Byte](44 + nSamples)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7).putShort(1) // G.711 μ-law, mono
+      .putInt(8000).putInt(8000) // sample rate, byte rate
+      .putShort(1).putShort(8) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(nSamples)
+    var i = 0
+    while (i < nSamples) {
+      out(44 + i) = (md5Uint(s"$docId:u:$i") % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Attach a [[syntheticUlawWav]] payload per document — the telephony
+    * sibling of [[attachSyntheticAudio]], same clip-length recipe. */
+  def attachSyntheticUlaw(docs: DataFrame, addSamples: Int,
+      modSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, syntheticUlawWav(id, (id % modSamples).toInt + addSamples),
+        MediaMeta("ulaw", 0, 0, 0))
     }.toDF()
   }
 

@@ -1091,6 +1091,172 @@ class OpsSpec extends AnyFunSuite {
       big = false) == 32767)
     assert(Multimodal.pcmRaw(b(0x00, 0x00), 0, 16, signed = false,
       big = false) == -32768)
+    // 24-bit signed little/big endian; unsigned re-centers on 2²³
+    assert(Multimodal.pcmRaw(b(0x00, 0x00, 0x40), 0, 24, signed = true,
+      big = false) == 0x400000)
+    assert(Multimodal.pcmRaw(b(0xC0, 0x00, 0x00), 0, 24, signed = true,
+      big = true) == -0x400000)
+    assert(Multimodal.pcmRaw(b(0xff, 0xff, 0xff), 0, 24, signed = true,
+      big = false) == -1)
+    assert(Multimodal.pcmRaw(b(0x00, 0x00, 0x80), 0, 24, signed = false,
+      big = false) == 0)
+    // 32-bit signed; unsigned midpoint 2³¹ is silence
+    assert(Multimodal.pcmRaw(b(0x00, 0x00, 0x00, 0x40), 0, 32,
+      signed = true, big = false) == 0x40000000)
+    assert(Multimodal.pcmRaw(b(0xff, 0xff, 0xff, 0xff), 0, 32,
+      signed = true, big = false) == -1)
+    assert(Multimodal.pcmRaw(b(0x00, 0x00, 0x00, 0x80), 0, 32,
+      signed = false, big = false) == 0)
+    assert(Multimodal.pcmRaw(b(0xff, 0xff, 0xff, 0xff), 0, 32,
+      signed = false, big = false) == Int.MaxValue)
+  }
+
+  test("G.711 decode tables ARE the JDK codec: all 256 μ-law and A-law " +
+      "codes expand to the exact PCM values AudioSystem's conversion " +
+      "provider produces") {
+    import javax.sound.sampled._
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    for ((encName, tab) <- Seq(
+        AudioFormat.Encoding.ULAW -> Multimodal.ulawTab,
+        AudioFormat.Encoding.ALAW -> Multimodal.alawTab)) {
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(codes),
+        new AudioFormat(encName, 8000f, 8, 1, 1, 8000f, false), 256)
+      val conv = AudioSystem.getAudioInputStream(
+        AudioFormat.Encoding.PCM_SIGNED, src)
+      val pcm = conv.readAllBytes()
+      assert(pcm.length == 512)
+      val big = conv.getFormat.isBigEndian
+      (0 until 256).foreach { i =>
+        val v = Multimodal.pcmRaw(pcm, 2 * i, 16, signed = true, big = big)
+        assert(v == tab(i), s"$encName code $i: codec $v vs table ${tab(i)}")
+      }
+    }
+  }
+
+  /** Hand-built G.711 WAV: the canonical 44-byte RIFF header with the
+    * given format tag (6 = A-law, 7 = μ-law) + raw code bytes. */
+  private def g711Wav(tag: Short, codes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + codes.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + codes.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(tag).putShort(1)
+      .putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(codes.length)
+    System.arraycopy(codes, 0, out, 44, codes.length)
+    out
+  }
+
+  /** Hand-built μ-law AU (.snd): 24-byte big-endian header, encoding 1. */
+  private def ulawAu(codes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes(".snd")
+    d.writeInt(24); d.writeInt(codes.length)
+    d.writeInt(1); d.writeInt(8000); d.writeInt(1)
+    d.write(codes)
+    bos.toByteArray
+  }
+
+  test("G.711 telephony decode is REAL on both container paths: the " +
+      "format-7 WAV fast path and the AU codec path produce identical " +
+      "features, matching hand-expanded ground truth; format-6 A-law " +
+      "decodes through its table") {
+    // μ-law codes: 0x00 → −32124, 0xff → 0, 0x80 → +32124, 0x7f → 0
+    val uCodes = Array[Byte](0x00, -1, -128, 0x7f)
+    val wav = Multimodal.decodeOne(Multimodal.MediaRow(1L,
+      g711Wav(7, uCodes), Multimodal.MediaMeta("ulaw", 0, 0, 0)))
+    val au = Multimodal.decodeOne(Multimodal.MediaRow(2L,
+      ulawAu(uCodes), Multimodal.MediaMeta("au", 0, 0, 0)))
+    assert(wav.width == 8000 && wav.height == 1 && wav.n_frames == 4)
+    assert(au.n_frames == 4 && au.width == 8000)
+    assert(wav.features.toSeq == au.features.toSeq,
+      "WAV fast path and AU codec path must decode identically")
+    val a = 32124.0 / 32768
+    assert(wav.features(0) == math.sqrt((a * a + a * a) / 4)) // rms
+    assert(wav.features(1) == a)                              // peak
+    assert(wav.features(2) == 4 / 8000.0)                     // duration
+    assert(wav.features(3) == 1.0) // one sign change (−a → 0, 0 stays +)
+    // A-law codes: 0x55 → −8, 0xd5 → +8 (the quietest segment)
+    val aCodes = Array[Byte](0x55, 0xd5.toByte, 0x55, 0xd5.toByte)
+    val alaw = Multimodal.decodeOne(Multimodal.MediaRow(3L,
+      g711Wav(6, aCodes), Multimodal.MediaMeta("alaw", 0, 0, 0)))
+    assert(alaw.n_frames == 4)
+    assert(alaw.features(0) == 8.0 / 32768) // rms of a ±8 square, exact
+    assert(alaw.features(1) == 8.0 / 32768)
+    assert(alaw.features(3) == 3.0) // sign alternates every sample
+    // the m12 gate fixture decodes through the same fast path: its code
+    // bytes are md5-uniform, so just pin geometry + determinism
+    val fx = Multimodal.decodeOne(Multimodal.MediaRow(7L,
+      Multimodal.syntheticUlawWav(7L, 8),
+      Multimodal.MediaMeta("ulaw", 0, 0, 0)))
+    assert(fx.n_frames == 8 && fx.width == 8000 && fx.n_bytes == 52)
+    assert(fx.features(1) <= 32124.0 / 32768 && fx.features(1) >= 0)
+  }
+
+  test("wide-sample decode is REAL: 24-bit and 32-bit integer PCM and " +
+      "float32 WAVs decode exactly (fast path), and a 24-bit AIFF " +
+      "(big-endian, codec path) agrees with its WAV twin") {
+    import javax.sound.sampled._
+    def encodeRaw(data: Array[Byte], fmt: AudioFormat,
+        aiff: Boolean = false): Array[Byte] = {
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt,
+        data.length / fmt.getFrameSize)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais,
+        if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE,
+        bos)
+      bos.toByteArray
+    }
+    def row(id: Long, b: Array[Byte]) =
+      Multimodal.MediaRow(id, b, Multimodal.MediaMeta("wav", 0, 0, 0))
+    // 24-bit ±2²² square = ±0.5 exactly
+    val d24le = new Array[Byte](8 * 3)
+    val bb24 = java.nio.ByteBuffer.wrap(d24le)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val d24be = new Array[Byte](8 * 3)
+    val bb24b = java.nio.ByteBuffer.wrap(d24be)
+    (0 until 8).foreach { i =>
+      val v = if (i % 2 == 0) 0x400000 else -0x400000
+      bb24.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+        .put(((v >> 16) & 0xff).toByte)
+      bb24b.put(((v >> 16) & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+        .put((v & 0xff).toByte)
+    }
+    val w24 = Multimodal.decodeOne(row(1L,
+      encodeRaw(d24le, new AudioFormat(8000f, 24, 1, true, false))))
+    val a24 = Multimodal.decodeOne(row(2L,
+      encodeRaw(d24be, new AudioFormat(8000f, 24, 1, true, true),
+        aiff = true)))
+    assert(w24.n_frames == 8 && w24.features(0) == 0.5 &&
+      w24.features(1) == 0.5 && w24.features(3) == 7.0)
+    assert(a24.features.toSeq == w24.features.toSeq,
+      "24-bit AIFF (codec path) must agree with the WAV fast path")
+    // 32-bit ±2³⁰ square = ±0.5 exactly
+    val d32 = new Array[Byte](8 * 4)
+    val bb32 = java.nio.ByteBuffer.wrap(d32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 8).foreach(i => bb32.putInt(
+      if (i % 2 == 0) 1 << 30 else -(1 << 30)))
+    val w32 = Multimodal.decodeOne(row(3L,
+      encodeRaw(d32, new AudioFormat(8000f, 32, 1, true, false))))
+    assert(w32.n_frames == 8 && w32.features(0) == 0.5 &&
+      w32.features(1) == 0.5)
+    // float32 ±0.5 square (format tag 3)
+    val df = new Array[Byte](8 * 4)
+    val bbf = java.nio.ByteBuffer.wrap(df)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 8).foreach(i => bbf.putFloat(if (i % 2 == 0) 0.5f else -0.5f))
+    val wf = Multimodal.decodeOne(row(4L, encodeRaw(df,
+      new AudioFormat(AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4,
+        8000f, false))))
+    assert(wf.n_frames == 8 && wf.features(0) == 0.5 &&
+      wf.features(1) == 0.5 && wf.features(3) == 7.0)
   }
 
   /** Hand-written YUV4MPEG2 stream: `header` line (no trailing \n), then
