@@ -53,9 +53,18 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // Record host contention around the measured window: a prior round's
+    // artifact showed a uniform ~1.17× drift on untouched queries with no
+    // attributable cause — load averages on the row make (or rule out)
+    // that case without a re-run.
+    def load1(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = load1()
     val p1 = pass()
     spark.catalog.clearCache()
     val p2 = pass().toMap
+    val loadAfter = load1()
     val results = p1.map { case (n, t) => n -> math.min(t, p2.getOrElse(n, t)) }
     // The harness that invokes this main keeps only the LAST ~2000 chars of
     // stdout, and sbt appends its own "[success] …" line after ours. Order
@@ -69,15 +78,17 @@ object Bench {
     val qs = asc.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val env = s""""host_load1":[${fmt(loadBefore)},${fmt(loadAfter)}],""" +
+      s""""host_cpus":${Runtime.getRuntime.availableProcessors}"""
     val line =
-      s"""{"metric":"total","queries":$qs,"sf":"$sfDir","unit":"sec","value":${fmt(total)}}"""
+      s"""{"metric":"total","queries":$qs,"sf":"$sfDir",$env,"unit":"sec","value":${fmt(total)}}"""
     println(line)
     try {
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir",$env}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()

@@ -743,6 +743,39 @@ object SparkEntry {
             "features[2] AS duration_sec",
             "features[3] AS zero_crossings")
           .orderBy("doc_id")),
+      // m14: canonicalize-audio transform gated end-to-end — transcode
+      // the μ-law corpus to 16-bit PCM WAV, then decode THE TRANSCODED
+      // BYTES; G.711 expands to exact int16 so the features must equal
+      // the oracle's ground-truth recomputation with only the container
+      // geometry (format, byte count) changed
+      "m14_transcode_pcm16" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.transcodePcm16(
+            ops.Multimodal.attachSyntheticUlaw(
+              CubeCatalog.forDir(s, dir).table("documents"), 1, 10)))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
+      // m13: IMA-ADPCM — a genuinely COMPRESSED (4-bit DVI) codec —
+      // decode gated against GROUND TRUTH: the oracle restates the
+      // public step tables and unrolls the sequential decode recurrence
+      // one CTE per nibble, recomputing every decoded sample (and the
+      // features over them) independently of the engine's decoder
+      "m13_adpcm_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticAdpcm(
+            CubeCatalog.forDir(s, dir).table("documents"), 1, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
       // m10: audio near-dup over DECODED samples — plants a re-upload
       // (identical payload) and a HALF-GAIN re-encode (every sample
       // value exactly halved: base samples are even, so the window RMS
@@ -2011,6 +2044,123 @@ object SparkEntry {
   private val MD5_U_HORNER: String = (1 to 8)
     .map(i => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)")
     .reduce((a, b) => s"($a * 16 + $b)")
+
+  /** m12/m14 oracle: the μ-law clips' decoded ground truth — every code
+    * byte re-expanded through the integer G.711 formula. Shared recipe:
+    * m12 checks the direct decode (`fmt` 'ulaw', one code byte per
+    * sample); m14 re-checks it THROUGH [[graft.ops.Multimodal
+    * .transcodePcm16]] (G.711 expands to exact int16, so the
+    * canonicalization is lossless and only the container geometry
+    * changes: `fmt` 'wav', 44-byte header + 2 bytes/sample). */
+  private def ulawOracleSql(fmt: String, nBytes: String): String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n,
+       |    i.range AS i
+       |  FROM documents CROSS JOIN range(0, 10) i
+       |  WHERE i.range < doc_id % 10 + 1),
+       |hb AS (SELECT doc_id, n, i,
+       |  md5(CAST(doc_id AS VARCHAR) || ':u:' || CAST(i AS VARCHAR)) AS h
+       |  FROM fr),
+       |cd AS (SELECT doc_id, n, i,
+       |  CAST(255 - (($MD5_U_HORNER) % 256) AS INTEGER) AS u FROM hb),
+       |sv AS (SELECT doc_id, n, i,
+       |  (CASE WHEN u >= 128
+       |     THEN 132 - ((((u & 15) * 8) + 132) << ((u >> 4) & 7))
+       |     ELSE ((((u & 15) * 8) + 132) << ((u >> 4) & 7)) - 132
+       |   END) / 32768.0 AS s
+       |  FROM cd),
+       |tr AS (SELECT doc_id, n, s,
+       |  CASE WHEN (s >= 0) !=
+       |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+       |    THEN 1 ELSE 0 END AS zx
+       |  FROM sv)
+       |SELECT doc_id, $fmt AS format,
+       |  CAST(8000 AS INTEGER) AS sample_rate,
+       |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
+       |  CAST($nBytes AS INTEGER) AS n_bytes,
+       |  sqrt(SUM(s * s) / n) AS rms,
+       |  MAX(ABS(s)) AS peak,
+       |  n / 8000.0 AS duration_sec,
+       |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+       |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
+  /** m13 oracle: the IMA-ADPCM decode unrolled ONE CTE PER NIBBLE (the
+    * Lloyd-unroll recipe applied to a sequential codec). The step tables
+    * below are the oracle's OWN restatement of the public DVI/IMA spec —
+    * independent of the engine's copy, so a transcription error on
+    * either side fails the compare. Step k turns (pred_k, idx_k) +
+    * nibble k into sample k+1: diff = step>>3 plus step>>2/step>>1/step
+    * for the nibble's magnitude bits, sign off bit 3, predictor clamped
+    * to int16, index clamped to [0, 88]. Clips are 1–10 samples → ≤ 9
+    * unrolled steps; docs whose clip ended earlier carry state through
+    * unchanged (LEFT JOIN gives a NULL nibble) and emit nothing. */
+  private def adpcmOracleSql: String = {
+    val steps = ("[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37," +
+      "41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209," +
+      "230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963," +
+      "1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327," +
+      "3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442," +
+      "11487,12635,13899,15289,16818,18500,20350,22385,24623,27086," +
+      "29794,32767]")
+    val adj = "[-1,-1,-1,-1,2,4,6,8]"
+    val stepCtes = (0 until 9).map { k =>
+      s"""w$k AS (SELECT s.doc_id, s.n, s.pred, s.idx, nb.nib,
+         |  CASE WHEN nb.nib IS NULL THEN 0
+         |       ELSE ($steps)[s.idx + 1] END AS st
+         |  FROM s$k s LEFT JOIN nb ON nb.doc_id = s.doc_id AND nb.i = $k),
+         |s${k + 1} AS (SELECT doc_id, n,
+         |  CASE WHEN nib IS NULL THEN pred
+         |       ELSE GREATEST(-32768, LEAST(32767,
+         |    pred + (CASE WHEN (nib & 8) != 0 THEN -1 ELSE 1 END) *
+         |      ((st >> 3) + (CASE WHEN (nib & 1) != 0 THEN st >> 2 ELSE 0 END)
+         |        + (CASE WHEN (nib & 2) != 0 THEN st >> 1 ELSE 0 END)
+         |        + (CASE WHEN (nib & 4) != 0 THEN st ELSE 0 END)))) END AS pred,
+         |  CASE WHEN nib IS NULL THEN idx
+         |       ELSE GREATEST(0, LEAST(88, idx + ($adj)[(nib & 7) + 1]))
+         |  END AS idx
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    val emits = (1 to 9).map(k =>
+      s"  UNION ALL SELECT doc_id, n, $k AS i, pred FROM s$k WHERE n > $k")
+      .mkString("\n")
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n
+       |  FROM documents),
+       |hp AS (SELECT doc_id, n,
+       |  md5(CAST(doc_id AS VARCHAR) || ':ap') AS h FROM d),
+       |pp AS (SELECT doc_id, n,
+       |  CAST(($MD5_U_HORNER) % 65536 - 32768 AS INTEGER) AS pred FROM hp),
+       |hi AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ai') AS h
+       |  FROM d),
+       |ii AS (SELECT doc_id, CAST(($MD5_U_HORNER) % 89 AS INTEGER) AS idx
+       |  FROM hi),
+       |nh AS (SELECT d.doc_id, i.range AS i,
+       |  md5(CAST(d.doc_id AS VARCHAR) || ':a:' ||
+       |      CAST(i.range AS VARCHAR)) AS h
+       |  FROM d CROSS JOIN range(0, 9) i WHERE i.range < d.n - 1),
+       |nb AS (SELECT doc_id, i, CAST(($MD5_U_HORNER) % 16 AS INTEGER)
+       |  AS nib FROM nh),
+       |s0 AS (SELECT pp.doc_id, pp.n, pp.pred, ii.idx
+       |  FROM pp JOIN ii USING (doc_id)),
+       |$stepCtes,
+       |sm AS (
+       |  SELECT doc_id, n, 0 AS i, pred FROM s0
+       |$emits),
+       |sv AS (SELECT doc_id, n, i, pred / 32768.0 AS s FROM sm),
+       |tr AS (SELECT doc_id, n, s,
+       |  CASE WHEN (s >= 0) !=
+       |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+       |    THEN 1 ELSE 0 END AS zx
+       |  FROM sv)
+       |SELECT doc_id, 'adpcm' AS format,
+       |  CAST(8000 AS INTEGER) AS sample_rate,
+       |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
+       |  CAST(52 + n // 2 AS INTEGER) AS n_bytes,
+       |  sqrt(SUM(s * s) / n) AS rms,
+       |  MAX(ABS(s)) AS peak,
+       |  n / 8000.0 AS duration_sec,
+       |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+       |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_returnflag_agg" ->
@@ -3418,37 +3568,15 @@ object SparkEntry {
     // exact-dyadic feature arithmetic as m09: v/32768 is exact, v² fits
     // 30 mantissa bits so the sum is order-independent, sqrt and the
     // single divisions are correctly-rounded IEEE on identical operands
-    "m12_ulaw_decode" ->
-      s"""WITH fr AS (
-         |  SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n,
-         |    i.range AS i
-         |  FROM documents CROSS JOIN range(0, 10) i
-         |  WHERE i.range < doc_id % 10 + 1),
-         |hb AS (SELECT doc_id, n, i,
-         |  md5(CAST(doc_id AS VARCHAR) || ':u:' || CAST(i AS VARCHAR)) AS h
-         |  FROM fr),
-         |cd AS (SELECT doc_id, n, i,
-         |  CAST(255 - (($MD5_U_HORNER) % 256) AS INTEGER) AS u FROM hb),
-         |sv AS (SELECT doc_id, n, i,
-         |  (CASE WHEN u >= 128
-         |     THEN 132 - ((((u & 15) * 8) + 132) << ((u >> 4) & 7))
-         |     ELSE ((((u & 15) * 8) + 132) << ((u >> 4) & 7)) - 132
-         |   END) / 32768.0 AS s
-         |  FROM cd),
-         |tr AS (SELECT doc_id, n, s,
-         |  CASE WHEN (s >= 0) !=
-         |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
-         |    THEN 1 ELSE 0 END AS zx
-         |  FROM sv)
-         |SELECT doc_id, 'ulaw' AS format,
-         |  CAST(8000 AS INTEGER) AS sample_rate,
-         |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
-         |  CAST(44 + n AS INTEGER) AS n_bytes,
-         |  sqrt(SUM(s * s) / n) AS rms,
-         |  MAX(ABS(s)) AS peak,
-         |  n / 8000.0 AS duration_sec,
-         |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
-         |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "m12_ulaw_decode" -> ulawOracleSql("'ulaw'", "44 + n"),
+    // m14: the SAME decoded ground truth re-checked THROUGH the
+    // transcode — G.711 expands to exact int16, so canonicalizing to
+    // 16-bit WAV is lossless and only the container geometry changes
+    // (format 'wav', 44-byte header + 2 bytes/sample)
+    "m14_transcode_pcm16" -> ulawOracleSql("'wav'", "44 + 2 * n"),
+    // m13: see adpcmOracleSql — the compressed codec's decode unrolled
+    // CTE by CTE from the oracle's own copy of the DVI step tables
+    "m13_adpcm_decode" -> adpcmOracleSql,
     // m10: the audio fingerprint replayed from ground truth — window RMS
     // over exact dyadic samples (window counts are 1 or 2, power-of-two
     // divisions), delta SIGNS are the bits; the half-gain clone's samples

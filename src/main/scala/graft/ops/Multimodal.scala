@@ -173,18 +173,29 @@ object Multimodal {
     * identical semantics: the fast path reads exactly the bytes the
     * codec would hand back. WAV convention: 8-bit unsigned, wider
     * signed little-endian. */
-  private def parseWavPcm(b: Array[Byte]): Option[PcmClip] = {
+  /** The located fmt + data chunks of a RIFF/WAVE payload: `body` is the
+    * offset of the fmt chunk's BODY (tag at body, channels at body+2, …,
+    * extension fields from body+16), `bodyLen` its declared size. */
+  private case class WavFmt(tag: Int, ch: Int, rate: Int, blockAlign: Int,
+      bits: Int, body: Int, bodyLen: Long, dataOff: Int, dataLen: Long)
+
+  private def wavU16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** RIFF chunk walk shared by the PCM-family and ADPCM fast paths:
+    * locates fmt + data, validating sizes against the payload. LONG walk
+    * position: hostile multi-GB chunk sizes must end the walk (→ codec
+    * fallback → stub), never wrap an Int into bytes(-n). */
+  private def wavChunks(b: Array[Byte]): Option[WavFmt] = {
     if (!(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E')) return None
-    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-    // LONG chunk-walk position: hostile multi-GB chunk sizes must end the
-    // walk (→ codec fallback → stub), never wrap an Int into bytes(-n)
     var pos = 12L
     var tag = -1
     var bits = -1; var ch = -1; var rate = -1; var blockAlign = -1
+    var body = -1; var bodyLen = -1L
     var dataOff = -1; var dataLen = -1L
     while (pos + 8 <= b.length && (dataOff < 0 || bits < 0)) {
       val p = pos.toInt
@@ -193,11 +204,13 @@ object Multimodal {
       if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
           b(p + 3) == ' ') {
         if (sz < 16 || p + 24 > b.length) return None
-        tag = u16(p + 8)
-        ch = u16(p + 10)
+        tag = wavU16(b, p + 8)
+        ch = wavU16(b, p + 10)
         rate = u32(p + 12).toInt
-        blockAlign = u16(p + 20)
-        bits = u16(p + 22)
+        blockAlign = wavU16(b, p + 20)
+        bits = wavU16(b, p + 22)
+        body = p + 8
+        bodyLen = sz
       } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
           b(p + 3) == 'a') {
         dataOff = p + 8
@@ -205,11 +218,20 @@ object Multimodal {
       }
       pos += 8L + sz + (sz & 1L) // RIFF chunks are word-aligned
     }
-    // Format tags this walk decodes directly: 1 = linear PCM (WAV
+    if (bits < 0 || dataOff < 0 || dataOff + dataLen > b.length) None
+    else Some(WavFmt(tag, ch, rate, blockAlign, bits, body, bodyLen,
+      dataOff, dataLen))
+  }
+
+  private def parseWavPcm(b: Array[Byte]): Option[PcmClip] = {
+    val f = wavChunks(b).getOrElse(return None)
+    val tag = f.tag
+    val bits = f.bits
+    // Format tags this path decodes directly: 1 = linear PCM (WAV
     // convention: 8-bit unsigned, wider signed little-endian), 3 = IEEE
     // float32, 6/7 = G.711 A-law/μ-law (one code byte per sample, the
-    // table decode). Anything else (extensible, ADPCM, MP3-in-WAV…) →
-    // codec fallback.
+    // table decode). IMA ADPCM (tag 17) has its own fast path; anything
+    // else (extensible, MS-ADPCM, MP3-in-WAV…) → codec fallback.
     val enc = tag match {
       case 1 if bits == 8 || bits == 16 || bits == 24 || bits == 32 =>
         EncPcm
@@ -218,13 +240,101 @@ object Multimodal {
       case 7 if bits == 8 => EncUlaw
       case _ => return None
     }
-    if (ch < 1 || rate <= 0 || dataOff < 0 ||
-        blockAlign != ch * (bits / 8) || dataOff + dataLen > b.length)
+    if (f.ch < 1 || f.rate <= 0 || f.blockAlign != f.ch * (bits / 8))
       return None
-    val frames = dataLen / blockAlign
+    val frames = f.dataLen / f.blockAlign
     if (frames <= 0) return None
-    Some(PcmClip(bits, ch, signed = bits > 8, big = false, rate.toFloat,
-      frames, b, dataOff, enc))
+    Some(PcmClip(bits, f.ch, signed = bits > 8, big = false, f.rate.toFloat,
+      frames, b, f.dataOff, enc))
+  }
+
+  /** IMA ADPCM step-size table (89 entries) and index-adjust table — the
+    * public DVI/IMA 4-bit codec every game/telephony toolchain ships.
+    * The decode recurrence below (diff = Σ step>>k over the nibble's
+    * magnitude bits + step>>3, predictor clamped to int16, index clamped
+    * to [0, 88]) matches the reference implementation bit-for-bit; the
+    * m13 gate replays it independently in SQL from the same tables. */
+  private val imaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIdxAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** REAL compressed-audio decode: mono IMA ADPCM in WAV (format tag 17,
+    * 4-bit nibbles, 4:1 compression — the DVI codec). Block layout per
+    * the IMA-WAV spec: a 4-byte header (int16 LE predictor, emitted as
+    * the block's FIRST sample; step index; reserved byte) then two
+    * samples per byte, LOW nibble first, up to the fmt extension's
+    * samplesPerBlock. Decodes every block into ONE 16-bit little-endian
+    * PCM buffer (≤ 4× the payload — per-row bounded) that rides the
+    * shared [[pcmFeatures]]/[[pcmWindowRms]] scans, so features AND
+    * fingerprints come from decoded samples. A short final block decodes
+    * to the samples its bytes actually carry. Stereo and non-standard
+    * geometries fall back to the stub — the JDK has no ADPCM codec
+    * either, and a partial decode is worse than an honest stub. */
+  private def parseWavImaAdpcm(b: Array[Byte]): Option[PcmClip] = {
+    val f = wavChunks(b).getOrElse(return None)
+    if (f.tag != 17 || f.bits != 4 || f.ch != 1 || f.rate <= 0) return None
+    // samplesPerBlock lives in the fmt extension (cbSize ≥ 2)
+    if (f.bodyLen < 20 || f.body + 20 > b.length) return None
+    val spb = wavU16(b, f.body + 18)
+    if (f.blockAlign < 4 || spb < 1 || spb > (f.blockAlign - 4) * 2 + 1)
+      return None
+    val dataEnd = f.dataOff + f.dataLen.toInt
+    // total decoded frames: full blocks carry spb samples, a short final
+    // block carries what its bytes hold (header sample + 2 per byte)
+    var total = 0L
+    var blk = f.dataOff
+    while (blk + 4 <= dataEnd) {
+      val blockBytes = math.min(f.blockAlign, dataEnd - blk)
+      total += math.min(spb.toLong, (blockBytes - 4).toLong * 2 + 1)
+      blk += f.blockAlign
+    }
+    if (total <= 0) return None
+    val out = new Array[Byte](math.toIntExact(total * 2))
+    var w = 0
+    blk = f.dataOff
+    while (blk + 4 <= dataEnd) {
+      val blkEnd = math.min(blk + f.blockAlign, dataEnd)
+      var pred = (wavU16(b, blk) << 16) >> 16 // int16 LE header predictor
+      var idx = b(blk + 2) & 0xff
+      if (idx > 88) return None // corrupt stream → stub, not a clamp lie
+      out(w) = (pred & 0xff).toByte
+      out(w + 1) = ((pred >> 8) & 0xff).toByte
+      w += 2
+      var produced = 1
+      var p = blk + 4
+      while (p < blkEnd && produced < spb) {
+        val byte = b(p) & 0xff
+        var half = 0
+        while (half < 2 && produced < spb) {
+          val n = if (half == 0) byte & 0xf else byte >> 4 // LOW first
+          val step = imaStep(idx)
+          var diff = step >> 3
+          if ((n & 1) != 0) diff += step >> 2
+          if ((n & 2) != 0) diff += step >> 1
+          if ((n & 4) != 0) diff += step
+          pred = if ((n & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767
+          else if (pred < -32768) pred = -32768
+          idx += imaIdxAdj(n & 7)
+          if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+          out(w) = (pred & 0xff).toByte
+          out(w + 1) = ((pred >> 8) & 0xff).toByte
+          w += 2
+          produced += 1
+          half += 1
+        }
+        p += 1
+      }
+      blk += f.blockAlign
+    }
+    Some(PcmClip(16, 1, signed = true, big = false, f.rate.toFloat,
+      total, out, 0, EncPcm))
   }
 
   /** Full-codec fallback for PCM containers the fast path declines
@@ -275,11 +385,32 @@ object Multimodal {
   /** Sample scan shared by both PCM access paths: RMS, peak |amplitude|,
     * duration in seconds, zero-crossing count — running accumulators,
     * channels mixed down by mean. */
+  /** One frame's channel-mixed sample value in [-1, 1): each channel
+    * decoded per the clip's encoding, mixed down by mean — the single
+    * frame scan shared by [[pcmFeatures]] and [[pcmWindowRms]] so every
+    * consumer (features, fingerprints) agrees on decode semantics. */
+  private def frameValue(c: PcmClip, off: Int, bps: Int, full: Double)
+      : Double = {
+    val lawFull = 1.0 / 32768 // G.711 tables decode to 16-bit PCM
+    var s = 0.0
+    var k = 0
+    while (k < c.ch) {
+      val o = off + k * bps
+      s += (c.enc match {
+        case EncPcm => pcmRaw(c.data, o, c.bits, c.signed, c.big) * full
+        case EncFloat32 => readFloat32(c.data, o, c.big)
+        case EncUlaw => ulawTab(c.data(o) & 0xff) * lawFull
+        case _ => alawTab(c.data(o) & 0xff) * lawFull
+      })
+      k += 1
+    }
+    s / c.ch
+  }
+
   private def pcmFeatures(c: PcmClip): (Int, Int, Long, Array[Double]) = {
     val bps = c.bits / 8
     val frameSize = c.ch * bps
     val full = 1.0 / (1L << (c.bits - 1)) // LSB scale to [-1, 1)
-    val lawFull = 1.0 / 32768 // G.711 tables decode to 16-bit PCM
     var sumSq = 0.0
     var peak = 0.0
     var zeroX = 0L
@@ -288,19 +419,7 @@ object Multimodal {
     var f = 0L
     var off = c.off
     while (f < c.frames) {
-      var s = 0.0
-      var k = 0
-      while (k < c.ch) {
-        val o = off + k * bps
-        s += (c.enc match {
-          case EncPcm => pcmRaw(c.data, o, c.bits, c.signed, c.big) * full
-          case EncFloat32 => readFloat32(c.data, o, c.big)
-          case EncUlaw => ulawTab(c.data(o) & 0xff) * lawFull
-          case _ => alawTab(c.data(o) & 0xff) * lawFull
-        })
-        k += 1
-      }
-      s /= c.ch
+      val s = frameValue(c, off, bps, full)
       sumSq += s * s
       val a = math.abs(s)
       if (a > peak) peak = a
@@ -324,6 +443,7 @@ object Multimodal {
       : Option[(Int, Int, Long, Array[Double])] = {
     if (!looksLikePcmContainer(bytes)) return None
     parseWavPcm(bytes).map(pcmFeatures)
+      .orElse(parseWavImaAdpcm(bytes).map(pcmFeatures))
       .orElse(readPcmViaAudioSystem(bytes).map { case (c, _) =>
         pcmFeatures(c)
       })
@@ -362,7 +482,10 @@ object Multimodal {
   }
 
   /** One IEEE float32 sample (WAV format 3 / PCM_FLOAT), honoring the
-    * container's endianness. */
+    * container's endianness. Non-finite bit patterns (NaN/±Inf — legal
+    * in a hostile or corrupt payload) read as silence: one poisoned
+    * sample must not NaN every downstream aggregate, fingerprint, and
+    * feature the clip feeds. */
   private def readFloat32(buf: Array[Byte], base: Int, big: Boolean)
       : Double = {
     val b0 = buf(base) & 0xff
@@ -371,7 +494,8 @@ object Multimodal {
     val b3 = buf(base + 3) & 0xff
     val raw = if (big) (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
               else (b3 << 24) | (b2 << 16) | (b1 << 8) | b0
-    java.lang.Float.intBitsToFloat(raw).toDouble
+    val v = java.lang.Float.intBitsToFloat(raw).toDouble
+    if (java.lang.Double.isFinite(v)) v else 0.0
   }
 
   /** REAL audio decode: sample-space features [rms, peak, duration_sec,
@@ -874,27 +998,22 @@ object Multimodal {
     // The codec fallback additionally rejects truncated payloads
     // (decoded frames < the header's declared count); the fast path
     // already declines those to the codec.
-    val clip = parseWavPcm(bytes).orElse(
-      readPcmViaAudioSystem(bytes).collect {
+    val clip = parseWavPcm(bytes)
+      .orElse(parseWavImaAdpcm(bytes))
+      .orElse(readPcmViaAudioSystem(bytes).collect {
         case (c, declared) if c.frames == declared => c
       })
     clip.filter(_.frames >= 2).map { c =>
       val n = math.min(nWindows.toLong, c.frames).toInt
       val bps = c.bits / 8
       val frameSize = c.ch * bps
-      val full = 1.0 / (1 << (c.bits - 1))
+      val full = 1.0 / (1L << (c.bits - 1))
       val sumSq = new Array[Double](n)
       val counts = new Array[Long](n)
       var frame = 0L
       var off = c.off
       while (frame < c.frames) {
-        var s = 0.0
-        var k = 0
-        while (k < c.ch) {
-          s += pcmRaw(c.data, off + k * bps, c.bits, c.signed, c.big) * full
-          k += 1
-        }
-        s /= c.ch
+        val s = frameValue(c, off, bps, full)
         val w = ((frame * n) / c.frames).toInt
         sumSq(w) += s * s
         counts(w) += 1
@@ -1357,6 +1476,146 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].map { id =>
       MediaRow(id, syntheticUlawWav(id, (id % modSamples).toInt + addSamples),
         MediaMeta("ulaw", 0, 0, 0))
+    }.toDF()
+  }
+
+  /** Deterministic REAL mono IMA-ADPCM WAV clip (format tag 17) for the
+    * m13 gate: one block whose header predictor / step index and nibble
+    * stream all derive from md5 arithmetic (predictor uniform over the
+    * full int16 range, index over [0, 88], nibbles over [0, 15] — every
+    * table segment, both signs, and both clamps get exercised across a
+    * corpus). The decode recurrence is pure integer arithmetic the
+    * DuckDB oracle unrolls step by step from its own copy of the public
+    * step tables — a wrong table entry, clamp bound, or nibble order
+    * fails the hash compare. Layout: 12-byte RIFF + 28-byte fmt (20-byte
+    * body: cbSize 2, samplesPerBlock = nSamples) + 8-byte data header +
+    * one block (4-byte header + ceil((n−1)/2) nibble bytes). */
+  private[graft] def syntheticAdpcmWav(docId: Long, nSamples: Int)
+      : Array[Byte] = {
+    require(nSamples > 0, "nSamples must be positive")
+    val nibBytes = nSamples / 2 // = ceil((nSamples - 1) / 2)
+    val blockAlign = 4 + nibBytes
+    val out = new Array[Byte](48 + blockAlign)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40 + blockAlign)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1) // IMA ADPCM, mono
+      .putInt(8000).putInt(8000 * blockAlign / nSamples) // rate, byteRate
+      .putShort(blockAlign.toShort).putShort(4) // block align, bits
+      .putShort(2).putShort(nSamples.toShort) // cbSize, samplesPerBlock
+      .put("data".getBytes("US-ASCII")).putInt(blockAlign)
+    bb.putShort(((md5Uint(s"$docId:ap") % 65536) - 32768).toShort)
+      .put((md5Uint(s"$docId:ai") % 89).toByte).put(0.toByte)
+    var i = 0
+    while (i < nSamples - 1) {
+      val nib = (md5Uint(s"$docId:a:$i") % 16).toInt
+      val o = 52 + i / 2
+      out(o) = (if (i % 2 == 0) nib // LOW nibble first, per IMA-WAV
+                else (out(o) & 0xff) | (nib << 4)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Attach a [[syntheticAdpcmWav]] payload per document — the
+    * compressed-codec sibling of [[attachSyntheticAudio]]. */
+  def attachSyntheticAdpcm(docs: DataFrame, addSamples: Int,
+      modSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id,
+        syntheticAdpcmWav(id, (id % modSamples).toInt + addSamples),
+        MediaMeta("adpcm", 0, 0, 0))
+    }.toDF()
+  }
+
+  /** One sample as canonical int16, per the clip's encoding — the
+    * transcode quantizer. Width conversion is the standard bit-shift
+    * mapping: 8→16 scales by 256, 24/32→16 arithmetic-shifts down
+    * (truncation toward −∞). float32 clamps to [−1, 1] then scales by
+    * 32767, rounding half toward +∞ (`Math.round`). G.711 and ADPCM
+    * decode to exact int16 already — those paths are LOSSLESS. */
+  private def sampleInt16(c: PcmClip, o: Int): Int = c.enc match {
+    case EncPcm => c.bits match {
+      case 8 => pcmRaw(c.data, o, 8, c.signed, c.big) << 8
+      case 16 => pcmRaw(c.data, o, 16, c.signed, c.big)
+      case 24 => pcmRaw(c.data, o, 24, c.signed, c.big) >> 8
+      case _ => pcmRaw(c.data, o, 32, c.signed, c.big) >> 16
+    }
+    case EncFloat32 =>
+      val v = readFloat32(c.data, o, c.big)
+      math.round(math.max(-1.0, math.min(1.0, v)) * 32767).toInt
+    case EncUlaw => ulawTab(c.data(o) & 0xff).toInt
+    case _ => alawTab(c.data(o) & 0xff).toInt
+  }
+
+  /** Transcode ONE payload to a canonical 16-bit LE PCM WAV (44-byte
+    * header), preserving sample rate and channel count. None when no
+    * JDK-free path decodes it, or when the canonical form would not fit
+    * a byte array. */
+  private[graft] def transcodeOne(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (!looksLikePcmContainer(bytes)) return None
+    val c = parseWavPcm(bytes).orElse(parseWavImaAdpcm(bytes))
+      .orElse(readPcmViaAudioSystem(bytes).map(_._1))
+      .getOrElse(return None)
+    val outFrames = c.frames
+    if (44L + 2L * c.ch * outFrames > Int.MaxValue) return None
+    val dataLen = 2 * c.ch * outFrames.toInt
+    val rate = math.round(c.sampleRate)
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(c.ch.toShort)
+      .putInt(rate).putInt(rate * c.ch * 2)
+      .putShort((c.ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val bps = c.bits / 8
+    var f = 0L
+    var off = c.off
+    var w = 44
+    while (f < outFrames) {
+      var k = 0
+      while (k < c.ch) {
+        val v = sampleInt16(c, off + k * bps)
+        out(w) = (v & 0xff).toByte
+        out(w + 1) = ((v >> 8) & 0xff).toByte
+        w += 2
+        k += 1
+      }
+      f += 1
+      off += c.ch * bps
+    }
+    Some(out)
+  }
+
+  /** CANONICALIZE-AUDIO transform — the "normalize everything to 16-bit
+    * PCM WAV" step at the head of an audio-training pipeline: every
+    * payload the PCM family decodes (linear 8/16/24/32-bit, float32,
+    * G.711 μ/A-law, IMA ADPCM — WAV/AIFF/AU containers) is re-emitted as
+    * a canonical 16-bit little-endian WAV with sample rate and channel
+    * count preserved and the row's format set to "wav"; payloads no
+    * JDK-free path decodes (entropy-coded codecs) pass through UNCHANGED
+    * with their original format — an honest no-op, never a
+    * half-transcode. Quantization semantics in [[sampleInt16]]; the
+    * G.711/ADPCM paths are lossless (decode(transcode(x)) ≡ decode(x)),
+    * which the m14 gate replays end-to-end in SQL. Map-only: one row in,
+    * one row out, bounded per-row memory — no shuffle at any corpus
+    * size. */
+  def transcodePcm16(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].map { r =>
+      transcodeOne(r.media) match {
+        case Some(wav) => MediaRow(r.doc_id, wav,
+          MediaMeta("wav", r.meta.width, r.meta.height, r.meta.nFrames))
+        case None => r
+      }
     }.toDF()
   }
 

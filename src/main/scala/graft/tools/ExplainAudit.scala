@@ -56,7 +56,8 @@ object ExplainAudit {
         "q88_mdx_extract", "q89_mdx_generate_filter",
         "q90_mdx_generate_order", "q91_mdx_generate_topfilter",
         "m01_multimodal_decode", "m07_video_decode", "m08_video_neardup",
-        "m09_audio_decode", "m10_audio_neardup", "m11_video_delta_neardup")
+        "m09_audio_decode", "m10_audio_neardup", "m11_video_delta_neardup",
+        "m12_ulaw_decode", "m13_adpcm_decode")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1259,6 +1259,198 @@ class OpsSpec extends AnyFunSuite {
       wf.features(1) == 0.5 && wf.features(3) == 7.0)
   }
 
+  /** Hand-built mono IMA-ADPCM WAV (format tag 17): each block is
+    * (headerPredictor, headerStepIndex, nibbles), nibbles packed LOW
+    * first per the IMA-WAV layout. */
+  private def adpcmWav(spb: Int, blockAlign: Int,
+      blocks: Seq[(Int, Int, Seq[Int])]): Array[Byte] = {
+    val out = new Array[Byte](48 + blocks.length * blockAlign)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(40 + blocks.length * blockAlign)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1)
+      .putInt(8000).putInt(8000)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort)
+      .put("data".getBytes("US-ASCII"))
+      .putInt(blocks.length * blockAlign)
+    blocks.zipWithIndex.foreach { case ((pred, idx, nibs), bi) =>
+      val base = 48 + bi * blockAlign
+      out(base) = (pred & 0xff).toByte
+      out(base + 1) = ((pred >> 8) & 0xff).toByte
+      out(base + 2) = idx.toByte
+      nibs.zipWithIndex.foreach { case (n, i) =>
+        val o = base + 4 + i / 2
+        out(o) = (if (i % 2 == 0) n
+                  else (out(o) & 0xff) | (n << 4)).toByte
+      }
+    }
+    out
+  }
+
+  /** Feature vector a decoded int16 sample sequence must produce —
+    * the same running arithmetic as the engine's scan, on exact
+    * dyadic values. */
+  private def pcm16Features(vals: Seq[Int]): Seq[Double] = {
+    val s = vals.map(_ / 32768.0)
+    val zx = s.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+    Seq(math.sqrt(s.map(v => v * v).sum / s.length),
+      s.map(math.abs).max, s.length / 8000.0, zx.toDouble)
+  }
+
+  test("IMA ADPCM decode is REAL compressed audio: the DVI recurrence " +
+      "(step table, sign bit, int16 + index clamps, low-nibble-first " +
+      "packing, per-block headers) decodes exact reference vectors; " +
+      "padding nibbles and short final blocks are honored; corrupt " +
+      "streams fall back to the stub") {
+    def row(id: Long, b: Array[Byte]) =
+      Multimodal.MediaRow(id, b, Multimodal.MediaMeta("adpcm", 3, 5, 7))
+    // vector A: header (0, 0), nibbles [3,11,7,15,4] → samples
+    // [0, 4, 0, 11, −19, 19]; 5 nibbles in 3 bytes → the final high
+    // nibble is padding and must NOT decode (spb = 6 stops it)
+    val a = Multimodal.decodeOne(row(1L,
+      adpcmWav(6, 7, Seq((0, 0, Seq(3, 11, 7, 15, 4))))))
+    assert(a.width == 8000 && a.height == 1 && a.n_frames == 6)
+    assert(a.features.toSeq == pcm16Features(Seq(0, 4, 0, 11, -19, 19)))
+    // clamp both rails at max step: (32760, 88) + [7, 15] pins the
+    // +32767 ceiling; (−32760, 88) + [15, 7] pins the −32768 floor
+    val hi = Multimodal.decodeOne(row(2L,
+      adpcmWav(3, 5, Seq((32760, 88, Seq(7, 15))))))
+    assert(hi.features.toSeq ==
+      pcm16Features(Seq(32760, 32767, -28669)))
+    val lo = Multimodal.decodeOne(row(3L,
+      adpcmWav(3, 5, Seq((-32760, 88, Seq(15, 7))))))
+    assert(lo.features.toSeq ==
+      pcm16Features(Seq(-32760, -32768, 28668)))
+    // multi-block: each block restarts from ITS header (predictor is the
+    // block's first sample), state does not leak across blocks
+    val mb = Multimodal.decodeOne(row(4L,
+      adpcmWav(2, 5, Seq((0, 0, Seq(3)), (-100, 3, Seq(9))))))
+    assert(mb.n_frames == 4)
+    assert(mb.features.toSeq == pcm16Features(Seq(0, 4, -100, -103)))
+    // a short FINAL block decodes the samples its bytes carry (header +
+    // one nibble byte = 3 of the declared 6): truncate the payload AND
+    // the RIFF/data size fields so the container is self-consistent
+    val short = adpcmWav(6, 7, Seq((0, 0, Seq(3, 11, 7, 15, 4))))
+      .dropRight(2)
+    val sbb = java.nio.ByteBuffer.wrap(short)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sbb.putInt(4, 40 + 5) // RIFF size over the 5 remaining block bytes
+    sbb.putInt(44, 5)     // data chunk size
+    val sf = Multimodal.decodeOne(row(5L, short))
+    assert(sf.n_frames == 3)
+    assert(sf.features.toSeq == pcm16Features(Seq(0, 4, 0)))
+    // corrupt step index (89) → honest stub, never a clamped half-decode
+    val bad = adpcmWav(2, 5, Seq((0, 89, Seq(3))))
+    val st = Multimodal.decodeOne(row(6L, bad))
+    assert(st.width == 3 && st.features(3) == bad.length.toDouble)
+    // the m13 gate fixture decodes through the same path
+    val fx = Multimodal.decodeOne(row(7L,
+      Multimodal.syntheticAdpcmWav(7L, 8)))
+    assert(fx.n_frames == 8 && fx.width == 8000 && fx.n_bytes == 56)
+  }
+
+  test("audio fingerprint over ADPCM is computed in DECODE space: a " +
+      "compressed clip and the 16-bit PCM WAV of its decoded samples " +
+      "hash identically") {
+    import spark.implicits._
+    // header (1000, 30) + 15 nibbles → 16 decoded samples (reference
+    // vector from the DVI recurrence)
+    val nibs = Seq(3, 11, 7, 15, 4, 8, 2, 14, 5, 9, 0, 12, 6, 10, 1)
+    val decoded = Seq(1000, 1113, 1011, 1210, 780, 1335, 1261, 1601, 799,
+      2003, 1523, 1668, 476, 2559, 1139, 1913)
+    val adpcm = adpcmWav(16, 12, Seq((1000, 30, nibs)))
+    val pcm = encodeAudio(decoded.map(_.toShort).toArray, 8000f, 1)
+    val media = Seq(
+      Multimodal.MediaRow(1L, adpcm, Multimodal.MediaMeta("adpcm", 0, 0, 0)),
+      Multimodal.MediaRow(2L, pcm, Multimodal.MediaMeta("wav", 0, 0, 0)))
+      .toDS().toDF()
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(1L) == fp(2L),
+      "ADPCM and its decoded-PCM twin must fingerprint identically")
+  }
+
+  test("transcodePcm16 canonicalizes every decodable payload to 16-bit " +
+      "WAV: G.711 and ADPCM losslessly, wide samples by arithmetic " +
+      "shift, float32 by clamp+round; stereo and sample rate survive; " +
+      "undecodable payloads pass through unchanged") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    def feats(b: Array[Byte]): Seq[Double] =
+      Multimodal.decodeOne(Multimodal.MediaRow(0L, b,
+        Multimodal.MediaMeta("x", 0, 0, 0))).features.toSeq
+    def tc(b: Array[Byte]): Array[Byte] = {
+      val out = Multimodal.transcodeOne(b)
+      assert(out.isDefined, "payload must transcode")
+      out.get
+    }
+    // G.711 μ-law → lossless: decode(transcode(x)) ≡ decode(x), and the
+    // canonical container is 44 + 2·n bytes of real 16-bit WAV
+    val uCodes = Array[Byte](0x00, -1, -128, 0x7f)
+    val ulaw = g711Wav(7, uCodes)
+    val uWav = tc(ulaw)
+    assert(uWav.length == 44 + 8)
+    assert(feats(uWav) == feats(ulaw))
+    // ADPCM → lossless against the reference vector
+    val ad = adpcmWav(6, 7, Seq((0, 0, Seq(3, 11, 7, 15, 4))))
+    assert(feats(tc(ad)) == pcm16Features(Seq(0, 4, 0, 11, -19, 19)))
+    // 24-bit → arithmetic shift down (truncation toward −∞)
+    val v24 = Seq(0x123456, -0x123456)
+    val d24 = new Array[Byte](6)
+    v24.zipWithIndex.foreach { case (v, i) =>
+      d24(3 * i) = (v & 0xff).toByte
+      d24(3 * i + 1) = ((v >> 8) & 0xff).toByte
+      d24(3 * i + 2) = ((v >> 16) & 0xff).toByte
+    }
+    val ais24 = new AudioInputStream(
+      new java.io.ByteArrayInputStream(d24),
+      new AudioFormat(8000f, 24, 1, true, false), 2)
+    val bos24 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais24, AudioFileFormat.Type.WAVE, bos24)
+    assert(feats(tc(bos24.toByteArray)) ==
+      pcm16Features(v24.map(v => math.floorDiv(v, 256))))
+    // float32 → clamp to [−1, 1], scale by 32767, Math.round (half
+    // toward +∞): 0.5 → 16384, −0.5 → −16383, 2.0 clamps to 32767
+    val fvals = Seq(0.5f, -0.5f, 2.0f)
+    val df32 = new Array[Byte](12)
+    val bbf = java.nio.ByteBuffer.wrap(df32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fvals.foreach(bbf.putFloat)
+    val aisF = new AudioInputStream(
+      new java.io.ByteArrayInputStream(df32),
+      new AudioFormat(AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4,
+        8000f, false), 3)
+    val bosF = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(aisF, AudioFileFormat.Type.WAVE, bosF)
+    assert(feats(tc(bosF.toByteArray)) ==
+      pcm16Features(Seq(16384, -16383, 32767)))
+    // stereo 16-bit: channel count and per-channel samples survive (the
+    // anti-phase square still cancels to silence under mean mixdown)
+    val stereo = Array.tabulate(800)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val st = tc(encodeAudio(stereo, 8000f, 2))
+    val stDec = Multimodal.decodeOne(Multimodal.MediaRow(0L, st,
+      Multimodal.MediaMeta("x", 0, 0, 0)))
+    assert(stDec.height == 2 && stDec.n_frames == 400)
+    assert(stDec.features(0) == 0.0 && stDec.features(1) == 0.0)
+    // the DataFrame op: decodable rows get format 'wav', undecodable
+    // rows pass through byte-identical with their original format
+    val junk = Array[Byte](1, 2, 3, 4)
+    val out = Multimodal.transcodePcm16(Seq(
+        Multimodal.MediaRow(1L, ulaw, Multimodal.MediaMeta("ulaw", 0, 0, 0)),
+        Multimodal.MediaRow(2L, junk, Multimodal.MediaMeta("mp3", 8, 8, 1)))
+        .toDS().toDF())
+      .as[Multimodal.MediaRow].collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).meta.format == "wav" &&
+      out(1L).media.toSeq == uWav.toSeq)
+    assert(out(2L).meta.format == "mp3" &&
+      out(2L).media.toSeq == junk.toSeq)
+  }
+
   /** Hand-written YUV4MPEG2 stream: `header` line (no trailing \n), then
     * per frame its FRAME-line params (usually "") and raw planes. */
   private def y4mBytes(header: String,
@@ -1587,6 +1779,8 @@ class OpsSpec extends AnyFunSuite {
     val seeds = Seq[Array[Byte]](
       Multimodal.syntheticY4m(3L, 5),
       Multimodal.syntheticWav(3L, 40),
+      Multimodal.syntheticUlawWav(3L, 40),
+      Multimodal.syntheticAdpcmWav(3L, 9),
       animatedGif(Seq((grayFrame(8, 8, 40), 10, "none", (0, 0)),
         (grayFrame(8, 8, 120), 10, "none", (0, 0)))))
     val rnd = new java.util.Random(42)
@@ -1610,7 +1804,34 @@ class OpsSpec extends AnyFunSuite {
       assert(out.n_bytes == b.length)
       assert(out.features.length == 4 && out.features.forall(f =>
         !f.isNaN && !f.isInfinite))
+      // the transcode transform is equally total, and when it claims a
+      // canonical WAV that WAV must itself decode with finite features
+      Multimodal.transcodeOne(b).foreach { w =>
+        val d = Multimodal.decodeOne(
+          Multimodal.MediaRow(id, w, Multimodal.MediaMeta("wav", 0, 0, 0)))
+        assert(d.features.forall(f => !f.isNaN && !f.isInfinite))
+      }
     }
+  }
+
+  test("float32 WAV with non-finite bit patterns decodes those samples " +
+      "as silence — one poisoned sample must not NaN the clip's features") {
+    import javax.sound.sampled._
+    val df = new Array[Byte](16)
+    val bb = java.nio.ByteBuffer.wrap(df)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(0.5f).putFloat(Float.NaN)
+      .putFloat(Float.PositiveInfinity).putFloat(-0.5f)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(df),
+      new AudioFormat(AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4,
+        8000f, false), 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val d = Multimodal.decodeOne(Multimodal.MediaRow(1L, bos.toByteArray,
+      Multimodal.MediaMeta("wav", 0, 0, 0)))
+    // effective samples [0.5, 0, 0, −0.5]
+    assert(d.features.toSeq ==
+      Seq(math.sqrt(0.5 / 4), 0.5, 4 / 8000.0, 1.0))
   }
 
   test("media fingerprint index + nightly delta: delta pairs equal the " +
