@@ -933,6 +933,30 @@ class OpsSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("image decode is container-invariant across every reader the JDK " +
+      "ships: the same pixels through PNG, BMP, and TIFF produce " +
+      "identical features and an identical pHash (all three are " +
+      "lossless for 8-bit RGB)") {
+    import spark.implicits._
+    // asymmetric blocky pattern — strong AC coefficients for the pHash
+    val im = testImage(32, 32)((x, y) =>
+      ((x / 8 * 53 + y / 8 * 31) % 200) * 0x010101)
+    val payloads = Seq("png", "bmp", "tiff").map(f => f -> encode(im, f))
+    val media = payloads.zipWithIndex.map { case ((f, b), i) =>
+      Multimodal.MediaRow(i + 1L, b, Multimodal.MediaMeta(f, 0, 0, 1))
+    }.toDS().toDF()
+    val out = Multimodal.decodeFeatures(spark, media).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out.values.forall(r => r.width == 32 && r.height == 32))
+    val ref = out(1L).features.toSeq
+    assert(out(2L).features.toSeq == ref, "BMP must decode like PNG")
+    assert(out(3L).features.toSeq == ref, "TIFF must decode like PNG")
+    val ph = Multimodal.phashDecoded(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ph(2L) == ph(1L) && ph(3L) == ph(1L),
+      "container translation must not move the decoded pHash")
+  }
+
   test("audio decode is REAL: javax.sound.sampled samples drive RMS/peak/" +
       "duration/zero-crossings exactly; stereo mixes down by mean; AIFF " +
       "big-endian agrees with WAV; non-audio payloads keep the stub path") {
