@@ -160,19 +160,6 @@ object Multimodal {
       big: Boolean, sampleRate: Float, frames: Long, data: Array[Byte],
       off: Int, enc: Int = EncPcm)
 
-  /** Canonical-WAV PCM fast path: a RIFF chunk walk to the fmt/data
-    * chunks, WITHOUT javax.sound's provider machinery — AudioSystem
-    * session setup costs ~0.2 ms per stream, 50× the actual sample scan,
-    * and at corpus scale it IS the decode pass (observed 115 s for 500k
-    * clips on the sweep's audio row vs ~2 s for the equivalent
-    * hand-parsed video row). Decodes linear PCM (format 1, 8/16/24/32
-    * bit), IEEE float32 (format 3), and G.711 A-law/μ-law (formats 6/7 —
-    * the telephony WAVs; table decode spec-pinned to the JDK codec);
-    * anything else — AIFF/AU, extensible/ADPCM WAVs, truncated data —
-    * returns None and takes the full [[readPcmViaAudioSystem]] path with
-    * identical semantics: the fast path reads exactly the bytes the
-    * codec would hand back. WAV convention: 8-bit unsigned, wider
-    * signed little-endian. */
   /** The located fmt + data chunks of a RIFF/WAVE payload: `body` is the
     * offset of the fmt chunk's BODY (tag at body, channels at body+2, …,
     * extension fields from body+16), `bodyLen` its declared size. */
@@ -223,16 +210,31 @@ object Multimodal {
       dataOff, dataLen))
   }
 
-  private def parseWavPcm(b: Array[Byte]): Option[PcmClip] = {
-    val f = wavChunks(b).getOrElse(return None)
-    val tag = f.tag
+  /** Canonical-WAV fast path: ONE RIFF chunk walk, then dispatch on the
+    * format tag — WITHOUT javax.sound's provider machinery. AudioSystem
+    * session setup costs ~0.2 ms per stream, 50× the actual sample scan,
+    * and at corpus scale it IS the decode pass (observed 115 s for 500k
+    * clips on the sweep's audio row vs ~2 s for the equivalent
+    * hand-parsed video row). Decodes linear PCM (format 1, 8/16/24/32
+    * bit), IEEE float32 (format 3), G.711 A-law/μ-law (formats 6/7 —
+    * the telephony WAVs; table decode spec-pinned to the JDK codec),
+    * and IMA ADPCM (format 17); anything else — AIFF/AU, extensible/
+    * MS-ADPCM/MP3-in-WAV, truncated data — returns None and takes the
+    * full [[readPcmViaAudioSystem]] path with identical semantics: the
+    * fast path reads exactly the bytes the codec would hand back. */
+  private def parseWav(b: Array[Byte]): Option[PcmClip] =
+    wavChunks(b).flatMap { f =>
+      if (f.tag == 17) parseWavImaAdpcm(f, b) else parseWavPcm(f, b)
+    }
+
+  private def parseWavPcm(f: WavFmt, b: Array[Byte]): Option[PcmClip] = {
     val bits = f.bits
     // Format tags this path decodes directly: 1 = linear PCM (WAV
     // convention: 8-bit unsigned, wider signed little-endian), 3 = IEEE
     // float32, 6/7 = G.711 A-law/μ-law (one code byte per sample, the
-    // table decode). IMA ADPCM (tag 17) has its own fast path; anything
-    // else (extensible, MS-ADPCM, MP3-in-WAV…) → codec fallback.
-    val enc = tag match {
+    // table decode). Anything else (extensible, MS-ADPCM, MP3-in-WAV…)
+    // → codec fallback.
+    val enc = f.tag match {
       case 1 if bits == 8 || bits == 16 || bits == 24 || bits == 32 =>
         EncPcm
       case 3 if bits == 32 => EncFloat32
@@ -276,9 +278,9 @@ object Multimodal {
     * to the samples its bytes actually carry. Stereo and non-standard
     * geometries fall back to the stub — the JDK has no ADPCM codec
     * either, and a partial decode is worse than an honest stub. */
-  private def parseWavImaAdpcm(b: Array[Byte]): Option[PcmClip] = {
-    val f = wavChunks(b).getOrElse(return None)
-    if (f.tag != 17 || f.bits != 4 || f.ch != 1 || f.rate <= 0) return None
+  private def parseWavImaAdpcm(f: WavFmt, b: Array[Byte])
+      : Option[PcmClip] = {
+    if (f.bits != 4 || f.ch != 1 || f.rate <= 0) return None
     // samplesPerBlock lives in the fmt extension (cbSize ≥ 2)
     if (f.bodyLen < 20 || f.body + 20 > b.length) return None
     val spb = wavU16(b, f.body + 18)
@@ -294,8 +296,11 @@ object Multimodal {
       total += math.min(spb.toLong, (blockBytes - 4).toLong * 2 + 1)
       blk += f.blockAlign
     }
-    if (total <= 0) return None
-    val out = new Array[Byte](math.toIntExact(total * 2))
+    // a decoded form that would not fit a byte array (spb ≫ blockAlign on
+    // a multi-hundred-MB payload) declines to the stub like every other
+    // hostile geometry — never an uncaught overflow
+    if (total <= 0 || total > (Int.MaxValue - 8) / 2) return None
+    val out = new Array[Byte](total.toInt * 2)
     var w = 0
     blk = f.dataOff
     while (blk + 4 <= dataEnd) {
@@ -442,8 +447,7 @@ object Multimodal {
   private def readAudio(bytes: Array[Byte])
       : Option[(Int, Int, Long, Array[Double])] = {
     if (!looksLikePcmContainer(bytes)) return None
-    parseWavPcm(bytes).map(pcmFeatures)
-      .orElse(parseWavImaAdpcm(bytes).map(pcmFeatures))
+    parseWav(bytes).map(pcmFeatures)
       .orElse(readPcmViaAudioSystem(bytes).map { case (c, _) =>
         pcmFeatures(c)
       })
@@ -998,8 +1002,7 @@ object Multimodal {
     // The codec fallback additionally rejects truncated payloads
     // (decoded frames < the header's declared count); the fast path
     // already declines those to the codec.
-    val clip = parseWavPcm(bytes)
-      .orElse(parseWavImaAdpcm(bytes))
+    val clip = parseWav(bytes)
       .orElse(readPcmViaAudioSystem(bytes).collect {
         case (c, declared) if c.frames == declared => c
       })
@@ -1558,7 +1561,7 @@ object Multimodal {
     * a byte array. */
   private[graft] def transcodeOne(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (!looksLikePcmContainer(bytes)) return None
-    val c = parseWavPcm(bytes).orElse(parseWavImaAdpcm(bytes))
+    val c = parseWav(bytes)
       .orElse(readPcmViaAudioSystem(bytes).map(_._1))
       .getOrElse(return None)
     val outFrames = c.frames
