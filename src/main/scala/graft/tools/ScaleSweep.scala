@@ -112,6 +112,7 @@ object ScaleSweep {
       "asymptotics: auto-sized near-dup pair work is C*n^(1+rho) with rho = 1 - log2(2p)/1 ~ 0.22 at the cos-0.9 design point (the classic hyperplane-LSH exponent: holding recall while buckets shrink costs tables ~ p^-bits) — sub-quadratic by construction vs the fixed-parameter n^2, which is why fixed is budget-skipped at 100x while auto completes with recall 1.0; ivf probe is the O(sqrt n) + constant-cell-scan path and its slope stays ~1",
       "text family (minhash_pairs/simhash_pairs/ngram_jaccard): banding keys live in 2^64 space, so buckets hold only genuine duplicate groups and pair work is ~linear in n with NO sizing knob — the structural contrast with hyperplane LSH's 2^bits buckets; planted recall (128 exact clones at jaccard 1.0, 128 one-token-appended near-dups ~0.97) proves the banding contract at every factor; the PPJoin SSJoin carries inherent sum-df^2 growth and is capped at 200k docs like the fixed embedding variants",
       "video_neardup (m08 shape): REAL YUV4MPEG2 decode (synthetic md5-derived clips, 60-69 frames) -> 64-bit temporal luma-delta fingerprints -> the shared pigeonhole-banded Hamming join; decode is a map-only pass with bounded per-row state and fingerprints are md5-uniform, so pair work stays ~linear like the text banding families; reup_recall/graded_recall = fraction of planted byte-identical re-uploads / +8-brightness-graded re-encodes found (both must be 1.0 at every factor — the grade is Hamming 0 by the delta-sign shift invariance)",
+      "codec_decode (m09/m12/m13/m14 shapes): mixed-codec corpus (linear-PCM WAV / G.711 mu-law / IMA ADPCM by doc_id mod 3) through the real decode dispatch, then through transcodePcm16 + re-decode; both passes map-only, decoded_frac and transcode_decoded_frac must be 1.0 at every factor and the wall slope ~linear in n",
       "knn_pq (s12): one op = 16 subspace k-means trains + 8-byte encode + ADC lookup-table scan + exact re-rank of a fixed 100-candidate shortlist — every stage a linear corpus pass; twin_hit stays 1.0 while plain recall@10 decays with n at FIXED shortlist (more distractors per true neighbor), the documented PQ trade: recall is bought with shortlist width, memory stays 32x compressed",
       "knn_pq_auto / knn_lsh_auto / ivfpq_probe_auto wire suggestedShortlist(n,k) = max(4k, sqrt(n)) — the THIRD sizing knob: the shortlist (LSH: target bucket population) grows as sqrt(n), so recall@k holds across factors where the fixed-width rows decay; re-rank work stays O(sqrt n) per query",
       "knn_pq_bound is the SERVED flat-PQ path (gate s15): the encode stores each vector's quantization residual norm, the ADC shortlist seeds a provisional exact k-th score theta, and every vector whose adc + |q|*residual Cauchy-Schwarz bound reaches theta is re-ranked exactly — nothing else can enter the top-k, so recall is 1.0 BY CONSTRUCTION at every factor (the decayed knn_pq/knn_pq_auto rows above stay as the measurement of what fixed/sqrt-n shortlists alone buy); certified_frac + cutover record the cost-model decision: when the bound certifies >= 50% of the corpus (this isotropic fixture: residual ~ the vector itself, the no-index-wins regime) the op serves the codegen'd brute scan, which is the same exact answer read once without join machinery — clustered real-world embeddings certify ~one cluster and keep the 32x-compressed path (OpsSpec pins both regimes)",
@@ -516,6 +517,36 @@ object ScaleSweep {
           "graded_recall" -> fmt(gradHit.toDouble / math.max(nGrad, 1L)),
           "n_docs" -> nDocs.toString))
       }
+    }
+
+    // --- mixed-codec decode + canonicalize throughput (m09/m12/m13/m14
+    // shapes): the container dispatch and every JDK-free decode path at
+    // factor scale — linear-PCM WAV, G.711 μ-law, IMA ADPCM split by
+    // doc_id mod 3 (60–69 samples each), decoded once raw and once
+    // through transcodePcm16. Both passes are map-only with bounded
+    // per-row state; decoded_frac must be 1.0 at every factor (an 8000
+    // sample_rate only comes from a REAL parse — the stub serves the
+    // fixture's metadata zeros). ---
+    time("codec_decode") {
+      val ids = docs.select("doc_id")
+      val mixed = graft.ops.Multimodal.attachSyntheticAudio(
+          ids.where(col("doc_id") % 3 === 0), 60, 10)
+        .unionByName(graft.ops.Multimodal.attachSyntheticUlaw(
+          ids.where(col("doc_id") % 3 === 1), 60, 10))
+        .unionByName(graft.ops.Multimodal.attachSyntheticAdpcm(
+          ids.where(col("doc_id") % 3 === 2), 60, 10))
+      val dec = graft.ops.Multimodal.decodeFeatures(spark, mixed).toDF()
+        .localCheckpoint()
+      val rows = dec.count()
+      val decoded = dec.where(col("width") === 8000).count()
+      val tdec = graft.ops.Multimodal.decodeFeatures(spark,
+        graft.ops.Multimodal.transcodePcm16(mixed)).toDF()
+      val tDecoded = tdec.where(col("width") === 8000).count()
+      (rows, Map(
+        "decoded_frac" -> fmt(decoded.toDouble / math.max(rows, 1L)),
+        "transcode_decoded_frac" ->
+          fmt(tDecoded.toDouble / math.max(rows, 1L)),
+        "n_docs" -> nDocs.toString))
     }
 
     // --- OLAP gate queries at factor scale: star agg (q02), dense axes
