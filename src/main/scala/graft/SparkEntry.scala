@@ -760,6 +760,23 @@ object SparkEntry {
             "features[2] AS duration_sec",
             "features[3] AS zero_crossings")
           .orderBy("doc_id")),
+      // m15: sample-rate upconversion gated end-to-end — 2x linear
+      // upsample of the μ-law corpus, then decode THE RESAMPLED BYTES;
+      // the interpolation is exact integer floor arithmetic, so the
+      // oracle recomputes every output sample (originals at even
+      // positions, floor-midpoints at odd) from the G.711 ground truth
+      "m15_resample2x" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.resamplePcm(
+            ops.Multimodal.attachSyntheticUlaw(
+              CubeCatalog.forDir(s, dir).table("documents"), 1, 10), 2))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
       // m13: IMA-ADPCM — a genuinely COMPRESSED (4-bit DVI) codec —
       // decode gated against GROUND TRUTH: the oracle restates the
       // public step tables and unrolls the sequential decode recurrence
@@ -3574,6 +3591,51 @@ object SparkEntry {
     // 16-bit WAV is lossless and only the container geometry changes
     // (format 'wav', 44-byte header + 2 bytes/sample)
     "m14_transcode_pcm16" -> ulawOracleSql("'wav'", "44 + 2 * n"),
+    // m15: the 2x-upsampled ground truth — G.711 codes expand to exact
+    // int16 v, the output keeps originals at even positions and
+    // floor((v_i + v_{i+1}) / 2) at odd positions ((a+b) is a small
+    // integer, /2.0 is exact binary, floor ≡ the engine's floorDiv),
+    // and the features recompute over 2n−1 frames at 16 kHz
+    "m15_resample2x" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n,
+         |    i.range AS i
+         |  FROM documents CROSS JOIN range(0, 10) i
+         |  WHERE i.range < doc_id % 10 + 1),
+         |hb AS (SELECT doc_id, n, i,
+         |  md5(CAST(doc_id AS VARCHAR) || ':u:' || CAST(i AS VARCHAR)) AS h
+         |  FROM fr),
+         |cd AS (SELECT doc_id, n, i,
+         |  CAST(255 - (($MD5_U_HORNER) % 256) AS INTEGER) AS u FROM hb),
+         |vv AS (SELECT doc_id, n, i,
+         |  CAST(CASE WHEN u >= 128
+         |     THEN 132 - ((((u & 15) * 8) + 132) << ((u >> 4) & 7))
+         |     ELSE ((((u & 15) * 8) + 132) << ((u >> 4) & 7)) - 132
+         |   END AS INTEGER) AS v
+         |  FROM cd),
+         |up AS (
+         |  SELECT doc_id, n, 2 * i AS j, v FROM vv
+         |  UNION ALL
+         |  SELECT a.doc_id, a.n, 2 * a.i + 1 AS j,
+         |    CAST(floor((a.v + b.v) / 2.0) AS INTEGER) AS v
+         |  FROM vv a JOIN vv b
+         |    ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+         |sv AS (SELECT doc_id, n, j, v / 32768.0 AS s FROM up),
+         |tr AS (SELECT doc_id, n, s,
+         |  CASE WHEN (s >= 0) !=
+         |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY j) >= 0)
+         |    THEN 1 ELSE 0 END AS zx
+         |  FROM sv)
+         |SELECT doc_id, 'wav' AS format,
+         |  CAST(16000 AS INTEGER) AS sample_rate,
+         |  CAST(1 AS INTEGER) AS channels,
+         |  CAST(2 * n - 1 AS INTEGER) AS n_frames,
+         |  CAST(44 + 2 * (2 * n - 1) AS INTEGER) AS n_bytes,
+         |  sqrt(SUM(s * s) / (2 * n - 1)) AS rms,
+         |  MAX(ABS(s)) AS peak,
+         |  (2 * n - 1) / 16000.0 AS duration_sec,
+         |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+         |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     // m13: see adpcmOracleSql — the compressed codec's decode unrolled
     // CTE by CTE from the oracle's own copy of the DVI step tables
     "m13_adpcm_decode" -> adpcmOracleSql,

@@ -1597,6 +1597,108 @@ object Multimodal {
     Some(out)
   }
 
+  /** Resample ONE payload by integer factor `up`: decode, quantize to
+    * int16 (the [[sampleInt16]] transcode mapping, so
+    * resample(x) ≡ resample(transcode(x))), then linear-interpolate
+    * per channel — out[i·up + k] = floorDiv((up−k)·s_i + k·s_{i+1}, up)
+    * — and emit a canonical 16-bit WAV at up× the source rate.
+    * (n−1)·up + 1 frames: interpolation only between real samples,
+    * never extrapolation past the clip. All-integer arithmetic (floor
+    * division), which is what lets the m15 gate replay the resampled
+    * ground truth in SQL. None when nothing decodes or the result
+    * would not fit a byte array. */
+  private[graft] def resampleOne(bytes: Array[Byte], up: Int)
+      : Option[Array[Byte]] = {
+    if (!looksLikePcmContainer(bytes)) return None
+    val c = parseWav(bytes)
+      .orElse(readPcmViaAudioSystem(bytes).map(_._1))
+      .getOrElse(return None)
+    val n = c.frames
+    val outFrames = (n - 1) * up + 1
+    val rate = math.round(c.sampleRate)
+    if (n < 1 || rate.toLong * up > Int.MaxValue ||
+        44L + 2L * c.ch * outFrames > Int.MaxValue ||
+        n * c.ch > Int.MaxValue / 8)
+      return None
+    val nI = n.toInt
+    // quantized source frames, channel-major within each frame
+    val bps = c.bits / 8
+    val src = new Array[Int](nI * c.ch)
+    var f = 0
+    var off = c.off
+    while (f < nI) {
+      var k = 0
+      while (k < c.ch) {
+        src(f * c.ch + k) = sampleInt16(c, off + k * bps)
+        k += 1
+      }
+      f += 1
+      off += c.ch * bps
+    }
+    val dataLen = 2 * c.ch * outFrames.toInt
+    val outRate = rate * up
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(c.ch.toShort)
+      .putInt(outRate).putInt(outRate * c.ch * 2)
+      .putShort((c.ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var w = 44
+    def emit(v: Int): Unit = {
+      out(w) = (v & 0xff).toByte
+      out(w + 1) = ((v >> 8) & 0xff).toByte
+      w += 2
+    }
+    var i = 0
+    while (i < nI - 1) {
+      var k = 0
+      while (k < up) {
+        var ch = 0
+        while (ch < c.ch) {
+          emit(math.floorDiv(
+            (up - k) * src(i * c.ch + ch) + k * src((i + 1) * c.ch + ch),
+            up))
+          ch += 1
+        }
+        k += 1
+      }
+      i += 1
+    }
+    var ch = 0
+    while (ch < c.ch) { // the final real frame, never extrapolated
+      emit(src((nI - 1) * c.ch + ch))
+      ch += 1
+    }
+    Some(out)
+  }
+
+  /** SAMPLE-RATE UPCONVERSION transform — the "resample everything to
+    * 16 kHz" canonicalization step of a speech-training pipeline, for
+    * integer upsampling factors: linear interpolation between
+    * consecutive frames, per channel, emitted as canonical 16-bit WAV
+    * at `up`× the source rate (see [[resampleOne]] for the exact
+    * integer recipe). Every payload the PCM family decodes
+    * participates; undecodable payloads pass through unchanged — the
+    * same honest no-op contract as [[transcodePcm16]]. Map-only: one
+    * row in, one row out, bounded per-row memory, no shuffle at any
+    * corpus size. */
+  def resamplePcm(media: DataFrame, up: Int): DataFrame = {
+    require(up >= 2 && up <= 64, "up must be in [2, 64]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].map { r =>
+      resampleOne(r.media, up) match {
+        case Some(wav) => MediaRow(r.doc_id, wav,
+          MediaMeta("wav", r.meta.width, r.meta.height, r.meta.nFrames))
+        case None => r
+      }
+    }.toDF()
+  }
+
   /** CANONICALIZE-AUDIO transform — the "normalize everything to 16-bit
     * PCM WAV" step at the head of an audio-training pipeline: every
     * payload the PCM family decodes (linear 8/16/24/32-bit, float32,

@@ -1398,6 +1398,69 @@ class OpsSpec extends AnyFunSuite {
       "ADPCM and its decoded-PCM twin must fingerprint identically")
   }
 
+  test("resamplePcm upsamples by linear interpolation with exact floor " +
+      "arithmetic: originals keep their values, midpoints floor toward " +
+      "-inf, stereo interpolates per channel, a 1-frame clip passes " +
+      "through at the new rate, and undecodable payloads are untouched") {
+    import spark.implicits._
+    def dec(b: Array[Byte]) =
+      Multimodal.decodeOne(Multimodal.MediaRow(0L, b,
+        Multimodal.MediaMeta("x", 0, 0, 0)))
+    def rs(b: Array[Byte], up: Int): Array[Byte] = {
+      val out = Multimodal.resampleOne(b, up)
+      assert(out.isDefined, "payload must resample")
+      out.get
+    }
+    // mono [0, 100, -51] at 2x -> [0, 50, 100, floor(49/2)=24, -51];
+    // the negative midpoint pins floor (not truncation): [0, -3] -> -2
+    val mono = encodeAudio(Array[Short](0, 100, -51), 8000f, 1)
+    val r2 = dec(rs(mono, 2))
+    assert(r2.width == 16000 && r2.n_frames == 5)
+    assert(r2.features.toSeq == {
+      val s = Seq(0, 50, 100, 24, -51).map(_ / 32768.0)
+      val zx = s.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      Seq(math.sqrt(s.map(v => v * v).sum / 5), s.map(math.abs).max,
+        5 / 16000.0, zx.toDouble)
+    })
+    val neg = dec(rs(encodeAudio(Array[Short](0, -3), 8000f, 1), 2))
+    assert(neg.features(1) == 3.0 / 32768) // peak is the endpoint
+    assert(neg.n_frames == 3)
+    // 3x: [30, -30] -> [30, floor(30/3)=10, floor(-30/3)=-10, -30]
+    val r3 = dec(rs(encodeAudio(Array[Short](30, -30), 8000f, 1), 3))
+    assert(r3.width == 24000 && r3.n_frames == 4)
+    assert(r3.features(0) ==
+      math.sqrt(Seq(30, 10, -10, -30).map(v => v / 32768.0)
+        .map(v => v * v).sum / 4))
+    // stereo: anti-phase square interpolates per channel — midpoints
+    // average each channel with ITSELF one frame later, so the mean
+    // mixdown stays exactly zero everywhere
+    val stereo = Array.tabulate(8)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val st = dec(rs(encodeAudio(stereo, 8000f, 2), 2))
+    assert(st.height == 2 && st.n_frames == 7)
+    assert(st.features(0) == 0.0 && st.features(1) == 0.0)
+    // 1-frame clip: no interpolation partner, passes through at 2x rate
+    val one = dec(rs(encodeAudio(Array[Short](1000), 8000f, 1), 2))
+    assert(one.n_frames == 1 && one.width == 16000)
+    assert(one.features(1) == 1000.0 / 32768)
+    // resample(x) must equal resample(transcode(x)) — the int16
+    // quantize-first contract (mu-law input exercises a non-PCM source)
+    val ulaw = g711Wav(7, Array[Byte](0x00, -1, -128, 0x7f))
+    assert(rs(ulaw, 2).toSeq ==
+      rs(Multimodal.transcodeOne(ulaw).get, 2).toSeq)
+    // the DataFrame op: undecodable rows pass through byte-identical
+    val junk = Array[Byte](9, 9, 9)
+    val out = Multimodal.resamplePcm(Seq(
+        Multimodal.MediaRow(1L, mono, Multimodal.MediaMeta("wav", 0, 0, 0)),
+        Multimodal.MediaRow(2L, junk, Multimodal.MediaMeta("mp3", 0, 0, 0)))
+        .toDS().toDF(), 2)
+      .as[Multimodal.MediaRow].collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).meta.format == "wav" &&
+      out(1L).media.toSeq == rs(mono, 2).toSeq)
+    assert(out(2L).media.toSeq == junk.toSeq &&
+      out(2L).meta.format == "mp3")
+  }
+
   test("transcodePcm16 canonicalizes every decodable payload to 16-bit " +
       "WAV: G.711 and ADPCM losslessly, wide samples by arithmetic " +
       "shift, float32 by clamp+round; stereo and sample rate survive; " +
