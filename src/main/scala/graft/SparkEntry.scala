@@ -2062,14 +2062,39 @@ object SparkEntry {
     .map(i => s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)")
     .reduce((a, b) => s"($a * 16 + $b)")
 
-  /** m12/m14 oracle: the μ-law clips' decoded ground truth — every code
-    * byte re-expanded through the integer G.711 formula. Shared recipe:
-    * m12 checks the direct decode (`fmt` 'ulaw', one code byte per
-    * sample); m14 re-checks it THROUGH [[graft.ops.Multimodal
-    * .transcodePcm16]] (G.711 expands to exact int16, so the
-    * canonicalization is lossless and only the container geometry
-    * changes: `fmt` 'wav', 44-byte header + 2 bytes/sample). */
-  private def ulawOracleSql(fmt: String, nBytes: String): String =
+  /** m12/m14/m15 oracle: the μ-law clips' decoded ground truth — every
+    * code byte re-expanded through the integer G.711 formula — behind
+    * one parameterized recipe so the expansion, clip-length rule, and
+    * feature arithmetic have a single source of truth. m12 checks the
+    * direct decode (`fmt` 'ulaw'); m14 re-checks it THROUGH
+    * [[graft.ops.Multimodal.transcodePcm16]] (lossless — only the
+    * container geometry changes); m15 (`upsample2x`) interposes the 2×
+    * linear upsample: originals at even positions, floor((v_i +
+    * v_{i+1})/2) at odd ((a+b) is a small integer, /2.0 exact binary,
+    * floor ≡ the engine's floorDiv), features over 2n−1 frames at
+    * 16 kHz. */
+  private def ulawOracleSql(fmt: String, nBytes: String,
+      upsample2x: Boolean = false): String = {
+    val expand = "CASE WHEN u >= 128" +
+      " THEN 132 - ((((u & 15) * 8) + 132) << ((u >> 4) & 7))" +
+      " ELSE ((((u & 15) * 8) + 132) << ((u >> 4) & 7)) - 132 END"
+    val sampleCtes =
+      if (upsample2x)
+        s"""vv AS (SELECT doc_id, n, i,
+           |  CAST($expand AS INTEGER) AS v FROM cd),
+           |up AS (
+           |  SELECT doc_id, n, 2 * i AS j, v FROM vv
+           |  UNION ALL
+           |  SELECT a.doc_id, a.n, 2 * a.i + 1 AS j,
+           |    CAST(floor((a.v + b.v) / 2.0) AS INTEGER) AS v
+           |  FROM vv a JOIN vv b
+           |    ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |sv AS (SELECT doc_id, n, j AS i, v / 32768.0 AS s FROM up)"""
+          .stripMargin
+      else
+        s"sv AS (SELECT doc_id, n, i, ($expand) / 32768.0 AS s FROM cd)"
+    val frames = if (upsample2x) "(2 * n - 1)" else "n"
+    val rate = if (upsample2x) "16000" else "8000"
     s"""WITH fr AS (
        |  SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n,
        |    i.range AS i
@@ -2080,26 +2105,23 @@ object SparkEntry {
        |  FROM fr),
        |cd AS (SELECT doc_id, n, i,
        |  CAST(255 - (($MD5_U_HORNER) % 256) AS INTEGER) AS u FROM hb),
-       |sv AS (SELECT doc_id, n, i,
-       |  (CASE WHEN u >= 128
-       |     THEN 132 - ((((u & 15) * 8) + 132) << ((u >> 4) & 7))
-       |     ELSE ((((u & 15) * 8) + 132) << ((u >> 4) & 7)) - 132
-       |   END) / 32768.0 AS s
-       |  FROM cd),
+       |$sampleCtes,
        |tr AS (SELECT doc_id, n, s,
        |  CASE WHEN (s >= 0) !=
        |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
        |    THEN 1 ELSE 0 END AS zx
        |  FROM sv)
        |SELECT doc_id, $fmt AS format,
-       |  CAST(8000 AS INTEGER) AS sample_rate,
-       |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
+       |  CAST($rate AS INTEGER) AS sample_rate,
+       |  CAST(1 AS INTEGER) AS channels,
+       |  CAST($frames AS INTEGER) AS n_frames,
        |  CAST($nBytes AS INTEGER) AS n_bytes,
-       |  sqrt(SUM(s * s) / n) AS rms,
+       |  sqrt(SUM(s * s) / $frames) AS rms,
        |  MAX(ABS(s)) AS peak,
-       |  n / 8000.0 AS duration_sec,
+       |  $frames / $rate.0 AS duration_sec,
        |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
        |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+  }
 
   /** m13 oracle: the IMA-ADPCM decode unrolled ONE CTE PER NIBBLE (the
     * Lloyd-unroll recipe applied to a sequential codec). The step tables
@@ -3591,51 +3613,10 @@ object SparkEntry {
     // 16-bit WAV is lossless and only the container geometry changes
     // (format 'wav', 44-byte header + 2 bytes/sample)
     "m14_transcode_pcm16" -> ulawOracleSql("'wav'", "44 + 2 * n"),
-    // m15: the 2x-upsampled ground truth — G.711 codes expand to exact
-    // int16 v, the output keeps originals at even positions and
-    // floor((v_i + v_{i+1}) / 2) at odd positions ((a+b) is a small
-    // integer, /2.0 is exact binary, floor ≡ the engine's floorDiv),
-    // and the features recompute over 2n−1 frames at 16 kHz
+    // m15: see ulawOracleSql — the 2x-upsampled ground truth via the
+    // shared recipe's upsample2x variant
     "m15_resample2x" ->
-      s"""WITH fr AS (
-         |  SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n,
-         |    i.range AS i
-         |  FROM documents CROSS JOIN range(0, 10) i
-         |  WHERE i.range < doc_id % 10 + 1),
-         |hb AS (SELECT doc_id, n, i,
-         |  md5(CAST(doc_id AS VARCHAR) || ':u:' || CAST(i AS VARCHAR)) AS h
-         |  FROM fr),
-         |cd AS (SELECT doc_id, n, i,
-         |  CAST(255 - (($MD5_U_HORNER) % 256) AS INTEGER) AS u FROM hb),
-         |vv AS (SELECT doc_id, n, i,
-         |  CAST(CASE WHEN u >= 128
-         |     THEN 132 - ((((u & 15) * 8) + 132) << ((u >> 4) & 7))
-         |     ELSE ((((u & 15) * 8) + 132) << ((u >> 4) & 7)) - 132
-         |   END AS INTEGER) AS v
-         |  FROM cd),
-         |up AS (
-         |  SELECT doc_id, n, 2 * i AS j, v FROM vv
-         |  UNION ALL
-         |  SELECT a.doc_id, a.n, 2 * a.i + 1 AS j,
-         |    CAST(floor((a.v + b.v) / 2.0) AS INTEGER) AS v
-         |  FROM vv a JOIN vv b
-         |    ON b.doc_id = a.doc_id AND b.i = a.i + 1),
-         |sv AS (SELECT doc_id, n, j, v / 32768.0 AS s FROM up),
-         |tr AS (SELECT doc_id, n, s,
-         |  CASE WHEN (s >= 0) !=
-         |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY j) >= 0)
-         |    THEN 1 ELSE 0 END AS zx
-         |  FROM sv)
-         |SELECT doc_id, 'wav' AS format,
-         |  CAST(16000 AS INTEGER) AS sample_rate,
-         |  CAST(1 AS INTEGER) AS channels,
-         |  CAST(2 * n - 1 AS INTEGER) AS n_frames,
-         |  CAST(44 + 2 * (2 * n - 1) AS INTEGER) AS n_bytes,
-         |  sqrt(SUM(s * s) / (2 * n - 1)) AS rms,
-         |  MAX(ABS(s)) AS peak,
-         |  (2 * n - 1) / 16000.0 AS duration_sec,
-         |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
-         |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+      ulawOracleSql("'wav'", "44 + 2 * (2 * n - 1)", upsample2x = true),
     // m13: see adpcmOracleSql — the compressed codec's decode unrolled
     // CTE by CTE from the oracle's own copy of the DVI step tables
     "m13_adpcm_decode" -> adpcmOracleSql,

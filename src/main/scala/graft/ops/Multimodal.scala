@@ -1569,15 +1569,7 @@ object Multimodal {
     val dataLen = 2 * c.ch * outFrames.toInt
     val rate = math.round(c.sampleRate)
     val out = new Array[Byte](44 + dataLen)
-    val bb = java.nio.ByteBuffer.wrap(out)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(c.ch.toShort)
-      .putInt(rate).putInt(rate * c.ch * 2)
-      .putShort((c.ch * 2).toShort).putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    if (!writeWavHeader(out, rate, c.ch, dataLen)) return None
     val bps = c.bits / 8
     var f = 0L
     var off = c.off
@@ -1595,6 +1587,27 @@ object Multimodal {
       off += c.ch * bps
     }
     Some(out)
+  }
+
+  /** Write the canonical 44-byte RIFF/WAVE header for 16-bit LE PCM into
+    * `out` — shared by the transcode and resample emitters so a header
+    * fix lands once. Returns false (decline to the no-op path) when any
+    * field would overflow its 32-bit slot — a parseable-but-hostile
+    * declared sample rate must not wrap the ByteRate field negative;
+    * the emitted canonical WAV is a contract external readers validate. */
+  private def writeWavHeader(out: Array[Byte], rate: Int, ch: Int,
+      dataLen: Int): Boolean = {
+    if (rate <= 0 || rate.toLong * ch * 2 > Int.MaxValue) return false
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort)
+      .putInt(rate).putInt(rate * ch * 2)
+      .putShort((ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    true
   }
 
   /** Resample ONE payload by integer factor `up`: decode, quantize to
@@ -1617,60 +1630,53 @@ object Multimodal {
     val outFrames = (n - 1) * up + 1
     val rate = math.round(c.sampleRate)
     if (n < 1 || rate.toLong * up > Int.MaxValue ||
-        44L + 2L * c.ch * outFrames > Int.MaxValue ||
-        n * c.ch > Int.MaxValue / 8)
+        44L + 2L * c.ch * outFrames > Int.MaxValue)
       return None
     val nI = n.toInt
-    // quantized source frames, channel-major within each frame
     val bps = c.bits / 8
-    val src = new Array[Int](nI * c.ch)
-    var f = 0
-    var off = c.off
-    while (f < nI) {
-      var k = 0
-      while (k < c.ch) {
-        src(f * c.ch + k) = sampleInt16(c, off + k * bps)
-        k += 1
-      }
-      f += 1
-      off += c.ch * bps
-    }
     val dataLen = 2 * c.ch * outFrames.toInt
-    val outRate = rate * up
     val out = new Array[Byte](44 + dataLen)
-    val bb = java.nio.ByteBuffer.wrap(out)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(c.ch.toShort)
-      .putInt(outRate).putInt(outRate * c.ch * 2)
-      .putShort((c.ch * 2).toShort).putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    if (!writeWavHeader(out, rate * up, c.ch, dataLen)) return None
     var w = 44
     def emit(v: Int): Unit = {
       out(w) = (v & 0xff).toByte
       out(w + 1) = ((v >> 8) & 0xff).toByte
       w += 2
     }
-    var i = 0
-    while (i < nI - 1) {
+    // rolling two-frame window — interpolation only ever needs the
+    // adjacent pair, so per-row transient state is O(channels), not a
+    // whole-clip copy (a near-bound stereo clip would otherwise add a
+    // GB-scale Int buffer on top of the input and output arrays)
+    var prev = new Array[Int](c.ch)
+    var cur = new Array[Int](c.ch)
+    def readFrame(off: Int, dst: Array[Int]): Unit = {
+      var k = 0
+      while (k < c.ch) {
+        dst(k) = sampleInt16(c, off + k * bps)
+        k += 1
+      }
+    }
+    var off = c.off
+    readFrame(off, prev)
+    var f = 1
+    while (f < nI) {
+      off += c.ch * bps
+      readFrame(off, cur)
       var k = 0
       while (k < up) {
         var ch = 0
         while (ch < c.ch) {
-          emit(math.floorDiv(
-            (up - k) * src(i * c.ch + ch) + k * src((i + 1) * c.ch + ch),
-            up))
+          emit(math.floorDiv((up - k) * prev(ch) + k * cur(ch), up))
           ch += 1
         }
         k += 1
       }
-      i += 1
+      val t = prev; prev = cur; cur = t
+      f += 1
     }
     var ch = 0
     while (ch < c.ch) { // the final real frame, never extrapolated
-      emit(src((nI - 1) * c.ch + ch))
+      emit(prev(ch))
       ch += 1
     }
     Some(out)
