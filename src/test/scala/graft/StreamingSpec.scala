@@ -285,6 +285,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.toSet == batchDigests)
   }
 
+  test("media decode + canonicalize are streaming-safe: the stateless " +
+      "map transforms (decodeFeatures over transcodePcm16) produce the " +
+      "batch rows exactly under a parquet stream — no state, trivially " +
+      "exactly-once") {
+    val dir = Files.createTempDirectory("graft-media").toString
+    val media = graft.ops.Multimodal.attachSyntheticUlaw(
+      cat.table("documents").limit(60), 1, 10)
+    media.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(media.schema).parquet(dir)
+    val name = Streaming.runToMemory(spark,
+      graft.ops.Multimodal.decodeFeatures(spark,
+        graft.ops.Multimodal.transcodePcm16(stream)).toDF(),
+      "media_decode_test")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val streamed = keyed(spark.table(name).collect())
+    val batch = keyed(graft.ops.Multimodal.decodeFeatures(spark,
+      graft.ops.Multimodal.transcodePcm16(media)).toDF().collect())
+    assert(streamed.nonEmpty && streamed.size == batch.size)
+    streamed.foreach { case (id, v) => assert(batch(id) == v) }
+  }
+
   test("streaming near-dup emits exactly the batch LSH pair set, once each") {
     import org.apache.spark.sql.streaming.OutputMode
     // planted exact duplicate + the corpus, ingested as two file batches so
