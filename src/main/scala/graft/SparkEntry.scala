@@ -760,6 +760,21 @@ object SparkEntry {
             "features[2] AS duration_sec",
             "features[3] AS zero_crossings")
           .orderBy("doc_id")),
+      // m16: the A-law half of G.711 gated against GROUND TRUTH like
+      // m12 — the oracle re-expands every code byte through the integer
+      // A-law formula (XOR 0x55 toggle, 4-bit mantissa, 3-bit segment
+      // with the +0x100 bias from segment 1, sign off the top bit)
+      "m16_alaw_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticAlaw(
+            CubeCatalog.forDir(s, dir).table("documents"), 1, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
       // m15: sample-rate upconversion gated end-to-end — 2x linear
       // upsample of the μ-law corpus, then decode THE RESAMPLED BYTES;
       // the interpolation is exact integer floor arithmetic, so the
@@ -3617,6 +3632,47 @@ object SparkEntry {
     // shared recipe's upsample2x variant
     "m15_resample2x" ->
       ulawOracleSql("'wav'", "44 + 2 * (2 * n - 1)", upsample2x = true),
+    // m16: the A-law clips' ground truth — every code byte re-expanded
+    // through the integer A-law formula (a = code XOR 0x55; seg =
+    // (a&0x70)>>4; v = ((a&15)<<4)+8, +0x100 from segment 1, << seg−1
+    // above segment 1; sign POSITIVE when the toggled top bit is set),
+    // then the m12 feature arithmetic on the same exactness argument
+    "m16_alaw_decode" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n,
+         |    i.range AS i
+         |  FROM documents CROSS JOIN range(0, 10) i
+         |  WHERE i.range < doc_id % 10 + 1),
+         |hb AS (SELECT doc_id, n, i,
+         |  md5(CAST(doc_id AS VARCHAR) || ':al:' || CAST(i AS VARCHAR))
+         |    AS h
+         |  FROM fr),
+         |cd AS (SELECT doc_id, n, i,
+         |  CAST(xor(($MD5_U_HORNER) % 256, 85) AS INTEGER) AS a FROM hb),
+         |vm AS (SELECT doc_id, n, i, a, (a & 112) >> 4 AS seg,
+         |  ((a & 15) << 4) + 8 AS m0 FROM cd),
+         |vs AS (SELECT doc_id, n, i, a,
+         |  CASE WHEN seg > 1 THEN (m0 + 256) << (seg - 1)
+         |       WHEN seg = 1 THEN m0 + 256
+         |       ELSE m0 END AS mag
+         |  FROM vm),
+         |sv AS (SELECT doc_id, n, i,
+         |  (CASE WHEN (a & 128) = 0 THEN -mag ELSE mag END) / 32768.0 AS s
+         |  FROM vs),
+         |tr AS (SELECT doc_id, n, s,
+         |  CASE WHEN (s >= 0) !=
+         |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+         |    THEN 1 ELSE 0 END AS zx
+         |  FROM sv)
+         |SELECT doc_id, 'alaw' AS format,
+         |  CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
+         |  CAST(44 + n AS INTEGER) AS n_bytes,
+         |  sqrt(SUM(s * s) / n) AS rms,
+         |  MAX(ABS(s)) AS peak,
+         |  n / 8000.0 AS duration_sec,
+         |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+         |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     // m13: see adpcmOracleSql — the compressed codec's decode unrolled
     // CTE by CTE from the oracle's own copy of the DVI step tables
     "m13_adpcm_decode" -> adpcmOracleSql,

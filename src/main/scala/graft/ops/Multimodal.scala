@@ -1453,15 +1453,7 @@ object Multimodal {
       : Array[Byte] = {
     require(nSamples > 0, "nSamples must be positive")
     val out = new Array[Byte](44 + nSamples)
-    val bb = java.nio.ByteBuffer.wrap(out)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(7).putShort(1) // G.711 μ-law, mono
-      .putInt(8000).putInt(8000) // sample rate, byte rate
-      .putShort(1).putShort(8) // block align, bits per sample
-      .put("data".getBytes("US-ASCII")).putInt(nSamples)
+    writeG711Header(out, tag = 7, nSamples) // μ-law
     var i = 0
     while (i < nSamples) {
       out(44 + i) = (md5Uint(s"$docId:u:$i") % 256).toByte
@@ -1480,6 +1472,52 @@ object Multimodal {
       MediaRow(id, syntheticUlawWav(id, (id % modSamples).toInt + addSamples),
         MediaMeta("ulaw", 0, 0, 0))
     }.toDF()
+  }
+
+  /** Deterministic REAL G.711 A-law WAV clip (format tag 6) for the m16
+    * gate — [[syntheticUlawWav]]'s sibling with its own md5 key
+    * (":al:"), code bytes uniform over the A-law space so every segment
+    * and both signs are exercised; the oracle re-expands each code
+    * through the integer A-law formula (XOR 0x55 toggle, 4-bit
+    * mantissa, 3-bit segment with the +0x100 bias from segment 1, sign
+    * off the top bit). */
+  private[graft] def syntheticAlawWav(docId: Long, nSamples: Int)
+      : Array[Byte] = {
+    require(nSamples > 0, "nSamples must be positive")
+    val out = new Array[Byte](44 + nSamples)
+    writeG711Header(out, tag = 6, nSamples) // A-law
+    var i = 0
+    while (i < nSamples) {
+      out(44 + i) = (md5Uint(s"$docId:al:$i") % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Attach a [[syntheticAlawWav]] payload per document. */
+  def attachSyntheticAlaw(docs: DataFrame, addSamples: Int,
+      modSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, syntheticAlawWav(id, (id % modSamples).toInt + addSamples),
+        MediaMeta("alaw", 0, 0, 0))
+    }.toDF()
+  }
+
+  /** The 44-byte mono-8kHz G.711 WAV header shared by the gate fixture
+    * generators (one code byte per sample, so dataLen = nSamples). */
+  private def writeG711Header(out: Array[Byte], tag: Short,
+      nSamples: Int): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(tag).putShort(1)
+      .putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(nSamples)
   }
 
   /** Deterministic REAL mono IMA-ADPCM WAV clip (format tag 17) for the

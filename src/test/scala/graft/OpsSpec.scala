@@ -1220,6 +1220,12 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.MediaMeta("ulaw", 0, 0, 0)))
     assert(fx.n_frames == 8 && fx.width == 8000 && fx.n_bytes == 52)
     assert(fx.features(1) <= 32124.0 / 32768 && fx.features(1) >= 0)
+    // the m16 A-law gate fixture decodes through the same fast path
+    val ax = Multimodal.decodeOne(Multimodal.MediaRow(8L,
+      Multimodal.syntheticAlawWav(8L, 8),
+      Multimodal.MediaMeta("alaw", 0, 0, 0)))
+    assert(ax.n_frames == 8 && ax.width == 8000 && ax.n_bytes == 52)
+    assert(ax.features(1) <= 32256.0 / 32768 && ax.features(1) >= 0)
   }
 
   test("wide-sample decode is REAL: 24-bit and 32-bit integer PCM and " +
