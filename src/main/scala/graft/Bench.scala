@@ -78,7 +78,11 @@ object Bench {
     val qs = asc.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val env = s""""host_load1":[${fmt(loadBefore)},${fmt(loadAfter)}],""" +
+    // getSystemLoadAverage returns -1 on platforms without a load average
+    // — emit null there, never a misleading [-1,-1] pair on the artifact
+    def loadJson(v: Double): String = if (v < 0) "null" else fmt(v)
+    val env =
+      s""""host_load1":[${loadJson(loadBefore)},${loadJson(loadAfter)}],""" +
       s""""host_cpus":${Runtime.getRuntime.availableProcessors}"""
     val line =
       s"""{"metric":"total","queries":$qs,"sf":"$sfDir",$env,"unit":"sec","value":${fmt(total)}}"""

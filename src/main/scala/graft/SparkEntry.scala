@@ -357,6 +357,13 @@ object SparkEntry {
       // symmetric Jaccard misses (prefix⋈inverted-index, PPJoin-pruned)
       "d19_containment" -> tbl("documents")(
         ops.Dedup.containmentPairs(_, 3, "lang", 0.6)),
+      // d23: the PRODUCTION containment variant — container index
+      // df-capped (deterministic xxhash downsample) with a documented
+      // recall contract; the auto cap (max(256, 4√n)) is far above this
+      // corpus' max shingle df (5), so the gate replays the exact join
+      // bit-for-bit while the cap only engages at corpus scale
+      "d23_containment_auto" -> tbl("documents")(
+        ops.Dedup.containmentPairsAuto(_, 3, "lang", 0.6)),
       // the dedup-impact ("data diet") report: per source, how many docs
       // survive exact and fuzzy dedup, and how many tokens span-trimming
       // keeps — the accounting every corpus build publishes. Pure
@@ -615,8 +622,12 @@ object SparkEntry {
             "n_bytes", "features[0] AS f_mean", "features[1] AS f_std",
             "features[2] AS f_max", "features[3] AS f_n")
           .orderBy("doc_id")),
+      // the gate wrapper owns the total order: frameSample itself is
+      // unsorted (a global sort over the exploded corpus is presentation
+      // cost the operator must not impose at scale)
       "m02_frame_sample" -> tbl("documents")(d =>
-        ops.Multimodal.frameSample(ops.Multimodal.attachFakeMedia(d), 2)),
+        ops.Multimodal.frameSample(ops.Multimodal.attachFakeMedia(d), 2)
+          .orderBy("doc_id", "frame_idx")),
       // decode-batch packing: ~1 MB of decoded output per batch, per
       // modality (the GPU decode-pool scheduling plan)
       "m04_decode_batches" -> tbl("documents")(d =>
@@ -801,6 +812,36 @@ object SparkEntry {
         ops.Multimodal.decodeFeatures(s,
           ops.Multimodal.attachSyntheticAdpcm(
             CubeCatalog.forDir(s, dir).table("documents"), 1, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
+      // m17: STEREO IMA-ADPCM — the spec's 4-byte-word channel
+      // interleave gated against ground truth: the oracle replays both
+      // channels' recurrences AND the mean mixdown, so a wrong header
+      // stride or word order fails the hash
+      "m17_adpcm_stereo" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticAdpcmStereo(
+            CubeCatalog.forDir(s, dir).table("documents"), 1, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
+      // m18: MS ADPCM (WAV format tag 2) — the other ubiquitous
+      // compressed WAV codec; coefficient pairs read from the payload's
+      // DECLARED table, decode recurrence unrolled by the oracle one
+      // CTE per nibble from its own copy of the public tables
+      "m18_msadpcm_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticMsAdpcm(
+            CubeCatalog.forDir(s, dir).table("documents"), 2, 10))
           .toDF()
           .selectExpr("doc_id", "format", "width AS sample_rate",
             "height AS channels", "n_frames", "n_bytes",
@@ -1310,6 +1351,21 @@ object SparkEntry {
           """SELECT {[Measures].[Revenue]} ON COLUMNS,
             |TOPCOUNT([Part].[Brands].[Brand].Members, 5, [Measures].[Revenue]) ON ROWS
             |FROM sales""".stripMargin))
+      }),
+      // q92: ad-hoc WITH MEMBER arithmetic on a VIRTUAL cube — the
+      // query-scoped calc references measures from BOTH member cubes
+      // (sales revenue / orders total_sales); it parses against the
+      // mdxView (the virtual cube's exposed-measure surface) and
+      // compiles over the drill-across frame in planVirtual
+      "q92_mdx_virtual_calc" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(Planner.mdxView(c, "commerce"),
+          """WITH MEMBER [Measures].[rps] AS
+            |  '[Measures].[Revenue] / [Measures].[Total Sales]'
+            |SELECT {[Measures].[Revenue], [Measures].[Total Sales],
+            |  [Measures].[rps]} ON COLUMNS,
+            |[Geography].[Region].Members ON ROWS
+            |FROM commerce""".stripMargin))
       }),
       // WITH MEMBER: query-scoped calculated measure over declared measures
       "q37_mdx_with_member" -> ((s: SparkSession, dir: String) => {
@@ -2216,6 +2272,180 @@ object SparkEntry {
        |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   }
 
+  /** m17 oracle: the STEREO IMA-ADPCM decode — BOTH channels' sequential
+    * recurrences unrolled one CTE per step (the m13 recipe with a dual
+    * state vector), then the engine's mean channel mixdown s_i =
+    * (p0_i + p1_i)/65536 (exact dyadic). The per-channel headers and
+    * nibbles re-derive from the same md5 keys as the fixture generator
+    * (":p<c>"/":i<c>"/":n<c>:<k>"), so a misparsed header stride or
+    * 4-byte-word interleave on the engine side decodes different nibbles
+    * and fails the hash. */
+  private def adpcmStereoOracleSql: String = {
+    val steps = ("[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37," +
+      "41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209," +
+      "230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963," +
+      "1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327," +
+      "3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442," +
+      "11487,12635,13899,15289,16818,18500,20350,22385,24623,27086," +
+      "29794,32767]")
+    val adj = "[-1,-1,-1,-1,2,4,6,8]"
+    def updPred(pred: String, nib: String, st: String): String =
+      s"""CASE WHEN $nib IS NULL THEN $pred
+         |       ELSE GREATEST(-32768, LEAST(32767,
+         |    $pred + (CASE WHEN ($nib & 8) != 0 THEN -1 ELSE 1 END) *
+         |      (($st >> 3) + (CASE WHEN ($nib & 1) != 0 THEN $st >> 2 ELSE 0 END)
+         |        + (CASE WHEN ($nib & 2) != 0 THEN $st >> 1 ELSE 0 END)
+         |        + (CASE WHEN ($nib & 4) != 0 THEN $st ELSE 0 END)))) END"""
+        .stripMargin
+    def updIdx(idx: String, nib: String): String =
+      s"CASE WHEN $nib IS NULL THEN $idx ELSE GREATEST(0, LEAST(88, " +
+        s"$idx + ($adj)[($nib & 7) + 1])) END"
+    val stepCtes = (0 until 9).map { k =>
+      s"""w$k AS (SELECT s.doc_id, s.n, s.p0, s.x0, s.p1, s.x1,
+         |  a.nib AS nib0, bb.nib AS nib1,
+         |  CASE WHEN a.nib IS NULL THEN 0 ELSE ($steps)[s.x0 + 1] END AS st0,
+         |  CASE WHEN bb.nib IS NULL THEN 0 ELSE ($steps)[s.x1 + 1] END AS st1
+         |  FROM s$k s
+         |  LEFT JOIN nb0 a ON a.doc_id = s.doc_id AND a.i = $k
+         |  LEFT JOIN nb1 bb ON bb.doc_id = s.doc_id AND bb.i = $k),
+         |s${k + 1} AS (SELECT doc_id, n,
+         |  ${updPred("p0", "nib0", "st0")} AS p0,
+         |  ${updIdx("x0", "nib0")} AS x0,
+         |  ${updPred("p1", "nib1", "st1")} AS p1,
+         |  ${updIdx("x1", "nib1")} AS x1
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    val emits = (1 to 9).map(k =>
+      s"  UNION ALL SELECT doc_id, n, $k AS i, p0, p1 FROM s$k WHERE n > $k")
+      .mkString("\n")
+    def chanCtes(c: Int): String =
+      s"""hp$c AS (SELECT doc_id, n,
+         |  md5(CAST(doc_id AS VARCHAR) || ':p$c') AS h FROM d),
+         |pp$c AS (SELECT doc_id, n,
+         |  CAST(($MD5_U_HORNER) % 65536 - 32768 AS INTEGER) AS pred
+         |  FROM hp$c),
+         |hi$c AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':i$c')
+         |  AS h FROM d),
+         |ii$c AS (SELECT doc_id, CAST(($MD5_U_HORNER) % 89 AS INTEGER)
+         |  AS idx FROM hi$c),
+         |nh$c AS (SELECT d.doc_id, i.range AS i,
+         |  md5(CAST(d.doc_id AS VARCHAR) || ':n$c:' ||
+         |      CAST(i.range AS VARCHAR)) AS h
+         |  FROM d CROSS JOIN range(0, 9) i WHERE i.range < d.n - 1),
+         |nb$c AS (SELECT doc_id, i, CAST(($MD5_U_HORNER) % 16 AS INTEGER)
+         |  AS nib FROM nh$c)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n
+       |  FROM documents),
+       |${chanCtes(0)},
+       |${chanCtes(1)},
+       |s0 AS (SELECT p0.doc_id, p0.n, p0.pred AS p0, i0.idx AS x0,
+       |  p1.pred AS p1, i1.idx AS x1
+       |  FROM pp0 p0 JOIN ii0 i0 USING (doc_id)
+       |  JOIN pp1 p1 USING (doc_id) JOIN ii1 i1 ON i1.doc_id = p0.doc_id),
+       |$stepCtes,
+       |sm AS (
+       |  SELECT doc_id, n, 0 AS i, p0, p1 FROM s0
+       |$emits),
+       |sv AS (SELECT doc_id, n, i, (p0 + p1) / 65536.0 AS s FROM sm),
+       |tr AS (SELECT doc_id, n, s,
+       |  CASE WHEN (s >= 0) !=
+       |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+       |    THEN 1 ELSE 0 END AS zx
+       |  FROM sv)
+       |SELECT doc_id, 'adpcm2' AS format,
+       |  CAST(8000 AS INTEGER) AS sample_rate,
+       |  CAST(2 AS INTEGER) AS channels, n AS n_frames,
+       |  CAST(56 + 8 * ((n + 6) // 8) AS INTEGER) AS n_bytes,
+       |  sqrt(SUM(s * s) / n) AS rms,
+       |  MAX(ABS(s)) AS peak,
+       |  n / 8000.0 AS duration_sec,
+       |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+       |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+  }
+
+  /** m18 oracle: the MS-ADPCM decode unrolled one CTE per nibble from
+    * the oracle's OWN restatement of the public coefficient/adaptation
+    * tables. State per step: (s1, s2, delta); step k computes
+    * pred = floor((s1·c1 + s2·c2)/256) + signed4(nibble)·delta (clamped
+    * to int16), shifts the sample window, and updates delta =
+    * max(16, (adapt[nibble]·delta)//256). Clips are 2–11 samples: i=0
+    * emits the header's iSamp2 (the OLDER sample), i=1 iSamp1, then one
+    * step per nibble — ≤ 9 unrolled steps; floor(x/256.0) on an exact
+    * small integer ≡ the engine's arithmetic >> 8. */
+  private def msAdpcmOracleSql: String = {
+    val adapt = "[230,230,230,230,307,409,512,614,768,614,512,409,307," +
+      "230,230,230]"
+    val c1s = "[256,512,0,192,240,460,392]"
+    val c2s = "[0,-256,0,64,0,-208,-232]"
+    val stepCtes = (0 until 9).map { k =>
+      s"""w$k AS (SELECT s.doc_id, s.n, s.c1, s.c2, s.s1, s.s2, s.dl,
+         |  nb.nib
+         |  FROM s$k s LEFT JOIN nb ON nb.doc_id = s.doc_id AND nb.i = $k),
+         |s${k + 1} AS (SELECT doc_id, n, c1, c2,
+         |  CASE WHEN nib IS NULL THEN s1
+         |       ELSE GREATEST(-32768, LEAST(32767,
+         |    CAST(floor((s1 * c1 + s2 * c2) / 256.0) AS INTEGER) +
+         |    (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END) * dl)) END AS s1,
+         |  CASE WHEN nib IS NULL THEN s2 ELSE s1 END AS s2,
+         |  CASE WHEN nib IS NULL THEN dl
+         |       ELSE GREATEST(16, (($adapt)[nib + 1] * dl) // 256) END AS dl
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    val emits = (1 to 9).map(k =>
+      s"  UNION ALL SELECT doc_id, n, ${k + 1} AS i, s1 AS v FROM s$k" +
+        s" WHERE n > ${k + 1}")
+      .mkString("\n")
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id % 10 + 2 AS INTEGER) AS n
+       |  FROM documents),
+       |hb AS (SELECT doc_id, n,
+       |  md5(CAST(doc_id AS VARCHAR) || ':mb') AS h FROM d),
+       |bp AS (SELECT doc_id, n,
+       |  CAST(($MD5_U_HORNER) % 7 AS INTEGER) AS b FROM hb),
+       |hd AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':md') AS h
+       |  FROM d),
+       |dd AS (SELECT doc_id, CAST(($MD5_U_HORNER) % 32768 AS INTEGER)
+       |  AS dl FROM hd),
+       |h1 AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':m1') AS h
+       |  FROM d),
+       |m1 AS (SELECT doc_id, CAST(($MD5_U_HORNER) % 65536 - 32768
+       |  AS INTEGER) AS s1 FROM h1),
+       |h2 AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':m2') AS h
+       |  FROM d),
+       |m2 AS (SELECT doc_id, CAST(($MD5_U_HORNER) % 65536 - 32768
+       |  AS INTEGER) AS s2 FROM h2),
+       |nh AS (SELECT d.doc_id, i.range AS i,
+       |  md5(CAST(d.doc_id AS VARCHAR) || ':mn:' ||
+       |      CAST(i.range AS VARCHAR)) AS h
+       |  FROM d CROSS JOIN range(0, 9) i WHERE i.range < d.n - 2),
+       |nb AS (SELECT doc_id, i, CAST(($MD5_U_HORNER) % 16 AS INTEGER)
+       |  AS nib FROM nh),
+       |s0 AS (SELECT bp.doc_id, bp.n,
+       |  ($c1s)[bp.b + 1] AS c1, ($c2s)[bp.b + 1] AS c2,
+       |  m1.s1, m2.s2, dd.dl
+       |  FROM bp JOIN dd USING (doc_id) JOIN m1 USING (doc_id)
+       |  JOIN m2 ON m2.doc_id = bp.doc_id),
+       |$stepCtes,
+       |sm AS (
+       |  SELECT doc_id, n, 0 AS i, s2 AS v FROM s0
+       |  UNION ALL SELECT doc_id, n, 1 AS i, s1 AS v FROM s0
+       |$emits),
+       |sv AS (SELECT doc_id, n, i, v / 32768.0 AS s FROM sm),
+       |tr AS (SELECT doc_id, n, s,
+       |  CASE WHEN (s >= 0) !=
+       |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+       |    THEN 1 ELSE 0 END AS zx
+       |  FROM sv)
+       |SELECT doc_id, 'msadpcm' AS format,
+       |  CAST(8000 AS INTEGER) AS sample_rate,
+       |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
+       |  CAST(85 + (n - 1) // 2 AS INTEGER) AS n_bytes,
+       |  sqrt(SUM(s * s) / n) AS rms,
+       |  MAX(ABS(s)) AS peak,
+       |  n / 8000.0 AS duration_sec,
+       |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+       |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "q01_returnflag_agg" ->
       s"""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
@@ -2567,6 +2797,23 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT region, region_label, revenue, total_sales,
          |revenue / order_count AS rev_per_order
+         |FROM s FULL JOIN o USING (region, region_label)
+         |ORDER BY region""".stripMargin,
+    // q92: the ad-hoc cross-cube calc replays as the same full-outer
+    // drill-across as q19 with the ratio computed over the merged frame
+    "q92_mdx_virtual_calc" ->
+      s"""WITH s AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2),
+         |o AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd("o_totalprice", "total_sales")}
+         |  $CUST_GEO_JOIN
+         |  GROUP BY 1, 2)
+         |SELECT region, region_label, revenue, total_sales,
+         |revenue / total_sales AS rps
          |FROM s FULL JOIN o USING (region, region_label)
          |ORDER BY region""".stripMargin,
     // q71: COUNT(Brand.Members) is the distinct-brand count of the dim
@@ -3047,6 +3294,24 @@ object SparkEntry {
     // d19: directional containment |A∩B|/|A| over the same shingle sets —
     // all ordered pairs (a ≠ b), int/int double division as in d04
     "d19_containment" ->
+      """WITH sh AS (SELECT doc_id, lang,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT doc_a, doc_b, inter / na AS containment
+        |FROM pairs WHERE inter / na >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // d23: at gate scale the df cap never engages (max df 5 ≪ 256), so
+    // the auto variant must be BIT-IDENTICAL to the exact directional
+    // containment join — same oracle as d19
+    "d23_containment_auto" ->
       """WITH sh AS (SELECT doc_id, lang,
         |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
         |  ELSE list_distinct(list_transform(
@@ -3676,6 +3941,11 @@ object SparkEntry {
     // m13: see adpcmOracleSql — the compressed codec's decode unrolled
     // CTE by CTE from the oracle's own copy of the DVI step tables
     "m13_adpcm_decode" -> adpcmOracleSql,
+    // m17/m18: see adpcmStereoOracleSql / msAdpcmOracleSql — the stereo
+    // IMA word-interleave and the MS ADPCM recurrence, both unrolled
+    // from the oracle's own restatement of the public tables
+    "m17_adpcm_stereo" -> adpcmStereoOracleSql,
+    "m18_msadpcm_decode" -> msAdpcmOracleSql,
     // m10: the audio fingerprint replayed from ground truth — window RMS
     // over exact dyadic samples (window counts are 1 or 2, power-of-two
     // divisions), delta SIGNS are the bits; the half-gain clone's samples

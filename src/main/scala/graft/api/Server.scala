@@ -327,7 +327,14 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
       .map(m => m.group(1).stripPrefix("[").stripSuffix("]"))
       .getOrElse(GraftException.badRequest("MDX has no FROM clause"))
     val role = roleOf(cat, params)
-    val c = cube(cat, cubeName, role)
+    role.foreach(Roles.checkCubeAccess(_, cubeName))
+    if (cat.schema.cube(cubeName).isEmpty &&
+        cat.schema.virtualCube(cubeName).isEmpty)
+      GraftException.notFound(s"cube not found: $cubeName")
+    // the parse view: a virtual cube presents its exposed cross-cube
+    // measures under its own name, so WITH MEMBER arithmetic over them
+    // parses here and compiles over the drill-across frame in planVirtual
+    val c = Planner.mdxView(cat, cubeName)
     var q = QueryParser.fromParams(c, params) // parents/properties/caption
     val mdxQ = graft.planner.MdxParser.parse(c, body)
     q = mdxQ.copy(parents = q.parents, properties = q.properties,

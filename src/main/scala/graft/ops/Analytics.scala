@@ -74,7 +74,7 @@ object Analytics {
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
       .groupBy("okey")
       .agg(sort_array(collect_set(col("brand"))).as("brands"))
-      .localCheckpoint(eager = false) // feeds pairs + marginals + total
+      .localCheckpoint() // feeds pairs + marginals + total
     // ordered (a < b holds by sort_array) pairs from within each basket —
     // no self-join, no re-shuffle of the Σ basket² pair stream
     val pairs = baskets

@@ -57,6 +57,17 @@ object Dedup {
     // join. localCheckpoint (not persist) so the blocks are released by the
     // ContextCleaner when the result frame is dropped — persist() would pin
     // them in the CacheManager forever in a long-running server.
+    //
+    // EAGER, everywhere (the repo-wide convention as of round 14): a LAZY
+    // localCheckpoint whose first materialization happens inside a
+    // broadcast-exchange (or concurrent AQE stage) thread can deadlock
+    // against the DAG scheduler — observed live as a lock inversion
+    // between RDDCheckpointData's class lock (held by the broadcast
+    // thread doing the pending checkpoint) and the RDD lock (held by the
+    // scheduler), hanging the whole session. Every checkpointed frame
+    // here is unconditionally consumed by its operator, so eager
+    // materialization is the SAME total work, just scheduled on the
+    // constructing thread — where no second lock is ever taken.
     val sh = docs
       .select(col("doc_id"), hashedShingles("text", shingleK).as("sh"))
       .where(size(col("sh")) > 0)
@@ -163,7 +174,7 @@ object Dedup {
       .select(col("doc_id"), hashedShingles("text", shingleK).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature("sh", bands * rows))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val postings = sh
       .select(col("doc_id"), explode(array(bandKeys(bands, rows): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -447,11 +458,11 @@ object Dedup {
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
       hashedShingles("text", k).as("sh"))
       .withColumn("n", size(col("sh")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     // materialized: the prefix subtree (df agg + broadcast join + per-doc
     // regroup) feeds BOTH sides of the candidate self-join — without this it
     // is evaluated twice
-    val prefix = prefixPostings(sh, threshold).localCheckpoint(eager = false)
+    val prefix = prefixPostings(sh, threshold).localCheckpoint()
     val cand = ssjoinCandidates(prefix, threshold, positional = true)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
@@ -488,14 +499,14 @@ object Dedup {
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
       hashedShingles("text", k).as("sh"))
       .withColumn("n", size(col("sh")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     // ONE posting pipeline: the contained side's prefix is a position
     // filter over the same table — the df agg / hot-set sort / per-doc
     // regroup are paid once, and the A and B sides share one canonical
     // total order BY CONSTRUCTION (two independent hot-set computations
     // could in principle break boundary ties differently, which would
     // invalidate the position filter's shared-order premise)
-    val full = fullPostings(sh).localCheckpoint(eager = false)
+    val full = fullPostings(sh).localCheckpoint()
     val pre = full.where(col("pos") <=
       col("n") - ceil(round(col("n") * threshold, 9)) + 1)
     val a = pre.select(col("block").as("block_a"), col("doc_id").as("doc_a"),
@@ -516,6 +527,94 @@ object Dedup {
           col("nb") - col("fst.pb")) >=
         ceil(round(col("na") * threshold, 9)))
       .select("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("containment", expr("inter / na"))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** PRODUCTION-SCALE directional containment — [[containmentPairs]]'
+    * prefix ⋈ inverted-index join with the CONTAINER index DF-CAPPED, the
+    * sub-quadratic variant a 100 TB corpus runs where the exact join's
+    * Σ(prefix_df × df) posting work is hostage to the hottest shingles.
+    *
+    * The cap: postings of any (block, shingle) with document frequency
+    * above `dfCap` are deterministically downsampled to an expected
+    * `dfCap` survivors — posting (s, B) survives iff
+    * xxhash64(s, doc_b) mod df < dfCap, a pure function of the data, so
+    * reruns and the DuckDB oracle see the same sample. Probe-side prefix
+    * postings are NEVER dropped (the rarest-first prefix is tiny), and
+    * every emitted pair still verifies EXACTLY on the full shingle
+    * arrays — the cap can only lose a pair, never invent or misvalue one.
+    *
+    * RECALL CONTRACT (the honest statement, not hand-waving):
+    *  - a qualifying pair (A→B) sharing at least one prefix-of-A shingle
+    *    with df ≤ dfCap is found with probability 1 — sub-cap postings
+    *    are never dropped. The prefix is the contained doc's RAREST
+    *    (1−t)-fraction, so for natural corpora this is essentially every
+    *    real quote-expansion pair (a planted exact dup shares ALL of A's
+    *    shingles, including its rarest — the sweep pins that recall at
+    *    1.0 at every factor);
+    *  - a pair whose EVERY shared prefix shingle is hotter than the cap
+    *    survives iff B outlives one of those shingles' downsamples:
+    *    P ≥ 1 − (1 − dfCap/df_max)^m over m shared hot prefix shingles.
+    *    Such pairs exist only in corpora whose RAREST common content is
+    *    itself hot (boilerplate-only overlap) — the regime where an exact
+    *    join is output-bound quadratic and a cap is the only linear
+    *    answer.
+    *
+    * `dfCap` = 0 auto-sizes to max(256, ⌈4·√nDocs⌉): per probing prefix
+    * shingle the container side contributes O(√n) postings, so candidate
+    * work is O(P·√n) for P prefix postings — sub-quadratic by
+    * construction, and far above any natural shingle's df at small n (the
+    * d23 gate corpus tops out at df = 5, so the gate replays the EXACT
+    * join bit-for-bit while the cap only engages at corpus scale). */
+  def containmentPairsAuto(docs: DataFrame, k: Int, blockCol: String,
+      threshold: Double, dfCap: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    require(dfCap >= 0, "dfCap must be non-negative")
+    val cap =
+      if (dfCap > 0) dfCap.toLong
+      else math.max(256L, math.ceil(4 * math.sqrt(
+        docs.count().toDouble)).toLong)
+    val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
+      hashedShingles("text", k).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint()
+    val full = fullPostings(sh).localCheckpoint()
+    val pre = full.where(col("pos") <=
+      col("n") - ceil(round(col("n") * threshold, 9)) + 1)
+    // exact per-(block, shingle) df of the HOT tail only: one linear agg,
+    // broadcast back (≤ one row per shingle hotter than the cap — by
+    // definition at most postings/cap rows, a bounded set)
+    val hotDf = full.groupBy("block", "s").agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
+    val fullCapped = full.join(broadcast(hotDf), Seq("block", "s"), "left")
+      .where(col("df").isNull ||
+        pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)
+      .drop("df")
+    val a = pre.select(col("block").as("block_a"), col("doc_id").as("doc_a"),
+      col("n").as("na"), col("s").as("s_a"))
+    val b = fullCapped.select(col("block").as("block_b"),
+      col("doc_id").as("doc_b"), col("n").as("nb"), col("s").as("s_b"))
+    // NO PPJoin position filter here, deliberately: the bound is only
+    // valid at the pair's TRUE first shared token in the canonical order,
+    // and a capped posting can hide that token — the bound evaluated at
+    // the observed-first token can then underestimate and prune a
+    // genuinely qualifying pair, silently breaking the recall contract.
+    // The size-ratio prune and the exact array verify below keep the
+    // candidate set honest; the cap itself is what bounds the join.
+    val cand = a.join(b,
+      col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
+        col("doc_a") =!= col("doc_b") &&
+        col("nb") >= ceil(round(col("na") * threshold, 9)))
+      .select("doc_a", "doc_b").distinct()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("na")), "doc_a")
@@ -579,7 +678,7 @@ object Dedup {
     require(queryIds.nonEmpty && k > 0, "need query ids and k > 0")
     val sh = docs.select(col("doc_id"), hashedShingles("text", shingleK).as("sh"))
       .where(size(col("sh")) > 0)
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val q = sh.where(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), explode(col("sh")).as("g"))
     val c = sh.select(col("doc_id").as("cand_id"), explode(col("sh")).as("g"))
@@ -641,15 +740,15 @@ object Dedup {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     // Only nodes that appear in a pair iterate: a near-dup graph touches a
     // small fraction of the corpus, and the untouched rest are singleton
     // clusters by definition — they must not ride every round's shuffle.
     // (sym is symmetric, so src alone covers every endpoint.)
     val touched = sym.select(col("src").as("node")).distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var labels = touched.select(col("node"), col("node").as("label"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 32) {
@@ -909,7 +1008,7 @@ object Dedup {
     // localCheckpoint: the cast + bucketing map feeds both join sides
     val e = emb.select(col("vec_id"),
       expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val bucketCols = (0 until tables).map { t =>
       val planes = Similarity.hyperplanes(dim, bits, seed = 42L + t)
       struct(lit(t).as("t"), Similarity.lshBucket(col("v"), planes).as("b"))
@@ -1009,7 +1108,7 @@ object Dedup {
     * key on hash, span, or doc_id — nothing pairwise, no driver state. */
   def exactSubstringDedup(docs: DataFrame, minLen: Int = 20): DataFrame = {
     val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .localCheckpoint(eager = false) // feeds windows, verify, reassembly
+      .localCheckpoint() // feeds windows, verify, reassembly
     val sp = d.select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(w) < $minLen THEN
            |  CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>)
@@ -1084,7 +1183,7 @@ object Dedup {
     val e = Similarity.withNearestCluster(
         emb.select(col("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")), cs, "cluster")
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val a = e.select(col("cluster").as("cl_a"), col("vec_id").as("va"),
       col("v").as("v_a"))
     val b = e.select(col("cluster").as("cl_b"), col("vec_id").as("vb"),
@@ -1124,7 +1223,7 @@ object Dedup {
     val e = Similarity.withNearestCluster(
         emb.select(col("vec_id"),
           expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")), cs, "cluster")
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val a = e.select(col("cluster").as("cl_a"), col("vec_id").as("va"),
       col("v").as("v_a"))
     val b = e.select(col("cluster").as("cl_b"), col("vec_id").as("vb"),
@@ -1132,7 +1231,7 @@ object Dedup {
     val pairs = a.join(b, col("cl_a") === col("cl_b") && col("va") < col("vb"))
       .where(Similarity.dot(col("v_a"), col("v_b")) >= threshold)
       .select("va", "vb")
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     // kept: 1 survivor, 0 dropped, null undecided
     var st = e.select("vec_id")
       .join(pairs.select(col("vb").as("vec_id")).distinct()
@@ -1154,7 +1253,7 @@ object Dedup {
             .when(col("__all_decided") === 1, lit(1))
             .otherwise(lit(null)))
         .select("vec_id", "kept")
-        .localCheckpoint(eager = false) // truncate per-round lineage
+        .localCheckpoint() // truncate per-round lineage
     }
     e.select("vec_id", "cluster").join(st, "vec_id")
       .select(col("vec_id"), col("cluster"), col("kept").cast("int"))

@@ -224,7 +224,11 @@ object Multimodal {
     * fast path reads exactly the bytes the codec would hand back. */
   private def parseWav(b: Array[Byte]): Option[PcmClip] =
     wavChunks(b).flatMap { f =>
-      if (f.tag == 17) parseWavImaAdpcm(f, b) else parseWavPcm(f, b)
+      if (f.tag == 17)
+        (if (f.ch == 2) parseWavImaAdpcmStereo(f, b)
+         else parseWavImaAdpcm(f, b))
+      else if (f.tag == 2) parseWavMsAdpcm(f, b)
+      else parseWavPcm(f, b)
     }
 
   private def parseWavPcm(f: WavFmt, b: Array[Byte]): Option[PcmClip] = {
@@ -339,6 +343,214 @@ object Multimodal {
       blk += f.blockAlign
     }
     Some(PcmClip(16, 1, signed = true, big = false, f.rate.toFloat,
+      total, out, 0, EncPcm))
+  }
+
+  /** STEREO IMA ADPCM (format tag 17, 2 channels): per the IMA-WAV spec
+    * each block opens with one 4-byte header PER CHANNEL (int16 LE
+    * predictor = the channel's first sample, step index, reserved), then
+    * the nibble stream interleaves in 4-BYTE WORDS per channel — 4 bytes
+    * (8 samples) for channel 0, 4 bytes for channel 1, alternating. The
+    * per-nibble recurrence is identical to the mono path (m13's gate);
+    * the m17 gate replays BOTH channels' chains plus the mean mixdown in
+    * SQL, so a wrong word-interleave or header stride fails the hash.
+    * Decodes each channel into a per-block buffer (≤ samplesPerBlock
+    * int16s — bounded) then emits interleaved 16-bit LE PCM frames. A
+    * short final block decodes the complete 8-byte word-rounds it holds
+    * (a truncated round would leave the channels unequal — declined). */
+  private def parseWavImaAdpcmStereo(f: WavFmt, b: Array[Byte])
+      : Option[PcmClip] = {
+    if (f.bits != 4 || f.rate <= 0) return None
+    if (f.bodyLen < 20 || f.body + 20 > b.length) return None
+    val spb = wavU16(b, f.body + 18)
+    // per-channel capacity: (blockAlign − 8)/2 nibble bytes → ×2 samples
+    // + the header sample
+    if (f.blockAlign < 8 || spb < 1 || spb > (f.blockAlign - 8) + 1)
+      return None
+    val dataEnd = f.dataOff + f.dataLen.toInt
+    var total = 0L
+    var blk = f.dataOff
+    while (blk + 8 <= dataEnd) {
+      val rounds = (math.min(f.blockAlign, dataEnd - blk).toInt - 8) / 8
+      total += math.min(spb.toLong, rounds.toLong * 8 + 1)
+      blk += f.blockAlign
+    }
+    if (total <= 0 || total > (Int.MaxValue - 8) / 4) return None
+    val out = new Array[Byte](total.toInt * 4)
+    val chan = Array.ofDim[Short](2, spb)
+    var w = 0
+    blk = f.dataOff
+    while (blk + 8 <= dataEnd) {
+      val rounds = (math.min(f.blockAlign, dataEnd - blk).toInt - 8) / 8
+      val frames = math.min(spb, rounds * 8 + 1)
+      var c = 0
+      while (c < 2) {
+        val hoff = blk + 4 * c
+        var pred = (wavU16(b, hoff) << 16) >> 16
+        var idx = b(hoff + 2) & 0xff
+        if (idx > 88) return None // corrupt stream → stub, not a clamp lie
+        chan(c)(0) = pred.toShort
+        var produced = 1
+        var r = 0
+        while (r < rounds && produced < frames) {
+          val base = blk + 8 + r * 8 + 4 * c
+          var bi = 0
+          while (bi < 4 && produced < frames) {
+            val byte = b(base + bi) & 0xff
+            var half = 0
+            while (half < 2 && produced < frames) {
+              val n = if (half == 0) byte & 0xf else byte >> 4 // LOW first
+              val step = imaStep(idx)
+              var diff = step >> 3
+              if ((n & 1) != 0) diff += step >> 2
+              if ((n & 2) != 0) diff += step >> 1
+              if ((n & 4) != 0) diff += step
+              pred = if ((n & 8) != 0) pred - diff else pred + diff
+              if (pred > 32767) pred = 32767
+              else if (pred < -32768) pred = -32768
+              idx += imaIdxAdj(n & 7)
+              if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+              chan(c)(produced) = pred.toShort
+              produced += 1
+              half += 1
+            }
+            bi += 1
+          }
+          r += 1
+        }
+        c += 1
+      }
+      var i = 0
+      while (i < frames) { // interleave the two channel buffers
+        var c2 = 0
+        while (c2 < 2) {
+          val v = chan(c2)(i)
+          out(w) = (v & 0xff).toByte
+          out(w + 1) = ((v >> 8) & 0xff).toByte
+          w += 2
+          c2 += 1
+        }
+        i += 1
+      }
+      blk += f.blockAlign
+    }
+    Some(PcmClip(16, 2, signed = true, big = false, f.rate.toFloat,
+      total, out, 0, EncPcm))
+  }
+
+  /** MS ADPCM adaptation table (16 entries) — the public WAVE-format
+    * codec (format tag 2) every Windows toolchain ships; the delta
+    * update is delta' = max(16, (adapt[nibble]·delta) >> 8). */
+  private val msAdapt: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230,
+    230, 230)
+
+  /** MS ADPCM (WAV format tag 2, mono or stereo) — the other ubiquitous
+    * compressed WAV codec next to IMA. Block layout per the WAVE spec,
+    * channel-interleaved header: one predictor-index byte per channel
+    * (selects a pair from the fmt chunk's DECLARED coefficient table —
+    * read from the payload, as a real decoder must), then int16 LE
+    * iDelta, iSamp1, iSamp2 per channel. iSamp2 is the OLDER sample and
+    * emits first, then iSamp1, then the nibble stream: HIGH nibble first
+    * (the opposite of IMA), stereo alternating channels per byte. The
+    * recurrence: pred = ((s1·c1 + s2·c2) >> 8) + signed4(nibble)·delta,
+    * clamped to int16; delta' = max(16, (adapt[nibble]·delta) >> 8) —
+    * exact integer arithmetic the m18 gate unrolls one CTE per nibble
+    * from its own restatement of the public tables. Bounded per-row
+    * state; a short final block decodes the samples its bytes carry. */
+  private def parseWavMsAdpcm(f: WavFmt, b: Array[Byte])
+      : Option[PcmClip] = {
+    if (f.bits != 4 || f.ch < 1 || f.ch > 2 || f.rate <= 0) return None
+    // fmt extension: cbSize(2) samplesPerBlock(2) numCoef(2) + pairs
+    if (f.bodyLen < 22 || f.body + 22 > b.length) return None
+    val spb = wavU16(b, f.body + 18)
+    val nCoef = wavU16(b, f.body + 20)
+    if (nCoef < 1 || nCoef > 256) return None
+    if (f.bodyLen < 22 + 4L * nCoef || f.body + 22 + 4 * nCoef > b.length)
+      return None
+    val co1 = new Array[Int](nCoef)
+    val co2 = new Array[Int](nCoef)
+    var j = 0
+    while (j < nCoef) {
+      co1(j) = (wavU16(b, f.body + 22 + 4 * j) << 16) >> 16
+      co2(j) = (wavU16(b, f.body + 24 + 4 * j) << 16) >> 16
+      j += 1
+    }
+    val ch = f.ch
+    val hdr = 7 * ch
+    if (f.blockAlign < hdr || spb < 2 ||
+        spb > 2 + (f.blockAlign - hdr).toLong * 2 / ch) return None
+    val dataEnd = f.dataOff + f.dataLen.toInt
+    var total = 0L
+    var blk = f.dataOff
+    while (blk + hdr <= dataEnd) {
+      val avail = math.min(f.blockAlign, dataEnd - blk).toInt - hdr
+      // mono bytes carry two samples, stereo bytes one frame (hi=ch0)
+      total += math.min(spb.toLong, 2L + (if (ch == 1) avail * 2 else avail))
+      blk += f.blockAlign
+    }
+    if (total <= 0 || total > (Int.MaxValue - 8) / (2L * ch)) return None
+    val out = new Array[Byte](total.toInt * 2 * ch)
+    var w = 0
+    def emit(v: Int): Unit = {
+      out(w) = (v & 0xff).toByte
+      out(w + 1) = ((v >> 8) & 0xff).toByte
+      w += 2
+    }
+    val bp = new Array[Int](ch)
+    val dl = new Array[Int](ch)
+    val s1 = new Array[Int](ch)
+    val s2 = new Array[Int](ch)
+    def step(c: Int, nib: Int): Int = {
+      val sn = if (nib >= 8) nib - 16 else nib // two's-complement 4-bit
+      var pred = ((s1(c) * co1(bp(c)) + s2(c) * co2(bp(c))) >> 8) +
+        sn * dl(c)
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      s2(c) = s1(c)
+      s1(c) = pred
+      dl(c) = (msAdapt(nib) * dl(c)) >> 8
+      if (dl(c) < 16) dl(c) = 16
+      pred
+    }
+    blk = f.dataOff
+    while (blk + hdr <= dataEnd) {
+      val blkEnd = math.min(blk + f.blockAlign, dataEnd).toInt
+      val avail = blkEnd - blk - hdr
+      val frames = math.min(spb, 2 + (if (ch == 1) avail * 2 else avail))
+      var c = 0
+      while (c < ch) {
+        bp(c) = b(blk + c) & 0xff
+        if (bp(c) >= nCoef) return None // corrupt stream → stub
+        dl(c) = (wavU16(b, blk + ch + 2 * c) << 16) >> 16
+        s1(c) = (wavU16(b, blk + 3 * ch + 2 * c) << 16) >> 16
+        s2(c) = (wavU16(b, blk + 5 * ch + 2 * c) << 16) >> 16
+        c += 1
+      }
+      c = 0
+      while (c < ch) { emit(s2(c)); c += 1 } // frame 0: the older sample
+      c = 0
+      while (c < ch) { emit(s1(c)); c += 1 } // frame 1 (spb ≥ 2 → always)
+      var produced = 2
+      var p = blk + hdr
+      while (produced < frames) {
+        val byte = b(p) & 0xff
+        if (ch == 1) {
+          emit(step(0, byte >> 4)) // HIGH nibble first, per MS spec
+          produced += 1
+          if (produced < frames) {
+            emit(step(0, byte & 0xf))
+            produced += 1
+          }
+        } else {
+          emit(step(0, byte >> 4))
+          emit(step(1, byte & 0xf))
+          produced += 1
+        }
+        p += 1
+      }
+      blk += f.blockAlign
+    }
+    Some(PcmClip(16, ch, signed = true, big = false, f.rate.toFloat,
       total, out, 0, EncPcm))
   }
 
@@ -808,12 +1020,14 @@ object Multimodal {
   }
 
   /** Deterministic frame sampling: every `stride`-th frame index, exploded to
-    * one row per sampled frame (video path; frame decode itself stubbed). */
+    * one row per sampled frame (video path; frame decode itself stubbed).
+    * UNSORTED by design — a data-sized global sort would shuffle the whole
+    * corpus for presentation only; callers that need a total order (the m02
+    * gate wrapper, a report sink) sort their own bounded result. */
   def frameSample(media: DataFrame, stride: Int): DataFrame =
     media.select(col("doc_id"), col("meta.nFrames").as("n_frames"),
         explode(expr(s"sequence(0, meta.nFrames - 1, $stride)"))
           .as("frame_idx"))
-      .orderBy("doc_id", "frame_idx")
 
   /** DECODE-BATCH packing plan — assign media items to fixed-byte-budget
     * decode batches per modality, the scheduling step that feeds a GPU
@@ -1001,11 +1215,9 @@ object Multimodal {
     // count shrinks to the frame count so every window holds a frame.
     // The codec fallback additionally rejects truncated payloads
     // (decoded frames < the header's declared count); the fast path
-    // already declines those to the codec.
-    val clip = parseWav(bytes)
-      .orElse(readPcmViaAudioSystem(bytes).collect {
-        case (c, declared) if c.frames == declared => c
-      })
+    // already declines those to the codec — shared with the transcode/
+    // resample transforms so membership agrees across the boundary.
+    val clip = decodeFullClip(bytes)
     clip.filter(_.frames >= 2).map { c =>
       val n = math.min(nWindows.toLong, c.frames).toInt
       val bps = c.bits / 8
@@ -1161,7 +1373,7 @@ object Multimodal {
 
   private def bandedHammingPairs(fingerprints: DataFrame,
       maxHamming: Int): DataFrame = {
-    val fp = fpNormalized(fingerprints).localCheckpoint(eager = false)
+    val fp = fpNormalized(fingerprints).localCheckpoint()
     val keyed = fpKeyed(fp, maxHamming)
     val cand = keyed.select(col("bk").as("bk_a"), col("doc_id").as("doc_a"))
       .join(keyed.select(col("bk").as("bk_b"), col("doc_id").as("doc_b")),
@@ -1191,8 +1403,8 @@ object Multimodal {
     * [[videoFingerprint]]) — (doc_id, hi, lo) by position, so the
     * ph_/fp_ column-name split doesn't leak into the index schema. */
   def mediaFpIndex(fingerprints: DataFrame, maxHamming: Int): MediaFpIndex = {
-    val fp = fpNormalized(fingerprints).localCheckpoint(eager = false)
-    val keyed = fpKeyed(fp, maxHamming).localCheckpoint(eager = false)
+    val fp = fpNormalized(fingerprints).localCheckpoint()
+    val keyed = fpKeyed(fp, maxHamming).localCheckpoint()
     MediaFpIndex(fp, keyed, maxHamming)
   }
 
@@ -1234,6 +1446,30 @@ object Multimodal {
     val pairs = verifyHamming(cand, fps, index.maxHamming)
     (pairs, MediaFpIndex(fps, index.keyed.unionByName(d.keyed),
       index.maxHamming))
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN for the media index — the delete-side
+    * complement of [[mediaDeltaPairs]], completing the GDPR story the
+    * text side tells with [[Dedup.tombstoneDelete]]: drop the tombstoned
+    * assets' fingerprints AND their banding postings, so a forgotten
+    * asset can never pair against a future delta. Unlike the text side
+    * there is no cross-asset artifact to repair (fingerprint and posting
+    * rows are strictly per-asset), so the delete is two anti-joins and
+    * the result is BIT-EQUAL to rebuilding the index on the survivors —
+    * the tombstone invariant OpsSpec pins: delete(T) then delta(D)
+    * reports the same pairs and serves the same merged index as
+    * mediaFpIndex(survivors) then delta(D). Idempotent: deleting an
+    * absent or already-deleted id is a no-op. Tombstones broadcast into
+    * both anti-joins — one skinny posting scan per delete batch at any
+    * corpus size, never a re-fingerprint. */
+  def mediaFpDelete(index: MediaFpIndex, deletes: DataFrame)
+      : MediaFpIndex = {
+    val del = broadcast(deletes.select(col("doc_id").as("__del")).distinct())
+    MediaFpIndex(
+      index.fingerprints
+        .join(del, col("doc_id") === col("__del"), "left_anti"),
+      index.keyed.join(del, col("doc_id") === col("__del"), "left_anti"),
+      index.maxHamming)
   }
 
   /** Per-frame mean luma of a decodable video payload (Y4M or animated
@@ -1573,6 +1809,134 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Deterministic REAL STEREO IMA-ADPCM WAV clip (format tag 17, 2
+    * channels) for the m17 gate: per-channel 4-byte block headers
+    * (predictor md5(":p<c>") over the full int16 range, step index
+    * md5(":i<c>") over [0, 88]) then the nibble stream in the spec's
+    * 4-byte-word-per-channel interleave — nibble k of channel c is
+    * md5(":n<c>:<k>") mod 16 (LOW nibble first within each byte),
+    * padding nibbles beyond the clip length zero. The oracle replays
+    * BOTH channels' recurrences and the engine's mean mixdown; a wrong
+    * header stride or word interleave decodes the wrong nibbles for at
+    * least one channel and fails the hash. Layout: 12-byte RIFF +
+    * 28-byte fmt (samplesPerBlock = nFrames) + 8-byte data header + one
+    * block of 8 header bytes + 8·ceil((nFrames−1)/8) word bytes. */
+  private[graft] def syntheticAdpcmStereoWav(docId: Long, nFrames: Int)
+      : Array[Byte] = {
+    require(nFrames > 0, "nFrames must be positive")
+    val words = (nFrames - 1 + 7) / 8 // 8-byte word-rounds (4 per channel)
+    val blockAlign = 8 + 8 * words
+    val out = new Array[Byte](48 + blockAlign)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40 + blockAlign)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(2) // IMA ADPCM, stereo
+      .putInt(8000).putInt(8000 * blockAlign / nFrames)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(nFrames.toShort) // cbSize, samplesPerBlock
+      .put("data".getBytes("US-ASCII")).putInt(blockAlign)
+    var c = 0
+    while (c < 2) {
+      bb.putShort(((md5Uint(s"$docId:p$c") % 65536) - 32768).toShort)
+        .put((md5Uint(s"$docId:i$c") % 89).toByte).put(0.toByte)
+      c += 1
+    }
+    var k = 0
+    while (k < nFrames - 1) {
+      c = 0
+      while (c < 2) {
+        val nib = (md5Uint(s"$docId:n$c:$k") % 16).toInt
+        // word r of channel c starts at 56 + r·8 + 4·c; nibble k lands in
+        // byte (k mod 8)/2 of word k/8, low half for even k
+        val o = 56 + (k / 8) * 8 + 4 * c + (k % 8) / 2
+        out(o) = (if (k % 2 == 0) (out(o) & 0xf0) | nib
+                  else (out(o) & 0x0f) | (nib << 4)).toByte
+        c += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Attach a [[syntheticAdpcmStereoWav]] payload per document. */
+  def attachSyntheticAdpcmStereo(docs: DataFrame, addSamples: Int,
+      modSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id,
+        syntheticAdpcmStereoWav(id, (id % modSamples).toInt + addSamples),
+        MediaMeta("adpcm2", 0, 0, 0))
+    }.toDF()
+  }
+
+  /** The 7 standard MS ADPCM coefficient pairs (8.8 fixed point) from
+    * the public WAVE spec — written into the gate fixture's fmt chunk
+    * (a real decoder reads the DECLARED table; the fixture declares the
+    * standard one). */
+  private[graft] val msStdCoef: Array[(Int, Int)] = Array(
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232))
+
+  /** Deterministic REAL mono MS-ADPCM WAV clip (format tag 2) for the
+    * m18 gate: block header fields all md5-derived — predictor index
+    * md5(":mb") mod 7 (every standard coefficient pair exercised across
+    * a corpus), iDelta md5(":md") mod 32768, iSamp1/iSamp2 (":m1"/":m2")
+    * over the full int16 range — then one md5 nibble (":mn:<k>") per
+    * remaining sample, HIGH nibble first per the MS spec. nSamples ≥ 2
+    * (the header itself carries the first two output samples). Layout:
+    * 12-byte RIFF + 58-byte fmt (16 base + cbSize 2 + samplesPerBlock +
+    * numCoef + 7 declared pairs) + 8-byte data header + one block of
+    * 7 + ceil((nSamples−2)/2) bytes. */
+  private[graft] def syntheticMsAdpcmWav(docId: Long, nSamples: Int)
+      : Array[Byte] = {
+    require(nSamples >= 2, "nSamples must be at least 2")
+    val nibBytes = (nSamples - 2 + 1) / 2
+    val blockAlign = 7 + nibBytes
+    val out = new Array[Byte](78 + blockAlign)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(70 + blockAlign)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(50)
+      .putShort(2).putShort(1) // MS ADPCM, mono
+      .putInt(8000).putInt(8000 * blockAlign / nSamples)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(32).putShort(nSamples.toShort) // cbSize, samplesPerBlock
+      .putShort(7) // numCoef: the standard table follows
+    msStdCoef.foreach { case (a, b2) =>
+      bb.putShort(a.toShort).putShort(b2.toShort)
+    }
+    bb.put("data".getBytes("US-ASCII")).putInt(blockAlign)
+    bb.put((md5Uint(s"$docId:mb") % 7).toByte)
+      .putShort((md5Uint(s"$docId:md") % 32768).toShort)
+      .putShort(((md5Uint(s"$docId:m1") % 65536) - 32768).toShort)
+      .putShort(((md5Uint(s"$docId:m2") % 65536) - 32768).toShort)
+    var k = 0
+    while (k < nSamples - 2) {
+      val nib = (md5Uint(s"$docId:mn:$k") % 16).toInt
+      val o = 85 + k / 2
+      out(o) = (if (k % 2 == 0) (out(o) & 0x0f) | (nib << 4) // HIGH first
+                else (out(o) & 0xf0) | nib).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Attach a [[syntheticMsAdpcmWav]] payload per document. */
+  def attachSyntheticMsAdpcm(docs: DataFrame, addSamples: Int,
+      modSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id,
+        syntheticMsAdpcmWav(id, (id % modSamples).toInt + addSamples),
+        MediaMeta("msadpcm", 0, 0, 0))
+    }.toDF()
+  }
+
   /** One sample as canonical int16, per the clip's encoding — the
     * transcode quantizer. Width conversion is the standard bit-shift
     * mapping: 8→16 scales by 256, 24/32→16 arithmetic-shifts down
@@ -1593,15 +1957,26 @@ object Multimodal {
     case _ => alawTab(c.data(o) & 0xff).toInt
   }
 
+  /** The transform-family decode: the canonical-WAV fast path, else the
+    * codec fallback WITH the declared-frame-count check — a truncated
+    * AIFF/AU payload that [[audioFingerprint]] refuses to fingerprint
+    * must equally refuse to transcode/resample (it passes through as the
+    * honest no-op), so near-dup membership cannot differ across the
+    * transform boundary. The fast path already declines truncation to
+    * the codec (chunk lengths are validated against the buffer). */
+  private def decodeFullClip(bytes: Array[Byte]): Option[PcmClip] =
+    parseWav(bytes).orElse(readPcmViaAudioSystem(bytes).collect {
+      case (c, declared) if c.frames == declared => c
+    })
+
   /** Transcode ONE payload to a canonical 16-bit LE PCM WAV (44-byte
     * header), preserving sample rate and channel count. None when no
-    * JDK-free path decodes it, or when the canonical form would not fit
-    * a byte array. */
+    * JDK-free path decodes it (or the codec fallback decodes fewer
+    * frames than the header declares — truncation), or when the
+    * canonical form would not fit a byte array. */
   private[graft] def transcodeOne(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (!looksLikePcmContainer(bytes)) return None
-    val c = parseWav(bytes)
-      .orElse(readPcmViaAudioSystem(bytes).map(_._1))
-      .getOrElse(return None)
+    val c = decodeFullClip(bytes).getOrElse(return None)
     val outFrames = c.frames
     if (44L + 2L * c.ch * outFrames > Int.MaxValue) return None
     val dataLen = 2 * c.ch * outFrames.toInt
@@ -1661,9 +2036,7 @@ object Multimodal {
   private[graft] def resampleOne(bytes: Array[Byte], up: Int)
       : Option[Array[Byte]] = {
     if (!looksLikePcmContainer(bytes)) return None
-    val c = parseWav(bytes)
-      .orElse(readPcmViaAudioSystem(bytes).map(_._1))
-      .getOrElse(return None)
+    val c = decodeFullClip(bytes).getOrElse(return None)
     val n = c.frames
     val outFrames = (n - 1) * up + 1
     val rate = math.round(c.sampleRate)

@@ -66,7 +66,7 @@ object Ranking {
       keys: Seq[Column]): DataFrame =
     df.repartitionByRange(n, keys.map(_.asc): _*)
       .withColumn("__rk_b", spark_partition_id().cast("long"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
 
   /** Global 1-based row number over (value asc, tieBreak asc), appended as
     * `rankCol`. Ties on value must be broken by `tieBreak` (unique), making

@@ -99,7 +99,7 @@ object Similarity {
         Seq(col("query_id")), Seq(col("rel").desc, col("neighbor_id").asc),
         shortlist)
       .select("query_id", "neighbor_id", "rel", "v_n")
-      .localCheckpoint(eager = false) // every round reads it
+      .localCheckpoint() // every round reads it
     var selected = graft.plans.GroupedTopK.topK(short,
         Seq(col("query_id")), Seq(col("rel").desc, col("neighbor_id").asc), 1)
       .withColumn("pick_rank", lit(1))
@@ -124,7 +124,7 @@ object Similarity {
           Seq(col("score").desc, col("neighbor_id").asc), 1)
         .withColumn("pick_rank", lit(r))
         .select("query_id", "pick_rank", "neighbor_id", "rel", "score", "v_n")
-      selected = selected.unionByName(pick).localCheckpoint(eager = false)
+      selected = selected.unionByName(pick).localCheckpoint()
     }
     selected.drop("v_n").orderBy("query_id", "pick_rank")
   }
@@ -377,7 +377,7 @@ object Similarity {
     // the certified re-rank — without it the 16 nearestCluster passes per
     // row run once per consumer (the pqIndex convention)
     val qscored = pqAdcScores(
-      pqEncode(v, cbs, dim).localCheckpoint(eager = false),
+      pqEncode(v, cbs, dim).localCheckpoint(),
       pqQueries(v, cbs, queryIds, dim))
     pqBoundFinish(pqCertified(qscored, k, shortlist), k)
   }
@@ -404,7 +404,7 @@ object Similarity {
     val cbs = pqCodebooks(emb, m, ksub, iters, dim)
     PqIndex(cbs, pqEncode(
       emb.select(col("vec_id"), asDouble("embedding").as("v")), cbs, dim)
-      .localCheckpoint(eager = false))
+      .localCheckpoint())
   }
 
   /** Persist a [[PqIndex]]: codebooks as one tiny parquet, the encoded
@@ -617,7 +617,7 @@ object Similarity {
     // localCheckpoint: the encode feeds the θ job, the decision count,
     // and the final re-rank — three consumers, one materialization
     val qscored = pqAdcScores(
-      pqEncode(v, cbs, dim).localCheckpoint(eager = false),
+      pqEncode(v, cbs, dim).localCheckpoint(),
       pqQueries(v, cbs, queryIds, dim))
     val shortlist = suggestedShortlist(n, k)
     val bounded = pqBounded(qscored, k, shortlist)
@@ -1085,7 +1085,7 @@ object Similarity {
       .select(col("query_id"), col("v_q"), col("j").as("cell_q"),
         (dot(col("v_q"), col("c")) - col("bias")).as("score"),
         dot(col("v_q"), col("c")).as("cdot"))
-      .localCheckpoint(eager = false) // feeds seed AND phase-2 probes
+      .localCheckpoint() // feeds seed AND phase-2 probes
     // phase 1: seed probes → provisional k-th best score θ per query.
     // (score desc, cdot desc, cell desc) replays the array_sort-then-reverse
     // struct order of the inline spelling — same cells win on ties.
@@ -1162,7 +1162,7 @@ object Similarity {
       tables: Int, dim: Int = 64, multiprobe: Boolean = false): DataFrame = {
     // localCheckpoint: feeds bucket explosion + the two vector re-attaches
     val e = emb.select(col("vec_id"), asDouble("embedding").as("v"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val bucketCols = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, seed = 42L + t)
       struct(lit(t).as("t"), lshBucket(col("v"), planes).as("b"))

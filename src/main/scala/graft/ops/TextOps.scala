@@ -201,7 +201,7 @@ object TextOps {
             | * (0.25 + 0.75 * uniq_ratio)
             | * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0
             |    ELSE 0.6 END)""".stripMargin).cast("double").as("y"))
-      .localCheckpoint(eager = false) // one materialization, iters+1 reads
+      .localCheckpoint() // one materialization, iters+1 reads
 
   private def dec18(c: Column) = {
     import org.apache.spark.sql.types.DecimalType
@@ -718,7 +718,7 @@ object TextOps {
           |  i -> struct(w[i] AS w1, w[i+1] AS w2)) END""".stripMargin))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint(eager = false) // feeds model build AND scoring join
+      .localCheckpoint() // feeds model build AND scoring join
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -773,7 +773,7 @@ object TextOps {
       .select(col("doc_id"), col("source"), expr(
         "CAST(conv(substr(md5(concat(b.w1, ' ', b.w2)), 1, 8), 16, 10) " +
           s"AS BIGINT) % $buckets").as("bkt"))
-      .localCheckpoint(eager = false) // feeds both models AND the weights
+      .localCheckpoint() // feeds both models AND the weights
     val cT = bg.where(col("source") === seedSource)
       .groupBy("bkt").agg(count(lit(1)).as("ct"))
     val nT = bg.where(col("source") === seedSource)
@@ -842,7 +842,7 @@ object TextOps {
         .as("b"))
       .select(col("doc_id"), col("source"), col("b.w1").as("w1"),
         col("b.w2").as("w2"))
-      .localCheckpoint(eager = false) // feeds both models AND scoring
+      .localCheckpoint() // feeds both models AND scoring
     val seed = bg.where(col("source") === seedSource)
     val c2i = seed.groupBy("w1", "w2").agg(count(lit(1)).as("c2i"))
     val c1i = seed.groupBy("w1").agg(count(lit(1)).as("c1i"))
@@ -898,7 +898,7 @@ object TextOps {
         .as("b"))
       .select(col("source"), col("split"), col("b.w1").as("w1"),
         col("b.w2").as("w2"))
-      .localCheckpoint(eager = false) // feeds the model AND the scoring join
+      .localCheckpoint() // feeds the model AND the scoring join
     val train = bg.where(col("split") === "train")
     val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -1171,7 +1171,7 @@ object TextOps {
         // [[graft.OpsSpec]] gates a 64-round induction's wall time.
         cur = cur.withColumn("s",
             replace(col("s"), lit(s"($a)($b)"), lit(s"(${a + b})")))
-          .localCheckpoint(eager = false)
+          .localCheckpoint()
         r += 1
       }
     }

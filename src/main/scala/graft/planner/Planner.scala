@@ -174,6 +174,43 @@ object Planner {
       case None => cat.cube(cubeName)
     }
 
+  /** Parse-time view of a cube for the MDX surface. A virtual cube
+    * presents its anchor's conformed dimensions plus EVERY measure the
+    * virtual cube exposes — of any kind, pulled from its member cubes —
+    * and its own cross-cube calc members, under the VIRTUAL cube's name.
+    * With this view, `WITH MEMBER [Measures].[X] AS '[Sales]/[Shipped]'`
+    * against a virtual cube resolves both sides at parse time and the
+    * resulting ad-hoc calc compiles over the drill-across frame in
+    * [[planVirtual]] (via [[withAdhoc]]), instead of 400ing at the FROM
+    * check — the one MDX asymmetry a drill-across user hits. A plain
+    * cube is returned unchanged. */
+  def mdxView(cat: CubeCatalog, cubeName: String): CubeDef =
+    cat.schema.virtualCube(cubeName) match {
+      case Some(vc) =>
+        val exposed = vc.cubeMeasures.flatMap { case (cn, aliases) =>
+          val c = cat.cube(cn)
+          aliases.map(a => (c, a))
+        }
+        def pick[T](sel: CubeDef => Seq[T], alias: T => String): Seq[T] =
+          exposed.flatMap { case (c, a) => sel(c).find(alias(_) == a) }
+            .distinctBy(alias)
+        anchorCube(cat, cubeName).copy(
+          name = vc.name,
+          measures = pick(_.measures, (_: MeasureDef).alias),
+          calcMembers = pick(_.calcMembers, (_: CalcMemberDef).alias) ++
+            vc.calcMembers,
+          lagMeasures = pick(_.lagMeasures, (_: LagMeasureDef).alias),
+          cumMeasures = pick(_.cumMeasures, (_: CumMeasureDef).alias),
+          totalMeasures = pick(_.totalMeasures,
+            (_: TotalMeasureDef).alias),
+          movingMeasures = pick(_.movingMeasures,
+            (_: MovingMeasureDef).alias),
+          rankMeasures = pick(_.rankMeasures, (_: RankMeasureDef).alias),
+          setAggMeasures = pick(_.setAggMeasures,
+            (_: SetAggMeasureDef).alias))
+      case None => cat.cube(cubeName)
+    }
+
   def planCube(cat: CubeCatalog, cube: CubeDef, q: CubeQuery): DataFrame = {
     val (drills, nsDrillCuts) = expandDrills(cube, q.drilldowns)
     val cuts = q.cuts ++ nsDrillCuts
@@ -399,7 +436,7 @@ object Planner {
         val base = aggDf.withColumn("__present", lit(1))
         timeDomains.foldLeft(
             if (boundedByDims) base
-            else base.localCheckpoint(eager = false)) { (df, td) =>
+            else base.localCheckpoint()) { (df, td) =>
           val unitAliases = td.unit.flatMap(levelAliases)
           val otherAliases = groupAliases.filterNot(unitAliases.contains)
           val dom = broadcast(if (td.hasCuts) td.dom
@@ -410,7 +447,7 @@ object Planner {
               df.select(otherAliases.map(col): _*).distinct().crossJoin(dom)
             else {
               val others = df.select(otherAliases.map(col): _*).distinct()
-                .localCheckpoint(eager = false)
+                .localCheckpoint()
               val cells = BigInt(others.count()) * BigInt(dom.count())
               if (cells > maxCells)
                 GraftException.badRequest(
@@ -1245,7 +1282,7 @@ object Planner {
     // expansion; tiny frame, computed once (Dedup convention)
     TimeDomain(dn, unit,
       flagged.withColumn("__needed", needed).filter(col("__needed"))
-        .drop("__needed").localCheckpoint(eager = false),
+        .drop("__needed").localCheckpoint(),
       hasCuts = true)
   }
 

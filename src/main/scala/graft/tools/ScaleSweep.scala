@@ -103,6 +103,8 @@ object ScaleSweep {
       s""""$op":{${ss.mkString(",")}}"""
     }
     val notes = Seq(
+      "environment stamps: every op row carries (load1 at op start, heap_used_mb at op end) and every factor block carries host_load1 [before, after] + host_cpus — the Bench.json treatment, so a contention or session-pressure anomaly is attributable from the artifact alone; between op FAMILIES the session clears cached relations and unpersists lingering localCheckpoint blocks (familyBoundary), so one family's residue cannot tax the next family's rows (the r13 q49-at-100x lesson)",
+      "containment_auto: the df-capped production containment join (cap = max(256, 4*sqrt(n)) postings per shingle, deterministic xxhash downsample) — sub-quadratic by construction so it runs at EVERY factor where the exact SSJoin row is budget-capped; recall contract: any pair sharing a sub-cap prefix shingle is found exactly (planted dups share their rarest shingles -> recall_exact must be 1.0 at every factor)",
       "fixed = gate demo parameters (d10 bits=6/tables=2, s02 bits=8, s04 nlist=8/nprobe=3, d15/d16 kmeans k=8); auto = suggestedLshBits/suggestedLshTables/suggestedIvfLists computed from the actual corpus count",
       s"fixed variants are skipped (op absent) once estimated bucket-pair work exceeds ${PairBudget.toLong} — the quadratic blowup the auto sizing removes",
       "recall = fraction of the planted exact-angle near-dup fixture recovered; ivf probe results are asserted equal to brute force (exactness bound) at every factor",
@@ -261,15 +263,43 @@ object ScaleSweep {
     def twinOf(q: Long): Long = plantedBase + q
 
     var ops = scala.collection.immutable.ListMap.empty[String, OpResult]
+    // Environment stamps (the Bench.scala treatment): the r13 artifact
+    // carried a q49 factor-100 regression with no attributable cause ON
+    // the row — load + heap per op and load per factor block make (or
+    // rule out) the contention/session-pressure case without a re-run.
+    def load1(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    def loadJson(v: Double): String = if (v < 0) "null" else fmt(v)
+    def heapUsedMb: Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) / (1L << 20)
+    }
     def time(name: String)(body: => (Long, Map[String, String])): Unit = {
+      val l0 = load1()
       val t0 = System.nanoTime()
       val (rows, extra) = body
       val sec = (System.nanoTime() - t0) / 1e9
       if (!warm) {
-        ops += name -> OpResult(sec, rows, extra)
+        ops += name -> OpResult(sec, rows, extra +
+          ("load1" -> loadJson(l0)) + ("heap_used_mb" -> heapUsedMb.toString))
         println(f"[scalesweep] x$factor $name%-16s ${sec}%8.2fs rows=$rows $extra")
       }
     }
+    // One family's cache/localCheckpoint residue must not tax the next
+    // family's rows (the r13 q49 anomaly: session-state pressure from the
+    // media ops preceding it): between families, drop cached relations,
+    // unpersist every lingering RDD block, and let the JVM reclaim — each
+    // family block then measures from a clean executor-memory slate.
+    // Within a family the residue stays: delta/index ops legitimately
+    // share memoized artifacts.
+    def familyBoundary(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    val loadBefore = load1()
     def recallOf(pairs: DataFrame): (Long, Double) = {
       val found = pairs.join(truth,
         col("vec_a") === col("t_a") && col("vec_b") === col("t_b"))
@@ -428,6 +458,7 @@ object ScaleSweep {
       }
     }
     ivfpq("ivfpq_build_auto", "ivfpq_probe_auto", nlistAuto)
+    familyBoundary()
 
     // --- text-dedup family (d02/d03/d04 shapes): banding keys live in
     // 2^64 space, so buckets hold only true duplicate groups and pair work
@@ -474,6 +505,19 @@ object ScaleSweep {
       (rows, Map("threshold" -> "0.8", "n_docs" -> nDocs.toString,
         "recall_exact" -> fmt(docRecall(pairs, 0))))
     }
+    // the PRODUCTION containment path: df-capped container index —
+    // sub-quadratic by construction, so it runs at EVERY factor (the
+    // family's auto-sized 100×-runnable row). Planted exact dups share
+    // their rarest shingles, which sit far under the auto cap, so the
+    // recall contract pins them at 1.0 regardless of corpus size.
+    time("containment_auto") {
+      val pairs = Dedup.containmentPairsAuto(docs, 3, "lang", 0.8)
+        .localCheckpoint()
+      val rows = pairs.count()
+      (rows, Map("threshold" -> "0.8", "n_docs" -> nDocs.toString,
+        "recall_exact" -> fmt(docRecall(pairs, 0))))
+    }
+    familyBoundary()
 
     // --- decoded-media near-dup at factor scale (m08/m10 shapes): REAL
     // Y4M / WAV decode → 64-bit temporal/energy-delta fingerprints → the
@@ -518,6 +562,7 @@ object ScaleSweep {
           "n_docs" -> nDocs.toString))
       }
     }
+    familyBoundary()
 
     // --- mixed-codec decode + canonicalize throughput (m09/m12/m13/m14
     // shapes): the container dispatch and every JDK-free decode path at
@@ -548,6 +593,7 @@ object ScaleSweep {
           fmt(tDecoded.toDouble / math.max(rows, 1L)),
         "n_docs" -> nDocs.toString))
     }
+    familyBoundary()
 
     // --- OLAP gate queries at factor scale: star agg (q02), dense axes
     // (q11), skew-proof equi-depth tiling (q49), RFM segmentation (q52),
@@ -567,8 +613,12 @@ object ScaleSweep {
       }
     }
 
+    val loadAfter = load1()
     val params =
-      s"""{"bits_auto":$bitsAuto,"tables_auto":$tablesAuto,"nlist_auto":$nlistAuto,"k_sem_auto":$kSemAuto}"""
+      s"""{"bits_auto":$bitsAuto,"tables_auto":$tablesAuto,""" +
+        s""""nlist_auto":$nlistAuto,"k_sem_auto":$kSemAuto,""" +
+        s""""host_load1":[${loadJson(loadBefore)},${loadJson(loadAfter)}],""" +
+        s""""host_cpus":${Runtime.getRuntime.availableProcessors}}"""
     FactorResult(factor, n, params, ops)
   }
 }

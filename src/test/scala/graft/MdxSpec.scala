@@ -338,6 +338,32 @@ class MdxSpec extends AnyFunSuite {
     assert(e2.status == 400 && e2.getMessage.contains("requires a drilldown"))
   }
 
+  test("ad-hoc WITH MEMBER arithmetic on a virtual cube parses against " +
+      "the mdxView and plans over the drill-across frame; a measure the " +
+      "virtual cube does not expose stays a clean 400") {
+    val view = Planner.mdxView(cat, "commerce")
+    assert(view.name == "commerce")
+    // exposed surface = both member cubes' exposed measures + vc calcs
+    assert(view.measure("Total Sales").exists(_.alias == "total_sales"))
+    assert(view.measure("Revenue").exists(_.alias == "revenue"))
+    assert(view.calcMembers.exists(_.alias == "rev_per_order"))
+    val q = MdxParser.parse(view,
+      """WITH MEMBER [Measures].[rps] AS
+        |  '[Measures].[Revenue] / [Measures].[Total Sales]'
+        |SELECT {[Measures].[rps]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS FROM commerce""".stripMargin)
+    assert(q.cube == "commerce" && q.adhocCalcs.nonEmpty)
+    val rows = Planner.plan(cat, q).collect()
+    assert(rows.length == 5 && rows.forall(!_.isNullAt(2)))
+    // sales' order_cnt is NOT exposed by commerce — unknown at parse
+    val e = intercept[GraftException](MdxParser.parse(view,
+      """WITH MEMBER [Measures].[x] AS
+        |  '[Measures].[Revenue] / [Measures].[Line Count]'
+        |SELECT {[Measures].[x]} ON COLUMNS,
+        |[Geography].[Region].Members ON ROWS FROM commerce""".stripMargin))
+    assert(e.status == 400)
+  }
+
   test("tuple navigation on a virtual cube is a clean 400, never a crash") {
     // a virtual cube only conforms axes — tuple measures live in member
     // cubes. Two failure shapes: a SYNTHESIZED ad-hoc total (Quantity over

@@ -1404,6 +1404,193 @@ class OpsSpec extends AnyFunSuite {
       "ADPCM and its decoded-PCM twin must fingerprint identically")
   }
 
+  /** int16 LE samples of a canonical transcoded WAV (44-byte header). */
+  private def wavSamples(wav: Array[Byte]): Seq[Int] =
+    (44 until wav.length by 2).map(o =>
+      ((wav(o) & 0xff) | (wav(o + 1) << 8)).toShort.toInt)
+
+  /** Hand-built STEREO IMA-ADPCM WAV: one block, per-channel header
+    * (predictor, stepIndex) and nibble stream, packed in the spec's
+    * 4-byte-word-per-channel interleave (LOW nibble first). Both
+    * channels must supply the same nibble count. */
+  private def adpcmStereoWav(spb: Int, a: (Int, Int, Seq[Int]),
+      b: (Int, Int, Seq[Int])): Array[Byte] = {
+    require(a._3.length == b._3.length)
+    val words = (a._3.length + 7) / 8
+    val blockAlign = 8 + 8 * words
+    val out = new Array[Byte](48 + blockAlign)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40 + blockAlign)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(2)
+      .putInt(8000).putInt(8000)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(blockAlign)
+    Seq(a, b).zipWithIndex.foreach { case ((pred, idx, nibs), c) =>
+      out(48 + 4 * c) = (pred & 0xff).toByte
+      out(49 + 4 * c) = ((pred >> 8) & 0xff).toByte
+      out(50 + 4 * c) = idx.toByte
+      nibs.zipWithIndex.foreach { case (n, k) =>
+        val o = 56 + (k / 8) * 8 + 4 * c + (k % 8) / 2
+        out(o) = (if (k % 2 == 0) (out(o) & 0xf0) | n
+                  else (out(o) & 0x0f) | (n << 4)).toByte
+      }
+    }
+    out
+  }
+
+  test("stereo IMA ADPCM honors the 4-byte-word channel interleave: the " +
+      "decoded frames are the two channels' independent mono recurrences " +
+      "zipped, and the m17 fixture decodes with the declared geometry") {
+    // channel A: the mono reference vector (1000, 30) + 8 nibbles;
+    // channel B: a second independent chain
+    val nibsA = Seq(3, 11, 7, 15, 4, 8, 2, 14)
+    val nibsB = Seq(1, 9, 5, 13, 0, 6, 12, 7)
+    val stereo = adpcmStereoWav(9, (1000, 30, nibsA), (0, 5, nibsB))
+    val monoA = adpcmWav(9, 4 + 4, Seq((1000, 30, nibsA)))
+    val monoB = adpcmWav(9, 4 + 4, Seq((0, 5, nibsB)))
+    val sSt = wavSamples(Multimodal.transcodeOne(stereo).get)
+    val sA = wavSamples(Multimodal.transcodeOne(monoA).get)
+    val sB = wavSamples(Multimodal.transcodeOne(monoB).get)
+    assert(sA.length == 9 && sB.length == 9 && sSt.length == 18)
+    assert(sSt == sA.zip(sB).flatMap(p => Seq(p._1, p._2)),
+      "stereo decode must equal the zipped mono chains")
+    val fx = Multimodal.decodeOne(Multimodal.MediaRow(7L,
+      Multimodal.syntheticAdpcmStereoWav(7L, 8),
+      Multimodal.MediaMeta("adpcm2", 0, 0, 0)))
+    assert(fx.n_frames == 8 && fx.width == 8000 && fx.height == 2)
+    assert(fx.n_bytes == 64) // 56 + one 8-byte word-round
+  }
+
+  /** Hand-built MS-ADPCM WAV (format tag 2, mono or stereo): declares
+    * the 7 standard coefficient pairs; each channel of each block is
+    * (bPredictor, iDelta, iSamp1, iSamp2, nibbles) — HIGH nibble first
+    * (mono) / hi=ch0 lo=ch1 (stereo), per the WAVE spec. */
+  private def msWav(spb: Int, blockAlign: Int,
+      blocks: Seq[Seq[(Int, Int, Int, Int, Seq[Int])]]): Array[Byte] = {
+    val ch = blocks.head.length
+    val out = new Array[Byte](78 + blocks.length * blockAlign)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(70 + blocks.length * blockAlign)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(50)
+      .putShort(2).putShort(ch.toShort)
+      .putInt(8000).putInt(8000)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(32).putShort(spb.toShort)
+      .putShort(7)
+    Multimodal.msStdCoef.foreach { case (a, b) =>
+      bb.putShort(a.toShort).putShort(b.toShort)
+    }
+    bb.put("data".getBytes("US-ASCII"))
+      .putInt(blocks.length * blockAlign)
+    blocks.zipWithIndex.foreach { case (chans, bi) =>
+      val base = 78 + bi * blockAlign
+      chans.zipWithIndex.foreach { case ((bp, dl, s1, s2, _), c) =>
+        out(base + c) = bp.toByte
+        val wb = java.nio.ByteBuffer.wrap(out)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        wb.putShort(base + ch + 2 * c, dl.toShort)
+        wb.putShort(base + 3 * ch + 2 * c, s1.toShort)
+        wb.putShort(base + 5 * ch + 2 * c, s2.toShort)
+      }
+      if (ch == 1) {
+        chans.head._5.zipWithIndex.foreach { case (n, k) =>
+          val o = base + 7 + k / 2
+          out(o) = (if (k % 2 == 0) (out(o) & 0x0f) | (n << 4) // HIGH first
+                    else (out(o) & 0xf0) | n).toByte
+        }
+      } else {
+        val (n0, n1) = (chans(0)._5, chans(1)._5)
+        n0.indices.foreach { k =>
+          out(base + 14 + k) = ((n0(k) << 4) | n1(k)).toByte
+        }
+      }
+    }
+    out
+  }
+
+  test("MS ADPCM decode is REAL compressed audio: the public recurrence " +
+      "(declared coefficient table, signed nibbles HIGH first, sample2-" +
+      "then-sample1 header emission, delta adaptation with the 16 floor, " +
+      "int16 clamps) decodes exact reference vectors; corrupt predictor " +
+      "indexes fall back to the stub") {
+    def row(id: Long, b: Array[Byte]) =
+      Multimodal.MediaRow(id, b, Multimodal.MediaMeta("msadpcm", 3, 5, 7))
+    // coefficient pair 2 = (0, 0): pred_k = signed(nib_k) · delta_k —
+    // isolates the delta-adaptation chain.
+    // dl 100, s1 5000, s2 −3000, nibs [1, 9, 15]:
+    //   emit −3000, 5000; k0: 1·100 = 100, dl → (230·100)>>8 = 89
+    //   k1: −7·89 = −623, dl → (614·89)>>8 = 213; k2: −1·213 = −213
+    val a = Multimodal.decodeOne(row(1L,
+      msWav(5, 9, Seq(Seq((2, 100, 5000, -3000, Seq(1, 9, 15)))))))
+    assert(a.width == 8000 && a.height == 1 && a.n_frames == 5)
+    assert(a.features.toSeq ==
+      pcm16Features(Seq(-3000, 5000, 100, -623, -213)))
+    // pair 0 = (256, 0): pred = s1 + sn·dl — isolates the sample window
+    // shift AND the floor on the way down: dl (307·10)>>8 = 11 floors to
+    // 16, so k1 moves by −4·16: [7, 100, 140, 76]
+    val b = Multimodal.decodeOne(row(2L,
+      msWav(4, 8, Seq(Seq((0, 10, 100, 7, Seq(4, 12)))))))
+    assert(b.features.toSeq == pcm16Features(Seq(7, 100, 140, 76)))
+    // the delta floor: dl 16, nib 0 → (230·16)>>8 = 14 floors to 16,
+    // so the NEXT step still moves by ±16, never collapses to 0
+    val c = Multimodal.decodeOne(row(3L,
+      msWav(4, 8, Seq(Seq((2, 16, 0, 0, Seq(0, 1)))))))
+    assert(c.features.toSeq == pcm16Features(Seq(0, 0, 0, 16)))
+    // both int16 rails clamp
+    val d = Multimodal.decodeOne(row(4L,
+      msWav(4, 8, Seq(Seq((0, 30000, 32000, 0, Seq(7, 8)))))))
+    val dv = wavSamples(Multimodal.transcodeOne(
+      msWav(4, 8, Seq(Seq((0, 30000, 32000, 0, Seq(7, 8)))))).get)
+    assert(dv(2) == 32767 && dv(3) == -32768)
+    assert(d.n_frames == 4)
+    // bPredictor beyond the declared table → honest stub
+    val bad = msWav(3, 8, Seq(Seq((7, 10, 0, 0, Seq(1)))))
+    val st = Multimodal.decodeOne(row(5L, bad))
+    assert(st.width == 3 && st.features(3) == bad.length.toDouble)
+    // the m18 gate fixture decodes through the same path
+    val fx = Multimodal.decodeOne(row(6L,
+      Multimodal.syntheticMsAdpcmWav(6L, 9)))
+    assert(fx.n_frames == 9 && fx.width == 8000 && fx.n_bytes == 89)
+  }
+
+  test("stereo MS ADPCM alternates channels per nibble (hi=ch0, lo=ch1) " +
+      "with channel-interleaved headers: decoded frames equal the two " +
+      "mono chains zipped; transcode passes every ADPCM family through " +
+      "losslessly (decode(transcode(x)) == decode(x))") {
+    val chA = (2, 100, 5000, -3000, Seq(1, 9, 15))
+    val chB = (0, 10, 100, 7, Seq(4, 12, 3))
+    val stereo = msWav(5, 17, Seq(Seq(chA, chB)))
+    val sSt = wavSamples(Multimodal.transcodeOne(stereo).get)
+    val sA = wavSamples(Multimodal.transcodeOne(
+      msWav(5, 9, Seq(Seq(chA)))).get)
+    val sB = wavSamples(Multimodal.transcodeOne(
+      msWav(5, 9, Seq(Seq(chB)))).get)
+    assert(sA.length == 5 && sB.length == 5 && sSt.length == 10)
+    assert(sSt == sA.zip(sB).flatMap(p => Seq(p._1, p._2)))
+    // losslessness across the transform boundary for all three new
+    // codec shapes: stereo IMA, mono MS, stereo MS
+    for (payload <- Seq(
+        Multimodal.syntheticAdpcmStereoWav(11L, 10),
+        Multimodal.syntheticMsAdpcmWav(11L, 10),
+        stereo)) {
+      val direct = Multimodal.decodeOne(
+        Multimodal.MediaRow(1L, payload, Multimodal.MediaMeta("x", 0, 0, 0)))
+      val via = Multimodal.decodeOne(Multimodal.MediaRow(1L,
+        Multimodal.transcodeOne(payload).get,
+        Multimodal.MediaMeta("wav", 0, 0, 0)))
+      assert(via.features.toSeq == direct.features.toSeq)
+      assert(via.n_frames == direct.n_frames &&
+        via.height == direct.height && via.width == direct.width)
+    }
+  }
+
   test("resamplePcm upsamples by linear interpolation with exact floor " +
       "arithmetic: originals keep their values, midpoints floor toward " +
       "-inf, stereo interpolates per channel, a 1-frame clip passes " +
@@ -1874,6 +2061,8 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.syntheticWav(3L, 40),
       Multimodal.syntheticUlawWav(3L, 40),
       Multimodal.syntheticAdpcmWav(3L, 9),
+      Multimodal.syntheticAdpcmStereoWav(3L, 9),
+      Multimodal.syntheticMsAdpcmWav(3L, 9),
       animatedGif(Seq((grayFrame(8, 8, 40), 10, "none", (0, 0)),
         (grayFrame(8, 8, 120), 10, "none", (0, 0)))))
     val rnd = new java.util.Random(42)
@@ -1962,6 +2151,51 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.mediaDeltaPairs(idx1, Multimodal.videoFingerprint(delta2))
     val got2 = p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == Set((1L, 21L), (4L, 21L), (12L, 22L), (13L, 22L)))
+  }
+
+  test("mediaFpDelete honors right-to-be-forgotten: a tombstoned asset's " +
+      "postings are gone (it never pairs against a future delta), the " +
+      "delete-then-delta result is bit-equal to rebuild-on-survivors, " +
+      "and deleting an absent id is a no-op") {
+    import spark.implicits._
+    def meta = Multimodal.MediaMeta("y4m", 0, 0, 0)
+    def clip(id: Long, src: Long) =
+      Multimodal.MediaRow(id, Multimodal.syntheticY4m(src, 64, 0), meta)
+    // corpus: 1/2/3 unique, 4 re-uploads 1
+    val corpus =
+      Seq(clip(1, 1), clip(2, 2), clip(3, 3), clip(4, 1)).toDS().toDF()
+    val idx0 =
+      Multimodal.mediaFpIndex(Multimodal.videoFingerprint(corpus), 2)
+    // forget asset 1 (plus an id that was never ingested — idempotence)
+    val deleted = Multimodal.mediaFpDelete(idx0,
+      Seq(1L, 999L).toDF("doc_id"))
+    assert(deleted.fingerprints.count() == 3)
+    assert(deleted.keyed.where(col("doc_id") === 1L).count() == 0,
+      "a forgotten asset must leave no postings behind")
+    // the delta re-presents asset 1's CONTENT under a new id: it must
+    // pair with the surviving re-upload 4, and NEVER with the forgotten 1
+    val delta = Seq(clip(21, 1), clip(22, 2)).toDS().toDF()
+    val (pairs, merged) =
+      Multimodal.mediaDeltaPairs(deleted, Multimodal.videoFingerprint(delta))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((4L, 21L), (2L, 22L)), s"got $got")
+    // bit-equal to rebuilding the index on the survivors
+    val survivors =
+      Seq(clip(2, 2), clip(3, 3), clip(4, 1)).toDS().toDF()
+    val rebuilt =
+      Multimodal.mediaFpIndex(Multimodal.videoFingerprint(survivors), 2)
+    val (rPairs, rMerged) =
+      Multimodal.mediaDeltaPairs(rebuilt, Multimodal.videoFingerprint(delta))
+    def fpSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fpSet(deleted.fingerprints) == fpSet(rebuilt.fingerprints))
+    assert(rPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == got)
+    assert(fpSet(merged.fingerprints) == fpSet(rMerged.fingerprints))
+    // deleting the same id again changes nothing
+    val again = Multimodal.mediaFpDelete(deleted, Seq(1L).toDF("doc_id"))
+    assert(fpSet(again.fingerprints) == fpSet(deleted.fingerprints) &&
+      again.keyed.count() == deleted.keyed.count())
   }
 
   test("DCT pHash: brightness shift and JPEG re-encode are near-dups, a " +
@@ -2636,6 +2870,34 @@ class OpsSpec extends AnyFunSuite {
     val jac = Dedup.ngramJaccardPairs(corpus, 3, "lang", 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!jac.contains((300001L, 7L)) && !jac.contains((7L, 300001L)))
+  }
+
+  test("containmentPairsAuto: with an uncapped df the result is " +
+      "bit-identical to the exact join; a tiny cap keeps every pair " +
+      "whose contained doc shares a sub-cap prefix shingle (the recall " +
+      "contract) and never emits a pair the exact join would not") {
+    import spark.implicits._
+    val d7 = docs.where(col("doc_id") === 7L).select("lang", "text").head()
+    val words = d7.getString(1).split(" ")
+    val planted = Seq((300001L, d7.getString(0),
+      words.take(words.length / 2).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val corpus = docs.select("doc_id", "lang", "text").unionByName(planted)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = m(Dedup.containmentPairs(corpus, 3, "lang", 0.9))
+    // auto cap (≥ 256) ≫ any df here → bit-identical to the exact join
+    assert(m(Dedup.containmentPairsAuto(corpus, 3, "lang", 0.9)) == exact)
+    // a deliberately tiny cap: emitted pairs are a SUBSET of the exact
+    // result with IDENTICAL containment values (verification is exact —
+    // the cap can lose pairs, never invent or misvalue them), and the
+    // planted pair survives: doc 300001 and doc 7 share the half-doc's
+    // rarest shingles, whose df (2) is within even cap = 2
+    val capped = m(Dedup.containmentPairsAuto(corpus, 3, "lang", 0.9,
+      dfCap = 2))
+    capped.foreach { case (k, v) => assert(exact.get(k).contains(v)) }
+    assert(capped.get((300001L, 7L)).contains(1.0),
+      "planted rare-shingle pair must survive any cap")
   }
 
   test("Moore-Lewis selection ranks seed-like documents below off-domain " +
