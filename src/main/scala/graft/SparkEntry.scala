@@ -834,6 +834,36 @@ object SparkEntry {
             "features[2] AS duration_sec",
             "features[3] AS zero_crossings")
           .orderBy("doc_id")),
+      // m20: FLAC — the first ENTROPY-CODED codec in the gate: the
+      // engine parses the real bitstream (sync, UTF-8 frame numbers,
+      // unary/zigzag Rice residuals, CRC-8/16) while the oracle
+      // reconstructs every sample as warmup + running residual sum
+      // from the fixture's md5 keys
+      "m20_flac_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticFlac(
+            CubeCatalog.forDir(s, dir).table("documents"), 2, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
+      // m19: STEREO MS ADPCM — channel-interleaved headers, hi-nibble
+      // channel 0 per byte; the oracle replays both channels' chains
+      // AND the mean mixdown
+      "m19_msadpcm_stereo" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticMsAdpcmStereo(
+            CubeCatalog.forDir(s, dir).table("documents"), 2, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
       // m18: MS ADPCM (WAV format tag 2) — the other ubiquitous
       // compressed WAV codec; coefficient pairs read from the payload's
       // DECLARED table, decode recurrence unrolled by the oracle one
@@ -2446,6 +2476,100 @@ object SparkEntry {
        |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   }
 
+  /** m19 oracle: the STEREO MS-ADPCM decode — both channels' (s1, s2,
+    * delta) recurrences unrolled one CTE per frame from the oracle's own
+    * tables (the m18 recipe with a dual state vector), then the engine's
+    * mean mixdown (v0 + v1)/65536. Channel headers and nibbles re-derive
+    * from the fixture's md5 keys (":sb<c>"/":sd<c>"/":s1<c>"/":s2<c>"/
+    * ":sn<c>:<k>"); hi-nibble = channel 0 per the WAVE stereo packing. */
+  private def msAdpcmStereoOracleSql: String = {
+    val adapt = "[230,230,230,230,307,409,512,614,768,614,512,409,307," +
+      "230,230,230]"
+    val c1s = "[256,512,0,192,240,460,392]"
+    val c2s = "[0,-256,0,64,0,-208,-232]"
+    def upd(ch: String, nib: String): String =
+      s"""  CASE WHEN $nib IS NULL THEN s1$ch
+         |       ELSE GREATEST(-32768, LEAST(32767,
+         |    CAST(floor((s1$ch * c1$ch + s2$ch * c2$ch) / 256.0) AS INTEGER) +
+         |    (CASE WHEN $nib >= 8 THEN $nib - 16 ELSE $nib END) * dl$ch))
+         |  END AS s1$ch,
+         |  CASE WHEN $nib IS NULL THEN s2$ch ELSE s1$ch END AS s2$ch,
+         |  CASE WHEN $nib IS NULL THEN dl$ch
+         |       ELSE GREATEST(16, (($adapt)[$nib + 1] * dl$ch) // 256)
+         |  END AS dl$ch""".stripMargin
+    val stepCtes = (0 until 9).map { k =>
+      s"""w$k AS (SELECT s.*, nb.nib0, nb.nib1
+         |  FROM s$k s LEFT JOIN nb ON nb.doc_id = s.doc_id AND nb.i = $k),
+         |s${k + 1} AS (SELECT doc_id, n, c1a, c2a, c1b, c2b,
+         |${upd("a", "nib0")},
+         |${upd("b", "nib1")}
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    val emits = (1 to 9).map(k =>
+      s"  UNION ALL SELECT doc_id, n, ${k + 1} AS i, s1a + s1b AS v" +
+        s" FROM s$k WHERE n > ${k + 1}")
+      .mkString("\n")
+    def hdr(key: String, expr: String, alias: String): String =
+      s"""h_$alias AS (SELECT doc_id, n,
+         |  md5(CAST(doc_id AS VARCHAR) || ':$key') AS h FROM d),
+         |v_$alias AS (SELECT doc_id, n, CAST($expr AS INTEGER) AS $alias
+         |  FROM h_$alias)""".stripMargin
+    val hdrs = Seq(
+      hdr("sb0", s"($MD5_U_HORNER) % 7", "ba"),
+      hdr("sb1", s"($MD5_U_HORNER) % 7", "bb"),
+      hdr("sd0", s"($MD5_U_HORNER) % 32768", "dla"),
+      hdr("sd1", s"($MD5_U_HORNER) % 32768", "dlb"),
+      hdr("s10", s"($MD5_U_HORNER) % 65536 - 32768", "s1a"),
+      hdr("s11", s"($MD5_U_HORNER) % 65536 - 32768", "s1b"),
+      hdr("s20", s"($MD5_U_HORNER) % 65536 - 32768", "s2a"),
+      hdr("s21", s"($MD5_U_HORNER) % 65536 - 32768", "s2b")
+    ).mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id % 10 + 2 AS INTEGER) AS n
+       |  FROM documents),
+       |$hdrs,
+       |nh AS (SELECT d.doc_id, i.range AS i,
+       |  md5(CAST(d.doc_id AS VARCHAR) || ':sn0:' ||
+       |      CAST(i.range AS VARCHAR)) AS h0,
+       |  md5(CAST(d.doc_id AS VARCHAR) || ':sn1:' ||
+       |      CAST(i.range AS VARCHAR)) AS h1
+       |  FROM d CROSS JOIN range(0, 9) i WHERE i.range < d.n - 2),
+       |nb AS (SELECT doc_id, i,
+       |  CAST((${MD5_U_HORNER.replace("substr(h,", "substr(h0,")}) % 16
+       |    AS INTEGER) AS nib0,
+       |  CAST((${MD5_U_HORNER.replace("substr(h,", "substr(h1,")}) % 16
+       |    AS INTEGER) AS nib1 FROM nh),
+       |s0 AS (SELECT ba.doc_id, ba.n,
+       |  ($c1s)[ba.ba + 1] AS c1a, ($c2s)[ba.ba + 1] AS c2a,
+       |  ($c1s)[bb.bb + 1] AS c1b, ($c2s)[bb.bb + 1] AS c2b,
+       |  s1a.s1a, s2a.s2a, dla.dla AS dla,
+       |  s1b.s1b, s2b.s2b, dlb.dlb AS dlb
+       |  FROM v_ba ba JOIN v_bb bb USING (doc_id)
+       |  JOIN v_dla dla USING (doc_id) JOIN v_dlb dlb USING (doc_id)
+       |  JOIN v_s1a s1a USING (doc_id) JOIN v_s1b s1b USING (doc_id)
+       |  JOIN v_s2a s2a USING (doc_id)
+       |  JOIN v_s2b s2b ON s2b.doc_id = ba.doc_id),
+       |$stepCtes,
+       |sm AS (
+       |  SELECT doc_id, n, 0 AS i, s2a + s2b AS v FROM s0
+       |  UNION ALL SELECT doc_id, n, 1 AS i, s1a + s1b AS v FROM s0
+       |$emits),
+       |sv AS (SELECT doc_id, n, i, v / 65536.0 AS s FROM sm),
+       |tr AS (SELECT doc_id, n, s,
+       |  CASE WHEN (s >= 0) !=
+       |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+       |    THEN 1 ELSE 0 END AS zx
+       |  FROM sv)
+       |SELECT doc_id, 'msadpcm2' AS format,
+       |  CAST(8000 AS INTEGER) AS sample_rate,
+       |  CAST(2 AS INTEGER) AS channels, n AS n_frames,
+       |  CAST(90 + n AS INTEGER) AS n_bytes,
+       |  sqrt(SUM(s * s) / n) AS rms,
+       |  MAX(ABS(s)) AS peak,
+       |  n / 8000.0 AS duration_sec,
+       |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+       |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "q01_returnflag_agg" ->
       s"""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
@@ -3946,6 +4070,45 @@ object SparkEntry {
     // from the oracle's own restatement of the public tables
     "m17_adpcm_stereo" -> adpcmStereoOracleSql,
     "m18_msadpcm_decode" -> msAdpcmOracleSql,
+    "m19_msadpcm_stereo" -> msAdpcmStereoOracleSql,
+    // m20: the FLAC fixture's FIXED-order-1 chain is warmup + running
+    // residual sum — the oracle recomputes it per sample from md5 while
+    // the engine must decode the Rice bitstream to recover the residuals
+    "m20_flac_decode" ->
+      s"""WITH d AS (SELECT doc_id, CAST(doc_id % 10 + 2 AS INTEGER) AS n
+         |  FROM documents),
+         |hw AS (SELECT doc_id, n,
+         |  md5(CAST(doc_id AS VARCHAR) || ':fw') AS h FROM d),
+         |w0 AS (SELECT doc_id, n,
+         |  CAST(($MD5_U_HORNER) % 2000 - 1000 AS INTEGER) AS s0 FROM hw),
+         |rh AS (SELECT d.doc_id, i.range AS i,
+         |  md5(CAST(d.doc_id AS VARCHAR) || ':fr:' ||
+         |      CAST(i.range AS VARCHAR)) AS h
+         |  FROM d CROSS JOIN range(0, 10) i WHERE i.range < d.n - 1),
+         |rs AS (SELECT doc_id, i,
+         |  CAST(($MD5_U_HORNER) % 64 - 32 AS INTEGER) AS r FROM rh),
+         |cum AS (SELECT doc_id, i + 1 AS i,
+         |  SUM(r) OVER (PARTITION BY doc_id ORDER BY i) AS c FROM rs),
+         |sm AS (
+         |  SELECT doc_id, n, 0 AS i, CAST(s0 AS BIGINT) AS v FROM w0
+         |  UNION ALL
+         |  SELECT c.doc_id, w.n, c.i, w.s0 + c.c AS v
+         |  FROM cum c JOIN w0 w USING (doc_id)),
+         |sv AS (SELECT doc_id, n, i, v / 32768.0 AS s FROM sm),
+         |tr AS (SELECT doc_id, n, s,
+         |  CASE WHEN (s >= 0) !=
+         |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+         |    THEN 1 ELSE 0 END AS zx
+         |  FROM sv)
+         |SELECT doc_id, 'flac' AS format,
+         |  CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
+         |  CAST(200 AS INTEGER) AS n_bytes,
+         |  sqrt(SUM(s * s) / n) AS rms,
+         |  MAX(ABS(s)) AS peak,
+         |  n / 8000.0 AS duration_sec,
+         |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+         |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     // m10: the audio fingerprint replayed from ground truth — window RMS
     // over exact dyadic samples (window counts are 1 or 2, power-of-two
     // divisions), delta SIGNS are the bits; the half-gain clone's samples

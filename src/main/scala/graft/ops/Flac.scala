@@ -1,0 +1,593 @@
+package graft.ops
+
+/** REAL FLAC decode — the first genuinely ENTROPY-CODED codec in the
+  * media family (Rice/Golomb-coded residuals in a bitstream, vs the
+  * fixed-width nibble codecs of the ADPCM family), implemented from the
+  * public FLAC format spec in pure JDK integer arithmetic with zero new
+  * dependencies (the JDK ships no FLAC codec).
+  *
+  * Coverage — the lossless subset every real encoder emits:
+  *  - STREAMINFO parse + all other metadata blocks skipped;
+  *  - frame headers: both blocking strategies, all block-size and
+  *    sample-rate codes, UTF-8-coded frame/sample numbers, CRC-8
+  *    verified (a corrupted header falls to the stub, never a
+  *    half-decode);
+  *  - subframes: CONSTANT, VERBATIM, FIXED orders 0–4, and LPC of any
+  *    order (64-bit prediction accumulator), wasted-bits unpacking;
+  *  - residuals: both Rice methods (4- and 5-bit parameters), any
+  *    partition order, escape partitions (raw fixed-width residuals);
+  *  - stereo decorrelation: independent, left/side, right/side,
+  *    mid/side (the side channel's +1 bit handled);
+  *  - frame CRC-16 verified; multi-frame streams decoded sequentially
+  *    with bounded per-row state (one frame's channel buffers live).
+  *
+  * 16-bit streams decode to interleaved 16-bit LE PCM riding the shared
+  * [[Multimodal]] feature/fingerprint/transcode scans — a FLAC clip and
+  * the WAV of its decoded samples fingerprint identically (spec-pinned).
+  * Other bit depths and >2 channels decline to the honest stub (the
+  * feature mixdown is defined for the PCM family's layout).
+  *
+  * The m20 gate replays decoded GROUND TRUTH: the fixture's Rice-coded
+  * residual stream derives from md5 arithmetic both engines compute, so
+  * the DuckDB oracle reconstructs every sample as a running sum while
+  * the engine must parse sync codes, UTF-8 numbers, unary quotients and
+  * zigzag remainders from the actual bits — any bit-level error fails
+  * the hash.
+  */
+private[graft] object Flac {
+
+  def looksLikeFlac(b: Array[Byte]): Boolean =
+    b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+      b(3) == 'C'
+
+  // ------------------------------------------------------------ bit I/O
+
+  /** MSB-first bit reader (FLAC is big-endian at the bit level). */
+  final class BitReader(val buf: Array[Byte]) {
+    var bytePos = 0
+    var bitPos = 0 // 0..7, bits already consumed in buf(bytePos)
+    def atByteBoundary: Boolean = bitPos == 0
+    def alignToByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+    def remainingBits: Long =
+      (buf.length.toLong - bytePos) * 8 - bitPos
+    def readBit(): Int = {
+      if (bytePos >= buf.length) throw new IllegalStateException("EOF")
+      val v = (buf(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      v
+    }
+    def readBits(n: Int): Int = { // n ≤ 32, unsigned in a wider long path
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v.toInt
+    }
+    def readBitsLong(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Signed n-bit two's-complement value. */
+    def readSigned(n: Int): Int = {
+      val u = readBitsLong(n)
+      ((u << (64 - n)) >> (64 - n)).toInt
+    }
+    /** FLAC unary: count of 0 bits before the terminating 1. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) {
+        q += 1
+        if (q > (1 << 24)) throw new IllegalStateException("runaway unary")
+      }
+      q
+    }
+  }
+
+  /** MSB-first bit writer for the gate/spec fixture generators. */
+  final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nbits += 1
+      if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+    }
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >> i) & 1).toInt); i -= 1 }
+    }
+    def alignToByte(): Unit = while (nbits != 0) writeBit(0)
+    def toBytes: Array[Byte] = { alignToByte(); out.toByteArray }
+  }
+
+  // ------------------------------------------------------------- CRCs
+
+  /** CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame
+    * header checksum. */
+  def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+              else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial 0x8005, init 0 — the FLAC whole-frame checksum. */
+  def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ------------------------------------------------------------ decode
+
+  private final case class StreamInfo(sampleRate: Int, channels: Int,
+      bps: Int, totalSamples: Long)
+
+  private def parseStreamInfo(r: BitReader): StreamInfo = {
+    r.readBits(16) // min block size
+    r.readBits(16) // max block size
+    r.readBits(24) // min frame size
+    r.readBits(24) // max frame size
+    val rate = r.readBits(20)
+    val ch = r.readBits(3) + 1
+    val bps = r.readBits(5) + 1
+    val total = r.readBitsLong(36)
+    var i = 0
+    while (i < 16) { r.readBits(8); i += 1 } // decoded-audio MD5 (unchecked)
+    StreamInfo(rate, ch, bps, total)
+  }
+
+  /** UTF-8-style coded number (FLAC frame/sample number, up to 36 bits). */
+  private def readUtf8Number(r: BitReader): Long = {
+    val b0 = r.readBits(8)
+    if ((b0 & 0x80) == 0) return b0
+    var n = 0
+    var mask = 0x40
+    while ((b0 & mask) != 0) { n += 1; mask >>= 1 }
+    if (n < 1 || n > 6) throw new IllegalStateException("bad utf8 number")
+    var v = (b0 & (mask - 1)).toLong
+    var i = 0
+    while (i < n) {
+      val bc = r.readBits(8)
+      if ((bc & 0xc0) != 0x80)
+        throw new IllegalStateException("bad utf8 continuation")
+      v = (v << 6) | (bc & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  /** Rice-partitioned residual into `res` (already holding `order`
+    * warmups at the front; residuals land at [order, blockSize)). */
+  private def readResidual(r: BitReader, blockSize: Int, order: Int,
+      res: Array[Int]): Unit = {
+    val method = r.readBits(2)
+    if (method > 1) throw new IllegalStateException("reserved residual")
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val po = r.readBits(4)
+    val partitions = 1 << po
+    if (blockSize % partitions != 0)
+      throw new IllegalStateException("block not divisible by partitions")
+    var idx = order
+    var j = 0
+    while (j < partitions) {
+      val count = (blockSize >> po) - (if (j == 0) order else 0)
+      if (count < 0) throw new IllegalStateException("bad partition order")
+      val param = r.readBits(pBits)
+      if (param == escape) {
+        val raw = r.readBits(5)
+        var i = 0
+        while (i < count) {
+          res(idx) = if (raw == 0) 0 else r.readSigned(raw)
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = r.readUnary()
+          val u = (q.toLong << param) |
+            (if (param == 0) 0L else r.readBitsLong(param))
+          res(idx) = ((u >> 1) ^ -(u & 1L)).toInt // zigzag decode
+          idx += 1; i += 1
+        }
+      }
+      j += 1
+    }
+  }
+
+  /** One channel's subframe into `out` (length blockSize). `bps` is the
+    * channel's EFFECTIVE bit depth (side channels carry +1). */
+  private def readSubframe(r: BitReader, blockSize: Int, bps: Int,
+      out: Array[Int]): Unit = {
+    if (r.readBit() != 0) throw new IllegalStateException("subframe pad")
+    val tpe = r.readBits(6)
+    var wasted = 0
+    if (r.readBit() == 1) wasted = r.readUnary() + 1
+    val eff = bps - wasted
+    if (eff <= 0) throw new IllegalStateException("wasted >= bps")
+    if (tpe == 0) { // CONSTANT
+      val v = r.readSigned(eff)
+      java.util.Arrays.fill(out, 0, blockSize, v)
+    } else if (tpe == 1) { // VERBATIM
+      var i = 0
+      while (i < blockSize) { out(i) = r.readSigned(eff); i += 1 }
+    } else if ((tpe & 0x38) == 0x08 && (tpe & 0x07) <= 4) { // FIXED
+      val order = tpe & 0x07
+      var i = 0
+      while (i < order) { out(i) = r.readSigned(eff); i += 1 }
+      readResidual(r, blockSize, order, out)
+      // the public fixed-predictor recurrences, exact integer arithmetic
+      i = order
+      order match {
+        case 0 => ()
+        case 1 => while (i < blockSize) { out(i) += out(i - 1); i += 1 }
+        case 2 => while (i < blockSize) {
+          out(i) += 2 * out(i - 1) - out(i - 2); i += 1
+        }
+        case 3 => while (i < blockSize) {
+          out(i) += 3 * out(i - 1) - 3 * out(i - 2) + out(i - 3); i += 1
+        }
+        case _ => while (i < blockSize) {
+          out(i) += 4 * out(i - 1) - 6 * out(i - 2) + 4 * out(i - 3) -
+            out(i - 4)
+          i += 1
+        }
+      }
+    } else if ((tpe & 0x20) != 0) { // LPC, order = (tpe & 0x1f) + 1
+      val order = (tpe & 0x1f) + 1
+      var i = 0
+      while (i < order) { out(i) = r.readSigned(eff); i += 1 }
+      val precision = r.readBits(4) + 1
+      if (precision == 16)
+        throw new IllegalStateException("reserved lpc precision")
+      val shift = r.readSigned(5)
+      if (shift < 0) throw new IllegalStateException("negative lpc shift")
+      val coef = new Array[Int](order)
+      i = 0
+      while (i < order) { coef(i) = r.readSigned(precision); i += 1 }
+      readResidual(r, blockSize, order, out)
+      i = order
+      while (i < blockSize) {
+        var acc = 0L // 64-bit accumulator per the spec's width analysis
+        var j = 0
+        while (j < order) { acc += coef(j).toLong * out(i - 1 - j); j += 1 }
+        out(i) += (acc >> shift).toInt
+        i += 1
+      }
+    } else throw new IllegalStateException("reserved subframe type")
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { out(i) = out(i) << wasted; i += 1 }
+    }
+  }
+
+  /** Full-stream decode to an interleaved 16-bit LE PCM clip. None when
+    * the payload is not FLAC, is corrupt (CRC/sync/structure), or is
+    * outside the 16-bit ≤ 2-channel layout the feature scans define. */
+  def parseFlac(b: Array[Byte]): Option[Multimodal.PcmClip] = {
+    if (!looksLikeFlac(b)) return None
+    try {
+      val r = new BitReader(b)
+      r.bytePos = 4
+      // metadata blocks: STREAMINFO first (spec-required), rest skipped
+      var last = false
+      var info: StreamInfo = null
+      var first = true
+      while (!last) {
+        last = r.readBit() == 1
+        val tpe = r.readBits(7)
+        val len = r.readBits(24)
+        if (first) {
+          if (tpe != 0 || len != 34) return None
+          info = parseStreamInfo(r)
+          first = false
+        } else {
+          if (r.bytePos + len > b.length) return None
+          r.bytePos += len // blocks are byte-aligned
+        }
+      }
+      if (info == null) return None
+      if (info.bps != 16 || info.channels < 1 || info.channels > 2 ||
+          info.sampleRate <= 0)
+        return None
+      val total = info.totalSamples
+      if (total <= 0 || total > (Int.MaxValue - 8) / (2L * info.channels))
+        return None
+      val out = new Array[Byte](total.toInt * 2 * info.channels)
+      var done = 0L
+      while (done < total) {
+        done += decodeFrame(r, b, info, out, done)
+      }
+      Some(Multimodal.PcmClip(16, info.channels, signed = true,
+        big = false, info.sampleRate.toFloat, total, out, 0,
+        Multimodal.EncPcm))
+    } catch { case _: Exception => None }
+  }
+
+  /** One frame: header (CRC-8-verified), subframes, CRC-16-verified
+    * footer; decoded samples land interleaved at frame offset `done`.
+    * Returns the frame's block size. */
+  private def decodeFrame(r: BitReader, b: Array[Byte], info: StreamInfo,
+      out: Array[Byte], done: Long): Int = {
+    if (!r.atByteBoundary) throw new IllegalStateException("unaligned frame")
+    val frameStart = r.bytePos
+    if (r.readBits(14) != 0x3ffe)
+      throw new IllegalStateException("bad sync")
+    r.readBit() // reserved
+    r.readBit() // blocking strategy
+    val bsCode = r.readBits(4)
+    val srCode = r.readBits(4)
+    val chanAsgn = r.readBits(4)
+    val ssCode = r.readBits(3)
+    if (r.readBit() != 0) throw new IllegalStateException("reserved bit")
+    readUtf8Number(r)
+    val blockSize = bsCode match {
+      case 0 => throw new IllegalStateException("reserved block size")
+      case 1 => 192
+      case c if c >= 2 && c <= 5 => 576 << (c - 2)
+      case 6 => r.readBits(8) + 1
+      case 7 => r.readBits(16) + 1
+      case c => 256 << (c - 8)
+    }
+    srCode match { // rate comes from STREAMINFO; inline forms consumed
+      case 12 => r.readBits(8)
+      case 13 | 14 => r.readBits(16)
+      case 15 => throw new IllegalStateException("invalid sample rate code")
+      case _ => ()
+    }
+    val bps = ssCode match {
+      case 0 => info.bps
+      case 1 => 8
+      case 2 => 12
+      case 4 => 16
+      case 5 => 20
+      case 6 => 24
+      case 7 => 32
+      case _ => throw new IllegalStateException("reserved sample size")
+    }
+    if (bps != 16) throw new IllegalStateException("non-16-bit frame")
+    if (!r.atByteBoundary)
+      throw new IllegalStateException("header alignment")
+    val declaredCrc8 = r.readBits(8)
+    if (crc8(b, frameStart, r.bytePos - 1) != declaredCrc8)
+      throw new IllegalStateException("frame header crc8")
+    val ch = info.channels
+    val (nch, decor) = chanAsgn match {
+      case a if a <= 7 => (a + 1, 0) // independent
+      case 8 => (2, 1) // left/side
+      case 9 => (2, 2) // right/side
+      case 10 => (2, 3) // mid/side
+      case _ => throw new IllegalStateException("reserved channels")
+    }
+    if (nch != ch) throw new IllegalStateException("channel mismatch")
+    if (done + blockSize > info.totalSamples)
+      throw new IllegalStateException("frame overruns stream total")
+    val chans = Array.ofDim[Int](nch, blockSize)
+    var c = 0
+    while (c < nch) {
+      // the SIDE channel carries one extra bit of depth, per the spec —
+      // for right/side (9) the side channel is stored FIRST (ch 0)
+      val sideChan = decor match {
+        case 1 | 3 => 1
+        case 2 => 0
+        case _ => -1
+      }
+      val eff = bps + (if (c == sideChan) 1 else 0)
+      readSubframe(r, blockSize, eff, chans(c))
+      c += 1
+    }
+    r.alignToByte()
+    val declaredCrc16 = r.readBits(16)
+    if (crc16(b, frameStart, r.bytePos - 2) != declaredCrc16)
+      throw new IllegalStateException("frame crc16")
+    // undo stereo decorrelation (libFLAC's exact integer reconstruction)
+    decor match {
+      case 1 => // left/side: R = L − S
+        var i = 0
+        while (i < blockSize) {
+          chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1
+        }
+      case 2 => // right/side: stored (side, right) → L = R + S
+        var i = 0
+        while (i < blockSize) {
+          val s = chans(0)(i)
+          chans(0)(i) = chans(1)(i) + s
+          i += 1
+        }
+      case 3 => // mid/side
+        var i = 0
+        while (i < blockSize) {
+          val s = chans(1)(i)
+          var m = chans(0)(i) << 1
+          m |= s & 1
+          chans(0)(i) = (m + s) >> 1
+          chans(1)(i) = (m - s) >> 1
+          i += 1
+        }
+      case _ => ()
+    }
+    var i = 0
+    var w = done.toInt * 2 * nch
+    while (i < blockSize) {
+      c = 0
+      while (c < nch) {
+        val v = chans(c)(i)
+        if (v < -32768 || v > 32767)
+          throw new IllegalStateException("sample out of range")
+        out(w) = (v & 0xff).toByte
+        out(w + 1) = ((v >> 8) & 0xff).toByte
+        w += 2
+        c += 1
+      }
+      i += 1
+    }
+    blockSize
+  }
+
+  // -------------------------------------------------- fixture generators
+
+  /** Rice-encode one residual value with parameter `p` (zigzag + unary
+    * quotient + p remainder bits) — the generator-side inverse of
+    * [[readResidual]]. */
+  def writeRice(w: BitWriter, v: Int, p: Int): Unit = {
+    val u = ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
+    val q = (u >> p).toInt
+    var i = 0
+    while (i < q) { w.writeBit(0); i += 1 }
+    w.writeBit(1)
+    if (p > 0) w.writeBits(u & ((1L << p) - 1), p)
+  }
+
+  /** One channel's subframe content for the fixture builders. Exactly
+    * one of the forms:
+    *  - constant: order = -1, warmup = [value], residuals empty
+    *  - verbatim: order = -2, warmup = all samples, residuals empty
+    *  - FIXED:    order ∈ [0, 4], warmup.length = order
+    *  - LPC:      order = warmup.length, lpc = Some((coefs, shift,
+    *              precision))
+    * `p` is the Rice parameter (partition order 0); `bits` the
+    * subframe's effective width (17 for a side channel). */
+  final case class Chan(order: Int, warmup: Array[Int],
+      residuals: Array[Int], p: Int, bits: Int = 16,
+      lpc: Option[(Array[Int], Int, Int)] = None, wasted: Int = 0)
+
+  /** A complete in-memory FLAC stream: STREAMINFO + one frame with the
+    * given channel assignment (`asgn` 0 = mono, 1 = stereo independent,
+    * 8/9/10 = left-side / right-side / mid-side — callers pass the
+    * STORED channels, e.g. (left, side)), correct CRC-8/16, optionally
+    * zero-padded to a fixed byte length (ignored tail — decode stops at
+    * STREAMINFO's declared total). The decoder must recover the planted
+    * warmup/residual values from the actual bits. */
+  def buildFlac(sampleRate: Int, asgn: Int, chans: Seq[Chan],
+      blockSizeOpt: Option[Int] = None, padToBytes: Int = 0)
+      : Array[Byte] = {
+    val nch = if (asgn <= 7) asgn + 1 else 2
+    require(chans.length == nch, "channel count must match assignment")
+    val blockSize = blockSizeOpt.getOrElse(chans.head match {
+      case c if c.order == -2 => c.warmup.length
+      case c => c.warmup.length + c.residuals.length
+    })
+    val head = new BitWriter
+    head.writeBits(0x664c6143L, 32) // "fLaC"
+    head.writeBit(1) // last metadata block
+    head.writeBits(0, 7) // STREAMINFO
+    head.writeBits(34, 24)
+    head.writeBits(blockSize, 16) // min block size
+    head.writeBits(blockSize, 16) // max
+    head.writeBits(0, 24) // min frame size (0 = unknown)
+    head.writeBits(0, 24)
+    head.writeBits(sampleRate, 20)
+    head.writeBits(nch - 1, 3)
+    head.writeBits(15, 5) // bps − 1 = 16-bit
+    head.writeBits(blockSize, 36)
+    head.writeBits(0, 64) // decoded-MD5 (unchecked), 16 bytes
+    head.writeBits(0, 64)
+    val prefix = head.toBytes
+
+    val fh = new BitWriter
+    fh.writeBits(0x3ffe, 14) // sync
+    fh.writeBit(0) // reserved
+    fh.writeBit(0) // fixed block size strategy
+    fh.writeBits(7, 4) // block size: 16-bit at end of header
+    fh.writeBits(0, 4) // sample rate: from STREAMINFO
+    fh.writeBits(asgn, 4)
+    fh.writeBits(4, 3) // 16-bit
+    fh.writeBit(0)
+    fh.writeBits(0, 8) // frame 0 (UTF-8 single byte)
+    fh.writeBits(blockSize - 1, 16)
+    val fhBytes = fh.toBytes
+
+    val body = new BitWriter
+    chans.foreach { c =>
+      body.writeBit(0)
+      val eff = c.bits - c.wasted
+      def mask(v: Int): Long = v.toLong & ((1L << eff) - 1)
+      def wastedFlag(): Unit =
+        if (c.wasted == 0) body.writeBit(0)
+        else { // flag 1, then unary-coded (wasted − 1)
+          body.writeBit(1)
+          var i = 0
+          while (i < c.wasted - 1) { body.writeBit(0); i += 1 }
+          body.writeBit(1)
+        }
+      c.order match {
+        case -1 => // CONSTANT
+          body.writeBits(0, 6)
+          wastedFlag()
+          body.writeBits(mask(c.warmup.head), eff)
+        case -2 => // VERBATIM
+          body.writeBits(1, 6)
+          wastedFlag()
+          c.warmup.foreach(v => body.writeBits(mask(v), eff))
+        case o if c.lpc.isEmpty => // FIXED
+          body.writeBits(8 | o, 6)
+          wastedFlag()
+          c.warmup.foreach(v => body.writeBits(mask(v), eff))
+          body.writeBits(0, 2) // rice method 0 (4-bit params)
+          body.writeBits(0, 4) // partition order 0
+          body.writeBits(c.p, 4)
+          c.residuals.foreach(v => writeRice(body, v, c.p))
+        case o => // LPC
+          val (coefs, shift, precision) = c.lpc.get
+          body.writeBits(0x20 | (o - 1), 6)
+          wastedFlag()
+          c.warmup.foreach(v => body.writeBits(mask(v), eff))
+          body.writeBits(precision - 1, 4)
+          body.writeBits(shift.toLong & 0x1f, 5)
+          coefs.foreach(v =>
+            body.writeBits(v.toLong & ((1L << precision) - 1), precision))
+          body.writeBits(0, 2)
+          body.writeBits(0, 4)
+          body.writeBits(c.p, 4)
+          c.residuals.foreach(v => writeRice(body, v, c.p))
+      }
+    }
+    val bodyBytes = body.toBytes
+
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(fhBytes)
+    frame.write(crc8(fhBytes, 0, fhBytes.length))
+    frame.write(bodyBytes)
+    val framePre = frame.toByteArray
+    val c16 = crc16(framePre, 0, framePre.length)
+    frame.write((c16 >> 8) & 0xff)
+    frame.write(c16 & 0xff)
+
+    val total = prefix.length + frame.size()
+    val padded = math.max(total, padToBytes)
+    val out = new Array[Byte](padded)
+    System.arraycopy(prefix, 0, out, 0, prefix.length)
+    System.arraycopy(frame.toByteArray, 0, out, prefix.length, frame.size())
+    out // zero tail bytes ignored: decode stops at STREAMINFO's total
+  }
+
+  /** Mono FIXED-subframe convenience wrapper (the m20 gate fixture). */
+  def buildFlacFixedMono(sampleRate: Int, warmup: Array[Int],
+      residuals: Array[Int], order: Int, p: Int,
+      padToBytes: Int = 0): Array[Byte] =
+    buildFlac(sampleRate, 0, Seq(Chan(order, warmup, residuals, p)),
+      padToBytes = padToBytes)
+}

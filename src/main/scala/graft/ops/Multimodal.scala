@@ -114,12 +114,13 @@ object Multimodal {
       b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
       b(8) == 'A' && b(9) == 'I' && b(10) == 'F') ||
     (b.length >= 4 &&
-      b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+      b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') ||
+    Flac.looksLikeFlac(b)
 
   // Sample encodings a clip's byte view can carry: linear PCM (8/16/24/32
   // bit), IEEE float32, and the two G.711 companding laws (8-bit bytes
   // decoded through [[ulawTab]]/[[alawTab]]).
-  private final val EncPcm = 0
+  private[ops] final val EncPcm = 0
   private final val EncFloat32 = 1
   private final val EncUlaw = 2
   private final val EncAlaw = 3
@@ -156,7 +157,7 @@ object Multimodal {
     * names the sample encoding ([[EncPcm]]/[[EncFloat32]]/[[EncUlaw]]/
     * [[EncAlaw]]); bits/signed describe the linear-PCM layout and are 8/
     * unsigned-irrelevant for the law codecs (one code byte per sample). */
-  private case class PcmClip(bits: Int, ch: Int, signed: Boolean,
+  private[ops] case class PcmClip(bits: Int, ch: Int, signed: Boolean,
       big: Boolean, sampleRate: Float, frames: Long, data: Array[Byte],
       off: Int, enc: Int = EncPcm)
 
@@ -660,6 +661,7 @@ object Multimodal {
       : Option[(Int, Int, Long, Array[Double])] = {
     if (!looksLikePcmContainer(bytes)) return None
     parseWav(bytes).map(pcmFeatures)
+      .orElse(Flac.parseFlac(bytes).map(pcmFeatures))
       .orElse(readPcmViaAudioSystem(bytes).map { case (c, _) =>
         pcmFeatures(c)
       })
@@ -1937,6 +1939,118 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Deterministic REAL STEREO MS-ADPCM WAV clip for the m19 gate —
+    * [[syntheticMsAdpcmWav]]'s two-channel sibling: channel-interleaved
+    * header (bPredictor md5(":sb<c>") mod 7 per channel, iDelta
+    * md5(":sd<c>") mod 32768, iSamp1/iSamp2 md5(":s1<c>"/":s2<c>") over
+    * int16), then ONE byte per frame beyond the header pair — HIGH
+    * nibble channel 0 (md5(":sn0:<k>")), LOW nibble channel 1
+    * (":sn1:<k>"), per the WAVE spec's stereo packing. The oracle
+    * replays BOTH channels' recurrences and the mean mixdown, so a
+    * wrong header stride or nibble-channel assignment fails the hash. */
+  private[graft] def syntheticMsAdpcmStereoWav(docId: Long, nFrames: Int)
+      : Array[Byte] = {
+    require(nFrames >= 2, "nFrames must be at least 2")
+    val blockAlign = 14 + (nFrames - 2)
+    val out = new Array[Byte](78 + blockAlign)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(70 + blockAlign)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(50)
+      .putShort(2).putShort(2) // MS ADPCM, stereo
+      .putInt(8000).putInt(8000 * blockAlign / nFrames)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(32).putShort(nFrames.toShort)
+      .putShort(7)
+    msStdCoef.foreach { case (a, b2) =>
+      bb.putShort(a.toShort).putShort(b2.toShort)
+    }
+    bb.put("data".getBytes("US-ASCII")).putInt(blockAlign)
+    var c = 0
+    while (c < 2) { // bPredictor bytes, channel-interleaved
+      bb.put((md5Uint(s"$docId:sb$c") % 7).toByte)
+      c += 1
+    }
+    c = 0
+    while (c < 2) {
+      bb.putShort((md5Uint(s"$docId:sd$c") % 32768).toShort)
+      c += 1
+    }
+    c = 0
+    while (c < 2) {
+      bb.putShort(((md5Uint(s"$docId:s1$c") % 65536) - 32768).toShort)
+      c += 1
+    }
+    c = 0
+    while (c < 2) {
+      bb.putShort(((md5Uint(s"$docId:s2$c") % 65536) - 32768).toShort)
+      c += 1
+    }
+    var k = 0
+    while (k < nFrames - 2) {
+      val n0 = (md5Uint(s"$docId:sn0:$k") % 16).toInt
+      val n1 = (md5Uint(s"$docId:sn1:$k") % 16).toInt
+      out(92 + k) = ((n0 << 4) | n1).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Attach a [[syntheticMsAdpcmStereoWav]] payload per document. */
+  def attachSyntheticMsAdpcmStereo(docs: DataFrame, addSamples: Int,
+      modSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id,
+        syntheticMsAdpcmStereoWav(id, (id % modSamples).toInt + addSamples),
+        MediaMeta("msadpcm2", 0, 0, 0))
+    }.toDF()
+  }
+
+  /** Deterministic REAL FLAC clip for the m20 gate — the first
+    * ENTROPY-CODED fixture in the suite: one mono 16-bit frame, FIXED
+    * order-1 subframe, Rice parameter md5(":fp") mod 8, warmup sample
+    * md5(":fw") mod 2000 − 1000, and n−1 Rice-coded residuals
+    * md5(":fr:<k>") mod 64 − 32 (zigzag + unary quotient + remainder
+    * bits in the actual stream). Sample i is warmup + Σ residuals —
+    * a running sum the oracle recomputes directly from md5 while the
+    * ENGINE must recover each residual from the bitstream (sync, UTF-8
+    * frame number, CRC-8/16, unary/remainder bits — any bit-level
+    * error fails the hash). The stream is zero-padded to a FIXED 200
+    * bytes (tail ignored by decode, which stops at STREAMINFO's total)
+    * so n_bytes is closed-form for the oracle. */
+  private[graft] def syntheticFlac(docId: Long, nSamples: Int)
+      : Array[Byte] = {
+    require(nSamples >= 2, "nSamples must be at least 2")
+    val s0 = ((md5Uint(s"$docId:fw") % 2000) - 1000).toInt
+    val res = Array.tabulate(nSamples - 1)(k =>
+      ((md5Uint(s"$docId:fr:$k") % 64) - 32).toInt)
+    val p = (md5Uint(s"$docId:fp") % 8).toInt
+    // pad to a CLOSED-FORM length: 200 covers every gate clip (n ≤ 11);
+    // longer sweep clips grow by the worst-case 8 bytes/residual (u ≤ 63
+    // at p = 0 is exactly 64 bits), so the length stays a pure function
+    // of n — the oracle's n_bytes needs that
+    val pad = math.max(200, 80 + 8 * nSamples)
+    val out = Flac.buildFlacFixedMono(8000, Array(s0), res, order = 1,
+      p, padToBytes = pad)
+    assert(out.length == pad,
+      s"fixture overflowed the fixed pad: ${out.length}")
+    out
+  }
+
+  /** Attach a [[syntheticFlac]] payload per document. */
+  def attachSyntheticFlac(docs: DataFrame, addSamples: Int,
+      modSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, syntheticFlac(id, (id % modSamples).toInt + addSamples),
+        MediaMeta("flac", 0, 0, 0))
+    }.toDF()
+  }
+
   /** One sample as canonical int16, per the clip's encoding — the
     * transcode quantizer. Width conversion is the standard bit-shift
     * mapping: 8→16 scales by 256, 24/32→16 arithmetic-shifts down
@@ -1965,9 +2079,10 @@ object Multimodal {
     * transform boundary. The fast path already declines truncation to
     * the codec (chunk lengths are validated against the buffer). */
   private def decodeFullClip(bytes: Array[Byte]): Option[PcmClip] =
-    parseWav(bytes).orElse(readPcmViaAudioSystem(bytes).collect {
-      case (c, declared) if c.frames == declared => c
-    })
+    parseWav(bytes).orElse(Flac.parseFlac(bytes))
+      .orElse(readPcmViaAudioSystem(bytes).collect {
+        case (c, declared) if c.frames == declared => c
+      })
 
   /** Transcode ONE payload to a canonical 16-bit LE PCM WAV (44-byte
     * header), preserving sample rate and channel count. None when no

@@ -575,11 +575,13 @@ object ScaleSweep {
     time("codec_decode") {
       val ids = docs.select("doc_id")
       val mixed = graft.ops.Multimodal.attachSyntheticAudio(
-          ids.where(col("doc_id") % 3 === 0), 60, 10)
+          ids.where(col("doc_id") % 4 === 0), 60, 10)
         .unionByName(graft.ops.Multimodal.attachSyntheticUlaw(
-          ids.where(col("doc_id") % 3 === 1), 60, 10))
+          ids.where(col("doc_id") % 4 === 1), 60, 10))
         .unionByName(graft.ops.Multimodal.attachSyntheticAdpcm(
-          ids.where(col("doc_id") % 3 === 2), 60, 10))
+          ids.where(col("doc_id") % 4 === 2), 60, 10))
+        .unionByName(graft.ops.Multimodal.attachSyntheticFlac(
+          ids.where(col("doc_id") % 4 === 3), 60, 10))
       val dec = graft.ops.Multimodal.decodeFeatures(spark, mixed).toDF()
         .localCheckpoint()
       val rows = dec.count()

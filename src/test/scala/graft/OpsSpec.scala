@@ -1576,9 +1576,16 @@ class OpsSpec extends AnyFunSuite {
     assert(sSt == sA.zip(sB).flatMap(p => Seq(p._1, p._2)))
     // losslessness across the transform boundary for all three new
     // codec shapes: stereo IMA, mono MS, stereo MS
+    // the m19 fixture decodes with its declared geometry
+    val fx = Multimodal.decodeOne(Multimodal.MediaRow(6L,
+      Multimodal.syntheticMsAdpcmStereoWav(6L, 9),
+      Multimodal.MediaMeta("msadpcm2", 0, 0, 0)))
+    assert(fx.n_frames == 9 && fx.width == 8000 && fx.height == 2 &&
+      fx.n_bytes == 99)
     for (payload <- Seq(
         Multimodal.syntheticAdpcmStereoWav(11L, 10),
         Multimodal.syntheticMsAdpcmWav(11L, 10),
+        Multimodal.syntheticMsAdpcmStereoWav(11L, 10),
         stereo)) {
       val direct = Multimodal.decodeOne(
         Multimodal.MediaRow(1L, payload, Multimodal.MediaMeta("x", 0, 0, 0)))
@@ -2063,6 +2070,8 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.syntheticAdpcmWav(3L, 9),
       Multimodal.syntheticAdpcmStereoWav(3L, 9),
       Multimodal.syntheticMsAdpcmWav(3L, 9),
+      Multimodal.syntheticMsAdpcmStereoWav(3L, 9),
+      Multimodal.syntheticFlac(3L, 9),
       animatedGif(Seq((grayFrame(8, 8, 40), 10, "none", (0, 0)),
         (grayFrame(8, 8, 120), 10, "none", (0, 0)))))
     val rnd = new java.util.Random(42)
@@ -2898,6 +2907,100 @@ class OpsSpec extends AnyFunSuite {
     capped.foreach { case (k, v) => assert(exact.get(k).contains(v)) }
     assert(capped.get((300001L, 7L)).contains(1.0),
       "planted rare-shingle pair must survive any cap")
+  }
+
+  test("FLAC decode is REAL entropy-coded audio: Rice-coded FIXED " +
+      "subframes reconstruct exact reference vectors across orders and " +
+      "rice parameters; CONSTANT/VERBATIM/LPC subframes, escape-free " +
+      "partitions and wasted bits decode; CRC corruption and truncation " +
+      "fall back to the stub") {
+    import graft.ops.Flac
+    def row(id: Long, b: Array[Byte]) =
+      Multimodal.MediaRow(id, b, Multimodal.MediaMeta("flac", 3, 5, 7))
+    def dec(b: Array[Byte]) = wavSamples(Multimodal.transcodeOne(b).get)
+    // order-1 fixed: s_i = s_{i-1} + r → [100, 103, 98, 118]
+    val f1 = Flac.buildFlacFixedMono(8000, Array(100),
+      Array(3, -5, 20), 1, 2)
+    assert(dec(f1) == Seq(100, 103, 98, 118))
+    val d1 = Multimodal.decodeOne(row(1L, f1))
+    assert(d1.width == 8000 && d1.height == 1 && d1.n_frames == 4)
+    assert(d1.features.toSeq == pcm16Features(Seq(100, 103, 98, 118)))
+    // order-0 (raw residuals) at rice p=0, and order-2
+    assert(dec(Flac.buildFlacFixedMono(8000, Array.empty[Int],
+      Array(7, -3, 0, 12), 0, 0)) == Seq(7, -3, 0, 12))
+    // order-2: s_i = 2 s_{i-1} − s_{i-2} + r → [10, 12, 15, 17]
+    assert(dec(Flac.buildFlacFixedMono(8000, Array(10, 12),
+      Array(1, -1), 2, 5)) == Seq(10, 12, 15, 17))
+    // CONSTANT and VERBATIM subframes (blockSize pinned explicitly)
+    assert(dec(Flac.buildFlac(8000, 0,
+      Seq(Flac.Chan(-1, Array(-500), Array.empty, 0)),
+      blockSizeOpt = Some(3))) == Seq(-500, -500, -500))
+    assert(dec(Flac.buildFlac(8000, 0,
+      Seq(Flac.Chan(-2, Array(1, -32768, 32767, 0), Array.empty, 0))))
+      == Seq(1, -32768, 32767, 0))
+    // LPC order 2, coefs (3, −1), shift 1:
+    //   s2 = ((3·20 − 10) >> 1) + 1 = 26; s3 = ((3·26 − 20) >> 1) − 2 = 27
+    assert(dec(Flac.buildFlac(8000, 0,
+      Seq(Flac.Chan(2, Array(10, 20), Array(1, -2), 3,
+        lpc = Some((Array(3, -1), 1, 4)))))) == Seq(10, 20, 26, 27))
+    // wasted bits: coded values shift left by the wasted count
+    assert(dec(Flac.buildFlac(8000, 0,
+      Seq(Flac.Chan(-2, Array(5, -6, 100), Array.empty, 0, wasted = 2))))
+      == Seq(20, -24, 400))
+    // a flipped residual bit fails the frame CRC-16 → honest stub
+    val bad = f1.clone(); bad(bad.length - 4) = (bad(bad.length - 4) ^ 0x10).toByte
+    val st = Multimodal.decodeOne(row(2L, bad))
+    assert(st.width == 3 && st.features(3) == bad.length.toDouble)
+    // truncation → stub, never a throw
+    val tr = Multimodal.decodeOne(row(3L, f1.take(f1.length - 3)))
+    assert(tr.width == 3)
+    // the m20 gate fixture decodes with its declared geometry
+    val fx = Multimodal.decodeOne(row(4L, Multimodal.syntheticFlac(7L, 9)))
+    assert(fx.n_frames == 9 && fx.width == 8000 && fx.n_bytes == 200)
+  }
+
+  test("FLAC stereo decorrelation reconstructs left/side, right/side and " +
+      "mid/side exactly (side channel +1 bit), and FLAC participates in " +
+      "the decode-space contracts: fingerprint equals the PCM WAV of its " +
+      "decoded samples, transcode is lossless") {
+    import graft.ops.Flac
+    import spark.implicits._
+    def dec(b: Array[Byte]) = wavSamples(Multimodal.transcodeOne(b).get)
+    // want L = [100, 110], R = [90, 105] → side = [10, 5], mid = [95, 107]
+    val want = Seq(100, 90, 110, 105)
+    def vb(vals: Array[Int], bits: Int = 16) =
+      Flac.Chan(-2, vals, Array.empty, 0, bits = bits)
+    assert(dec(Flac.buildFlac(8000, 8, // left/side: stored (L, S)
+      Seq(vb(Array(100, 110)), vb(Array(10, 5), bits = 17)))) == want)
+    assert(dec(Flac.buildFlac(8000, 9, // right/side: stored (S, R)
+      Seq(vb(Array(10, 5), bits = 17), vb(Array(90, 105))))) == want)
+    assert(dec(Flac.buildFlac(8000, 10, // mid/side: stored (M, S)
+      Seq(vb(Array(95, 107)), vb(Array(10, 5), bits = 17)))) == want)
+    // independent stereo = zipped mono channels
+    assert(dec(Flac.buildFlac(8000, 1,
+      Seq(vb(Array(100, 110)), vb(Array(90, 105))))) == want)
+    // decode-space fingerprint: a FLAC clip and the 16-bit PCM WAV of
+    // its decoded samples hash identically
+    val samples = Seq(1000, 1113, 1011, 1210, 780, 1335, 1261, 1601)
+    val flac = Flac.buildFlacFixedMono(8000, Array(samples.head),
+      samples.sliding(2).map(p => p(1) - p(0)).toArray, 1, 4)
+    val pcm = encodeAudio(samples.map(_.toShort).toArray, 8000f, 1)
+    val media = Seq(
+      Multimodal.MediaRow(1L, flac, Multimodal.MediaMeta("flac", 0, 0, 0)),
+      Multimodal.MediaRow(2L, pcm, Multimodal.MediaMeta("wav", 0, 0, 0)))
+      .toDS().toDF()
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(1L) == fp(2L),
+      "FLAC and its decoded-PCM twin must fingerprint identically")
+    // transcode losslessness across the entropy-coded boundary
+    val direct = Multimodal.decodeOne(
+      Multimodal.MediaRow(1L, flac, Multimodal.MediaMeta("x", 0, 0, 0)))
+    val via = Multimodal.decodeOne(Multimodal.MediaRow(1L,
+      Multimodal.transcodeOne(flac).get,
+      Multimodal.MediaMeta("wav", 0, 0, 0)))
+    assert(via.features.toSeq == direct.features.toSeq &&
+      via.n_frames == direct.n_frames)
   }
 
   test("Moore-Lewis selection ranks seed-like documents below off-domain " +
