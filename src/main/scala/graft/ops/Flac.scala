@@ -590,4 +590,68 @@ private[graft] object Flac {
       padToBytes: Int = 0): Array[Byte] =
     buildFlac(sampleRate, 0, Seq(Chan(order, warmup, residuals, p)),
       padToBytes = padToBytes)
+
+  /** MULTI-FRAME mono stream: each chunk becomes one FIXED-order-0
+    * frame (raw Rice-coded samples) with its own UTF-8-coded frame
+    * number and CRCs — the shape every real encoder emits (streams are
+    * split into ~4096-sample frames). All chunks but the last must share
+    * one block size (the fixed-blocksize strategy's rule). */
+  def buildFlacMultiMono(sampleRate: Int, frames: Seq[Array[Int]],
+      p: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.nonEmpty))
+    require(frames.dropRight(1).map(_.length).distinct.size <= 1,
+      "all frames but the last must share a block size")
+    val blockSize = frames.head.length
+    val total = frames.map(_.length.toLong).sum
+    val head = new BitWriter
+    head.writeBits(0x664c6143L, 32)
+    head.writeBit(1)
+    head.writeBits(0, 7)
+    head.writeBits(34, 24)
+    head.writeBits(frames.map(_.length).min, 16)
+    head.writeBits(blockSize, 16)
+    head.writeBits(0, 24)
+    head.writeBits(0, 24)
+    head.writeBits(sampleRate, 20)
+    head.writeBits(0, 3)
+    head.writeBits(15, 5)
+    head.writeBits(total, 36)
+    head.writeBits(0, 64)
+    head.writeBits(0, 64)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.toBytes)
+    frames.zipWithIndex.foreach { case (samples, idx) =>
+      require(idx <= 127, "single-byte UTF-8 frame numbers only")
+      val fh = new BitWriter
+      fh.writeBits(0x3ffe, 14)
+      fh.writeBit(0)
+      fh.writeBit(0)
+      fh.writeBits(7, 4)
+      fh.writeBits(0, 4)
+      fh.writeBits(0, 4) // mono
+      fh.writeBits(4, 3)
+      fh.writeBit(0)
+      fh.writeBits(idx, 8)
+      fh.writeBits(samples.length - 1, 16)
+      val fhBytes = fh.toBytes
+      val body = new BitWriter
+      body.writeBit(0)
+      body.writeBits(8, 6) // FIXED order 0
+      body.writeBit(0)
+      body.writeBits(0, 2)
+      body.writeBits(0, 4)
+      body.writeBits(p, 4)
+      samples.foreach(v => writeRice(body, v, p))
+      val frame = new java.io.ByteArrayOutputStream()
+      frame.write(fhBytes)
+      frame.write(crc8(fhBytes, 0, fhBytes.length))
+      frame.write(body.toBytes)
+      val pre = frame.toByteArray
+      val c16 = crc16(pre, 0, pre.length)
+      frame.write((c16 >> 8) & 0xff)
+      frame.write(c16 & 0xff)
+      out.write(frame.toByteArray)
+    }
+    out.toByteArray
+  }
 }

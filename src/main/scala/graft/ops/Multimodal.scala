@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * per-frame offsets and disposal methods, [[readGifFrames]]); both yield
   * frame-space features — per-frame luminance, temporal activity,
   * duration, fps — and the temporal fingerprint [[videoFingerprint]].
-  * COMPRESSED audio and video (mp3/aac/h264/vp9…) stay STUBBED — those
-  * codecs genuinely need libraries this environment lacks: `decodeStub`
+  * COMPRESSED audio decodes for real where the mathematics is
+  * library-free: IMA and MS ADPCM (4-bit, mono/stereo) and FLAC — the
+  * entropy-coded lossless codec — via [[Flac]]. PERCEPTUAL codecs
+  * (mp3/aac/h264/vp9…) stay STUBBED — their MDCT/psychoacoustic stacks
+  * genuinely need libraries this environment lacks: `decodeStub`
   * derives deterministic byte-moment features, and every undecodable
   * payload falls back to it — that fallback is also the portable path the
   * DuckDB correctness gate's m01 replays (SQL cannot decode pixels or
@@ -2233,8 +2236,9 @@ object Multimodal {
 
   /** CANONICALIZE-AUDIO transform — the "normalize everything to 16-bit
     * PCM WAV" step at the head of an audio-training pipeline: every
-    * payload the PCM family decodes (linear 8/16/24/32-bit, float32,
-    * G.711 μ/A-law, IMA ADPCM — WAV/AIFF/AU containers) is re-emitted as
+    * payload the audio family decodes (linear 8/16/24/32-bit, float32,
+    * G.711 μ/A-law, IMA + MS ADPCM mono/stereo, FLAC — WAV/AIFF/AU/FLAC
+    * containers) is re-emitted as
     * a canonical 16-bit little-endian WAV with sample rate and channel
     * count preserved and the row's format set to "wav"; payloads no
     * JDK-free path decodes (entropy-coded codecs) pass through UNCHANGED

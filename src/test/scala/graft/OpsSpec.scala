@@ -2957,6 +2957,13 @@ class OpsSpec extends AnyFunSuite {
     // the m20 gate fixture decodes with its declared geometry
     val fx = Multimodal.decodeOne(row(4L, Multimodal.syntheticFlac(7L, 9)))
     assert(fx.n_frames == 9 && fx.width == 8000 && fx.n_bytes == 200)
+    // MULTI-FRAME streams (the shape real encoders emit): three frames,
+    // short last block, per-frame numbers and CRCs — concatenated decode
+    val mf = Flac.buildFlacMultiMono(8000,
+      Seq(Array(5, -7, 11, 0), Array(900, -900, 32767, -32768),
+        Array(42, 17)), 3)
+    assert(dec(mf) ==
+      Seq(5, -7, 11, 0, 900, -900, 32767, -32768, 42, 17))
   }
 
   test("FLAC stereo decorrelation reconstructs left/side, right/side and " +
