@@ -850,6 +850,22 @@ object SparkEntry {
             "features[2] AS duration_sec",
             "features[3] AS zero_crossings")
           .orderBy("doc_id")),
+      // m21: FLAC through the canonicalize transform — transcode the
+      // entropy-coded corpus to 16-bit PCM WAV, then decode THE
+      // TRANSCODED BYTES; losslessness is now oracle-gated end-to-end,
+      // not just spec-pinned
+      "m21_flac_transcode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.transcodePcm16(
+            ops.Multimodal.attachSyntheticFlac(
+              CubeCatalog.forDir(s, dir).table("documents"), 2, 10)))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
       // m19: STEREO MS ADPCM — channel-interleaved headers, hi-nibble
       // channel 0 per byte; the oracle replays both channels' chains
       // AND the mean mixdown
@@ -2570,6 +2586,49 @@ object SparkEntry {
        |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   }
 
+  /** m20/m21 oracle: the FLAC fixture's decoded ground truth — sample 0
+    * is the warmup, sample i is warmup + the running residual sum (the
+    * FIXED-order-1 recurrence collapses to one window SUM), every value
+    * re-derived from the generator's md5 keys. m20 checks the direct
+    * decode (`fmt` 'flac', fixed 200-byte stream); m21 re-checks it
+    * THROUGH transcodePcm16 (lossless — only the container geometry
+    * changes to the canonical 44 + 2n-byte WAV). */
+  private def flacOracleSql(fmt: String, nBytes: String): String =
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id % 10 + 2 AS INTEGER) AS n
+       |  FROM documents),
+       |hw AS (SELECT doc_id, n,
+       |  md5(CAST(doc_id AS VARCHAR) || ':fw') AS h FROM d),
+       |w0 AS (SELECT doc_id, n,
+       |  CAST(($MD5_U_HORNER) % 2000 - 1000 AS INTEGER) AS s0 FROM hw),
+       |rh AS (SELECT d.doc_id, i.range AS i,
+       |  md5(CAST(d.doc_id AS VARCHAR) || ':fr:' ||
+       |      CAST(i.range AS VARCHAR)) AS h
+       |  FROM d CROSS JOIN range(0, 10) i WHERE i.range < d.n - 1),
+       |rs AS (SELECT doc_id, i,
+       |  CAST(($MD5_U_HORNER) % 64 - 32 AS INTEGER) AS r FROM rh),
+       |cum AS (SELECT doc_id, i + 1 AS i,
+       |  SUM(r) OVER (PARTITION BY doc_id ORDER BY i) AS c FROM rs),
+       |sm AS (
+       |  SELECT doc_id, n, 0 AS i, CAST(s0 AS BIGINT) AS v FROM w0
+       |  UNION ALL
+       |  SELECT c.doc_id, w.n, c.i, w.s0 + c.c AS v
+       |  FROM cum c JOIN w0 w USING (doc_id)),
+       |sv AS (SELECT doc_id, n, i, v / 32768.0 AS s FROM sm),
+       |tr AS (SELECT doc_id, n, s,
+       |  CASE WHEN (s >= 0) !=
+       |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+       |    THEN 1 ELSE 0 END AS zx
+       |  FROM sv)
+       |SELECT doc_id, $fmt AS format,
+       |  CAST(8000 AS INTEGER) AS sample_rate,
+       |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
+       |  CAST($nBytes AS INTEGER) AS n_bytes,
+       |  sqrt(SUM(s * s) / n) AS rms,
+       |  MAX(ABS(s)) AS peak,
+       |  n / 8000.0 AS duration_sec,
+       |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+       |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "q01_returnflag_agg" ->
       s"""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
@@ -4074,41 +4133,11 @@ object SparkEntry {
     // m20: the FLAC fixture's FIXED-order-1 chain is warmup + running
     // residual sum — the oracle recomputes it per sample from md5 while
     // the engine must decode the Rice bitstream to recover the residuals
-    "m20_flac_decode" ->
-      s"""WITH d AS (SELECT doc_id, CAST(doc_id % 10 + 2 AS INTEGER) AS n
-         |  FROM documents),
-         |hw AS (SELECT doc_id, n,
-         |  md5(CAST(doc_id AS VARCHAR) || ':fw') AS h FROM d),
-         |w0 AS (SELECT doc_id, n,
-         |  CAST(($MD5_U_HORNER) % 2000 - 1000 AS INTEGER) AS s0 FROM hw),
-         |rh AS (SELECT d.doc_id, i.range AS i,
-         |  md5(CAST(d.doc_id AS VARCHAR) || ':fr:' ||
-         |      CAST(i.range AS VARCHAR)) AS h
-         |  FROM d CROSS JOIN range(0, 10) i WHERE i.range < d.n - 1),
-         |rs AS (SELECT doc_id, i,
-         |  CAST(($MD5_U_HORNER) % 64 - 32 AS INTEGER) AS r FROM rh),
-         |cum AS (SELECT doc_id, i + 1 AS i,
-         |  SUM(r) OVER (PARTITION BY doc_id ORDER BY i) AS c FROM rs),
-         |sm AS (
-         |  SELECT doc_id, n, 0 AS i, CAST(s0 AS BIGINT) AS v FROM w0
-         |  UNION ALL
-         |  SELECT c.doc_id, w.n, c.i, w.s0 + c.c AS v
-         |  FROM cum c JOIN w0 w USING (doc_id)),
-         |sv AS (SELECT doc_id, n, i, v / 32768.0 AS s FROM sm),
-         |tr AS (SELECT doc_id, n, s,
-         |  CASE WHEN (s >= 0) !=
-         |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
-         |    THEN 1 ELSE 0 END AS zx
-         |  FROM sv)
-         |SELECT doc_id, 'flac' AS format,
-         |  CAST(8000 AS INTEGER) AS sample_rate,
-         |  CAST(1 AS INTEGER) AS channels, n AS n_frames,
-         |  CAST(200 AS INTEGER) AS n_bytes,
-         |  sqrt(SUM(s * s) / n) AS rms,
-         |  MAX(ABS(s)) AS peak,
-         |  n / 8000.0 AS duration_sec,
-         |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
-         |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "m20_flac_decode" -> flacOracleSql("'flac'", "200"),
+    // m21: the SAME decoded ground truth re-checked THROUGH
+    // transcodePcm16 — FLAC→canonical-WAV is lossless, so only the
+    // container geometry (format, byte count) changes
+    "m21_flac_transcode" -> flacOracleSql("'wav'", "44 + 2 * n"),
     // m10: the audio fingerprint replayed from ground truth — window RMS
     // over exact dyadic samples (window counts are 1 or 2, power-of-two
     // divisions), delta SIGNS are the bits; the half-gain clone's samples

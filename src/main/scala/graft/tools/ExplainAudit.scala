@@ -57,7 +57,10 @@ object ExplainAudit {
         "q90_mdx_generate_order", "q91_mdx_generate_topfilter",
         "m01_multimodal_decode", "m07_video_decode", "m08_video_neardup",
         "m09_audio_decode", "m10_audio_neardup", "m11_video_delta_neardup",
-        "m12_ulaw_decode", "m13_adpcm_decode", "m14_transcode_pcm16", "m15_resample2x", "m16_alaw_decode")
+        "m12_ulaw_decode", "m13_adpcm_decode", "m14_transcode_pcm16",
+        "m15_resample2x", "m16_alaw_decode", "m17_adpcm_stereo",
+        "m18_msadpcm_decode", "m19_msadpcm_stereo", "m20_flac_decode",
+        "d23_containment_auto", "q92_mdx_virtual_calc")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
