@@ -1413,6 +1413,21 @@ object SparkEntry {
             |[Geography].[Region].Members ON ROWS
             |FROM commerce""".stripMargin))
       }),
+      // q93: FILTER composed over the AD-HOC virtual-cube calc — the
+      // HAVING evaluates on the drill-across frame AFTER the cross-cube
+      // ratio is derived, so the threshold prunes regions by a measure
+      // neither member cube carries alone
+      "q93_mdx_virtual_filter" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(Planner.mdxView(c, "commerce"),
+          """WITH MEMBER [Measures].[rps] AS
+            |  '[Measures].[Revenue] / [Measures].[Total Sales]'
+            |SELECT {[Measures].[Revenue], [Measures].[Total Sales],
+            |  [Measures].[rps]} ON COLUMNS,
+            |FILTER([Geography].[Region].Members,
+            |  [Measures].[rps] > 0.7) ON ROWS
+            |FROM commerce""".stripMargin))
+      }),
       // WITH MEMBER: query-scoped calculated measure over declared measures
       "q37_mdx_with_member" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -2998,6 +3013,24 @@ object SparkEntry {
          |SELECT region, region_label, revenue, total_sales,
          |revenue / total_sales AS rps
          |FROM s FULL JOIN o USING (region, region_label)
+         |ORDER BY region""".stripMargin,
+    // q93: q92's drill-across ratio with the FILTER threshold applied
+    // after derivation — same decimal discipline, rows where rps > 0.7
+    "q93_mdx_virtual_filter" ->
+      s"""WITH s AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2),
+         |o AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    ${sumd("o_totalprice", "total_sales")}
+         |  $CUST_GEO_JOIN
+         |  GROUP BY 1, 2)
+         |SELECT region, region_label, revenue, total_sales,
+         |revenue / total_sales AS rps
+         |FROM s FULL JOIN o USING (region, region_label)
+         |WHERE revenue / total_sales > 0.7
          |ORDER BY region""".stripMargin,
     // q71: COUNT(Brand.Members) is the distinct-brand count of the dim
     // table (the schema reader's member list, slicer-independent)
