@@ -449,6 +449,45 @@ private[graft] object Flac {
 
   // -------------------------------------------------- fixture generators
 
+  /** Residual block per the channel spec: Rice method (2 bits),
+    * partition order (4 bits), then per partition either the Rice param
+    * + coded values, or — when `escapeRaw` is set — the escape param and
+    * fixed-width raw values. The generator-side inverse of
+    * [[readResidual]], covering every branch the decoder has. */
+  private def writeResidual(body: BitWriter, c: Chan, order: Int,
+      blockSize: Int): Unit = {
+    val pBits = if (c.method == 0) 4 else 5
+    body.writeBits(c.method, 2)
+    body.writeBits(c.po, 4)
+    val partitions = 1 << c.po
+    require(blockSize % partitions == 0, "block not divisible")
+    var idx = 0
+    var j = 0
+    while (j < partitions) {
+      val count = (blockSize >> c.po) - (if (j == 0) order else 0)
+      c.escapeRaw match {
+        case Some(raw) =>
+          body.writeBits((1 << pBits) - 1, pBits) // escape param
+          body.writeBits(raw, 5)
+          var i = 0
+          while (i < count) {
+            if (raw > 0)
+              body.writeBits(c.residuals(idx).toLong & ((1L << raw) - 1),
+                raw)
+            idx += 1; i += 1
+          }
+        case None =>
+          body.writeBits(c.p, pBits)
+          var i = 0
+          while (i < count) {
+            writeRice(body, c.residuals(idx), c.p)
+            idx += 1; i += 1
+          }
+      }
+      j += 1
+    }
+  }
+
   /** Rice-encode one residual value with parameter `p` (zigzag + unary
     * quotient + p remainder bits) — the generator-side inverse of
     * [[readResidual]]. */
@@ -472,7 +511,8 @@ private[graft] object Flac {
     * subframe's effective width (17 for a side channel). */
   final case class Chan(order: Int, warmup: Array[Int],
       residuals: Array[Int], p: Int, bits: Int = 16,
-      lpc: Option[(Array[Int], Int, Int)] = None, wasted: Int = 0)
+      lpc: Option[(Array[Int], Int, Int)] = None, wasted: Int = 0,
+      method: Int = 0, po: Int = 0, escapeRaw: Option[Int] = None)
 
   /** A complete in-memory FLAC stream: STREAMINFO + one frame with the
     * given channel assignment (`asgn` 0 = mono, 1 = stereo independent,
@@ -546,10 +586,7 @@ private[graft] object Flac {
           body.writeBits(8 | o, 6)
           wastedFlag()
           c.warmup.foreach(v => body.writeBits(mask(v), eff))
-          body.writeBits(0, 2) // rice method 0 (4-bit params)
-          body.writeBits(0, 4) // partition order 0
-          body.writeBits(c.p, 4)
-          c.residuals.foreach(v => writeRice(body, v, c.p))
+          writeResidual(body, c, o, blockSize)
         case o => // LPC
           val (coefs, shift, precision) = c.lpc.get
           body.writeBits(0x20 | (o - 1), 6)
@@ -559,10 +596,7 @@ private[graft] object Flac {
           body.writeBits(shift.toLong & 0x1f, 5)
           coefs.foreach(v =>
             body.writeBits(v.toLong & ((1L << precision) - 1), precision))
-          body.writeBits(0, 2)
-          body.writeBits(0, 4)
-          body.writeBits(c.p, 4)
-          c.residuals.foreach(v => writeRice(body, v, c.p))
+          writeResidual(body, c, o, blockSize)
       }
     }
     val bodyBytes = body.toBytes

@@ -2964,6 +2964,24 @@ class OpsSpec extends AnyFunSuite {
         Array(42, 17)), 3)
     assert(dec(mf) ==
       Seq(5, -7, 11, 0, 900, -900, 32767, -32768, 42, 17))
+    // partitioned residuals: order 1, partition order 1 over blockSize 4
+    // (first partition 1 residual, second 2) — s_i = s_{i-1} + r
+    assert(dec(Flac.buildFlac(8000, 0,
+      Seq(Flac.Chan(1, Array(50), Array(2, -3, 7), 1, po = 1))))
+      == Seq(50, 52, 49, 56))
+    // the 5-bit Rice method (method 01) decodes with param 17 — values
+    // beyond any 4-bit param's comfortable range
+    assert(dec(Flac.buildFlac(8000, 0,
+      Seq(Flac.Chan(0, Array.empty, Array(20000, -20000, 1), 17,
+        method = 1)))) == Seq(20000, -20000, 1))
+    // ESCAPE partitions: raw 12-bit two's-complement residuals, no
+    // entropy coding — and raw width 0 means all-zero residuals
+    assert(dec(Flac.buildFlac(8000, 0,
+      Seq(Flac.Chan(0, Array.empty, Array(2047, -2048, 5, -1), 0,
+        escapeRaw = Some(12))))) == Seq(2047, -2048, 5, -1))
+    assert(dec(Flac.buildFlac(8000, 0,
+      Seq(Flac.Chan(1, Array(99), Array(0, 0, 0), 0,
+        escapeRaw = Some(0))))) == Seq(99, 99, 99, 99))
   }
 
   test("FLAC stereo decorrelation reconstructs left/side, right/side and " +
