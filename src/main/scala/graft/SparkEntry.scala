@@ -353,6 +353,14 @@ object SparkEntry {
           dupClusters(s, dir))),
       "d04_ngram_jaccard" -> tbl("documents")(
         ops.Dedup.ngramJaccardPairs(_, 3, "lang", 0.2)),
+      // d24: the PRODUCTION symmetric-Jaccard variant — prefix self-join
+      // with the index side df-capped (deterministic xxhash downsample,
+      // probe side uncapped, candidate work O(P·cap)); the auto cap
+      // (max(256, 4√n)) is far above this corpus' max prefix-shingle df,
+      // so the gate replays the exact d04 join bit-for-bit while the cap
+      // only engages at corpus scale
+      "d24_ngram_jaccard_auto" -> tbl("documents")(
+        ops.Dedup.ngramJaccardAuto(_, 3, "lang", 0.2)),
       // asymmetric containment |A∩B|/|A| — the quote-expansion duplicates
       // symmetric Jaccard misses (prefix⋈inverted-index, PPJoin-pruned)
       "d19_containment" -> tbl("documents")(
@@ -3493,6 +3501,24 @@ object SparkEntry {
         |WHERE d.doc_id = cl.cluster_id
         |ORDER BY d.doc_id""".stripMargin,
     "d04_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, lang,
+        |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+        |  ELSE list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
+        |FROM pairs WHERE inter / (na + nb - inter) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // d24: at gate scale the prefix-df cap never engages, so the auto
+    // variant must be BIT-IDENTICAL to the exact symmetric Jaccard join —
+    // same oracle as d04
+    "d24_ngram_jaccard_auto" ->
       """WITH sh AS (SELECT doc_id, lang,
         |  CASE WHEN len(string_split(text, ' ')) < 3 THEN []
         |  ELSE list_distinct(list_transform(

@@ -590,12 +590,22 @@ object Dedup {
     val full = fullPostings(sh).localCheckpoint()
     val pre = full.where(col("pos") <=
       col("n") - ceil(round(col("n") * threshold, 9)) + 1)
-    // exact per-(block, shingle) df of the HOT tail only: one linear agg,
-    // broadcast back (≤ one row per shingle hotter than the cap — by
-    // definition at most postings/cap rows, a bounded set)
+    // exact per-(block, shingle) df of the HOT tail only: one linear agg.
+    // Row count is ≤ postings/cap, which with the auto cap 4√n GROWS as
+    // √n·avg_df — NOT a constant: at 100 TB (n ≈ 10¹⁰ docs) it can reach
+    // tens of millions of rows, past any safe broadcast. So the broadcast
+    // is size-gated on an actual count (hotDf is one agg over the already-
+    // checkpointed postings — the count re-reads the checkpoint, not the
+    // corpus); above the gate the downsample join degrades to a shuffle
+    // hash join on (block, s), which is correct and merely repartitions
+    // the posting stream it was about to shuffle for the candidate join
+    // anyway.
     val hotDf = full.groupBy("block", "s").agg(count(lit(1)).as("df"))
       .where(col("df") > cap)
-    val fullCapped = full.join(broadcast(hotDf), Seq("block", "s"), "left")
+      .localCheckpoint()
+    val hotSide =
+      if (hotDf.count() <= 4000000L) broadcast(hotDf) else hotDf
+    val fullCapped = full.join(hotSide, Seq("block", "s"), "left")
       .where(col("df").isNull ||
         pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)
       .drop("df")
@@ -624,6 +634,117 @@ object Dedup {
       .withColumn("containment", expr("inter / na"))
       .where(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** PRODUCTION-SCALE symmetric n-gram Jaccard — [[ngramJaccardPairs]]'
+    * prefix self-join with the INDEX side df-capped, the sub-quadratic
+    * sibling [[containmentPairsAuto]] gave the directional join. The exact
+    * SSJoin's posting work is Σ(prefix_df²) over (block, shingle): exact
+    * and prefix-bounded, but still hostage to any shingle that is hot
+    * INSIDE prefixes (near-identical boilerplate families, template
+    * corpora) — the one fuzzy family with no 100×-runnable variant until
+    * now.
+    *
+    * SHAPE — the symmetric case needs care the directional one didn't. A
+    * containment probe has a natural asymmetry (contained prefix vs
+    * container index); a Jaccard pair has none, so capping "both sides"
+    * of the self-join would square the miss probability. Instead the
+    * self-join is made asymmetric BY ROLE, not by data: side `a` (probe)
+    * is every doc's prefix UNCAPPED; side `b` (index) is the same prefix
+    * postings with any (block, shingle) hotter than `cap` downsampled to
+    * an expected `cap` survivors (xxhash64(s, doc_b) mod df < cap — a
+    * pure function of the data, so reruns and the oracle agree). Matches
+    * canonicalize to (least, greatest) and dedupe, so each unordered pair
+    * gets TWO independent detection chances: A's probe hitting B's
+    * surviving posting, or B's probe hitting A's.
+    *
+    * WORK BOUND — why this stays O(P·cap) even though both docs' prefixes
+    * survive uncapped on the probe side: the join fans out per PROBE
+    * posting, and each probe posting meets only the ≤ cap index survivors
+    * of its (block, shingle) — so candidate work is ≤ P·cap for P total
+    * prefix postings, regardless of how hot any shingle is. The uncapped
+    * probe side costs P rows of shuffle, which is the linear cost the
+    * exact join already paid; only the quadratic df² term is cut.
+    *
+    * RECALL CONTRACT:
+    *  - a qualifying pair sharing at least one prefix shingle with
+    *    df ≤ cap is found with probability 1 — sub-cap postings are never
+    *    dropped, and the rarest-first canonical order makes the prefix
+    *    each doc's RAREST (1−t)-fraction, so for natural corpora this is
+    *    every real near-dup (a planted dup shares ALL of a doc's
+    *    shingles, including its rarest — the sweep pins that recall at
+    *    1.0 at every factor);
+    *  - a pair whose EVERY shared prefix shingle is hotter than the cap
+    *    survives iff either doc outlives one of those shingles'
+    *    downsamples: P ≥ 1 − Π_s (1 − cap/df_s)² over the shared hot
+    *    prefix shingles (the square is the two independent probe
+    *    directions). Such pairs exist only where the docs' rarest common
+    *    content is itself corpus-hot — exactly the regime where the exact
+    *    join is output-bound quadratic and a cap is the only linear
+    *    answer.
+    *
+    * NO PPJoin position filter, same reason as [[containmentPairsAuto]]:
+    * the bound is only valid at the pair's TRUE first shared canonical
+    * token, and a capped index posting can hide that token — the bound at
+    * the observed-first token can underestimate and prune a qualifying
+    * pair, silently breaking the contract. The size-ratio prune (exact —
+    * it reads only n_a/n_b, never postings) and the exact full-array
+    * verify keep the candidate set honest; every emitted pair is EXACT.
+    *
+    * `dfCap` = 0 auto-sizes to max(256, ⌈4·√nDocs⌉) — far above any
+    * natural shingle's PREFIX df at gate scale (the d24 gate corpus'
+    * prefixes top out well under 256), so the gate replays
+    * [[ngramJaccardPairs]] bit-for-bit while the cap engages only at
+    * corpus scale. */
+  def ngramJaccardAuto(docs: DataFrame, k: Int, blockCol: String,
+      threshold: Double, dfCap: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    require(dfCap >= 0, "dfCap must be non-negative")
+    val cap =
+      if (dfCap > 0) dfCap.toLong
+      else math.max(256L, math.ceil(4 * math.sqrt(
+        docs.count().toDouble)).toLong)
+    val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
+      hashedShingles("text", k).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint()
+    val prefix = prefixPostings(sh, threshold).localCheckpoint()
+    // hot tail of the PREFIX posting dfs only; same √n-growth note and
+    // size-gated broadcast as containmentPairsAuto (the count reads the
+    // checkpointed postings, not the corpus)
+    val hotDf = prefix.groupBy("block", "s").agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
+      .localCheckpoint()
+    val hotSide =
+      if (hotDf.count() <= 4000000L) broadcast(hotDf) else hotDf
+    val prefixCapped = prefix.join(hotSide, Seq("block", "s"), "left")
+      .where(col("df").isNull ||
+        pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)
+      .drop("df")
+    val a = prefix.select(col("block").as("block_a"),
+      col("doc_id").as("id_a"), col("n").as("na"), col("s").as("s_a"))
+    val b = prefixCapped.select(col("block").as("block_b"),
+      col("doc_id").as("id_b"), col("n").as("nb"), col("s").as("s_b"))
+    val cand = a.join(b,
+      col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
+        col("id_a") =!= col("id_b") &&
+        // exact size-ratio prune, both directions (round(…, 9) snaps
+        // product ulps as in ssjoinCandidates)
+        col("na") >= round(col("nb") * threshold, 9) &&
+        col("nb") >= round(col("na") * threshold, 9))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard", expr("inter / (na + nb - inter)"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 

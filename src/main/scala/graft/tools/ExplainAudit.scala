@@ -60,7 +60,9 @@ object ExplainAudit {
         "m12_ulaw_decode", "m13_adpcm_decode", "m14_transcode_pcm16",
         "m15_resample2x", "m16_alaw_decode", "m17_adpcm_stereo",
         "m18_msadpcm_decode", "m19_msadpcm_stereo", "m20_flac_decode",
-        "d23_containment_auto", "q92_mdx_virtual_calc")
+        "d23_containment_auto", "q92_mdx_virtual_calc",
+        "m21_flac_transcode", "q93_mdx_virtual_filter",
+        "d24_ngram_jaccard_auto")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -491,6 +491,8 @@ object ScaleSweep {
       val rows = pairs.count()
       (rows, Map("recall_exact" -> fmt(docRecall(pairs, 0))))
     }
+    // the exact symmetric SSJoin stays budget-capped (Σ prefix_df² class);
+    // its 100×-runnable production sibling is ngram_jaccard_auto below
     if (nDocs <= 200000) time("ngram_jaccard") {
       val rows = Dedup.ngramJaccardPairs(docs, 3, "lang", 0.5).count()
       (rows, Map("threshold" -> "0.5", "n_docs" -> nDocs.toString))
@@ -515,6 +517,19 @@ object ScaleSweep {
         .localCheckpoint()
       val rows = pairs.count()
       (rows, Map("threshold" -> "0.8", "n_docs" -> nDocs.toString,
+        "recall_exact" -> fmt(docRecall(pairs, 0))))
+    }
+    // the PRODUCTION symmetric-Jaccard path: index-side df-capped prefix
+    // self-join (probe side uncapped, candidate work O(P·cap)) — the
+    // family's auto-sized 100×-runnable row, closing the last
+    // budget-capped fuzzy family (ngram_jaccard above). Planted exact
+    // dups share their rarest shingles, far under the auto cap, so the
+    // recall contract pins them at 1.0 at every factor.
+    time("ngram_jaccard_auto") {
+      val pairs = Dedup.ngramJaccardAuto(docs, 3, "lang", 0.5)
+        .localCheckpoint()
+      val rows = pairs.count()
+      (rows, Map("threshold" -> "0.5", "n_docs" -> nDocs.toString,
         "recall_exact" -> fmt(docRecall(pairs, 0))))
     }
     familyBoundary()

@@ -2909,6 +2909,38 @@ class OpsSpec extends AnyFunSuite {
       "planted rare-shingle pair must survive any cap")
   }
 
+  test("ngramJaccardAuto: with an uncapped df the result is bit-identical " +
+      "to the exact symmetric SSJoin; a tiny cap keeps every pair sharing " +
+      "a sub-cap prefix shingle (the recall contract) and never emits a " +
+      "pair the exact join would not") {
+    import spark.implicits._
+    // plant an exact duplicate of doc 7: the pair shares ALL shingles,
+    // including its rarest, so the recall contract guarantees it at any cap
+    val d7 = docs.where(col("doc_id") === 7L).select("lang", "text").head()
+    val planted = Seq((300001L, d7.getString(0), d7.getString(1)))
+      .toDF("doc_id", "lang", "text")
+    val corpus = docs.select("doc_id", "lang", "text").unionByName(planted)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = m(Dedup.ngramJaccardPairs(corpus, 3, "lang", 0.5))
+    // auto cap (≥ 256) ≫ any prefix df here → bit-identical to the exact
+    // join (this is the d24 gate's premise)
+    assert(m(Dedup.ngramJaccardAuto(corpus, 3, "lang", 0.5)) == exact)
+    // a deliberately tiny cap: emitted pairs are a SUBSET of the exact
+    // result with IDENTICAL jaccard values (verification is exact — the
+    // cap can lose pairs, never invent or misvalue them), pairs are
+    // canonically ordered (doc_a < doc_b), and the planted exact dup
+    // survives via its rarest shared prefix shingles
+    val capped = m(Dedup.ngramJaccardAuto(corpus, 3, "lang", 0.5,
+      dfCap = 2))
+    capped.foreach { case (k, v) =>
+      assert(k._1 < k._2, s"pair $k not canonical")
+      assert(exact.get(k).contains(v))
+    }
+    assert(capped.get((7L, 300001L)).contains(1.0),
+      "planted exact-dup pair must survive any cap")
+  }
+
   test("FLAC decode is REAL entropy-coded audio: Rice-coded FIXED " +
       "subframes reconstruct exact reference vectors across orders and " +
       "rice parameters; CONSTANT/VERBATIM/LPC subframes, escape-free " +
