@@ -430,6 +430,32 @@ object Similarity {
     PqIndex(cbs, spark.read.parquet(s"$path/corpus"))
   }
 
+  /** GDPR DELETE for a [[PqIndex]] — the ANN side of the tombstone story
+    * ([[graft.ops.Dedup.tombstoneDelete]] for text LSH,
+    * [[graft.ops.Multimodal.mediaFpDelete]] for media fingerprints): a
+    * forgotten doc's codes must stop serving as neighbors from a standing
+    * index without paying a codebook retrain per delete batch. One skinny
+    * broadcast anti-join on the encoded corpus; `deletes` carries
+    * `vec_id`.
+    *
+    * WHY THE STALE CODEBOOKS ARE ACCEPTABLE until the next rebuild:
+    * codebooks trained on data that included the deleted vectors encode
+    * no retrievable row — they are k-means cell centers, an aggregate
+    * geometry — and every serving path over a [[PqIndex]]
+    * ([[pqKnnBoundWith]], [[pqRangeSearch]]) is CERTIFICATE-EXACT: the
+    * ADC scan only seeds θ / prunes via a Cauchy-Schwarz upper bound, and
+    * survivors re-rank on the raw vectors. Worse-fitting codebooks can
+    * only loosen the bound (more candidates certified into the exact
+    * re-rank), never change a returned row — so delete-then-query is
+    * bit-identical to rebuild-on-survivors-then-query, which
+    * [[graft.OpsSpec]] proves. */
+  def pqDelete(idx: PqIndex, deletes: DataFrame): PqIndex = {
+    val del = broadcast(deletes.select(col("vec_id").as("__del")).distinct())
+    PqIndex(idx.cbs, idx.corpus
+      .join(del, col("neighbor_id") === col("__del"), "left_anti")
+      .localCheckpoint())
+  }
+
   /** Vector dimensionality a [[PqIndex]] was built for — m subspaces ×
     * subspace width. The index is the authority: a caller-supplied dim
     * that disagreed with the codebook geometry would slice query vectors
@@ -1044,19 +1070,55 @@ object Similarity {
       .select(col("cell").as("cell_n"), col("vec_id").as("neighbor_id"),
         col("v").as("v_n"))
       .localCheckpoint()
-    // per-cell max residual norm — nlist rows, checkpointed so probes don't
-    // re-aggregate the corpus. typedLit packs the k×dim centroid table into
-    // ONE literal node (a per-element array(lit…) tree is O(k·dim) plan
-    // nodes — analysis-time death at the √n production nlist).
+    IvfIndex(cs, corpus, cellResFor(corpus, cs))
+  }
+
+  /** Per-cell max residual norm over an assigned corpus — nlist rows,
+    * checkpointed so probes don't re-aggregate the corpus. typedLit packs
+    * the k×dim centroid table into ONE literal node (a per-element
+    * array(lit…) tree is O(k·dim) plan nodes — analysis-time death at the
+    * √n production nlist). Shared by [[ivfIndex]] (build) and
+    * [[ivfDelete]] (refresh over survivors). */
+  private def cellResFor(corpus: DataFrame,
+      cs: Array[Array[Double]]): DataFrame = {
     val centArr = typedLit(cs.map(_.toSeq).toSeq)
-    val cellRes = corpus
+    corpus
       .withColumn("c", element_at(centArr, col("cell_n") + 1))
       .withColumn("r2", aggregate(
         zip_with(col("v_n"), col("c"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x))
       .groupBy("cell_n").agg(sqrt(max(col("r2"))).as("max_res"))
       .localCheckpoint()
-    IvfIndex(cs, corpus, cellRes)
+  }
+
+  /** GDPR DELETE for an [[IvfIndex]] — [[pqDelete]]'s twin on the
+    * cell-partitioned layout: anti-join the assigned corpus on `vec_id`,
+    * keep the centroids, REFRESH the per-cell residual bounds from the
+    * survivors.
+    *
+    * WHY THE STALE CENTROIDS ARE ACCEPTABLE until the next rebuild: the
+    * coarse quantizer is aggregate geometry (no row is recoverable from
+    * it), cell assignments of surviving vectors are unchanged (assignment
+    * is a pure function of vector × centroids), and [[knnIvfProbe]] is
+    * exact against ANY partition of the corpus — the Cauchy-Schwarz bound
+    * q·c + max_res self-extends the probe set until nothing outside can
+    * qualify. A survivors-trained quantizer would only partition better
+    * (fewer probes), never answer differently — so delete-then-query is
+    * bit-identical to rebuild-on-survivors-then-query, which
+    * [[graft.OpsSpec]] proves.
+    *
+    * cellRes is re-derived rather than kept: the old bounds (max over a
+    * superset) would stay CORRECT — the bound only over-probes — but the
+    * refresh is one linear agg over the already-materialized index
+    * corpus, and a deleted outlier's slack otherwise lingers as permanent
+    * extra probe work. Cells emptied by the delete drop out of both
+    * frames, which phase 2 handles (no bound row → no probe). */
+  def ivfDelete(idx: IvfIndex, deletes: DataFrame): IvfIndex = {
+    val del = broadcast(deletes.select(col("vec_id").as("__del")).distinct())
+    val corpus = idx.corpus
+      .join(del, col("neighbor_id") === col("__del"), "left_anti")
+      .localCheckpoint()
+    IvfIndex(idx.cs, corpus, cellResFor(corpus, idx.cs))
   }
 
   /** IVF ANN with an EXACTNESS guarantee: k-means coarse quantizer over the

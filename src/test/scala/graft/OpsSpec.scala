@@ -2668,6 +2668,67 @@ class OpsSpec extends AnyFunSuite {
     assert(expected >= 4 * k, s"sizing rule floor: $expected")
   }
 
+  test("pqDelete / ivfDelete: the ANN tombstone invariant — delete-then-" +
+      "query is bit-identical to rebuild-on-survivors-then-query on every " +
+      "exact serving path, and a forgotten vector serves from nowhere, " +
+      "including a persisted index") {
+    import spark.implicits._
+    val k = 5
+    val qids = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // victim = query 0's current top neighbor, so the delete visibly
+    // changes served results; keep the query ids themselves alive
+    val victim = rows(Similarity.knnBrute(emb, Seq(0L), 1)).head._3
+    assert(!qids.contains(victim))
+    val deletes = Seq(victim).toDF("vec_id")
+    val survivors = emb.where(col("vec_id") =!= victim)
+    val truth = rows(Similarity.knnBrute(survivors, qids, k))
+    assert(truth.forall(_._3 != victim))
+    assert(!truth.sameElements(rows(Similarity.knnBrute(emb, qids, k))),
+      "victim choice must make the delete observable")
+
+    // PQ: stale codebooks, anti-joined corpus — still certificate-exact,
+    // so it matches BOTH a full rebuild and brute force over survivors
+    val pqDel = Similarity.pqDelete(Similarity.pqIndex(emb), deletes)
+    assert(rows(Similarity.pqKnnBoundWith(pqDel, qids, k))
+      .sameElements(truth))
+    assert(rows(Similarity.pqKnnBoundWith(
+        Similarity.pqIndex(survivors), qids, k))
+      .sameElements(truth))
+    // the exact radius path over the deleted index: victim gone, rest exact
+    val tau = 0.25
+    val n = survivors.count().toInt
+    assert(rows(Similarity.pqRangeSearch(pqDel, qids, tau)).sameElements(
+      rows(Similarity.knnBrute(survivors, qids, n)).filter(_._4 >= tau)))
+    // a deleted vector cannot be a query either: it resolves in the index
+    assert(Similarity.pqKnnBoundWith(pqDel, Seq(victim), k).isEmpty)
+    // persistence: save the deleted index, reload, serve — still exact
+    val dir = java.nio.file.Files.createTempDirectory("pqdel").toString
+    Similarity.savePqIndex(pqDel, dir)
+    assert(rows(Similarity.pqKnnBoundWith(
+        Similarity.loadPqIndex(spark, dir), qids, k))
+      .sameElements(truth))
+
+    // IVF: stale centroids, refreshed cell bounds — the Cauchy-Schwarz
+    // probe is exact against any partition, so delete-then-probe equals
+    // rebuild-on-survivors (same nlist) equals brute force
+    val (ivfBuilt, nlist) = Similarity.ivfIndexAuto(emb)
+    val ivfDel = Similarity.ivfDelete(ivfBuilt, deletes)
+    assert(rows(Similarity.knnIvfProbe(ivfDel, qids, k, nprobe = 3))
+      .sameElements(truth))
+    assert(rows(Similarity.knnIvfProbe(
+        Similarity.ivfIndex(survivors, nlist), qids, k, nprobe = 3))
+      .sameElements(truth))
+    assert(Similarity.knnIvfProbe(ivfDel, Seq(victim), k, 3).isEmpty)
+    // the refreshed residual bounds cover exactly the surviving cells
+    val cells = ivfDel.corpus.select("cell_n").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val resCells = ivfDel.cellRes.select("cell_n").collect()
+      .map(_.getInt(0)).toSet
+    assert(cells == resCells)
+  }
+
   test("knnRecall: identical results score 1.0, disjoint 0.0, partial " +
       "overlap the exact fraction") {
     import spark.implicits._
