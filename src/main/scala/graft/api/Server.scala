@@ -30,6 +30,8 @@ import graft.sources.{MondrianXml, SchemaLoader}
   *   GET /cubes/:cube/dimensions/:dim/hierarchies/:h/levels/:lvl/members[/:key]
   *   GET /reports[/:name[.csv|.jsonrecords|.xls]]  named warehouse reports
   *   GET /flush                                    drop catalog caches
+  *   POST /forget?doc_ids=…                        GDPR tombstone across all
+  *       standing artifacts (secret-gated like /flush; [[graft.ops.Forget]])
   */
 final class Server(spark: SparkSession, sfDir: String, port: Int,
     flushSecret: Option[String] = sys.env.get("GRAFT_SECRET"),
@@ -229,26 +231,49 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
         case other => GraftException.notFound(s"unknown format: $other")
       }
     case List("flush") =>
-      // ref api.rb:54-64: flush is gated on a shared secret — 403 when the
-      // deployment never configured one (MONDRIAN_REST_SECRET analog:
-      // GRAFT_SECRET) and 403 on mismatch, so a public-facing instance
-      // can't have its caches dropped by an anonymous GET
-      val secret = flushSecret.getOrElse(
-        GraftException.forbidden("set GRAFT_SECRET to use this endpoint"))
-      // Accept the secret from an Authorization: Bearer header (preferred —
-      // stays out of access logs) or the ?secret= param (reference parity);
-      // MessageDigest.isEqual is constant-time, so the comparison leaks no
-      // prefix-length timing signal for a destructive endpoint.
-      val provided = params.get("__bearer").orElse(params.get("secret"))
-        .flatMap(_.headOption)
-      val ok = provided.exists(p => java.security.MessageDigest.isEqual(
-        p.getBytes(StandardCharsets.UTF_8),
-        secret.getBytes(StandardCharsets.UTF_8)))
-      if (!ok) GraftException.forbidden("invalid secret key")
+      requireSecret(params)
       CubeCatalog.flush()
       catalog = loadCatalog()
       text(200, "application/json", Json.write(ListMap("status" -> "flushed")))
+    // The GDPR surface (beyond reference parity, next to /flush — the
+    // other secret-gated admin route): rewrite every standing
+    // registration-time artifact so the given doc ids serve from nowhere
+    // (dedup pairs/clusters, LSH/media delta indexes, ANN indexes). See
+    // [[graft.ops.Forget]] for the exact rewrite per artifact kind.
+    case List("forget") =>
+      requireSecret(params)
+      val ids = params.getOrElse("doc_ids", Nil)
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(s => scala.util.Try(s.toLong).getOrElse(
+          GraftException.badRequest(s"doc_ids must be integers, got '$s'")))
+      if (ids.isEmpty)
+        GraftException.badRequest("forget requires doc_ids")
+      val rep = graft.ops.Forget.forget(spark, ids)
+      text(200, "application/json", Json.write(ListMap(
+        "status" -> "forgotten", "doc_ids" -> ids.distinct.size,
+        "artifacts_rewritten" -> rep.replaced,
+        "by_kind" -> rep.byKind)))
     case _ => GraftException.notFound(s"no route for /${segs.mkString("/")}")
+  }
+
+  /** Shared gate for the destructive admin routes (/flush, /forget) —
+    * ref api.rb:54-64: gated on a shared secret, 403 when the deployment
+    * never configured one (MONDRIAN_REST_SECRET analog: GRAFT_SECRET) and
+    * 403 on mismatch, so a public-facing instance can't have its caches
+    * dropped or its artifacts rewritten by an anonymous request. Accepts
+    * the secret from an Authorization: Bearer header (preferred — stays
+    * out of access logs) or the ?secret= param (reference parity);
+    * MessageDigest.isEqual is constant-time, so the comparison leaks no
+    * prefix-length timing signal. */
+  private def requireSecret(params: Map[String, Seq[String]]): Unit = {
+    val secret = flushSecret.getOrElse(
+      GraftException.forbidden("set GRAFT_SECRET to use this endpoint"))
+    val provided = params.get("__bearer").orElse(params.get("secret"))
+      .flatMap(_.headOption)
+    val ok = provided.exists(p => java.security.MessageDigest.isEqual(
+      p.getBytes(StandardCharsets.UTF_8),
+      secret.getBytes(StandardCharsets.UTF_8)))
+    if (!ok) GraftException.forbidden("invalid secret key")
   }
 
   /** (status, content type, body). Text bodies go through [[text]] so the

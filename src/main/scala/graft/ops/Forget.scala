@@ -1,0 +1,134 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE GDPR entry point — `forget(ids)` composes every tombstone the
+  * library grew per artifact family (text-LSH [[Dedup.tombstoneDelete]],
+  * media fingerprints [[Multimodal.mediaFpDelete]], ANN
+  * [[Similarity.pqDelete]]/[[Similarity.ivfDelete]]) and applies it to
+  * every standing registration-time artifact of a session, so a
+  * right-to-be-forgotten request is one call instead of a per-index
+  * checklist a deployment forgets to finish. REST-exposed as
+  * `POST /forget` next to `/flush` (same secret gate — both are
+  * destructive admin surfaces).
+  *
+  * WHAT IS REWRITTEN — the walk over [[IndexCache.transformEntries]] is
+  * type- and schema-directed, never key-string-guessing, with one
+  * documented exception (clusters, below):
+  *  - [[Dedup.LshIndex]]: postings + signatures anti-joined on doc_id —
+  *    the forgotten doc stops matching delta ingests immediately;
+  *  - [[Multimodal.MediaFpIndex]]: [[Multimodal.mediaFpDelete]];
+  *  - [[Similarity.PqIndex]] / [[Similarity.IvfIndex]]:
+  *    [[Similarity.pqDelete]] / [[Similarity.ivfDelete]] (certificate-
+  *    exact serving is unchanged; stale trained geometry documented
+  *    there);
+  *  - [[Similarity.IvfPqIndex]]: codes anti-joined on neighbor_id;
+  *    centroids/codebooks stay (aggregate geometry, no recoverable row)
+  *    and cellRes stays — a max over a superset is still a valid upper
+  *    bound, it can only over-probe;
+  *  - a [[DataFrame]] whose schema carries `doc_a`/`doc_b` (a standing
+  *    pair list): anti-joined on both sides;
+  *  - a [[DataFrame]] carrying `doc_id` + `cluster_id` (a standing
+  *    cluster artifact): re-clustered through [[Dedup.tombstoneDelete]]
+  *    when its sibling pair list is cached under the library's
+  *    `lshpairs:`/`lshclusters:` key convention — deleting a node can
+  *    SPLIT a component, which only the pair list can recompute. Without
+  *    a sibling the deleted rows are dropped and each touched cluster
+  *    relabels to its surviving min id — the forgotten doc appears
+  *    nowhere, but bridge-split components stay merged until the next
+  *    rebuild (conservative in the treat-as-duplicates direction);
+  *  - any other [[DataFrame]] exposing a `doc_id` or `vec_id` column:
+  *    anti-joined on it;
+  *  - everything else (centroid/codebook arrays, BPE merge tables,
+  *    hierarchy closures — no per-document rows): untouched.
+  *
+  * `ids` means ONE identity space across text, media, and vectors (the
+  * pipeline convention: embeddings carry their document's id). Deletes
+  * are idempotent — re-forgetting an id is a no-op — and the walk
+  * quiesces only racing forgets, not ingests (the same "no concurrent
+  * ingest during a delete batch" rule every tombstone op states).
+  *
+  * Scale shape: each rewrite is one skinny broadcast anti-join per frame
+  * (the delete batch is human-sized), lazily stacked on the already-
+  * checkpointed artifact — no artifact is rebuilt, no corpus text or
+  * media is re-scanned. */
+object Forget {
+
+  /** What one [[forget]] call rewrote: artifact count per kind label. */
+  final case class ForgetReport(replaced: Int, byKind: ListMap[String, Int])
+
+  def forget(spark: SparkSession, ids: Seq[Long]): ForgetReport = {
+    require(ids.nonEmpty, "forget needs at least one id")
+    import spark.implicits._
+    val del = broadcast(ids.toDF("__del").distinct())
+    def anti(df: DataFrame, c: String): DataFrame =
+      df.join(del, df(c) === col("__del"), "left_anti")
+    var kinds = ListMap.empty[String, Int]
+    def touched(kind: String): Unit =
+      kinds = kinds.updated(kind, kinds.getOrElse(kind, 0) + 1)
+
+    val replaced = IndexCache.transformEntries(spark) { (key, v) =>
+      v match {
+        case l: Dedup.LshIndex =>
+          touched("lsh_index")
+          Dedup.LshIndex(anti(l.postings, "doc_id"),
+            anti(l.signatures, "doc_id"))
+        case m: Multimodal.MediaFpIndex =>
+          touched("media_fp_index")
+          Multimodal.mediaFpDelete(m, ids.toDF("doc_id"))
+        case p: Similarity.PqIndex =>
+          touched("pq_index")
+          Similarity.pqDelete(p, ids.toDF("vec_id"))
+        case i: Similarity.IvfIndex =>
+          touched("ivf_index")
+          Similarity.ivfDelete(i, ids.toDF("vec_id"))
+        case i: Similarity.IvfPqIndex =>
+          touched("ivfpq_index")
+          i.copy(corpus = anti(i.corpus, "neighbor_id"))
+        case ds: org.apache.spark.sql.Dataset[_] =>
+          val df = ds.toDF()
+          val cols = df.columns.toSet
+          if (cols("doc_a") && cols("doc_b")) {
+            touched("pair_list")
+            anti(anti(df, "doc_a"), "doc_b")
+          } else if (cols("doc_id") && cols("cluster_id")) {
+            touched("clusters")
+            forgetClusters(spark, key, df, del, ids)
+          } else if (cols("doc_id")) { touched("doc_frame"); anti(df, "doc_id") }
+          else if (cols("vec_id")) { touched("vec_frame"); anti(df, "vec_id") }
+          else v
+        case _ => v
+      }
+    }
+    ForgetReport(replaced, kinds)
+  }
+
+  /** Cluster rewrite: exact re-clustering via the sibling pair list when
+    * the `lshpairs:`/`lshclusters:` convention finds one (the pair entry
+    * is rewritten by the same walk, and [[Dedup.tombstoneDelete]] filters
+    * tombstones from whatever pair frame it gets, so walk order doesn't
+    * matter); min-relabel fallback otherwise (see object doc). */
+  private def forgetClusters(spark: SparkSession, key: String,
+      clusters: DataFrame, del: DataFrame, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val sibling = Option(key).filter(_.startsWith("lshclusters:"))
+      .flatMap(k => IndexCache.peek(spark,
+        "lshpairs:" + k.stripPrefix("lshclusters:")))
+      .collect { case p: org.apache.spark.sql.Dataset[_]
+        if p.columns.contains("doc_a") && p.columns.contains("doc_b") =>
+          p.toDF() }
+    sibling match {
+      case Some(pairs) =>
+        Dedup.tombstoneDelete(clusters.select("doc_id"), ids.toDF("doc_id"),
+          "doc_id", pairs.select("doc_a", "doc_b"), clusters)
+      case None =>
+        clusters.join(del, clusters("doc_id") === col("__del"), "left_anti")
+          .withColumn("cluster_id",
+            min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))))
+    }
+  }
+}

@@ -58,6 +58,32 @@ object IndexCache {
     (if (raced != null) raced else built).asInstanceOf[T]
   }
 
+  /** Read one session's artifact without building (sibling lookup for
+    * [[Forget]] — a clusters entry needs its pair list to re-cluster). */
+  private[graft] def peek(spark: SparkSession, key: String): Option[AnyRef] =
+    Option(mapFor(spark).get(key))
+
+  /** Rewrite each of one session's artifacts IN PLACE (the `/forget`
+    * path): `f` sees (key, value) and returns the replacement; returning
+    * the same reference leaves the entry untouched. Returns the number of
+    * entries replaced. The map lock serializes concurrent transforms
+    * against each other; memo() builds don't take it (get-then-putIfAbsent),
+    * so an entry born DURING the walk may be missed — quiesce ingest
+    * around a delete batch, the same operational rule every tombstone op
+    * in the library states. */
+  def transformEntries(spark: SparkSession)(
+      f: (String, AnyRef) => AnyRef): Int = {
+    val m = mapFor(spark)
+    var replaced = 0
+    m.synchronized {
+      m.forEach { (k, v) =>
+        val nv = f(k, v)
+        if (nv ne v) { m.put(k, nv); replaced += 1 }
+      }
+    }
+    replaced
+  }
+
   /** Drop one session's artifacts (the `/flush` path). Other sessions'
     * entries are untouched. */
   def invalidate(spark: SparkSession): Unit =

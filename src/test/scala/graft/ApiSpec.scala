@@ -100,6 +100,102 @@ class ApiSpec extends AnyFunSuite {
     assert(bad.statusCode() == 403)
   }
 
+  test("POST /forget (secret-gated) rewrites every standing artifact: the " +
+      "forgotten doc appears in no dedup pairs or clusters, no kNN " +
+      "results, and no media delta pairs afterward") {
+    import SparkTestSession.spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Dedup, IndexCache, Multimodal, Similarity}
+    val docs = SparkTestSession.catalog.table("documents")
+    val emb = SparkTestSession.catalog.table("embeddings")
+    try {
+      // plant an exact dup of doc 7 so the pair artifacts involve the victim
+      val d7 = docs.where(col("doc_id") === 7L).select("lang", "text").head()
+      val corpus = docs.select("doc_id", "lang", "text").unionByName(
+        Seq((900001L, d7.getString(0), d7.getString(1)))
+          .toDF("doc_id", "lang", "text"))
+      val pairs0 = IndexCache.memo(spark, "lshpairs:forget") {
+        Dedup.minhashLshPairs(corpus, 3, 32, 4, 0.5).localCheckpoint()
+      }
+      IndexCache.memo(spark, "lshclusters:forget") {
+        Dedup.duplicateClusters(corpus.select("doc_id"), "doc_id",
+          pairs0.select("doc_a", "doc_b")).localCheckpoint()
+      }
+      IndexCache.memo(spark, "lshindex:forget") {
+        Dedup.lshIndex(corpus, 3, 32, 4)
+      }
+      def clip(id: Long, src: Long) = Multimodal.MediaRow(id,
+        Multimodal.syntheticY4m(src, 64, 0),
+        Multimodal.MediaMeta("y4m", 0, 0, 0))
+      // media corpus: victim 7 and survivor 9 share content
+      IndexCache.memo(spark, "mediafp:forget") {
+        Multimodal.mediaFpIndex(Multimodal.videoFingerprint(
+          Seq(clip(7, 1), clip(8, 2), clip(9, 1)).toDS().toDF()), 2)
+      }
+      IndexCache.memo(spark, "pqidx:forget") { Similarity.pqIndex(emb) }
+      IndexCache.memo(spark, "ivf:forget") { Similarity.ivfIndex(emb, 8) }
+      // before: the victim is served
+      assert(pairs0.where(col("doc_a") === 7L || col("doc_b") === 7L)
+        .count() > 0)
+      // destructive route is gated like /flush, and empty ids are a 400
+      val (c403, _) = post("/forget?doc_ids=7", "")
+      assert(c403 == 403)
+      val (c400, b400) = post("/forget?secret=s3cret", "")
+      assert(c400 == 400 && b400.contains("doc_ids"), b400)
+      val (code, body) = post("/forget?secret=s3cret&doc_ids=7", "")
+      assert(code == 200 && body.contains("forgotten"), body)
+      assert(body.contains("artifacts_rewritten"), body)
+      def peek[T](key: String): T =
+        IndexCache.peek(spark, key).get.asInstanceOf[T]
+      // dedup pairs: no side of any pair is the victim
+      val pairs1 = peek[DataFrame]("lshpairs:forget")
+      assert(pairs1.where(col("doc_a") === 7L || col("doc_b") === 7L)
+        .isEmpty)
+      // clusters: no member row, no label — the planted dup was
+      // re-clustered through the sibling pair list (tombstoneDelete), so
+      // it now leads its own cluster instead of wearing the victim's id
+      val cl1 = peek[DataFrame]("lshclusters:forget")
+      assert(cl1.where(col("doc_id") === 7L).isEmpty)
+      assert(cl1.where(col("cluster_id") === 7L).isEmpty)
+      assert(cl1.where(col("doc_id") === 900001L).head().getLong(1) != 7L)
+      // LSH delta index: the victim's text re-presented under a fresh id
+      // pairs with the surviving dup, never with the forgotten id
+      val lsh1 = peek[Dedup.LshIndex]("lshindex:forget")
+      val (dp, _) = Dedup.lshDeltaPairs(lsh1,
+        Seq((900002L, d7.getString(1))).toDF("doc_id", "text"), 3, 32, 4, 0.5)
+      assert(dp.where(col("doc_a") === 7L || col("doc_b") === 7L).isEmpty)
+      assert(dp.where(col("doc_a") === 900001L &&
+        col("doc_b") === 900002L).count() == 1)
+      // media: postings gone; a re-upload of the victim's content pairs
+      // only with the surviving duplicate asset
+      val mfp1 = peek[Multimodal.MediaFpIndex]("mediafp:forget")
+      assert(mfp1.keyed.where(col("doc_id") === 7L).isEmpty)
+      val (mp, _) = Multimodal.mediaDeltaPairs(mfp1,
+        Multimodal.videoFingerprint(Seq(clip(21, 1)).toDS().toDF()))
+      assert(mp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((9L, 21L)))
+      // ANN: the victim's vector serves from nowhere, and the served
+      // result is exactly brute force over the survivors
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val truth = rows(Similarity.knnBrute(
+        emb.where(col("vec_id") =!= 7L), Seq(0L, 1L, 2L), 5))
+      assert(truth.forall(_._3 != 7L))
+      assert(rows(Similarity.pqKnnBoundWith(
+        peek[Similarity.PqIndex]("pqidx:forget"), Seq(0L, 1L, 2L), 5))
+        .sameElements(truth))
+      assert(rows(Similarity.knnIvfProbe(
+        peek[Similarity.IvfIndex]("ivf:forget"), Seq(0L, 1L, 2L), 5, 3))
+        .sameElements(truth))
+    } finally {
+      // forget rewrote every doc/vec-keyed artifact in the SHARED session
+      // cache (that is its contract) — drop the cache so later suites
+      // rebuild from the full corpus instead of inheriting the tombstone
+      IndexCache.invalidate(spark)
+    }
+  }
+
   test("aggregate.xls serves a binary OLE2/BIFF8 workbook") {
     val r = client.send(HttpRequest.newBuilder(URI.create(base +
       "/cubes/sales/aggregate.xls?drilldown%5B%5D=Geography.Region&measures%5B%5D=revenue"))
