@@ -874,6 +874,22 @@ object SparkEntry {
             "features[2] AS duration_sec",
             "features[3] AS zero_crossings")
           .orderBy("doc_id")),
+      // m22: 24-BIT FLAC — the archival depth: even docs mono FIXED
+      // order-1 with warmup magnitudes past the 16-bit range, odd docs
+      // left/side stereo with a CONSTANT 25-bit side channel; the
+      // oracle reconstructs every sample (and the stereo mixdown
+      // L − side/2) in closed form from the md5 keys
+      "m22_flac24_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticFlac24(
+            CubeCatalog.forDir(s, dir).table("documents"), 2, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
       // m19: STEREO MS ADPCM — channel-interleaved headers, hi-nibble
       // channel 0 per byte; the oracle replays both channels' chains
       // AND the mean mixdown
@@ -2652,6 +2668,56 @@ object SparkEntry {
        |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
        |FROM tr GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** m22 oracle: 24-bit FLAC decoded ground truth. Mono (even) docs are
+    * the m20 running-sum recipe at depth — s_i = v_i / 2^23. Stereo
+    * (odd) docs reconstruct the left/side decorrelation's mean mixdown
+    * in closed form: R_i = L_i − side, so mix_i = L_i − side/2. Every
+    * feature sum is exact dyadic arithmetic (s² numerators ≤ 2^44, ≤ 11
+    * terms → partial sums fit 53 bits), so both engines' doubles agree
+    * bit-for-bit with no quantization. */
+  private def flac24OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id % 10 + 2 AS INTEGER) AS n,
+       |  doc_id % 2 = 1 AS st FROM documents),
+       |hw AS (SELECT doc_id, n, st,
+       |  md5(CAST(doc_id AS VARCHAR) || ':g24w') AS h FROM d),
+       |w0 AS (SELECT doc_id, n, st,
+       |  CAST(($MD5_U_HORNER) % 2000000 - 1000000 AS BIGINT) AS s0 FROM hw),
+       |hs AS (SELECT doc_id,
+       |  md5(CAST(doc_id AS VARCHAR) || ':g24s') AS h FROM d),
+       |sd AS (SELECT doc_id,
+       |  CAST(($MD5_U_HORNER) % 40000 - 20000 AS BIGINT) AS side FROM hs),
+       |rh AS (SELECT d.doc_id, i.range AS i,
+       |  md5(CAST(d.doc_id AS VARCHAR) || ':g24r:' ||
+       |      CAST(i.range AS VARCHAR)) AS h
+       |  FROM d CROSS JOIN range(0, 10) i WHERE i.range < d.n - 1),
+       |rs AS (SELECT doc_id, i,
+       |  CAST(($MD5_U_HORNER) % 64 - 32 AS INTEGER) AS r FROM rh),
+       |cum AS (SELECT doc_id, i + 1 AS i,
+       |  SUM(r) OVER (PARTITION BY doc_id ORDER BY i) AS c FROM rs),
+       |sm AS (
+       |  SELECT doc_id, n, st, 0 AS i, CAST(s0 AS BIGINT) AS v FROM w0
+       |  UNION ALL
+       |  SELECT c.doc_id, w.n, w.st, c.i, w.s0 + c.c AS v
+       |  FROM cum c JOIN w0 w USING (doc_id)),
+       |sv AS (SELECT s.doc_id, s.n, s.st, s.i,
+       |  (s.v - CASE WHEN s.st THEN sd.side / 2.0 ELSE 0.0 END)
+       |    / 8388608.0 AS s
+       |  FROM sm s JOIN sd USING (doc_id)),
+       |tr AS (SELECT doc_id, n, st, s,
+       |  CASE WHEN (s >= 0) !=
+       |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+       |    THEN 1 ELSE 0 END AS zx
+       |  FROM sv)
+       |SELECT doc_id, 'flac' AS format,
+       |  CAST(8000 AS INTEGER) AS sample_rate,
+       |  CAST(CASE WHEN st THEN 2 ELSE 1 END AS INTEGER) AS channels,
+       |  n AS n_frames, CAST(300 AS INTEGER) AS n_bytes,
+       |  sqrt(SUM(s * s) / n) AS rms,
+       |  MAX(ABS(s)) AS peak,
+       |  n / 8000.0 AS duration_sec,
+       |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+       |FROM tr GROUP BY doc_id, n, st ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "q01_returnflag_agg" ->
       s"""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
@@ -4193,6 +4259,7 @@ object SparkEntry {
     // residual sum — the oracle recomputes it per sample from md5 while
     // the engine must decode the Rice bitstream to recover the residuals
     "m20_flac_decode" -> flacOracleSql("'flac'", "200"),
+    "m22_flac24_decode" -> flac24OracleSql,
     // m21: the SAME decoded ground truth re-checked THROUGH
     // transcodePcm16 — FLAC→canonical-WAV is lossless, so only the
     // container geometry (format, byte count) changes

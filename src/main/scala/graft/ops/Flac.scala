@@ -21,11 +21,15 @@ package graft.ops
   *  - frame CRC-16 verified; multi-frame streams decoded sequentially
   *    with bounded per-row state (one frame's channel buffers live).
   *
-  * 16-bit streams decode to interleaved 16-bit LE PCM riding the shared
-  * [[Multimodal]] feature/fingerprint/transcode scans — a FLAC clip and
-  * the WAV of its decoded samples fingerprint identically (spec-pinned).
-  * Other bit depths and >2 channels decline to the honest stub (the
-  * feature mixdown is defined for the PCM family's layout).
+  * 8/16/24-bit streams decode to interleaved LE PCM at their own depth,
+  * riding the shared [[Multimodal]] feature/fingerprint/transcode scans
+  * (whose PcmClip layout already speaks those widths) — a FLAC clip and
+  * the WAV of its decoded samples fingerprint identically (spec-pinned),
+  * and 24-bit (the dominant archival depth) is oracle-gated by m22.
+  * STREAMINFO totalSamples = 0 ("unknown", the streaming-encoder form)
+  * decodes frame-by-frame to EOF. 32-bit and >2-channel streams decline
+  * to the honest stub (33-bit side samples / the mono-stereo feature
+  * mixdown boundary — see [[parseFlac]]).
   *
   * The m20 gate replays decoded GROUND TRUTH: the fixture's Rice-coded
   * residual stream derives from md5 arithmetic both engines compute, so
@@ -74,12 +78,17 @@ private[graft] object Flac {
       val u = readBitsLong(n)
       ((u << (64 - n)) >> (64 - n)).toInt
     }
-    /** FLAC unary: count of 0 bits before the terminating 1. */
+    /** FLAC unary: count of 0 bits before the terminating 1. The runaway
+      * guard is the bits LEFT IN THE BUFFER — a valid quotient can never
+      * exceed that, so a crafted all-zeros run aborts at the payload
+      * boundary (the EOF throw) instead of scanning to an arbitrary
+      * constant cap. */
     def readUnary(): Int = {
       var q = 0
+      val lim = remainingBits
       while (readBit() == 0) {
         q += 1
-        if (q > (1 << 24)) throw new IllegalStateException("runaway unary")
+        if (q > lim) throw new IllegalStateException("runaway unary")
       }
       q
     }
@@ -284,9 +293,21 @@ private[graft] object Flac {
     }
   }
 
-  /** Full-stream decode to an interleaved 16-bit LE PCM clip. None when
-    * the payload is not FLAC, is corrupt (CRC/sync/structure), or is
-    * outside the 16-bit ≤ 2-channel layout the feature scans define. */
+  /** Full-stream decode to an interleaved LE PCM clip at the stream's own
+    * bit depth (8/16/24 — the widths [[Multimodal.PcmClip]]'s feature,
+    * fingerprint, and transcode scans define; 24-bit is the dominant
+    * archival depth). None when the payload is not FLAC, is corrupt
+    * (CRC/sync/structure), or is outside that layout: 32-bit streams
+    * decline (a side channel would need 33-bit samples — wider buffers
+    * for a depth no mainstream encoder emits), as do > 2 channels (the
+    * feature mixdown is defined for the PCM family's mono/stereo layout).
+    *
+    * STREAMINFO totalSamples = 0 is LEGAL ("unknown" — streaming/pipe
+    * encoders emit it): such streams decode frame-by-frame until the
+    * payload is exhausted, so the byte stream must end exactly at the
+    * last frame's CRC-16 (trailing bytes fail the decode — with no
+    * declared total there is no honest way to tell padding from a
+    * truncated next frame). */
   def parseFlac(b: Array[Byte]): Option[Multimodal.PcmClip] = {
     if (!looksLikeFlac(b)) return None
     try {
@@ -310,28 +331,58 @@ private[graft] object Flac {
         }
       }
       if (info == null) return None
-      if (info.bps != 16 || info.channels < 1 || info.channels > 2 ||
-          info.sampleRate <= 0)
+      if ((info.bps != 8 && info.bps != 16 && info.bps != 24) ||
+          info.channels < 1 || info.channels > 2 || info.sampleRate <= 0)
         return None
+      val bySam = info.bps / 8
+      val frameBytes = bySam * info.channels
       val total = info.totalSamples
-      if (total <= 0 || total > (Int.MaxValue - 8) / (2L * info.channels))
+      if (total < 0 || total > (Int.MaxValue - 8) / frameBytes.toLong)
         return None
-      val out = new Array[Byte](total.toInt * 2 * info.channels)
-      var done = 0L
-      while (done < total) {
-        done += decodeFrame(r, b, info, out, done)
-      }
-      Some(Multimodal.PcmClip(16, info.channels, signed = true,
-        big = false, info.sampleRate.toFloat, total, out, 0,
-        Multimodal.EncPcm))
+      val clip =
+        if (total > 0) {
+          val out = new Array[Byte](total.toInt * frameBytes)
+          var done = 0L
+          while (done < total) {
+            val fr = decodeFrame(r, b, info, total - done)
+            System.arraycopy(fr, 0, out, done.toInt * frameBytes, fr.length)
+            done += fr.length / frameBytes
+          }
+          Multimodal.PcmClip(info.bps, info.channels, signed = true,
+            big = false, info.sampleRate.toFloat, total, out, 0,
+            Multimodal.EncPcm)
+        } else {
+          // unknown total: accumulate frames to EOF
+          val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var bytes = 0L
+          while (r.remainingBits >= 16) {
+            val fr = decodeFrame(r, b, info, Long.MaxValue)
+            bytes += fr.length
+            if (bytes > Int.MaxValue - 8)
+              throw new IllegalStateException("stream too large")
+            chunks += fr
+          }
+          if (chunks.isEmpty) return None
+          val out = new Array[Byte](bytes.toInt)
+          var w = 0
+          chunks.foreach { fr =>
+            System.arraycopy(fr, 0, out, w, fr.length); w += fr.length
+          }
+          Multimodal.PcmClip(info.bps, info.channels, signed = true,
+            big = false, info.sampleRate.toFloat, bytes / frameBytes, out,
+            0, Multimodal.EncPcm)
+        }
+      Some(clip)
     } catch { case _: Exception => None }
   }
 
   /** One frame: header (CRC-8-verified), subframes, CRC-16-verified
-    * footer; decoded samples land interleaved at frame offset `done`.
-    * Returns the frame's block size. */
+    * footer. Returns the frame's samples as interleaved LE bytes at the
+    * stream's depth; `remaining` is the sample budget left (declared
+    * total minus decoded so far; Long.MaxValue for unknown-total
+    * streams, where no overrun check is possible). */
   private def decodeFrame(r: BitReader, b: Array[Byte], info: StreamInfo,
-      out: Array[Byte], done: Long): Int = {
+      remaining: Long): Array[Byte] = {
     if (!r.atByteBoundary) throw new IllegalStateException("unaligned frame")
     val frameStart = r.bytePos
     if (r.readBits(14) != 0x3ffe)
@@ -368,7 +419,8 @@ private[graft] object Flac {
       case 7 => 32
       case _ => throw new IllegalStateException("reserved sample size")
     }
-    if (bps != 16) throw new IllegalStateException("non-16-bit frame")
+    if (bps != info.bps)
+      throw new IllegalStateException("frame/stream bit-depth mismatch")
     if (!r.atByteBoundary)
       throw new IllegalStateException("header alignment")
     val declaredCrc8 = r.readBits(8)
@@ -383,7 +435,7 @@ private[graft] object Flac {
       case _ => throw new IllegalStateException("reserved channels")
     }
     if (nch != ch) throw new IllegalStateException("channel mismatch")
-    if (done + blockSize > info.totalSamples)
+    if (blockSize > remaining)
       throw new IllegalStateException("frame overruns stream total")
     val chans = Array.ofDim[Int](nch, blockSize)
     var c = 0
@@ -429,22 +481,29 @@ private[graft] object Flac {
         }
       case _ => ()
     }
+    val bySam = bps / 8
+    val lo = -(1 << (bps - 1))
+    val hi = (1 << (bps - 1)) - 1
+    val out = new Array[Byte](blockSize * bySam * nch)
     var i = 0
-    var w = done.toInt * 2 * nch
+    var w = 0
     while (i < blockSize) {
       c = 0
       while (c < nch) {
         val v = chans(c)(i)
-        if (v < -32768 || v > 32767)
+        if (v < lo || v > hi)
           throw new IllegalStateException("sample out of range")
-        out(w) = (v & 0xff).toByte
-        out(w + 1) = ((v >> 8) & 0xff).toByte
-        w += 2
+        var k = 0
+        while (k < bySam) {
+          out(w) = ((v >> (8 * k)) & 0xff).toByte
+          w += 1
+          k += 1
+        }
         c += 1
       }
       i += 1
     }
-    blockSize
+    out
   }
 
   // -------------------------------------------------- fixture generators
@@ -522,10 +581,19 @@ private[graft] object Flac {
     * STREAMINFO's declared total). The decoder must recover the planted
     * warmup/residual values from the actual bits. */
   def buildFlac(sampleRate: Int, asgn: Int, chans: Seq[Chan],
-      blockSizeOpt: Option[Int] = None, padToBytes: Int = 0)
-      : Array[Byte] = {
+      blockSizeOpt: Option[Int] = None, padToBytes: Int = 0,
+      bps: Int = 16): Array[Byte] = {
     val nch = if (asgn <= 7) asgn + 1 else 2
     require(chans.length == nch, "channel count must match assignment")
+    val ssCode = bps match {
+      case 8 => 1
+      case 12 => 2
+      case 16 => 4
+      case 20 => 5
+      case 24 => 6
+      case 32 => 7
+      case _ => throw new IllegalArgumentException(s"no ssCode for $bps")
+    }
     val blockSize = blockSizeOpt.getOrElse(chans.head match {
       case c if c.order == -2 => c.warmup.length
       case c => c.warmup.length + c.residuals.length
@@ -541,7 +609,7 @@ private[graft] object Flac {
     head.writeBits(0, 24)
     head.writeBits(sampleRate, 20)
     head.writeBits(nch - 1, 3)
-    head.writeBits(15, 5) // bps − 1 = 16-bit
+    head.writeBits(bps - 1, 5)
     head.writeBits(blockSize, 36)
     head.writeBits(0, 64) // decoded-MD5 (unchecked), 16 bytes
     head.writeBits(0, 64)
@@ -554,7 +622,7 @@ private[graft] object Flac {
     fh.writeBits(7, 4) // block size: 16-bit at end of header
     fh.writeBits(0, 4) // sample rate: from STREAMINFO
     fh.writeBits(asgn, 4)
-    fh.writeBits(4, 3) // 16-bit
+    fh.writeBits(ssCode, 3)
     fh.writeBit(0)
     fh.writeBits(0, 8) // frame 0 (UTF-8 single byte)
     fh.writeBits(blockSize - 1, 16)

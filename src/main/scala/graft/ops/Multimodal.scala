@@ -507,6 +507,16 @@ object Multimodal {
     val s2 = new Array[Int](ch)
     def step(c: Int, nib: Int): Int = {
       val sn = if (nib >= 8) nib - 16 else nib // two's-complement 4-bit
+      // DIVISION CONVENTION, a documented fork in the wild: the
+      // coefficient sum scales down by `>> 8` (FLOOR division — matches
+      // libsndfile), while Microsoft's reference decoder and ffmpeg use
+      // truncating `/ 256` (toward zero). The two differ by 1 LSB when
+      // the sum is negative and not a multiple of 256, so decoders
+      // genuinely disagree on such samples in the wild. This engine and
+      // its DuckDB oracle (msAdpcmOracleSql's floor(x/256.0)) both state
+      // the FLOOR convention — self-consistent end-to-end; cross-
+      // toolchain fingerprint comparison against ffmpeg-decoded PCM can
+      // be off by 1 LSB on those samples.
       var pred = ((s1(c) * co1(bp(c)) + s2(c) * co2(bp(c))) >> 8) +
         sn * dl(c)
       if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
@@ -2050,6 +2060,55 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
       MediaRow(id, syntheticFlac(id, (id % modSamples).toInt + addSamples),
+        MediaMeta("flac", 0, 0, 0))
+    }.toDF()
+  }
+
+  /** Deterministic 24-BIT FLAC clip for the m22 gate — the archival-depth
+    * sibling of [[syntheticFlac]]. Even doc ids are MONO FIXED order-1:
+    * warmup md5(":g24w") mod 2,000,000 − 1,000,000 (magnitudes far past
+    * the 16-bit range, so a depth bug cannot hide inside int16), Rice
+    * parameter md5(":g24p") mod 8, residuals md5(":g24r:<k>") mod 64 −
+    * 32. Odd ids are LEFT/SIDE STEREO: the left channel is the same
+    * recurrence, the side channel one CONSTANT subframe md5(":g24s") mod
+    * 40,000 − 20,000 at the side's 25-bit width — R_i = L_i − side pins
+    * the decorrelation arithmetic at depth (the mixdown mean then reads
+    * L_i − side/2, which the oracle restates in closed form). The stream
+    * is zero-padded to a fixed 300 bytes (n ≤ 11 at gate scale; longer
+    * sweep clips grow by the worst-case Rice bytes) so n_bytes stays a
+    * pure function of n for the oracle. */
+  private[graft] def syntheticFlac24(docId: Long, nSamples: Int)
+      : Array[Byte] = {
+    require(nSamples >= 2, "nSamples must be at least 2")
+    val s0 = ((md5Uint(s"$docId:g24w") % 2000000) - 1000000).toInt
+    val res = Array.tabulate(nSamples - 1)(k =>
+      ((md5Uint(s"$docId:g24r:$k") % 64) - 32).toInt)
+    val p = (md5Uint(s"$docId:g24p") % 8).toInt
+    val pad = math.max(300, 120 + 16 * nSamples)
+    val out =
+      if (docId % 2 == 0)
+        Flac.buildFlac(8000, 0,
+          Seq(Flac.Chan(1, Array(s0), res, p, bits = 24)),
+          padToBytes = pad, bps = 24)
+      else {
+        val side = ((md5Uint(s"$docId:g24s") % 40000) - 20000).toInt
+        Flac.buildFlac(8000, 8, Seq(
+          Flac.Chan(1, Array(s0), res, p, bits = 24),
+          Flac.Chan(-1, Array(side), Array.empty[Int], p, bits = 25)),
+          padToBytes = pad, bps = 24)
+      }
+    assert(out.length == pad,
+      s"fixture overflowed the fixed pad: ${out.length}")
+    out
+  }
+
+  /** Attach a [[syntheticFlac24]] payload per document. */
+  def attachSyntheticFlac24(docs: DataFrame, addSamples: Int,
+      modSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, syntheticFlac24(id, (id % modSamples).toInt + addSamples),
         MediaMeta("flac", 0, 0, 0))
     }.toDF()
   }

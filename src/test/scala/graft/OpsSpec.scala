@@ -3121,6 +3121,69 @@ class OpsSpec extends AnyFunSuite {
       via.n_frames == direct.n_frames)
   }
 
+  test("FLAC beyond 16-bit: 24-bit mono and left/side stereo decode " +
+      "exact wide samples and transcode by the documented >>8 mapping; " +
+      "8-bit decodes and scales by 256; unknown-total streams decode to " +
+      "EOF; 32-bit declines; the unary guard trips at the payload " +
+      "boundary") {
+    import graft.ops.Flac
+    def t16(b: Array[Byte]) = wavSamples(Multimodal.transcodeOne(b).get)
+    // 24-bit mono FIXED order-1, magnitudes far past int16
+    val want24 = Seq(1000000, 999980, 1000017, 999999)
+    val f24 = Flac.buildFlac(8000, 0, Seq(Flac.Chan(1, Array(1000000),
+      Array(-20, 37, -18), 3, bits = 24)), bps = 24)
+    val c24 = Flac.parseFlac(f24).get
+    assert(c24.bits == 24 && c24.ch == 1 && c24.frames == 4)
+    def s24(i: Int) = {
+      val d = c24.data
+      val v = (d(3 * i) & 0xff) | ((d(3 * i + 1) & 0xff) << 8) |
+        ((d(3 * i + 2) & 0xff) << 16)
+      (v << 8) >> 8
+    }
+    assert((0 until 4).map(s24) == want24)
+    assert(t16(f24) == want24.map(_ >> 8),
+      "24-bit transcode is the arithmetic >>8 width mapping")
+    // 24-bit left/side stereo with a CONSTANT 25-bit side channel
+    val f24s = Flac.buildFlac(8000, 8, Seq(
+      Flac.Chan(1, Array(1000000), Array(-20), 2, bits = 24),
+      Flac.Chan(-1, Array(30000), Array.empty[Int], 0, bits = 25)),
+      bps = 24)
+    assert(t16(f24s) ==
+      Seq(1000000, 970000, 999980, 969980).map(_ >> 8))
+    // 8-bit VERBATIM: signed samples, transcode scales by 256
+    val want8 = Seq(100, -100, 27, -1)
+    val f8 = Flac.buildFlac(8000, 0, Seq(Flac.Chan(-2, want8.toArray,
+      Array.empty[Int], 0, bits = 8)), bps = 8)
+    val c8 = Flac.parseFlac(f8).get
+    assert(c8.bits == 8 && c8.frames == 4)
+    assert(t16(f8) == want8.map(_ << 8))
+    // unknown total (STREAMINFO totalSamples = 0 — the streaming-encoder
+    // form): zero the 36-bit total field of a multi-frame stream that
+    // ends exactly at its last frame; decode must accumulate to EOF and
+    // agree byte-for-byte with the declared-total decode
+    val frames = Seq(Array(5, -3, 8, 0), Array(2, 7, -4, -9), Array(1, 2))
+    val mm = Flac.buildFlacMultiMono(8000, frames, 3)
+    val unk = mm.clone()
+    unk(21) = (unk(21) & 0xF0).toByte
+    unk(22) = 0; unk(23) = 0; unk(24) = 0; unk(25) = 0
+    val known = Flac.parseFlac(mm).get
+    val u = Flac.parseFlac(unk).get
+    assert(u.frames == known.frames && u.bits == 16 &&
+      u.data.toSeq == known.data.toSeq)
+    // trailing bytes after the last frame are indistinguishable from a
+    // truncated next frame when no total is declared — honest decline
+    assert(Flac.parseFlac(unk ++ Array[Byte](0, 0, 0, 0)).isEmpty)
+    // 32-bit streams decline to the stub (33-bit side-channel samples)
+    val f32 = Flac.buildFlac(8000, 0, Seq(Flac.Chan(-2, Array(7, -9),
+      Array.empty[Int], 0, bits = 32)), bps = 32)
+    assert(Flac.parseFlac(f32).isEmpty)
+    // unary runaway: an all-zeros tail aborts at the payload boundary
+    val r = new Flac.BitReader(Array.fill(64)(0.toByte))
+    intercept[IllegalStateException](r.readUnary())
+    val ok = new Flac.BitReader(Array(0x10.toByte)) // 0001 0000
+    assert(ok.readUnary() == 3)
+  }
+
   test("Moore-Lewis selection ranks seed-like documents below off-domain " +
       "ones, and seed docs score in-domain on the real corpus") {
     import spark.implicits._
