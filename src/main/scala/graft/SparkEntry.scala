@@ -1452,6 +1452,31 @@ object SparkEntry {
             |  [Measures].[rps] > 0.7) ON ROWS
             |FROM commerce""".stripMargin))
       }),
+      // q94: FIXED-MEMBER tuple, pinned dim NOT on the axis — compiles
+      // to a fact-side conditional aggregate (revenue where region = 2)
+      // grouped by the axis, the "pin a measure to a member" idiom
+      "q94_mdx_pinned_member" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[asia_rev] AS
+            |  '([Measures].[Revenue], [Geography].[Region].[2])'
+            |SELECT {[Measures].[Revenue], [Measures].[asia_rev]} ON COLUMNS,
+            |NON EMPTY [Part].[Brand].Members ON ROWS
+            |FROM sales""".stripMargin))
+      }),
+      // q95: the pinned dimension IS drilled — Mondrian's tuple OVERRIDES
+      // the axis member: every region row of a brand shows the brand's
+      // region-2 revenue (one axis window, max past the other rows' nulls)
+      "q95_mdx_pinned_override" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[asia_rev] AS
+            |  '([Measures].[Revenue], [Geography].[Region].[2])'
+            |SELECT {[Measures].[Revenue], [Measures].[asia_rev]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+            |  [Part].[Brand].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // WITH MEMBER: query-scoped calculated measure over declared measures
       "q37_mdx_with_member" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -5878,6 +5903,31 @@ object SparkEntry {
          |top AS (SELECT brand FROM b ORDER BY revenue DESC, brand ASC LIMIT 5)
          |SELECT b.brand, b.revenue FROM b JOIN top USING (brand)
          |ORDER BY brand""".stripMargin,
+    // q94: fixed-member pin, dim off-axis — the conditional aggregate
+    // replays with the same VARCHAR-hop decimal quantization inside the
+    // mask as the unmasked sum (an empty mask group is NULL on both sides)
+    "q94_mdx_pinned_member" ->
+      s"""SELECT p_brand AS brand, ${sumd(REV, "revenue")},
+         |CAST(SUM(CASE WHEN r_regionkey = 2 THEN ${dec(REV)} END)
+         |  AS DOUBLE) AS asia_rev
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q95: pinned dim drilled — the tuple overrides the axis member, so
+    // each (region, brand) row carries the brand's region-2 revenue; the
+    // oracle restates the axis window as a left join of the region-2 slice
+    "q95_mdx_pinned_override" ->
+      s"""WITH base AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    p_brand AS brand, ${sumd(REV, "revenue")}
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3),
+         |pin AS (SELECT brand, revenue AS asia_rev FROM base
+         |  WHERE region = 2)
+         |SELECT b.region, b.region_label, b.brand, b.revenue, p.asia_rev
+         |FROM base b LEFT JOIN pin p USING (brand)
+         |ORDER BY b.region, b.brand""".stripMargin,
     "q37_mdx_with_member" ->
       s"""WITH agg AS (
          |  SELECT r_regionkey AS region, r_name AS region_label,

@@ -215,6 +215,20 @@ final case class RankMeasureDef(alias: String, base: String, dim: String,
 final case class SetAggMeasureDef(alias: String, base: String, dim: String,
     fn: String, level: String = "", keys: Seq[Any] = Nil)
 
+/** Fixed-member tuple measure — MDX `WITH MEMBER [Measures].[X] AS
+  * '([Measures].[M], [Dim].[Level].[Key])'`, the "pin a measure to a
+  * member" idiom foodmart's Profit-last-Period generalizes (ref
+  * foodmart.xml:351-366 is the PrevMember special case; this is the
+  * arbitrary-fixed-member form a hand-written query uses for
+  * year-over-budget / vs-flagship-store comparisons). Mondrian semantics:
+  * the tuple's explicit member OVERRIDES the axis/slicer member of its
+  * dimension — the value is the base measure at the pinned member within
+  * every OTHER axis coordinate. `level` empty means the member was
+  * written unqualified ([Time].[1997]) and resolves by key search down
+  * the hierarchy at plan time, like Mondrian's member-name lookup. */
+final case class PinnedMeasureDef(alias: String, base: String, dim: String,
+    level: String, key: Any)
+
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,
     byMeasure: String,
@@ -233,6 +247,7 @@ final case class CubeDef(
     movingMeasures: Seq[MovingMeasureDef] = Nil,
     rankMeasures: Seq[RankMeasureDef] = Nil,
     setAggMeasures: Seq[SetAggMeasureDef] = Nil,
+    pinnedMeasures: Seq[PinnedMeasureDef] = Nil,
     namedSets: Seq[NamedSetDef] = Nil,
     defaultMeasure: Option[String] = None,
     annotations: Map[String, String] = Map.empty) {

@@ -147,6 +147,9 @@ final case class CubeQuery(
     // formula — the axis-set aggregate benchmark (TotalMeasureDef's SUM
     // generalized; same merge path).
     adhocSetAggs: Seq[graft.model.SetAggMeasureDef] = Nil,
+    // Fixed-member tuples — `([Measures].[M], [Dim].[Level].[Key])` inside
+    // a WITH MEMBER formula (the pin-to-a-member idiom); same merge path.
+    adhocPinned: Seq[graft.model.PinnedMeasureDef] = Nil,
     // `COUNT(<level>.Members)` inside a WITH MEMBER formula — (alias,
     // level). Mondrian evaluates Level.Members through the schema reader
     // (role-visible members, NOT slicer-filtered), so the value is a

@@ -95,9 +95,9 @@ object MdxParser {
         val memberClause = Option(withClause)
           .map(setRe.replaceAllIn(_, "").trim).filter(_.nonEmpty)
         val (adhoc, adhocLags, adhocTotals, adhocCums, adhocMovings,
-            adhocRanks, adhocSetAggs, adhocCounts) =
+            adhocRanks, adhocSetAggs, adhocPinned, adhocCounts) =
           memberClause.map(parseWithMembers(cube, _))
-            .getOrElse((Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil))
+            .getOrElse((Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil))
         // adhoc aliases resolve on an augmented view of the cube so the
         // measure axis (and nested FILTER/ORDER) can reference them
         val augmented = cube.copy(calcMembers = cube.calcMembers ++ adhoc,
@@ -106,7 +106,8 @@ object MdxParser {
           cumMeasures = cube.cumMeasures ++ adhocCums,
           movingMeasures = cube.movingMeasures ++ adhocMovings,
           rankMeasures = cube.rankMeasures ++ adhocRanks,
-          setAggMeasures = cube.setAggMeasures ++ adhocSetAggs)
+          setAggMeasures = cube.setAggMeasures ++ adhocSetAggs,
+          pinnedMeasures = cube.pinnedMeasures ++ adhocPinned)
         val measures = parseMeasureAxis(augmented, colAxis.trim)
         val (nonEmpty, rowAxis) = {
           val t0 = rowAxisRaw.trim
@@ -166,7 +167,8 @@ object MdxParser {
           adhocCalcs = adhoc, adhocLags = adhocLags,
           adhocTotals = adhocTotals, adhocCums = adhocCums,
           adhocMovings = adhocMovings, adhocRanks = adhocRanks,
-          adhocSetAggs = adhocSetAggs, adhocCounts = adhocCounts)
+          adhocSetAggs = adhocSetAggs, adhocPinned = adhocPinned,
+          adhocCounts = adhocCounts)
       case _ => GraftException.badRequest(
         "cannot parse MDX (supported: [WITH MEMBER...] SELECT <measures> ON COLUMNS, <set> ON ROWS FROM <cube> [WHERE <tuple>])")
     }
@@ -215,7 +217,8 @@ object MdxParser {
   private def parseWithMembers(cube: CubeDef, s: String)
       : (Seq[CalcMemberDef], Seq[LagMeasureDef], Seq[TotalMeasureDef],
          Seq[CumMeasureDef], Seq[MovingMeasureDef], Seq[RankMeasureDef],
-         Seq[SetAggMeasureDef], Seq[(String, LevelRef)]) = {
+         Seq[SetAggMeasureDef], Seq[PinnedMeasureDef],
+         Seq[(String, LevelRef)]) = {
     // Bracketed aliases take ANY non-']' chars (spaces included — standard
     // MDX names like [Profit Margin]); only the bare unbracketed form is
     // restricted to non-space tokens.
@@ -237,6 +240,8 @@ object MdxParser {
       scala.collection.mutable.LinkedHashMap.empty[String, RankMeasureDef]
     val setAggs =
       scala.collection.mutable.LinkedHashMap.empty[String, SetAggMeasureDef]
+    val pinnedDefs =
+      scala.collection.mutable.LinkedHashMap.empty[String, PinnedMeasureDef]
     // the cube's single time dimension — the implicit argument of Ytd() and
     // LastPeriods(n) with no explicit member (Mondrian resolves them against
     // the TimeDimension; ambiguous with several, so that 400s)
@@ -613,6 +618,40 @@ object MdxParser {
         }
         java.util.regex.Matcher.quoteReplacement(a)
       })
+      // `([Measures].[M], [Dim].[Level].[Key])` — the FIXED-MEMBER tuple
+      // (pin a measure to a member, any axis state): LAST in the chain, so
+      // every navigational tuple form above (PrevMember/All/Parent/
+      // Closing…) has already been consumed and whatever tuple remains is
+      // a plain member pin. Unqualified members ([Time].[1997]) carry an
+      // empty level and resolve by hierarchy key search at plan time.
+      val pinnedRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
+        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\)""").r
+      formula = pinnedRe.replaceAllIn(formula, mm => {
+        val base = resolveWindowBase(cube, mm.group(1), "fixed-member tuple")
+        val (dim, level, key) = QueryParser.segments(mm.group(2)) match {
+          case Seq(d, k) => (d, "", QueryParser.typedKey(k))
+          case Seq(d, l, k) => (d, l, QueryParser.typedKey(k))
+          case Seq(d, _, l, k) => (d, l, QueryParser.typedKey(k))
+          case _ => GraftException.badRequest(
+            s"fixed-member tuple must name [Dim].[Level].[Key] or " +
+              s"[Dim].[Key]: '${mm.group(2)}'")
+        }
+        if (cube.dimension(dim).isEmpty)
+          GraftException.badRequest(
+            s"fixed-member tuple on unknown dimension '$dim'")
+        if (level.nonEmpty) levelOf(dim, level, "fixed-member tuple")
+        def same(p: PinnedMeasureDef) = p.base == base && p.dim == dim &&
+          p.level == level && p.key == key
+        val alias = cube.pinnedMeasures.find(same).map(_.alias)
+          .orElse(pinnedDefs.values.find(same).map(_.alias))
+          .getOrElse {
+            val a = s"__mdx_pin_${base}_${dim.replaceAll("\\W", "_")}_" +
+              s"${level.replaceAll("\\W", "_")}_p${pinnedDefs.size}"
+            pinnedDefs.update(a, PinnedMeasureDef(a, base, dim, level, key))
+            a
+          }
+        java.util.regex.Matcher.quoteReplacement(alias)
+      })
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
       formula = measureRef.replaceAllIn(formula,
         mm => resolveMeasure(cube, mm.group(1)))
@@ -641,7 +680,7 @@ object MdxParser {
     }
     (calcs, lags.values.toSeq, totals.values.toSeq,
       cums.values.toSeq, movings.values.toSeq, ranks.values.toSeq,
-      setAggs.values.toSeq, counts.toSeq)
+      setAggs.values.toSeq, pinnedDefs.values.toSeq, counts.toSeq)
   }
 
   /** Parsed row axis: a set plus its axis-level wrappers. */

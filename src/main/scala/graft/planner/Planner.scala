@@ -88,7 +88,8 @@ object Planner {
   private def withAdhoc(cube: CubeDef, q: CubeQuery): CubeDef =
     if (q.adhocCalcs.isEmpty && q.adhocLags.isEmpty && q.adhocTotals.isEmpty &&
         q.adhocCums.isEmpty && q.adhocMovings.isEmpty &&
-        q.adhocRanks.isEmpty && q.adhocSetAggs.isEmpty)
+        q.adhocRanks.isEmpty && q.adhocSetAggs.isEmpty &&
+        q.adhocPinned.isEmpty)
       cube
     else {
       q.adhocCalcs.foreach { c =>
@@ -113,13 +114,16 @@ object Planner {
         cube.rankMeasures.exists(_.alias == r.alias))
       val newSetAggs = q.adhocSetAggs.filterNot(a =>
         cube.setAggMeasures.exists(_.alias == a.alias))
+      val newPinned = q.adhocPinned.filterNot(p =>
+        cube.pinnedMeasures.exists(_.alias == p.alias))
       cube.copy(calcMembers = cube.calcMembers ++ q.adhocCalcs,
         lagMeasures = cube.lagMeasures ++ newLags,
         totalMeasures = cube.totalMeasures ++ newTotals,
         cumMeasures = cube.cumMeasures ++ newCums,
         movingMeasures = cube.movingMeasures ++ newMovings,
         rankMeasures = cube.rankMeasures ++ newRanks,
-        setAggMeasures = cube.setAggMeasures ++ newSetAggs)
+        setAggMeasures = cube.setAggMeasures ++ newSetAggs,
+        pinnedMeasures = cube.pinnedMeasures ++ newPinned)
     }
 
   private def withAdhoc(vc: VirtualCubeDef, q: CubeQuery): VirtualCubeDef = {
@@ -128,9 +132,10 @@ object Planner {
     // formula whose synthesized alias no member cube can supply
     if (q.adhocLags.nonEmpty || q.adhocTotals.nonEmpty ||
         q.adhocCums.nonEmpty || q.adhocMovings.nonEmpty ||
-        q.adhocRanks.nonEmpty || q.adhocSetAggs.nonEmpty)
+        q.adhocRanks.nonEmpty || q.adhocSetAggs.nonEmpty ||
+        q.adhocPinned.nonEmpty)
       GraftException.badRequest(
-        s"tuple navigation (PrevMember/Lag/All/PeriodsToDate/LastPeriods/Rank/set aggregates) is not supported on virtual cube '${vc.name}'")
+        s"tuple navigation (PrevMember/Lag/All/PeriodsToDate/LastPeriods/Rank/set aggregates/fixed-member tuples) is not supported on virtual cube '${vc.name}'")
     if (q.adhocCalcs.isEmpty) vc
     else {
       q.adhocCalcs.foreach { c =>
@@ -264,6 +269,43 @@ object Planner {
       // output projection)
       q.groupTop.map(_.measure))
 
+    // Fixed-member tuples (B7-ext): resolve each pin to a concrete level
+    // (unqualified members search the hierarchy like Mondrian's name
+    // lookup), then split on axis state. A dim ABSENT from the axis pins
+    // via a fact-side conditional aggregate; a dim DRILLED AT the pinned
+    // level pins via an axis window — the tuple OVERRIDES the axis member
+    // (Mondrian semantics: every row of an other-coords partition shows
+    // the pinned member's value). Every other state 400s cleanly instead
+    // of guessing: a cut on the pinned dimension (Mondrian's tuple
+    // overrides the slicer too — intersecting with the cut would silently
+    // return a wrong number) or a drill at a DIFFERENT level (the
+    // parallel-member calculus the compiled subset does not navigate).
+    val pinnedRls: Seq[(PinnedMeasureDef, ResolvedLevel)] =
+      need.pinned.map(pm => pm -> resolvePinnedLevel(cat, cube, pm))
+    pinnedRls.foreach { case (pm, rl) =>
+      if (cuts.exists(c => levelOfCut(cube, c).exists(_.dim.name == pm.dim)))
+        GraftException.badRequest(
+          s"fixed-member tuple '${pm.alias}': dimension '${pm.dim}' is " +
+            "also cut — Mondrian's tuple overrides the slicer member; " +
+            "drop the cut or pin a different dimension")
+      val dimDrills = drills.filter(_.dim.name == pm.dim)
+      if (dimDrills.nonEmpty && !dimDrills.exists(d =>
+          d.level.name == rl.level.name && d.hier.name == rl.hier.name))
+        GraftException.badRequest(
+          s"fixed-member tuple '${pm.alias}': '${pm.dim}' is drilled at " +
+            s"${dimDrills.map(_.level.name).mkString("/")} but pinned at " +
+            s"'${rl.level.name}' — drill the pinned level or drop the drill")
+    }
+    val (pinnedAxis, pinnedFact) =
+      pinnedRls.partition { case (pm, _) =>
+        drills.exists(_.dim.name == pm.dim) }
+    pinnedFact.foreach { case (pm, _) =>
+      if (cube.measure(pm.base).isEmpty)
+        GraftException.badRequest(
+          s"fixed-member tuple '${pm.alias}': base '${pm.base}' must be " +
+            s"a base measure when '${pm.dim}' is not on the axis")
+    }
+
     // a property named ONLY as an ORDER target (ref A11:
     // `ORDER(axis, [D].CurrentMember.Properties('X'))`) is computed
     // server-side without being projected, like Mondrian: it rides the
@@ -284,7 +326,9 @@ object Planner {
         need.movings.map(m => cube.dimension(m.timeDim).get) ++
         // a partial-policy grant filters the fact through its dim's level
         // key expressions, so the dim must be joined even when not drilled
-        partialGrants.map(_.dim))
+        partialGrants.map(_.dim) ++
+        // a fact-side pin conditions on its dim's level key expression
+        pinnedFact.map { case (pm, _) => cube.dimension(pm.dim).get })
 
     val groupLevels = groupLevelList(cube, drills, q.parents)
     val groupCols: Seq[Column] = groupLevels.flatMap(levelCols)
@@ -336,8 +380,10 @@ object Planner {
     val routedRollup =
       if (carriedProps.nonEmpty || q.captions.nonEmpty ||
           // a partial-policy role filter runs on the FACT's dim-joined
-          // frame; a rollup has already aggregated past it → fact path only
-          partialGrants.nonEmpty) None
+          // frame; a rollup has already aggregated past it — and a
+          // fact-side pin conditions on a dim the rollup aggregated away
+          // → fact path only
+          partialGrants.nonEmpty || pinnedFact.nonEmpty) None
       else Rollups.route(cat.rollups, cube, groupLevels, cuts, need.bases,
         dense = !q.nonempty)
 
@@ -380,7 +426,10 @@ object Planner {
         rFiltered.groupBy(groupAliases.map(col): _*)
           .agg(reAgg.head, reAgg.tail: _*)
       case _ =>
-        val aggCols = need.bases.map(aggColumn) ++ propCols
+        val aggCols = need.bases.map(aggColumn) ++
+          pinnedFact.map { case (pm, rl) =>
+            pinnedAggColumn(pm, cube.measure(pm.base).get, rl) } ++
+          propCols
         filtered.groupBy(groupCols: _*)
           .agg(aggCols.head, aggCols.tail: _*)
     }
@@ -488,7 +537,19 @@ object Planner {
     val withSetAggs = need.setAggs.foldLeft(withRanks) { (df, am) =>
       applySetAgg(df, am, groupLevels, totalVisible)
     }
-    val withCalcs = need.calcs.foldLeft(withSetAggs) { (df, cm) =>
+    // axis-drilled pins: one axis-sized window per pin — within each
+    // combination of the OTHER drilled columns, exactly one row carries
+    // the pinned member, and max() past the other rows' nulls broadcasts
+    // its value across the partition (the tuple-overrides-axis-member
+    // semantics)
+    val withPinned = pinnedAxis.foldLeft(withSetAggs) { case (df, (pm, rl)) =>
+      val partCols = windowPartCols(groupLevels, pm.dim, rl.level.name,
+        "fixed-member tuple")
+      df.withColumn(pm.alias,
+        max(when(totalVisible && col(rl.level.alias) === lit(pm.key),
+          col(pm.base))).over(Window.partitionBy(partCols: _*)))
+    }
+    val withCalcs = need.calcs.foldLeft(withPinned) { (df, cm) =>
       df.withColumn(cm.alias, expr(cm.formula))
     }
     // re-apply the relaxed time cuts to the axis, then drop the filler
@@ -534,14 +595,23 @@ object Planner {
     // cells all sort after every non-empty one and tie among themselves
     // (null-base equality under RANK), i.e. rank = #non-empty + 1.
     val denseWindows =
-      if (q.nonempty || (need.setAggs.isEmpty && need.ranks.isEmpty))
+      if (q.nonempty || (need.setAggs.isEmpty && need.ranks.isEmpty &&
+          pinnedAxis.isEmpty))
         denseTotals
       else {
-        val withSA = need.setAggs.foldLeft(denseTotals) { (df, am) =>
+        val withSA0 = need.setAggs.foldLeft(denseTotals) { (df, am) =>
           val partCols = groupLevels.filterNot(_.dim.name == am.dim)
             .flatMap(levelAliases).map(col)
           df.withColumn(am.alias,
             max(col(am.alias)).over(Window.partitionBy(partCols: _*)))
+        }
+        // axis pins are partition-constant like set aggregates — the same
+        // max() backfill carries them onto dense fillers
+        val withSA = pinnedAxis.foldLeft(withSA0) { case (df, (pm, _)) =>
+          val partCols = groupLevels.filterNot(_.dim.name == pm.dim)
+            .flatMap(levelAliases).map(col)
+          df.withColumn(pm.alias,
+            max(col(pm.alias)).over(Window.partitionBy(partCols: _*)))
         }
         need.ranks.foldLeft(withSA) { (df, rm) =>
           val partCols = groupLevels.filterNot(_.dim.name == rm.dim)
@@ -669,7 +739,7 @@ object Planner {
       lags: Seq[LagMeasureDef], cums: Seq[CumMeasureDef],
       totals: Seq[TotalMeasureDef], movings: Seq[MovingMeasureDef],
       ranks: Seq[RankMeasureDef], setAggs: Seq[SetAggMeasureDef],
-      calcs: Seq[CalcMemberDef])
+      pinned: Seq[PinnedMeasureDef], calcs: Seq[CalcMemberDef])
 
   /** Expand requested measure aliases to (base, lag, cum, calc) closure. Calc
     * formulas may reference base, lag, cum, and earlier calc aliases. */
@@ -678,6 +748,7 @@ object Planner {
     var cums = Set.empty[String]; var calcs = Set.empty[String]
     var totals = Set.empty[String]; var movings = Set.empty[String]
     var ranks = Set.empty[String]; var setAggs = Set.empty[String]
+    var pinned = Set.empty[String]
     def visit(n: String): Unit =
       cube.measure(n) match {
         case Some(m) => bases += m.alias
@@ -716,6 +787,16 @@ object Planner {
                         setAggs += n; visit(am.base)
                       }
                     case None =>
+                  cube.pinnedMeasures.find(_.alias == n) match {
+                    case Some(pm) =>
+                      if (!pinned(n)) {
+                        if (cube.calcMembers.exists(_.alias == pm.base))
+                          GraftException.badRequest(
+                            s"fixed-member tuple base '${pm.base}' is a " +
+                              s"calculated member — not supported")
+                        pinned += n; visit(pm.base)
+                      }
+                    case None =>
                   cube.calcMembers.find(_.alias == n) match {
                     case Some(cm) =>
                       if (!calcs(n)) {
@@ -727,12 +808,14 @@ object Planner {
                           cube.movingMeasures.map(_.alias) ++
                           cube.rankMeasures.map(_.alias) ++
                           cube.setAggMeasures.map(_.alias) ++
+                          cube.pinnedMeasures.map(_.alias) ++
                           cube.calcMembers.map(_.alias))
                           .filter(a => a != n && referencesAlias(cm.formula, a))
                         deps.foreach(visit)
                       }
                     case None =>
                       GraftException.badRequest(s"measure '$n' not found in cube '${cube.name}'")
+                  }
                   }
                   }
                   }
@@ -750,6 +833,7 @@ object Planner {
       cube.movingMeasures.filter(m => movings(m.alias)),
       cube.rankMeasures.filter(r => ranks(r.alias)),
       cube.setAggMeasures.filter(a => setAggs(a.alias)),
+      cube.pinnedMeasures.filter(p => pinned(p.alias)),
       cube.calcMembers.filter(c => calcs(c.alias))) // declaration order
   }
 
@@ -765,6 +849,7 @@ object Planner {
       .orElse(cube.movingMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.rankMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.setAggMeasures.find(_.alias == name).map(_.alias))
+      .orElse(cube.pinnedMeasures.find(_.alias == name).map(_.alias))
       .orElse(cube.calcMembers.find(_.alias == name).map(_.alias))
       .getOrElse(GraftException.badRequest(s"measure '$name' not found"))
 
@@ -797,6 +882,72 @@ object Planner {
       case Agg.Median => expr(s"percentile(${m.expr}, 0.5)")
     }
     c.as(m.alias)
+  }
+
+  /** Resolve a pinned member's level: explicit names resolve directly; an
+    * unqualified member ([Time].[1997]) searches the default hierarchy's
+    * levels top-down for the first whose key domain contains the key —
+    * Mondrian's member-name lookup. Each probe is one LIMIT-1 lookup on
+    * the dim table, memoized per catalog (the navKeyValue discipline). */
+  private def resolvePinnedLevel(cat: CubeCatalog, cube: CubeDef,
+      pm: PinnedMeasureDef): ResolvedLevel = {
+    if (pm.level.nonEmpty) resolve(cube, LevelRef(pm.dim, Some(pm.level)))
+    else {
+      val d = cube.dimension(pm.dim).getOrElse(GraftException.badRequest(
+        s"fixed-member tuple on unknown dimension '${pm.dim}'"))
+      val hier = d.hierarchies.head
+      val src = d.join.map(js => cat.table(js.table))
+        .getOrElse(cat.fact(cube))
+      val hit = hier.levels.find { l =>
+        cat.cachedMemberCount((cube.name,
+            s"__pin:${pm.dim}.${hier.name}.${l.name}", pm.key.toString)) {
+          // a key whose type cannot compare against this level's column
+          // (ANSI cast failure: 'Allentown' vs an int key) is simply not
+          // a member of the level — keep searching, don't surface the
+          // cast error
+          // (SparkNumberFormatException extends NumberFormatException,
+          // not SparkException — catch the SparkThrowable marker)
+          try src.filter(expr(l.keyExpr) === lit(pm.key)).limit(1).count()
+          catch { case _: org.apache.spark.SparkThrowable => 0L }
+        } > 0
+      }.getOrElse(GraftException.badRequest(
+        s"member '${pm.key}' not found in any level of '${pm.dim}' — " +
+          s"qualify it as [${pm.dim}].[Level].[key]"))
+      resolve(cube, LevelRef(pm.dim, Some(hit.name), Some(hier.name)))
+    }
+  }
+
+  /** Fact-side conditional aggregate for a fixed-member tuple whose
+    * dimension is NOT on the axis: the base measure's own aggregation
+    * ([[aggColumn]]'s recipe, DECIMAL path included) over only the pinned
+    * member's fact rows — the mask leaves other rows null, so groups with
+    * no pinned-member facts stay empty like Mondrian's empty cells. */
+  private def pinnedAggColumn(pm: PinnedMeasureDef, m: MeasureDef,
+      rl: ResolvedLevel): Column = {
+    val cond = s"((${rl.level.keyExpr}) = ${sqlLiteral(pm.key)})"
+    def masked(e: String) = s"(CASE WHEN $cond THEN ($e) END)"
+    def exactSum =
+      sum(expr(s"CAST(${masked(m.expr)} AS DECIMAL(27,6))")).cast("double")
+    val c = m.agg match {
+      case Agg.Sum if m.exact => exactSum
+      case Agg.Sum => sum(expr(masked(m.expr)))
+      case Agg.Avg if m.exact => exactSum / count(expr(masked(m.expr)))
+      case Agg.Avg => avg(expr(masked(m.expr)))
+      case Agg.Count => count(expr(masked(m.expr)))
+      case Agg.CountAll => count(expr(s"CASE WHEN $cond THEN 1 END"))
+      case Agg.Min => min(expr(masked(m.expr)))
+      case Agg.Max => max(expr(masked(m.expr)))
+      case Agg.DistinctCount => countDistinct(expr(masked(m.expr)))
+      case Agg.Median => expr(s"percentile(${masked(m.expr)}, 0.5)")
+      case other => GraftException.badRequest(
+        s"fixed-member tuple over a $other measure is not supported")
+    }
+    c.as(pm.alias)
+  }
+
+  private def sqlLiteral(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case other => other.toString
   }
 
   /** Star joins for the dimensions this query actually touches, deduped by

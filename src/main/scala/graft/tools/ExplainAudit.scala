@@ -62,7 +62,8 @@ object ExplainAudit {
         "m18_msadpcm_decode", "m19_msadpcm_stereo", "m20_flac_decode",
         "d23_containment_auto", "q92_mdx_virtual_calc",
         "m21_flac_transcode", "q93_mdx_virtual_filter",
-        "d24_ngram_jaccard_auto", "m22_flac24_decode")
+        "d24_ngram_jaccard_auto", "m22_flac24_decode",
+        "q94_mdx_pinned_member", "q95_mdx_pinned_override")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

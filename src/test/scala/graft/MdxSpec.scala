@@ -409,17 +409,98 @@ class MdxSpec extends AnyFunSuite {
     q.adhocLags.foreach(l => assert(formula.contains(l.alias), formula))
   }
 
-  test("a member merely starting with 'All' is not a grand total (400)") {
+  test("fixed-member tuples: an off-axis pin equals the cut query, a " +
+      "drilled pin OVERRIDES the axis member (Mondrian), unqualified " +
+      "members resolve top-down, and every unsupported state 400s clean") {
+    def plan(mdx: String) =
+      Planner.plan(cat, MdxParser.parse(salesCube, mdx)).collect()
+    val pinMdx =
+      """WITH MEMBER [Measures].[pin] AS
+        |  '([Measures].[Revenue], [Geography].[Region].[2])'
+        |SELECT {[Measures].[Revenue], [Measures].[pin]} ON COLUMNS,
+        |NON EMPTY [Part].[Brand].Members ON ROWS FROM sales""".stripMargin
+    val rows = plan(pinMdx)
+      .map(r => r.getString(0) -> (r.get(1), Option(r.get(2)))).toMap
+    // ground truth: the same axis with an explicit region-2 cut
+    val cutRows = Planner.plan(cat, CubeQuery("sales",
+        Seq(LevelDrill(LevelRef("Part", Some("Brand")))), Seq("revenue"),
+        cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 2L))))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(rows.nonEmpty && cutRows.nonEmpty)
+    cutRows.foreach { case (brand, rev) =>
+      assert(rows(brand)._2.contains(rev),
+        s"pin at $brand: ${rows(brand)._2} vs cut $rev")
+    }
+    // a brand with no region-2 facts pins to null, not 0
+    rows.filterNot(r => cutRows.contains(r._1))
+      .foreach { case (_, (_, pin)) => assert(pin.isEmpty) }
+    // unqualified member: [Geography].[2] searches the hierarchy top-down
+    // and lands on Region (the first level whose key domain has 2)
+    assert(plan(pinMdx.replace("[Geography].[Region].[2]",
+        "[Geography].[2]"))
+      .map(r => r.getString(0) -> (r.get(1), Option(r.get(2)))).toMap
+      == rows)
+    // drilled pin: the tuple overrides the axis member — every region row
+    // of a brand carries the brand's region-2 revenue
+    val over = plan(
+      """WITH MEMBER [Measures].[pin] AS
+        |  '([Measures].[Revenue], [Geography].[Region].[2])'
+        |SELECT {[Measures].[Revenue], [Measures].[pin]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+        |  [Part].[Brand].Members) ON ROWS FROM sales""".stripMargin)
+    over.groupBy(_.getString(2)).foreach { case (brand, rs) =>
+      val pins = rs.map(r => Option(r.get(4))).distinct
+      assert(pins.size == 1, s"pin not partition-constant at $brand")
+      assert(pins.head == cutRows.get(brand).map(identity),
+        s"override at $brand: ${pins.head} vs ${cutRows.get(brand)}")
+    }
+    // 400s: cut on the pinned dimension (tuple overrides the slicer)…
+    val eCut = intercept[GraftException](plan(pinMdx.replace(
+      "FROM sales", "FROM sales WHERE ([Geography].[Region].[1])")))
+    assert(eCut.status == 400 &&
+      eCut.getMessage.contains("overrides the slicer"), eCut.getMessage)
+    // …a drill at a DIFFERENT level of the pinned dimension…
+    val eLvl = intercept[GraftException](plan(
+      """WITH MEMBER [Measures].[pin] AS
+        |  '([Measures].[Revenue], [Geography].[Region].[2])'
+        |SELECT {[Measures].[pin]} ON COLUMNS,
+        |NON EMPTY [Geography].[Nation].Members ON ROWS
+        |FROM sales""".stripMargin))
+    assert(eLvl.status == 400 &&
+      eLvl.getMessage.contains("drill the pinned level"), eLvl.getMessage)
+    // …an unqualified member that exists at NO level…
+    val eMem = intercept[GraftException](plan(pinMdx.replace(
+      "[Geography].[Region].[2]", "[Geography].[Allentown]")))
+    assert(eMem.status == 400 &&
+      eMem.getMessage.contains("not found in any level"), eMem.getMessage)
+    // …and a pin on a virtual cube (no member cube machinery to route to)
+    val eVc = intercept[GraftException](Planner.plan(cat,
+      MdxParser.parse(Planner.mdxView(cat, "commerce"),
+        """WITH MEMBER [Measures].[pin] AS
+          |  '([Measures].[Revenue], [Geography].[Region].[2])'
+          |SELECT {[Measures].[pin]} ON COLUMNS,
+          |[Geography].[Region].Members ON ROWS
+          |FROM commerce""".stripMargin)))
+    assert(eVc.status == 400 &&
+      eVc.getMessage.contains("virtual cube"), eVc.getMessage)
+  }
+
+  test("a member merely starting with 'All' is not a grand total — it " +
+      "parses as a FIXED-MEMBER tuple (pinned measure), never a total") {
     // [City].[Allentown] must NOT silently become a share-of-total
-    // denominator; it is an unsupported member tuple → clean 400
-    val e = intercept[GraftException](MdxParser.parse(salesCube,
+    // denominator; it is a fixed-member pin whose key resolves (or 400s,
+    // member-not-found) at plan time
+    val q = MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[x] AS
         |  '[Measures].[Revenue] / ([Measures].[Revenue], [Geography].[Allentown])'
         |SELECT {[Measures].[x]} ON COLUMNS,
         |[Geography].[Region].Members ON ROWS
-        |FROM sales""".stripMargin))
-    assert(e.status == 400 &&
-      e.getMessage.contains("unsupported member reference"), e.getMessage)
+        |FROM sales""".stripMargin)
+    assert(q.adhocTotals.isEmpty)
+    assert(q.adhocPinned.map(p => (p.dim, p.level, p.key)) ==
+      Seq(("Geography", "", "Allentown")))
+    assert(q.adhocCalcs.head.formula
+      .contains(q.adhocPinned.head.alias))
     // the genuine All member (with the word boundary) still rewrites
     val ok = MdxParser.parse(salesCube,
       """WITH MEMBER [Measures].[s] AS
