@@ -68,8 +68,21 @@ object ScaleSweep {
     // warmup when nothing needs computing)
     def fragPath(f: Int) = java.nio.file.Paths.get(s"$workDir/result_x$f.json")
     val missing = factors.filter(f => !java.nio.file.Files.exists(fragPath(f)))
-    if (missing.nonEmpty)
+    if (missing.nonEmpty) {
       runFactor(spark, workDir, missing.min, warm = true) // JVM/codegen warmup
+      // The warmup's own 32 threads dominate the 1-minute load average for
+      // ~2 minutes after it finishes, so without a drain the measured
+      // factor's host_load1[before] stamp can only ever read the warmup,
+      // never the ambient machine — exactly the ambiguity the stamps exist
+      // to remove. Wait (bounded) for the EMA to decay before measuring.
+      val sysLoad = () => java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val t0 = System.nanoTime()
+      while (sysLoad() > 4.0 && System.nanoTime() - t0 < 240e9.toLong)
+        Thread.sleep(5000)
+      println(f"[scalesweep] post-warmup drain: load1 ${sysLoad()}%.2f " +
+        f"after ${(System.nanoTime() - t0) / 1e9}%.0f s")
+    }
     missing.foreach { f =>
       val r = runFactor(spark, workDir, f, warm = false)
       val ops = r.ops.toSeq.sortBy(_._1).map { case (name, m) =>
