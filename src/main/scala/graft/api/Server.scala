@@ -107,6 +107,13 @@ final class Server(spark: SparkSession, sfDir: String, port: Int,
       val result = segs match {
         case ("mdx" | "mdx.csv" | "mdx.jsonrecords" | "mdx.xls") :: Nil
           if ex.getRequestMethod == "POST" => mdx(cat, segs.head, body, params)
+        // /forget mutates standing artifacts irreversibly — never reachable
+        // via a safe method (a logged/prefetched GET URL with its ?secret=
+        // must not rewrite state); 405 before the secret check so the
+        // response doesn't even confirm whether a secret is configured
+        case List("forget") if ex.getRequestMethod != "POST" =>
+          text(405, "application/json", Json.write(scala.collection.immutable
+            .ListMap("error" -> "/forget is POST-only (destructive)")))
         case _ => route(cat, segs, params)
       }
       result match {

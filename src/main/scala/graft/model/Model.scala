@@ -227,7 +227,7 @@ final case class SetAggMeasureDef(alias: String, base: String, dim: String,
   * written unqualified ([Time].[1997]) and resolves by key search down
   * the hierarchy at plan time, like Mondrian's member-name lookup. */
 final case class PinnedMeasureDef(alias: String, base: String, dim: String,
-    level: String, key: Any)
+    level: String, key: Any, hier: String = "")
 
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,

@@ -78,18 +78,14 @@ private[graft] object Flac {
       val u = readBitsLong(n)
       ((u << (64 - n)) >> (64 - n)).toInt
     }
-    /** FLAC unary: count of 0 bits before the terminating 1. The runaway
-      * guard is the bits LEFT IN THE BUFFER — a valid quotient can never
-      * exceed that, so a crafted all-zeros run aborts at the payload
-      * boundary (the EOF throw) instead of scanning to an arbitrary
-      * constant cap. */
+    /** FLAC unary: count of 0 bits before the terminating 1. No separate
+      * runaway cap: a crafted all-zeros run aborts at the PAYLOAD
+      * boundary because readBit throws EOF after at most remainingBits
+      * reads — a valid quotient can never exceed the bits left, and a
+      * counter-based guard could only fire after the EOF already did. */
     def readUnary(): Int = {
       var q = 0
-      val lim = remainingBits
-      while (readBit() == 0) {
-        q += 1
-        if (q > lim) throw new IllegalStateException("runaway unary")
-      }
+      while (readBit() == 0) q += 1
       q
     }
   }
@@ -362,6 +358,11 @@ private[graft] object Flac {
               throw new IllegalStateException("stream too large")
             chunks += fr
           }
+          // the documented invariant, exactly: ANY trailing byte fails
+          // (a lone byte is below the 16-bit loop threshold but is still
+          // indistinguishable from a truncated next frame)
+          if (r.remainingBits != 0)
+            throw new IllegalStateException("trailing bytes after last frame")
           if (chunks.isEmpty) return None
           val out = new Array[Byte](bytes.toInt)
           var w = 0

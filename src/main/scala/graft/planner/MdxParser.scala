@@ -628,10 +628,10 @@ object MdxParser {
         """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\)""").r
       formula = pinnedRe.replaceAllIn(formula, mm => {
         val base = resolveWindowBase(cube, mm.group(1), "fixed-member tuple")
-        val (dim, level, key) = QueryParser.segments(mm.group(2)) match {
-          case Seq(d, k) => (d, "", QueryParser.typedKey(k))
-          case Seq(d, l, k) => (d, l, QueryParser.typedKey(k))
-          case Seq(d, _, l, k) => (d, l, QueryParser.typedKey(k))
+        val (dim, hier, level, key) = QueryParser.segments(mm.group(2)) match {
+          case Seq(d, k) => (d, "", "", QueryParser.typedKey(k))
+          case Seq(d, l, k) => (d, "", l, QueryParser.typedKey(k))
+          case Seq(d, h, l, k) => (d, h, l, QueryParser.typedKey(k))
           case _ => GraftException.badRequest(
             s"fixed-member tuple must name [Dim].[Level].[Key] or " +
               s"[Dim].[Key]: '${mm.group(2)}'")
@@ -641,13 +641,14 @@ object MdxParser {
             s"fixed-member tuple on unknown dimension '$dim'")
         if (level.nonEmpty) levelOf(dim, level, "fixed-member tuple")
         def same(p: PinnedMeasureDef) = p.base == base && p.dim == dim &&
-          p.level == level && p.key == key
+          p.level == level && p.key == key && p.hier == hier
         val alias = cube.pinnedMeasures.find(same).map(_.alias)
           .orElse(pinnedDefs.values.find(same).map(_.alias))
           .getOrElse {
             val a = s"__mdx_pin_${base}_${dim.replaceAll("\\W", "_")}_" +
               s"${level.replaceAll("\\W", "_")}_p${pinnedDefs.size}"
-            pinnedDefs.update(a, PinnedMeasureDef(a, base, dim, level, key))
+            pinnedDefs.update(a,
+              PinnedMeasureDef(a, base, dim, level, key, hier))
             a
           }
         java.util.regex.Matcher.quoteReplacement(alias)

@@ -857,31 +857,41 @@ object Planner {
     * DECIMAL(27,6) → exact, order-independent sums: identical results across
     * partial-aggregation orders (local[32] vs 1000 executors) and vs the
     * DuckDB oracle. */
-  private def aggColumn(m: MeasureDef): Column = {
-    def exactSum = sum(expr(s"CAST((${m.expr}) AS DECIMAL(27,6))")).cast("double")
-    val c = m.agg match {
+  private def aggColumn(m: MeasureDef): Column =
+    maskedAggColumn(m, None).as(m.alias)
+
+  /** ONE aggregation recipe for base measures (no mask) and fixed-member
+    * pins (the member predicate masked into every input) — a single
+    * source of truth for the exactness-critical parts (the DECIMAL(27,6)
+    * quantization, the Median percentile), so the pinned variant cannot
+    * silently diverge from the base measure it claims to restrict. */
+  private def maskedAggColumn(m: MeasureDef, mask: Option[Column]): Column = {
+    def mc(c: Column) = mask.map(p => when(p, c)).getOrElse(c)
+    def me = mc(expr(m.expr))
+    def exactSum =
+      sum(mc(expr(s"CAST((${m.expr}) AS DECIMAL(27,6))"))).cast("double")
+    m.agg match {
       case Agg.Sum if m.exact => exactSum
-      case Agg.Sum => sum(expr(m.expr))
-      case Agg.Avg if m.exact => exactSum / count(expr(m.expr))
-      case Agg.Avg => avg(expr(m.expr))
-      case Agg.Count => count(expr(m.expr))
-      case Agg.CountAll => count(lit(1))
-      case Agg.Min => min(expr(m.expr))
-      case Agg.Max => max(expr(m.expr))
-      case Agg.DistinctCount => countDistinct(expr(m.expr))
+      case Agg.Sum => sum(me)
+      case Agg.Avg if m.exact => exactSum / count(me)
+      case Agg.Avg => avg(me)
+      case Agg.Count => count(me)
+      case Agg.CountAll => count(mc(lit(1)))
+      case Agg.Min => min(me)
+      case Agg.Max => max(me)
+      case Agg.DistinctCount => countDistinct(me)
       // Datasketches HLL, not approx_count_distinct: the sketch's register-
       // wise-max union is lossless and partitioning-independent, so the same
       // measure answered from a rollup's stored sketches (Rollups B17) or
       // straight off the fact gives the SAME estimate — the property that
       // makes distinct-count rollup-able at 100 TB.
       case Agg.ApproxDistinctCount =>
-        hll_sketch_estimate(hll_sketch_agg(expr(m.expr)))
+        hll_sketch_estimate(hll_sketch_agg(me))
       // exact continuous-interpolation percentile — bit-identical to
       // DuckDB's quantile_cont (validated empirically); non-additive, so
       // rollup routing bypasses it like exact distinct-count
-      case Agg.Median => expr(s"percentile(${m.expr}, 0.5)")
+      case Agg.Median => percentile(me, lit(0.5))
     }
-    c.as(m.alias)
   }
 
   /** Resolve a pinned member's level: explicit names resolve directly; an
@@ -891,64 +901,52 @@ object Planner {
     * the dim table, memoized per catalog (the navKeyValue discipline). */
   private def resolvePinnedLevel(cat: CubeCatalog, cube: CubeDef,
       pm: PinnedMeasureDef): ResolvedLevel = {
-    if (pm.level.nonEmpty) resolve(cube, LevelRef(pm.dim, Some(pm.level)))
+    val hierOpt = Some(pm.hier).filter(_.nonEmpty)
+    if (pm.level.nonEmpty)
+      resolve(cube, LevelRef(pm.dim, Some(pm.level), hierOpt))
     else {
       val d = cube.dimension(pm.dim).getOrElse(GraftException.badRequest(
         s"fixed-member tuple on unknown dimension '${pm.dim}'"))
-      val hier = d.hierarchies.head
+      // an explicit hierarchy qualifier restricts the search to that
+      // hierarchy; unqualified members search every hierarchy in
+      // declaration order, each top-down (Mondrian's name lookup)
+      val hiers = hierOpt match {
+        case Some(h) => Seq(d.hierarchies.find(_.name == h).getOrElse(
+          GraftException.badRequest(
+            s"hierarchy '$h' not found in dimension '${pm.dim}'")))
+        case None => d.hierarchies
+      }
       val src = d.join.map(js => cat.table(js.table))
         .getOrElse(cat.fact(cube))
-      val hit = hier.levels.find { l =>
-        cat.cachedMemberCount((cube.name,
-            s"__pin:${pm.dim}.${hier.name}.${l.name}", pm.key.toString)) {
-          // a key whose type cannot compare against this level's column
-          // (ANSI cast failure: 'Allentown' vs an int key) is simply not
-          // a member of the level — keep searching, don't surface the
-          // cast error
-          // (SparkNumberFormatException extends NumberFormatException,
-          // not SparkException — catch the SparkThrowable marker)
-          try src.filter(expr(l.keyExpr) === lit(pm.key)).limit(1).count()
-          catch { case _: org.apache.spark.SparkThrowable => 0L }
-        } > 0
-      }.getOrElse(GraftException.badRequest(
-        s"member '${pm.key}' not found in any level of '${pm.dim}' — " +
-          s"qualify it as [${pm.dim}].[Level].[key]"))
-      resolve(cube, LevelRef(pm.dim, Some(hit.name), Some(hier.name)))
+      val hit = hiers.iterator.flatMap(h => h.levels.iterator.map(h -> _))
+        .find { case (h, l) =>
+          cat.cachedMemberCount((cube.name,
+              s"__pin:${pm.dim}.${h.name}.${l.name}", pm.key.toString)) {
+            // a key whose type cannot compare against this level's column
+            // (ANSI cast failure: 'Allentown' vs an int key) is simply not
+            // a member of the level — keep searching, don't surface the
+            // cast error (SparkNumberFormatException extends
+            // NumberFormatException, so catch the SparkThrowable marker)
+            try src.filter(expr(l.keyExpr) === lit(pm.key)).limit(1).count()
+            catch { case _: org.apache.spark.SparkThrowable => 0L }
+          } > 0
+        }.getOrElse(GraftException.badRequest(
+          s"member '${pm.key}' not found in any level of '${pm.dim}' — " +
+            s"qualify it as [${pm.dim}].[Level].[key]"))
+      resolve(cube, LevelRef(pm.dim, Some(hit._2.name), Some(hit._1.name)))
     }
   }
 
   /** Fact-side conditional aggregate for a fixed-member tuple whose
-    * dimension is NOT on the axis: the base measure's own aggregation
-    * ([[aggColumn]]'s recipe, DECIMAL path included) over only the pinned
-    * member's fact rows — the mask leaves other rows null, so groups with
-    * no pinned-member facts stay empty like Mondrian's empty cells. */
+    * dimension is NOT on the axis: [[maskedAggColumn]] with the member
+    * predicate as the mask (typed `expr === lit` comparison — the same
+    * form every cut uses, so string keys need no SQL-literal escaping).
+    * The mask leaves other rows null, so groups with no pinned-member
+    * facts stay empty like Mondrian's empty cells. */
   private def pinnedAggColumn(pm: PinnedMeasureDef, m: MeasureDef,
-      rl: ResolvedLevel): Column = {
-    val cond = s"((${rl.level.keyExpr}) = ${sqlLiteral(pm.key)})"
-    def masked(e: String) = s"(CASE WHEN $cond THEN ($e) END)"
-    def exactSum =
-      sum(expr(s"CAST(${masked(m.expr)} AS DECIMAL(27,6))")).cast("double")
-    val c = m.agg match {
-      case Agg.Sum if m.exact => exactSum
-      case Agg.Sum => sum(expr(masked(m.expr)))
-      case Agg.Avg if m.exact => exactSum / count(expr(masked(m.expr)))
-      case Agg.Avg => avg(expr(masked(m.expr)))
-      case Agg.Count => count(expr(masked(m.expr)))
-      case Agg.CountAll => count(expr(s"CASE WHEN $cond THEN 1 END"))
-      case Agg.Min => min(expr(masked(m.expr)))
-      case Agg.Max => max(expr(masked(m.expr)))
-      case Agg.DistinctCount => countDistinct(expr(masked(m.expr)))
-      case Agg.Median => expr(s"percentile(${masked(m.expr)}, 0.5)")
-      case other => GraftException.badRequest(
-        s"fixed-member tuple over a $other measure is not supported")
-    }
-    c.as(pm.alias)
-  }
-
-  private def sqlLiteral(v: Any): String = v match {
-    case s: String => "'" + s.replace("'", "''") + "'"
-    case other => other.toString
-  }
+      rl: ResolvedLevel): Column =
+    maskedAggColumn(m,
+      Some(expr(rl.level.keyExpr) === lit(pm.key))).as(pm.alias)
 
   /** Star joins for the dimensions this query actually touches, deduped by
     * (table, fk): small dims broadcast, fact-sized dims shuffle-join (ref B2). */

@@ -138,7 +138,11 @@ class ApiSpec extends AnyFunSuite {
       // before: the victim is served
       assert(pairs0.where(col("doc_a") === 7L || col("doc_b") === 7L)
         .count() > 0)
-      // destructive route is gated like /flush, and empty ids are a 400
+      // destructive route is POST-only (a logged/prefetched GET URL with
+      // its ?secret= must not rewrite state — 405 even with the secret),
+      // gated like /flush, and empty ids are a 400
+      val (c405, b405) = get("/forget?secret=s3cret&doc_ids=7")
+      assert(c405 == 405 && b405.contains("POST"), b405)
       val (c403, _) = post("/forget?doc_ids=7", "")
       assert(c403 == 403)
       val (c400, b400) = post("/forget?secret=s3cret", "")

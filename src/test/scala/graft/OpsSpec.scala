@@ -3171,8 +3171,10 @@ class OpsSpec extends AnyFunSuite {
     assert(u.frames == known.frames && u.bits == 16 &&
       u.data.toSeq == known.data.toSeq)
     // trailing bytes after the last frame are indistinguishable from a
-    // truncated next frame when no total is declared — honest decline
+    // truncated next frame when no total is declared — honest decline,
+    // including a LONE byte (below the frame loop's 16-bit threshold)
     assert(Flac.parseFlac(unk ++ Array[Byte](0, 0, 0, 0)).isEmpty)
+    assert(Flac.parseFlac(unk :+ 0.toByte).isEmpty)
     // 32-bit streams decline to the stub (33-bit side-channel samples)
     val f32 = Flac.buildFlac(8000, 0, Seq(Flac.Chan(-2, Array(7, -9),
       Array.empty[Int], 0, bits = 32)), bps = 32)
