@@ -95,6 +95,16 @@ class FuzzSpec extends AnyFunSuite {
       |    TOPCOUNT([Part].[Brands].[Brand].Members, 2,
       |      [Measures].[Revenue])),
       |  [Measures].[Avg Discount] > 0.05) ON ROWS
+      |FROM sales""".stripMargin,
+    // the round-15 fixed-member pin forms (explicit level and unqualified)
+    // — mangled member paths, stray hierarchy segments, broken tuple
+    // parens must 400, never crash
+    """WITH MEMBER [Measures].[asia] AS
+      |  '([Measures].[Revenue], [Geography].[Region].[2])'
+      |MEMBER [Measures].[share] AS
+      |  '[Measures].[Revenue] / ([Measures].[Revenue], [Geography].[2])'
+      |SELECT {[Measures].[asia], [Measures].[share]} ON COLUMNS,
+      |NON EMPTY [Part].[Brands].[Brand].Members ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(
