@@ -21,15 +21,17 @@ package graft.ops
   *  - frame CRC-16 verified; multi-frame streams decoded sequentially
   *    with bounded per-row state (one frame's channel buffers live).
   *
-  * 8/16/24-bit streams decode to interleaved LE PCM at their own depth,
+  * 8/16/24-bit streams decode to interleaved LE PCM at their own depth
+  * and channel count (1–8: all four stereo decorrelation modes;
+  * 3–8 channels coded independently — the 5.1/7.1 surround layouts),
   * riding the shared [[Multimodal]] feature/fingerprint/transcode scans
-  * (whose PcmClip layout already speaks those widths) — a FLAC clip and
-  * the WAV of its decoded samples fingerprint identically (spec-pinned),
-  * and 24-bit (the dominant archival depth) is oracle-gated by m22.
+  * (whose PcmClip layout already speaks those widths, and whose mixdown
+  * is the generic per-frame channel mean) — a FLAC clip and the WAV of
+  * its decoded samples fingerprint identically (spec-pinned), and
+  * 24-bit (the dominant archival depth) is oracle-gated by m22.
   * STREAMINFO totalSamples = 0 ("unknown", the streaming-encoder form)
-  * decodes frame-by-frame to EOF. 32-bit and >2-channel streams decline
-  * to the honest stub (33-bit side samples / the mono-stereo feature
-  * mixdown boundary — see [[parseFlac]]).
+  * decodes frame-by-frame to EOF. 32-bit streams decline to the honest
+  * stub (33-bit side samples — see [[parseFlac]]).
   *
   * The m20 gate replays decoded GROUND TRUTH: the fixture's Rice-coded
   * residual stream derives from md5 arithmetic both engines compute, so
@@ -292,11 +294,14 @@ private[graft] object Flac {
   /** Full-stream decode to an interleaved LE PCM clip at the stream's own
     * bit depth (8/16/24 — the widths [[Multimodal.PcmClip]]'s feature,
     * fingerprint, and transcode scans define; 24-bit is the dominant
-    * archival depth). None when the payload is not FLAC, is corrupt
-    * (CRC/sync/structure), or is outside that layout: 32-bit streams
-    * decline (a side channel would need 33-bit samples — wider buffers
-    * for a depth no mainstream encoder emits), as do > 2 channels (the
-    * feature mixdown is defined for the PCM family's mono/stereo layout).
+    * archival depth) and channel count (1–8: mono/stereo in all four
+    * decorrelation modes, 3–8 independently-coded channels — the 5.1/7.1
+    * surround layouts; the downstream feature mixdown is the generic
+    * per-frame channel mean, so multichannel rides the same scans). None
+    * when the payload is not FLAC, is corrupt (CRC/sync/structure), or
+    * is outside that layout: 32-bit streams decline (a side channel
+    * would need 33-bit samples — wider buffers for a depth no mainstream
+    * encoder emits).
     *
     * STREAMINFO totalSamples = 0 is LEGAL ("unknown" — streaming/pipe
     * encoders emit it): such streams decode frame-by-frame until the
@@ -328,7 +333,7 @@ private[graft] object Flac {
       }
       if (info == null) return None
       if ((info.bps != 8 && info.bps != 16 && info.bps != 24) ||
-          info.channels < 1 || info.channels > 2 || info.sampleRate <= 0)
+          info.channels < 1 || info.channels > 8 || info.sampleRate <= 0)
         return None
       val bySam = info.bps / 8
       val frameBytes = bySam * info.channels

@@ -3186,6 +3186,38 @@ class OpsSpec extends AnyFunSuite {
     assert(ok.readUnary() == 3)
   }
 
+  test("FLAC multichannel: 3-channel independent streams (the surround " +
+      "class) decode, interleave, and transcode; the 8-channel ceiling " +
+      "holds") {
+    import graft.ops.Flac
+    def vb(vals: Array[Int]) =
+      Flac.Chan(-2, vals, Array.empty[Int], 0)
+    // asgn 2 = 3 independently-coded channels (L, C, R)
+    val f3 = Flac.buildFlac(8000, 2, Seq(vb(Array(300, 306)),
+      vb(Array(-60, -63)), vb(Array(90, 99))))
+    val c3 = Flac.parseFlac(f3).get
+    assert(c3.ch == 3 && c3.bits == 16 && c3.frames == 2)
+    // transcode preserves the frame-major channel interleave losslessly
+    assert(wavSamples(Multimodal.transcodeOne(f3).get) ==
+      Seq(300, -60, 90, 306, -63, 99))
+    // the feature scan mixes down by the generic per-frame channel mean
+    val d3 = Multimodal.decodeOne(Multimodal.MediaRow(1L, f3,
+      Multimodal.MediaMeta("flac", 0, 0, 0)))
+    assert(d3.height == 3 && d3.n_frames == 2)
+    val mean0 = (300 - 60 + 90) / 3.0 / 32768
+    val mean1 = (306 - 63 + 99) / 3.0 / 32768
+    assert(math.abs(d3.features(1) - math.max(mean0, mean1)) < 1e-12,
+      s"peak ${d3.features(1)}")
+    // 8 channels is the FLAC format ceiling (3-bit STREAMINFO field /
+    // asgn 0-7); the eight-channel form decodes too
+    val f8 = Flac.buildFlac(8000, 7,
+      (1 to 8).map(i => vb(Array(i * 10, i * 10 + 1))))
+    val c8 = Flac.parseFlac(f8).get
+    assert(c8.ch == 8 && c8.frames == 2)
+    assert(wavSamples(Multimodal.transcodeOne(f8).get).take(8) ==
+      (1 to 8).map(_ * 10))
+  }
+
   test("Moore-Lewis selection ranks seed-like documents below off-domain " +
       "ones, and seed docs score in-domain on the real corpus") {
     import spark.implicits._
