@@ -32,6 +32,14 @@ object Bench {
       only.forall(_.exists(n.startsWith))
     }
 
+    def load1(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    // Ambient load BEFORE any Spark work — the drain target below is
+    // relative to it (the ScaleSweep discipline: an absolute bar on a
+    // busy host would stall the bound and still stamp high).
+    val ambient = math.max(0.0, load1())
+
     // warmup: run every query once so catalog build, parquet footers, and
     // whole-stage-codegen/classloader compilation happen off the clock —
     // measured numbers then reflect steady-state throughput (what a warm
@@ -45,6 +53,17 @@ object Bench {
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
+    // Drain the warmup's own load before stamping/measuring — without it
+    // the loadBefore stamp can only ever read the warmup pass's 32
+    // threads, never the ambient machine, and the measured pass starts
+    // into the warmup's scheduler residue (the r15 artifact drift). Same
+    // bounded decay wait ScaleSweep uses between its warmup and measure.
+    val threshold = math.max(ambient + 0.5,
+      Runtime.getRuntime.availableProcessors / 8.0)
+    val tDrain = System.nanoTime()
+    while (load1() > threshold && System.nanoTime() - tDrain < 240e9.toLong)
+      Thread.sleep(5000)
+
     // two measured passes, per-query MIN: host contention on this box swings
     // single-shot numbers several-fold; the min is the steady-state capability
     def pass(): Seq[(String, Double)] =
@@ -57,9 +76,6 @@ object Bench {
     // artifact showed a uniform ~1.17× drift on untouched queries with no
     // attributable cause — load averages on the row make (or rule out)
     // that case without a re-run.
-    def load1(): Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
     val loadBefore = load1()
     val p1 = pass()
     spark.catalog.clearCache()

@@ -603,8 +603,7 @@ object Dedup {
     val hotDf = full.groupBy("block", "s").agg(count(lit(1)).as("df"))
       .where(col("df") > cap)
       .localCheckpoint()
-    val hotSide =
-      if (hotDf.count() <= 4000000L) broadcast(hotDf) else hotDf
+    val hotSide = sizeGatedBroadcast(hotDf)
     val fullCapped = full.join(hotSide, Seq("block", "s"), "left")
       .where(col("df").isNull ||
         pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)
@@ -635,6 +634,31 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** ONE broadcast gate for the hot-df posting tail (shared by
+    * [[containmentPairsAuto]] and [[ngramJaccardAuto]]): broadcast only
+    * when the frame fits the session's own broadcast budget
+    * (`spark.sql.autoBroadcastJoinThreshold` — the same knob that sizes
+    * every other broadcast in the plan, so executors provisioned for the
+    * session's joins are provisioned for this one too), estimated at
+    * `rowBytes` per row (two longs + a short block string + UnsafeRow
+    * overhead). A fixed row-count gate was wrong twice over: 4M rows is
+    * ~150+ MB — an OOM on executors whose threshold says 10 MB — and the
+    * constant lived in two places. Above the budget (or when the caller
+    * disabled broadcasts with threshold −1) the join degrades to a
+    * shuffle hash join on (block, s), which is correct and merely
+    * repartitions the posting stream it was about to shuffle for the
+    * candidate join anyway. The count re-reads the frame's checkpoint,
+    * never the corpus. */
+  private[graft] def sizeGatedBroadcast(df: DataFrame,
+      rowBytes: Long = 48L): DataFrame = {
+    val conf = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val budget = // JavaUtils parses every spelling the conf accepts
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf.trim)
+      catch { case _: NumberFormatException => 10L << 20 }
+    if (budget > 0 && df.count() * rowBytes <= budget) broadcast(df) else df
   }
 
   /** PRODUCTION-SCALE symmetric n-gram Jaccard — [[ngramJaccardPairs]]'
@@ -716,8 +740,7 @@ object Dedup {
     val hotDf = prefix.groupBy("block", "s").agg(count(lit(1)).as("df"))
       .where(col("df") > cap)
       .localCheckpoint()
-    val hotSide =
-      if (hotDf.count() <= 4000000L) broadcast(hotDf) else hotDf
+    val hotSide = sizeGatedBroadcast(hotDf)
     val prefixCapped = prefix.join(hotSide, Seq("block", "s"), "left")
       .where(col("df").isNull ||
         pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)

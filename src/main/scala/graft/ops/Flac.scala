@@ -356,10 +356,21 @@ private[graft] object Flac {
           // unknown total: accumulate frames to EOF
           val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           var bytes = 0L
+          // Expansion guard for the untrusted-scan path: without a
+          // declared total, output is bounded only by what the frames
+          // decode to, and a crafted stream of ~20-byte constant-subframe
+          // frames (blockSize 65535 × 8ch × 3B) would otherwise allocate
+          // ~2 GB before the absolute guard fires. A legitimate constant
+          // subframe tops out near 49 k output bytes per input byte
+          // (65535 samples × 3 B from a 4-byte subframe), so a 64 Ki×
+          // payload-proportional cap admits every real stream — silence
+          // included — while bounding a malicious one to ~64 KiB per
+          // input byte.
+          val maxBytes = math.min(Int.MaxValue - 8L, 65536L * b.length)
           while (r.remainingBits >= 16) {
             val fr = decodeFrame(r, b, info, Long.MaxValue)
             bytes += fr.length
-            if (bytes > Int.MaxValue - 8)
+            if (bytes > maxBytes)
               throw new IllegalStateException("stream too large")
             chunks += fr
           }

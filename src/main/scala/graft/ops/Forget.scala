@@ -125,10 +125,24 @@ object Forget {
         Dedup.tombstoneDelete(clusters.select("doc_id"), ids.toDF("doc_id"),
           "doc_id", pairs.select("doc_a", "doc_b"), clusters)
       case None =>
+        // Relabel ONLY clusters that lost a member: the delete batch is
+        // human-sized, so the touched-cluster list is a broadcast
+        // semi-join result — untouched clusters keep their labels
+        // bit-for-bit (a cached frame whose labels are not min-based must
+        // not have unrelated labels rewritten by someone else's forget).
+        val touched = broadcast(
+          clusters.join(del, clusters("doc_id") === col("__del"), "left_semi")
+            .select("cluster_id").distinct()
+            .withColumn("__touched", lit(1)))
         clusters.join(del, clusters("doc_id") === col("__del"), "left_anti")
+          .join(touched, Seq("cluster_id"), "left")
           .withColumn("cluster_id",
-            min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("cluster_id"))))
+            when(col("__touched") === 1,
+              min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+                .partitionBy(col("cluster_id"))))
+              .otherwise(col("cluster_id")))
+          .drop("__touched")
+          .select(clusters.columns.map(col).toSeq: _*) // original col order
     }
   }
 }

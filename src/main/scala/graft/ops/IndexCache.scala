@@ -66,19 +66,36 @@ object IndexCache {
   /** Rewrite each of one session's artifacts IN PLACE (the `/forget`
     * path): `f` sees (key, value) and returns the replacement; returning
     * the same reference leaves the entry untouched. Returns the number of
-    * entries replaced. The map lock serializes concurrent transforms
-    * against each other; memo() builds don't take it (get-then-putIfAbsent),
-    * so an entry born DURING the walk may be missed — quiesce ingest
-    * around a delete batch, the same operational rule every tombstone op
-    * in the library states. */
+    * entries replaced.
+    *
+    * LOCK-FREE walk, deliberately: `f` runs eager Spark jobs (a
+    * tombstone's stale-check count(), the localCheckpoint in
+    * pqDelete/ivfDelete), so holding the map lock across the walk would
+    * block every other transform for multiple job durations while memo()
+    * builds bypass the lock anyway. Instead the key set is snapshotted,
+    * each rewrite runs unlocked, and the result swaps in via
+    * `replace(k, old, nv)` — a lost race (a concurrent transform replaced
+    * the value first) re-applies `f` to the winner's value, which is
+    * sound because every rewrite the library installs here is an
+    * idempotent anti-join. Entries born DURING the walk may still be
+    * missed — quiesce ingest around a delete batch, the same operational
+    * rule every tombstone op in the library states. */
   def transformEntries(spark: SparkSession)(
       f: (String, AnyRef) => AnyRef): Int = {
     val m = mapFor(spark)
     var replaced = 0
-    m.synchronized {
-      m.forEach { (k, v) =>
-        val nv = f(k, v)
-        if (nv ne v) { m.put(k, nv); replaced += 1 }
+    val keys = new java.util.ArrayList[String](m.keySet())
+    keys.forEach { k =>
+      var done = false
+      while (!done) {
+        val v = m.get(k)
+        if (v == null) done = true // removed concurrently (flush)
+        else {
+          val nv = f(k, v)
+          if (nv eq v) done = true
+          else if (m.replace(k, v, nv)) { replaced += 1; done = true }
+          // else: a racing transform won — loop and rewrite its value
+        }
       }
     }
     replaced

@@ -69,18 +69,28 @@ object ScaleSweep {
     def fragPath(f: Int) = java.nio.file.Paths.get(s"$workDir/result_x$f.json")
     val missing = factors.filter(f => !java.nio.file.Files.exists(fragPath(f)))
     if (missing.nonEmpty) {
+      val sysLoad = () => java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      // Ambient load BEFORE the warmup: the drain target must be relative
+      // to what the host was already doing — an absolute threshold on a
+      // shared host whose ambient load exceeds it would stall the full
+      // bound every run and still stamp the high load.
+      val ambient = math.max(0.0, sysLoad())
       runFactor(spark, workDir, missing.min, warm = true) // JVM/codegen warmup
       // The warmup's own 32 threads dominate the 1-minute load average for
       // ~2 minutes after it finishes, so without a drain the measured
       // factor's host_load1[before] stamp can only ever read the warmup,
       // never the ambient machine — exactly the ambiguity the stamps exist
-      // to remove. Wait (bounded) for the EMA to decay before measuring.
-      val sysLoad = () => java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
+      // to remove. Wait (bounded) for the EMA to decay back toward ambient
+      // (+0.5 slack for EMA tail), floored at cpus/8 — a ~quiet bar that
+      // scales with the host instead of hardcoding this box's 32 cores.
+      val threshold = math.max(ambient + 0.5,
+        Runtime.getRuntime.availableProcessors / 8.0)
       val t0 = System.nanoTime()
-      while (sysLoad() > 4.0 && System.nanoTime() - t0 < 240e9.toLong)
+      while (sysLoad() > threshold && System.nanoTime() - t0 < 240e9.toLong)
         Thread.sleep(5000)
       println(f"[scalesweep] post-warmup drain: load1 ${sysLoad()}%.2f " +
+        f"(ambient $ambient%.2f, threshold $threshold%.2f) " +
         f"after ${(System.nanoTime() - t0) / 1e9}%.0f s")
     }
     missing.foreach { f =>
