@@ -158,14 +158,26 @@ object Dedup {
     idx.postings.write.mode("overwrite").partitionBy("band")
       .parquet(s"$path/postings")
     idx.signatures.write.mode("overwrite").parquet(s"$path/signatures")
+    IndexCache.registerPersisted(idx.postings.sparkSession, path, "lsh")
   }
 
-  /** Restore a persisted [[LshIndex]] (see [[saveLshIndex]]). */
+  /** Restore a persisted [[LshIndex]] (see [[saveLshIndex]]). Committed
+    * tombstones ([[Forget.forgetPersisted]]) are applied UNCONDITIONALLY
+    * — a reload after a forget cannot resurrect the forgotten doc's
+    * postings or signature. */
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): LshIndex =
-    LshIndex(
+      path: String): LshIndex = {
+    IndexCache.registerPersisted(spark, path, "lsh")
+    val base = LshIndex(
       spark.read.parquet(s"$path/postings").select("doc_id", "band", "bh"),
       spark.read.parquet(s"$path/signatures").select("doc_id", "sh", "sig"))
+    Forget.tombstonesAt(spark, path).fold(base) { t =>
+      val del = broadcast(t.select(col("id").as("__del")).distinct())
+      def anti(df: DataFrame) =
+        df.join(del, col("doc_id") === col("__del"), "left_anti")
+      LshIndex(anti(base.postings), anti(base.signatures))
+    }
+  }
 
   /** Build the LSH index for a corpus slice (no pair generation). */
   def lshIndex(docs: DataFrame, shingleK: Int, bands: Int, rows: Int)

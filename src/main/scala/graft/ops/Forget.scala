@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   *    [[Similarity.pqDelete]] / [[Similarity.ivfDelete]] (certificate-
   *    exact serving is unchanged; stale trained geometry documented
   *    there);
-  *  - [[Similarity.IvfPqIndex]]: codes anti-joined on neighbor_id;
-  *    centroids/codebooks stay (aggregate geometry, no recoverable row)
-  *    and cellRes stays — a max over a superset is still a valid upper
-  *    bound, it can only over-probe;
+  *  - [[Similarity.IvfPqIndex]]: [[Similarity.ivfPqDelete]] (codes
+  *    anti-joined, centroids/codebooks stay — aggregate geometry, no
+  *    recoverable row — and the per-cell residual bounds refresh from
+  *    the survivors, the same-geometry-rebuild invariant its spec pins);
   *  - a [[DataFrame]] whose schema carries `doc_a`/`doc_b` (a standing
   *    pair list): anti-joined on both sides;
   *  - a [[DataFrame]] carrying `doc_id` + `cluster_id` (a standing
@@ -51,10 +51,17 @@ import org.apache.spark.sql.functions._
   * quiesces only racing forgets, not ingests (the same "no concurrent
   * ingest during a delete batch" rule every tombstone op states).
   *
+  * DURABLE copies too: every persisted layout the session saved or
+  * loaded ([[IndexCache.persistedPaths]]) gets the delete batch appended
+  * to its tombstone file via [[forgetPersisted]], and each `load*Index`
+  * applies tombstones unconditionally — a saved-then-reloaded index can
+  * no longer resurrect a forgotten doc.
+  *
   * Scale shape: each rewrite is one skinny broadcast anti-join per frame
   * (the delete batch is human-sized), lazily stacked on the already-
   * checkpointed artifact — no artifact is rebuilt, no corpus text or
-  * media is re-scanned. */
+  * media is re-scanned; the durable side appends a few-KB tombstone file
+  * per layout, never rewriting the layout itself. */
 object Forget {
 
   /** What one [[forget]] call rewrote: artifact count per kind label. */
@@ -87,7 +94,7 @@ object Forget {
           Similarity.ivfDelete(i, ids.toDF("vec_id"))
         case i: Similarity.IvfPqIndex =>
           touched("ivfpq_index")
-          i.copy(corpus = anti(i.corpus, "neighbor_id"))
+          Similarity.ivfPqDelete(i, ids.toDF("vec_id"))
         case ds: org.apache.spark.sql.Dataset[_] =>
           val df = ds.toDF()
           val cols = df.columns.toSet
@@ -103,7 +110,51 @@ object Forget {
         case _ => v
       }
     }
-    ForgetReport(replaced, kinds)
+    // DURABLE copies: every persisted layout this session saved or loaded
+    // gets the delete batch appended to its tombstone file, which every
+    // load*Index applies unconditionally — so the forget survives a
+    // process restart instead of living only in the session cache.
+    val durable = IndexCache.persistedPaths(spark)
+    durable.foreach { case (path, kind) =>
+      forgetPersisted(spark, path, ids)
+      touched(s"persisted_$kind")
+    }
+    ForgetReport(replaced + durable.size, kinds)
+  }
+
+  /** GDPR for a PERSISTED index layout ([[Dedup.saveLshIndex]],
+    * [[Similarity.savePqIndex]], [[Similarity.saveIvfIndex]]): append the
+    * delete batch to `path/tombstones/`, which the matching `load*Index`
+    * applies UNCONDITIONALLY before returning the index — a reload can
+    * never resurrect a forgotten row. Design choice: a tombstone file,
+    * not an in-place rewrite — a forget then writes a few KB instead of
+    * rewriting a corpus-sized layout (at 100 TB the index IS the data),
+    * and the next full rebuild compacts naturally by writing a fresh
+    * layout with no tombstones.
+    *
+    * CRASH-SAFE BY CONSTRUCTION, single step: Spark's file-commit
+    * protocol publishes the appended files atomically at job commit
+    * (uncommitted task output stays under `_temporary`, which reads
+    * ignore), and there is no second step to crash between — either the
+    * tombstones committed (every later load applies them) or the call
+    * never happened (the caller retries). Re-appending the same ids is
+    * idempotent: loads apply tombstones as a distinct anti-join. */
+  def forgetPersisted(spark: SparkSession, path: String,
+      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "forget needs at least one id")
+    import spark.implicits._
+    ids.distinct.toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** A persisted layout's committed tombstones, if any — the frame every
+    * `load*Index` anti-joins before returning. */
+  private[graft] def tombstonesAt(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("id"))
+    else None
   }
 
   /** Cluster rewrite: exact re-clustering via the sibling pair list when

@@ -101,16 +101,54 @@ object IndexCache {
     replaced
   }
 
+  // Per-session registry of PERSISTED index layouts (path → kind) the
+  // session has saved or loaded: [[Forget.forget]] walks it so a
+  // right-to-be-forgotten request reaches the durable copies, not just
+  // the in-memory artifacts — without it an index saved via
+  // saveLshIndex/savePqIndex/saveIvfIndex and re-loaded after a forget
+  // would resurrect the forgotten doc's rows. Lifecycle matches the
+  // artifact map exactly (cleared by the same invalidate): the registry
+  // tracks the session's standing registrations, and a layout saved by a
+  // session that has since flushed is re-registered on its next load.
+  private val persisted =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]()
+
+  private[graft] def registerPersisted(spark: SparkSession, path: String,
+      kind: String): Unit =
+    sessions.synchronized {
+      var m = persisted.get(spark)
+      if (m == null) {
+        m = new ConcurrentHashMap[String, String](); persisted.put(spark, m)
+      }
+      m.put(path, kind)
+    }
+
+  /** The session's registered persisted layouts, path → kind. */
+  private[graft] def persistedPaths(spark: SparkSession): Map[String, String] =
+    sessions.synchronized {
+      val m = persisted.get(spark)
+      if (m == null) Map.empty
+      else {
+        val b = Map.newBuilder[String, String]
+        m.forEach((p, k) => b += (p -> k))
+        b.result()
+      }
+    }
+
   /** Drop one session's artifacts (the `/flush` path). Other sessions'
     * entries are untouched. */
   def invalidate(spark: SparkSession): Unit =
     sessions.synchronized {
       val m = sessions.get(spark)
       if (m != null) m.clear()
+      val p = persisted.get(spark)
+      if (p != null) p.clear()
     }
 
   /** Drop everything (test teardown / catalog-wide flush). */
-  def invalidate(): Unit = sessions.synchronized(sessions.clear())
+  def invalidate(): Unit = sessions.synchronized {
+    sessions.clear(); persisted.clear()
+  }
 
   private[graft] def size: Int =
     sessions.synchronized {

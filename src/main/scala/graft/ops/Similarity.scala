@@ -418,16 +418,23 @@ object Similarity {
     }.toSeq.toDF("j", "i", "c").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
     idx.corpus.write.mode("overwrite").parquet(s"$path/corpus")
+    IndexCache.registerPersisted(spark, path, "pq")
   }
 
-  /** Restore a persisted [[PqIndex]] (see [[savePqIndex]]). */
+  /** Restore a persisted [[PqIndex]] (see [[savePqIndex]]). Committed
+    * tombstones ([[graft.ops.Forget.forgetPersisted]]) are applied
+    * UNCONDITIONALLY via [[pqDelete]] — a reload after a forget cannot
+    * resurrect the forgotten vector. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): PqIndex = {
+    IndexCache.registerPersisted(spark, path, "pq")
     val rows = spark.read.parquet(s"$path/codebooks")
       .orderBy("j", "i").collect()
     val cbs = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
       .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)).toArray
-    PqIndex(cbs, spark.read.parquet(s"$path/corpus"))
+    val base = PqIndex(cbs, spark.read.parquet(s"$path/corpus"))
+    Forget.tombstonesAt(spark, path).fold(base)(t =>
+      pqDelete(base, t.select(col("id").as("vec_id"))))
   }
 
   /** GDPR DELETE for a [[PqIndex]] — the ANN side of the tombstone story
@@ -1030,16 +1037,24 @@ object Similarity {
     idx.corpus.write.mode("overwrite").partitionBy("cell_n")
       .parquet(s"$path/corpus")
     idx.cellRes.coalesce(1).write.mode("overwrite").parquet(s"$path/cell_res")
+    IndexCache.registerPersisted(spark, path, "ivf")
   }
 
-  /** Restore a persisted [[IvfIndex]] (see [[saveIvfIndex]]). */
+  /** Restore a persisted [[IvfIndex]] (see [[saveIvfIndex]]). Committed
+    * tombstones ([[graft.ops.Forget.forgetPersisted]]) are applied
+    * UNCONDITIONALLY via [[ivfDelete]] — a reload after a forget cannot
+    * resurrect the forgotten vector, and the per-cell residual bounds
+    * refresh from the survivors like any other delete. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfIndex = {
+    IndexCache.registerPersisted(spark, path, "ivf")
     val cs = spark.read.parquet(s"$path/centroids").orderBy("j")
       .collect().map(_.getSeq[Double](1).toArray)
     val corpus = spark.read.parquet(s"$path/corpus")
       .select("cell_n", "neighbor_id", "v_n")
-    IvfIndex(cs, corpus, spark.read.parquet(s"$path/cell_res"))
+    val base = IvfIndex(cs, corpus, spark.read.parquet(s"$path/cell_res"))
+    Forget.tombstonesAt(spark, path).fold(base)(t =>
+      ivfDelete(base, t.select(col("id").as("vec_id"))))
   }
 
   /** [[ivfIndex]] with PRODUCTION SIZING WIRED IN: nlist =
@@ -1119,6 +1134,36 @@ object Similarity {
       .join(del, col("neighbor_id") === col("__del"), "left_anti")
       .localCheckpoint()
     IvfIndex(idx.cs, corpus, cellResFor(corpus, idx.cs))
+  }
+
+  /** GDPR DELETE for an [[IvfPqIndex]] — [[pqDelete]]/[[ivfDelete]]'s
+    * sibling on the compressed cell-partitioned layout: anti-join the
+    * encoded corpus on `vec_id`, keep the coarse centroids AND the shared
+    * residual codebooks (both aggregate geometry — k-means cell centers
+    * encode no retrievable row), refresh the per-cell residual bounds
+    * from the survivors.
+    *
+    * THE INVARIANT THIS PRESERVES is same-geometry rebuild equivalence:
+    * delete-then-query is bit-identical to re-encoding the SURVIVORS
+    * through the index's own (centroids, codebooks) and querying that —
+    * because cell assignment and PQ encoding are pure per-row functions
+    * of vector × geometry, an anti-join of the encoded rows IS the
+    * survivor encode, and the refreshed bounds equal the survivor-built
+    * ones. Unlike [[pqDelete]]'s serving paths, [[knnIvfPqProbe]] is
+    * deliberately approximate (ADC shortlist truncation inside probed
+    * cells), so a FULL retrain on survivors may answer differently — the
+    * honest contract is therefore geometry-preserving equivalence, which
+    * [[graft.OpsSpec]] pins on both the fixed-probe and θ-bound paths.
+    * cellRes is refreshed rather than kept for the same reason as
+    * [[ivfDelete]] — stale superset bounds stay sound but would make the
+    * θ-bound path probe (and thus shortlist) differently than the
+    * survivor-built index, breaking the bit-exact invariant. */
+  def ivfPqDelete(idx: IvfPqIndex, deletes: DataFrame): IvfPqIndex = {
+    val del = broadcast(deletes.select(col("vec_id").as("__del")).distinct())
+    val corpus = idx.corpus
+      .join(del, col("neighbor_id") === col("__del"), "left_anti")
+      .localCheckpoint()
+    IvfPqIndex(idx.cs, idx.cbs, corpus, cellResFor(corpus, idx.cs))
   }
 
   /** IVF ANN with an EXACTNESS guarantee: k-means coarse quantizer over the

@@ -135,6 +135,11 @@ class ApiSpec extends AnyFunSuite {
       }
       IndexCache.memo(spark, "pqidx:forget") { Similarity.pqIndex(emb) }
       IndexCache.memo(spark, "ivf:forget") { Similarity.ivfIndex(emb, 8) }
+      // a DURABLE layout saved during the session: the same POST /forget
+      // must tombstone it so a later load cannot resurrect the victim
+      val pdir = java.nio.file.Files
+        .createTempDirectory("api-forget").toString
+      Similarity.savePqIndex(Similarity.pqIndex(emb), s"$pdir/pq")
       // before: the victim is served
       assert(pairs0.where(col("doc_a") === 7L || col("doc_b") === 7L)
         .count() > 0)
@@ -191,6 +196,12 @@ class ApiSpec extends AnyFunSuite {
         .sameElements(truth))
       assert(rows(Similarity.knnIvfProbe(
         peek[Similarity.IvfIndex]("ivf:forget"), Seq(0L, 1L, 2L), 5, 3))
+        .sameElements(truth))
+      // durable reach: the SAVED layout was tombstoned by the same POST
+      // (session registry → Forget.forgetPersisted), so a fresh load —
+      // the restart path — serves exactly the survivors
+      assert(rows(Similarity.pqKnnBoundWith(
+        Similarity.loadPqIndex(spark, s"$pdir/pq"), Seq(0L, 1L, 2L), 5))
         .sameElements(truth))
     } finally {
       // forget rewrote every doc/vec-keyed artifact in the SHARED session

@@ -3774,6 +3774,133 @@ class OpsSpec extends AnyFunSuite {
       pairsMem.collect().map(_.toSeq).toSeq)
   }
 
+  test("forgetPersisted: a saved-then-reloaded index cannot resurrect a " +
+      "forgotten id — all three persisted layouts, crash leftovers " +
+      "ignored, double-forget idempotent, session registry populated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-forget").toString
+    val qids = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    try {
+      val victim = rows(Similarity.knnBrute(emb, Seq(0L), 1)).head._3
+      assert(!qids.contains(victim))
+      val truth = rows(Similarity.knnBrute(
+        emb.where(col("vec_id") =!= victim), qids, 5))
+      assert(truth.forall(_._3 != victim))
+
+      // PQ: save the FULL index, tombstone, reload — certificate-exact
+      // serving equals brute force over survivors; the victim resolves
+      // nowhere, not even as a query
+      Similarity.savePqIndex(Similarity.pqIndex(emb), s"$dir/pq")
+      Forget.forgetPersisted(spark, s"$dir/pq", Seq(victim))
+      val pq = Similarity.loadPqIndex(spark, s"$dir/pq")
+      assert(rows(Similarity.pqKnnBoundWith(pq, qids, 5)).sameElements(truth))
+      assert(Similarity.pqKnnBoundWith(pq, Seq(victim), 5).isEmpty)
+
+      // IVF: same contract through the θ-bound probe, with the residual
+      // bounds refreshed from survivors at load (the ivfDelete recipe)
+      Similarity.saveIvfIndex(Similarity.ivfIndex(emb, 8), s"$dir/ivf")
+      Forget.forgetPersisted(spark, s"$dir/ivf", Seq(victim))
+      val ivf = Similarity.loadIvfIndex(spark, s"$dir/ivf")
+      assert(rows(Similarity.knnIvfProbe(ivf, qids, 5, 3)).sameElements(truth))
+      assert(Similarity.knnIvfProbe(ivf, Seq(victim), 5, 3).isEmpty)
+
+      // LSH: index with a planted dup of doc 7, tombstone 7, reload — no
+      // posting/signature row survives, and the victim's own text
+      // re-presented under a fresh id pairs only with the surviving clone
+      Dedup.saveLshIndex(Dedup.lshIndex(docsWithDup, 3, 32, 4), s"$dir/lsh")
+      Forget.forgetPersisted(spark, s"$dir/lsh", Seq(7L))
+      val lsh = Dedup.loadLshIndex(spark, s"$dir/lsh")
+      assert(lsh.postings.where(col("doc_id") === 7L).isEmpty)
+      assert(lsh.signatures.where(col("doc_id") === 7L).isEmpty)
+      val text7 = docs.where(col("doc_id") === 7L).head.getString(1)
+      val (dp, _) = Dedup.lshDeltaPairs(lsh,
+        Seq((900002L, text7)).toDF("doc_id", "text"), 3, 32, 4, 0.5)
+      assert(dp.where(col("doc_a") === 7L || col("doc_b") === 7L).isEmpty)
+      assert(dp.where(col("doc_a") === 100007L &&
+        col("doc_b") === 900002L).count() == 1)
+
+      // crash case: what a crash mid-append actually leaves is an
+      // UNCOMMITTED task-attempt dir nested under _temporary/ (task
+      // output only moves out at task commit, the job publishes at job
+      // commit). Plant that layout — loads must ignore it (only
+      // COMMITTED tombstones apply; the design has no second step a
+      // crash could land between) and the retried append must still
+      // commit cleanly around it
+      val tmp = java.nio.file.Paths.get(s"$dir/pq/tombstones/_temporary/0/" +
+        "_temporary/attempt_20260816_0001_m_000000_0")
+      java.nio.file.Files.createDirectories(tmp)
+      java.nio.file.Files.write(tmp.resolve("part-00000-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(rows(Similarity.pqKnnBoundWith(
+        Similarity.loadPqIndex(spark, s"$dir/pq"), qids, 5))
+        .sameElements(truth))
+
+      // double forget (the crash-retry path): re-appending the same id —
+      // here straight past the planted crash debris — commits and is a
+      // no-op on the served result (loads apply tombstones as a distinct
+      // anti-join)
+      Forget.forgetPersisted(spark, s"$dir/pq", Seq(victim))
+      assert(rows(Similarity.pqKnnBoundWith(
+        Similarity.loadPqIndex(spark, s"$dir/pq"), qids, 5))
+        .sameElements(truth))
+
+      // the session registered every layout it saved/loaded, so ONE
+      // Forget.forget call reaches the durable copies too
+      val reg = IndexCache.persistedPaths(spark)
+      assert(Set(s"$dir/pq", s"$dir/ivf", s"$dir/lsh")
+        .subsetOf(reg.keySet))
+      assert(reg(s"$dir/pq") == "pq" && reg(s"$dir/ivf") == "ivf" &&
+        reg(s"$dir/lsh") == "lsh")
+    } finally IndexCache.invalidate(spark) // drop registry + artifacts
+  }
+
+  test("ivfPqDelete: delete-then-query is bit-identical to the " +
+      "same-geometry survivor encode on both probe paths, and exact vs " +
+      "brute force at full shortlist under the θ bound") {
+    import spark.implicits._
+    val qids = Seq(0L, 1L, 2L)
+    val k = 5
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val victim = rows(Similarity.knnBrute(emb, Seq(0L), 1)).head._3
+    assert(!qids.contains(victim))
+    val idx = Similarity.ivfPqIndex(emb, nlist = 8)
+    val del = Similarity.ivfPqDelete(idx, Seq(victim).toDF("vec_id"))
+    // the forgotten vector serves from nowhere — not as a neighbor, not
+    // as a query
+    assert(rows(Similarity.knnIvfPqProbe(del, qids, k)).forall(_._3 != victim))
+    assert(Similarity.knnIvfPqProbe(del, Seq(victim), k).isEmpty)
+    // same-geometry rebuild equivalence (the honest invariant for an
+    // APPROXIMATE serving path — a full retrain may legitimately answer
+    // differently): an index whose corpus is the survivor rows and whose
+    // cell bounds this spec recomputes INDEPENDENTLY (one SQL aggregate
+    // over survivors × the frozen centroids) serves bit-identically on
+    // the fixed-probe AND θ-bound paths
+    val surv = idx.corpus.where(col("neighbor_id") =!= victim)
+    val centArr = typedLit(idx.cs.map(_.toSeq).toSeq)
+    val res2 = surv
+      .withColumn("c", element_at(centArr, col("cell_n") + 1))
+      .withColumn("r2", expr(
+        "aggregate(zip_with(v_n, c, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (a, x) -> a + x)"))
+      .groupBy("cell_n").agg(sqrt(max(col("r2"))).as("max_res"))
+    val manual = Similarity.IvfPqIndex(idx.cs, idx.cbs, surv, res2)
+    for (bound <- Seq(false, true)) {
+      assert(rows(Similarity.knnIvfPqProbe(del, qids, k, 3, 20, bound))
+        .sameElements(
+          rows(Similarity.knnIvfPqProbe(manual, qids, k, 3, 20, bound))),
+        s"boundProbe=$bound diverged from the survivor encode")
+    }
+    // and with the shortlist opened to the corpus size the θ-bound probe
+    // is EXACT: it equals brute force over the survivors bit-for-bit
+    val truth = rows(Similarity.knnBrute(
+      emb.where(col("vec_id") =!= victim), qids, k))
+    assert(rows(Similarity.knnIvfPqProbe(del, qids, k, 3,
+      emb.count().toInt, boundProbe = true)).sameElements(truth))
+  }
+
   test("native LshBucket expression is bit-identical to the declarative " +
       "per-plane spelling") {
     import spark.implicits._
