@@ -432,8 +432,17 @@ object SparkEntry {
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
       }),
-      "d05_embedding_neardup" -> tbl("embeddings")(
-        ops.Dedup.embeddingNearDupPairs(_, "label", 0.8)),
+      // d05's gate row must assert a FOUND pair, not an empty-vs-empty
+      // hash match (no natural pair clears 0.8 at gate scale): plant one
+      // exact clone of the min-vec_id embedding under a disjoint id —
+      // the oracle restates the same plant, so the row is non-vacuous
+      "d05_embedding_neardup" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        val e = CubeCatalog.forDir(s, dir).table("embeddings")
+        val seed = e.orderBy("vec_id").limit(1)
+          .withColumn("vec_id", col("vec_id") + lit(900000000L))
+        ops.Dedup.embeddingNearDupPairs(e.unionByName(seed), "label", 0.8)
+      }),
       "s01_knn_brute" -> tbl("embeddings")(
         ops.Similarity.knnBrute(_, Seq(0L, 1L, 2L, 3L, 4L), 5)),
       // text-side similarity search: top-5 docs by shingle Jaccard per
@@ -3659,10 +3668,17 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter / na AS containment
         |FROM pairs WHERE inter / na >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the planted clone (min vec_id, shifted id) makes the gate row a
+    // found pair instead of a shared empty result
     "d05_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, label,
+      """WITH emb2 AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 900000000, label, embedding FROM embeddings
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |e AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
+        |  FROM emb2)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |list_dot_product(a.v, b.v) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
