@@ -1486,6 +1486,48 @@ object SparkEntry {
             |  [Part].[Brand].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // q96: MULTI-MEMBER tuple pin, both dims off-axis — the conjunctive
+      // fact-side mask ("Sales for Drink in 1997" foodmart idiom): one
+      // masked aggregate per tuple, AND of the member predicates
+      "q96_mdx_pinned_tuple" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[asia95] AS
+            |  '([Measures].[Revenue], [Geography].[Region].[2],
+            |    [ShipDate].[Year].[1995])'
+            |SELECT {[Measures].[Revenue], [Measures].[asia95]} ON COLUMNS,
+            |NON EMPTY [Part].[Brand].Members ON ROWS
+            |FROM sales""".stripMargin))
+      }),
+      // q97: the MIXED tuple state — one pinned dim drilled (axis-row
+      // selection, Mondrian's override), one off-axis (fact mask riding
+      // the pre-aggregate the window selects)
+      "q97_mdx_pinned_mixed" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[asia95] AS
+            |  '([Measures].[Revenue], [Geography].[Region].[2],
+            |    [ShipDate].[Year].[1995])'
+            |SELECT {[Measures].[Revenue], [Measures].[asia95]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+            |  [Part].[Brand].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
+      // q98: pin COARSER than the drill (Year pin, Month drill) —
+      // Mondrian shows the ancestor's value on every descendant row; the
+      // plan merges the drilled cells' masked DECIMAL partials in one
+      // axis window, so the merged value is bit-identical to aggregating
+      // the year slice directly
+      "q98_mdx_pinned_coarser" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[y95] AS
+            |  '([Measures].[Revenue], [ShipDate].[Year].[1995])'
+            |SELECT {[Measures].[Revenue], [Measures].[y95]} ON COLUMNS,
+            |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+            |  [ShipDate].[Month].Members) ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // WITH MEMBER: query-scoped calculated measure over declared measures
       "q37_mdx_with_member" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -5944,6 +5986,46 @@ object SparkEntry {
          |SELECT b.region, b.region_label, b.brand, b.revenue, p.asia_rev
          |FROM base b LEFT JOIN pin p USING (brand)
          |ORDER BY b.region, b.brand""".stripMargin,
+    // q96: multi-member tuple, both dims off-axis — the conjunctive mask
+    // replays as AND inside the same masked decimal sum as q94
+    "q96_mdx_pinned_tuple" ->
+      s"""SELECT p_brand AS brand, ${sumd(REV, "revenue")},
+         |CAST(SUM(CASE WHEN r_regionkey = 2 AND year(l_shipdate) = 1995
+         |  THEN ${dec(REV)} END) AS DOUBLE) AS asia95
+         |$SUPP_GEO_JOIN
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q97: mixed state — the year mask rides the per-cell aggregate, the
+    // drilled region selects via the q95 left-join restatement of the
+    // axis window
+    "q97_mdx_pinned_mixed" ->
+      s"""WITH base AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    p_brand AS brand, ${sumd(REV, "revenue")},
+         |    CAST(SUM(CASE WHEN year(l_shipdate) = 1995
+         |      THEN ${dec(REV)} END) AS DOUBLE) AS pre
+         |  $SUPP_GEO_JOIN
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2, 3),
+         |pin AS (SELECT brand, pre AS asia95 FROM base WHERE region = 2)
+         |SELECT b.region, b.region_label, b.brand, b.revenue, p.asia95
+         |FROM base b LEFT JOIN pin p USING (brand)
+         |ORDER BY b.region, b.brand""".stripMargin,
+    // q98: coarser pin — per-cell masked DECIMAL partials merged by a
+    // window sum partitioned by the non-pinned dim, double-cast AFTER
+    // the merge exactly like the planner (decimal addition is
+    // associative, so both groupings are the same exact value)
+    "q98_mdx_pinned_coarser" ->
+      s"""WITH base AS (
+         |  SELECT r_regionkey AS region, r_name AS region_label,
+         |    month(l_shipdate) AS ship_month, ${sumd(REV, "revenue")},
+         |    SUM(CASE WHEN year(l_shipdate) = 1995
+         |      THEN ${dec(REV)} END) AS pre
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1, 2, 3)
+         |SELECT region, region_label, ship_month, revenue,
+         |  CAST(SUM(pre) OVER (PARTITION BY region) AS DOUBLE) AS y95
+         |FROM base ORDER BY region, ship_month""".stripMargin,
     "q37_mdx_with_member" ->
       s"""WITH agg AS (
          |  SELECT r_regionkey AS region, r_name AS region_label,

@@ -215,19 +215,27 @@ final case class RankMeasureDef(alias: String, base: String, dim: String,
 final case class SetAggMeasureDef(alias: String, base: String, dim: String,
     fn: String, level: String = "", keys: Seq[Any] = Nil)
 
-/** Fixed-member tuple measure — MDX `WITH MEMBER [Measures].[X] AS
-  * '([Measures].[M], [Dim].[Level].[Key])'`, the "pin a measure to a
-  * member" idiom foodmart's Profit-last-Period generalizes (ref
-  * foodmart.xml:351-366 is the PrevMember special case; this is the
-  * arbitrary-fixed-member form a hand-written query uses for
-  * year-over-budget / vs-flagship-store comparisons). Mondrian semantics:
-  * the tuple's explicit member OVERRIDES the axis/slicer member of its
-  * dimension — the value is the base measure at the pinned member within
-  * every OTHER axis coordinate. `level` empty means the member was
+/** One member pin of a fixed-member tuple: `[Dim].[Level].[Key]` (or
+  * `[Dim].[Hier].[Level].[Key]`). `level` empty means the member was
   * written unqualified ([Time].[1997]) and resolves by key search down
   * the hierarchy at plan time, like Mondrian's member-name lookup. */
-final case class PinnedMeasureDef(alias: String, base: String, dim: String,
-    level: String, key: Any, hier: String = "")
+final case class PinSpec(dim: String, level: String, key: Any,
+    hier: String = "")
+
+/** Fixed-member tuple measure — MDX `WITH MEMBER [Measures].[X] AS
+  * '([Measures].[M], [D1].[L1].[k1], [D2].[L2].[k2], …)'`, the "pin a
+  * measure to one or more members" idiom foodmart's Profit-last-Period
+  * generalizes (ref foodmart.xml:351-366 is the PrevMember special case;
+  * this is the arbitrary-fixed-member form a hand-written query uses for
+  * year-over-budget / vs-flagship-store / "Sales for Drink in 1997"
+  * comparisons). Mondrian semantics: each of the tuple's explicit
+  * members OVERRIDES the axis/slicer member of its own dimension — the
+  * value is the base measure at the pinned member combination within
+  * every OTHER axis coordinate. Pins over distinct dimensions compose
+  * conjunctively; a dimension may appear at most once per tuple (as in
+  * Mondrian, where a tuple holds one member per hierarchy). */
+final case class PinnedMeasureDef(alias: String, base: String,
+    pins: Seq[PinSpec])
 
 /** Named set: TopCount(level members, k, by measure) (ref foodmart.xml:405-410). */
 final case class NamedSetDef(name: String, dim: String, level: String, k: Int,

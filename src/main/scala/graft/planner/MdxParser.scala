@@ -618,37 +618,48 @@ object MdxParser {
         }
         java.util.regex.Matcher.quoteReplacement(a)
       })
-      // `([Measures].[M], [Dim].[Level].[Key])` — the FIXED-MEMBER tuple
-      // (pin a measure to a member, any axis state): LAST in the chain, so
-      // every navigational tuple form above (PrevMember/All/Parent/
-      // Closing…) has already been consumed and whatever tuple remains is
-      // a plain member pin. Unqualified members ([Time].[1997]) carry an
-      // empty level and resolve by hierarchy key search at plan time.
-      val pinnedRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]\s*,\s*""" +
-        """((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])\s*\)""").r
+      // `([Measures].[M], [D1].[L1].[k1], [D2].[L2].[k2], …)` — the
+      // FIXED-MEMBER tuple (pin a measure to one member per named
+      // dimension, any axis state): LAST in the chain, so every
+      // navigational tuple form above (PrevMember/All/Parent/Closing…)
+      // has already been consumed and whatever tuple remains is a plain
+      // member pin. Unqualified members ([Time].[1997]) carry an empty
+      // level and resolve by hierarchy key search at plan time.
+      val pinnedRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]""" +
+        """((?:\s*,\s*(?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])+)\s*\)""").r
+      val pinMemberRe = """(?s)(?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\]""".r
       formula = pinnedRe.replaceAllIn(formula, mm => {
         val base = resolveWindowBase(cube, mm.group(1), "fixed-member tuple")
-        val (dim, hier, level, key) = QueryParser.segments(mm.group(2)) match {
-          case Seq(d, k) => (d, "", "", QueryParser.typedKey(k))
-          case Seq(d, l, k) => (d, "", l, QueryParser.typedKey(k))
-          case Seq(d, h, l, k) => (d, h, l, QueryParser.typedKey(k))
-          case _ => GraftException.badRequest(
-            s"fixed-member tuple must name [Dim].[Level].[Key] or " +
-              s"[Dim].[Key]: '${mm.group(2)}'")
+        val pins = pinMemberRe.findAllIn(mm.group(2)).toSeq.map { seg =>
+          val (dim, hier, level, key) = QueryParser.segments(seg) match {
+            case Seq(d, k) => (d, "", "", QueryParser.typedKey(k))
+            case Seq(d, l, k) => (d, "", l, QueryParser.typedKey(k))
+            case Seq(d, h, l, k) => (d, h, l, QueryParser.typedKey(k))
+            case _ => GraftException.badRequest(
+              s"fixed-member tuple member must name [Dim].[Level].[Key] " +
+                s"or [Dim].[Key]: '$seg'")
+          }
+          if (cube.dimension(dim).isEmpty)
+            GraftException.badRequest(
+              s"fixed-member tuple on unknown dimension '$dim'")
+          if (level.nonEmpty) levelOf(dim, level, "fixed-member tuple")
+          PinSpec(dim, level, key, hier)
         }
-        if (cube.dimension(dim).isEmpty)
+        // one member per dimension, as in a Mondrian tuple (one member
+        // per hierarchy) — a repeat is a contradiction, not a refinement
+        pins.groupBy(_.dim).collectFirst { case (d, ps) if ps.size > 1 =>
           GraftException.badRequest(
-            s"fixed-member tuple on unknown dimension '$dim'")
-        if (level.nonEmpty) levelOf(dim, level, "fixed-member tuple")
-        def same(p: PinnedMeasureDef) = p.base == base && p.dim == dim &&
-          p.level == level && p.key == key && p.hier == hier
+            s"fixed-member tuple names dimension '$d' twice — a tuple " +
+              "holds one member per dimension")
+        }
+        def same(p: PinnedMeasureDef) = p.base == base && p.pins == pins
         val alias = cube.pinnedMeasures.find(same).map(_.alias)
           .orElse(pinnedDefs.values.find(same).map(_.alias))
           .getOrElse {
-            val a = s"__mdx_pin_${base}_${dim.replaceAll("\\W", "_")}_" +
-              s"${level.replaceAll("\\W", "_")}_p${pinnedDefs.size}"
-            pinnedDefs.update(a,
-              PinnedMeasureDef(a, base, dim, level, key, hier))
+            val a = s"__mdx_pin_${base}_" + pins.map(p =>
+              s"${p.dim}_${p.level}".replaceAll("\\W", "_"))
+              .mkString("_") + s"_p${pinnedDefs.size}"
+            pinnedDefs.update(a, PinnedMeasureDef(a, base, pins))
             a
           }
         java.util.regex.Matcher.quoteReplacement(alias)

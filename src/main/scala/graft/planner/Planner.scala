@@ -269,42 +269,85 @@ object Planner {
       // output projection)
       q.groupTop.map(_.measure))
 
-    // Fixed-member tuples (B7-ext): resolve each pin to a concrete level
-    // (unqualified members search the hierarchy like Mondrian's name
-    // lookup), then split on axis state. A dim ABSENT from the axis pins
-    // via a fact-side conditional aggregate; a dim DRILLED AT the pinned
-    // level pins via an axis window — the tuple OVERRIDES the axis member
-    // (Mondrian semantics: every row of an other-coords partition shows
-    // the pinned member's value). Every other state 400s cleanly instead
-    // of guessing: a cut on the pinned dimension (Mondrian's tuple
-    // overrides the slicer too — intersecting with the cut would silently
-    // return a wrong number) or a drill at a DIFFERENT level (the
-    // parallel-member calculus the compiled subset does not navigate).
-    val pinnedRls: Seq[(PinnedMeasureDef, ResolvedLevel)] =
-      need.pinned.map(pm => pm -> resolvePinnedLevel(cat, cube, pm))
-    pinnedRls.foreach { case (pm, rl) =>
-      if (cuts.exists(c => levelOfCut(cube, c).exists(_.dim.name == pm.dim)))
-        GraftException.badRequest(
-          s"fixed-member tuple '${pm.alias}': dimension '${pm.dim}' is " +
-            "also cut — Mondrian's tuple overrides the slicer member; " +
-            "drop the cut or pin a different dimension")
-      val dimDrills = drills.filter(_.dim.name == pm.dim)
-      if (dimDrills.nonEmpty && !dimDrills.exists(d =>
-          d.level.name == rl.level.name && d.hier.name == rl.hier.name))
-        GraftException.badRequest(
-          s"fixed-member tuple '${pm.alias}': '${pm.dim}' is drilled at " +
-            s"${dimDrills.map(_.level.name).mkString("/")} but pinned at " +
-            s"'${rl.level.name}' — drill the pinned level or drop the drill")
-    }
-    val (pinnedAxis, pinnedFact) =
-      pinnedRls.partition { case (pm, _) =>
-        drills.exists(_.dim.name == pm.dim) }
-    pinnedFact.foreach { case (pm, _) =>
-      if (cube.measure(pm.base).isEmpty)
+    // Fixed-member tuples (B7-ext): resolve EACH pin of each tuple to a
+    // concrete level (unqualified members search the hierarchy like
+    // Mondrian's name lookup), then classify per pin on axis state —
+    //   'f' dim ABSENT from the axis → fact-side conditional mask;
+    //   'a' dim DRILLED AT the pinned level → axis-row selection (the
+    //       tuple OVERRIDES the axis member: every row of an other-coords
+    //       partition shows the pinned member's value);
+    //   'c' pin COARSER than the drilled level of the same hierarchy
+    //       (Year pin under a Month drill) → fact-side mask + a window
+    //       that combines the drilled descendants' cells (Mondrian shows
+    //       the ancestor's value on every descendant row).
+    // Pins over distinct dims compose conjunctively. What still 400s,
+    // deliberately: a cut on a pinned dimension (the tuple overrides the
+    // slicer too — intersecting would silently return a wrong number), a
+    // pin FINER than the drill (a finer member doesn't determine a value
+    // per coarser row), and non-decomposable aggregates under a combine
+    // (median / distinct-count can't be merged from descendant cells
+    // without a second fact pass).
+    val pinnedPlans: Seq[PlannedPin] = need.pinned.map { pm =>
+      val rps = pm.pins.map { ps =>
+        val rl = resolvePinnedLevel(cat, cube, ps)
+        if (cuts.exists(c =>
+            levelOfCut(cube, c).exists(_.dim.name == ps.dim)))
+          GraftException.badRequest(
+            s"fixed-member tuple '${pm.alias}': dimension '${ps.dim}' is " +
+              "also cut — Mondrian's tuple overrides the slicer member; " +
+              "drop the cut or pin a different dimension")
+        val dimDrills = drills.filter(_.dim.name == ps.dim)
+        val state: Char =
+          if (dimDrills.isEmpty) 'f'
+          else {
+            val finest = dimDrills.maxBy(_.depth)
+            if (rl.level.name == finest.level.name &&
+                rl.hier.name == finest.hier.name) 'a'
+            else if (rl.hier.name == finest.hier.name &&
+                rl.depth < finest.depth) 'c'
+            else if (rl.hier.name == finest.hier.name)
+              GraftException.badRequest(
+                s"fixed-member tuple '${pm.alias}': '${ps.dim}' is " +
+                  s"pinned at '${rl.level.name}', FINER than the drilled " +
+                  s"level '${finest.level.name}' — a finer member does " +
+                  "not determine one value per axis row; drill the " +
+                  "pinned level or drop the drill")
+            else GraftException.badRequest(
+              s"fixed-member tuple '${pm.alias}': '${ps.dim}' is drilled " +
+                s"at ${dimDrills.map(_.level.name).mkString("/")} but " +
+                s"pinned at '${rl.level.name}' of hierarchy " +
+                s"'${rl.hier.name}' — drill the pinned level or drop " +
+                "the drill")
+          }
+        (ps, rl, state)
+      }
+      // combine: more than one axis row can satisfy the selection — a
+      // coarser pin always merges its drilled descendants' cells, and an
+      // at-level pin whose dim is ALSO drilled at coarser levels merges
+      // across those (the flattened member [Month].[3] spans years)
+      val combine = rps.exists { case (ps, _, st) =>
+        st == 'c' || (st == 'a' && drills.count(_.dim.name == ps.dim) > 1)
+      }
+      if ((rps.exists(_._3 != 'a') || combine) &&
+          cube.measure(pm.base).isEmpty)
         GraftException.badRequest(
           s"fixed-member tuple '${pm.alias}': base '${pm.base}' must be " +
-            s"a base measure when '${pm.dim}' is not on the axis")
+            "a base measure when a pinned dimension is off the axis or " +
+            "pinned above the drill")
+      if (combine) cube.measure(pm.base).get.agg match {
+        case Agg.Sum | Agg.Avg | Agg.Count | Agg.CountAll | Agg.Min |
+            Agg.Max => ()
+        case other => GraftException.badRequest(
+          s"fixed-member tuple '${pm.alias}': a pin above the drilled " +
+            "level needs a decomposable aggregate (sum/avg/count/min/" +
+            s"max); base '${pm.base}' aggregates with $other")
+      }
+      PlannedPin(pm, rps, combine)
     }
+    // factOnly → one masked aggregate, no window; windowed → an axis
+    // window (selection for at-level pins, combine for coarser ones)
+    val (pinnedWindowed, pinnedFactOnly) =
+      pinnedPlans.partition(_.pins.exists(_._3 != 'f'))
 
     // a property named ONLY as an ORDER target (ref A11:
     // `ORDER(axis, [D].CurrentMember.Properties('X'))`) is computed
@@ -328,7 +371,9 @@ object Planner {
         // key expressions, so the dim must be joined even when not drilled
         partialGrants.map(_.dim) ++
         // a fact-side pin conditions on its dim's level key expression
-        pinnedFact.map { case (pm, _) => cube.dimension(pm.dim).get })
+        // ('c' pins are drilled, so their dims are already in the list)
+        pinnedPlans.flatMap(_.pins.collect {
+          case (ps, _, 'f') => cube.dimension(ps.dim).get }))
 
     val groupLevels = groupLevelList(cube, drills, q.parents)
     val groupCols: Seq[Column] = groupLevels.flatMap(levelCols)
@@ -381,9 +426,13 @@ object Planner {
       if (carriedProps.nonEmpty || q.captions.nonEmpty ||
           // a partial-policy role filter runs on the FACT's dim-joined
           // frame; a rollup has already aggregated past it — and a
-          // fact-side pin conditions on a dim the rollup aggregated away
-          // → fact path only
-          partialGrants.nonEmpty || pinnedFact.nonEmpty) None
+          // fact-side pin (off-axis or coarser-than-drill) conditions on
+          // a dim/level the rollup aggregated away → fact path only.
+          // Pure at-level axis pins still route: their window runs on the
+          // re-aggregated base alias.
+          partialGrants.nonEmpty || pinnedFactOnly.nonEmpty ||
+          pinnedWindowed.exists(pp =>
+            pp.combine || pp.pins.exists(_._3 != 'a'))) None
       else Rollups.route(cat.rollups, cube, groupLevels, cuts, need.bases,
         dense = !q.nonempty)
 
@@ -427,8 +476,11 @@ object Planner {
           .agg(reAgg.head, reAgg.tail: _*)
       case _ =>
         val aggCols = need.bases.map(aggColumn) ++
-          pinnedFact.map { case (pm, rl) =>
-            pinnedAggColumn(pm, cube.measure(pm.base).get, rl) } ++
+          pinnedFactOnly.map(pp =>
+            maskedAggColumn(cube.measure(pp.pm.base).get,
+              pinFactMask(pp)).as(pp.pm.alias)) ++
+          pinnedWindowed.filterNot(_.pureAxis)
+            .flatMap(pp => pinnedPreCols(pp, cube)) ++
           propCols
         filtered.groupBy(groupCols: _*)
           .agg(aggCols.head, aggCols.tail: _*)
@@ -537,17 +589,31 @@ object Planner {
     val withSetAggs = need.setAggs.foldLeft(withRanks) { (df, am) =>
       applySetAgg(df, am, groupLevels, totalVisible)
     }
-    // axis-drilled pins: one axis-sized window per pin — within each
-    // combination of the OTHER drilled columns, exactly one row carries
-    // the pinned member, and max() past the other rows' nulls broadcasts
-    // its value across the partition (the tuple-overrides-axis-member
-    // semantics)
-    val withPinned = pinnedAxis.foldLeft(withSetAggs) { case (df, (pm, rl)) =>
-      val partCols = windowPartCols(groupLevels, pm.dim, rl.level.name,
-        "fixed-member tuple")
-      df.withColumn(pm.alias,
-        max(when(totalVisible && col(rl.level.alias) === lit(pm.key),
-          col(pm.base))).over(Window.partitionBy(partCols: _*)))
+    // axis-touching pins: ONE axis-sized window per pinned measure,
+    // partitioned by the non-pinned drilled columns. Pure at-level pins
+    // SELECT — exactly one row of the partition carries the pinned
+    // member combination, and max() past the other rows' nulls
+    // broadcasts its value (the tuple-overrides-axis-member semantics);
+    // a tuple with fact-side pins selects its pre-masked aggregate the
+    // same way; a combine (coarser pin / multi-level drill) merges the
+    // descendant cells' pre-aggregates with the measure's own
+    // decomposition (decimal window sum for exact Sum/Avg, min/max for
+    // Min/Max), so the window result is bit-identical to aggregating
+    // the pinned slice directly.
+    val withPinned = pinnedWindowed.foldLeft(withSetAggs) { (df, pp) =>
+      val partCols = groupLevels
+        .filterNot(rl => pp.dims.contains(rl.dim.name))
+        .flatMap(levelAliases).map(col)
+      val w = Window.partitionBy(partCols: _*)
+      val selCond = pp.pins.collect { case (ps, rl, 'a') =>
+        col(rl.level.alias) === lit(ps.key) }
+        .foldLeft(totalVisible)(_ && _)
+      if (pp.pureAxis)
+        df.withColumn(pp.pm.alias,
+          max(when(selCond, col(pp.pm.base))).over(w))
+      else
+        df.withColumn(pp.pm.alias,
+          pinFinishColumn(pp, cube.measure(pp.pm.base).get, selCond, w))
     }
     val withCalcs = need.calcs.foldLeft(withPinned) { (df, cm) =>
       df.withColumn(cm.alias, expr(cm.formula))
@@ -596,7 +662,7 @@ object Planner {
     // (null-base equality under RANK), i.e. rank = #non-empty + 1.
     val denseWindows =
       if (q.nonempty || (need.setAggs.isEmpty && need.ranks.isEmpty &&
-          pinnedAxis.isEmpty))
+          pinnedWindowed.isEmpty))
         denseTotals
       else {
         val withSA0 = need.setAggs.foldLeft(denseTotals) { (df, am) =>
@@ -606,12 +672,14 @@ object Planner {
             max(col(am.alias)).over(Window.partitionBy(partCols: _*)))
         }
         // axis pins are partition-constant like set aggregates — the same
-        // max() backfill carries them onto dense fillers
-        val withSA = pinnedAxis.foldLeft(withSA0) { case (df, (pm, _)) =>
-          val partCols = groupLevels.filterNot(_.dim.name == pm.dim)
+        // max() backfill carries them onto dense fillers (partition by
+        // the non-pinned dims, exactly the window that computed them)
+        val withSA = pinnedWindowed.foldLeft(withSA0) { (df, pp) =>
+          val partCols = groupLevels
+            .filterNot(rl => pp.dims.contains(rl.dim.name))
             .flatMap(levelAliases).map(col)
-          df.withColumn(pm.alias,
-            max(col(pm.alias)).over(Window.partitionBy(partCols: _*)))
+          df.withColumn(pp.pm.alias,
+            max(col(pp.pm.alias)).over(Window.partitionBy(partCols: _*)))
         }
         need.ranks.foldLeft(withSA) { (df, rm) =>
           val partCols = groupLevels.filterNot(_.dim.name == rm.dim)
@@ -894,13 +962,100 @@ object Planner {
     }
   }
 
+  /** One fixed-member tuple measure as planned: each pin resolved to a
+    * concrete level and classified by axis state ('f' off-axis, 'a'
+    * drilled at the pinned level, 'c' pinned coarser than the drill);
+    * `combine` marks tuples whose window must MERGE descendant cells
+    * rather than select one row. */
+  private final case class PlannedPin(pm: PinnedMeasureDef,
+      pins: Seq[(PinSpec, ResolvedLevel, Char)], combine: Boolean) {
+    /** Dimensions the tuple pins — excluded from its window partition. */
+    def dims: Set[String] = pins.map(_._1.dim).toSet
+    /** All pins at the drilled level, nothing to merge: the q95 path —
+      * one selection window over the base measure's own alias. */
+    def pureAxis: Boolean = pins.forall(_._3 == 'a') && !combine
+  }
+
+  /** Conjunction of the tuple's fact-side member predicates (off-axis and
+    * coarser-than-drill pins); None when every pin is at the drilled
+    * level. Typed `expr === lit` comparisons — the same form every cut
+    * uses, so string keys need no SQL-literal escaping. */
+  private def pinFactMask(pp: PlannedPin): Option[Column] =
+    pp.pins.collect { case (ps, rl, st) if st != 'a' =>
+      expr(rl.level.keyExpr) === lit(ps.key) }
+      .reduceOption(_ && _)
+
+  private def pinPre(alias: String) = s"__pinpre_$alias"
+  private def pinPre2(alias: String) = s"__pinpre2_$alias"
+
+  /** Aggregation-stage columns for a windowed pinned measure that needs
+    * fact-side masking. Without a combine, ONE pre column: the full
+    * [[maskedAggColumn]] recipe (any aggregate, Median included — the
+    * window only selects). With a combine, the measure's DECOMPOSITION:
+    * exact Sum/Avg keep their DECIMAL(27,6) partial sums UNQUANTIZED to
+    * double until after the window merge, so the merged value is
+    * bit-identical to aggregating the pinned slice in one pass (decimal
+    * addition is associative; a per-cell double hop would not be). */
+  private def pinnedPreCols(pp: PlannedPin, cube: CubeDef): Seq[Column] = {
+    val m = cube.measure(pp.pm.base).get
+    val mask = pinFactMask(pp)
+    def mc(c: Column) = mask.map(p => when(p, c)).getOrElse(c)
+    if (!pp.combine)
+      Seq(maskedAggColumn(m, mask).as(pinPre(pp.pm.alias)))
+    else {
+      def decSum = sum(mc(expr(s"CAST((${m.expr}) AS DECIMAL(27,6))")))
+      def me = mc(expr(m.expr))
+      m.agg match {
+        case Agg.Sum if m.exact => Seq(decSum.as(pinPre(pp.pm.alias)))
+        case Agg.Sum => Seq(sum(me).as(pinPre(pp.pm.alias)))
+        case Agg.Avg if m.exact =>
+          Seq(decSum.as(pinPre(pp.pm.alias)),
+            count(me).as(pinPre2(pp.pm.alias)))
+        case Agg.Avg =>
+          Seq(sum(me).as(pinPre(pp.pm.alias)),
+            count(me).as(pinPre2(pp.pm.alias)))
+        case Agg.Count => Seq(count(me).as(pinPre(pp.pm.alias)))
+        case Agg.CountAll => Seq(count(mc(lit(1))).as(pinPre(pp.pm.alias)))
+        case Agg.Min => Seq(min(me).as(pinPre(pp.pm.alias)))
+        case Agg.Max => Seq(max(me).as(pinPre(pp.pm.alias)))
+        case other => throw new IllegalStateException(
+          s"non-decomposable $other under a combine — guarded at classify")
+      }
+    }
+  }
+
+  /** Window-stage column for a windowed pinned measure with fact-side
+    * pre-aggregates: selection (max past nulls — at most one row matches
+    * `selCond`) without a combine; the aggregate's own merge with one —
+    * Sum/Count sum the cells (exact Sum in DECIMAL, double-cast after),
+    * Avg divides merged sum by merged count, Min/Max fold. */
+  private def pinFinishColumn(pp: PlannedPin, m: MeasureDef,
+      selCond: Column, w: org.apache.spark.sql.expressions.WindowSpec)
+      : Column = {
+    val pre = when(selCond, col(pinPre(pp.pm.alias)))
+    def pre2 = when(selCond, col(pinPre2(pp.pm.alias)))
+    if (!pp.combine) max(pre).over(w)
+    else m.agg match {
+      case Agg.Sum if m.exact => sum(pre).over(w).cast("double")
+      case Agg.Sum => sum(pre).over(w)
+      case Agg.Avg if m.exact =>
+        sum(pre).over(w).cast("double") / sum(pre2).over(w)
+      case Agg.Avg => sum(pre).over(w) / sum(pre2).over(w)
+      case Agg.Count | Agg.CountAll => sum(pre).over(w)
+      case Agg.Min => min(pre).over(w)
+      case Agg.Max => max(pre).over(w)
+      case other => throw new IllegalStateException(
+        s"non-decomposable $other under a combine — guarded at classify")
+    }
+  }
+
   /** Resolve a pinned member's level: explicit names resolve directly; an
     * unqualified member ([Time].[1997]) searches the default hierarchy's
     * levels top-down for the first whose key domain contains the key —
     * Mondrian's member-name lookup. Each probe is one LIMIT-1 lookup on
     * the dim table, memoized per catalog (the navKeyValue discipline). */
   private def resolvePinnedLevel(cat: CubeCatalog, cube: CubeDef,
-      pm: PinnedMeasureDef): ResolvedLevel = {
+      pm: PinSpec): ResolvedLevel = {
     val hierOpt = Some(pm.hier).filter(_.nonEmpty)
     if (pm.level.nonEmpty)
       resolve(cube, LevelRef(pm.dim, Some(pm.level), hierOpt))
@@ -936,17 +1091,6 @@ object Planner {
       resolve(cube, LevelRef(pm.dim, Some(hit._2.name), Some(hit._1.name)))
     }
   }
-
-  /** Fact-side conditional aggregate for a fixed-member tuple whose
-    * dimension is NOT on the axis: [[maskedAggColumn]] with the member
-    * predicate as the mask (typed `expr === lit` comparison — the same
-    * form every cut uses, so string keys need no SQL-literal escaping).
-    * The mask leaves other rows null, so groups with no pinned-member
-    * facts stay empty like Mondrian's empty cells. */
-  private def pinnedAggColumn(pm: PinnedMeasureDef, m: MeasureDef,
-      rl: ResolvedLevel): Column =
-    maskedAggColumn(m,
-      Some(expr(rl.level.keyExpr) === lit(pm.key))).as(pm.alias)
 
   /** Star joins for the dimensions this query actually touches, deduped by
     * (table, fk): small dims broadcast, fact-sized dims shuffle-join (ref B2). */

@@ -105,6 +105,16 @@ class FuzzSpec extends AnyFunSuite {
       |  '[Measures].[Revenue] / ([Measures].[Revenue], [Geography].[2])'
       |SELECT {[Measures].[asia], [Measures].[share]} ON COLUMNS,
       |NON EMPTY [Part].[Brands].[Brand].Members ON ROWS
+      |FROM sales""".stripMargin,
+    // the round-16 MULTI-member pin and coarser-pin forms — mangled
+    // member lists, dangling commas, duplicated dims must 400, never
+    // crash
+    """WITH MEMBER [Measures].[asia95] AS
+      |  '([Measures].[Revenue], [Geography].[Region].[2],
+      |    [ShipDate].[Year].[1995])'
+      |SELECT {[Measures].[Revenue], [Measures].[asia95]} ON COLUMNS,
+      |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+      |  [ShipDate].[Monthly].[Month].Members) ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(

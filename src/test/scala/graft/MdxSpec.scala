@@ -459,15 +459,32 @@ class MdxSpec extends AnyFunSuite {
       "FROM sales", "FROM sales WHERE ([Geography].[Region].[1])")))
     assert(eCut.status == 400 &&
       eCut.getMessage.contains("overrides the slicer"), eCut.getMessage)
-    // …a drill at a DIFFERENT level of the pinned dimension…
-    val eLvl = intercept[GraftException](plan(
+    // …a pin COARSER than the drill is Mondrian's ancestor-value case:
+    // every Nation row shows the REGION-2 TOTAL (the ancestor's value),
+    // merged from the drilled descendants' cells
+    val region2Total = Planner.plan(cat, CubeQuery("sales", Nil,
+        Seq("revenue"),
+        cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 2L))))
+      .collect().head.get(0)
+    val coarser = plan(
       """WITH MEMBER [Measures].[pin] AS
         |  '([Measures].[Revenue], [Geography].[Region].[2])'
-        |SELECT {[Measures].[pin]} ON COLUMNS,
+        |SELECT {[Measures].[Revenue], [Measures].[pin]} ON COLUMNS,
         |NON EMPTY [Geography].[Nation].Members ON ROWS
+        |FROM sales""".stripMargin)
+    assert(coarser.nonEmpty)
+    coarser.foreach(r => assert(r.get(3) == region2Total,
+      s"coarser pin at ${r.get(0)}: ${r.get(3)} vs $region2Total"))
+    // …while a pin FINER than the drill stays a clean 400 (a finer
+    // member does not determine one value per coarser row)
+    val eLvl = intercept[GraftException](plan(
+      """WITH MEMBER [Measures].[pin] AS
+        |  '([Measures].[Revenue], [Geography].[Nation].[3])'
+        |SELECT {[Measures].[pin]} ON COLUMNS,
+        |NON EMPTY [Geography].[Region].Members ON ROWS
         |FROM sales""".stripMargin))
     assert(eLvl.status == 400 &&
-      eLvl.getMessage.contains("drill the pinned level"), eLvl.getMessage)
+      eLvl.getMessage.contains("FINER"), eLvl.getMessage)
     // …an unqualified member that exists at NO level…
     val eMem = intercept[GraftException](plan(pinMdx.replace(
       "[Geography].[Region].[2]", "[Geography].[Allentown]")))
@@ -485,6 +502,55 @@ class MdxSpec extends AnyFunSuite {
       eVc.getMessage.contains("virtual cube"), eVc.getMessage)
   }
 
+  test("multi-member tuple pins: both-off-axis equals the doubly-cut " +
+      "query, the mixed drilled/off-axis state overrides the drilled " +
+      "axis, and a duplicated dimension 400s") {
+    def plan(mdx: String) =
+      Planner.plan(cat, MdxParser.parse(salesCube, mdx)).collect()
+    val mdx =
+      """WITH MEMBER [Measures].[pin] AS
+        |  '([Measures].[Revenue], [Geography].[Region].[2],
+        |    [ShipDate].[Year].[1995])'
+        |SELECT {[Measures].[Revenue], [Measures].[pin]} ON COLUMNS,
+        |NON EMPTY [Part].[Brand].Members ON ROWS FROM sales""".stripMargin
+    val rows = plan(mdx).map(r => r.getString(0) -> Option(r.get(2))).toMap
+    // ground truth: the same axis cut to region 2 AND ship-year 1995
+    val cutRows = Planner.plan(cat, CubeQuery("sales",
+        Seq(LevelDrill(LevelRef("Part", Some("Brand")))), Seq("revenue"),
+        cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")), 2L),
+          MemberCut(LevelRef("ShipDate", Some("Year")), 1995L))))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(rows.nonEmpty && cutRows.nonEmpty)
+    cutRows.foreach { case (brand, rev) =>
+      assert(rows(brand).contains(rev),
+        s"tuple pin at $brand: ${rows(brand)} vs cut $rev")
+    }
+    // a brand with no (region 2 × 1995) facts pins to null, not 0
+    rows.filterNot(r => cutRows.contains(r._1))
+      .foreach { case (_, pin) => assert(pin.isEmpty) }
+    // mixed state: Region drilled (the tuple overrides the axis member),
+    // Year off-axis (fact mask) — every region row of a brand carries
+    // the brand's (region 2 × 1995) value, partition-constant
+    val over = plan(
+      """WITH MEMBER [Measures].[pin] AS
+        |  '([Measures].[Revenue], [Geography].[Region].[2],
+        |    [ShipDate].[Year].[1995])'
+        |SELECT {[Measures].[Revenue], [Measures].[pin]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+        |  [Part].[Brand].Members) ON ROWS FROM sales""".stripMargin)
+    over.groupBy(_.getString(2)).foreach { case (brand, rs) =>
+      val pins = rs.map(r => Option(r.get(4))).distinct
+      assert(pins.size == 1, s"mixed pin not partition-constant at $brand")
+      assert(pins.head == cutRows.get(brand).map(identity),
+        s"mixed override at $brand: ${pins.head} vs ${cutRows.get(brand)}")
+    }
+    // one member per dimension, as in a Mondrian tuple
+    val eDup = intercept[GraftException](plan(mdx.replace(
+      "[ShipDate].[Year].[1995]", "[Geography].[Nation].[3]")))
+    assert(eDup.status == 400 && eDup.getMessage.contains("twice"),
+      eDup.getMessage)
+  }
+
   test("a member merely starting with 'All' is not a grand total — it " +
       "parses as a FIXED-MEMBER tuple (pinned measure), never a total") {
     // [City].[Allentown] must NOT silently become a share-of-total
@@ -497,8 +563,8 @@ class MdxSpec extends AnyFunSuite {
         |[Geography].[Region].Members ON ROWS
         |FROM sales""".stripMargin)
     assert(q.adhocTotals.isEmpty)
-    assert(q.adhocPinned.map(p => (p.dim, p.level, p.key)) ==
-      Seq(("Geography", "", "Allentown")))
+    assert(q.adhocPinned.flatMap(_.pins.map(s => (s.dim, s.level, s.key)))
+      == Seq(("Geography", "", "Allentown")))
     assert(q.adhocCalcs.head.formula
       .contains(q.adhocPinned.head.alias))
     // the genuine All member (with the word boundary) still rewrites
