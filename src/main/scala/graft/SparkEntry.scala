@@ -899,6 +899,23 @@ object SparkEntry {
             "features[2] AS duration_sec",
             "features[3] AS zero_crossings")
           .orderBy("doc_id")),
+      // m23: 32-BIT FLAC — the format ceiling: even docs mono FIXED
+      // order-1 with ×256-scaled samples past ±2·10⁹ (beyond any 24-bit
+      // path, yet dyadically exact for the oracle), odd docs left/side
+      // stereo whose CONSTANT side channel exceeds 2³¹ — the 33-bit
+      // value only the decoder's Long buffers hold; the oracle
+      // reconstructs every sample and the mixdown in closed form
+      "m23_flac32_decode" -> ((s: SparkSession, dir: String) =>
+        ops.Multimodal.decodeFeatures(s,
+          ops.Multimodal.attachSyntheticFlac32(
+            CubeCatalog.forDir(s, dir).table("documents"), 2, 10))
+          .toDF()
+          .selectExpr("doc_id", "format", "width AS sample_rate",
+            "height AS channels", "n_frames", "n_bytes",
+            "features[0] AS rms", "features[1] AS peak",
+            "features[2] AS duration_sec",
+            "features[3] AS zero_crossings")
+          .orderBy("doc_id")),
       // m19: STEREO MS ADPCM — channel-interleaved headers, hi-nibble
       // channel 0 per byte; the oracle replays both channels' chains
       // AND the mean mixdown
@@ -2794,6 +2811,64 @@ object SparkEntry {
        |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
        |FROM tr GROUP BY doc_id, n, st ORDER BY doc_id""".stripMargin
 
+  /** m23 oracle: 32-bit FLAC decoded ground truth. The fixture scales
+    * everything by 256, so the dyadic sample value is s = v / 2³¹ =
+    * u / 2²³ with u small enough that every square and partial sum is
+    * exactly representable (the m22 argument one octave up). Mono (even)
+    * docs: u₀ = m_w mod 16,000,000 − 8,000,000 plus the residual running
+    * sum. Stereo (odd) docs: u₀ = 2²³−1−a and the mixdown subtracts
+    * side_u/2 = (2²⁴−1−a−b)/2 (a = m_w mod 1000 + 320, b = m_s mod 1000
+    * + 320) — the closed form of L − side/2 where side exceeds 2³¹ in
+    * the v domain. */
+  private def flac32OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(doc_id % 10 + 2 AS INTEGER) AS n,
+       |  doc_id % 2 = 1 AS st FROM documents),
+       |hw AS (SELECT doc_id, n, st,
+       |  md5(CAST(doc_id AS VARCHAR) || ':g32w') AS h FROM d),
+       |mw AS (SELECT doc_id, n, st,
+       |  CAST(($MD5_U_HORNER) AS BIGINT) AS m FROM hw),
+       |hs AS (SELECT doc_id,
+       |  md5(CAST(doc_id AS VARCHAR) || ':g32s') AS h FROM d),
+       |ms AS (SELECT doc_id,
+       |  CAST(($MD5_U_HORNER) AS BIGINT) AS m FROM hs),
+       |w0 AS (SELECT w.doc_id, w.n, w.st,
+       |  CASE WHEN w.st THEN 8388607 - (w.m % 1000 + 320)
+       |       ELSE w.m % 16000000 - 8000000 END AS s0,
+       |  CASE WHEN w.st THEN
+       |    (16777215 - (w.m % 1000 + 320) - (s.m % 1000 + 320)) / 2.0
+       |       ELSE 0.0 END AS halfside
+       |  FROM mw w JOIN ms s USING (doc_id)),
+       |rh AS (SELECT d.doc_id, i.range AS i,
+       |  md5(CAST(d.doc_id AS VARCHAR) || ':g32r:' ||
+       |      CAST(i.range AS VARCHAR)) AS h
+       |  FROM d CROSS JOIN range(0, 10) i WHERE i.range < d.n - 1),
+       |rs AS (SELECT doc_id, i,
+       |  CAST(($MD5_U_HORNER) % 64 - 32 AS INTEGER) AS r FROM rh),
+       |cum AS (SELECT doc_id, i + 1 AS i,
+       |  SUM(r) OVER (PARTITION BY doc_id ORDER BY i) AS c FROM rs),
+       |sm AS (
+       |  SELECT doc_id, n, st, 0 AS i, CAST(s0 AS BIGINT) AS v,
+       |    halfside FROM w0
+       |  UNION ALL
+       |  SELECT c.doc_id, w.n, w.st, c.i, w.s0 + c.c AS v, w.halfside
+       |  FROM cum c JOIN w0 w USING (doc_id)),
+       |sv AS (SELECT doc_id, n, st, i,
+       |  (v - halfside) / 8388608.0 AS s FROM sm),
+       |tr AS (SELECT doc_id, n, st, s,
+       |  CASE WHEN (s >= 0) !=
+       |    (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+       |    THEN 1 ELSE 0 END AS zx
+       |  FROM sv)
+       |SELECT doc_id, 'flac' AS format,
+       |  CAST(8000 AS INTEGER) AS sample_rate,
+       |  CAST(CASE WHEN st THEN 2 ELSE 1 END AS INTEGER) AS channels,
+       |  n AS n_frames, CAST(420 AS INTEGER) AS n_bytes,
+       |  sqrt(SUM(s * s) / n) AS rms,
+       |  MAX(ABS(s)) AS peak,
+       |  n / 8000.0 AS duration_sec,
+       |  CAST(SUM(zx) AS DOUBLE) AS zero_crossings
+       |FROM tr GROUP BY doc_id, n, st ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "q01_returnflag_agg" ->
       s"""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
@@ -4343,6 +4418,7 @@ object SparkEntry {
     // the engine must decode the Rice bitstream to recover the residuals
     "m20_flac_decode" -> flacOracleSql("'flac'", "200"),
     "m22_flac24_decode" -> flac24OracleSql,
+    "m23_flac32_decode" -> flac32OracleSql,
     // m21: the SAME decoded ground truth re-checked THROUGH
     // transcodePcm16 — FLAC→canonical-WAV is lossless, so only the
     // container geometry (format, byte count) changes

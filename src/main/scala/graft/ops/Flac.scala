@@ -21,17 +21,19 @@ package graft.ops
   *  - frame CRC-16 verified; multi-frame streams decoded sequentially
   *    with bounded per-row state (one frame's channel buffers live).
   *
-  * 8/16/24-bit streams decode to interleaved LE PCM at their own depth
-  * and channel count (1–8: all four stereo decorrelation modes;
+  * 8/16/24/32-bit streams decode to interleaved LE PCM at their own
+  * depth and channel count (1–8: all four stereo decorrelation modes;
   * 3–8 channels coded independently — the 5.1/7.1 surround layouts),
   * riding the shared [[Multimodal]] feature/fingerprint/transcode scans
   * (whose PcmClip layout already speaks those widths, and whose mixdown
   * is the generic per-frame channel mean) — a FLAC clip and the WAV of
-  * its decoded samples fingerprint identically (spec-pinned), and
-  * 24-bit (the dominant archival depth) is oracle-gated by m22.
-  * STREAMINFO totalSamples = 0 ("unknown", the streaming-encoder form)
-  * decodes frame-by-frame to EOF. 32-bit streams decline to the honest
-  * stub (33-bit side samples — see [[parseFlac]]).
+  * its decoded samples fingerprint identically (spec-pinned); 24-bit
+  * (the dominant archival depth) is oracle-gated by m22 and 32-bit (the
+  * format ceiling — its side channel carries 33-bit samples, hence the
+  * Long channel buffers throughout) by m23, whose stereo fixture's side
+  * value genuinely exceeds 32 bits. STREAMINFO totalSamples = 0
+  * ("unknown", the streaming-encoder form) decodes frame-by-frame to
+  * EOF.
   *
   * The m20 gate replays decoded GROUND TRUTH: the fixture's Rice-coded
   * residual stream derives from md5 arithmetic both engines compute, so
@@ -79,6 +81,12 @@ private[graft] object Flac {
     def readSigned(n: Int): Int = {
       val u = readBitsLong(n)
       ((u << (64 - n)) >> (64 - n)).toInt
+    }
+    /** Signed n-bit two's-complement value, n ≤ 63 — the channel-sample
+      * width path (a 32-bit stream's side channel carries 33 bits). */
+    def readSignedLong(n: Int): Long = {
+      val u = readBitsLong(n)
+      (u << (64 - n)) >> (64 - n)
     }
     /** FLAC unary: count of 0 bits before the terminating 1. No separate
       * runaway cap: a crafted all-zeros run aborts at the PAYLOAD
@@ -189,7 +197,7 @@ private[graft] object Flac {
   /** Rice-partitioned residual into `res` (already holding `order`
     * warmups at the front; residuals land at [order, blockSize)). */
   private def readResidual(r: BitReader, blockSize: Int, order: Int,
-      res: Array[Int]): Unit = {
+      res: Array[Long]): Unit = {
     val method = r.readBits(2)
     if (method > 1) throw new IllegalStateException("reserved residual")
     val pBits = if (method == 0) 4 else 5
@@ -208,7 +216,7 @@ private[graft] object Flac {
         val raw = r.readBits(5)
         var i = 0
         while (i < count) {
-          res(idx) = if (raw == 0) 0 else r.readSigned(raw)
+          res(idx) = if (raw == 0) 0L else r.readSignedLong(raw)
           idx += 1; i += 1
         }
       } else {
@@ -217,7 +225,7 @@ private[graft] object Flac {
           val q = r.readUnary()
           val u = (q.toLong << param) |
             (if (param == 0) 0L else r.readBitsLong(param))
-          res(idx) = ((u >> 1) ^ -(u & 1L)).toInt // zigzag decode
+          res(idx) = (u >> 1) ^ -(u & 1L) // zigzag decode
           idx += 1; i += 1
         }
       }
@@ -226,9 +234,10 @@ private[graft] object Flac {
   }
 
   /** One channel's subframe into `out` (length blockSize). `bps` is the
-    * channel's EFFECTIVE bit depth (side channels carry +1). */
+    * channel's EFFECTIVE bit depth (side channels carry +1 — up to 33
+    * bits on a 32-bit stream, hence the Long channel buffers). */
   private def readSubframe(r: BitReader, blockSize: Int, bps: Int,
-      out: Array[Int]): Unit = {
+      out: Array[Long]): Unit = {
     if (r.readBit() != 0) throw new IllegalStateException("subframe pad")
     val tpe = r.readBits(6)
     var wasted = 0
@@ -236,15 +245,15 @@ private[graft] object Flac {
     val eff = bps - wasted
     if (eff <= 0) throw new IllegalStateException("wasted >= bps")
     if (tpe == 0) { // CONSTANT
-      val v = r.readSigned(eff)
+      val v = r.readSignedLong(eff)
       java.util.Arrays.fill(out, 0, blockSize, v)
     } else if (tpe == 1) { // VERBATIM
       var i = 0
-      while (i < blockSize) { out(i) = r.readSigned(eff); i += 1 }
+      while (i < blockSize) { out(i) = r.readSignedLong(eff); i += 1 }
     } else if ((tpe & 0x38) == 0x08 && (tpe & 0x07) <= 4) { // FIXED
       val order = tpe & 0x07
       var i = 0
-      while (i < order) { out(i) = r.readSigned(eff); i += 1 }
+      while (i < order) { out(i) = r.readSignedLong(eff); i += 1 }
       readResidual(r, blockSize, order, out)
       // the public fixed-predictor recurrences, exact integer arithmetic
       i = order
@@ -266,7 +275,7 @@ private[graft] object Flac {
     } else if ((tpe & 0x20) != 0) { // LPC, order = (tpe & 0x1f) + 1
       val order = (tpe & 0x1f) + 1
       var i = 0
-      while (i < order) { out(i) = r.readSigned(eff); i += 1 }
+      while (i < order) { out(i) = r.readSignedLong(eff); i += 1 }
       val precision = r.readBits(4) + 1
       if (precision == 16)
         throw new IllegalStateException("reserved lpc precision")
@@ -281,7 +290,7 @@ private[graft] object Flac {
         var acc = 0L // 64-bit accumulator per the spec's width analysis
         var j = 0
         while (j < order) { acc += coef(j).toLong * out(i - 1 - j); j += 1 }
-        out(i) += (acc >> shift).toInt
+        out(i) += acc >> shift
         i += 1
       }
     } else throw new IllegalStateException("reserved subframe type")
@@ -292,16 +301,15 @@ private[graft] object Flac {
   }
 
   /** Full-stream decode to an interleaved LE PCM clip at the stream's own
-    * bit depth (8/16/24 — the widths [[Multimodal.PcmClip]]'s feature,
+    * bit depth (8/16/24/32 — the widths [[Multimodal.PcmClip]]'s feature,
     * fingerprint, and transcode scans define; 24-bit is the dominant
-    * archival depth) and channel count (1–8: mono/stereo in all four
+    * archival depth, 32-bit the full FLAC ceiling — its side channel
+    * carries 33-bit samples, which is why every channel buffer in this
+    * decoder is Long) and channel count (1–8: mono/stereo in all four
     * decorrelation modes, 3–8 independently-coded channels — the 5.1/7.1
     * surround layouts; the downstream feature mixdown is the generic
     * per-frame channel mean, so multichannel rides the same scans). None
-    * when the payload is not FLAC, is corrupt (CRC/sync/structure), or
-    * is outside that layout: 32-bit streams decline (a side channel
-    * would need 33-bit samples — wider buffers for a depth no mainstream
-    * encoder emits).
+    * when the payload is not FLAC or is corrupt (CRC/sync/structure).
     *
     * STREAMINFO totalSamples = 0 is LEGAL ("unknown" — streaming/pipe
     * encoders emit it): such streams decode frame-by-frame until the
@@ -332,7 +340,8 @@ private[graft] object Flac {
         }
       }
       if (info == null) return None
-      if ((info.bps != 8 && info.bps != 16 && info.bps != 24) ||
+      if ((info.bps != 8 && info.bps != 16 && info.bps != 24 &&
+          info.bps != 32) ||
           info.channels < 1 || info.channels > 8 || info.sampleRate <= 0)
         return None
       val bySam = info.bps / 8
@@ -454,7 +463,9 @@ private[graft] object Flac {
     if (nch != ch) throw new IllegalStateException("channel mismatch")
     if (blockSize > remaining)
       throw new IllegalStateException("frame overruns stream total")
-    val chans = Array.ofDim[Int](nch, blockSize)
+    // Long buffers: a 32-bit stream's side channel carries 33-bit
+    // samples, and the decorrelation arithmetic below must not wrap
+    val chans = Array.ofDim[Long](nch, blockSize)
     var c = 0
     while (c < nch) {
       // the SIDE channel carries one extra bit of depth, per the spec —
@@ -499,8 +510,8 @@ private[graft] object Flac {
       case _ => ()
     }
     val bySam = bps / 8
-    val lo = -(1 << (bps - 1))
-    val hi = (1 << (bps - 1)) - 1
+    val lo = -(1L << (bps - 1))
+    val hi = (1L << (bps - 1)) - 1
     val out = new Array[Byte](blockSize * bySam * nch)
     var i = 0
     var w = 0
@@ -548,8 +559,7 @@ private[graft] object Flac {
           var i = 0
           while (i < count) {
             if (raw > 0)
-              body.writeBits(c.residuals(idx).toLong & ((1L << raw) - 1),
-                raw)
+              body.writeBits(c.residuals(idx) & ((1L << raw) - 1), raw)
             idx += 1; i += 1
           }
         case None =>
@@ -566,10 +576,10 @@ private[graft] object Flac {
 
   /** Rice-encode one residual value with parameter `p` (zigzag + unary
     * quotient + p remainder bits) — the generator-side inverse of
-    * [[readResidual]]. */
-  def writeRice(w: BitWriter, v: Int, p: Int): Unit = {
-    val u = ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
-    val q = (u >> p).toInt
+    * [[readResidual]]. Long-valued for the 32/33-bit depths. */
+  def writeRice(w: BitWriter, v: Long, p: Int): Unit = {
+    val u = (v << 1) ^ (v >> 63) // zigzag, exact for any 63-bit value
+    val q = (u >>> p).toInt
     var i = 0
     while (i < q) { w.writeBit(0); i += 1 }
     w.writeBit(1)
@@ -584,9 +594,10 @@ private[graft] object Flac {
     *  - LPC:      order = warmup.length, lpc = Some((coefs, shift,
     *              precision))
     * `p` is the Rice parameter (partition order 0); `bits` the
-    * subframe's effective width (17 for a side channel). */
-  final case class Chan(order: Int, warmup: Array[Int],
-      residuals: Array[Int], p: Int, bits: Int = 16,
+    * subframe's effective width (17 for a 16-bit side channel, up to 33
+    * for a 32-bit one — hence the Long sample values). */
+  final case class Chan(order: Int, warmup: Array[Long],
+      residuals: Array[Long], p: Int, bits: Int = 16,
       lpc: Option[(Array[Int], Int, Int)] = None, wasted: Int = 0,
       method: Int = 0, po: Int = 0, escapeRaw: Option[Int] = None)
 
@@ -649,7 +660,7 @@ private[graft] object Flac {
     chans.foreach { c =>
       body.writeBit(0)
       val eff = c.bits - c.wasted
-      def mask(v: Int): Long = v.toLong & ((1L << eff) - 1)
+      def mask(v: Long): Long = v & ((1L << eff) - 1)
       def wastedFlag(): Unit =
         if (c.wasted == 0) body.writeBit(0)
         else { // flag 1, then unary-coded (wasted − 1)
@@ -707,8 +718,8 @@ private[graft] object Flac {
   def buildFlacFixedMono(sampleRate: Int, warmup: Array[Int],
       residuals: Array[Int], order: Int, p: Int,
       padToBytes: Int = 0): Array[Byte] =
-    buildFlac(sampleRate, 0, Seq(Chan(order, warmup, residuals, p)),
-      padToBytes = padToBytes)
+    buildFlac(sampleRate, 0, Seq(Chan(order, warmup.map(_.toLong),
+      residuals.map(_.toLong), p)), padToBytes = padToBytes)
 
   /** MULTI-FRAME mono stream: each chunk becomes one FIXED-order-0
     * frame (raw Rice-coded samples) with its own UTF-8-coded frame

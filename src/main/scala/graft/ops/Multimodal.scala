@@ -2088,13 +2088,15 @@ object Multimodal {
     val out =
       if (docId % 2 == 0)
         Flac.buildFlac(8000, 0,
-          Seq(Flac.Chan(1, Array(s0), res, p, bits = 24)),
+          Seq(Flac.Chan(1, Array(s0.toLong), res.map(_.toLong), p,
+            bits = 24)),
           padToBytes = pad, bps = 24)
       else {
         val side = ((md5Uint(s"$docId:g24s") % 40000) - 20000).toInt
         Flac.buildFlac(8000, 8, Seq(
-          Flac.Chan(1, Array(s0), res, p, bits = 24),
-          Flac.Chan(-1, Array(side), Array.empty[Int], p, bits = 25)),
+          Flac.Chan(1, Array(s0.toLong), res.map(_.toLong), p, bits = 24),
+          Flac.Chan(-1, Array(side.toLong), Array.empty[Long], p,
+            bits = 25)),
           padToBytes = pad, bps = 24)
       }
     assert(out.length == pad,
@@ -2109,6 +2111,64 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
       MediaRow(id, syntheticFlac24(id, (id % modSamples).toInt + addSamples),
+        MediaMeta("flac", 0, 0, 0))
+    }.toDF()
+  }
+
+  /** 32-BIT FLAC fixture (m23) — the format ceiling, exercising the
+    * decoder's Long channel buffers end-to-end. Even ids are MONO FIXED
+    * order-1: warmup u0 = md5(":g32w") mod 16,000,000 − 8,000,000 and
+    * residuals md5(":g32r:<k>") mod 64 − 32, both SCALED BY 256 — the
+    * samples range past ±2·10⁹ (beyond any 24-bit path) while staying
+    * multiples of 256, so the oracle's s = v/2³¹ = u/2²³ dyadic
+    * arithmetic is exactly representable (u² ≤ 2⁴⁶, ≤ 11 terms — sums
+    * fit 53 bits; no quantization on either engine). Odd ids are
+    * LEFT/SIDE STEREO built so the CONSTANT side channel GENUINELY
+    * EXCEEDS 32 bits: left rides the same recurrence from
+    * u0 = 2²³ − 1 − a (a = md5(":g32w") mod 1000 + 320), the side is
+    * (2²⁴ − 1 − a − b)·256 ≈ 2³² (b = md5(":g32s") mod 1000 + 320) —
+    * a 33-bit value only a Long buffer holds — and the reconstructed
+    * right channel R_i = L_i − side lands near −2³¹, pinning the
+    * decorrelation arithmetic at full depth. The ±320 guards keep every
+    * sample inside int32 for any residual walk (|cum| ≤ 320). Rice
+    * parameter 8 + md5(":g32p") mod 7 (the ×256 residuals need the
+    * larger params). Fixed 420-byte pad so n_bytes is a pure function
+    * of n (constant at gate scale's n ≤ 11). */
+  private[graft] def syntheticFlac32(docId: Long, nSamples: Int)
+      : Array[Byte] = {
+    require(nSamples >= 2, "nSamples must be at least 2")
+    val res = Array.tabulate(nSamples - 1)(k =>
+      ((md5Uint(s"$docId:g32r:$k") % 64) - 32) * 256L)
+    val p = 8 + (md5Uint(s"$docId:g32p") % 7).toInt
+    val pad = math.max(420, 140 + 24 * nSamples) // constant for n ≤ 11
+    val out =
+      if (docId % 2 == 0) {
+        val u0 = ((md5Uint(s"$docId:g32w") % 16000000) - 8000000).toInt
+        Flac.buildFlac(8000, 0,
+          Seq(Flac.Chan(1, Array(u0 * 256L), res, p, bits = 32)),
+          padToBytes = pad, bps = 32)
+      } else {
+        val a = (md5Uint(s"$docId:g32w") % 1000 + 320).toInt
+        val b = (md5Uint(s"$docId:g32s") % 1000 + 320).toInt
+        val left0 = ((1 << 23) - 1 - a) * 256L
+        val side = ((1L << 24) - 1 - a - b) * 256L // > 2³¹: 33 bits
+        Flac.buildFlac(8000, 8, Seq(
+          Flac.Chan(1, Array(left0), res, p, bits = 32),
+          Flac.Chan(-1, Array(side), Array.empty[Long], p, bits = 33)),
+          padToBytes = pad, bps = 32)
+      }
+    assert(out.length == pad,
+      s"fixture overflowed the fixed pad: ${out.length}")
+    out
+  }
+
+  /** Attach a [[syntheticFlac32]] payload per document. */
+  def attachSyntheticFlac32(docs: DataFrame, addSamples: Int,
+      modSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, syntheticFlac32(id, (id % modSamples).toInt + addSamples),
         MediaMeta("flac", 0, 0, 0))
     }.toDF()
   }

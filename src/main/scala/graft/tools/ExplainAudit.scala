@@ -63,7 +63,9 @@ object ExplainAudit {
         "d23_containment_auto", "q92_mdx_virtual_calc",
         "m21_flac_transcode", "q93_mdx_virtual_filter",
         "d24_ngram_jaccard_auto", "m22_flac24_decode",
-        "q94_mdx_pinned_member", "q95_mdx_pinned_override")
+        "q94_mdx_pinned_member", "q95_mdx_pinned_override",
+        "q96_mdx_pinned_tuple", "q97_mdx_pinned_mixed",
+        "q98_mdx_pinned_coarser", "m23_flac32_decode")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

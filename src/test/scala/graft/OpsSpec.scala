@@ -3086,7 +3086,7 @@ class OpsSpec extends AnyFunSuite {
     def dec(b: Array[Byte]) = wavSamples(Multimodal.transcodeOne(b).get)
     // want L = [100, 110], R = [90, 105] → side = [10, 5], mid = [95, 107]
     val want = Seq(100, 90, 110, 105)
-    def vb(vals: Array[Int], bits: Int = 16) =
+    def vb(vals: Array[Long], bits: Int = 16) =
       Flac.Chan(-2, vals, Array.empty, 0, bits = bits)
     assert(dec(Flac.buildFlac(8000, 8, // left/side: stored (L, S)
       Seq(vb(Array(100, 110)), vb(Array(10, 5), bits = 17)))) == want)
@@ -3124,7 +3124,8 @@ class OpsSpec extends AnyFunSuite {
   test("FLAC beyond 16-bit: 24-bit mono and left/side stereo decode " +
       "exact wide samples and transcode by the documented >>8 mapping; " +
       "8-bit decodes and scales by 256; unknown-total streams decode to " +
-      "EOF; 32-bit declines; the unary guard trips at the payload " +
+      "EOF; 32-bit decodes at the int32 extremes; the unary guard " +
+      "trips at the payload " +
       "boundary") {
     import graft.ops.Flac
     def t16(b: Array[Byte]) = wavSamples(Multimodal.transcodeOne(b).get)
@@ -3146,14 +3147,15 @@ class OpsSpec extends AnyFunSuite {
     // 24-bit left/side stereo with a CONSTANT 25-bit side channel
     val f24s = Flac.buildFlac(8000, 8, Seq(
       Flac.Chan(1, Array(1000000), Array(-20), 2, bits = 24),
-      Flac.Chan(-1, Array(30000), Array.empty[Int], 0, bits = 25)),
+      Flac.Chan(-1, Array(30000L), Array.empty[Long], 0, bits = 25)),
       bps = 24)
     assert(t16(f24s) ==
       Seq(1000000, 970000, 999980, 969980).map(_ >> 8))
     // 8-bit VERBATIM: signed samples, transcode scales by 256
     val want8 = Seq(100, -100, 27, -1)
-    val f8 = Flac.buildFlac(8000, 0, Seq(Flac.Chan(-2, want8.toArray,
-      Array.empty[Int], 0, bits = 8)), bps = 8)
+    val f8 = Flac.buildFlac(8000, 0, Seq(Flac.Chan(-2,
+      want8.map(_.toLong).toArray, Array.empty[Long], 0, bits = 8)),
+      bps = 8)
     val c8 = Flac.parseFlac(f8).get
     assert(c8.bits == 8 && c8.frames == 4)
     assert(t16(f8) == want8.map(_ << 8))
@@ -3175,10 +3177,17 @@ class OpsSpec extends AnyFunSuite {
     // including a LONE byte (below the frame loop's 16-bit threshold)
     assert(Flac.parseFlac(unk ++ Array[Byte](0, 0, 0, 0)).isEmpty)
     assert(Flac.parseFlac(unk :+ 0.toByte).isEmpty)
-    // 32-bit streams decline to the stub (33-bit side-channel samples)
-    val f32 = Flac.buildFlac(8000, 0, Seq(Flac.Chan(-2, Array(7, -9),
-      Array.empty[Int], 0, bits = 32)), bps = 32)
-    assert(Flac.parseFlac(f32).isEmpty)
+    // 32-bit streams decode at full depth (Long channel buffers): a
+    // VERBATIM mono pair at the int32 extremes round-trips exactly
+    val f32 = Flac.buildFlac(8000, 0, Seq(Flac.Chan(-2,
+      Array(Int.MaxValue.toLong, Int.MinValue.toLong),
+      Array.empty[Long], 0, bits = 32)), bps = 32)
+    val c32 = Flac.parseFlac(f32).get
+    assert(c32.bits == 32 && c32.frames == 2)
+    assert(Multimodal.pcmRaw(c32.data, c32.off, 32, signed = true,
+      big = false) == Int.MaxValue)
+    assert(Multimodal.pcmRaw(c32.data, c32.off + 4, 32, signed = true,
+      big = false) == Int.MinValue)
     // unary runaway: an all-zeros tail aborts at the payload boundary
     val r = new Flac.BitReader(Array.fill(64)(0.toByte))
     intercept[IllegalStateException](r.readUnary())
@@ -3190,8 +3199,8 @@ class OpsSpec extends AnyFunSuite {
       "class) decode, interleave, and transcode; the 8-channel ceiling " +
       "holds") {
     import graft.ops.Flac
-    def vb(vals: Array[Int]) =
-      Flac.Chan(-2, vals, Array.empty[Int], 0)
+    def vb(vals: Array[Long]) =
+      Flac.Chan(-2, vals, Array.empty[Long], 0)
     // asgn 2 = 3 independently-coded channels (L, C, R)
     val f3 = Flac.buildFlac(8000, 2, Seq(vb(Array(300, 306)),
       vb(Array(-60, -63)), vb(Array(90, 99))))
@@ -3216,6 +3225,34 @@ class OpsSpec extends AnyFunSuite {
     assert(c8.ch == 8 && c8.frames == 2)
     assert(wavSamples(Multimodal.transcodeOne(f8).get).take(8) ==
       (1 to 8).map(_ * 10))
+  }
+
+  test("FLAC 32-bit left/side: a CONSTANT side channel above 2^31 (a " +
+      "33-bit value only a Long buffer holds) reconstructs exact int32 " +
+      "extremes on both channels") {
+    import graft.ops.Flac
+    // L near +2^31, side ≈ 2^32 → R = L − side near −2^31: the depth
+    // case the old decoder declined
+    val left = Array(2147483000L, 2147482900L)
+    val side = 4294966000L // needs 33 signed bits
+    val f = Flac.buildFlac(8000, 8, Seq(
+      Flac.Chan(-2, left, Array.empty[Long], 0, bits = 32),
+      Flac.Chan(-1, Array(side), Array.empty[Long], 0, bits = 33)),
+      bps = 32)
+    val c = Flac.parseFlac(f).get
+    assert(c.ch == 2 && c.bits == 32 && c.frames == 2)
+    def raw(i: Int) = Multimodal.pcmRaw(c.data, c.off + 4 * i, 32,
+      signed = true, big = false)
+    assert(raw(0) == 2147483000 && raw(2) == 2147482900) // left
+    assert(raw(1) == 2147483000L - side &&
+      raw(3) == 2147482900L - side) // right, near −2^31
+    // the m23 fixture family decodes on both parities with the declared
+    // channel count and depth
+    for (id <- 0L to 3L) {
+      val clip = Flac.parseFlac(Multimodal.syntheticFlac32(id, 5)).get
+      assert(clip.bits == 32 && clip.frames == 5)
+      assert(clip.ch == (if (id % 2 == 0) 1 else 2))
+    }
   }
 
   test("Moore-Lewis selection ranks seed-like documents below off-domain " +
