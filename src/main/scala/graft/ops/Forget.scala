@@ -128,9 +128,10 @@ object Forget {
     * applies UNCONDITIONALLY before returning the index — a reload can
     * never resurrect a forgotten row. Design choice: a tombstone file,
     * not an in-place rewrite — a forget then writes a few KB instead of
-    * rewriting a corpus-sized layout (at 100 TB the index IS the data),
-    * and the next full rebuild compacts naturally by writing a fresh
-    * layout with no tombstones.
+    * rewriting a corpus-sized layout (at 100 TB the index IS the data);
+    * [[compactPersisted]] folds accumulated tombstones into the data
+    * files when the operator chooses to pay that rewrite, and any full
+    * rebuild compacts naturally by writing a fresh layout.
     *
     * CRASH-SAFE BY CONSTRUCTION, single step: Spark's file-commit
     * protocol publishes the appended files atomically at job commit
@@ -155,6 +156,61 @@ object Forget {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("id"))
     else None
+  }
+
+  /** COMPACT a persisted index layout: fold its committed tombstones
+    * into the data files and drop the tombstone file — the bounded-
+    * growth story for a layout that takes deletes for years between
+    * full rebuilds. Detects the layout kind from its subdirectories,
+    * round-trips it through the matching `load*Index` (which applies
+    * the tombstones — and refreshes the ANN cell bounds — exactly as
+    * serving would) into a staging dir, then swaps staged → live with
+    * the Rollups rename discipline (live aside, staged in, aside
+    * dropped). The tombstone file is COPIED into the staged dir before
+    * the swap and deleted from the live dir only as the very LAST step,
+    * which is what makes every crash window safe: correctness never
+    * depends on the compaction having finished — loads apply tombstones
+    * unconditionally, and re-applying them to already-compacted data is
+    * an idempotent no-op anti-join. A crash leaves either the old
+    * layout + tombstones (filtered at load), the staged copy beside an
+    * intact live dir (retry overwrites it), the compacted layout +
+    * tombstones (re-filtered to the same rows), or the finished state.
+    * Returns false (no-op) when the layout carries no tombstones. */
+  def compactPersisted(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    if (tombstonesAt(spark, path).isEmpty) return false
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new HPath(path)
+    val fs = live.getFileSystem(conf)
+    def has(sub: String) = fs.exists(new HPath(s"$path/$sub"))
+    val tmp = path + "__compact_tmp"
+    fs.delete(new HPath(tmp), true) // leftover from a crashed attempt
+    if (has("postings"))
+      Dedup.saveLshIndex(Dedup.loadLshIndex(spark, path), tmp)
+    else if (has("codebooks") && has("cell_res"))
+      Similarity.saveIvfPqIndex(Similarity.loadIvfPqIndex(spark, path), tmp)
+    else if (has("codebooks"))
+      Similarity.savePqIndex(Similarity.loadPqIndex(spark, path), tmp)
+    else if (has("centroids"))
+      Similarity.saveIvfIndex(Similarity.loadIvfIndex(spark, path), tmp)
+    else throw new IllegalArgumentException(
+      s"$path is not a persisted index layout")
+    IndexCache.unregisterPersisted(spark, tmp) // staging dir, not an index
+    // tombstones ride into the staged dir so the swap can never surface
+    // a layout whose deletes vanished before its data was filtered
+    FileUtil.copy(fs, new HPath(s"$path/tombstones"),
+      fs, new HPath(s"$tmp/tombstones"), false, conf)
+    val old = new HPath(path + "__compact_old")
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compact: rename $path aside failed")
+    if (!fs.rename(new HPath(tmp), live)) {
+      fs.rename(old, live) // restore; best-effort — staged copy remains
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    }
+    fs.delete(old, true)
+    fs.delete(new HPath(s"$path/tombstones"), true) // LAST: now redundant
+    true
   }
 
   /** Cluster rewrite: exact re-clustering via the sibling pair list when

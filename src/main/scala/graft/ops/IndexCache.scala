@@ -123,6 +123,15 @@ object IndexCache {
       m.put(path, kind)
     }
 
+  /** Drop one path from the session's persisted registry (the compaction
+    * staging dir must not outlive its swap). */
+  private[graft] def unregisterPersisted(spark: SparkSession,
+      path: String): Unit =
+    sessions.synchronized {
+      val m = persisted.get(spark)
+      if (m != null) m.remove(path)
+    }
+
   /** The session's registered persisted layouts, path → kind. */
   private[graft] def persistedPaths(spark: SparkSession): Map[String, String] =
     sessions.synchronized {

@@ -780,6 +780,53 @@ object Similarity {
     IvfPqIndex(cs, cbs, corpus, cellRes)
   }
 
+  /** Persist an [[IvfPqIndex]] — the billion-scale production layout
+    * (IVFADC) in its durable form: `centroids/` (nlist rows), tiny
+    * shared `codebooks/`, `corpus/` PARTITIONED BY cell_n so a probe's
+    * cell scans are partition-pruned file reads (codes ride 32× smaller
+    * than v_n; at 100 TB the codes+bounds are the hot set and the raw
+    * vectors page in only for the shortlist re-rank), and `cell_res/`
+    * (the θ-bound probe bounds). Same registration/tombstone lifecycle
+    * as its three siblings. */
+  def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
+    val spark = idx.corpus.sparkSession
+    import spark.implicits._
+    idx.cs.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("j", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    idx.cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("j", "i", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    idx.corpus.write.mode("overwrite").partitionBy("cell_n")
+      .parquet(s"$path/corpus")
+    idx.cellRes.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/cell_res")
+    IndexCache.registerPersisted(spark, path, "ivfpq")
+  }
+
+  /** Restore a persisted [[IvfPqIndex]] (see [[saveIvfPqIndex]]).
+    * Committed tombstones ([[graft.ops.Forget.forgetPersisted]]) are
+    * applied UNCONDITIONALLY via [[ivfPqDelete]] — a reload after a
+    * forget cannot resurrect the forgotten vector, and the cell bounds
+    * refresh from the survivors. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    IndexCache.registerPersisted(spark, path, "ivfpq")
+    val cs = spark.read.parquet(s"$path/centroids").orderBy("j")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("j", "i").collect()
+    val cbs = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)).toArray
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .select("cell_n", "neighbor_id", "v_n", "codes")
+    val base = IvfPqIndex(cs, cbs, corpus,
+      spark.read.parquet(s"$path/cell_res").select("cell_n", "max_res"))
+    Forget.tombstonesAt(spark, path).fold(base)(t =>
+      ivfPqDelete(base, t.select(col("id").as("vec_id"))))
+  }
+
   /** Probe an [[IvfPqIndex]]: rank cells by coarse score, scan the top
     * `nprobe` cells' CODES with ADC (approx dot = q·c_cell + Σ_j
     * lut[j][code_j], the lookup table built once per query), shortlist on

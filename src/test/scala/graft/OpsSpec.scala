@@ -3938,6 +3938,113 @@ class OpsSpec extends AnyFunSuite {
       emb.count().toInt, boundProbe = true)).sameElements(truth))
   }
 
+  test("IvfPq persisted layout: save → load probes bit-identically on " +
+      "both paths, and a tombstoned reload equals the in-memory delete") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val qids = Seq(0L, 1L, 2L)
+    val k = 5
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    try {
+      val idx = Similarity.ivfPqIndex(emb, nlist = 8)
+      Similarity.saveIvfPqIndex(idx, s"$dir/ivfpq")
+      val loaded = Similarity.loadIvfPqIndex(spark, s"$dir/ivfpq")
+      assert(loaded.cs.map(_.toSeq).toSeq == idx.cs.map(_.toSeq).toSeq)
+      assert(loaded.cbs.map(_.map(_.toSeq).toSeq).toSeq ==
+        idx.cbs.map(_.map(_.toSeq).toSeq).toSeq)
+      for (bound <- Seq(false, true))
+        assert(rows(Similarity.knnIvfPqProbe(loaded, qids, k, 3, 20, bound))
+          .sameElements(
+            rows(Similarity.knnIvfPqProbe(idx, qids, k, 3, 20, bound))),
+          s"boundProbe=$bound load parity")
+      // tombstoned reload ≡ in-memory ivfPqDelete (bounds refreshed the
+      // same way on both sides)
+      val victim = rows(Similarity.knnBrute(emb, Seq(0L), 1)).head._3
+      Forget.forgetPersisted(spark, s"$dir/ivfpq", Seq(victim))
+      val reloaded = Similarity.loadIvfPqIndex(spark, s"$dir/ivfpq")
+      val del = Similarity.ivfPqDelete(idx, Seq(victim).toDF("vec_id"))
+      for (bound <- Seq(false, true))
+        assert(rows(Similarity.knnIvfPqProbe(reloaded, qids, k, 3, 20,
+          bound)).sameElements(
+            rows(Similarity.knnIvfPqProbe(del, qids, k, 3, 20, bound))),
+          s"boundProbe=$bound tombstoned reload")
+      assert(Similarity.knnIvfPqProbe(reloaded, Seq(victim), k).isEmpty)
+    } finally IndexCache.invalidate(spark)
+  }
+
+  test("compactPersisted folds tombstones into the data files (all four " +
+      "layout kinds detected), drops the tombstone file, stays a no-op " +
+      "without one, and the crash window re-applies idempotently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString
+    val qids = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def tombstones(p: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p/tombstones"))
+    try {
+      val victim = rows(Similarity.knnBrute(emb, Seq(0L), 1)).head._3
+      val truth = rows(Similarity.knnBrute(
+        emb.where(col("vec_id") =!= victim), qids, 5))
+
+      // PQ: compact applies the delete to the stored corpus
+      Similarity.savePqIndex(Similarity.pqIndex(emb), s"$dir/pq")
+      assert(!Forget.compactPersisted(spark, s"$dir/pq")) // no tombstones
+      Forget.forgetPersisted(spark, s"$dir/pq", Seq(victim))
+      assert(Forget.compactPersisted(spark, s"$dir/pq"))
+      assert(!tombstones(s"$dir/pq"))
+      assert(spark.read.parquet(s"$dir/pq/corpus")
+        .where(col("neighbor_id") === victim).isEmpty)
+      assert(rows(Similarity.pqKnnBoundWith(
+        Similarity.loadPqIndex(spark, s"$dir/pq"), qids, 5))
+        .sameElements(truth))
+      // the crash window between swap and tombstone delete is exactly
+      // "compacted data + tombstones": re-append the same id — loads
+      // re-apply it as a no-op and a retried compact converges
+      Forget.forgetPersisted(spark, s"$dir/pq", Seq(victim))
+      assert(rows(Similarity.pqKnnBoundWith(
+        Similarity.loadPqIndex(spark, s"$dir/pq"), qids, 5))
+        .sameElements(truth))
+      assert(Forget.compactPersisted(spark, s"$dir/pq"))
+      assert(!tombstones(s"$dir/pq"))
+
+      // IVF and IVF-PQ: kind detection picks the right loader (cell_res
+      // + codebooks disambiguate), bounds land refreshed in the files
+      Similarity.saveIvfIndex(Similarity.ivfIndex(emb, 8), s"$dir/ivf")
+      Forget.forgetPersisted(spark, s"$dir/ivf", Seq(victim))
+      assert(Forget.compactPersisted(spark, s"$dir/ivf"))
+      assert(!tombstones(s"$dir/ivf"))
+      assert(rows(Similarity.knnIvfProbe(
+        Similarity.loadIvfIndex(spark, s"$dir/ivf"), qids, 5, 3))
+        .sameElements(truth))
+      Similarity.saveIvfPqIndex(Similarity.ivfPqIndex(emb, nlist = 8),
+        s"$dir/ivfpq")
+      Forget.forgetPersisted(spark, s"$dir/ivfpq", Seq(victim))
+      assert(Forget.compactPersisted(spark, s"$dir/ivfpq"))
+      assert(!tombstones(s"$dir/ivfpq"))
+      assert(spark.read.parquet(s"$dir/ivfpq/corpus")
+        .where(col("neighbor_id") === victim).isEmpty)
+
+      // LSH: postings and signatures both compacted
+      Dedup.saveLshIndex(Dedup.lshIndex(docsWithDup, 3, 32, 4), s"$dir/lsh")
+      Forget.forgetPersisted(spark, s"$dir/lsh", Seq(7L))
+      assert(Forget.compactPersisted(spark, s"$dir/lsh"))
+      assert(!tombstones(s"$dir/lsh"))
+      assert(spark.read.parquet(s"$dir/lsh/postings")
+        .where(col("doc_id") === 7L).isEmpty)
+      assert(spark.read.parquet(s"$dir/lsh/signatures")
+        .where(col("doc_id") === 7L).isEmpty)
+
+      // not-an-index dirs are rejected, not silently "compacted"
+      val junk = s"$dir/junk"
+      Seq(1L).toDF("id").write.parquet(s"$junk/tombstones")
+      intercept[IllegalArgumentException](
+        Forget.compactPersisted(spark, junk))
+    } finally IndexCache.invalidate(spark)
+  }
+
   test("native LshBucket expression is bit-identical to the declarative " +
       "per-plane spelling") {
     import spark.implicits._
