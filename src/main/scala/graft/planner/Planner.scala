@@ -287,6 +287,7 @@ object Planner {
     // per coarser row), and non-decomposable aggregates under a combine
     // (median / distinct-count can't be merged from descendant cells
     // without a second fact pass).
+    val groupLevels = groupLevelList(cube, drills, q.parents)
     val pinnedPlans: Seq[PlannedPin] = need.pinned.map { pm =>
       val rps = pm.pins.map { ps =>
         val rl = resolvePinnedLevel(cat, cube, ps)
@@ -323,10 +324,14 @@ object Planner {
       }
       // combine: more than one axis row can satisfy the selection — a
       // coarser pin always merges its drilled descendants' cells, and an
-      // at-level pin whose dim is ALSO drilled at coarser levels merges
-      // across those (the flattened member [Month].[3] spans years)
+      // at-level pin whose dim contributes MORE THAN ONE group column
+      // set merges across the extra levels (the flattened member
+      // [Month].[3] spans years whenever year is also on the axis —
+      // whether drilled explicitly or added by parents=true, which is
+      // why this counts GROUP levels, not query drills)
       val combine = rps.exists { case (ps, _, st) =>
-        st == 'c' || (st == 'a' && drills.count(_.dim.name == ps.dim) > 1)
+        st == 'c' ||
+          (st == 'a' && groupLevels.count(_.dim.name == ps.dim) > 1)
       }
       if ((rps.exists(_._3 != 'a') || combine) &&
           cube.measure(pm.base).isEmpty)
@@ -375,7 +380,6 @@ object Planner {
         pinnedPlans.flatMap(_.pins.collect {
           case (ps, _, 'f') => cube.dimension(ps.dim).get }))
 
-    val groupLevels = groupLevelList(cube, drills, q.parents)
     val groupCols: Seq[Column] = groupLevels.flatMap(levelCols)
     val groupAliases: Seq[String] = groupLevels.flatMap(levelAliases)
 

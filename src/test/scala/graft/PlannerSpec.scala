@@ -58,6 +58,30 @@ class PlannerSpec extends AnyFunSuite {
     assert(viaCut == all && viaCut.nonEmpty)
   }
 
+  test("an at-level pin under parents=true merges the ancestor-split " +
+      "cells (the flattened member spans years) instead of max-picking " +
+      "one year's value") {
+    import graft.model.{PinnedMeasureDef, PinSpec}
+    val pin = PinnedMeasureDef("pin_m3", "revenue",
+      Seq(PinSpec("ShipDate", "Month", 3)))
+    val rows = Planner.plan(cat, CubeQuery("sales",
+        Seq(drill("ShipDate", "Month")), Seq("revenue", "pin_m3"),
+        parents = true, adhocPinned = Seq(pin))).collect()
+    // ground truth: total revenue of every month-3 fact across ALL years
+    // (the flattened member's meaning) — with parents=true the axis rows
+    // split month 3 by year, so a selection-only window would silently
+    // surface just one year's cell
+    val want = Planner.plan(cat, CubeQuery("sales", Nil, Seq("revenue"),
+        cuts = Seq(MemberCut(LevelRef("ShipDate", Some("Month")), 3))))
+      .collect().head.get(0)
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getAs[Any]("ship_year"),
+      r.getAs[Any]("ship_month"))).distinct.length > 12,
+      "parents mode must split months by year for this test to bite")
+    rows.foreach(r => assert(r.getAs[Any]("pin_m3") == want,
+      s"row ${r.mkString(",")} pin ${r.getAs[Any]("pin_m3")} vs $want"))
+  }
+
   test("drilling above the cut level is a 400 (A9 ascendant guard)") {
     val e = intercept[GraftException] {
       Planner.plan(cat, CubeQuery("sales",
