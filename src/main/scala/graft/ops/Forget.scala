@@ -187,6 +187,9 @@ object Forget {
     fs.delete(new HPath(tmp), true) // leftover from a crashed attempt
     if (has("postings"))
       Dedup.saveLshIndex(Dedup.loadLshIndex(spark, path), tmp)
+    else if (has("fingerprints"))
+      Multimodal.saveMediaFpIndex(Multimodal.loadMediaFpIndex(spark, path),
+        tmp)
     else if (has("codebooks") && has("cell_res"))
       Similarity.saveIvfPqIndex(Similarity.loadIvfPqIndex(spark, path), tmp)
     else if (has("codebooks"))

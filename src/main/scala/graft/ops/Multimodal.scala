@@ -1423,6 +1423,39 @@ object Multimodal {
     MediaFpIndex(fp, keyed, maxHamming)
   }
 
+  /** Persist a [[MediaFpIndex]] as the between-ingests parquet layout
+    * [[mediaDeltaPairs]] reads (the [[Dedup.saveLshIndex]] discipline
+    * applied to the 64-bit Hamming families): `fingerprints/` plus the
+    * `keyed/` banding postings, and the index's maxHamming in a one-row
+    * `meta/` — the banding keys are specific to it, so a loader must
+    * read it rather than guess. Same registration/tombstone lifecycle
+    * as the other persisted layouts ([[graft.ops.Forget]]). */
+  def saveMediaFpIndex(idx: MediaFpIndex, path: String): Unit = {
+    val spark = idx.fingerprints.sparkSession
+    import spark.implicits._
+    idx.fingerprints.write.mode("overwrite").parquet(s"$path/fingerprints")
+    idx.keyed.write.mode("overwrite").parquet(s"$path/keyed")
+    Seq(idx.maxHamming).toDF("max_hamming").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    IndexCache.registerPersisted(spark, path, "mediafp")
+  }
+
+  /** Restore a persisted [[MediaFpIndex]] (see [[saveMediaFpIndex]]).
+    * Committed tombstones ([[graft.ops.Forget.forgetPersisted]]) are
+    * applied UNCONDITIONALLY via [[mediaFpDelete]] — a reload after a
+    * forget cannot resurrect the forgotten asset's fingerprint or
+    * postings. */
+  def loadMediaFpIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): MediaFpIndex = {
+    IndexCache.registerPersisted(spark, path, "mediafp")
+    val mh = spark.read.parquet(s"$path/meta").head.getInt(0)
+    val base = MediaFpIndex(
+      spark.read.parquet(s"$path/fingerprints"),
+      spark.read.parquet(s"$path/keyed"), mh)
+    graft.ops.Forget.tombstonesAt(spark, path).fold(base)(t =>
+      mediaFpDelete(base, t.select(col("id").as("doc_id"))))
+  }
+
   /** NIGHTLY-DELTA media near-dup — the production ingest shape of the
     * batch [[phashNearDupPairs]]/[[audioNearDupPairs]]/
     * [[videoNearDupPairs]] (the [[Dedup.lshIndex]]/`lshDeltaPairs`

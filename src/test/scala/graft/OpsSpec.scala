@@ -4037,6 +4037,29 @@ class OpsSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$dir/lsh/signatures")
         .where(col("doc_id") === 7L).isEmpty)
 
+      // MEDIA fingerprints: the fifth layout kind — save, forget an
+      // asset, compact, reload: postings gone, maxHamming preserved,
+      // and a re-presented delta pairs only with the surviving
+      // re-upload, never the forgotten id
+      def clip(id: Long, src: Long) = Multimodal.MediaRow(id,
+        Multimodal.syntheticY4m(src, 64, 0),
+        Multimodal.MediaMeta("y4m", 0, 0, 0))
+      val mcorpus = Seq(clip(1, 1), clip(2, 2), clip(4, 1)).toDS().toDF()
+      Multimodal.saveMediaFpIndex(
+        Multimodal.mediaFpIndex(Multimodal.videoFingerprint(mcorpus), 2),
+        s"$dir/mfp")
+      Forget.forgetPersisted(spark, s"$dir/mfp", Seq(1L))
+      assert(Forget.compactPersisted(spark, s"$dir/mfp"))
+      assert(!tombstones(s"$dir/mfp"))
+      val mfp = Multimodal.loadMediaFpIndex(spark, s"$dir/mfp")
+      assert(mfp.maxHamming == 2)
+      assert(mfp.keyed.where(col("doc_id") === 1L).isEmpty)
+      assert(mfp.fingerprints.where(col("doc_id") === 1L).isEmpty)
+      val (mp, _) = Multimodal.mediaDeltaPairs(mfp,
+        Multimodal.videoFingerprint(Seq(clip(21, 1)).toDS().toDF()))
+      assert(mp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((4L, 21L)))
+
       // not-an-index dirs are rejected, not silently "compacted"
       val junk = s"$dir/junk"
       Seq(1L).toDF("id").write.parquet(s"$junk/tombstones")
