@@ -1545,6 +1545,21 @@ object SparkEntry {
             |  [ShipDate].[Month].Members) ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // q99: MIXED navigation + pin tuple — foodmart's Profit-last-
+      // Period sliced to a member: compiles as PrevMember navigation
+      // OVER the pinned (region-2-masked) aggregate, one lag window on
+      // the pin's aggregation-time column
+      "q99_mdx_pinned_nav" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """WITH MEMBER [Measures].[prev_asia] AS
+            |  '([Measures].[Revenue], [ShipDate].PrevMember,
+            |    [Geography].[Region].[2])'
+            |SELECT {[Measures].[Revenue], [Measures].[prev_asia]}
+            |  ON COLUMNS,
+            |[ShipDate].[Year].Members ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // WITH MEMBER: query-scoped calculated measure over declared measures
       "q37_mdx_with_member" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -6102,6 +6117,19 @@ object SparkEntry {
          |SELECT region, region_label, ship_month, revenue,
          |  CAST(SUM(pre) OVER (PARTITION BY region) AS DOUBLE) AS y95
          |FROM base ORDER BY region, ship_month""".stripMargin,
+    // q99: mixed nav+pin — LAG over the region-masked per-year decimal
+    // aggregate (years are contiguous in the data, so the present-row
+    // LAG equals the planner's calendar-domain walk)
+    "q99_mdx_pinned_nav" ->
+      s"""WITH base AS (
+         |  SELECT year(l_shipdate) AS ship_year, ${sumd(REV, "revenue")},
+         |    CAST(SUM(CASE WHEN r_regionkey = 2 THEN ${dec(REV)} END)
+         |      AS DOUBLE) AS asia
+         |  $SUPP_GEO_JOIN
+         |  GROUP BY 1)
+         |SELECT ship_year, revenue,
+         |  LAG(asia) OVER (ORDER BY ship_year) AS prev_asia
+         |FROM base ORDER BY ship_year""".stripMargin,
     "q37_mdx_with_member" ->
       s"""WITH agg AS (
          |  SELECT r_regionkey AS region, r_name AS region_label,

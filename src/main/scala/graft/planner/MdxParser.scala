@@ -242,6 +242,44 @@ object MdxParser {
       scala.collection.mutable.LinkedHashMap.empty[String, SetAggMeasureDef]
     val pinnedDefs =
       scala.collection.mutable.LinkedHashMap.empty[String, PinnedMeasureDef]
+    /** Parse + validate fixed-member paths and register (or reuse) the
+      * [[PinnedMeasureDef]] for (base, members) — shared by the plain
+      * pinned-tuple rewrite and the mixed navigation+pin form. Returns
+      * the pin's measure alias. */
+    def registerPin(base: String, memberPaths: Seq[String]): String = {
+      val pins = memberPaths.map { seg =>
+        val (dim, hier, level, key) = QueryParser.segments(seg) match {
+          case Seq(d, k) => (d, "", "", QueryParser.typedKey(k))
+          case Seq(d, l, k) => (d, "", l, QueryParser.typedKey(k))
+          case Seq(d, h, l, k) => (d, h, l, QueryParser.typedKey(k))
+          case _ => GraftException.badRequest(
+            s"fixed-member tuple member must name [Dim].[Level].[Key] " +
+              s"or [Dim].[Key]: '$seg'")
+        }
+        if (cube.dimension(dim).isEmpty)
+          GraftException.badRequest(
+            s"fixed-member tuple on unknown dimension '$dim'")
+        if (level.nonEmpty) levelOf(dim, level, "fixed-member tuple")
+        PinSpec(dim, level, key, hier)
+      }
+      // one member per dimension, as in a Mondrian tuple (one member
+      // per hierarchy) — a repeat is a contradiction, not a refinement
+      pins.groupBy(_.dim).collectFirst { case (d, ps) if ps.size > 1 =>
+        GraftException.badRequest(
+          s"fixed-member tuple names dimension '$d' twice — a tuple " +
+            "holds one member per dimension")
+      }
+      def same(p: PinnedMeasureDef) = p.base == base && p.pins == pins
+      cube.pinnedMeasures.find(same).map(_.alias)
+        .orElse(pinnedDefs.values.find(same).map(_.alias))
+        .getOrElse {
+          val a = s"__mdx_pin_${base}_" + pins.map(p =>
+            s"${p.dim}_${p.level}".replaceAll("\\W", "_"))
+            .mkString("_") + s"_p${pinnedDefs.size}"
+          pinnedDefs.update(a, PinnedMeasureDef(a, base, pins))
+          a
+        }
+    }
     // the cube's single time dimension — the implicit argument of Ytd() and
     // LastPeriods(n) with no explicit member (Mondrian resolves them against
     // the TimeDimension; ambiguous with several, so that 400s)
@@ -356,6 +394,70 @@ object MdxParser {
       val alias = Option(m.group(2)).getOrElse(m.group(3))
       var formula = m.group(4)
         .replaceAll("(?i)COALESCEEMPTY\\s*\\(", "coalesce(")
+      // MIXED navigation + fixed-member tuple — foodmart's
+      // Profit-last-Period sliced to members: `([Measures].[M],
+      // [Time].(CurrentMember.)?PrevMember, [D].[L].[k], …)` with
+      // exactly ONE navigation element and ≥1 plain member paths, any
+      // order. Compiles as navigation OVER the pinned measure: the
+      // plain members register a PinnedMeasureDef (the conjunctive
+      // fact-side mask) and the navigation synthesizes a lag/lead whose
+      // BASE is the pin's alias. Every window family runs before the
+      // pin windows in the planner, so it 400s there when a pinned dim
+      // is on the axis — the supported (and common) shape is the
+      // off-axis slice. Runs BEFORE the 2-element navigation chain; a
+      // tuple with no navigation suffix falls through untouched to the
+      // plain pinned-tuple rewrite.
+      val mixedNavElem = ("""(?is)((?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])""" +
+        """((?:\s*\.\s*CURRENTMEMBER)?\s*\.\s*""" +
+        """(?:PREVMEMBER|NEXTMEMBER|(?:LAG|LEAD)\s*\(\s*\d+\s*\)))?""").r
+      val mixedNavRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]""" +
+        """((?:\s*,\s*(?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\]""" +
+        """(?:(?:\s*\.\s*CURRENTMEMBER)?\s*\.\s*""" +
+        """(?:PREVMEMBER|NEXTMEMBER|(?:LAG|LEAD)\s*\(\s*\d+\s*\)))?)""" +
+        """{2,})\s*\)""").r
+      formula = mixedNavRe.replaceAllIn(formula, mm => {
+        val elems = mixedNavElem.findAllMatchIn(mm.group(2)).toSeq
+          .filter(e => e.group(1) != null && e.group(1).nonEmpty)
+        val (navs, plains) = elems.partition(e =>
+          Option(e.group(2)).exists(_.trim.nonEmpty))
+        if (navs.length != 1 || plains.isEmpty)
+          java.util.regex.Matcher.quoteReplacement(mm.matched) // not ours
+        else {
+          val base = resolveWindowBase(cube, mm.group(1),
+            "fixed-member tuple")
+          val navDim = QueryParser.segments(navs.head.group(1)).head
+          if (cube.dimension(navDim).isEmpty)
+            GraftException.badRequest(
+              s"tuple navigation on unknown dimension '$navDim'")
+          val pinAlias = registerPin(base, plains.map(_.group(1)))
+          if (pinnedDefs.get(pinAlias).exists(_.pins.exists(
+              _.dim == navDim)) ||
+              cube.pinnedMeasures.find(_.alias == pinAlias).exists(
+                _.pins.exists(_.dim == navDim)))
+            GraftException.badRequest(
+              s"fixed-member tuple names dimension '$navDim' twice — " +
+                "it is both navigated and pinned")
+          val nav = navs.head.group(2).toUpperCase.replaceAll("[\\s.]", "")
+            .stripPrefix("CURRENTMEMBER")
+          val n = "\\d+".r.findFirstIn(nav).map { d =>
+            try d.toInt catch {
+              case _: NumberFormatException => GraftException.badRequest(
+                s"Lag/Lead periods out of range: '$d'")
+            }
+          }.getOrElse(1)
+          if (n < 1)
+            GraftException.badRequest(
+              s"Lag/Lead periods must be >= 1, got $n")
+          val periods =
+            if (nav.startsWith("NEXT") || nav.startsWith("LEAD")) -n else n
+          val word = if (periods < 0) "lead" else "lag"
+          val lagAlias = s"__mdx_${word}_${pinAlias}_" +
+            s"${navDim.replaceAll("\\W", "_")}_$n"
+          lags.getOrElseUpdate(lagAlias,
+            LagMeasureDef(lagAlias, pinAlias, navDim, periods = periods))
+          java.util.regex.Matcher.quoteReplacement(lagAlias)
+        }
+      })
       formula = tupleRe.replaceAllIn(formula, mm =>
         java.util.regex.Matcher.quoteReplacement(
           synth(mm.group(1), mm.group(2), mm.group(3))))
@@ -628,42 +730,10 @@ object MdxParser {
       val pinnedRe = ("""(?is)\(\s*\[Measures\]\.\[([^\]]+)\]""" +
         """((?:\s*,\s*(?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\])+)\s*\)""").r
       val pinMemberRe = """(?s)(?:\[[^\]]+\]\s*\.\s*)*\[[^\]]+\]""".r
-      formula = pinnedRe.replaceAllIn(formula, mm => {
-        val base = resolveWindowBase(cube, mm.group(1), "fixed-member tuple")
-        val pins = pinMemberRe.findAllIn(mm.group(2)).toSeq.map { seg =>
-          val (dim, hier, level, key) = QueryParser.segments(seg) match {
-            case Seq(d, k) => (d, "", "", QueryParser.typedKey(k))
-            case Seq(d, l, k) => (d, "", l, QueryParser.typedKey(k))
-            case Seq(d, h, l, k) => (d, h, l, QueryParser.typedKey(k))
-            case _ => GraftException.badRequest(
-              s"fixed-member tuple member must name [Dim].[Level].[Key] " +
-                s"or [Dim].[Key]: '$seg'")
-          }
-          if (cube.dimension(dim).isEmpty)
-            GraftException.badRequest(
-              s"fixed-member tuple on unknown dimension '$dim'")
-          if (level.nonEmpty) levelOf(dim, level, "fixed-member tuple")
-          PinSpec(dim, level, key, hier)
-        }
-        // one member per dimension, as in a Mondrian tuple (one member
-        // per hierarchy) — a repeat is a contradiction, not a refinement
-        pins.groupBy(_.dim).collectFirst { case (d, ps) if ps.size > 1 =>
-          GraftException.badRequest(
-            s"fixed-member tuple names dimension '$d' twice — a tuple " +
-              "holds one member per dimension")
-        }
-        def same(p: PinnedMeasureDef) = p.base == base && p.pins == pins
-        val alias = cube.pinnedMeasures.find(same).map(_.alias)
-          .orElse(pinnedDefs.values.find(same).map(_.alias))
-          .getOrElse {
-            val a = s"__mdx_pin_${base}_" + pins.map(p =>
-              s"${p.dim}_${p.level}".replaceAll("\\W", "_"))
-              .mkString("_") + s"_p${pinnedDefs.size}"
-            pinnedDefs.update(a, PinnedMeasureDef(a, base, pins))
-            a
-          }
-        java.util.regex.Matcher.quoteReplacement(alias)
-      })
+      formula = pinnedRe.replaceAllIn(formula, mm =>
+        java.util.regex.Matcher.quoteReplacement(registerPin(
+          resolveWindowBase(cube, mm.group(1), "fixed-member tuple"),
+          pinMemberRe.findAllIn(mm.group(2)).toSeq)))
       val measureRef = """\[Measures\]\.\[([^\]]+)\]""".r
       formula = measureRef.replaceAllIn(formula,
         mm => resolveMeasure(cube, mm.group(1)))

@@ -353,6 +353,26 @@ object Planner {
     // window (selection for at-level pins, combine for coarser ones)
     val (pinnedWindowed, pinnedFactOnly) =
       pinnedPlans.partition(_.pins.exists(_._3 != 'f'))
+    // Navigation/window measures over a pinned measure (the mixed
+    // nav+pin tuple) ride the pin's AGGREGATION-TIME column — every
+    // window family runs before the pin windows, so a pin with an
+    // on-axis dimension cannot feed one; 400 with the reason instead of
+    // surfacing a missing-column analysis error.
+    if (pinnedWindowed.nonEmpty) {
+      val wAliases = pinnedWindowed.map(_.pm.alias).toSet
+      (need.lags.map(l => l.alias -> l.base) ++
+        need.cums.map(c => c.alias -> c.base) ++
+        need.movings.map(m => m.alias -> m.base) ++
+        need.totals.map(t => t.alias -> t.base) ++
+        need.ranks.map(r => r.alias -> r.base) ++
+        need.setAggs.map(a => a.alias -> a.base))
+        .find { case (_, b) => wAliases(b) }
+        .foreach { case (a, b) => GraftException.badRequest(
+          s"'$a' windows over fixed-member tuple '$b', whose pinned " +
+            "dimension is on the axis — navigating a tuple is supported " +
+            "when every pinned dimension is off the axis (drop the " +
+            "drill on the pinned dimension)") }
+    }
 
     // a property named ONLY as an ORDER target (ref A11:
     // `ORDER(axis, [D].CurrentMember.Properties('X'))`) is computed

@@ -65,7 +65,8 @@ object ExplainAudit {
         "d24_ngram_jaccard_auto", "m22_flac24_decode",
         "q94_mdx_pinned_member", "q95_mdx_pinned_override",
         "q96_mdx_pinned_tuple", "q97_mdx_pinned_mixed",
-        "q98_mdx_pinned_coarser", "m23_flac32_decode")
+        "q98_mdx_pinned_coarser", "m23_flac32_decode",
+        "q99_mdx_pinned_nav")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -551,6 +551,53 @@ class MdxSpec extends AnyFunSuite {
       eDup.getMessage)
   }
 
+  test("mixed navigation+pin tuple: ([M], [Time].PrevMember, " +
+      "[Region].[2]) is the lag of the pinned measure; a drilled pinned " +
+      "dim and a navigated-and-pinned dim both 400") {
+    def plan(mdx: String) =
+      Planner.plan(cat, MdxParser.parse(salesCube, mdx)).collect()
+    val rows = plan(
+      """WITH MEMBER [Measures].[prev_asia] AS
+        |  '([Measures].[Revenue], [ShipDate].PrevMember,
+        |    [Geography].[Region].[2])'
+        |SELECT {[Measures].[Revenue], [Measures].[prev_asia]} ON COLUMNS,
+        |[ShipDate].[Year].Members ON ROWS FROM sales""".stripMargin)
+    // ground truth: the pin-only query per year, shifted by one member
+    val pinByYear = plan(
+      """WITH MEMBER [Measures].[asia] AS
+        |  '([Measures].[Revenue], [Geography].[Region].[2])'
+        |SELECT {[Measures].[asia]} ON COLUMNS,
+        |[ShipDate].[Year].Members ON ROWS FROM sales""".stripMargin)
+      .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val y = r.getInt(0)
+      assert(Option(r.get(2)) == pinByYear.getOrElse(y - 1, None),
+        s"year $y: ${Option(r.get(2))} vs ${pinByYear.get(y - 1)}")
+    }
+    // pinned dim on the axis under navigation → the planner's clean 400
+    // (the lag needs the pin's aggregation-time column)
+    val eDrill = intercept[GraftException](plan(
+      """WITH MEMBER [Measures].[p] AS
+        |  '([Measures].[Revenue], [ShipDate].PrevMember,
+        |    [Geography].[Region].[2])'
+        |SELECT {[Measures].[p]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+        |  [ShipDate].[Year].Members) ON ROWS FROM sales""".stripMargin))
+    assert(eDrill.status == 400 &&
+      eDrill.getMessage.contains("pinned dimension is on the axis"),
+      eDrill.getMessage)
+    // one dimension both navigated and pinned is a contradiction
+    val eTwice = intercept[GraftException](plan(
+      """WITH MEMBER [Measures].[p] AS
+        |  '([Measures].[Revenue], [ShipDate].PrevMember,
+        |    [ShipDate].[Year].[1995])'
+        |SELECT {[Measures].[p]} ON COLUMNS,
+        |[ShipDate].[Year].Members ON ROWS FROM sales""".stripMargin))
+    assert(eTwice.status == 400 && eTwice.getMessage.contains("twice"),
+      eTwice.getMessage)
+  }
+
   test("a member merely starting with 'All' is not a grand total — it " +
       "parses as a FIXED-MEMBER tuple (pinned measure), never a total") {
     // [City].[Allentown] must NOT silently become a share-of-total
