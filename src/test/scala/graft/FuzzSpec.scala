@@ -115,6 +115,14 @@ class FuzzSpec extends AnyFunSuite {
       |SELECT {[Measures].[Revenue], [Measures].[asia95]} ON COLUMNS,
       |NON EMPTY CROSSJOIN([Geography].[Region].Members,
       |  [ShipDate].[Monthly].[Month].Members) ON ROWS
+      |FROM sales""".stripMargin,
+    // the round-16 mixed navigation+pin tuple — mangled nav suffixes,
+    // commas, and member paths must 400, never crash
+    """WITH MEMBER [Measures].[prev_asia] AS
+      |  '([Measures].[Revenue], [ShipDate].PrevMember,
+      |    [Geography].[Region].[2])'
+      |SELECT {[Measures].[Revenue], [Measures].[prev_asia]} ON COLUMNS,
+      |[ShipDate].[Monthly].[Year].Members ON ROWS
       |FROM sales""".stripMargin)
 
   private val validCuts = Seq(

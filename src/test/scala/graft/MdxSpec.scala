@@ -598,6 +598,28 @@ class MdxSpec extends AnyFunSuite {
       eTwice.getMessage)
   }
 
+  test("a DENSE coarser-pin axis backfills the merged pin value onto " +
+      "filler rows (partition-constant, like totals)") {
+    def plan(mdx: String) =
+      Planner.plan(cat, MdxParser.parse(salesCube, mdx)).collect()
+    // no NON EMPTY: the dense axis may contain (region, month) fillers
+    // with a null Revenue — the coarser pin must still show the region's
+    // 1995 total on EVERY row of the partition, fillers included
+    val rows = plan(
+      """WITH MEMBER [Measures].[y95] AS
+        |  '([Measures].[Revenue], [ShipDate].[Year].[1995])'
+        |SELECT {[Measures].[Revenue], [Measures].[y95]} ON COLUMNS,
+        |CROSSJOIN([Geography].[Region].Members,
+        |  [ShipDate].[Month].Members) ON ROWS FROM sales""".stripMargin)
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(0)).foreach { case (region, rs) =>
+      val pins = rs.map(r => Option(r.get(4))).distinct
+      assert(pins.size == 1,
+        s"region $region: pin not partition-constant across dense rows")
+      assert(pins.head.nonEmpty, s"region $region: pin missing")
+    }
+  }
+
   test("a member merely starting with 'All' is not a grand total — it " +
       "parses as a FIXED-MEMBER tuple (pinned measure), never a total") {
     // [City].[Allentown] must NOT silently become a share-of-total
