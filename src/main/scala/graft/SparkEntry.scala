@@ -1560,6 +1560,21 @@ object SparkEntry {
             |[ShipDate].[Year].Members ON ROWS
             |FROM sales""".stripMargin))
       }),
+      // q100: EXPLICIT TUPLE-SET axis — hand-picked (region, priority)
+      // combinations; dense default, so a listed-but-empty tuple would
+      // surface as a null cell while unlisted combos of the same members
+      // never appear (the per-dim set cuts prune the scan, the tuple
+      // filter trims the dense cross product)
+      "q100_mdx_tuple_axis" -> ((s: SparkSession, dir: String) => {
+        val c = CubeCatalog.forDir(s, dir)
+        Planner.plan(c, MdxParser.parse(c.cube("sales"),
+          """SELECT {[Measures].[Revenue]} ON COLUMNS,
+            |{([Geography].[Region].[1], [Order].[Priority].[1-URGENT]),
+            | ([Geography].[Region].[3], [Order].[Priority].[5-LOW]),
+            | ([Geography].[Region].[1], [Order].[Priority].[5-LOW])}
+            |  ON ROWS
+            |FROM sales""".stripMargin))
+      }),
       // WITH MEMBER: query-scoped calculated measure over declared measures
       "q37_mdx_with_member" -> ((s: SparkSession, dir: String) => {
         val c = CubeCatalog.forDir(s, dir)
@@ -6130,6 +6145,32 @@ object SparkEntry {
          |SELECT ship_year, revenue,
          |  LAG(asia) OVER (ORDER BY ship_year) AS prev_asia
          |FROM base ORDER BY ship_year""".stripMargin,
+    // q100: tuple-set axis — the listed combinations via VALUES + left
+    // join (a listed-but-empty tuple keeps its row with a null value,
+    // exactly the dense-axis shape); labels come from the dim row like
+    // the planner's dense domains
+    "q100_mdx_tuple_axis" ->
+      s"""WITH pairs AS (
+         |  SELECT * FROM (VALUES (1, '1-URGENT'), (3, '5-LOW'),
+         |    (1, '5-LOW')) AS t(region, order_priority)),
+         |agg AS (
+         |  SELECT r_regionkey AS region,
+         |    o_orderpriority AS order_priority, ${sumd(REV, "revenue")}
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_regionkey IN (1, 3)
+         |    AND o_orderpriority IN ('1-URGENT', '5-LOW')
+         |  GROUP BY 1, 2)
+         |SELECT p.region, r.r_name AS region_label, p.order_priority,
+         |  a.revenue
+         |FROM pairs p
+         |JOIN region r ON p.region = r.r_regionkey
+         |LEFT JOIN agg a ON a.region = p.region
+         |  AND a.order_priority = p.order_priority
+         |ORDER BY p.region, p.order_priority""".stripMargin,
     "q37_mdx_with_member" ->
       s"""WITH agg AS (
          |  SELECT r_regionkey AS region, r_name AS region_label,

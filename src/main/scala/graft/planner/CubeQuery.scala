@@ -36,6 +36,19 @@ final case class ExcludeCut(level: LevelRef, keys: Seq[Any]) extends Cut
   * descendant of `of` at `target`, by the hierarchy's member order). */
 final case class NavCut(of: LevelRef, key: Any, target: LevelRef,
     mode: String) extends Cut
+/** Explicit axis TUPLE SET (MDX `{([D1].[L1].[k1], [D2].[L2].[k2]), …}
+  * ON ROWS`): the axis enumerates exactly these member COMBINATIONS —
+  * Mondrian's hand-picked-tuples axis. `levels` is the shared
+  * per-position level list (every tuple names the same levels in the
+  * same order — tuple-set well-formedness), `rows` the key combinations.
+  * The parser emits it ALONGSIDE one per-level [[SetCut]] (the union of
+  * that position's keys), which does the scan pruning and bounds the
+  * dense member domains; the planner then applies this cut AFTER
+  * densification as one axis-sized OR-of-ANDs literal predicate — dense
+  * shapes keep listed-but-empty tuples as null cells while unlisted
+  * combinations from the domains' cross product never appear. */
+final case class TupleCut(levels: Seq[LevelRef],
+    rows: Seq[Seq[Any]]) extends Cut
 /** TopPercent / TopSum restriction (MDX `TOPPERCENT(set, p, m)` /
   * `TOPSUM(set, s, m)`): the minimal descending-by-measure prefix of the
   * level's members whose cumulative total reaches the threshold — a percent

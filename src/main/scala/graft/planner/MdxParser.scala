@@ -1518,6 +1518,46 @@ object MdxParser {
       } else if (elems.exists(e => isSetExpr(unparen(e)))) {
         GraftException.badRequest(
           s"set literal mixing members with set expressions is not supported: '$t'")
+      } else if (elems.forall { e =>
+        val x = e.trim
+        x.startsWith("(") && x.endsWith(")") &&
+          splitTop(x.substring(1, x.length - 1), ',').length >= 2
+      }) {
+        // EXPLICIT TUPLE SET: `{([D1].[L1].[k1], [D2].[L2].[k2]), …}` —
+        // hand-picked member COMBINATIONS as the axis. Every tuple must
+        // name the same levels in the same order (Mondrian's tuple-set
+        // well-formedness) and a tuple names each dimension at most
+        // once. Emits the levels' drills + one per-level SetCut (scan
+        // pruning + dense member domains) + the [[TupleCut]] that trims
+        // the axis to the listed combinations after densification.
+        val parsed = elems.map { e =>
+          val x = e.trim
+          splitTop(x.substring(1, x.length - 1), ',').map { p =>
+            QueryParser.parseCut(cube, p.trim) match {
+              case MemberCut(l, k) =>
+                val rl = Planner.resolve(cube, l)
+                (l, (rl.dim.name, rl.hier.name, rl.level.name), k)
+              case _ => GraftException.badRequest(
+                s"tuple-set element must list plain members: '${p.trim}'")
+            }
+          }
+        }
+        val shape = parsed.head.map(_._2)
+        if (shape.map(_._1).distinct.length != shape.length)
+          GraftException.badRequest(
+            s"a tuple names each dimension at most once: '$t'")
+        parsed.tail.foreach { tp =>
+          if (tp.map(_._2) != shape)
+            GraftException.badRequest(
+              "every tuple of a tuple set must name the same levels in " +
+                s"the same order: '$t'")
+        }
+        val levels = parsed.head.map(_._1)
+        val rows: Seq[Seq[Any]] = parsed.map(_.map(_._3))
+        val setCuts = levels.zipWithIndex.map { case (l, i) =>
+          SetCut(l, rows.map(_(i)).distinct)
+        }
+        (levels.map(LevelDrill(_)), setCuts :+ TupleCut(levels, rows))
       } else {
         // explicit member set: drill the shared level + set cut (or named set)
         val cut = QueryParser.parseCut(cube, t)

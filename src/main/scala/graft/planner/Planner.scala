@@ -421,6 +421,20 @@ object Planner {
       if (lagTimeDims.isEmpty) (Nil, cuts)
       else cuts.partition(c =>
         levelOfCut(cube, c).exists(rl => lagTimeDims.contains(rl.dim.name)))
+    // a tuple set naming a lag/cum/moving time dim would pin the fact to
+    // the listed members BEFORE the windows run — exactly the
+    // previous-present-member aliasing the relaxed-cut machinery exists
+    // to prevent, and a multi-dim tuple cannot ride that machinery (it
+    // relaxes one dimension's domain at a time) — 400 with the reason
+    if (lagTimeDims.nonEmpty)
+      cuts.collect { case tc: TupleCut => tc }.foreach { tc =>
+        tc.levels.map(resolve(cube, _))
+          .find(rl => lagTimeDims.contains(rl.dim.name))
+          .foreach(rl => GraftException.badRequest(
+            s"a tuple-set axis on time dimension '${rl.dim.name}' " +
+              "cannot combine with lag/cumulative/moving measures — " +
+              "cut the time dimension directly instead"))
+      }
     val timeDomains = lagTimeDims.map(dn =>
       lagTimeDomain(cat, cube, dn, groupLevels, timeCuts, need, q.role))
 
@@ -731,13 +745,31 @@ object Planner {
         roleApplied.filter(ms.map(col(_).isNotNull).reduce(_ || _))
       } else roleApplied
 
+    // Explicit tuple-set axes, re-applied AFTER densification: the
+    // per-level SetCuts bounded the dense member domains, and this trims
+    // their cross product to exactly the LISTED combinations — dense
+    // shapes keep listed-but-empty tuples as null cells, unlisted
+    // combinations never appear. (The same cut already pruned the fact
+    // scan through applyCut; this pass is axis-sized.)
+    val tupleFiltered = q.cuts.collect { case tc: TupleCut => tc }
+      .foldLeft(sparseDf) { (df, tc) =>
+        tc.levels.map(resolve(cube, _)).foreach { rl =>
+          if (!drills.exists(d => d.dim.name == rl.dim.name &&
+              d.level.name == rl.level.name))
+            GraftException.badRequest(
+              s"tuple-set axis level ${rl.dim.name}.${rl.level.name} " +
+                "must be drilled")
+        }
+        df.filter(tupleCutPredicate(cube, tc, rl => col(rl.level.alias)))
+      }
+
     // ------------------------------------------------- order, subset, select
     val outputCols: Seq[String] =
       groupLevels.flatMap(outputAliases) ++
         q.properties.map(p => propAlias(cube, p)) ++
         q.captions.map(p => captionOverrideAlias(resolve(cube, p.level))) ++
         measureNames.map(aliasOfMeasure(cube, _))
-    finishAxis(cat, cube, sparseDf, q, drills, groupLevels, outputCols)
+    finishAxis(cat, cube, tupleFiltered, q, drills, groupLevels, outputCols)
   }
 
   // ------------------------------------------------------------ virtual cube
@@ -1181,10 +1213,25 @@ object Planner {
     }
   }
 
+  /** One OR-of-ANDs literal predicate for an explicit tuple set — an
+    * axis-enumeration-sized expression (hand-written tuple lists are
+    * small), never a join; Catalyst pushes the fact-side form into the
+    * scan like any other cut. `colOf` picks the column form (level
+    * keyExpr fact-side, alias column over rollups / the densified axis). */
+  private def tupleCutPredicate(cube: CubeDef, tc: TupleCut,
+      colOf: ResolvedLevel => Column): Column = {
+    val rls = tc.levels.map(resolve(cube, _))
+    tc.rows.map(r =>
+      rls.zip(r).map { case (rl, k) => colOf(rl) === lit(k) }
+        .reduce(_ && _)).reduce(_ || _)
+  }
+
   /** Cut application over a rollup frame, where levels exist as alias
     * COLUMNS rather than expressions over the fact (B17 routed path). */
   private def applyCutOnAliases(cat: CubeCatalog, cube: CubeDef, df: DataFrame,
       c: Cut, role: Option[String]): DataFrame = c match {
+    case tc: TupleCut => df.filter(tupleCutPredicate(cube, tc,
+      rl => col(rl.level.alias)))
     case MemberCut(l, key) =>
       df.filter(col(resolve(cube, l).level.alias) === lit(key))
     case SetCut(l, keys) =>
@@ -1236,6 +1283,9 @@ object Planner {
     case ExcludeCut(l, _) => Some(l)
     case NavCut(_, _, target, _) => Some(target)
     case NamedSetCut(_) => None
+    // multi-level by nature — its dims join via the sibling per-level
+    // SetCuts the parser always emits alongside (see TupleCut's doc)
+    case TupleCut(_, _) => None
   }
 
   private def levelOfCut(cube: CubeDef, c: Cut): Option[ResolvedLevel] =
@@ -1252,6 +1302,8 @@ object Planner {
     * cached member keys. Catalyst pushes all of them into the scans. */
   private def applyCut(cat: CubeCatalog, cube: CubeDef, df: DataFrame,
       c: Cut, role: Option[String]): DataFrame = c match {
+    case tc: TupleCut => df.filter(tupleCutPredicate(cube, tc,
+      rl => expr(rl.level.keyExpr)))
     case MemberCut(l, key) =>
       df.filter(expr(resolve(cube, l).level.keyExpr) === lit(key))
     case SetCut(l, keys) =>

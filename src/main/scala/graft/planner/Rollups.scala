@@ -168,6 +168,8 @@ object Rollups {
         case TopKCut(l, _, _, _) => levelAliases(cube, l)
         case TopShareCut(l, _, _, _, _, _) => levelAliases(cube, l)
         case ExcludeCut(l, _) => levelAliases(cube, l)
+        // a tuple set filters on every named level's alias post-agg
+        case TupleCut(levels, _) => levels.flatMap(levelAliases(cube, _))
         // the nav resolves to equalities on its full member path
         case nc: NavCut =>
           Planner.navPathRefs(cube, nc).flatMap(levelAliases(cube, _))
@@ -350,6 +352,7 @@ object Rollups {
         case TopKCut(l, _, _, _) => Some(l)
         case TopShareCut(l, _, _, _, _, _) => Some(l)
         case ExcludeCut(l, _) => Some(l)
+        case TupleCut(levels, _) => levels
         case nc: NavCut => Planner.navPathRefs(cube, nc)
       }
       val rls = drills ++ cutRefs.map(Planner.resolve(cube, _))

@@ -146,6 +146,9 @@ object AxesResult {
       case ExcludeCut(l, ks) => s"${ref(l)} NOT IN (${ks.mkString(", ")})"
       case NavCut(of, k, target, mode) =>
         s"${ref(target)} = ${mode.toUpperCase}(${ref(of)} = $k)"
+      case TupleCut(levels, rows) =>
+        s"(${levels.map(ref).mkString(", ")}) IN " +
+          rows.map(_.mkString("(", ", ", ")")).mkString("(", ", ", ")")
     }
     def drillStr(d: Drill): String = d match {
       case LevelDrill(l) => ref(l)

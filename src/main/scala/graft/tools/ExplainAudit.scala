@@ -66,7 +66,7 @@ object ExplainAudit {
         "q94_mdx_pinned_member", "q95_mdx_pinned_override",
         "q96_mdx_pinned_tuple", "q97_mdx_pinned_mixed",
         "q98_mdx_pinned_coarser", "m23_flac32_decode",
-        "q99_mdx_pinned_nav")
+        "q99_mdx_pinned_nav", "q100_mdx_tuple_axis")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

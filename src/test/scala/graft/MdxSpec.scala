@@ -620,6 +620,60 @@ class MdxSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit tuple-set axis: {(t1),(t2)} enumerates exactly the " +
+      "listed combinations — dense keeps a listed-but-empty tuple as a " +
+      "null cell, NON EMPTY drops it, malformed sets 400") {
+    def plan(mdx: String) =
+      Planner.plan(cat, MdxParser.parse(salesCube, mdx)).collect()
+    // ground truth + an EMPTY (region, part) combination discovered from
+    // the full crossjoin (parts are sparse across regions, unlike brands)
+    val full = plan(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN([Geography].[Region].Members,
+        |  [Part].[Part].Members) ON ROWS FROM sales""".stripMargin)
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.get(4)).toMap
+    val present = full.keySet.head
+    val parts = full.keySet.map(_._2)
+    val absent = (0 to 4).flatMap(region =>
+        parts.map(region.asInstanceOf[Int] -> _))
+      .find(!full.contains(_))
+      .getOrElse(fail("no empty (region, part) combo at this scale"))
+    def mdxFor(nonEmpty: Boolean) =
+      s"""SELECT {[Measures].[Revenue]} ON COLUMNS,
+         |${if (nonEmpty) "NON EMPTY " else ""}{
+         |  ([Geography].[Region].[${present._1}],
+         |   [Part].[Part].[${present._2}]),
+         |  ([Geography].[Region].[${absent._1}],
+         |   [Part].[Part].[${absent._2}])} ON ROWS
+         |FROM sales""".stripMargin
+    // dense (default): BOTH listed tuples appear — the present one with
+    // its exact value, the empty one as a null cell — and nothing else
+    // (the per-dim domains' cross product is trimmed to the list)
+    val dense = plan(mdxFor(nonEmpty = false))
+      .map(r => (r.getInt(0), r.getLong(2)) -> Option(r.get(4))).toMap
+    assert(dense.keySet == Set(present, absent), s"dense keys $dense")
+    assert(dense(present) == Option(full(present)))
+    assert(dense(absent).isEmpty, "empty listed tuple must be a null cell")
+    // NON EMPTY: only the tuple with facts survives
+    val ne = plan(mdxFor(nonEmpty = true))
+      .map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(ne == Set(present))
+    // 400s: tuples naming different levels, and a duplicated dim
+    val eShape = intercept[GraftException](plan(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |{([Geography].[Region].[1], [Part].[Brand].[Brand#13]),
+        | ([Geography].[Region].[2], [Order].[Priority].[5-LOW])} ON ROWS
+        |FROM sales""".stripMargin))
+    assert(eShape.status == 400 &&
+      eShape.getMessage.contains("same levels"), eShape.getMessage)
+    val eDup = intercept[GraftException](plan(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |{([Geography].[Region].[1], [Geography].[Region].[2])} ON ROWS
+        |FROM sales""".stripMargin))
+    assert(eDup.status == 400 &&
+      eDup.getMessage.contains("at most once"), eDup.getMessage)
+  }
+
   test("a member merely starting with 'All' is not a grand total — it " +
       "parses as a FIXED-MEMBER tuple (pinned measure), never a total") {
     // [City].[Allentown] must NOT silently become a share-of-total
