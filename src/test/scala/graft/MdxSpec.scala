@@ -674,6 +674,37 @@ class MdxSpec extends AnyFunSuite {
       eDup.getMessage.contains("at most once"), eDup.getMessage)
   }
 
+  test("a tuple set composes with CROSSJOIN: the listed combinations " +
+      "fan out over the other set's members with doubly-cut values") {
+    def plan(mdx: String) =
+      Planner.plan(cat, MdxParser.parse(salesCube, mdx)).collect()
+    val rows = plan(
+      """SELECT {[Measures].[Revenue]} ON COLUMNS,
+        |NON EMPTY CROSSJOIN(
+        |  {([Geography].[Region].[1], [Order].[Priority].[1-URGENT]),
+        |   ([Geography].[Region].[3], [Order].[Priority].[5-LOW])},
+        |  [ReturnFlag].[ReturnFlag].Members) ON ROWS
+        |FROM sales""".stripMargin)
+    assert(rows.nonEmpty)
+    // only the two listed (region, priority) pairs appear, each fanned
+    // over return flags
+    val pairs = rows.map(r => (r.getInt(0), r.getString(2))).toSet
+    assert(pairs == Set((1, "1-URGENT"), (3, "5-LOW")), s"pairs $pairs")
+    // values equal the doubly-cut per-flag query for each listed pair
+    pairs.foreach { case (region, prio) =>
+      val want = Planner.plan(cat, CubeQuery("sales",
+          Seq(LevelDrill(LevelRef("ReturnFlag"))), Seq("revenue"),
+          cuts = Seq(MemberCut(LevelRef("Geography", Some("Region")),
+              region.toLong),
+            MemberCut(LevelRef("Order", Some("Priority")), prio))))
+        .collect().map(r => r.getString(0) -> r.get(1)).toMap
+      val got = rows.filter(r =>
+          r.getInt(0) == region && r.getString(2) == prio)
+        .map(r => r.getString(3) -> r.get(4)).toMap
+      assert(got == want, s"($region, $prio): $got vs $want")
+    }
+  }
+
   test("a member merely starting with 'All' is not a grand total — it " +
       "parses as a FIXED-MEMBER tuple (pinned measure), never a total") {
     // [City].[Allentown] must NOT silently become a share-of-total
