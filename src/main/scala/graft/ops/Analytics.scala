@@ -10,10 +10,20 @@ object Analytics {
   /** RFM SEGMENTATION — recency / frequency / monetary terciles per
     * customer, rolled up per segment code (r·100 + f·10 + m, each 1..3
     * where 3 = best: most recent, most frequent, highest spend). The
-    * classic lifecycle segmentation (champions 333, at-risk 1xx, …),
-    * built entirely on [[Ranking.equiDepthTiles]] — three equi-depth
-    * tilings over (value, custkey) total orders, each the two-phase
-    * distributed rank, never a single-partition NTILE.
+    * classic lifecycle segmentation (champions 333, at-risk 1xx, …).
+    *
+    * The three independent NTILE(3)s run as ONE
+    * [[Ranking.groupedEquiDepthTiles]] pass: the per-customer frame melts
+    * to (metric, value) rows and the metric id leads the range keys, so a
+    * single range shuffle + checkpoint + bucket-offset frame rank all
+    * three orders at once (the previous shape paid three full rank
+    * pipelines — three range-partitioner sample passes, three
+    * checkpoints, three offset broadcasts — over the same frame; r16
+    * optimization, guide §2.4 "remove shuffles outright"). Each metric's
+    * (value, custkey) total order, and therefore every tile, is
+    * UNCHANGED: long→double on recency days is order-preserving below
+    * 2^53, f/m were already ranked on their double casts, and the
+    * tiebreak stays custkey.
     *
     * Recency is measured in days BEFORE the corpus' last order date (the
     * anchor broadcasts as a 1-row frame), so the operator is deterministic
@@ -29,18 +39,24 @@ object Analytics {
       .withColumn("recency_days",
         datediff(col("anchor"), col("last_order")).cast("long"))
       .select("custkey", "recency_days", "frequency", "monetary")
-    def tiled(df: DataFrame, value: Column,
-        asCol: String, invert: Boolean): DataFrame = {
-      val t = Ranking.equiDepthTiles(df, value, col("custkey"), 3)
-      // recency: LOWER days = better → tile 1 (most recent) maps to score 3
-      val score = if (invert) lit(4) - col("tile") else col("tile")
-      t.withColumn(asCol, score.cast("int"))
-        .drop("tile", "global_rank")
-    }
-    val scored = tiled(tiled(tiled(base,
-      col("recency_days"), "r", invert = true),
-      col("frequency").cast("double"), "f", invert = false),
-      col("monetary").cast("double"), "m", invert = false)
+    // melt: one row per (customer, metric); monetary rides along (exact
+    // DECIMAL, needed for the final rollup) rather than re-joining base
+    val melted = base.select(col("custkey"), col("monetary"), explode(array(
+        struct(lit(1).as("mid"), col("recency_days").cast("double").as("mv")),
+        struct(lit(2).as("mid"), col("frequency").cast("double").as("mv")),
+        struct(lit(3).as("mid"), col("monetary").cast("double").as("mv"))))
+        .as("x"))
+      .select(col("custkey"), col("monetary"), col("x.mid").as("mid"),
+        col("x.mv").as("mv"))
+    val tiled = Ranking.groupedEquiDepthTiles(melted, col("mid"),
+      col("mv"), col("custkey"), 3)
+    // pivot back to one row per customer; recency inverts (tile 1 = most
+    // recent = score 3), monetary is identical on all three rows
+    val scored = tiled.groupBy("custkey").agg(
+      max(when(col("mid") === 1, lit(4) - col("tile"))).cast("int").as("r"),
+      max(when(col("mid") === 2, col("tile"))).cast("int").as("f"),
+      max(when(col("mid") === 3, col("tile"))).cast("int").as("m"),
+      max(col("monetary")).as("monetary"))
     scored
       .withColumn("rfm_code", (col("r") * 100 + col("f") * 10 + col("m")))
       .groupBy("rfm_code")

@@ -189,4 +189,43 @@ object Ranking {
         ntileOf(col("global_rank"), col("__rk_total"), tiles))
       .drop("__rk_total")
   }
+
+  /** PER-GROUP equi-depth tiling: appends `tile` (1..tiles, NTILE semantics
+    * within each `part` group over that group's (value asc, tieBreak asc)
+    * total order). One range shuffle + one checkpoint + one bucket-offset
+    * aggregate serve EVERY group at once — a caller tiling the same frame
+    * by k independent metrics melts to (metric, value) rows and pays one
+    * pass instead of k full rank pipelines (k range-partitioner sample
+    * passes, k checkpoints, k offset frames). Same two-phase shape as
+    * [[groupedPrefixSum]]: the group key LEADS the range keys, so each
+    * range bucket holds a contiguous slice of one-or-more groups' orders
+    * and no group ever concentrates on one partition. Group totals ride
+    * the same groups × buckets offset frame — no extra pass. */
+  def groupedEquiDepthTiles(df: DataFrame, part: Column, value: Column,
+      tieBreak: Column, tiles: Int, buckets: Int = 0): DataFrame = {
+    require(tiles > 0, "tiles must be positive")
+    val b = withRangeBuckets(
+      df.withColumn("__rk_p", part)
+        .withColumn("__rk_v", value)
+        .withColumn("__rk_t", tieBreak),
+      bucketCount(df, buckets),
+      Seq(col("__rk_p"), col("__rk_v"), col("__rk_t")))
+    val offs = b.groupBy("__rk_p", "__rk_b").agg(count(lit(1)).as("__rk_n"))
+      .withColumn("__rk_off", coalesce(
+        sum("__rk_n").over(Window.partitionBy("__rk_p").orderBy("__rk_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__rk_total",
+        sum("__rk_n").over(Window.partitionBy("__rk_p").orderBy("__rk_b")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select("__rk_p", "__rk_b", "__rk_off", "__rk_total")
+    b.withColumn("__rk_w", row_number().over(
+        Window.partitionBy("__rk_p", "__rk_b")
+          .orderBy(col("__rk_v").asc, col("__rk_t").asc)))
+      .join(broadcast(offs), Seq("__rk_p", "__rk_b"))
+      .withColumn("tile",
+        ntileOf(col("__rk_off") + col("__rk_w"), col("__rk_total"), tiles))
+      .drop("__rk_p", "__rk_b", "__rk_v", "__rk_t", "__rk_w", "__rk_off",
+        "__rk_total")
+  }
 }

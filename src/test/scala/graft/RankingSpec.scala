@@ -39,6 +39,21 @@ class RankingSpec extends AnyFunSuite {
     assert(sizes == Seq((1, 26L), (2, 26L), (3, 26L), (4, 25L)))
   }
 
+  test("groupedEquiDepthTiles equals per-group SQL NTILE (uneven groups, " +
+      "heavy ties, group sizes not divisible by tiles)") {
+    // 3 groups of different sizes sharing range buckets; same tie-heavy
+    // value recipe as frame()
+    val df = (1 to 311)
+      .map(i => (i % 3, (i * 37 % 19) * 10.0, i.toLong))
+      .toDF("g", "v", "id")
+    val got = Ranking.groupedEquiDepthTiles(df, col("g"), col("v"),
+      col("id"), tiles = 3)
+    val want = df.withColumn("tile", ntile(3).over(
+      Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)))
+    assert(got.select("g", "v", "id", "tile").except(want).isEmpty &&
+      want.except(got.select("g", "v", "id", "tile")).isEmpty)
+  }
+
   test("ntileOf near-integer quotients: no decimal-rounding phantom tile " +
       "(the 100x-sweep q49 regression) and agreement with exact NTILE " +
       "arithmetic across magnitudes") {
