@@ -47,8 +47,13 @@ object StageProfile {
       spark.catalog.clearCache()
       stages.clear(); jobs.clear()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val wall = (System.nanoTime() - t0) / 1e9
+      val df = fn(spark, sfDir) // frame construction (planner work, any
+      val t1 = System.nanoTime() // member-lookup collects run here)
+      val n = df.count()
+      val t2 = System.nanoTime()
+      val wall = (t2 - t0) / 1e9
+      println(f"[split] build ${(t1 - t0) / 1e9}%.3f s, " +
+        f"execute ${(t2 - t1) / 1e9}%.3f s")
       Thread.sleep(300) // let the listener bus drain
       println(f"%n=== $name rep$rep: $wall%.3f s total, $n rows, " +
         f"${jobs.size} jobs, ${stages.size} stages ===")
