@@ -532,11 +532,17 @@ object Dedup {
         // the container must be able to supply the required overlap
         col("nb") >= ceil(round(col("na") * threshold, 9)))
       .groupBy("doc_a", "doc_b")
-      .agg(min(struct(col("pa"), col("pb"))).as("fst"),
+      // min(pa)/min(pb) both land on the first shared canonical token
+      // (positions are monotone in the shared order), so this equals the
+      // former min(struct(pa, pb)) while staying HASH-aggregable with
+      // map-side partial aggregation — min over a struct forced a
+      // SortAggregate over the full candidate stream (see
+      // ssjoinCandidates)
+      .agg(min(col("pa")).as("fpa"), min(col("pb")).as("fpb"),
         first(col("na")).as("na"), first(col("nb")).as("nb"))
       // PPJoin bound at the first shared canonical token, against ⌈t·na⌉
-      .where(lit(1) + least(col("na") - col("fst.pa"),
-          col("nb") - col("fst.pb")) >=
+      .where(lit(1) + least(col("na") - col("fpa"),
+          col("nb") - col("fpb")) >=
         ceil(round(col("na") * threshold, 9)))
       .select("doc_a", "doc_b")
     cand
@@ -599,9 +605,19 @@ object Dedup {
       hashedShingles("text", k).as("sh"))
       .withColumn("n", size(col("sh")))
       .localCheckpoint()
-    val full = fullPostings(sh).localCheckpoint()
-    val pre = full.where(col("pos") <=
-      col("n") - ceil(round(col("n") * threshold, 9)) + 1)
+    // The probe side needs the canonical rarest-first PREFIX (df-ranked
+    // regroup); the CONTAINER side needs only the raw inverted index —
+    // since this variant has no PPJoin position filter (see below),
+    // positions on the container postings were dead weight: the former
+    // shape regrouped + position-stamped EVERY posting (fullPostings) just
+    // to filter the probe prefix out of it. Shingle arrays are
+    // sorted-unique sets (ShingleHashes), so exploding them IS the full
+    // posting list — the container side skips the df join, the per-doc
+    // regroup/sort, and materializes without positions.
+    val pre = prefixPostings(sh, threshold).localCheckpoint()
+    val raw = sh.select(col("block"), col("doc_id"), col("n"),
+      explode(col("sh")).as("s"))
+      .localCheckpoint()
     // exact per-(block, shingle) df of the HOT tail only: one linear agg.
     // Row count is ≤ postings/cap, which with the auto cap 4√n GROWS as
     // √n·avg_df — NOT a constant: at 100 TB (n ≈ 10¹⁰ docs) it can reach
@@ -612,17 +628,17 @@ object Dedup {
     // hash join on (block, s), which is correct and merely repartitions
     // the posting stream it was about to shuffle for the candidate join
     // anyway.
-    val hotDf = full.groupBy("block", "s").agg(count(lit(1)).as("df"))
+    val hotDf = raw.groupBy("block", "s").agg(count(lit(1)).as("df"))
       .where(col("df") > cap)
       .localCheckpoint()
     val hotSide = sizeGatedBroadcast(hotDf)
-    val fullCapped = full.join(hotSide, Seq("block", "s"), "left")
+    val rawCapped = raw.join(hotSide, Seq("block", "s"), "left")
       .where(col("df").isNull ||
         pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)
       .drop("df")
     val a = pre.select(col("block").as("block_a"), col("doc_id").as("doc_a"),
       col("n").as("na"), col("s").as("s_a"))
-    val b = fullCapped.select(col("block").as("block_b"),
+    val b = rawCapped.select(col("block").as("block_b"),
       col("doc_id").as("doc_b"), col("n").as("nb"), col("s").as("s_b"))
     // NO PPJoin position filter here, deliberately: the bound is only
     // valid at the pair's TRUE first shared token in the canonical order,
@@ -809,14 +825,20 @@ object Dedup {
     else joined
       .groupBy("doc_a", "doc_b")
       // both docs' positions are monotone in the shared canonical order, so
-      // the first shared token minimizes (pa, pb) jointly
-      .agg(min(struct(col("pa"), col("pb"))).as("fst"),
+      // the first shared token minimizes pa and pb SIMULTANEOUSLY —
+      // min(pa) and min(pb) both land on it, making the former
+      // min(struct(pa, pb)) equal to (min(pa), min(pb)). Two plain longs
+      // keep the aggregation HASH-based with map-side partial aggregation
+      // (min over a struct forces SortAggregate: a full sort of the
+      // candidate stream — the d04/d19 plans' hottest operator — and no
+      // partial-agg collapse before the pair exchange; guide §2.3).
+      .agg(min(col("pa")).as("fpa"), min(col("pb")).as("fpb"),
         first(col("na")).as("na"), first(col("nb")).as("nb"))
       // overlap ≤ 1 + min(na − pa, nb − pb) at the first shared token; the
       // lemma's bound is ⌈t·max(na,nb)⌉ (round(…, 9) snaps product ulps
       // DOWN — an under-ceil only weakens the prune, never loses a pair)
-      .where(lit(1) + least(col("na") - col("fst.pa"),
-          col("nb") - col("fst.pb")) >=
+      .where(lit(1) + least(col("na") - col("fpa"),
+          col("nb") - col("fpb")) >=
         ceil(round(greatest(col("na"), col("nb")) * threshold, 9)))
       .select("doc_a", "doc_b")
   }
