@@ -1238,13 +1238,20 @@ object TextOps {
       .localCheckpoint()
     val n = nodes.count() // vocab count — the one driver-side scalar
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // loop-invariant; built once, read every round
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(pr.withColumnRenamed("tok", "src"), "src")
+      // pre-divide on the VOCAB-sized frame so the edge stream is probed
+      // by ONE join per round, not two (pr and deg are both keyed by the
+      // token; joining them first is a tiny join, while each extra join
+      // against `edges` costs a pass over the full edge stream)
+      val prOverDeg = pr.withColumnRenamed("tok", "src")
         .join(deg, "src")
-        .select(col("dst").as("tok"),
+        .select(col("src"),
           (col("pr") / col("deg")).cast("decimal(38,18)").as("c"))
+      val contrib = edges
+        .join(prOverDeg, "src")
+        .select(col("dst").as("tok"), col("c"))
         .groupBy("tok").agg(sum(col("c")).as("s"))
       pr = nodes.join(contrib, Seq("tok"), "left")
         .withColumn("pr", lit(0.15 / n) + lit(0.85) *
