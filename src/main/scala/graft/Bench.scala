@@ -103,6 +103,16 @@ object Bench {
     val line =
       s"""{"metric":"total","queries":$qs,"sf":"$sfDir",$env,"unit":"sec","value":${fmt(total)}}"""
     println(line)
+    // The full line above is ~7 KB at 228 queries, so the consumer's 2000-char
+    // stdout tail always cuts off its start and it has never parsed (r10–r16
+    // all show parsed:null). Emit a SECOND, compact line that fits entirely
+    // inside the tail window: headline fields only, with per-query times in
+    // the full line and bench_full.json. Additions-only — the full line and
+    // its methodology are unchanged.
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"sf":"$sfDir",$env}"""
+    println(compact)
     try {
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

@@ -38,6 +38,12 @@ object SparkShim {
       exp.extraStrategies = exp.extraStrategies :+ s
   }
 
+  /** Block until every queued listener event is delivered (listenerBus is
+    * private[spark]) — profiling tools read listener-collected metrics
+    * right after an action, and a fixed sleep can miss late completions. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Idempotently add an optimizer rule to an existing session. */
   def addOptimization(spark: SparkSession,
       r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {

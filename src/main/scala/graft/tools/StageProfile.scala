@@ -11,6 +11,11 @@ import graft.SparkEntry
   */
 object StageProfile {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.tools.StageProfile <query> [sfDir] [reps]")
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
@@ -28,7 +33,7 @@ object StageProfile {
     val stages = scala.collection.mutable.ArrayBuffer.empty[St]
     val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val jobStart = scala.collection.mutable.Map.empty[Int, Long]
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val ms = (for {a <- i.completionTime; b <- i.submissionTime}
@@ -41,7 +46,8 @@ object StageProfile {
         jobStart(e.jobId) = e.time
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs += ((e.jobId, e.time - jobStart.getOrElse(e.jobId, e.time)))
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
 
     (0 until reps).foreach { rep =>
       spark.catalog.clearCache()
@@ -54,7 +60,8 @@ object StageProfile {
       val wall = (t2 - t0) / 1e9
       println(f"[split] build ${(t1 - t0) / 1e9}%.3f s, " +
         f"execute ${(t2 - t1) / 1e9}%.3f s")
-      Thread.sleep(300) // let the listener bus drain
+      // drain the bus for real — a fixed sleep can miss late completions
+      org.apache.spark.sql.graftshim.SparkShim.drainListenerBus(spark, 10000)
       println(f"%n=== $name rep$rep: $wall%.3f s total, $n rows, " +
         f"${jobs.size} jobs, ${stages.size} stages ===")
       println(f"jobs: ${jobs.sortBy(_._1).map(j => s"${j._2}ms").mkString(" ")}")
@@ -63,6 +70,7 @@ object StageProfile {
           f"${s.name.take(60)}%-60s ${s.callsite.take(80)}")
       }
     }
+    spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
 }
