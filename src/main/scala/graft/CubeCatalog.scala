@@ -118,6 +118,39 @@ final class CubeCatalog(
       compute: => Long): Long =
     memberCountCache.getOrElseUpdate(key, compute)
 
+  // Dense-axis member DOMAINS (Planner.densify): the distinct member frame
+  // of a drilled unit (cut- and role-filtered) plus its row count — the
+  // §7.4 dense-cells guardrail. Memoized per (cube, unit level ids,
+  // structural cuts, role) so the guard's count job runs once per distinct
+  // key per catalog lifetime instead of once per drilled level per QUERY
+  // (the fast-tail driver-job lever). Frames are executor-persisted like
+  // cachedMemberFrame; both drop with the catalog on /flush.
+  private val denseDomainCache = TrieMap.empty[
+    (String, Seq[String], Seq[graft.planner.Cut], String), (DataFrame, Long)]
+
+  def cachedDenseDomain(
+      key: (String, Seq[String], Seq[graft.planner.Cut], String))(
+      compute: => DataFrame): (DataFrame, Long) =
+    denseDomainCache.getOrElseUpdate(key, {
+      val df = compute.persist()
+      (df, df.count())
+    })
+
+  // Lag/cum TIME-MEMBER domains (Planner.lagTimeDomain, cut path): the
+  // needed-member frame is localCheckpoint'ed (it feeds the fact semi-join
+  // AND the axis expansion), which costs an eager job — memoized per
+  // (cube, dim, unit level ids, structural time cuts, lag/lead window,
+  // cum signature, role) so repeated lag-family queries skip it.
+  private val timeDomainCache = TrieMap.empty[
+    (String, String, Seq[String], Seq[graft.planner.Cut], Int, Int,
+      Seq[(String, String)], String), DataFrame]
+
+  def cachedTimeDomain(
+      key: (String, String, Seq[String], Seq[graft.planner.Cut], Int, Int,
+        Seq[(String, String)], String))(
+      compute: => DataFrame): DataFrame =
+    timeDomainCache.getOrElseUpdate(key, compute)
+
   // QUERY-RESULT cache — the Mondrian cell/segment-cache analog and the
   // reason the reference exposes /flush at all (api.rb:52-64): repeated
   // dashboard queries answer from memory without a Spark job. Keyed by the
@@ -250,6 +283,11 @@ final class CubeCatalog(
   def close(): Unit = {
     memberFrameCache.values.foreach(_.unpersist(blocking = false))
     memberFrameCache.clear()
+    denseDomainCache.values.foreach(_._1.unpersist(blocking = false))
+    denseDomainCache.clear()
+    // time-domain frames are localCheckpoint'ed RDD state, released by the
+    // context cleaner once the map no longer references them
+    timeDomainCache.clear()
     rollups.foreach(_.df.unpersist(blocking = false))
     rollupReg.clear()
     topKCache.clear()

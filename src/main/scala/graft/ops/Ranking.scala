@@ -46,13 +46,28 @@ object Ranking {
     * (already-appended) `(__rk_v, __rk_t)` total order, optionally led by a
     * group column. Range partition ids are ordered by range (partition 0
     * holds the smallest values), so the bucket id doubles as the bucket's
-    * sort key. localCheckpoint: the bucketed frame feeds BOTH the offset
-    * aggregate and the rank join — without it the (possibly expensive)
-    * upstream plan runs twice, and the (sampled) partitioner would be
-    * re-derived; blocks are GC-released with the result (Dedup convention).
+    * sort key.
     *
-    * AQE-safety of `spark_partition_id()` here does NOT rest on the
-    * localCheckpoint's timing: (1) the explicit partition count makes this
+    * BOTH frames persist — LAZILY. The input persists because
+    * `repartitionByRange` executes its child twice (the RangePartitioner's
+    * sample sketch + the real shuffle): rank inputs are skinny but their
+    * upstreams often are not (aggregations, model joins), and the cache
+    * makes the second pass a block read. The bucketed frame persists
+    * because it feeds BOTH the offset aggregate and the rank join; with
+    * two separate exchanges the sampled partitioner would be re-derived
+    * per exchange and could bucket rows differently — offsets from one
+    * bucketing joined to ranks from another silently corrupts the rank,
+    * so compute-once here is CORRECTNESS, not tuning. A lazy persist gives
+    * the same one-RDD / one-partitioner guarantee as the eager
+    * localCheckpoint it replaces (the partitioner lives in the shuffle
+    * dependency; an evicted block recomputes through the same dependency)
+    * WITHOUT the per-call eager materialization jobs, which dominated the
+    * rank family's frame-construction wall on the fast-tail profile
+    * (scheduling, not compute). Blocks drop with the catalog/cache clear
+    * like every other persisted intermediate.
+    *
+    * AQE-safety of `spark_partition_id()` here does NOT rest on
+    * materialization timing: (1) the explicit partition count makes this
     * a REPARTITION_BY_NUM shuffle, which AQE's CoalesceShufflePartitions
     * rule never touches (it only coalesces ENSURE_REQUIREMENTS/REBALANCE
     * exchanges — the user asked for exactly n partitions); (2) even if a
@@ -64,18 +79,10 @@ object Ranking {
     * path with AQE + coalescing forced on and a 1-byte advisory size. */
   private[graft] def withRangeBuckets(df: DataFrame, n: Int,
       keys: Seq[Column]): DataFrame =
-    // The INPUT is checkpointed first because repartitionByRange executes
-    // its child twice — once for the RangePartitioner's sample sketch and
-    // once for the real shuffle. Rank inputs are skinny (keys + a value)
-    // but their upstreams often are not (aggregations, model joins):
-    // materializing once and letting both passes re-read the blocks
-    // halves the upstream work (measured 2.4 s → 1.2 s warm on a
-    // 600k-row agg-fed tiling at sf0.1; at corpus scale the saved pass is
-    // a full shuffle recompute).
-    df.localCheckpoint()
+    df.persist()
       .repartitionByRange(n, keys.map(_.asc): _*)
       .withColumn("__rk_b", spark_partition_id().cast("long"))
-      .localCheckpoint()
+      .persist()
 
   /** Global 1-based row number over (value asc, tieBreak asc), appended as
     * `rankCol`. Ties on value must be broken by `tieBreak` (unique), making
@@ -159,7 +166,13 @@ object Ranking {
     * (group, bucket). A group's rows therefore never concentrate on one
     * partition, no matter how large the group or how tied its values — the
     * failure mode of the naive `SUM OVER (PARTITION BY group ORDER BY …)`,
-    * whose per-group state is unbounded at corpus scale. */
+    * whose per-group state is unbounded at corpus scale.
+    *
+    * PRECONDITION (like tieBreak-uniqueness): `part` must be LOW-CARDINALITY
+    * — the groups × buckets offset frame is broadcast unconditionally, so a
+    * fact-sized group key would exceed the session broadcast budget. Every
+    * caller groups by a handful of metrics/sources/strata; a
+    * high-cardinality partition wants a plain windowed sum instead. */
   def groupedPrefixSum(df: DataFrame, part: Column, value: Column,
       tieBreak: Column, weight: Column, outCol: String,
       buckets: Int = 0): DataFrame = {
@@ -209,7 +222,11 @@ object Ranking {
     * [[groupedPrefixSum]]: the group key LEADS the range keys, so each
     * range bucket holds a contiguous slice of one-or-more groups' orders
     * and no group ever concentrates on one partition. Group totals ride
-    * the same groups × buckets offset frame — no extra pass. */
+    * the same groups × buckets offset frame — no extra pass.
+    *
+    * PRECONDITION (like tieBreak-uniqueness): `part` must be LOW-CARDINALITY
+    * — the groups × buckets offset frame is broadcast unconditionally (see
+    * [[groupedPrefixSum]]). */
   def groupedEquiDepthTiles(df: DataFrame, part: Column, value: Column,
       tieBreak: Column, tiles: Int, buckets: Int = 0): DataFrame = {
     require(tiles > 0, "tiles must be positive")

@@ -596,7 +596,12 @@ object Planner {
                     "drop the lag measure)")
               others.crossJoin(dom)
             }
-          full.join(df, unitAliases ++ otherAliases, "left")
+          // the agg side is ≤ the (guard-checked) cell bound — broadcast it
+          // so the expansion is a BroadcastHashJoin, not an exchange + sort
+          // of both sides (same rationale as the densify fill join)
+          full.join(
+            if (maxCells <= 4000000L) broadcast(df) else df,
+            unitAliases ++ otherAliases, "left")
         }
       }
     val withLags = need.lags.foldLeft(expanded) { (df, lm) =>
@@ -1605,15 +1610,6 @@ object Planner {
       levelOfCut(cube, c).exists(_.dim.name == dn))
     if (dimCuts.isEmpty)
       return TimeDomain(dn, unit, fullDom, hasCuts = false)
-    val flag = "__cut_" + dn
-    val cutDom = dimCuts.foldLeft(src)((d, c) =>
-        applyCut(cat, cube, d, c, role))
-      .select(cols: _*).distinct().withColumn(flag, lit(1))
-    val flagged = fullDom.join(cutDom, aliases, "left")
-      .withColumn(flag, coalesce(col(flag), lit(0)))
-    val ordC = unit.map { rl =>
-      col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
-    }
     val maxLag = (need.lags.filter(_.timeDim == dn).map(_.periods)
       .filter(_ > 0) ++
       need.movings.filter(_.timeDim == dn).map(_.periods - 1))
@@ -1621,38 +1617,57 @@ object Planner {
     // Lead(n) (negative periods) needs members AFTER cut members
     val maxLead = need.lags.filter(_.timeDim == dn).map(-_.periods)
       .filter(_ > 0).maxOption.getOrElse(0)
-    var needed: Column = col(flag) === 1
-    if (maxLag > 0)
-      needed = needed || max(col(flag)).over(
-        Window.orderBy(ordC.map(_.asc): _*).rowsBetween(0, maxLag)) === 1
-    if (maxLead > 0)
-      needed = needed || max(col(flag)).over(
-        Window.orderBy(ordC.map(_.asc): _*).rowsBetween(-maxLead, 0)) === 1
-    for (cm <- need.cums.filter(_.timeDim == dn);
-         resetRl <- unit.find(_.level.name == cm.resetLevel))
-      needed = needed || (
-        if (cm.edge.isEmpty)
-          max(col(flag)).over(
-            // reset-member identity = the reset level plus its drilled
-            // ancestors (same rule as applyCum — a Quarter key repeats
-            // per year)
-            Window.partitionBy(unit.filter(_.depth <= resetRl.depth)
-                .map(rl => col(rl.level.alias)): _*)
-              .orderBy(ordC.map(_.asc): _*)
-              .rowsBetween(0, Window.unboundedFollowing)) === 1
-        else
-          // closing/opening balances read the reset group's EDGE member,
-          // which may sit beyond any cut member — a cut group needs its
-          // WHOLE reset group in the domain
-          max(col(flag)).over(
-            Window.partitionBy(unit.filter(_.depth <= resetRl.depth)
-              .map(rl => col(rl.level.alias)): _*)) === 1)
-    // localCheckpoint: the domain feeds the fact semi-join AND the axis
-    // expansion; tiny frame, computed once (Dedup convention)
-    TimeDomain(dn, unit,
+    // the needed-member predicate depends only on the window reach and the
+    // cum reset/edge signature — part of the memoization key below
+    val cumSig = need.cums.filter(_.timeDim == dn)
+      .filter(cm => unit.exists(_.level.name == cm.resetLevel))
+      .map(cm => (cm.resetLevel, cm.edge)).distinct.sorted
+    val dom = cat.cachedTimeDomain((cube.name, dn,
+        unit.map(rl => s"${rl.hier.name}.${rl.level.name}"),
+        dimCuts, maxLag, maxLead, cumSig, role.getOrElse(""))) {
+      val flag = "__cut_" + dn
+      val cutDom = dimCuts.foldLeft(src)((d, c) =>
+          applyCut(cat, cube, d, c, role))
+        .select(cols: _*).distinct().withColumn(flag, lit(1))
+      val flagged = fullDom.join(cutDom, aliases, "left")
+        .withColumn(flag, coalesce(col(flag), lit(0)))
+      val ordC = unit.map { rl =>
+        col(rl.level.ordExpr.fold(rl.level.alias)(_ => rl.level.ordAlias))
+      }
+      var needed: Column = col(flag) === 1
+      if (maxLag > 0)
+        needed = needed || max(col(flag)).over(
+          Window.orderBy(ordC.map(_.asc): _*).rowsBetween(0, maxLag)) === 1
+      if (maxLead > 0)
+        needed = needed || max(col(flag)).over(
+          Window.orderBy(ordC.map(_.asc): _*).rowsBetween(-maxLead, 0)) === 1
+      for (cm <- need.cums.filter(_.timeDim == dn);
+           resetRl <- unit.find(_.level.name == cm.resetLevel))
+        needed = needed || (
+          if (cm.edge.isEmpty)
+            max(col(flag)).over(
+              // reset-member identity = the reset level plus its drilled
+              // ancestors (same rule as applyCum — a Quarter key repeats
+              // per year)
+              Window.partitionBy(unit.filter(_.depth <= resetRl.depth)
+                  .map(rl => col(rl.level.alias)): _*)
+                .orderBy(ordC.map(_.asc): _*)
+                .rowsBetween(0, Window.unboundedFollowing)) === 1
+          else
+            // closing/opening balances read the reset group's EDGE member,
+            // which may sit beyond any cut member — a cut group needs its
+            // WHOLE reset group in the domain
+            max(col(flag)).over(
+              Window.partitionBy(unit.filter(_.depth <= resetRl.depth)
+                .map(rl => col(rl.level.alias)): _*)) === 1)
+      // localCheckpoint: the domain feeds the fact semi-join AND the axis
+      // expansion; tiny frame, computed once (Dedup convention) — and the
+      // memoization above makes that once per distinct key per CATALOG,
+      // not per query (the eager checkpoint job was per-query overhead)
       flagged.withColumn("__needed", needed).filter(col("__needed"))
-        .drop("__needed").localCheckpoint(),
-      hasCuts = true)
+        .drop("__needed").localCheckpoint()
+    }
+    TimeDomain(dn, unit, dom, hasCuts = true)
   }
 
   /** PREVMEMBER lag (ref B8): lag(base) over the time hierarchy's drilled
@@ -1914,40 +1929,58 @@ object Planner {
         drills.map(_.dim.name).distinct
           .map(dn => groupLevels.filter(_.dim.name == dn))
       else drills.map(Seq(_))
+    // Each unit's (frame, count) is memoized on the catalog: the §7.4
+    // guardrail count below used to run one job PER DRILLED LEVEL PER
+    // QUERY — on the fast tail those scheduling round-trips, not compute,
+    // dominate (r16 verdict #1). Now it runs once per distinct
+    // (cube, unit, cuts, role) per catalog lifetime, and the persisted
+    // frame feeds the cross join.
     val domains = domainUnits.map { unit =>
       val rl = unit.head
-      val src = rl.dim.join match {
-        case Some(js) => cat.table(js.table)
-        case None => cat.fact(cube)
-      }
       val dimCuts = cuts.filter(c =>
         levelOfCut(cube, c).exists(_.dim.name == rl.dim.name))
-      val cutSrc = dimCuts.foldLeft(src)((d, c) =>
-        applyCut(cat, cube, d, c, role))
-      // B18: an invisible member must not reappear as a dense filler row —
-      // restrict the member domain by the role's visibility predicate
-      val roleSrc = roleGrants.find(g => g.restricts &&
-          g.dim.name == rl.dim.name && g.hier.name == rl.hier.name)
-        .map(g => cutSrc.filter(g.visibleCol)).getOrElse(cutSrc)
-      roleSrc.select(unit.flatMap(levelCols): _*).distinct()
+      cat.cachedDenseDomain((cube.name,
+        unit.map(u => s"${u.dim.name}.${u.hier.name}.${u.level.name}"),
+        dimCuts, role.getOrElse(""))) {
+        val src = rl.dim.join match {
+          case Some(js) => cat.table(js.table)
+          case None => cat.fact(cube)
+        }
+        val cutSrc = dimCuts.foldLeft(src)((d, c) =>
+          applyCut(cat, cube, d, c, role))
+        // B18: an invisible member must not reappear as a dense filler row —
+        // restrict the member domain by the role's visibility predicate
+        val roleSrc = roleGrants.find(g => g.restricts &&
+            g.dim.name == rl.dim.name && g.hier.name == rl.hier.name)
+          .map(g => cutSrc.filter(g.visibleCol)).getOrElse(cutSrc)
+        roleSrc.select(unit.flatMap(levelCols): _*).distinct()
+      }
     }
     // Guardrail for §7.4 dragon 1: the cross product of member domains is
     // the one place a small request can demand an astronomically large
-    // result. Counting the (tiny, dim-sized) domains first costs one short
-    // job each and turns a driver-OOM into a 400.
+    // result. Counting the (tiny, dim-sized) domains first turns a
+    // driver-OOM into a 400.
     val maxCells = cat.spark.conf
       .getOption("spark.graft.dense.maxCells").map(_.toLong)
       .getOrElse(1000000L)
-    val cells = domains.map(d => BigInt(d.count())).product
+    val cells = domains.map(d => BigInt(d._2)).product
     if (cells > maxCells)
       GraftException.badRequest(
         s"dense axes would enumerate $cells cells (limit $maxCells; " +
           "raise spark.graft.dense.maxCells or request sparse=true)")
-    val domain = domains.reduce(_.crossJoin(_))
+    val domain = domains.map(_._1).reduce(_.crossJoin(_))
     val joinCols =
       (if (parents) groupLevels else drills).flatMap(levelAliases)
-    domain.join(aggDf.select(joinCols.map(col) ++
-        aggDf.columns.filterNot(joinCols.contains).map(col): _*),
+    val aggSide = aggDf.select(joinCols.map(col) ++
+      aggDf.columns.filterNot(joinCols.contains).map(col): _*)
+    // The agg side groups by the same levels the domains enumerate, so its
+    // row count is ≤ cells — which just passed the guard. Broadcasting it
+    // turns the dense fill into a BroadcastHashJoin: no exchange + sort of
+    // the member cross product (the SMJ shape Catalyst picks otherwise,
+    // because agg-output size estimates are conservative). Deployments that
+    // raise maxCells past broadcast sanity keep the sort-merge shape.
+    domain.join(
+      if (cells <= 4000000L) broadcast(aggSide) else aggSide,
       joinCols, "left")
   }
 

@@ -28,13 +28,23 @@ class RollupSpec extends AnyFunSuite {
 
   private def planOf(q: CubeQuery) = { registered; Planner.plan(cat, q) }
 
+  // Routing detector: a routed plan reads the rollup's partial-aggregate
+  // columns (__sum_/__cnt_/__min_/__max_/__hll_/__rows — the Rollup naming
+  // convention) out of its cached materialization. A bare
+  // "InMemoryTableScan" check no longer discriminates: dense member domains
+  // are catalog-persisted too, so every dense plan carries one.
+  private def usesRollup(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val s = df.queryExecution.executedPlan.toString()
+    Seq("__sum_", "__cnt_", "__min_", "__max_", "__hll_", "__rows")
+      .exists(s.contains)
+  }
+
   test("routed query reads the cached rollup, not the fact") {
     val df = planOf(CubeQuery("sales",
       Seq(drill("Geography", "Region"), drill("Part", "Brand", "Brands")),
       Seq("revenue", "sum_qty", "cnt")))
     // the cached rollup materialization short-circuits the fact lineage
-    assert(df.queryExecution.executedPlan.toString()
-      .contains("InMemoryTableScan"))
+    assert(usesRollup(df))
   }
 
   test("routed results equal fact-path results bit-for-bit") {
@@ -54,8 +64,7 @@ class RollupSpec extends AnyFunSuite {
   test("distinct-count bypasses the rollup (non-additive, B5 carve-out)") {
     val df = planOf(CubeQuery("sales", Seq(drill("Geography", "Region")),
       Seq("order_cnt")))
-    assert(!df.queryExecution.executedPlan.toString()
-      .contains("InMemoryTableScan"))
+    assert(!usesRollup(df))
   }
 
   test("buildMany materializes the rollup lattice in one scan, identically") {
@@ -152,8 +161,7 @@ class RollupSpec extends AnyFunSuite {
       Seq("part_cnt_approx", "cnt"))
     val df = planOf(q)
     // unlike exact distinct, the sketch union re-aggregates from the rollup
-    assert(df.queryExecution.executedPlan.toString()
-      .contains("InMemoryTableScan"))
+    assert(usesRollup(df))
     val routed = df.collect().map(_.toSeq)
     val factCat = TpchCatalog.build(spark, SparkTestSession.sf) // no rollups
     val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
@@ -164,8 +172,7 @@ class RollupSpec extends AnyFunSuite {
   test("uncovered level bypasses the rollup") {
     val df = planOf(CubeQuery("sales", Seq(drill("Geography", "Supplier")),
       Seq("revenue")))
-    assert(!df.queryExecution.executedPlan.toString()
-      .contains("InMemoryTableScan"))
+    assert(!usesRollup(df))
   }
 
   test("persisted rollup round-trips and answers routed queries (B17)") {
@@ -226,8 +233,7 @@ class RollupSpec extends AnyFunSuite {
     val routedDf = Planner.plan(cat, mdx("NON EMPTY "))
     // the GroupedTopK pass runs over the rollup's re-aggregation — the
     // fact scan disappears (the rank measure rides the rollup too)
-    assert(routedDf.queryExecution.executedPlan.toString()
-      .contains("InMemoryTableScan"))
+    assert(usesRollup(routedDf))
     val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
     val direct = Planner.plan(factCat, mdx("NON EMPTY "))
       .collect().map(_.toSeq)
@@ -236,8 +242,7 @@ class RollupSpec extends AnyFunSuite {
     // dense mode enumerates member domains from the dim tables — must
     // refuse the rollup and still agree with the fact path
     val denseDf = Planner.plan(cat, mdx(""))
-    assert(!denseDf.queryExecution.executedPlan.toString()
-      .contains("InMemoryTableScan"))
+    assert(!usesRollup(denseDf))
     assert(denseDf.collect().map(_.toSeq).toSeq ==
       Planner.plan(factCat, mdx("")).collect().map(_.toSeq).toSeq)
   }
@@ -252,8 +257,7 @@ class RollupSpec extends AnyFunSuite {
         |    [Part].[Brands].[Brand].Members), [Part]) ON ROWS
         |FROM sales""".stripMargin)
     val routedDf = Planner.plan(cat, q)
-    assert(routedDf.queryExecution.executedPlan.toString()
-      .contains("InMemoryTableScan"))
+    assert(usesRollup(routedDf))
     val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
     val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
     assert(routedDf.collect().map(_.toSeq).toSeq == direct.toSeq)
@@ -274,11 +278,9 @@ class RollupSpec extends AnyFunSuite {
         |    [Measures].[Total Sales])) ON ROWS
         |FROM orders""".stripMargin).copy(role = role)
     // sanity: the unroled query DOES route over this rollup
-    assert(Planner.plan(cat, mdx(None)).queryExecution.executedPlan
-      .toString().contains("InMemoryTableScan"))
+    assert(usesRollup(Planner.plan(cat, mdx(None))))
     val roled = Planner.plan(cat, mdx(Some("emea")))
-    assert(!roled.queryExecution.executedPlan.toString()
-      .contains("InMemoryTableScan"))
+    assert(!usesRollup(roled))
     val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
     val direct = Planner.plan(factCat, mdx(Some("emea")))
       .collect().map(_.toSeq)
@@ -301,9 +303,7 @@ class RollupSpec extends AnyFunSuite {
   private def routedVsDirect(q: CubeQuery, expectRouted: Boolean): Unit = {
     monthRollup
     val routedDf = Planner.plan(cat, q)
-    val usesRollup = routedDf.queryExecution.executedPlan.toString()
-      .contains("InMemoryTableScan")
-    assert(usesRollup == expectRouted,
+    assert(usesRollup(routedDf) == expectRouted,
       s"expected routed=$expectRouted for $q")
     val factCat = TpchCatalog.build(spark, SparkTestSession.sf)
     val direct = Planner.plan(factCat, q).collect().map(_.toSeq)
@@ -362,8 +362,7 @@ class RollupSpec extends AnyFunSuite {
       val q = CubeQuery("orders", Seq(drill("Geography", "Region")),
         Seq(measure))
       val routedDf = Planner.plan(cat, q)
-      assert(routedDf.queryExecution.executedPlan.toString()
-        .contains("InMemoryTableScan") == expectRouted,
+      assert(usesRollup(routedDf) == expectRouted,
         s"expected routed=$expectRouted for $measure")
       assert(routedDf.collect().map(_.toSeq).toSeq ==
         Planner.plan(factCat, q).collect().map(_.toSeq).toSeq)
