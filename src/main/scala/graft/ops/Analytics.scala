@@ -84,12 +84,30 @@ object Analytics {
     * it). */
   def copurchaseLift(lineitem: DataFrame, part: DataFrame, k: Int = 20,
       minPairs: Long = 5L): DataFrame = {
+    // Brand → int dictionary, RANK-ORDERED: bid is the brand's 1-based
+    // rank in string order, so sort_array over bids sorts exactly as it
+    // did over brand strings and pair canonical order (a < b) is
+    // preserved. Everything fact-sized — the basket exchange, the
+    // collect_set buffers, the map-side pair generation, and the pair /
+    // marginal aggregation keys — then carries a 4-byte int instead of a
+    // string (guide §2.3, shuffle narrower types); strings come back via
+    // two dim-sized broadcast joins on the ≤ k ranked rows. The window
+    // sorts |brands| distinct values (dim-domain-sized), not the fact;
+    // row_number over a distinct total order is deterministic, so the
+    // lazily-persisted dict is stable across its three uses even if a
+    // block is evicted and recomputed.
+    val dict = part.select(col("p_brand").as("brand")).distinct()
+      .withColumn("bid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("brand"))))
+      .persist() // feeds the part projection + the two string readbacks
     val baskets = lineitem
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))
+          .join(dict, col("p_brand") === col("brand"))
+          .select(col("p_partkey"), col("bid"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .select(col("l_orderkey").as("okey"), col("bid"))
       .groupBy("okey")
-      .agg(sort_array(collect_set(col("brand"))).as("brands"))
+      .agg(sort_array(collect_set(col("bid"))).as("brands"))
       .localCheckpoint() // feeds pairs + marginals + total
     // ordered (a < b holds by sort_array) pairs from within each basket —
     // no self-join, no re-shuffle of the Σ basket² pair stream
@@ -97,22 +115,26 @@ object Analytics {
       .select(explode(expr(
         """flatten(transform(brands, (a, i) ->
           |  transform(slice(brands, i + 2, size(brands)),
-          |            b -> struct(a AS brand_a, b AS brand_b))))"""
+          |            b -> struct(a AS bid_a, b AS bid_b))))"""
           .stripMargin)).as("p"))
-      .select(col("p.brand_a"), col("p.brand_b"))
-      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+      .select(col("p.bid_a"), col("p.bid_b"))
+      .groupBy("bid_a", "bid_b").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairs)
-    val marg = baskets.select(explode(col("brands")).as("brand"))
-      .groupBy("brand").agg(count(lit(1)).as("n_b"))
+    val marg = baskets.select(explode(col("brands")).as("bid"))
+      .groupBy("bid").agg(count(lit(1)).as("n_b"))
     val total = baskets.select(count(lit(1)).as("n_orders"))
     pairs
-      .join(broadcast(marg.select(col("brand").as("brand_a"),
-        col("n_b").as("n_a"))), "brand_a")
-      .join(broadcast(marg.select(col("brand").as("brand_b"),
-        col("n_b").as("n_b"))), "brand_b")
+      .join(broadcast(marg.select(col("bid").as("bid_a"),
+        col("n_b").as("n_a"))), "bid_a")
+      .join(broadcast(marg.select(col("bid").as("bid_b"),
+        col("n_b").as("n_b"))), "bid_b")
       .crossJoin(broadcast(total))
       .withColumn("lift", (col("n_ab") * col("n_orders")).cast("double") /
         (col("n_a") * col("n_b")).cast("double"))
+      .join(broadcast(dict.select(col("bid").as("bid_a"),
+        col("brand").as("brand_a"))), "bid_a")
+      .join(broadcast(dict.select(col("bid").as("bid_b"),
+        col("brand").as("brand_b"))), "bid_b")
       .select("brand_a", "brand_b", "n_ab", "lift")
       .orderBy(col("lift").desc, col("brand_a").asc, col("brand_b").asc)
       .limit(k)

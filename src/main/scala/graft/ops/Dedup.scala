@@ -310,11 +310,14 @@ object Dedup {
     * generation reuses the same pigeonhole combo blocking on the
     * recombined word, so the scale shape is unchanged. */
   def simhashPortablePairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // one digest per token, no hex round-trip — Md5Halves is bit-identical
+    // to CAST(conv(substr(md5(tok), 1|9, 8), 16, 10) AS BIGINT) (pinned by
+    // an OpsSpec equivalence test; the oracle still computes the hex form)
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("m", md5(col("tok")))
-      .withColumn("hi", expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)"))
-      .withColumn("lo", expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)"))
+      .withColumn("hl", graft.functions.Md5Halves.md5Halves(col("tok")))
+      .withColumn("hi", col("hl.hi"))
+      .withColumn("lo", col("hl.lo"))
     val voteCols = (0 until 32).flatMap(b => Seq(
       sum(shiftright(col("hi"), b).bitwiseAND(lit(1L))).as(s"h$b"),
       sum(shiftright(col("lo"), b).bitwiseAND(lit(1L))).as(s"l$b")))
@@ -631,11 +634,17 @@ object Dedup {
     val hotDf = raw.groupBy("block", "s").agg(count(lit(1)).as("df"))
       .where(col("df") > cap)
       .localCheckpoint()
-    val hotSide = sizeGatedBroadcast(hotDf)
-    val rawCapped = raw.join(hotSide, Seq("block", "s"), "left")
-      .where(col("df").isNull ||
-        pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)
-      .drop("df")
+    val nHot = hotDf.count()
+    // empty hot tail → the downsample is the identity; skip the left join
+    // entirely (the gate-scale path — the count reads the checkpointed hot
+    // tail, not the corpus, and replaces the one sizeGatedBroadcast ran)
+    val rawCapped = if (nHot == 0) raw else {
+      val hotSide = sizeGatedBroadcast(hotDf, knownCount = nHot)
+      raw.join(hotSide, Seq("block", "s"), "left")
+        .where(col("df").isNull ||
+          pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)
+        .drop("df")
+    }
     val a = pre.select(col("block").as("block_a"), col("doc_id").as("doc_a"),
       col("n").as("na"), col("s").as("s_a"))
     val b = rawCapped.select(col("block").as("block_b"),
@@ -680,13 +689,14 @@ object Dedup {
     * candidate join anyway. The count re-reads the frame's checkpoint,
     * never the corpus. */
   private[graft] def sizeGatedBroadcast(df: DataFrame,
-      rowBytes: Long = 48L): DataFrame = {
+      rowBytes: Long = 48L, knownCount: Long = -1L): DataFrame = {
     val conf = df.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val budget = // JavaUtils parses every spelling the conf accepts
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf.trim)
       catch { case _: NumberFormatException => 10L << 20 }
-    if (budget > 0 && df.count() * rowBytes <= budget) broadcast(df) else df
+    val n = if (knownCount >= 0) knownCount else df.count()
+    if (budget > 0 && n * rowBytes <= budget) broadcast(df) else df
   }
 
   /** PRODUCTION-SCALE symmetric n-gram Jaccard — [[ngramJaccardPairs]]'
@@ -709,7 +719,11 @@ object Dedup {
     * pure function of the data, so reruns and the oracle agree). Matches
     * canonicalize to (least, greatest) and dedupe, so each unordered pair
     * gets TWO independent detection chances: A's probe hitting B's
-    * surviving posting, or B's probe hitting A's.
+    * surviving posting, or B's probe hitting A's. When the hot tail is
+    * EMPTY (the cap never engaged) the downsample is the identity and the
+    * two directions are exact mirror images — the join then runs ONCE with
+    * `id_a < id_b` for the identical pair set at half the fan-out (see the
+    * inline note).
     *
     * WORK BOUND — why this stays O(P·cap) even though both docs' prefixes
     * survive uncapped on the probe side: the join fans out per PROBE
@@ -768,25 +782,49 @@ object Dedup {
     val hotDf = prefix.groupBy("block", "s").agg(count(lit(1)).as("df"))
       .where(col("df") > cap)
       .localCheckpoint()
-    val hotSide = sizeGatedBroadcast(hotDf)
-    val prefixCapped = prefix.join(hotSide, Seq("block", "s"), "left")
-      .where(col("df").isNull ||
-        pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)
-      .drop("df")
+    val nHot = hotDf.count()
     val a = prefix.select(col("block").as("block_a"),
       col("doc_id").as("id_a"), col("n").as("na"), col("s").as("s_a"))
-    val b = prefixCapped.select(col("block").as("block_b"),
-      col("doc_id").as("id_b"), col("n").as("nb"), col("s").as("s_b"))
-    val cand = a.join(b,
-      col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
-        col("id_a") =!= col("id_b") &&
-        // exact size-ratio prune, both directions (round(…, 9) snaps
-        // product ulps as in ssjoinCandidates)
-        col("na") >= round(col("nb") * threshold, 9) &&
-        col("nb") >= round(col("na") * threshold, 9))
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"))
-      .distinct()
+    // The two probe directions exist only for the CAP's sake: each
+    // unordered pair gets two independent chances to outlive the index
+    // downsample. When NO (block, shingle) is hotter than the cap the
+    // downsample is the identity (prefixCapped ≡ prefix) and the two
+    // directions are exact mirror images — (A probe → B index) matches iff
+    // (B probe → A index) does, because the join predicate is symmetric
+    // (same shingle equality, same two-sided size prune). One direction
+    // (id_a < id_b, the exact SSJoin's own convention) then yields the
+    // identical distinct pair set with HALF the candidate fan-out and no
+    // downsample join in the plan. The count that decides reads the
+    // checkpointed hot tail, never the corpus; at gate scale (prefix dfs
+    // ≪ 256) this is the path the oracle replays, and the uncapped-vs-
+    // exact spec pins it bit-for-bit.
+    val cand = (if (nHot == 0) {
+      val b = prefix.select(col("block").as("block_b"),
+        col("doc_id").as("id_b"), col("n").as("nb"), col("s").as("s_b"))
+      a.join(b,
+        col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
+          col("id_a") < col("id_b") &&
+          col("na") >= round(col("nb") * threshold, 9) &&
+          col("nb") >= round(col("na") * threshold, 9))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    } else {
+      val hotSide = sizeGatedBroadcast(hotDf, knownCount = nHot)
+      val prefixCapped = prefix.join(hotSide, Seq("block", "s"), "left")
+        .where(col("df").isNull ||
+          pmod(xxhash64(col("s"), col("doc_id")), col("df")) < cap)
+        .drop("df")
+      val b = prefixCapped.select(col("block").as("block_b"),
+        col("doc_id").as("id_b"), col("n").as("nb"), col("s").as("s_b"))
+      a.join(b,
+        col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
+          col("id_a") =!= col("id_b") &&
+          // exact size-ratio prune, both directions (round(…, 9) snaps
+          // product ulps as in ssjoinCandidates)
+          col("na") >= round(col("nb") * threshold, 9) &&
+          col("nb") >= round(col("na") * threshold, 9))
+        .select(least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"))
+    }).distinct()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("na")), "doc_a")

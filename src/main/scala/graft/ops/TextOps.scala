@@ -777,9 +777,13 @@ object TextOps {
           |ELSE transform(sequence(0, size(w) - 2),
           |  i -> struct(w[i] AS w1, w[i+1] AS w2)) END""".stripMargin))
         .as("b"))
-      .select(col("doc_id"), col("source"), expr(
-        "CAST(conv(substr(md5(concat(b.w1, ' ', b.w2)), 1, 8), 16, 10) " +
-          s"AS BIGINT) % $buckets").as("bkt"))
+      // Md5Halves.hi ≡ CAST(conv(substr(md5(…), 1, 8), 16, 10) AS BIGINT)
+      // bit-for-bit (OpsSpec pins it): one digest per bigram occurrence,
+      // no 32-char hex encode / substring / radix parse in the hot map
+      .select(col("doc_id"), col("source"),
+        (graft.functions.Md5Halves.md5Halves(
+          concat(col("b.w1"), lit(" "), col("b.w2")))("hi") % buckets)
+          .as("bkt"))
       // pre-aggregate BEFORE the checkpoint (guide §2.1, combine before
       // shuffle): every downstream pass — both models and the per-doc
       // weights — needs only (doc, bkt) counts, so the materialized stream

@@ -40,6 +40,21 @@ class OpsSpec extends AnyFunSuite {
       r.getInt(2) == 0))
   }
 
+  test("Md5Halves equals the conv(substr(md5)) SQL form bit-for-bit " +
+      "(the d03/t42 oracle contract rides the declarative spelling)") {
+    import spark.implicits._
+    // real tokens plus edge shapes: empty string, multi-byte UTF-8, a long
+    // string, and strings whose digests start with high/zero nibbles
+    val samples = (Seq("", "a", "the", "Zürich", "日本語テスト",
+      "x" * 4096) ++ (0 until 200).map(i => s"tok$i word$i")).toDF("s")
+    val mismatch = samples
+      .withColumn("hl", graft.functions.Md5Halves.md5Halves(col("s")))
+      .where(expr("hl.hi != CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)" +
+        " OR hl.lo != CAST(conv(substr(md5(s), 9, 8), 16, 10) AS BIGINT)"))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("simhash combo blocks are pigeonhole-complete for Hamming <= 3") {
     import spark.implicits._
     // flip d random bits (every d in 0..3, deterministic seed) — the pair

@@ -54,6 +54,23 @@ class RankingSpec extends AnyFunSuite {
       want.except(got.select("g", "v", "id", "tile")).isEmpty)
   }
 
+  test("groupedEquiDepthTiles degenerate groups: a 2-row group under " +
+      "tiles=3 (per-group n < tiles clamp) next to a large group sharing " +
+      "its range buckets") {
+    // group 9 has exactly 2 rows interleaved into group 0's value range —
+    // its rows must each take their own tile (1 and 2) per NTILE, while the
+    // 150-row group tiles normally from the same bucket-offset frame
+    val big = (1 to 150).map(i => (0, (i * 37 % 19) * 10.0, i.toLong))
+    val tiny = Seq((9, 45.0, 1000L), (9, 145.0, 1001L))
+    val df = (big ++ tiny).toDF("g", "v", "id")
+    val got = Ranking.groupedEquiDepthTiles(df, col("g"), col("v"),
+      col("id"), tiles = 3)
+    val want = df.withColumn("tile", ntile(3).over(
+      Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)))
+    assert(got.select("g", "v", "id", "tile").except(want).isEmpty &&
+      want.except(got.select("g", "v", "id", "tile")).isEmpty)
+  }
+
   test("ntileOf near-integer quotients: no decimal-rounding phantom tile " +
       "(the 100x-sweep q49 regression) and agreement with exact NTILE " +
       "arithmetic across magnitudes") {
