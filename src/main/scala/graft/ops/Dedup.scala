@@ -801,6 +801,17 @@ object Dedup {
     val cand = (if (nHot == 0) {
       val b = prefix.select(col("block").as("block_b"),
         col("doc_id").as("id_b"), col("n").as("nb"), col("s").as("s_b"))
+      // The checkpointed posting RDD inherits the corpus scan's partition
+      // count, so when the planner broadcasts the index side the whole
+      // probe ⋈ index ⋈ partial-distinct pipeline runs at FILE-SPLIT
+      // parallelism (one task on a one-file corpus — measured 1.6 s in a
+      // single task at sf0.1). Hash-repartitioning the probe by the join
+      // keys to the session's shuffle partitions is a REPARTITION_BY_NUM
+      // exchange AQE never coalesces: at small scale it buys the stage
+      // full parallelism; at corpus scale (index side past the broadcast
+      // budget) it IS the exchange the shuffled join would insert anyway,
+      // satisfied instead of duplicated (guide §2 — partitioning derives
+      // from the session knob, not the accidental file layout).
       a.join(b,
         col("block_a") === col("block_b") && col("s_a") === col("s_b") &&
           col("id_a") < col("id_b") &&
@@ -825,7 +836,16 @@ object Dedup {
         .select(least(col("id_a"), col("id_b")).as("doc_a"),
           greatest(col("id_a"), col("id_b")).as("doc_b"))
     }).distinct()
-    cand
+    // The verify stage is compute-heavy per BYTE (two ~n-element array
+    // intersections per candidate pair, rows of just two longs), so AQE's
+    // byte-based coalescing collapses the post-distinct exchange to one
+    // task (measured 1.4 s single-task at sf0.1). Repartition by the very
+    // key the first verify join needs: REPARTITION_BY_NUM on doc_a keeps
+    // the stage at the session's parallelism at small scale, and at corpus
+    // scale it IS the doc_a exchange a shuffled verify join would insert —
+    // satisfied, not duplicated (guide §2.4/§1.3).
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    cand.repartition(nPart, col("doc_a"))
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("na")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),

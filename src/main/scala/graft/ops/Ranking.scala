@@ -48,23 +48,27 @@ object Ranking {
     * holds the smallest values), so the bucket id doubles as the bucket's
     * sort key.
     *
-    * BOTH frames persist — LAZILY. The input persists because
-    * `repartitionByRange` executes its child twice (the RangePartitioner's
-    * sample sketch + the real shuffle): rank inputs are skinny but their
-    * upstreams often are not (aggregations, model joins), and the cache
-    * makes the second pass a block read. The bucketed frame persists
-    * because it feeds BOTH the offset aggregate and the rank join; with
-    * two separate exchanges the sampled partitioner would be re-derived
-    * per exchange and could bucket rows differently — offsets from one
-    * bucketing joined to ranks from another silently corrupts the rank,
-    * so compute-once here is CORRECTNESS, not tuning. A lazy persist gives
-    * the same one-RDD / one-partitioner guarantee as the eager
-    * localCheckpoint it replaces (the partitioner lives in the shuffle
-    * dependency; an evicted block recomputes through the same dependency)
-    * WITHOUT the per-call eager materialization jobs, which dominated the
-    * rank family's frame-construction wall on the fast-tail profile
-    * (scheduling, not compute). Blocks drop with the catalog/cache clear
-    * like every other persisted intermediate.
+    * The INPUT persists LAZILY: `repartitionByRange` executes its child
+    * twice (the RangePartitioner's sample sketch, then the real shuffle),
+    * but those two passes are SERIAL — the sample job materializes the
+    * cache, the shuffle map stage reads blocks — so a lazy persist gives
+    * compute-once without the eager materialization job the r16 shape
+    * paid. Skipped entirely when the input is just narrow ops over an
+    * already-materialized scan (see the inline note).
+    *
+    * The BUCKETED frame stays an EAGER localCheckpoint, for two reasons.
+    * Compute-once here is CORRECTNESS, not tuning: it feeds BOTH the
+    * offset aggregate and the rank join, and with two separate exchanges
+    * the sampled partitioner would be re-derived per exchange and could
+    * bucket rows differently — offsets from one bucketing joined to ranks
+    * from another silently corrupts the rank. And those two consumers run
+    * CONCURRENTLY (the offset frame builds inside a broadcast job while
+    * the main stage windows the same frame), so a lazy persist lets both
+    * race to compute the reduce side from shuffle files — measured ~1.3×
+    * warm regression on the prefix-sum family at sf0.1 (r17) before this
+    * was made eager again. One eager job per rank call instead of the r16
+    * shape's two. Blocks are GC-released with the result (Dedup
+    * convention).
     *
     * AQE-safety of `spark_partition_id()` here does NOT rest on
     * materialization timing: (1) the explicit partition count makes this
@@ -78,11 +82,31 @@ object Ranking {
     * documented on the class). [[graft.RankingSpec]] runs the whole rank
     * path with AQE + coalescing forced on and a 1-byte advisory size. */
   private[graft] def withRangeBuckets(df: DataFrame, n: Int,
-      keys: Seq[Column]): DataFrame =
-    df.persist()
-      .repartitionByRange(n, keys.map(_.asc): _*)
+      keys: Seq[Column]): DataFrame = {
+    // Skip the input persist when the frame is just narrow ops over an
+    // already-materialized scan (a checkpoint's LogicalRDD or a cached
+    // relation): the sample pass re-reads those blocks anyway, and a
+    // second stored copy of a trivially-recomputable projection is pure
+    // memory cost (callers like the difficulty/DSIR pipelines feed
+    // checkpointed scoring frames).
+    def materialized(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case proj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          materialized(proj.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          materialized(f.child)
+        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          materialized(s.child)
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+        case _ => false
+      }
+    val in = if (materialized(df.queryExecution.analyzed)) df
+      else df.localCheckpoint()
+    in.repartitionByRange(n, keys.map(_.asc): _*)
       .withColumn("__rk_b", spark_partition_id().cast("long"))
-      .persist()
+      .localCheckpoint()
+  }
 
   /** Global 1-based row number over (value asc, tieBreak asc), appended as
     * `rankCol`. Ties on value must be broken by `tieBreak` (unique), making

@@ -718,22 +718,22 @@ object TextOps {
           |  i -> struct(w[i] AS w1, w[i+1] AS w2)) END""".stripMargin))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      // pre-aggregate BEFORE the checkpoint (guide §2.1): the model build
-      // and the scoring join re-shuffle this stream; one row per distinct
-      // (doc, w1, w2) with its count replaces one row per occurrence.
-      // Counts become Σcnt; per-occurrence DECIMAL surprisals become
-      // quantize-then-multiply, bit-identical (see domainSelect).
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      // NOT pre-aggregated to (doc, w1, w2, cnt) before the checkpoint:
+      // measured at sf0.1 the within-doc bigram repetition of natural text
+      // is ≈ 0 (every (doc, bigram) is distinct), so the "combine before
+      // shuffle" pre-agg added a full extra exchange of the occurrence
+      // stream while shrinking nothing — warm wall regressed ~1.5× (r17,
+      // guide §1 measure-first). Revisit only for corpora with real
+      // within-doc repetition.
       .localCheckpoint() // feeds model build AND scoring join
-    val c2 = bg.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
-    val c1 = bg.groupBy("w1").agg(sum(col("cnt")).as("c1"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .withColumn("surprisal",
         -log(col("c2").cast("double") / col("c1").cast("double")))
       .groupBy("doc_id")
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_bigrams"),
-        sum(col("surprisal").cast("decimal(27,18)") *
-          col("cnt").cast("decimal(10,0)")).as("s"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surprisal").cast("decimal(38,18)")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("s").cast("double") / col("n_bigrams"), 6).as("lm_score"))
       .orderBy("doc_id")
@@ -784,21 +784,14 @@ object TextOps {
         (graft.functions.Md5Halves.md5Halves(
           concat(col("b.w1"), lit(" "), col("b.w2")))("hi") % buckets)
           .as("bkt"))
-      // pre-aggregate BEFORE the checkpoint (guide §2.1, combine before
-      // shuffle): every downstream pass — both models and the per-doc
-      // weights — needs only (doc, bkt) counts, so the materialized stream
-      // and the 4 aggregation passes over it carry one row per distinct
-      // (doc, bkt) instead of one per token occurrence. All downstream
-      // counts become sums of cnt — value-identical integers.
-      .groupBy("doc_id", "source", "bkt").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // feeds both models AND the weights
     val cT = bg.where(col("source") === seedSource)
-      .groupBy("bkt").agg(sum(col("cnt")).as("ct"))
+      .groupBy("bkt").agg(count(lit(1)).as("ct"))
     val nT = bg.where(col("source") === seedSource)
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("nt")) // empty seed ≡ count 0
-    val cR = bg.groupBy("bkt").agg(sum(col("cnt")).as("cr"))
-    val nR = bg.agg(coalesce(sum(col("cnt")), lit(0L)).as("nr"))
-    val perDoc = bg.select(col("doc_id"), col("bkt"), col("cnt"))
+      .agg(count(lit(1)).as("nt"))
+    val cR = bg.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val nR = bg.agg(count(lit(1)).as("nr"))
+    val perDoc = bg.groupBy("doc_id", "bkt").agg(count(lit(1)).as("cnt"))
       .join(cR, Seq("bkt")) // every doc bucket exists in the raw model
       .join(cT, Seq("bkt"), "left")
       .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
@@ -860,23 +853,17 @@ object TextOps {
         .as("b"))
       .select(col("doc_id"), col("source"), col("b.w1").as("w1"),
         col("b.w2").as("w2"))
-      // pre-aggregate BEFORE the checkpoint (guide §2.1, combine before
-      // shuffle): the four model aggregations and the scoring joins all
-      // re-shuffle this stream, so one row per distinct (doc, w1, w2) with
-      // its count replaces one row per occurrence everywhere downstream.
-      // Counts become Σcnt (identical integers); the per-occurrence
-      // DECIMAL(38,18) surprisal quantization becomes quantize-then-
-      // multiply — n identical decimals sum to exactly n × the decimal, so
-      // the per-doc sums are bit-identical ((27,18) × (10,0) → (38,18)
-      // stays inside 38 digits: no precision-loss rescale).
-      .groupBy("doc_id", "source", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      // NOT pre-aggregated to (doc, w1, w2, cnt): within-doc bigram
+      // repetition is ≈ 0 on natural text, so the pre-agg was a full extra
+      // exchange that shrank nothing (measured ~1.5× warm regression at
+      // sf0.1 — r17, guide §1 measure-first; see bigramLmScore)
       .localCheckpoint() // feeds both models AND scoring
     val seed = bg.where(col("source") === seedSource)
-    val c2i = seed.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2i"))
-    val c1i = seed.groupBy("w1").agg(sum(col("cnt")).as("c1i"))
+    val c2i = seed.groupBy("w1", "w2").agg(count(lit(1)).as("c2i"))
+    val c1i = seed.groupBy("w1").agg(count(lit(1)).as("c1i"))
     val vi = seed.agg((countDistinct(col("w2")) + 1).as("vi"))
-    val c2g = bg.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2g"))
-    val c1g = bg.groupBy("w1").agg(sum(col("cnt")).as("c1g"))
+    val c2g = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2g"))
+    val c1g = bg.groupBy("w1").agg(count(lit(1)).as("c1g"))
     val vg = bg.agg((countDistinct(col("w2")) + 1).as("vg"))
     bg
       .join(c2g, Seq("w1", "w2"))
@@ -890,12 +877,10 @@ object TextOps {
             (col("c1g") + col("vg")).cast("double")) -
           log((coalesce(col("c2i"), lit(0L)) + 1).cast("double") /
             (coalesce(col("c1i"), lit(0L)) + col("vi")).cast("double")))
-          .cast("decimal(27,18)"))
-      .withColumn("sd", col("s") * col("cnt").cast("decimal(10,0)"))
+          .cast("decimal(38,18)"))
       .groupBy("doc_id", "source")
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_bigrams"),
-        round(sum(col("sd")).cast("double") / sum(col("cnt")), 6)
-          .as("ce_diff"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6).as("ce_diff"))
       .orderBy("doc_id")
   }
 
@@ -928,16 +913,14 @@ object TextOps {
         .as("b"))
       .select(col("source"), col("split"), col("b.w1").as("w1"),
         col("b.w2").as("w2"))
-      // pre-aggregate BEFORE the checkpoint (guide §2.1): the model build
-      // and the scoring join re-shuffle this stream; one row per distinct
-      // (source, split, w1, w2) with its count replaces one row per
-      // occurrence. Counts become Σcnt; per-occurrence DECIMAL surprisals
-      // become quantize-then-multiply, bit-identical (see domainSelect).
-      .groupBy("source", "split", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      // NOT pre-aggregated to (source, split, w1, w2, cnt): within-doc
+      // bigram repetition is ≈ 0 on natural text, so the pre-agg was a
+      // full extra exchange that shrank nothing (measured warm regression
+      // at sf0.1 — r17, guide §1 measure-first; see bigramLmScore)
       .localCheckpoint() // feeds the model AND the scoring join
     val train = bg.where(col("split") === "train")
-    val c2 = train.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
-    val c1 = train.groupBy("w1").agg(sum(col("cnt")).as("c1"))
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = train.agg((countDistinct(col("w2")) + 1).as("v"))
     bg.where(col("split") === "valid")
       .join(c2, Seq("w1", "w2"), "left")
@@ -946,13 +929,11 @@ object TextOps {
       .withColumn("s",
         -log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
           (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
-      .withColumn("sd",
-        col("s").cast("decimal(27,18)") * col("cnt").cast("decimal(10,0)"))
+      .withColumn("sd", col("s").cast("decimal(38,18)"))
       .groupBy("source")
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_bigrams"),
-        coalesce(sum(when(col("c2").isNull, col("cnt")).otherwise(0L)),
-          lit(0L)).as("unseen_bigrams"),
-        round(sum(col("sd")).cast("double") / sum(col("cnt")), 6)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("unseen_bigrams"),
+        round(sum(col("sd")).cast("double") / count(lit(1)), 6)
           .as("heldout_ce"))
       .orderBy("source")
   }
