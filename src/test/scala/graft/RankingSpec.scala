@@ -100,6 +100,20 @@ class RankingSpec extends AnyFunSuite {
     }
   }
 
+  test("already-checkpointed input skips the input materialization and " +
+      "still ranks exactly (the withRangeBuckets materialized-scan skip)") {
+    // narrow ops over a LogicalRDD — the shape the skip targets; rank
+    // correctness must not depend on the input being re-checkpointed
+    val df = frame(977).localCheckpoint()
+      .withColumn("v2", col("v") + 1).drop("v2")
+    val got = Ranking.globalRank(df, col("v"), col("id"))
+    val want = df.withColumn("global_rank",
+      row_number().over(Window.orderBy(col("v").asc, col("id").asc))
+        .cast("long"))
+    assert(got.select("v", "id", "global_rank").except(want).isEmpty &&
+      want.except(got.select("v", "id", "global_rank")).isEmpty)
+  }
+
   test("fewer rows than tiles: each row its own tile, like NTILE") {
     val df = frame(3)
     val got = Ranking.equiDepthTiles(df, col("v"), col("id"), tiles = 8)
