@@ -90,16 +90,14 @@ object Analytics {
     // preserved. Everything fact-sized — the basket exchange, the
     // collect_set buffers, the map-side pair generation, and the pair /
     // marginal aggregation keys — then carries a 4-byte int instead of a
-    // string (guide §2.3, shuffle narrower types); strings come back via
-    // two dim-sized broadcast joins on the ≤ k ranked rows. The window
-    // sorts |brands| distinct values (dim-domain-sized), not the fact;
-    // row_number over a distinct total order is deterministic, so the
-    // lazily-persisted dict is stable across its three uses even if a
-    // block is evicted and recomputed.
+    // string (guide §2.3, shuffle narrower types); strings come back on
+    // the marginal broadcasts. The window sorts |brands| distinct values
+    // (dim-domain-sized), not the fact; the eager checkpoint computes it
+    // once for its two consumers (part projection + marg).
     val dict = part.select(col("p_brand").as("brand")).distinct()
       .withColumn("bid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("brand"))))
-      .persist() // feeds the part projection + the two string readbacks
+      .localCheckpoint() // |brands| rows; feeds the part projection + marg
     val baskets = lineitem
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))
           .join(dict, col("p_brand") === col("brand"))
@@ -120,21 +118,23 @@ object Analytics {
       .select(col("p.bid_a"), col("p.bid_b"))
       .groupBy("bid_a", "bid_b").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairs)
+    // the brand string rides the (dim-domain-sized) marginal frame, so the
+    // string readback shares the marginal broadcasts instead of adding two
+    // more broadcast jobs; checkpointed because BOTH broadcasts consume it —
+    // without it each broadcast job re-runs the basket explode + aggregate
     val marg = baskets.select(explode(col("brands")).as("bid"))
       .groupBy("bid").agg(count(lit(1)).as("n_b"))
+      .join(dict, Seq("bid"))
+      .localCheckpoint()
     val total = baskets.select(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(marg.select(col("bid").as("bid_a"),
-        col("n_b").as("n_a"))), "bid_a")
+        col("n_b").as("n_a"), col("brand").as("brand_a"))), "bid_a")
       .join(broadcast(marg.select(col("bid").as("bid_b"),
-        col("n_b").as("n_b"))), "bid_b")
+        col("n_b").as("n_b"), col("brand").as("brand_b"))), "bid_b")
       .crossJoin(broadcast(total))
       .withColumn("lift", (col("n_ab") * col("n_orders")).cast("double") /
         (col("n_a") * col("n_b")).cast("double"))
-      .join(broadcast(dict.select(col("bid").as("bid_a"),
-        col("brand").as("brand_a"))), "bid_a")
-      .join(broadcast(dict.select(col("bid").as("bid_b"),
-        col("brand").as("brand_b"))), "bid_b")
       .select("brand_a", "brand_b", "n_ab", "lift")
       .orderBy(col("lift").desc, col("brand_a").asc, col("brand_b").asc)
       .limit(k)
